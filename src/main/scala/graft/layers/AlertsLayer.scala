@@ -1,0 +1,135 @@
+package graft.layers
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.runtime.Catalog
+import graft.schema.Schemas
+
+/** alerts: threshold rules over window-derived daily rates, inserted
+  * exactly-once per (alert_date, country, alert_type).
+  *
+  * Re-expresses the four Trino queries `alert_case_spike.sql`,
+  * `alert_death_spike.sql`, `alert_incidence.sql`, `deaths_incidence.sql`
+  * in one engine (SURVEY §3.3): the shared subquery (fact JOIN dim,
+  * LAG over (location_key, date) — W2) is computed ONCE and all four
+  * rules filter/project from it, instead of the reference's four
+  * separate federated scans; the correlated `NOT EXISTS` dedup becomes a
+  * `left_anti` join (J3) against the alerts table; `format(...)` message
+  * rendering becomes `format_string` (F15).
+  *
+  * Scale note: one window shuffle for all four rules; the dedup anti-join
+  * keys on (alert_date, country, alert_type) — the existing-alerts side is
+  * pruned to the run date before joining, so it stays broadcast-sized.
+  */
+object AlertsLayer {
+  val layer = "alerts"
+  val table = "covid_alerts"
+
+  /** One alert rule = type/severity + predicate + metric + message. */
+  final case class Rule(alertType: String, severity: String,
+                        predicate: Column, metric: Column, message: Column)
+
+  /** Shared candidate base: per-location day-over-day deltas and rates
+    * (the inner subquery of all four alert_*.sql files, lines 20-51).
+    */
+  def enriched(fact: DataFrame, dim: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("location_key")).orderBy(col("report_date"))
+    fact.join(broadcast(dim), Seq("location_key"), "inner")
+      .select(
+        col("report_date"), col("location_key"), col("country_name"),
+        col("population"), col("confirmed"), col("deaths"))
+      .withColumn("confirmed_yesterday", lag(col("confirmed"), 1).over(w))
+      .withColumn("deaths_yesterday", lag(col("deaths"), 1).over(w))
+      .withColumn("new_cases_today", col("confirmed") - col("confirmed_yesterday"))
+      .withColumn("new_deaths_today", col("deaths") - col("deaths_yesterday"))
+      .withColumn("case_rate",
+        col("new_cases_today").cast("double") / col("population"))
+      .withColumn("death_rate",
+        col("new_deaths_today").cast("double") / col("population"))
+      .withColumn("incidence_per_100k",
+        col("new_cases_today").cast("double") * 100000.0 / col("population"))
+      .withColumn("deaths_per_100k",
+        col("new_deaths_today").cast("double") * 100000.0 / col("population"))
+  }
+
+  /** The four reference rules (alert_*.sql WHERE + SELECT clauses). */
+  val rules: Seq[Rule] = Seq(
+    Rule("CASE_RATE_POPULATION", "HIGH",
+      predicate = col("confirmed_yesterday").isNotNull &&
+        col("new_cases_today") > 0 && col("population") > 0 &&
+        col("case_rate") >= 0.00005,
+      metric = col("new_cases_today").cast("double"),
+      message = format_string(
+        "COVID alert: %.3f%% of population infected today (%s new cases)",
+        col("case_rate") * 100, col("new_cases_today"))),
+    Rule("DEATH_RATE_POPULATION", "HIGH",
+      predicate = col("deaths_yesterday").isNotNull &&
+        col("new_deaths_today") > 0 && col("population") > 0 &&
+        col("death_rate") >= 0.0000005,
+      metric = col("new_deaths_today").cast("double"),
+      message = format_string(
+        "COVID death alert: %.5f%% of population died today (%s new deaths)",
+        col("death_rate") * 100, col("new_deaths_today"))),
+    Rule("INCIDENCE_100K", "MEDIUM",
+      predicate = col("confirmed_yesterday").isNotNull &&
+        col("incidence_per_100k") > 10,
+      metric = col("incidence_per_100k"),
+      message = format_string(
+        "Daily incidence: %.2f per 100k population", col("incidence_per_100k"))),
+    Rule("DEATH_SPIKE_100K", "HIGH",
+      predicate = col("deaths_yesterday").isNotNull &&
+        col("deaths_per_100k") > 1,
+      metric = col("deaths_per_100k"),
+      message = format_string(
+        "High daily COVID mortality: %.2f per 100k population",
+        col("deaths_per_100k")))
+  )
+
+  /** All candidate alerts for one date (before dedup), schema matching
+    * Schemas.covidAlerts minus created_at.
+    */
+  def candidates(fact: DataFrame, dim: DataFrame, alertDate: String): DataFrame = {
+    val base = enriched(fact, dim)
+      .where(col("report_date") === lit(alertDate).cast("date"))
+    rules.map { r =>
+      base.where(r.predicate).select(
+        col("report_date").as("alert_date"),
+        col("country_name").as("country"),
+        lit(r.alertType).as("alert_type"),
+        lit(r.severity).as("severity"),
+        r.metric.as("metric_value"),
+        r.message.as("description"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Exactly-once insert: anti-join candidates against existing alerts on
+    * (alert_date, country, alert_type) — the NOT EXISTS of
+    * alert_case_spike.sql:57-63 — then append.
+    */
+  def run(cat: Catalog, alertDate: String,
+          fixedClock: Option[Timestamp] = None): Long = {
+    val fact = cat.read(DdsLayer.layer, DdsLayer.factTable)
+    val dim = cat.read(DdsLayer.layer, DdsLayer.dimTable)
+    val cand = candidates(fact, dim, alertDate)
+
+    val existing: DataFrame =
+      if (cat.tableExists(layer, table)) cat.read(layer, table)
+      else cat.spark.createDataFrame(
+        cat.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.covidAlerts)
+    val existingKeys = existing
+      .where(col("alert_date") === lit(alertDate).cast("date"))
+      .select("alert_date", "country", "alert_type")
+    val fresh = cand.join(broadcast(existingKeys),
+      Seq("alert_date", "country", "alert_type"), "left_anti")
+
+    val ts = fixedClock.map(lit(_)).getOrElse(current_timestamp())
+    val toWrite = fresh.withColumn("created_at", ts)
+      .select(Schemas.covidAlerts.fieldNames.map(col).toIndexedSeq: _*)
+    val n = toWrite.count()
+    if (n > 0) cat.append(toWrite, layer, table, partitionCols = Nil)
+    n
+  }
+}

@@ -1,0 +1,51 @@
+package graft.layers
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Normalize
+import graft.runtime.Catalog
+import graft.schema.Schemas
+
+/** raw layer: schema-drift-tolerant CSV ingestion into `raw.daily_reports`.
+  *
+  * Re-expresses `process_covid_raw.py:86-113`: CSV scan with header +
+  * inferSchema (S1), drift normalization to the 14-field target (P1/P2),
+  * lineage columns `source_file` + `ingestion_ts` (P3), then a partitioned
+  * append clustered by country (S5: `sortWithinPartitions("Country_Region")`,
+  * partitioned by `Country_Region`).
+  *
+  * `fixedClock` substitutes a deterministic timestamp for
+  * `current_timestamp()` so tests and oracles can hash results
+  * (SURVEY §7.5 non-determinism note).
+  */
+object RawLayer {
+  val layer = "raw"
+  val table = "daily_reports"
+
+  /** True if this source file is already in the raw table. The reference
+    * relies on its forward-only cursor to never re-ingest
+    * (`covid_to_s3.py:83-88`); we enforce the same effect explicitly so
+    * a re-run of any day is idempotent end-to-end.
+    */
+  def alreadyIngested(cat: Catalog, csvPath: String): Boolean =
+    cat.tableExists(layer, table) &&
+      !cat.read(layer, table)
+        .where(col("source_file") === csvPath).limit(1).isEmpty
+
+  def ingest(cat: Catalog, csvPath: String,
+             fixedClock: Option[Timestamp] = None): Unit = {
+    if (alreadyIngested(cat, csvPath)) return
+    val df = cat.spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(csvPath)
+    val ts = fixedClock.map(lit(_)).getOrElse(current_timestamp())
+    val finalDf: DataFrame = Normalize(df, Schemas.rawDailyReport)
+      .withColumn("source_file", lit(csvPath))
+      .withColumn("ingestion_ts", ts)
+    cat.append(finalDf, layer, table,
+      partitionCols = Seq("Country_Region"),
+      sortCols = Seq("Country_Region"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Path-based lakehouse catalog: `<root>/<layer>/<table>` parquet
+  * directories, hive-style partitioning.
+  *
+  * Reproduces the reference's Iceberg-on-metastore table semantics
+  * (`iceberg.raw.daily_reports` etc.) without a metastore service:
+  *  - namespaces = directory prefixes (SURVEY §1.1);
+  *  - `overwritePartitions` = Spark dynamic partition overwrite
+  *    (`spark.sql.sources.partitionOverwriteMode=dynamic`), replacing
+  *    exactly the partitions present in the incoming DataFrame and
+  *    preserving all others — the core idempotency semantic of
+  *    `process_covid_ods.py:79-91` / `process_covid_dds.py:81-93` /
+  *    `process_covid_data_mart.py:123-126`;
+  *  - `createOrReplace` = full overwrite (`process_covid_dds.py:41-44`);
+  *  - `append` = partitioned append (`process_covid_raw.py:102-113`).
+  *
+  * Scale note: every write is a straight distributed parquet write — no
+  * driver-side collection; partition columns become hive directories so
+  * reads get partition pruning for free.
+  */
+final case class Catalog(spark: SparkSession, root: String) {
+
+  def path(layer: String, table: String): String = s"$root/$layer/$table"
+
+  /** S4 — table existence probe (`spark.catalog.tableExists` equivalent). */
+  def tableExists(layer: String, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(layer, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** S2 — catalog table scan (partition columns inferred from layout). */
+  def read(layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table))
+
+  /** S5 — partitioned append, clustered within partitions. */
+  def append(df: DataFrame, layer: String, table: String,
+             partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val clustered =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else df
+    clustered.write
+      .partitionBy(partitionCols: _*)
+      .option("compression", "snappy")
+      .mode("append")
+      .parquet(path(layer, table))
+  }
+
+  /** S6 — idempotent dynamic partition overwrite: replaces only the
+    * partitions present in `df`, preserves everything else.
+    */
+  def overwritePartitions(df: DataFrame, layer: String, table: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .mode("overwrite")
+      .parquet(path(layer, table))
+
+  /** S7 — full-replace (dimension rebuild). */
+  def createOrReplace(df: DataFrame, layer: String, table: String): Unit =
+    df.write
+      .option("compression", "snappy")
+      .mode("overwrite")
+      .parquet(path(layer, table))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.runtime.Catalog
+
+/** S6 is the riskiest semantic (SURVEY §7.4/§7.5): dynamic partition
+  * overwrite must replace exactly the partitions present in the incoming
+  * DataFrame and preserve all others, including re-runs and out-of-order
+  * dates.
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readAll(cat: Catalog): Set[(String, Long)] =
+    cat.read("ods", "t").select("d", "v").as[(String, Long)].collect().toSet
+
+  test("overwritePartitions replaces only touched partitions") {
+    val cat = Catalog(spark, tmpDir("cat"))
+    cat.overwritePartitions(
+      Seq(("2020-01-22", 1L), ("2020-01-23", 2L)).toDF("d", "v"),
+      "ods", "t", Seq("d"))
+    // re-run day 23 with a new value; day 22 must survive
+    cat.overwritePartitions(
+      Seq(("2020-01-23", 20L)).toDF("d", "v"), "ods", "t", Seq("d"))
+    assert(readAll(cat) == Set(("2020-01-22", 1L), ("2020-01-23", 20L)))
+  }
+
+  test("out-of-order date backfill preserves later partitions") {
+    val cat = Catalog(spark, tmpDir("cat"))
+    cat.overwritePartitions(Seq(("2020-01-25", 5L)).toDF("d", "v"), "ods", "t", Seq("d"))
+    cat.overwritePartitions(Seq(("2020-01-22", 1L)).toDF("d", "v"), "ods", "t", Seq("d"))
+    assert(readAll(cat) == Set(("2020-01-22", 1L), ("2020-01-25", 5L)))
+  }
+
+  test("re-running the same partition twice is idempotent") {
+    val cat = Catalog(spark, tmpDir("cat"))
+    val df = Seq(("2020-01-22", 7L)).toDF("d", "v")
+    cat.overwritePartitions(df, "ods", "t", Seq("d"))
+    cat.overwritePartitions(df, "ods", "t", Seq("d"))
+    assert(readAll(cat) == Set(("2020-01-22", 7L)))
+  }
+
+  test("tableExists probe (S4)") {
+    val cat = Catalog(spark, tmpDir("cat"))
+    assert(!cat.tableExists("raw", "nope"))
+    cat.createOrReplace(Seq(1L).toDF("x"), "raw", "yes")
+    assert(cat.tableExists("raw", "yes"))
+  }
+
+  test("append accumulates; createOrReplace fully replaces (S5/S7)") {
+    val cat = Catalog(spark, tmpDir("cat"))
+    cat.append(Seq(("a", 1L)).toDF("k", "v"), "raw", "t", Seq("k"))
+    cat.append(Seq(("a", 2L)).toDF("k", "v"), "raw", "t", Seq("k"))
+    assert(cat.read("raw", "t").count() == 2)
+    cat.createOrReplace(Seq(("b", 3L)).toDF("k", "v"), "raw", "t2")
+    cat.createOrReplace(Seq(("c", 4L)).toDF("k", "v"), "raw", "t2")
+    assert(cat.read("raw", "t2").select("k").as[String].collect().toSeq == Seq("c"))
+  }
+}
