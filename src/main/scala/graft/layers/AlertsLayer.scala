@@ -128,8 +128,13 @@ object AlertsLayer {
     val ts = fixedClock.map(lit(_)).getOrElse(current_timestamp())
     val toWrite = fresh.withColumn("created_at", ts)
       .select(Schemas.covidAlerts.fieldNames.map(col).toIndexedSeq: _*)
-    val n = toWrite.count()
-    if (n > 0) cat.append(toWrite, layer, table, partitionCols = Nil)
-    n
+    // Persist before count+append: the candidate plan (fact-wide window,
+    // broadcast dim join, anti-join) would otherwise execute twice.
+    toWrite.persist()
+    try {
+      val n = toWrite.count()
+      if (n > 0) cat.append(toWrite, layer, table, partitionCols = Nil)
+      n
+    } finally toWrite.unpersist()
   }
 }

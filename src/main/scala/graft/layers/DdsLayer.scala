@@ -26,7 +26,7 @@ object DdsLayer {
   /** Population source → dim_location (process_covid_dds.py:34-39). */
   def buildDim(population: DataFrame): DataFrame =
     population.select(
-      sha2(concat(upper(trim(col("country"))), col("year").cast("string")), 256)
+      graft.functions.Exprs.surrogateKey(col("country"), col("year"))
         .as("location_key"),
       col("country").as("country_name"),
       col("year").as("population_year"),
@@ -51,9 +51,12 @@ object DdsLayer {
     * the ods slice was empty (C3).
     */
   def run(cat: Catalog, reportDate: String): Option[Long] = {
+    // Rebuilt unconditionally, matching process_covid_dds.py:41-44 (the
+    // reference rebuilds the dim before its empty-ODS short-circuit).
     val dim = buildDim(cat.read("raw", "country_population"))
     cat.createOrReplace(dim, layer, dimTable)
 
+    if (!cat.tableExists(OdsLayer.layer, OdsLayer.table)) return None
     val ods = cat.read(OdsLayer.layer, OdsLayer.table)
       .filter(col("report_date") === lit(reportDate).cast("date"))
     if (ods.isEmpty) return None

@@ -33,7 +33,5 @@ object CountryMap {
 
   /** `normalize(col("country_region"))` — a CASE column. */
   def normalize(c: Column): Column =
-    mapping.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
-      Some(acc.fold(when(c === from, to))(_.when(c === from, to)))
-    }.get.otherwise(c)
+    graft.functions.Exprs.whenChain(c, mapping)
 }

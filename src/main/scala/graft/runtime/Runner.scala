@@ -45,11 +45,15 @@ final case class Runner(cat: Catalog, inputDir: String) {
     val csvPath = new Path(csv)
     if (csvPath.getFileSystem(cat.spark.sparkContext.hadoopConfiguration).exists(csvPath))
       RawLayer.ingest(cat, csv, fixedClock)
-    if (OdsLayer.run(cat, d, fixedClock)) {
-      DdsLayer.run(cat, d)
+    OdsLayer.run(cat, d, fixedClock)
+    // dim_location rebuilds unconditionally (process_covid_dds.py rebuilds
+    // the dim before its empty-ODS check); only the fact/mart builds are
+    // gated on a non-empty ODS slice for the date.
+    if (DdsLayer.run(cat, d).isDefined)
       MartLayer.run(cat, d)
-    }
-    val alertDate = date.minusDays(1).toString // C5
+    // C5: the reference advances the cursor BEFORE triggering the alerts
+    // DAG, whose ALERT_DATE = cursor-1 — i.e. the just-processed day.
+    val alertDate = d
     if (cat.tableExists(DdsLayer.layer, DdsLayer.factTable))
       AlertsLayer.run(cat, alertDate, fixedClock)
   }

@@ -55,9 +55,9 @@ class PipelineE2ESpec extends SparkSpec {
       .toDF("country", "country_code", "year", "population")
     cat.createOrReplace(pop, "raw", "country_population")
     val runner = Runner(cat, input)
-    runner.runNext(clock) // 2020-01-22
-    runner.runNext(clock) // 2020-01-23
-    runner.runNext(clock) // 2020-01-24 (alerts for 23)
+    runner.runNext(clock) // 2020-01-22 (alerts for 22: no LAG predecessor)
+    runner.runNext(clock) // 2020-01-23 (alerts for 23)
+    runner.runNext(clock) // 2020-01-24 (alerts for 24: deltas under thresholds)
     (cat, runner)
   }
 
@@ -139,7 +139,7 @@ class PipelineE2ESpec extends SparkSpec {
     val martBefore = cat.read("data_mart", "covid_analytics")
       .collect().map(_.toString).sorted.toSeq
     val alertsBefore = cat.read("alerts", "covid_alerts").count()
-    runner.runDay(LocalDate.parse("2020-01-24"), clock) // re-run (alerts for 23 again)
+    runner.runDay(LocalDate.parse("2020-01-24"), clock) // re-run (alerts for 24 again)
     val martAfter = cat.read("data_mart", "covid_analytics")
       .collect().map(_.toString).sorted.toSeq
     assert(martAfter == martBefore)

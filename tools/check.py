@@ -20,8 +20,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify for a stable sort across dtypes
-    key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
+    # Row sort key: floats rounded to 6 decimals so low-order-bit diffs
+    # between the two sides can't reorder rows (which would turn a float
+    # near-miss into misleading per-cell mismatches on other columns).
+    keyed = df.copy()
+    for c in keyed.columns:
+        if np.issubdtype(keyed[c].dtype, np.floating):
+            keyed[c] = keyed[c].round(6)
+    key = keyed.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
     return df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
 
 
