@@ -7,16 +7,14 @@ import graft.queries.Parity
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Parity.q01Agg(spark, "/root/testdata/sf0.001")
+    Parity.q14CteFlagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg" -> Parity.q01Agg _
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Parity.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_agg" -> Parity.q01Oracle
-  )
+  def oracleSql: Map[String, String] =
+    Parity.oracles
 }

@@ -1,6 +1,7 @@
 package graft.runtime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -14,7 +15,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright. Read `ts` as nanos-since-epoch via the legacy conf
+    * (runtime-settable) and truncate to a micros TimestampType — the same
+    * value DuckDB produces with `CAST(ts AS TIMESTAMP)`.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Register all testdata tables as temp views (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

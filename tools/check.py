@@ -20,6 +20,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     # Row sort key: floats rounded to 6 decimals so low-order-bit diffs
     # between the two sides can't reorder rows (which would turn a float
     # near-miss into misleading per-cell mismatches on other columns).
