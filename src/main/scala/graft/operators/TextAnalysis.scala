@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for a large-scale training-data pipeline:
+  * tokenization, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * All of it is pure Catalyst built-ins (no UDFs) so every column stays
+  * inside whole-stage codegen and distributes trivially: each document is
+  * scored independently — no shuffle, no state, scan-bound at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (split on runs of whitespace). */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish lexer token count: letter runs, digit runs, then any single
+    * non-space symbol — the classic pre-tokenizer shape.
+    */
+  def lexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Non-overlapping occurrences of `word` as a standalone token, via
+    * replace-counting (identical semantics in ANSI SQL engines, so it
+    * oracle-checks cleanly; a regexp_count would too, but this is cheaper).
+    */
+  def occurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) /
+      needle.length).cast("int")
+  }
+
+  /** Marker words per language for the n-gram/stopword heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  /** Per-language marker score: total standalone occurrences. */
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(occurrences(text, _))
+      .reduce(_ + _)
+
+  /** Argmax language with deterministic first-wins tie-break in
+    * langMarkers order (so 'en' wins full ties).
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(Option.empty[Column]) { case (acc, (l, s)) =>
+      Some(acc.fold(when(s === best, l))(_.when(s === best, l)))
+    }.get.otherwise(lit("und"))
+  }
+
+  /** Count of punctuation/symbol characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9\\s]", ""))
+
+  /** Characters excluding whitespace — the numerator for chars/token. */
+  def nonSpaceChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", ""))
+
+  /** Quality features + a CASE-bucketed verdict: the length / punctuation
+    * / stopword-ratio heuristics of a pretraining quality filter.
+    */
+  def stopwordRatio(text: Column): Column =
+    (occurrences(text, "the") + occurrences(text, "a") +
+      occurrences(text, "and") + occurrences(text, "of")).cast("double") /
+      wsTokenCount(text)
+
+  def qualityBucket(nTokens: Column, punctRatio: Column,
+                    stopRatio: Column): Column =
+    when(nTokens < 5, "too_short")
+      .when(punctRatio > 0.3, "symbol_spam")
+      .when(stopRatio > 0.4, "boilerplate")
+      .otherwise("ok")
+
+  /** Document fingerprint: sha-256 of whitespace-collapsed, lowercased,
+    * trimmed text — the exact-dedup key (process_covid_dds.py:35 uses the
+    * same sha2-surrogate shape for dimension keys).
+    */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis._
+import graft.runtime.Tables
+
+/** Extension tier — text analysis over the `documents` table (the
+  * training-data-pipeline operators from BASELINE.json's north star).
+  * Everything is per-document built-in expressions: embarrassingly
+  * parallel, no shuffle except q19's fingerprint-group window.
+  */
+object TextQueries {
+
+  /** Token counting: whitespace tokens + BPE-ish lexer tokens +
+    * chars-per-token density.
+    */
+  def q16TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("n_ws_tokens"),
+      lexTokenCount(col("text")).as("n_lex_tokens"),
+      (nonSpaceChars(col("text")).cast("double") / wsTokenCount(col("text")))
+        .as("chars_per_token"))
+  }
+
+  val q16Oracle: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_lex_tokens,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |    / len(string_split_regex(trim(text), '\s+')) AS chars_per_token
+      |FROM documents""".stripMargin
+
+  /** Language ID: standalone-marker-word scores per language, argmax with
+    * first-wins tie-break.
+    */
+  def q17LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val scored = d.select(
+      (Seq(col("doc_id")) ++
+        langMarkers.map { case (l, _) => langScore(col("text"), l).as(s"s_$l") } :+
+        langId(col("text")).as("lang_pred")): _*)
+    scored
+  }
+
+  private def occSql(word: String): String = {
+    val needle = s" $word "
+    s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', '$needle', ''))) / ${needle.length} AS INT)"
+  }
+
+  val q17Oracle: String = {
+    val scoreExprs = langMarkers.map { case (l, ws) =>
+      s"(${ws.map(occSql).mkString(" + ")}) AS s_$l"
+    }
+    val best = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val caseArms = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${scoreExprs.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT doc_id, s_en, s_es, s_de, s_fr,
+       |  CASE $caseArms ELSE 'und' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, and the
+    * CASE-bucketed verdict of a pretraining quality filter.
+    */
+  def q18Quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val nTokens = wsTokenCount(col("text"))
+    val punctRatio = punctCount(col("text")).cast("double") / length(col("text"))
+    val stopRatio = stopwordRatio(col("text"))
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_computed"),
+      nTokens.as("n_tokens"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      qualityBucket(nTokens, punctRatio, stopRatio).as("quality"))
+  }
+
+  val q18Oracle: String = {
+    val nTok = """len(string_split_regex(trim(text), '\s+'))"""
+    val punct = """CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)"""
+    val stop = s"""CAST(${Seq("the", "a", "and", "of").map(occSql).mkString(" + ")} AS DOUBLE) / $nTok"""
+    s"""WITH f AS (
+       |  SELECT doc_id, length(text) AS n_chars_computed, $nTok AS n_tokens,
+       |    $punct AS punct_ratio, $stop AS stopword_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_chars_computed, n_tokens, punct_ratio, stopword_ratio,
+       |  CASE WHEN n_tokens < 5 THEN 'too_short'
+       |       WHEN punct_ratio > 0.3 THEN 'symbol_spam'
+       |       WHEN stopword_ratio > 0.4 THEN 'boilerplate'
+       |       ELSE 'ok' END AS quality
+       |FROM f""".stripMargin
+  }
+
+  /** Document fingerprinting: sha-256 over normalized text + per-
+    * fingerprint group size (the exact-dup detector's first stage).
+    */
+  def q19Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("fingerprint"))
+    d.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .withColumn("n_same", count(lit(1)).over(w))
+  }
+
+  val q19Oracle: String =
+    """SELECT doc_id,
+      |  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  count(*) OVER (PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_same
+      |FROM documents""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_token_stats" -> (q16TokenStats _),
+    "q17_lang_id" -> (q17LangId _),
+    "q18_quality" -> (q18Quality _),
+    "q19_fingerprint" -> (q19Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_token_stats" -> q16Oracle,
+    "q17_lang_id" -> q17Oracle,
+    "q18_quality" -> q18Oracle,
+    "q19_fingerprint" -> q19Oracle)
+}
