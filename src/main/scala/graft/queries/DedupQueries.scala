@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+import graft.runtime.Tables
+
+/** Extension tier — deduplication over the `documents` table.
+  *
+  * q20 exact keep-first (oracle-checked), q21 MinHash+LSH candidate
+  * pipeline (xxhash64-based → no SQL oracle; driver records rows-only),
+  * q22 char-3-gram Jaccard verification with a DuckDB list-function
+  * oracle, q23 SimHash + banded hamming pairs (rows-only).
+  */
+object DedupQueries {
+
+  /** Exact dedup, keep-first: block on the first-2-token prefix key,
+    * survivor = lowest doc_id, with group size (A2/J3 family semantics:
+    * one row per key, deterministic winner).
+    */
+  def q20ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("prefix_key",
+        concat_ws(" ", slice(TextAnalysis.wsTokens(col("text")), 1, 2)))
+    val grouped = d.withColumn("group_size",
+      count(lit(1)).over(Window.partitionBy(col("prefix_key"))))
+    Dedup.keepFirst(grouped, col("prefix_key"), col("doc_id"))
+      .select(col("prefix_key"), col("doc_id"), col("group_size"))
+  }
+
+  val q20Oracle: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 2), ' ')
+      |      AS prefix_key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT prefix_key, doc_id,
+      |    row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY prefix_key) AS group_size
+      |  FROM keyed)
+      |SELECT prefix_key, doc_id, group_size FROM ranked WHERE rn = 1""".stripMargin
+
+  /** MinHash+LSH near-dup pipeline: word-3-shingles → 32-slot MinHash
+    * signature → 16 bands × 2 rows → same-bucket candidate pairs →
+    * Jaccard-verified on the true shingle sets. No all-pairs product:
+    * candidate generation shuffles on the band hash only.
+    */
+  def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .withColumn("shingles",
+        array_distinct(Dedup.tokenShingles(col("toks"), 3)))
+    val withBands = d
+      .withColumn("sig", Dedup.minHashSignature(col("shingles"), 32))
+      .withColumn("bands", Dedup.bandHashes(col("sig"), 16, 2))
+    val pairs = Dedup.lshCandidatePairs(
+      withBands.select(col("doc_id"), col("bands")), "doc_id")
+    val sets = d.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "id1")
+                .withColumnRenamed("shingles", "sh1"), Seq("id1"))
+      .join(sets.withColumnRenamed("doc_id", "id2")
+                .withColumnRenamed("shingles", "sh2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        Dedup.jaccard(col("sh1"), col("sh2")).as("shingle_jaccard"))
+      .filter(col("shingle_jaccard") >= 0.2)
+  }
+
+  /** n-gram Jaccard near-dup verify, blocked by `source` (a real blocking
+    * key keeps the pair space per-block, not global n²).
+    */
+  def q22NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Dedup.charNgrams(col("text"), 3).as("grams"))
+    val a = g.select(col("source"), col("doc_id").as("id1"), col("grams").as("g1"))
+    val b = g.select(col("source"), col("doc_id").as("id2"), col("grams").as("g2"))
+    a.join(b, Seq("source"))
+      .filter(col("id1") < col("id2"))
+      .select(col("source"), col("id1"), col("id2"),
+        Dedup.jaccard(col("g1"), col("g2")).as("jac"))
+      .filter(col("jac") >= 0.6)
+  }
+
+  val q22Oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, greatest(length(text)-2,1)+1),
+      |                  i -> substr(text, i, 3))) AS grams
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.source, a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+      |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT source, id1, id2, jac FROM pairs WHERE jac >= 0.6""".stripMargin
+
+  /** SimHash near-dup: 64-bit fingerprints, 16-bit banded candidate
+    * pairs, hamming ≤ 3 (banding is sound for d ≤ 3: pigeonhole over 4
+    * bands).
+    */
+  def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .withColumn("simhash", Dedup.simHash("toks"))
+      .withColumn("bands", Dedup.simHashBands("simhash"))
+    val pairs = Dedup.lshCandidatePairs(
+      d.select(col("doc_id"), col("bands")), "doc_id")
+    val fp = d.select(col("doc_id"), col("simhash"))
+    pairs
+      .join(fp.withColumnRenamed("doc_id", "id1")
+              .withColumnRenamed("simhash", "h1"), Seq("id1"))
+      .join(fp.withColumnRenamed("doc_id", "id2")
+              .withColumnRenamed("simhash", "h2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        Dedup.hamming(col("h1"), col("h2")).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_exact_dedup" -> (q20ExactDedup _),
+    "q21_minhash_lsh" -> (q21MinhashLsh _),
+    "q22_ngram_jaccard" -> (q22NgramJaccard _),
+    "q23_simhash" -> (q23Simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_exact_dedup" -> q20Oracle,
+    "q22_ngram_jaccard" -> q22Oracle)
+}
