@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, Parity, TextQueries}
+import graft.queries.{DedupQueries, Parity, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,10 +11,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.all ++ TextQueries.all ++ DedupQueries.all
+    Parity.all ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Parity.oracles ++ TextQueries.oracles ++ DedupQueries.oracles
+    Parity.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a multi-table
+  * random-hyperplane LSH variant as the 100 TB scale path.
+  *
+  * Scale design: brute force broadcasts only the (small) query set, so
+  * the corpus side streams through one scan with no shuffle before the
+  * per-query top-k; the LSH path joins on (table, bucket) keys so work
+  * is proportional to bucket collisions. Hyperplanes are derived from
+  * xxhash64(table, bit, dim) signs — deterministic, no stored model, the
+  * same planes on every executor without any broadcast of plane data.
+  */
+object Similarity {
+
+  /** Cosine similarity via the native codegen'd expression. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Reference formulation with higher-order built-ins — same fold
+    * order, bit-identical results; kept for oracle parity and as the
+    * baseline the custom expression is benched against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, p) => acc + p)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector: broadcast the queries,
+    * score every (query, corpus) pair, keep k by (cos desc, id) with a
+    * deterministic tie-break.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("query_vec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-table random-hyperplane signatures: `tables` independent
+    * `bits`-bit sign signatures. Plane component for (table t, bit p,
+    * dim i) is ±1 by the low bit of xxhash64(t, p, i); the signature
+    * bit is the sign of the projected dot product. Returns an array of
+    * `tables` bucket keys.
+    */
+  def annBuckets(vec: Column, tables: Int, bits: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) =>
+        acc * 2 + when(
+          aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+              x.cast("double") *
+                when(xxhash64(t, p, i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+            lit(0.0), (a2, d) => a2 + d) > 0, 1L).otherwise(0L)))
+
+  /** ANN top-k: candidates = corpus vectors sharing ≥1 (table, bucket)
+    * with the query, exact-cosine reranked. Recall is tunable via
+    * tables × bits; misses are possible by construction (that is the
+    * accuracy/cost trade the scale path buys).
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 8, bits: Int = 8): DataFrame = {
+    def explodeBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol), col(vecCol),
+          posexplode(annBuckets(col(vecCol), tables, bits))
+            .as(Seq("tbl", "bucket")))
+    val c = explodeBuckets(corpus, "vec_id", "embedding")
+    val q = explodeBuckets(queries, "query_id", "query_vec")
+    val candidates = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("query_vec"),
+        col("vec_id").as("neighbor_id"), col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", cosine(col("query_vec"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** SQL-portable sign bucket over the first `bits` dimensions
+    * (axis-aligned hyperplane LSH): expressible identically in any SQL
+    * engine, so bucketed near-dup queries stay oracle-checkable.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) > 0f, lit(1 << (bits - 1 - i))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The same bucket as DuckDB SQL text (for oracle generation). */
+  def signBucketSql(vecExpr: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN $vecExpr[${i + 1}] > 0 THEN ${1 << (bits - 1 - i)} ELSE 0 END)"
+    }.mkString(" + ")
+}

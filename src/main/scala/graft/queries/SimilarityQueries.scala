@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.runtime.Tables
+
+/** Extension tier — similarity search over the `embeddings` table.
+  *
+  * q24 brute-force cosine top-k (exact baseline, oracle-checked on
+  * neighbor ids/ranks), q25 multi-table hyperplane-LSH ANN (scale path,
+  * xxhash64-based → rows-only), q26 sign-bucketed near-similar pairs
+  * (bucketed join, oracle-checked — the bucket function is plain SQL).
+  */
+object SimilarityQueries {
+
+  private def queriesOf(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** Brute-force exact top-5: broadcast 10 query vectors against the
+    * corpus, one scan, no shuffle before the per-query top-k window.
+    * Output is ids+ranks only — floats stay internal so the oracle
+    * compare is ulp-proof.
+    */
+  def q24KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e, queriesOf(e), 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  val q24Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS query_vec
+      |  FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |      / (sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))
+      |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** ANN top-5 via 8 tables × 8-bit hyperplane signatures, exact-cosine
+    * reranked. Work scales with bucket collisions, never the full n²
+    * product — this is the plan shape that survives 100 TB.
+    */
+  def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.annTopK(e, queriesOf(e), 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Near-similar pair mining inside SQL-portable sign buckets (first 8
+    * dims' signs): same-bucket pairs with cosine above threshold. Both
+    * the bucketing and the threshold decision are computed identically
+    * by the oracle.
+    */
+  def q26SignBucketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), 8))
+    val a = e.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = e.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.25)
+      .select(col("bucket"), col("id1"), col("id2"))
+  }
+
+  val q26Oracle: String = {
+    val bucket = Similarity.signBucketSql("embedding", 8)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2,
+       |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT bucket, id1, id2 FROM pairs WHERE cos >= 0.25""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_knn_brute" -> (q24KnnBrute _),
+    "q25_ann_lsh" -> (q25AnnLsh _),
+    "q26_sign_bucket_pairs" -> (q26SignBucketPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "q24_knn_brute" -> q24Oracle,
+    "q26_sign_bucket_pairs" -> q26Oracle)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: known values, null handling, zero-vector null") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),      // orthogonal -> 0
+      (Array(1f, 2f, 0f), Array(2f, 4f, 0f)), // parallel -> 1
+      (Array(0f, 0f), Array(1f, 1f)))      // zero norm -> null
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("cos"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-15)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("custom expression is bit-identical to the HOF formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val diff = e.as("a").crossJoin(e.as("b"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  // 20 deterministic cluster centers; each vector = center + small
+  // deterministic perturbation. near-dup of vec i is vec i+100.
+  private def plantedVectors: Seq[(Long, Array[Float])] = {
+    def center(c: Int): Array[Float] =
+      Array.tabulate(16)(i => math.sin(c * 37 + i * 13).toFloat)
+    val bases = (0 until 20).map(c => (c.toLong, center(c)))
+    val dups = (0 until 20).map { c =>
+      val v = center(c)
+      v(3) = v(3) + 0.01f
+      ((c + 100).toLong, v)
+    }
+    bases ++ dups
+  }
+
+  test("brute-force top-k finds each planted near-dup at rank 1") {
+    val corpus = plantedVectors.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top1 = Similarity.bruteForceTopK(corpus, queries, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { q =>
+      assert(top1(q) == q + 100, s"query $q expected neighbor ${q + 100}")
+    }
+  }
+
+  test("ANN recalls most planted near-dups and never fabricates ranks") {
+    val corpus = plantedVectors.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ann = Similarity.annTopK(corpus, queries, 1, tables = 8, bits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recalled = (0L until 20L).count(q => ann.get(q).contains(q + 100))
+    // near-identical vectors agree on nearly every hyperplane sign, so
+    // recall should be high; exact misses are allowed by construction
+    assert(recalled >= 16, s"recall@1 too low: $recalled/20")
+  }
+
+  test("sign bucket: identical sign patterns collide, Spark matches manual") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.2f, 0.1f, 0.9f, -0.1f, 0.2f, 0.3f, -0.4f)),
+      (2L, Array(0.6f, -0.1f, 0.2f, 0.8f, -0.2f, 0.1f, 0.4f, -0.5f)), // same signs
+      (3L, Array(-0.5f, 0.2f, 0.1f, 0.9f, -0.1f, 0.2f, 0.3f, -0.4f))) // differs
+      .toDF("vec_id", "embedding")
+    val buckets = df.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"), 8).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(3L))
+    // manual: signs + - + + - + + -  (MSB first) = 10110110b
+    assert(buckets(1L) == Integer.parseInt("10110110", 2))
+  }
+}
