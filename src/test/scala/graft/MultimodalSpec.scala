@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{Asset, AssetMeta}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "aaaa bbbb cccc dddd"),
+    (1L, "eeee ffff"),
+    (2L, "g" * 100),
+    (3L, "hh ii jj"))
+    .toDF("doc_id", "text")
+
+  test("assets: modality cycle, binary payload, derived metadata") {
+    val a = Multimodal.assetsFromDocuments(docs).orderBy("doc_id").collect()
+    assert(a.map(_.getAs[String]("modality")).toSeq ==
+      Seq("image", "audio", "video", "image"))
+    val payload = a(0).getAs[Array[Byte]]("payload")
+    assert(new String(payload, "UTF-8") == "aaaa bbbb cccc dddd")
+    val meta = a(2).getStruct(a(2).fieldIndex("meta"))
+    assert(meta.getAs[String]("contentType") == "application/x-fake-video")
+    assert(meta.getAs[Int]("nFrames") == math.ceil(100 / 32.0).toInt)
+  }
+
+  test("decode stub: deterministic, normalized, length-preserving") {
+    val feats = Multimodal.pipeline(spark, docs).collect()
+    assert(feats.length == 4)
+    val f0a = feats.find(_.doc_id == 0L).get
+    val f0b = Multimodal.pipeline(spark, docs).collect().find(_.doc_id == 0L).get
+    assert(f0a.features.toSeq == f0b.features.toSeq) // deterministic
+    assert(f0a.features.length == 8)
+    assert(math.abs(f0a.features.sum - 1.0f) < 1e-5) // histogram normalized
+    assert(f0a.n_bytes == 19L)
+  }
+
+  test("decode batches bound the memory unit: batch size is respected") {
+    val many = (0L until 100L).map(i => (i, s"doc number $i content"))
+      .toDF("doc_id", "text")
+    val assets = Multimodal.assetsFromDocuments(many).as[Asset]
+    // count how many batches decodeBatch sees via batch sizes
+    val sizes = assets.repartition(2).mapPartitions { it =>
+      it.grouped(16).map(_.size)
+    }.collect()
+    assert(sizes.forall(_ <= 16))
+    assert(sizes.sum == 100)
+  }
+
+  test("frame sampling: chunk count and content, video only") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(docs), frameBytes = 16, stride = 2)
+    val rows = frames.collect()
+    // only doc 2 is video (100 bytes): chunks at stride 2*16=32 -> idx 0..3
+    assert(rows.forall(_.getAs[Long]("doc_id") == 2L))
+    assert(rows.length == 4)
+    val first = rows.find(_.getAs[Int]("frame_idx") == 0).get
+    assert(new String(first.getAs[Array[Byte]]("frame_bytes"), "UTF-8") == "g" * 16)
+  }
+
+  test("pipeline repartitions by modality (decoder state stays hot)") {
+    val assets = Multimodal.assetsFromDocuments(docs).repartition(col("modality"))
+    val perModality = assets.select(col("modality"))
+      .withColumn("pid", spark_partition_id())
+      .distinct().collect()
+      .groupBy(_.getAs[String]("modality"))
+      .map { case (_, rows) => rows.map(_.getAs[Int]("pid")).toSet }
+    // each modality is co-located in exactly one partition (hash
+    // collisions may share a partition between modalities — that's fine)
+    assert(perModality.forall(_.size == 1))
+  }
+}
