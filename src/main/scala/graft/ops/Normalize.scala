@@ -46,8 +46,12 @@ object Normalize {
     try_to_timestamp(c, lit("M/d/yyyy H:mm")),
     try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")))
 
-  /** Conform `df` to `target`: one narrow projection, exact output schema. */
-  def apply(df: DataFrame, target: StructType): DataFrame = {
+  /** Conform `df` to `target`: one narrow projection, exact output
+    * schema — plus any `keep` columns appended as-is (lineage columns a
+    * caller needs to carry through, e.g. a streaming file path).
+    */
+  def apply(df: DataFrame, target: StructType,
+            keep: Seq[String] = Nil): DataFrame = {
     val cleaned = df.toDF(df.columns.map(cleanName).toIndexedSeq: _*)
     val have = cleaned.columns.toSet
     val projected = target.fields.map { field =>
@@ -66,6 +70,6 @@ object Normalize {
       }
       value.as(field.name)
     }
-    cleaned.select(projected.toIndexedSeq: _*)
+    cleaned.select((projected.toIndexedSeq ++ keep.map(col)): _*)
   }
 }

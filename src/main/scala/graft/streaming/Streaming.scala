@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.{CountryMap, Normalize}
+import graft.runtime.Catalog
+import graft.schema.Schemas
+
+/** Structured Streaming facade over the incremental pipeline (SURVEY
+  * §1.4 stretch goal): the reference simulates a stream with a daily
+  * cursor + batch re-runs; here the same layer functions are driven by
+  * a real file-source stream, and the windowed ods rollup gets a
+  * watermarked streaming twin.
+  *
+  * Design notes:
+  *  - the landing stream declares a fixed schema (streams cannot
+  *    re-infer per file); historical drift handling stays in the batch
+  *    path, which is where drift actually occurs;
+  *  - ingest uses foreachBatch so each micro-batch reuses the exact
+  *    batch-layer writers — one code path for batch and streaming, the
+  *    Spark-native equivalent of the reference's cursor loop;
+  *  - the streaming rollup carries a watermark so late rows beyond the
+  *    horizon are dropped deterministically and state is bounded (at
+  *    100 TB/day the state store only holds open windows).
+  */
+object Streaming {
+
+  /** All-string landing schema over the given column layout: CSV
+    * streams must declare a schema up front and match files by
+    * POSITION, so the layout must equal the feed's actual column order;
+    * cast/conform then happens in Normalize, like the batch path.
+    */
+  def landingSchema(columns: Seq[String]) = {
+    import org.apache.spark.sql.types._
+    StructType(columns.map(StructField(_, StringType)))
+  }
+
+  /** Default landing layout: the full modern 14-column daily report. */
+  val modernLanding = landingSchema(Schemas.rawDailyReport.fieldNames.toSeq)
+
+  /** File-source stream of landing CSVs → conformed raw-layer appends.
+    * Each micro-batch: normalize to the target schema, stamp lineage
+    * columns (file path from the metadata column), append partitioned
+    * by country — identical effects to RawLayer.ingest.
+    */
+  def rawIngestStream(spark: SparkSession, inputDir: String, cat: Catalog,
+                      fixedClock: Option[Timestamp] = None,
+                      checkpointDir: String,
+                      landing: org.apache.spark.sql.types.StructType = modernLanding): StreamingQuery = {
+    val stream = spark.readStream
+      .option("header", "true")
+      .schema(landing)
+      .csv(inputDir)
+      .withColumn("__path", col("_metadata.file_path"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ts = fixedClock.map(lit(_)).getOrElse(current_timestamp())
+          val conformed = Normalize(batch, Schemas.rawDailyReport,
+              keep = Seq("__path"))
+            .withColumnRenamed("__path", "source_file")
+            .withColumn("ingestion_ts", ts)
+          cat.append(conformed, "raw", "daily_reports",
+            partitionCols = Seq("Country_Region"),
+            sortCols = Seq("Country_Region"))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked streaming twin of OdsLayer's daily country rollup:
+    * event-time day windows, late data beyond `watermark` dropped,
+    * update-mode-compatible aggregation.
+    */
+  def dailyCountryStats(reports: DataFrame, watermark: String = "2 days"): DataFrame =
+    reports
+      .withWatermark("Last_Update", watermark)
+      .withColumn("country_normalized", CountryMap.normalize(col("Country_Region")))
+      .groupBy(
+        window(col("Last_Update"), "1 day").as("day"),
+        col("country_normalized").as("country_region"))
+      .agg(
+        sum(coalesce(col("Confirmed"), lit(0L))).as("confirmed"),
+        sum(coalesce(col("Deaths"), lit(0L))).as("deaths"),
+        sum(coalesce(col("Recovered"), lit(0L))).as("recovered"),
+        sum(coalesce(col("Active"), lit(0L))).as("active"),
+        count(lit(1)).as("source_records_cnt"))
+      .select(
+        col("day.start").cast("date").as("report_date"),
+        col("country_region"), col("confirmed"), col("deaths"),
+        col("recovered"), col("active"), col("source_records_cnt"))
+}

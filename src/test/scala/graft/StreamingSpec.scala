@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.runtime.Catalog
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source ingest stream conforms and appends like the batch path") {
+    val input = tmpDir("stream-input")
+    val header = "Province_State,Country_Region,Last_Update,Confirmed,Deaths"
+    Files.write(Paths.get(input, "2020-02-01.csv"),
+      (Seq(header,
+        "Hubei,Mainland China,2020-02-01 10:00:00,100,5",
+        ",US,2020-02-01 10:00:00,7,0")).mkString("\n").getBytes)
+    val cat = Catalog(spark, tmpDir("stream-wh"))
+    val clock = Some(Timestamp.valueOf("2024-01-01 00:00:00"))
+    val landing = Streaming.landingSchema(Seq(
+      "Province_State", "Country_Region", "Last_Update", "Confirmed", "Deaths"))
+    val q = Streaming.rawIngestStream(spark, input, cat,
+      fixedClock = clock, checkpointDir = tmpDir("stream-ckpt"),
+      landing = landing)
+    q.awaitTermination(60000)
+
+    val raw = cat.read("raw", "daily_reports")
+    assert(raw.count() == 2)
+    // conformed to the full 14-field schema + lineage
+    assert(raw.columns.contains("Incident_Rate"))
+    val hubei = raw.filter(col("Province_State") === "Hubei").collect()(0)
+    assert(hubei.getAs[Long]("Confirmed") == 100L)
+    assert(hubei.getAs[String]("source_file").endsWith("2020-02-01.csv"))
+
+    // a second identical run of the same files is a no-op (checkpointed)
+    val q2 = Streaming.rawIngestStream(spark, input, cat,
+      fixedClock = clock, checkpointDir = tmpDir("stream-ckpt-2"),
+      landing = landing)
+    q2.awaitTermination(60000)
+    // new checkpoint re-reads the file: appends again — demonstrate the
+    // checkpoint IS the idempotency boundary
+    assert(cat.read("raw", "daily_reports").count() == 4)
+  }
+
+  test("watermarked daily rollup aggregates by event-time day window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Long)]
+    val reports = mem.toDF()
+      .toDF("Last_Update", "Country_Region", "Confirmed", "Deaths")
+      .withColumn("Recovered", lit(null).cast("long"))
+      .withColumn("Active", lit(null).cast("long"))
+    val agg = Streaming.dailyCountryStats(reports, watermark = "2 days")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("daily_stats")
+      .outputMode("complete")
+      .start()
+    mem.addData(
+      (Timestamp.valueOf("2020-03-01 08:00:00"), "US", 10L, 1L),
+      (Timestamp.valueOf("2020-03-01 17:00:00"), "US", 5L, 0L),
+      (Timestamp.valueOf("2020-03-02 09:00:00"), "US", 7L, 2L),
+      (Timestamp.valueOf("2020-03-01 12:00:00"), "Mainland China", 100L, 3L))
+    q.processAllAvailable()
+    val rows = spark.table("daily_stats")
+      .orderBy("report_date", "country_region").collect()
+    q.stop()
+    assert(rows.length == 3)
+    val us1 = rows.find(r => r.getAs[String]("country_region") == "United States"
+      && r.getAs[java.sql.Date]("report_date").toString == "2020-03-01").get
+    assert(us1.getAs[Long]("confirmed") == 15L)
+    assert(us1.getAs[Long]("source_records_cnt") == 2L)
+    // CASE normalization applied inside the stream
+    assert(rows.exists(_.getAs[String]("country_region") == "China"))
+  }
+}
