@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Fused sketch expressions for the dedup operators.
+  *
+  * Why custom expressions and not higher-order built-ins: a HOF chain
+  * like `transform(seq(0,31), j -> array_min(transform(shingles, s ->
+  * xxhash64(j, s))))` evaluates lambdas interpreted (HOFs don't codegen)
+  * AND gets inlined by CollapseProject into every downstream use — in
+  * the LSH pipeline the 32-slot signature was being recomputed once per
+  * band plus once in the generator's pushed-down filter, turning a
+  * ~100 ms computation into minutes. Fusing signature + banding into one
+  * expression evaluates the loop exactly once per row, in JIT-compiled
+  * code, with zero intermediate arrays.
+  *
+  * Codegen calls the static helpers below (Scala objects emit static
+  * forwarders), so generated code stays a one-line call.
+  */
+object MinHashHelper {
+  /** One xxhash64 over the shingle bytes, then `numHashes` derived
+    * hash-family members via hashLong(base, slot) — the standard
+    * one-pass MinHash; bands fold `rows` consecutive slots with a
+    * rolling hashLong combine (seed 42, matching the HOF formulation's
+    * shape).
+    */
+  def compute(shingles: ArrayData, numHashes: Int, numBands: Int): ArrayData = {
+    val rows = numHashes / numBands
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashLong(base, j.toLong)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = 42L
+      var r = 0
+      while (r < rows) {
+        acc = XXH64.hashLong(sig(b * rows + r), acc)
+        r += 1
+      }
+      bands(b) = acc
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+}
+
+/** MinHash signature + LSH banding in one pass:
+  * array<string> shingles → array<long> of `numBands` band keys.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
+  extends UnaryExpression {
+  require(numHashes % numBands == 0, "numHashes must divide into bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashHelper.compute(input.asInstanceOf[ArrayData], numHashes, numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashHelper.compute($c, $numHashes, $numBands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object SimHashHelper {
+  /** 64-bit SimHash: every token's xxhash64 votes ±1 per bit position;
+    * the sign of each tally becomes the fingerprint bit.
+    */
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) res |= (1L << b)
+      b += 1
+    }
+    res
+  }
+}
+
+object JaccardHelper {
+  /** Set Jaccard of two SORTED, DISTINCT string arrays via merge-count —
+    * no per-pair hash-set allocation (array_intersect builds one per
+    * call, which dominates pairwise verify stages).
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n1 && j < n2) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = n1 + n2 - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+/** Set Jaccard similarity of two sorted-distinct string arrays.
+  * Callers must pre-sort (array_sort(array_distinct(...))) — done once
+  * per document before the pair join, not once per pair.
+  */
+case class SortedArrayJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "sorted_array_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardHelper.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardHelper.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash fingerprint: array<string> tokens → long. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashHelper.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashHelper.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -45,22 +45,19 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** MinHash signature: `numHashes` independent hash families simulated
-    * as xxhash64(j, shingle); each signature slot is the min over the
-    * document's shingles. One pass over the shingle array per slot.
+  /** MinHash signature + LSH banding, fused into one custom codegen'd
+    * expression (graft.functions.MinHashBands): `numHashes` hash-family
+    * slots minimized over the shingle set, folded into `bands` band
+    * keys, all in a single JIT-compiled pass per document. A HOF
+    * formulation of the same math evaluates interpreted AND gets
+    * re-inlined by CollapseProject into every downstream use — measured
+    * ~100× slower on the LSH pipeline.
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(j, s))))
-
-  /** LSH band hashes: fold each band's signature slice into one 64-bit
-    * key (rolling xxhash64 combine). bands*rowsPerBand must equal the
-    * signature length.
-    */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-        lit(42L), (acc, x) => xxhash64(acc, x)))
+  def minHashBandKeys(shingles: Column, numHashes: Int, bands: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashBands(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
+        numHashes, bands))
 
   /** Same-bucket candidate pairs from an (id, bands) frame: explode to
     * (bandIdx, bandHash) buckets, self-join within buckets, id1 < id2.
@@ -80,24 +77,34 @@ object Dedup {
       .distinct()
   }
 
-  /** Set Jaccard similarity of two (distinct-element) arrays. */
+  /** Set Jaccard similarity of two (distinct-element) arrays — built-in
+    * formulation; fine for small pair counts (specs, ad-hoc).
+    */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Set Jaccard of two SORTED distinct arrays via the custom merge-count
+    * expression — no per-pair hash-set allocation; the sort happens once
+    * per document before the pair join. Use this in verify stages that
+    * score hundreds of thousands of candidate pairs.
+    */
+  def sortedJaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SortedArrayJaccard(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over a token array: per bit position, tokens vote
-    * +1/−1 by their xxhash64 bit; the sign becomes the fingerprint bit.
-    * Variable shifts force the expr form (the Scala shiftright wrapper
-    * only takes literal shift amounts).
+  /** 64-bit SimHash over a token array via the custom codegen'd
+    * expression (graft.functions.SimHash64): per bit position, tokens
+    * vote +1/−1 by their xxhash64 bit; the sign becomes the fingerprint
+    * bit. One tight loop per document.
     */
-  def simHash(tokensColName: String): Column = expr(
-    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
-       |  acc + CASE WHEN aggregate($tokensColName, 0, (vacc, t) ->
-       |      vacc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
-       |                  THEN 1 ELSE -1 END) > 0
-       |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""
-      .stripMargin)
+  def simHash(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
 
   /** 16-bit SimHash bands (4 per fingerprint): two fingerprints within
     * hamming distance 3 of each other agree on ≥1 band, so banding is a

@@ -43,18 +43,25 @@ object DedupQueries {
       |SELECT prefix_key, doc_id, group_size FROM ranked WHERE rn = 1""".stripMargin
 
   /** MinHash+LSH near-dup pipeline: word-3-shingles → 32-slot MinHash
-    * signature → 16 bands × 2 rows → same-bucket candidate pairs →
+    * signature → 8 bands × 4 rows → same-bucket candidate pairs →
     * Jaccard-verified on the true shingle sets. No all-pairs product:
     * candidate generation shuffles on the band hash only.
+    *
+    * (b=8, r=4) puts the S-curve threshold at (1/b)^(1/r) ≈ 0.59 — the
+    * near-dup regime. Looser bands (e.g. 2 rows) collide quadratically
+    * on corpora with shared vocabulary and defeat the point of LSH.
     */
   def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // repartition: the testdata is one small parquet file (one input
+    // split); spread the per-document sketch work across all cores, as
+    // a many-file 100 TB corpus would be naturally.
     val d = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
       .withColumn("shingles",
-        array_distinct(Dedup.tokenShingles(col("toks"), 3)))
+        array_sort(array_distinct(Dedup.tokenShingles(col("toks"), 3))))
     val withBands = d
-      .withColumn("sig", Dedup.minHashSignature(col("shingles"), 32))
-      .withColumn("bands", Dedup.bandHashes(col("sig"), 16, 2))
+      .withColumn("bands", Dedup.minHashBandKeys(col("shingles"), 32, 8))
     val pairs = Dedup.lshCandidatePairs(
       withBands.select(col("doc_id"), col("bands")), "doc_id")
     val sets = d.select(col("doc_id"), col("shingles"))
@@ -64,23 +71,27 @@ object DedupQueries {
       .join(sets.withColumnRenamed("doc_id", "id2")
                 .withColumnRenamed("shingles", "sh2"), Seq("id2"))
       .select(col("id1"), col("id2"),
-        Dedup.jaccard(col("sh1"), col("sh2")).as("shingle_jaccard"))
-      .filter(col("shingle_jaccard") >= 0.2)
+        Dedup.sortedJaccard(col("sh1"), col("sh2")).as("shingle_jaccard"))
+      .filter(col("shingle_jaccard") >= 0.5)
   }
 
   /** n-gram Jaccard near-dup verify, blocked by `source` (a real blocking
     * key keeps the pair space per-block, not global n²).
     */
   def q22NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Gram sets are sorted ONCE per document (before the pair join);
+    // each of the O(block²) pairs then scores via the merge-count
+    // expression — no per-pair set allocation.
     val g = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
-        Dedup.charNgrams(col("text"), 3).as("grams"))
+        array_sort(Dedup.charNgrams(col("text"), 3)).as("grams"))
     val a = g.select(col("source"), col("doc_id").as("id1"), col("grams").as("g1"))
     val b = g.select(col("source"), col("doc_id").as("id2"), col("grams").as("g2"))
     a.join(b, Seq("source"))
       .filter(col("id1") < col("id2"))
       .select(col("source"), col("id1"), col("id2"),
-        Dedup.jaccard(col("g1"), col("g2")).as("jac"))
+        Dedup.sortedJaccard(col("g1"), col("g2")).as("jac"))
       .filter(col("jac") >= 0.6)
   }
 
@@ -103,8 +114,9 @@ object DedupQueries {
     */
   def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      .withColumn("simhash", Dedup.simHash("toks"))
+      .withColumn("simhash", Dedup.simHash(col("toks")))
       .withColumn("bands", Dedup.simHashBands("simhash"))
     val pairs = Dedup.lshCandidatePairs(
       d.select(col("doc_id"), col("bands")), "doc_id")

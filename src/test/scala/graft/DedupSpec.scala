@@ -6,10 +6,13 @@ import graft.operators.{Dedup, TextAnalysis}
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
-  // A and B differ by one word (near-dups); C is unrelated.
+  // A and B differ by one word (near-dups, shingle jaccard ≈ 0.75 so the
+  // 8×4 banding catches them); C is unrelated.
   private val docs = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
-    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today " +
+      "while the patient hound watches from the shaded porch nearby"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today " +
+      "while the patient hound watches from the shaded porch nearby"),
     (3L, "completely different content about distributed query engines here"))
     .toDF("doc_id", "text")
 
@@ -29,7 +32,7 @@ class DedupSpec extends SparkSpec {
     val sh = docs.filter($"doc_id" === 1)
       .select(Dedup.tokenShingles(TextAnalysis.wsTokens($"text"), 3))
       .as[Seq[String]].head()
-    assert(sh.head == "the quick brown" && sh.last == "and again today")
+    assert(sh.head == "the quick brown" && sh.last == "shaded porch nearby")
     val ng = docs.filter($"doc_id" === 3)
       .select(Dedup.charNgrams($"text", 3)).as[Seq[String]].head()
     assert(ng.contains("com") && ng.forall(_.length == 3))
@@ -37,8 +40,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash+LSH surfaces the planted near-dup pair and not the outlier") {
     val withBands = withShingles
-      .withColumn("sig", Dedup.minHashSignature(col("shingles"), 32))
-      .withColumn("bands", Dedup.bandHashes(col("sig"), 16, 2))
+      .withColumn("bands", Dedup.minHashBandKeys(col("shingles"), 32, 8))
     val pairs = Dedup.lshCandidatePairs(
       withBands.select(col("doc_id"), col("bands")), "doc_id")
       .as[(Long, Long)].collect().toSet
@@ -46,14 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
-  test("minhash signature is deterministic and identical for identical docs") {
-    val dup = Seq((10L, "same text here"), (11L, "same text here"))
+  test("minhash band keys are deterministic and identical for identical docs") {
+    val dup = Seq((10L, "same text here again"), (11L, "same text here again"),
+        (12L, "entirely other words instead"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
       .withColumn("shingles", array_distinct(Dedup.tokenShingles(col("toks"), 2)))
-      .withColumn("sig", Dedup.minHashSignature(col("shingles"), 16))
-    val sigs = dup.select("sig").as[Seq[Long]].collect()
-    assert(sigs(0) == sigs(1) && sigs(0).length == 16)
+      .withColumn("bands", Dedup.minHashBandKeys(col("shingles"), 16, 4))
+    val bands = dup.orderBy("doc_id").select("bands").as[Seq[Long]].collect()
+    assert(bands(0) == bands(1) && bands(0).length == 4)
+    assert(bands(2) != bands(0))
   }
 
   test("jaccard on the true shingle sets separates near-dups from noise") {
@@ -70,10 +74,23 @@ class DedupSpec extends SparkSpec {
     assert(j13 == 0.0)
   }
 
+  test("sortedJaccard matches the built-in set jaccard exactly") {
+    val sets = withShingles
+      .select(col("doc_id"), array_sort(col("shingles")).as("s"))
+    val both = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        Dedup.sortedJaccard(col("a.s"), col("b.s")).as("fast"),
+        Dedup.jaccard(col("a.s"), col("b.s")).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val fp = docs
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      .withColumn("simhash", Dedup.simHash("toks"))
+      .withColumn("simhash", Dedup.simHash(col("toks")))
       .select("doc_id", "simhash").as[(Long, Long)].collect()
       .toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
@@ -84,7 +101,7 @@ class DedupSpec extends SparkSpec {
   test("simhash bands cover all 64 bits") {
     val bands = docs.filter($"doc_id" === 1)
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      .withColumn("simhash", Dedup.simHash("toks"))
+      .withColumn("simhash", Dedup.simHash(col("toks")))
       .withColumn("bands", Dedup.simHashBands("simhash"))
       .select("bands").as[Seq[Long]].head()
     assert(bands.length == 4)
