@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first query's number reflects the query,
+    // not session initialization (total still includes this line's cost).
+    spark.range(1000).selectExpr("sum(id)").collect()
     // Sorted for stable ordering; per-query progress to stderr so a
     // slow query is identifiable while the bench runs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -116,15 +116,87 @@ object TextQueries {
       |  count(*) OVER (PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_same
       |FROM documents""".stripMargin
 
+  /** Top-k-per-group selection: keep the 3 longest documents per source
+    * (the "keep N best docs per domain" step of corpus curation) —
+    * row_number over a (desc metric, unique id) order.
+    */
+  def q29TopkPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    d.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  val q29Oracle: String =
+    """SELECT source, doc_id, n_chars, rk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3""".stripMargin
+
+  /** End-to-end training-data prep chain: quality-filter → exact dedup
+    * (keep-first on the prefix blocking key) → per-language corpus
+    * stats. The composition the extension operators exist for.
+    */
+  def q30TrainingPrep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val nTokens = wsTokenCount(col("text"))
+    val punctRatio = punctCount(col("text")).cast("double") / length(col("text"))
+    val stopRatio = stopwordRatio(col("text"))
+    val ok = d
+      .withColumn("n_tokens", nTokens)
+      .withColumn("quality", qualityBucket(nTokens, punctRatio, stopRatio))
+      .filter(col("quality") === "ok")
+      .withColumn("prefix_key",
+        concat_ws(" ", slice(wsTokens(col("text")), 1, 2)))
+    val kept = graft.operators.Dedup.keepFirst(ok, col("prefix_key"), col("doc_id"))
+    kept.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(length(col("text"))).as("total_chars"))
+  }
+
+  val q30Oracle: String = {
+    val nTok = """len(string_split_regex(trim(text), '\s+'))"""
+    val punct = """CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)"""
+    val stop = s"""CAST(${Seq("the", "a", "and", "of").map(occSql).mkString(" + ")} AS DOUBLE) / $nTok"""
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, text, length(text) AS n_chars_c, $nTok AS n_tokens,
+       |    $punct AS punct_ratio, $stop AS stopword_ratio,
+       |    array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 2), ' ')
+       |      AS prefix_key
+       |  FROM documents),
+       |ok AS (
+       |  SELECT * FROM f
+       |  WHERE NOT (n_tokens < 5)
+       |    AND NOT (punct_ratio > 0.3)
+       |    AND NOT (stopword_ratio > 0.4)),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn
+       |    FROM ok) WHERE rn = 1)
+       |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       |  sum(n_chars_c) AS total_chars
+       |FROM kept GROUP BY lang""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_quality" -> (q18Quality _),
-    "q19_fingerprint" -> (q19Fingerprint _))
+    "q19_fingerprint" -> (q19Fingerprint _),
+    "q29_topk_per_source" -> (q29TopkPerSource _),
+    "q30_training_prep" -> (q30TrainingPrep _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
     "q17_lang_id" -> q17Oracle,
     "q18_quality" -> q18Oracle,
-    "q19_fingerprint" -> q19Oracle)
+    "q19_fingerprint" -> q19Oracle,
+    "q29_topk_per_source" -> q29Oracle,
+    "q30_training_prep" -> q30Oracle)
 }
