@@ -82,6 +82,58 @@ case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
     copy(child = newChild)
 }
 
+object HyperplaneHelper {
+  /** Multi-table random-hyperplane LSH bucket keys for a float vector:
+    * plane component for (table t, bit p, dim i) is ±1 by the low bit
+    * of xxhash(t, p, i); each signature bit is the sign of the
+    * projected dot product. One fused loop, no plane storage.
+    */
+  def compute(vec: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val n = vec.numElements()
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val seedT = XXH64.hashInt(t, 42L)
+      var key = 0L
+      var p = 0
+      while (p < bits) {
+        val seedTP = XXH64.hashInt(p, seedT)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val sign = if ((XXH64.hashInt(i, seedTP) & 1L) == 1L) 1.0 else -1.0
+          dot += vec.getFloat(i) * sign
+          i += 1
+        }
+        key = key * 2 + (if (dot > 0) 1L else 0L)
+        p += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
+/** Hyperplane-LSH bucket keys: array<float> → array<long> (`tables`
+  * keys of `bits` sign bits each).
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneHelper.compute(input.asInstanceOf[ArrayData], tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneHelper.compute($c, $tables, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 object SimHashHelper {
   /** 64-bit SimHash: every token's xxhash64 votes ±1 per bit position;
     * the sign of each tally becomes the fingerprint bit.

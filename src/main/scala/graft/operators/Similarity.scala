@@ -54,19 +54,17 @@ object Similarity {
 
   /** Multi-table random-hyperplane signatures: `tables` independent
     * `bits`-bit sign signatures. Plane component for (table t, bit p,
-    * dim i) is ±1 by the low bit of xxhash64(t, p, i); the signature
-    * bit is the sign of the projected dot product. Returns an array of
-    * `tables` bucket keys.
+    * dim i) is ±1 by the low bit of xxhash(t, p, i); the signature bit
+    * is the sign of the projected dot product. Returns an array of
+    * `tables` bucket keys. Fused custom expression
+    * (graft.functions.HyperplaneBuckets) — the HOF formulation of the
+    * same math runs interpreted and pays tables×bits×dims lambda
+    * dispatches per row.
     */
   def annBuckets(vec: Column, tables: Int, bits: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) =>
-        acc * 2 + when(
-          aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-              x.cast("double") *
-                when(xxhash64(t, p, i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-            lit(0.0), (a2, d) => a2 + d) > 0, 1L).otherwise(0L)))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HyperplaneBuckets(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec), tables, bits))
 
   /** ANN top-k: candidates = corpus vectors sharing ≥1 (table, bucket)
     * with the query, exact-cosine reranked. Recall is tunable via
