@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
+  * a Rabin–Karp rolling polynomial hash over character k-grams, then the
+  * minimum hash of every w-window of consecutive k-gram hashes, distinct
+  * and sorted. Guarantees a shared fingerprint for any shared substring
+  * of length ≥ k + w − 1 — the classic near-dup/plagiarism sketch.
+  *
+  * The hash is plain modular arithmetic (base 257, mod 2^31−1) over code
+  * points rather than xxhash so the SAME values are computable in ANSI
+  * SQL (see TextQueries' oracle) — this expression stays oracle-checkable
+  * where the xxhash-based sketches are rows-only.
+  */
+object WinnowHelper {
+  val Mod: Long = 2147483647L // 2^31 − 1 (prime)
+  val Base: Long = 257L
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val m = s.length - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Long])
+    var pow = 1L // Base^(k−1) mod Mod
+    var i = 0
+    while (i < k - 1) { pow = pow * Base % Mod; i += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      // roll: drop char i−1's contribution, shift, add char i+k−1
+      h = ((h - s.charAt(i - 1) * pow % Mod + Mod) % Mod * Base +
+        s.charAt(i + k - 1)) % Mod
+      hs(i) = h
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, m)
+      while (t < end) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      set.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** string → sorted distinct array<long> of winnowed k-gram hashes. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowHelper.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowHelper.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}

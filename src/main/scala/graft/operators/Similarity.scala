@@ -93,6 +93,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF-style ANN (the inverted-file index shape, à la FAISS IVF-Flat):
+    * partition the corpus into `nlist` cells around centroid vectors,
+    * probe only each query's `nprobe` nearest cells, exact-cosine rerank
+    * within them. Centroids here are seeded deterministically (the
+    * lowest `nlist` vec_ids); at real scale you would train k-means
+    * offline and broadcast the result — the query-time plan is
+    * identical either way.
+    *
+    * Scale design: centroids are broadcast (nlist rows), so both
+    * assignment and probing are one scan + broadcast join with no
+    * all-pairs product; the rerank join keys on cell id, so work is
+    * proportional to probed-cell sizes — n/nlist × nprobe per query in
+    * expectation, not n. The row_number argmax keeps tie-breaks
+    * deterministic and oracle-portable; a `max_by` partial aggregate is
+    * the drop-in replacement if the assignment shuffle ever dominates.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val centroids = broadcast(corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = corpus.crossJoin(centroids)
+      .withColumn("ccos", cosine(col("embedding"), col("cvec")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probed = queries.crossJoin(centroids)
+      .withColumn("ccos", cosine(col("query_vec"), col("cvec")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("cid"), col("query_id"), col("query_vec"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("query_vec"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** SQL-portable sign bucket over the first `bits` dimensions
     * (axis-aligned hyperplane LSH): expressible identically in any SQL
     * engine, so bucketed near-dup queries stay oracle-checkable.

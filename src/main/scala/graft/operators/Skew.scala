@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: manual key salting.
+  *
+  * When one join key carries a disproportionate share of rows (the
+  * classic "US rows are 30% of the fact table" problem), a plain
+  * shuffle join puts the whole hot key in one task. Salting splits the
+  * hot key's rows across `salt` sub-keys and replicates the matching
+  * build-side rows `salt` ways, trading a bounded build-side blowup for
+  * even task sizes.
+  *
+  * Spark's AQE skew-join (spark.sql.adaptive.skewJoin.enabled) handles
+  * sort-merge cases automatically at runtime; this manual form remains
+  * necessary when the skewed side feeds an aggregation on the same key,
+  * or on engines/paths AQE doesn't cover. Salt assignment hashes the
+  * probe side's whole row (xxhash64 over all columns) so it is
+  * deterministic, uniform, and needs no unique id column.
+  */
+object Skew {
+
+  /** Inner equi-join `probe ⋈ build` on `key`, with the probe side's
+    * rows scattered across `salt` sub-keys and the (small) build side
+    * replicated once per sub-key. Result equals the unsalted join
+    * row-for-row; build-side duplication is salt × |build|, so keep
+    * `salt` modest (8–64) and the build side the smaller input.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(salt)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
+  }
+}

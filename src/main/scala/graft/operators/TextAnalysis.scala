@@ -87,4 +87,14 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** Winnowing fingerprints (rolling-hash k-grams, window-min selection)
+    * via the codegen'd expression — sorted distinct array<long>. Any
+    * shared substring of length ≥ k+w−1 between two documents yields a
+    * shared fingerprint; see graft.functions.WinnowFingerprint.
+    */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 5): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WinnowFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), k, w))
 }

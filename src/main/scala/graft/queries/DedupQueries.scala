@@ -131,13 +131,50 @@ object DedupQueries {
       .filter(col("hamming") <= 3)
   }
 
+  /** Embedding-cosine near-dup dedup: drop every vector that has a
+    * same-sign-bucket neighbor with a LOWER id at cosine ≥ 0.25; emit
+    * survivors (the greedy keep-lowest-id LSH dedup). Candidates come
+    * from the bucketed join — never an all-pairs product — and the
+    * survivor filter is one left-anti join on the dropped-id set.
+    * Fully SQL-portable (sign buckets + list_dot_product), so this one
+    * is oracle-checked end to end.
+    */
+  def q34EmbedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), 8))
+    val a = e.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = e.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    val dropped = a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.25)
+      .select(col("id2").as("vec_id"))
+    e.join(dropped, Seq("vec_id"), "left_anti").select(col("vec_id"))
+  }
+
+  val q34Oracle: String = {
+    val bucket = graft.operators.Similarity.signBucketSql("embedding", 8)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.25)
+       |SELECT vec_id FROM e
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
     "q22_ngram_jaccard" -> (q22NgramJaccard _),
-    "q23_simhash" -> (q23Simhash _))
+    "q23_simhash" -> (q23Simhash _),
+    "q34_embed_dedup" -> (q34EmbedDedup _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
-    "q22_ngram_jaccard" -> q22Oracle)
+    "q22_ngram_jaccard" -> q22Oracle,
+    "q34_embed_dedup" -> q34Oracle)
 }

@@ -85,12 +85,61 @@ object SimilarityQueries {
        |SELECT bucket, id1, id2 FROM pairs WHERE cos >= 0.25""".stripMargin
   }
 
+  /** DuckDB cosine over float[] columns — double accumulation in the
+    * same order as the native expression, so values compare exactly.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+
+  /** IVF ANN: 16 seeded centroid cells, 2-cell probes, exact rerank —
+    * the inverted-file scale path next to q25's hash-bucket scale path.
+    * The oracle replays the identical cell assignment / probe / rerank
+    * chain, so ids and ranks match by construction.
+    */
+  def q33IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfTopK(e, queriesOf(e), 5, nlist = 16, nprobe = 2)
+  }
+
+  val q33Oracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS query_vec
+       |  FROM embeddings WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT cid, vec_id, embedding FROM (
+       |    SELECT c.cid, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS crank
+       |    FROM embeddings e, cent c) WHERE crank = 1),
+       |probed AS (
+       |  SELECT cid, query_id, query_vec FROM (
+       |    SELECT c.cid, q.query_id, q.query_vec,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${cosSql("q.query_vec", "c.cvec")} DESC, c.cid) AS crank
+       |    FROM q, cent c) WHERE crank <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("p.query_vec", "a.embedding")} AS cos
+       |  FROM probed p JOIN assigned a USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
-    "q26_sign_bucket_pairs" -> (q26SignBucketPairs _))
+    "q26_sign_bucket_pairs" -> (q26SignBucketPairs _),
+    "q33_ivf_ann" -> (q33IvfAnn _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
-    "q26_sign_bucket_pairs" -> q26Oracle)
+    "q26_sign_bucket_pairs" -> q26Oracle,
+    "q33_ivf_ann" -> q33Oracle)
 }

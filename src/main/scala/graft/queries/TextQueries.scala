@@ -184,13 +184,53 @@ object TextQueries {
        |FROM kept GROUP BY lang""".stripMargin
   }
 
+  /** Winnowing fingerprints (SIGMOD'03): rolling polynomial hash over
+    * char 4-grams, min of each 5-window, distinct+sorted — summarized
+    * per doc (count/min/max/sum) so the oracle compare stays scalar.
+    * The hash is plain modular arithmetic, so DuckDB computes the SAME
+    * values; both sides' constants come from WinnowHelper. Shuffle-free
+    * scan → scales linearly; the fused expression evaluates the rolling
+    * loop once per row in JIT-compiled code.
+    */
+  def q31Winnow(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"), winnowFingerprints(col("text"), 4, 5).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).as("n_fp"),
+        element_at(col("fp"), 1).as("min_fp"),
+        element_at(col("fp"), -1).as("max_fp"),
+        expr("aggregate(fp, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_fp"))
+  }
+
+  val q31Oracle: String = {
+    import graft.functions.WinnowHelper.{Base => B, Mod => M}
+    val (c3, c2, c1) = (B * B * B % M, B * B % M, B)
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) - 2),
+       |      i -> (ascii(text[i]) * $c3::BIGINT + ascii(text[i+1]) * $c2::BIGINT +
+       |            ascii(text[i+2]) * $c1::BIGINT + ascii(text[i+3])) % $M) AS hs
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - 3, 2)),
+       |      j -> list_min(hs[j:j+4])))) AS fps
+       |  FROM h)
+       |SELECT doc_id, len(fps) AS n_fp, fps[1] AS min_fp, fps[-1] AS max_fp,
+       |  CAST(list_sum(fps) AS BIGINT) AS sum_fp
+       |FROM wins""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_quality" -> (q18Quality _),
     "q19_fingerprint" -> (q19Fingerprint _),
     "q29_topk_per_source" -> (q29TopkPerSource _),
-    "q30_training_prep" -> (q30TrainingPrep _))
+    "q30_training_prep" -> (q30TrainingPrep _),
+    "q31_winnow" -> (q31Winnow _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -198,5 +238,6 @@ object TextQueries {
     "q18_quality" -> q18Oracle,
     "q19_fingerprint" -> q19Oracle,
     "q29_topk_per_source" -> q29Oracle,
-    "q30_training_prep" -> q30Oracle)
+    "q30_training_prep" -> q30Oracle,
+    "q31_winnow" -> q31Oracle)
 }

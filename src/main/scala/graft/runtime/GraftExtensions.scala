@@ -3,7 +3,7 @@ package graft.runtime
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashBands, SimHash64, SortedArrayJaccard}
+import graft.functions.{CosineSimilarity, MinHashBands, SimHash64, SortedArrayJaccard, WinnowFingerprint}
 
 /** SparkSessionExtensions installer exposing graft's native expressions
   * to SQL (`SELECT cosine_sim(a, b) ...`).
@@ -45,5 +45,10 @@ object GraftExtensions {
       FunctionIdentifier("sorted_array_jaccard"),
       new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_array_jaccard"),
       (args: Seq[Expression]) => SortedArrayJaccard(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
+      (args: Seq[Expression]) => WinnowFingerprint(args(0),
+        litInt(args(1), "k"), litInt(args(2), "w"))))
   }
 }

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Date
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A country's cumulative totals as published by the daily feed. */
+case class CumulativeReport(country_region: String, report_date: Date,
+                            confirmed: Long, deaths: Long)
+
+/** Day-over-day increments derived from the cumulative stream. */
+case class DeltaReport(country_region: String, report_date: Date,
+                       new_confirmed: Long, new_deaths: Long)
+
+/** Per-country running state: last processed day + its totals. */
+case class RunningTotals(last_date: Date, confirmed: Long, deaths: Long)
+
+/** A document keyed by its content fingerprint (TextAnalysis.fingerprint). */
+case class FingerprintedDoc(doc_id: Long, fingerprint: String)
+
+/** First-seen marker for a fingerprint. */
+case class SeenState(first_doc_id: Long)
+
+/** Custom-state streaming operators via `KeyValueGroupedDataset
+  * .flatMapGroupsWithState` — the pieces of the pipeline whose batch
+  * formulation is a full-history window and therefore cannot be an
+  * incremental windowed aggregate.
+  *
+  * Scale design: state is keyed and bounded by construction —
+  * [[cumulativeDeltas]] holds ONE small struct per country (~200 keys
+  * total, far below one state-store partition), and [[dedupFirstSeen]]
+  * holds one marker per fingerprint with an optional processing-time
+  * TTL so the store cannot grow without bound on an infinite corpus.
+  * Both shuffle once on the group key and then never again.
+  */
+object Stateful {
+
+  /** Streaming twin of the batch LAG-delta analytic (MartLayer):
+    * consumes a stream of per-(country, day) cumulative totals and
+    * emits day-over-day increments incrementally, clamped at 0 exactly
+    * like the batch `GREATEST(COALESCE(Δ,0),0)` — a country's first
+    * observed day emits 0 (no predecessor), matching LAG-over-history
+    * on the same data.
+    *
+    * Within a micro-batch, a country's rows are processed in
+    * report_date order; a day at or before the state's last_date
+    * arrives too late to difference against and is dropped — the
+    * mapGroups analogue of a watermark (the batch path, which re-runs
+    * full history, remains the backfill story).
+    */
+  def cumulativeDeltas(reports: Dataset[CumulativeReport]): Dataset[DeltaReport] = {
+    import reports.sparkSession.implicits._
+    reports
+      .groupByKey(_.country_region)
+      .flatMapGroupsWithState[RunningTotals, DeltaReport](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (country: String, rows: Iterator[CumulativeReport],
+         state: GroupState[RunningTotals]) =>
+          val ordered = rows.toSeq.sortBy(_.report_date.getTime)
+          val out = Seq.newBuilder[DeltaReport]
+          var st = state.getOption
+          ordered.foreach { r =>
+            st match {
+              case None =>
+                out += DeltaReport(country, r.report_date, 0L, 0L)
+                st = Some(RunningTotals(r.report_date, r.confirmed, r.deaths))
+              case Some(prev) if r.report_date.getTime > prev.last_date.getTime =>
+                out += DeltaReport(country, r.report_date,
+                  math.max(r.confirmed - prev.confirmed, 0L),
+                  math.max(r.deaths - prev.deaths, 0L))
+                st = Some(RunningTotals(r.report_date, r.confirmed, r.deaths))
+              case _ => // late or duplicate day: drop
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming exact-dedup: emit only the first document seen per
+    * fingerprint; subsequent arrivals (same or later micro-batch) are
+    * suppressed. Within one batch the smallest doc_id wins, making
+    * replays deterministic. With `ttl` set (e.g. "30 minutes"), a
+    * fingerprint's marker expires after that much processing time and
+    * the next arrival is treated as new — bounded state for unbounded
+    * streams; without it, state grows with distinct fingerprints
+    * (suitable for finite backfills).
+    */
+  def dedupFirstSeen(docs: Dataset[FingerprintedDoc],
+                     ttl: Option[String] = None): Dataset[FingerprintedDoc] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[SeenState, FingerprintedDoc](
+        OutputMode.Update, timeoutConf) {
+        (fp: String, rows: Iterator[FingerprintedDoc],
+         state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val fresh = !state.exists
+            if (fresh && rows.hasNext) {
+              val first = rows.minBy(_.doc_id)
+              state.update(SeenState(first.doc_id))
+              ttl.foreach(state.setTimeoutDuration)
+              Iterator.single(first)
+            } else {
+              ttl.foreach(state.setTimeoutDuration) // extend the marker's TTL
+              Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -68,6 +68,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recalled >= 16, s"recall@1 too low: $recalled/20")
   }
 
+  test("IVF: planted near-dups land in the same cell and are recalled") {
+    val corpus = plantedVectors.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // centroids = the 16 lowest-id base vectors; each dup (c+100) is a
+    // tiny perturbation of base c, so query c and neighbor c+100 assign
+    // to the same cell and exact rerank must put the dup at rank 1
+    val ivf = Similarity.ivfTopK(corpus, queries, 1, nlist = 16, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recalled = (0L until 20L).count(q => ivf.get(q).contains(q + 100))
+    assert(recalled >= 18, s"IVF recall@1 too low: $recalled/20")
+  }
+
   test("sign bucket: identical sign patterns collide, Spark matches manual") {
     val df = Seq(
       (1L, Array(0.5f, -0.2f, 0.1f, 0.9f, -0.1f, 0.2f, 0.3f, -0.4f)),

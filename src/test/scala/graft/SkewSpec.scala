@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    // 90% of probe rows share one hot key
+    val probe = spark.range(0, 1000)
+      .select((when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L))).as("k"),
+        $"id".as("payload"))
+    val build = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
+
+    val plain = probe.join(build, Seq("k")).select($"k", $"payload", $"name")
+    val salted = Skew.saltedJoin(probe, build, "k", salt = 8)
+      .select($"k", $"payload", $"name")
+
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("probe rows actually scatter across salt buckets") {
+    val probe = spark.range(0, 1000).select(lit(42L).as("k"), $"id".as("payload"))
+    val buckets = probe.withColumn("__salt",
+        pmod(xxhash64(probe.columns.map(col): _*), lit(8)))
+      .select(countDistinct($"__salt")).as[Long].head()
+    assert(buckets == 8L) // every sub-key used → even task sizes
+  }
+}

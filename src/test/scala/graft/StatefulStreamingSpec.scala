@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{CumulativeReport, FingerprintedDoc, Stateful}
+
+class StatefulStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  test("cumulativeDeltas: first day 0, increments across batches, clamp, late drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CumulativeReport]
+    val q = Stateful.cumulativeDeltas(mem.toDS())
+      .writeStream.format("memory").queryName("deltas").outputMode("update").start()
+
+    // batch 1: two days for US arrive together (out of order), one for DE
+    mem.addData(
+      CumulativeReport("US", d("2020-03-02"), 15L, 2L),
+      CumulativeReport("US", d("2020-03-01"), 10L, 1L),
+      CumulativeReport("DE", d("2020-03-01"), 4L, 0L))
+    q.processAllAvailable()
+    // batch 2: US advances; DE goes DOWN (revision) → clamped to 0;
+    // a late US day 1 replay is dropped
+    mem.addData(
+      CumulativeReport("US", d("2020-03-03"), 18L, 2L),
+      CumulativeReport("DE", d("2020-03-02"), 3L, 0L),
+      CumulativeReport("US", d("2020-03-01"), 999L, 9L))
+    q.processAllAvailable()
+    val rows = spark.table("deltas")
+      .as[(String, Date, Long, Long)].collect()
+      .map { case (c, dt, nc, nd) => (c, dt.toString) -> ((nc, nd)) }.toMap
+    q.stop()
+
+    assert(rows(("US", "2020-03-01")) == ((0L, 0L)))   // first day: no predecessor
+    assert(rows(("US", "2020-03-02")) == ((5L, 1L)))   // in-batch ordering applied
+    assert(rows(("US", "2020-03-03")) == ((3L, 0L)))   // state crossed the batch
+    assert(rows(("DE", "2020-03-01")) == ((0L, 0L)))
+    assert(rows(("DE", "2020-03-02")) == ((0L, 0L)))   // negative delta clamped
+    assert(rows.size == 5)                             // late replay emitted nothing
+  }
+
+  test("dedupFirstSeen: one survivor per fingerprint across batches, min id in-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FingerprintedDoc]
+    val q = Stateful.dedupFirstSeen(mem.toDS())
+      .writeStream.format("memory").queryName("deduped").outputMode("update").start()
+
+    mem.addData(
+      FingerprintedDoc(7L, "aaa"), FingerprintedDoc(3L, "aaa"),
+      FingerprintedDoc(5L, "bbb"))
+    q.processAllAvailable()
+    mem.addData(
+      FingerprintedDoc(9L, "aaa"),  // suppressed: state remembers "aaa"
+      FingerprintedDoc(2L, "ccc"))
+    q.processAllAvailable()
+    val out = spark.table("deduped").as[FingerprintedDoc].collect()
+      .map(r => r.fingerprint -> r.doc_id).toMap
+    q.stop()
+
+    assert(out == Map("aaa" -> 3L, "bbb" -> 5L, "ccc" -> 2L))
+  }
+}
