@@ -77,6 +77,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Every distinct unordered within-block pair exactly once, carrying
+    * both sides' payload columns (suffixed _1/_2), with the self-join
+    * triangle-salted: each row gets a deterministic sub-block in
+    * [0, subBlocks) from its id hash, and the join key becomes
+    * (block, u, v) with u ≤ v — so one block fans out over
+    * subBlocks·(subBlocks+1)/2 join keys instead of ONE. With a
+    * handful of large blocks (the common real shape: block = source /
+    * language / prefix), the plain `a.join(b, block)` formulation caps
+    * parallelism at the block count no matter how many executors exist;
+    * this keeps every core busy at any block size. The (id_1, id_2)
+    * orientation of a pair is salt-dependent — normalize with
+    * least/greatest downstream if a canonical order matters.
+    */
+  def saltedBlockPairs(df: DataFrame, blockCol: String, idCol: String,
+                       subBlocks: Int): DataFrame = {
+    require(subBlocks >= 1, "subBlocks must be >= 1")
+    val S = subBlocks
+    def side(n: Int): DataFrame =
+      df.columns.filterNot(_ == blockCol).foldLeft(df) { (d, c) =>
+        d.withColumnRenamed(c, s"${c}_$n")
+      }
+    // a covers keys (salt, v) for v ≥ salt; b covers (u, salt) for
+    // u ≤ salt. A pair with salts sx < sy meets exactly once, at
+    // (sx, sy); equal salts meet twice (both orientations), so the
+    // diagonal keeps only id_1 < id_2.
+    val a = side(1)
+      .withColumn("__u", pmod(xxhash64(col(s"${idCol}_1")), lit(S)).cast("int"))
+      .withColumn("__v", explode(sequence(col("__u"), lit(S - 1))))
+    val b = side(2)
+      .withColumn("__v", pmod(xxhash64(col(s"${idCol}_2")), lit(S)).cast("int"))
+      .withColumn("__u", explode(sequence(lit(0), col("__v"))))
+    a.join(b, Seq(blockCol, "__u", "__v"))
+      .filter(col("__u") < col("__v") ||
+        col(s"${idCol}_1") < col(s"${idCol}_2"))
+      .drop("__u", "__v")
+  }
+
   /** Set Jaccard similarity of two (distinct-element) arrays — built-in
     * formulation; fine for small pair counts (specs, ad-hoc).
     */

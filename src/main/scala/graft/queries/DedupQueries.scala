@@ -86,12 +86,19 @@ object DedupQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         array_sort(Dedup.charNgrams(col("text"), 3)).as("grams"))
-    val a = g.select(col("source"), col("doc_id").as("id1"), col("grams").as("g1"))
-    val b = g.select(col("source"), col("doc_id").as("id2"), col("grams").as("g2"))
-    a.join(b, Seq("source"))
-      .filter(col("id1") < col("id2"))
-      .select(col("source"), col("id1"), col("id2"),
-        Dedup.sortedJaccard(col("g1"), col("g2")).as("jac"))
+    // Triangle-salted self-join: 20 sources would otherwise cap the
+    // pair-scoring parallelism at 20 tasks; salting by 4 sub-blocks
+    // fans each source over 10 join keys.
+    Dedup.saltedBlockPairs(g, "source", "doc_id", subBlocks = 4)
+      // Length prefilter (lossless): jac(A,B) ≤ min|A|,|B| / max|A|,|B|,
+      // so sizes differing by >40% can never reach 0.6 — prune before
+      // the merge-count runs.
+      .filter(size(col("grams_1")) * 10 >= size(col("grams_2")) * 6 &&
+        size(col("grams_2")) * 10 >= size(col("grams_1")) * 6)
+      .select(col("source"),
+        least(col("doc_id_1"), col("doc_id_2")).as("id1"),
+        greatest(col("doc_id_1"), col("doc_id_2")).as("id2"),
+        Dedup.sortedJaccard(col("grams_1"), col("grams_2")).as("jac"))
       .filter(col("jac") >= 0.6)
   }
 

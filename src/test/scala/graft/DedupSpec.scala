@@ -107,4 +107,21 @@ class DedupSpec extends SparkSpec {
     assert(bands.length == 4)
     assert(bands.forall(b => b >= 0 && b <= 65535))
   }
+
+  test("saltedBlockPairs yields every unordered within-block pair exactly once") {
+    val df = (0L until 40L).map(i => (s"blk${i % 3}", i, s"payload$i"))
+      .toDF("block", "id", "p")
+    for (s <- Seq(1, 2, 4, 7)) {
+      val got = graft.operators.Dedup.saltedBlockPairs(df, "block", "id", s)
+        .select(col("block"),
+          least(col("id_1"), col("id_2")).as("lo"),
+          greatest(col("id_1"), col("id_2")).as("hi"))
+        .as[(String, Long, Long)].collect().toSeq
+      val expected = (0L until 40L).combinations(2).collect {
+        case Seq(x, y) if x % 3 == y % 3 => (s"blk${x % 3}", x, y)
+      }.toSeq
+      assert(got.size == expected.size, s"subBlocks=$s: pair count")
+      assert(got.toSet == expected.toSet, s"subBlocks=$s: pair set")
+    }
+  }
 }
