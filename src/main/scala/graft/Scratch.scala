@@ -18,6 +18,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

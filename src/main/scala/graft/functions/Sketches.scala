@@ -220,3 +220,96 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+object PackedNgramsHelper {
+  /** Sorted distinct byte n-grams packed 8 bits/byte into an int
+    * (n ≤ 4). For ASCII text the packing is a bijection from the
+    * n-gram string set, so set sizes — and therefore Jaccard values —
+    * are EXACTLY those of the string formulation, while each element
+    * shrinks from a ~20-byte UTF8String to 4 bytes. In a pair join the
+    * gram arrays are copied into every joined row, so element width is
+    * the dominant byte-moved cost of the whole verify stage.
+    */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val m = bytes.length - n + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Int])
+    val packed = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      var v = 0
+      var j = 0
+      while (j < n) { v = (v << 8) | (bytes(i + j) & 0xff); j += 1 }
+      packed(i) = v
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    var distinct = 1
+    i = 1
+    while (i < m) { if (packed(i) != packed(i - 1)) distinct += 1; i += 1 }
+    val out = new Array[Int](distinct)
+    out(0) = packed(0)
+    var k = 1
+    i = 1
+    while (i < m) {
+      if (packed(i) != packed(i - 1)) { out(k) = packed(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Merge-count Jaccard over two sorted distinct int arrays. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n1 && j < n2) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = n1 + n2 - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+/** string → sorted distinct array<int> of byte n-grams (n ≤ 4). */
+case class PackedNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 4, "packed n-grams support n in [1,4]")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "packed_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PackedNgramsHelper.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PackedNgramsHelper.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackedNgrams =
+    copy(child = newChild)
+}
+
+/** Jaccard of two sorted-distinct int arrays (see PackedNgramsHelper). */
+case class SortedIntArrayJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "sorted_int_array_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PackedNgramsHelper.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PackedNgramsHelper.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}

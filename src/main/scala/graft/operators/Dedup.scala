@@ -43,6 +43,25 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substr(text, i, lit(n))))
 
+  /** Byte n-grams packed into sorted distinct array<int> (n ≤ 4) via
+    * the codegen'd expression — bijective with the string n-gram set on
+    * ASCII text, so Jaccard values are identical while each element is
+    * 4 bytes instead of a ~20-byte string. Use for pair-join verify
+    * stages, where gram arrays are copied into every joined row and
+    * element width dominates bytes moved.
+    */
+  def packedNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PackedNgrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+
+  /** Jaccard of two packedNgrams arrays (sorted distinct ints). */
+  def sortedIntJaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SortedIntArrayJaccard(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash signature + LSH banding, fused into one custom codegen'd
@@ -64,9 +83,15 @@ object Dedup {
     * This is the scale path — no all-pairs product anywhere.
     */
   def lshCandidatePairs(withBands: DataFrame, idCol: String): DataFrame = {
+    // posexplode_outer, NOT posexplode: the non-outer generator implies
+    // a size(bands)>0 filter that Catalyst pushes below any repartition,
+    // re-inlining the whole (interpreted-HOF) sketch chain into a
+    // per-row filter on the unpartitioned scan — measured as the whole
+    // query running twice on one core. Band arrays are fixed-length
+    // non-empty by construction, so outer semantics are identical.
     val buckets = withBands.select(
       col(idCol),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,

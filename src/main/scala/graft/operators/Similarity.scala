@@ -73,9 +73,12 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 8): DataFrame = {
+    // outer: a plain posexplode implies size(..)>0, which gets pushed
+    // below the scan's partitioning and re-inlines the bucket
+    // computation per-row in a filter (see Dedup.lshCandidatePairs).
     def explodeBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col(idCol), col(vecCol),
-          posexplode(annBuckets(col(vecCol), tables, bits))
+          posexplode_outer(annBuckets(col(vecCol), tables, bits))
             .as(Seq("tbl", "bucket")))
     val c = explodeBuckets(corpus, "vec_id", "embedding")
     val q = explodeBuckets(queries, "query_id", "query_vec")

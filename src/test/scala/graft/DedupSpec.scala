@@ -108,6 +108,24 @@ class DedupSpec extends SparkSpec {
     assert(bands.forall(b => b >= 0 && b <= 65535))
   }
 
+  test("packed int n-grams give exactly the string n-gram jaccard on ASCII") {
+    val texts = Seq(
+      ("the quick brown fox jumps", "the quick brown dog jumps"),
+      ("aaaa", "aaab"), ("abcdef", "uvwxyz"), ("same text", "same text"))
+    texts.foreach { case (t1, t2) =>
+      val row = Seq((t1, t2)).toDF("t1", "t2")
+        .select(
+          graft.operators.Dedup.sortedIntJaccard(
+            graft.operators.Dedup.packedNgrams(col("t1"), 3),
+            graft.operators.Dedup.packedNgrams(col("t2"), 3)).as("packed"),
+          graft.operators.Dedup.jaccard(
+            graft.operators.Dedup.charNgrams(col("t1"), 3),
+            graft.operators.Dedup.charNgrams(col("t2"), 3)).as("str"))
+        .as[(Double, Double)].head()
+      assert(row._1 == row._2, s"packed vs string jaccard for ($t1, $t2)")
+    }
+  }
+
   test("saltedBlockPairs yields every unordered within-block pair exactly once") {
     val df = (0L until 40L).map(i => (s"blk${i % 3}", i, s"payload$i"))
       .toDF("block", "id", "p")
