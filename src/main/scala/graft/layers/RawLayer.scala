@@ -40,9 +40,26 @@ object RawLayer {
       .option("header", "true")
       .option("inferSchema", "true")
       .csv(csvPath)
+    conformAndAppend(cat, df, csvPath, fixedClock)
+  }
+
+  /** Same drift-tolerant pipeline over newline-delimited JSON: the feed
+    * format differs, but normalization, lineage, and the partitioned
+    * append are byte-identical to the CSV path — one code path after
+    * the scan, as with the streaming facade.
+    */
+  def ingestJson(cat: Catalog, jsonPath: String,
+                 fixedClock: Option[Timestamp] = None): Unit = {
+    if (alreadyIngested(cat, jsonPath)) return
+    val df = cat.spark.read.json(jsonPath)
+    conformAndAppend(cat, df, jsonPath, fixedClock)
+  }
+
+  private def conformAndAppend(cat: Catalog, df: DataFrame, sourcePath: String,
+                               fixedClock: Option[Timestamp]): Unit = {
     val ts = fixedClock.map(lit(_)).getOrElse(current_timestamp())
     val finalDf: DataFrame = Normalize(df, Schemas.rawDailyReport)
-      .withColumn("source_file", lit(csvPath))
+      .withColumn("source_file", lit(sourcePath))
       .withColumn("ingestion_ts", ts)
     cat.append(finalDf, layer, table,
       partitionCols = Seq("Country_Region"),

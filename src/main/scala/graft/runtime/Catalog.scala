@@ -67,4 +67,35 @@ final case class Catalog(spark: SparkSession, root: String) {
       .option("compression", "snappy")
       .mode("overwrite")
       .parquet(path(layer, table))
+
+  /** Bucketed external table at this catalog's path: rows are hashed
+    * into `buckets` files per partition by `bucketCols` and sorted
+    * within each bucket. Two tables bucketed the SAME way on the join
+    * key sort-merge join with NO exchange on either side — the shuffle
+    * is paid once at write time and amortized over every subsequent
+    * join/aggregation on that key. This is the 100 TB co-location
+    * story: fact and dimension-fact joins on a pre-bucketed key touch
+    * no network at read time.
+    *
+    * Bucketing metadata lives in the session catalog (saveAsTable), so
+    * readers must use [[readBucketed]] (spark.table), not raw paths —
+    * a path read still sees the data but loses the bucket guarantee.
+    */
+  def writeBucketed(df: DataFrame, layer: String, table: String,
+                    buckets: Int, bucketCols: Seq[String]): Unit = {
+    val name = s"${layer}_$table"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path(layer, table))
+      .option("compression", "snappy")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  /** Scan of a bucketed table with its bucket metadata intact. */
+  def readBucketed(layer: String, table: String): DataFrame =
+    spark.table(s"${layer}_$table")
 }

@@ -55,4 +55,24 @@ class CatalogSpec extends SparkSpec {
     cat.createOrReplace(Seq(("c", 4L)).toDF("k", "v"), "raw", "t2")
     assert(cat.read("raw", "t2").select("k").as[String].collect().toSeq == Seq("c"))
   }
+
+  test("co-bucketed tables sort-merge join with no exchange on either side") {
+    val cat = Catalog(spark, tmpDir("bucketed-wh"))
+    val fact = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"name$i")).toDF("k", "name")
+    cat.writeBucketed(fact, "dds", "fact_b", buckets = 8, bucketCols = Seq("k"))
+    cat.writeBucketed(dim, "dds", "dim_b", buckets = 8, bucketCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = cat.readBucketed("dds", "fact_b")
+        .join(cat.readBucketed("dds", "dim_b"), Seq("k"))
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
