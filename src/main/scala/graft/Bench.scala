@@ -12,8 +12,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first query's number reflects the query,
-    // not session initialization (total still includes this line's cost).
+    // not session initialization: exercise both the expression codegen
+    // path and the parquet reader stack (file index, footer reader,
+    // vectorized decoder classes) once before timing starts.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // Sorted for stable ordering; per-query progress to stderr so a
     // slow query is identifiable while the bench runs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

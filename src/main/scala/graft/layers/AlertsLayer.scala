@@ -137,4 +137,23 @@ object AlertsLayer {
       n
     } finally toWrite.unpersist()
   }
+
+  /** C6: notification digest for a date — an HTML list of that day's
+    * alerts (covid_alerts_dag.py:38-59's email body), None when the day
+    * has none. Driver-side render is correct here by construction: the
+    * alert set for one day is threshold-filtered and bounded by
+    * (#countries × #rules), so the collect is a few hundred rows at
+    * most — this is presentation, not a data-plane operator.
+    */
+  def renderDigest(alerts: DataFrame, alertDate: String): Option[String] = {
+    val rows = alerts
+      .where(col("alert_date") === lit(alertDate).cast("date"))
+      .select("country", "description")
+      .orderBy("country", "description")
+      .collect()
+    if (rows.isEmpty) None
+    else Some(rows.map { r =>
+      s"<li>${r.getString(0)}: ${r.getString(1)}</li>"
+    }.mkString(s"<h3>New COVID alerts for $alertDate</h3><ul>", "", "</ul>"))
+  }
 }
