@@ -223,6 +223,55 @@ object TextQueries {
        |FROM wins""".stripMargin
   }
 
+  /** Deterministic hash-based train/val split (≈90/10 via 230/256
+    * sha-256 buckets), reported per source so stratification is
+    * inspectable. The assignment is a shuffle-free scalar projection,
+    * reproducible by any engine — the oracle re-derives the identical
+    * split from the same hash.
+    */
+  def q35TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("source"),
+        Sampling.splitLabel(col("doc_id")).as("split"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val q35Oracle: String = {
+    val bucket = graft.operators.Sampling.hashBucketSql("doc_id")
+    s"""WITH assigned AS (
+       |  SELECT source,
+       |    CASE WHEN $bucket < 230 THEN 'train' ELSE 'val' END AS split,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+       |  FROM documents)
+       |SELECT source, split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+       |FROM assigned GROUP BY source, split""".stripMargin
+  }
+
+  /** Sequence packing stats at a 512-token budget: how many training
+    * sequences the corpus packs into and how full they are. Packing is
+    * partition-local (graft.operators.Packing); range-partition +
+    * in-partition sort by doc_id makes the assignment deterministic for
+    * a fixed partition count. No SQL twin (imperative packing) → driver
+    * records the weaker rows-only check; PackingSpec covers semantics.
+    */
+  def q36PackStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(32, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    Packing.packSequences(d, budget = 512L).toDF()
+      .agg(
+        count(lit(1)).as("n_sequences"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        round(avg(col("fill")), 4).as("avg_fill"),
+        round(min(col("fill")), 4).as("min_fill"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -230,7 +279,9 @@ object TextQueries {
     "q19_fingerprint" -> (q19Fingerprint _),
     "q29_topk_per_source" -> (q29TopkPerSource _),
     "q30_training_prep" -> (q30TrainingPrep _),
-    "q31_winnow" -> (q31Winnow _))
+    "q31_winnow" -> (q31Winnow _),
+    "q35_train_split" -> (q35TrainSplit _),
+    "q36_pack_stats" -> (q36PackStats _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -239,5 +290,6 @@ object TextQueries {
     "q19_fingerprint" -> q19Oracle,
     "q29_topk_per_source" -> q29Oracle,
     "q30_training_prep" -> q30Oracle,
-    "q31_winnow" -> q31Oracle)
+    "q31_winnow" -> q31Oracle,
+    "q35_train_split" -> q35Oracle)
 }
