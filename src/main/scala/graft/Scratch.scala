@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Ad-hoc single-query timing harness (dev only): runMain graft.Scratch <query> [reps]. */
 object Scratch {
@@ -8,14 +8,7 @@ object Scratch {
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.runtime.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.runtime.GraftSession.local()
     spark.range(1000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))

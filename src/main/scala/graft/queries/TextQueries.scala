@@ -272,6 +272,29 @@ object TextQueries {
         round(min(col("fill")), 4).as("min_fill"))
   }
 
+  /** Per-source length-distribution percentiles (exact interpolated
+    * p50/p90/p99 over n_chars) — the corpus-profiling aggregate a
+    * curation pipeline reports. Exact percentile is a sort-based
+    * aggregate; at 100 TB swap in approx_percentile (t-digest sketch,
+    * partial+final merge) — kept exact here for oracle parity.
+    */
+  def q37LengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.groupBy(col("source")).agg(
+      round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+      round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+      round(expr("percentile(n_chars, 0.99)"), 2).as("p99"),
+      max(col("n_chars")).as("max_chars"))
+  }
+
+  val q37Oracle: String =
+    """SELECT source,
+      |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 2) AS p90,
+      |  round(quantile_cont(n_chars, 0.99), 2) AS p99,
+      |  max(n_chars) AS max_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -281,7 +304,8 @@ object TextQueries {
     "q30_training_prep" -> (q30TrainingPrep _),
     "q31_winnow" -> (q31Winnow _),
     "q35_train_split" -> (q35TrainSplit _),
-    "q36_pack_stats" -> (q36PackStats _))
+    "q36_pack_stats" -> (q36PackStats _),
+    "q37_length_percentiles" -> (q37LengthPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -291,5 +315,6 @@ object TextQueries {
     "q29_topk_per_source" -> q29Oracle,
     "q30_training_prep" -> q30Oracle,
     "q31_winnow" -> q31Oracle,
-    "q35_train_split" -> q35Oracle)
+    "q35_train_split" -> q35Oracle,
+    "q37_length_percentiles" -> q37Oracle)
 }

@@ -1,0 +1,39 @@
+package graft.runtime
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's recommended session configuration, used
+  * by every entry point (Verify / Bench / Scratch) and by applications
+  * embedding the library.
+  *
+  * The settings are the 100 TB posture, applied identically in local
+  * mode so tests exercise the production plans:
+  *  - AQE on (default since 3.2, pinned explicitly): runtime partition
+  *    coalescing collapses the fixed shuffle-partition count to the
+  *    data's actual size, and skew-join splitting caps straggler tasks
+  *    without manual salting where sort-merge joins are involved;
+  *  - shuffle partitions sized to the core count locally — on a real
+  *    cluster set this to 2-3× total executor cores and let AQE
+  *    coalesce downward;
+  *  - graft's native expressions registered for SQL users.
+  */
+object GraftSession {
+
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for the harness mains: core count from SPARK_GRAFT_CPUS. */
+  def local(): SparkSession = {
+    val spark = builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
