@@ -295,6 +295,25 @@ object TextQueries {
       |  max(n_chars) AS max_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Corpus accounting at every granularity in one pass: ROLLUP over
+    * (source, lang) gives per-(source,lang), per-source, and grand
+    * totals from a single shuffle — the multi-level report a curation
+    * dashboard wants without three scans. Spark plans rollup as one
+    * Expand + aggregate; the oracle uses the identical ANSI ROLLUP.
+    */
+  def q38RollupStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    d.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val q38Oracle: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+      |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -305,7 +324,8 @@ object TextQueries {
     "q31_winnow" -> (q31Winnow _),
     "q35_train_split" -> (q35TrainSplit _),
     "q36_pack_stats" -> (q36PackStats _),
-    "q37_length_percentiles" -> (q37LengthPercentiles _))
+    "q37_length_percentiles" -> (q37LengthPercentiles _),
+    "q38_rollup_stats" -> (q38RollupStats _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -316,5 +336,6 @@ object TextQueries {
     "q30_training_prep" -> q30Oracle,
     "q31_winnow" -> q31Oracle,
     "q35_train_split" -> q35Oracle,
-    "q37_length_percentiles" -> q37Oracle)
+    "q37_length_percentiles" -> q37Oracle,
+    "q38_rollup_stats" -> q38Oracle)
 }
