@@ -232,8 +232,16 @@ object PackedNgramsHelper {
     */
   def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
+    // shorter than n: one truncated gram, exactly like charNgrams'
+    // substr clamp (truncated packs stay below 0x10000 for printable
+    // ASCII while full 3-grams start at 0x200000, so no collision)
+    if (bytes.length < n) {
+      var v = 0
+      var j = 0
+      while (j < bytes.length) { v = (v << 8) | (bytes(j) & 0xff); j += 1 }
+      return new GenericArrayData(Array(v))
+    }
     val m = bytes.length - n + 1
-    if (m < 1) return new GenericArrayData(Array.empty[Int])
     val packed = new Array[Int](m)
     var i = 0
     while (i < m) {

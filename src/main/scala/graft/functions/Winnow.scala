@@ -23,8 +23,11 @@ object WinnowHelper {
   val Base: Long = 257L
 
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val m = s.length - k + 1
+    // code points, not UTF-16 units: SQL engines' length()/substr()/
+    // ascii() are code-point-based, and the oracle must hash the same
+    // values for non-BMP text
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - k + 1
     if (m < 1) return new GenericArrayData(Array.empty[Long])
     var pow = 1L // Base^(k−1) mod Mod
     var i = 0
@@ -32,13 +35,13 @@ object WinnowHelper {
     val hs = new Array[Long](m)
     var h = 0L
     i = 0
-    while (i < k) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    while (i < k) { h = (h * Base + cps(i)) % Mod; i += 1 }
     hs(0) = h
     i = 1
     while (i < m) {
-      // roll: drop char i−1's contribution, shift, add char i+k−1
-      h = ((h - s.charAt(i - 1) * pow % Mod + Mod) % Mod * Base +
-        s.charAt(i + k - 1)) % Mod
+      // roll: drop code point i−1's contribution, shift, add i+k−1
+      h = ((h - cps(i - 1).toLong * pow % Mod + Mod) % Mod * Base +
+        cps(i + k - 1)) % Mod
       hs(i) = h
       i += 1
     }

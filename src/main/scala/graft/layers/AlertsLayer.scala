@@ -151,9 +151,11 @@ object AlertsLayer {
       .select("country", "description")
       .orderBy("country", "description")
       .collect()
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     if (rows.isEmpty) None
     else Some(rows.map { r =>
-      s"<li>${r.getString(0)}: ${r.getString(1)}</li>"
+      s"<li>${esc(r.getString(0))}: ${esc(r.getString(1))}</li>"
     }.mkString(s"<h3>New COVID alerts for $alertDate</h3><ul>", "", "</ul>"))
   }
 }

@@ -114,7 +114,10 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val centroids = broadcast(corpus.filter(col("vec_id") < nlist)
+    // seed = the nlist lowest vec_ids, whatever the id space looks like
+    // (a bare `vec_id < nlist` would yield few or zero centroids on
+    // sparse or offset id spaces)
+    val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))

@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   * Spark's AQE skew-join (spark.sql.adaptive.skewJoin.enabled) handles
   * sort-merge cases automatically at runtime; this manual form remains
   * necessary when the skewed side feeds an aggregation on the same key,
-  * or on engines/paths AQE doesn't cover. Salt assignment hashes the
-  * probe side's whole row (xxhash64 over all columns) so it is
-  * deterministic, uniform, and needs no unique id column.
+  * or on engines/paths AQE doesn't cover. Salt assignment cycles a
+  * per-row ordinal (monotonically_increasing_id), so even IDENTICAL
+  * duplicate rows scatter evenly — a content hash would send every
+  * copy of a duplicated hot row to one bucket, leaving the skew in
+  * place. The ordinal varies with partitioning, which is fine: any
+  * salt assignment yields the same join result.
   */
 object Skew {
+
+  /** Round-robin salt in [0, salt) that scatters every probe row,
+    * duplicates included.
+    */
+  def saltColumn(salt: Int): org.apache.spark.sql.Column =
+    pmod(monotonically_increasing_id(), lit(salt.toLong))
 
   /** Inner equi-join `probe ⋈ build` on `key`, with the probe side's
     * rows scattered across `salt` sub-keys and the (small) build side
@@ -30,10 +39,9 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salt: Int): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
-    val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(salt)))
+    val saltedProbe = probe.withColumn("__salt", saltColumn(salt))
     val replicatedBuild = build.withColumn("__salt",
-      explode(sequence(lit(0), lit(salt - 1))))
+      explode(sequence(lit(0L), lit(salt - 1L))))
     saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
   }
 }

@@ -105,7 +105,8 @@ object SimilarityQueries {
 
   val q33Oracle: String =
     s"""WITH cent AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS query_vec
        |  FROM embeddings WHERE vec_id < 10),

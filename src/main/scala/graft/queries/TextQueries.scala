@@ -194,6 +194,10 @@ object TextQueries {
     */
   def q31Winnow(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
+      // docs shorter than k have no k-gram and therefore no fingerprint;
+      // excluded on BOTH sides (ANSI element_at would throw on the empty
+      // array, and list_sum of an empty list is NULL vs aggregate's 0)
+      .filter(length(col("text")) >= 4)
     d.select(col("doc_id"), winnowFingerprints(col("text"), 4, 5).as("fp"))
       .select(
         col("doc_id"),
@@ -211,7 +215,7 @@ object TextQueries {
        |    list_transform(range(1, length(text) - 2),
        |      i -> (ascii(text[i]) * $c3::BIGINT + ascii(text[i+1]) * $c2::BIGINT +
        |            ascii(text[i+2]) * $c1::BIGINT + ascii(text[i+3])) % $M) AS hs
-       |  FROM documents),
+       |  FROM documents WHERE length(text) >= 4),
        |wins AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(list_transform(

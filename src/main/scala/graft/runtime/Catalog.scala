@@ -81,9 +81,17 @@ final case class Catalog(spark: SparkSession, root: String) {
     * readers must use [[readBucketed]] (spark.table), not raw paths —
     * a path read still sees the data but loses the bucket guarantee.
     */
+  /** Session-catalog name for a bucketed table, scoped to this
+    * Catalog's root (hex of the root path hash) — two Catalog
+    * instances over different roots must not alias each other's
+    * bucketed tables the way a bare `layer_table` name would.
+    */
+  private def bucketedName(layer: String, table: String): String =
+    f"graft_${root.hashCode & 0xffffffffL}%08x_${layer}_$table"
+
   def writeBucketed(df: DataFrame, layer: String, table: String,
                     buckets: Int, bucketCols: Seq[String]): Unit = {
-    val name = s"${layer}_$table"
+    val name = bucketedName(layer, table)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     df.write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -97,5 +105,5 @@ final case class Catalog(spark: SparkSession, root: String) {
 
   /** Scan of a bucketed table with its bucket metadata intact. */
   def readBucketed(layer: String, table: String): DataFrame =
-    spark.table(s"${layer}_$table")
+    spark.table(bucketedName(layer, table))
 }

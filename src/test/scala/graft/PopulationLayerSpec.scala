@@ -43,13 +43,13 @@ class PopulationLayerSpec extends SparkSpec {
   test("alert digest renders a per-country HTML list, None when empty") {
     val alerts = Seq(
       (Date.valueOf("2020-03-01"), "Italy", "case_spike", "high", 0.1, "case rate 0.100% exceeds threshold"),
-      (Date.valueOf("2020-03-01"), "Spain", "incidence", "medium", 12.0, "incidence 12.0 per 100k"),
+      (Date.valueOf("2020-03-01"), "Spain", "incidence", "medium", 12.0, "incidence > 10 & rising"),
       (Date.valueOf("2020-02-29"), "France", "case_spike", "high", 0.2, "previous day"))
       .toDF("alert_date", "country", "alert_type", "severity", "metric_value", "description")
     val html = AlertsLayer.renderDigest(alerts, "2020-03-01").get
     assert(html.startsWith("<h3>New COVID alerts for 2020-03-01</h3><ul>"))
     assert(html.contains("<li>Italy: case rate 0.100% exceeds threshold</li>"))
-    assert(html.contains("<li>Spain: incidence 12.0 per 100k</li>"))
+    assert(html.contains("<li>Spain: incidence &gt; 10 &amp; rising</li>")) // escaped
     assert(!html.contains("France")) // other dates excluded
     assert(html.endsWith("</ul>"))
     assert(AlertsLayer.renderDigest(alerts, "2021-01-01").isEmpty)

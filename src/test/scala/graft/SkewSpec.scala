@@ -22,10 +22,11 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("probe rows actually scatter across salt buckets") {
-    val probe = spark.range(0, 1000).select(lit(42L).as("k"), $"id".as("payload"))
-    val buckets = probe.withColumn("__salt",
-        pmod(xxhash64(probe.columns.map(col): _*), lit(8)))
+  test("probe rows scatter across salt buckets even when rows are identical") {
+    // all 1000 rows are the SAME row — a content-hash salt would put
+    // them all in one bucket and leave the hot key unsplit
+    val probe = spark.range(0, 1000).select(lit(42L).as("k"), lit("dup").as("payload"))
+    val buckets = probe.withColumn("__salt", Skew.saltColumn(8))
       .select(countDistinct($"__salt")).as[Long].head()
     assert(buckets == 8L) // every sub-key used → even task sizes
   }

@@ -6,13 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local SparkSession for the whole test JVM. */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // same builder as Verify/Bench (GraftSession) so specs exercise the
+    // production configuration — AQE, skew join, extensions — not a
+    // hand-rolled variant that drifts
+    val s = graft.runtime.GraftSession.builder("4")
       .appName("graft-tests")
-      .withExtensions(new graft.runtime.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
