@@ -73,6 +73,26 @@ object Streaming {
       .start()
   }
 
+  /** Stream-static enrichment: the streaming daily rollup joined to the
+    * (static, small) population dimension for per-100k rates — the
+    * streaming twin of the mart's fact⋈dim. A stream-static equi-join
+    * needs no watermark bookkeeping on the static side and Spark plans
+    * the dim as a broadcast per micro-batch, so the stream side never
+    * shuffles for the join; the dim is re-read each batch, picking up
+    * dimension updates between batches for free.
+    */
+  def ratesStream(dailyStats: DataFrame, populationDim: DataFrame): DataFrame =
+    dailyStats
+      .join(broadcast(populationDim
+          .select(col("country_name"), col("population_year"), col("population"))),
+        dailyStats("country_region") === col("country_name") &&
+          year(dailyStats("report_date")) === col("population_year"))
+      .select(
+        col("report_date"), col("country_region"), col("confirmed"),
+        col("deaths"), col("population"),
+        round(col("confirmed").cast("double") * 100000.0 / col("population"), 2)
+          .as("confirmed_per_100k"))
+
   /** Watermarked streaming twin of OdsLayer's daily country rollup:
     * event-time day windows, late data beyond `watermark` dropped,
     * update-mode-compatible aggregation.

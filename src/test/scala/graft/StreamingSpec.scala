@@ -74,4 +74,28 @@ class StreamingSpec extends SparkSpec {
     // CASE normalization applied inside the stream
     assert(rows.exists(_.getAs[String]("country_region") == "China"))
   }
+
+  test("stream-static join enriches the rollup with broadcast population rates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Long)]
+    val reports = mem.toDF()
+      .toDF("Last_Update", "Country_Region", "Confirmed", "Deaths")
+      .withColumn("Recovered", lit(null).cast("long"))
+      .withColumn("Active", lit(null).cast("long"))
+    val dim = Seq(("United States", 2020, 331000000L), ("China", 2020, 1400000000L))
+      .toDF("country_name", "population_year", "population")
+    val rates = Streaming.ratesStream(
+      Streaming.dailyCountryStats(reports), dim)
+    val q = rates.writeStream
+      .format("memory").queryName("rates").outputMode("complete").start()
+    mem.addData(
+      (Timestamp.valueOf("2020-03-01 08:00:00"), "US", 662000L, 10L),
+      (Timestamp.valueOf("2020-03-01 09:00:00"), "Mainland China", 140000L, 3L))
+    q.processAllAvailable()
+    val out = spark.table("rates").collect()
+      .map(r => r.getAs[String]("country_region") -> r.getAs[Double]("confirmed_per_100k"))
+      .toMap
+    q.stop()
+    assert(out == Map("United States" -> 200.0, "China" -> 10.0))
+  }
 }
