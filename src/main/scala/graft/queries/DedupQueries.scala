@@ -92,12 +92,10 @@ object DedupQueries {
     // Triangle-salted self-join: 20 sources would otherwise cap the
     // pair-scoring parallelism at 20 tasks; salting by 4 sub-blocks
     // fans each source over 10 join keys.
+    // The lossless length prefilter (jac ≤ min/max size ratio) is
+    // injected automatically by graft.plans.JaccardLengthPrune in
+    // front of the jac >= 0.6 predicate — the query stays declarative.
     Dedup.saltedBlockPairs(g, "source", "doc_id", subBlocks = 4)
-      // Length prefilter (lossless): jac(A,B) ≤ min|A|,|B| / max|A|,|B|,
-      // so sizes differing by >40% can never reach 0.6 — prune before
-      // the merge-count runs.
-      .filter(size(col("grams_1")) * 10 >= size(col("grams_2")) * 6 &&
-        size(col("grams_2")) * 10 >= size(col("grams_1")) * 6)
       .select(col("source"),
         least(col("doc_id_1"), col("doc_id_2")).as("id1"),
         greatest(col("doc_id_1"), col("doc_id_2")).as("id2"),

@@ -50,5 +50,6 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
       (args: Seq[Expression]) => WinnowFingerprint(args(0),
         litInt(args(1), "k"), litInt(args(2), "w"))))
+    ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
   }
 }

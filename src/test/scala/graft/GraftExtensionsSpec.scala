@@ -32,4 +32,24 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()
     assert(rows(0).getSeq[Long](0) == rows(1).getSeq[Long](0))
   }
+
+  test("JaccardLengthPrune injects the size prefilter and never changes results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghix"),       // near-dup pair
+      (3L, "ab"), (4L, "abcdefghijklmnopqrstuvwxyz")) // wildly different sizes
+      .toDF("id", "text")
+      .select($"id", graft.operators.Dedup.packedNgrams($"text", 3).as("g"))
+    val a = docs.select($"id".as("id1"), $"g".as("g1"))
+    val b = docs.select($"id".as("id2"), $"g".as("g2"))
+    val q = a.crossJoin(b).filter($"id1" < $"id2")
+      .filter(graft.operators.Dedup.sortedIntJaccard($"g1", $"g2") >= 0.6)
+      .select($"id1", $"id2")
+    // the rule rewrote the predicate: size() guards appear in the plan
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("size("), optimized)
+    // and semantics are unchanged: only the planted near-dup survives
+    assert(q.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
 }
