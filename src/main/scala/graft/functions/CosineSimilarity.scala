@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: cosine similarity of two float vectors,
   * computed in double precision with a single fused loop.
@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * defensive choice, not a semantic one).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
-  // Inputs must already be ArrayType(FloatType) — callers (Similarity)
-  // pass embedding columns directly; no implicit cast insertion.
+  // Declared input types make wrong-typed SQL args an analysis error
+  // (not runtime garbage) and let array<double> literals coerce.
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"

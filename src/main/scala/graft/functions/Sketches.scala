@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 
 /** Fused sketch expressions for the dedup operators.
   *
@@ -65,9 +65,10 @@ object MinHashHelper {
   * array<string> shingles → array<long> of `numBands` band keys.
   */
 case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
   require(numHashes % numBands == 0, "numHashes must divide into bands")
 
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
 
@@ -119,7 +120,8 @@ object HyperplaneHelper {
   * keys of `bits` sign bits each).
   */
 case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
 
@@ -190,7 +192,10 @@ object JaccardHelper {
   * per document before the pair join, not once per pair.
   */
 case class SortedArrayJaccard(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "sorted_array_jaccard"
 
@@ -207,7 +212,9 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
 }
 
 /** 64-bit SimHash fingerprint: array<string> tokens → long. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -286,8 +293,10 @@ object PackedNgramsHelper {
 }
 
 /** string → sorted distinct array<int> of byte n-grams (n ≤ 4). */
-case class PackedNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class PackedNgrams(child: Expression, n: Int) extends UnaryExpression
+  with ImplicitCastInputTypes {
   require(n >= 1 && n <= 4, "packed n-grams support n in [1,4]")
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def prettyName: String = "packed_ngrams"
@@ -306,7 +315,10 @@ case class PackedNgrams(child: Expression, n: Int) extends UnaryExpression {
 
 /** Jaccard of two sorted-distinct int arrays (see PackedNgramsHelper). */
 case class SortedIntArrayJaccard(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "sorted_int_array_jaccard"
 
@@ -320,4 +332,58 @@ case class SortedIntArrayJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntArrayJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+object TokenShinglesHelper {
+  /** Sorted distinct word n-gram shingles from a token array, fused
+    * (shingle build + distinct + binary-order sort in one pass). Mirrors
+    * `array_sort(array_distinct(Dedup.tokenShingles(toks, n)))` exactly,
+    * including the clamp: fewer than n tokens yield ONE truncated
+    * shingle. Sort order is UTF8String binary order — the order
+    * SortedArrayJaccard's merge expects.
+    */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val count = math.max(len - n + 1, 1)
+    val set = new java.util.TreeSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        val t = tokens.getUTF8String(j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      set.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<string> tokens → sorted distinct array<string> n-gram shingles. */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  require(n >= 1, "shingle size must be positive")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenShinglesHelper.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenShinglesHelper.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
 }

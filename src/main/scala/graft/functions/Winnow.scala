@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
@@ -66,9 +66,10 @@ object WinnowHelper {
 
 /** string → sorted distinct array<long> of winnowed k-gram hashes. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
   require(k >= 1 && w >= 1, "k and w must be positive")
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fp"
 

@@ -51,9 +51,14 @@ object DdsLayer {
     * the ods slice was empty (C3).
     */
   def run(cat: Catalog, reportDate: String): Option[Long] = {
+    // No population source yet (the reference's DAG guarantees its seed
+    // ran first; a fresh warehouse here may not have) → nothing to
+    // build, and crashing the whole day-run would block the raw/ods
+    // layers that don't need the dim.
+    if (!cat.tableExists(PopulationLayer.layer, PopulationLayer.table)) return None
     // Rebuilt unconditionally, matching process_covid_dds.py:41-44 (the
     // reference rebuilds the dim before its empty-ODS short-circuit).
-    val dim = buildDim(cat.read("raw", "country_population"))
+    val dim = buildDim(cat.read(PopulationLayer.layer, PopulationLayer.table))
     cat.createOrReplace(dim, layer, dimTable)
 
     if (!cat.tableExists(OdsLayer.layer, OdsLayer.table)) return None

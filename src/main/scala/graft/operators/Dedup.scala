@@ -37,6 +37,17 @@ object Dedup {
     transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
       i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
 
+  /** Sorted distinct shingle set via the fused codegen'd expression —
+    * equals array_sort(array_distinct(tokenShingles(t, n))) but builds
+    * set + order in one JIT pass (the HOF chain runs interpreted AND
+    * re-inlines into every consuming plan branch; q21 evaluates its
+    * shingles in three branches).
+    */
+  def sortedShingles(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
+
   /** Character n-gram set (distinct) — the n-gram Jaccard universe. */
   def charNgrams(text: Column, n: Int): Column =
     array_distinct(transform(
@@ -142,8 +153,13 @@ object Dedup {
   /** Set Jaccard similarity of two (distinct-element) arrays — built-in
     * formulation; fine for small pair counts (specs, ad-hoc).
     */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    // two empty sets: define jac = 0 (not 0/0 = NaN), matching
+    // JaccardHelper so the two formulations are true drop-ins
+    when(union === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+  }
 
   /** Set Jaccard of two SORTED distinct arrays via the custom merge-count
     * expression — no per-pair hash-set allocation; the sort happens once

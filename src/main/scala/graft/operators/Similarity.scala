@@ -150,7 +150,12 @@ object Similarity {
     */
   def signBucket(vec: Column, bits: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(vec, i + 1) > 0f, lit(1 << (bits - 1 - i))).otherwise(lit(0))
+      // try_element_at: a vector shorter than `bits` contributes 0 for
+      // the missing dims (NULL > 0 is NULL → otherwise-branch), exactly
+      // like SQL engines' out-of-bounds list index — plain element_at
+      // would THROW under Spark 4 ANSI mode and diverge from the oracle
+      when(try_element_at(vec, lit(i + 1)) > 0f, lit(1 << (bits - 1 - i)))
+        .otherwise(lit(0))
     }.reduce(_ + _)
 
   /** The same bucket as DuckDB SQL text (for oracle generation). */

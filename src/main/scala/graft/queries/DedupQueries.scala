@@ -58,8 +58,7 @@ object DedupQueries {
     val d = Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      .withColumn("shingles",
-        array_sort(array_distinct(Dedup.tokenShingles(col("toks"), 3))))
+      .withColumn("shingles", Dedup.sortedShingles(col("toks"), 3))
     val withBands = d
       .withColumn("bands", Dedup.minHashBandKeys(col("shingles"), 32, 8))
     val pairs = Dedup.lshCandidatePairs(

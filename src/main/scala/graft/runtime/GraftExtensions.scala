@@ -27,29 +27,44 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Wrong arity should read as a clear analysis-time error, not an
+    * IndexOutOfBoundsException from the builder lambda.
+    */
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.length}")
+    args
+  }
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        val a = arity("cosine_sim", 2)(args); CosineSimilarity(a(0), a(1)) }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
-      (args: Seq[Expression]) => MinHashBands(args(0),
-        litInt(args(1), "numHashes"), litInt(args(2), "numBands"))))
+      (args: Seq[Expression]) => {
+        val a = arity("minhash_bands", 3)(args)
+        MinHashBands(a(0), litInt(a(1), "numHashes"), litInt(a(2), "numBands")) }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => {
+        val a = arity("simhash64", 1)(args); SimHash64(a(0)) }))
     ext.injectFunction((
       FunctionIdentifier("sorted_array_jaccard"),
       new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_array_jaccard"),
-      (args: Seq[Expression]) => SortedArrayJaccard(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        val a = arity("sorted_array_jaccard", 2)(args)
+        SortedArrayJaccard(a(0), a(1)) }))
     ext.injectFunction((
       FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
-      (args: Seq[Expression]) => WinnowFingerprint(args(0),
-        litInt(args(1), "k"), litInt(args(2), "w"))))
+      (args: Seq[Expression]) => {
+        val a = arity("winnow_fp", 3)(args)
+        WinnowFingerprint(a(0), litInt(a(1), "k"), litInt(a(2), "w")) }))
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
   }
 }

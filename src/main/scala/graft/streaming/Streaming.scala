@@ -49,11 +49,17 @@ object Streaming {
                       fixedClock: Option[Timestamp] = None,
                       checkpointDir: String,
                       landing: org.apache.spark.sql.types.StructType = modernLanding): StreamingQuery = {
+    // _metadata.file_path is a URI (file:///...); the batch path stores
+    // the caller-supplied filesystem path. Strip a local-file scheme so
+    // RawLayer.alreadyIngested matches across the two ingest paths
+    // (object-store URIs — s3a:// etc. — are what batch callers pass
+    // anyway, so those are left intact).
     val stream = spark.readStream
       .option("header", "true")
       .schema(landing)
       .csv(inputDir)
-      .withColumn("__path", col("_metadata.file_path"))
+      .withColumn("__path",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

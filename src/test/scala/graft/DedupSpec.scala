@@ -108,6 +108,20 @@ class DedupSpec extends SparkSpec {
     assert(bands.forall(b => b >= 0 && b <= 65535))
   }
 
+  test("fused sortedShingles equals array_sort(array_distinct(tokenShingles))") {
+    val texts = Seq("a b c d e", "one two", "solo", "", "x x x x")
+    texts.foreach { t =>
+      val row = Seq(t).toDF("text")
+        .select(graft.operators.TextAnalysis.wsTokens(col("text")).as("toks"))
+        .select(
+          graft.operators.Dedup.sortedShingles(col("toks"), 3).as("fused"),
+          array_sort(array_distinct(
+            graft.operators.Dedup.tokenShingles(col("toks"), 3))).as("hof"))
+        .as[(Seq[String], Seq[String])].head()
+      assert(row._1 == row._2, s"shingle mismatch for '$t'")
+    }
+  }
+
   test("packed int n-grams give exactly the string n-gram jaccard on ASCII") {
     val texts = Seq(
       ("the quick brown fox jumps", "the quick brown dog jumps"),
