@@ -318,6 +318,35 @@ object TextQueries {
       |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
       |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
 
+  /** Document frequency: explode distinct tokens per doc, count docs per
+    * token, keep terms appearing in ≥ 5% of docs, rank by df. The
+    * explode → hash-aggregate shape distributes trivially (token-keyed
+    * shuffle of one row per distinct (doc, token)); at 100 TB this is
+    * the standard first half of TF-IDF / vocabulary building.
+    */
+  def q39DocFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val exploded = d
+      .select(col("doc_id"), explode(array_distinct(wsTokens(col("text")))).as("token"))
+    val total = d.count()
+    exploded.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= (total.toDouble * 0.05))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("df").desc, col("token"))))
+  }
+
+  val q39Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+      |  FROM documents),
+      |df AS (
+      |  SELECT token, count(*) AS df FROM tok GROUP BY token),
+      |total AS (SELECT count(*) AS n FROM documents)
+      |SELECT token, df,
+      |  row_number() OVER (ORDER BY df DESC, token) AS rank
+      |FROM df, total WHERE df >= n * 0.05""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -329,7 +358,8 @@ object TextQueries {
     "q35_train_split" -> (q35TrainSplit _),
     "q36_pack_stats" -> (q36PackStats _),
     "q37_length_percentiles" -> (q37LengthPercentiles _),
-    "q38_rollup_stats" -> (q38RollupStats _))
+    "q38_rollup_stats" -> (q38RollupStats _),
+    "q39_doc_frequency" -> (q39DocFrequency _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -341,5 +371,6 @@ object TextQueries {
     "q31_winnow" -> q31Oracle,
     "q35_train_split" -> q35Oracle,
     "q37_length_percentiles" -> q37Oracle,
-    "q38_rollup_stats" -> q38Oracle)
+    "q38_rollup_stats" -> q38Oracle,
+    "q39_doc_frequency" -> q39Oracle)
 }

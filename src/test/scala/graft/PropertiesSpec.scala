@@ -63,6 +63,32 @@ class PropertiesSpec extends SparkSpec {
     assert(keyDistinct == normDistinct)
   }
 
+  test("property: sessionization matches a brute-force per-user reference") {
+    val rows = sample(
+      for {
+        user <- Gen.choose(1L, 5L)
+        tsOffsetSec <- Gen.choose(0L, 200000L)
+        value <- Gen.choose(0, 100)
+      } yield (user, tsOffsetSec, value.toDouble), 300)
+      .zipWithIndex
+      .map { case ((u, off, v), i) =>
+        (i.toLong, u, new java.sql.Timestamp(1700000000000L + off * 1000L), v)
+      }
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Sessionize.withSessionIds(df, gapSec = 1800)
+      .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+    // brute force: per user, sort by (ts, event_id), bump on gap > 1800s
+    rows.groupBy(_._2).foreach { case (_, evs) =>
+      var seq = 0L
+      var last = Long.MinValue
+      evs.sortBy(e => (e._3.getTime, e._1)).foreach { case (id, _, ts, _) =>
+        if (last == Long.MinValue || ts.getTime - last > 1800 * 1000L) seq += 1
+        last = ts.getTime
+        assert(got(id) == seq, s"event $id expected session $seq")
+      }
+    }
+  }
+
   test("property: country normalization is total and idempotent over random strings") {
     val names = sample(Gen.asciiPrintableStr.map(_.take(20)), 300)
     val df = names.toDF("c")
