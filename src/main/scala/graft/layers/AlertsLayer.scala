@@ -93,15 +93,25 @@ object AlertsLayer {
   def candidates(fact: DataFrame, dim: DataFrame, alertDate: String): DataFrame = {
     val base = enriched(fact, dim)
       .where(col("report_date") === lit(alertDate).cast("date"))
-    rules.map { r =>
-      base.where(r.predicate).select(
-        col("report_date").as("alert_date"),
-        col("country_name").as("country"),
+    // Rules can co-fire for one row (a spike and an incidence breach are
+    // different alert_types), so this is a real 1→N expansion — but a
+    // union of 4 filtered branches would execute the window+join base 4
+    // times. Evaluating every rule as one struct array and exploding
+    // evaluates the base ONCE; non-firing rules contribute nulls that
+    // the post-explode filter drops.
+    val fired = array(rules.map { r =>
+      when(r.predicate, struct(
         lit(r.alertType).as("alert_type"),
         lit(r.severity).as("severity"),
         r.metric.as("metric_value"),
-        r.message.as("description"))
-    }.reduce(_ unionAll _)
+        r.message.as("description")))
+    }: _*)
+    base.select(
+        col("report_date").as("alert_date"),
+        col("country_name").as("country"),
+        explode(fired).as("alert"))
+      .filter(col("alert").isNotNull)
+      .select(col("alert_date"), col("country"), col("alert.*"))
   }
 
   /** Exactly-once insert: anti-join candidates against existing alerts on

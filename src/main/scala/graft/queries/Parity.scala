@@ -352,13 +352,16 @@ object Parity {
       .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
     val deltas = daily.withColumn("delta", col("total") - lag(col("total"), 1).over(w))
-    val spikes = deltas.filter(col("delta") > 50)
-      .select(col("user_id"), col("d"), lit("SPIKE").as("rule"),
-        col("delta").cast("double").as("metric"))
-    val drops = deltas.filter(col("delta") < -50)
-      .select(col("user_id"), col("d"), lit("DROP").as("rule"),
-        (-col("delta")).cast("double").as("metric"))
-    val cand = spikes.unionAll(drops)
+    // The two rule predicates are disjoint (delta can't be >50 and
+    // <-50), so they fold into ONE filter+CASE pass — a union of two
+    // filtered branches would re-execute the aggregate+window lineage
+    // once per rule.
+    val cand = deltas
+      .filter(col("delta") > 50 || col("delta") < -50)
+      .select(col("user_id"), col("d"),
+        when(col("delta") > 50, "SPIKE").otherwise("DROP").as("rule"),
+        when(col("delta") > 50, col("delta")).otherwise(-col("delta"))
+          .cast("double").as("metric"))
     val exclusions = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
     cand.join(exclusions, Seq("user_id", "d"), "left_anti")
