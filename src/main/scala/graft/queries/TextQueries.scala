@@ -347,6 +347,26 @@ object TextQueries {
       |  row_number() OVER (ORDER BY df DESC, token) AS rank
       |FROM df, total WHERE df >= n * 0.05""".stripMargin
 
+  /** Global top-20 documents by a quality-ish score. orderBy+limit is
+    * planned as TakeOrderedAndProject: each partition keeps a 20-row
+    * heap and the driver merges partition heads — no global sort, no
+    * shuffle of the full corpus, O(k) driver memory. The ordering
+    * carries a unique tiebreak (doc_id) so ranks are total.
+    */
+  def q40GlobalTopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"), col("source"),
+        (wsTokenCount(col("text")) * lexTokenCount(col("text"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q40Oracle: String =
+    """SELECT doc_id, source,
+      |  len(string_split_regex(trim(text), '\s+'))
+      |    * len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS score
+      |FROM documents ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -359,7 +379,8 @@ object TextQueries {
     "q36_pack_stats" -> (q36PackStats _),
     "q37_length_percentiles" -> (q37LengthPercentiles _),
     "q38_rollup_stats" -> (q38RollupStats _),
-    "q39_doc_frequency" -> (q39DocFrequency _))
+    "q39_doc_frequency" -> (q39DocFrequency _),
+    "q40_global_topk" -> (q40GlobalTopK _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -372,5 +393,6 @@ object TextQueries {
     "q35_train_split" -> q35Oracle,
     "q37_length_percentiles" -> q37Oracle,
     "q38_rollup_stats" -> q38Oracle,
-    "q39_doc_frequency" -> q39Oracle)
+    "q39_doc_frequency" -> q39Oracle,
+    "q40_global_topk" -> q40Oracle)
 }
