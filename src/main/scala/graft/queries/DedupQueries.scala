@@ -173,15 +173,67 @@ object DedupQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)""".stripMargin
   }
 
+  /** Corpus-level similarity via the MinHash signature AGGREGATOR: one
+    * 32-slot signature per source (partial/final elementwise-min merge
+    * — only 32 longs per source cross the shuffle, whatever the corpus
+    * size), then pairwise matching-slot counts, which estimate the
+    * Jaccard similarity of the sources' 3-gram universes. The portable
+    * affine hash family lets DuckDB re-derive the identical signatures,
+    * so even this sketch is hash-match checkable.
+    */
+  def q41SourceMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSignatureAgg
+    val d = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    // no distinct needed: min is idempotent under duplicate grams
+    val sigs = d
+      .select(col("source"), explode(Dedup.charNgrams(col("text"), 3)).as("g"))
+      .groupBy(col("source"))
+      .agg(MinHashSignatureAgg.udaf(32)(col("g")).as("sig"))
+    val a = sigs.select(col("source").as("s1"), col("sig").as("sig1"))
+    val b = sigs.select(col("source").as("s2"), col("sig").as("sig2"))
+    a.join(b, col("s1") < col("s2"))
+      .select(col("s1"), col("s2"),
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))")
+          .as("matching_slots"))
+      .filter(col("matching_slots") >= 1)
+  }
+
+  val q41Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod}
+    s"""WITH g AS (
+       |  SELECT source,
+       |    unnest(list_transform(range(1, greatest(length(text)-2,1)+1),
+       |                          i -> substr(text, i, 3))) AS s
+       |  FROM documents),
+       |h AS (
+       |  SELECT source,
+       |    list_reduce(list_transform(range(1, length(s)+1), i -> ascii(s[i])::BIGINT),
+       |                (a, b) -> (a * $Base + b) % $Mod) AS hv
+       |  FROM g),
+       |shifted AS (
+       |  SELECT source, j, (hv + j * 48271) % $Mod AS v
+       |  FROM h, range(0, 32) t(j)),
+       |slots AS (
+       |  SELECT source, j, min((v * v) % $Mod) AS mn
+       |  FROM shifted GROUP BY source, j),
+       |matches AS (
+       |  SELECT a.source AS s1, b.source AS s2
+       |  FROM slots a JOIN slots b ON a.j = b.j AND a.mn = b.mn AND a.source < b.source)
+       |SELECT s1, s2, count(*) AS matching_slots FROM matches GROUP BY s1, s2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
     "q22_ngram_jaccard" -> (q22NgramJaccard _),
     "q23_simhash" -> (q23Simhash _),
-    "q34_embed_dedup" -> (q34EmbedDedup _))
+    "q34_embed_dedup" -> (q34EmbedDedup _),
+    "q41_source_minhash" -> (q41SourceMinhash _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
     "q22_ngram_jaccard" -> q22Oracle,
-    "q34_embed_dedup" -> q34Oracle)
+    "q34_embed_dedup" -> q34Oracle,
+    "q41_source_minhash" -> q41Oracle)
 }

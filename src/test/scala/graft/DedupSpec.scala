@@ -108,6 +108,29 @@ class DedupSpec extends SparkSpec {
     assert(bands.forall(b => b >= 0 && b <= 65535))
   }
 
+  test("minhash signature aggregator: merge-order-independent, estimates jaccard") {
+    import graft.functions.{MinHashSignatureAgg, PortableHash}
+    // identical element sets → identical signatures regardless of
+    // partitioning/merge order
+    val elems = (1 to 200).map(i => s"elem$i")
+    def sig(parts: Int): Seq[Long] =
+      elems.toDF("e").repartition(parts)
+        .agg(MinHashSignatureAgg.udaf(32)(col("e"))).as[Seq[Long]].head()
+    assert(sig(1) == sig(7))
+    // scala-side reference: slot j = min over elements of slot(hash(e), j)
+    val expected = (0 until 32).map { j =>
+      elems.map(e => PortableHash.slot(PortableHash.hash(e), j)).min
+    }
+    assert(sig(3) == expected)
+    // overlapping sets share slots roughly in proportion to jaccard:
+    // 50% overlap → expect a substantial fraction of matching slots
+    val other = (101 to 300).map(i => s"elem$i")
+    val sigOther = other.toDF("e")
+      .agg(MinHashSignatureAgg.udaf(32)(col("e"))).as[Seq[Long]].head()
+    val matching = sig(1).zip(sigOther).count { case (x, y) => x == y }
+    assert(matching >= 3 && matching <= 29, s"matching=$matching") // jac=1/3
+  }
+
   test("fused sortedShingles equals array_sort(array_distinct(tokenShingles))") {
     val texts = Seq("a b c d e", "one two", "solo", "", "x x x x")
     texts.foreach { t =>
