@@ -86,6 +86,23 @@ object Stateful {
     * streams; without it, state grows with distinct fingerprints
     * (suitable for finite backfills).
     */
+  /** End-to-end streaming content dedup: raw (doc_id, text) stream →
+    * batch-identical sha-256 content fingerprint (TextAnalysis) →
+    * first-seen suppression. One shuffle (the fingerprint grouping);
+    * the fingerprint itself is a scalar projection on the stream.
+    */
+  def dedupStreamByContent(docs: org.apache.spark.sql.DataFrame,
+                           ttl: Option[String] = None): Dataset[FingerprintedDoc] = {
+    import docs.sparkSession.implicits._
+    dedupFirstSeen(
+      docs.select(
+        org.apache.spark.sql.functions.col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(
+          org.apache.spark.sql.functions.col("text")).as("fingerprint"))
+        .as[FingerprintedDoc],
+      ttl)
+  }
+
   def dedupFirstSeen(docs: Dataset[FingerprintedDoc],
                      ttl: Option[String] = None): Dataset[FingerprintedDoc] = {
     import docs.sparkSession.implicits._

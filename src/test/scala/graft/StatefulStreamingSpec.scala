@@ -41,6 +41,23 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows.size == 5)                             // late replay emitted nothing
   }
 
+  test("dedupStreamByContent: whitespace-variant duplicates collapse to one survivor") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Stateful.dedupStreamByContent(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("content_dedup").outputMode("update").start()
+    mem.addData(
+      (10L, "The  quick   brown fox"),
+      (11L, "the quick brown FOX".toLowerCase), // same normalized content? no — case differs from #10 only by case+ws
+      (12L, "entirely different text"))
+    q.processAllAvailable()
+    val out = spark.table("content_dedup").as[FingerprintedDoc].collect()
+      .map(_.doc_id).toSet
+    q.stop()
+    // 10 and 11 normalize identically (lowercase + collapsed whitespace)
+    assert(out == Set(10L, 12L))
+  }
+
   test("dedupFirstSeen: one survivor per fingerprint across batches, min id in-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[FingerprintedDoc]
