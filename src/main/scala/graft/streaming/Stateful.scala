@@ -1,8 +1,10 @@
 package graft.streaming
 
 import java.sql.Date
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.TextAnalysis
 
 /** A country's cumulative totals as published by the daily feed. */
 case class CumulativeReport(country_region: String, report_date: Date,
@@ -86,23 +88,6 @@ object Stateful {
     * streams; without it, state grows with distinct fingerprints
     * (suitable for finite backfills).
     */
-  /** End-to-end streaming content dedup: raw (doc_id, text) stream →
-    * batch-identical sha-256 content fingerprint (TextAnalysis) →
-    * first-seen suppression. One shuffle (the fingerprint grouping);
-    * the fingerprint itself is a scalar projection on the stream.
-    */
-  def dedupStreamByContent(docs: org.apache.spark.sql.DataFrame,
-                           ttl: Option[String] = None): Dataset[FingerprintedDoc] = {
-    import docs.sparkSession.implicits._
-    dedupFirstSeen(
-      docs.select(
-        org.apache.spark.sql.functions.col("doc_id").cast("long").as("doc_id"),
-        graft.operators.TextAnalysis.fingerprint(
-          org.apache.spark.sql.functions.col("text")).as("fingerprint"))
-        .as[FingerprintedDoc],
-      ttl)
-  }
-
   def dedupFirstSeen(docs: Dataset[FingerprintedDoc],
                      ttl: Option[String] = None): Dataset[FingerprintedDoc] = {
     import docs.sparkSession.implicits._
@@ -131,5 +116,27 @@ object Stateful {
             }
           }
       }
+  }
+
+  /** End-to-end streaming content dedup: raw (doc_id, text) stream →
+    * batch-identical sha-256 content fingerprint (TextAnalysis) →
+    * [[dedupFirstSeen]]. One shuffle (the fingerprint grouping); the
+    * fingerprint itself is a scalar projection on the stream.
+    * Defensive contract: malformed ids become null via try_cast (not
+    * an ANSI micro-batch abort) and rows with a null id or null text
+    * are passed over rather than deduped — null text would otherwise
+    * fingerprint to null and collapse every text-less document into
+    * one "duplicate" group, silently dropping all but the first.
+    */
+  def dedupStreamByContent(docs: DataFrame,
+                           ttl: Option[String] = None): Dataset[FingerprintedDoc] = {
+    import docs.sparkSession.implicits._
+    dedupFirstSeen(
+      docs.select(
+          col("doc_id").try_cast("long").as("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .filter(col("doc_id").isNotNull && col("fingerprint").isNotNull)
+        .as[FingerprintedDoc],
+      ttl)
   }
 }
