@@ -12,17 +12,27 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Sorted for stable ordering; per-query progress to stderr so a
     // slow query is identifiable while the bench runs.
+    // A failed query must NOT masquerade as a fast one: record it loudly
+    // (stderr + an errors list in the JSON) so a regression reads as a
+    // failure, never as a benchmark improvement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(e.toString.takeWhile(_ != '\n'))
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
-      name -> sec
+      err match {
+        case None => System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+        case Some(m) => System.err.println(f"[bench] $name%-28s FAILED: $m")
+      }
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" }
+    val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }

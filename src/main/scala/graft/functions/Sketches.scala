@@ -351,11 +351,18 @@ object TokenShinglesHelper {
     while (i < count) {
       sb.setLength(0)
       var j = i
+      var appended = false
       val end = math.min(i + n, len)
       while (j < end) {
-        if (j > i) sb.append(' ')
+        // concat_ws SKIPS null elements entirely (no separator for
+        // them); the separator flag must track appended tokens, not
+        // position, or null-bearing arrays diverge from the HOF form
         val t = tokens.getUTF8String(j)
-        if (t != null) sb.append(t.toString)
+        if (t != null) {
+          if (appended) sb.append(' ')
+          sb.append(t.toString)
+          appended = true
+        }
         j += 1
       }
       set.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))

@@ -40,9 +40,9 @@ object Multimodal {
         (col("doc_id") % 3).cast("int") + 1).as("modality"),
       col("text").cast("binary").as("payload"))
       .withColumn("meta", struct(
-        concat(lit("application/x-fake-"),
-          element_at(lit(Array("image", "audio", "video")),
-            (col("doc_id") % 3).cast("int") + 1)).as("contentType"),
+        // derive from the modality column — the doc_id→modality cycle
+        // is defined in exactly one place above
+        concat(lit("application/x-fake-"), col("modality")).as("contentType"),
         (length(col("payload")) % 640).cast("int").as("width"),
         (length(col("payload")) % 480).cast("int").as("height"),
         lit(16000).as("sampleRate"),
@@ -82,14 +82,18 @@ object Multimodal {
 
   /** Frame sampling for video payloads: every `stride`-th fixed-size
     * chunk as a frame row — pure built-ins (substr on binary + explode),
-    * no UDF, codegen-friendly.
+    * no UDF, codegen-friendly. Only FULL frames are emitted (the index
+    * bound is the last offset with frameBytes available): a fixed-size
+    * frame decoder downstream must never receive a truncated tail.
+    * Payloads shorter than one frame yield no rows.
     */
   def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     assets.filter(col("modality") === "video")
+      .filter(length(col("payload")) >= frameBytes)
       .withColumn("frame_idx",
         explode(sequence(lit(0),
-          greatest(floor((length(col("payload")) - 1) / (frameBytes * stride))
-            .cast("int"), lit(0)))))
+          floor((length(col("payload")) - frameBytes) / (frameBytes * stride))
+            .cast("int"))))
       .select(
         col("doc_id"), col("frame_idx"),
         expr(s"substr(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)")

@@ -18,19 +18,13 @@ object Sampling {
 
   private val HexChars = "0123456789abcdef"
 
-  /** Value of one lowercase hex character (when-chain: plain CASE in
-    * any SQL engine, codegen'd in Spark).
+  /** First byte of sha-256(id) as a bucket in [0, 256): one `conv`
+    * call (base-16 parse) on the first two hex chars. The oracle text
+    * uses a strpos lookup instead because not every engine has conv —
+    * same arithmetic, q35's gate proves the equality.
     */
-  def hexVal(c: Column): Column =
-    HexChars.zipWithIndex.tail.foldLeft(when(c === "0", 0)) {
-      case (acc, (ch, v)) => acc.when(c === ch.toString, v)
-    }
-
-  /** First byte of sha-256(id) as a bucket in [0, 256). */
-  def hashBucket(id: Column): Column = {
-    val h = sha2(id.cast("string"), 256)
-    hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
-  }
+  def hashBucket(id: Column): Column =
+    conv(substring(sha2(id.cast("string"), 256), 1, 2), 16, 10).cast("int")
 
   /** 'train' for buckets below `trainBuckets`, else 'val' — e.g. 230/256
     * ≈ 89.8% train.

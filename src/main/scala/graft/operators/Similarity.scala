@@ -158,6 +158,22 @@ object Similarity {
         .otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Near-similar pairs inside sign buckets: bucketed self-join (never
+    * an all-pairs product), id1 < id2, exact cosine ≥ minCos. Shared by
+    * the pair-mining and dedup queries so bucketing/threshold semantics
+    * live in one place. Output: (bucket, id1, id2).
+    */
+  def signBucketNearPairs(embeddings: DataFrame, bits: Int,
+                          minCos: Double): DataFrame = {
+    val e = embeddings.withColumn("bucket", signBucket(col("embedding"), bits))
+    val a = e.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = e.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .filter(cosine(col("v1"), col("v2")) >= minCos)
+      .select(col("bucket"), col("id1"), col("id2"))
+  }
+
   /** The same bucket as DuckDB SQL text (for oracle generation). */
   def signBucketSql(vecExpr: String, bits: Int): String =
     (0 until bits).map { i =>

@@ -23,16 +23,16 @@ object TextAnalysis {
   def lexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Non-overlapping occurrences of `word` as a standalone token, via
-    * replace-counting (identical semantics in ANSI SQL engines, so it
-    * oracle-checks cleanly; a regexp_count would too, but this is cheaper).
+  /** Occurrences of `word` as a standalone token: count matching
+    * elements of the whitespace tokenization. (An earlier
+    * replace-counting formulation undercounted CONSECUTIVE occurrences —
+    * "the the" counted 1 — because each replace consumed the boundary
+    * space the next match needed; token-filter counting has no boundary
+    * sharing. Regex lookaround would too, but RE2-based engines can't
+    * oracle-check it.)
     */
-  def occurrences(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    val needle = s" $word "
-    ((length(padded) - length(replace(padded, lit(needle), lit("")))) /
-      needle.length).cast("int")
-  }
+  def occurrences(text: Column, word: String): Column =
+    size(filter(wsTokens(text), t => t === word))
 
   /** Marker words per language for the n-gram/stopword heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -57,6 +57,8 @@ object JaccardLengthPrune extends Rule[LogicalPlan] {
         if t > 0 => Seq(bound(j, t))
     case LessThanOrEqual(Literal(t: Double, DoubleType), j: SortedIntArrayJaccard)
         if t > 0 => Seq(bound(j, t))
+    case LessThan(Literal(t: Double, DoubleType), j: SortedIntArrayJaccard)
+        if t > 0 => Seq(bound(j, t))
     case _ => Nil
   }
 }

@@ -149,12 +149,8 @@ object DedupQueries {
   def q34EmbedDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("bucket", Similarity.signBucket(col("embedding"), 8))
-    val a = e.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = e.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
-    val dropped = a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.25)
+    // same bucketing/threshold as q26, from the shared pair miner
+    val dropped = Similarity.signBucketNearPairs(e, bits = 8, minCos = 0.25)
       .select(col("id2").as("vec_id"))
     e.join(dropped, Seq("vec_id"), "left_anti").select(col("vec_id"))
   }

@@ -60,17 +60,9 @@ object SimilarityQueries {
     * the bucketing and the threshold decision are computed identically
     * by the oracle.
     */
-  def q26SignBucketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("bucket", Similarity.signBucket(col("embedding"), 8))
-    val a = e.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = e.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("v2"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
-      .filter(col("cos") >= 0.25)
-      .select(col("bucket"), col("id1"), col("id2"))
-  }
+  def q26SignBucketPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.signBucketNearPairs(
+      Tables.load(spark, dir, "embeddings"), bits = 8, minCos = 0.25)
 
   val q26Oracle: String = {
     val bucket = Similarity.signBucketSql("embedding", 8)

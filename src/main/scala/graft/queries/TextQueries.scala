@@ -46,10 +46,8 @@ object TextQueries {
     scored
   }
 
-  private def occSql(word: String): String = {
-    val needle = s" $word "
-    s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', '$needle', ''))) / ${needle.length} AS INT)"
-  }
+  private def occSql(word: String): String =
+    s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t = '$word'))"
 
   val q17Oracle: String = {
     val scoreExprs = langMarkers.map { case (l, ws) =>

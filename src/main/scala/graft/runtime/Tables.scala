@@ -24,6 +24,13 @@ object Tables {
     * value DuckDB produces with `CAST(ts AS TIMESTAMP)`.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // Deliberately session-global: the legacy nanos conf is consulted at
+    // EXECUTION time by the parquet readers, so a per-read option or a
+    // set/restore around load() fails as soon as the (lazy) plan
+    // actually runs — verified: the scan throws PARQUET_TYPE_ILLEGAL
+    // with only .option("nanosAsLong"). Session-wide effect on other
+    // TIMESTAMP(NANOS) reads: they decode as raw nanos Longs instead of
+    // erroring; no currently-supported table is affected.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

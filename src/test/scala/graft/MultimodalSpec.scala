@@ -52,9 +52,12 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(
       Multimodal.assetsFromDocuments(docs), frameBytes = 16, stride = 2)
     val rows = frames.collect()
-    // only doc 2 is video (100 bytes): chunks at stride 2*16=32 -> idx 0..3
+    // only doc 2 is video (100 bytes): full 16-byte frames at stride
+    // 2*16=32 start at offsets 0/32/64 — the 4-byte tail at offset 96
+    // is NOT emitted (fixed-size decoders must never see a short frame)
     assert(rows.forall(_.getAs[Long]("doc_id") == 2L))
-    assert(rows.length == 4)
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").length == 16))
     val first = rows.find(_.getAs[Int]("frame_idx") == 0).get
     assert(new String(first.getAs[Array[Byte]]("frame_bytes"), "UTF-8") == "g" * 16)
   }
