@@ -82,9 +82,47 @@ class MinHashSignatureAgg(numSlots: Int)
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
 
+/** Same signature aggregation over PRE-HASHED elements (the exploded
+  * output of functions.GramHashes): the reduce path is pure slot
+  * arithmetic — no string materialization or per-element re-hashing.
+  * Identical signatures to the string form by construction (GramHashes
+  * emits exactly PortableHash.hash of each gram).
+  */
+class MinHashSignatureFromHashes(numSlots: Int)
+  extends Aggregator[Long, Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = Array.fill(numSlots)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var j = 0
+    while (j < numSlots) {
+      val v = PortableHash.slot(h, j)
+      if (v < buf(j)) buf(j) = v
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < numSlots) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object MinHashSignatureAgg {
   /** Column-usable UDAF: groupBy(...).agg(MinHashSignatureAgg.udaf(32)(col)). */
   def udaf(numSlots: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(
       new MinHashSignatureAgg(numSlots), Encoders.STRING)
+
+  /** UDAF over pre-hashed gram values (array<long> exploded). */
+  def udafFromHashes(numSlots: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new MinHashSignatureFromHashes(numSlots), Encoders.scalaLong)
 }

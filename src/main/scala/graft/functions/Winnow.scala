@@ -83,3 +83,64 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
 }
+
+object GramHashesHelper {
+  /** PortableHash of every char n-gram of the text, by position (no
+    * distinct — minhash minimization is idempotent under duplicates),
+    * computed with one rolling pass instead of materializing gram
+    * strings. Value-identical to PortableHash.hash over each
+    * charNgrams element, including the clamp: shorter than n yields
+    * one hash of the whole text.
+    */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val M = PortableHash.Mod
+    val B = PortableHash.Base
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - n + 1
+    if (m < 1) {
+      var h = 0L
+      var i = 0
+      while (i < cps.length) {
+        h = if (i == 0) cps(0).toLong else (h * B + cps(i)) % M
+        i += 1
+      }
+      return new GenericArrayData(Array(h))
+    }
+    var pow = 1L // B^(n−1) mod M
+    var i = 0
+    while (i < n - 1) { pow = pow * B % M; i += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < n) { h = if (i == 0) cps(0).toLong else (h * B + cps(i)) % M; i += 1 }
+    out(0) = h
+    i = 1
+    while (i < m) {
+      h = ((h - cps(i - 1).toLong * pow % M + M) % M * B + cps(i + n - 1)) % M
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+
+/** string → array<long> of PortableHash values of every char n-gram. */
+case class GramHashes(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "gram size must be positive")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramHashesHelper.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramHashesHelper.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}

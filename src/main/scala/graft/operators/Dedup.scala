@@ -66,6 +66,14 @@ object Dedup {
       graft.functions.PackedNgrams(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
+  /** PortableHash of every char n-gram, rolling, no gram strings
+    * materialized (codegen'd) — feed MinHashSignatureAgg.udafFromHashes.
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.GramHashes(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+
   /** Jaccard of two packedNgrams arrays (sorted distinct ints). */
   def sortedIntJaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

@@ -181,11 +181,14 @@ object DedupQueries {
     import graft.functions.MinHashSignatureAgg
     val d = Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
-    // no distinct needed: min is idempotent under duplicate grams
+    // Grams are hashed by the rolling codegen'd expression and exploded
+    // as longs — no gram strings ever materialize (min is idempotent,
+    // so skipping distinct changes nothing). explode_outer dodges the
+    // implicit size>0 pushed filter (arrays are never empty).
     val sigs = d
-      .select(col("source"), explode(Dedup.charNgrams(col("text"), 3)).as("g"))
+      .select(col("source"), explode_outer(Dedup.gramHashes(col("text"), 3)).as("gh"))
       .groupBy(col("source"))
-      .agg(MinHashSignatureAgg.udaf(32)(col("g")).as("sig"))
+      .agg(MinHashSignatureAgg.udafFromHashes(32)(col("gh")).as("sig"))
     val a = sigs.select(col("source").as("s1"), col("sig").as("sig1"))
     val b = sigs.select(col("source").as("s2"), col("sig").as("sig2"))
     a.join(b, col("s1") < col("s2"))

@@ -131,6 +131,21 @@ class DedupSpec extends SparkSpec {
     assert(matching >= 3 && matching <= 29, s"matching=$matching") // jac=1/3
   }
 
+  test("rolling gram hashes equal PortableHash over each charNgrams element") {
+    import graft.functions.PortableHash
+    val texts = Seq("the quick brown fox", "ab", "abc", "abcd", "x")
+    texts.foreach { t =>
+      val (hashes, grams) = Seq(t).toDF("text")
+        .select(
+          graft.operators.Dedup.gramHashes(col("text"), 3).as("h"),
+          graft.operators.Dedup.charNgrams(col("text"), 3).as("g"))
+        .as[(Seq[Long], Seq[String])].head()
+      // positional hashes cover exactly the (possibly duplicated) gram
+      // sequence; charNgrams dedupes, so compare as sets
+      assert(hashes.toSet == grams.map(PortableHash.hash).toSet, s"for '$t'")
+    }
+  }
+
   test("fused sortedShingles equals array_sort(array_distinct(tokenShingles))") {
     val texts = Seq("a b c d e", "one two", "solo", "", "x x x x")
     texts.foreach { t =>
