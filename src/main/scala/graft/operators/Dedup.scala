@@ -202,4 +202,44 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** All (id1 < id2) pairs whose 64-bit fingerprints are within hamming
+    * distance `maxHamming` (≤ 3: pigeonhole soundness over the 4 16-bit
+    * bands), from an (idCol, hashCol) frame.
+    *
+    * Identical fingerprints are collapsed BEFORE banding: on a
+    * duplicate-heavy corpus every identical pair otherwise collides on
+    * all four bands and low-entropy fingerprints cluster band buckets,
+    * making within-bucket pairing quadratic in the duplicate count.
+    * Banding therefore runs over DISTINCT fingerprints only; hamming is
+    * computed directly on the fingerprint pair (no join-back); doc pairs
+    * re-expand via two hash joins on the fingerprint. The equal-
+    * fingerprint (hamming-0) pairs come from a same-key self-join — its
+    * output IS the answer's duplicate-pair list, so its size is bounded
+    * by the result, not an intermediate blowup.
+    */
+  def simHashNearPairs(fps: DataFrame, idCol: String, hashCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH is only sound for hamming <= 3")
+    val distinctFp = fps.select(col(hashCol)).distinct()
+      .withColumn("bands", simHashBands(hashCol))
+    val fpPairs = lshCandidatePairs(
+        distinctFp.select(col(hashCol), col("bands")), hashCol)
+      .select(col("id1").as("__h1"), col("id2").as("__h2"))
+      .withColumn("hamming", hamming(col("__h1"), col("__h2")))
+      .filter(col("hamming") <= maxHamming)
+    val cross = fpPairs
+      .join(fps.select(col(idCol).as("__d1"), col(hashCol).as("__h1")), Seq("__h1"))
+      .join(fps.select(col(idCol).as("__d2"), col(hashCol).as("__h2")), Seq("__h2"))
+      .select(
+        least(col("__d1"), col("__d2")).as("id1"),
+        greatest(col("__d1"), col("__d2")).as("id2"),
+        col("hamming"))
+    val within = fps.select(col(idCol).as("__d1"), col(hashCol).as("__h"))
+      .join(fps.select(col(idCol).as("__d2"), col(hashCol).as("__h")), Seq("__h"))
+      .filter(col("__d1") < col("__d2"))
+      .select(col("__d1").as("id1"), col("__d2").as("id2"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
+  }
 }

@@ -88,6 +88,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
+  /** Fused whitespace-token features (n_tokens, stopword occurrences,
+    * 2-token prefix key) as one codegen'd struct — one tokenization per
+    * row instead of one per feature; see graft.functions.TextFeatures.
+    */
+  def textFeatures(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TextFeatures(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** Stopword ratio derived from a textFeatures struct column. */
+  def stopwordRatioFrom(tf: Column): Column =
+    (tf.getField("occ_the") + tf.getField("occ_a") +
+      tf.getField("occ_and") + tf.getField("occ_of")).cast("double") /
+      tf.getField("n_tokens")
+
   /** Winnowing fingerprints (rolling-hash k-grams, window-min selection)
     * via the codegen'd expression — sorted distinct array<long>. Any
     * shared substring of length ≥ k+w−1 between two documents yields a

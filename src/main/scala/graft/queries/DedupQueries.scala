@@ -120,22 +120,14 @@ object DedupQueries {
     * bands).
     */
   def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val fp = Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      .withColumn("simhash", Dedup.simHash(col("toks")))
-      .withColumn("bands", Dedup.simHashBands("simhash"))
-    val pairs = Dedup.lshCandidatePairs(
-      d.select(col("doc_id"), col("bands")), "doc_id")
-    val fp = d.select(col("doc_id"), col("simhash"))
-    pairs
-      .join(fp.withColumnRenamed("doc_id", "id1")
-              .withColumnRenamed("simhash", "h1"), Seq("id1"))
-      .join(fp.withColumnRenamed("doc_id", "id2")
-              .withColumnRenamed("simhash", "h2"), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        Dedup.hamming(col("h1"), col("h2")).as("hamming"))
-      .filter(col("hamming") <= 3)
+      .select(col("doc_id"),
+        Dedup.simHash(TextAnalysis.wsTokens(col("text"))).as("simhash"))
+    // banding over DISTINCT fingerprints only: duplicate-heavy corpora
+    // otherwise collide every identical pair on all four bands and make
+    // within-bucket pairing quadratic in the duplicate count
+    Dedup.simHashNearPairs(fp, "doc_id", "simhash", maxHamming = 3)
   }
 
   /** Embedding-cosine near-dup dedup: drop every vector that has a

@@ -32,7 +32,8 @@ object EventQueries {
       |    sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                     ROWS UNBOUNDED PRECEDING) AS session_seq
       |  FROM marked)
-      |SELECT user_id, session_seq, count(*) AS n_events,
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  CAST(count(*) AS BIGINT) AS n_events,
       |  min(ts) AS started_at, max(ts) AS ended_at,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_seq""".stripMargin

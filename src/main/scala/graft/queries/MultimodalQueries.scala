@@ -32,7 +32,7 @@ object MultimodalQueries {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |                  ELSE 'video' END AS modality,
       |  count(*) AS n_assets,
-      |  sum(octet_length(encode(text))) AS total_bytes,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  max(CAST(ceil(octet_length(encode(text)) / 32.0) AS INT)) AS max_frames
       |FROM documents
       |GROUP BY 1""".stripMargin

@@ -198,7 +198,7 @@ object Parity {
 
   val q08Oracle: String =
     """SELECT event_type,
-      |  sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(*) AS n
       |FROM events
       |GROUP BY event_type""".stripMargin

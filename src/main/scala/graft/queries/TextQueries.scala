@@ -70,9 +70,10 @@ object TextQueries {
     */
   def q18Quality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val nTokens = wsTokenCount(col("text"))
+    val tf = textFeatures(col("text"))
+    val nTokens = tf.getField("n_tokens")
     val punctRatio = punctCount(col("text")).cast("double") / length(col("text"))
-    val stopRatio = stopwordRatio(col("text"))
+    val stopRatio = stopwordRatioFrom(tf)
     d.select(
       col("doc_id"),
       length(col("text")).as("n_chars_computed"),
@@ -141,15 +142,17 @@ object TextQueries {
     */
   def q30TrainingPrep(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val nTokens = wsTokenCount(col("text"))
+    // one fused tokenization feeds n_tokens, the stopword ratio, AND the
+    // dedup blocking key (was 3 independent regex splits per row)
+    val tf = textFeatures(col("text"))
+    val nTokens = tf.getField("n_tokens")
     val punctRatio = punctCount(col("text")).cast("double") / length(col("text"))
-    val stopRatio = stopwordRatio(col("text"))
+    val stopRatio = stopwordRatioFrom(tf)
     val ok = d
       .withColumn("n_tokens", nTokens)
       .withColumn("quality", qualityBucket(nTokens, punctRatio, stopRatio))
       .filter(col("quality") === "ok")
-      .withColumn("prefix_key",
-        concat_ws(" ", slice(wsTokens(col("text")), 1, 2)))
+      .withColumn("prefix_key", tf.getField("prefix_key"))
     val kept = graft.operators.Dedup.keepFirst(ok, col("prefix_key"), col("doc_id"))
     kept.groupBy(col("lang"))
       .agg(
@@ -177,8 +180,9 @@ object TextQueries {
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn
        |    FROM ok) WHERE rn = 1)
-       |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       |  sum(n_chars_c) AS total_chars
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars_c) AS BIGINT) AS total_chars
        |FROM kept GROUP BY lang""".stripMargin
   }
 
@@ -248,7 +252,8 @@ object TextQueries {
        |    CASE WHEN $bucket < 230 THEN 'train' ELSE 'val' END AS split,
        |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
        |  FROM documents)
-       |SELECT source, split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        |FROM assigned GROUP BY source, split""".stripMargin
   }
 
@@ -308,12 +313,20 @@ object TextQueries {
       .select(col("source"), col("lang"),
         wsTokenCount(col("text")).cast("long").as("n_tokens"))
     d.rollup(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .agg(
+        // grouping_id disambiguates a real NULL group key from the rollup
+        // subtotal row (classic ROLLUP ambiguity); oracle mirrors it via
+        // GROUPING(source)*2 + GROUPING(lang).
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
   }
 
   val q38Oracle: String =
-    """SELECT source, lang, count(*) AS n_docs,
-      |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+    """SELECT source, lang,
+      |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
       |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
 
   /** Document frequency: explode distinct tokens per doc, count docs per
@@ -326,10 +339,17 @@ object TextQueries {
     val d = Tables.load(spark, dir, "documents")
     val exploded = d
       .select(col("doc_id"), explode(array_distinct(wsTokens(col("text")))).as("token"))
-    val total = d.count()
+    // total doc count as a broadcast scalar inside the SAME lazy plan (no
+    // eager driver-side action, one job per execution); the 1-row agg side
+    // is broadcast, never shuffled.
+    val total = d.agg(count(lit(1)).cast("double").as("n_total"))
     exploded.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= (total.toDouble * 0.05))
+      .join(broadcast(total))
+      .filter(col("df") >= col("n_total") * 0.05)
+      .drop("n_total")
+      // the ≥5% df filter shrinks the set to the shared vocabulary before
+      // this single-partition ranking window — acceptable funnel.
       .withColumn("rank",
         row_number().over(Window.orderBy(col("df").desc, col("token"))))
   }

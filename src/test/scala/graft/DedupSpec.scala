@@ -98,6 +98,28 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(1L), fp(1L)) == 0)
   }
 
+  test("simHashNearPairs equals brute-force hamming<=3 pairs, dup-heavy corpus") {
+    // duplicate-heavy: 30 docs share fingerprint A, 3 near-A (d=1..3),
+    // 2 far outliers — exercises the distinct-fingerprint collapse path
+    val a = 0x0123456789ABCDEFL
+    val rows =
+      (1L to 30L).map(i => (i, a)) ++ Seq(
+        (31L, a ^ 1L),                     // d=1
+        (32L, a ^ 0x5L),                   // d=2
+        (33L, a ^ 0x7L),                   // d=3
+        (34L, a ^ 0xFFL),                  // d=8, out
+        (35L, ~a))                         // d=64, out
+    val fps = rows.toDF("doc_id", "simhash")
+    val got = Dedup.simHashNearPairs(fps, "doc_id", "simhash")
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (i, hi) <- rows; (j, hj) <- rows if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got == want)
+    assert(got.size == 30 * 29 / 2 + 3 * 30 + 3) // dups + near×dups + near×near
+  }
+
   test("simhash bands cover all 64 bits") {
     val bands = docs.filter($"doc_id" === 1)
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
