@@ -99,14 +99,21 @@ object Multimodal {
         expr(s"substr(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)")
           .as("frame_bytes"))
 
-  /** End-to-end: documents → assets (repartitioned by modality so a
-    * real decoder's codec state stays hot per-partition) → features.
+  /** End-to-end: documents → assets → features. Hashing on the bare
+    * 3-value modality key would cap the whole decode at 3 tasks
+    * regardless of cluster size, so the shuffle key is (modality,
+    * doc_id-derived salt) — every core gets work. A partition may then
+    * hold several (modality, salt) cells; sortWithinPartitions keeps
+    * rows modality-contiguous so decode batches stay homogeneous (codec
+    * state swaps at most twice per partition, not per batch).
     */
   def pipeline(spark: SparkSession, docs: DataFrame,
                batchSize: Int = 64): Dataset[AssetFeatures] = {
     import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
     val assets = assetsFromDocuments(docs)
-      .repartition(col("modality"))
+      .repartition(col("modality"), pmod(hash(col("doc_id")), lit(p)))
+      .sortWithinPartitions(col("modality"))
       .as[Asset]
     decodeStub(assets, batchSize)
   }

@@ -108,9 +108,13 @@ object Similarity {
     * assignment and probing are one scan + broadcast join with no
     * all-pairs product; the rerank join keys on cell id, so work is
     * proportional to probed-cell sizes — n/nlist × nprobe per query in
-    * expectation, not n. The row_number argmax keeps tie-breaks
-    * deterministic and oracle-portable; a `max_by` partial aggregate is
-    * the drop-in replacement if the assignment shuffle ever dominates.
+    * expectation, not n. Cell assignment is a `max_by` partial
+    * aggregate, not a window: the crossJoin against broadcast centroids
+    * keeps all nlist candidates of a vector in its partition, so the
+    * map-side combine collapses them to one row BEFORE the shuffle and
+    * nothing is sorted (a row_number window ships all n×nlist rows and
+    * sorts every partition). Tie-break matches the window formulation:
+    * highest cos, then lowest cid, via struct ordering on (ccos, -cid).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2): DataFrame = {
@@ -119,13 +123,14 @@ object Similarity {
     // sparse or offset id spaces)
     val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
     val assigned = corpus.crossJoin(centroids)
       .withColumn("ccos", cosine(col("embedding"), col("cvec")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("cid"), col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding")),
+        struct(col("ccos"), -col("cid"))).as("best"))
+      .select(col("best.cid").as("cid"), col("vec_id"),
+        col("best.embedding").as("embedding"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val probed = queries.crossJoin(centroids)

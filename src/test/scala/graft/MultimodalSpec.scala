@@ -62,15 +62,40 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(first.getAs[Array[Byte]]("frame_bytes"), "UTF-8") == "g" * 16)
   }
 
-  test("pipeline repartitions by modality (decoder state stays hot)") {
-    val assets = Multimodal.assetsFromDocuments(docs).repartition(col("modality"))
-    val perModality = assets.select(col("modality"))
-      .withColumn("pid", spark_partition_id())
-      .distinct().collect()
-      .groupBy(_.getAs[String]("modality"))
-      .map { case (_, rows) => rows.map(_.getAs[Int]("pid")).toSet }
-    // each modality is co-located in exactly one partition (hash
-    // collisions may share a partition between modalities — that's fine)
-    assert(perModality.forall(_.size == 1))
+  test("pipeline spreads each modality over many partitions, contiguously") {
+    val many = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat(lit("text for doc "), col("id")).as("text"))
+    // the test session runs 4 shuffle partitions + AQE coalescing (tiny
+    // data collapses to 1 partition) — pin a cluster-like width so the
+    // assertion exercises the key's spread, not the local coalescer
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val layout =
+      try {
+        Multimodal.assetsFromDocuments(many)
+          .repartition(col("modality"), pmod(hash(col("doc_id")), lit(32)))
+          .sortWithinPartitions(col("modality"))
+          .select(col("modality"))
+          .withColumn("pid", spark_partition_id())
+          .collect()
+          .map(r => (r.getAs[Int]("pid"), r.getAs[String]("modality")))
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoal)
+      }
+    // parallelism: a bare repartition(modality) would cap the decode at
+    // 3 partitions; the salted key must use (well more than) 3
+    val perModalityPids = layout.groupBy(_._2).map(_._2.map(_._1).toSet)
+    assert(perModalityPids.forall(_.size > 3))
+    // homogeneity: within a partition, rows are modality-contiguous, so
+    // batched decoders swap codec state at most (nModalities-1) times
+    val runs = layout.groupBy(_._1).map { case (_, rows) =>
+      val ms = rows.map(_._2)
+      ms.zip(ms.drop(1)).count { case (a, b) => a != b }
+    }
+    assert(runs.forall(_ <= 2))
   }
 }
