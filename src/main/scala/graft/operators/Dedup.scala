@@ -97,6 +97,18 @@ object Dedup {
         org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
         numHashes, bands))
 
+  /** SQL-portable variant of [[minHashBandKeys]] (PortableHash family,
+    * Horner band fold): slower per row than the xxhash form but every
+    * step is replayable by a SQL oracle, so the full LSH pipeline is
+    * hash-match checkable end to end. Use the xxhash form in production,
+    * this one where independent verification matters.
+    */
+  def portableMinHashBandKeys(shingles: Column, numHashes: Int, bands: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PortableMinHashBands(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
+        numHashes, bands))
+
   /** Same-bucket candidate pairs from an (id, bands) frame: explode to
     * (bandIdx, bandHash) buckets, self-join within buckets, id1 < id2.
     * This is the scale path — no all-pairs product anywhere.

@@ -66,19 +66,30 @@ object Similarity {
       graft.functions.HyperplaneBuckets(
         org.apache.spark.sql.graft.ColumnBridge.expression(vec), tables, bits))
 
+  /** SQL-portable variant of [[annBuckets]]: plane signs come from the
+    * parity-of-square integer hash instead of xxhash, and projections
+    * accumulate left-to-right in doubles — exactly what a SQL oracle's
+    * list_reduce replays, so ANN bucketing is independently checkable.
+    */
+  def portableAnnBuckets(vec: Column, tables: Int, bits: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PortableHyperplaneBuckets(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec), tables, bits))
+
   /** ANN top-k: candidates = corpus vectors sharing ≥1 (table, bucket)
     * with the query, exact-cosine reranked. Recall is tunable via
     * tables × bits; misses are possible by construction (that is the
     * accuracy/cost trade the scale path buys).
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 8, bits: Int = 8): DataFrame = {
+              tables: Int = 8, bits: Int = 8,
+              buckets: (Column, Int, Int) => Column = annBuckets): DataFrame = {
     // outer: a plain posexplode implies size(..)>0, which gets pushed
     // below the scan's partitioning and re-inlines the bucket
     // computation per-row in a filter (see Dedup.lshCandidatePairs).
     def explodeBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col(idCol), col(vecCol),
-          posexplode_outer(annBuckets(col(vecCol), tables, bits))
+          posexplode_outer(buckets(col(vecCol), tables, bits))
             .as(Seq("tbl", "bucket")))
     val c = explodeBuckets(corpus, "vec_id", "embedding")
     val q = explodeBuckets(queries, "query_id", "query_vec")

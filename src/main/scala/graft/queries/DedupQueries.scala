@@ -9,9 +9,10 @@ import graft.runtime.Tables
 /** Extension tier — deduplication over the `documents` table.
   *
   * q20 exact keep-first (oracle-checked), q21 MinHash+LSH candidate
-  * pipeline (xxhash64-based → no SQL oracle; driver records rows-only),
-  * q22 char-3-gram Jaccard verification with a DuckDB list-function
-  * oracle, q23 SimHash + banded hamming pairs (rows-only).
+  * pipeline (portable hash family → the whole sketch/band/verify chain
+  * is oracle-checked), q22 char-3-gram Jaccard verification with a
+  * DuckDB list-function oracle, q23 SimHash + banded hamming pairs
+  * (xxhash64 fingerprints → rows-only).
   */
 object DedupQueries {
 
@@ -50,6 +51,12 @@ object DedupQueries {
     * (b=8, r=4) puts the S-curve threshold at (1/b)^(1/r) ≈ 0.59 — the
     * near-dup regime. Looser bands (e.g. 2 rows) collide quadratically
     * on corpora with shared vocabulary and defeat the point of LSH.
+    *
+    * Band keys use the SQL-portable hash family (PortableHash slots +
+    * Horner band fold), so the ENTIRE pipeline — sketch, banding,
+    * candidate join, Jaccard verify — is replayed by the DuckDB oracle
+    * and hash-match checked, not just row-counted. The xxhash form
+    * ([[Dedup.minHashBandKeys]]) remains the production default.
     */
   def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // repartition: the testdata is one small parquet file (one input
@@ -60,7 +67,7 @@ object DedupQueries {
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
       .withColumn("shingles", Dedup.sortedShingles(col("toks"), 3))
     val withBands = d
-      .withColumn("bands", Dedup.minHashBandKeys(col("shingles"), 32, 8))
+      .withColumn("bands", Dedup.portableMinHashBandKeys(col("shingles"), 32, 8))
     val pairs = Dedup.lshCandidatePairs(
       withBands.select(col("doc_id"), col("bands")), "doc_id")
     val sets = d.select(col("doc_id"), col("shingles"))
@@ -72,6 +79,55 @@ object DedupQueries {
       .select(col("id1"), col("id2"),
         Dedup.sortedJaccard(col("sh1"), col("sh2")).as("shingle_jaccard"))
       .filter(col("shingle_jaccard") >= 0.5)
+  }
+
+  /** The full q21 LSH pipeline replayed in DuckDB: same shingles, same
+    * PortableHash slot family, same Horner band fold, same candidate
+    * join, same Jaccard verify. The empty-shingle CASE guards DuckDB's
+    * list_reduce (errors on an empty list) for whitespace-only docs,
+    * matching PortableHash.hash("") = 0.
+    */
+  val q21Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod}
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+       |      i -> array_to_string(list_slice(t, i, i+2), ' '))) AS shingles
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(s) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(range(1, length(s)+1), i -> ascii(s[i])::BIGINT),
+       |                  (a, b) -> (a * $Base + b) % $Mod) END AS hv
+       |  FROM hs),
+       |slots AS (
+       |  SELECT doc_id, j,
+       |    min(((hv + j * 48271) % $Mod) * ((hv + j * 48271) % $Mod) % $Mod) AS mn
+       |  FROM h, range(0, 32) t(j)
+       |  GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, j // 4 AS band_idx,
+       |    list_reduce(list(mn ORDER BY j), (a, b) -> (a * $Base + b) % $Mod) AS band_key
+       |  FROM slots GROUP BY doc_id, j // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |       AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.shingles, y.shingles))) AS shingle_jaccard
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.id1
+       |  JOIN sh y ON y.doc_id = c.id2)
+       |SELECT id1, id2, shingle_jaccard FROM verified
+       |WHERE shingle_jaccard >= 0.5""".stripMargin
   }
 
   /** n-gram Jaccard near-dup verify, blocked by `source` (a real blocking
@@ -199,8 +255,9 @@ object DedupQueries {
        |  FROM documents),
        |h AS (
        |  SELECT source,
-       |    list_reduce(list_transform(range(1, length(s)+1), i -> ascii(s[i])::BIGINT),
-       |                (a, b) -> (a * $Base + b) % $Mod) AS hv
+       |    CASE WHEN length(s) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(range(1, length(s)+1), i -> ascii(s[i])::BIGINT),
+       |                  (a, b) -> (a * $Base + b) % $Mod) END AS hv
        |  FROM g),
        |shifted AS (
        |  SELECT source, j, (hv + j * 48271) % $Mod AS v
@@ -224,6 +281,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
+    "q21_minhash_lsh" -> q21Oracle,
     "q22_ngram_jaccard" -> q22Oracle,
     "q34_embed_dedup" -> q34Oracle,
     "q41_source_minhash" -> q41Oracle)

@@ -9,8 +9,9 @@ import graft.runtime.Tables
   *
   * q24 brute-force cosine top-k (exact baseline, oracle-checked on
   * neighbor ids/ranks), q25 multi-table hyperplane-LSH ANN (scale path,
-  * xxhash64-based → rows-only), q26 sign-bucketed near-similar pairs
-  * (bucketed join, oracle-checked — the bucket function is plain SQL).
+  * portable plane hash → fully oracle-checked), q26 sign-bucketed
+  * near-similar pairs (bucketed join, oracle-checked — the bucket
+  * function is plain SQL).
   */
 object SimilarityQueries {
 
@@ -48,11 +49,56 @@ object SimilarityQueries {
   /** ANN top-5 via 8 tables × 8-bit hyperplane signatures, exact-cosine
     * reranked. Work scales with bucket collisions, never the full n²
     * product — this is the plan shape that survives 100 TB.
+    *
+    * Buckets use the SQL-portable plane-sign hash so the DuckDB oracle
+    * replays the ENTIRE ANN pipeline — signatures, bucket join, rerank —
+    * and the result is hash-match checked ([[Similarity.annBuckets]],
+    * the xxhash form, stays the production default).
     */
   def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-    Similarity.annTopK(e, queriesOf(e), 5)
+    Similarity.annTopK(e, queriesOf(e), 5,
+        buckets = Similarity.portableAnnBuckets)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** The q25 pipeline replayed in DuckDB. The plane sign for flat index
+    * x = (t·bits+p)·dims+i is the parity of ((x+1)·48271)² mod 2^31−1 —
+    * integer arithmetic both engines compute identically — and each
+    * projection folds left-to-right in doubles exactly like the fused
+    * Spark expression, so even the dot-product signs match bit-for-bit.
+    */
+  val q25Oracle: String = {
+    val M = graft.functions.PortableHash.Mod
+    val (tables, bits, dims, k) = (8, 8, 64, 5)
+    // ±embedding[i+1] by the parity-of-square sign; v stays < 2^31 so
+    // v*v fits BIGINT on both engines
+    val signedComponent =
+      s"""CASE WHEN ((((t*$bits+p)*$dims+i+1)*48271) % $M)
+         |           * ((((t*$bits+p)*$dims+i+1)*48271) % $M) % $M % 2 = 1
+         |      THEN CAST(embedding[i+1] AS DOUBLE)
+         |      ELSE -CAST(embedding[i+1] AS DOUBLE) END""".stripMargin
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, tt.t AS tbl,
+       |    list_reduce(list_transform(range(0, $bits), p ->
+       |      CASE WHEN list_reduce(list_transform(range(0, $dims), i ->
+       |             $signedComponent), (acc, x) -> acc + x) > 0
+       |        THEN CAST(1 << ($bits - 1 - p) AS BIGINT) ELSE 0 END),
+       |      (acc, x) -> acc + x) AS bucket
+       |  FROM embeddings, range(0, $tables) tt(t)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS query_vec,
+       |    c.vec_id AS neighbor_id, c.embedding AS cemb
+       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("query_vec", "cemb")} AS cos
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
   /** Near-similar pair mining inside SQL-portable sign buckets (first 8
@@ -133,6 +179,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
+    "q25_ann_lsh" -> q25Oracle,
     "q26_sign_bucket_pairs" -> q26Oracle,
     "q33_ivf_ann" -> q33Oracle)
 }

@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("portable minhash+LSH (q21 family) finds the planted pair too") {
+    val withBands = withShingles
+      .withColumn("bands", Dedup.portableMinHashBandKeys(col("shingles"), 32, 8))
+    val pairs = Dedup.lshCandidatePairs(
+      withBands.select(col("doc_id"), col("bands")), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("minhash band keys are deterministic and identical for identical docs") {
     val dup = Seq((10L, "same text here again"), (11L, "same text here again"),
         (12L, "entirely other words instead"))

@@ -68,6 +68,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recalled >= 16, s"recall@1 too low: $recalled/20")
   }
 
+  test("portable ANN buckets: signs well-mixed, recall holds (q25 family)") {
+    import graft.functions.PortableHyperplaneHelper
+    // the portable sign hash must not degenerate (an affine-only map
+    // preserves index parity → alternating signs → useless planes)
+    val signs = (0 until 512).map(PortableHyperplaneHelper.planeSign)
+    val pos = signs.count(_ > 0)
+    assert(pos > 180 && pos < 330, s"plane signs skewed: $pos/512 positive")
+    val alternations = signs.sliding(2).count(w => w(0) != w(1))
+    assert(alternations > 180 && alternations < 330,
+      s"plane signs look periodic: $alternations/511 alternations")
+    val corpus = plantedVectors.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ann = Similarity.annTopK(corpus, queries, 1, tables = 8, bits = 6,
+        buckets = Similarity.portableAnnBuckets)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recalled = (0L until 20L).count(q => ann.get(q).contains(q + 100))
+    assert(recalled >= 16, s"portable recall@1 too low: $recalled/20")
+  }
+
   test("IVF: planted near-dups land in the same cell and are recalled") {
     val corpus = plantedVectors.toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") < 20)
