@@ -237,15 +237,25 @@ object PackedNgramsHelper {
     * gram arrays are copied into every joined row, so element width is
     * the dominant byte-moved cost of the whole verify stage.
     */
+  /** Marks a truncated (shorter-than-n) pack for n ≤ 3: full n-grams
+    * occupy at most 24 bits, so bit 30 puts truncated packs in a
+    * disjoint range for EVERY byte value — a length-2 text can never
+    * collide with a full gram that happens to start with low bytes
+    * (control characters). n = 4 uses all 32 bits and has no spare bit;
+    * there the truncated/full separation relies on the ASCII contract
+    * documented on [[PackedNgrams]].
+    */
+  final val TruncatedTag = 1 << 30
+
   def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
     // shorter than n: one truncated gram, exactly like charNgrams'
-    // substr clamp (truncated packs stay below 0x10000 for printable
-    // ASCII while full 3-grams start at 0x200000, so no collision)
+    // substr clamp — tagged into its own value range (see TruncatedTag)
     if (bytes.length < n) {
       var v = 0
       var j = 0
       while (j < bytes.length) { v = (v << 8) | (bytes(j) & 0xff); j += 1 }
+      if (n <= 3) v |= TruncatedTag
       return new GenericArrayData(Array(v))
     }
     val m = bytes.length - n + 1
@@ -292,7 +302,18 @@ object PackedNgramsHelper {
   }
 }
 
-/** string → sorted distinct array<int> of byte n-grams (n ≤ 4). */
+/** string → sorted distinct array<int> of BYTE n-grams (n ≤ 4).
+  *
+  * CONTRACT: pack values are bijective with the byte n-gram set for all
+  * inputs (truncated short-text packs live in a tagged disjoint range
+  * for n ≤ 3). Equality with the CHARACTER n-gram set — what a
+  * `substr`-based oracle computes — additionally requires single-byte
+  * characters, i.e. ASCII text: multi-byte UTF-8 makes byte grams and
+  * char grams structurally different sets, silently changing Jaccard
+  * values relative to a char-gram oracle. Validate or pre-filter the
+  * corpus to ASCII where oracle parity matters (the bundled testdata
+  * is ASCII).
+  */
 case class PackedNgrams(child: Expression, n: Int) extends UnaryExpression
   with ImplicitCastInputTypes {
   require(n >= 1 && n <= 4, "packed n-grams support n in [1,4]")

@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.SortedIntArrayJaccard
 
@@ -28,23 +27,42 @@ import graft.functions.SortedIntArrayJaccard
   */
 object JaccardLengthPrune extends Rule[LogicalPlan] {
 
-  private val done = TreeNodeTag[Boolean]("graft.jaccardLengthPrune")
-
+  /** Idempotence is STRUCTURAL, not tag-based: guard conjuncts already
+    * present in the condition (by semanticEquals) are not re-added.
+    * Fixed-point optimizer batches interleave this rule with rules that
+    * REBUILD Filter nodes (PushDownPredicates, CombineFilters) — a
+    * TreeNodeTag does not survive the rebuild, so a tag-guarded rule
+    * would re-inject its conjuncts every iteration, bloating the
+    * predicate and risking batch non-convergence. The generated guards
+    * are deterministic for a given (jaccard, τ), so semantic equality
+    * recognizes them whatever node the condition ended up in.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) if f.getTagValue(done).isEmpty =>
+    case f @ Filter(cond, child) =>
+      val present = conjuncts(cond)
       val extra = prefilters(cond)
-      val out =
-        if (extra.isEmpty) f
-        else Filter(And(extra.reduce(And), cond), child)
-      out.setTagValue(done, true)
-      out
+        .filterNot(g => present.exists(_.semanticEquals(g)))
+        .foldLeft(Seq.empty[Expression]) { (acc, g) =>
+          if (acc.exists(_.semanticEquals(g))) acc else acc :+ g
+        }
+      if (extra.isEmpty) f
+      else Filter(And(extra.reduce(And), cond), child)
   }
 
-  private def bound(jac: SortedIntArrayJaccard, t: Double): Expression = {
+  private def conjuncts(cond: Expression): Seq[Expression] = cond match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case e => Seq(e)
+  }
+
+  /** The two size-ratio guards for one jaccard-threshold predicate,
+    * emitted as SEPARATE conjuncts so each is individually recognizable
+    * after CombineFilters/PushDownPredicates reassociate the And tree.
+    */
+  private def bound(jac: SortedIntArrayJaccard, t: Double): Seq[Expression] = {
     val tt = Literal(t - 1e-9, DoubleType)
     val (a, b) = (jac.left, jac.right)
     def sz(e: Expression) = Cast(Size(e), DoubleType)
-    And(
+    Seq(
       GreaterThanOrEqual(sz(a), Multiply(tt, sz(b))),
       GreaterThanOrEqual(sz(b), Multiply(tt, sz(a))))
   }
@@ -52,13 +70,13 @@ object JaccardLengthPrune extends Rule[LogicalPlan] {
   private def prefilters(cond: Expression): Seq[Expression] = cond match {
     case And(l, r) => prefilters(l) ++ prefilters(r)
     case GreaterThanOrEqual(j: SortedIntArrayJaccard, Literal(t: Double, DoubleType))
-        if t > 0 => Seq(bound(j, t))
+        if t > 0 => bound(j, t)
     case GreaterThan(j: SortedIntArrayJaccard, Literal(t: Double, DoubleType))
-        if t > 0 => Seq(bound(j, t))
+        if t > 0 => bound(j, t)
     case LessThanOrEqual(Literal(t: Double, DoubleType), j: SortedIntArrayJaccard)
-        if t > 0 => Seq(bound(j, t))
+        if t > 0 => bound(j, t)
     case LessThan(Literal(t: Double, DoubleType), j: SortedIntArrayJaccard)
-        if t > 0 => Seq(bound(j, t))
+        if t > 0 => bound(j, t)
     case _ => Nil
   }
 }

@@ -82,12 +82,19 @@ final case class Catalog(spark: SparkSession, root: String) {
     * a path read still sees the data but loses the bucket guarantee.
     */
   /** Session-catalog name for a bucketed table, scoped to this
-    * Catalog's root (hex of the root path hash) — two Catalog
-    * instances over different roots must not alias each other's
-    * bucketed tables the way a bare `layer_table` name would.
+    * Catalog's root — two Catalog instances over different roots must
+    * not alias each other's bucketed tables the way a bare
+    * `layer_table` name would. The suffix is the first 16 hex chars of
+    * sha-256 of the root: a 32-bit String.hashCode collides between
+    * real-world path pairs often enough that one warehouse could
+    * silently read another's buckets.
     */
-  private def bucketedName(layer: String, table: String): String =
-    f"graft_${root.hashCode & 0xffffffffL}%08x_${layer}_$table"
+  private def bucketedName(layer: String, table: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(root.getBytes("UTF-8"))
+    val hex = digest.take(8).map(b => f"$b%02x").mkString
+    s"graft_${hex}_${layer}_$table"
+  }
 
   def writeBucketed(df: DataFrame, layer: String, table: String,
                     buckets: Int, bucketCols: Seq[String]): Unit = {

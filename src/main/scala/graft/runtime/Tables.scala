@@ -32,8 +32,17 @@ object Tables {
     // TIMESTAMP(NANOS) reads: they decode as raw nanos Longs instead of
     // erroring; no currently-supported table is affected.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Loud contract check at the only sanctioned read site: if the file
+    // layout ever changes (ts already micros, or renamed), fail here
+    // with a clear message instead of silently emitting raw Longs
+    // downstream. Any OTHER nanos parquet must also come through a
+    // loader that normalizes its type — never a bare read.parquet.
+    require(
+      df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"events.ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+    df
   }
 
   /** Register all testdata tables as temp views (idempotent). */

@@ -47,9 +47,19 @@ class GraftExtensionsSpec extends SparkSpec {
       .filter(graft.operators.Dedup.sortedIntJaccard($"g1", $"g2") >= 0.6)
       .select($"id1", $"id2")
     // the rule rewrote the predicate: size() guards appear in the plan
-    val optimized = q.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("size("), optimized)
+    val optimized = q.queryExecution.optimizedPlan
+    assert(optimized.toString.contains("size("), optimized.toString)
     // and semantics are unchanged: only the planted near-dup survives
     assert(q.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    // idempotence is structural (tags do not survive Filter rebuilds by
+    // other fixed-point rules): each guard appears EXACTLY once in the
+    // final plan, and re-applying the rule to its own output is a no-op
+    // two guards, each reading both sizes → exactly 4 size() calls; any
+    // more means a fixed-point iteration re-injected its own conjuncts
+    val sizeCalls = "size\\(".r.findAllIn(optimized.toString).length
+    assert(sizeCalls == 4, s"expected 4 size calls (2 guards), got $sizeCalls")
+    val again = graft.plans.JaccardLengthPrune(optimized)
+    assert(again.fastEquals(optimized),
+      s"rule re-application changed an already-guarded plan:\n$again")
   }
 }
