@@ -40,6 +40,39 @@ class PopulationLayerSpec extends SparkSpec {
     assert(seeded.count() == 1)
   }
 
+  test("jdbcReader round-trips through an in-process Derby database") {
+    // the one executed pass of the federated-scan path: embedded Derby
+    // (already on Spark's classpath) stands in for the reference's
+    // PostgreSQL-behind-Trino source — same reader, same options
+    val url = "jdbc:derby:memory:graftpop;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE country_population (
+          |  country VARCHAR(64), country_code VARCHAR(8),
+          |  "year" INT, population BIGINT)""".stripMargin)
+      st.execute(
+        "INSERT INTO country_population VALUES ('United States','US',2020,331000000)")
+      st.execute(
+        "INSERT INTO country_population VALUES ('France','FR',2020,67000000)")
+    } finally conn.close()
+
+    val df = PopulationLayer
+      .jdbcReader(spark, url, "country_population", "", "")
+      .load()
+    val rows = df.orderBy("country_code")
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("France", "FR", 2020, 67000000L),
+      ("United States", "US", 2020, 331000000L)))
+
+    // and the seed path consumes the federated frame end to end
+    val cat = Catalog(spark, tmpDir("pop-jdbc-wh"))
+    assert(PopulationLayer.seedIfEmpty(cat, df))
+    assert(cat.read("raw", "country_population").count() == 2)
+  }
+
   test("alert digest renders a per-country HTML list, None when empty") {
     val alerts = Seq(
       (Date.valueOf("2020-03-01"), "Italy", "case_spike", "high", 0.1, "case rate 0.100% exceeds threshold"),
