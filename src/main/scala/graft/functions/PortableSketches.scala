@@ -86,6 +86,58 @@ case class PortableMinHashBands(child: Expression, numHashes: Int, numBands: Int
     copy(child = newChild)
 }
 
+object PortableSimHashHelper {
+  import PortableHash.{Mod => M}
+
+  /** 64-bit SimHash over a token array with SQL-portable votes: token
+    * vote for bit j is the parity of PortableHash.slot(hash(token), j)
+    * (+1 odd, −1 even); bit j of the fingerprint is set when the vote
+    * sum is strictly positive. Every occurrence votes (multiset
+    * semantics, matching SimHash64).
+    */
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h = if (t == null) 0L else PortableHash.hash(t.toString)
+      var j = 0
+      while (j < 64) {
+        val v = (h + j * 48271L) % M
+        if ((v * v % M & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+}
+
+/** array<string> tokens → SQL-portable 64-bit SimHash fingerprint. */
+case class PortableSimHash64(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableSimHashHelper.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableSimHashHelper.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash64 =
+    copy(child = newChild)
+}
+
 object PortableHyperplaneHelper {
   import PortableHash.Mod
 

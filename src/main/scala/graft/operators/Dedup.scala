@@ -204,6 +204,17 @@ object Dedup {
       graft.functions.SimHash64(
         org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
 
+  /** SQL-portable variant of [[simHash]] (PortableHash slot-parity
+    * votes): slower per token than the xxhash form, but an oracle can
+    * recompute the fingerprint — and since 4×16-bit banding is sound
+    * AND complete for hamming ≤ 3, the oracle then checks the whole
+    * near-pair mining against a brute-force hamming join.
+    */
+  def portableSimHash(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PortableSimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
+
   /** 16-bit SimHash bands (4 per fingerprint): two fingerprints within
     * hamming distance 3 of each other agree on ≥1 band, so banding is a
     * sound candidate filter for d ≤ 3.

@@ -12,7 +12,8 @@ import graft.runtime.Tables
   * pipeline (portable hash family → the whole sketch/band/verify chain
   * is oracle-checked), q22 char-3-gram Jaccard verification with a
   * DuckDB list-function oracle, q23 SimHash + banded hamming pairs
-  * (xxhash64 fingerprints → rows-only).
+  * (portable fingerprints → oracle checks them against brute-force
+  * hamming, proving the banding complete for d ≤ 3).
   */
 object DedupQueries {
 
@@ -179,11 +180,48 @@ object DedupQueries {
     val fp = Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        Dedup.simHash(TextAnalysis.wsTokens(col("text"))).as("simhash"))
+        Dedup.portableSimHash(TextAnalysis.wsTokens(col("text"))).as("simhash"))
     // banding over DISTINCT fingerprints only: duplicate-heavy corpora
     // otherwise collide every identical pair on all four bands and make
     // within-bucket pairing quadratic in the duplicate count
     Dedup.simHashNearPairs(fp, "doc_id", "simhash", maxHamming = 3)
+  }
+
+  /** Oracle: brute-force ALL hamming ≤ 3 pairs over recomputed portable
+    * fingerprints. 4×16-bit banding is sound AND complete for d ≤ 3, so
+    * the engine's banded mining must equal this exact pair set — the
+    * oracle checks the fingerprint math AND the LSH completeness claim
+    * in one comparison. (All-pairs is fine for the ORACLE at sf0.01;
+    * the engine side never does it.)
+    */
+  val q23Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod}
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(tok) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(range(1, length(tok)+1), i -> ascii(tok[i])::BIGINT),
+       |                  (a, b) -> (a * $Base + b) % $Mod) END AS hv
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((hv + j * 48271) % $Mod) * ((hv + j * 48271) % $Mod) % $Mod % 2 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM h, range(0, 64) t(j)
+       |  GROUP BY doc_id, j),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN
+       |          CASE WHEN j = 63 THEN (-9223372036854775807)::HUGEINT - 1
+       |               ELSE (1::BIGINT << j)::HUGEINT END
+       |        ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
   /** Embedding-cosine near-dup dedup: drop every vector that has a
@@ -283,6 +321,7 @@ object DedupQueries {
     "q20_exact_dedup" -> q20Oracle,
     "q21_minhash_lsh" -> q21Oracle,
     "q22_ngram_jaccard" -> q22Oracle,
+    "q23_simhash" -> q23Oracle,
     "q34_embed_dedup" -> q34Oracle,
     "q41_source_minhash" -> q41Oracle)
 }

@@ -108,6 +108,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(1L), fp(1L)) == 0)
   }
 
+  test("portable simhash (q23 family): near-dups close, unrelated docs far") {
+    val fp = docs
+      .select(col("doc_id"),
+        Dedup.portableSimHash(TextAnalysis.wsTokens(col("text"))).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+    assert(ham(fp(1L), fp(1L)) == 0)
+    // and the bits are well-mixed, not clustered in one band
+    val bits = java.lang.Long.bitCount(fp(3L))
+    assert(bits > 16 && bits < 48, s"fingerprint bits skewed: $bits/64 set")
+  }
+
   test("simHashNearPairs equals brute-force hamming<=3 pairs, dup-heavy corpus") {
     // duplicate-heavy: 30 docs share fingerprint A, 3 near-A (d=1..3),
     // 2 far outliers — exercises the distinct-fingerprint collapse path
