@@ -257,27 +257,67 @@ object TextQueries {
        |FROM assigned GROUP BY source, split""".stripMargin
   }
 
-  /** Sequence packing stats at a 512-token budget: how many training
-    * sequences the corpus packs into and how full they are. Packing is
-    * partition-local (graft.operators.Packing); range-partition +
-    * in-partition sort by doc_id makes the assignment deterministic for
-    * a fixed partition count. No SQL twin (imperative packing) → driver
-    * records the weaker rows-only check; PackingSpec covers semantics.
+  /** Sequence packing at a 512-token budget, reported as the
+    * PARTITION-INVARIANT facts plus packing-invariant checks, so even
+    * this imperative operator is oracle-checkable: the exact sequence
+    * count and fills depend on the shard layout (greedy packing is
+    * partition-local by design), but conservation (every doc packed
+    * exactly once, token totals preserved), the budget contract (only
+    * single-oversized-doc sequences may exceed it), and the count
+    * bounds (ceil(total/budget) ≤ n_seq ≤ n_docs) hold for EVERY
+    * layout. The oracle recomputes the facts relationally and expects
+    * every invariant flag = 1 — a packing bug flips a flag and fails
+    * the hash match. PackingSpec covers the per-sequence greedy
+    * semantics deterministically.
     */
   def q36PackStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Packing
+    val budget = 512L
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("n_tokens"))
       .repartitionByRange(32, col("doc_id"))
       .sortWithinPartitions("doc_id")
-    Packing.packSequences(d, budget = 512L).toDF()
+    val packed = Packing.packSequences(d, budget).toDF()
+    val corpus = broadcast(d.agg(
+      count(lit(1)).as("n_corpus_docs"),
+      sum(col("n_tokens")).as("corpus_tokens")))
+    val coverage = broadcast(packed
+      .select(explode(col("doc_ids")).as("doc_id"))
+      .agg(count(lit(1)).as("n_packed_slots"),
+        count_distinct(col("doc_id")).as("n_packed_docs")))
+    packed
       .agg(
         count(lit(1)).as("n_sequences"),
         sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"),
-        round(avg(col("fill")), 4).as("avg_fill"),
-        round(min(col("fill")), 4).as("min_fill"))
+        // multi-doc sequences must respect the budget; a lone oversized
+        // doc legitimately exceeds it (downstream truncator's job)
+        max(when(col("n_docs") > 1, col("total_tokens")).otherwise(0L))
+          .as("max_multi_tokens"),
+        min(col("total_tokens")).as("min_seq_tokens"))
+      .crossJoin(corpus)
+      .crossJoin(coverage)
+      .select(
+        col("n_docs"), col("total_tokens"),
+        (col("n_docs") === col("n_corpus_docs") &&
+          col("n_packed_slots") === col("n_corpus_docs") &&
+          col("n_packed_docs") === col("n_corpus_docs") &&
+          col("total_tokens") === col("corpus_tokens")).cast("int")
+          .as("conserved"),
+        (col("max_multi_tokens") <= budget).cast("int").as("within_budget"),
+        (col("n_sequences") >= ceil(col("total_tokens") / budget.toDouble) &&
+          col("n_sequences") <= col("n_docs") &&
+          col("min_seq_tokens") > 0).cast("int").as("bounds_ok"))
   }
+
+  val q36Oracle: String =
+    """WITH t AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tok
+      |  FROM documents)
+      |SELECT CAST(n AS BIGINT) AS n_docs, tok AS total_tokens,
+      |  1 AS conserved, 1 AS within_budget, 1 AS bounds_ok
+      |FROM t""".stripMargin
 
   /** Per-source length-distribution percentiles (exact interpolated
     * p50/p90/p99 over n_chars) — the corpus-profiling aggregate a
@@ -409,6 +449,7 @@ object TextQueries {
     "q30_training_prep" -> q30Oracle,
     "q31_winnow" -> q31Oracle,
     "q35_train_split" -> q35Oracle,
+    "q36_pack_stats" -> q36Oracle,
     "q37_length_percentiles" -> q37Oracle,
     "q38_rollup_stats" -> q38Oracle,
     "q39_doc_frequency" -> q39Oracle,
