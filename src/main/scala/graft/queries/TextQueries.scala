@@ -425,6 +425,91 @@ object TextQueries {
       |    * len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS score
       |FROM documents ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Gopher-style corpus quality gate (Rae et al. 2021 §A1.1 rule
+    * families, thresholds tuned to this corpus so both outcomes occur):
+    * per-source keep counts under token-count, mean-word-length,
+    * symbol-ratio, and stopword-presence rules. One fused tokenization
+    * (textFeatures) feeds every token-derived signal; the whole gate is
+    * per-document built-ins — scan-bound, shuffle only for the final
+    * per-source rollup.
+    */
+  def q42QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusFilters
+    val d = Tables.load(spark, dir, "documents")
+    val tf = textFeatures(col("text"))
+    val nTokens = tf.getField("n_tokens")
+    val keep = CorpusFilters.gopherKeep(
+      nTokens,
+      CorpusFilters.meanWordLen(col("text"), nTokens),
+      CorpusFilters.symbolRatio(col("text")),
+      CorpusFilters.stopwordHits(tf),
+      minTokens = 20, maxTokens = 1000,
+      minMeanWl = 3.0, maxMeanWl = 10.0,
+      maxSymbolRatio = 0.1, minStopHits = 1)
+    d.withColumn("keep", keep.cast("int"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"))
+  }
+
+  val q42Oracle: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+      |    length(regexp_replace(text, '\s+', '', 'g'))
+      |      * 1.0 / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_wl,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+      |      * 1.0 / greatest(length(text), 1) AS sym_ratio,
+      |    list_contains(string_split_regex(trim(text), '\s+'), 'the')::INT
+      |      + list_contains(string_split_regex(trim(text), '\s+'), 'a')::INT
+      |      + list_contains(string_split_regex(trim(text), '\s+'), 'and')::INT
+      |      + list_contains(string_split_regex(trim(text), '\s+'), 'of')::INT AS hits
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_tok >= 20 AND n_tok <= 1000
+      |    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+      |    AND sym_ratio <= 0.1 AND hits >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM s GROUP BY source""".stripMargin
+
+  /** Gopher's repetition signal: per-document duplicate-bigram profile
+    * (total bigram occurrences, top bigram count) with a flagged bit
+    * when the top bigram covers > 10% of the document. Relational
+    * two-stage aggregate — map-side combine on (doc, gram) collapses
+    * repeats before the shuffle.
+    */
+  def q43Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusFilters
+    val d = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    CorpusFilters.topNgramProfile(d, "doc_id", "toks", n = 2)
+      .select(
+        col("doc_id"), col("n_grams"), col("max_gram_count"),
+        (col("max_gram_count").cast("double") / col("n_grams") > 0.1)
+          .cast("int").as("repetitive"))
+  }
+
+  val q43Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+      |      i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+      |p AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |    CAST(max(cnt) AS BIGINT) AS max_gram_count
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_grams, max_gram_count,
+      |  CAST(CASE WHEN max_gram_count * 1.0 / n_grams > 0.1
+      |       THEN 1 ELSE 0 END AS INT) AS repetitive
+      |FROM p""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -438,7 +523,9 @@ object TextQueries {
     "q37_length_percentiles" -> (q37LengthPercentiles _),
     "q38_rollup_stats" -> (q38RollupStats _),
     "q39_doc_frequency" -> (q39DocFrequency _),
-    "q40_global_topk" -> (q40GlobalTopK _))
+    "q40_global_topk" -> (q40GlobalTopK _),
+    "q42_quality_filter" -> (q42QualityFilter _),
+    "q43_repetition" -> (q43Repetition _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -453,5 +540,7 @@ object TextQueries {
     "q37_length_percentiles" -> q37Oracle,
     "q38_rollup_stats" -> q38Oracle,
     "q39_doc_frequency" -> q39Oracle,
-    "q40_global_topk" -> q40Oracle)
+    "q40_global_topk" -> q40Oracle,
+    "q42_quality_filter" -> q42Oracle,
+    "q43_repetition" -> q43Oracle)
 }
