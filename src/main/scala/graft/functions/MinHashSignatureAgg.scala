@@ -15,6 +15,12 @@ import org.apache.spark.sql.expressions.Aggregator
 object PortableHash {
   val Mod = 2147483647L
   val Base = 257L
+  /** The hash family's slot-shift multiplier (Lehmer/minstd constant).
+    * Every Scala helper AND every generated oracle SQL interpolates
+    * THIS value — a bare 48271 literal anywhere else would silently
+    * desync engine from oracle if the family ever changes.
+    */
+  val Shift = 48271L
 
   def hash(s: String): Long = {
     var h = 0L
@@ -40,7 +46,7 @@ object PortableHash {
     * and 0/32 on disjoint sets.
     */
   def slot(h: Long, j: Int): Long = {
-    val v = (h + j * 48271L) % Mod
+    val v = (h + j * Shift) % Mod
     v * v % Mod
   }
 }

@@ -87,7 +87,6 @@ case class PortableMinHashBands(child: Expression, numHashes: Int, numBands: Int
 }
 
 object PortableSimHashHelper {
-  import PortableHash.{Mod => M}
 
   /** 64-bit SimHash over a token array with SQL-portable votes: token
     * vote for bit j is the parity of PortableHash.slot(hash(token), j)
@@ -104,8 +103,8 @@ object PortableSimHashHelper {
       val h = if (t == null) 0L else PortableHash.hash(t.toString)
       var j = 0
       while (j < 64) {
-        val v = (h + j * 48271L) % M
-        if ((v * v % M & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        if ((PortableHash.slot(h, j) & 1L) == 1L) counts(j) += 1
+        else counts(j) -= 1
         j += 1
       }
       i += 1
@@ -139,19 +138,16 @@ case class PortableSimHash64(child: Expression) extends UnaryExpression
 }
 
 object PortableHyperplaneHelper {
-  import PortableHash.Mod
 
   /** Plane component for flat plane index x (= (t·bits + p)·dims + i):
-    * +1 when ((x+1)·48271)² mod M is odd, −1 otherwise. (x+1)·48271
-    * stays below M for every realistic table/bit/dim product, so the
-    * square is the ONLY mod reduction — which is the mixing step: a
-    * purely affine map preserves index parity and would make the signs
-    * alternate deterministically.
+    * +1 when PortableHash.slot(0, x+1) = ((x+1)·Shift)² mod M is odd,
+    * −1 otherwise. (x+1)·Shift stays below M for every realistic
+    * table/bit/dim product, so the square is the ONLY mod reduction —
+    * which is the mixing step: a purely affine map preserves index
+    * parity and would make the signs alternate deterministically.
     */
-  def planeSign(x: Int): Double = {
-    val v = (x + 1L) * 48271L % Mod
-    if (v * v % Mod % 2L == 1L) 1.0 else -1.0
-  }
+  def planeSign(x: Int): Double =
+    if ((PortableHash.slot(0L, x + 1) & 1L) == 1L) 1.0 else -1.0
 
   /** array<float> vector → `tables` bucket keys; bit p of table t is set
     * (weight 2^(bits−1−p), matching HyperplaneHelper's packing) when the

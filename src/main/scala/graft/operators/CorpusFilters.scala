@@ -72,6 +72,12 @@ object CorpusFilters {
       // chain into a per-row filter — see Dedup.lshCandidatePairs
       .select(col(idCol),
         explode_outer(Dedup.tokenShingles(col(tokensCol), n)).as("__gram"))
+      // a null token array (null text) survives explode_outer as one
+      // null-gram row; drop it so such docs produce NO profile — the
+      // relational twin (unnest) drops them identically. This filter is
+      // on the generator OUTPUT, so it cannot be pushed below the
+      // generate and re-inline the shingle chain.
+      .filter(col("__gram").isNotNull)
       .groupBy(col(idCol), col("__gram"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col(idCol))

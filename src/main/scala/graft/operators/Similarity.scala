@@ -129,12 +129,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    // null embeddings are excluded from the index EXPLICITLY: they have
+    // no cosine to any centroid, so the max_by assignment would drop
+    // them silently (null ordering keys are skipped) — make the
+    // contract visible rather than an aggregate artifact
+    val indexable = corpus.filter(col("embedding").isNotNull)
     // seed = the nlist lowest vec_ids, whatever the id space looks like
     // (a bare `vec_id < nlist` would yield few or zero centroids on
     // sparse or offset id spaces)
-    val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
+    val centroids = broadcast(indexable.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-    val assigned = corpus.crossJoin(centroids)
+    val assigned = indexable.crossJoin(centroids)
       .withColumn("ccos", cosine(col("embedding"), col("cvec")))
       .groupBy(col("vec_id"))
       .agg(max_by(

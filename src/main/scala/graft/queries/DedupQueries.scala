@@ -89,7 +89,7 @@ object DedupQueries {
     * matching PortableHash.hash("") = 0.
     */
   val q21Oracle: String = {
-    import graft.functions.PortableHash.{Base, Mod}
+    import graft.functions.PortableHash.{Base, Mod, Shift}
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |  FROM documents),
@@ -108,7 +108,7 @@ object DedupQueries {
        |  FROM hs),
        |slots AS (
        |  SELECT doc_id, j,
-       |    min(((hv + j * 48271) % $Mod) * ((hv + j * 48271) % $Mod) % $Mod) AS mn
+       |    min(((hv + j * $Shift) % $Mod) * ((hv + j * $Shift) % $Mod) % $Mod) AS mn
        |  FROM h, range(0, 32) t(j)
        |  GROUP BY doc_id, j),
        |bands AS (
@@ -181,6 +181,12 @@ object DedupQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         Dedup.portableSimHash(TextAnalysis.wsTokens(col("text"))).as("simhash"))
+      // the pair miner references the fingerprint frame from up to six
+      // plan branches and Spark does not reuse the subtree (verified: no
+      // ReusedExchange) — checkpoint the tiny (id, long) frame so the
+      // dominant per-token fingerprinting runs ONCE. At 100 TB this is
+      // exactly the artifact you'd materialize: 16 bytes/doc.
+      .localCheckpoint(false)
     // banding over DISTINCT fingerprints only: duplicate-heavy corpora
     // otherwise collide every identical pair on all four bands and make
     // within-bucket pairing quadratic in the duplicate count
@@ -195,7 +201,7 @@ object DedupQueries {
     * the engine side never does it.)
     */
   val q23Oracle: String = {
-    import graft.functions.PortableHash.{Base, Mod}
+    import graft.functions.PortableHash.{Base, Mod, Shift}
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents),
@@ -207,7 +213,7 @@ object DedupQueries {
        |  FROM toks),
        |votes AS (
        |  SELECT doc_id, j,
-       |    sum(CASE WHEN ((hv + j * 48271) % $Mod) * ((hv + j * 48271) % $Mod) % $Mod % 2 = 1
+       |    sum(CASE WHEN ((hv + j * $Shift) % $Mod) * ((hv + j * $Shift) % $Mod) % $Mod % 2 = 1
        |             THEN 1 ELSE -1 END) AS s
        |  FROM h, range(0, 64) t(j)
        |  GROUP BY doc_id, j),
@@ -285,7 +291,7 @@ object DedupQueries {
   }
 
   val q41Oracle: String = {
-    import graft.functions.PortableHash.{Base, Mod}
+    import graft.functions.PortableHash.{Base, Mod, Shift}
     s"""WITH g AS (
        |  SELECT source,
        |    unnest(list_transform(range(1, greatest(length(text)-2,1)+1),
@@ -298,7 +304,7 @@ object DedupQueries {
        |                  (a, b) -> (a * $Base + b) % $Mod) END AS hv
        |  FROM g),
        |shifted AS (
-       |  SELECT source, j, (hv + j * 48271) % $Mod AS v
+       |  SELECT source, j, (hv + j * $Shift) % $Mod AS v
        |  FROM h, range(0, 32) t(j)),
        |slots AS (
        |  SELECT source, j, min((v * v) % $Mod) AS mn

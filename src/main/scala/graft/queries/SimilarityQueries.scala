@@ -15,8 +15,13 @@ import graft.runtime.Tables
   */
 object SimilarityQueries {
 
+  /** Query-set cutoff, shared by the Spark queries AND every oracle's
+    * interpolated predicate so the two can never drift apart.
+    */
+  private val QueryCutoff = 10
+
   private def queriesOf(df: DataFrame): DataFrame =
-    df.filter(col("vec_id") < 10)
+    df.filter(col("vec_id") < QueryCutoff)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
   /** Brute-force exact top-5: broadcast 10 query vectors against the
@@ -31,9 +36,9 @@ object SimilarityQueries {
   }
 
   val q24Oracle: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS query_vec
-      |  FROM embeddings WHERE vec_id < 10),
+      |  FROM embeddings WHERE vec_id < $QueryCutoff),
       |scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
       |    list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
@@ -69,13 +74,16 @@ object SimilarityQueries {
     * Spark expression, so even the dot-product signs match bit-for-bit.
     */
   val q25Oracle: String = {
-    val M = graft.functions.PortableHash.Mod
-    val (tables, bits, dims, k) = (8, 8, 64, 5)
+    import graft.functions.PortableHash.{Mod => M, Shift}
+    val (tables, bits, k) = (8, 8, 5)
+    // dims tracks each row's actual vector length (len(embedding)),
+    // exactly like PortableHyperplaneHelper — never a hardcoded 64
+    val dims = "len(embedding)"
     // ±embedding[i+1] by the parity-of-square sign; v stays < 2^31 so
     // v*v fits BIGINT on both engines
     val signedComponent =
-      s"""CASE WHEN ((((t*$bits+p)*$dims+i+1)*48271) % $M)
-         |           * ((((t*$bits+p)*$dims+i+1)*48271) % $M) % $M % 2 = 1
+      s"""CASE WHEN ((((t*$bits+p)*$dims+i+1)*$Shift) % $M)
+         |           * ((((t*$bits+p)*$dims+i+1)*$Shift) % $M) % $M % 2 = 1
          |      THEN CAST(embedding[i+1] AS DOUBLE)
          |      ELSE -CAST(embedding[i+1] AS DOUBLE) END""".stripMargin
     s"""WITH b AS (
@@ -90,7 +98,7 @@ object SimilarityQueries {
        |  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS query_vec,
        |    c.vec_id AS neighbor_id, c.embedding AS cemb
        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
-       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |  WHERE q.vec_id < $QueryCutoff AND c.vec_id <> q.vec_id),
        |scored AS (
        |  SELECT query_id, neighbor_id, ${cosSql("query_vec", "cemb")} AS cos
        |  FROM cand),
@@ -147,7 +155,7 @@ object SimilarityQueries {
        |  ORDER BY vec_id LIMIT 16),
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS query_vec
-       |  FROM embeddings WHERE vec_id < 10),
+       |  FROM embeddings WHERE vec_id < $QueryCutoff),
        |assigned AS (
        |  SELECT cid, vec_id, embedding FROM (
        |    SELECT c.cid, e.vec_id, e.embedding,

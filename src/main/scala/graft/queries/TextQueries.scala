@@ -264,8 +264,8 @@ object TextQueries {
     * partition-local by design), but conservation (every doc packed
     * exactly once, token totals preserved), the budget contract (only
     * single-oversized-doc sequences may exceed it), and the count
-    * bounds (ceil(total/budget) ≤ n_seq ≤ n_docs) hold for EVERY
-    * layout. The oracle recomputes the facts relationally and expects
+    * bounds (ceil(capped/budget) ≤ n_seq ≤ n_docs, where capped counts
+    * each doc at most `budget` tokens) hold for EVERY layout. The oracle recomputes the facts relationally and expects
     * every invariant flag = 1 — a packing bug flips a flag and fails
     * the hash match. PackingSpec covers the per-sequence greedy
     * semantics deterministically.
@@ -277,10 +277,18 @@ object TextQueries {
       .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("n_tokens"))
       .repartitionByRange(32, col("doc_id"))
       .sortWithinPartitions("doc_id")
-    val packed = Packing.packSequences(d, budget).toDF()
+    // checkpoint: the coverage branch and the main aggregate both
+    // consume `packed` — without materialization the mapPartitions
+    // packing job runs twice, and `conserved` would silently rely on
+    // both executions sampling identical range boundaries
+    val packed = Packing.packSequences(d, budget).toDF().localCheckpoint(false)
     val corpus = broadcast(d.agg(
       count(lit(1)).as("n_corpus_docs"),
-      sum(col("n_tokens")).as("corpus_tokens")))
+      sum(col("n_tokens")).as("corpus_tokens"),
+      // capped token mass: an oversized doc fills exactly one sequence,
+      // so it may contribute at most `budget` to any valid lower bound
+      // on the sequence count
+      sum(least(col("n_tokens"), lit(budget))).as("capped_tokens")))
     val coverage = broadcast(packed
       .select(explode(col("doc_ids")).as("doc_id"))
       .agg(count(lit(1)).as("n_packed_slots"),
@@ -305,7 +313,11 @@ object TextQueries {
           col("total_tokens") === col("corpus_tokens")).cast("int")
           .as("conserved"),
         (col("max_multi_tokens") <= budget).cast("int").as("within_budget"),
-        (col("n_sequences") >= ceil(col("total_tokens") / budget.toDouble) &&
+        // lower bound uses CAPPED tokens: with an oversized doc, the raw
+        // ceil(total/budget) exceeds the true minimum (the doc packs
+        // into ONE sequence however many tokens it has) and would flag a
+        // correct packing as invalid
+        (col("n_sequences") >= ceil(col("capped_tokens") / budget.toDouble) &&
           col("n_sequences") <= col("n_docs") &&
           col("min_seq_tokens") > 0).cast("int").as("bounds_ok"))
   }

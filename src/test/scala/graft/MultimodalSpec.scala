@@ -62,6 +62,38 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(first.getAs[Array[Byte]]("frame_bytes"), "UTF-8") == "g" * 16)
   }
 
+  test("pipeline() output itself is salted and modality-contiguous") {
+    val many = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat(lit("text for doc "), col("id")).as("text"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // observe the REAL production path: the partitions decodeStub ran
+      // in, via the features dataset itself — not a re-implementation
+      // of the pipeline's layout logic
+      val layout = Multimodal.pipeline(spark, many)
+        .mapPartitions { it =>
+          val mods = it.map(_.modality).toList
+          val swaps = mods.zip(mods.drop(1)).count { case (a, b) => a != b }
+          Iterator.single((mods.distinct, swaps))
+        }.collect().filter(_._1.nonEmpty)
+      // a bare repartition(modality) would cap the decode at 3 tasks
+      assert(layout.length > 3, s"only ${layout.length} non-empty partitions")
+      // batches stay modality-contiguous inside each partition
+      assert(layout.forall(_._2 <= 2),
+        s"codec swaps per partition: ${layout.map(_._2).toSeq}")
+      Seq("image", "audio", "video").foreach { m =>
+        assert(layout.count(_._1.contains(m)) > 1, s"$m not spread")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoal)
+    }
+  }
+
   test("pipeline spreads each modality over many partitions, contiguously") {
     val many = spark.range(300)
       .select(col("id").as("doc_id"),
