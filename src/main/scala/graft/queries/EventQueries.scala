@@ -38,9 +38,81 @@ object EventQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_seq""".stripMargin
 
+  /** Strict view→click→purchase conversion funnel: stage i counts
+    * users whose first stage-i event lands strictly after their first
+    * stage-(i−1) completion. Oracle replays the identical
+    * filtered-min/join chain; timestamps compare at microseconds on
+    * both sides (CAST in the oracle, nanos→micros truncation in
+    * Tables.loadEvents).
+    */
+  def q44Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.strictFunnel(
+      Tables.load(spark, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val q44Oracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+      |  GROUP BY e.user_id)
+      |SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+      |UNION ALL
+      |SELECT CAST(2 AS INT), 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+      |UNION ALL
+      |SELECT CAST(3 AS INT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin
+
+  /** Weekly retention cohorts: users grouped by first-active week,
+    * counted in each later week they were active (week_offset 0 = the
+    * cohort week itself). Two aggregations — (user, week) distinct,
+    * then the cohort rollup — both partial-aggregated; the per-user
+    * cohort frame joins back on the user key it is already partitioned
+    * by.
+    */
+  def q45Retention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val activity = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    activity.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val q45Oracle: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY c.cohort_week, week_offset""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q32_sessionize" -> (q32Sessionize _))
+    "q32_sessionize" -> (q32Sessionize _),
+    "q44_funnel" -> (q44Funnel _),
+    "q45_retention" -> (q45Retention _))
 
   val oracles: Map[String, String] = Map(
-    "q32_sessionize" -> q32Oracle)
+    "q32_sessionize" -> q32Oracle,
+    "q44_funnel" -> q44Oracle,
+    "q45_retention" -> q45Oracle)
 }
