@@ -266,10 +266,14 @@ object Parity {
       .select(
         col("c_nationkey"), col("n_customers"),
         col("sum_bal").cast("double").as("total_balance"),
+        // round at SCALE 0 after scaling by 100: the .5 boundary is
+        // exactly representable there, so Spark's shortest-repr rounding
+        // and DuckDB's binary rounding agree — round(x, 2) does NOT
+        // (4201.315 repr rounds up, its binary value rounds down)
         when(col("n_customers") > 0,
-          round(col("sum_bal").cast("double") / col("n_customers"), 2))
+          round(col("sum_bal").cast("double") / col("n_customers") * 100) / 100)
           .otherwise(lit(0.0)).as("avg_balance"),
-        round(col("n_positive").cast("double") / col("n_customers") * 100, 2)
+        (round(col("n_positive").cast("double") / col("n_customers") * 100 * 100) / 100)
           .as("positive_pct"))
   }
 
@@ -278,10 +282,10 @@ object Parity {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
       |  CASE WHEN count(*) > 0
       |       THEN round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-      |                  / count(*), 2)
+      |                  / count(*) * 100) / 100
       |       ELSE 0.0 END AS avg_balance,
       |  round(CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |        / count(*) * 100, 2) AS positive_pct
+      |        / count(*) * 100 * 100) / 100 AS positive_pct
       |FROM customer
       |GROUP BY c_nationkey""".stripMargin
 

@@ -340,17 +340,19 @@ object TextQueries {
   def q37LengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     d.groupBy(col("source")).agg(
-      round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
-      round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
-      round(expr("percentile(n_chars, 0.99)"), 2).as("p99"),
+      // scale-0 rounding after *100: cross-engine safe, unlike
+      // round(x, 2) whose .5 boundary is repr-dependent (see q12)
+      (round(expr("percentile(n_chars, 0.5)") * 100) / 100).as("p50"),
+      (round(expr("percentile(n_chars, 0.9)") * 100) / 100).as("p90"),
+      (round(expr("percentile(n_chars, 0.99)") * 100) / 100).as("p99"),
       max(col("n_chars")).as("max_chars"))
   }
 
   val q37Oracle: String =
     """SELECT source,
-      |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
-      |  round(quantile_cont(n_chars, 0.9), 2) AS p90,
-      |  round(quantile_cont(n_chars, 0.99), 2) AS p99,
+      |  round(quantile_cont(n_chars, 0.5) * 100) / 100 AS p50,
+      |  round(quantile_cont(n_chars, 0.9) * 100) / 100 AS p90,
+      |  round(quantile_cont(n_chars, 0.99) * 100) / 100 AS p99,
       |  max(n_chars) AS max_chars
       |FROM documents GROUP BY source""".stripMargin
 
