@@ -63,15 +63,24 @@ object DedupQueries {
     // repartition: the testdata is one small parquet file (one input
     // split); spread the per-document sketch work across all cores, as
     // a many-file 100 TB corpus would be naturally.
-    val d = Tables.load(spark, dir, "documents")
+    // one sketch pass total: the candidate self-join references the
+    // banded frame from two branches and the verify joins reference the
+    // shingle sets twice more — without materialization the shingle
+    // build + 32-slot signature would run up to four times. Note the
+    // materialized frame is tokenized-corpus-sized (it carries the
+    // shingle sets the verify stage needs): one corpus-sized write
+    // bought four sketch passes. On a storage-bound cluster, checkpoint
+    // only (doc_id, bands) — 64 B/doc — and accept recomputing shingles
+    // in the verify joins.
+    val sketched = Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      .withColumn("shingles", Dedup.sortedShingles(col("toks"), 3))
-    val withBands = d
+      .select(col("doc_id"), Dedup.sortedShingles(col("toks"), 3).as("shingles"))
       .withColumn("bands", Dedup.portableMinHashBandKeys(col("shingles"), 32, 8))
+      .localCheckpoint(false)
     val pairs = Dedup.lshCandidatePairs(
-      withBands.select(col("doc_id"), col("bands")), "doc_id")
-    val sets = d.select(col("doc_id"), col("shingles"))
+      sketched.select(col("doc_id"), col("bands")), "doc_id")
+    val sets = sketched.select(col("doc_id"), col("shingles"))
     pairs
       .join(sets.withColumnRenamed("doc_id", "id1")
                 .withColumnRenamed("shingles", "sh1"), Seq("id1"))
@@ -141,10 +150,13 @@ object DedupQueries {
     // Packed int grams: bijective with the string 3-gram set on this
     // ASCII corpus, so jac is EXACTLY the oracle's value while the
     // arrays copied into each joined pair are ~6× smaller.
+    // materialized: the triangle-salted self-join consumes g from both
+    // sides, which would otherwise pack the gram arrays twice
     val g = Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         Dedup.packedNgrams(col("text"), 3).as("grams"))
+      .localCheckpoint(false)
     // Triangle-salted self-join: 20 sources would otherwise cap the
     // pair-scoring parallelism at 20 tasks; salting by 4 sub-blocks
     // fans each source over 10 join keys.
@@ -281,6 +293,10 @@ object DedupQueries {
       .select(col("source"), explode_outer(Dedup.gramHashes(col("text"), 3)).as("gh"))
       .groupBy(col("source"))
       .agg(MinHashSignatureAgg.udafFromHashes(32)(col("gh")).as("sig"))
+      // both sides of the signature self-join read this tiny frame
+      // (one row per source); without materialization the gram explode
+      // + aggregation runs twice
+      .localCheckpoint(false)
     val a = sigs.select(col("source").as("s1"), col("sig").as("sig1"))
     val b = sigs.select(col("source").as("s2"), col("sig").as("sig2"))
     a.join(b, col("s1") < col("s2"))

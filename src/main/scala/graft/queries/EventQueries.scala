@@ -84,6 +84,9 @@ object EventQueries {
       .select(col("user_id"),
         date_trunc("week", col("ts")).cast("date").as("week"))
       .distinct()
+      // consumed by the cohort aggregate AND the join back — materialize
+      // the (user, week) frame so the scan+distinct runs once
+      .localCheckpoint(false)
     val cohort = activity.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
     activity.join(cohort, Seq("user_id"))
