@@ -524,6 +524,70 @@ object TextQueries {
       |       THEN 1 ELSE 0 END AS INT) AS repetitive
       |FROM p""".stripMargin
 
+  /** Sketch-based approximate aggregation — the aggregates that REPLACE
+    * q37's exact sort-based percentile and exact distinct at 100 TB:
+    * approx_percentile (t-digest-style quantile summary, partial/final
+    * mergeable) checked against the exact value with a tolerance flag.
+    * Both engines verify the exact value hash-exactly; the approx side
+    * is validated relationally (flag = 1), since sketch internals are
+    * engine-specific by nature.
+    */
+  def q46ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.groupBy(col("source"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("ep50"),
+        expr("percentile(n_chars, 0.9)").as("ep90"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(n_chars, 0.9, 1000)").as("ap90"))
+      .select(
+        col("source"),
+        (round(col("ep50") * 100) / 100).as("p50"),
+        (round(col("ep90") * 100) / 100).as("p90"),
+        // tolerance 10% + 2: approx_percentile returns an OBSERVED value
+        // (discrete) while percentile() interpolates — on small groups
+        // the discrete/interpolated gap dominates the sketch error, so
+        // the flag needs headroom for both
+        (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.1 + 2)
+          .cast("int").as("p50_ok"),
+        (abs(col("ap90") - col("ep90")) <= col("ep90") * 0.1 + 2)
+          .cast("int").as("p90_ok"))
+  }
+
+  val q46Oracle: String =
+    """SELECT source,
+      |  round(quantile_cont(n_chars, 0.5) * 100) / 100 AS p50,
+      |  round(quantile_cont(n_chars, 0.9) * 100) / 100 AS p90,
+      |  1 AS p50_ok, 1 AS p90_ok
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** HyperLogLog distinct counting (approx_count_distinct, rsd 2%) —
+    * the mergeable-sketch replacement for exact COUNT(DISTINCT) at
+    * scale — validated against the exact per-source vocabulary size
+    * with a 10% tolerance flag (≥ 5σ at rsd 0.02).
+    */
+  def q47ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(wsTokens(col("text"))).as("token"))
+    d.groupBy(col("source"))
+      .agg(
+        countDistinct(col("token")).as("exact_distinct"),
+        approx_count_distinct(col("token"), 0.02).as("approx"))
+      .select(
+        col("source"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct"))
+          <= col("exact_distinct") * 0.1).cast("int").as("approx_ok"))
+  }
+
+  val q47Oracle: String =
+    """SELECT source,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+      |  1 AS approx_ok
+      |FROM (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |GROUP BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -539,7 +603,9 @@ object TextQueries {
     "q39_doc_frequency" -> (q39DocFrequency _),
     "q40_global_topk" -> (q40GlobalTopK _),
     "q42_quality_filter" -> (q42QualityFilter _),
-    "q43_repetition" -> (q43Repetition _))
+    "q43_repetition" -> (q43Repetition _),
+    "q46_approx_percentiles" -> (q46ApproxPercentiles _),
+    "q47_approx_distinct" -> (q47ApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -556,5 +622,7 @@ object TextQueries {
     "q39_doc_frequency" -> q39Oracle,
     "q40_global_topk" -> q40Oracle,
     "q42_quality_filter" -> q42Oracle,
-    "q43_repetition" -> q43Oracle)
+    "q43_repetition" -> q43Oracle,
+    "q46_approx_percentiles" -> q46Oracle,
+    "q47_approx_distinct" -> q47Oracle)
 }
