@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators.Sessionize
 import graft.runtime.Tables
 
@@ -109,13 +110,49 @@ object EventQueries {
       |FROM a JOIN c ON a.user_id = c.user_id
       |GROUP BY c.cohort_week, week_offset""".stripMargin
 
+  /** As-of join: each purchase picks up the user's LATEST view at or
+    * before it (point-in-time attribution). The engine side is the
+    * union-scan window shape (one shuffle on user, linear work); the
+    * oracle is DuckDB's native ASOF LEFT JOIN — two completely
+    * different algorithms that must produce identical rows.
+    */
+  def q48AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // payload = the view timestamp itself, so even if two views tied on
+    // (user, ts) the carried value would be identical — deterministic
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+    graft.operators.AsOf.asofJoin(
+        purchases, views, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("view_ts_asof"),
+        col("view_ts_asof").isNotNull.cast("int").as("had_view"))
+  }
+
+  val q48Oracle: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts FROM events
+      |  WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.ts, v.vts AS view_ts_asof,
+      |  CAST(CASE WHEN v.vts IS NOT NULL THEN 1 ELSE 0 END AS INT) AS had_view
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.vts <= p.ts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
-    "q45_retention" -> (q45Retention _))
+    "q45_retention" -> (q45Retention _),
+    "q48_asof_join" -> (q48AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q32_sessionize" -> q32Oracle,
     "q44_funnel" -> q44Oracle,
-    "q45_retention" -> q45Oracle)
+    "q45_retention" -> q45Oracle,
+    "q48_asof_join" -> q48Oracle)
 }
