@@ -144,15 +144,65 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN v
       |  ON p.user_id = v.user_id AND v.vts <= p.ts""".stripMargin
 
+  /** Range join: assign every event to the session interval containing
+    * it. Sessions come from the q32 sessionizer, so by construction
+    * each event lands in exactly one [started_at, ended_at] interval of
+    * its user — the query re-derives that assignment through the
+    * bucket-explode equi-join and the oracle through a plain inequality
+    * join, so the range-join machinery is verified against an identity
+    * the sessionizer guarantees.
+    */
+  def q49RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val points = e.select(col("user_id"), col("event_id"), col("ts"))
+    val intervals = Sessionize.sessionStats(e, gapSec = 1800)
+      .select(col("user_id"), col("session_seq"),
+        col("started_at"), col("ended_at"))
+      // referenced once, but sessionStats is two windows over the full
+      // stream — materialize the small interval frame
+      .localCheckpoint(false)
+    graft.operators.RangeJoin.pointInInterval(
+        points, intervals, keys = Seq("user_id"), tCol = "ts",
+        startCol = "started_at", endCol = "ended_at",
+        bucketSeconds = 1800)
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+  }
+
+  val q49Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS opens
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM marked),
+      |iv AS (
+      |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |    min(ts) AS started_at, max(ts) AS ended_at
+      |  FROM sess GROUP BY user_id, session_seq)
+      |SELECT e.user_id, e.event_id, iv.session_seq
+      |FROM e JOIN iv ON e.user_id = iv.user_id
+      |  AND e.ts >= iv.started_at AND e.ts <= iv.ended_at""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
-    "q48_asof_join" -> (q48AsofJoin _))
+    "q48_asof_join" -> (q48AsofJoin _),
+    "q49_range_join" -> (q49RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q32_sessionize" -> q32Oracle,
     "q44_funnel" -> q44Oracle,
     "q45_retention" -> q45Oracle,
-    "q48_asof_join" -> q48Oracle)
+    "q48_asof_join" -> q48Oracle,
+    "q49_range_join" -> q49Oracle)
 }
