@@ -192,17 +192,48 @@ object EventQueries {
       |FROM e JOIN iv ON e.user_id = iv.user_id
       |  AND e.ts >= iv.started_at AND e.ts <= iv.ended_at""".stripMargin
 
+  /** Pivot: per-user event-type activity matrix (the relational
+    * pivot/crosstab operator). An explicit value list keeps the plan a
+    * single-pass pivot aggregate — omitting it adds a distinct-values
+    * collect job before the real one. The oracle is the conditional-
+    * aggregation expansion, which is exactly what PivotFirst compiles
+    * to underneath.
+    */
+  def q50Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .select(
+        col("user_id"),
+        col("view").as("n_view"), col("click").as("n_click"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("error").as("n_error"))
+  }
+
+  val q50Oracle: String =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+      |FROM events GROUP BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "q48_asof_join" -> (q48AsofJoin _),
-    "q49_range_join" -> (q49RangeJoin _))
+    "q49_range_join" -> (q49RangeJoin _),
+    "q50_pivot" -> (q50Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q32_sessionize" -> q32Oracle,
     "q44_funnel" -> q44Oracle,
     "q45_retention" -> q45Oracle,
     "q48_asof_join" -> q48Oracle,
-    "q49_range_join" -> q49Oracle)
+    "q49_range_join" -> q49Oracle,
+    "q50_pivot" -> q50Oracle)
 }
