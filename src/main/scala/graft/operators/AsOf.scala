@@ -49,11 +49,17 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(probeSide.unionByName(buildSide)) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    // carry the build payload as ONE struct, non-null exactly on build
+    // rows: carrying columns independently with ignoreNulls would skip a
+    // null field of the latest build row and stitch a probe's result
+    // from DIFFERENT build rows — a row that never existed. The struct
+    // also collapses N window expressions into one.
+    val buildRow = when(col("__side") === 0,
+      struct(payload.map(c => col(s"__p_$c").as(c)).toIndexedSeq: _*))
+    val carried = probeSide.unionByName(buildSide)
+      .withColumn("__pay", last(buildRow, ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        payload.map(c => col(s"__p_$c").as(s"${c}_asof"))).toIndexedSeq: _*)
+        payload.map(c => col(s"__pay.$c").as(s"${c}_asof"))).toIndexedSeq: _*)
   }
 }

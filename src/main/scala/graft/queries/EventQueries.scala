@@ -80,7 +80,6 @@ object EventQueries {
     * by.
     */
   def q45Retention(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val activity = Tables.load(spark, dir, "events")
       .select(col("user_id"),
         date_trunc("week", col("ts")).cast("date").as("week"))
@@ -170,7 +169,7 @@ object EventQueries {
 
   val q49Oracle: String =
     """WITH e AS (
-      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
       |  FROM events),
       |marked AS (
       |  SELECT user_id, event_id, ts,
@@ -204,7 +203,9 @@ object EventQueries {
     e.groupBy(col("user_id"))
       .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
       .count()
-      .na.fill(0L)
+      // scoped fill: an unscoped na.fill(0) would also rewrite a null
+      // user_id GROUPING KEY to 0, corrupting that group
+      .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
       .select(
         col("user_id"),
         col("view").as("n_view"), col("click").as("n_click"),

@@ -28,6 +28,19 @@ class AsOfSpec extends SparkSpec {
       4L -> Some("x"), 5L -> None))
   }
 
+  test("asofJoin takes the latest build ROW whole — null fields not stitched") {
+    // latest build row has label=null: the probe must see THAT row's
+    // (null, 7), never a chimera of t1's label with t2's version
+    val left = Seq((1L, "k", ts(9))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k", ts(1), Some("s1"), None: Option[Long]),
+      ("k", ts(2), None: Option[String], Some(7L)))
+      .toDF("k", "ts", "label", "version")
+    val row = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts").collect().head
+    assert(row.isNullAt(row.fieldIndex("label_asof")))
+    assert(row.getAs[Long]("version_asof") == 7L)
+  }
+
   test("asofJoin carries multiple payload columns and keeps left columns") {
     val left = Seq((1L, "k1", ts(5), 99.0)).toDF("id", "k", "ts", "amount")
     val right = Seq(("k1", ts(4), "s1", 7L)).toDF("k", "ts", "label", "version")
