@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale invariants asserted over the physical plan of EVERY driver
+  * query, so a regression in the 100 TB story (an accidental cartesian
+  * product, a global single-partition window, an inequality join
+  * planned as a nested loop) fails CI at sf0.001 instead of surfacing
+  * on a cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // crossJoins against BROADCAST ≤16-row sides (query vectors, seeded
+  // centroids, scalar aggregates) plan as BroadcastNestedLoopJoin by
+  // design — bounded by the tiny broadcast side, not a scale hazard
+  private val intendedNestedLoop = Set(
+    "q24_knn_brute", "q25_ann_lsh", "q33_ivf_ann",
+    "q36_pack_stats", "q39_doc_frequency",
+    // signature self-join on s1 < s2: one row PER SOURCE (dozens, not
+    // documents) on each side — bounded by group cardinality; a
+    // many-thousand-source corpus would switch to banded signatures
+    "q41_source_minhash")
+
+  // ranking over the ≥5%-document-frequency vocabulary: the filter
+  // shrinks the set to the shared vocabulary before this single
+  // partition; documented funnel
+  private val intendedGlobalWindow = Set("q39_doc_frequency")
+
+  test("every query plans without cartesian products") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val cartesian = plan.collect { case c: CartesianProductExec => c }
+      assert(cartesian.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins appear only where a tiny broadcast side is intended") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      if (!intendedNestedLoop.contains(name))
+        assert(bnlj.isEmpty,
+          s"$name plans a BroadcastNestedLoopJoin — inequality join gone wrong?")
+    }
+  }
+
+  test("no unpartitioned (single-task) windows outside the allowed set") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val global = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (!intendedGlobalWindow.contains(name))
+        assert(global.isEmpty,
+          s"$name has a global window — all rows funnel into one task")
+    }
+  }
+}
