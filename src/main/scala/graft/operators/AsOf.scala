@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * O(|left| × matching-window) and an equality-join-then-filter
   * O(|left| × |right per key|). This is the plan that survives a dense
   * build side at 100 TB.
+  *
+  * Skew note: like any per-key window, one key's probe+build rows land
+  * in one task; a pathologically hot key (one user with 10^8 events)
+  * needs pre-splitting (e.g. time-sliced sub-keys with boundary
+  * carry-in) — not built in here because it changes the carry
+  * semantics and the common key spaces (user, instrument, device) are
+  * well spread.
   */
 object AsOf {
 

@@ -24,9 +24,11 @@ object Funnel {
   def strictFunnel(events: DataFrame, userCol: String, typeCol: String,
                    tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      "funnel stages must be distinct (repeat-stage funnels need ordinal semantics this operator does not define)")
     def firstAt(df: DataFrame): DataFrame =
       df.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-        .localCheckpoint(false)
+        .transform(graft.runtime.Materialize.once)
     val reached = stages.tail.scanLeft(
       firstAt(events.filter(col(typeCol) === stages.head))) { (prev, s) =>
       firstAt(

@@ -77,7 +77,7 @@ object DedupQueries {
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.sortedShingles(col("toks"), 3).as("shingles"))
       .withColumn("bands", Dedup.portableMinHashBandKeys(col("shingles"), 32, 8))
-      .localCheckpoint(false)
+      .transform(graft.runtime.Materialize.once)
     val pairs = Dedup.lshCandidatePairs(
       sketched.select(col("doc_id"), col("bands")), "doc_id")
     val sets = sketched.select(col("doc_id"), col("shingles"))
@@ -156,7 +156,7 @@ object DedupQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         Dedup.packedNgrams(col("text"), 3).as("grams"))
-      .localCheckpoint(false)
+      .transform(graft.runtime.Materialize.once)
     // Triangle-salted self-join: 20 sources would otherwise cap the
     // pair-scoring parallelism at 20 tasks; salting by 4 sub-blocks
     // fans each source over 10 join keys.
@@ -198,7 +198,7 @@ object DedupQueries {
       // ReusedExchange) — checkpoint the tiny (id, long) frame so the
       // dominant per-token fingerprinting runs ONCE. At 100 TB this is
       // exactly the artifact you'd materialize: 16 bytes/doc.
-      .localCheckpoint(false)
+      .transform(graft.runtime.Materialize.once)
     // banding over DISTINCT fingerprints only: duplicate-heavy corpora
     // otherwise collide every identical pair on all four bands and make
     // within-bucket pairing quadratic in the duplicate count
@@ -296,7 +296,7 @@ object DedupQueries {
       // both sides of the signature self-join read this tiny frame
       // (one row per source); without materialization the gram explode
       // + aggregation runs twice
-      .localCheckpoint(false)
+      .transform(graft.runtime.Materialize.once)
     val a = sigs.select(col("source").as("s1"), col("sig").as("sig1"))
     val b = sigs.select(col("source").as("s2"), col("sig").as("sig2"))
     a.join(b, col("s1") < col("s2"))

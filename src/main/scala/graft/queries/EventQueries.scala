@@ -86,7 +86,7 @@ object EventQueries {
       .distinct()
       // consumed by the cohort aggregate AND the join back — materialize
       // the (user, week) frame so the scan+distinct runs once
-      .localCheckpoint(false)
+      .transform(graft.runtime.Materialize.once)
     val cohort = activity.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
     activity.join(cohort, Seq("user_id"))
@@ -159,7 +159,7 @@ object EventQueries {
         col("started_at"), col("ended_at"))
       // referenced once, but sessionStats is two windows over the full
       // stream — materialize the small interval frame
-      .localCheckpoint(false)
+      .transform(graft.runtime.Materialize.once)
     graft.operators.RangeJoin.pointInInterval(
         points, intervals, keys = Seq("user_id"), tCol = "ts",
         startCol = "started_at", endCol = "ended_at",

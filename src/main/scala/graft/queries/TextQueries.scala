@@ -281,7 +281,7 @@ object TextQueries {
     // consume `packed` — without materialization the mapPartitions
     // packing job runs twice, and `conserved` would silently rely on
     // both executions sampling identical range boundaries
-    val packed = Packing.packSequences(d, budget).toDF().localCheckpoint(false)
+    val packed = Packing.packSequences(d, budget).toDF().transform(graft.runtime.Materialize.once)
     val corpus = broadcast(d.agg(
       count(lit(1)).as("n_corpus_docs"),
       sum(col("n_tokens")).as("corpus_tokens"),
