@@ -29,17 +29,20 @@ class PlanShapeSpec extends SparkSpec {
   // partition; documented funnel
   private val intendedGlobalWindow = Set("q39_doc_frequency")
 
+  // plan each query ONCE and share across the three assertions
+  private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
+    name -> fn(spark, sfDir).queryExecution.sparkPlan
+  }
+
   test("every query plans without cartesian products") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+    plans.foreach { case (name, plan) =>
       val cartesian = plan.collect { case c: CartesianProductExec => c }
       assert(cartesian.isEmpty, s"$name plans a CartesianProduct")
     }
   }
 
   test("nested-loop joins appear only where a tiny broadcast side is intended") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+    plans.foreach { case (name, plan) =>
       val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
       if (!intendedNestedLoop.contains(name))
         assert(bnlj.isEmpty,
@@ -48,8 +51,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no unpartitioned (single-task) windows outside the allowed set") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+    plans.foreach { case (name, plan) =>
       val global = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
