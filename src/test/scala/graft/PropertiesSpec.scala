@@ -99,4 +99,105 @@ class PropertiesSpec extends SparkSpec {
     // idempotent: normalizing twice changes nothing
     assert(df.filter($"n1" =!= $"n2").isEmpty)
   }
+
+  test("property: asofJoin equals the naive latest-at-or-before reference") {
+    import java.sql.Timestamp
+    // distinct (key, ts) build rows (equal-ts build ties have no defined
+    // winner in either implementation); nullable payload exercises the
+    // whole-row carry
+    val builds = sample(
+      for {
+        k <- Gen.choose(1, 6)
+        t <- Gen.choose(0L, 1000L)
+        v <- Gen.option(Gen.choose(1L, 99L))
+      } yield (k, t, v), 200)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val probes = sample(
+      for { k <- Gen.choose(1, 8); t <- Gen.choose(0L, 1000L) } yield (k, t),
+      200).distinct.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    def ts(ms: Long) = new Timestamp(ms)
+    val left = probes.map { case (id, k, t) => (id, k, ts(t)) }.toDF("id", "k", "ts")
+    val right = builds.map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "ts", "v")
+    val got = graft.operators.AsOf.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select("id", "v_asof").as[(Long, Option[Long])].collect().toMap
+    probes.foreach { case (id, k, t) =>
+      val expect = builds.filter(b => b._1 == k && b._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == expect.getOrElse(None),
+        s"probe $id (k=$k, t=$t): got ${got(id)}, want $expect")
+    }
+    assert(got.size == probes.size)
+  }
+
+  test("property: pointInInterval equals the naive inequality join") {
+    import java.sql.Timestamp
+    val intervals = sample(
+      for {
+        k <- Gen.choose(1, 5)
+        s <- Gen.choose(0L, 5000L)
+        len <- Gen.choose(0L, 3000L)
+      } yield (k, s, s + len), 60)
+      .zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+    val points = sample(
+      for { k <- Gen.choose(1, 6); t <- Gen.choose(0L, 8000L) } yield (k, t),
+      150).distinct.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    def ts(ms: Long) = new Timestamp(ms)
+    val pdf = points.map { case (id, k, t) => (id, k, ts(t)) }.toDF("pid", "k", "t")
+    val idf = intervals.map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }
+      .toDF("iv", "k", "s", "e")
+    // bucket width deliberately small so intervals span many buckets
+    val got = graft.operators.RangeJoin.pointInInterval(
+        pdf, idf, Seq("k"), "t", "s", "e", bucketSeconds = 1)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (pid, pk, t) <- points
+      (iv, ik, s, e) <- intervals if pk == ik && s <= t && t <= e
+    } yield (pid, iv)).toSet
+    assert(got == want)
+  }
+
+  test("property: simHashNearPairs equals brute force on clustered fingerprints") {
+    // clustered fingerprints: a few bases plus 0-4 random bit flips, so
+    // near/far pairs and duplicate groups all occur
+    val bases = Seq(0x0123456789ABCDEFL, 0x5555AAAA5555AAAAL, -1L)
+    val fps = sample(
+      for {
+        b <- Gen.oneOf(bases)
+        nFlips <- Gen.choose(0, 4)
+        flips <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+      } yield flips.foldLeft(b)((h, i) => h ^ (1L << i)), 120)
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val got = graft.operators.Dedup.simHashNearPairs(
+        fps.toDF("doc_id", "simhash"), "doc_id", "simhash")
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (i, hi) <- fps; (j, hj) <- fps if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got == want)
+  }
+
+  test("property: fused TextFeatures equals the split-based reference") {
+    // whitespace-rich strings; reference replicates wsTokens exactly:
+    // UTF8String.trim strips ASCII SPACES only, then Java split("\\s+")
+    val texts = sample(
+      Gen.listOf(Gen.oneOf("the", "a", "and", "of", "cat", " ", "\t", "\n"))
+        .map(_.mkString("")), 300)
+    def strip(s: String) = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = rows.toDF("id", "text")
+      .select($"id", graft.operators.TextAnalysis.textFeatures($"text").as("tf"))
+      .select($"id", $"tf.n_tokens", $"tf.occ_the", $"tf.occ_a",
+        $"tf.occ_and", $"tf.occ_of", $"tf.prefix_key")
+      .as[(Long, Int, Int, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.foreach { case (id, text) =>
+      val toks = strip(text).split("\\s+", -1)
+      val expect = (id, toks.length,
+        toks.count(_ == "the"), toks.count(_ == "a"),
+        toks.count(_ == "and"), toks.count(_ == "of"),
+        toks.take(2).mkString(" "))
+      assert(got(id) == expect, s"id=$id text=${text.replace("\n", "\\n")}")
+    }
+  }
 }
