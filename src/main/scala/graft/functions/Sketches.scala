@@ -397,6 +397,61 @@ object TokenShinglesHelper {
   }
 }
 
+object TokenShinglesAllHelper {
+  /** EVERY word n-gram shingle in document order, duplicates kept —
+    * the occurrence-counting twin of TokenShinglesHelper (identical
+    * clamp and concat_ws null semantics, no dedupe, no sort). Feeds
+    * repetition profiling, where the HOF transform(sequence(...)) form
+    * evaluates interpreted per row.
+    */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val count = math.max(len - n + 1, 1)
+    val out = new Array[AnyRef](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      var appended = false
+      val end = math.min(i + n, len)
+      while (j < end) {
+        val t = tokens.getUTF8String(j)
+        if (t != null) {
+          if (appended) sb.append(' ')
+          sb.append(t.toString)
+          appended = true
+        }
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<string> tokens → array<string> of ALL n-gram shingles, in
+  * order, duplicates kept.
+  */
+case class TokenShinglesAll(child: Expression, n: Int) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  require(n >= 1, "shingle size must be positive")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenShinglesAllHelper.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenShinglesAllHelper.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShinglesAll =
+    copy(child = newChild)
+}
+
 /** array<string> tokens → sorted distinct array<string> n-gram shingles. */
 case class TokenShingles(child: Expression, n: Int) extends UnaryExpression
   with ImplicitCastInputTypes {

@@ -71,7 +71,7 @@ object CorpusFilters {
       // below the scan and re-inlines the (interpreted HOF) shingle
       // chain into a per-row filter — see Dedup.lshCandidatePairs
       .select(col(idCol),
-        explode_outer(Dedup.tokenShingles(col(tokensCol), n)).as("__gram"))
+        explode_outer(Dedup.allShingles(col(tokensCol), n)).as("__gram"))
       // a null token array (null text) survives explode_outer as one
       // null-gram row; drop it so such docs produce NO profile — the
       // relational twin (unnest) drops them identically. This filter is

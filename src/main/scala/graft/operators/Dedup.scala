@@ -48,6 +48,15 @@ object Dedup {
       graft.functions.TokenShingles(
         org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
 
+  /** Every shingle occurrence in order (duplicates kept), codegen'd —
+    * the occurrence-counting twin of [[sortedShingles]] for repetition
+    * profiling.
+    */
+  def allShingles(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenShinglesAll(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
+
   /** Character n-gram set (distinct) — the n-gram Jaccard universe. */
   def charNgrams(text: Column, n: Int): Column =
     array_distinct(transform(

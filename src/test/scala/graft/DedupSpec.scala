@@ -191,6 +191,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fused allShingles equals the HOF tokenShingles exactly (order + dups)") {
+    val both = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .select(
+        Dedup.allShingles(col("toks"), 3).as("fused"),
+        Dedup.tokenShingles(col("toks"), 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (f, h) => assert(f == h) }
+    // short docs clamp to one truncated shingle in both forms
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+      .select(Dedup.allShingles(TextAnalysis.wsTokens(col("text")), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short == Seq("just two"))
+  }
+
   test("fused sortedShingles equals array_sort(array_distinct(tokenShingles))") {
     val texts = Seq("a b c d e", "one two", "solo", "", "x x x x")
     texts.foreach { t =>
