@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
 
 /** JHU country-name → World-Bank-style name normalization.
   *
