@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the clustering step that
+  * turns near-duplicate PAIRS (MinHash/SimHash/embedding miners) into
+  * duplicate GROUPS, from which a pipeline keeps one canonical document
+  * per group.
+  *
+  * Algorithm: iterative min-label propagation (the Pregel formulation
+  * GraphX's connectedComponents uses): every node starts labeled with
+  * its own id; each round, a node adopts the minimum label among itself
+  * and its neighbors; fixpoint = every node labeled with its
+  * component's minimum id. Rounds needed = graph diameter — near-dup
+  * graphs are unions of near-cliques (all pairs in a bucket mine
+  * against each other), so the diameter is small in practice. For
+  * adversarially long chain graphs at 100 TB scale, swap the loop body
+  * for the alternating large-star/small-star rounds of Kiveris et al.
+  * ("Connected Components in MapReduce and Beyond", SoCC'14), which
+  * converge in O(log n) rounds with the same per-round join shape.
+  *
+  * Scale design per round: one equi-join (labels keyed by node id, the
+  * edge list keyed by endpoint) + one min-aggregate — both shuffle on
+  * the node-id key, no all-pairs anything. The edge list and each
+  * round's labels are materialized (Materialize.once policy) so the
+  * loop re-reads stored blocks instead of replaying the pair miner's
+  * lineage every iteration; the convergence probe is a count over the
+  * (pre-aggregated, ≤ |nodes|-row) changed-label set, never a collect.
+  */
+object Clusters {
+
+  /** Component labels for every node appearing in `pairs`: returns
+    * (id, cluster) where cluster = the minimum node id reachable from
+    * `id`. Nodes absent from `pairs` (singletons) are not returned —
+    * callers union them back with cluster = own id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    // symmetric edge list: propagation must flow both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .transform(graft.runtime.Materialize.once)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .transform(graft.runtime.Materialize.once)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val fromNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .transform(graft.runtime.Materialize.once)
+      // convergence probe: any node whose label still moved this round?
+      // A full count, not limit(1): early-exit cancellation of in-flight
+      // tasks spams "non-existent accumulator" driver errors, and the
+      // changed set is at most |nodes| pre-aggregated rows anyway.
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      converged = changed == 0L
+      labels = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+}

@@ -44,4 +44,20 @@ object Skew {
       explode(sequence(lit(0L), lit(salt - 1L))))
     saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Skew-safe exact COUNT(DISTINCT distinctCol) per `key`, via the
+    * two-phase rewrite. Algebraic aggregates (sum/count) survive skew
+    * for free — map-side partial aggregation collapses hot keys before
+    * the shuffle — but a direct distinct count must ship every row of a
+    * hot key to that key's single reduce task. Phase 1 aggregates on
+    * the COMPOSITE (key, distinctCol), spreading each hot key across
+    * the full shuffle space; phase 2 reduces one pre-collapsed row per
+    * distinct value. Returns (key, n_distinct, n_rows).
+    */
+  def twoPhaseDistinct(df: DataFrame, key: String,
+                       distinctCol: String): DataFrame =
+    df.groupBy(col(key), col(distinctCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("__n")).as("n_rows"))
 }

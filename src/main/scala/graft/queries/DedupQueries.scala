@@ -331,13 +331,62 @@ object DedupQueries {
        |SELECT s1, s2, count(*) AS matching_slots FROM matches GROUP BY s1, s2""".stripMargin
   }
 
+  /** Near-dup PAIRS → duplicate GROUPS: connected components over the
+    * q26 pair miner's output ([[graft.operators.Clusters]], iterative
+    * min-label propagation), singletons unioned back, plus each
+    * cluster's size. This is the step that makes pair mining usable —
+    * a pipeline keeps min-id per cluster and drops the rest. The
+    * oracle recomputes the identical pair set and closes it with a
+    * recursive CTE (min reachable id), so the distributed propagation
+    * is checked against an independent transitive-closure algorithm.
+    */
+  def q57DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clusters, Similarity}
+    val e = Tables.load(spark, dir, "embeddings")
+    val pairs = Similarity.signBucketNearPairs(e, bits = 8, minCos = 0.25)
+      .select(col("id1"), col("id2"))
+    val comps = Clusters.connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("id", "vec_id")
+    e.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+  }
+
+  val q57Oracle: String = {
+    val bucket = graft.operators.Similarity.signBucketSql("embedding", 8)
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.25),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS lab FROM edges
+       |  UNION
+       |  SELECT g.src, r.lab FROM edges g JOIN reach r ON g.dst = r.id),
+       |comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+       |SELECT v.vec_id, coalesce(c.cluster, v.vec_id) AS cluster,
+       |  CAST(count(*) OVER (PARTITION BY coalesce(c.cluster, v.vec_id)) AS BIGINT)
+       |    AS cluster_size
+       |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
     "q22_ngram_jaccard" -> (q22NgramJaccard _),
     "q23_simhash" -> (q23Simhash _),
     "q34_embed_dedup" -> (q34EmbedDedup _),
-    "q41_source_minhash" -> (q41SourceMinhash _))
+    "q41_source_minhash" -> (q41SourceMinhash _),
+    "q57_dup_clusters" -> (q57DupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
@@ -345,5 +394,6 @@ object DedupQueries {
     "q22_ngram_jaccard" -> q22Oracle,
     "q23_simhash" -> q23Oracle,
     "q34_embed_dedup" -> q34Oracle,
-    "q41_source_minhash" -> q41Oracle)
+    "q41_source_minhash" -> q41Oracle,
+    "q57_dup_clusters" -> q57Oracle)
 }

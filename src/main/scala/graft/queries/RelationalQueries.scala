@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.runtime.Tables
+
+/** Round-4 relational operator tier: the classic warehouse operators a
+  * user of the reference's Trino/Spark-SQL surface would reach for next
+  * — TF-IDF vocabulary weighting, CUBE, set operations, semi joins,
+  * the full ranking-window family, event-time tumbling windows,
+  * skew-safe distinct aggregation, and edit-distance near-dup mining.
+  * Every query is DuckDB-oracle-checked (hash match, not rows-only).
+  */
+object RelationalQueries {
+
+  /** TF-IDF top-5 terms per source — the vocabulary-weighting composition
+    * built on q39's document-frequency shape (here: source-frequency).
+    * One token-keyed shuffle computes tf AND df (df via a count window
+    * over the token partition — no self-join, no second scan); the
+    * corpus-wide source count rides in as a broadcast 1-row aggregate
+    * inside the same lazy plan.
+    *
+    * Cross-engine float discipline: the score is QUANTIZED to an int
+    * (round(tf·ln(N/df)·1e4)) before ranking, so the rank — and the
+    * whole output — is integer-deterministic; ln() differing by an ulp
+    * between engines would need to land within 1e-12 of a rounding
+    * boundary to flip anything.
+    */
+  def q51Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val tf = d
+      .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    val nSources = d.agg(countDistinct(col("source")).as("n_sources"))
+    val scored = withDf
+      .join(broadcast(nSources))
+      .withColumn("score_q",
+        round(col("tf").cast("double")
+          * log(col("n_sources").cast("double") / col("df"))
+          * lit(10000.0)).cast("long"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score_q").desc, col("token"))))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("token"), col("tf"), col("df"),
+        col("score_q"), col("rk"))
+  }
+
+  val q51Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY source, token),
+      |n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+      |sc AS (
+      |  SELECT source, token, tf,
+      |    CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+      |  FROM tf),
+      |scored AS (
+      |  SELECT source, token, tf, df,
+      |    CAST(round(CAST(tf AS DOUBLE)
+      |      * ln(CAST(n_sources AS DOUBLE) / df) * 10000.0) AS BIGINT) AS score_q
+      |  FROM sc, n)
+      |SELECT source, token, tf, df, score_q, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY score_q DESC, token) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3""".stripMargin
+
+  /** CUBE over (source, lang): all four grouping levels — cell, per-
+    * source, per-lang, grand total — from one Expand + one aggregate
+    * shuffle (q38's ROLLUP sibling; CUBE adds the per-lang axis a
+    * rollup can't produce). grouping_id disambiguates real NULL keys
+    * from subtotal rows exactly as in q38.
+    */
+  def q52Cube(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    d.cube(col("source"), col("lang"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val q52Oracle: String =
+    """SELECT source, lang,
+      |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY CUBE (source, lang)""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT cohort split of event users
+    * (viewers ∩ purchasers, viewers ∖ purchasers, purchasers ∖
+    * viewers), tagged and unioned. Catalyst plans INTERSECT/EXCEPT as
+    * left-semi/left-anti aggregates on the hashed key — same scale
+    * shape as an equi-join, no sort. The distinct'd inputs each feed
+    * two branches, so they are materialized once.
+    */
+  def q53SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    def users(t: String): DataFrame =
+      e.filter(col("event_type") === t).select(col("user_id")).distinct()
+        .transform(graft.runtime.Materialize.once)
+    val v = users("view")
+    val p = users("purchase")
+    v.intersect(p).withColumn("cohort", lit("both"))
+      .unionByName(v.except(p).withColumn("cohort", lit("view_only")))
+      .unionByName(p.except(v).withColumn("cohort", lit("purchase_only")))
+      .select(col("cohort"), col("user_id"))
+  }
+
+  val q53Oracle: String =
+    """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT 'both' AS cohort, user_id
+      |FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
+      |UNION ALL
+      |SELECT 'view_only', user_id
+      |FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+      |UNION ALL
+      |SELECT 'purchase_only', user_id
+      |FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v)""".stripMargin
+
+  /** Left-semi join: customers holding at least one high-value order
+    * (EXISTS semantics — J3's anti-join mirror). The order-side filter
+    * is pushed to the parquet scan; the semi join never duplicates or
+    * carries the probe side's payload, and the filtered build side
+    * broadcasts.
+    */
+  def q54SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val q54Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin
+
+  /** The ranking-window family in one pass: ntile quartiles,
+    * percent_rank, cume_dist, lead, and first-of-partition share ONE
+    * window spec — Catalyst evaluates all five in a single WindowExec
+    * (one shuffle on source, one sort). The ordering carries a unique
+    * doc_id tiebreak so every rank function is total; percent_rank and
+    * cume_dist are exact IEEE rational divisions both engines compute
+    * identically.
+    */
+  def q55WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    d.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("next_chars", lead(col("n_chars"), 1).over(w))
+      .withColumn("shortest_doc", first(col("doc_id")).over(w))
+  }
+
+  val q55Oracle: String =
+    """SELECT source, doc_id, n_chars,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  lead(n_chars, 1) OVER w AS next_chars,
+      |  first_value(doc_id) OVER w AS shortest_doc
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
+
+  /** Event-time tumbling windows: Spark's `window()` bucketing (the
+    * batch form of the Structured Streaming windowed aggregate) at 1
+    * hour, per event type. Epoch-aligned 1-hour windows coincide with
+    * date_trunc('hour'), which is exactly how the oracle replays them.
+    * The double `value` is quantized per row to cents BEFORE summing —
+    * integer sums are associative, so the result is partition-layout-
+    * proof on both engines.
+    */
+  def q56TimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+  }
+
+  val q56Oracle: String =
+    """SELECT
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+      |  event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Skew-safe distinct aggregation: exact per-type distinct-user
+    * counts via the two-phase rewrite ([[graft.operators.Skew
+    * .twoPhaseDistinct]]). event_type has 5 hot values — a direct
+    * count(DISTINCT) shuffles every row to 5 tasks; phase 1 here
+    * shuffles on the composite (event_type, user_id) key, spreading
+    * each hot type across the whole cluster, and phase 2 reduces 5
+    * tiny pre-aggregated groups.
+    */
+  def q58SkewDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.twoPhaseDistinct(
+      Tables.load(spark, dir, "events"), "event_type", "user_id")
+
+  val q58Oracle: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Edit-distance near-dup mining: block on the first-2-token prefix
+    * key (q20's blocking key), pair within blocks (id1 < id2 — never an
+    * all-pairs product), keep pairs whose Levenshtein distance is ≤ 20%
+    * of the longer text. The integer form `5·dist ≤ max(len)` avoids
+    * float thresholds entirely; the length-difference prune
+    * `5·|l1−l2| ≤ max(len)` is implied by it (dist ≥ |l1−l2|), so it
+    * discards doomed pairs BEFORE the O(n·m) distance computation
+    * without changing the result.
+    */
+  def q59EditDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        concat_ws(" ", slice(TextAnalysis.wsTokens(col("text")), 1, 2))
+          .as("prefix_key"))
+    val a = d.select(col("prefix_key"), col("doc_id").as("id1"),
+      col("text").as("t1"), col("len").as("l1"))
+    val b = d.select(col("prefix_key"), col("doc_id").as("id2"),
+      col("text").as("t2"), col("len").as("l2"))
+    a.join(b, Seq("prefix_key"))
+      .filter(col("id1") < col("id2"))
+      .filter(abs(col("l1") - col("l2")) * 5 <= greatest(col("l1"), col("l2")))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .filter(col("dist") * 5 <= greatest(col("l1"), col("l2")))
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
+  val q59Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 2), ' ')
+      |      AS prefix_key
+      |  FROM documents)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      |FROM k a JOIN k b ON a.prefix_key = b.prefix_key AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.text, b.text) * 5 <= greatest(a.len, b.len)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_tfidf" -> (q51Tfidf _),
+    "q52_cube" -> (q52Cube _),
+    "q53_set_ops" -> (q53SetOps _),
+    "q54_semi_join" -> (q54SemiJoin _),
+    "q55_window_rank" -> (q55WindowRank _),
+    "q56_time_window" -> (q56TimeWindow _),
+    "q58_skew_distinct" -> (q58SkewDistinct _),
+    "q59_edit_dedup" -> (q59EditDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q51_tfidf" -> q51Oracle,
+    "q52_cube" -> q52Oracle,
+    "q53_set_ops" -> q53Oracle,
+    "q54_semi_join" -> q54Oracle,
+    "q55_window_rank" -> q55Oracle,
+    "q56_time_window" -> q56Oracle,
+    "q58_skew_distinct" -> q58Oracle,
+    "q59_edit_dedup" -> q59Oracle)
+}

@@ -19,6 +19,9 @@ class PlanShapeSpec extends SparkSpec {
   private val intendedNestedLoop = Set(
     "q24_knn_brute", "q25_ann_lsh", "q33_ivf_ann",
     "q36_pack_stats", "q39_doc_frequency",
+    // q51's corpus-wide source count is a broadcast 1-row aggregate
+    // crossJoined into the scoring plan (q39's pattern)
+    "q51_tfidf",
     // signature self-join on s1 < s2: one row PER SOURCE (dozens, not
     // documents) on each side — bounded by group cardinality; a
     // many-thousand-source corpus would switch to banded signatures
