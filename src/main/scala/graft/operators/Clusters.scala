@@ -50,19 +50,19 @@ object Clusters {
     while (!converged && i < maxIter) {
       val fromNeighbors = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.unionByName(fromNeighbors)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // the node's own previous label rides through the SAME aggregate
+      // (min over the tagged self-branch), so the convergence probe
+      // needs no join back against the old labels — one shuffle and one
+      // count action per round, full stop
+      val next = labels.withColumn("own", lit(true))
+        .unionByName(fromNeighbors.withColumn("own", lit(false)))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
         .transform(graft.runtime.Materialize.once)
-      // convergence probe: any node whose label still moved this round?
-      // A full count, not limit(1): early-exit cancellation of in-flight
-      // tasks spams "non-existent accumulator" driver errors, and the
-      // changed set is at most |nodes| pre-aggregated rows anyway.
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val changed = next.filter(col("label") =!= col("prev")).count()
       converged = changed == 0L
-      labels = next
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     require(converged,

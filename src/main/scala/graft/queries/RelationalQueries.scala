@@ -244,11 +244,29 @@ object RelationalQueries {
       col("text").as("t1"), col("len").as("l1"))
     val b = d.select(col("prefix_key"), col("doc_id").as("id2"),
       col("text").as("t2"), col("len").as("l2"))
-    a.join(b, Seq("prefix_key"))
+    val scored = a.join(b, Seq("prefix_key"))
       .filter(col("id1") < col("id2"))
       .filter(abs(col("l1") - col("l2")) * 5 <= greatest(col("l1"), col("l2")))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
-      .filter(col("dist") * 5 <= greatest(col("l1"), col("l2")))
+      // spread the DP stage across every core: the candidate frame is
+      // only ~MBs (the testdata parquet is one split, and AQE would
+      // keep a tiny join output on few tasks), so without an explicit
+      // exchange the giga-cell distance work serializes
+      .repartition(spark.sparkContext.defaultParallelism)
+      // banded Levenshtein: the per-pair threshold floor(max/5) equals
+      // the largest distance the final predicate can accept, so the
+      // O(n·k) band is exact for every kept pair and all others
+      // short-circuit to -1 instead of paying the full O(n·m) table
+      .select(col("id1"), col("id2"), col("l1"), col("l2"),
+        expr("levenshtein(t1, t2, CAST(floor(greatest(l1, l2) / 5) AS INT))")
+          .as("dist"))
+      // materialization barrier, not just lineage hygiene: without it
+      // Catalyst pushes the dist predicates below the repartition into
+      // the join's residual condition, evaluating the DP twice per pair
+      // inside the (single-split) join task — verified via explain
+      .transform(graft.runtime.Materialize.once)
+    scored
+      .filter(col("dist") >= 0 &&
+        col("dist") * 5 <= greatest(col("l1"), col("l2")))
       .select(col("id1"), col("id2"), col("dist"))
   }
 
