@@ -42,8 +42,13 @@ object Clusters {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .transform(graft.runtime.Materialize.once)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initialization fused with the first propagation round: a node's
+    // round-1 label is min(self, neighbors), which one aggregate over
+    // the edge list yields directly — saves a full shuffle+probe round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mindst"))
+      .select(col("src").as("id"),
+        least(col("src"), col("mindst")).as("label"))
       .transform(graft.runtime.Materialize.once)
     var converged = false
     var i = 0

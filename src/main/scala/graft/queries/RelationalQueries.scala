@@ -281,6 +281,47 @@ object RelationalQueries {
       |FROM k a JOIN k b ON a.prefix_key = b.prefix_key AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.text, b.text) * 5 <= greatest(a.len, b.len)""".stripMargin
 
+  /** Rolling 7-day window per user over daily rollups — the RANGE-frame
+    * window family (value-based bounds over an ordered axis), distinct
+    * from the LAG/rank families already covered: with gap days in the
+    * series, a ROWS frame would silently span more than 7 calendar
+    * days, while the RANGE frame is anchored to the day axis itself.
+    * Day index is an integer (epoch days) so both engines frame
+    * identically; sums are cent-quantized as in q56. One shuffle: the
+    * daily rollup and the window share the user key.
+    */
+  def q60RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val daily = e
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_events"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rolling_cents", sum(col("cents")).over(w))
+      .withColumn("rolling_events", sum(col("n_events")).over(w))
+      .select(col("user_id"), col("day"), col("cents"), col("n_events"),
+        col("rolling_cents"), col("rolling_events"))
+  }
+
+  val q60Oracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS epoch_day
+      |  FROM events GROUP BY 1, 2, 5)
+      |SELECT user_id, day, cents, n_events,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS rolling_cents,
+      |  CAST(sum(n_events) OVER w AS BIGINT) AS rolling_events
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_tfidf" -> (q51Tfidf _),
     "q52_cube" -> (q52Cube _),
@@ -289,7 +330,8 @@ object RelationalQueries {
     "q55_window_rank" -> (q55WindowRank _),
     "q56_time_window" -> (q56TimeWindow _),
     "q58_skew_distinct" -> (q58SkewDistinct _),
-    "q59_edit_dedup" -> (q59EditDedup _))
+    "q59_edit_dedup" -> (q59EditDedup _),
+    "q60_rolling_window" -> (q60RollingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q51_tfidf" -> q51Oracle,
@@ -299,5 +341,6 @@ object RelationalQueries {
     "q55_window_rank" -> q55Oracle,
     "q56_time_window" -> q56Oracle,
     "q58_skew_distinct" -> q58Oracle,
-    "q59_edit_dedup" -> q59Oracle)
+    "q59_edit_dedup" -> q59Oracle,
+    "q60_rolling_window" -> q60Oracle)
 }

@@ -177,6 +177,36 @@ class PropertiesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: connectedComponents equals a union-find reference on random graphs") {
+    // sparse random graphs over a 60-node id space: isolated nodes,
+    // chains, merged blobs and self-loops all occur across the sample
+    val edges = sample(
+      for {
+        a <- Gen.choose(0L, 59L)
+        b <- Gen.choose(0L, 59L)
+      } yield (a, b), 70)
+    val got = graft.operators.Clusters
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // reference: classic path-compressing union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-relabel the reference roots so both sides name a component by
+    // its minimum member id
+    val members = parent.keys.toSeq.groupBy(find)
+    val want = members.flatMap { case (_, ms) =>
+      val lo = ms.min; ms.map(_ -> lo)
+    }.toMap
+    assert(got == want)
+  }
+
   test("property: fused TextFeatures equals the split-based reference") {
     // whitespace-rich strings; reference replicates wsTokens exactly:
     // UTF8String.trim strips ASCII SPACES only, then Java split("\\s+")

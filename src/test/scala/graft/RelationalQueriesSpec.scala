@@ -96,6 +96,23 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(twoPhase == direct)
   }
 
+  test("q60: RANGE-frame rolling sums equal an inequality-join recomputation") {
+    val r = RelationalQueries.q60RollingWindow(spark, sfDir)
+      .transform(graft.runtime.Materialize.once)
+    val a = r.select($"user_id", $"day", $"rolling_cents", $"rolling_events")
+    val b = r.select($"user_id".as("u2"), $"day".as("d2"),
+      $"cents".as("c2"), $"n_events".as("n2"))
+    val recomputed = a.join(b,
+        $"user_id" === $"u2" &&
+          $"d2" >= date_sub($"day", 6) && $"d2" <= $"day")
+      .groupBy($"user_id", $"day", $"rolling_cents", $"rolling_events")
+      .agg(sum($"c2").as("rc"), sum($"n2").as("rn"))
+    assert(recomputed
+      .filter($"rc" =!= $"rolling_cents" || $"rn" =!= $"rolling_events")
+      .isEmpty)
+    assert(r.count() > 0)
+  }
+
   test("q59: thresholds hold and identical-text block pairs surface with dist 0") {
     val r = RelationalQueries.q59EditDedup(spark, sfDir)
     // recompute lengths to confirm the kept pairs satisfy the contract
