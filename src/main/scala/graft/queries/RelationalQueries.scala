@@ -322,6 +322,96 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** GROUPING SETS ((source), (lang)) through the dedicated
+    * Dataset.groupingSets API (Spark 4): exactly the two single-axis
+    * reports in ONE Expand + aggregate — a shape neither ROLLUP (q38)
+    * nor CUBE (q52) produces without also paying for the cell-level
+    * grouping. grouping_id keys which axis each row belongs to.
+    */
+  def q61GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    d.groupingSets(Seq(Seq(col("source")), Seq(col("lang"))),
+        col("source"), col("lang"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val q61Oracle: String =
+    """SELECT source, lang,
+      |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY GROUPING SETS ((source), (lang))""".stripMargin
+
+  /** Semi-structured extraction: parse the events' JSON `props` payload
+    * with a schema'd from_json (codegen'd Jackson parse, no UDF) and
+    * aggregate the extracted field per event type. The parse is a
+    * per-row projection — scan-bound, shuffle only for the 5-group
+    * rollup; at 100 TB the same plan applies with the JSON column
+    * pruned down to the single referenced path.
+    */
+  def q62JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.select(col("event_type"),
+        from_json(col("props"), "k BIGINT",
+          Map.empty[String, String]).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+  }
+
+  val q62Oracle: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'k' AS BIGINT)) AS max_k,
+      |  CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_distinct_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Ordered list aggregation: the 3 longest docs per source as a
+    * comma-joined id string. collect_list is ORDER-NONDETERMINISTIC by
+    * contract (partition arrival order), so the aggregate sorts the
+    * collected array explicitly before joining — the only way a
+    * distributed listagg is reproducible; the oracle's string_agg uses
+    * the matching ORDER BY clause.
+    */
+  def q63StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val top = d
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= 3)
+    top.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_top"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("source"), col("n_top"),
+        expr("array_join(transform(ids, x -> CAST(x AS STRING)), ',')")
+          .as("top_ids"))
+  }
+
+  val q63Oracle: String =
+    """WITH top AS (
+      |  SELECT source, doc_id FROM (
+      |    SELECT source, doc_id,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY n_chars DESC, doc_id) AS rk
+      |    FROM documents)
+      |  WHERE rk <= 3)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS top_ids
+      |FROM top GROUP BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_tfidf" -> (q51Tfidf _),
     "q52_cube" -> (q52Cube _),
@@ -331,7 +421,10 @@ object RelationalQueries {
     "q56_time_window" -> (q56TimeWindow _),
     "q58_skew_distinct" -> (q58SkewDistinct _),
     "q59_edit_dedup" -> (q59EditDedup _),
-    "q60_rolling_window" -> (q60RollingWindow _))
+    "q60_rolling_window" -> (q60RollingWindow _),
+    "q61_grouping_sets" -> (q61GroupingSets _),
+    "q62_json_extract" -> (q62JsonExtract _),
+    "q63_string_agg" -> (q63StringAgg _))
 
   val oracles: Map[String, String] = Map(
     "q51_tfidf" -> q51Oracle,
@@ -342,5 +435,8 @@ object RelationalQueries {
     "q56_time_window" -> q56Oracle,
     "q58_skew_distinct" -> q58Oracle,
     "q59_edit_dedup" -> q59Oracle,
-    "q60_rolling_window" -> q60Oracle)
+    "q60_rolling_window" -> q60Oracle,
+    "q61_grouping_sets" -> q61Oracle,
+    "q62_json_extract" -> q62Oracle,
+    "q63_string_agg" -> q63Oracle)
 }

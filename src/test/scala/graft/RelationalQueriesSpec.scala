@@ -113,6 +113,46 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("q61: grouping sets = per-source plus per-lang aggregates, nothing else") {
+    val r = RelationalQueries.q61GroupingSets(spark, sfDir)
+    val d = Tables.load(spark, sfDir, "documents")
+    val nSources = d.select($"source").distinct().count()
+    val nLangs = d.select($"lang").distinct().count()
+    // gid 1 = grouped by source (lang aggregated), gid 2 = by lang
+    assert(r.filter($"gid" === 1).count() == nSources)
+    assert(r.filter($"gid" === 2).count() == nLangs)
+    assert(r.count() == nSources + nLangs)
+    // each axis independently accounts for every document
+    val total = d.count()
+    assert(r.filter($"gid" === 1).agg(sum($"n_docs")).as[Long].head() == total)
+    assert(r.filter($"gid" === 2).agg(sum($"n_docs")).as[Long].head() == total)
+  }
+
+  test("q62: schema'd JSON parse equals get_json_object extraction") {
+    val viaFromJson = RelationalQueries.q62JsonExtract(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val viaPath = Tables.load(spark, sfDir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        countDistinct($"k").as("n_distinct_k"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaFromJson == viaPath && viaFromJson.nonEmpty)
+  }
+
+  test("q63: aggregated id strings are sorted and sized with the rank filter") {
+    val r = RelationalQueries.q63StringAgg(spark, sfDir)
+      .as[(String, Long, String)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (src, n, ids) =>
+      val parts = ids.split(",").map(_.toLong).toSeq
+      assert(parts.size == n && n <= 3, s"$src: $ids")
+      assert(parts == parts.sorted, s"$src ids not sorted: $ids")
+    }
+  }
+
   test("q59: thresholds hold and identical-text block pairs surface with dist 0") {
     val r = RelationalQueries.q59EditDedup(spark, sfDir)
     // recompute lengths to confirm the kept pairs satisfy the contract
