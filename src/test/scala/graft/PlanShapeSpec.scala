@@ -63,4 +63,32 @@ class PlanShapeSpec extends SparkSpec {
           s"$name has a global window — all rows funnel into one task")
     }
   }
+
+  // queries whose plans must never read the (dominant-width) text column
+  // — a pruning regression here multiplies scan bytes at 100 TB
+  private val textFreeQueries = Seq(
+    "q29_topk_per_source", "q37_length_percentiles",
+    "q46_approx_percentiles", "q55_window_rank", "q63_string_agg")
+
+  test("column pruning reaches the parquet scans (text never read when unused)") {
+    textFreeQueries.foreach { name =>
+      val scanned = plans(name).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSeq
+      }.flatten
+      assert(scanned.nonEmpty, s"$name: no FileSourceScanExec found")
+      assert(!scanned.contains("text"),
+        s"$name reads the text column it never uses: $scanned")
+    }
+  }
+
+  test("q54's order-side threshold is pushed into the scan") {
+    val pushed = plans("q54_semi_join").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("o_totalprice") =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("o_totalprice"),
+      s"o_totalprice filter not pushed: $pushed")
+  }
 }
