@@ -37,9 +37,16 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    // symmetric edge list: propagation must flow both directions
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetric edge list: propagation must flow both directions. The
+    // two directions come from ONE explode over each pair row — a
+    // two-branch union would embed the (possibly expensive) pair
+    // miner's lineage twice, and Spark does not reuse identical
+    // subtrees within a job.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .transform(graft.runtime.Materialize.once)
     // initialization fused with the first propagation round: a node's
@@ -67,6 +74,10 @@ object Clusters {
         .transform(graft.runtime.Materialize.once)
       val changed = next.filter(col("label") =!= col("prev")).count()
       converged = changed == 0L
+      // free the previous round's checkpoint blocks now that `next` is
+      // materialized: without this, executor storage accumulates one
+      // label generation per round until driver GC gets around to it
+      unpersistCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       i += 1
     }
@@ -74,4 +85,14 @@ object Clusters {
       s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster"))
   }
+
+  /** Drop the storage blocks behind a frame produced by
+    * [[graft.runtime.Materialize.once]] (non-blocking). The checkpointed
+    * RDD sits under the frame's LogicalRDD leaf; anything else is a
+    * no-op.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    }
 }

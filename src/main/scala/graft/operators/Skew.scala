@@ -59,5 +59,9 @@ object Skew {
     df.groupBy(col(key), col(distinctCol))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col(key))
-      .agg(count(lit(1)).as("n_distinct"), sum(col("__n")).as("n_rows"))
+      // count(distinctCol), not count(*): a NULL distinctCol forms its
+      // own phase-1 group, and COUNT(DISTINCT x) semantics exclude it —
+      // n_rows still counts every input row including the NULL group's
+      .agg(count(col(distinctCol)).as("n_distinct"),
+        sum(col("__n")).as("n_rows"))
 }

@@ -88,6 +88,18 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
+  /** First-2-token blocking key shared by the exact (q20) and
+    * edit-distance (q59) dedup paths — one definition so the two can
+    * never block differently. The fused textFeatures struct computes
+    * the identical key for the paths that need the other features too.
+    */
+  def prefixKey(text: Column): Column =
+    concat_ws(" ", slice(wsTokens(text), 1, 2))
+
+  /** The same blocking key as DuckDB SQL text, for oracle generation. */
+  val prefixKeySql: String =
+    """array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 2), ' ')"""
+
   /** Fused whitespace-token features (n_tokens, stopword occurrences,
     * 2-token prefix key) as one codegen'd struct — one tokenization per
     * row instead of one per feature; see graft.functions.TextFeatures.

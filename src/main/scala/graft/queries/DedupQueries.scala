@@ -23,8 +23,7 @@ object DedupQueries {
     */
   def q20ExactDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-      .withColumn("prefix_key",
-        concat_ws(" ", slice(TextAnalysis.wsTokens(col("text")), 1, 2)))
+      .withColumn("prefix_key", TextAnalysis.prefixKey(col("text")))
     val grouped = d.withColumn("group_size",
       count(lit(1)).over(Window.partitionBy(col("prefix_key"))))
     Dedup.keepFirst(grouped, col("prefix_key"), col("doc_id"))
@@ -32,9 +31,9 @@ object DedupQueries {
   }
 
   val q20Oracle: String =
-    """WITH keyed AS (
+    s"""WITH keyed AS (
       |  SELECT doc_id,
-      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 2), ' ')
+      |    ${TextAnalysis.prefixKeySql}
       |      AS prefix_key
       |  FROM documents),
       |ranked AS (

@@ -15,7 +15,7 @@ import graft.runtime.Tables
   */
 object RelationalQueries {
 
-  /** TF-IDF top-5 terms per source — the vocabulary-weighting composition
+  /** TF-IDF top-3 terms per source — the vocabulary-weighting composition
     * built on q39's document-frequency shape (here: source-frequency).
     * One token-keyed shuffle computes tf AND df (df via a count window
     * over the token partition — no self-join, no second scan); the
@@ -238,8 +238,7 @@ object RelationalQueries {
   def q59EditDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).as("len"),
-        concat_ws(" ", slice(TextAnalysis.wsTokens(col("text")), 1, 2))
-          .as("prefix_key"))
+        TextAnalysis.prefixKey(col("text")).as("prefix_key"))
     val a = d.select(col("prefix_key"), col("doc_id").as("id1"),
       col("text").as("t1"), col("len").as("l1"))
     val b = d.select(col("prefix_key"), col("doc_id").as("id2"),
@@ -270,10 +269,14 @@ object RelationalQueries {
       .select(col("id1"), col("id2"), col("dist"))
   }
 
+  // NB: DuckDB's levenshtein counts UTF-8 BYTE edits while Spark's
+  // counts code points — identical on this all-ASCII corpus (verified
+  // length(text) = strlen(text) for every row); a multi-byte corpus
+  // would need an oracle-side code-point shim.
   val q59Oracle: String =
-    """WITH k AS (
+    s"""WITH k AS (
       |  SELECT doc_id, text, length(text) AS len,
-      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 2), ' ')
+      |    ${TextAnalysis.prefixKeySql}
       |      AS prefix_key
       |  FROM documents)
       |SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -168,7 +168,7 @@ object TextQueries {
     s"""WITH f AS (
        |  SELECT doc_id, lang, text, length(text) AS n_chars_c, $nTok AS n_tokens,
        |    $punct AS punct_ratio, $stop AS stopword_ratio,
-       |    array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 2), ' ')
+       |    $prefixKeySql
        |      AS prefix_key
        |  FROM documents),
        |ok AS (

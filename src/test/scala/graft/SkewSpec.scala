@@ -22,6 +22,23 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("twoPhaseDistinct matches COUNT(DISTINCT) semantics, including NULLs") {
+    // key "b" has a NULL user among real ones; key "c" is all-NULL —
+    // COUNT(DISTINCT) must exclude NULLs (0 for "c"), COUNT(*) must not
+    val rows = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)),
+      ("b", Some(7L)), ("b", None), ("b", Some(7L)),
+      ("c", None), ("c", None))
+    val df = rows.toDF("k", "u")
+    val got = Skew.twoPhaseDistinct(df, "k", "u")
+      .as[(String, Long, Long)].collect().toSet
+    val want = df.groupBy($"k")
+      .agg(countDistinct($"u").as("n_distinct"), count(lit(1)).as("n_rows"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got == Set(("a", 2L, 3L), ("b", 1L, 3L), ("c", 0L, 2L)))
+  }
+
   test("probe rows scatter across salt buckets even when rows are identical") {
     // all 1000 rows are the SAME row — a content-hash salt would put
     // them all in one bucket and leave the hot key unsplit
