@@ -116,16 +116,20 @@ object TextQueries {
       |FROM documents""".stripMargin
 
   /** Top-k-per-group selection: keep the 3 longest documents per source
-    * (the "keep N best docs per domain" step of corpus curation) —
-    * row_number over a (desc metric, unique id) order.
+    * (the "keep N best docs per domain" step of corpus curation) — via
+    * the custom TopKPerGroup operator (logical node + strategy +
+    * bounded-heap physical plan, graft.plans.TopK): O(n log k) per
+    * partition and O(groups×k) memory instead of WindowExec's full
+    * partition sort; the (desc metric, unique id) order keeps ranks
+    * total. TopKSpec proves it row-identical to the window spelling.
     */
   def q29TopkPerSource(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    d.select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    graft.plans.TopK.perGroup(
+      d.select(col("source"), col("doc_id"), col("n_chars")),
+      group = Seq(col("source")),
+      order = Seq(col("n_chars").desc, col("doc_id")),
+      k = 3)
   }
 
   val q29Oracle: String =

@@ -66,5 +66,6 @@ object GraftExtensions {
         val a = arity("winnow_fp", 3)(args)
         WinnowFingerprint(a(0), litInt(a(1), "k"), litInt(a(2), "w")) }))
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
