@@ -74,25 +74,55 @@ object Clusters {
         .transform(graft.runtime.Materialize.once)
       val changed = next.filter(col("label") =!= col("prev")).count()
       converged = changed == 0L
-      // free the previous round's checkpoint blocks now that `next` is
-      // materialized: without this, executor storage accumulates one
-      // label generation per round until driver GC gets around to it
-      unpersistCheckpoint(labels)
-      labels = next.select(col("id"), col("label"))
+      if (converged) {
+        // zero changes ⇒ `next`'s (id, label) set equals `labels`'s, so
+        // keep the already-materialized previous generation and free the
+        // redundant new one
+        unpersistCheckpoint(next)
+      } else {
+        // free the previous round's checkpoint blocks now that `next` is
+        // materialized: without this, executor storage accumulates one
+        // label generation per round until driver GC gets around to it
+        unpersistCheckpoint(labels)
+        labels = next.select(col("id"), col("label"))
+      }
       i += 1
     }
+    // the symmetric edge list (the largest frame of the loop) is dead
+    // once labels have converged — localCheckpoint truncated the label
+    // lineage, so nothing downstream can reference it
+    unpersistCheckpoint(edges)
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster"))
   }
 
-  /** Drop the storage blocks behind a frame produced by
-    * [[graft.runtime.Materialize.once]] (non-blocking). The checkpointed
-    * RDD sits under the frame's LogicalRDD leaf; anything else is a
-    * no-op.
+  /** Free the checkpoint blocks behind a frame returned by
+    * [[connectedComponents]] once it has been fully consumed. The
+    * returned labels are backed by one materialized generation that
+    * otherwise lives until the driver GCs the frame.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-    }
+  def release(labels: DataFrame): Unit = unpersistCheckpoint(labels)
+
+  /** Drop the storage blocks behind a frame whose plan ROOT is a
+    * [[graft.runtime.Materialize.once]] leaf, looking through
+    * Project/SubqueryAlias wrappers only. Deliberately NOT a whole-tree
+    * collect: a derived frame can embed some OTHER still-live
+    * materialized frame deeper in its lineage, and unpersisting that one
+    * would be unrecoverable (localCheckpoint truncates lineage, so the
+    * blocks cannot be recomputed). Frames without a materialized root
+    * are a no-op.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def leaf(p: LogicalPlan): Option[org.apache.spark.sql.execution.LogicalRDD] =
+      p match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l)
+        case pr: Project => leaf(pr.child)
+        case s: SubqueryAlias => leaf(s.child)
+        case _ => None
+      }
+    leaf(df.queryExecution.analyzed).foreach(_.rdd.unpersist(false))
+  }
 }

@@ -1,7 +1,5 @@
 package graft.plans
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -20,11 +18,15 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Why not window+filter? `row_number().over(partitionBy(g).orderBy(o))
   * .filter(rk <= k)` is the declarative spelling (q29's original
-  * shape), but WindowExec must SORT every partition completely —
-  * O(n log n) comparisons and full materialization of each group —
-  * before the filter throws away all but k rows. This operator keeps a
-  * bounded heap of k rows per group: O(n log k) comparisons, O(groups
-  * × k) memory, no sort buffer spills. Same single hash-partition
+  * shape), but WindowExec must sort every partition on (group, ALL
+  * order columns) and buffer each group completely before the filter
+  * throws away all but k rows. This operator requires only a sort on
+  * the group key (cheaper comparisons, and Spark's SortExec spills, so
+  * the pre-step is safe at any scale) and then streams one group at a
+  * time through a bounded heap of k rows: O(n log k) order-column
+  * comparisons and O(k) operator memory regardless of group count or
+  * group size — high-cardinality keys can never OOM the operator the
+  * way an unbounded groups-map would. Same single hash-partition
   * shuffle on the group key (ClusteredDistribution), so the plan shape
   * at 100 TB is identical — only the per-partition cost drops.
   *
@@ -40,6 +42,8 @@ object TopK {
   def perGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
                k: Int, rankName: String = "rk"): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(!df.columns.contains(rankName),
+      s"rank column '$rankName' collides with an input column; pass a distinct rankName")
     import org.apache.spark.sql.graft.ColumnBridge
     val groupE = group.map(ColumnBridge.convertedExpression)
     val orderE = order.map(ColumnBridge.convertedExpression).map {
@@ -77,11 +81,13 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Physical grouped top-k: per-partition hash of group key → bounded
-  * max-heap (worst kept row at the head), emit each group's survivors
-  * in rank order. Requires clustering on the group key —
-  * EnsureRequirements inserts the hash exchange, AQE handles it like
-  * any aggregate shuffle. No sort of the input, ever.
+/** Physical grouped top-k: input clustered AND sorted on the group key
+  * (EnsureRequirements inserts the hash exchange + a spillable SortExec;
+  * AQE handles the exchange like any aggregate shuffle), then one
+  * streaming pass — a bounded max-heap of k rows (worst kept row at the
+  * head) for the CURRENT group only, drained in rank order at each group
+  * boundary. Operator memory is O(k); the order columns are never
+  * sorted.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
@@ -96,6 +102,13 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  // group-key-only sort: rows of one group arrive contiguously, so the
+  // operator holds at most k rows at a time. SortExec spills, so this
+  // stays safe where an in-operator hash-of-heaps would OOM on
+  // high-cardinality keys.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(groupExprs.map(SortOrder(_, Ascending)))
+
   override def outputPartitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -107,36 +120,51 @@ case class TopKPerGroupExec(
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
       val ord = RowOrdering.create(orderLocal, childOutput)
-      // max-heap per group under `ord` (head = worst kept row)
-      val heaps = new java.util.LinkedHashMap[
-        InternalRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.lt(row, heap.peek())) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       val outProj = UnsafeProjection.create(
         childOutput :+ rankLocal, childOutput :+ rankLocal)
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = new Array[InternalRow](heap.size)
-        var i = rows.length - 1
-        // draining the max-heap yields worst-first → fill backwards
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
-        rows.iterator.zipWithIndex.map { case (r, idx) =>
-          rankRow.setInt(0, idx + 1)
-          outProj(joined(r, rankRow))
+      new Iterator[InternalRow] {
+        // max-heap of the current group's kept rows (head = worst)
+        private val heap =
+          new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
+        private var curKey: InternalRow = null
+        private var drained: Iterator[InternalRow] = Iterator.empty
+
+        private def drainHeap(): Iterator[InternalRow] = {
+          val rows = new Array[InternalRow](heap.size)
+          var i = rows.length - 1
+          // draining the max-heap yields worst-first → fill backwards
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+          rows.iterator.zipWithIndex.map { case (r, idx) =>
+            rankRow.setInt(0, idx + 1)
+            outProj(joined(r, rankRow))
+          }
         }
+
+        override def hasNext: Boolean = {
+          while (!drained.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            if (curKey == null) curKey = key.copy()
+            else if (!key.equals(curKey)) {
+              // group boundary: emit the finished group; the heap is
+              // empty again after drainHeap's eager poll loop, so the
+              // boundary row below starts the new group
+              drained = drainHeap()
+              curKey = key.copy()
+            }
+            if (heap.size < kLocal) heap.add(row.copy())
+            else if (ord.lt(row, heap.peek())) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
+          if (!drained.hasNext && heap.size > 0) drained = drainHeap()
+          drained.hasNext
+        }
+
+        override def next(): InternalRow = drained.next()
       }
     }
   }
