@@ -33,7 +33,7 @@ class TopKSpec extends SparkSpec {
     assert(got == Set(("a", 2, 1), ("a", 1, 2), ("b", 5, 1)))
   }
 
-  test("the plan is the custom exec with a clustering exchange, no sort, no window") {
+  test("the plan is the custom exec: group-key-only sort, no window") {
     // multi-partition input: a single-partition frame satisfies
     // ClusteredDistribution trivially and would need no exchange
     val df = Seq(("a", 1L), ("a", 3L), ("b", 2L)).toDF("g", "v").repartition(5)
@@ -45,7 +45,13 @@ class TopKSpec extends SparkSpec {
     assert(s.contains("TopKPerGroup"), s)
     assert(s.contains("Exchange hashpartitioning"),
       s"expected a hash exchange on the group key:\n$s")
-    assert(!s.contains("Window ") && !s.contains("Sort "), s)
+    assert(!s.contains("Window "), s)
+    // the exec's requiredChildOrdering is the GROUP KEY alone — the
+    // order column (v) must never appear in a Sort: that would be the
+    // WindowExec full-sort this operator exists to avoid
+    val sorts = "Sort \\[[^\\]]*\\]".r.findAllIn(s).toList
+    assert(sorts.nonEmpty && sorts.forall(x => x.contains("g#") && !x.contains("v#")),
+      s"expected group-key-only sorts, got $sorts in:\n$s")
   }
 
   test("works through SQL-registered extension session and survives AQE") {
