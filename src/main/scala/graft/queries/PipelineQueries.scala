@@ -151,15 +151,111 @@ object PipelineQueries {
       |  max(n_chars) AS max_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Windowed z-score anomaly detection: hourly event counts per type,
+    * each hour scored against the 6 trailing hours' mean/stddev. The
+    * |z| > 2 test is evaluated in EXACT integer arithmetic —
+    * |x − S/n| > 2·sqrt(var_samp) squared and cleared of denominators
+    * becomes (n·x − S)²·(n−1) > 4·n·(n·SS − S²) over bigint counts —
+    * so the flag is bit-identical across engines (no float stddev near
+    * the threshold boundary). Same one-pass shape at 100 TB: one
+    * aggregate shuffle to (type, hour), one window per type.
+    */
+  def q68ZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "events")
+    val hourly = e
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-6, -1)
+    val scored = hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n") === 6)
+    val dev = col("cnt") * lit(6L) - col("s")
+    val varTerm = col("ss") * lit(6L) - col("s") * col("s")
+    scored.select(
+      col("event_type"), col("hour"), col("cnt"), col("s").as("win_sum"),
+      (dev * dev * lit(5L) > varTerm * lit(24L)).cast("int").as("anomaly"))
+  }
+
+  val q68Oracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, hour, cnt,
+      |    count(*) OVER w AS n,
+      |    CAST(sum(cnt) OVER w AS BIGINT) AS s,
+      |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour, cnt, s AS win_sum,
+      |  CAST(CASE WHEN (cnt*6 - s)*(cnt*6 - s)*5 > (ss*6 - s*s)*24
+      |       THEN 1 ELSE 0 END AS INT) AS anomaly
+      |FROM scored WHERE n = 6""".stripMargin
+
+  /** Slowly-changing-dimension type-2 build: collapse each user's event
+    * stream into attribute VERSIONS — a new row only when event_type
+    * changes — with [valid_from, valid_to) intervals from lead() and an
+    * is_current flag. The standard lakehouse dimension-history
+    * primitive: one shuffle on user_id, two window passes (change
+    * detection, then interval stitch), no self-join.
+    */
+  def q69Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = e
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(
+        col("user_id"), col("version"),
+        col("event_type").as("attr"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
+  val q69Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts, event_id FROM e
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  event_type AS attr,
+      |  ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+      |    AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
     "q66_unpivot" -> (q66Unpivot _),
-    "q67_histogram" -> (q67Histogram _))
+    "q67_histogram" -> (q67Histogram _),
+    "q68_zscore_anomaly" -> (q68ZscoreAnomaly _),
+    "q69_scd2" -> (q69Scd2 _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
     "q65_stratified_sample" -> q65Oracle,
     "q66_unpivot" -> q66Oracle,
-    "q67_histogram" -> q67Oracle)
+    "q67_histogram" -> q67Oracle,
+    "q68_zscore_anomaly" -> q68Oracle,
+    "q69_scd2" -> q69Oracle)
 }
