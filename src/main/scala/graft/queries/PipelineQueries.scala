@@ -243,13 +243,155 @@ object PipelineQueries {
       |FROM changes
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** Fixed-iteration PageRank over the customer→supplier purchase
+    * graph (supplier ids offset into a disjoint node space). Rank mass
+    * is INTEGER micros — start 1,000,000 per node, per step
+    * `150,000 + (85·Σ incoming(prev div outdeg)) div 100` — because
+    * integer addition is associative, the result is independent of
+    * partitioning/aggregation order and bit-identical across engines,
+    * which float PageRank is not. Three unrolled iterations, each one
+    * broadcast-or-shuffle join + hash aggregate; the edge list and
+    * node set are materialized once and reused by every iteration.
+    * (Public-algorithm note: PageRank per Brin & Page 1998; the
+    * integer-mass determinism trick is standard fixed-point practice.)
+    */
+  def q70Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+      .transform(Materialize.once)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .transform(Materialize.once)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ew = edges.join(outdeg, "src").transform(Materialize.once)
+    var ranks = nodes.withColumn("mass", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = ranks.join(ew, ranks("node") === ew("src"))
+        .select(col("dst"), expr("mass div d").as("out"))
+        .groupBy(col("dst")).agg(sum(col("out")).as("inc"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (lit(150000L) +
+            expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            .as("mass"))
+    }
+    ranks.orderBy(col("mass").desc, col("node")).limit(20)
+  }
+
+  val q70Oracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT e.dst, CAST(sum(r.mass // o.d) AS BIGINT) AS inc
+         |  FROM $prev r JOIN edges e ON r.node = e.src
+         |  JOIN outdeg o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |$cur AS (
+         |  SELECT n.node,
+         |    150000 + (85 * coalesce(c.inc, 0)) // 100 AS mass
+         |  FROM nodes n LEFT JOIN c$cur c ON n.node = c.dst)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, CAST(mass AS BIGINT) AS mass FROM r3
+       |ORDER BY mass DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** BPE-ish lexer token frequencies: the classic pre-tokenizer split
+    * (letter runs | digit runs | single symbol) via regexp_extract_all,
+    * top 5 tokens per language. Pure per-row built-ins + one aggregate
+    * + a per-group top-k window over tiny groups.
+    */
+  def q71LexerTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("lang"),
+        explode_outer(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rnk") <= 5)
+  }
+
+  val q71Oracle: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |      AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM t GROUP BY lang, token)
+      |SELECT lang, token, cnt,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY lang ORDER BY cnt DESC, token) AS INT) AS rnk
+      |FROM c QUALIFY rnk <= 5""".stripMargin
+
+  /** Triangle counting on the supplier co-occurrence graph (edge when
+    * two suppliers share ≥8 orders): the standard three-way edge join
+    * with `a<b<c` orientation so each triangle is produced exactly
+    * once. Edge mining is one self-join on order key + one aggregate;
+    * the oriented closure join touches only the thresholded edge list,
+    * never the raw co-occurrence pairs.
+    */
+  def q72Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val a = os.select(col("ok"), col("sk").as("s1"))
+    val b = os.select(col("ok").as("ok2"), col("sk").as("s2"))
+    val edges = a.join(b, col("ok") === col("ok2") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 8)
+      .select(col("s1"), col("s2"))
+      .transform(Materialize.once)
+    val e1 = edges.select(col("s1").as("a"), col("s2").as("b"))
+    val e2 = edges.select(col("s1").as("b2"), col("s2").as("c"))
+    val e3 = edges.select(col("s1").as("a3"), col("s2").as("c3"))
+    val tris = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  val q72Oracle: String =
+    """WITH os AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |edges AS (
+      |  SELECT a.sk AS s1, b.sk AS s2
+      |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+      |  GROUP BY a.sk, b.sk HAVING count(*) >= 8),
+      |tris AS (
+      |  SELECT 1 FROM edges e1
+      |  JOIN edges e2 ON e1.s2 = e2.s1
+      |  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
     "q66_unpivot" -> (q66Unpivot _),
     "q67_histogram" -> (q67Histogram _),
     "q68_zscore_anomaly" -> (q68ZscoreAnomaly _),
-    "q69_scd2" -> (q69Scd2 _))
+    "q69_scd2" -> (q69Scd2 _),
+    "q70_pagerank" -> (q70Pagerank _),
+    "q71_lexer_tokens" -> (q71LexerTokens _),
+    "q72_triangles" -> (q72Triangles _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -257,5 +399,8 @@ object PipelineQueries {
     "q66_unpivot" -> q66Oracle,
     "q67_histogram" -> q67Oracle,
     "q68_zscore_anomaly" -> q68Oracle,
-    "q69_scd2" -> q69Oracle)
+    "q69_scd2" -> q69Oracle,
+    "q70_pagerank" -> q70Oracle,
+    "q71_lexer_tokens" -> q71Oracle,
+    "q72_triangles" -> q72Oracle)
 }
