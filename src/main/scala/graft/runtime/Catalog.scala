@@ -21,9 +21,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver-side collection; partition columns become hive directories so
   * reads get partition pruning for free.
   */
-final case class Catalog(spark: SparkSession, root: String) {
+final case class Catalog(spark: SparkSession, root: String,
+                         format: String = "parquet") {
+  require(Catalog.Formats.contains(format),
+    s"unsupported storage format '$format' (one of ${Catalog.Formats.mkString(", ")})")
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
+
+  /** Per-format reader/writer options: columnar formats need none;
+    * CSV round-trips through an explicit header (type inference on
+    * read restores numeric/date columns — lossy for exotic types, per
+    * the format itself, not this catalog).
+    */
+  private def readOptions: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+    case _ => Map.empty
+  }
+  private def writeOptions: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true", "compression" -> "gzip")
+    case "json" => Map("compression" -> "gzip")
+    case _ => Map("compression" -> "snappy")
+  }
 
   /** S4 — table existence probe (`spark.catalog.tableExists` equivalent). */
   def tableExists(layer: String, table: String): Boolean = {
@@ -34,7 +52,7 @@ final case class Catalog(spark: SparkSession, root: String) {
 
   /** S2 — catalog table scan (partition columns inferred from layout). */
   def read(layer: String, table: String): DataFrame =
-    spark.read.parquet(path(layer, table))
+    spark.read.format(format).options(readOptions).load(path(layer, table))
 
   /** S5 — partitioned append, clustered within partitions. */
   def append(df: DataFrame, layer: String, table: String,
@@ -44,9 +62,10 @@ final case class Catalog(spark: SparkSession, root: String) {
       else df
     clustered.write
       .partitionBy(partitionCols: _*)
-      .option("compression", "snappy")
+      .options(writeOptions)
       .mode("append")
-      .parquet(path(layer, table))
+      .format(format)
+      .save(path(layer, table))
   }
 
   /** S6 — idempotent dynamic partition overwrite: replaces only the
@@ -57,16 +76,18 @@ final case class Catalog(spark: SparkSession, root: String) {
     df.write
       .partitionBy(partitionCols: _*)
       .option("partitionOverwriteMode", "dynamic")
-      .option("compression", "snappy")
+      .options(writeOptions)
       .mode("overwrite")
-      .parquet(path(layer, table))
+      .format(format)
+      .save(path(layer, table))
 
   /** S7 — full-replace (dimension rebuild). */
   def createOrReplace(df: DataFrame, layer: String, table: String): Unit =
     df.write
-      .option("compression", "snappy")
+      .options(writeOptions)
       .mode("overwrite")
-      .parquet(path(layer, table))
+      .format(format)
+      .save(path(layer, table))
 
   /** Bucketed external table at this catalog's path: rows are hashed
     * into `buckets` files per partition by `bucketCols` and sorted
@@ -113,4 +134,14 @@ final case class Catalog(spark: SparkSession, root: String) {
   /** Scan of a bucketed table with its bucket metadata intact. */
   def readBucketed(layer: String, table: String): DataFrame =
     spark.table(bucketedName(layer, table))
+}
+
+object Catalog {
+  /** Storage formats this catalog round-trips. Parquet is the scale
+    * default (columnar, pushdown, pruning); ORC is the columnar
+    * alternative with the same properties; JSON/CSV exist for
+    * interchange layers — row-oriented, schema-on-read, no pushdown —
+    * and should stay at the ingest edge of a 100 TB pipeline.
+    */
+  val Formats: Set[String] = Set("parquet", "orc", "json", "csv")
 }
