@@ -260,17 +260,20 @@ object PipelineQueries {
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
-    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // out-degree via a window over the edge list itself — one shuffle
+    // on src, no separate aggregate+join, and ONE materialized frame
+    // ((src, dst, d)) feeds all three iterations
+    val ew = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
       .distinct()
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .transform(Materialize.once)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst")))
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst")))
       .distinct()
       .transform(Materialize.once)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val ew = edges.join(outdeg, "src").transform(Materialize.once)
     var ranks = nodes.withColumn("mass", lit(1000000L))
     for (_ <- 1 to 3) {
       val contrib = ranks.join(ew, ranks("node") === ew("src"))

@@ -25,7 +25,10 @@ class PlanShapeSpec extends SparkSpec {
     // signature self-join on s1 < s2: one row PER SOURCE (dozens, not
     // documents) on each side — bounded by group cardinality; a
     // many-thousand-source corpus would switch to banded signatures
-    "q41_source_minhash")
+    "q41_source_minhash",
+    // two single-row scalar aggregates (edge count × triangle count)
+    // crossJoined into the one-row result
+    "q72_triangles")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
