@@ -385,6 +385,58 @@ object PipelineQueries {
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
       |       (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles""".stripMargin
 
+  /** Deterministic bottom-k sampling per group via the mergeable
+    * [[graft.functions.BottomKAgg]]: the 8 docs per source whose
+    * Lehmer-hash is smallest — a uniform, reproducible, engine-exact
+    * sample (at most k (hash,id) pairs per group cross the shuffle).
+    * The oracle replays the identical hash order relationally.
+    */
+  def q73BottomkSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BottomKAgg
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(BottomKAgg.udaf(8)(col("doc_id")).as("sample"))
+      .select(col("source"), posexplode(col("sample")))
+      .withColumnRenamed("col", "doc_id")
+  }
+
+  val q73Oracle: String =
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 48271) % 2147483647) - 1 AS INT) AS pos
+      |  FROM documents)
+      |SELECT source, pos, doc_id FROM h WHERE pos < 8""".stripMargin
+
+  /** Calendar/date-function family over order dates: year / quarter /
+    * ISO week / day-of-week extraction, date difference spans — the
+    * time-dimension shaping every reporting layer needs. One hash
+    * aggregate; every function is a codegen'd built-in.
+    */
+  def q74Calendar(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"))
+    o.groupBy(year(col("d")).as("yr"), quarter(col("d")).as("qtr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(weekofyear(col("d"))).as("n_iso_weeks"),
+        min(col("d")).as("first_day"),
+        datediff(max(col("d")), min(col("d"))).as("span_days"),
+        dayofweek(min(col("d"))).as("dow_first"))
+  }
+
+  val q74Oracle: String =
+    """SELECT
+      |  CAST(year(d) AS INT) AS yr,
+      |  CAST(quarter(d) AS INT) AS qtr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT week(d)) AS BIGINT) AS n_iso_weeks,
+      |  min(d) AS first_day,
+      |  CAST(date_diff('day', min(d), max(d)) AS INT) AS span_days,
+      |  CAST(dayofweek(min(d)) + 1 AS INT) AS dow_first
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -394,7 +446,9 @@ object PipelineQueries {
     "q69_scd2" -> (q69Scd2 _),
     "q70_pagerank" -> (q70Pagerank _),
     "q71_lexer_tokens" -> (q71LexerTokens _),
-    "q72_triangles" -> (q72Triangles _))
+    "q72_triangles" -> (q72Triangles _),
+    "q73_bottomk_sample" -> (q73BottomkSample _),
+    "q74_calendar" -> (q74Calendar _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -405,5 +459,7 @@ object PipelineQueries {
     "q69_scd2" -> q69Oracle,
     "q70_pagerank" -> q70Oracle,
     "q71_lexer_tokens" -> q71Oracle,
-    "q72_triangles" -> q72Oracle)
+    "q72_triangles" -> q72Oracle,
+    "q73_bottomk_sample" -> q73Oracle,
+    "q74_calendar" -> q74Oracle)
 }
