@@ -134,6 +134,47 @@ final case class Catalog(spark: SparkSession, root: String,
   /** Scan of a bucketed table with its bucket metadata intact. */
   def readBucketed(layer: String, table: String): DataFrame =
     spark.table(bucketedName(layer, table))
+
+  /** Scan that unions the schemas of all files (columns added by later
+    * appends come back null for older files) — parquet/orc only, where
+    * per-file footers carry schemas. The schema-drift counterpart of
+    * `Normalize` at the storage layer.
+    */
+  def readMerged(layer: String, table: String): DataFrame = {
+    require(format == "parquet" || format == "orc",
+      s"mergeSchema needs per-file schema footers; format '$format' has none")
+    spark.read.option("mergeSchema", "true").format(format)
+      .load(path(layer, table))
+  }
+
+  /** Small-files compaction: rewrite the table into
+    * ceil(bytes / targetFileBytes) files (per partition directory when
+    * `partitionCols` is given). Streaming/incremental appends
+    * accumulate thousands of small files; at 100 TB small files are a
+    * NameNode/listing/scheduler tax AND a scan tax (each file is a
+    * split floor). The rewrite goes through a sibling temp directory
+    * and an atomic-ish rename swap so a concurrent reader never sees a
+    * half-written table. Returns the file count written.
+    */
+  def compact(layer: String, table: String,
+              partitionCols: Seq[String] = Nil,
+              targetFileBytes: Long = 128L << 20): Int = {
+    val p = path(layer, table)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(s"$p.__compacting")
+    val writer = read(layer, table).repartition(files).write
+      .options(writeOptions)
+      .mode("overwrite")
+      .format(format)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .save(tmp.toString)
+    fs.delete(hp, true)
+    require(fs.rename(tmp, hp), s"compaction swap failed for $p")
+    files
+  }
 }
 
 object Catalog {

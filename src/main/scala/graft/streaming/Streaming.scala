@@ -120,4 +120,29 @@ object Streaming {
         col("day.start").cast("date").as("report_date"),
         col("country_region"), col("confirmed"), col("deaths"),
         col("recovered"), col("active"), col("source_records_cnt"))
+
+  /** Stream-STREAM interval join (attribution): each click joins the
+    * same user's impression when it lands within `within` after it.
+    * Watermarks on BOTH sides bound the join state Spark must retain —
+    * without them a stream-stream join buffers forever; with them each
+    * side's state is (watermark + within) of event time, a fixed
+    * memory budget per key regardless of stream length. Inner join +
+    * event-time range condition = append-mode-safe (rows emit as they
+    * match, finalized once the watermark passes).
+    *
+    * Expects impressions(imp_id, imp_user, imp_ts) and
+    * clicks(click_id, click_user, click_ts).
+    */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+                      within: String = "10 minutes",
+                      watermark: String = "20 minutes"): DataFrame =
+    impressions.withWatermark("imp_ts", watermark)
+      .join(clicks.withWatermark("click_ts", watermark),
+        expr(s"""imp_user = click_user AND
+                 click_ts >= imp_ts AND
+                 click_ts <= imp_ts + INTERVAL $within"""))
+      .select(
+        col("imp_id"), col("click_id"), col("imp_user").as("user_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
+          .as("lag_seconds"))
 }
