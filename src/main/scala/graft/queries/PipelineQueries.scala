@@ -437,6 +437,60 @@ object PipelineQueries {
       |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Benchmark decontamination: flag training docs sharing 3-token
+    * shingles with a held-out "benchmark" set (here: doc_id % 97 == 0),
+    * the standard eval-leakage scan before training. Shape: one
+    * shingle explode shared by both branches (materialized), the
+    * benchmark shingle set stays small (distinct shingles of the
+    * held-out docs, broadcastable at any corpus size since benchmarks
+    * are fixed), corpus side joins against it and aggregates per doc —
+    * no all-pairs doc comparison anywhere. Emits only contaminated
+    * docs: shared/total distinct-shingle counts and a ≥5% flag.
+    */
+  def q75Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(Dedup.sortedShingles(wsTokens(col("text")), 3))
+          .as("shingle"))
+      .transform(Materialize.once)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val totals = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    corpus.join(bench, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared") * 20 >= col("n_shingles")).cast("int")
+          .as("flagged"))
+  }
+
+  val q75Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+      |      i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS shingle
+      |  FROM t),
+      |bench AS (
+      |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+      |totals AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |  FROM corpus GROUP BY doc_id),
+      |shared AS (
+      |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      |  GROUP BY c.doc_id)
+      |SELECT s.doc_id, s.n_shared, t.n_shingles,
+      |  CAST(CASE WHEN s.n_shared * 20 >= t.n_shingles
+      |       THEN 1 ELSE 0 END AS INT) AS flagged
+      |FROM shared s JOIN totals t ON s.doc_id = t.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -448,7 +502,8 @@ object PipelineQueries {
     "q71_lexer_tokens" -> (q71LexerTokens _),
     "q72_triangles" -> (q72Triangles _),
     "q73_bottomk_sample" -> (q73BottomkSample _),
-    "q74_calendar" -> (q74Calendar _))
+    "q74_calendar" -> (q74Calendar _),
+    "q75_decontaminate" -> (q75Decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -461,5 +516,6 @@ object PipelineQueries {
     "q71_lexer_tokens" -> q71Oracle,
     "q72_triangles" -> q72Oracle,
     "q73_bottomk_sample" -> q73Oracle,
-    "q74_calendar" -> q74Oracle)
+    "q74_calendar" -> q74Oracle,
+    "q75_decontaminate" -> q75Oracle)
 }
