@@ -33,12 +33,15 @@ class BottomKAgg(k: Int)
 
   override def reduce(buf: Seq[(Long, Long)], id: Long): Seq[(Long, Long)] = {
     val h = hash(id)
+    // duplicate ids must be idempotent (a sample of ids, not of rows):
+    // the same id re-observed may not occupy a second slot
     if (buf.size >= k && h >= buf.last._1) buf
+    else if (buf.contains((h, id))) buf
     else ((buf :+ (h, id)).sortBy(_._1)).take(k)
   }
 
   override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    (a ++ b).sortBy(_._1).take(k)
+    (a ++ b).distinct.sortBy(_._1).take(k)
 
   override def finish(buf: Seq[(Long, Long)]): Seq[Long] = buf.map(_._2)
 

@@ -29,18 +29,27 @@ object PipelineQueries {
     val k = 64
     val toks = Tables.load(spark, dir, "documents")
       .select(col("source"), explode_outer(wsTokens(col("text"))).as("token"))
-      // three consumers below (exact counts, totals, sketch) — without
-      // this the tokenize+explode lineage runs once per branch
+      // explode_outer dodges the implied size>0 pushdown (spark4 HOF
+      // re-inlining hazard); the null token a null text would emit is
+      // dropped here — a Map buffer cannot key on null, and DuckDB's
+      // unnest never produces it
+      .filter(col("token").isNotNull)
+      // the consumers below (exact counts, sketch) — without this the
+      // tokenize+explode lineage runs once per branch
       .transform(Materialize.once)
     val exact = toks.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("cnt"))
+      .transform(Materialize.once)
     val ranked = exact
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("cnt").desc, col("token"))))
       .filter(col("rnk") <= 3)
-    val totals = toks.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"))
+    // total token count per source = sum of the per-token counts —
+    // derived from the (much smaller) distinct-token aggregate instead
+    // of a third pass over the full token explosion
+    val totals = exact.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"))
     val sketch = toks.groupBy(col("source"))
       .agg(MisraGriesAgg.udaf(k)(col("token")).as("summary"))
     val est = coalesce(try_element_at(col("summary"), col("token")), lit(0L))
@@ -161,7 +170,6 @@ object PipelineQueries {
     * aggregate shuffle to (type, hour), one window per type.
     */
   def q68ZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.load(spark, dir, "events")
     val hourly = e
       .groupBy(col("event_type"),
@@ -207,7 +215,6 @@ object PipelineQueries {
     * detection, then interval stitch), no self-join.
     */
   def q69Scd2(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.load(spark, dir, "events")
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -267,8 +274,7 @@ object PipelineQueries {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
       .distinct()
-      .withColumn("d", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
       .transform(Materialize.once)
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst")))
@@ -322,6 +328,7 @@ object PipelineQueries {
     d.select(col("lang"),
         explode_outer(regexp_extract_all(col("text"),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
+      .filter(col("token").isNotNull) // null text: oracle's unnest emits nothing
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(
@@ -453,6 +460,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         explode_outer(Dedup.sortedShingles(wsTokens(col("text")), 3))
           .as("shingle"))
+      .filter(col("shingle").isNotNull) // null text: oracle emits nothing
       .transform(Materialize.once)
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("shingle")).distinct()

@@ -125,9 +125,9 @@ final case class Catalog(spark: SparkSession, root: String,
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", path(layer, table))
-      .option("compression", "snappy")
+      .options(writeOptions)
       .mode("overwrite")
-      .format("parquet")
+      .format(format)
       .saveAsTable(name)
   }
 
@@ -152,28 +152,54 @@ final case class Catalog(spark: SparkSession, root: String,
     * `partitionCols` is given). Streaming/incremental appends
     * accumulate thousands of small files; at 100 TB small files are a
     * NameNode/listing/scheduler tax AND a scan tax (each file is a
-    * split floor). The rewrite goes through a sibling temp directory
-    * and an atomic-ish rename swap so a concurrent reader never sees a
-    * half-written table. Returns the file count written.
+    * split floor). The rewrite goes through a sibling temp directory,
+    * then a two-step rename swap (live dir aside, new dir in) so every
+    * failure mode leaves a complete copy of the data on disk; the
+    * brief no-path window between the renames is the price of not
+    * deleting before the new data is proven in place. Returns the
+    * write-task count (≈ files per partition directory).
     */
   def compact(layer: String, table: String,
               partitionCols: Seq[String] = Nil,
               targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions.col
     val p = path(layer, table)
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hp).getLength
-    val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tasks = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // read with schema merge where the format supports it — a plain
+    // read resolves ONE file's footer and would silently drop columns
+    // only newer files carry, making compaction lossy on evolved tables
+    val source =
+      if (format == "parquet" || format == "orc") readMerged(layer, table)
+      else read(layer, table)
+    // partitioned tables must repartition BY the partition columns:
+    // round-robin would scatter every hive partition across all tasks,
+    // producing tasks×partitions small files instead of ~1 per dir
+    val balanced =
+      if (partitionCols.nonEmpty)
+        source.repartition(tasks, partitionCols.map(col): _*)
+      else source.repartition(tasks)
     val tmp = new org.apache.hadoop.fs.Path(s"$p.__compacting")
-    val writer = read(layer, table).repartition(files).write
+    val writer = balanced.write
       .options(writeOptions)
       .mode("overwrite")
       .format(format)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .save(tmp.toString)
-    fs.delete(hp, true)
-    require(fs.rename(tmp, hp), s"compaction swap failed for $p")
-    files
+    // swap order matters: move the live dir ASIDE first so a failed
+    // rename-in leaves both copies on disk (old data recoverable),
+    // never a window where the table path holds nothing permanent
+    val old = new org.apache.hadoop.fs.Path(s"$p.__precompact")
+    fs.delete(old, true)
+    require(fs.rename(hp, old), s"compaction: could not move $p aside")
+    if (!fs.rename(tmp, hp)) {
+      fs.rename(old, hp) // restore; tmp left for inspection
+      throw new IllegalStateException(s"compaction swap failed for $p; original restored")
+    }
+    fs.delete(old, true)
+    tasks
   }
 }
 

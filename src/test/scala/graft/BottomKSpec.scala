@@ -18,6 +18,18 @@ class BottomKSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("duplicate ids occupy one slot (sample of ids, not rows)") {
+    val agg = new BottomKAgg(2)
+    // hash(5) < hash(9) here; two observations of 5 must not crowd out 9
+    val got = Seq(5L, 5L, 9L).foldLeft(agg.zero)(agg.reduce)
+    assert(got.map(_._2) == Seq(5L, 9L))
+    // same through merge
+    val m = agg.merge(
+      Seq(5L).foldLeft(agg.zero)(agg.reduce),
+      Seq(5L, 9L).foldLeft(agg.zero)(agg.reduce))
+    assert(m.map(_._2) == Seq(5L, 9L))
+  }
+
   test("merge of shard summaries equals the unsharded bottom-k") {
     val agg = new BottomKAgg(7)
     val ids = new Random(17).shuffle((0L until 500L).toVector)

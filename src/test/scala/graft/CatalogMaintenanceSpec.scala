@@ -42,6 +42,31 @@ class CatalogMaintenanceSpec extends SparkSpec {
     assert(back.select("v").as[Long].collect().toSet == (0L until 1000L).toSet)
   }
 
+  test("compact is lossless on schema-evolved tables") {
+    val cat = Catalog(spark, tmpDir("compact-evolved"))
+    cat.append(Seq((1L, "a")).toDF("id", "s"), "raw", "t", Seq.empty)
+    cat.append(Seq((2L, "b", 9.5)).toDF("id", "s", "x"), "raw", "t", Seq.empty)
+    cat.compact("raw", "t")
+    // the column only the second file carried must survive the rewrite
+    val back = cat.read("raw", "t")
+    assert(back.columns.toSet == Set("id", "s", "x"))
+    assert(back.filter(col("id") === 2L).select("x").as[Double].head() == 9.5)
+  }
+
+  test("partitioned compaction writes ~one file per partition directory") {
+    val cat = Catalog(spark, tmpDir("compact-dirs"))
+    val df = (0L until 3000L).map(i => (s"d${i % 3}", i)).toDF("d", "v")
+      .repartition(15)
+    cat.append(df, "ods", "t", Seq("d"))
+    cat.compact("ods", "t", partitionCols = Seq("d"))
+    // before the partition-aware repartition fix, every write task
+    // dropped a file into every directory it touched
+    for (part <- Seq("d=d0", "d=d1", "d=d2")) {
+      val n = parquetFiles(s"${cat.path("ods", "t")}/$part").size
+      assert(n == 1, s"$part has $n files after compaction")
+    }
+  }
+
   test("readMerged unions schemas across appends; plain read does not") {
     val cat = Catalog(spark, tmpDir("evolve-wh"))
     cat.append(Seq((1L, "a")).toDF("id", "s"), "raw", "t", Seq.empty)
