@@ -216,19 +216,9 @@ object PipelineQueries {
     */
   def q69Scd2(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val changes = e
-      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
-      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-    changes
-      .withColumn("version", row_number().over(byUser))
-      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
-      .select(
-        col("user_id"), col("version"),
-        col("event_type").as("attr"),
-        col("ts").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.cast("int").as("is_current"))
+    graft.operators.Scd2.fromEvents(e,
+      key = col("user_id"), ts = col("ts"),
+      attr = col("event_type"), tiebreak = col("event_id"))
   }
 
   val q69Oracle: String =
@@ -267,31 +257,11 @@ object PipelineQueries {
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
-    // out-degree via a window over the edge list itself — one shuffle
-    // on src, no separate aggregate+join, and ONE materialized frame
-    // ((src, dst, d)) feeds all three iterations
-    val ew = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
-      .distinct()
-      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
-      .transform(Materialize.once)
-    val nodes = ew.select(col("src").as("node"))
-      .union(ew.select(col("dst")))
-      .distinct()
-      .transform(Materialize.once)
-    var ranks = nodes.withColumn("mass", lit(1000000L))
-    for (_ <- 1 to 3) {
-      val contrib = ranks.join(ew, ranks("node") === ew("src"))
-        .select(col("dst"), expr("mass div d").as("out"))
-        .groupBy(col("dst")).agg(sum(col("out")).as("inc"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
-          (lit(150000L) +
-            expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
-            .as("mass"))
-    }
-    ranks.orderBy(col("mass").desc, col("node")).limit(20)
+    graft.operators.Graphs.pagerankInt(edges, iterations = 3)
+      .orderBy(col("mass").desc, col("node")).limit(20)
   }
 
   val q70Oracle: String = {

@@ -207,6 +207,57 @@ class PropertiesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: pagerankInt equals the sequential integer reference on cyclic graphs") {
+    import graft.operators.Graphs
+    // random directed multigraphs over 12 nodes, cycles included
+    val edgeSets = sample(
+      Gen.listOfN(40, for {
+        s <- Gen.choose(0L, 11L); t <- Gen.choose(0L, 11L)
+        if s != t
+      } yield (s, t)), 4)
+    edgeSets.foreach { es =>
+      val got = Graphs.pagerankInt(es.toDF("src", "dst"), iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Graphs.pagerankRef(es, iterations = 3), s"edges=$es")
+    }
+  }
+
+  test("property: SCD2 versions tile the key's timeline with change points only") {
+    import graft.operators.Scd2
+    val rows = sample(
+      for {
+        user <- Gen.choose(0L, 5L)
+        t <- Gen.choose(0L, 10000L)
+        attr <- Gen.oneOf("a", "b", "c")
+      } yield (user, t, attr), 400)
+      // unique (user, ts) so ordering is total and the reference is exact
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.zipWithIndex
+      .map { case ((u, t, a), i) => (u, t, a, i.toLong) }
+      .toDF("user_id", "ts", "attr0", "event_id")
+    val got = Scd2.fromEvents(df, $"user_id", $"ts", $"attr0", $"event_id")
+      .as[(Long, Int, String, Long, Option[Long], Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    rows.groupBy(_._1).foreach { case (user, evs) =>
+      val ordered = evs.sortBy(_._2)
+      // reference: collapse runs of the same attr
+      val changes = ordered.foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, (_, t, a)) =>
+          if (acc.nonEmpty && acc.last._2 == a) acc else acc :+ (t, a)
+      }
+      val versions = got(user)
+      assert(versions.map(v => (v._4, v._3)) == changes, s"user=$user")
+      // versions are 1..n, intervals chain exactly, one open version
+      assert(versions.map(_._2) == (1 to changes.size))
+      versions.sliding(2).foreach {
+        case Seq(p, n) => assert(p._5.contains(n._4))
+        case _ =>
+      }
+      assert(versions.last._5.isEmpty && versions.last._6 == 1)
+      assert(versions.init.forall(_._6 == 0))
+    }
+  }
+
   test("property: fused TextFeatures equals the split-based reference") {
     // whitespace-rich strings; reference replicates wsTokens exactly:
     // UTF8String.trim strips ASCII SPACES only, then Java split("\\s+")
