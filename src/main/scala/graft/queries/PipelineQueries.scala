@@ -469,6 +469,78 @@ object PipelineQueries {
       |       THEN 1 ELSE 0 END AS INT) AS flagged
       |FROM shared s JOIN totals t ON s.doc_id = t.doc_id""".stripMargin
 
+  /** Bigram language-model scoring (perplexity-style quality filter):
+    * train add-one-smoothed bigram probabilities on the corpus itself,
+    * then score each document by its total negative log-likelihood.
+    * Per-bigram NLL is QUANTIZED to an integer (×10⁴) BEFORE summing —
+    * ln() can differ by an ulp across engines, and float sums are
+    * order-dependent; integer sums are neither. Shape at 100 TB: one
+    * window shuffle per doc for bigram extraction, two count
+    * aggregates (the "model"), two key-partitioned joins to score —
+    * the model tables are ordinary aggregates, never driver-side.
+    */
+  def q76LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode_outer(wsTokens(col("text"))))
+      .withColumnRenamed("col", "w1")
+      .filter(col("w1").isNotNull)
+    val bigrams = toks
+      .withColumn("w2", lead(col("w1"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+      // model counts AND scoring both read the bigram stream
+      .transform(Materialize.once)
+    val big = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = bigrams.select(col("w1")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val qnll = // add-one smoothing, ×1e4 integer quantization per bigram
+      (round(-log((col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1e4))
+        .cast("long")
+    bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(qnll).as("q_nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("q_nll"),
+        (col("q_nll") > col("n_bigrams") * lit(60000L)).cast("int")
+          .as("high_perplexity"))
+  }
+
+  val q76Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |bigrams AS (
+      |  SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+      |    split_part(bg, ' ', 2) AS w2
+      |  FROM g),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1),
+      |vocab AS (SELECT count(DISTINCT w1) AS v FROM bigrams),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |    CAST(round(-ln((big.c12 + 1) * 1.0 / (uni.c1 + vocab.v)) * 1e4)
+      |         AS BIGINT) AS q
+      |  FROM bigrams g
+      |  JOIN big ON g.w1 = big.w1 AND g.w2 = big.w2
+      |  JOIN uni ON g.w1 = uni.w1
+      |  CROSS JOIN vocab)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(q) AS BIGINT) AS q_nll,
+      |  CAST(CASE WHEN sum(q) > count(*) * 60000 THEN 1 ELSE 0 END AS INT)
+      |    AS high_perplexity
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -481,7 +553,8 @@ object PipelineQueries {
     "q72_triangles" -> (q72Triangles _),
     "q73_bottomk_sample" -> (q73BottomkSample _),
     "q74_calendar" -> (q74Calendar _),
-    "q75_decontaminate" -> (q75Decontaminate _))
+    "q75_decontaminate" -> (q75Decontaminate _),
+    "q76_lm_score" -> (q76LmScore _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -495,5 +568,6 @@ object PipelineQueries {
     "q72_triangles" -> q72Oracle,
     "q73_bottomk_sample" -> q73Oracle,
     "q74_calendar" -> q74Oracle,
-    "q75_decontaminate" -> q75Oracle)
+    "q75_decontaminate" -> q75Oracle,
+    "q76_lm_score" -> q76Oracle)
 }
