@@ -28,7 +28,10 @@ class PlanShapeSpec extends SparkSpec {
     "q41_source_minhash",
     // two single-row scalar aggregates (edge count × triangle count)
     // crossJoined into the one-row result
-    "q72_triangles")
+    "q72_triangles",
+    // vocabulary size is a broadcast 1-row aggregate crossJoined into
+    // the scoring join (q39/q51's pattern)
+    "q76_lm_score")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
