@@ -26,7 +26,8 @@ object Graphs {
     */
   def pagerankInt(edges: DataFrame, iterations: Int,
                   initMass: Long = 1000000L, baseMass: Long = 150000L,
-                  damp: Int = 85): DataFrame = {
+                  damp: Int = 85,
+                  broadcastRanks: Boolean = true): DataFrame = {
     require(iterations >= 1 && damp >= 0 && damp <= 100)
     val ew = edges.select(col("src"), col("dst"))
       .distinct()
@@ -36,12 +37,20 @@ object Graphs {
       .union(ew.select(col("dst")))
       .distinct()
       .transform(Materialize.once)
+    // rank/contribution frames are one row per NODE — tiny next to the
+    // edge list in the usual |V| ≪ |E| regime, so broadcasting them
+    // turns every per-iteration join map-side and leaves only the
+    // partial-aggregated inflow shuffle. For graphs whose rank vector
+    // exceeds executor memory (|V| ~ 10^9), pass broadcastRanks=false
+    // to fall back to key-partitioned shuffle joins.
+    def side(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
     var ranks = nodes.withColumn("mass", lit(initMass))
     for (_ <- 1 to iterations) {
-      val contrib = ranks.join(ew, ranks("node") === ew("src"))
+      val contrib = ew.join(side(ranks), ranks("node") === ew("src"))
         .select(col("dst"), expr("mass div d").as("out"))
         .groupBy(col("dst")).agg(sum(col("out")).as("inc"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks = nodes.join(side(contrib), nodes("node") === contrib("dst"), "left")
         .select(nodes("node"),
           (lit(baseMass) +
             expr(s"($damp * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
