@@ -541,6 +541,126 @@ object PipelineQueries {
       |    AS high_perplexity
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** Referential-integrity audit across the star schema: distinct keys
+    * referenced vs existing, and orphan counts per relationship
+    * (orders→customer, lineitem→orders, lineitem→part/supplier). Each
+    * check is a distinct + anti-join — the data-quality gate every
+    * warehouse load runs before publishing a layer. All joins are
+    * broadcast-or-shuffle equi-joins on the keys; output is one row.
+    */
+  def q77FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(refs: DataFrame, dim: DataFrame, key: String): DataFrame =
+      refs.join(dim, Seq(key), "left_anti")
+    val cust = Tables.load(spark, dir, "customer").select(col("c_custkey").as("key"))
+    val part = Tables.load(spark, dir, "part").select(col("p_partkey").as("key"))
+    val supp = Tables.load(spark, dir, "supplier").select(col("s_suppkey").as("key"))
+    val ords = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val oKeys = ords.select(col("o_custkey").as("key")).distinct()
+      .agg(count(lit(1)).as("n_custkeys_referenced"))
+    val oOrphans = orphans(
+      ords.select(col("o_custkey").as("key")).distinct(), cust, "key")
+      .agg(count(lit(1)).as("n_orphan_custkeys"))
+    val liOrder = orphans(
+      li.select(col("l_orderkey")).distinct(),
+      ords.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      .agg(count(lit(1)).as("n_orphan_orderkeys"))
+    val liPart = orphans(
+      li.select(col("l_partkey").as("key")).distinct(), part, "key")
+      .agg(count(lit(1)).as("n_orphan_partkeys"))
+    val liSupp = orphans(
+      li.select(col("l_suppkey").as("key")).distinct(), supp, "key")
+      .agg(count(lit(1)).as("n_orphan_suppkeys"))
+    oKeys.crossJoin(oOrphans).crossJoin(liOrder)
+      .crossJoin(liPart).crossJoin(liSupp)
+  }
+
+  val q77Oracle: String =
+    """SELECT
+      |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+      |    AS n_custkeys_referenced,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT o_custkey FROM orders) o
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                      WHERE c.c_custkey = o.o_custkey))
+      |    AS n_orphan_custkeys,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                      WHERE o.o_orderkey = l.l_orderkey))
+      |    AS n_orphan_orderkeys,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT l_partkey FROM lineitem) l
+      |    WHERE NOT EXISTS (SELECT 1 FROM part p
+      |                      WHERE p.p_partkey = l.l_partkey))
+      |    AS n_orphan_partkeys,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT l_suppkey FROM lineitem) l
+      |    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+      |                      WHERE s.s_suppkey = l.l_suppkey))
+      |    AS n_orphan_suppkeys""".stripMargin
+
+  /** Incremental dedup merge — the delta-load pattern: an arriving
+    * batch (doc_id % 10 ≥ 8) is admitted only if its content
+    * fingerprint is new BOTH against the existing corpus (anti-join)
+    * and within the batch itself (keep-first). Per source: batch size,
+    * accepted, rejected-as-corpus-dup, rejected-as-batch-dup. This is
+    * how dedup actually runs day to day — nobody re-dedupes 100 TB
+    * per load; the anti-join touches only fingerprints.
+    */
+  def q78IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .transform(Materialize.once)
+    val existing = d.filter(col("doc_id") % 10 < 8)
+      .select(col("fp")).distinct()
+    val batch = d.filter(col("doc_id") % 10 >= 8)
+    val vsCorpus = batch.join(existing, Seq("fp"), "left_anti")
+    val accepted = vsCorpus
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+      .join(vsCorpus.groupBy(col("source")).agg(count(lit(1)).as("n_new_fp")),
+        Seq("source"), "left")
+      .join(accepted.groupBy(col("source")).agg(count(lit(1)).as("n_accepted")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_batch"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
+        (col("n_batch") - coalesce(col("n_new_fp"), lit(0L)))
+          .as("n_corpus_dups"),
+        (coalesce(col("n_new_fp"), lit(0L)) -
+          coalesce(col("n_accepted"), lit(0L))).as("n_batch_dups"))
+  }
+
+  val q78Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |existing AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 < 8),
+      |batch AS (SELECT * FROM d WHERE doc_id % 10 >= 8),
+      |vs_corpus AS (
+      |  SELECT * FROM batch b
+      |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = b.fp)),
+      |accepted AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM vs_corpus) WHERE rn = 1)
+      |SELECT b.source,
+      |  CAST(count(*) AS BIGINT) AS n_batch,
+      |  CAST(coalesce(a.n_accepted, 0) AS BIGINT) AS n_accepted,
+      |  CAST(count(*) - coalesce(v.n_new_fp, 0) AS BIGINT) AS n_corpus_dups,
+      |  CAST(coalesce(v.n_new_fp, 0) - coalesce(a.n_accepted, 0) AS BIGINT)
+      |    AS n_batch_dups
+      |FROM batch b
+      |LEFT JOIN (SELECT source, count(*) AS n_new_fp
+      |           FROM vs_corpus GROUP BY source) v ON b.source = v.source
+      |LEFT JOIN (SELECT source, count(*) AS n_accepted
+      |           FROM accepted GROUP BY source) a ON b.source = a.source
+      |GROUP BY b.source, v.n_new_fp, a.n_accepted""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -554,7 +674,9 @@ object PipelineQueries {
     "q73_bottomk_sample" -> (q73BottomkSample _),
     "q74_calendar" -> (q74Calendar _),
     "q75_decontaminate" -> (q75Decontaminate _),
-    "q76_lm_score" -> (q76LmScore _))
+    "q76_lm_score" -> (q76LmScore _),
+    "q77_fk_audit" -> (q77FkAudit _),
+    "q78_incremental_dedup" -> (q78IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -569,5 +691,7 @@ object PipelineQueries {
     "q73_bottomk_sample" -> q73Oracle,
     "q74_calendar" -> q74Oracle,
     "q75_decontaminate" -> q75Oracle,
-    "q76_lm_score" -> q76Oracle)
+    "q76_lm_score" -> q76Oracle,
+    "q77_fk_audit" -> q77Oracle,
+    "q78_incremental_dedup" -> q78Oracle)
 }
