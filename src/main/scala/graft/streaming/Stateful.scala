@@ -139,4 +139,31 @@ object Stateful {
         .as[FingerprintedDoc],
       ttl)
   }
+
+  /** Streaming heavy hitters: the SAME Misra–Gries algebra as the
+    * batch aggregator ([[graft.functions.MisraGriesAgg]] — reduce per
+    * element, merge per summary) carried as keyed state across
+    * micro-batches, so the batch and streaming paths cannot drift.
+    * State per key is bounded at k counters forever — the property
+    * that makes a frequency sketch safe on an infinite stream — and
+    * the emitted summary after any prefix of batches satisfies the
+    * same est ≤ true ≤ est + N/(k+1) guarantees over the prefix.
+    * Emits (key, summary) each update.
+    */
+  def streamingHeavyHitters(tokens: Dataset[(String, String)], k: Int)
+      : Dataset[(String, Map[String, Long])] = {
+    import tokens.sparkSession.implicits._
+    val mg = new graft.functions.MisraGriesAgg(k)
+    tokens
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, Map[String, Long])](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val batchSummary = rows.foldLeft(mg.zero)((b, r) => mg.reduce(b, r._2))
+          val merged = mg.merge(state.getOption.getOrElse(mg.zero), batchSummary)
+          state.update(merged)
+          key -> merged
+      }
+  }
 }

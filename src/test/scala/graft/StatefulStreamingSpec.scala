@@ -41,6 +41,31 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows.size == 5)                             // late replay emitted nothing
   }
 
+  test("streamingHeavyHitters: MG summary accumulates across batches within bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Stateful.streamingHeavyHitters(mem.toDS(), k = 4)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+
+    // batch 1: "hot" dominates source a
+    mem.addData(Seq.fill(30)(("a", "hot")) ++ (1 to 10).map(i => ("a", s"c$i")): _*)
+    q.processAllAvailable()
+    // batch 2: more hot + new cold tokens; a second key appears
+    mem.addData(Seq.fill(20)(("a", "hot")) ++ (11 to 20).map(i => ("a", s"c$i"))
+      ++ Seq(("b", "x"), ("b", "x"), ("b", "y")): _*)
+    q.processAllAvailable()
+    val rows = spark.table("hh").as[(String, Map[String, Long])].collect()
+    q.stop()
+
+    // latest update per key
+    val a = rows.filter(_._1 == "a").last._2
+    val b = rows.filter(_._1 == "b").last._2
+    assert(a.size <= 4 && b.size <= 4)
+    // N(a)=70, bound N/(k+1)=14; true(hot)=50 -> est >= 36 and <= 50
+    assert(a.contains("hot") && a("hot") <= 50 && a("hot") >= 36)
+    assert(b("x") <= 2 && b.contains("x"))
+  }
+
   test("dedupStreamByContent: whitespace-variant duplicates collapse to one survivor") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
