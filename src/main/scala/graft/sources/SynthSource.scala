@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: a deterministic synthetic document
+  * generator (`spark.read.format("graft-synth")`), the smoke-data
+  * source a 100 TB pipeline uses to rehearse plans without storage.
+  * Exercises the full DSv2 surface a real connector needs:
+  *
+  *  - `planInputPartitions` splits the id range into `partitions`
+  *    independent readers — scan parallelism with no files;
+  *  - `SupportsPushDownRequiredColumns`: unreferenced columns are
+  *    never generated (the widest column, `text`, costs real CPU);
+  *  - `SupportsPushDownFilters`: doc_id range/equality predicates
+  *    narrow the GENERATED range — the connector-side analogue of
+  *    partition pruning; other predicates are left to Spark as
+  *    residuals.
+  *
+  * Rows are a pure function of doc_id (Lehmer-mix arithmetic), so any
+  * (options, pushdown) combination yields bit-identical data across
+  * runs, executors, and retries — the property that makes generated
+  * smoke data usable in correctness gates.
+  */
+class SynthSource extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-synth"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthTable(
+      numRows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
+}
+
+object SynthSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private val Langs = Array("en", "es", "de", "fr")
+  private val Words = Array("the", "data", "pipeline", "spark", "shuffle",
+    "join", "scan", "column", "token", "model")
+
+  def mix(id: Long, salt: Long): Long =
+    ((id + salt) * 48271L) % 2147483647L
+
+  def sourceOf(id: Long): String = s"src${mix(id, 1) % 20}"
+  def langOf(id: Long): String = Langs((mix(id, 2) % Langs.length).toInt)
+
+  def textOf(id: Long): String = {
+    val n = 5 + (mix(id, 3) % 20).toInt
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(Words((mix(id, 4 + i) % Words.length).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+private class SynthTable(numRows: Long, partitions: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-synth($numRows)"
+  override def schema(): StructType = SynthSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(numRows, partitions)
+}
+
+private class SynthScanBuilder(numRows: Long, partitions: Int)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = SynthSource.Schema
+  private var lo: Long = 0L
+  private var hi: Long = numRows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("doc_id", _: java.lang.Number) => true
+      case GreaterThan("doc_id", _: java.lang.Number) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Number) => true
+      case LessThan("doc_id", _: java.lang.Number) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Number) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case GreaterThan(_, v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual(_, v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue)
+      case LessThan(_, v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue)
+      case LessThanOrEqual(_, v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue + 1)
+      case _ =>
+    }
+    pushed = accepted
+    // accepted filters are EXACT on the generated range — no need for
+    // Spark to re-evaluate them — but returning them as residuals too
+    // is the safe DSv2 default; we return only the true residuals.
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SynthScan(lo, hi, partitions, required)
+}
+
+private case class SynthRange(lo: Long, hi: Long) extends InputPartition
+
+private class SynthScan(lo: Long, hi: Long, partitions: Int,
+                        required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = math.max(0L, hi - lo)
+    val n = math.max(1, math.min(partitions, if (total == 0) 1 else total.toInt))
+    val step = (total + n - 1) / n
+    (0 until n).map { i =>
+      val s = lo + i * step
+      SynthRange(s, math.min(s + step, hi))
+    }.filter(r => r.lo < r.hi).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+private class SynthReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SynthRange]
+    new SynthReader(r.lo, r.hi, required)
+  }
+}
+
+private class SynthReader(lo: Long, hi: Long, required: StructType)
+  extends PartitionReader[InternalRow] {
+  import SynthSource._
+
+  private var id = lo - 1
+  // column generators resolved ONCE per reader, not per row — only the
+  // pruned-in columns pay their generation cost
+  private val gens: Array[Long => Any] = required.fieldNames.map {
+    case "doc_id" => (i: Long) => i
+    case "source" => (i: Long) => UTF8String.fromString(sourceOf(i))
+    case "lang" => (i: Long) => UTF8String.fromString(langOf(i))
+    case "n_chars" => (i: Long) => textOf(i).length.toLong
+    case "text" => (i: Long) => UTF8String.fromString(textOf(i))
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def next(): Boolean = { id += 1; id < hi }
+  override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)))
+  override def close(): Unit = ()
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+class SynthSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(rows: Long, parts: Int = 4) =
+    spark.read.format("graft-synth")
+      .option("rows", rows.toString).option("partitions", parts.toString)
+      .load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case s: BatchScanExec => s }.get
+
+  test("generates deterministic rows with the declared schema") {
+    val df = read(100)
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "source", "lang", "n_chars", "text"))
+    assert(df.count() == 100)
+    // pure function of doc_id: two reads agree cell-for-cell
+    assert(read(100).collect().toSeq == df.collect().toSeq)
+    // n_chars really is the text length
+    assert(df.filter(length($"text") =!= $"n_chars").isEmpty)
+  }
+
+  test("doc_id range predicates push into the generator") {
+    val df = read(1000).filter($"doc_id" >= 100 && $"doc_id" < 200)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("range=[100,200)"),
+      scan.scan.description())
+    assert(df.count() == 100)
+    // equality prunes to a single row
+    val one = read(1000).filter($"doc_id" === 7L)
+    assert(scanOf(one).scan.description().contains("range=[7,8)"))
+    assert(one.select($"doc_id").as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("column pruning reaches the generator; residual filters still apply") {
+    val df = read(500).filter($"lang" === "en").select($"doc_id", $"lang")
+    val scan = scanOf(df)
+    // text (the expensive column) is not generated
+    assert(!scan.scan.readSchema().fieldNames.contains("text"))
+    // lang isn't pushable — Spark applies it as a residual
+    assert(df.select($"lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+
+  test("partitions split the id range without gaps or overlap") {
+    val df = read(1003, parts = 7)
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      (0L until 1003L))
+  }
+}
