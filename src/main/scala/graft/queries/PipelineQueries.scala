@@ -661,6 +661,45 @@ object PipelineQueries {
       |           FROM accepted GROUP BY source) a ON b.source = a.source
       |GROUP BY b.source, v.n_new_fp, a.n_accepted""".stripMargin
 
+  /** The DSv2 synthetic connector, oracle-checked END TO END: because
+    * [[graft.sources.SynthSource]] generates rows as pure Lehmer
+    * arithmetic on doc_id, DuckDB can replay the exact generator in
+    * SQL — so even a custom connector's output is hash-verified, not
+    * just spec-asserted. The oracle SQL is built from the SAME Scala
+    * constants the generator uses. (Ignores sfDir by design: the
+    * source is storageless.)
+    */
+  def q79SynthSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", "2000").option("partitions", "8").load()
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  val q79Oracle: String = {
+    import graft.sources.SynthSource.{Langs, Words}
+    def mix(saltExpr: String) = s"(($saltExpr) * 48271) % 2147483647"
+    val langList = Langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    val wordList = Words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH ids AS (SELECT i AS id FROM range(0, 2000) r(i)),
+       |g AS (
+       |  SELECT id,
+       |    'src' || CAST(${mix("id + 1")} % 20 AS VARCHAR) AS source,
+       |    ($langList)[CAST(${mix("id + 2")} % 4 AS INT) + 1] AS lang,
+       |    5 + CAST(${mix("id + 3")} % 20 AS INT) AS n_words
+       |  FROM ids),
+       |t AS (
+       |  SELECT source, lang,
+       |    length(array_to_string(list_transform(range(0, n_words),
+       |      i -> ($wordList)[CAST(${mix("id + 4 + i")} % 10 AS INT) + 1]),
+       |      ' ')) AS n_chars
+       |  FROM g)
+       |SELECT source, lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM t GROUP BY source, lang""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -676,7 +715,8 @@ object PipelineQueries {
     "q75_decontaminate" -> (q75Decontaminate _),
     "q76_lm_score" -> (q76LmScore _),
     "q77_fk_audit" -> (q77FkAudit _),
-    "q78_incremental_dedup" -> (q78IncrementalDedup _))
+    "q78_incremental_dedup" -> (q78IncrementalDedup _),
+    "q79_synth_source" -> (q79SynthSource _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -693,5 +733,6 @@ object PipelineQueries {
     "q75_decontaminate" -> q75Oracle,
     "q76_lm_score" -> q76Oracle,
     "q77_fk_audit" -> q77Oracle,
-    "q78_incremental_dedup" -> q78Oracle)
+    "q78_incremental_dedup" -> q78Oracle,
+    "q79_synth_source" -> q79Oracle)
 }

@@ -53,9 +53,11 @@ object SynthSource {
     StructField("n_chars", LongType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
-  private val Langs = Array("en", "es", "de", "fr")
-  private val Words = Array("the", "data", "pipeline", "spark", "shuffle",
-    "join", "scan", "column", "token", "model")
+  // public so q79's oracle SQL interpolates the SAME constants the
+  // generator uses — a drifted copy would silently desync the check
+  val Langs: Array[String] = Array("en", "es", "de", "fr")
+  val Words: Array[String] = Array("the", "data", "pipeline", "spark",
+    "shuffle", "join", "scan", "column", "token", "model")
 
   def mix(id: Long, salt: Long): Long =
     ((id + salt) * 48271L) % 2147483647L
