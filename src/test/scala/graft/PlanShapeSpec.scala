@@ -31,7 +31,10 @@ class PlanShapeSpec extends SparkSpec {
     "q72_triangles",
     // vocabulary size is a broadcast 1-row aggregate crossJoined into
     // the scoring join (q39/q51's pattern)
-    "q76_lm_score")
+    "q76_lm_score",
+    // five single-row audit aggregates crossJoined into the one-row
+    // report
+    "q77_fk_audit")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
