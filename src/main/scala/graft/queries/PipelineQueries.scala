@@ -700,6 +700,115 @@ object PipelineQueries {
        |FROM t GROUP BY source, lang""".stripMargin
   }
 
+  /** Interval union (sweep-line coverage): each event opens a 5-minute
+    * activity interval; per user, overlapping/touching intervals merge
+    * and the query reports merged-interval count and total covered
+    * seconds. The merge is the classic one-pass sweep — a running max
+    * of interval ends marks group starts, a running sum of the start
+    * flags numbers the groups — so one shuffle on user_id and two
+    * window passes replace any self-join formulation. All arithmetic
+    * is integer epoch seconds: exact across engines.
+    */
+  def q80IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"),
+        col("event_id"))
+      .withColumn("e", col("s") + 300)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val grouped = e
+      .withColumn("prev_max_end",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        (col("prev_max_end").isNull || col("prev_max_end") < col("s"))
+          .cast("long"))
+      .withColumn("grp", sum(col("new_grp")).over(w))
+    grouped.groupBy(col("user_id"), col("grp"))
+      .agg(min(col("s")).as("lo"), max(col("e")).as("hi"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("hi") - col("lo")).as("covered_seconds"))
+  }
+
+  val q80Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+      |  FROM events),
+      |iv AS (SELECT user_id, event_id, s, s + 300 AS en FROM e),
+      |marked AS (
+      |  SELECT user_id, event_id, s, en,
+      |    max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max_end
+      |  FROM iv),
+      |grouped AS (
+      |  SELECT user_id, s, en,
+      |    CAST(sum(CASE WHEN prev_max_end IS NULL OR prev_max_end < s
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS grp
+      |  FROM marked),
+      |merged AS (
+      |  SELECT user_id, grp, min(s) AS lo, max(en) AS hi
+      |  FROM grouped GROUP BY user_id, grp)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(hi - lo) AS BIGINT) AS covered_seconds
+      |FROM merged GROUP BY user_id""".stripMargin
+
+  /** SLIDING event-time windows (q56's tumbling sibling): 2-hour
+    * windows advancing hourly, so each event lands in exactly two
+    * windows. Spark's window() plans this as a 2-row expand before the
+    * aggregate — row amplification = window/slide ratio, paid before
+    * the partial aggregation, so the shuffle still carries only
+    * (type, window) groups.
+    */
+  def q81SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("event_type"),
+        window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("w.start").as("win_start"),
+        col("n_events"))
+  }
+
+  val q81Oracle: String =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, hr AS win_start FROM h
+      |  UNION ALL
+      |  SELECT event_type, hr - INTERVAL 1 HOUR FROM h)
+      |SELECT event_type, win_start,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM x GROUP BY event_type, win_start""".stripMargin
+
+  /** Selection aggregates: max_by/min_by with a composite (metric, id)
+    * selector so ties cannot make the answer engine-dependent — the
+    * "representative row per group" primitive (longest doc per source
+    * here) without a window or self-join: one hash aggregate.
+    */
+  def q82SelectionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val key = col("n_chars") * lit(1000000L) + col("doc_id")
+    d.groupBy(col("source"))
+      .agg(
+        max_by(col("doc_id"), key).as("longest_doc"),
+        min_by(col("doc_id"), key).as("shortest_doc"),
+        max(col("n_chars")).as("max_chars"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  val q82Oracle: String =
+    """SELECT source,
+      |  max_by(doc_id, n_chars * 1000000 + doc_id) AS longest_doc,
+      |  min_by(doc_id, n_chars * 1000000 + doc_id) AS shortest_doc,
+      |  max(n_chars) AS max_chars,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -716,7 +825,10 @@ object PipelineQueries {
     "q76_lm_score" -> (q76LmScore _),
     "q77_fk_audit" -> (q77FkAudit _),
     "q78_incremental_dedup" -> (q78IncrementalDedup _),
-    "q79_synth_source" -> (q79SynthSource _))
+    "q79_synth_source" -> (q79SynthSource _),
+    "q80_interval_union" -> (q80IntervalUnion _),
+    "q81_sliding_window" -> (q81SlidingWindow _),
+    "q82_selection_agg" -> (q82SelectionAgg _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -734,5 +846,8 @@ object PipelineQueries {
     "q76_lm_score" -> q76Oracle,
     "q77_fk_audit" -> q77Oracle,
     "q78_incremental_dedup" -> q78Oracle,
-    "q79_synth_source" -> q79Oracle)
+    "q79_synth_source" -> q79Oracle,
+    "q80_interval_union" -> q80Oracle,
+    "q81_sliding_window" -> q81Oracle,
+    "q82_selection_agg" -> q82Oracle)
 }
