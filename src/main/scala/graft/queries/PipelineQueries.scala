@@ -809,6 +809,39 @@ object PipelineQueries {
       |  CAST(count(*) AS BIGINT) AS n_docs
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Embedding-norm profiling per label: ‖x‖² computed by a sequential
+    * left fold over the float32 vector (deterministic accumulation
+    * order), QUANTIZED per row to an integer before the group sum —
+    * the float-safety pattern every embedding-stats query here uses
+    * (per-row quantize → associative integer aggregate). The fold is a
+    * higher-order `aggregate` on a 64-dim array: per-row work, no
+    * shuffle beyond the final label aggregate.
+    */
+  def q83EmbeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = expr(
+      "CAST(round(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e6) AS BIGINT)")
+    e.select(col("label"), q.as("qn"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("qn")).as("sum_qnorm2"),
+        max(col("qn")).as("max_qnorm2"))
+  }
+
+  val q83Oracle: String =
+    """SELECT label,
+      |  CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(sum(qn) AS BIGINT) AS sum_qnorm2,
+      |  max(qn) AS max_qnorm2
+      |FROM (
+      |  SELECT label,
+      |    CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                CAST(embedding AS DOUBLE[])) * 1e6)
+      |         AS BIGINT) AS qn
+      |  FROM embeddings)
+      |GROUP BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -828,7 +861,8 @@ object PipelineQueries {
     "q79_synth_source" -> (q79SynthSource _),
     "q80_interval_union" -> (q80IntervalUnion _),
     "q81_sliding_window" -> (q81SlidingWindow _),
-    "q82_selection_agg" -> (q82SelectionAgg _))
+    "q82_selection_agg" -> (q82SelectionAgg _),
+    "q83_embedding_norms" -> (q83EmbeddingNorms _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -849,5 +883,6 @@ object PipelineQueries {
     "q79_synth_source" -> q79Oracle,
     "q80_interval_union" -> q80Oracle,
     "q81_sliding_window" -> q81Oracle,
-    "q82_selection_agg" -> q82Oracle)
+    "q82_selection_agg" -> q82Oracle,
+    "q83_embedding_norms" -> q83Oracle)
 }
