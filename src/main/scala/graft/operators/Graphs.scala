@@ -94,13 +94,16 @@ object Scd2 {
   def fromEvents(df: DataFrame, key: Column, ts: Column, attr: Column,
                  tiebreak: Column): DataFrame = {
     val byKey = Window.partitionBy(key).orderBy(ts, tiebreak)
-    df.withColumn("__prev", lag(attr, 1).over(byKey))
-      .filter(col("__prev").isNull || col("__prev") =!= attr)
-      .withColumn("version", row_number().over(byKey))
-      .withColumn("valid_to", lead(ts, 1).over(byKey))
+    // internal working columns use a reserved prefix so an input frame
+    // whose own columns are named "version"/"valid_to" can't be
+    // clobbered mid-computation
+    df.withColumn("__scd2_prev", lag(attr, 1).over(byKey))
+      .filter(col("__scd2_prev").isNull || col("__scd2_prev") =!= attr)
+      .withColumn("__scd2_version", row_number().over(byKey))
+      .withColumn("__scd2_valid_to", lead(ts, 1).over(byKey))
       .select(
-        key, col("version"), attr.as("attr"),
-        ts.as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.cast("int").as("is_current"))
+        key, col("__scd2_version").as("version"), attr.as("attr"),
+        ts.as("valid_from"), col("__scd2_valid_to").as("valid_to"),
+        col("__scd2_valid_to").isNull.cast("int").as("is_current"))
   }
 }

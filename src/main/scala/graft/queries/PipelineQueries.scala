@@ -556,10 +556,14 @@ object PipelineQueries {
     val supp = Tables.load(spark, dir, "supplier").select(col("s_suppkey").as("key"))
     val ords = Tables.load(spark, dir, "orders")
     val li = Tables.load(spark, dir, "lineitem")
-    val oKeys = ords.select(col("o_custkey").as("key")).distinct()
-      .agg(count(lit(1)).as("n_custkeys_referenced"))
-    val oOrphans = orphans(
-      ords.select(col("o_custkey").as("key")).distinct(), cust, "key")
+    // one distinct pass feeds both the count and the orphan branch;
+    // count(col) (not count(*)) skips a NULL key exactly like SQL's
+    // count(DISTINCT o_custkey) — a NULL FK must not desync the audit
+    // from its oracle
+    val custRefs = ords.select(col("o_custkey").as("key")).distinct()
+      .transform(Materialize.once)
+    val oKeys = custRefs.agg(count(col("key")).as("n_custkeys_referenced"))
+    val oOrphans = orphans(custRefs, cust, "key")
       .agg(count(lit(1)).as("n_orphan_custkeys"))
     val liOrder = orphans(
       li.select(col("l_orderkey")).distinct(),
@@ -788,11 +792,15 @@ object PipelineQueries {
   /** Selection aggregates: max_by/min_by with a composite (metric, id)
     * selector so ties cannot make the answer engine-dependent — the
     * "representative row per group" primitive (longest doc per source
-    * here) without a window or self-join: one hash aggregate.
+    * here) without a window or self-join: one hash aggregate. The key
+    * is a zero-padded string "nchars‖docid": lexicographic order on
+    * fixed-width digits equals numeric (metric, id) order at ANY id
+    * magnitude — an arithmetic n_chars·C + doc_id key would collide or
+    * reorder once doc_id reaches C.
     */
   def q82SelectionAgg(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val key = col("n_chars") * lit(1000000L) + col("doc_id")
+    val key = format_string("%019d%019d", col("n_chars"), col("doc_id"))
     d.groupBy(col("source"))
       .agg(
         max_by(col("doc_id"), key).as("longest_doc"),
@@ -803,8 +811,8 @@ object PipelineQueries {
 
   val q82Oracle: String =
     """SELECT source,
-      |  max_by(doc_id, n_chars * 1000000 + doc_id) AS longest_doc,
-      |  min_by(doc_id, n_chars * 1000000 + doc_id) AS shortest_doc,
+      |  max_by(doc_id, printf('%019d%019d', n_chars, doc_id)) AS longest_doc,
+      |  min_by(doc_id, printf('%019d%019d', n_chars, doc_id)) AS shortest_doc,
       |  max(n_chars) AS max_chars,
       |  CAST(count(*) AS BIGINT) AS n_docs
       |FROM documents GROUP BY source""".stripMargin

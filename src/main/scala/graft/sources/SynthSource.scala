@@ -145,7 +145,9 @@ private class SynthScan(lo: Long, hi: Long, partitions: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = math.max(0L, hi - lo)
-    val n = math.max(1, math.min(partitions, if (total == 0) 1 else total.toInt))
+    // clamp in LONG space: total.toInt would wrap past 2^31 rows and
+    // silently collapse scan parallelism
+    val n = math.max(1L, math.min(partitions.toLong, total)).toInt
     val step = (total + n - 1) / n
     (0 until n).map { i =>
       val s = lo + i * step
@@ -170,14 +172,22 @@ private class SynthReader(lo: Long, hi: Long, required: StructType)
   import SynthSource._
 
   private var id = lo - 1
+  // per-row memo so n_chars + text in the same projection generate the
+  // (expensive) text once, while a pruned scan never generates it
+  private var textId = Long.MinValue
+  private var textVal: String = _
+  private def textFor(i: Long): String = {
+    if (textId != i) { textVal = textOf(i); textId = i }
+    textVal
+  }
   // column generators resolved ONCE per reader, not per row — only the
   // pruned-in columns pay their generation cost
   private val gens: Array[Long => Any] = required.fieldNames.map {
     case "doc_id" => (i: Long) => i
     case "source" => (i: Long) => UTF8String.fromString(sourceOf(i))
     case "lang" => (i: Long) => UTF8String.fromString(langOf(i))
-    case "n_chars" => (i: Long) => textOf(i).length.toLong
-    case "text" => (i: Long) => UTF8String.fromString(textOf(i))
+    case "n_chars" => (i: Long) => textFor(i).length.toLong
+    case "text" => (i: Long) => UTF8String.fromString(textFor(i))
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
