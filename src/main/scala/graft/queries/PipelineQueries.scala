@@ -850,6 +850,81 @@ object PipelineQueries {
       |  FROM embeddings)
       |GROUP BY label""".stripMargin
 
+  /** Winsorized (percentile-clamped) robust statistics: per-source p5/
+    * p95 integer thresholds computed in one aggregate pass, broadcast
+    * back, and n_chars clamped before the second aggregate — the
+    * outlier-robust profiling pass run before length-filter thresholds
+    * are chosen. Thresholds are floor/ceil INTEGERS so the clamp and
+    * the clamped sum stay engine-exact.
+    */
+  def q84Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"))
+      .transform(Materialize.once)
+    val cuts = d.groupBy(col("source")).agg(
+      floor(expr("percentile(n_chars, 0.05)")).cast("long").as("lo"),
+      ceil(expr("percentile(n_chars, 0.95)")).cast("long").as("hi"))
+    val clamped = least(greatest(col("n_chars"), col("lo")), col("hi"))
+    d.join(cuts, Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(clamped).as("winsorized_sum"),
+        sum((col("n_chars") < col("lo")).cast("long")).as("n_clamped_low"),
+        sum((col("n_chars") > col("hi")).cast("long")).as("n_clamped_high"))
+  }
+
+  val q84Oracle: String =
+    """WITH cuts AS (
+      |  SELECT source,
+      |    CAST(floor(quantile_cont(n_chars, 0.05)) AS BIGINT) AS lo,
+      |    CAST(ceil(quantile_cont(n_chars, 0.95)) AS BIGINT) AS hi
+      |  FROM documents GROUP BY source)
+      |SELECT d.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(least(greatest(n_chars, lo), hi)) AS BIGINT)
+      |    AS winsorized_sum,
+      |  CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_low,
+      |  CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_high
+      |FROM documents d JOIN cuts c ON d.source = c.source
+      |GROUP BY d.source""".stripMargin
+
+  /** User-journey path analysis: each user's first three event types
+    * (in event-time order) become a path string, counted across users
+    * — the onboarding-funnel exploration query. Per-user ordering via
+    * one window (rank ≤ 3), path assembly via an ORDERED collect, then
+    * a small aggregate over distinct paths.
+    */
+  def q85EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val first3 = e
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val paths = first3.groupBy(col("user_id"))
+      .agg(array_join(
+        // sort by rank, then project the type: an ordered collect
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= 2)
+  }
+
+  val q85Oracle: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      |FROM p GROUP BY path HAVING count(*) >= 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -870,7 +945,9 @@ object PipelineQueries {
     "q80_interval_union" -> (q80IntervalUnion _),
     "q81_sliding_window" -> (q81SlidingWindow _),
     "q82_selection_agg" -> (q82SelectionAgg _),
-    "q83_embedding_norms" -> (q83EmbeddingNorms _))
+    "q83_embedding_norms" -> (q83EmbeddingNorms _),
+    "q84_winsorize" -> (q84Winsorize _),
+    "q85_event_paths" -> (q85EventPaths _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -892,5 +969,7 @@ object PipelineQueries {
     "q80_interval_union" -> q80Oracle,
     "q81_sliding_window" -> q81Oracle,
     "q82_selection_agg" -> q82Oracle,
-    "q83_embedding_norms" -> q83Oracle)
+    "q83_embedding_norms" -> q83Oracle,
+    "q84_winsorize" -> q84Oracle,
+    "q85_event_paths" -> q85Oracle)
 }
