@@ -925,6 +925,42 @@ object PipelineQueries {
       |SELECT path, CAST(count(*) AS BIGINT) AS n_users
       |FROM p GROUP BY path HAVING count(*) >= 2""".stripMargin
 
+  /** Ratio-to-report windows: each (day, type)'s share of its day's
+    * events and of the whole table, as INTEGER parts-per-million
+    * (n·10⁶ div total — exact, no float division) — the
+    * percent-of-total reporting pattern via unpartitioned-free
+    * aggregation: day shares come from a window over the daily
+    * aggregate (tiny), the global total from a broadcast scalar.
+    */
+  def q86RatioToTotal(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val daily = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val withDay = daily.withColumn("day_total",
+      sum(col("n")).over(Window.partitionBy(col("day"))))
+    val total = daily.agg(sum(col("n")).as("grand_total"))
+    withDay.crossJoin(total)
+      .select(
+        col("day"), col("event_type"), col("n"),
+        expr("n * 1000000 div day_total").as("day_share_ppm"),
+        expr("n * 1000000 div grand_total").as("total_share_ppm"))
+  }
+
+  val q86Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT day, event_type, n,
+      |    CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+      |    CAST(sum(n) OVER () AS BIGINT) AS grand_total
+      |  FROM daily)
+      |SELECT day, event_type, n,
+      |  (n * 1000000) // day_total AS day_share_ppm,
+      |  (n * 1000000) // grand_total AS total_share_ppm
+      |FROM w""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -947,7 +983,8 @@ object PipelineQueries {
     "q82_selection_agg" -> (q82SelectionAgg _),
     "q83_embedding_norms" -> (q83EmbeddingNorms _),
     "q84_winsorize" -> (q84Winsorize _),
-    "q85_event_paths" -> (q85EventPaths _))
+    "q85_event_paths" -> (q85EventPaths _),
+    "q86_ratio_to_total" -> (q86RatioToTotal _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -971,5 +1008,6 @@ object PipelineQueries {
     "q82_selection_agg" -> q82Oracle,
     "q83_embedding_norms" -> q83Oracle,
     "q84_winsorize" -> q84Oracle,
-    "q85_event_paths" -> q85Oracle)
+    "q85_event_paths" -> q85Oracle,
+    "q86_ratio_to_total" -> q86Oracle)
 }

@@ -34,7 +34,10 @@ class PlanShapeSpec extends SparkSpec {
     "q76_lm_score",
     // five single-row audit aggregates crossJoined into the one-row
     // report
-    "q77_fk_audit")
+    "q77_fk_audit",
+    // grand total is a broadcast 1-row aggregate crossJoined into the
+    // daily-share frame
+    "q86_ratio_to_total")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
