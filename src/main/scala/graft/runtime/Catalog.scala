@@ -201,7 +201,64 @@ final case class Catalog(spark: SparkSession, root: String,
     fs.delete(old, true)
     tasks
   }
+
+  /** Row-level MERGE (upsert + delete) without a table format that
+    * supports it natively: matched target rows are replaced by the
+    * update (or dropped when the update's `deleteCol` is true),
+    * unmatched updates are inserted. When `partitionCols` is given the
+    * rewrite is SCOPED — only the hive partitions present in `updates`
+    * are read, merged, and dynamically overwritten; every other
+    * partition's files are untouched. That scoping is what makes
+    * row-level merge affordable at 100 TB: cost is proportional to the
+    * touched partitions, not the table. (The id join is a shuffle or
+    * broadcast equi-join; nothing ever collects to the driver.)
+    *
+    * `updates` must carry the target's full schema (plus `deleteCol`
+    * if deletions are wanted). Returns inserted/updated/deleted counts.
+    */
+  def merge(updates: DataFrame, layer: String, table: String,
+            keyCols: Seq[String], partitionCols: Seq[String] = Nil,
+            deleteCol: Option[String] = None): MergeStats = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val target = read(layer, table)
+    val dataCols = target.columns.toSeq
+    val del = deleteCol.map(c => col(c)).getOrElse(lit(false))
+    val ups = updates.transform(Materialize.once)
+    require(
+      ups.count() == ups.select(keyCols.map(col): _*).distinct().count(),
+      "merge updates must be unique per key (ambiguous upsert/delete otherwise)")
+    // scope the rewrite to the partitions the updates touch
+    val scoped =
+      if (partitionCols.nonEmpty)
+        target.join(ups.select(partitionCols.map(col): _*).distinct(),
+          partitionCols, "left_semi")
+      else target
+    val keep = scoped.join(ups.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+    val applied = ups.filter(!del).select(dataCols.map(col): _*)
+    val matchedKeys = scoped.select(keyCols.map(col): _*).distinct()
+      .join(ups.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .count()
+    val deleted = ups.filter(del).select(keyCols.map(col): _*).distinct()
+      .join(scoped.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .count()
+    val merged = keep.select(dataCols.map(col): _*).union(applied)
+      // the union reads `scoped`/`keep` lazily while the write below
+      // replaces the same files — materialize before overwriting
+      .transform(Materialize.once)
+    merged.count() // force materialization before the paths are replaced
+    if (partitionCols.nonEmpty)
+      overwritePartitions(merged, layer, table, partitionCols)
+    else createOrReplace(merged, layer, table)
+    MergeStats(
+      inserted = ups.filter(!del).count() - (matchedKeys - deleted),
+      updated = matchedKeys - deleted,
+      deleted = deleted)
+  }
 }
+
+final case class MergeStats(inserted: Long, updated: Long, deleted: Long)
 
 object Catalog {
   /** Storage formats this catalog round-trips. Parquet is the scale
