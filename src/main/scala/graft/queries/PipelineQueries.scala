@@ -961,6 +961,32 @@ object PipelineQueries {
       |  (n * 1000000) // grand_total AS total_share_ppm
       |FROM w""".stripMargin
 
+  /** Z-order cell profiling: Morton-interleave (partkey, suppkey) mod
+    * 1024 via the codegen'd [[graft.functions.MortonCode]] and report
+    * the densest 4096-code cells — the diagnostic run before choosing
+    * a ZORDER clustering key. The oracle replays the interleave from
+    * SQL generated off the SAME magic constants
+    * ([[graft.functions.ZOrderHelper.mortonSql]]), so the custom
+    * expression is hash-verified bit for bit.
+    */
+  def q87ZorderCells(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MortonCode
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(MortonCode(col("l_partkey") % 1024, col("l_suppkey") % 1024)
+        .as("z"))
+      .select(expr("z div 4096").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell")).limit(20)
+  }
+
+  val q87Oracle: String = {
+    val code = graft.functions.ZOrderHelper
+      .mortonSql("l_partkey % 1024", "l_suppkey % 1024")
+    s"""SELECT ($code) // 4096 AS cell, CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem
+       |GROUP BY 1 ORDER BY n DESC, cell LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -984,7 +1010,8 @@ object PipelineQueries {
     "q83_embedding_norms" -> (q83EmbeddingNorms _),
     "q84_winsorize" -> (q84Winsorize _),
     "q85_event_paths" -> (q85EventPaths _),
-    "q86_ratio_to_total" -> (q86RatioToTotal _))
+    "q86_ratio_to_total" -> (q86RatioToTotal _),
+    "q87_zorder_cells" -> (q87ZorderCells _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1009,5 +1036,6 @@ object PipelineQueries {
     "q83_embedding_norms" -> q83Oracle,
     "q84_winsorize" -> q84Oracle,
     "q85_event_paths" -> q85Oracle,
-    "q86_ratio_to_total" -> q86Oracle)
+    "q86_ratio_to_total" -> q86Oracle,
+    "q87_zorder_cells" -> q87Oracle)
 }

@@ -202,6 +202,28 @@ final case class Catalog(spark: SparkSession, root: String,
     tasks
   }
 
+  /** Z-order-clustered write: range-partition and sort by the Morton
+    * interleave of two columns so every output file is tight in BOTH
+    * dimensions — parquet min/max row-group skipping then prunes scans
+    * filtered on EITHER column, where a lexicographic (x, y) sort only
+    * serves the leading one. The curve key is dropped before writing;
+    * clustering survives as physical row order.
+    */
+  def writeClustered(df: DataFrame, layer: String, table: String,
+                     zCols: (String, String), files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z",
+        graft.functions.MortonCode(col(zCols._1), col(zCols._2)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .options(writeOptions)
+      .mode("overwrite")
+      .format(format)
+      .save(path(layer, table))
+  }
+
   /** Row-level MERGE (upsert + delete) without a table format that
     * supports it natively: matched target rows are replaced by the
     * update (or dropped when the update's `deleteCol` is true),
