@@ -936,6 +936,8 @@ object PipelineQueries {
     val e = Tables.load(spark, dir, "events")
     val daily = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      // two consumers (day window + grand-total agg) — one aggregation
+      .transform(Materialize.once)
     val withDay = daily.withColumn("day_total",
       sum(col("n")).over(Window.partitionBy(col("day"))))
     val total = daily.agg(sum(col("n")).as("grand_total"))

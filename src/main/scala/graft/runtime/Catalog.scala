@@ -181,25 +181,39 @@ final case class Catalog(spark: SparkSession, root: String,
       if (partitionCols.nonEmpty)
         source.repartition(tasks, partitionCols.map(col): _*)
       else source.repartition(tasks)
-    val tmp = new org.apache.hadoop.fs.Path(s"$p.__compacting")
-    val writer = balanced.write
-      .options(writeOptions)
-      .mode("overwrite")
-      .format(format)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .save(tmp.toString)
-    // swap order matters: move the live dir ASIDE first so a failed
-    // rename-in leaves both copies on disk (old data recoverable),
-    // never a window where the table path holds nothing permanent
-    val old = new org.apache.hadoop.fs.Path(s"$p.__precompact")
+    safeSwapWrite(layer, table) { tmp =>
+      val writer = balanced.write
+        .options(writeOptions)
+        .mode("overwrite")
+        .format(format)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .save(tmp)
+    }
+    tasks
+  }
+
+  /** Full-replace through a sibling temp dir and a two-step rename
+    * swap: live dir aside, new dir in. Every failure mode leaves a
+    * complete copy of the data on disk — a plain mode("overwrite")
+    * clears the target BEFORE the new files are committed, so a failed
+    * write loses the table. Shared by compact() and merge().
+    */
+  private def safeSwapWrite(layer: String, table: String)
+                           (writeTo: String => Unit): Unit = {
+    val p = path(layer, table)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$p.__swapnew")
+    fs.delete(tmp, true)
+    writeTo(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$p.__swapold")
     fs.delete(old, true)
-    require(fs.rename(hp, old), s"compaction: could not move $p aside")
+    require(fs.rename(hp, old), s"swap: could not move $p aside")
     if (!fs.rename(tmp, hp)) {
       fs.rename(old, hp) // restore; tmp left for inspection
-      throw new IllegalStateException(s"compaction swap failed for $p; original restored")
+      throw new IllegalStateException(s"swap failed for $p; original restored")
     }
     fs.delete(old, true)
-    tasks
   }
 
   /** Z-order-clustered write: range-partition and sort by the Morton
@@ -211,9 +225,28 @@ final case class Catalog(spark: SparkSession, root: String,
     */
   def writeClustered(df: DataFrame, layer: String, table: String,
                      zCols: (String, String), files: Int): Unit = {
-    import org.apache.spark.sql.functions.col
-    df.withColumn("__z",
-        graft.functions.MortonCode(col(zCols._1), col(zCols._2)))
+    import org.apache.spark.sql.functions.{col, greatest, least, lit, max, min}
+    require(!df.columns.contains("__z"),
+      "writeClustered reserves the column name __z")
+    // MortonCode interleaves the LOW 16 BITS — raw keys beyond 65535
+    // (or negative) would silently degrade clustering to hashing, so
+    // rescale each column to [0, 65535] from its actual min/max (one
+    // extra aggregate pass at write time; double rounding is fine —
+    // the curve key orders data, it never answers queries)
+    val Array(r) = df
+      .agg(min(col(zCols._1)), max(col(zCols._1)),
+        min(col(zCols._2)), max(col(zCols._2)))
+      .collect()
+    def scaled(c: String, lo: Long, hiv: Long) = {
+      val range = math.max(1L, hiv - lo)
+      least(greatest(
+        ((col(c) - lit(lo)).cast("double") * 65535.0 / range).cast("long"),
+        lit(0L)), lit(65535L))
+    }
+    val z = graft.functions.MortonCode(
+      scaled(zCols._1, r.getLong(0), r.getLong(1)),
+      scaled(zCols._2, r.getLong(2), r.getLong(3)))
+    df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -236,43 +269,75 @@ final case class Catalog(spark: SparkSession, root: String,
     * broadcast equi-join; nothing ever collects to the driver.)
     *
     * `updates` must carry the target's full schema (plus `deleteCol`
-    * if deletions are wanted). Returns inserted/updated/deleted counts.
+    * if deletions are wanted). PRECONDITION of the partition-scoped
+    * form: a key's partition value is STABLE — an update row must
+    * carry the same partition value as the target row it matches,
+    * or the old copy (living in an untouched partition) survives
+    * beside the new one. Rows that MOVE partitions need the
+    * unpartitioned full-rewrite form (partitionCols = Nil). Returns
+    * inserted/updated/deleted counts.
     */
   def merge(updates: DataFrame, layer: String, table: String,
             keyCols: Seq[String], partitionCols: Seq[String] = Nil,
             deleteCol: Option[String] = None): MergeStats = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val target = read(layer, table)
     val dataCols = target.columns.toSeq
-    val del = deleteCol.map(c => col(c)).getOrElse(lit(false))
+    // NULL flags must not slip between filter(!del) and filter(del) —
+    // that would silently delete the row while counting it as updated
+    val del = deleteCol
+      .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
     val ups = updates.transform(Materialize.once)
     require(
       ups.count() == ups.select(keyCols.map(col): _*).distinct().count(),
       "merge updates must be unique per key (ambiguous upsert/delete otherwise)")
-    // scope the rewrite to the partitions the updates touch
-    val scoped =
+    // scope the rewrite to the partitions the updates touch; the
+    // touched target slice feeds three consumers below — one scan
+    val scoped = (
       if (partitionCols.nonEmpty)
         target.join(ups.select(partitionCols.map(col): _*).distinct(),
           partitionCols, "left_semi")
       else target
-    val keep = scoped.join(ups.select(keyCols.map(col): _*).distinct(),
-      keyCols, "left_anti")
+    ).transform(Materialize.once)
+    val scopedKeys = scoped.select(keyCols.map(col): _*).distinct()
+      .transform(Materialize.once)
+    val upsKeys = ups.select(keyCols.map(col): _*).distinct()
+    val keep = scoped.join(upsKeys, keyCols, "left_anti")
     val applied = ups.filter(!del).select(dataCols.map(col): _*)
-    val matchedKeys = scoped.select(keyCols.map(col): _*).distinct()
-      .join(ups.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .count()
+    val matchedKeys = scopedKeys.join(upsKeys, keyCols, "left_semi").count()
     val deleted = ups.filter(del).select(keyCols.map(col): _*).distinct()
-      .join(scoped.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .count()
+      .join(scopedKeys, keyCols, "left_semi").count()
     val merged = keep.select(dataCols.map(col): _*).union(applied)
       // the union reads `scoped`/`keep` lazily while the write below
       // replaces the same files — materialize before overwriting
       .transform(Materialize.once)
     merged.count() // force materialization before the paths are replaced
-    if (partitionCols.nonEmpty)
+    if (partitionCols.nonEmpty) {
       overwritePartitions(merged, layer, table, partitionCols)
-    else createOrReplace(merged, layer, table)
+      // dynamic overwrite cannot DELETE a partition: a touched
+      // partition whose every row was removed writes no files and the
+      // stale directory would resurrect the deleted rows — drop those
+      // directories explicitly (touched minus surviving; both sets are
+      // delta-bounded)
+      val touched = ups.select(partitionCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSet
+      val surviving = merged.select(partitionCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSet
+      val base = new org.apache.hadoop.fs.Path(path(layer, table))
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched -- surviving).foreach { values =>
+        val dir = partitionCols.zip(values)
+          .map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(base, dir), true)
+      }
+    } else {
+      safeSwapWrite(layer, table) { tmp =>
+        merged.write.options(writeOptions).mode("overwrite")
+          .format(format).save(tmp)
+      }
+    }
     MergeStats(
       inserted = ups.filter(!del).count() - (matchedKeys - deleted),
       updated = matchedKeys - deleted,

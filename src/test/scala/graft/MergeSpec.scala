@@ -46,6 +46,30 @@ class MergeSpec extends SparkSpec {
     assert(rows(cat) == Set((1L, "a", 11L), (2L, "b", 20L), (3L, "c", 30L)))
   }
 
+  test("deleting every row of a touched partition removes its directory") {
+    val cat = Catalog(spark, tmpDir("merge-empty-part"))
+    cat.overwritePartitions(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "d", "v"),
+      "ods", "t", Seq("d"))
+    cat.merge(Seq((1L, "a", 0L, true)).toDF("id", "d", "v", "is_deleted"),
+      "ods", "t", keyCols = Seq("id"), partitionCols = Seq("d"),
+      deleteCol = Some("is_deleted"))
+    // the emptied d=a partition must not resurrect its old file
+    assert(rows(cat) == Set((2L, "b", 20L)))
+    assert(!new java.io.File(cat.path("ods", "t"), "d=a").exists())
+  }
+
+  test("a NULL delete flag means upsert, not silent delete") {
+    val cat = Catalog(spark, tmpDir("merge-null-flag"))
+    cat.createOrReplace(Seq((1L, "a", 1L)).toDF("id", "d", "v"), "ods", "t")
+    val updates = Seq((1L, "a", 2L, Option.empty[Boolean]))
+      .toDF("id", "d", "v", "is_deleted")
+    val stats = cat.merge(updates, "ods", "t",
+      keyCols = Seq("id"), deleteCol = Some("is_deleted"))
+    assert(stats == MergeStats(inserted = 0, updated = 1, deleted = 0))
+    assert(rows(cat) == Set((1L, "a", 2L)))
+  }
+
   test("duplicate update keys are rejected") {
     val cat = Catalog(spark, tmpDir("merge-dup"))
     cat.createOrReplace(Seq((1L, "a", 1L)).toDF("id", "d", "v"), "ods", "t")

@@ -48,5 +48,33 @@ class ZOrderSpec extends SparkSpec {
       assert(avgSpan("clustered", c) < 450, s"clustered $c not tight")
       assert(avgSpan("shuffled", c) > 900, s"shuffled $c unexpectedly tight")
     }
+
+    // keys far beyond 16 bits still cluster: values are rescaled from
+    // their actual range before interleaving (raw masking would have
+    // degraded this to hashing)
+    val wide = Seq.fill(20000)(
+      (1000000L + rnd.nextInt(1 << 20).toLong,
+        -500000L + rnd.nextInt(1 << 20).toLong)).toDF("x", "y")
+    cat.writeClustered(wide, "raw", "wide", ("x", "y"), files = 16)
+    def span(c: String): Double = {
+      val files = new java.io.File(cat.path("raw", "wide"))
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    val full = (1 << 20).toDouble
+    assert(span("x") < full * 0.45 && span("y") < full * 0.45)
+  }
+
+  test("writeClustered rejects a conflicting __z column") {
+    val cat = Catalog(spark, tmpDir("zorder-guard"))
+    intercept[IllegalArgumentException] {
+      cat.writeClustered(Seq((1L, 2L, 3L)).toDF("x", "y", "__z"),
+        "raw", "t", ("x", "y"), files = 2)
+    }
   }
 }
