@@ -3,7 +3,7 @@ package graft.runtime
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashBands, SimHash64, SortedArrayJaccard, WinnowFingerprint}
+import graft.functions.{CosineSimilarity, MinHashBands, MortonCode, SimHash64, SortedArrayJaccard, WinnowFingerprint}
 
 /** SparkSessionExtensions installer exposing graft's native expressions
   * to SQL (`SELECT cosine_sim(a, b) ...`).
@@ -65,6 +65,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val a = arity("winnow_fp", 3)(args)
         WinnowFingerprint(a(0), litInt(a(1), "k"), litInt(a(2), "w")) }))
+    ext.injectFunction((
+      FunctionIdentifier("morton_code"),
+      new ExpressionInfo(classOf[MortonCode].getName, "morton_code"),
+      (args: Seq[Expression]) => {
+        val a = arity("morton_code", 2)(args); MortonCode(a(0), a(1)) }))
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

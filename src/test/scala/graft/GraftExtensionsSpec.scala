@@ -26,6 +26,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.5)
   }
 
+  test("morton_code is callable from SQL and matches the helper") {
+    val z = spark.sql("SELECT morton_code(3L, 5L) AS z").collect()(0).getLong(0)
+    assert(z == graft.functions.ZOrderHelper.morton(3, 5))
+  }
+
   test("identical inputs give identical sketches through the SQL surface") {
     val rows = spark.sql(
       """SELECT minhash_bands(array('x y z'), 32, 8) AS mh FROM range(2)""")
