@@ -989,6 +989,103 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY n DESC, cell LIMIT 20""".stripMargin
   }
 
+  /** MAD (median-absolute-deviation) outlier detection — the robust
+    * sibling of q68's z-score: per source, median length and MAD as
+    * floor-integers, then |x − med| > 3·MAD flags. Medians come from
+    * one percentile pass broadcast back (q84's two-pass shape); all
+    * comparisons are integer-exact.
+    */
+  def q88MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"))
+      .transform(Materialize.once)
+    val med = d.groupBy(col("source"))
+      .agg(floor(expr("percentile(n_chars, 0.5)")).cast("long").as("med"))
+    val dev = d.join(med, Seq("source"))
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+      .transform(Materialize.once)
+    val mad = dev.groupBy(col("source"))
+      .agg(floor(expr("percentile(adev, 0.5)")).cast("long").as("mad"),
+        first(col("med")).as("med"))
+    dev.select(col("source"), col("n_chars"))
+      .join(mad, Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum((abs(col("n_chars") - col("med")) > col("mad") * 3)
+          .cast("long")).as("n_outliers"))
+  }
+
+  val q88Oracle: String =
+    """WITH med AS (
+      |  SELECT source,
+      |    CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) AS med
+      |  FROM documents GROUP BY source),
+      |dev AS (
+      |  SELECT d.source, d.n_chars, m.med, abs(d.n_chars - m.med) AS adev
+      |  FROM documents d JOIN med m ON d.source = m.source),
+      |mad AS (
+      |  SELECT source, CAST(floor(quantile_cont(adev, 0.5)) AS BIGINT) AS mad
+      |  FROM dev GROUP BY source)
+      |SELECT v.source, any_value(v.med) AS med, any_value(a.mad) AS mad,
+      |  CAST(sum(CASE WHEN abs(v.n_chars - v.med) > a.mad * 3
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev v JOIN mad a ON v.source = a.source
+      |GROUP BY v.source""".stripMargin
+
+  /** Least-squares trend slopes in EXACT integer arithmetic: per event
+    * type, the regression of daily counts on the day index reduces to
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); both sides are exact
+    * bigints, emitted as numerator/denominator plus a ppm-quantized
+    * ratio — regr_slope semantics with no float aggregation anywhere,
+    * so partition order cannot move the result. One aggregate over
+    * (type, day), one over type.
+    */
+  def q89TrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2020-01-01")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      // den = n²·var(x) > 0 whenever two distinct days exist
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(
+        col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        // slopes can be negative: VERIFIED both Spark's `div` and
+        // DuckDB's `//` truncate toward zero (-7/2 = -3 in both), so
+        // plain integer division is cross-engine exact here
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+          .as("slope_ppm"))
+  }
+
+  val q89Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+      |       AS BIGINT) AS slope_ppm
+      |FROM s WHERE n * sxx - sx * sx > 0""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -1013,7 +1110,9 @@ object PipelineQueries {
     "q84_winsorize" -> (q84Winsorize _),
     "q85_event_paths" -> (q85EventPaths _),
     "q86_ratio_to_total" -> (q86RatioToTotal _),
-    "q87_zorder_cells" -> (q87ZorderCells _))
+    "q87_zorder_cells" -> (q87ZorderCells _),
+    "q88_mad_outliers" -> (q88MadOutliers _),
+    "q89_trend_slope" -> (q89TrendSlope _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1039,5 +1138,7 @@ object PipelineQueries {
     "q84_winsorize" -> q84Oracle,
     "q85_event_paths" -> q85Oracle,
     "q86_ratio_to_total" -> q86Oracle,
-    "q87_zorder_cells" -> q87Oracle)
+    "q87_zorder_cells" -> q87Oracle,
+    "q88_mad_outliers" -> q88Oracle,
+    "q89_trend_slope" -> q89Oracle)
 }
