@@ -21,6 +21,12 @@ object Bench {
         case e: Throwable => Some(e.toString.takeWhile(_ != '\n'))
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Release residual localCheckpoint blocks (Materialize.once) so a
+      // query's storage footprint never taxes the queries after it —
+      // without this the blocks accumulate across the whole run and the
+      // later half of the alphabet pays growing GC/storage pressure.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       err match {
         case None => System.err.println(f"[bench] $name%-28s $sec%8.2f s")
         case Some(m) => System.err.println(f"[bench] $name%-28s FAILED: $m")
