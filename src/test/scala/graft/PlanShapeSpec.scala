@@ -37,7 +37,14 @@ class PlanShapeSpec extends SparkSpec {
     "q77_fk_audit",
     // grand total is a broadcast 1-row aggregate crossJoined into the
     // daily-share frame
-    "q86_ratio_to_total")
+    "q86_ratio_to_total",
+    // avgdl/N is a broadcast 1-row scalar aggregate crossJoined into
+    // the per-(doc, term) scoring frame
+    "q91_bm25",
+    // the date×hour×type spine: crossJoins of a generated day sequence
+    // (one row exploded), 24 hour rows, and the ~5 distinct event
+    // types — bounded by slots, never by event volume
+    "q92_gap_fill")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
