@@ -185,6 +185,52 @@ object JaccardHelper {
     val union = n1 + n2 - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** Intersection size of two SORTED, DISTINCT string arrays — the
+    * integer-output sibling of [[compute]] for verify stages whose
+    * result schema carries exact counts (union size = n1 + n2 − inter
+    * from the already-known array sizes, no second merge).
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n1 && j < n2) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** Intersection size of two sorted-distinct string arrays (merge-count;
+  * `array_intersect` builds a per-call hash set, which dominates
+  * pairwise verify stages). Callers must pre-sort
+  * (array_sort(array_distinct(...))) — once per document, not per pair.
+  */
+case class SortedArrayIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_array_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardHelper.intersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardHelper.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedArrayIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Set Jaccard similarity of two sorted-distinct string arrays.

@@ -42,9 +42,13 @@ object CorpusQueries {
     * pairs).
     */
   def q90PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    // sorted ONCE per document so the verify stage can merge-count
+    // (SortedArrayIntersectCount) instead of allocating an
+    // array_intersect hash set per candidate pair
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        array_distinct(TextAnalysis.wsTokens(col("text"))).as("toks"))
+        array_sort(array_distinct(TextAnalysis.wsTokens(col("text"))))
+          .as("toks"))
       // consumed by the token explode and BOTH verify join-backs
       .transform(Materialize.once)
     val tok = docs.select(col("doc_id"), col("source"),
@@ -55,23 +59,37 @@ object CorpusQueries {
       .groupBy(col("doc_id"), col("source"))
       .agg(sort_array(collect_list(struct(col("df"), col("token"))))
         .as("byRarity"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), size(col("byRarity")).as("n"),
         explode(expr(
           "slice(transform(byRarity, x -> x.token), 1, " +
             "size(byRarity) - ((4 * size(byRarity) + 4) div 5) + 1)"))
           .as("ptok"))
-    val cand = prefixes.select(col("source"), col("ptok"), col("doc_id").as("id1"))
-      .join(prefixes.select(col("source"), col("ptok"), col("doc_id").as("id2")),
+    // the classic AllPairs companion prune: jac ≤ min/max, so τ = 0.8
+    // requires 5·min(|a|,|b|) ≥ 4·max(|a|,|b|) — an O(1) integer check
+    // inside the candidate join that drops size-mismatched pairs before
+    // the distinct and the array-carrying verify joins
+    val cand = prefixes.select(col("source"), col("ptok"),
+        col("doc_id").as("id1"), col("n").as("n1"))
+      .join(prefixes.select(col("source"), col("ptok"),
+          col("doc_id").as("id2"), col("n").as("n2")),
         Seq("source", "ptok"))
-      .filter(col("id1") < col("id2"))
+      .filter(col("id1") < col("id2") &&
+        col("n1") * 5 >= col("n2") * 4 && col("n2") * 5 >= col("n1") * 4)
       .select(col("source"), col("id1"), col("id2"))
       .distinct()
+    val interCount = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SortedArrayIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("t1")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("t2"))))
     cand
       .join(docs.select(col("doc_id").as("id1"), col("toks").as("t1")), Seq("id1"))
       .join(docs.select(col("doc_id").as("id2"), col("toks").as("t2")), Seq("id2"))
       .select(col("source"), col("id1"), col("id2"),
-        size(array_intersect(col("t1"), col("t2"))).cast("long").as("n_common"),
-        size(array_union(col("t1"), col("t2"))).cast("long").as("n_union"))
+        interCount.cast("long").as("n_common"),
+        (size(col("t1")) + size(col("t2"))).cast("long").as("n_sizes"))
+      // union = |a| + |b| − |a∩b| from the carried sizes — no second merge
+      .select(col("source"), col("id1"), col("id2"), col("n_common"),
+        (col("n_sizes") - col("n_common")).as("n_union"))
       .filter(col("n_common") * 5 >= col("n_union") * 4)
   }
 
