@@ -3,7 +3,7 @@ package graft.runtime
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashBands, MortonCode, SimHash64, SortedArrayJaccard, WinnowFingerprint}
+import graft.functions.{CosineSimilarity, MinHashBands, MortonCode, SimHash64, SortedArrayIntersectCount, SortedArrayJaccard, WinnowFingerprint}
 
 /** SparkSessionExtensions installer exposing graft's native expressions
   * to SQL (`SELECT cosine_sim(a, b) ...`).
@@ -53,6 +53,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {
         val a = arity("simhash64", 1)(args); SimHash64(a(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_array_intersect_count"),
+      new ExpressionInfo(classOf[SortedArrayIntersectCount].getName,
+        "sorted_array_intersect_count"),
+      (args: Seq[Expression]) => {
+        val a = arity("sorted_array_intersect_count", 2)(args)
+        SortedArrayIntersectCount(a(0), a(1)) }))
     ext.injectFunction((
       FunctionIdentifier("sorted_array_jaccard"),
       new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_array_jaccard"),

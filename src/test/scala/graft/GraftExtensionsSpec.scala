@@ -26,6 +26,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.5)
   }
 
+  test("sorted_array_intersect_count from SQL agrees with the jaccard twin") {
+    val row = spark.sql(
+      """SELECT
+        |  sorted_array_intersect_count(array('a', 'b', 'c'),
+        |                               array('b', 'c', 'd')) AS c,
+        |  sorted_array_intersect_count(array('a'), array('b')) AS z
+        |""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 2)
+    assert(row.getInt(1) == 0)
+  }
+
   test("morton_code is callable from SQL and matches the helper") {
     val z = spark.sql("SELECT morton_code(3L, 5L) AS z").collect()(0).getLong(0)
     assert(z == graft.functions.ZOrderHelper.morton(3, 5))
