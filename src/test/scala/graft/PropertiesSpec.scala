@@ -41,6 +41,26 @@ class PropertiesSpec extends SparkSpec {
     assert(mismatch.isEmpty)
   }
 
+  test("property: sorted_array_intersect_count equals array_intersect size, any arrays") {
+    val rows = sample(
+      for {
+        a <- Gen.listOfN(20, Gen.oneOf("a", "b", "cc", "d", "ee", "f", "g", ""))
+        b <- Gen.listOfN(20, Gen.oneOf("a", "b", "cc", "d", "ee", "x", "y", ""))
+      } yield (a, b), 300)
+    val df = rows.toDF("a", "b").select(
+      array_sort(array_distinct($"a")).as("sa"),
+      array_sort(array_distinct($"b")).as("sb"))
+    val cnt = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SortedArrayIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression($"sa"),
+        org.apache.spark.sql.graft.ColumnBridge.expression($"sb")))
+    val mismatch = df.select(cnt.as("merged"),
+        size(array_intersect($"sa", $"sb")).as("builtin"))
+      .filter($"merged" =!= $"builtin")
+    assert(mismatch.isEmpty,
+      "merge-count must agree with array_intersect on sorted-distinct input")
+  }
+
   test("property: surrogate keys are 64-hex, injective per (name,year), case/pad-insensitive") {
     val pairs = sample(
       for {
