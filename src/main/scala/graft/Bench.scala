@@ -21,12 +21,20 @@ object Bench {
         case e: Throwable => Some(e.toString.takeWhile(_ != '\n'))
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Release residual localCheckpoint blocks (Materialize.once) so a
-      // query's storage footprint never taxes the queries after it —
-      // without this the blocks accumulate across the whole run and the
-      // later half of the alphabet pays growing GC/storage pressure.
+      // Quiesce BETWEEN timed queries (this block runs outside the
+      // timing window):
+      //  - release residual localCheckpoint blocks (Materialize.once)
+      //    so a query's storage never taxes the queries after it;
+      //  - force a driver GC so the ContextCleaner drains the run's
+      //    accumulated shuffle/broadcast references NOW. Cleanup is
+      //    GC-triggered and blocking by default, so left alone it fires
+      //    at a random point MID-query and every small job behind it
+      //    waits — observed as a random iterative query (q57/q70/q78)
+      //    going 10-20x slower while each tiny propagation round paid
+      //    seconds of cleaner latency.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
       err match {
         case None => System.err.println(f"[bench] $name%-28s $sec%8.2f s")
         case Some(m) => System.err.println(f"[bench] $name%-28s FAILED: $m")
