@@ -15,9 +15,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // same hygiene as Bench: drop residual localCheckpoint blocks
-      // (Materialize.once) so storage doesn't grow across the run
+      // (Materialize.once) and drain the GC-triggered blocking
+      // ContextCleaner between queries instead of at a random point
+      // mid-query (see Bench for the stall mode this avoids)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
