@@ -46,7 +46,16 @@ object Bench {
     val total = results.map(_._2).sum
     val errs = results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" }
     val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
+    println(line)
+    // The driver captures stdout with a bounded tail buffer, which has
+    // truncated this line (95 queries ≈ 4 KB) in past rounds. Persist the
+    // full artifact to a file as well so the complete timing set survives.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_result.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // best-effort: never fail the bench over it
     spark.stop()
   }
 }

@@ -8,7 +8,15 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = graft.runtime.GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only iteration filter (the driver never sets it): run just the
+    // named queries, e.g. SPARK_GRAFT_ONLY=q27_multimodal_inventory,q28_...
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,17 +11,24 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, decoded/feature-extracted in batched
   * partition-local passes.
   *
-  * The decode itself is a STUB (no image/audio codecs in this
-  * environment): `decodeStub` derives deterministic fake features from
-  * the payload bytes. Everything around it — the asset schema, the
-  * binary column, the batch shape (decoders amortize model/codec setup
-  * across a batch, exactly like a pandas-UDF batch), the per-modality
-  * partitioning, frame sampling — is real Spark plumbing and is tested.
+  * The DECODE is real: images are genuine PNGs read back through
+  * `javax.imageio`, audio is genuine RIFF/WAVE PCM read back through
+  * `javax.sound.sampled.AudioSystem`, video is a motion-BMP container
+  * (length-prefixed 24-bit BMP frames) whose frames decode through
+  * `javax.imageio` — all JDK-native codecs, no external dependencies.
+  * Only the payload SOURCE is synthetic (the environment has no media
+  * files): [[assetsFromDocuments]] encodes each asset deterministically
+  * from `doc_id` alone, so an independent engine can predict exactly
+  * what a correct encode→decode round trip must yield. That prediction
+  * IS the oracle contract: every formula below is replayed in DuckDB
+  * SQL by the q27/q28 oracles, and a hash match proves the codec path
+  * extracted precisely the dimensions/samples/pixels that were encoded.
   *
-  * Scale notes: assets never leave executors (no collect); feature
-  * extraction is mapPartitions over batches, so a real codec/model
-  * drop-in changes only `decodeBatch`; frame sampling is pure built-ins
-  * (substr over binary + explode).
+  * Scale notes: assets never leave executors (no collect); encode and
+  * feature extraction are mapPartitions over batches, so swapping the
+  * synthetic source for real object-store bytes changes only the asset
+  * producer; frame sampling is pure built-ins (substr over binary +
+  * explode).
   */
 object Multimodal {
 
@@ -25,54 +36,203 @@ object Multimodal {
                              sampleRate: Int, nFrames: Int)
   final case class Asset(doc_id: Long, modality: String,
                          payload: Array[Byte], meta: AssetMeta)
+
+  /** Decoded features. Integer-exact by construction: dimensions and
+    * counts come from the codec, `pix_sum`/`amp_sum` are integer sums
+    * over decoded samples — associative, so partition order can never
+    * change an aggregate over them.
+    */
   final case class AssetFeatures(doc_id: Long, modality: String,
-                                 n_bytes: Long, features: Array[Float])
+                                 n_bytes: Long, width: Int, height: Int,
+                                 n_frames: Int, sample_rate: Int,
+                                 n_samples: Long, pix_sum: Long,
+                                 amp_sum: Long)
 
-  /** Deterministic synthetic assets from the documents table: payload =
-    * UTF-8 text bytes standing in for encoded media; modality cycles by
-    * doc_id; metadata is derived from payload size the way a real
-    * probe/ffprobe step would fill it.
-    */
-  def assetsFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(lit(Array("image", "audio", "video")),
-        (col("doc_id") % 3).cast("int") + 1).as("modality"),
-      col("text").cast("binary").as("payload"))
-      .withColumn("meta", struct(
-        // derive from the modality column — the doc_id→modality cycle
-        // is defined in exactly one place above
-        concat(lit("application/x-fake-"), col("modality")).as("contentType"),
-        (length(col("payload")) % 640).cast("int").as("width"),
-        (length(col("payload")) % 480).cast("int").as("height"),
-        lit(16000).as("sampleRate"),
-        ceil(length(col("payload")) / 32.0).cast("int").as("nFrames")))
+  // ---- deterministic generation formulas (the oracle contract) ----
+  // Every value below is a pure function of doc_id; the q27/q28 DuckDB
+  // oracles replay these same expressions in SQL. Change one side only
+  // and the hash check fails — that coupling is deliberate.
+  def modalityOf(d: Long): String = (d % 3) match {
+    case 0 => "image"; case 1 => "audio"; case _ => "video"
+  }
+  def imageW(d: Long): Int = 16 + (d % 17).toInt
+  def imageH(d: Long): Int = 12 + (d % 11).toInt
+  def imageGray(d: Long, x: Int, y: Int): Int = ((7L * x + 13L * y + d) % 256L).toInt
+  def audioRate(d: Long): Int = 8000 + 4000 * ((d / 3) % 3).toInt
+  def audioN(d: Long): Int = 400 + (d % 257).toInt
+  def audioSample(d: Long, i: Int): Int = ((d * 31 + i.toLong * 17) % 2048L).toInt - 1024
+  def videoFrames(d: Long): Int = 2 + (d % 4).toInt
+  def videoSide(d: Long): Int = 8 + (d % 8).toInt
+  def videoGray(d: Long, f: Int, x: Int, y: Int): Int =
+    ((3L * x + 5L * y + 11L * f + d) % 256L).toInt
 
-  /** STUB decode of one batch: in a real pipeline this is the codec /
-    * model-inference call (decode JPEG, resample PCM, embed frames).
-    * Here: an 8-dim deterministic byte-statistics vector. The batch
-    * signature is the point — a drop-in real decoder keeps it.
+  // ImageIO's default disk-backed stream cache would add a temp-file
+  // write per encode/decode on every executor — pure memory streams
+  // don't need it
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** 8-bit grayscale PNG of the deterministic pixel field. PNG is
+    * lossless and `TYPE_BYTE_GRAY` raster samples round-trip exactly,
+    * so the decode can be held to equality, not tolerance.
     */
-  def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
-    batch.map { a =>
-      val bytes = a.payload
-      val n = bytes.length.max(1)
-      val hist = new Array[Float](8)
-      var i = 0
-      while (i < bytes.length) {
-        hist((bytes(i) & 0xff) % 8) += 1.0f
-        i += 1
-      }
-      var j = 0
-      while (j < 8) { hist(j) = hist(j) / n; j += 1 }
-      AssetFeatures(a.doc_id, a.modality, bytes.length.toLong, hist)
+  private def encodePng(d: Long): Array[Byte] = {
+    val (w, h) = (imageW(d), imageH(d))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, imageGray(d, x, y)); x += 1 }
+      y += 1
     }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Canonical 44-byte-header RIFF/WAVE, PCM signed 16-bit LE mono. */
+  private def encodeWav(d: Long): Array[Byte] = {
+    val rate = audioRate(d)
+    val n = audioN(d)
+    val dataBytes = n * 2
+    val bb = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { bb.putShort(audioSample(d, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Motion-BMP container: each frame a 24-bit BMP (lossless,
+    * JDK-decodable) prefixed by its big-endian int32 byte length.
+    */
+  private def encodeMbmp(d: Long): Array[Byte] = {
+    val side = videoSide(d)
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < videoFrames(d)) {
+      val img = new BufferedImage(side, side, BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val g = videoGray(d, f, x, y)
+          raster.setSample(x, y, 0, g)
+          raster.setSample(x, y, 1, g)
+          raster.setSample(x, y, 2, g)
+          x += 1
+        }
+        y += 1
+      }
+      val frame = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", frame)
+      val bytes = frame.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** One asset per document, encoded on the executor from `doc_id`
+    * alone (the only column read — column pruning keeps `text` out of
+    * the scan). Metadata carries the encode-time ground truth; the
+    * decode never reads it.
+    */
+  def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { d =>
+      modalityOf(d) match {
+        case "image" =>
+          Asset(d, "image", encodePng(d),
+            AssetMeta("image/png", imageW(d), imageH(d), 0, 1))
+        case "audio" =>
+          Asset(d, "audio", encodeWav(d),
+            AssetMeta("audio/wav", 0, 0, audioRate(d), 0))
+        case _ =>
+          Asset(d, "video", encodeMbmp(d),
+            AssetMeta("video/x-mbmp", videoSide(d), videoSide(d), 0,
+              videoFrames(d)))
+      }
+    })
+  }
+
+  private def sumBand0(img: BufferedImage): Long = {
+    val raster = img.getRaster
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    s
+  }
+
+  /** Real decode of one asset via JDK codecs. Decode failures throw —
+    * a corrupt payload must fail the job loudly, never count as a
+    * zero-feature row.
+    */
+  def decodeOne(a: Asset): AssetFeatures = a.modality match {
+    case "image" =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable image payload for doc ${a.doc_id}")
+      AssetFeatures(a.doc_id, a.modality, a.payload.length.toLong,
+        img.getWidth, img.getHeight, 1, 0, 0L, sumBand0(img), 0L)
+    case "audio" =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(a.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected audio format $fmt for doc ${a.doc_id}")
+      val pcm = ais.readAllBytes()
+      var amp = 0L
+      var i = 0
+      while (i + 1 < pcm.length) {
+        val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+        amp += math.abs(s.toLong)
+        i += 2
+      }
+      AssetFeatures(a.doc_id, a.modality, a.payload.length.toLong,
+        0, 0, 0, fmt.getSampleRate.toInt, ais.getFrameLength, 0L, amp)
+    case _ =>
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(a.payload))
+      var frames = 0
+      var (w, h) = (0, 0)
+      var pix = 0L
+      while (in.available() > 0) {
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable frame $frames for doc ${a.doc_id}")
+        w = img.getWidth; h = img.getHeight
+        pix += sumBand0(img)
+        frames += 1
+      }
+      AssetFeatures(a.doc_id, a.modality, a.payload.length.toLong,
+        w, h, frames, 0, 0L, pix, 0L)
+  }
+
+  /** Decode one batch — the codec/model-inference unit. The batch
+    * signature is the point: a GPU model swap amortizes setup across
+    * the batch exactly like a pandas-UDF batch.
+    */
+  def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map(decodeOne)
 
   /** Batched partition-local feature extraction: iterator → fixed-size
     * batches → decodeBatch → flat iterator. Nothing is collected; batch
     * size bounds decoder memory exactly like a pandas-UDF batch size.
     */
-  def decodeStub(assets: Dataset[Asset], batchSize: Int = 64): Dataset[AssetFeatures] = {
+  def decode(assets: Dataset[Asset], batchSize: Int = 64): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
@@ -80,12 +240,13 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video payloads: every `stride`-th fixed-size
-    * chunk as a frame row — pure built-ins (substr on binary + explode),
-    * no UDF, codegen-friendly. Only FULL frames are emitted (the index
-    * bound is the last offset with frameBytes available): a fixed-size
-    * frame decoder downstream must never receive a truncated tail.
-    * Payloads shorter than one frame yield no rows.
+  /** Frame sampling for fixed-frame-size video payloads: every
+    * `stride`-th fixed-size chunk as a frame row — pure built-ins
+    * (substr on binary + explode), no UDF, codegen-friendly. Only FULL
+    * frames are emitted (the index bound is the last offset with
+    * frameBytes available): a fixed-size frame decoder downstream must
+    * never receive a truncated tail. Payloads shorter than one frame
+    * yield no rows.
     */
   def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     assets.filter(col("modality") === "video")
@@ -99,13 +260,14 @@ object Multimodal {
         expr(s"substr(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)")
           .as("frame_bytes"))
 
-  /** End-to-end: documents → assets → features. Hashing on the bare
-    * 3-value modality key would cap the whole decode at 3 tasks
-    * regardless of cluster size, so the shuffle key is (modality,
-    * doc_id-derived salt) — every core gets work. A partition may then
-    * hold several (modality, salt) cells; sortWithinPartitions keeps
-    * rows modality-contiguous so decode batches stay homogeneous (codec
-    * state swaps at most twice per partition, not per batch).
+  /** End-to-end: documents → encoded assets → decoded features.
+    * Hashing on the bare 3-value modality key would cap the whole
+    * decode at 3 tasks regardless of cluster size, so the shuffle key
+    * is (modality, doc_id-derived salt) — every core gets work. A
+    * partition may then hold several (modality, salt) cells;
+    * sortWithinPartitions keeps rows modality-contiguous so decode
+    * batches stay homogeneous (codec state swaps at most twice per
+    * partition, not per batch).
     */
   def pipeline(spark: SparkSession, docs: DataFrame,
                batchSize: Int = 64): Dataset[AssetFeatures] = {
@@ -115,6 +277,6 @@ object Multimodal {
       .repartition(col("modality"), pmod(hash(col("doc_id")), lit(p)))
       .sortWithinPartitions(col("modality"))
       .as[Asset]
-    decodeStub(assets, batchSize)
+    decode(assets, batchSize)
   }
 }

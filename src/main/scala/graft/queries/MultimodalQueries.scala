@@ -7,15 +7,18 @@ import graft.runtime.Tables
 
 /** Extension tier — multimodal asset plumbing over `documents`.
   *
-  * q27's oracle checks the relational skeleton (modality assignment,
-  * binary payload sizes) that any decoder-equipped pipeline shares; the
-  * stubbed feature values themselves are covered by MultimodalSpec.
+  * The assets are REAL encoded media (PNG / RIFF-WAVE / motion-BMP)
+  * generated deterministically from `doc_id` (see
+  * [[graft.operators.Multimodal]]); q28 decodes them through the JDK's
+  * own codecs. The oracles never decode — they replay the generation
+  * formulas in SQL and predict what a correct encode→decode round trip
+  * must yield, so a hash match proves the codec path end to end.
   */
 object MultimodalQueries {
 
-  /** Per-modality asset inventory: counts + byte totals off the binary
-    * payload column (octet lengths survive the text→binary cast
-    * identically in any engine).
+  /** Per-modality asset inventory off the encode-time metadata:
+    * counts, frame maxima, and width/sample-rate totals — every field
+    * a pure-`doc_id` formula the oracle replays.
     */
   def q27MultimodalInventory(spark: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.assetsFromDocuments(
@@ -23,8 +26,9 @@ object MultimodalQueries {
     assets.groupBy(col("modality"))
       .agg(
         count(lit(1)).as("n_assets"),
-        sum(length(col("payload"))).as("total_bytes"),
-        max(col("meta.nFrames")).as("max_frames"))
+        max(col("meta.nFrames")).as("max_frames"),
+        sum(col("meta.width")).as("sum_width"),
+        sum(col("meta.sampleRate")).as("sum_rate"))
   }
 
   val q27Oracle: String =
@@ -32,22 +36,26 @@ object MultimodalQueries {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |                  ELSE 'video' END AS modality,
       |  count(*) AS n_assets,
-      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-      |  max(CAST(ceil(octet_length(encode(text)) / 32.0) AS INT)) AS max_frames
+      |  CAST(max(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0
+      |           ELSE 2 + doc_id % 4 END) AS INT) AS max_frames,
+      |  CAST(sum(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 17
+      |           WHEN 2 THEN 8 + doc_id % 8 ELSE 0 END) AS BIGINT)
+      |    AS sum_width,
+      |  CAST(sum(CASE doc_id % 3 WHEN 1
+      |           THEN 8000 + 4000 * ((doc_id // 3) % 3)
+      |           ELSE 0 END) AS BIGINT) AS sum_rate
       |FROM documents
       |GROUP BY 1""".stripMargin
 
-  /** Decoded (stub) features rolled up per modality — exercises the
-    * batched mapPartitions path end-to-end inside a driver-checkable
-    * query. The stub's byte-histogram feature is deterministic byte
-    * statistics, so the oracle recomputes it in SQL and the whole
-    * decode path is hash-match checked. The per-row feature value is
-    * QUANTIZED to integer millionths before summing: a raw float sum is
-    * order-dependent across partitions, while a sum of exact integers
-    * is associative — the aggregate is identical however either engine
-    * schedules it. (round() is half-up in both engines for the
-    * non-negative values here; DuckDB REAL arithmetic is IEEE float32,
-    * verified to match the stub's Float division exactly.)
+  /** Decoded features rolled up per modality — the batched
+    * mapPartitions decode exercised end-to-end inside a
+    * driver-checkable query. Every aggregate is an integer sum of
+    * codec outputs (dimensions, frame counts, sample counts, pixel and
+    * amplitude sums), so the rollup is associative and hash-exact; the
+    * oracle predicts each from the `doc_id` generation formulas
+    * without decoding anything. A hash match therefore certifies that
+    * `javax.imageio`/`AudioSystem` recovered exactly the pixels and
+    * samples that were encoded.
     */
   def q28DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.pipeline(spark,
@@ -56,31 +64,70 @@ object MultimodalQueries {
       .groupBy(col("modality"))
       .agg(
         count(lit(1)).as("n_decoded"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(round(element_at(col("features"), 1).cast("double") * 1e6)
-          .cast("long")).as("sum_f0_millionths"))
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("sample_rate")).as("sum_rate"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("pix_sum")).as("pix_sum"),
+        sum(col("amp_sum")).as("amp_sum"))
   }
 
-  /** Replays decodeBatch's first histogram bucket: count of payload
-    * bytes ≡ 0 (mod 8) over max(n_bytes, 1), as float32 — then the same
-    * millionths quantization as the Spark side. ascii(char) = byte for
-    * this ASCII corpus (the same contract PackedNgrams documents).
+  /** Replays Multimodal's generation formulas: image w×h grayscale
+    * field (7x+13y+d)%256, audio PCM (31d+17i)%2048−1024 at rate
+    * 8000+4000·((d÷3)%3), video nF frames of side 8+d%8 with field
+    * (3x+5y+11f+d)%256 — summed per modality. The bounded helper
+    * ranges cover the formula maxima (w≤32, h≤21, side≤15, nF≤5,
+    * n≤656).
     */
   val q28Oracle: String =
-    """WITH f AS (
-      |  SELECT
-      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-      |                    ELSE 'video' END AS modality,
-      |    octet_length(encode(text)) AS n_bytes,
-      |    CAST(len(list_filter(range(1, length(text)+1),
-      |                         i -> ascii(text[i]) % 8 = 0)) AS REAL)
-      |      / CAST(greatest(octet_length(encode(text)), 1) AS REAL) AS f0
-      |  FROM documents)
+    """WITH xs AS (SELECT unnest(range(0, 32)) AS v),
+      |ys AS (SELECT unnest(range(0, 22)) AS v),
+      |fs AS (SELECT unnest(range(0, 5)) AS v),
+      |ss AS (SELECT unnest(range(0, 657)) AS v),
+      |img AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 12 + doc_id % 11 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |img_px AS (
+      |  SELECT i.doc_id, w, h,
+      |    sum((7 * x.v + 13 * y.v + i.doc_id) % 256) AS pix
+      |  FROM img i JOIN xs x ON x.v < i.w JOIN ys y ON y.v < i.h
+      |  GROUP BY i.doc_id, w, h),
+      |aud AS (
+      |  SELECT doc_id, 8000 + 4000 * ((doc_id // 3) % 3) AS rate,
+      |    400 + doc_id % 257 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |aud_amp AS (
+      |  SELECT a.doc_id, rate, n,
+      |    sum(abs(((a.doc_id * 31 + s.v * 17) % 2048) - 1024)) AS amp
+      |  FROM aud a JOIN ss s ON s.v < a.n
+      |  GROUP BY a.doc_id, rate, n),
+      |vid AS (
+      |  SELECT doc_id, 8 + doc_id % 8 AS side, 2 + doc_id % 4 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |vid_px AS (
+      |  SELECT v.doc_id, side, nf,
+      |    sum((3 * x.v + 5 * y.v + 11 * f.v + v.doc_id) % 256) AS pix
+      |  FROM vid v JOIN fs f ON f.v < v.nf
+      |  JOIN xs x ON x.v < v.side JOIN ys y ON y.v < v.side
+      |  GROUP BY v.doc_id, side, nf),
+      |feats AS (
+      |  SELECT 'image' AS modality, w AS width, h AS height,
+      |    1 AS n_frames, 0 AS sample_rate, 0 AS n_samples, pix, 0 AS amp
+      |  FROM img_px
+      |  UNION ALL
+      |  SELECT 'audio', 0, 0, 0, rate, n, 0, amp FROM aud_amp
+      |  UNION ALL
+      |  SELECT 'video', side, side, nf, 0, 0, pix, 0 FROM vid_px)
       |SELECT modality, count(*) AS n_decoded,
-      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-      |  CAST(sum(CAST(round(CAST(f0 AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
-      |    AS sum_f0_millionths
-      |FROM f GROUP BY modality""".stripMargin
+      |  CAST(sum(width) AS BIGINT) AS sum_width,
+      |  CAST(sum(height) AS BIGINT) AS sum_height,
+      |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+      |  CAST(sum(sample_rate) AS BIGINT) AS sum_rate,
+      |  CAST(sum(n_samples) AS BIGINT) AS sum_samples,
+      |  CAST(sum(pix) AS BIGINT) AS pix_sum,
+      |  CAST(sum(amp) AS BIGINT) AS amp_sum
+      |FROM feats GROUP BY modality""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_multimodal_inventory" -> (q27MultimodalInventory _),

@@ -7,39 +7,74 @@ import graft.operators.Multimodal.{Asset, AssetMeta}
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def docs = Seq(
-    (0L, "aaaa bbbb cccc dddd"),
-    (1L, "eeee ffff"),
-    (2L, "g" * 100),
-    (3L, "hh ii jj"))
-    .toDF("doc_id", "text")
+  // doc_ids 0..3 cover image (0, 3), audio (1), video (2)
+  private def docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
 
-  test("assets: modality cycle, binary payload, derived metadata") {
+  test("assets: modality cycle and genuine container magic bytes") {
     val a = Multimodal.assetsFromDocuments(docs).orderBy("doc_id").collect()
-    assert(a.map(_.getAs[String]("modality")).toSeq ==
-      Seq("image", "audio", "video", "image"))
-    val payload = a(0).getAs[Array[Byte]]("payload")
-    assert(new String(payload, "UTF-8") == "aaaa bbbb cccc dddd")
-    val meta = a(2).getStruct(a(2).fieldIndex("meta"))
-    assert(meta.getAs[String]("contentType") == "application/x-fake-video")
-    assert(meta.getAs[Int]("nFrames") == math.ceil(100 / 32.0).toInt)
+    assert(a.map(_.modality).toSeq == Seq("image", "audio", "video", "image"))
+    // image payloads are real PNGs
+    val png = a(0).payload
+    assert((png(0) & 0xff) == 0x89 &&
+      new String(png.slice(1, 4), "US-ASCII") == "PNG")
+    // audio payloads are real RIFF/WAVE
+    val wav = a(1).payload
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // video payloads are length-prefixed BMP frames
+    val vid = a(2).payload
+    val frameLen = java.nio.ByteBuffer.wrap(vid, 0, 4).getInt
+    assert(frameLen > 0 && frameLen <= vid.length - 4)
+    assert(new String(vid.slice(4, 6), "US-ASCII") == "BM")
+    assert(a(2).meta == AssetMeta("video/x-mbmp", Multimodal.videoSide(2),
+      Multimodal.videoSide(2), 0, Multimodal.videoFrames(2)))
   }
 
-  test("decode stub: deterministic, normalized, length-preserving") {
+  test("decode: JDK codecs recover exactly what was encoded") {
     val feats = Multimodal.pipeline(spark, docs).collect()
-    assert(feats.length == 4)
-    val f0a = feats.find(_.doc_id == 0L).get
-    val f0b = Multimodal.pipeline(spark, docs).collect().find(_.doc_id == 0L).get
-    assert(f0a.features.toSeq == f0b.features.toSeq) // deterministic
-    assert(f0a.features.length == 8)
-    assert(math.abs(f0a.features.sum - 1.0f) < 1e-5) // histogram normalized
-    assert(f0a.n_bytes == 19L)
+      .map(f => f.doc_id -> f).toMap
+    assert(feats.size == 4)
+    // image: decoded dimensions match the generation formulas, and the
+    // pixel sum equals an independent straight-loop evaluation of the
+    // encoded field — certifying a lossless PNG round trip
+    val img = feats(0L)
+    assert(img.width == Multimodal.imageW(0) && img.height == Multimodal.imageH(0))
+    val expectedPix = (for {
+      y <- 0 until Multimodal.imageH(0)
+      x <- 0 until Multimodal.imageW(0)
+    } yield Multimodal.imageGray(0, x, y).toLong).sum
+    assert(img.pix_sum == expectedPix)
+    assert(img.n_frames == 1 && img.sample_rate == 0 && img.amp_sum == 0L)
+    // audio: AudioSystem reports the encoded rate/length and the PCM
+    // amplitude sum matches the sample formula
+    val aud = feats(1L)
+    assert(aud.sample_rate == Multimodal.audioRate(1))
+    assert(aud.n_samples == Multimodal.audioN(1).toLong)
+    val expectedAmp = (0 until Multimodal.audioN(1))
+      .map(i => math.abs(Multimodal.audioSample(1, i).toLong)).sum
+    assert(aud.amp_sum == expectedAmp)
+    // video: every frame decodes, dimensions and per-frame fields sum up
+    val vid = feats(2L)
+    assert(vid.n_frames == Multimodal.videoFrames(2))
+    assert(vid.width == Multimodal.videoSide(2) && vid.height == Multimodal.videoSide(2))
+    val s = Multimodal.videoSide(2)
+    val expectedVidPix = (for {
+      f <- 0 until Multimodal.videoFrames(2)
+      y <- 0 until s
+      x <- 0 until s
+    } yield Multimodal.videoGray(2, f, x, y).toLong).sum
+    assert(vid.pix_sum == expectedVidPix)
+  }
+
+  test("decode is deterministic across runs") {
+    val a = Multimodal.pipeline(spark, docs).collect().sortBy(_.doc_id)
+    val b = Multimodal.pipeline(spark, docs).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
   }
 
   test("decode batches bound the memory unit: batch size is respected") {
-    val many = (0L until 100L).map(i => (i, s"doc number $i content"))
-      .toDF("doc_id", "text")
-    val assets = Multimodal.assetsFromDocuments(many).as[Asset]
+    val many = spark.range(100).select(col("id").as("doc_id"))
+    val assets = Multimodal.assetsFromDocuments(many)
     // count how many batches decodeBatch sees via batch sizes
     val sizes = assets.repartition(2).mapPartitions { it =>
       it.grouped(16).map(_.size)
@@ -49,8 +84,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling: chunk count and content, video only") {
-    val frames = Multimodal.sampleFrames(
-      Multimodal.assetsFromDocuments(docs), frameBytes = 16, stride = 2)
+    val assets = Seq(
+      (2L, "video", ("g" * 100).getBytes("UTF-8")),
+      (0L, "image", ("x" * 64).getBytes("UTF-8")))
+      .toDF("doc_id", "modality", "payload")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 16, stride = 2)
     val rows = frames.collect()
     // only doc 2 is video (100 bytes): full 16-byte frames at stride
     // 2*16=32 start at offsets 0/32/64 — the 4-byte tail at offset 96
@@ -62,16 +100,36 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(first.getAs[Array[Byte]]("frame_bytes"), "UTF-8") == "g" * 16)
   }
 
+  test("frame sampling walks the real mbmp container frame-aligned") {
+    val asset = Multimodal.assetsFromDocuments(Seq(2L).toDF("doc_id"))
+      .collect().head
+    // mbmp frames are constant-size per doc (same dims, uncompressed
+    // BMP): unit = 4-byte prefix + frame bytes
+    val unit = 4 + java.nio.ByteBuffer.wrap(asset.payload, 0, 4).getInt
+    assert(asset.payload.length == unit * Multimodal.videoFrames(2L))
+    val df = Seq((asset.doc_id, asset.modality, asset.payload))
+      .toDF("doc_id", "modality", "payload")
+    val rows = Multimodal.sampleFrames(df, frameBytes = unit, stride = 1)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(rows.length == Multimodal.videoFrames(2L))
+    // each sampled chunk is a self-contained decodable frame
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val chunk = r.getAs[Array[Byte]]("frame_bytes")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(chunk, 4, chunk.length - 4))
+      assert(img != null, s"frame $i did not decode")
+      assert(img.getWidth == Multimodal.videoSide(2L))
+    }
+  }
+
   test("pipeline() output itself is salted and modality-contiguous") {
-    val many = spark.range(300)
-      .select(col("id").as("doc_id"),
-        concat(lit("text for doc "), col("id")).as("text"))
+    val many = spark.range(300).select(col("id").as("doc_id"))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCoal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
-      // observe the REAL production path: the partitions decodeStub ran
+      // observe the REAL production path: the partitions decode ran
       // in, via the features dataset itself — not a re-implementation
       // of the pipeline's layout logic
       val layout = Multimodal.pipeline(spark, many)
@@ -95,9 +153,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("pipeline spreads each modality over many partitions, contiguously") {
-    val many = spark.range(300)
-      .select(col("id").as("doc_id"),
-        concat(lit("text for doc "), col("id")).as("text"))
+    val many = spark.range(300).select(col("id").as("doc_id"))
     // the test session runs 4 shuffle partitions + AQE coalescing (tiny
     // data collapses to 1 partition) — pin a cluster-like width so the
     // assertion exercises the key's spread, not the local coalescer
