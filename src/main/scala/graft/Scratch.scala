@@ -17,6 +17,12 @@ object Scratch {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[scratch] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // same inter-rep quiesce as Bench: drop residual localCheckpoint
+      // blocks and drain the GC-triggered blocking ContextCleaner OUTSIDE
+      // the timed window, so reps measure the query, not cleaner stalls
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     spark.stop()
   }

@@ -55,28 +55,71 @@ object CorpusQueries {
       explode(col("toks")).as("token"))
     // global document frequency — the prefix-filter canonical ordering
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // posexplode carries each prefix token's 0-based POSITION in the
+    // document's rarity-ordered token list — the input to the PPJoin
+    // positional filter below (Xiao et al., WWW'08 §3.2)
     val prefixes = tok.join(freq, Seq("token"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sort_array(collect_list(struct(col("df"), col("token"))))
         .as("byRarity"))
       .select(col("doc_id"), col("source"), size(col("byRarity")).as("n"),
-        explode(expr(
+        posexplode(expr(
           "slice(transform(byRarity, x -> x.token), 1, " +
-            "size(byRarity) - ((4 * size(byRarity) + 4) div 5) + 1)"))
-          .as("ptok"))
-    // the classic AllPairs companion prune: jac ≤ min/max, so τ = 0.8
-    // requires 5·min(|a|,|b|) ≥ 4·max(|a|,|b|) — an O(1) integer check
-    // inside the candidate join that drops size-mismatched pairs before
-    // the distinct and the array-carrying verify joins
+            "size(byRarity) - ((4 * size(byRarity) + 4) div 5) + 1)")))
+      .withColumnRenamed("pos", "ppos")
+      .withColumnRenamed("col", "ptok")
+      // consumed by BOTH candidate-join branches; without this the
+      // probe/index sides are no longer identical subtrees (the index
+      // filter sits between them), so ReuseExchange can't dedupe the
+      // collect_list aggregate and it would run twice. The frame is
+      // prefix-sized (≈ |docs|·n/5 rows), far smaller than the corpus.
+      .transform(Materialize.once)
+    // AllPairs indexing-prefix asymmetry (Bayardo et al., WWW'07 §3.1;
+    // Xiao et al., WWW'08): orient each pair so the SMALLER document
+    // (ties by id) is the index side, which then only needs its first
+    // n − ceil(2τ/(1+τ)·n) + 1 tokens — n/9+1 at τ = 0.8 vs the probe
+    // side's n/5+1. Soundness: for a qualifying pair the required
+    // overlap α = ceil(τ/(1+τ)·(nP+nI)) satisfies α ≥ ceil(τ·nP) (as
+    // nI ≥ τ·nP) and α ≥ ceil(2τ/(1+τ)·nI) (as nP ≥ nI), and the
+    // globally SMALLEST common token has ≥ α−1 common tokens after it
+    // in both lists, so it sits within both prefixes — the equi-join
+    // finds it. Cuts the candidate-occurrence volume almost in half.
+    val index = prefixes
+      .filter(col("ppos") < col("n") - expr("(8 * n + 8) div 9") + lit(1))
+    // Three O(1) integer prunes inside the candidate join, before the
+    // pair aggregation and the array-carrying verify joins:
+    //  - orientation: index side strictly smaller (or equal-size,
+    //    lower id) — each pair generated exactly one way;
+    //  - AllPairs size-ratio: jac ≤ min/max, so τ = 0.8 requires
+    //    5·nI ≥ 4·nP (nI ≤ nP by orientation);
+    //  - PPJoin positional: both docs order tokens by the same global
+    //    (df, token) key, so at the pair's FIRST shared prefix token
+    //    (min position on both sides simultaneously — the relative
+    //    order of shared tokens is identical in both lists, and any
+    //    common token before it would sit inside both prefixes,
+    //    contradicting minimality) no earlier token is shared, and
+    //    overlap ≤ 1 + min(nP−pP−1, nI−pI−1) = min(nP−pP, nI−pI)
+    //    (0-based p). jac ≥ 4/5 needs overlap ≥ ceil(4(nP+nI)/9), so
+    //    pairs whose suffixes can't reach that bound die here — the
+    //    all-pairs oracle's hash match keeps proving no qualifying
+    //    pair is lost.
     val cand = prefixes.select(col("source"), col("ptok"),
-        col("doc_id").as("id1"), col("n").as("n1"))
-      .join(prefixes.select(col("source"), col("ptok"),
-          col("doc_id").as("id2"), col("n").as("n2")),
+        col("doc_id").as("idp"), col("n").as("np"), col("ppos").as("pp"))
+      .join(index.select(col("source"), col("ptok"),
+          col("doc_id").as("idi"), col("n").as("ni"), col("ppos").as("pi")),
         Seq("source", "ptok"))
-      .filter(col("id1") < col("id2") &&
-        col("n1") * 5 >= col("n2") * 4 && col("n2") * 5 >= col("n1") * 4)
-      .select(col("source"), col("id1"), col("id2"))
-      .distinct()
+      .filter(col("ni") < col("np") ||
+        (col("ni") === col("np") && col("idi") < col("idp")))
+      .filter(col("ni") * 5 >= col("np") * 4)
+      .groupBy(col("source"), col("idp"), col("idi"), col("np"), col("ni"))
+      .agg(min(col("pp")).as("pp"), min(col("pi")).as("pi"))
+      .filter(least(col("np") - col("pp"), col("ni") - col("pi")) >=
+        expr("(4 * (np + ni) + 8) div 9"))
+      // output pairs are id-ordered (the oracle's a.doc_id < b.doc_id),
+      // independent of the size orientation used for candidate mining
+      .select(col("source"),
+        least(col("idp"), col("idi")).as("id1"),
+        greatest(col("idp"), col("idi")).as("id2"))
     val interCount = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.SortedArrayIntersectCount(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("t1")),
