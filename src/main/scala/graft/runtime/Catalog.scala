@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Reproduces the reference's Iceberg-on-metastore table semantics
   * (`iceberg.raw.daily_reports` etc.) without a metastore service:
   *  - namespaces = directory prefixes (SURVEY §1.1);
-  *  - `overwritePartitions` = Spark dynamic partition overwrite
-  *    (`spark.sql.sources.partitionOverwriteMode=dynamic`), replacing
+  *  - `overwritePartitions` = dynamic partition overwrite via a
+  *    temp-dir write + per-partition rename swap, replacing
   *    exactly the partitions present in the incoming DataFrame and
   *    preserving all others — the core idempotency semantic of
   *    `process_covid_ods.py:79-91` / `process_covid_dds.py:81-93` /
@@ -70,16 +70,78 @@ final case class Catalog(spark: SparkSession, root: String,
 
   /** S6 — idempotent dynamic partition overwrite: replaces only the
     * partitions present in `df`, preserves everything else.
+    *
+    * Publication is crash-safe, matching the spirit of the reference's
+    * Iceberg `overwritePartitions()` commit
+    * (process_covid_ods.py:87, format-version=2): the whole incoming
+    * frame lands in a sibling temp directory first, then each touched
+    * partition directory is swapped in by rename. A failure anywhere
+    * during the (distributed, arbitrarily long) write phase leaves the
+    * live table byte-identical; the publish phase is one cheap rename
+    * pair per TOUCHED partition, each individually atomic, so no
+    * reader ever sees a half-written partition. (Cross-partition
+    * all-or-nothing would need a metadata pointer à la Iceberg —
+    * per-partition atomicity + idempotent re-run is the plain-directory
+    * equivalent: a crash between renames re-converges on retry.)
     */
   def overwritePartitions(df: DataFrame, layer: String, table: String,
-                          partitionCols: Seq[String]): Unit =
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions needs partition columns; use createOrReplace for full rewrites")
+    val p = path(layer, table)
+    val base = new org.apache.hadoop.fs.Path(p)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$p.__pubtmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$p.__pubold")
+    fs.delete(tmp, true)
+    fs.delete(oldRoot, true)
+    // phase 1 — the only phase that can fail for data reasons runs
+    // entirely against the temp dir; the live table is not involved
     df.write
       .partitionBy(partitionCols: _*)
-      .option("partitionOverwriteMode", "dynamic")
       .options(writeOptions)
       .mode("overwrite")
       .format(format)
-      .save(path(layer, table))
+      .save(tmp.toString)
+    // enumerate the leaf partition directories the write produced
+    // (depth = partition columns; names are hive col=val)
+    def leaves(dir: org.apache.hadoop.fs.Path, level: Int,
+               rel: String): Seq[String] =
+      if (level == partitionCols.length) Seq(rel)
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(partitionCols(level) + "="))
+        .flatMap { st =>
+          val name = st.getPath.getName
+          leaves(st.getPath, level + 1,
+            if (rel.isEmpty) name else s"$rel/$name")
+        }
+    if (!fs.exists(base)) {
+      // first publish: the temp dir IS the table
+      fs.mkdirs(base.getParent)
+      require(fs.rename(tmp, base), s"publish: could not install $base")
+    } else {
+      // phase 2 — per-partition swap: live aside, new in, old dropped.
+      // Each rename is atomic on a real filesystem, so a partition is
+      // always either its complete old or complete new contents.
+      leaves(tmp, 0, "").foreach { rel =>
+        val live = new org.apache.hadoop.fs.Path(base, rel)
+        val aside = new org.apache.hadoop.fs.Path(oldRoot, rel)
+        if (fs.exists(live)) {
+          fs.mkdirs(aside.getParent)
+          require(fs.rename(live, aside),
+            s"publish: could not move $live aside")
+        } else fs.mkdirs(live.getParent)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), live)) {
+          if (fs.exists(aside)) fs.rename(aside, live) // restore
+          throw new IllegalStateException(
+            s"publish failed for $live; original restored")
+        }
+      }
+      fs.delete(tmp, true)
+      fs.delete(oldRoot, true)
+    }
+  }
 
   /** S7 — full-replace (dimension rebuild). */
   def createOrReplace(df: DataFrame, layer: String, table: String): Unit =

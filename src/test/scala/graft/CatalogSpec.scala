@@ -1,6 +1,7 @@
 package graft
 
 import graft.runtime.Catalog
+import org.apache.spark.sql.functions.{col, udf}
 
 /** S6 is the riskiest semantic (SURVEY §7.4/§7.5): dynamic partition
   * overwrite must replace exactly the partitions present in the incoming
@@ -37,6 +38,38 @@ class CatalogSpec extends SparkSpec {
     cat.overwritePartitions(df, "ods", "t", Seq("d"))
     cat.overwritePartitions(df, "ods", "t", Seq("d"))
     assert(readAll(cat) == Set(("2020-01-22", 7L)))
+  }
+
+  test("a crash mid-overwrite leaves every old partition complete") {
+    val cat = Catalog(spark, tmpDir("cat"))
+    cat.overwritePartitions(
+      Seq(("2020-01-22", 1L), ("2020-01-22", 2L), ("2020-01-23", 3L))
+        .toDF("d", "v"),
+      "ods", "t", Seq("d"))
+    // the update evaluates lazily INSIDE the publish's write phase and
+    // throws partway through — after some rows/files are already
+    // written. With the old in-place dynamic overwrite this could leave
+    // a half-replaced date; the temp+swap protocol must keep the live
+    // table byte-identical.
+    val boom = udf { v: Long =>
+      if (v >= 10L) throw new RuntimeException("injected mid-write failure")
+      v
+    }
+    val bad = Seq(("2020-01-22", 8L), ("2020-01-22", 9L), ("2020-01-22", 10L))
+      .toDF("d", "v")
+      .repartition(1)
+      .select(col("d"), boom(col("v")).as("v"))
+    intercept[org.apache.spark.SparkException] {
+      cat.overwritePartitions(bad, "ods", "t", Seq("d"))
+    }
+    // both rows of the touched partition AND the untouched partition
+    // survive — no partial publish is visible
+    assert(readAll(cat) ==
+      Set(("2020-01-22", 1L), ("2020-01-22", 2L), ("2020-01-23", 3L)))
+    // a later successful publish converges normally
+    cat.overwritePartitions(
+      Seq(("2020-01-22", 42L)).toDF("d", "v"), "ods", "t", Seq("d"))
+    assert(readAll(cat) == Set(("2020-01-22", 42L), ("2020-01-23", 3L)))
   }
 
   test("tableExists probe (S4)") {
