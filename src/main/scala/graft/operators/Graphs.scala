@@ -27,7 +27,8 @@ object Graphs {
   def pagerankInt(edges: DataFrame, iterations: Int,
                   initMass: Long = 1000000L, baseMass: Long = 150000L,
                   damp: Int = 85,
-                  broadcastRanks: Boolean = true): DataFrame = {
+                  broadcastRanks: Option[Boolean] = None,
+                  broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && damp >= 0 && damp <= 100)
     val ew = edges.select(col("src"), col("dst"))
       .distinct()
@@ -40,11 +41,17 @@ object Graphs {
     // rank/contribution frames are one row per NODE — tiny next to the
     // edge list in the usual |V| ≪ |E| regime, so broadcasting them
     // turns every per-iteration join map-side and leaves only the
-    // partial-aggregated inflow shuffle. For graphs whose rank vector
-    // exceeds executor memory (|V| ~ 10^9), pass broadcastRanks=false
-    // to fall back to key-partitioned shuffle joins.
+    // partial-aggregated inflow shuffle. The choice is sized from the
+    // ACTUAL node count (one count over the already-materialized node
+    // frame — negligible next to even a single iteration) rather than
+    // left to the caller: a rank vector beyond `broadcastMaxNodes`
+    // (default 10M rows ≈ low hundreds of MB broadcast) falls back to
+    // key-partitioned shuffle joins automatically. `broadcastRanks`
+    // remains as an explicit override for either direction.
+    val useBroadcast = broadcastRanks.getOrElse(
+      nodes.count() <= broadcastMaxNodes)
     def side(df: DataFrame): DataFrame =
-      if (broadcastRanks) broadcast(df) else df
+      if (useBroadcast) broadcast(df) else df
     var ranks = nodes.withColumn("mass", lit(initMass))
     for (_ <- 1 to iterations) {
       val contrib = ew.join(side(ranks), ranks("node") === ew("src"))

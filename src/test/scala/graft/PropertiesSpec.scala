@@ -242,6 +242,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("pagerank broadcast auto-sizing: both join paths agree exactly") {
+    import graft.operators.Graphs
+    val es = (0L until 30L).map(i => (i, (i * 7 + 1) % 30)) ++
+      (0L until 30L).map(i => (i, (i * 11 + 3) % 30))
+    val edges = es.filter { case (s, t) => s != t }.toDF("src", "dst")
+    val want = Graphs.pagerankRef(es.filter { case (s, t) => s != t },
+      iterations = 3)
+    // auto mode under a tiny cap must take the SHUFFLE path (30 nodes
+    // > cap of 5) and still match; an explicit broadcast override and
+    // the auto-broadcast default must match too — the join strategy can
+    // never change the integer masses
+    val shuffled = Graphs.pagerankInt(edges, iterations = 3,
+      broadcastMaxNodes = 5L).as[(Long, Long)].collect().toMap
+    val broadcasted = Graphs.pagerankInt(edges, iterations = 3,
+      broadcastRanks = Some(true)).as[(Long, Long)].collect().toMap
+    val auto = Graphs.pagerankInt(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == want)
+    assert(broadcasted == want)
+    assert(auto == want)
+  }
+
   test("property: SCD2 versions tile the key's timeline with change points only") {
     import graft.operators.Scd2
     val rows = sample(
