@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * and its neighbors; fixpoint = every node labeled with its
   * component's minimum id. Rounds needed = graph diameter — near-dup
   * graphs are unions of near-cliques (all pairs in a bucket mine
-  * against each other), so the diameter is small in practice. For
-  * adversarially long chain graphs at 100 TB scale, swap the loop body
-  * for the alternating large-star/small-star rounds of Kiveris et al.
+  * against each other), so the diameter is small in practice. When
+  * propagation has NOT converged within `propagationRounds` (an
+  * adversarially long chain), the loop hands the edge list to the
+  * alternating large-star/small-star algorithm of Kiveris et al.
   * ("Connected Components in MapReduce and Beyond", SoCC'14), which
-  * converge in O(log n) rounds with the same per-round join shape.
+  * contracts any graph to min-rooted stars in O(log² n) worst-case
+  * (O(log n) observed) rounds with the same per-round join shape.
   *
   * Scale design per round: one equi-join (labels keyed by node id, the
   * edge list keyed by endpoint) + one min-aggregate — both shuffle on
@@ -36,7 +38,8 @@ object Clusters {
     * callers union them back with cluster = own id.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          propagationRounds: Int = 8): DataFrame = {
     // symmetric edge list: propagation must flow both directions. The
     // two directions come from ONE explode over each pair row — a
     // two-branch union would embed the (possibly expensive) pair
@@ -59,7 +62,7 @@ object Clusters {
       .transform(graft.runtime.Materialize.once)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < math.min(propagationRounds, maxIter)) {
       val fromNeighbors = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
       // the node's own previous label rides through the SAME aggregate
@@ -88,13 +91,94 @@ object Clusters {
       }
       i += 1
     }
+    if (!converged) {
+      // the diameter exceeded the propagation budget — this is the
+      // adversarial-chain regime where per-round progress is one hop.
+      // Hand the (already materialized) edge list to the star
+      // algorithm, which contracts chains exponentially per round.
+      unpersistCheckpoint(labels)
+      labels = starComponents(edges, maxIter - i)
+    }
     // the symmetric edge list (the largest frame of the loop) is dead
     // once labels have converged — localCheckpoint truncated the label
     // lineage, so nothing downstream can reference it
     unpersistCheckpoint(edges)
-    require(converged,
-      s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14, Algorithm 3): repeat
+    *
+    *  - LARGE-STAR: per node u over the symmetric neighbor list,
+    *    m = min(N(u) ∪ {u}); rewire every strictly LARGER neighbor to
+    *    m — emits canonical (big, small) edges;
+    *  - SMALL-STAR: per node u over its smaller neighbors,
+    *    m = min(N(u)) (< u by orientation); rewire u and its other
+    *    small neighbors to m.
+    *
+    * Both operations preserve connectivity and only ever lower the
+    * reachable minimum, and their joint fixpoint is a forest of stars
+    * whose centers are the component minima. Each round is two
+    * groupBy-min aggregates and two equi-joins on node id — the same
+    * shuffle shape as one propagation round — but chains contract
+    * exponentially instead of one hop per round.
+    *
+    * `sym` must be the deduplicated symmetric edge list. Returns
+    * (id, label) for every node with degree ≥ 1.
+    */
+  private def starComponents(sym: DataFrame, maxRounds: Int): DataFrame = {
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .transform(graft.runtime.Materialize.once)
+    // canonical (a > b) undirected edge list
+    var cur = sym.filter(col("src") > col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .transform(graft.runtime.Materialize.once)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the re-symmetrized list
+      val nbrs = cur.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val lmin = nbrs.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val large = nbrs.join(lmin, Seq("u"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+        .transform(graft.runtime.Materialize.once)
+      // small-star: edges are canonical (a > b), so grouping by a IS
+      // the orient-to-larger map phase and min(b) IS m (< a always)
+      val smin = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = large.join(smin, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(smin.select(col("a"), col("m").as("b")))
+        .distinct()
+        .transform(graft.runtime.Materialize.once)
+      // fixpoint test: stars are invariant under BOTH maps, so compare
+      // across the full alternation. Sets are distinct, so |A| = |B|
+      // with A \ B = ∅ proves equality — one anti-join, no collect.
+      converged = small.count() == cur.count() &&
+        small.except(cur).isEmpty
+      unpersistCheckpoint(cur)
+      unpersistCheckpoint(large)
+      cur = small
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents (star phase) did not converge within $maxRounds rounds")
+    // fixpoint edges are (child, root) stars with root = component min;
+    // roots label themselves
+    val labels = cur.select(col("a").as("id"), col("b").as("label"))
+      .unionByName(nodes.join(cur.select(col("a").as("id")), Seq("id"),
+        "left_anti").select(col("id"), col("id").as("label")))
+      .transform(graft.runtime.Materialize.once)
+    labels.count() // materialize before freeing the frames it read
+    unpersistCheckpoint(cur)
+    unpersistCheckpoint(nodes)
+    labels
   }
 
   /** Free the checkpoint blocks behind a frame returned by

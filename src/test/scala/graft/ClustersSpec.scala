@@ -38,4 +38,43 @@ class ClustersSpec extends SparkSpec {
     val labels = labelsOf(Seq((4L, 8L)))
     assert(labels.keySet == Set(4L, 8L))
   }
+
+  test("star fallback: long paths converge in O(log n), not O(diameter)") {
+    // a 4096-node path has diameter 4095 — min-label propagation alone
+    // would need that many rounds. With the default propagation budget
+    // (8) the loop must hand off to large-star/small-star and still
+    // finish within maxIter = 50 total: 8 + ceil(c·log2 4096) ≪ 4095.
+    // Convergence within the budget IS the O(log n) assertion; the
+    // label check proves the contraction kept components intact.
+    val n = 4096L
+    val path = (0L until n - 1).map(i => (i + 1, i))
+    val labels = labelsOf(path)
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("star fallback keeps disjoint components and isolated pairs apart") {
+    // two interleaved chains (evens, odds) + a far-away pair, diameter
+    // big enough to engage the star phase
+    val evens = (0L until 400L).map(i => (2 * i + 2, 2 * i))
+    val odds = (0L until 400L).map(i => (2 * i + 3, 2 * i + 1))
+    val labels = labelsOf(evens ++ odds ++ Seq((9000L, 9001L)))
+    assert((0L to 800L by 2).forall(labels(_) == 0L))
+    assert((1L to 801L by 2).forall(labels(_) == 1L))
+    assert(labels(9000L) == 9000L && labels(9001L) == 9000L)
+  }
+
+  test("propagation path and star path agree on random graphs") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val viaPropagation = Clusters
+      .connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val viaStars = Clusters
+      .connectedComponents(pairs.toDF("a", "b"), "a", "b",
+        propagationRounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaPropagation)
+  }
 }
