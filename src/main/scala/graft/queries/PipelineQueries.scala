@@ -40,11 +40,13 @@ object PipelineQueries {
     val exact = toks.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .transform(Materialize.once)
-    val ranked = exact
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("cnt").desc, col("token"))))
-      .filter(col("rnk") <= 3)
+    // bounded-heap grouped top-k (graft.plans.TopK) instead of a
+    // row_number window: no full per-partition sort on the order
+    // columns, O(k) operator memory — same single shuffle on source
+    val ranked = graft.plans.TopK.perGroup(exact,
+      group = Seq(col("source")),
+      order = Seq(col("cnt").desc, col("token")),
+      k = 3, rankName = "rnk")
     // total token count per source = sum of the per-token counts —
     // derived from the (much smaller) distinct-token aggregate instead
     // of a third pass over the full token explosion
@@ -295,16 +297,19 @@ object PipelineQueries {
     */
   def q71LexerTokens(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    d.select(col("lang"),
+    val counts = d.select(col("lang"),
         explode_outer(regexp_extract_all(col("text"),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
       .filter(col("token").isNotNull) // null text: oracle's unnest emits nothing
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("lang"))
-          .orderBy(col("cnt").desc, col("token"))))
-      .filter(col("rnk") <= 5)
+    // bounded-heap grouped top-k (graft.plans.TopK): the token-count
+    // frame is vocabulary-sized, so skipping WindowExec's full sort on
+    // (cnt, token) per language matters as the vocabulary grows
+    graft.plans.TopK.perGroup(counts,
+      group = Seq(col("lang")),
+      order = Seq(col("cnt").desc, col("token")),
+      k = 5, rankName = "rnk")
   }
 
   val q71Oracle: String =
