@@ -86,6 +86,29 @@ case class PortableMinHashBands(child: Expression, numHashes: Int, numBands: Int
     copy(child = newChild)
 }
 
+/** string → its [[PortableHash]] Horner base-257 hash (mod 2^31−1) —
+  * the scalar entry point of the portable family, for queries that
+  * need to address a sketch (e.g. q96's Count-Min probe buckets)
+  * with the same hash the Aggregator used. The DuckDB replay is the
+  * q21 oracle's `list_reduce(... (a,b) -> (a*257+b) % M)` idiom.
+  */
+case class PortableStringHash(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_string_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableHash.hash(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableStringHash =
+    copy(child = newChild)
+}
+
 object PortableSimHashHelper {
 
   /** 64-bit SimHash over a token array with SQL-portable votes: token

@@ -1039,6 +1039,97 @@ object PipelineQueries {
       |FROM dev v JOIN mad a ON v.source = a.source
       |GROUP BY v.source""".stripMargin
 
+  /** Count-Min sketch validation: per-source sketches over the token
+    * stream ([[graft.functions.CountMinAgg]], depth 4 × width 512,
+    * PortableHash family), probed at the exact top-3 tokens. The
+    * DuckDB oracle replays the ESTIMATE exactly — for each probe token
+    * and hash row it sums the counts of every token colliding into the
+    * same bucket, then takes the row minimum — so the full sketch
+    * algebra (hash family, bucket layout, cell-wise mergeability) is
+    * hash-match checked, collisions included, not just bounded. The
+    * deterministic CM guarantee est ≥ true is emitted as a flag.
+    *
+    * Scale shape: the sketch ships depth·width longs per source per
+    * map task however many distinct tokens exist — the linear-sketch
+    * sibling of q64's Misra-Gries counters (that one under-estimates
+    * with bounded error; this one over-estimates, supports deletions /
+    * arbitrary linear combinations, and its row minimum is what a
+    * 100 TB frequency-probe service would serve).
+    */
+  def q96CountMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CountMinAgg, PortableHash}
+    val depth = 4
+    val width = 512
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode_outer(wsTokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      // consumed by the exact counts and the sketch — one tokenize pass
+      .transform(Materialize.once)
+    val exact = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = graft.plans.TopK.perGroup(exact,
+      group = Seq(col("source")),
+      order = Seq(col("cnt").desc, col("token")),
+      k = 3, rankName = "rnk")
+    val sketch = toks.groupBy(col("source"))
+      .agg(CountMinAgg.udaf(depth, width)(col("token")).as("cm"))
+    // probe: row i's counter for the token, min across rows — the same
+    // constants (Mod/Shift/width) the Aggregator used, via the codegen'd
+    // portable hash so engine and oracle share one definition
+    val h = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PortableStringHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("token"))))
+    val est = (0 until depth).map { i =>
+      val v = (h + lit(i.toLong * PortableHash.Shift)) % lit(PortableHash.Mod)
+      val bkt = (v * v % lit(PortableHash.Mod)) % lit(width.toLong)
+      element_at(col("cm"), (lit(i.toLong * width) + bkt + lit(1L)).cast("int"))
+    }.reduce(least(_, _))
+    ranked.join(sketch, Seq("source"))
+      .select(col("source"), col("rnk"), col("token"), col("cnt"),
+        est.as("cm_est"),
+        (est >= col("cnt")).cast("int").as("overestimates_ok"))
+  }
+
+  val q96Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod, Shift}
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM t GROUP BY 1, 2),
+       |h AS (
+       |  SELECT source, token, cnt,
+       |    CASE WHEN length(token) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(range(1, length(token)+1),
+       |                                 i -> ascii(token[i])::BIGINT),
+       |                  (a, b) -> (a * $Base + b) % $Mod) END AS hv
+       |  FROM c),
+       |b AS (
+       |  SELECT source, token, cnt, r.i,
+       |    (((hv + r.i * $Shift) % $Mod) * ((hv + r.i * $Shift) % $Mod)
+       |      % $Mod) % 512 AS bkt
+       |  FROM h, range(0, 4) r(i)),
+       |top AS (
+       |  SELECT source, token, cnt,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source ORDER BY cnt DESC, token) AS INT) AS rnk
+       |  FROM c QUALIFY rnk <= 3),
+       |est AS (
+       |  SELECT tb.source, tb.token, tb.i, sum(ab.cnt) AS row_est
+       |  FROM (SELECT b.source, b.token, b.i, b.bkt
+       |        FROM b JOIN top USING (source, token)) tb
+       |  JOIN b ab ON ab.source = tb.source AND ab.i = tb.i
+       |            AND ab.bkt = tb.bkt
+       |  GROUP BY tb.source, tb.token, tb.i)
+       |SELECT top.source, top.rnk, top.token, top.cnt,
+       |  CAST(min(est.row_est) AS BIGINT) AS cm_est,
+       |  CAST(CASE WHEN min(est.row_est) >= top.cnt THEN 1 ELSE 0 END AS INT)
+       |    AS overestimates_ok
+       |FROM top JOIN est ON est.source = top.source AND est.token = top.token
+       |GROUP BY top.source, top.rnk, top.token, top.cnt""".stripMargin
+  }
+
   /** Least-squares trend slopes in EXACT integer arithmetic: per event
     * type, the regression of daily counts on the day index reduces to
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); both sides are exact
@@ -1117,7 +1208,8 @@ object PipelineQueries {
     "q86_ratio_to_total" -> (q86RatioToTotal _),
     "q87_zorder_cells" -> (q87ZorderCells _),
     "q88_mad_outliers" -> (q88MadOutliers _),
-    "q89_trend_slope" -> (q89TrendSlope _))
+    "q89_trend_slope" -> (q89TrendSlope _),
+    "q96_count_min" -> (q96CountMin _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1145,5 +1237,6 @@ object PipelineQueries {
     "q86_ratio_to_total" -> q86Oracle,
     "q87_zorder_cells" -> q87Oracle,
     "q88_mad_outliers" -> q88Oracle,
-    "q89_trend_slope" -> q89Oracle)
+    "q89_trend_slope" -> q89Oracle,
+    "q96_count_min" -> q96Oracle)
 }
