@@ -145,4 +145,32 @@ object Streaming {
         col("imp_id"), col("click_id"), col("imp_user").as("user_id"),
         (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
           .as("lag_seconds"))
+
+  /** Streaming sessionization — the streaming twin of
+    * [[graft.operators.Sessionize]]: event-time session windows closed
+    * by a `gap` of inactivity, via Spark's native `session_window`
+    * (dynamic-gap merging aggregation, no custom state function
+    * needed). The watermark bounds the session state Spark retains: a
+    * session finalizes — and, in append mode, EMITS exactly once —
+    * when the watermark passes its end, so per-key memory is gap +
+    * watermark of event time however long the stream runs. Output
+    * schema mirrors the batch `sessionStats` (count, start/end,
+    * decimal-safe value total) so downstream consumers can swap batch
+    * for stream without rewiring.
+    *
+    * Expects events(user_id, ts, value).
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(
+        col("user_id"),
+        col("session.start").as("started_at"),
+        col("session.end").as("session_closes_at"),
+        col("n_events"), col("total_value"))
 }

@@ -98,4 +98,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(out == Map("United States" -> 200.0, "China" -> 10.0))
   }
+
+  test("streaming session windows: gap-merged, watermark-finalized, append-once") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hm: String) = Timestamp.valueOf(s"2020-03-01 $hm:00")
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.Streaming
+      .sessionizeStream(events, gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // batch 1: A's 10:00 and 10:10 must MERGE (gap < 30m); B separate
+    mem.addData(("A", ts("10:00"), 1.0), ("A", ts("10:10"), 2.5),
+      ("B", ts("10:05"), 1.0))
+    q.processAllAvailable()
+    // batch 2: a new A session after >30m of inactivity
+    mem.addData(("A", ts("12:00"), 4.0))
+    q.processAllAvailable()
+    // advance the watermark in two steps: 16:00 ⇒ wm 15:00 finalizes
+    // every session above; 17:00 triggers the batch that EMITS them
+    mem.addData(("C", ts("16:00"), 0.5))
+    q.processAllAvailable()
+    mem.addData(("C", ts("17:00"), 0.5))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getAs[String]("user_id"),
+        r.getAs[Timestamp]("started_at"),
+        r.getAs[Timestamp]("session_closes_at"),
+        r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    q.stop()
+    // A's merged first session: 2 events, closes 30m after its LAST event
+    assert(rows.contains(("A", ts("10:00"), ts("10:40"), 2L, 3.5)))
+    assert(rows.contains(("B", ts("10:05"), ts("10:35"), 1L, 1.0)))
+    assert(rows.contains(("A", ts("12:00"), ts("12:30"), 1L, 4.0)))
+    // C's sessions are still open (watermark has not passed them) —
+    // append mode must not have emitted them yet
+    assert(!rows.exists(_._1 == "C"))
+    assert(rows.length == 3)
+  }
 }
