@@ -1130,6 +1130,90 @@ object PipelineQueries {
        |GROUP BY top.source, top.rnk, top.token, top.cnt""".stripMargin
   }
 
+  /** One BPE training step: global adjacent-token-pair frequencies,
+    * top 20 — the merge-candidate table a tokenizer trainer recomputes
+    * each round. Pair extraction is a two-arg transform lambda (no
+    * UDF, stays in codegen): element i of the length-(n−1) slice
+    * paired with token i+1. Top-20 with a (cnt, l, r) total order
+    * plans as TakeOrderedAndProject — no global sort materializes.
+    *
+    * Scale shape: one explode (≈ token count rows), one partial-
+    * aggregated groupBy on the pair, then a driver-bound top-k. A full
+    * BPE train loops this query, applying the winning merge between
+    * rounds — each round is this same plan over the rewritten corpus.
+    */
+  def q97BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(wsTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS l, t[i + 1] AS r))"))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy(col("l"), col("r"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(20)
+  }
+
+  val q97Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |p AS (
+      |  SELECT t[i] AS l, t[i + 1] AS r
+      |  FROM t, unnest(range(1, len(t))) u(i)
+      |  WHERE len(t) >= 2)
+      |SELECT l, r, CAST(count(*) AS BIGINT) AS cnt
+      |FROM p GROUP BY l, r
+      |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin
+
+  /** Corpus novelty profiling: per source, how much of its shingle
+    * mass appears THERE FIRST (first occurrence = lowest doc_id over
+    * the whole corpus) — the curation signal separating original
+    * content from recombinations of earlier documents. One shingle
+    * explode, a global min(doc_id) per shingle (vocabulary-scale
+    * aggregate), a join back on the shingle key, and a per-doc →
+    * per-source rollup; novelty is integer ppm so the profile is
+    * hash-exact.
+    */
+  def q98Novelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.allShingles(wsTokens(col("text")), 3)).as("shingle"))
+      .distinct()
+      // consumed by the first-occurrence aggregate AND the join back
+      .transform(Materialize.once)
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
+      .select(col("source"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
+  val q98Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      |  FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+      |fs AS (
+      |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      |SELECT sh.source,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN sh.doc_id = fs.first_doc THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN sh.doc_id = fs.first_doc THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+      |FROM sh JOIN fs USING (shingle)
+      |GROUP BY sh.source""".stripMargin
+
   /** Least-squares trend slopes in EXACT integer arithmetic: per event
     * type, the regression of daily counts on the day index reduces to
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); both sides are exact
@@ -1209,7 +1293,9 @@ object PipelineQueries {
     "q87_zorder_cells" -> (q87ZorderCells _),
     "q88_mad_outliers" -> (q88MadOutliers _),
     "q89_trend_slope" -> (q89TrendSlope _),
-    "q96_count_min" -> (q96CountMin _))
+    "q96_count_min" -> (q96CountMin _),
+    "q97_bpe_pairs" -> (q97BpePairs _),
+    "q98_novelty" -> (q98Novelty _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1238,5 +1324,7 @@ object PipelineQueries {
     "q87_zorder_cells" -> q87Oracle,
     "q88_mad_outliers" -> q88Oracle,
     "q89_trend_slope" -> q89Oracle,
-    "q96_count_min" -> q96Oracle)
+    "q96_count_min" -> q96Oracle,
+    "q97_bpe_pairs" -> q97Oracle,
+    "q98_novelty" -> q98Oracle)
 }
