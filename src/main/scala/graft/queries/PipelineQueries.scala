@@ -1214,6 +1214,103 @@ object PipelineQueries {
       |FROM sh JOIN fs USING (shingle)
       |GROUP BY sh.source""".stripMargin
 
+  /** Inverted-index construction — the retrieval-index build a corpus
+    * pipeline ships: per token, document frequency, total term
+    * frequency, and the first 5 postings of the doc_id-sorted posting
+    * list. Restricted to tokens with df ≥ 20 so the output (and the
+    * collect_list state) stays head-of-vocabulary sized; full posting
+    * lists at 100 TB would go straight to a partitioned sink rather
+    * than through a driver-checkable result, but the build plan — one
+    * explode, one (token, doc) aggregate, one token aggregate with
+    * sorted collect — is exactly this.
+    */
+  def q99InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val posting = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    posting.groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("ttf"),
+        // string-encoded so the cross-engine compare sees one scalar
+        // representation (list cells render differently per engine)
+        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 5))
+          .as("head_postings"))
+      .filter(col("df") >= 20)
+  }
+
+  val q99Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |p AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY token, doc_id)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS ttf,
+      |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',')
+      |    AS head_postings
+      |FROM p GROUP BY token HAVING count(*) >= 20""".stripMargin
+
+  /** Collocation mining: PMI-ranked adjacent token pairs, carried as
+    * an EXACT integer rational instead of a logarithm —
+    * pmi = log(N·c(l,r) / (c(l)·c(r))) is monotone in the ratio, so
+    * ranking and thresholding use num = N·c(l,r), den = c(l)·c(r)
+    * directly and no float ever enters the plan. Pairs seen ≥ 10 times
+    * with ratio > 1 (positive PMI), per-million-quantized. Reuses the
+    * q97 pair-extraction lambda; unigram counts come from one token
+    * aggregate joined in twice (vocabulary-scale frames).
+    */
+  def q100Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(wsTokens(col("text")).as("t"))
+      .transform(Materialize.once)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .transform(Materialize.once)
+    val total = uni.agg(sum(col("c")).as("n"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS l, t[i + 1] AS r))"))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy(col("l"), col("r"))
+      .agg(count(lit(1)).as("c_lr"))
+      .filter(col("c_lr") >= 10)
+    pairs
+      .join(uni.select(col("w").as("l"), col("c").as("c_l")), Seq("l"))
+      .join(uni.select(col("w").as("r"), col("c").as("c_r")), Seq("r"))
+      .crossJoin(broadcast(total))
+      .select(col("l"), col("r"), col("c_lr"), col("c_l"), col("c_r"),
+        (col("n") * col("c_lr")).as("pmi_num"),
+        (col("c_l") * col("c_r")).as("pmi_den"))
+      .filter(col("pmi_num") > col("pmi_den"))
+      .select(col("l"), col("r"), col("c_lr"), col("c_l"), col("c_r"),
+        expr("pmi_num * 1000000 div pmi_den").as("pmi_ratio_ppm"))
+  }
+
+  val q100Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |p AS (
+      |  SELECT t[i] AS l, t[i + 1] AS r
+      |  FROM t, unnest(range(1, len(t))) u(i)
+      |  WHERE len(t) >= 2),
+      |pc AS (
+      |  SELECT l, r, CAST(count(*) AS BIGINT) AS c_lr
+      |  FROM p GROUP BY l, r HAVING count(*) >= 10)
+      |SELECT pc.l, pc.r, pc.c_lr, ul.c AS c_l, ur.c AS c_r,
+      |  CAST((n * c_lr) * 1000000 // (ul.c * ur.c) AS BIGINT)
+      |    AS pmi_ratio_ppm
+      |FROM pc JOIN uni ul ON ul.w = pc.l JOIN uni ur ON ur.w = pc.r
+      |CROSS JOIN tot
+      |WHERE n * c_lr > ul.c * ur.c""".stripMargin
+
   /** Least-squares trend slopes in EXACT integer arithmetic: per event
     * type, the regression of daily counts on the day index reduces to
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); both sides are exact
@@ -1295,7 +1392,9 @@ object PipelineQueries {
     "q89_trend_slope" -> (q89TrendSlope _),
     "q96_count_min" -> (q96CountMin _),
     "q97_bpe_pairs" -> (q97BpePairs _),
-    "q98_novelty" -> (q98Novelty _))
+    "q98_novelty" -> (q98Novelty _),
+    "q99_inverted_index" -> (q99InvertedIndex _),
+    "q100_collocations" -> (q100Collocations _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1326,5 +1425,7 @@ object PipelineQueries {
     "q89_trend_slope" -> q89Oracle,
     "q96_count_min" -> q96Oracle,
     "q97_bpe_pairs" -> q97Oracle,
-    "q98_novelty" -> q98Oracle)
+    "q98_novelty" -> q98Oracle,
+    "q99_inverted_index" -> q99Oracle,
+    "q100_collocations" -> q100Oracle)
 }
