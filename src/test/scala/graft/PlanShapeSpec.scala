@@ -44,7 +44,11 @@ class PlanShapeSpec extends SparkSpec {
     // the date×hour×type spine: crossJoins of a generated day sequence
     // (one row exploded), 24 hour rows, and the ~5 distinct event
     // types — bounded by slots, never by event volume
-    "q92_gap_fill")
+    "q92_gap_fill",
+    // corpus token total is a broadcast 1-row aggregate crossJoined
+    // into the pair-scoring frame (q39/q51/q86/q91's pattern); the
+    // positive-PMI inequality rides on that 1-row join
+    "q100_collocations")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
