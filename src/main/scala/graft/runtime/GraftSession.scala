@@ -30,9 +30,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  /** Session for the harness mains: core count from SPARK_GRAFT_CPUS. */
+  /** Session for the harness mains: core count from SPARK_GRAFT_CPUS,
+    * defaulting to every available core — the harness contract is
+    * local[32] on a 32-core box, and an undersized default (this was
+    * "4" through round 5) quietly ran the whole bench on an eighth of
+    * the machine, with saturated-thread straggler spikes on top.
+    */
   def local(): SparkSession = {
-    val spark = builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = builder(cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
