@@ -240,6 +240,53 @@ object Multimodal {
     }
   }
 
+  final case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
+                                rpix_sum: Long)
+
+  /** Real image RESIZE: decode the PNG and 2× downsample by exact
+    * 2×2-block integer area averaging (floor mean). Integer math keeps
+    * the result independently predictable — the oracle replays each
+    * output pixel as `(g00+g01+g10+g11) div 4` over the generation
+    * field — while the pixels themselves come from the actual decoded
+    * image, so a codec fault breaks the hash match. Odd trailing
+    * rows/columns are cropped (floor dims), the convention fixed-ratio
+    * thumbnailers use. Same batched partition-local shape as
+    * [[decode]]; non-images pass through as no rows.
+    */
+  def resizeHalfBatch(batch: Seq[Asset]): Seq[ResizedImage] =
+    batch.filter(_.modality == "image").map { a =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable image payload for doc ${a.doc_id}")
+      val raster = img.getRaster
+      val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+      var s = 0L
+      var by = 0
+      while (by < h2) {
+        var bx = 0
+        while (bx < w2) {
+          val m = (raster.getSample(2 * bx, 2 * by, 0) +
+            raster.getSample(2 * bx + 1, 2 * by, 0) +
+            raster.getSample(2 * bx, 2 * by + 1, 0) +
+            raster.getSample(2 * bx + 1, 2 * by + 1, 0)) / 4
+          s += m
+          bx += 1
+        }
+        by += 1
+      }
+      ResizedImage(a.doc_id, w2, h2, s)
+    }
+
+  /** Batched resize over an asset dataset — the feature-extraction
+    * batch shape with a resize kernel instead of a stats kernel.
+    */
+  def resizeHalf(assets: Dataset[Asset], batchSize: Int = 64): Dataset[ResizedImage] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => resizeHalfBatch(b.toSeq))
+    }
+  }
+
   /** Frame sampling for fixed-frame-size video payloads: every
     * `stride`-th fixed-size chunk as a frame row — pure built-ins
     * (substr on binary + explode), no UDF, codegen-friendly. Only FULL

@@ -129,11 +129,61 @@ object MultimodalQueries {
       |  CAST(sum(amp) AS BIGINT) AS amp_sum
       |FROM feats GROUP BY modality""".stripMargin
 
+  /** Real image resize rollup: decode every PNG, 2× area-average
+    * downsample on the actual decoded pixels
+    * ([[Multimodal.resizeHalfBatch]]), aggregate output dims and the
+    * resized pixel mass. The oracle replays each output pixel as the
+    * floor mean of its 2×2 source block over the generation field —
+    * integer arithmetic end to end, so the hash match certifies the
+    * decode AND the resample kernel together. Completes the
+    * decode / feature-extract / RESIZE / frame-sample quartet as a
+    * driver-checked query.
+    */
+  def q101ResizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val assets = Multimodal.assetsFromDocuments(
+      Tables.load(spark, dir, "documents"))
+      .filter(col("modality") === "image")
+      .repartition(pmod(hash(col("doc_id")), lit(p)))
+      .as[Multimodal.Asset]
+    Multimodal.resizeHalf(assets).toDF()
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(col("out_w")).as("sum_w"),
+        sum(col("out_h")).as("sum_h"),
+        sum(col("rpix_sum")).as("rpix_sum"))
+  }
+
+  val q101Oracle: String =
+    """WITH xs AS (SELECT unnest(range(0, 16)) AS v),
+      |ys AS (SELECT unnest(range(0, 11)) AS v),
+      |img AS (
+      |  SELECT doc_id, (16 + doc_id % 17) // 2 AS w2,
+      |    (12 + doc_id % 11) // 2 AS h2
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT i.doc_id,
+      |    (  (7 * (2 * x.v)     + 13 * (2 * y.v)     + i.doc_id) % 256
+      |     + (7 * (2 * x.v + 1) + 13 * (2 * y.v)     + i.doc_id) % 256
+      |     + (7 * (2 * x.v)     + 13 * (2 * y.v + 1) + i.doc_id) % 256
+      |     + (7 * (2 * x.v + 1) + 13 * (2 * y.v + 1) + i.doc_id) % 256
+      |    ) // 4 AS m
+      |  FROM img i JOIN xs x ON x.v < i.w2 JOIN ys y ON y.v < i.h2)
+      |SELECT a.n_images, a.sum_w, a.sum_h, b.rpix_sum
+      |FROM
+      |  (SELECT CAST(count(*) AS BIGINT) AS n_images,
+      |          CAST(sum(w2) AS BIGINT) AS sum_w,
+      |          CAST(sum(h2) AS BIGINT) AS sum_h FROM img) a,
+      |  (SELECT CAST(sum(m) AS BIGINT) AS rpix_sum FROM px) b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_multimodal_inventory" -> (q27MultimodalInventory _),
-    "q28_decode_features" -> (q28DecodeFeatures _))
+    "q28_decode_features" -> (q28DecodeFeatures _),
+    "q101_resize_stats" -> (q101ResizeStats _))
 
   val oracles: Map[String, String] = Map(
     "q27_multimodal_inventory" -> q27Oracle,
-    "q28_decode_features" -> q28Oracle)
+    "q28_decode_features" -> q28Oracle,
+    "q101_resize_stats" -> q101Oracle)
 }

@@ -66,6 +66,30 @@ class MultimodalSpec extends SparkSpec {
     assert(vid.pix_sum == expectedVidPix)
   }
 
+  test("resize: 2x area-average matches a straight-loop reference") {
+    val assets = Multimodal.assetsFromDocuments(Seq(0L, 3L, 6L).toDF("doc_id"))
+    val out = Multimodal.resizeHalf(assets).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out.keySet == Set(0L, 3L, 6L))
+    Seq(0L, 3L, 6L).foreach { d =>
+      val (w2, h2) = (Multimodal.imageW(d) / 2, Multimodal.imageH(d) / 2)
+      val want = (for {
+        by <- 0 until h2
+        bx <- 0 until w2
+      } yield ((Multimodal.imageGray(d, 2 * bx, 2 * by) +
+        Multimodal.imageGray(d, 2 * bx + 1, 2 * by) +
+        Multimodal.imageGray(d, 2 * bx, 2 * by + 1) +
+        Multimodal.imageGray(d, 2 * bx + 1, 2 * by + 1)) / 4).toLong).sum
+      assert(out(d).out_w == w2 && out(d).out_h == h2)
+      assert(out(d).rpix_sum == want, s"doc $d")
+    }
+  }
+
+  test("resize passes non-image assets through as no rows") {
+    val assets = Multimodal.assetsFromDocuments(Seq(1L, 2L).toDF("doc_id"))
+    assert(Multimodal.resizeHalf(assets).collect().isEmpty)
+  }
+
   test("decode is deterministic across runs") {
     val a = Multimodal.pipeline(spark, docs).collect().sortBy(_.doc_id)
     val b = Multimodal.pipeline(spark, docs).collect().sortBy(_.doc_id)
