@@ -55,6 +55,13 @@ object Multimodal {
   def modalityOf(d: Long): String = (d % 3) match {
     case 0 => "image"; case 1 => "audio"; case _ => "video"
   }
+  /** Column twin of [[modalityOf]] — lets queries partition or filter
+    * by modality BEFORE the (now codec-priced) encode runs, from the
+    * same single definition of the cycle.
+    */
+  def modalityColumn(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(lit(Array("image", "audio", "video")),
+      (docId % 3).cast("int") + 1)
   def imageW(d: Long): Int = 16 + (d % 17).toInt
   def imageH(d: Long): Int = 12 + (d % 11).toInt
   def imageGray(d: Long, x: Int, y: Int): Int = ((7L * x + 13L * y + d) % 256L).toInt
@@ -318,12 +325,15 @@ object Multimodal {
     */
   def pipeline(spark: SparkSession, docs: DataFrame,
                batchSize: Int = 64): Dataset[AssetFeatures] = {
-    import spark.implicits._
     val p = spark.sparkContext.defaultParallelism
-    val assets = assetsFromDocuments(docs)
+    // shuffle the BARE doc_ids (8 bytes/row), THEN encode: the codec
+    // encode is priced work now, so it must run in the salted layout —
+    // encoding before the exchange would bottleneck on the input's
+    // split count and ship every encoded payload through the shuffle
+    val ids = docs.select(col("doc_id"))
+      .withColumn("modality", modalityColumn(col("doc_id")))
       .repartition(col("modality"), pmod(hash(col("doc_id")), lit(p)))
       .sortWithinPartitions(col("modality"))
-      .as[Asset]
-    decode(assets, batchSize)
+    decode(assetsFromDocuments(ids), batchSize)
   }
 }

@@ -140,14 +140,15 @@ object MultimodalQueries {
     * driver-checked query.
     */
   def q101ResizeStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val p = spark.sparkContext.defaultParallelism
-    val assets = Multimodal.assetsFromDocuments(
-      Tables.load(spark, dir, "documents"))
-      .filter(col("modality") === "image")
+    // filter to images BEFORE the encode (modalityColumn is the same
+    // doc_id formula) — encoding WAV/BMP payloads just to drop them
+    // would double the query's work; the salting shuffle moves bare ids
+    val imageIds = Tables.load(spark, dir, "documents")
+      .filter(Multimodal.modalityColumn(col("doc_id")) === "image")
+      .select(col("doc_id"))
       .repartition(pmod(hash(col("doc_id")), lit(p)))
-      .as[Multimodal.Asset]
-    Multimodal.resizeHalf(assets).toDF()
+    Multimodal.resizeHalf(Multimodal.assetsFromDocuments(imageIds)).toDF()
       .agg(
         count(lit(1)).as("n_images"),
         sum(col("out_w")).as("sum_w"),

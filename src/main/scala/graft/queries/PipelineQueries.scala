@@ -1056,10 +1056,16 @@ object PipelineQueries {
     * arbitrary linear combinations, and its row minimum is what a
     * 100 TB frequency-probe service would serve).
     */
+  // q96's sketch dimensions, interpolated into BOTH the Spark plan and
+  // the oracle SQL — a bare literal on either side would silently
+  // desync them (the PortableHash.Shift rule, applied here too)
+  private val CmDepth = 4
+  private val CmWidth = 512
+
   def q96CountMin(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{CountMinAgg, PortableHash}
-    val depth = 4
-    val width = 512
+    val depth = CmDepth
+    val width = CmWidth
     val toks = Tables.load(spark, dir, "documents")
       .select(col("source"), explode_outer(wsTokens(col("text"))).as("token"))
       .filter(col("token").isNotNull)
@@ -1108,8 +1114,8 @@ object PipelineQueries {
        |b AS (
        |  SELECT source, token, cnt, r.i,
        |    (((hv + r.i * $Shift) % $Mod) * ((hv + r.i * $Shift) % $Mod)
-       |      % $Mod) % 512 AS bkt
-       |  FROM h, range(0, 4) r(i)),
+       |      % $Mod) % $CmWidth AS bkt
+       |  FROM h, range(0, $CmDepth) r(i)),
        |top AS (
        |  SELECT source, token, cnt,
        |    CAST(row_number() OVER (

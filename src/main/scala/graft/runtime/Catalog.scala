@@ -93,8 +93,40 @@ final case class Catalog(spark: SparkSession, root: String,
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$p.__pubtmp")
     val oldRoot = new org.apache.hadoop.fs.Path(s"$p.__pubold")
+    // enumerate the leaf partition directories under a root
+    // (depth = partition columns; names are hive col=val)
+    def leaves(root: org.apache.hadoop.fs.Path): Seq[String] = {
+      def walk(dir: org.apache.hadoop.fs.Path, level: Int,
+               rel: String): Seq[String] =
+        if (level == partitionCols.length) Seq(rel)
+        else fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(partitionCols(level) + "="))
+          .flatMap { st =>
+            val name = st.getPath.getName
+            walk(st.getPath, level + 1,
+              if (rel.isEmpty) name else s"$rel/$name")
+          }
+      walk(root, 0, "")
+    }
+    // recovery — a previous publish may have crashed between its two
+    // renames, leaving a partition's ONLY copy under __pubold. Restore
+    // any such orphan into the (missing) live slot BEFORE clearing the
+    // backup root: deleting it first would destroy that only copy, and
+    // the docstring's 'a crash re-converges on retry' would only hold
+    // when the retry's write phase succeeds.
+    if (fs.exists(oldRoot)) {
+      leaves(oldRoot).foreach { rel =>
+        val live = new org.apache.hadoop.fs.Path(base, rel)
+        if (!fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          require(fs.rename(new org.apache.hadoop.fs.Path(oldRoot, rel), live),
+            s"publish recovery: could not restore $live from $oldRoot")
+        }
+      }
+      fs.delete(oldRoot, true)
+    }
     fs.delete(tmp, true)
-    fs.delete(oldRoot, true)
     // phase 1 — the only phase that can fail for data reasons runs
     // entirely against the temp dir; the live table is not involved
     df.write
@@ -103,19 +135,6 @@ final case class Catalog(spark: SparkSession, root: String,
       .mode("overwrite")
       .format(format)
       .save(tmp.toString)
-    // enumerate the leaf partition directories the write produced
-    // (depth = partition columns; names are hive col=val)
-    def leaves(dir: org.apache.hadoop.fs.Path, level: Int,
-               rel: String): Seq[String] =
-      if (level == partitionCols.length) Seq(rel)
-      else fs.listStatus(dir).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(partitionCols(level) + "="))
-        .flatMap { st =>
-          val name = st.getPath.getName
-          leaves(st.getPath, level + 1,
-            if (rel.isEmpty) name else s"$rel/$name")
-        }
     if (!fs.exists(base)) {
       // first publish: the temp dir IS the table
       fs.mkdirs(base.getParent)
@@ -124,22 +143,37 @@ final case class Catalog(spark: SparkSession, root: String,
       // phase 2 — per-partition swap: live aside, new in, old dropped.
       // Each rename is atomic on a real filesystem, so a partition is
       // always either its complete old or complete new contents.
-      leaves(tmp, 0, "").foreach { rel =>
-        val live = new org.apache.hadoop.fs.Path(base, rel)
-        val aside = new org.apache.hadoop.fs.Path(oldRoot, rel)
-        if (fs.exists(live)) {
-          fs.mkdirs(aside.getParent)
-          require(fs.rename(live, aside),
-            s"publish: could not move $live aside")
-        } else fs.mkdirs(live.getParent)
-        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), live)) {
-          if (fs.exists(aside)) fs.rename(aside, live) // restore
-          throw new IllegalStateException(
-            s"publish failed for $live; original restored")
-        }
+      leaves(tmp).foreach { rel =>
+        swapDirIn(fs,
+          newDir = new org.apache.hadoop.fs.Path(tmp, rel),
+          live = new org.apache.hadoop.fs.Path(base, rel),
+          aside = new org.apache.hadoop.fs.Path(oldRoot, rel))
       }
       fs.delete(tmp, true)
       fs.delete(oldRoot, true)
+    }
+  }
+
+  /** One atomic-per-step directory swap: move `live` aside (when it
+    * exists), rename `newDir` in, restore on failure. Shared by the
+    * per-partition publish loop and [[safeSwapWrite]] so the
+    * crash-safety protocol lives in exactly one place.
+    */
+  private def swapDirIn(fs: org.apache.hadoop.fs.FileSystem,
+                        newDir: org.apache.hadoop.fs.Path,
+                        live: org.apache.hadoop.fs.Path,
+                        aside: org.apache.hadoop.fs.Path): Unit = {
+    val hadLive = fs.exists(live)
+    if (hadLive) {
+      fs.mkdirs(aside.getParent)
+      require(fs.rename(live, aside), s"swap: could not move $live aside")
+    } else fs.mkdirs(live.getParent)
+    if (!fs.rename(newDir, live)) {
+      val restored = hadLive && fs.rename(aside, live)
+      throw new IllegalStateException(
+        if (restored) s"swap failed for $live; original restored, new data left at $newDir"
+        else if (hadLive) s"swap failed for $live AND restore failed — original is at $aside"
+        else s"swap failed for $live; new data left at $newDir")
     }
   }
 
@@ -266,15 +300,11 @@ final case class Catalog(spark: SparkSession, root: String,
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$p.__swapnew")
-    fs.delete(tmp, true)
-    writeTo(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(s"$p.__swapold")
+    fs.delete(tmp, true)
     fs.delete(old, true)
-    require(fs.rename(hp, old), s"swap: could not move $p aside")
-    if (!fs.rename(tmp, hp)) {
-      fs.rename(old, hp) // restore; tmp left for inspection
-      throw new IllegalStateException(s"swap failed for $p; original restored")
-    }
+    writeTo(tmp.toString)
+    swapDirIn(fs, newDir = tmp, live = hp, aside = old)
     fs.delete(old, true)
   }
 

@@ -154,9 +154,11 @@ object Streaming {
     * session finalizes — and, in append mode, EMITS exactly once —
     * when the watermark passes its end, so per-key memory is gap +
     * watermark of event time however long the stream runs. Output
-    * schema mirrors the batch `sessionStats` (count, start/end,
-    * decimal-safe value total) so downstream consumers can swap batch
-    * for stream without rewiring.
+    * carries the batch `sessionStats` MEASURES (event count,
+    * decimal-safe value total) but differs structurally: no
+    * per-user `session_seq` (streams have no total order to number
+    * within), and `session_closes_at` is the window END — last event
+    * + gap — not the batch `ended_at` last-event timestamp.
     *
     * Expects events(user_id, ts, value).
     */

@@ -72,6 +72,28 @@ class CatalogSpec extends SparkSpec {
     assert(readAll(cat) == Set(("2020-01-22", 42L), ("2020-01-23", 3L)))
   }
 
+  test("a crash BETWEEN swap renames is healed by the next publish") {
+    val root = tmpDir("cat")
+    val cat = Catalog(spark, root)
+    cat.overwritePartitions(
+      Seq(("2020-01-22", 1L), ("2020-01-23", 3L)).toDF("d", "v"),
+      "ods", "t", Seq("d"))
+    // simulate the narrowest crash window: a partition moved aside but
+    // its replacement never renamed in — the partition's ONLY copy now
+    // lives under __pubold and the live table is missing it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$root/ods/t/d=2020-01-22")
+    val aside = new org.apache.hadoop.fs.Path(s"$root/ods/t.__pubold/d=2020-01-22")
+    fs.mkdirs(aside.getParent)
+    assert(fs.rename(live, aside))
+    // the next publish (touching a DIFFERENT date) must first restore
+    // the orphan, not delete the backup root it sits in
+    cat.overwritePartitions(
+      Seq(("2020-01-23", 30L)).toDF("d", "v"), "ods", "t", Seq("d"))
+    assert(readAll(cat) == Set(("2020-01-22", 1L), ("2020-01-23", 30L)))
+  }
+
   test("tableExists probe (S4)") {
     val cat = Catalog(spark, tmpDir("cat"))
     assert(!cat.tableExists("raw", "nope"))
