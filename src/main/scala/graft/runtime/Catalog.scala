@@ -177,13 +177,20 @@ final case class Catalog(spark: SparkSession, root: String,
     }
   }
 
-  /** S7 — full-replace (dimension rebuild). */
+  /** S7 — full-replace (dimension rebuild). Crash-safe like the
+    * reference's Iceberg `createOrReplace()`: the rebuild lands in a
+    * sibling temp dir and swaps in by rename, so a failed rebuild
+    * leaves the previous version intact — a plain in-place overwrite
+    * clears the target before the new files are committed.
+    */
   def createOrReplace(df: DataFrame, layer: String, table: String): Unit =
-    df.write
-      .options(writeOptions)
-      .mode("overwrite")
-      .format(format)
-      .save(path(layer, table))
+    safeSwapWrite(layer, table) { tmp =>
+      df.write
+        .options(writeOptions)
+        .mode("overwrite")
+        .format(format)
+        .save(tmp)
+    }
 
   /** Bucketed external table at this catalog's path: rows are hashed
     * into `buckets` files per partition by `bucketCols` and sorted
@@ -338,15 +345,19 @@ final case class Catalog(spark: SparkSession, root: String,
     val z = graft.functions.MortonCode(
       scaled(zCols._1, r.getLong(0), r.getLong(1)),
       scaled(zCols._2, r.getLong(2), r.getLong(3)))
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write
-      .options(writeOptions)
-      .mode("overwrite")
-      .format(format)
-      .save(path(layer, table))
+    // temp-dir + rename swap: a re-cluster that fails mid-write must
+    // not have cleared the live table first
+    safeSwapWrite(layer, table) { tmp =>
+      df.withColumn("__z", z)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write
+        .options(writeOptions)
+        .mode("overwrite")
+        .format(format)
+        .save(tmp)
+    }
   }
 
   /** Row-level MERGE (upsert + delete) without a table format that
