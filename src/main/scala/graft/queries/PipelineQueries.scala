@@ -1220,6 +1220,80 @@ object PipelineQueries {
       |FROM sh JOIN fs USING (shingle)
       |GROUP BY sh.source""".stripMargin
 
+  /** Two-tier incremental dedup: a Bloom filter over the corpus
+    * fingerprints pre-screens the incoming batch, and only the
+    * maybe-duplicate survivors pay the exact fingerprint join. Bloom
+    * filters have NO false negatives, so rows the filter rejects are
+    * definitively new and skip the join; false positives are removed
+    * by the exact semi/anti joins — the RESULT is therefore exact set
+    * arithmetic (and fully oracle-checkable) while the PLAN only ships
+    * the candidate fraction into the corpus join. At 100 TB this is
+    * the difference between joining the whole day's batch against the
+    * corpus fingerprint table and joining the few percent the filter
+    * can't clear; the filter itself is one mergeable aggregate
+    * (Catalyst's BloomFilterAggregate, the same machinery AQE runtime
+    * filters inject) broadcast as a single row.
+    */
+  def q102BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("fp", fingerprint(col("text")))
+      .transform(Materialize.once)
+    val corpusFps = d.filter(col("doc_id") % 10 < 8)
+      .select(col("fp")).distinct()
+      .transform(Materialize.once)
+    val bloomAgg = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("fp"))),
+        Literal(10000L), Literal(80000L)).toAggregateExpression())
+    val bloom = corpusFps.agg(bloomAgg.as("bf"))
+    val batch = d.filter(col("doc_id") % 10 >= 8)
+      .select(col("source"), col("fp"))
+    // might_contain demands a CONSTANT/scalar-subquery filter side (it
+    // is evaluated per row without a join) — hand it the one-row bloom
+    // aggregate as a scalar subquery, exactly how InjectRuntimeFilter
+    // wires the same expression pair
+    val maybe = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          bloom.queryExecution.analyzed),
+        ColumnBridge.expression(xxhash64(col("fp")))))
+    val tagged = batch
+      .withColumn("maybe_dup", maybe)
+      .transform(Materialize.once)
+    // bloom-cleared rows are new with certainty; only candidates join
+    val definiteNew = tagged.filter(!col("maybe_dup"))
+    val candidates = tagged.filter(col("maybe_dup"))
+    val dups = candidates.join(corpusFps, Seq("fp"), "left_semi")
+    val clearedFalsePositives = candidates.join(corpusFps, Seq("fp"), "left_anti")
+    val newRows = definiteNew.unionByName(clearedFalsePositives)
+    batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+      .join(dups.groupBy(col("source")).agg(count(lit(1)).as("n_dups")),
+        Seq("source"), "left")
+      .join(newRows.groupBy(col("source")).agg(count(lit(1)).as("n_new")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_batch"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+  }
+
+  val q102Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |existing AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 < 8),
+      |batch AS (SELECT source, fp FROM d WHERE doc_id % 10 >= 8)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM existing e
+      |                             WHERE e.fp = b.fp)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM existing e
+      |                             WHERE e.fp = b.fp)
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+      |FROM batch b GROUP BY source""".stripMargin
+
   /** Inverted-index construction — the retrieval-index build a corpus
     * pipeline ships: per token, document frequency, total term
     * frequency, and the first 5 postings of the doc_id-sorted posting
@@ -1400,7 +1474,8 @@ object PipelineQueries {
     "q97_bpe_pairs" -> (q97BpePairs _),
     "q98_novelty" -> (q98Novelty _),
     "q99_inverted_index" -> (q99InvertedIndex _),
-    "q100_collocations" -> (q100Collocations _))
+    "q100_collocations" -> (q100Collocations _),
+    "q102_bloom_dedup" -> (q102BloomDedup _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1433,5 +1508,6 @@ object PipelineQueries {
     "q97_bpe_pairs" -> q97Oracle,
     "q98_novelty" -> q98Oracle,
     "q99_inverted_index" -> q99Oracle,
-    "q100_collocations" -> q100Oracle)
+    "q100_collocations" -> q100Oracle,
+    "q102_bloom_dedup" -> q102Oracle)
 }
