@@ -90,12 +90,49 @@ private class SynthTable(numRows: Long, partitions: Int)
 
 private class SynthScanBuilder(numRows: Long, partitions: Int)
   extends ScanBuilder
-  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var required: StructType = SynthSource.Schema
   private var lo: Long = 0L
   private var hi: Long = numRows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[Aggregation] = None
+
+  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) over the (filter-narrowed)
+    * id range are O(1) arithmetic on [lo, hi) — the connector answers
+    * them without generating a single row, the DSv2 analogue of
+    * metadata-only aggregate answering (parquet footer counts, Iceberg
+    * manifest stats). Grouped or non-range aggregates are declined and
+    * run in Spark as usual.
+    */
+  private def answerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => m.column match {
+          case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+          case _ => false
+        }
+        case m: Max => m.column match {
+          case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+          case _ => false
+        }
+        case _ => false
+      }
+
+  // one row from one partition — the complete-pushdown contract
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = answerable(agg)
+    if (ok) aggPushed = Some(agg)
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -131,7 +168,61 @@ private class SynthScanBuilder(numRows: Long, partitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthScan(lo, hi, partitions, required)
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new SynthAggScan(lo, hi, agg)
+    case None => new SynthScan(lo, hi, partitions, required)
+  }
+}
+
+/** Metadata-only scan for a completely-pushed global aggregate: one
+  * partition, one row, each cell computed from the [lo, hi) range in
+  * O(1). Empty ranges yield count 0 and NULL min/max — the same
+  * semantics the aggregate would have over zero rows.
+  */
+private class SynthAggScan(
+    lo: Long, hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+  extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth range=[$lo,$hi) pushedAggregates=[" +
+      agg.aggregateExpressions.map(_.toString).mkString(", ") + "]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthRange(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // answer the aggregates HERE (driver side, O(1) range arithmetic)
+    // and ship only the finished values — the factory must be
+    // serializable and must not capture this Scan or the Aggregation
+    val empty = hi <= lo
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => math.max(0L, hi - lo)
+      case _: Min => if (empty) null else lo
+      case _: Max => if (empty) null else hi - 1
+      case other => throw new IllegalStateException(
+        s"unanswerable pushed aggregate $other") // answerable() gates these
+    }.toArray
+    new SynthAggReaderFactory(values)
+  }
+}
+
+private class SynthAggReaderFactory(values: Array[Any])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val f = !emitted; emitted = true; f }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 private case class SynthRange(lo: Long, hi: Long) extends InputPartition

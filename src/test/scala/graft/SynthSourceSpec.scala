@@ -12,7 +12,10 @@ class SynthSourceSpec extends SparkSpec {
       .load()
 
   private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case s: BatchScanExec => s }.get
+    // sparkPlan, not executedPlan: plans with an exchange come back as
+    // an AdaptiveSparkPlanExec whose tree isn't visible to collect
+    // until execution; the pre-adaptive plan always exposes the scan
+    df.queryExecution.sparkPlan.collectFirst { case s: BatchScanExec => s }.get
 
   test("generates deterministic rows with the declared schema") {
     val df = read(100)
@@ -51,5 +54,32 @@ class SynthSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 7)
     assert(df.select($"doc_id").as[Long].collect().sorted.toSeq ==
       (0L until 1003L))
+  }
+
+  test("global count/min/max push into the connector as O(1) metadata") {
+    val df = read(1000).filter($"doc_id" >= 100 && $"doc_id" < 600)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("lo"),
+        max($"doc_id").as("hi"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("pushedAggregates="),
+      scan.scan.description())
+    // the scan answers from range arithmetic: one row, no generation
+    assert(df.as[(Long, Long, Long)].collect().toSeq ==
+      Seq((500L, 100L, 599L)))
+    // an empty pushed range keeps aggregate semantics: 0 / NULL / NULL
+    val empty = read(1000).filter($"doc_id" >= 900 && $"doc_id" < 900)
+      .agg(count(lit(1)), min($"doc_id"), max($"doc_id"))
+    assert(empty.collect().head.toSeq == Seq(0L, null, null))
+  }
+
+  test("unsupported aggregates decline pushdown and stay correct") {
+    // grouped aggregate: connector declines, Spark aggregates rows
+    val grouped = read(100).groupBy($"lang").agg(count(lit(1)).as("n"))
+    assert(!scanOf(grouped).scan.description().contains("pushedAggregates="))
+    assert(grouped.agg(sum($"n")).as[Long].collect().head == 100L)
+    // min over a non-range column: declined likewise
+    val other = read(100).agg(min($"source"))
+    assert(!scanOf(other).scan.description().contains("pushedAggregates="))
+    assert(other.as[String].collect().head.startsWith("src"))
   }
 }
