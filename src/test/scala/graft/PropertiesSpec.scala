@@ -323,4 +323,39 @@ class PropertiesSpec extends SparkSpec {
       assert(got(id) == expect, s"id=$id text=${text.replace("\n", "\\n")}")
     }
   }
+
+  test("property: q90's asymmetric prefix filter equals brute force on random corpora") {
+    // adversarial shape for the round-6 candidate generator: a tiny
+    // vocabulary forces heavy token collisions, short docs hit the
+    // prefix-length floors, and equal-size documents exercise the
+    // (size, id) orientation tiebreak of the asymmetric indexing prefix
+    val corpus = sample(
+      for {
+        src <- Gen.oneOf("s1", "s2")
+        nTok <- Gen.choose(1, 15)
+        toks <- Gen.listOfN(nTok, Gen.oneOf(
+          "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l"))
+      } yield (src, toks.mkString(" ")), 120)
+      .zipWithIndex.map { case ((src, text), i) => (i.toLong, src, text) }
+    // brute-force reference over distinct token sets, within source
+    val sets = corpus.map { case (id, src, text) =>
+      (id, src, text.trim.split("\\s+", -1).toSet)
+    }
+    val want = (for {
+      (id1, s1, t1) <- sets
+      (id2, s2, t2) <- sets
+      if s1 == s2 && id1 < id2
+      common = (t1 & t2).size
+      union = (t1 | t2).size
+      if 5 * common >= 4 * union
+    } yield (s1, id1, id2, common.toLong, union.toLong)).toSet
+    // run the real query against the same data via a temp documents dir
+    val dir = tmpDir("q90prop")
+    corpus.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.CorpusQueries.q90PrefixJoin(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
