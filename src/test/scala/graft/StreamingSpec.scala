@@ -137,4 +137,48 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "C"))
     assert(rows.length == 3)
   }
+
+  test("streaming sessions agree with the batch sessionizer on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hm: String) = Timestamp.valueOf(s"2020-03-01 $hm:00")
+    // deterministic event set: two users, three sessions, in-session
+    // gaps under 30m and inter-session gaps over it
+    val events = Seq(
+      ("A", ts("08:00"), 1.0), ("A", ts("08:20"), 2.0), ("A", ts("08:39"), 0.5),
+      ("A", ts("10:00"), 4.0),
+      ("B", ts("09:10"), 3.0), ("B", ts("09:35"), 1.5))
+    // batch path (event_id tiebreak = insertion order)
+    val batchDf = events.zipWithIndex
+      .map { case ((u, t, v), i) => (u, t, v, i.toLong) }
+      .toDF("user_id", "ts", "value", "event_id")
+    val batch = graft.operators.Sessionize.sessionStats(batchDf, gapSec = 1800)
+      .select($"user_id", $"started_at", $"ended_at", $"n_events", $"total_value")
+      .as[(String, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // streaming path over the SAME rows, flushed far past every session
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val q = graft.streaming.Streaming
+      .sessionizeStream(mem.toDF().toDF("user_id", "ts", "value"),
+        gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    mem.addData(("Z", ts("20:00"), 0.0))
+    q.processAllAvailable()
+    mem.addData(("Z", ts("21:00"), 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sessions_parity")
+      .filter($"user_id" =!= "Z")
+      .select($"user_id", $"started_at", $"session_closes_at",
+        $"n_events", $"total_value")
+      .as[(String, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // same sessions: identical (user, start, count, total); the stream's
+    // window end is the batch's last-event timestamp + the 30m gap
+    val normalized = streamed.map { case (u, start, closes, n, v) =>
+      (u, start, new Timestamp(closes.getTime - 30L * 60 * 1000), n, v)
+    }
+    assert(normalized == batch,
+      s"stream=$normalized\nbatch=$batch")
+    q.stop()
+  }
 }
