@@ -1294,6 +1294,74 @@ object PipelineQueries {
       |           THEN 0 ELSE 1 END) AS BIGINT) AS n_new
       |FROM batch b GROUP BY source""".stripMargin
 
+  /** Mixture rebalancing — the data-mixing step that samples a corpus
+    * DOWN to target language proportions (Pile/ROOTS-style mixture
+    * weights). Feasible sample size is bound by the scarcest language
+    * (S = min over langs of n_l·1M div w_l), per-language keep rates
+    * follow, and membership is the deterministic Lehmer-hash filter —
+    * so the same doc set is kept on every engine and every run. All
+    * arithmetic is integer (ppm), every stage oracle-replayable.
+    *
+    * Scale shape: one count aggregate (languages-sized), broadcast back
+    * as rates; the filter is scan-parallel; nothing beyond the
+    * per-language count table ever leaves the executors.
+    */
+  def q103MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    // target mixture in ppm (sums to 1M): English-heavy with a uniform
+    // tail — the constants the oracle replays
+    val targets = Seq("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+      "fr" -> 150000L, "zh" -> 150000L)
+    val tdf = broadcast(spark.createDataFrame(targets)
+      .toDF("lang", "target_ppm"))
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .transform(Materialize.once)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(tdf, Seq("lang"))
+    // scarcest language bounds the total feasible sample
+    val feasible = counts
+      .agg(min(expr("n_docs * 1000000 div target_ppm")).as("s_total"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .select(col("lang"), col("n_docs"), col("target_ppm"),
+        // kept target for this language, then its per-doc keep rate
+        expr("(s_total * target_ppm div 1000000) * 1000000 div n_docs")
+          .as("rate_ppm"))
+    val kept = d.join(broadcast(rates), Seq("lang"))
+      .filter((col("doc_id") * lit(16807L) + lit(11L)) % lit(2147483647L)
+        % lit(1000000L) < col("rate_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+    // LEFT from rates so a language whose rate rounds to zero still
+    // reports (n_kept = 0) — matching the oracle's left join
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("target_ppm"),
+        col("rate_ppm"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  val q103Oracle: String =
+    """WITH t(lang, target_ppm) AS (VALUES
+      |  ('en', 400000), ('de', 150000), ('es', 150000),
+      |  ('fr', 150000), ('zh', 150000)),
+      |c AS (
+      |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(t.target_ppm AS BIGINT) AS target_ppm
+      |  FROM documents d JOIN t ON t.lang = d.lang
+      |  GROUP BY d.lang, t.target_ppm),
+      |f AS (SELECT min(n_docs * 1000000 // target_ppm) AS s_total FROM c),
+      |r AS (
+      |  SELECT lang, n_docs, target_ppm,
+      |    (s_total * target_ppm // 1000000) * 1000000 // n_docs AS rate_ppm
+      |  FROM c, f),
+      |kept AS (
+      |  SELECT d.lang, count(*) AS n_kept
+      |  FROM documents d JOIN r ON r.lang = d.lang
+      |  WHERE (d.doc_id * 16807 + 11) % 2147483647 % 1000000 < r.rate_ppm
+      |  GROUP BY d.lang)
+      |SELECT r.lang, r.n_docs, r.target_ppm,
+      |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM r LEFT JOIN kept k ON k.lang = r.lang""".stripMargin
+
   /** Inverted-index construction — the retrieval-index build a corpus
     * pipeline ships: per token, document frequency, total term
     * frequency, and the first 5 postings of the doc_id-sorted posting
@@ -1475,7 +1543,8 @@ object PipelineQueries {
     "q98_novelty" -> (q98Novelty _),
     "q99_inverted_index" -> (q99InvertedIndex _),
     "q100_collocations" -> (q100Collocations _),
-    "q102_bloom_dedup" -> (q102BloomDedup _))
+    "q102_bloom_dedup" -> (q102BloomDedup _),
+    "q103_mixture_sample" -> (q103MixtureSample _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1509,5 +1578,6 @@ object PipelineQueries {
     "q98_novelty" -> q98Oracle,
     "q99_inverted_index" -> q99Oracle,
     "q100_collocations" -> q100Oracle,
-    "q102_bloom_dedup" -> q102Oracle)
+    "q102_bloom_dedup" -> q102Oracle,
+    "q103_mixture_sample" -> q103Oracle)
 }

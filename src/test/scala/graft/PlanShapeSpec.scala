@@ -48,7 +48,10 @@ class PlanShapeSpec extends SparkSpec {
     // corpus token total is a broadcast 1-row aggregate crossJoined
     // into the pair-scoring frame (q39/q51/q86/q91's pattern); the
     // positive-PMI inequality rides on that 1-row join
-    "q100_collocations")
+    "q100_collocations",
+    // feasible-sample-size scalar (1-row min aggregate) crossJoined
+    // into the languages-sized rate table
+    "q103_mixture_sample")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
