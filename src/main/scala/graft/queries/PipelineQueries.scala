@@ -1362,6 +1362,51 @@ object PipelineQueries {
       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
       |FROM r LEFT JOIN kept k ON k.lang = r.lang""".stripMargin
 
+  /** Document chunking with overlap — the retrieval/embedding prep
+    * step: fixed 64-token windows at stride 48 (16-token overlap), one
+    * row per chunk with its position and a content fingerprint. Chunk
+    * starts come from `sequence(...)` + explode and the window is
+    * `slice` — pure built-ins inside codegen, no UDF; a document with
+    * n tokens yields one chunk per stride step up to n−1 (the short
+    * tail chunk is kept — dropping tails loses corpus content). Each
+    * row carries the chunk's length and its first/last tokens, which
+    * the oracle replays positionally.
+    */
+  def q104Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 64
+    val stride = 48
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+    d.select(col("doc_id"), col("t"), col("n"),
+        explode(expr(s"sequence(0, greatest(n - 1, 0), $stride)"))
+          .as("start"))
+      // a start inside the previous chunk's overlap that adds no NEW
+      // tokens (start >= n) can't happen by construction (starts stop
+      // at n-1); emit every window, including the short tail
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("int").as("chunk_idx"),
+        expr(s"size(slice(t, start + 1, $chunk))").as("chunk_len"),
+        expr("t[start]").as("head_token"),
+        expr(s"element_at(slice(t, start + 1, $chunk), -1)").as("tail_token"))
+  }
+
+  val q104Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+      |    len(string_split_regex(trim(text), '\s+')) AS n
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, t, n, CAST(u.s AS BIGINT) AS start
+      |  FROM d, unnest(range(0, greatest(n - 1, 0) + 1, 48)) AS u(s))
+      |SELECT doc_id,
+      |  CAST(start // 48 AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(t, start + 1, least(start + 64, n))) AS INT)
+      |    AS chunk_len,
+      |  t[start + 1] AS head_token,
+      |  t[least(start + 64, n)] AS tail_token
+      |FROM starts""".stripMargin
+
   /** Inverted-index construction — the retrieval-index build a corpus
     * pipeline ships: per token, document frequency, total term
     * frequency, and the first 5 postings of the doc_id-sorted posting
@@ -1544,7 +1589,8 @@ object PipelineQueries {
     "q99_inverted_index" -> (q99InvertedIndex _),
     "q100_collocations" -> (q100Collocations _),
     "q102_bloom_dedup" -> (q102BloomDedup _),
-    "q103_mixture_sample" -> (q103MixtureSample _))
+    "q103_mixture_sample" -> (q103MixtureSample _),
+    "q104_chunking" -> (q104Chunking _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1579,5 +1625,6 @@ object PipelineQueries {
     "q99_inverted_index" -> q99Oracle,
     "q100_collocations" -> q100Oracle,
     "q102_bloom_dedup" -> q102Oracle,
-    "q103_mixture_sample" -> q103Oracle)
+    "q103_mixture_sample" -> q103Oracle,
+    "q104_chunking" -> q104Oracle)
 }
