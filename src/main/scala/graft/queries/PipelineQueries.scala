@@ -1372,9 +1372,13 @@ object PipelineQueries {
     * row carries the chunk's length and its first/last tokens, which
     * the oracle replays positionally.
     */
+  // q104's window geometry — interpolated into BOTH sides (the q96 rule)
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
   def q104Chunking(spark: SparkSession, dir: String): DataFrame = {
-    val chunk = 64
-    val stride = 48
+    val chunk = ChunkTokens
+    val stride = ChunkStride
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), wsTokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).as("n"))
@@ -1392,19 +1396,19 @@ object PipelineQueries {
   }
 
   val q104Oracle: String =
-    """WITH d AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
-      |    len(string_split_regex(trim(text), '\s+')) AS n
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+      |    len(string_split_regex(trim(text), '\\s+')) AS n
       |  FROM documents),
       |starts AS (
       |  SELECT doc_id, t, n, CAST(u.s AS BIGINT) AS start
-      |  FROM d, unnest(range(0, greatest(n - 1, 0) + 1, 48)) AS u(s))
+      |  FROM d, unnest(range(0, greatest(n - 1, 0) + 1, $ChunkStride)) AS u(s))
       |SELECT doc_id,
-      |  CAST(start // 48 AS INT) AS chunk_idx,
-      |  CAST(len(list_slice(t, start + 1, least(start + 64, n))) AS INT)
+      |  CAST(start // $ChunkStride AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(t, start + 1, least(start + $ChunkTokens, n))) AS INT)
       |    AS chunk_len,
       |  t[start + 1] AS head_token,
-      |  t[least(start + 64, n)] AS tail_token
+      |  t[least(start + $ChunkTokens, n)] AS tail_token
       |FROM starts""".stripMargin
 
   /** Inverted-index construction — the retrieval-index build a corpus
