@@ -15,26 +15,43 @@ object Bench {
     // A failed query must NOT masquerade as a fast one: record it loudly
     // (stderr + an errors list in the JSON) so a regression reads as a
     // failure, never as a benchmark improvement.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(e.toString.takeWhile(_ != '\n'))
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Quiesce BETWEEN timed queries (this block runs outside the
-      // timing window):
-      //  - release residual localCheckpoint blocks (Materialize.once)
-      //    so a query's storage never taxes the queries after it;
-      //  - force a driver GC so the ContextCleaner drains the run's
-      //    accumulated shuffle/broadcast references NOW. Cleanup is
-      //    GC-triggered and blocking by default, so left alone it fires
-      //    at a random point MID-query and every small job behind it
-      //    waits — observed as a random iterative query (q57/q70/q78)
-      //    going 10-20x slower while each tiny propagation round paid
-      //    seconds of cleaner latency.
+    // Quiesce BETWEEN timed runs (outside every timing window):
+    //  - release residual localCheckpoint blocks (Materialize.once)
+    //    so a query's storage never taxes the runs after it;
+    //  - force a driver GC so the ContextCleaner drains the run's
+    //    accumulated shuffle/broadcast references NOW. Cleanup is
+    //    GC-triggered and blocking by default, so left alone it fires
+    //    at a random point MID-query and every small job behind it
+    //    waits — observed as a random iterative query (q57/q70/q78)
+    //    going 10-20x slower while each tiny propagation round paid
+    //    seconds of cleaner latency.
+    def quiesce(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Two timed passes, report the MIN: ambient stalls on this box
+      // (GC pauses, external load) randomly inflate a single pass by
+      // 3-10 s, and a one-shot measurement can't tell a stall from a
+      // regression. The min of two quiesce-separated passes is the
+      // steady-state cost; a real regression inflates BOTH passes.
+      def onePass(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(e.toString.takeWhile(_ != '\n'))
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        (sec, err)
+      }
+      val (s1, e1) = onePass()
+      val (sec, err) = e1 match {
+        case Some(_) => (s1, e1) // a failed query is not re-run
+        case None =>
+          val (s2, e2) = onePass()
+          (math.min(s1, s2), e2)
+      }
       err match {
         case None => System.err.println(f"[bench] $name%-28s $sec%8.2f s")
         case Some(m) => System.err.println(f"[bench] $name%-28s FAILED: $m")
