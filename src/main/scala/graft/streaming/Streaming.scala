@@ -146,6 +146,54 @@ object Streaming {
         (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
           .as("lag_seconds"))
 
+  /** CDC-apply sink: MERGE each micro-batch into a catalog table —
+    * the streaming change-data-capture pattern (upsert latest, apply
+    * deletes) on top of [[graft.runtime.Catalog.merge]]'s
+    * partition-scoped rewrite. Within a batch, later changes win:
+    * rows collapse to the highest `seqCol` per key before merging
+    * (merge requires key-unique updates). First batch bootstraps the
+    * table. Re-processing a batch after a crash CONVERGES: upserting
+    * the same rows again and re-deleting absent keys are both
+    * idempotent, so checkpoint replay is safe.
+    *
+    * Scale note: each micro-batch pays the merge's delta-bounded cost
+    * (touched partitions only, when partitionCols is given) — the
+    * standard streaming-lakehouse apply loop.
+    */
+  def mergeSink(updates: DataFrame, cat: Catalog, layer: String,
+                table: String, keyCols: Seq[String], seqCol: String,
+                checkpoint: String, partitionCols: Seq[String] = Nil,
+                deleteCol: Option[String] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", seqCol)
+          if (cat.tableExists(layer, table)) {
+            cat.merge(latest, layer, table, keyCols, partitionCols,
+              deleteCol)
+          } else {
+            // bootstrap: the first batch IS the table (minus deletes)
+            val del = deleteCol
+              .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+              .getOrElse(lit(false))
+            val rows = latest.filter(!del)
+              .drop(deleteCol.toSeq: _*)
+            if (partitionCols.nonEmpty)
+              cat.overwritePartitions(rows, layer, table, partitionCols)
+            else cat.createOrReplace(rows, layer, table)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming sessionization — the streaming twin of
     * [[graft.operators.Sessionize]]: event-time session windows closed
     * by a `gap` of inactivity, via Spark's native `session_window`

@@ -138,6 +138,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 3)
   }
 
+  test("mergeSink applies streaming CDC: bootstrap, upsert latest, delete") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val df = mem.toDF().toDF("id", "attr", "value", "seq", "is_del")
+    val cat = Catalog(spark, tmpDir("cdc-wh"))
+    val q = graft.streaming.Streaming.mergeSink(df, cat, "dds", "state",
+      keyCols = Seq("id"), seqCol = "seq", checkpoint = tmpDir("cdc-ckpt"),
+      deleteCol = Some("is_del"))
+    def state(): Map[Long, (String, Double)] =
+      cat.read("dds", "state").select($"id", $"attr", $"value")
+        .as[(Long, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch 1 bootstraps; id 2 appears twice — the later seq wins
+    mem.addData((1L, "a", 1.0, 1L, false), (2L, "b", 2.0, 2L, false),
+      (2L, "b2", 3.0, 3L, false))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> ("a", 1.0), 2L -> ("b2", 3.0)))
+    // batch 2: update id 1, insert id 3, delete id 2
+    mem.addData((1L, "a2", 9.0, 4L, false), (3L, "c", 5.0, 5L, false),
+      (2L, "x", 0.0, 6L, true))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> ("a2", 9.0), 3L -> ("c", 5.0)))
+    q.stop()
+  }
+
   test("streaming sessions agree with the batch sessionizer on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     def ts(hm: String) = Timestamp.valueOf(s"2020-03-01 $hm:00")
