@@ -308,6 +308,17 @@ final case class Catalog(spark: SparkSession, root: String,
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$p.__swapnew")
     val old = new org.apache.hadoop.fs.Path(s"$p.__swapold")
+    // recovery — a previous swap may have crashed between its two
+    // renames, leaving the table's ONLY copy at __swapold with the
+    // live slot missing. Restore it BEFORE the deletes below: clearing
+    // __swapold first would destroy that only copy, and a subsequent
+    // write failure would then lose the previous table version
+    // entirely (mirrors overwritePartitions' publish recovery).
+    if (!fs.exists(hp) && fs.exists(old)) {
+      fs.mkdirs(hp.getParent)
+      require(fs.rename(old, hp),
+        s"swap recovery: could not restore $hp from $old")
+    }
     fs.delete(tmp, true)
     fs.delete(old, true)
     writeTo(tmp.toString)

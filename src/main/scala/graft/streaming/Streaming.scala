@@ -149,15 +149,27 @@ object Streaming {
   /** CDC-apply sink: MERGE each micro-batch into a catalog table —
     * the streaming change-data-capture pattern (upsert latest, apply
     * deletes) on top of [[graft.runtime.Catalog.merge]]'s
-    * partition-scoped rewrite. Within a batch, later changes win:
-    * rows collapse to the highest `seqCol` per key before merging
-    * (merge requires key-unique updates). First batch bootstraps the
-    * table. Re-processing a batch after a crash CONVERGES: upserting
-    * the same rows again and re-deleting absent keys are both
-    * idempotent, so checkpoint replay is safe.
+    * partition-scoped rewrite. Later changes win ACROSS batches, not
+    * just within one: rows collapse to the highest `seqCol` per key
+    * inside the batch (merge requires key-unique updates), the seq
+    * column is PERSISTED in the applied table, and an incoming
+    * update/delete whose seq is <= the stored seq for its key is
+    * dropped — a straggler from an earlier position in the change
+    * stream arriving in a later micro-batch cannot regress newer
+    * table state. First batch bootstraps the table. Re-processing a
+    * batch after a crash CONVERGES: replayed rows compare equal-or-
+    * older against what the crashed attempt applied and re-deleting
+    * absent keys is idempotent, so checkpoint replay is safe.
+    *
+    * Known limit (documented, standard): a DELETE drops the row —
+    * and with it the stored seq — so a straggler UPDATE older than
+    * the delete would re-insert the key. Guarding that needs
+    * tombstone retention; sources that emit per-key ordered deletes
+    * (every CDC log) never hit it.
     *
     * Scale note: each micro-batch pays the merge's delta-bounded cost
-    * (touched partitions only, when partitionCols is given) — the
+    * (touched partitions only, when partitionCols is given) plus one
+    * key-join against the touched slice for the seq guard — the
     * standard streaming-lakehouse apply loop.
     */
   def mergeSink(updates: DataFrame, cat: Catalog, layer: String,
@@ -174,10 +186,28 @@ object Streaming {
             .orderBy(col(seqCol).desc)
           val latest = batch
             .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", seqCol)
+            .filter(col("__rn") === 1).drop("__rn")
           if (cat.tableExists(layer, table)) {
-            cat.merge(latest, layer, table, keyCols, partitionCols,
-              deleteCol)
+            // cross-batch ordering guard: narrow the stored-seq lookup
+            // to the partitions this batch touches (delta-bounded,
+            // same scoping as merge itself), then drop any change that
+            // is not strictly newer than what the table already holds
+            val target = cat.read(layer, table)
+            val scoped =
+              if (partitionCols.nonEmpty)
+                target.join(
+                  latest.select(partitionCols.map(col): _*).distinct(),
+                  partitionCols, "left_semi")
+              else target
+            val stored = scoped.select(
+              keyCols.map(col) :+ col(seqCol).as("__stored_seq"): _*)
+            val fresh = latest.join(stored, keyCols, "left")
+              .filter(col("__stored_seq").isNull ||
+                col(seqCol) > col("__stored_seq"))
+              .drop("__stored_seq")
+            if (!fresh.isEmpty)
+              cat.merge(fresh, layer, table, keyCols, partitionCols,
+                deleteCol)
           } else {
             // bootstrap: the first batch IS the table (minus deletes)
             val del = deleteCol

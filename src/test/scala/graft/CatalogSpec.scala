@@ -94,6 +94,38 @@ class CatalogSpec extends SparkSpec {
     assert(readAll(cat) == Set(("2020-01-22", 1L), ("2020-01-23", 30L)))
   }
 
+  test("a crash BETWEEN safeSwapWrite renames is healed by the next replace") {
+    val root = tmpDir("cat")
+    val cat = Catalog(spark, root)
+    cat.createOrReplace(Seq(("a", 1L)).toDF("k", "v"), "ods", "t")
+    // simulate the narrowest crash window: the live dir moved aside but
+    // the replacement never renamed in — the table's ONLY copy now
+    // lives at __swapold and the live slot is missing
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$root/ods/t")
+    val aside = new org.apache.hadoop.fs.Path(s"$root/ods/t.__swapold")
+    assert(fs.rename(live, aside))
+    // a replace whose WRITE fails must still leave the previous
+    // version readable: recovery restores __swapold to the live slot
+    // before anything is deleted
+    intercept[Exception] {
+      val boom = udf { (_: Long) =>
+        throw new RuntimeException("boom"); 0L
+      }
+      cat.createOrReplace(
+        Seq(("b", 2L)).toDF("k", "v").withColumn("v", boom(col("v"))),
+        "ods", "t")
+    }
+    assert(readAll2(cat, "ods", "t") == Set(("a", 1L)))
+    // and a clean retry still goes through
+    cat.createOrReplace(Seq(("c", 3L)).toDF("k", "v"), "ods", "t")
+    assert(readAll2(cat, "ods", "t") == Set(("c", 3L)))
+  }
+
+  private def readAll2(cat: Catalog, layer: String, table: String): Set[(String, Long)] =
+    cat.read(layer, table).select("k", "v").as[(String, Long)].collect().toSet
+
   test("tableExists probe (S4)") {
     val cat = Catalog(spark, tmpDir("cat"))
     assert(!cat.tableExists("raw", "nope"))

@@ -160,6 +160,16 @@ class StreamingSpec extends SparkSpec {
       (2L, "x", 0.0, 6L, true))
     q.processAllAvailable()
     assert(state() == Map(1L -> ("a2", 9.0), 3L -> ("c", 5.0)))
+    // batch 3: stragglers from EARLIER in the change stream arriving
+    // late — an update for id 1 with seq 2 (< stored 4) and a delete
+    // for id 3 with seq 1 (< stored 5). Neither may regress state.
+    mem.addData((1L, "stale", 0.0, 2L, false), (3L, "y", 0.0, 1L, true))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> ("a2", 9.0), 3L -> ("c", 5.0)))
+    // batch 4: a genuinely newer change still applies
+    mem.addData((1L, "a3", 11.0, 7L, false))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> ("a3", 11.0), 3L -> ("c", 5.0)))
     q.stop()
   }
 
