@@ -81,12 +81,12 @@ object Clusters {
         // zero changes ⇒ `next`'s (id, label) set equals `labels`'s, so
         // keep the already-materialized previous generation and free the
         // redundant new one
-        unpersistCheckpoint(next)
+        graft.runtime.Materialize.free(next)
       } else {
         // free the previous round's checkpoint blocks now that `next` is
         // materialized: without this, executor storage accumulates one
         // label generation per round until driver GC gets around to it
-        unpersistCheckpoint(labels)
+        graft.runtime.Materialize.free(labels)
         labels = next.select(col("id"), col("label"))
       }
       i += 1
@@ -96,13 +96,13 @@ object Clusters {
       // adversarial-chain regime where per-round progress is one hop.
       // Hand the (already materialized) edge list to the star
       // algorithm, which contracts chains exponentially per round.
-      unpersistCheckpoint(labels)
+      graft.runtime.Materialize.free(labels)
       labels = starComponents(edges, maxIter - i)
     }
     // the symmetric edge list (the largest frame of the loop) is dead
     // once labels have converged — localCheckpoint truncated the label
     // lineage, so nothing downstream can reference it
-    unpersistCheckpoint(edges)
+    graft.runtime.Materialize.free(edges)
     labels.select(col("id"), col("label").as("cluster"))
   }
 
@@ -162,8 +162,8 @@ object Clusters {
       // with A \ B = ∅ proves equality — one anti-join, no collect.
       converged = small.count() == cur.count() &&
         small.except(cur).isEmpty
-      unpersistCheckpoint(cur)
-      unpersistCheckpoint(large)
+      graft.runtime.Materialize.free(cur)
+      graft.runtime.Materialize.free(large)
       cur = small
       round += 1
     }
@@ -176,8 +176,8 @@ object Clusters {
         "left_anti").select(col("id"), col("id").as("label")))
       .transform(graft.runtime.Materialize.once)
     labels.count() // materialize before freeing the frames it read
-    unpersistCheckpoint(cur)
-    unpersistCheckpoint(nodes)
+    graft.runtime.Materialize.free(cur)
+    graft.runtime.Materialize.free(nodes)
     labels
   }
 
@@ -186,27 +186,7 @@ object Clusters {
     * returned labels are backed by one materialized generation that
     * otherwise lives until the driver GCs the frame.
     */
-  def release(labels: DataFrame): Unit = unpersistCheckpoint(labels)
+  def release(labels: DataFrame): Unit = graft.runtime.Materialize.free(labels)
 
-  /** Drop the storage blocks behind a frame whose plan ROOT is a
-    * [[graft.runtime.Materialize.once]] leaf, looking through
-    * Project/SubqueryAlias wrappers only. Deliberately NOT a whole-tree
-    * collect: a derived frame can embed some OTHER still-live
-    * materialized frame deeper in its lineage, and unpersisting that one
-    * would be unrecoverable (localCheckpoint truncates lineage, so the
-    * blocks cannot be recomputed). Frames without a materialized root
-    * are a no-op.
-    */
-  private def unpersistCheckpoint(df: DataFrame): Unit = {
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
-    @annotation.tailrec
-    def leaf(p: LogicalPlan): Option[org.apache.spark.sql.execution.LogicalRDD] =
-      p match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l)
-        case pr: Project => leaf(pr.child)
-        case s: SubqueryAlias => leaf(s.child)
-        case _ => None
-      }
-    leaf(df.queryExecution.analyzed).foreach(_.rdd.unpersist(false))
-  }
+
 }

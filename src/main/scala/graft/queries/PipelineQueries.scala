@@ -1560,6 +1560,66 @@ object PipelineQueries {
       |       AS BIGINT) AS slope_ppm
       |FROM s WHERE n * sxx - sx * sx > 0""".stripMargin
 
+  /** Number of BPE merge rounds q105 learns; the oracle unrolls the
+    * same count, so this is the single definition.
+    */
+  val BpeTrainRounds = 8
+
+  /** q105 — iterative BPE tokenizer TRAINING: learn [[BpeTrainRounds]]
+    * merges over the corpus vocabulary, recounting pair frequencies
+    * after applying each winner (q97 is one round's census; this is
+    * the loop). All heavy lifting in [[graft.operators.Bpe]]: corpus
+    * touched once for word counts, then vocabulary-scale rounds.
+    */
+  def q105BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val words = d.select(explode(wsTokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    graft.operators.Bpe.train(words, BpeTrainRounds)
+  }
+
+  /** The oracle replays the identical algorithm with unrolled rounds:
+    * r0 = char-split words, b_i = round i's best pair under the same
+    * (count desc, l, r) order, r_i = greedy merge application via the
+    * same separator-delimited `replace` trick (see
+    * [[graft.operators.Bpe]] for why replace = greedy left-to-right
+    * non-overlapping application).
+    */
+  val q105Oracle: String = {
+    val S = "chr(31)"
+    val SS = "chr(31) || chr(31)"
+    val head =
+      s"""WITH w AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '' GROUP BY 1),
+         |r0 AS (
+         |  SELECT $S || array_to_string(
+         |      list_transform(range(1, length(w) + 1), j -> w[j]), $SS)
+         |    || $S AS repr, cnt
+         |  FROM w)""".stripMargin
+    val steps = (1 to BpeTrainRounds).map { i =>
+      s"""b$i AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT t[i] AS l, t[i + 1] AS r, cnt FROM (
+         |      SELECT string_split(substr(repr, 2, length(repr) - 2), $SS)
+         |               AS t, cnt
+         |      FROM r${i - 1}) sy, unnest(range(1, len(t))) u(i)
+         |    WHERE len(t) >= 2)
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+         |r$i AS (
+         |  SELECT replace(repr, $S || l || $SS || r || $S,
+         |                 $S || l || r || $S) AS repr, cnt
+         |  FROM r${i - 1}, b$i)""".stripMargin
+    }
+    val sel = (1 to BpeTrainRounds).map(i =>
+      s"SELECT CAST($i AS INT) AS round, l, r, l || r AS merged, c AS cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    (head +: steps).mkString(",\n") + "\n" + sel + "\nORDER BY round"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -1594,7 +1654,8 @@ object PipelineQueries {
     "q100_collocations" -> (q100Collocations _),
     "q102_bloom_dedup" -> (q102BloomDedup _),
     "q103_mixture_sample" -> (q103MixtureSample _),
-    "q104_chunking" -> (q104Chunking _))
+    "q104_chunking" -> (q104Chunking _),
+    "q105_bpe_train" -> (q105BpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1630,5 +1691,6 @@ object PipelineQueries {
     "q100_collocations" -> q100Oracle,
     "q102_bloom_dedup" -> q102Oracle,
     "q103_mixture_sample" -> q103Oracle,
-    "q104_chunking" -> q104Oracle)
+    "q104_chunking" -> q104Oracle,
+    "q105_bpe_train" -> q105Oracle)
 }

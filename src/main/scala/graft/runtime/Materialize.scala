@@ -19,4 +19,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
   def once(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
+  /** Drop the storage blocks behind a frame whose plan ROOT is a
+    * [[once]] leaf, looking through Project/SubqueryAlias wrappers
+    * only. Deliberately NOT a whole-tree collect: a derived frame can
+    * embed some OTHER still-live materialized frame deeper in its
+    * lineage, and unpersisting that one would be unrecoverable
+    * (localCheckpoint truncates lineage, so the blocks cannot be
+    * recomputed). Frames without a materialized root are a no-op.
+    * Iterative operators (connected components, BPE training) call
+    * this per generation so executor storage holds one generation,
+    * not the whole history.
+    */
+  def free(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def leaf(p: LogicalPlan): Option[org.apache.spark.sql.execution.LogicalRDD] =
+      p match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l)
+        case pr: Project => leaf(pr.child)
+        case s: SubqueryAlias => leaf(s.child)
+        case _ => None
+      }
+    leaf(df.queryExecution.analyzed).foreach(_.rdd.unpersist(false))
+  }
 }
