@@ -90,9 +90,18 @@ object AlertsLayer {
   /** All candidate alerts for one date (before dedup), schema matching
     * Schemas.covidAlerts minus created_at.
     */
-  def candidates(fact: DataFrame, dim: DataFrame, alertDate: String): DataFrame = {
+  def candidates(fact: DataFrame, dim: DataFrame, alertDate: String): DataFrame =
+    candidatesFor(fact, dim, Seq(alertDate))
+
+  /** Candidates for a SET of dates in one pass — the streaming sink
+    * evaluates every date a micro-batch delivered with a single
+    * window shuffle instead of one per date.
+    */
+  def candidatesFor(fact: DataFrame, dim: DataFrame,
+                    dates: Seq[String]): DataFrame = {
     val base = enriched(fact, dim)
-      .where(col("report_date") === lit(alertDate).cast("date"))
+      .where(col("report_date")
+        .isInCollection(dates.map(java.sql.Date.valueOf)))
     // Rules can co-fire for one row (a spike and an incidence breach are
     // different alert_types), so this is a real 1→N expansion — but a
     // union of 4 filtered branches would execute the window+join base 4
@@ -119,10 +128,19 @@ object AlertsLayer {
     * alert_case_spike.sql:57-63 — then append.
     */
   def run(cat: Catalog, alertDate: String,
-          fixedClock: Option[Timestamp] = None): Long = {
+          fixedClock: Option[Timestamp] = None): Long =
+    runDates(cat, Seq(alertDate), fixedClock)
+
+  /** Multi-date form of [[run]]: one candidate pass + one anti-join
+    * for every date in `dates` (the streaming sink's per-micro-batch
+    * unit). Exactly-once semantics are identical — the dedup key is
+    * still (alert_date, country, alert_type).
+    */
+  def runDates(cat: Catalog, dates: Seq[String],
+               fixedClock: Option[Timestamp] = None): Long = {
     val fact = cat.read(DdsLayer.layer, DdsLayer.factTable)
     val dim = cat.read(DdsLayer.layer, DdsLayer.dimTable)
-    val cand = candidates(fact, dim, alertDate)
+    val cand = candidatesFor(fact, dim, dates)
 
     val existing: DataFrame =
       if (cat.tableExists(layer, table)) cat.read(layer, table)
@@ -130,7 +148,8 @@ object AlertsLayer {
         cat.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.covidAlerts)
     val existingKeys = existing
-      .where(col("alert_date") === lit(alertDate).cast("date"))
+      .where(col("alert_date")
+        .isInCollection(dates.map(java.sql.Date.valueOf)))
       .select("alert_date", "country", "alert_type")
     val fresh = cand.join(broadcast(existingKeys),
       Seq("alert_date", "country", "alert_type"), "left_anti")

@@ -224,6 +224,51 @@ object Streaming {
       }
       .start()
 
+  /** Streaming alert pipeline — the streaming twin of the batch alert
+    * path (W2 window rates + J3 anti-join dedup + S9 insert,
+    * [[graft.layers.AlertsLayer.run]]): the stream delivers fact rows
+    * as complete `report_date` partitions (the reference's arrival
+    * unit — one daily drop per DAG run,
+    * `covid_to_s3.py:83-88` / `alert_case_spike.sql:52-63`); each
+    * micro-batch
+    *
+    *  1. publishes its partitions into the dds fact table (dynamic
+    *     partition overwrite — idempotent, so checkpoint replay of a
+    *     batch converges), then
+    *  2. evaluates ALL four alert rules for every date the batch
+    *     delivered in ONE candidate pass
+    *     ([[graft.layers.AlertsLayer.runDates]]) and appends only
+    *     alerts whose (alert_date, country, alert_type) is not
+    *     already present.
+    *
+    * Exactly-once is the anti-join, same as batch: duplicate delivery
+    * or replay re-publishes identical partitions and inserts nothing
+    * new. PRECONDITION (inherited from dynamic partition overwrite):
+    * a micro-batch carries complete date partitions, not fragments of
+    * a date split across batches.
+    *
+    * The per-batch date list is a bounded driver collect (one row per
+    * arrived DAY — the reference's cadence is 1/day).
+    */
+  def alertSink(facts: DataFrame, cat: Catalog, checkpoint: String,
+                fixedClock: Option[Timestamp] = None): StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist() // consumed twice: date list + publish
+          try {
+            val dates = b.select(col("report_date").cast("string"))
+              .distinct().collect().map(_.getString(0)).sorted.toSeq
+            cat.overwritePartitions(b, graft.layers.DdsLayer.layer,
+              graft.layers.DdsLayer.factTable, Seq("report_date"))
+            graft.layers.AlertsLayer.runDates(cat, dates, fixedClock)
+          } finally { b.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming sessionization — the streaming twin of
     * [[graft.operators.Sessionize]]: event-time session windows closed
     * by a `gap` of inactivity, via Spark's native `session_window`

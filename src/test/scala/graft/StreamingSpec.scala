@@ -173,6 +173,84 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming alerts: exactly-once across duplicate delivery, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val clock = Some(Timestamp.valueOf("2024-01-01 00:00:00"))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // one location that crosses thresholds on days 2-3, one that never
+    // does; population drives the rates (AlertsLayer.rules)
+    val dim = Seq(
+      ("JP", "Japan", 1000000L),
+      ("US", "United States", 330000000L))
+      .toDF("location_key", "country_name", "population")
+    val facts = Seq(
+      // day 1: LAG predecessors only (no alerts possible)
+      ("JP", d("2020-03-01"), 100L, 0L), ("US", d("2020-03-01"), 10L, 0L),
+      // day 2: JP +150 cases (rate 1.5e-4, incidence 15/100k) and
+      // +2 deaths (rate 2e-6) → CASE_RATE + INCIDENCE + DEATH_RATE
+      ("JP", d("2020-03-02"), 250L, 2L), ("US", d("2020-03-02"), 11L, 0L),
+      // day 3: JP +20 deaths (2 per 100k) → DEATH_RATE + DEATH_SPIKE
+      ("JP", d("2020-03-03"), 260L, 22L), ("US", d("2020-03-03"), 12L, 0L))
+
+    // batch reference: same data through AlertsLayer.run per day
+    val batchCat = Catalog(spark, tmpDir("alerts-batch-wh"))
+    batchCat.createOrReplace(dim, "dds", "dim_location")
+    batchCat.overwritePartitions(
+      facts.toDF("location_key", "report_date", "confirmed", "deaths"),
+      "dds", "fact_covid", Seq("report_date"))
+    Seq("2020-03-01", "2020-03-02", "2020-03-03")
+      .foreach(day => graft.layers.AlertsLayer.run(batchCat, day, clock))
+
+    // streaming path: dim pre-seeded, facts arrive as daily partitions
+    val streamCat = Catalog(spark, tmpDir("alerts-stream-wh"))
+    streamCat.createOrReplace(dim, "dds", "dim_location")
+    val mem = MemoryStream[(String, java.sql.Date, Long, Long)]
+    val q = Streaming.alertSink(
+      mem.toDF().toDF("location_key", "report_date", "confirmed", "deaths"),
+      streamCat, checkpoint = tmpDir("alerts-ckpt"), fixedClock = clock)
+    def alerts(): Set[(java.sql.Date, String, String, String, Double, String)] =
+      if (!streamCat.tableExists("alerts", "covid_alerts"))
+        Set.empty // no alert has fired yet → the table was never created
+      else streamCat.read("alerts", "covid_alerts")
+        .select($"alert_date", $"country", $"alert_type", $"severity",
+          $"metric_value", $"description")
+        .as[(java.sql.Date, String, String, String, Double, String)]
+        .collect().toSet
+    // batch 1: day 1 alone; batch 2: days 2 AND 3 together (multi-date
+    // micro-batch exercises the single-pass runDates path)
+    mem.addData(facts.filter(_._2 == d("2020-03-01")): _*)
+    q.processAllAvailable()
+    assert(alerts().isEmpty)
+    mem.addData(facts.filter(_._2 != d("2020-03-01")): _*)
+    q.processAllAvailable()
+    val afterAll = alerts()
+    assert(afterAll.map(_._3).nonEmpty)
+    // duplicate delivery of ALL days: partitions re-publish
+    // idempotently, the anti-join inserts nothing new
+    mem.addData(facts: _*)
+    q.processAllAvailable()
+    assert(alerts() == afterAll)
+    assert(streamCat.read("dds", "fact_covid").count() == facts.size)
+    q.stop()
+
+    // agreement: identical alert sets (created_at excluded — both use
+    // the fixed clock anyway)
+    val batchAlerts = batchCat.read("alerts", "covid_alerts")
+      .select($"alert_date", $"country", $"alert_type", $"severity",
+        $"metric_value", $"description")
+      .as[(java.sql.Date, String, String, String, Double, String)]
+      .collect().toSet
+    assert(afterAll == batchAlerts)
+    // and the expected rules actually fired
+    val jpByDay = afterAll.filter(_._2 == "Japan")
+      .groupBy(_._1.toString).view.mapValues(_.map(_._3)).toMap
+    assert(jpByDay("2020-03-02") ==
+      Set("CASE_RATE_POPULATION", "INCIDENCE_100K", "DEATH_RATE_POPULATION"))
+    assert(jpByDay("2020-03-03") ==
+      Set("DEATH_RATE_POPULATION", "DEATH_SPIKE_100K"))
+    assert(!afterAll.exists(_._2 == "United States"))
+  }
+
   test("streaming sessions agree with the batch sessionizer on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     def ts(hm: String) = Timestamp.valueOf(s"2020-03-01 $hm:00")
