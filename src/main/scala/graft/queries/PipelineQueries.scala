@@ -1620,6 +1620,79 @@ object PipelineQueries {
     (head +: steps).mkString(",\n") + "\n" + sel + "\nORDER BY round"
   }
 
+  /** q106 — SPAN-level benchmark decontamination (q75's sibling): q75
+    * flags contaminated documents; this emits the contaminated token
+    * RANGES a pipeline would actually excise. Positional 3-token
+    * shingles of corpus docs are joined against the (broadcast-sized,
+    * fixed) benchmark shingle set, and each hit's covered positions
+    * [i, i+2] are merged into maximal spans with the q80 sweep-line
+    * (running max of interval ends marks span starts — one shuffle on
+    * doc_id, two window passes, no self-join). Contiguous coverage
+    * merges: a hit starting at most one past the previous furthest
+    * end extends the span.
+    *
+    * Output: (doc_id, start_tok, end_tok, n_hits) — 1-based inclusive
+    * token positions, one row per maximal contaminated span.
+    */
+  def q106ContamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> struct(i AS s, concat_ws(' ', slice(toks, i, 3)) AS shingle))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.s").as("s"), col("p.shingle").as("shingle"))
+      .transform(Materialize.once) // shared by the bench + corpus branches
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .select(col("doc_id"), col("s"), (col("s") + 2).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    hits
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        (col("pme").isNull || col("pme") + 1 < col("s")).cast("long"))
+      .withColumn("grp", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_hits"))
+  }
+
+  val q106Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(i AS INT) AS s,
+      |    array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+      |  FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) u(i)),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT doc_id, s, s + 2 AS e FROM sh
+      |  WHERE doc_id % 97 <> 0
+      |    AND shingle IN (SELECT shingle FROM bench)),
+      |marked AS (
+      |  SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pme
+      |  FROM hits),
+      |grouped AS (
+      |  SELECT doc_id, s, e,
+      |    CAST(sum(CASE WHEN pme IS NULL OR pme + 1 < s THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS grp
+      |  FROM marked)
+      |SELECT doc_id, CAST(min(s) AS INT) AS start_tok,
+      |  CAST(max(e) AS INT) AS end_tok,
+      |  CAST(count(*) AS BIGINT) AS n_hits
+      |FROM grouped GROUP BY doc_id, grp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -1655,7 +1728,8 @@ object PipelineQueries {
     "q102_bloom_dedup" -> (q102BloomDedup _),
     "q103_mixture_sample" -> (q103MixtureSample _),
     "q104_chunking" -> (q104Chunking _),
-    "q105_bpe_train" -> (q105BpeTrain _))
+    "q105_bpe_train" -> (q105BpeTrain _),
+    "q106_contam_spans" -> (q106ContamSpans _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1692,5 +1766,6 @@ object PipelineQueries {
     "q102_bloom_dedup" -> q102Oracle,
     "q103_mixture_sample" -> q103Oracle,
     "q104_chunking" -> q104Oracle,
-    "q105_bpe_train" -> q105Oracle)
+    "q105_bpe_train" -> q105Oracle,
+    "q106_contam_spans" -> q106Oracle)
 }
