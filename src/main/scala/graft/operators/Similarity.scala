@@ -110,10 +110,12 @@ object Similarity {
   /** IVF-style ANN (the inverted-file index shape, à la FAISS IVF-Flat):
     * partition the corpus into `nlist` cells around centroid vectors,
     * probe only each query's `nprobe` nearest cells, exact-cosine rerank
-    * within them. Centroids here are seeded deterministically (the
-    * lowest `nlist` vec_ids); at real scale you would train k-means
-    * offline and broadcast the result — the query-time plan is
-    * identical either way.
+    * within them. Centroids are seeded deterministically (the lowest
+    * `nlist` vec_ids) and optionally tightened by `refine` Lloyd
+    * rounds ([[refineCentroids]] — deterministic, SQL-replayable); at
+    * real scale you would train more k-means rounds offline and
+    * broadcast the result — the query-time plan is identical either
+    * way.
     *
     * Scale design: centroids are broadcast (nlist rows), so both
     * assignment and probing are one scan + broadcast join with no
@@ -128,7 +130,7 @@ object Similarity {
     * highest cos, then lowest cid, via struct ordering on (ccos, -cid).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 2, refine: Int = 0): DataFrame = {
     // null embeddings are excluded from the index EXPLICITLY: they have
     // no cosine to any centroid, so the max_by assignment would drop
     // them silently (null ordering keys are skipped) — make the
@@ -137,16 +139,11 @@ object Similarity {
     // seed = the nlist lowest vec_ids, whatever the id space looks like
     // (a bare `vec_id < nlist` would yield few or zero centroids on
     // sparse or offset id spaces)
-    val centroids = broadcast(indexable.orderBy(col("vec_id")).limit(nlist)
+    val seeded = broadcast(indexable.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-    val assigned = indexable.crossJoin(centroids)
-      .withColumn("ccos", cosine(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cid"), col("embedding")),
-        struct(col("ccos"), -col("cid"))).as("best"))
-      .select(col("best.cid").as("cid"), col("vec_id"),
-        col("best.embedding").as("embedding"))
+    val centroids = (1 to refine).foldLeft(seeded)((c, _) =>
+      broadcast(refineCentroids(indexable, c)))
+    val assigned = assignCells(indexable, centroids)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val probed = queries.crossJoin(centroids)
@@ -164,6 +161,47 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Cell assignment against broadcast centroids — a `max_by` partial
+    * aggregate, not a window (see [[ivfTopK]]'s scale note); the
+    * tie-break matches the window formulation: highest cos, then
+    * lowest cid, via struct ordering on (ccos, -cid).
+    */
+  private def assignCells(indexable: DataFrame,
+                          centroids: DataFrame): DataFrame =
+    indexable.crossJoin(centroids)
+      .withColumn("ccos", cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding")),
+        struct(col("ccos"), -col("cid"))).as("best"))
+      .select(col("best.cid").as("cid"), col("vec_id"),
+        col("best.embedding").as("embedding"))
+
+  /** One Lloyd (k-means) refinement round: assign every vector to its
+    * nearest centroid, replace each centroid with its cell's
+    * component-wise mean. The mean is computed over INTEGER-quantized
+    * components (floor(x·10⁶), summed exactly as longs) and the
+    * double-divided result is cast back to float — so the new
+    * centroid is independent of partitioning and float-summation
+    * order, bit-replayable in SQL, and exactly representable on both
+    * engines. Deliberately one-round-at-a-time: IVF index builds run
+    * a fixed small number of Lloyd rounds offline; each round here is
+    * one broadcast-join assignment + one (cell × dim)-scale aggregate,
+    * never an all-pairs product.
+    */
+  def refineCentroids(indexable: DataFrame,
+                      centroids: DataFrame): DataFrame =
+    assignCells(indexable, centroids)
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * 1e6).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("c", ((col("sq") / col("n")) / lit(1e6)).cast("float"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
 
   /** SQL-portable sign bucket over the first `bits` dimensions
     * (axis-aligned hyperplane LSH): expressible identically in any SQL

@@ -139,20 +139,41 @@ object SimilarityQueries {
        |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
        |         * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
 
-  /** IVF ANN: 16 seeded centroid cells, 2-cell probes, exact rerank —
-    * the inverted-file scale path next to q25's hash-bucket scale path.
-    * The oracle replays the identical cell assignment / probe / rerank
-    * chain, so ids and ranks match by construction.
+  /** IVF ANN: 16 seeded centroid cells tightened by ONE Lloyd
+    * refinement round, 2-cell probes, exact rerank — the
+    * inverted-file scale path next to q25's hash-bucket scale path.
+    * The oracle replays the identical seed → assign → quantized-mean →
+    * re-assign / probe / rerank chain, so ids and ranks match by
+    * construction (the refined centroid components are float-exact on
+    * both engines — see [[Similarity.refineCentroids]]).
     */
   def q33IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-    Similarity.ivfTopK(e, queriesOf(e), 5, nlist = 16, nprobe = 2)
+    Similarity.ivfTopK(e, queriesOf(e), 5, nlist = 16, nprobe = 2,
+      refine = 1)
   }
 
   val q33Oracle: String =
-    s"""WITH cent AS (
+    s"""WITH cent0 AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
        |  ORDER BY vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT cid, vec_id, embedding FROM (
+       |    SELECT c.cid, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS crank
+       |    FROM embeddings e, cent0 c) WHERE crank = 1),
+       |comp AS (
+       |  SELECT cid, i AS dim,
+       |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+       |        AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM a0, unnest(range(1, len(embedding) + 1)) u(i)
+       |  GROUP BY cid, i),
+       |cent AS (
+       |  SELECT cid,
+       |    list(CAST((sq / n) / 1000000.0 AS FLOAT) ORDER BY dim) AS cvec
+       |  FROM comp GROUP BY cid),
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS query_vec
        |  FROM embeddings WHERE vec_id < $QueryCutoff),

@@ -101,6 +101,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recalled >= 18, s"IVF recall@1 too low: $recalled/20")
   }
 
+  test("one Lloyd refinement strictly improves IVF recall on a planted fixture") {
+    // 4 seeds, all in cluster A around [1,0,0,0], each nudged toward a
+    // different axis so seeded cells exist but are badly placed. B's
+    // members carry a strong third component, so under SEEDED
+    // centroids they assign to s1's cell while a pure-B query probes
+    // s0's cell (its 2nd component .01 beats s1's .03·0) — recall 0.
+    // One Lloyd round moves cell 1's centroid to the B∪C mass, the
+    // query probes it, and every true neighbor is found.
+    val corpus = (
+      Seq(
+        (0L, Array(1f, .01f, 0f, 0f)), (1L, Array(1f, 0f, .01f, 0f)),
+        (2L, Array(1f, 0f, 0f, .01f)), (3L, Array(1f, -.01f, -.01f, -.01f))) ++
+      (10L to 19L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++        // A
+      (20L to 22L).map(i => (i, Array(0f, 1f, 3f, 0f))) ++        // B
+      (30L to 39L).map(i => (i, Array(0f, 0f, 1f, 0f)))           // C
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (1000L, Array(0f, 1f, 0f, 0f)),  // pure-B: seeded probe misses
+      (1001L, Array(0f, 0f, 1f, 0f)))  // pure-C: found either way
+      .toDF("query_id", "query_vec")
+    val truth = Similarity.bruteForceTopK(corpus, queries, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(refine: Int): Double = {
+      val got = Similarity
+        .ivfTopK(corpus, queries, 3, nlist = 4, nprobe = 1, refine = refine)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val (seeded, refined) = (recall(0), recall(1))
+    assert(refined > seeded,
+      s"refinement must strictly improve recall (seeded=$seeded refined=$refined)")
+    assert(refined == 1.0)
+  }
+
   test("sign bucket: identical sign patterns collide, Spark matches manual") {
     val df = Seq(
       (1L, Array(0.5f, -0.2f, 0.1f, 0.9f, -0.1f, 0.2f, 0.3f, -0.4f)),
