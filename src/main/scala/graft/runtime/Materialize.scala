@@ -8,17 +8,32 @@ import org.apache.spark.sql.DataFrame
   * and count/aggregate fan-outs would otherwise re-execute the frame's
   * whole lineage once per branch.
   *
-  * `localCheckpoint` stores blocks on executors: fastest, no
-  * distributed-storage round-trip, and correct on static-allocation
-  * clusters and local mode. CAVEAT for 100 TB deployments with dynamic
-  * allocation: losing an executor loses its blocks and fails the job —
-  * there, swap this ONE method for `df.checkpoint()` (reliable,
-  * cluster-FS-backed) or an explicit parquet write/read of the
-  * intermediate. Every multi-branch materialization in the codebase
-  * routes through here so the swap is a one-line policy change.
+  * The policy is a session conf ([[Materialize.PolicyKey]]), not a
+  * code edit: `localCheckpoint` (default) stores blocks on executors —
+  * fastest, no distributed-storage round-trip, correct on
+  * static-allocation clusters and local mode; for 100 TB deployments
+  * with dynamic allocation, where losing an executor loses its blocks
+  * and fails the job, set the conf to "reliable" (plus
+  * `sparkContext.setCheckpointDir`) and every materialization in the
+  * codebase switches to cluster-FS-backed `checkpoint`.
   */
 object Materialize {
-  def once(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+  /** Session conf selecting the materialization policy:
+    * "local" (default) = `localCheckpoint` (executor blocks, fastest,
+    * correct under static allocation / local mode); "reliable" =
+    * `checkpoint` (cluster-FS-backed — REQUIRES
+    * `sparkContext.setCheckpointDir`), the right policy under dynamic
+    * allocation where losing an executor must not fail the job.
+    */
+  val PolicyKey = "spark.graft.materialize"
+
+  def once(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(PolicyKey) match {
+      case Some("reliable") => df.checkpoint(eager = false)
+      case Some("local") | None => df.localCheckpoint(eager = false)
+      case Some(other) => throw new IllegalArgumentException(
+        s"$PolicyKey must be 'local' or 'reliable', got '$other'")
+    }
 
   /** Drop the storage blocks behind a frame whose plan ROOT is a
     * [[once]] leaf, looking through Project/SubqueryAlias wrappers
