@@ -161,6 +161,12 @@ object Streaming {
     * older against what the crashed attempt applied and re-deleting
     * absent keys is idempotent, so checkpoint replay is safe.
     *
+    * Schema evolution: a redeployed stream whose updates carry NEW
+    * columns widens the stored table on first contact — existing rows
+    * get typed nulls (the batch drift-conformance rule on the CDC
+    * path); updates missing a stored column still fail (CDC rows must
+    * be complete).
+    *
     * Known limit (documented, standard): a DELETE drops the row —
     * and with it the stored seq — so a straggler UPDATE older than
     * the delete would re-insert the key. Guarding that needs
@@ -188,11 +194,33 @@ object Streaming {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
           if (cat.tableExists(layer, table)) {
+            // schema evolution: a REDEPLOYED stream may carry columns
+            // the stored table predates (a streaming query's own
+            // schema is fixed for its lifetime — evolution happens at
+            // restart). Widen the table once per new column: existing
+            // rows take typed nulls, the batch drift-conformance rule
+            // (Normalize) applied to the CDC path. Strict the other
+            // way: updates missing a stored column still fail, CDC
+            // rows must be complete.
+            val target0 = cat.read(layer, table)
+            val added = latest.schema.fields.toSeq
+              .filterNot(f => deleteCol.contains(f.name))
+              .filterNot(f => target0.columns.contains(f.name))
+            val target =
+              if (added.isEmpty) target0
+              else {
+                val widened = added.foldLeft(target0)((d, f) =>
+                  d.withColumn(f.name, lit(null).cast(f.dataType)))
+                if (partitionCols.nonEmpty)
+                  cat.overwritePartitions(widened, layer, table,
+                    partitionCols)
+                else cat.createOrReplace(widened, layer, table)
+                cat.read(layer, table)
+              }
             // cross-batch ordering guard: narrow the stored-seq lookup
             // to the partitions this batch touches (delta-bounded,
             // same scoping as merge itself), then drop any change that
             // is not strictly newer than what the table already holds
-            val target = cat.read(layer, table)
             val scoped =
               if (partitionCols.nonEmpty)
                 target.join(

@@ -173,6 +173,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("mergeSink schema evolution: a redeployed stream adds a column") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = Catalog(spark, tmpDir("cdc-evo-wh"))
+    // generation 1: original schema
+    val mem1 = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q1 = graft.streaming.Streaming.mergeSink(
+      mem1.toDF().toDF("id", "attr", "value", "seq", "is_del"),
+      cat, "dds", "state", keyCols = Seq("id"), seqCol = "seq",
+      checkpoint = tmpDir("evo-ckpt1"), deleteCol = Some("is_del"))
+    mem1.addData((1L, "a", 1.0, 1L, false), (2L, "b", 2.0, 2L, false))
+    q1.processAllAvailable(); q1.stop()
+    // generation 2: redeployed with an extra src column (fresh stream +
+    // checkpoint — a streaming query's schema is fixed for its
+    // lifetime; the TABLE carries the continuity)
+    val mem2 = MemoryStream[(Long, String, Double, Long, Boolean, String)]
+    val q2 = graft.streaming.Streaming.mergeSink(
+      mem2.toDF().toDF("id", "attr", "value", "seq", "is_del", "src"),
+      cat, "dds", "state", keyCols = Seq("id"), seqCol = "seq",
+      checkpoint = tmpDir("evo-ckpt2"), deleteCol = Some("is_del"))
+    mem2.addData((2L, "b2", 3.0, 5L, false, "cdc"),
+      (3L, "c", 4.0, 6L, false, "cdc"))
+    q2.processAllAvailable()
+    val rows = cat.read("dds", "state")
+      .select($"id", $"attr", $"value", $"src")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    // pre-evolution row 1 widened with a typed null; rows 2-3 merged
+    assert(rows == Set(
+      (1L, "a", 1.0, None), (2L, "b2", 3.0, Some("cdc")),
+      (3L, "c", 4.0, Some("cdc"))))
+    // the cross-batch seq guard still applies across the evolution
+    mem2.addData((2L, "stale", 0.0, 4L, false, "old"))
+    q2.processAllAvailable()
+    assert(cat.read("dds", "state").filter($"id" === 2L)
+      .select($"attr").as[String].collect().toSeq == Seq("b2"))
+    q2.stop()
+  }
+
   test("streaming alerts: exactly-once across duplicate delivery, agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     val clock = Some(Timestamp.valueOf("2024-01-01 00:00:00"))
