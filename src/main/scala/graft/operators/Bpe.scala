@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.runtime.Materialize
 
@@ -52,9 +52,43 @@ object Bpe {
   /** Separator; U+001F (unit separator) never appears in text. */
   val Sep = "\u001f"
 
+  /** One learned merge: l + r -> merged, chosen with frequency c. */
+  final case class Merge(round: Int, l: String, r: String,
+                         merged: String, c: Long)
+
+  /** A word as its separator-delimited initial (single-character)
+    * symbol sequence.
+    */
+  def reprOf(w: Column): Column =
+    concat(lit(Sep), array_join(split(w, ""), Sep + Sep), lit(Sep))
+
+  /** Apply a learned merge list to a representation column -- the
+    * TOKENIZE step. Each merge is one codegen'd literal `replace`
+    * (greedy left-to-right, BPE's application rule; see the class
+    * doc), chained in training order, exactly how a trained BPE
+    * tokenizer applies its merge table.
+    */
+  def applyMerges(repr: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(repr)((c, m) =>
+      replace(c, lit(Sep + m.l + Sep + Sep + m.r + Sep),
+        lit(Sep + m.merged + Sep)))
+
+  /** Token count of a representation: number of symbols. */
+  def tokenCount(repr: Column): Column =
+    size(split(repr.substr(lit(2), length(repr) - 2), Sep + Sep))
+
   def train(words: DataFrame, rounds: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
+    trainMerges(words, rounds)
+      .map(m => (m.round, m.l, m.r, m.merged, m.c))
+      .toDF("round", "l", "r", "merged", "cnt")
+  }
+
+  /** The training loop itself, returning the merge table as a driver
+    * value (bounded: `rounds` rows) for reuse by the apply step.
+    */
+  def trainMerges(words: DataFrame, rounds: Int): Seq[Merge] = {
     val SS = Sep + Sep
     // initial symbols = single characters: ␟c1␟␟c2␟␟…␟cn␟
     var reprs = words.select(
@@ -62,8 +96,7 @@ object Bpe {
         .as("repr"),
       col("cnt"))
       .transform(Materialize.once)
-    val merges =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
@@ -89,7 +122,7 @@ object Bpe {
       else {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((round, l, r, l + r, c))
+        merges += Merge(round, l, r, l + r, c)
         val next = reprs.select(
           replace(col("repr"),
             lit(Sep + l + SS + r + Sep), lit(Sep + l + r + Sep)).as("repr"),
@@ -102,6 +135,6 @@ object Bpe {
       round += 1
     }
     Materialize.free(reprs)
-    merges.toSeq.toDF("round", "l", "r", "merged", "cnt")
+    merges.toSeq
   }
 }

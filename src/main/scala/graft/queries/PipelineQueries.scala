@@ -1579,24 +1579,22 @@ object PipelineQueries {
     graft.operators.Bpe.train(words, BpeTrainRounds)
   }
 
-  /** The oracle replays the identical algorithm with unrolled rounds:
-    * r0 = char-split words, b_i = round i's best pair under the same
-    * (count desc, l, r) order, r_i = greedy merge application via the
-    * same separator-delimited `replace` trick (see
-    * [[graft.operators.Bpe]] for why replace = greedy left-to-right
-    * non-overlapping application).
+  /** Shared oracle fragment for the BPE queries: given a `w(w, cnt)`
+    * vocabulary CTE already in scope, emit r0 (char-split reprs) and
+    * the unrolled b_i (best pair, same (count desc, l, r) order) /
+    * r_i (greedy merge application via the same separator-delimited
+    * `replace` trick — see [[graft.operators.Bpe]] for why replace =
+    * greedy left-to-right non-overlapping application) round CTEs.
+    * `carryWord` threads the word itself through the rewrites so the
+    * final symbolization can be joined back (q107).
     */
-  val q105Oracle: String = {
+  private def bpeRoundCtes(carryWord: Boolean): String = {
     val S = "chr(31)"
     val SS = "chr(31) || chr(31)"
-    val head =
-      s"""WITH w AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |    FROM documents)
-         |  WHERE w <> '' GROUP BY 1),
-         |r0 AS (
-         |  SELECT $S || array_to_string(
+    val wcol = if (carryWord) "w, " else ""
+    val r0 =
+      s"""r0 AS (
+         |  SELECT $wcol$S || array_to_string(
          |      list_transform(range(1, length(w) + 1), j -> w[j]), $SS)
          |    || $S AS repr, cnt
          |  FROM w)""".stripMargin
@@ -1610,14 +1608,101 @@ object PipelineQueries {
          |    WHERE len(t) >= 2)
          |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
          |r$i AS (
-         |  SELECT replace(repr, $S || l || $SS || r || $S,
+         |  SELECT ${wcol}replace(repr, $S || l || $SS || r || $S,
          |                 $S || l || r || $S) AS repr, cnt
          |  FROM r${i - 1}, b$i)""".stripMargin
     }
+    (r0 +: steps).mkString(",\n")
+  }
+
+  /** The oracle replays the identical training algorithm with
+    * unrolled rounds over the same vocabulary.
+    */
+  val q105Oracle: String = {
+    val head =
+      """WITH w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),""".stripMargin
     val sel = (1 to BpeTrainRounds).map(i =>
       s"SELECT CAST($i AS INT) AS round, l, r, l || r AS merged, c AS cnt FROM b$i")
       .mkString("\nUNION ALL\n")
-    (head +: steps).mkString(",\n") + "\n" + sel + "\nORDER BY round"
+    head + "\n" + bpeRoundCtes(carryWord = false) + "\n" + sel +
+      "\nORDER BY round"
+  }
+
+  /** q107 — BPE tokenization APPLY (q105's consumer): train the merge
+    * table, then TOKENIZE the corpus with it and report per-source
+    * token accounting — the compression measurement a tokenizer build
+    * ends with. The apply step runs on the VOCABULARY (distinct
+    * words), not the token stream: each word's symbolization is the
+    * learned replace chain ([[graft.operators.Bpe.applyMerges]], all
+    * codegen literals), and per-source sums come from joining the
+    * (source, word) occurrence table — vocabulary-scale join, one
+    * corpus scan total (shared with training via the materialized
+    * token frame).
+    *
+    * Output: (source, n_docs, n_words, n_chars, n_bpe_tokens) — all
+    * exact integers.
+    */
+  def q107BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docWords = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(wsTokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .transform(Materialize.once) // vocab counts + per-source rollups
+    val words = docWords.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val merges = Bpe.trainMerges(words, BpeTrainRounds)
+    val perWord = words.select(col("w"),
+      Bpe.tokenCount(Bpe.applyMerges(Bpe.reprOf(col("w")), merges))
+        .as("n_tok"))
+    val docs = docWords.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val sw = docWords.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("occ"))
+    sw.join(perWord, "w")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("occ")).as("n_words"),
+        sum(col("occ") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("occ") * col("n_tok").cast("long")).as("n_bpe_tokens"))
+      .join(docs, "source")
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("n_bpe_tokens"))
+  }
+
+  val q107Oracle: String = {
+    val SS = "chr(31) || chr(31)"
+    val head =
+      """WITH ww AS (
+        |  SELECT source, doc_id, w FROM (
+        |    SELECT source, doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |w AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ww GROUP BY 1),""".stripMargin
+    val tail =
+      s"""tok AS (
+         |  SELECT w, CAST(len(string_split(
+         |      substr(repr, 2, length(repr) - 2), $SS)) AS BIGINT) AS n_tok
+         |  FROM r$BpeTrainRounds),
+         |sw AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS occ
+         |  FROM ww GROUP BY 1, 2),
+         |docs AS (
+         |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM ww GROUP BY 1),
+         |agg AS (
+         |  SELECT sw.source,
+         |    CAST(sum(occ) AS BIGINT) AS n_words,
+         |    CAST(sum(occ * length(sw.w)) AS BIGINT) AS n_chars,
+         |    CAST(sum(occ * n_tok) AS BIGINT) AS n_bpe_tokens
+         |  FROM sw JOIN tok ON sw.w = tok.w GROUP BY 1)
+         |SELECT d.source, d.n_docs, a.n_words, a.n_chars, a.n_bpe_tokens
+         |FROM agg a JOIN docs d ON a.source = d.source""".stripMargin
+    head + "\n" + bpeRoundCtes(carryWord = true) + ",\n" + tail
   }
 
   /** q106 — SPAN-level benchmark decontamination (q75's sibling): q75
@@ -1729,7 +1814,8 @@ object PipelineQueries {
     "q103_mixture_sample" -> (q103MixtureSample _),
     "q104_chunking" -> (q104Chunking _),
     "q105_bpe_train" -> (q105BpeTrain _),
-    "q106_contam_spans" -> (q106ContamSpans _))
+    "q106_contam_spans" -> (q106ContamSpans _),
+    "q107_bpe_tokenize" -> (q107BpeTokenize _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1767,5 +1853,6 @@ object PipelineQueries {
     "q103_mixture_sample" -> q103Oracle,
     "q104_chunking" -> q104Oracle,
     "q105_bpe_train" -> q105Oracle,
-    "q106_contam_spans" -> q106Oracle)
+    "q106_contam_spans" -> q106Oracle,
+    "q107_bpe_tokenize" -> q107Oracle)
 }
