@@ -97,6 +97,11 @@ object Bpe {
       col("cnt"))
       .transform(Materialize.once)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // previous generation, freed only AFTER the census action has
+    // materialized the current one (the census is the first action
+    // over `reprs`, so it doubles as the materialization barrier — no
+    // separate count() job per round)
+    var prev: Option[DataFrame] = None
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
@@ -118,6 +123,8 @@ object Bpe {
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1)
         .collect() // 1 row: the round's merge decision
+      prev.foreach(Materialize.free) // current gen is now materialized
+      prev = None
       if (best.isEmpty) exhausted = true // every word is one symbol
       else {
         val (l, r, c) =
@@ -128,12 +135,12 @@ object Bpe {
             lit(Sep + l + SS + r + Sep), lit(Sep + l + r + Sep)).as("repr"),
           col("cnt"))
           .transform(Materialize.once)
-        next.count() // materialize before freeing the generation it reads
-        Materialize.free(reprs)
+        prev = Some(reprs)
         reprs = next
       }
       round += 1
     }
+    prev.foreach(Materialize.free)
     Materialize.free(reprs)
     merges.toSeq
   }
