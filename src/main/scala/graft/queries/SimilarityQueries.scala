@@ -200,15 +200,81 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** q108 — product-quantization codebook training: 2 subspaces × 4
+    * codes, seeded from the lowest vec_ids, one Lloyd round, exact
+    * integer math throughout ([[graft.operators.Pq]]). The oracle
+    * replays the full quantize → split → assign → floor-mean →
+    * re-assign chain; every value is an integer, so the result is
+    * hash-exact by construction.
+    */
+  def q108PqCodebook(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.codebookStats(
+      Tables.load(spark, dir, "embeddings"), m = 2, k = 4)
+
+  val q108Oracle: String = {
+    val (m, k) = (2, 4)
+    val d2 =
+      """list_reduce(
+        |      list_transform(range(1, len(s.v) + 1),
+        |        i -> (s.v[i] - c.cvec[i]) * (s.v[i] - c.cvec[i])),
+        |      (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |sv AS (
+       |  SELECT vec_id, CAST(ss AS INT) AS ss,
+       |    CASE WHEN ss = $m - 1
+       |      THEN list_slice(q, ss * (len(q) // $m) + 1, len(q))
+       |      ELSE list_slice(q, ss * (len(q) // $m) + 1,
+       |                      (ss + 1) * (len(q) // $m)) END AS v
+       |  FROM e, range(0, $m) r(ss)),
+       |seeds AS (
+       |  SELECT ss, vec_id AS code, v AS cvec FROM sv
+       |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+       |d0 AS (
+       |  SELECT s.ss, s.vec_id, c.code, s.v,
+       |    $d2 AS d
+       |  FROM sv s JOIN seeds c USING (ss)),
+       |a0 AS (
+       |  SELECT ss, vec_id, code, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ss, vec_id
+       |      ORDER BY d, code) AS rk FROM d0) WHERE rk = 1),
+       |comp AS (
+       |  SELECT ss, code, i AS dim, sum(v[i]) AS sq, count(*) AS n
+       |  FROM a0, unnest(range(1, len(v) + 1)) u(i)
+       |  GROUP BY 1, 2, 3),
+       |cb1 AS (
+       |  SELECT ss, code,
+       |    list(CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT)
+       |         ORDER BY dim) AS cvec
+       |  FROM comp GROUP BY 1, 2),
+       |d1 AS (
+       |  SELECT s.ss, s.vec_id, c.code,
+       |    $d2 AS d
+       |  FROM sv s JOIN cb1 c USING (ss)),
+       |a1 AS (
+       |  SELECT ss, code, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ss, vec_id
+       |      ORDER BY d, code) AS rk FROM d1) WHERE rk = 1)
+       |SELECT ss AS subspace, code,
+       |  CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(d) AS BIGINT) AS sq_err
+       |FROM a1 GROUP BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
     "q26_sign_bucket_pairs" -> (q26SignBucketPairs _),
-    "q33_ivf_ann" -> (q33IvfAnn _))
+    "q33_ivf_ann" -> (q33IvfAnn _),
+    "q108_pq_codebook" -> (q108PqCodebook _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
     "q25_ann_lsh" -> q25Oracle,
     "q26_sign_bucket_pairs" -> q26Oracle,
-    "q33_ivf_ann" -> q33Oracle)
+    "q33_ivf_ann" -> q33Oracle,
+    "q108_pq_codebook" -> q108Oracle)
 }

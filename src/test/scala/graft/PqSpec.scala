@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Pq
+
+/** PQ codebook semantics: per-subspace independence, exact-integer
+  * quantization error, deterministic tie-breaks.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact cluster structure is recovered with zero error") {
+    // dim 4, m=2 → 2-component subvectors. Four planted patterns per
+    // subspace; ids 0-3 (the seeds) carry one of each, every other
+    // vector replays a pattern — so the seeded codebook is already
+    // exact, the Lloyd mean of identical members is a fixpoint, and
+    // the final quantization error must be exactly zero.
+    val pats = Seq(
+      Array(0f, 0f, .5f, .5f), Array(.1f, .1f, .4f, .4f),
+      Array(.2f, .2f, .3f, .3f), Array(.3f, .3f, .2f, .2f))
+    val rows = pats.zipWithIndex.map { case (p, i) => (i.toLong, p) } ++
+      (10L to 29L).map(i => (i, pats((i % 4).toInt)))
+    val out = Pq.codebookStats(rows.toDF("vec_id", "embedding"), m = 2, k = 4)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.length == 8) // 2 subspaces × 4 non-empty cells
+    assert(out.forall(_._4 == 0L), s"nonzero quantization error: ${out.toSeq}")
+    // each pattern has 1 seed + 5 replicas
+    assert(out.forall(_._3 == 6L))
+  }
+
+  test("equidistant vectors break ties toward the lowest code") {
+    // quantized subvector (1e6,1e6) sits exactly between the seed
+    // patterns (0,0) and (2e6,2e6) — equal integer distance to both,
+    // so it must land on the LOWER code; the refined centroid is then
+    // floor((0+1e6)/2) = 5e5 per component (float values 0/1/2 are
+    // exact, so the quantization is too)
+    val rows = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(2f, 2f, 2f, 2f)),
+      (5L, Array(1f, 1f, 1f, 1f)))
+    val out = Pq.codebookStats(rows.toDF("vec_id", "embedding"), m = 2, k = 2)
+      .as[(Int, Long, Long, Long)].collect()
+    val c0 = out.filter(_._2 == 0L).sortBy(_._1)
+    assert(c0.map(_._3).toSeq == Seq(2L, 2L)) // seed + tie vector
+    // both members are 5e5 from the refined centroid in each of the 2
+    // components: err = 2 × 2 × (5e5)² per subspace
+    assert(c0.map(_._4).toSeq == Seq(1000000000000L, 1000000000000L))
+    val c1 = out.filter(_._2 == 1L)
+    assert(c1.length == 2 && c1.forall(r => r._3 == 1L && r._4 == 0L))
+  }
+}
