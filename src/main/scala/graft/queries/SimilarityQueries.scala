@@ -209,33 +209,46 @@ object SimilarityQueries {
     */
   def q108PqCodebook(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Pq.codebookStats(
-      Tables.load(spark, dir, "embeddings"), m = 2, k = 4)
+      Tables.load(spark, dir, "embeddings"), m = PqM, k = PqK)
 
-  val q108Oracle: String = {
-    val (m, k) = (2, 4)
-    val d2 =
-      """list_reduce(
-        |      list_transform(range(1, len(s.v) + 1),
-        |        i -> (s.v[i] - c.cvec[i]) * (s.v[i] - c.cvec[i])),
-        |      (x, y) -> x + y)""".stripMargin
-    s"""WITH e AS (
+  /** The q108/q109 PQ geometry — single definition, interpolated into
+    * both oracles.
+    */
+  private val PqM = 2
+  private val PqK = 4
+
+  /** Integer L2² between two subvector aliases (ascending integer
+    * fold — order-free, engine-exact).
+    */
+  private def pqDistSql(a: String, b: String): String =
+    s"""list_reduce(
+       |      list_transform(range(1, len($a) + 1),
+       |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+       |      (x, y) -> x + y)""".stripMargin
+
+  /** Shared PQ training CTE chain (quantize → split → seed → assign →
+    * floor-mean → refined assignment a1(ss, vec_id, code, d)), ending
+    * without a final SELECT so each query appends its own rollup.
+    */
+  private def pqTrainCtes: String =
+    s"""e AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |sv AS (
        |  SELECT vec_id, CAST(ss AS INT) AS ss,
-       |    CASE WHEN ss = $m - 1
-       |      THEN list_slice(q, ss * (len(q) // $m) + 1, len(q))
-       |      ELSE list_slice(q, ss * (len(q) // $m) + 1,
-       |                      (ss + 1) * (len(q) // $m)) END AS v
-       |  FROM e, range(0, $m) r(ss)),
+       |    CASE WHEN ss = $PqM - 1
+       |      THEN list_slice(q, ss * (len(q) // $PqM) + 1, len(q))
+       |      ELSE list_slice(q, ss * (len(q) // $PqM) + 1,
+       |                      (ss + 1) * (len(q) // $PqM)) END AS v
+       |  FROM e, range(0, $PqM) r(ss)),
        |seeds AS (
        |  SELECT ss, vec_id AS code, v AS cvec FROM sv
-       |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+       |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
        |d0 AS (
        |  SELECT s.ss, s.vec_id, c.code, s.v,
-       |    $d2 AS d
+       |    ${pqDistSql("s.v", "c.cvec")} AS d
        |  FROM sv s JOIN seeds c USING (ss)),
        |a0 AS (
        |  SELECT ss, vec_id, code, v FROM (
@@ -252,29 +265,75 @@ object SimilarityQueries {
        |  FROM comp GROUP BY 1, 2),
        |d1 AS (
        |  SELECT s.ss, s.vec_id, c.code,
-       |    $d2 AS d
+       |    ${pqDistSql("s.v", "c.cvec")} AS d
        |  FROM sv s JOIN cb1 c USING (ss)),
        |a1 AS (
-       |  SELECT ss, code, d FROM (
+       |  SELECT ss, vec_id, code, d FROM (
        |    SELECT *, row_number() OVER (PARTITION BY ss, vec_id
-       |      ORDER BY d, code) AS rk FROM d1) WHERE rk = 1)
+       |      ORDER BY d, code) AS rk FROM d1) WHERE rk = 1)""".stripMargin
+
+  val q108Oracle: String =
+    s"""WITH $pqTrainCtes
        |SELECT ss AS subspace, code,
        |  CAST(count(*) AS BIGINT) AS n_vectors,
        |  CAST(sum(d) AS BIGINT) AS sq_err
        |FROM a1 GROUP BY 1, 2""".stripMargin
+
+  /** q109 — PQ's query path (ADC): encode the corpus as m codes per
+    * vector, build each query's per-(subspace, code) integer distance
+    * lookup table, rank neighbors by the summed table entries
+    * ([[graft.operators.Pq.adcTopK]]). Distances are integers, so the
+    * ranking — and the whole result — is hash-exact.
+    */
+  def q109PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    graft.operators.Pq.adcTopK(e, queriesOf(e), topK = 5, m = PqM, k = PqK)
   }
+
+  val q109Oracle: String =
+    s"""WITH $pqTrainCtes,
+       |qe AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id < $QueryCutoff),
+       |qsv AS (
+       |  SELECT query_id, CAST(ss AS INT) AS ss,
+       |    CASE WHEN ss = $PqM - 1
+       |      THEN list_slice(q, ss * (len(q) // $PqM) + 1, len(q))
+       |      ELSE list_slice(q, ss * (len(q) // $PqM) + 1,
+       |                      (ss + 1) * (len(q) // $PqM)) END AS v
+       |  FROM qe, range(0, $PqM) r(ss)),
+       |lut AS (
+       |  SELECT s.query_id, s.ss, c.code,
+       |    ${pqDistSql("s.v", "c.cvec")} AS d
+       |  FROM qsv s JOIN cb1 c USING (ss)),
+       |sc AS (
+       |  SELECT l.query_id, e2.vec_id, CAST(sum(l.d) AS BIGINT) AS ad
+       |  FROM (SELECT ss, vec_id, code FROM a1) e2
+       |  JOIN lut l ON e2.ss = l.ss AND e2.code = l.code
+       |  WHERE e2.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id AS neighbor_id, ad AS adc_dist,
+       |  CAST(rk AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ad, vec_id) AS rk FROM sc)
+       |WHERE rk <= 5""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
     "q26_sign_bucket_pairs" -> (q26SignBucketPairs _),
     "q33_ivf_ann" -> (q33IvfAnn _),
-    "q108_pq_codebook" -> (q108PqCodebook _))
+    "q108_pq_codebook" -> (q108PqCodebook _),
+    "q109_pq_adc" -> (q109PqAdc _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
     "q25_ann_lsh" -> q25Oracle,
     "q26_sign_bucket_pairs" -> q26Oracle,
     "q33_ivf_ann" -> q33Oracle,
-    "q108_pq_codebook" -> q108Oracle)
+    "q108_pq_codebook" -> q108Oracle,
+    "q109_pq_adc" -> q109Oracle)
 }

@@ -27,6 +27,22 @@ class PqSpec extends SparkSpec {
     assert(out.forall(_._3 == 6L))
   }
 
+  test("ADC search ranks exact-pattern replicas first with zero distance") {
+    val pats = Seq(
+      Array(0f, 0f, .5f, .5f), Array(.1f, .1f, .4f, .4f),
+      Array(.2f, .2f, .3f, .3f), Array(.3f, .3f, .2f, .2f))
+    val corpus = (pats.zipWithIndex.map { case (p, i) => (i.toLong, p) } ++
+      (10L to 29L).map(i => (i, pats((i % 4).toInt))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, pats(0))).toDF("query_id", "query_vec")
+    val got = Pq.adcTopK(corpus, queries, topK = 5, m = 2, k = 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // the 5 replicas of pattern 0 (ids ≡ 0 mod 4, self excluded), all
+    // at asymmetric distance 0, ranked by neighbor id
+    assert(got.map(_._2).toSeq == Seq(12L, 16L, 20L, 24L, 28L))
+    assert(got.forall(_._3 == 0L))
+  }
+
   test("equidistant vectors break ties toward the lowest code") {
     // quantized subvector (1e6,1e6) sits exactly between the seed
     // patterns (0,0) and (2e6,2e6) — equal integer distance to both,
