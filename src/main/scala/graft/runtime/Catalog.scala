@@ -15,16 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `process_covid_ods.py:79-91` / `process_covid_dds.py:81-93` /
   *    `process_covid_data_mart.py:123-126`;
   *  - `createOrReplace` = full overwrite (`process_covid_dds.py:41-44`);
-  *  - `append` = partitioned append (`process_covid_raw.py:102-113`).
+  *  - `append` = partitioned append (`process_covid_raw.py:102-113`);
+  *  - `versions > 0` retains each full-replace's previous state as an
+  *    Iceberg-snapshot-style version (the crash-safety protocol
+  *    already produces it as a complete directory — versioning keeps
+  *    it instead of deleting): `history` / `readVersion` (time
+  *    travel) / `restoreVersion` (rollback-as-a-version), pruned to
+  *    the newest `versions`. Applies to the safeSwapWrite paths
+  *    (createOrReplace, writeClustered, compact, unpartitioned
+  *    merge); partitioned overwrites stay partition-scoped.
   *
   * Scale note: every write is a straight distributed parquet write — no
   * driver-side collection; partition columns become hive directories so
   * reads get partition pruning for free.
   */
 final case class Catalog(spark: SparkSession, root: String,
-                         format: String = "parquet") {
+                         format: String = "parquet",
+                         versions: Int = 0) {
   require(Catalog.Formats.contains(format),
     s"unsupported storage format '$format' (one of ${Catalog.Formats.mkString(", ")})")
+  require(versions >= 0, "versions must be >= 0 (0 = versioning off)")
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
@@ -318,13 +328,72 @@ final case class Catalog(spark: SparkSession, root: String,
       fs.mkdirs(hp.getParent)
       require(fs.rename(old, hp),
         s"swap recovery: could not restore $hp from $old")
+    } else if (fs.exists(old) && versions > 0) {
+      // a crash fell between the swap and the archive below — the
+      // orphan IS a complete previous version: finish archiving it
+      archiveVersion(fs, layer, table, old)
     }
     fs.delete(tmp, true)
     fs.delete(old, true)
     writeTo(tmp.toString)
     swapDirIn(fs, newDir = tmp, live = hp, aside = old)
-    fs.delete(old, true)
+    // snapshot retention (the Iceberg-snapshot semantic the reference
+    // relies on): the crash-safety protocol already produced the
+    // previous version as a complete directory — RETAIN it as
+    // v<N> instead of deleting, pruned to the newest `versions`
+    if (fs.exists(old)) {
+      if (versions > 0) archiveVersion(fs, layer, table, old)
+      else fs.delete(old, true)
+    }
   }
+
+  private def versionsDir(layer: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"${path(layer, table)}.__versions")
+
+  /** Move a complete previous table copy into the version store as
+    * the next v<N> and prune beyond the retention window.
+    */
+  private def archiveVersion(fs: org.apache.hadoop.fs.FileSystem,
+                             layer: String, table: String,
+                             from: org.apache.hadoop.fs.Path): Unit = {
+    val dir = versionsDir(layer, table)
+    fs.mkdirs(dir)
+    val next = history(layer, table).lastOption.getOrElse(0) + 1
+    require(fs.rename(from, new org.apache.hadoop.fs.Path(dir, f"v$next%06d")),
+      s"version archive: could not retain $from as v$next")
+    history(layer, table).dropRight(versions).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"v$v%06d"), true)
+    }
+  }
+
+  /** Retained version numbers for a versioned table, oldest first.
+    * Version N is the table as it was BEFORE the (N+1)-th retained
+    * replace — Iceberg-snapshot-style history without a metastore.
+    */
+  def history(layer: String, table: String): Seq[Int] = {
+    val dir = versionsDir(layer, table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{6}")).map(_.drop(1).toInt).sorted
+  }
+
+  /** Time-travel read of a retained version. */
+  def readVersion(layer: String, table: String, version: Int): DataFrame = {
+    require(history(layer, table).contains(version),
+      s"$layer.$table has no retained version $version " +
+        s"(history: ${history(layer, table).mkString(", ")})")
+    spark.read.format(format).options(readOptions)
+      .load(new org.apache.hadoop.fs.Path(
+        versionsDir(layer, table), f"v$version%06d").toString)
+  }
+
+  /** Roll the live table back to a retained version. The replaced
+    * current state is itself archived first (rollback is one more
+    * version, never a deletion), so a rollback can be rolled back.
+    */
+  def restoreVersion(layer: String, table: String, version: Int): Unit =
+    createOrReplace(readVersion(layer, table, version), layer, table)
 
   /** Z-order-clustered write: range-partition and sort by the Morton
     * interleave of two columns so every output file is tight in BOTH

@@ -126,6 +126,46 @@ class CatalogSpec extends SparkSpec {
   private def readAll2(cat: Catalog, layer: String, table: String): Set[(String, Long)] =
     cat.read(layer, table).select("k", "v").as[(String, Long)].collect().toSet
 
+  test("versioned catalog: history, time travel, retention, rollback") {
+    val cat = Catalog(spark, tmpDir("vcat"), versions = 2)
+    def replace(k: String, v: Long) =
+      cat.createOrReplace(Seq((k, v)).toDF("k", "v"), "dds", "t")
+    replace("a", 1L) // first write: nothing to archive
+    assert(cat.history("dds", "t").isEmpty)
+    replace("b", 2L) // retains gen1 as v1
+    assert(cat.history("dds", "t") == Seq(1))
+    assert(readAll2(cat, "dds", "t") == Set(("b", 2L)))
+    assert(cat.readVersion("dds", "t", 1).select("k", "v")
+      .as[(String, Long)].collect().toSet == Set(("a", 1L)))
+    replace("c", 3L) // v2 = gen2
+    replace("d", 4L) // v3 = gen3; v1 pruned (retention 2)
+    assert(cat.history("dds", "t") == Seq(2, 3))
+    // rollback is one more version, never a deletion: the replaced
+    // live state (gen4) is archived, so rollback can be rolled back
+    cat.restoreVersion("dds", "t", 2)
+    assert(readAll2(cat, "dds", "t") == Set(("b", 2L)))
+    assert(cat.history("dds", "t") == Seq(3, 4))
+    intercept[IllegalArgumentException] {
+      cat.readVersion("dds", "t", 1) // pruned
+    }
+  }
+
+  test("a crash between swap and archive still retains the version") {
+    val root = tmpDir("vcat")
+    val cat = Catalog(spark, root, versions = 3)
+    cat.createOrReplace(Seq(("a", 1L)).toDF("k", "v"), "dds", "t")
+    // simulate the narrowest crash: the previous version was moved
+    // aside but never archived — the orphan must become a version on
+    // the next replace, not be deleted
+    Seq(("x", 9L)).toDF("k", "v").write.parquet(s"$root/dds/t.__swapold")
+    cat.createOrReplace(Seq(("b", 2L)).toDF("k", "v"), "dds", "t")
+    assert(cat.history("dds", "t") == Seq(1, 2))
+    assert(cat.readVersion("dds", "t", 1).select("k", "v")
+      .as[(String, Long)].collect().toSet == Set(("x", 9L)))
+    assert(cat.readVersion("dds", "t", 2).select("k", "v")
+      .as[(String, Long)].collect().toSet == Set(("a", 1L)))
+  }
+
   test("tableExists probe (S4)") {
     val cat = Catalog(spark, tmpDir("cat"))
     assert(!cat.tableExists("raw", "nope"))
