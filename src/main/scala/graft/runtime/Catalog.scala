@@ -395,6 +395,24 @@ final case class Catalog(spark: SparkSession, root: String,
   def restoreVersion(layer: String, table: String, version: Int): Unit =
     createOrReplace(readVersion(layer, table, version), layer, table)
 
+  /** Incremental read between two retained versions (`to` = None
+    * reads the live table): the row-level changes as an `__op`-tagged
+    * frame ("insert" rows appeared, "delete" rows vanished; an update
+    * is a delete+insert pair — exactly the shape
+    * [[graft.streaming.Streaming.mergeSink]]-style appliers consume).
+    * Multiset semantics via exceptAll, so duplicate rows diff by
+    * count. A snapshot diff is inherently a two-table scan + shuffle;
+    * use it at the cadence snapshots are taken, not per query.
+    */
+  def changesBetween(layer: String, table: String, from: Int,
+                     to: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = readVersion(layer, table, from)
+    val b = to.map(readVersion(layer, table, _)).getOrElse(read(layer, table))
+    b.exceptAll(a).withColumn("__op", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("__op", lit("delete")))
+  }
+
   /** Z-order-clustered write: range-partition and sort by the Morton
     * interleave of two columns so every output file is tight in BOTH
     * dimensions — parquet min/max row-group skipping then prunes scans

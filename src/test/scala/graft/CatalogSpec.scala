@@ -150,6 +150,24 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("changesBetween reads version diffs as op-tagged changes") {
+    val cat = Catalog(spark, tmpDir("vcat"), versions = 3)
+    cat.createOrReplace(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), "dds", "t")
+    cat.createOrReplace(
+      Seq(("a", 1L), ("b", 20L), ("c", 3L)).toDF("k", "v"), "dds", "t")
+    // v1 → live: b updated (delete+insert pair), c inserted
+    val ch = cat.changesBetween("dds", "t", from = 1)
+      .select($"k", $"v", $"__op").as[(String, Long, String)]
+      .collect().toSet
+    assert(ch == Set(
+      ("b", 2L, "delete"), ("b", 20L, "insert"), ("c", 3L, "insert")))
+    // identical versions diff to nothing
+    cat.createOrReplace(
+      Seq(("a", 1L), ("b", 20L), ("c", 3L)).toDF("k", "v"), "dds", "t")
+    assert(cat.changesBetween("dds", "t", from = 2).isEmpty)
+  }
+
   test("a crash between swap and archive still retains the version") {
     val root = tmpDir("vcat")
     val cat = Catalog(spark, root, versions = 3)
