@@ -354,9 +354,14 @@ object DedupQueries {
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
   }
 
-  val q57Oracle: String = {
+  /** Shared q57/q110 oracle fragment: sign-bucket near pairs →
+    * symmetric edges → recursive transitive closure → per-node min
+    * reachable id (`comp(id, cluster)`) — the independent
+    * transitive-closure check of the distributed propagation.
+    */
+  private val dupClusterCtes: String = {
     val bucket = graft.operators.Similarity.signBucketSql("embedding", 8)
-    s"""WITH RECURSIVE e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
        |pairs AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -371,12 +376,56 @@ object DedupQueries {
        |  SELECT src AS id, src AS lab FROM edges
        |  UNION
        |  SELECT g.src, r.lab FROM edges g JOIN reach r ON g.dst = r.id),
-       |comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+       |comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
+  }
+
+  val q57Oracle: String =
+    s"""WITH RECURSIVE $dupClusterCtes
        |SELECT v.vec_id, coalesce(c.cluster, v.vec_id) AS cluster,
        |  CAST(count(*) OVER (PARTITION BY coalesce(c.cluster, v.vec_id)) AS BIGINT)
        |    AS cluster_size
        |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id""".stripMargin
+
+  /** q110 — canonical-document selection, the dedup FINISHING step:
+    * after pair mining (q26) and clustering (q57), keep exactly one
+    * representative per duplicate cluster — longest document first
+    * (the standard keep-longest heuristic), doc_id as the
+    * deterministic tie-break — and mark the rest for dropping. One
+    * window pass over the clustered frame; the quality join is a
+    * broadcast-sized id join (embeddings ↔ documents are 1:1 here).
+    */
+  def q110CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clusters, Similarity}
+    val e = Tables.load(spark, dir, "embeddings")
+    val pairs = Similarity.signBucketNearPairs(e, bits = 8, minCos = 0.25)
+      .select(col("id1"), col("id2"))
+    val comps = Clusters.connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("id", "vec_id")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val clustered = e.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id").as("doc_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+      .join(docs, Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clustered
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("cluster"), col("source"), col("keep"))
   }
+
+  val q110Oracle: String =
+    s"""WITH RECURSIVE $dupClusterCtes,
+       |cl AS (
+       |  SELECT v.vec_id AS doc_id,
+       |    coalesce(c.cluster, v.vec_id) AS cluster
+       |  FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id)
+       |SELECT cl.doc_id, cl.cluster, d.source,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY cl.cluster
+       |         ORDER BY d.n_chars DESC, cl.doc_id) = 1
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM cl JOIN documents d ON d.doc_id = cl.doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
@@ -385,7 +434,8 @@ object DedupQueries {
     "q23_simhash" -> (q23Simhash _),
     "q34_embed_dedup" -> (q34EmbedDedup _),
     "q41_source_minhash" -> (q41SourceMinhash _),
-    "q57_dup_clusters" -> (q57DupClusters _))
+    "q57_dup_clusters" -> (q57DupClusters _),
+    "q110_canonical_docs" -> (q110CanonicalDocs _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
@@ -394,5 +444,6 @@ object DedupQueries {
     "q23_simhash" -> q23Oracle,
     "q34_embed_dedup" -> q34Oracle,
     "q41_source_minhash" -> q41Oracle,
-    "q57_dup_clusters" -> q57Oracle)
+    "q57_dup_clusters" -> q57Oracle,
+    "q110_canonical_docs" -> q110Oracle)
 }
