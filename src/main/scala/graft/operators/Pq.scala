@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.runtime.Materialize
 
@@ -128,14 +127,14 @@ object Pq {
         .join(cb1, Seq("ss"))
         .select(col("id").as("query_id"), col("ss"), col("code"),
           dist2(col("v"), col("cvec")).as("d")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ad"), col("vec_id"))
-    encoded.join(lut, Seq("ss", "code"))
+    val scored = encoded.join(lut, Seq("ss", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d")).as("ad"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    // rank through the bounded-heap TopKPerGroup operator — O(topK)
+    // memory per query, no full per-partition sort
+    graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("ad").asc, col("vec_id").asc), topK, rankName = "rank")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("ad").as("adc_dist"), col("rank"))
   }

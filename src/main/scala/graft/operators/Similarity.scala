@@ -39,17 +39,17 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector: broadcast the queries,
     * score every (query, corpus) pair, keep k by (cos desc, id) with a
-    * deterministic tie-break.
+    * deterministic tie-break. Ranking runs through the bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator — O(k) memory per query
+    * instead of WindowExec's full per-partition sort+buffer.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("query_vec"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("neighbor_id").asc), k, rankName = "rank")
   }
 
   /** Multi-table random-hyperplane signatures: `tables` independent
@@ -98,12 +98,10 @@ object Similarity {
       .select(col("query_id"), col("query_vec"),
         col("vec_id").as("neighbor_id"), col("embedding"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
+    val scored = candidates
       .withColumn("cos", cosine(col("query_vec"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("neighbor_id").asc), k, rankName = "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -151,14 +149,12 @@ object Similarity {
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
       .select(col("cid"), col("query_id"), col("query_vec"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    probed.join(assigned, Seq("cid"))
+    val reranked = probed.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("query_vec"), col("embedding")).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perGroup(reranked, Seq(col("query_id")),
+      Seq(col("cos").desc, col("neighbor_id").asc), k, rankName = "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
