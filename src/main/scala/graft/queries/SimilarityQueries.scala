@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
-import graft.runtime.Tables
+import graft.runtime.{Materialize, Tables}
 
 /** Extension tier — similarity search over the `embeddings` table.
   *
@@ -321,13 +321,108 @@ object SimilarityQueries {
        |        ORDER BY ad, vec_id) AS rk FROM sc)
        |WHERE rk <= 5""".stripMargin
 
+  /** q111 — random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction with a neighborhood-preservation measurement: project
+    * the integer-quantized 64-dim embeddings onto [[RpDims]] ±1
+    * pseudo-random axes (sign = parity of an integer square hash —
+    * no stored matrix, any engine can re-derive it), then report, per
+    * query, how many of its true dot-product top-5 survive in the
+    * reduced space. Everything is integer (quantized components,
+    * exact ±1 sums, integer dot products), so the overlap counts are
+    * hash-exact. The projection is a scan-parallel scalar transform;
+    * both rankings run through the bounded-heap top-k operator.
+    */
+  private val RpDims = 16
+
+  /** ±1 sign for (component i, output dim j) as inline SQL — shared
+    * verbatim between the Spark expression and the DuckDB oracle.
+    */
+  private def rpSign(qi: String): String =
+    s"CASE WHEN (((i * 131 + j * 31 + 7) * (i * 131 + j * 31 + 7)) % 1000003) % 2 = 0 THEN $qi ELSE -$qi END"
+
+  def q111JlOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val red = e.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("q"))
+      .withColumn("r", expr(
+        s"""transform(sequence(0, ${RpDims - 1}), j ->
+           |  aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
+           |    (acc, i) -> acc + ${rpSign("element_at(q, i)")}))""".stripMargin))
+      .transform(Materialize.once) // corpus side + query side
+    val qs = broadcast(red.filter(col("vec_id") < QueryCutoff)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("r").as("qr")))
+    val scored = red.crossJoin(qs)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotL(col("q"), col("qq")).as("d0"),
+        dotL(col("r"), col("qr")).as("d1"))
+      .transform(Materialize.once) // two top-k consumers
+    def top(ord: Column) = graft.plans.TopK
+      .perGroup(scored, Seq(col("query_id")),
+        Seq(ord.desc, col("vec_id").asc), 5, rankName = "rk")
+      .select(col("query_id"), col("vec_id"))
+    val overlap = top(col("d0")).join(top(col("d1")),
+        Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    // left join from the query list: a query whose top-5 sets are
+    // disjoint must still appear, with overlap 0
+    qs.select(col("query_id")).join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"))
+  }
+
+  val q111Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |red AS (
+       |  SELECT vec_id, q,
+       |    list_transform(range(0, $RpDims), j ->
+       |      list_reduce(list_transform(range(1, len(q) + 1),
+       |        i -> ${rpSign("q[i]")}), (x, y) -> x + y)) AS r
+       |  FROM e),
+       |qs AS (
+       |  SELECT vec_id AS query_id, q AS qq, r AS qr FROM red
+       |  WHERE vec_id < $QueryCutoff),
+       |sc AS (
+       |  SELECT s.query_id, c.vec_id,
+       |    list_reduce(list_transform(range(1, len(c.q) + 1),
+       |      i -> c.q[i] * s.qq[i]), (x, y) -> x + y) AS d0,
+       |    list_reduce(list_transform(range(1, len(c.r) + 1),
+       |      i -> c.r[i] * s.qr[i]), (x, y) -> x + y) AS d1
+       |  FROM red c, qs s WHERE c.vec_id <> s.query_id),
+       |t0 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d0 DESC, vec_id) AS rk FROM sc) WHERE rk <= 5),
+       |t1 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d1 DESC, vec_id) AS rk FROM sc) WHERE rk <= 5),
+       |ov AS (
+       |  SELECT t0.query_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM t0 JOIN t1 ON t0.query_id = t1.query_id
+       |                 AND t0.vec_id = t1.vec_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, coalesce(ov.n, 0) AS n_overlap
+       |FROM qs q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
     "q26_sign_bucket_pairs" -> (q26SignBucketPairs _),
     "q33_ivf_ann" -> (q33IvfAnn _),
     "q108_pq_codebook" -> (q108PqCodebook _),
-    "q109_pq_adc" -> (q109PqAdc _))
+    "q109_pq_adc" -> (q109PqAdc _),
+    "q111_jl_overlap" -> (q111JlOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
@@ -335,5 +430,6 @@ object SimilarityQueries {
     "q26_sign_bucket_pairs" -> q26Oracle,
     "q33_ivf_ann" -> q33Oracle,
     "q108_pq_codebook" -> q108Oracle,
-    "q109_pq_adc" -> q109Oracle)
+    "q109_pq_adc" -> q109Oracle,
+    "q111_jl_overlap" -> q111Oracle)
 }
