@@ -1778,6 +1778,80 @@ object PipelineQueries {
       |  CAST(count(*) AS BIGINT) AS n_hits
       |FROM grouped GROUP BY doc_id, grp""".stripMargin
 
+  /** q112 — corpus-internal duplicated-substring spans: the
+    * shingle-level approximation of suffix-array exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — their unit is a ≥50-token repeated
+    * substring; here 8-token shingles at test scale). Any 8-token
+    * window whose text occurs MORE THAN ONCE in the corpus marks its
+    * positions; per document, overlapping marks merge into maximal
+    * spans with the q80/q106 sweep-line. Unlike q106 (contamination
+    * against a fixed benchmark set), the duplicated-gram table is
+    * corpus-scale, so the hits join shuffles on the gram key — no
+    * broadcast — and the rest is one window pass per doc.
+    *
+    * Output: (doc_id, start_tok, end_tok, n_hits) — the ranges an
+    * exact-substring dedup pass would excise or count.
+    */
+  def q112DupSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> struct(i AS s, concat_ws(' ', slice(toks, i, 8)) AS g))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
+      .transform(Materialize.once) // duplicate census + hits join
+    val dup = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("g"))
+    val hits = sh.join(dup, Seq("g"))
+      .select(col("doc_id"), col("s"), (col("s") + 7).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    hits
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        (col("pme").isNull || col("pme") + 1 < col("s")).cast("long"))
+      .withColumn("grp", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_hits"))
+  }
+
+  val q112Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(i AS INT) AS s,
+      |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+      |  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) u(i)),
+      |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+      |hits AS (
+      |  SELECT doc_id, s, s + 7 AS e FROM sh
+      |  WHERE g IN (SELECT g FROM dup)),
+      |marked AS (
+      |  SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pme
+      |  FROM hits),
+      |grouped AS (
+      |  SELECT doc_id, s, e,
+      |    CAST(sum(CASE WHEN pme IS NULL OR pme + 1 < s THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS grp
+      |  FROM marked)
+      |SELECT doc_id, CAST(min(s) AS INT) AS start_tok,
+      |  CAST(max(e) AS INT) AS end_tok,
+      |  CAST(count(*) AS BIGINT) AS n_hits
+      |FROM grouped GROUP BY doc_id, grp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -1815,7 +1889,8 @@ object PipelineQueries {
     "q104_chunking" -> (q104Chunking _),
     "q105_bpe_train" -> (q105BpeTrain _),
     "q106_contam_spans" -> (q106ContamSpans _),
-    "q107_bpe_tokenize" -> (q107BpeTokenize _))
+    "q107_bpe_tokenize" -> (q107BpeTokenize _),
+    "q112_dup_substrings" -> (q112DupSubstrings _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1854,5 +1929,6 @@ object PipelineQueries {
     "q104_chunking" -> q104Oracle,
     "q105_bpe_train" -> q105Oracle,
     "q106_contam_spans" -> q106Oracle,
-    "q107_bpe_tokenize" -> q107Oracle)
+    "q107_bpe_tokenize" -> q107Oracle,
+    "q112_dup_substrings" -> q112Oracle)
 }
