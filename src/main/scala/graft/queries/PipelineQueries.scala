@@ -1793,7 +1793,16 @@ object PipelineQueries {
     * Output: (doc_id, start_tok, end_tok, n_hits) — the ranges an
     * exact-substring dedup pass would excise or count.
     */
-  def q112DupSubstrings(spark: SparkSession, dir: String): DataFrame = {
+  def q112DupSubstrings(spark: SparkSession, dir: String): DataFrame =
+    dupSubstringSpans(spark, dir)
+
+  /** Shared span pipeline for q112 (detection) and q113 (removal):
+    * positional 8-gram census → duplicated grams (occ > 1, corpus-scale
+    * shuffle on the gram key) → per-doc sweep-line merge into maximal
+    * spans. Output (doc_id, start_tok, end_tok, n_hits), 1-based
+    * inclusive, spans disjoint and separated by ≥1 kept token.
+    */
+  private def dupSubstringSpans(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -1820,6 +1829,42 @@ object PipelineQueries {
       .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"),
         count(lit(1)).as("n_hits"))
       .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_hits"))
+  }
+
+  /** q113 — duplicated-substring REMOVAL: the excision step q112 only
+    * locates (Lee et al. ACL 2022 drop every occurrence of a repeated
+    * substring; a keep-one-copy policy is the document-level dedup
+    * tier's job, q20/q78). Every token covered by a merged duplicate
+    * span is cut and the document re-assembled from the survivors.
+    *
+    * Scale shape: the only corpus-scale shuffle is the gram census the
+    * spans already need. The excision itself never explodes tokens into
+    * a shuffle — spans collapse to one array per affected doc (bounded
+    * by doc length), broadcast-free equi-join back on doc_id, and the
+    * cut is a codegen'd filter-with-index lambda over the token array
+    * inside the scan's stage. Docs with nothing to cut pass through the
+    * left join untouched.
+    *
+    * Output: (doc_id, n_tokens, n_removed, cleaned_text) — whitespace-
+    * normalized rebuild, empty string when everything was duplicated.
+    */
+  def q113DupRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val spanAgg = dupSubstringSpans(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .join(spanAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(expr(
+          "aggregate(spans, 0L, (acc, sp) -> acc + sp.end_tok - sp.start_tok + 1)"),
+          lit(0L)).as("n_removed"),
+        expr(
+          "array_join(filter(toks, (t, i) -> spans IS NULL OR NOT exists(spans, " +
+            "sp -> sp.start_tok <= i + 1 AND i + 1 <= sp.end_tok)), ' ')")
+          .as("cleaned_text"))
   }
 
   val q112Oracle: String =
@@ -1851,6 +1896,52 @@ object PipelineQueries {
       |  CAST(max(e) AS INT) AS end_tok,
       |  CAST(count(*) AS BIGINT) AS n_hits
       |FROM grouped GROUP BY doc_id, grp""".stripMargin
+
+  val q113Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(i AS INT) AS s,
+      |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+      |  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) u(i)),
+      |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+      |hits AS (
+      |  SELECT doc_id, s, s + 7 AS e FROM sh
+      |  WHERE g IN (SELECT g FROM dup)),
+      |marked AS (
+      |  SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pme
+      |  FROM hits),
+      |grouped AS (
+      |  SELECT doc_id, s, e,
+      |    sum(CASE WHEN pme IS NULL OR pme + 1 < s THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM marked),
+      |spans AS (
+      |  SELECT doc_id, min(s) AS s, max(e) AS e
+      |  FROM grouped GROUP BY doc_id, grp),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS INT) AS s, toks[CAST(i AS INT)] AS tok
+      |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+      |kept AS (
+      |  SELECT p.doc_id, p.s, p.tok FROM pos p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = p.doc_id AND sp.s <= p.s AND p.s <= sp.e)),
+      |reb AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY s) AS cleaned_text
+      |  FROM kept GROUP BY doc_id),
+      |rem AS (
+      |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      |  FROM spans GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  coalesce(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+      |  coalesce(reb.cleaned_text, '') AS cleaned_text
+      |FROM t LEFT JOIN rem USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
@@ -1890,7 +1981,8 @@ object PipelineQueries {
     "q105_bpe_train" -> (q105BpeTrain _),
     "q106_contam_spans" -> (q106ContamSpans _),
     "q107_bpe_tokenize" -> (q107BpeTokenize _),
-    "q112_dup_substrings" -> (q112DupSubstrings _))
+    "q112_dup_substrings" -> (q112DupSubstrings _),
+    "q113_dup_removal" -> (q113DupRemoval _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -1930,5 +2022,6 @@ object PipelineQueries {
     "q105_bpe_train" -> q105Oracle,
     "q106_contam_spans" -> q106Oracle,
     "q107_bpe_tokenize" -> q107Oracle,
-    "q112_dup_substrings" -> q112Oracle)
+    "q112_dup_substrings" -> q112Oracle,
+    "q113_dup_removal" -> q113Oracle)
 }
