@@ -1943,6 +1943,96 @@ object PipelineQueries {
       |  coalesce(reb.cleaned_text, '') AS cleaned_text
       |FROM t LEFT JOIN rem USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin
 
+  /** q114 — register-exact HyperLogLog distinct-count sketch
+    * ([[graft.functions.HllAgg]]): per-language distinct-token
+    * cardinality. q47 already exercises Spark's built-in
+    * `approx_count_distinct`, but its HLL++/xxhash registers are
+    * opaque to any other engine, so the oracle there can only check a
+    * tolerance band. This sketch runs the SAME algorithm over the
+    * SQL-portable hash, so the DuckDB oracle rebuilds every register
+    * and hash-matches the harmonic denominator, the zero-register
+    * count, and the integer raw estimate — the sketch algebra itself
+    * is the thing under test. `n_exact` rides along as the quality
+    * yardstick (and is what the 100 TB deployment would NOT compute:
+    * the sketch ships 64 ints per group instead of a distinct-token
+    * shuffle).
+    */
+  def q114HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllAgg
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode_outer(wsTokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      // consumed by the sketch and the exact yardstick — one pass
+      .transform(Materialize.once)
+    val sketch = toks.groupBy(col("lang"))
+      .agg(HllAgg.udaf(col("token")).as("reg"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("token")).as("n_exact"))
+    // denom is the harmonic sum scaled by 2^(Width+1) (empty register
+    // contributes 2^26), so the numerator carries the same scale
+    val num = (HllAgg.AlphaMilli * HllAgg.M * HllAgg.M) << (HllAgg.Width + 1)
+    sketch.join(exact, Seq("lang"))
+      .withColumn("n_zero",
+        expr("size(filter(reg, r -> r = 0))").cast("long"))
+      .withColumn("denom",
+        expr("aggregate(reg, 0L, (acc, r) -> acc + shiftleft(1L, 26 - r))"))
+      .withColumn("est_hll", expr(s"${num}L div (1000L * denom)"))
+      .select(col("lang"), col("n_zero"), col("denom"), col("est_hll"),
+        // Flajolet small-range rule: below 2.5m with empty registers,
+        // a consumer applies linear counting m·ln(m/V) — float, so the
+        // flag (exact integers) is emitted rather than the correction
+        (col("est_hll") < lit(5L * HllAgg.M / 2) && col("n_zero") > 0)
+          .cast("int").as("small_range"),
+        col("n_exact"))
+  }
+
+  val q114Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod, Shift}
+    s"""WITH tok0 AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tok AS (SELECT DISTINCT lang, tok FROM tok0 WHERE tok IS NOT NULL),
+       |h0 AS (
+       |  SELECT lang,
+       |    list_reduce(list_transform(range(1, length(tok)+1),
+       |      i -> ascii(tok[i])::BIGINT),
+       |      (a, b) -> (a * $Base + b) % $Mod) AS hraw
+       |  FROM tok),
+       |h AS (
+       |  SELECT lang,
+       |    ((hraw + $Shift) % $Mod) * ((hraw + $Shift) % $Mod) % $Mod AS hv
+       |  FROM h0),
+       |r AS (
+       |  SELECT lang, CAST(hv % 64 AS INT) AS b,
+       |    CASE WHEN hv // 64 = 0 THEN 26
+       |         ELSE 26 - length(bin(hv // 64)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT lang, b, max(rho) AS m FROM r GROUP BY lang, b),
+       |grid AS (
+       |  SELECT l.lang, CAST(t.b AS INT) AS b
+       |  FROM (SELECT DISTINCT lang FROM documents) l, range(0, 64) t(b)),
+       |fr AS (
+       |  SELECT g.lang, coalesce(regs.m, 0) AS m
+       |  FROM grid g LEFT JOIN regs ON g.lang = regs.lang AND g.b = regs.b),
+       |agg AS (
+       |  SELECT lang,
+       |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |    CAST(sum(1::BIGINT << (26 - m)) AS BIGINT) AS denom
+       |  FROM fr GROUP BY lang),
+       |ex AS (
+       |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+       |  FROM tok GROUP BY lang),
+       |est AS (
+       |  SELECT lang, n_zero, denom,
+       |    (2904064::BIGINT << 26) // (1000::BIGINT * denom) AS est_hll
+       |  FROM agg)
+       |SELECT e.lang, e.n_zero, e.denom, e.est_hll,
+       |  CAST(CASE WHEN e.est_hll < 160 AND e.n_zero > 0
+       |       THEN 1 ELSE 0 END AS INT) AS small_range,
+       |  ex.n_exact
+       |FROM est e JOIN ex USING (lang)""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -1982,7 +2072,8 @@ object PipelineQueries {
     "q106_contam_spans" -> (q106ContamSpans _),
     "q107_bpe_tokenize" -> (q107BpeTokenize _),
     "q112_dup_substrings" -> (q112DupSubstrings _),
-    "q113_dup_removal" -> (q113DupRemoval _))
+    "q113_dup_removal" -> (q113DupRemoval _),
+    "q114_hll_distinct" -> (q114HllDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2023,5 +2114,6 @@ object PipelineQueries {
     "q106_contam_spans" -> q106Oracle,
     "q107_bpe_tokenize" -> q107Oracle,
     "q112_dup_substrings" -> q112Oracle,
-    "q113_dup_removal" -> q113Oracle)
+    "q113_dup_removal" -> q113Oracle,
+    "q114_hll_distinct" -> q114Oracle)
 }
