@@ -401,13 +401,86 @@ object CorpusQueries {
       |  cume_dist() OVER (PARTITION BY source ORDER BY dl) AS cume
       |FROM d""".stripMargin
 
+  /** q115 — phrase search over a POSITIONAL token index: the retrieval
+    * primitive q99's inverted index lacks (its postings are per-token;
+    * a phrase needs adjacency). Query phrases are the opening 3-grams
+    * of a deterministic document subset (doc_id ≡ 0 mod 101 — the
+    * "query log"). Matching is the classic positional-index plan: seed
+    * on the phrase's FIRST token, then one adjacency equi-join per
+    * remaining position ((doc_id, pos+k) against a token stream
+    * PRE-FILTERED to that position's token set). Generalizes to any
+    * phrase length by adding joins — no n-gram materialization, unlike
+    * the shingle joins of q106/q112.
+    *
+    * Scale shape: the phrase table is broadcast everywhere; every
+    * corpus-side stream is membership-filtered map-side BEFORE its
+    * shuffle, so each adjacency join moves only tokens that can still
+    * match (corpus frequency of the phrase's tokens, not corpus size).
+    */
+  def q115PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wsTokens(col("text"))).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))
+      .transform(Materialize.once) // seed + two adjacency streams
+    val ph = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 101 === 0)
+      .select(TextAnalysis.wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("phrase"),
+        element_at(col("toks"), 1).as("t1"),
+        element_at(col("toks"), 2).as("t2"),
+        element_at(col("toks"), 3).as("t3"))
+      .distinct()
+    def filtered(tcol: String): DataFrame = toks
+      .join(broadcast(ph.select(col(tcol)).distinct()), col("tok") === col(tcol))
+      .select(col("doc_id"), col("pos"), col("tok"))
+    val seed = toks.join(broadcast(ph), col("tok") === col("t1"))
+      .select(col("phrase"), col("t2"), col("t3"), col("doc_id"), col("pos"))
+    val two = seed.join(filtered("t2").as("p2"),
+      seed("doc_id") === col("p2.doc_id") &&
+        col("p2.pos") === seed("pos") + 1 && col("p2.tok") === seed("t2"))
+      .select(col("phrase"), col("t3"), seed("doc_id").as("doc_id"), seed("pos").as("pos"))
+    val three = two.join(filtered("t3").as("p3"),
+      two("doc_id") === col("p3.doc_id") &&
+        col("p3.pos") === two("pos") + 2 && col("p3.tok") === two("t3"))
+      .select(col("phrase"), two("doc_id").as("doc_id"))
+    three.groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+  }
+
+  val q115Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS tok
+      |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+      |ph AS (
+      |  SELECT DISTINCT array_to_string(list_slice(toks, 1, 3), ' ') AS phrase,
+      |    toks[1] AS t1, toks[2] AS t2, toks[3] AS t3
+      |  FROM t WHERE doc_id % 101 = 0 AND len(toks) >= 3),
+      |m AS (
+      |  SELECT ph.phrase, p1.doc_id FROM ph
+      |  JOIN pos p1 ON p1.tok = ph.t1
+      |  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      |    AND p2.tok = ph.t2
+      |  JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+      |    AND p3.tok = ph.t3)
+      |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM m GROUP BY phrase""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_prefix_join" -> (q90PrefixJoin _),
     "q91_bm25" -> (q91Bm25 _),
     "q92_gap_fill" -> (q92GapFill _),
     "q93_rare_overlap" -> (q93RareOverlap _),
     "q94_ntile_deciles" -> (q94NtileDeciles _),
-    "q95_cume_dist" -> (q95CumeDist _))
+    "q95_cume_dist" -> (q95CumeDist _),
+    "q115_phrase_search" -> (q115PhraseSearch _))
 
   val oracles: Map[String, String] = Map(
     "q90_prefix_join" -> q90Oracle,
@@ -415,5 +488,6 @@ object CorpusQueries {
     "q92_gap_fill" -> q92Oracle,
     "q93_rare_overlap" -> q93Oracle,
     "q94_ntile_deciles" -> q94Oracle,
-    "q95_cume_dist" -> q95Oracle)
+    "q95_cume_dist" -> q95Oracle,
+    "q115_phrase_search" -> q115Oracle)
 }
