@@ -2033,6 +2033,51 @@ object PipelineQueries {
        |FROM est e JOIN ex USING (lang)""".stripMargin
   }
 
+  /** q116 — model-based quality scoring via the hashing trick
+    * ([[graft.functions.HashedLinearScore]]): the classifier-filter
+    * stage of an LLM data pipeline (fastText-style linear model over
+    * hashed bag-of-words), complementing the RULE-based gates of
+    * q42/q43. The whole model evaluation is one codegen'd expression
+    * inside the scan stage — no explode, no shuffle, no feature
+    * vector; 100 TB cost is exactly one corpus read. The oracle
+    * replays hash → bucket → weight → multiset sum bit-for-bit.
+    */
+  def q116QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val score = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HashedLinearScore(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          wsTokens(col("text")))))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        score.as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
+  }
+
+  val q116Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod, Shift}
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(1, length(tok)+1),
+       |      i -> ascii(tok[i])::BIGINT),
+       |      (a, b) -> (a * $Base + b) % $Mod) AS hv
+       |  FROM tok),
+       |w AS (
+       |  SELECT doc_id,
+       |    ((((hv + 2 * $Shift) % $Mod) * ((hv + 2 * $Shift) % $Mod) % $Mod)
+       |      % 1024) % 13 - 6 AS w
+       |  FROM h),
+       |s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM w GROUP BY doc_id)
+       |SELECT t.doc_id, t.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  s.score,
+       |  CAST(CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM t JOIN s USING (doc_id)""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2073,7 +2118,8 @@ object PipelineQueries {
     "q107_bpe_tokenize" -> (q107BpeTokenize _),
     "q112_dup_substrings" -> (q112DupSubstrings _),
     "q113_dup_removal" -> (q113DupRemoval _),
-    "q114_hll_distinct" -> (q114HllDistinct _))
+    "q114_hll_distinct" -> (q114HllDistinct _),
+    "q116_quality_classifier" -> (q116QualityClassifier _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2115,5 +2161,6 @@ object PipelineQueries {
     "q107_bpe_tokenize" -> q107Oracle,
     "q112_dup_substrings" -> q112Oracle,
     "q113_dup_removal" -> q113Oracle,
-    "q114_hll_distinct" -> q114Oracle)
+    "q114_hll_distinct" -> q114Oracle,
+    "q116_quality_classifier" -> q116Oracle)
 }
