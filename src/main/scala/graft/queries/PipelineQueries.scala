@@ -2078,6 +2078,55 @@ object PipelineQueries {
        |FROM t JOIN s USING (doc_id)""".stripMargin
   }
 
+  /** q117 — distributed quantiles via a MERGEABLE fixed-width
+    * histogram: the scale path q37/q46 only allude to. An exact
+    * quantile needs a global sort; `approx_percentile`'s t-digest is
+    * engine-opaque. A bin-count histogram is both mergeable (counts
+    * add — partial aggregation ships one long per occupied bin) and
+    * exactly replayable: the quantile's BIN LOWER BOUND is a
+    * deterministic integer both engines agree on, with resolution =
+    * bin width (16 chars here). Shape: one corpus-scale groupBy on
+    * (lang, bin), then a bins-per-lang-sized window — at 100 TB the
+    * second stage is KB-sized however large the corpus.
+    */
+  def q117HistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables.load(spark, dir, "documents")
+      .select(col("lang"), expr("n_chars div 16").as("bin"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    bins
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_docs", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        min(when(col("cum") * 100 >= col("n_docs") * 50, col("bin") * 16))
+          .as("p50_lb"),
+        min(when(col("cum") * 100 >= col("n_docs") * 90, col("bin") * 16))
+          .as("p90_lb"),
+        min(when(col("cum") * 100 >= col("n_docs") * 99, col("bin") * 16))
+          .as("p99_lb"))
+  }
+
+  val q117Oracle: String =
+    """WITH c AS (
+      |  SELECT lang, n_chars // 16 AS bin, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY lang, bin),
+      |cum AS (
+      |  SELECT lang, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS n_docs
+      |  FROM c)
+      |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(min(CASE WHEN cum * 100 >= n_docs * 50 THEN bin * 16 END) AS BIGINT)
+      |    AS p50_lb,
+      |  CAST(min(CASE WHEN cum * 100 >= n_docs * 90 THEN bin * 16 END) AS BIGINT)
+      |    AS p90_lb,
+      |  CAST(min(CASE WHEN cum * 100 >= n_docs * 99 THEN bin * 16 END) AS BIGINT)
+      |    AS p99_lb
+      |FROM cum GROUP BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2119,7 +2168,8 @@ object PipelineQueries {
     "q112_dup_substrings" -> (q112DupSubstrings _),
     "q113_dup_removal" -> (q113DupRemoval _),
     "q114_hll_distinct" -> (q114HllDistinct _),
-    "q116_quality_classifier" -> (q116QualityClassifier _))
+    "q116_quality_classifier" -> (q116QualityClassifier _),
+    "q117_hist_quantiles" -> (q117HistQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2162,5 +2212,6 @@ object PipelineQueries {
     "q112_dup_substrings" -> q112Oracle,
     "q113_dup_removal" -> q113Oracle,
     "q114_hll_distinct" -> q114Oracle,
-    "q116_quality_classifier" -> q116Oracle)
+    "q116_quality_classifier" -> q116Oracle,
+    "q117_hist_quantiles" -> q117Oracle)
 }
