@@ -199,6 +199,42 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cvec"))
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup scoped
+    * to k-means cells — cluster the embedding space, then drop every
+    * vector that has a near-duplicate (cos ≥ minCos) with a LOWER
+    * vec_id in the SAME cell (the keep-first discipline of q20, lifted
+    * to embedding space). Complements [[signBucketNearPairs]]: sign
+    * buckets partition by fixed hyperplanes, cells follow the data.
+    *
+    * Scale shape: centroids are broadcast (nlist rows), assignment is
+    * a map-side max_by, and the pair search is a CELL-KEYED self-join
+    * — never all-pairs over the corpus; cell population is controlled
+    * by nlist (at 100 TB you size nlist so cells fit the
+    * sub-quadratic budget, exactly like the paper's per-cluster
+    * pairwise pass).
+    *
+    * Output: (vec_id, cid, kept) for every indexable vector.
+    */
+  def semDedup(embeddings: DataFrame, nlist: Int = 16,
+               minCos: Double = 0.25): DataFrame = {
+    val indexable = embeddings.filter(col("embedding").isNotNull)
+    val seeded = broadcast(indexable.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val cent = broadcast(refineCentroids(indexable, seeded))
+    val cells = graft.runtime.Materialize.once(
+      assignCells(indexable, cent)) // pair self-join (2×) + final join
+    val dropped = cells
+      .select(col("cid"), col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(cells.select(col("cid"), col("vec_id").as("id2"),
+        col("embedding").as("v2")), Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .filter(cosine(col("v1"), col("v2")) >= minCos)
+      .select(col("id2").as("vec_id")).distinct()
+    cells.join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("d").isNull, 1).otherwise(0).cast("int").as("kept"))
+  }
+
   /** SQL-portable sign bucket over the first `bits` dimensions
     * (axis-aligned hyperplane LSH): expressible identically in any SQL
     * engine, so bucketed near-dup queries stay oracle-checkable.

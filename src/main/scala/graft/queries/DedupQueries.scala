@@ -427,6 +427,55 @@ object DedupQueries {
        |       THEN 1 ELSE 0 END AS INT) AS keep
        |FROM cl JOIN documents d ON d.doc_id = cl.doc_id""".stripMargin
 
+  /** q118 — SemDeDup ([[graft.operators.Similarity.semDedup]]): drop
+    * vectors with a lower-id near-duplicate inside their k-means cell.
+    * The oracle replays the full chain — seed centroids from the 16
+    * lowest vec_ids, one integer-quantized Lloyd round, max-cos cell
+    * assignment, within-cell pairwise threshold — so the clustering
+    * AND the dedup decision are both hash-checked.
+    */
+  def q118SemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.semDedup(
+      Tables.load(spark, dir, "embeddings"), nlist = 16, minCos = 0.25)
+
+  val q118Oracle: String = {
+    def cos(a: String, b: String) = SimilarityQueries.cosSql(a, b)
+    s"""WITH cent0 AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT cid, vec_id, embedding FROM (
+       |    SELECT c.cid, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS crank
+       |    FROM embeddings e, cent0 c) WHERE crank = 1),
+       |comp AS (
+       |  SELECT cid, i AS dim,
+       |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+       |        AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM a0, unnest(range(1, len(embedding) + 1)) u(i)
+       |  GROUP BY cid, i),
+       |cent AS (
+       |  SELECT cid,
+       |    list(CAST((sq / n) / 1000000.0 AS FLOAT) ORDER BY dim) AS cvec
+       |  FROM comp GROUP BY cid),
+       |cells AS (
+       |  SELECT cid, vec_id, embedding FROM (
+       |    SELECT c.cid, e.vec_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS crank
+       |    FROM embeddings e, cent c) WHERE crank = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.embedding", "b.embedding")} >= 0.25)
+       |SELECT c.vec_id, c.cid,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
@@ -435,7 +484,8 @@ object DedupQueries {
     "q34_embed_dedup" -> (q34EmbedDedup _),
     "q41_source_minhash" -> (q41SourceMinhash _),
     "q57_dup_clusters" -> (q57DupClusters _),
-    "q110_canonical_docs" -> (q110CanonicalDocs _))
+    "q110_canonical_docs" -> (q110CanonicalDocs _),
+    "q118_semdedup" -> (q118SemDedup _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
@@ -445,5 +495,6 @@ object DedupQueries {
     "q34_embed_dedup" -> q34Oracle,
     "q41_source_minhash" -> q41Oracle,
     "q57_dup_clusters" -> q57Oracle,
-    "q110_canonical_docs" -> q110Oracle)
+    "q110_canonical_docs" -> q110Oracle,
+    "q118_semdedup" -> q118Oracle)
 }

@@ -134,7 +134,7 @@ object SimilarityQueries {
   /** DuckDB cosine over float[] columns — double accumulation in the
     * same order as the native expression, so values compare exactly.
     */
-  private def cosSql(a: String, b: String): String =
+  def cosSql(a: String, b: String): String =
     s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
        |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
        |         * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin

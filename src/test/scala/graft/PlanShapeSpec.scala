@@ -51,7 +51,10 @@ class PlanShapeSpec extends SparkSpec {
     "q100_collocations",
     // feasible-sample-size scalar (1-row min aggregate) crossJoined
     // into the languages-sized rate table
-    "q103_mixture_sample")
+    "q103_mixture_sample",
+    // SemDeDup cell assignment: the 16-row refined-centroid frame is
+    // broadcast-crossJoined into the max_by assignment (q33's shape)
+    "q118_semdedup")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
