@@ -1848,8 +1848,17 @@ object PipelineQueries {
     * Output: (doc_id, n_tokens, n_removed, cleaned_text) — whitespace-
     * normalized rebuild, empty string when everything was duplicated.
     */
-  def q113DupRemoval(spark: SparkSession, dir: String): DataFrame = {
-    val spanAgg = dupSubstringSpans(spark, dir)
+  def q113DupRemoval(spark: SparkSession, dir: String): DataFrame =
+    exciseSpans(spark, dir, dupSubstringSpans(spark, dir))
+
+  /** Shared excision step for q113/q119: cut every token covered by a
+    * span and rebuild. Spans collapse to one array per affected doc,
+    * equi-join back on doc_id, codegen'd filter-with-index lambda in
+    * the scan stage — tokens never explode into a shuffle.
+    */
+  private def exciseSpans(spark: SparkSession, dir: String,
+                          spans: DataFrame): DataFrame = {
+    val spanAgg = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
     Tables.load(spark, dir, "documents")
@@ -1865,6 +1874,51 @@ object PipelineQueries {
           "array_join(filter(toks, (t, i) -> spans IS NULL OR NOT exists(spans, " +
             "sp -> sp.start_tok <= i + 1 AND i + 1 <= sp.end_tok)), ' ')")
           .as("cleaned_text"))
+  }
+
+  /** q119 — exact-substring dedup with KEEP-FIRST semantics: the full
+    * Lee et al. (ACL 2022) policy. q113 drops EVERY occurrence of a
+    * duplicated 8-gram; here each duplicated gram's canonical
+    * occurrence — the globally first by (doc_id, position) — survives,
+    * and only the non-canonical occurrences are marked, swept into
+    * spans, and excised. One copy of every repeated substring remains
+    * in the corpus.
+    *
+    * The canonical choice is a min-struct aggregate riding on the gram
+    * census the pipeline already shuffles for — no extra corpus-scale
+    * stage vs q113. A hit is non-canonical iff its (doc_id, s) differs
+    * from the gram's minimum, an O(1) filter inside the census join.
+    */
+  def q119DupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> struct(i AS s, concat_ws(' ', slice(toks, i, 8)) AS g))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.s").as("s"), col("p.g").as("g"))
+      .transform(Materialize.once) // census + hits join
+    val census = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("s"))).as("canon"))
+      .filter(col("occ") > 1)
+      .select(col("g"), col("canon"))
+    val hits = sh.join(census, Seq("g"))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("s") === col("canon.s")))
+      .select(col("doc_id"), col("s"), (col("s") + 7).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val spans = hits
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        (col("pme").isNull || col("pme") + 1 < col("s")).cast("long"))
+      .withColumn("grp", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"))
+    exciseSpans(spark, dir, spans)
   }
 
   val q112Oracle: String =
@@ -2127,6 +2181,58 @@ object PipelineQueries {
       |    AS p99_lb
       |FROM cum GROUP BY lang""".stripMargin
 
+  val q119Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(i AS INT) AS s,
+      |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+      |  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) u(i)),
+      |canon AS (
+      |  SELECT g, doc_id AS cdoc, s AS cs FROM (
+      |    SELECT g, doc_id, s,
+      |      row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn,
+      |      count(*) OVER (PARTITION BY g) AS occ
+      |    FROM sh) WHERE rn = 1 AND occ > 1),
+      |hits AS (
+      |  SELECT sh.doc_id, sh.s, sh.s + 7 AS e
+      |  FROM sh JOIN canon ON sh.g = canon.g
+      |  WHERE NOT (sh.doc_id = canon.cdoc AND sh.s = canon.cs)),
+      |marked AS (
+      |  SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pme
+      |  FROM hits),
+      |grouped AS (
+      |  SELECT doc_id, s, e,
+      |    sum(CASE WHEN pme IS NULL OR pme + 1 < s THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM marked),
+      |spans AS (
+      |  SELECT doc_id, min(s) AS s, max(e) AS e
+      |  FROM grouped GROUP BY doc_id, grp),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS INT) AS s, toks[CAST(i AS INT)] AS tok
+      |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+      |kept AS (
+      |  SELECT p.doc_id, p.s, p.tok FROM pos p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = p.doc_id AND sp.s <= p.s AND p.s <= sp.e)),
+      |reb AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY s) AS cleaned_text
+      |  FROM kept GROUP BY doc_id),
+      |rem AS (
+      |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      |  FROM spans GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  coalesce(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+      |  coalesce(reb.cleaned_text, '') AS cleaned_text
+      |FROM t LEFT JOIN rem USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2169,7 +2275,8 @@ object PipelineQueries {
     "q113_dup_removal" -> (q113DupRemoval _),
     "q114_hll_distinct" -> (q114HllDistinct _),
     "q116_quality_classifier" -> (q116QualityClassifier _),
-    "q117_hist_quantiles" -> (q117HistQuantiles _))
+    "q117_hist_quantiles" -> (q117HistQuantiles _),
+    "q119_dup_keep_first" -> (q119DupKeepFirst _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2213,5 +2320,6 @@ object PipelineQueries {
     "q113_dup_removal" -> q113Oracle,
     "q114_hll_distinct" -> q114Oracle,
     "q116_quality_classifier" -> q116Oracle,
-    "q117_hist_quantiles" -> q117Oracle)
+    "q117_hist_quantiles" -> q117Oracle,
+    "q119_dup_keep_first" -> q119Oracle)
 }
