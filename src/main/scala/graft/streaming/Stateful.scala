@@ -166,4 +166,33 @@ object Stateful {
           key -> merged
       }
   }
+
+  /** Streaming distinct-count sketch: the SAME HyperLogLog algebra as
+    * the batch aggregator ([[graft.functions.HllAgg]]) carried as
+    * keyed state — 64 register ints per key FOREVER, whatever the
+    * stream's cardinality, which is what makes a distinct count safe
+    * on an infinite stream (exact streaming distinct needs unbounded
+    * state). Because register merge is elementwise max (idempotent,
+    * commutative, associative), replays and duplicate deliveries
+    * cannot corrupt the state, and after any prefix of batches the
+    * registers EQUAL the batch aggregator's over the same rows — the
+    * spec asserts bit-equality, not tolerance.
+    * Emits (key, registers) each update.
+    */
+  def streamingDistinctSketch(tokens: Dataset[(String, String)])
+      : Dataset[(String, Seq[Int])] = {
+    import tokens.sparkSession.implicits._
+    val hll = new graft.functions.HllAgg
+    tokens
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], (String, Seq[Int])](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Int]]) =>
+          val batchRegs = rows.foldLeft(hll.zero)((b, r) => hll.reduce(b, r._2))
+          val merged = hll.merge(state.getOption.getOrElse(hll.zero), batchRegs)
+          state.update(merged)
+          key -> merged.toSeq
+      }
+  }
 }

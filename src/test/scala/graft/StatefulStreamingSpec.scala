@@ -103,4 +103,34 @@ class StatefulStreamingSpec extends SparkSpec {
 
     assert(out == Map("aaa" -> 3L, "bbb" -> 5L, "ccc" -> 2L))
   }
+
+  test("streamingDistinctSketch: registers equal the batch aggregator's, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Stateful.streamingDistinctSketch(mem.toDS())
+      .writeStream.format("memory").queryName("hllsk").outputMode("update").start()
+
+    val batch1 = (0 until 300).map(i => ("a", s"tok$i")) :+ (("b", "only"))
+    val batch2 = (150 until 450).map(i => ("a", s"tok$i")) // half overlap
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)                                // duplicate delivery
+    q.processAllAvailable()
+    val rows = spark.table("hllsk").as[(String, Seq[Int])].collect()
+    q.stop()
+
+    val streamedA = rows.filter(_._1 == "a").last._2
+    // batch twin over the union of all delivered rows for key a
+    import spark.implicits._
+    val batchA = (batch1 ++ batch2).filter(_._1 == "a").map(_._2)
+      .toDF("t").repartition(4)
+      .agg(graft.functions.HllAgg.udaf(org.apache.spark.sql.functions.col("t")))
+      .as[Seq[Int]].collect().head
+    assert(streamedA == batchA)
+    // replayed batch2 changed nothing: the last two updates for a agree
+    val updatesA = rows.filter(_._1 == "a").map(_._2)
+    assert(updatesA(updatesA.length - 2) == streamedA)
+  }
 }
