@@ -294,6 +294,44 @@ object Multimodal {
     }
   }
 
+  final case class ImageHistogram(doc_id: Long, b0: Long, b1: Long,
+                                  b2: Long, b3: Long)
+
+  /** Brightness histogram over the ACTUAL decoded pixels: 4 buckets of
+    * 64 gray levels (g >> 6) — the exposure-screen primitive an image
+    * quality filter runs before training (all-dark / blown-out frames
+    * concentrate in the extreme buckets). Integer bucketing keeps the
+    * oracle replayable over the generation field while the counts come
+    * from the decoder, so a codec fault breaks the hash. Same batched
+    * partition-local shape as [[decode]]; non-images emit no rows.
+    */
+  def brightnessHistogramBatch(batch: Seq[Asset]): Seq[ImageHistogram] =
+    batch.filter(_.modality == "image").map { a =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable image payload for doc ${a.doc_id}")
+      val raster = img.getRaster
+      val counts = new Array[Long](4)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          counts(raster.getSample(x, y, 0) >> 6) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      ImageHistogram(a.doc_id, counts(0), counts(1), counts(2), counts(3))
+    }
+
+  def brightnessHistogram(assets: Dataset[Asset],
+                          batchSize: Int = 64): Dataset[ImageHistogram] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => brightnessHistogramBatch(b.toSeq))
+    }
+  }
+
   /** Frame sampling for fixed-frame-size video payloads: every
     * `stride`-th fixed-size chunk as a frame row — pure built-ins
     * (substr on binary + explode), no UDF, codegen-friendly. Only FULL

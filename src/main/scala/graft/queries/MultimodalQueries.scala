@@ -178,13 +178,66 @@ object MultimodalQueries {
       |          CAST(sum(h2) AS BIGINT) AS sum_h FROM img) a,
       |  (SELECT CAST(sum(m) AS BIGINT) AS rpix_sum FROM px) b""".stripMargin
 
+  /** q120 — brightness-histogram exposure screen over the REAL decoded
+    * pixels ([[Multimodal.brightnessHistogramBatch]]): per-image 4-
+    * bucket gray histograms, corpus totals, and the count of images
+    * whose darkest bucket strictly dominates (the "low-light" drop
+    * set an image quality filter would excise). The oracle replays
+    * bucket counts over the generation field — decode fault ⇒ hash
+    * break, the q101 discipline with a histogram kernel.
+    */
+  def q120ImageHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    val imageIds = Tables.load(spark, dir, "documents")
+      .filter(Multimodal.modalityColumn(col("doc_id")) === "image")
+      .select(col("doc_id"))
+      .repartition(pmod(hash(col("doc_id")), lit(p)))
+    Multimodal.brightnessHistogram(Multimodal.assetsFromDocuments(imageIds))
+      .toDF()
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(col("b0")).as("sum_b0"),
+        sum(col("b1")).as("sum_b1"),
+        sum(col("b2")).as("sum_b2"),
+        sum(col("b3")).as("sum_b3"),
+        sum((col("b0") > col("b1") && col("b0") > col("b2") &&
+          col("b0") > col("b3")).cast("long")).as("n_lowlight"))
+  }
+
+  val q120Oracle: String =
+    """WITH xs AS (SELECT unnest(range(0, 33)) AS v),
+      |ys AS (SELECT unnest(range(0, 22)) AS v),
+      |img AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 12 + doc_id % 11 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |pxb AS (
+      |  SELECT i.doc_id, ((7 * x.v + 13 * y.v + i.doc_id) % 256) // 64 AS b
+      |  FROM img i JOIN xs x ON x.v < i.w JOIN ys y ON y.v < i.h),
+      |hist AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS b0,
+      |    sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS b1,
+      |    sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS b2,
+      |    sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS b3
+      |  FROM pxb GROUP BY doc_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_images,
+      |  CAST(sum(b0) AS BIGINT) AS sum_b0,
+      |  CAST(sum(b1) AS BIGINT) AS sum_b1,
+      |  CAST(sum(b2) AS BIGINT) AS sum_b2,
+      |  CAST(sum(b3) AS BIGINT) AS sum_b3,
+      |  CAST(sum(CASE WHEN b0 > b1 AND b0 > b2 AND b0 > b3
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_lowlight
+      |FROM hist""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_multimodal_inventory" -> (q27MultimodalInventory _),
     "q28_decode_features" -> (q28DecodeFeatures _),
-    "q101_resize_stats" -> (q101ResizeStats _))
+    "q101_resize_stats" -> (q101ResizeStats _),
+    "q120_image_histogram" -> (q120ImageHistogram _))
 
   val oracles: Map[String, String] = Map(
     "q27_multimodal_inventory" -> q27Oracle,
     "q28_decode_features" -> q28Oracle,
-    "q101_resize_stats" -> q101Oracle)
+    "q101_resize_stats" -> q101Oracle,
+    "q120_image_histogram" -> q120Oracle)
 }
