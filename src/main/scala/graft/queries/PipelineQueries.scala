@@ -2233,6 +2233,51 @@ object PipelineQueries {
       |  coalesce(reb.cleaned_text, '') AS cleaned_text
       |FROM t LEFT JOIN rem USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin
 
+  /** q121 — k-anonymous release (Sweeney 2002, the suppression form):
+    * publish per-(lang, source) corpus stats only where the group has
+    * ≥ k = 5 members; smaller groups collapse into one __suppressed__
+    * residual per lang, and a residual that STILL has < k members is
+    * withheld entirely (publishing it would re-identify the tail).
+    * The privacy row of the pipeline tier: what a corpus-stats export
+    * runs before leaving the trust boundary. Deterministic set
+    * algebra — no noise — so the oracle hash-matches. Scale: two
+    * partial-aggregated shuffles on group keys, group-count-sized.
+    */
+  def q121Kanon(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val g = Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      // consumed by both the publish and the residual branches
+      .transform(Materialize.once)
+    val ok = g.filter(col("n_docs") >= k)
+    val residual = g.filter(col("n_docs") < k)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
+      .filter(col("n_docs") >= k)
+      .select(col("lang"), lit("__suppressed__").as("source"),
+        col("n_docs"), col("sum_chars"))
+    ok.select(col("lang"), col("source"), col("n_docs"), col("sum_chars"))
+      .unionByName(residual)
+  }
+
+  val q121Oracle: String =
+    """WITH g AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY lang, source),
+      |ok AS (
+      |  SELECT lang, source, n_docs, sum_chars FROM g WHERE n_docs >= 5),
+      |residual AS (
+      |  SELECT lang, '__suppressed__' AS source,
+      |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(sum(sum_chars) AS BIGINT) AS sum_chars
+      |  FROM g WHERE n_docs < 5 GROUP BY lang
+      |  HAVING sum(n_docs) >= 5)
+      |SELECT lang, source, n_docs, sum_chars FROM ok
+      |UNION ALL
+      |SELECT lang, source, n_docs, sum_chars FROM residual""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2276,7 +2321,8 @@ object PipelineQueries {
     "q114_hll_distinct" -> (q114HllDistinct _),
     "q116_quality_classifier" -> (q116QualityClassifier _),
     "q117_hist_quantiles" -> (q117HistQuantiles _),
-    "q119_dup_keep_first" -> (q119DupKeepFirst _))
+    "q119_dup_keep_first" -> (q119DupKeepFirst _),
+    "q121_kanon" -> (q121Kanon _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2321,5 +2367,6 @@ object PipelineQueries {
     "q114_hll_distinct" -> q114Oracle,
     "q116_quality_classifier" -> q116Oracle,
     "q117_hist_quantiles" -> q117Oracle,
-    "q119_dup_keep_first" -> q119Oracle)
+    "q119_dup_keep_first" -> q119Oracle,
+    "q121_kanon" -> q121Oracle)
 }
