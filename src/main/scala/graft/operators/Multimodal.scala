@@ -332,6 +332,56 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrames(doc_id: Long, n_frames: Long,
+                               n_active: Long, zcr: Long)
+
+  /** Frame-level audio features over the ACTUAL decoded PCM: 160-sample
+    * frames (full frames only), per-frame energy Σ|s| with an activity
+    * threshold of mean |s| > 512 (half the sample range — the
+    * voice-activity-detection screen shape), and the within-frame
+    * zero-crossing count (s·s_prev < 0). All integer, so the oracle
+    * replays every frame from the generation formula while the samples
+    * come from `AudioSystem` — a codec fault breaks the hash.
+    */
+  def audioFrameStatsBatch(batch: Seq[Asset],
+                           frame: Int = 160): Seq[AudioFrames] =
+    batch.filter(_.modality == "audio").map { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(a.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected audio format $fmt for doc ${a.doc_id}")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      def s(i: Int): Int = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      val nf = n / frame
+      var active = 0L
+      var zcr = 0L
+      var f = 0
+      while (f < nf) {
+        var energy = 0L
+        var j = f * frame
+        val end = j + frame
+        while (j < end) {
+          energy += math.abs(s(j).toLong)
+          if (j > f * frame && s(j) * s(j - 1) < 0) zcr += 1L
+          j += 1
+        }
+        if (energy > 512L * frame) active += 1L
+        f += 1
+      }
+      AudioFrames(a.doc_id, nf.toLong, active, zcr)
+    }
+
+  def audioFrameStats(assets: Dataset[Asset],
+                      batchSize: Int = 64): Dataset[AudioFrames] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => audioFrameStatsBatch(b.toSeq))
+    }
+  }
+
   /** Frame sampling for fixed-frame-size video payloads: every
     * `stride`-th fixed-size chunk as a frame row — pure built-ins
     * (substr on binary + explode), no UDF, codegen-friendly. Only FULL

@@ -229,15 +229,64 @@ object MultimodalQueries {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_lowlight
       |FROM hist""".stripMargin
 
+  /** q122 — frame-level audio activity screen over the REAL decoded
+    * PCM ([[Multimodal.audioFrameStatsBatch]]): 160-sample frames,
+    * energy-threshold activity counts, within-frame zero crossings —
+    * the VAD-style gate an audio pipeline runs before transcription.
+    * The oracle replays every sample from the generation formula
+    * (window lag for the crossings); the engine reads them back
+    * through `AudioSystem`.
+    */
+  def q122AudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    val audioIds = Tables.load(spark, dir, "documents")
+      .filter(Multimodal.modalityColumn(col("doc_id")) === "audio")
+      .select(col("doc_id"))
+      .repartition(pmod(hash(col("doc_id")), lit(p)))
+    Multimodal.audioFrameStats(Multimodal.assetsFromDocuments(audioIds))
+      .toDF()
+      .agg(
+        count(lit(1)).as("n_audio"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("n_active")).as("n_active"),
+        sum(col("zcr")).as("zcr_total"))
+  }
+
+  val q122Oracle: String =
+    """WITH aud AS (
+      |  SELECT doc_id, 400 + doc_id % 257 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |ss AS (SELECT unnest(range(0, 657)) AS v),
+      |samp AS (
+      |  SELECT a.doc_id, s.v AS i, s.v // 160 AS f,
+      |    ((a.doc_id * 31 + s.v * 17) % 2048) - 1024 AS s
+      |  FROM aud a JOIN ss s ON s.v < (a.n // 160) * 160),
+      |lagged AS (
+      |  SELECT doc_id, i, f, s,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+      |  FROM samp),
+      |fr AS (
+      |  SELECT doc_id, f, sum(abs(s)) AS energy,
+      |    sum(CASE WHEN i % 160 > 0 AND s * ps < 0 THEN 1 ELSE 0 END) AS zcr
+      |  FROM lagged GROUP BY doc_id, f)
+      |SELECT CAST((SELECT count(*) FROM aud) AS BIGINT) AS n_audio,
+      |  CAST(count(*) AS BIGINT) AS sum_frames,
+      |  CAST(sum(CASE WHEN energy > 81920 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_active,
+      |  CAST(sum(zcr) AS BIGINT) AS zcr_total
+      |FROM fr""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_multimodal_inventory" -> (q27MultimodalInventory _),
     "q28_decode_features" -> (q28DecodeFeatures _),
     "q101_resize_stats" -> (q101ResizeStats _),
-    "q120_image_histogram" -> (q120ImageHistogram _))
+    "q120_image_histogram" -> (q120ImageHistogram _),
+    "q122_audio_frames" -> (q122AudioFrames _))
 
   val oracles: Map[String, String] = Map(
     "q27_multimodal_inventory" -> q27Oracle,
     "q28_decode_features" -> q28Oracle,
     "q101_resize_stats" -> q101Oracle,
-    "q120_image_histogram" -> q120Oracle)
+    "q120_image_histogram" -> q120Oracle,
+    "q122_audio_frames" -> q122Oracle)
 }
