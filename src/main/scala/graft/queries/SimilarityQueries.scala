@@ -415,6 +415,60 @@ object SimilarityQueries {
        |SELECT q.query_id, coalesce(ov.n, 0) AS n_overlap
        |FROM qs q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin
 
+  /** q123 — Rocchio nearest-centroid classification: per-label class
+    * centroids (the q33/q108 integer-quantized mean — partition-order
+    * independent, float-exact on both engines), every vector assigned
+    * to its max-cosine centroid (ties → lowest label), confusion
+    * matrix out. The label-propagation/classification primitive of an
+    * embedding pipeline (e.g. quality-domain routing of documents by
+    * a labeled seed set). Scale: centroids are a label-count-sized
+    * broadcast; assignment is one map-side max_by pass — the corpus
+    * never shuffles on anything but the final confusion aggregate.
+    */
+  def q123Rocchio(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val cent = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * 1e6).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("c", ((col("sq") / col("n")) / lit(1e6)).cast("float"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("clabel")),
+        struct(col("ccos"), -col("clabel"))).as("best"))
+      .select(col("best.label").as("label"), col("best.clabel").as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q123Oracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i AS dim,
+       |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+       |        AS BIGINT)) AS sq,
+       |    count(*) AS n
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+       |  GROUP BY label, i),
+       |cent AS (
+       |  SELECT label AS clabel,
+       |    list(CAST((sq / n) / 1000000.0 AS FLOAT) ORDER BY dim) AS cvec
+       |  FROM comp GROUP BY label),
+       |assigned AS (
+       |  SELECT label, pred FROM (
+       |    SELECT e.vec_id, e.label, c.clabel AS pred,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "c.cvec")} DESC, c.clabel) AS crank
+       |    FROM embeddings e, cent c) WHERE crank = 1)
+       |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+       |FROM assigned GROUP BY label, pred""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
@@ -422,7 +476,8 @@ object SimilarityQueries {
     "q33_ivf_ann" -> (q33IvfAnn _),
     "q108_pq_codebook" -> (q108PqCodebook _),
     "q109_pq_adc" -> (q109PqAdc _),
-    "q111_jl_overlap" -> (q111JlOverlap _))
+    "q111_jl_overlap" -> (q111JlOverlap _),
+    "q123_rocchio" -> (q123Rocchio _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
@@ -431,5 +486,6 @@ object SimilarityQueries {
     "q33_ivf_ann" -> q33Oracle,
     "q108_pq_codebook" -> q108Oracle,
     "q109_pq_adc" -> q109Oracle,
-    "q111_jl_overlap" -> q111Oracle)
+    "q111_jl_overlap" -> q111Oracle,
+    "q123_rocchio" -> q123Oracle)
 }

@@ -54,7 +54,10 @@ class PlanShapeSpec extends SparkSpec {
     "q103_mixture_sample",
     // SemDeDup cell assignment: the 16-row refined-centroid frame is
     // broadcast-crossJoined into the max_by assignment (q33's shape)
-    "q118_semdedup")
+    "q118_semdedup",
+    // Rocchio assignment: the 10-row label-centroid frame is
+    // broadcast-crossJoined into the max_by assignment (q33's shape)
+    "q123_rocchio")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
