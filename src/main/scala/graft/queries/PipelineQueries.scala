@@ -2278,6 +2278,42 @@ object PipelineQueries {
       |UNION ALL
       |SELECT lang, source, n_docs, sum_chars FROM residual""".stripMargin
 
+  /** q124 — scalable dense ID assignment: the global
+    * `row_number() OVER (ORDER BY ...)` every naive pipeline writes —
+    * and PlanShapeSpec bans — done the way that survives 100 TB.
+    * Range-partition by the sort key, rank WITHIN each partition, and
+    * add per-partition offsets (a partition-count-sized prefix sum —
+    * the ONE intended tiny global window, whitelisted). Because range
+    * partitions are contiguous in key order and (source, doc_id) is a
+    * strict total order, offset + local rank IS the global dense rank,
+    * independent of where the sampled range boundaries land. This is
+    * the training-example-numbering / shard-assignment primitive.
+    */
+  def q124StableIds(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .repartitionByRange(col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // pid must be IDENTICAL in the rank and offset branches — pin it
+      .transform(Materialize.once)
+    val local = d.withColumn("lrank",
+      row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("source"), col("doc_id"))))
+    val offsets = d.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("source"),
+        (col("offset") + col("lrank")).as("stable_id"))
+  }
+
+  val q124Oracle: String =
+    """SELECT doc_id, source,
+      |  row_number() OVER (ORDER BY source, doc_id) AS stable_id
+      |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2322,7 +2358,8 @@ object PipelineQueries {
     "q116_quality_classifier" -> (q116QualityClassifier _),
     "q117_hist_quantiles" -> (q117HistQuantiles _),
     "q119_dup_keep_first" -> (q119DupKeepFirst _),
-    "q121_kanon" -> (q121Kanon _))
+    "q121_kanon" -> (q121Kanon _),
+    "q124_stable_ids" -> (q124StableIds _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2368,5 +2405,6 @@ object PipelineQueries {
     "q116_quality_classifier" -> q116Oracle,
     "q117_hist_quantiles" -> q117Oracle,
     "q119_dup_keep_first" -> q119Oracle,
-    "q121_kanon" -> q121Oracle)
+    "q121_kanon" -> q121Oracle,
+    "q124_stable_ids" -> q124Oracle)
 }

@@ -62,7 +62,11 @@ class PlanShapeSpec extends SparkSpec {
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
   // partition; documented funnel
-  private val intendedGlobalWindow = Set("q39_doc_frequency")
+  private val intendedGlobalWindow = Set("q39_doc_frequency",
+    // the per-partition offset prefix sum: one row PER PARTITION
+    // (spark_partition_id cardinality), not per data row — the tiny
+    // spine that replaces the banned global row_number over the corpus
+    "q124_stable_ids")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
