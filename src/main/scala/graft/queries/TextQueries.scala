@@ -592,6 +592,45 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY source""".stripMargin
 
+  /** q125 — n-gram diversity profiling: per-source word-3-gram
+    * type/token ratio, the self-BLEU-adjacent metric a pipeline runs
+    * to flag low-diversity (template-generated or model-generated)
+    * sources — collapsing TTR is the standard tell. Integer ppm so the
+    * ratio hash-matches. One vocabulary-scale aggregate (the distinct
+    * side) riding the same shuffle as the totals — at 100 TB the
+    * drop-in is the q114 HLL registers per source instead of the
+    * exact distinct.
+    */
+  def q125NgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("source"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("g"))
+    grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("g")).as("distinct_grams"))
+      .withColumn("ttr_ppm",
+        expr("(distinct_grams * 1000000L) div total_grams"))
+  }
+
+  val q125Oracle: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+      |  FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) u(i)),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS total_grams,
+      |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams
+      |  FROM g GROUP BY source)
+      |SELECT source, total_grams, distinct_grams,
+      |  (distinct_grams * 1000000) // total_grams AS ttr_ppm
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -609,7 +648,8 @@ object TextQueries {
     "q42_quality_filter" -> (q42QualityFilter _),
     "q43_repetition" -> (q43Repetition _),
     "q46_approx_percentiles" -> (q46ApproxPercentiles _),
-    "q47_approx_distinct" -> (q47ApproxDistinct _))
+    "q47_approx_distinct" -> (q47ApproxDistinct _),
+    "q125_ngram_diversity" -> (q125NgramDiversity _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -628,5 +668,6 @@ object TextQueries {
     "q42_quality_filter" -> q42Oracle,
     "q43_repetition" -> q43Oracle,
     "q46_approx_percentiles" -> q46Oracle,
-    "q47_approx_distinct" -> q47Oracle)
+    "q47_approx_distinct" -> q47Oracle,
+    "q125_ngram_diversity" -> q125Oracle)
 }
