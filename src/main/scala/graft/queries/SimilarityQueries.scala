@@ -469,6 +469,98 @@ object SimilarityQueries {
        |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
        |FROM assigned GROUP BY label, pred""".stripMargin
 
+  /** q126 — contrastive training-pair construction: for each query
+    * vector, emit top-5 neighbors as POSITIVES, ranks 6–10 as HARD
+    * NEGATIVES (the just-below-threshold band that makes contrastive
+    * training work), and 3 deterministic RANDOM negatives drawn from
+    * the remaining corpus by salted portable hash — the bottom-k
+    * discipline of q73, so "random" is reproducible, partition-
+    * independent, and oracle-replayable. This is the
+    * (anchor, positive, negative) tuple builder for embedding-model
+    * finetuning. Scale: queries broadcast everywhere; both rankings
+    * run through the bounded-heap TopKPerGroup operator.
+    */
+  def q126TrainPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.{Mod, Shift}
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = queriesOf(e)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("query_vec")).as("cos"))
+    val top10 = graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("vec_id")), 10, rankName = "rank")
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      // consumed by the role split AND the random-negative anti-join
+      .transform(Materialize.once)
+    val posHard = top10.select(col("query_id"), col("vec_id"),
+      when(col("rank") <= 5, lit("positive"))
+        .otherwise(lit("hard_negative")).as("role"),
+      col("rank"))
+    val hraw = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PortableStringHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          concat(col("query_id").cast("string"), lit(":"),
+            col("vec_id").cast("string")))))
+    val v = (hraw + lit(4L * Shift)) % lit(Mod)
+    val cand = e.select(col("vec_id"))
+      .crossJoin(broadcast(q.select(col("query_id"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(top10.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      .withColumn("h", v * v % lit(Mod))
+    val rnd = graft.plans.TopK.perGroup(cand, Seq(col("query_id")),
+      Seq(col("h").asc, col("vec_id")), 3, rankName = "rank")
+      .select(col("query_id"), col("vec_id"),
+        lit("random_negative").as("role"), col("rank"))
+    posHard.unionByName(rnd)
+  }
+
+  val q126Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod, Shift}
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS query_vec
+       |  FROM embeddings WHERE vec_id < $QueryCutoff),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${cosSql("q.query_vec", "e.embedding")} AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored),
+       |top10 AS (SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10),
+       |poshard AS (
+       |  SELECT query_id, vec_id,
+       |    CASE WHEN rank <= 5 THEN 'positive' ELSE 'hard_negative' END AS role,
+       |    rank
+       |  FROM top10),
+       |cand AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    CAST(q.query_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR) AS s
+       |  FROM (SELECT query_id FROM q) q, embeddings e
+       |  WHERE e.vec_id <> q.query_id
+       |    AND NOT EXISTS (SELECT 1 FROM top10 t
+       |          WHERE t.query_id = q.query_id AND t.vec_id = e.vec_id)),
+       |h AS (
+       |  SELECT query_id, vec_id,
+       |    ((list_reduce(list_transform(range(1, length(s)+1),
+       |        i -> ascii(s[i])::BIGINT), (a, b) -> (a * $Base + b) % $Mod)
+       |      + 4 * $Shift) % $Mod)
+       |    * ((list_reduce(list_transform(range(1, length(s)+1),
+       |        i -> ascii(s[i])::BIGINT), (a, b) -> (a * $Base + b) % $Mod)
+       |      + 4 * $Shift) % $Mod) % $Mod AS h
+       |  FROM cand),
+       |rnd AS (
+       |  SELECT query_id, vec_id, 'random_negative' AS role,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY h, vec_id) AS rank
+       |  FROM h)
+       |SELECT query_id, vec_id, role, rank FROM poshard
+       |UNION ALL
+       |SELECT query_id, vec_id, role, rank FROM rnd WHERE rank <= 3""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
@@ -477,7 +569,8 @@ object SimilarityQueries {
     "q108_pq_codebook" -> (q108PqCodebook _),
     "q109_pq_adc" -> (q109PqAdc _),
     "q111_jl_overlap" -> (q111JlOverlap _),
-    "q123_rocchio" -> (q123Rocchio _))
+    "q123_rocchio" -> (q123Rocchio _),
+    "q126_train_pairs" -> (q126TrainPairs _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
@@ -487,5 +580,6 @@ object SimilarityQueries {
     "q108_pq_codebook" -> q108Oracle,
     "q109_pq_adc" -> q109Oracle,
     "q111_jl_overlap" -> q111Oracle,
-    "q123_rocchio" -> q123Oracle)
+    "q123_rocchio" -> q123Oracle,
+    "q126_train_pairs" -> q126Oracle)
 }

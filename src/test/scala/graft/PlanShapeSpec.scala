@@ -57,7 +57,10 @@ class PlanShapeSpec extends SparkSpec {
     "q118_semdedup",
     // Rocchio assignment: the 10-row label-centroid frame is
     // broadcast-crossJoined into the max_by assignment (q33's shape)
-    "q123_rocchio")
+    "q123_rocchio",
+    // contrastive pair builder: the 10-row query frame is broadcast-
+    // crossJoined into both rankings (q24's shape)
+    "q126_train_pairs")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
