@@ -313,6 +313,23 @@ object Streaming {
     *
     * Expects events(user_id, ts, value).
     */
+  /** Event-time-windowed distinct-count sketch: tumbling windows +
+    * watermark + the register-exact HLL aggregator
+    * ([[graft.functions.HllAgg]]) as the windowed aggregate. The
+    * watermark bounds state exactly as for any windowed agg — closed
+    * windows evict — while each open window's state is 64 ints per
+    * (window, key) whatever the cardinality; max-merge makes late
+    * in-watermark arrivals and replays idempotent. This is the
+    * streaming "distinct users per hour" that never keeps a user set.
+    */
+  def windowedDistinctSketch(events: DataFrame, windowLen: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
+      .agg(graft.functions.HllAgg.udaf(col("user_id").cast("string")).as("reg"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("reg"))
+
   def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
                        watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -331,4 +331,38 @@ class StreamingSpec extends SparkSpec {
       s"stream=$normalized\nbatch=$batch")
     q.stop()
   }
+
+  test("windowed distinct sketch: streaming registers equal batch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id")
+    val q = Streaming.windowedDistinctSketch(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wds")
+      .outputMode("complete").start()
+
+    val batch1 = (0 until 120).map(i =>
+      (Timestamp.valueOf(f"2020-03-01 08:${i % 60}%02d:00"), "click", (i % 40).toLong)) ++
+      (0 until 30).map(i =>
+        (Timestamp.valueOf(f"2020-03-01 09:${i % 60}%02d:00"), "click", (i % 25).toLong))
+    val batch2 = (0 until 50).map(i =>  // same window, later batch, overlap
+      (Timestamp.valueOf(f"2020-03-01 08:${i % 60}%02d:30"), "click", (20 + i % 30).toLong))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("wds")
+      .as[(Timestamp, String, Seq[Int])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    q.stop()
+
+    // batch twin: same rows, same window, same aggregator
+    val batchRegs = (batch1 ++ batch2).toDF("ts", "event_type", "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(graft.functions.HllAgg.udaf(col("user_id").cast("string")).as("reg"))
+      .select(col("win.start"), col("event_type"), col("reg"))
+      .as[(Timestamp, String, Seq[Int])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed == batchRegs)
+    assert(streamed.size == 2) // 08:00 and 09:00 windows
+  }
 }
