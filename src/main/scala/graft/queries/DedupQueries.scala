@@ -476,6 +476,40 @@ object DedupQueries {
        |FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id""".stripMargin
   }
 
+  /** q127 — train/val split-leakage audit: near-duplicate pairs (the
+    * q21 MinHash+LSH chain, jaccard ≥ 0.5) that STRADDLE the q35 split
+    * boundary — the leakage an eval suite must not have (a val doc
+    * near-identical to a train doc inflates every metric). Composes
+    * the dedup miner with the split assignment: at 100 TB this is the
+    * same LSH banding cost as q21 plus two id-keyed label joins.
+    */
+  def q127SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val pairs = q21MinhashLsh(spark, dir)
+    val splits = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id1"), col("split").as("split1")),
+        Seq("id1"))
+      .join(splits.select(col("doc_id").as("id2"), col("split").as("split2")),
+        Seq("id2"))
+      .filter(col("split1") =!= col("split2"))
+      .select(col("id1"), col("id2"), col("split1"), col("split2"))
+  }
+
+  val q127Oracle: String = {
+    val bucket1 = graft.operators.Sampling.hashBucketSql("l.id1")
+    val bucket2 = graft.operators.Sampling.hashBucketSql("l.id2")
+    s"""WITH pairs AS ($q21Oracle),
+       |labeled AS (
+       |  SELECT l.id1, l.id2,
+       |    CASE WHEN $bucket1 < 230 THEN 'train' ELSE 'val' END AS split1,
+       |    CASE WHEN $bucket2 < 230 THEN 'train' ELSE 'val' END AS split2
+       |  FROM pairs l)
+       |SELECT id1, id2, split1, split2 FROM labeled
+       |WHERE split1 <> split2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
@@ -485,7 +519,8 @@ object DedupQueries {
     "q41_source_minhash" -> (q41SourceMinhash _),
     "q57_dup_clusters" -> (q57DupClusters _),
     "q110_canonical_docs" -> (q110CanonicalDocs _),
-    "q118_semdedup" -> (q118SemDedup _))
+    "q118_semdedup" -> (q118SemDedup _),
+    "q127_split_leakage" -> (q127SplitLeakage _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
@@ -496,5 +531,6 @@ object DedupQueries {
     "q41_source_minhash" -> q41Oracle,
     "q57_dup_clusters" -> q57Oracle,
     "q110_canonical_docs" -> q110Oracle,
-    "q118_semdedup" -> q118Oracle)
+    "q118_semdedup" -> q118Oracle,
+    "q127_split_leakage" -> q127Oracle)
 }
