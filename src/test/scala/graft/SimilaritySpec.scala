@@ -149,4 +149,26 @@ class SimilaritySpec extends SparkSpec {
     // manual: signs + - + + - + + -  (MSB first) = 10110110b
     assert(buckets(1L) == Integer.parseInt("10110110", 2))
   }
+
+  test("semDedup: near-identical cellmates collapse to the lowest id, distant vectors survive") {
+    // two tight groups along different axes + one far outlier; nlist=2
+    // seeds from the two lowest ids (one per group)
+    def jig(i: Int) = 0.001f * i
+    val vecs = Seq(
+      (0L, Array(1f, jig(1), 0f, 0f)),   // group A seed
+      (1L, Array(0f, 1f, jig(2), 0f)),   // group B seed
+      (10L, Array(1f, jig(3), 0f, 0f)),  // near-dup of 0 -> dropped
+      (11L, Array(1f, jig(4), 0f, 0f)),  // near-dup of 0 -> dropped
+      (20L, Array(0f, 1f, jig(5), 0f)),  // near-dup of 1 -> dropped
+      (30L, Array(0f, -1f, 0f, jig(6)))) // anti-parallel to B: kept
+    val out = Similarity.semDedup(vecs.toDF("vec_id", "embedding"),
+        nlist = 2, minCos = 0.9)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(0L) == 1 && out(1L) == 1, "lowest ids must survive")
+    assert(out(10L) == 0 && out(11L) == 0 && out(20L) == 0,
+      s"planted near-dups must drop: $out")
+    assert(out(30L) == 1, "distant vector must survive its cell")
+    assert(out.size == 6)
+  }
 }
