@@ -631,6 +631,55 @@ object TextQueries {
       |  (distinct_grams * 1000000) // total_grams AS ttr_ppm
       |FROM agg""".stripMargin
 
+  /** q128 — vocabulary-truncation OOV accounting: fix the vocabulary
+    * at the global top-20 tokens (ties broken lexically — the
+    * tokenizer-design decision of capping vocab size) and report each
+    * source's out-of-vocabulary token rate in ppm. The metric that
+    * decides V when designing a tokenizer, and the per-source skew a
+    * mixture rebalance must know about. Scale: the frequency census
+    * is the one vocabulary-scale shuffle; the vocab is broadcast into
+    * a map-side anti-join, so the OOV pass never reshuffles the
+    * corpus.
+    */
+  def q128OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode_outer(wsTokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      // consumed by the census, the totals, and the OOV anti-join
+      .transform(graft.runtime.Materialize.once)
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+      .select(col("token"))
+    val totals = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("total_tokens"))
+    val oov = toks.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("oov_tokens"))
+    totals.join(oov, Seq("source"), "left")
+      .select(col("source"), col("total_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm", expr("(oov_tokens * 1000000L) div total_tokens"))
+  }
+
+  val q128Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      |vocab AS (SELECT t FROM freq ORDER BY c DESC, t LIMIT 20),
+      |tot AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS total_tokens
+      |  FROM tok GROUP BY source),
+      |oov AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS oov_tokens
+      |  FROM tok WHERE t NOT IN (SELECT t FROM vocab) GROUP BY source)
+      |SELECT t.source, t.total_tokens,
+      |  coalesce(o.oov_tokens, CAST(0 AS BIGINT)) AS oov_tokens,
+      |  (coalesce(o.oov_tokens, 0) * 1000000) // t.total_tokens AS oov_ppm
+      |FROM tot t LEFT JOIN oov o USING (source)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -649,7 +698,8 @@ object TextQueries {
     "q43_repetition" -> (q43Repetition _),
     "q46_approx_percentiles" -> (q46ApproxPercentiles _),
     "q47_approx_distinct" -> (q47ApproxDistinct _),
-    "q125_ngram_diversity" -> (q125NgramDiversity _))
+    "q125_ngram_diversity" -> (q125NgramDiversity _),
+    "q128_oov_rate" -> (q128OovRate _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -669,5 +719,6 @@ object TextQueries {
     "q43_repetition" -> q43Oracle,
     "q46_approx_percentiles" -> q46Oracle,
     "q47_approx_distinct" -> q47Oracle,
-    "q125_ngram_diversity" -> q125Oracle)
+    "q125_ngram_diversity" -> q125Oracle,
+    "q128_oov_rate" -> q128Oracle)
 }
