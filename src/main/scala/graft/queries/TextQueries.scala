@@ -680,6 +680,93 @@ object TextQueries {
       |  (coalesce(o.oov_tokens, 0) * 1000000) // t.total_tokens AS oov_ppm
       |FROM tot t LEFT JOIN oov o USING (source)""".stripMargin
 
+  /** q129 — filter-funnel accounting: every document attributed to the
+    * FIRST pipeline stage that would drop it — quality gates (q18's
+    * buckets), then exact-dup (q20's keep-first blocking key), then
+    * benchmark contamination (q106's shingle membership) — or 'kept'.
+    * The observability report every curation pipeline publishes (what
+    * did each stage cost us), with counts and token mass per stage.
+    * Deterministic first-failure attribution makes the funnel additive:
+    * stages sum to the corpus. One corpus-scale shuffle per
+    * group-keyed stage (dup window, shingle join), all reused shapes.
+    */
+  def q129FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val tf = textFeatures(col("text"))
+    val nTokens = tf.getField("n_tokens")
+    val punctRatio = punctCount(col("text")).cast("double") / length(col("text"))
+    val stopRatio = stopwordRatioFrom(tf)
+    val base = d.select(col("doc_id"), col("text"),
+      nTokens.as("n_tokens"),
+      qualityBucket(nTokens, punctRatio, stopRatio).as("quality"),
+      tf.getField("prefix_key").as("prefix_key"))
+    val withDup = base.withColumn("rn",
+      row_number().over(Window.partitionBy(col("prefix_key"))
+        .orderBy(col("doc_id"))))
+    // q106's contamination geometry: 3-token shingles against the
+    // deterministic benchmark subset (doc_id ≡ 0 mod 97)
+    val sh = d
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(1))
+    withDup.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("quality") =!= "ok", col("quality"))
+          .when(col("rn") > 1, lit("duplicate"))
+          .when(col("contam").isNotNull, lit("contaminated"))
+          .otherwise(lit("kept")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val q129Oracle: String = {
+    val nTok = """len(string_split_regex(trim(text), '\s+'))"""
+    val punct = """CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)"""
+    val stop = s"""CAST(${Seq("the", "a", "and", "of").map(occSql).mkString(" + ")} AS DOUBLE) / $nTok"""
+    s"""WITH f AS (
+       |  SELECT doc_id, text, $nTok AS n_tokens,
+       |    CASE WHEN $nTok < 5 THEN 'too_short'
+       |         WHEN $punct > 0.3 THEN 'symbol_spam'
+       |         WHEN $stop > 0.4 THEN 'boilerplate'
+       |         ELSE 'ok' END AS quality,
+       |    $prefixKeySql
+       |      AS prefix_key
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, n_tokens, quality,
+       |    row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn
+       |  FROM f),
+       |t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+       |  FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) u(i)),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench)),
+       |staged AS (
+       |  SELECT r.doc_id, r.n_tokens,
+       |    CASE WHEN r.quality <> 'ok' THEN r.quality
+       |         WHEN r.rn > 1 THEN 'duplicate'
+       |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       |         ELSE 'kept' END AS stage
+       |  FROM ranked r LEFT JOIN contam c ON c.doc_id = r.doc_id)
+       |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM staged GROUP BY stage""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -699,7 +786,8 @@ object TextQueries {
     "q46_approx_percentiles" -> (q46ApproxPercentiles _),
     "q47_approx_distinct" -> (q47ApproxDistinct _),
     "q125_ngram_diversity" -> (q125NgramDiversity _),
-    "q128_oov_rate" -> (q128OovRate _))
+    "q128_oov_rate" -> (q128OovRate _),
+    "q129_filter_funnel" -> (q129FilterFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -720,5 +808,6 @@ object TextQueries {
     "q46_approx_percentiles" -> q46Oracle,
     "q47_approx_distinct" -> q47Oracle,
     "q125_ngram_diversity" -> q125Oracle,
-    "q128_oov_rate" -> q128Oracle)
+    "q128_oov_rate" -> q128Oracle,
+    "q129_filter_funnel" -> q129Oracle)
 }
