@@ -225,24 +225,55 @@ private class SynthAggReaderFactory(values: Array[Any])
     }
 }
 
-private case class SynthRange(lo: Long, hi: Long) extends InputPartition
+private[graft] case class SynthRange(lo: Long, hi: Long) extends InputPartition
 
-private class SynthScan(lo: Long, hi: Long, partitions: Int,
-                        required: StructType) extends Scan with Batch {
+/** The row scan, with DSv2 RUNTIME filtering on top of the static
+  * pushdown: when this scan sits under a join on doc_id, Spark's
+  * dynamic pruning executes the build side first and hands the
+  * observed join keys to [[filter]] as an IN-set — the generated
+  * range then narrows to [min, max+1) BEFORE planInputPartitions, the
+  * DSv2 analogue of dynamic partition pruning (a contiguous superset
+  * of the key set is sound: the join itself re-checks membership).
+  */
+private[graft] class SynthScan(lo: Long, hi: Long, partitions: Int,
+                        required: StructType)
+  extends Scan with Batch with SupportsRuntimeFiltering {
+  private var rlo = lo
+  private var rhi = hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-synth range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"graft-synth range=[$rlo,$rhi) cols=${required.fieldNames.mkString(",")}"
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("doc_id", vs) if vs.nonEmpty =>
+      val longs = vs.collect {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (longs.nonEmpty) {
+        rlo = math.max(rlo, longs.min)
+        rhi = math.min(rhi, longs.max + 1L)
+      }
+    case EqualTo("doc_id", v: java.lang.Long) =>
+      rlo = math.max(rlo, v.longValue())
+      rhi = math.min(rhi, v.longValue() + 1L)
+    case _ => () // non-key or unconvertible: the join re-checks anyway
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = math.max(0L, hi - lo)
+    val total = math.max(0L, rhi - rlo)
     // clamp in LONG space: total.toInt would wrap past 2^31 rows and
     // silently collapse scan parallelism
     val n = math.max(1L, math.min(partitions.toLong, total)).toInt
     val step = (total + n - 1) / n
     (0 until n).map { i =>
-      val s = lo + i * step
-      SynthRange(s, math.min(s + step, hi))
+      val s = rlo + i * step
+      SynthRange(s, math.min(s + step, rhi))
     }.filter(r => r.lo < r.hi).toArray
   }
 

@@ -82,4 +82,40 @@ class SynthSourceSpec extends SparkSpec {
     assert(!scanOf(other).scan.description().contains("pushedAggregates="))
     assert(other.as[String].collect().head.startsWith("src"))
   }
+
+  test("runtime IN-filter on doc_id narrows the generated range before planning") {
+    import graft.sources.{SynthRange, SynthScan}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val scan = new SynthScan(0L, 100000L, 8, schema)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("doc_id"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id",
+        Array[Any](java.lang.Long.valueOf(1200L), java.lang.Long.valueOf(1500L),
+          java.lang.Long.valueOf(1350L)))))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[SynthRange])
+    assert(parts.map(_.lo).min == 1200L && parts.map(_.hi).max == 1501L,
+      s"range not narrowed: ${parts.toSeq}")
+    // narrowing is monotone: a second (wider) filter cannot re-expand
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id",
+        Array[Any](java.lang.Long.valueOf(0L), java.lang.Long.valueOf(99999L)))))
+    val parts2 = scan.planInputPartitions().map(_.asInstanceOf[SynthRange])
+    assert(parts2.map(_.lo).min == 1200L && parts2.map(_.hi).max == 1501L)
+    // non-key filters are ignored, not fatal
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("lang", "en")))
+    assert(scan.planInputPartitions().nonEmpty)
+  }
+
+  test("join results are identical with runtime filtering in the plan") {
+    val dim = (1200L to 1210L).toDF("doc_id")
+    val joined = read(100000).join(dim, "doc_id").select($"doc_id", $"lang")
+    assert(joined.count() == 11L)
+    val expected = read(100000).filter($"doc_id".between(1200, 1210))
+      .select($"doc_id", $"lang").collect().toSeq
+    assert(joined.collect().toSeq.sortBy(_.getLong(0)) ==
+      expected.sortBy(_.getLong(0)))
+  }
 }
