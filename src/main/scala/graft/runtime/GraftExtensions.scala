@@ -77,6 +77,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MortonCode].getName, "morton_code"),
       (args: Seq[Expression]) => {
         val a = arity("morton_code", 2)(args); MortonCode(a(0), a(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_string_hash"),
+      new ExpressionInfo(classOf[graft.functions.PortableStringHash].getName,
+        "portable_string_hash"),
+      (args: Seq[Expression]) => {
+        val a = arity("portable_string_hash", 1)(args)
+        graft.functions.PortableStringHash(a(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_linear_score"),
+      new ExpressionInfo(classOf[graft.functions.HashedLinearScore].getName,
+        "hashed_linear_score"),
+      (args: Seq[Expression]) => {
+        val a = arity("hashed_linear_score", 1)(args)
+        graft.functions.HashedLinearScore(a(0)) }))
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -42,6 +42,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(z == graft.functions.ZOrderHelper.morton(3, 5))
   }
 
+  test("portable_string_hash / hashed_linear_score from SQL match the helpers") {
+    val h = spark.sql("SELECT portable_string_hash('spark') AS h")
+      .collect()(0).getLong(0)
+    assert(h == graft.functions.PortableHash.hash("spark"))
+    val s = spark.sql(
+      "SELECT hashed_linear_score(array('the', 'quick', 'the')) AS s")
+      .collect()(0).getLong(0)
+    val one = (t: String) => graft.functions.HashedLinearScoreHelper.weight(
+      graft.functions.PortableHash.slot(graft.functions.PortableHash.hash(t),
+        graft.functions.HashedLinearScoreHelper.Slot) %
+        graft.functions.HashedLinearScoreHelper.D)
+    assert(s == one("the") * 2 + one("quick"))
+  }
+
   test("identical inputs give identical sketches through the SQL surface") {
     val rows = spark.sql(
       """SELECT minhash_bands(array('x y z'), 32, 8) AS mh FROM range(2)""")
