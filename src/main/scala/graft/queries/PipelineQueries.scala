@@ -2314,6 +2314,118 @@ object PipelineQueries {
       |  row_number() OVER (ORDER BY source, doc_id) AS stable_id
       |FROM documents""".stripMargin
 
+  /** q130 — rolling distinct via STORED-SKETCH merging: the lakehouse
+    * pattern q114's mergeability exists for. Per synthetic day
+    * (doc_id mod 7), persistable HLL registers track the day's
+    * distinct tokens; the cumulative distinct-to-date then comes from
+    * merging the STORED registers (zip_with greatest over the window's
+    * register arrays — pure codegen built-ins), never rescanning
+    * earlier days. The exact rolling count rides along via the q98
+    * first-occurrence trick (min-day per token + cumulative histogram)
+    * as the quality yardstick. At 100 TB: day registers are 64 ints in
+    * a summary table; the rolling union is arithmetic on those,
+    * independent of corpus size.
+    */
+  def q130HllRolling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllAgg
+    val num = (HllAgg.AlphaMilli * HllAgg.M * HllAgg.M) << (HllAgg.Width + 1)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(pmod(col("doc_id"), lit(7)).cast("int").as("day"),
+        explode_outer(wsTokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      // consumed by the sketch AND the exact first-day yardstick
+      .transform(Materialize.once)
+    val daily = toks.groupBy(col("day"))
+      .agg(HllAgg.udaf(col("token")).as("reg"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rolled = daily
+      .withColumn("regs", collect_list(col("reg")).over(w))
+      .withColumn("rreg", expr(
+        "aggregate(regs, transform(sequence(1, 64), x -> 0), " +
+          "(acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))"))
+      .select(col("day"),
+        expr("aggregate(reg, 0L, (acc, r) -> acc + shiftleft(1L, 26 - r))")
+          .as("dd"),
+        expr("aggregate(rreg, 0L, (acc, r) -> acc + shiftleft(1L, 26 - r))")
+          .as("rd"))
+      .select(col("day"),
+        expr(s"${num}L div (1000L * dd)").as("est_daily"),
+        expr(s"${num}L div (1000L * rd)").as("est_rolling"))
+    val firstDays = toks.groupBy(col("token"))
+      .agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("novel"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // day spine: left-join onto the rolled frame so a day with no
+    // first-seen tokens still gets its rolling count — the windowed
+    // sum skips the null novel and the cumulative stays correct
+    rolled
+      .join(firstDays.withColumnRenamed("first_day", "day"), Seq("day"), "left")
+      .withColumn("n_exact_rolling",
+        coalesce(sum(col("novel")).over(wd), lit(0L)))
+      .select(col("day"), col("est_daily"), col("est_rolling"),
+        col("n_exact_rolling"))
+  }
+
+  val q130Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod, Shift}
+    s"""WITH tok0 AS (
+       |  SELECT CAST(doc_id % 7 AS INT) AS day,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tok AS (SELECT DISTINCT day, tok FROM tok0 WHERE tok IS NOT NULL),
+       |h0 AS (
+       |  SELECT day, tok,
+       |    list_reduce(list_transform(range(1, length(tok)+1),
+       |      i -> ascii(tok[i])::BIGINT),
+       |      (a, b) -> (a * $Base + b) % $Mod) AS hraw
+       |  FROM tok),
+       |h AS (
+       |  SELECT day,
+       |    ((hraw + $Shift) % $Mod) * ((hraw + $Shift) % $Mod) % $Mod AS hv
+       |  FROM h0),
+       |r AS (
+       |  SELECT day, CAST(hv % 64 AS INT) AS b,
+       |    CASE WHEN hv // 64 = 0 THEN 26
+       |         ELSE 26 - length(bin(hv // 64)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT day, b, max(rho) AS m FROM r GROUP BY day, b),
+       |grid AS (
+       |  SELECT d.day, CAST(t.b AS INT) AS b
+       |  FROM (SELECT DISTINCT CAST(doc_id % 7 AS INT) AS day
+       |        FROM documents) d, range(0, 64) t(b)),
+       |fr AS (
+       |  SELECT g.day, g.b, coalesce(regs.m, 0) AS m
+       |  FROM grid g LEFT JOIN regs ON g.day = regs.day AND g.b = regs.b),
+       |rolled AS (
+       |  SELECT day, b, m,
+       |    max(m) OVER (PARTITION BY b ORDER BY day
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS rm
+       |  FROM fr),
+       |agg AS (
+       |  SELECT day,
+       |    CAST(sum(1::BIGINT << (26 - m)) AS BIGINT) AS dd,
+       |    CAST(sum(1::BIGINT << (26 - rm)) AS BIGINT) AS rd
+       |  FROM rolled GROUP BY day),
+       |est AS (
+       |  SELECT day,
+       |    (2904064::BIGINT << 26) // (1000::BIGINT * dd) AS est_daily,
+       |    (2904064::BIGINT << 26) // (1000::BIGINT * rd) AS est_rolling
+       |  FROM agg),
+       |fd AS (SELECT tok, min(day) AS first_day FROM tok GROUP BY tok),
+       |novel AS (SELECT first_day, count(*) AS novel FROM fd GROUP BY first_day),
+       |ex AS (
+       |  SELECT e.day,
+       |    coalesce(CAST(sum(n.novel) OVER (ORDER BY e.day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+       |      CAST(0 AS BIGINT)) AS n_exact_rolling
+       |  FROM est e LEFT JOIN novel n ON n.first_day = e.day)
+       |SELECT e.day, e.est_daily, e.est_rolling, ex.n_exact_rolling
+       |FROM est e JOIN ex USING (day)""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2359,7 +2471,8 @@ object PipelineQueries {
     "q117_hist_quantiles" -> (q117HistQuantiles _),
     "q119_dup_keep_first" -> (q119DupKeepFirst _),
     "q121_kanon" -> (q121Kanon _),
-    "q124_stable_ids" -> (q124StableIds _))
+    "q124_stable_ids" -> (q124StableIds _),
+    "q130_hll_rolling" -> (q130HllRolling _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2406,5 +2519,6 @@ object PipelineQueries {
     "q117_hist_quantiles" -> q117Oracle,
     "q119_dup_keep_first" -> q119Oracle,
     "q121_kanon" -> q121Oracle,
-    "q124_stable_ids" -> q124Oracle)
+    "q124_stable_ids" -> q124Oracle,
+    "q130_hll_rolling" -> q130Oracle)
 }

@@ -69,7 +69,11 @@ class PlanShapeSpec extends SparkSpec {
     // the per-partition offset prefix sum: one row PER PARTITION
     // (spark_partition_id cardinality), not per data row — the tiny
     // spine that replaces the banned global row_number over the corpus
-    "q124_stable_ids")
+    "q124_stable_ids",
+    // both rolling windows run on DAY-level aggregates (7 rows: the
+    // per-day register frame and the first-day novelty histogram),
+    // never on corpus rows
+    "q130_hll_rolling")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
