@@ -52,7 +52,24 @@ object RawLayer {
                  fixedClock: Option[Timestamp] = None): Unit = {
     if (alreadyIngested(cat, jsonPath)) return
     val df = cat.spark.read.json(jsonPath)
-    conformAndAppend(cat, df, jsonPath, fixedClock)
+    // PERMISSIVE inference surfaces malformed lines as _corrupt_record;
+    // quarantine them (raw line + provenance) instead of letting typed
+    // nulls masquerade as data or DROPMALFORMED silently shrink the
+    // feed — the ingest-observability discipline a 100 TB feed needs
+    val good =
+      if (df.columns.contains("_corrupt_record")) {
+        // Spark refuses corrupt-record-only queries on a raw file scan
+        // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the parse
+        val parsed = graft.runtime.Materialize.once(df)
+        val ts = fixedClock.map(lit(_)).getOrElse(current_timestamp())
+        val bad = parsed.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record").as("raw_line"),
+            lit(jsonPath).as("source_file"), ts.as("ingestion_ts"))
+        if (!bad.isEmpty)
+          cat.append(bad, layer, "quarantine", partitionCols = Nil)
+        parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      } else df
+    conformAndAppend(cat, good, jsonPath, fixedClock)
   }
 
   private def conformAndAppend(cat: Catalog, df: DataFrame, sourcePath: String,

@@ -38,4 +38,25 @@ class JsonIngestSpec extends SparkSpec {
     RawLayer.ingestJson(cat, legacy, fixedClock = clock)
     assert(cat.read("raw", "daily_reports").count() == 2)
   }
+
+  test("malformed lines quarantine with provenance; good lines still land") {
+    val dir = tmpDir("json-feed-bad")
+    val mixed = s"$dir/2021-07-01.json"
+    Files.write(Paths.get(mixed),
+      ("""{"Country_Region":"US","Last_Update":"2021-07-01 04:00:00","Confirmed":9,"Deaths":1}""" + "\n" +
+        """{"Country_Region": BROKEN LINE""" + "\n" +
+        """{"Country_Region":"France","Last_Update":"2021-07-01 04:00:00","Confirmed":4,"Deaths":0}""")
+        .getBytes)
+
+    val cat = Catalog(spark, tmpDir("json-wh-bad"))
+    val clock = Some(Timestamp.valueOf("2024-01-01 00:00:00"))
+    RawLayer.ingestJson(cat, mixed, fixedClock = clock)
+
+    val raw = cat.read("raw", "daily_reports")
+    assert(raw.count() == 2, "both well-formed lines land")
+    val q = cat.read("raw", "quarantine").collect()
+    assert(q.length == 1)
+    assert(q(0).getAs[String]("raw_line").contains("BROKEN"))
+    assert(q(0).getAs[String]("source_file") == mixed)
+  }
 }
