@@ -2426,6 +2426,40 @@ object PipelineQueries {
        |FROM est e JOIN ex USING (day)""".stripMargin
   }
 
+  /** q131 — shard assignment for training export: carve the q124
+    * dense-ID order into 16 contiguous shards
+    * (shard = (stable_id−1)·16 div N) and report each shard's
+    * document count and token mass — the balance report a data loader
+    * reads before an epoch. Contiguity in (source, doc_id) order keeps
+    * each shard's files co-located with the range partitioning that
+    * produced the IDs; the corpus-count scalar is a broadcast 1-row
+    * aggregate (the q86/q91 pattern).
+    */
+  def q131ShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val ids = q124StableIds(spark, dir)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    val total = ids.agg(count(lit(1)).as("n_total"))
+    ids.join(toks, Seq("doc_id"))
+      .crossJoin(broadcast(total))
+      .withColumn("shard",
+        expr("((stable_id - 1) * 16) div n_total").cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val q131Oracle: String =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY source, doc_id) AS stable_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |t AS (SELECT count(*) AS n_total FROM documents)
+      |SELECT CAST(((stable_id - 1) * 16) // n_total AS INT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM ids, t GROUP BY shard""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2472,7 +2506,8 @@ object PipelineQueries {
     "q119_dup_keep_first" -> (q119DupKeepFirst _),
     "q121_kanon" -> (q121Kanon _),
     "q124_stable_ids" -> (q124StableIds _),
-    "q130_hll_rolling" -> (q130HllRolling _))
+    "q130_hll_rolling" -> (q130HllRolling _),
+    "q131_shard_balance" -> (q131ShardBalance _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2520,5 +2555,6 @@ object PipelineQueries {
     "q119_dup_keep_first" -> q119Oracle,
     "q121_kanon" -> q121Oracle,
     "q124_stable_ids" -> q124Oracle,
-    "q130_hll_rolling" -> q130Oracle)
+    "q130_hll_rolling" -> q130Oracle,
+    "q131_shard_balance" -> q131Oracle)
 }

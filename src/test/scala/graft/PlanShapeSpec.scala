@@ -60,7 +60,10 @@ class PlanShapeSpec extends SparkSpec {
     "q123_rocchio",
     // contrastive pair builder: the 10-row query frame is broadcast-
     // crossJoined into both rankings (q24's shape)
-    "q126_train_pairs")
+    "q126_train_pairs",
+    // corpus-count scalar: a broadcast 1-row aggregate crossJoined
+    // into the shard arithmetic (q86/q91's pattern)
+    "q131_shard_balance")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
@@ -73,7 +76,10 @@ class PlanShapeSpec extends SparkSpec {
     // both rolling windows run on DAY-level aggregates (7 rows: the
     // per-day register frame and the first-day novelty histogram),
     // never on corpus rows
-    "q130_hll_rolling")
+    "q130_hll_rolling",
+    // q131 composes q124, inheriting its partition-count-sized offset
+    // prefix sum (same justification)
+    "q131_shard_balance")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
