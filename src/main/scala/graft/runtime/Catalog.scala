@@ -202,6 +202,39 @@ final case class Catalog(spark: SparkSession, root: String,
         .save(tmp)
     }
 
+  /** Incremental materialized-aggregate maintenance: fold a DELTA of
+    * rows into a stored keyed aggregate without rescanning history.
+    * The delta is partially aggregated, unioned with the STORED
+    * aggregate (group-cardinality-sized, not history-sized), and
+    * re-aggregated — sound for additive measures (count/sum; an avg is
+    * maintained as its (sum, count) partials), which is exactly the
+    * algebra Spark's own partial aggregation relies on. The swap runs
+    * through [[createOrReplace]], so the refresh is crash-safe and
+    * every refresh is a snapshot version — a double-applied delta is
+    * repaired by `restoreVersion`, the same recovery story as the CDC
+    * sink. At 100 TB: cost per refresh = delta scan + aggregate-table
+    * scan; the raw history is never touched.
+    *
+    * `measures` are columns of `delta` to be sum-maintained (pass a
+    * `lit(1)` column for a count).
+    */
+  def refreshAggregate(delta: DataFrame, layer: String, table: String,
+                       keys: Seq[String], measures: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col(measures.head)).as(measures.head),
+          measures.tail.map(m => sum(col(m)).as(m)): _*)
+        .select((keys ++ measures).map(col): _*)
+    val partial = rollup(delta)
+    val merged =
+      if (tableExists(layer, table))
+        rollup(read(layer, table).select((keys ++ measures).map(col): _*)
+          .unionByName(partial))
+      else partial
+    createOrReplace(merged, layer, table)
+  }
+
   /** Bucketed external table at this catalog's path: rows are hashed
     * into `buckets` files per partition by `bucketCols` and sorted
     * within each bucket. Two tables bucketed the SAME way on the join

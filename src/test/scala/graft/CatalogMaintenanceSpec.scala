@@ -81,4 +81,38 @@ class CatalogMaintenanceSpec extends SparkSpec {
     val cat = Catalog(spark, tmpDir("evolve-csv"), "csv")
     intercept[IllegalArgumentException] { cat.readMerged("raw", "t") }
   }
+
+  test("refreshAggregate maintains a keyed sum/count incrementally, versioned") {
+    val cat = Catalog(spark, tmpDir("magg"), versions = 3)
+    def batch(rows: (String, Long)*) =
+      rows.toDF("k", "v").withColumn("cnt", lit(1L))
+    val b1 = batch(("a", 10L), ("a", 5L), ("b", 7L))
+    val b2 = batch(("a", 1L), ("c", 2L))
+    val b3 = batch(("b", 3L), ("c", 4L), ("c", 6L))
+
+    cat.refreshAggregate(b1, "mart", "sums", Seq("k"), Seq("v", "cnt"))
+    cat.refreshAggregate(b2, "mart", "sums", Seq("k"), Seq("v", "cnt"))
+    cat.refreshAggregate(b3, "mart", "sums", Seq("k"), Seq("v", "cnt"))
+
+    val got = cat.read("mart", "sums")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // full recompute over the union of all batches
+    val full = b1.unionByName(b2).unionByName(b3)
+      .groupBy(col("k")).agg(sum(col("v")).as("v"), sum(col("cnt")).as("cnt"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == full, s"incremental=$got full=$full")
+
+    // every refresh archived the previous state: a double-applied delta
+    // is repaired by rolling back one version and re-applying
+    val versions = cat.history("mart", "sums")
+    assert(versions.size >= 2, s"expected archived versions, got $versions")
+    cat.restoreVersion("mart", "sums", versions.max)
+    val restored = cat.read("mart", "sums")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // versions.max is the state before the b3 refresh
+    val beforeB3 = b1.unionByName(b2)
+      .groupBy(col("k")).agg(sum(col("v")).as("v"), sum(col("cnt")).as("cnt"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(restored == beforeB3, s"restored=$restored expected=$beforeB3")
+  }
 }
