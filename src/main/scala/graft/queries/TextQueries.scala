@@ -767,6 +767,62 @@ object TextQueries {
        |FROM staged GROUP BY stage""".stripMargin
   }
 
+  /** q132 — language-ID confidence filtering: q17 gives an argmax;
+    * pipelines gate on the MARGIN (best score − runner-up). Margin 0
+    * means the classifier is guessing (full tie); a small margin means
+    * mixed-language or template text. Emits the margin and the keep
+    * verdict (margin ≥ 2) — the confidence-threshold discipline any
+    * classifier-driven filter needs, all integer arithmetic in one
+    * scan pass.
+    */
+  def q132LangMargin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val scores = langMarkers.map { case (l, _) => langScore(col("text"), l) }
+    val best = greatest(scores: _*)
+    // runner-up = max over each score bounded by the others' max: the
+    // second-largest of N values via greatest of pairwise leasts
+    val second = greatest(scores.indices.map { i =>
+      least(scores(i), greatest(scores.indices.collect {
+        case j if j != i => scores(j)
+      }: _*))
+    }: _*)
+    d.select(col("doc_id"), langId(col("text")).as("lang_pred"),
+      best.cast("long").as("best_score"),
+      second.cast("long").as("second_score"))
+      .withColumn("margin", col("best_score") - col("second_score"))
+      .withColumn("keep", (col("margin") >= 2).cast("int"))
+  }
+
+  val q132Oracle: String = {
+    val scoreExprs = langMarkers.map { case (l, ws) =>
+      s"(${ws.map(occSql).mkString(" + ")}) AS s_$l"
+    }
+    val names = langMarkers.map { case (l, _) => s"s_$l" }
+    val best = s"greatest(${names.mkString(", ")})"
+    val second = names.indices.map { i =>
+      s"least(${names(i)}, greatest(${names.indices.collect {
+        case j if j != i => names(j)
+      }.mkString(", ")}))"
+    }.mkString(", ")
+    val caseArms = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${scoreExprs.mkString(",\n    ")}
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE $caseArms ELSE 'und' END AS lang_pred,
+       |    CAST($best AS BIGINT) AS best_score,
+       |    CAST(greatest($second) AS BIGINT) AS second_score
+       |  FROM scored)
+       |SELECT doc_id, lang_pred, best_score, second_score,
+       |  best_score - second_score AS margin,
+       |  CAST(CASE WHEN best_score - second_score >= 2
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM m""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -787,7 +843,8 @@ object TextQueries {
     "q47_approx_distinct" -> (q47ApproxDistinct _),
     "q125_ngram_diversity" -> (q125NgramDiversity _),
     "q128_oov_rate" -> (q128OovRate _),
-    "q129_filter_funnel" -> (q129FilterFunnel _))
+    "q129_filter_funnel" -> (q129FilterFunnel _),
+    "q132_lang_margin" -> (q132LangMargin _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -809,5 +866,6 @@ object TextQueries {
     "q47_approx_distinct" -> q47Oracle,
     "q125_ngram_diversity" -> q125Oracle,
     "q128_oov_rate" -> q128Oracle,
-    "q129_filter_funnel" -> q129Oracle)
+    "q129_filter_funnel" -> q129Oracle,
+    "q132_lang_margin" -> q132Oracle)
 }
