@@ -330,6 +330,27 @@ object Streaming {
       .agg(graft.functions.HllAgg.udaf(col("user_id").cast("string")).as("reg"))
       .select(col("win.start").as("win_start"), col("event_type"), col("reg"))
 
+  /** Event-time-windowed heavy hitters: tumbling windows + watermark +
+    * the Misra–Gries aggregator as the windowed aggregate — the
+    * "trending items per hour" stream that never keeps full counts.
+    * State per (window, key) is bounded at k counters; the summary
+    * after any prefix of batches carries MG's usual guarantees
+    * (est ≤ true ≤ est + N/(k+1)) over the window's prefix.
+    */
+  def windowedHeavyHitters(events: DataFrame, k: Int,
+                           windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
+      .agg(mg(col("item")).as("summary"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("summary"))
+  }
+
   def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
                        watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)

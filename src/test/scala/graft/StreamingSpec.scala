@@ -365,4 +365,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchRegs)
     assert(streamed.size == 2) // 08:00 and 09:00 windows
   }
+
+  test("windowed heavy hitters: summaries equal the batch aggregator's per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val events = mem.toDF().toDF("ts", "event_type", "item")
+    val q = Streaming.windowedHeavyHitters(events, k = 4, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("whh")
+      .outputMode("complete").start()
+
+    val batch1 = Seq.fill(30)((Timestamp.valueOf("2020-03-01 08:05:00"), "view", "hot")) ++
+      (0 until 12).map(i => (Timestamp.valueOf(f"2020-03-01 08:${10 + i}%02d:00"), "view", s"c$i"))
+    val batch2 = Seq.fill(10)((Timestamp.valueOf("2020-03-01 08:40:00"), "view", "hot")) ++
+      (12 until 20).map(i => (Timestamp.valueOf(f"2020-03-01 08:${i + 20}%02d:00"), "view", s"c$i"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("whh")
+      .as[(Timestamp, String, Map[String, Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    q.stop()
+
+    // MG summaries depend on how the stream was split (unlike the
+    // linear CM or max-merge HLL), so the check is the GUARANTEE, not
+    // bit-equality: k-bounded state, est ≤ true ≤ est + N/(k+1), and
+    // the dominant item is present in the window it dominates
+    assert(streamed.size == 1)
+    val hh = streamed.values.head
+    val n = (batch1 ++ batch2).size
+    assert(hh.size <= 4)
+    assert(hh.contains("hot"))
+    assert(hh("hot") <= 40 && hh("hot") >= 40 - n / 5,
+      s"MG bound violated: ${hh("hot")} for true 40, N=$n")
+  }
 }
