@@ -220,6 +220,8 @@ final case class Catalog(spark: SparkSession, root: String,
     */
   def refreshAggregate(delta: DataFrame, layer: String, table: String,
                        keys: Seq[String], measures: Seq[String]): Unit = {
+    require(keys.nonEmpty, "refreshAggregate needs at least one key column")
+    require(measures.nonEmpty, "refreshAggregate needs at least one measure")
     import org.apache.spark.sql.functions.{col, sum}
     def rollup(df: DataFrame): DataFrame =
       df.groupBy(keys.map(col): _*)
