@@ -61,6 +61,58 @@ object PortableMinHashHelper {
     }
     new GenericArrayData(bands)
   }
+
+  /** array<string> shingles → the raw `numHashes`-slot signature
+    * (no banding): slot j = min over shingles of
+    * PortableHash.slot(hash(s), j) — DuckDB's
+    * `min(((hv + j*Shift) % M)² % M) ... GROUP BY doc_id, j`. The
+    * per-slot values are what estimator-calibration queries compare
+    * (collision fraction ≈ Jaccard); [[compute]] folds these same
+    * slots into band keys.
+    */
+  def signature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](numHashes)
+    if (n == 0) {
+      java.util.Arrays.fill(sig, -1L)
+      return new GenericArrayData(sig)
+    }
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = PortableHash.hash(shingles.getUTF8String(i).toString)
+      var j = 0
+      while (j < numHashes) {
+        val v = PortableHash.slot(h, j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** array<string> shingles → array<long> raw MinHash slot signature
+  * (SQL-portable family, no banding) — see
+  * [[PortableMinHashHelper.signature]].
+  */
+case class PortableMinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableMinHashHelper.signature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableMinHashHelper.signature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashSignature =
+    copy(child = newChild)
 }
 
 /** array<string> shingles → array<long> of `numBands` SQL-portable

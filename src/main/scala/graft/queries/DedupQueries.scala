@@ -96,7 +96,13 @@ object DedupQueries {
     * list_reduce (errors on an empty list) for whitespace-only docs,
     * matching PortableHash.hash("") = 0.
     */
-  val q21Oracle: String = {
+  /** Shared CTE chain of the q21 LSH replay (shingles → portable hash
+    * → 32 slots → 8 band keys → candidate pairs → Jaccard verify),
+    * reused by q21's final SELECT and by q134's estimator-calibration
+    * joins (which read the `slots` and `sh` CTEs directly — the
+    * single-definition rule for the hash math).
+    */
+  private val lshOracleCtes: String = {
     import graft.functions.PortableHash.{Base, Mod, Shift}
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
@@ -134,10 +140,13 @@ object DedupQueries {
        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) AS shingle_jaccard
        |  FROM cand c
        |  JOIN sh x ON x.doc_id = c.id1
-       |  JOIN sh y ON y.doc_id = c.id2)
+       |  JOIN sh y ON y.doc_id = c.id2)""".stripMargin
+  }
+
+  val q21Oracle: String =
+    s"""$lshOracleCtes
        |SELECT id1, id2, shingle_jaccard FROM verified
        |WHERE shingle_jaccard >= 0.5""".stripMargin
-  }
 
   /** n-gram Jaccard near-dup verify, blocked by `source` (a real blocking
     * key keeps the pair space per-block, not global n²).
@@ -510,6 +519,148 @@ object DedupQueries {
        |WHERE split1 <> split2""".stripMargin
   }
 
+  /** q134 — MinHash estimator calibration: for every LSH-surfaced
+    * near-dup pair (the q21 chain), the 32-slot signature's collision
+    * fraction (the MinHash Jaccard ESTIMATE, E[matches/k] = J) next to
+    * the exact shingle Jaccard, both as integer ppm, plus the absolute
+    * error. This is the table a pipeline reads before trusting
+    * signature-only dedup decisions (skipping the exact verify pass at
+    * 100 TB buys a full corpus-sized join — IF the estimator error is
+    * tolerable; expected |err| ≈ √(J(1−J)/32) ≈ 0.07 at J = 0.6).
+    *
+    * Scale shape: pair set is LSH-candidate-sized (never all-pairs);
+    * the signature frame is 32 longs/doc joined back by id; slot
+    * comparison is a fused zip_with over two fixed-width arrays on a
+    * pair-sized frame. Integer ppm throughout, so both engines agree
+    * bit-for-bit. The oracle replays the slot family from the shared
+    * q21 CTE chain — estimate AND exact are independently rebuilt.
+    */
+  def q134MinhashErr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sketched = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        Dedup.sortedShingles(TextAnalysis.wsTokens(col("text")), 3).as("sh"))
+      .withColumn("sig", ColumnBridge.column(
+        graft.functions.PortableMinHashSignature(
+          ColumnBridge.expression(col("sh")), 32)))
+      // consumed by both join-backs below
+      .transform(graft.runtime.Materialize.once)
+    val interCount = ColumnBridge.column(
+      graft.functions.SortedArrayIntersectCount(
+        ColumnBridge.expression(col("sh1")),
+        ColumnBridge.expression(col("sh2"))))
+    q21MinhashLsh(spark, dir)
+      .select(col("id1"), col("id2"))
+      .join(sketched.select(col("doc_id").as("id1"),
+        col("sh").as("sh1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sketched.select(col("doc_id").as("id2"),
+        col("sh").as("sh2"), col("sig").as("sig2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        interCount.cast("long").as("n_common"),
+        (size(col("sh1")) + size(col("sh2"))).cast("long").as("n_sizes"),
+        expr("aggregate(zip_with(sig1, sig2, (a, b) -> if(a = b, 1, 0)), " +
+          "0, (acc, x) -> acc + x)").cast("long").as("slot_matches"))
+      .withColumn("n_union", col("n_sizes") - col("n_common"))
+      .select(col("id1"), col("id2"),
+        expr("(n_common * 1000000L) div n_union").as("exact_ppm"),
+        expr("(slot_matches * 1000000L) div 32").as("est_ppm"),
+        col("slot_matches"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+  }
+
+  val q134Oracle: String =
+    s"""$lshOracleCtes,
+       |pairs AS (
+       |  SELECT id1, id2 FROM verified WHERE shingle_jaccard >= 0.5),
+       |est AS (
+       |  SELECT p.id1, p.id2,
+       |    CAST(sum(CASE WHEN x.mn = y.mn THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS slot_matches
+       |  FROM pairs p
+       |  JOIN slots x ON x.doc_id = p.id1
+       |  JOIN slots y ON y.doc_id = p.id2 AND y.j = x.j
+       |  GROUP BY p.id1, p.id2),
+       |ex AS (
+       |  SELECT p.id1, p.id2,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+       |    CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS BIGINT)
+       |      AS u
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.id1
+       |  JOIN sh b ON b.doc_id = p.id2)
+       |SELECT e.id1, e.id2,
+       |  (x.i * 1000000) // x.u AS exact_ppm,
+       |  (e.slot_matches * 1000000) // 32 AS est_ppm,
+       |  e.slot_matches,
+       |  abs((e.slot_matches * 1000000) // 32 - (x.i * 1000000) // x.u)
+       |    AS err_ppm
+       |FROM est e JOIN ex x ON x.id1 = e.id1 AND x.id2 = e.id2""".stripMargin
+
+  /** q136 — exact source-pair shingle Jaccard: the EXACT twin of q41's
+    * MinHash source-similarity estimate. Distinct (source, shingle)
+    * membership, a per-shingle source-pair join (fan-out bounded by the
+    * source count — C(20,2) worst case per shingle, never doc-pair
+    * scale), per-source set sizes joined back broadcast, union by
+    * inclusion–exclusion, similarity as integer ppm. Against q41 this
+    * is the calibration table: |est − exact| per pair is the MinHash
+    * error a 32-slot signature actually delivers.
+    *
+    * Scale shape: the membership distinct is one vocabulary-scale
+    * shuffle; the pair join shuffles the membership frame on shingle
+    * with per-key fan-out ≤ sources²; sizes are a broadcast
+    * source-count-sized frame. No stage touches doc pairs.
+    */
+  def q136SourceJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val member = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(Dedup.sortedShingles(
+          TextAnalysis.wsTokens(col("text")), 3)).as("sh"))
+      .distinct()
+      // consumed by the size census and BOTH pair-join branches
+      .transform(graft.runtime.Materialize.once)
+    val sizes = member.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = member.as("a")
+      .join(member.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
+        Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))),
+        Seq("s2"))
+      .withColumn("n_union", col("n1") + col("n2") - col("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000L) div n_union"))
+      .select(col("s1"), col("s2"), col("n_common"), col("n_union"),
+        col("jaccard_ppm"))
+  }
+
+  val q136Oracle: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+      |      i -> array_to_string(list_slice(t, i, i+2), ' ')))) AS sh
+      |  FROM t),
+      |sizes AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT i.s1, i.s2, i.n_common,
+      |  x.n + y.n - i.n_common AS n_union,
+      |  (i.n_common * 1000000) // (x.n + y.n - i.n_common) AS jaccard_ppm
+      |FROM inter i
+      |JOIN sizes x ON x.source = i.s1
+      |JOIN sizes y ON y.source = i.s2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
@@ -520,7 +671,9 @@ object DedupQueries {
     "q57_dup_clusters" -> (q57DupClusters _),
     "q110_canonical_docs" -> (q110CanonicalDocs _),
     "q118_semdedup" -> (q118SemDedup _),
-    "q127_split_leakage" -> (q127SplitLeakage _))
+    "q127_split_leakage" -> (q127SplitLeakage _),
+    "q134_minhash_err" -> (q134MinhashErr _),
+    "q136_source_jaccard" -> (q136SourceJaccard _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
@@ -532,5 +685,7 @@ object DedupQueries {
     "q57_dup_clusters" -> q57Oracle,
     "q110_canonical_docs" -> q110Oracle,
     "q118_semdedup" -> q118Oracle,
-    "q127_split_leakage" -> q127Oracle)
+    "q127_split_leakage" -> q127Oracle,
+    "q134_minhash_err" -> q134Oracle,
+    "q136_source_jaccard" -> q136Oracle)
 }

@@ -2460,6 +2460,62 @@ object PipelineQueries {
       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM ids, t GROUP BY shard""".stripMargin
 
+  /** q133 — posting-list compression accounting: the index-engineering
+    * step that decides how a retrieval index is laid out on disk. For
+    * each head-of-vocabulary token (df ≥ 20, the q99 bound), walk the
+    * doc_id-sorted posting list as DELTA GAPS (first gap = doc_id + 1,
+    * so every gap ≥ 1) and price the Lucene-style varint encoding:
+    * ceil(bitlen(gap)/7) bytes per gap, where bitlen = length(bin(gap))
+    * — all-integer, so both engines agree bit-for-bit. Reported next to
+    * the raw 8-byte/posting cost as savings in ppm.
+    *
+    * Scale shape: one (token, doc_id) aggregate (the same shuffle q99's
+    * index build pays), then the gap window PARTITION BY token rides
+    * that shuffle's partitioning — no second exchange. Output is
+    * head-of-vocab sized. At 100 TB the per-token row is exactly the
+    * sizing entry a shard planner feeds to its storage budget.
+    */
+  def q133PostingBytes(spark: SparkSession, dir: String): DataFrame = {
+    val posting = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    posting
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(expr("(length(bin(gap)) + 6) div 7")).as("varint_bytes"),
+        max(expr("length(bin(gap))")).as("max_gap_bits"))
+      .filter(col("df") >= 20)
+      .withColumn("raw_bytes", col("df") * lit(8L))
+      .withColumn("savings_ppm",
+        expr("((raw_bytes - varint_bytes) * 1000000L) div raw_bytes"))
+  }
+
+  val q133Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |p AS (
+      |  SELECT token, doc_id FROM t GROUP BY token, doc_id),
+      |g AS (
+      |  SELECT token,
+      |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id),
+      |                      -1) AS gap
+      |  FROM p),
+      |agg AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS varint_bytes,
+      |    CAST(max(length(bin(gap))) AS INT) AS max_gap_bits
+      |  FROM g GROUP BY token HAVING count(*) >= 20)
+      |SELECT token, df, varint_bytes, max_gap_bits,
+      |  df * 8 AS raw_bytes,
+      |  ((df * 8 - varint_bytes) * 1000000) // (df * 8) AS savings_ppm
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2507,7 +2563,8 @@ object PipelineQueries {
     "q121_kanon" -> (q121Kanon _),
     "q124_stable_ids" -> (q124StableIds _),
     "q130_hll_rolling" -> (q130HllRolling _),
-    "q131_shard_balance" -> (q131ShardBalance _))
+    "q131_shard_balance" -> (q131ShardBalance _),
+    "q133_posting_bytes" -> (q133PostingBytes _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2556,5 +2613,6 @@ object PipelineQueries {
     "q121_kanon" -> q121Oracle,
     "q124_stable_ids" -> q124Oracle,
     "q130_hll_rolling" -> q130Oracle,
-    "q131_shard_balance" -> q131Oracle)
+    "q131_shard_balance" -> q131Oracle,
+    "q133_posting_bytes" -> q133Oracle)
 }

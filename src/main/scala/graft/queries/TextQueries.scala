@@ -823,6 +823,53 @@ object TextQueries {
        |FROM m""".stripMargin
   }
 
+  /** q135 — Simpson concentration index per source: the probability
+    * that two tokens drawn without replacement from a source are the
+    * SAME type, Σ c·(c−1) / (T·(T−1)) — the diversity complement to
+    * q125's type/token ratio that needs no logarithm (the
+    * entropy-family metric a cross-engine hash check can carry
+    * exactly). High concentration flags template/generated sources the
+    * same way collapsing TTR does, but from repeated-draw mass rather
+    * than the distinct-type census — so unlike q125 there is no
+    * count(DISTINCT) side: both aggregates ride ONE (source, token)
+    * shuffle, then a source-sized rollup. Integer ppb via 64-bit
+    * rationals (Σc·(c−1) ≤ T², so the ·10⁹ product needs T ≲ 3·10⁴ per
+    * source per slice — at 100 TB the same two sums run per partition
+    * slice and the final ratio is taken once per source from the
+    * merged longs, or in 128-bit decimal if a single source exceeds
+    * that).
+    */
+  def q135Simpson(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("c") * (col("c") - 1)).as("repeat_mass"))
+      .withColumn("simpson_ppb",
+        expr("(repeat_mass * 1000000000L) div (total_tokens * (total_tokens - 1))"))
+  }
+
+  val q135Oracle: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY source, t),
+      |agg AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+      |    CAST(count(*) AS BIGINT) AS distinct_tokens,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS repeat_mass
+      |  FROM c GROUP BY source)
+      |SELECT source, total_tokens, distinct_tokens, repeat_mass,
+      |  (repeat_mass * 1000000000) // (total_tokens * (total_tokens - 1))
+      |    AS simpson_ppb
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -844,7 +891,8 @@ object TextQueries {
     "q125_ngram_diversity" -> (q125NgramDiversity _),
     "q128_oov_rate" -> (q128OovRate _),
     "q129_filter_funnel" -> (q129FilterFunnel _),
-    "q132_lang_margin" -> (q132LangMargin _))
+    "q132_lang_margin" -> (q132LangMargin _),
+    "q135_simpson" -> (q135Simpson _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -867,5 +915,6 @@ object TextQueries {
     "q125_ngram_diversity" -> q125Oracle,
     "q128_oov_rate" -> q128Oracle,
     "q129_filter_funnel" -> q129Oracle,
-    "q132_lang_margin" -> q132Oracle)
+    "q132_lang_margin" -> q132Oracle,
+    "q135_simpson" -> q135Oracle)
 }
