@@ -222,13 +222,84 @@ object EventQueries {
       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** q137 — CUSUM changepoint detection over daily event volume: the
+    * monitoring primitive that catches a sustained level shift a
+    * per-day z-score (q68) misses, because small same-signed deviations
+    * ACCUMULATE. Per event type, daily value totals in integer cents;
+    * the per-type mean daily total is the target; the classic recursive
+    * chart S_t = max(0, S_{t-1} + (x_t − target)) is rewritten as the
+    * window-expressible identity S_t = C_t − min(0, min_{j≤t} C_j)
+    * (C = prefix sum of deltas, C_0 = 0) — a cumulative sum plus a
+    * running min, so the recursion never leaves Catalyst. The downward
+    * chart is the same identity on negated deltas. A day is flagged
+    * when either chart exceeds 20% of the target.
+    *
+    * Scale shape: one day-level aggregate (the only data-sized
+    * shuffle), then both window chains ride ONE sort partitioned by
+    * event_type; the per-type target joins back broadcast
+    * (type-cardinality rows). All-integer cents, so both engines agree
+    * bit-for-bit.
+    */
+  def q137Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val target = daily.groupBy(col("event_type"))
+      .agg(expr("sum(day_cents) div count(*)").as("target"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(target), Seq("event_type"))
+      .withColumn("c_pos", sum(col("day_cents") - col("target")).over(w))
+      .withColumn("c_neg", sum(col("target") - col("day_cents")).over(w))
+      .select(col("event_type"), col("day"), col("day_cents"),
+        (col("c_pos") - least(lit(0L), min(col("c_pos")).over(w)))
+          .as("cusum_pos"),
+        (col("c_neg") - least(lit(0L), min(col("c_neg")).over(w)))
+          .as("cusum_neg"),
+        col("target"))
+      .withColumn("shifted",
+        when(col("cusum_pos") * 5 > col("target") ||
+          col("cusum_neg") * 5 > col("target"), 1).otherwise(0))
+  }
+
+  val q137Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |t AS (
+      |  SELECT event_type, sum(day_cents) // count(*) AS target
+      |  FROM daily GROUP BY event_type),
+      |c AS (
+      |  SELECT d.event_type, d.day, d.day_cents, t.target,
+      |    sum(d.day_cents - t.target) OVER w AS c_pos,
+      |    sum(t.target - d.day_cents) OVER w AS c_neg
+      |  FROM daily d JOIN t ON t.event_type = d.event_type
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+      |               ROWS UNBOUNDED PRECEDING)),
+      |s AS (
+      |  SELECT event_type, day, day_cents, target,
+      |    c_pos - least(0, min(c_pos) OVER w) AS cusum_pos,
+      |    c_neg - least(0, min(c_neg) OVER w) AS cusum_neg
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, day, day_cents, cusum_pos, cusum_neg, target,
+      |  CASE WHEN cusum_pos * 5 > target OR cusum_neg * 5 > target
+      |       THEN 1 ELSE 0 END AS shifted
+      |FROM s""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "q48_asof_join" -> (q48AsofJoin _),
     "q49_range_join" -> (q49RangeJoin _),
-    "q50_pivot" -> (q50Pivot _))
+    "q50_pivot" -> (q50Pivot _),
+    "q137_cusum" -> (q137Cusum _))
 
   val oracles: Map[String, String] = Map(
     "q32_sessionize" -> q32Oracle,
@@ -236,5 +307,6 @@ object EventQueries {
     "q45_retention" -> q45Oracle,
     "q48_asof_join" -> q48Oracle,
     "q49_range_join" -> q49Oracle,
-    "q50_pivot" -> q50Oracle)
+    "q50_pivot" -> q50Oracle,
+    "q137_cusum" -> q137Oracle)
 }
