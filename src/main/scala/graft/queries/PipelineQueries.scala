@@ -2516,6 +2516,79 @@ object PipelineQueries {
       |  ((df * 8 - varint_bytes) * 1000000) // (df * 8) AS savings_ppm
       |FROM agg""".stripMargin
 
+  /** q138 — Pareto-frontier curation (2-D skyline): keep the documents
+    * no other document beats on BOTH length and lexical diversity —
+    * the multi-criteria "best exemplars" selection a single weighted
+    * score can't express (any weighting picks one frontier point; the
+    * skyline returns them all). Dominance: b dominates a iff
+    * b.n_tokens ≥ a.n_tokens AND b.div_ppm ≥ a.div_ppm with one strict.
+    *
+    * The naive skyline is an all-pairs NOT EXISTS — O(n²) and banned.
+    * The scale shape here is the sorted-sweep identity: on DISTINCT
+    * (x, y) pairs sorted by (x desc, y desc), a pair is on the skyline
+    * iff its y strictly exceeds every earlier y — a running max. That
+    * global order is realized WITHOUT a global window by q124's
+    * two-phase trick: range-partition by (x desc, y desc), per-partition
+    * running max, then a partition-count-sized prefix-max spine joined
+    * back broadcast. Metric space is distinct-pair-sized (≤ corpus),
+    * the sweep is one range exchange, and doc ids rejoin by (x, y) key.
+    * The oracle is the O(n²) NOT EXISTS — completeness proof, not the
+    * plan.
+    */
+  def q138Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("div_ppm", expr("(n_types * 1000000L) div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("div_ppm"))
+      // consumed by the sweep AND the id join-back
+      .transform(Materialize.once)
+    val pairs = metrics.select(col("n_tokens"), col("div_ppm")).distinct()
+      .repartitionByRange(col("n_tokens").desc, col("div_ppm").desc)
+      .withColumn("pid", spark_partition_id())
+      // pid must be IDENTICAL in the sweep and spine branches — pin it
+      .transform(Materialize.once)
+    val swept = pairs.withColumn("prev_y",
+      max(col("div_ppm")).over(Window.partitionBy(col("pid"))
+        .orderBy(col("n_tokens").desc, col("div_ppm").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val spine = pairs.groupBy(col("pid"))
+      .agg(max(col("div_ppm")).as("pmax"))
+      .withColumn("carry_y",
+        max(col("pmax")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("carry_y"))
+    val sky = swept.join(broadcast(spine), Seq("pid"))
+      .withColumn("dom_y", greatest(
+        coalesce(col("prev_y"), lit(Long.MinValue)),
+        coalesce(col("carry_y"), lit(Long.MinValue))))
+      .filter(col("div_ppm") > col("dom_y"))
+      .select(col("n_tokens"), col("div_ppm"))
+    metrics.join(sky, Seq("n_tokens", "div_ppm"))
+      .select(col("doc_id"), col("n_tokens"), col("div_ppm"))
+  }
+
+  val q138Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+      |      AS BIGINT) AS n_types
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, n_tokens,
+      |    (n_types * 1000000) // n_tokens AS div_ppm
+      |  FROM m WHERE n_tokens > 0)
+      |SELECT a.doc_id, a.n_tokens, a.div_ppm
+      |FROM d a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d b
+      |  WHERE b.n_tokens >= a.n_tokens AND b.div_ppm >= a.div_ppm
+      |    AND (b.n_tokens > a.n_tokens OR b.div_ppm > a.div_ppm))""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2564,7 +2637,8 @@ object PipelineQueries {
     "q124_stable_ids" -> (q124StableIds _),
     "q130_hll_rolling" -> (q130HllRolling _),
     "q131_shard_balance" -> (q131ShardBalance _),
-    "q133_posting_bytes" -> (q133PostingBytes _))
+    "q133_posting_bytes" -> (q133PostingBytes _),
+    "q138_skyline" -> (q138Skyline _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2614,5 +2688,6 @@ object PipelineQueries {
     "q124_stable_ids" -> q124Oracle,
     "q130_hll_rolling" -> q130Oracle,
     "q131_shard_balance" -> q131Oracle,
-    "q133_posting_bytes" -> q133Oracle)
+    "q133_posting_bytes" -> q133Oracle,
+    "q138_skyline" -> q138Oracle)
 }

@@ -63,7 +63,10 @@ class PlanShapeSpec extends SparkSpec {
     "q126_train_pairs",
     // corpus-count scalar: a broadcast 1-row aggregate crossJoined
     // into the shard arithmetic (q86/q91's pattern)
-    "q131_shard_balance")
+    "q131_shard_balance",
+    // power iteration's renorm: the max-|y| scalar (1-row aggregate)
+    // is broadcast-crossJoined into the dim-sized x frame each round
+    "q139_power_iter")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
@@ -79,7 +82,10 @@ class PlanShapeSpec extends SparkSpec {
     "q130_hll_rolling",
     // q131 composes q124, inheriting its partition-count-sized offset
     // prefix sum (same justification)
-    "q131_shard_balance")
+    "q131_shard_balance",
+    // skyline sweep's carry spine: one row PER PARTITION of the range
+    // exchange (q124's two-phase prefix pattern, here a prefix MAX)
+    "q138_skyline")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
