@@ -561,6 +561,89 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, role, rank FROM rnd WHERE rank <= 3""".stripMargin
   }
 
+  /** Power-iteration round count, shared by the Spark loop and the
+    * unrolled oracle CTEs so the two can never drift apart.
+    */
+  private val PowerRounds = 4
+
+  /** q139 — distributed power iteration: the top principal direction
+    * of the embedding second-moment matrix EᵀE, the spectral profile a
+    * pipeline reads before whitening, rank-truncation, or drift checks
+    * (a collapsing top direction = embeddings degenerating toward a
+    * line). Each round is two matrix-free products over the exploded
+    * (vec_id, dim, value) frame: dot_i = q_i·x (one vec-keyed
+    * aggregate), y = Σ dot_i·q_i (one dim-keyed aggregate), then an
+    * integer renormalization x ← sign(y)·(|y|·10⁴ div max|y|). All
+    * quantities are quantized longs — q at 10⁻⁴, dots damped by
+    * div 10⁵ before the second product — chosen so every intermediate
+    * fits i64 at sf=1 corpus counts (≤3.2·10¹⁸ worst case) and both
+    * engines replay the arithmetic bit-for-bit (div truncates toward
+    * zero in both). Division by |y| only ever sees non-negative
+    * operands; sign is reapplied explicitly.
+    *
+    * Scale shape: the exploded frame is (corpus × dim) rows
+    * materialized once; per round, one shuffle keyed by vec_id and one
+    * keyed by dim; x (dim-sized) broadcasts into the first product and
+    * the max-|y| scalar broadcasts into the renorm — the same
+    * materialized-loop discipline as connected components. Lanczos
+    * would converge faster; power iteration is the deterministic,
+    * oracle-replayable baseline.
+    */
+  def q139PowerIter(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v0")))
+      .select(col("vec_id"), (col("i") + 1).as("j"),
+        expr("CAST(round(CAST(v0 AS DOUBLE) * 10000) AS BIGINT)").as("v"))
+      // re-read by both products in every round
+      .transform(Materialize.once)
+    var x = m.select(col("j")).distinct().withColumn("x", lit(10000L))
+    for (_ <- 1 to PowerRounds) {
+      val d = m.join(broadcast(x), Seq("j"))
+        .groupBy(col("vec_id"))
+        .agg(expr("sum(v * x) div 100000").as("dp"))
+      val y = m.join(d, Seq("vec_id"))
+        .groupBy(col("j"))
+        .agg(sum(col("dp") * col("v")).as("y"))
+      val mx = y.agg(max(abs(col("y"))).as("mx"))
+      x = y.crossJoin(broadcast(mx))
+        .select(col("j"),
+          (when(col("y") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(abs(y) * 10000L) div mx")).as("x"))
+        .transform(Materialize.once)
+    }
+    x.select(col("j").cast("long").as("dim"), col("x").as("component"))
+  }
+
+  val q139Oracle: String = {
+    val rounds = (1 to PowerRounds).map { r =>
+      s"""d$r AS (
+         |  SELECT m.vec_id, sum(m.v * x.x) // 100000 AS dp
+         |  FROM m JOIN x${r - 1} x ON x.j = m.j GROUP BY m.vec_id),
+         |y$r AS (
+         |  SELECT m.j, CAST(sum(d.dp * m.v) AS BIGINT) AS y
+         |  FROM m JOIN d$r d ON d.vec_id = m.vec_id GROUP BY m.j),
+         |n$r AS (SELECT max(abs(y)) AS mx FROM y$r),
+         |x$r AS (
+         |  SELECT j, (CASE WHEN y < 0 THEN -1 ELSE 1 END)
+         |    * ((abs(y) * 10000) // mx) AS x
+         |  FROM y$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |m AS (
+       |  SELECT vec_id, i AS j, q[i] AS v
+       |  FROM q, unnest(range(1, len(q) + 1)) u(i)),
+       |x0 AS (
+       |  SELECT DISTINCT j, CAST(10000 AS BIGINT) AS x FROM m),
+       |$rounds
+       |SELECT CAST(j AS BIGINT) AS dim, CAST(x AS BIGINT) AS component
+       |FROM x$PowerRounds""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
@@ -570,7 +653,8 @@ object SimilarityQueries {
     "q109_pq_adc" -> (q109PqAdc _),
     "q111_jl_overlap" -> (q111JlOverlap _),
     "q123_rocchio" -> (q123Rocchio _),
-    "q126_train_pairs" -> (q126TrainPairs _))
+    "q126_train_pairs" -> (q126TrainPairs _),
+    "q139_power_iter" -> (q139PowerIter _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
@@ -581,5 +665,6 @@ object SimilarityQueries {
     "q109_pq_adc" -> q109Oracle,
     "q111_jl_overlap" -> q111Oracle,
     "q123_rocchio" -> q123Oracle,
-    "q126_train_pairs" -> q126Oracle)
+    "q126_train_pairs" -> q126Oracle,
+    "q139_power_iter" -> q139Oracle)
 }
