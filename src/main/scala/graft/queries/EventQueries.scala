@@ -240,13 +240,29 @@ object EventQueries {
     * (type-cardinality rows). All-integer cents, so both engines agree
     * bit-for-bit.
     */
-  def q137Cusum(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.load(spark, dir, "events")
+  def q137Cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumCharts(dailyVolume(Tables.load(spark, dir, "events")))
+
+  /** Daily value totals per event type, in integer cents — the
+    * day-level aggregate both the batch chart (q137) and the streaming
+    * monitor ([[graft.streaming.Streaming.changepointSink]]) maintain.
+    */
+  def dailyVolume(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), to_date(col("ts")).as("day"),
         expr("cast(round(value * 100) as long)").as("cents"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("cents")).as("day_cents"))
+
+  /** Both CUSUM charts + shift flags from a (event_type, day,
+    * day_cents) frame. Day-cardinality input, so this is cheap enough
+    * to recompute from the stored aggregate on every refresh — which
+    * is also the only correct cadence: the target (per-type mean)
+    * shifts with every new day, so the charts are a function of the
+    * WHOLE daily history, not foldable into per-day state.
+    */
+  def cusumCharts(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val target = daily.groupBy(col("event_type"))
       .agg(expr("sum(day_cents) div count(*)").as("target"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))

@@ -364,4 +364,58 @@ object Streaming {
         col("session.start").as("started_at"),
         col("session.end").as("session_closes_at"),
         col("n_events"), col("total_value"))
+
+  /** Streaming CUSUM changepoint monitor — the streaming twin of the
+    * q137 batch chart ([[graft.queries.EventQueries.cusumCharts]]).
+    *
+    * Two-tier design, because CUSUM is NOT foldable into per-day
+    * state: the target (per-type mean daily total) moves with every
+    * new day, so the charts are a function of the whole daily history.
+    * Tier 1 — the streaming engine maintains the day-level aggregate
+    * (event-time day windows, watermark-bounded state, update mode
+    * emits each window's refreshed running total). Tier 2 — each
+    * micro-batch upserts those totals into a stored `daily_volume`
+    * table keyed (event_type, day) and recomputes the charts FROM THE
+    * STORED AGGREGATE — a day-cardinality frame, so the recompute
+    * costs the same at 100 TB of events as at 100 MB; the event-scale
+    * work only ever happens once, inside the windowed aggregation.
+    *
+    * Replay safety: a crashed micro-batch replays with identical
+    * window totals (the agg state is checkpointed), and merge
+    * re-upserting the same values is a no-op — convergent without a
+    * sequence guard. Late events inside the watermark re-emit their
+    * window with a LARGER total; the upsert overwrites, and the next
+    * chart recompute folds the correction in.
+    *
+    * Expects events(ts, event_type, value).
+    */
+  def changepointSink(events: DataFrame, cat: Catalog, checkpoint: String,
+                      layer: String = "mon", watermark: String = "2 days")
+  : StreamingQuery = {
+    val daily = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(sum(expr("cast(round(value * 100) as long)")).as("day_cents"))
+      // session timezone is UTC, so the window start date equals the
+      // batch tier's to_date(ts) — the spec pins this agreement
+      .select(col("event_type"), col("win.start").cast("date").as("day"),
+        col("day_cents"))
+    daily.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          if (cat.tableExists(layer, "daily_volume"))
+            cat.merge(batch, layer, "daily_volume",
+              Seq("event_type", "day"))
+          else cat.createOrReplace(batch, layer, "daily_volume")
+          cat.createOrReplace(
+            graft.queries.EventQueries.cusumCharts(
+              cat.read(layer, "daily_volume")),
+            layer, "volume_shifts")
+        }
+        ()
+      }
+      .start()
+  }
 }

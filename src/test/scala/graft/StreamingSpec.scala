@@ -138,6 +138,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 3)
   }
 
+  test("changepointSink: streamed CUSUM charts equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val cat = Catalog(spark, tmpDir("cusum-wh"))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.changepointSink(events, cat, tmpDir("cusum-ckpt"))
+    val b1 = Seq(
+      (ts("2024-01-01 09:00:00"), "view", 10.00),
+      (ts("2024-01-01 11:30:00"), "view", 4.50),
+      (ts("2024-01-01 10:00:00"), "click", 2.25),
+      (ts("2024-01-02 09:00:00"), "view", 11.00))
+    val b2 = Seq(
+      (ts("2024-01-02 15:00:00"), "click", 3.75),
+      // late event for day 1, inside the 2-day watermark: its window
+      // re-emits with the corrected total and the upsert folds it in
+      (ts("2024-01-01 23:00:00"), "view", 1.50),
+      (ts("2024-01-03 08:00:00"), "view", 2.00))
+    val b3 = Seq(
+      (ts("2024-01-04 12:00:00"), "view", 40.00), // the level shift
+      (ts("2024-01-04 12:05:00"), "click", 2.00))
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    mem.addData(b3); q.processAllAvailable()
+    q.stop()
+    val batch = graft.queries.EventQueries.cusumCharts(
+      graft.queries.EventQueries.dailyVolume(
+        (b1 ++ b2 ++ b3).toDF("ts", "event_type", "value")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(cat.read("mon", "volume_shifts")) == canon(batch))
+    // the injected day-4 spike must actually trip the upward chart
+    val shifted = cat.read("mon", "volume_shifts")
+      .filter(col("shifted") === 1).collect()
+    assert(shifted.exists(r => r.getAs[String]("event_type") == "view"))
+  }
+
   test("mergeSink applies streaming CDC: bootstrap, upsert latest, delete") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double, Long, Boolean)]
