@@ -644,6 +644,71 @@ object SimilarityQueries {
        |FROM x$PowerRounds""".stripMargin
   }
 
+  /** q140 — per-dimension robust distribution profile: exact discrete
+    * quartiles (lower-of-the-two, replayed as row_number positions so
+    * neither engine's quantile interpolation is in play) and IQR of
+    * each embedding dimension, quantized at 10⁻⁴ — the table a
+    * whitening / robust-scaling step is configured from, and the drift
+    * monitor a pipeline diffs between corpus snapshots (a dimension
+    * whose IQR collapses has died; one whose median walks is drifting).
+    *
+    * Scale shape: one exchange keyed by dimension; the rank window and
+    * the count ride that partitioning; dims × 3 probe rows join back
+    * on (dim, rank). Output is dimension-sized.
+    */
+  def q140DimStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("i", "v0")))
+      .select((col("i") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(v0 AS DOUBLE) * 10000) AS BIGINT)").as("v"))
+    val ranked = m
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("dim")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("dim"))))
+      // consumed by all three quartile probes
+      .transform(Materialize.once)
+    val probes = ranked
+      .filter(col("rk") === expr("((n - 1) * 25) div 100 + 1") ||
+        col("rk") === expr("((n - 1) * 50) div 100 + 1") ||
+        col("rk") === expr("((n - 1) * 75) div 100 + 1"))
+      .select(col("dim"), col("n"), col("rk"), col("v"))
+    probes
+      .groupBy(col("dim"), col("n"))
+      .agg(
+        min(when(col("rk") === expr("((n - 1) * 25) div 100 + 1"), col("v")))
+          .as("q25"),
+        min(when(col("rk") === expr("((n - 1) * 50) div 100 + 1"), col("v")))
+          .as("q50"),
+        min(when(col("rk") === expr("((n - 1) * 75) div 100 + 1"), col("v")))
+          .as("q75"))
+      .withColumn("iqr", col("q75") - col("q25"))
+  }
+
+  val q140Oracle: String =
+    """WITH m AS (
+      |  SELECT i AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+      |  WHERE embedding IS NOT NULL),
+      |r AS (
+      |  SELECT dim, v,
+      |    row_number() OVER (PARTITION BY dim ORDER BY v) AS rk,
+      |    count(*) OVER (PARTITION BY dim) AS n
+      |  FROM m)
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+      |  min(CASE WHEN rk = ((n - 1) * 25) // 100 + 1 THEN v END) AS q25,
+      |  min(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN v END) AS q50,
+      |  min(CASE WHEN rk = ((n - 1) * 75) // 100 + 1 THEN v END) AS q75,
+      |  min(CASE WHEN rk = ((n - 1) * 75) // 100 + 1 THEN v END)
+      |    - min(CASE WHEN rk = ((n - 1) * 25) // 100 + 1 THEN v END) AS iqr
+      |FROM r
+      |WHERE rk = ((n - 1) * 25) // 100 + 1
+      |   OR rk = ((n - 1) * 50) // 100 + 1
+      |   OR rk = ((n - 1) * 75) // 100 + 1
+      |GROUP BY dim, n""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
@@ -654,7 +719,8 @@ object SimilarityQueries {
     "q111_jl_overlap" -> (q111JlOverlap _),
     "q123_rocchio" -> (q123Rocchio _),
     "q126_train_pairs" -> (q126TrainPairs _),
-    "q139_power_iter" -> (q139PowerIter _))
+    "q139_power_iter" -> (q139PowerIter _),
+    "q140_dim_stats" -> (q140DimStats _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
@@ -666,5 +732,6 @@ object SimilarityQueries {
     "q111_jl_overlap" -> q111Oracle,
     "q123_rocchio" -> q123Oracle,
     "q126_train_pairs" -> q126Oracle,
-    "q139_power_iter" -> q139Oracle)
+    "q139_power_iter" -> q139Oracle,
+    "q140_dim_stats" -> q140Oracle)
 }

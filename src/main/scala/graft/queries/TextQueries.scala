@@ -870,6 +870,94 @@ object TextQueries {
       |    AS simpson_ppb
       |FROM agg""".stripMargin
 
+  /** q141 — distributional token similarity: tokens that appear in the
+    * same neighborhoods are interchangeable — the count-based kernel of
+    * distributional semantics (Firth's "you shall know a word by the
+    * company it keeps"), run entirely in the engine with no model. Each
+    * token's profile is its adjacency co-occurrence counts (both
+    * directions), TRUNCATED to the top-32 contexts through the
+    * bounded-heap TopKPerGroup operator (deterministic (count desc,
+    * ctx) tie-break) — the standard fanout bound that keeps the
+    * per-context self-join from degenerating on stopword-like hubs.
+    * Similarity is weighted Jaccard Σmin/Σmax over the truncated
+    * profiles — all-integer (Σmax = tot1 + tot2 − Σmin by
+    * inclusion–exclusion), so the ranking replays bit-for-bit.
+    *
+    * Scale shape: profile build is one (token, ctx) shuffle; the
+    * candidate join shuffles truncated profiles on ctx with per-key
+    * fanout bounded by how many tokens keep that ctx in their top-32;
+    * totals join back broadcast (vocabulary-sized — swap to a shuffle
+    * join past ~10M tokens). Pair space never touches documents.
+    */
+  def q141DistribSim(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(wsTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val adj = toks.select(explode(expr(
+      "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS l, t[i + 1] AS r))"))
+      .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+    val prof = graft.plans.TopK.perGroup(
+      adj.select(col("l").as("token"), col("r").as("ctx"))
+        .union(adj.select(col("r").as("token"), col("l").as("ctx")))
+        .groupBy(col("token"), col("ctx")).agg(count(lit(1)).as("c")),
+      group = Seq(col("token")),
+      order = Seq(col("c").desc, col("ctx")),
+      k = 32)
+      .drop("rk")
+      // consumed by the totals census and BOTH sides of the pair join
+      .transform(graft.runtime.Materialize.once)
+    val totals = prof.groupBy(col("token")).agg(sum(col("c")).as("tot"))
+    val inter = prof.as("a")
+      .join(prof.as("b"),
+        col("a.ctx") === col("b.ctx") && col("a.token") < col("b.token"))
+      .select(col("a.token").as("t1"), col("b.token").as("t2"),
+        least(col("a.c"), col("b.c")).as("m"))
+      .groupBy(col("t1"), col("t2")).agg(sum(col("m")).as("n_min"))
+    inter
+      .join(broadcast(totals.select(col("token").as("t1"),
+        col("tot").as("tot1"))), Seq("t1"))
+      .join(broadcast(totals.select(col("token").as("t2"),
+        col("tot").as("tot2"))), Seq("t2"))
+      .withColumn("sim_ppm",
+        expr("(n_min * 1000000L) div (tot1 + tot2 - n_min)"))
+      .filter(col("sim_ppm") >= 300000)
+      .select(col("t1"), col("t2"), col("n_min"), col("tot1"),
+        col("tot2"), col("sim_ppm"))
+  }
+
+  val q141Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |adj AS (
+      |  SELECT t[i] AS l, t[i + 1] AS r
+      |  FROM t, unnest(range(1, len(t))) u(i)
+      |  WHERE len(t) >= 2),
+      |pr0 AS (
+      |  SELECT token, ctx, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT l AS token, r AS ctx FROM adj
+      |    UNION ALL SELECT r AS token, l AS ctx FROM adj)
+      |  GROUP BY token, ctx),
+      |pr AS (
+      |  SELECT token, ctx, c FROM (
+      |    SELECT token, ctx, c,
+      |      row_number() OVER (PARTITION BY token ORDER BY c DESC, ctx)
+      |        AS rk
+      |    FROM pr0) WHERE rk <= 32),
+      |tot AS (
+      |  SELECT token, CAST(sum(c) AS BIGINT) AS tot FROM pr GROUP BY token),
+      |i AS (
+      |  SELECT a.token AS t1, b.token AS t2,
+      |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS n_min
+      |  FROM pr a JOIN pr b ON a.ctx = b.ctx AND a.token < b.token
+      |  GROUP BY a.token, b.token)
+      |SELECT i.t1, i.t2, i.n_min, x.tot AS tot1, y.tot AS tot2,
+      |  (i.n_min * 1000000) // (x.tot + y.tot - i.n_min) AS sim_ppm
+      |FROM i
+      |JOIN tot x ON x.token = i.t1
+      |JOIN tot y ON y.token = i.t2
+      |WHERE (i.n_min * 1000000) // (x.tot + y.tot - i.n_min) >= 300000""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -892,7 +980,8 @@ object TextQueries {
     "q128_oov_rate" -> (q128OovRate _),
     "q129_filter_funnel" -> (q129FilterFunnel _),
     "q132_lang_margin" -> (q132LangMargin _),
-    "q135_simpson" -> (q135Simpson _))
+    "q135_simpson" -> (q135Simpson _),
+    "q141_distrib_sim" -> (q141DistribSim _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -916,5 +1005,6 @@ object TextQueries {
     "q128_oov_rate" -> q128Oracle,
     "q129_filter_funnel" -> q129Oracle,
     "q132_lang_margin" -> q132Oracle,
-    "q135_simpson" -> q135Oracle)
+    "q135_simpson" -> q135Oracle,
+    "q141_distrib_sim" -> q141Oracle)
 }
