@@ -2589,6 +2589,113 @@ object PipelineQueries {
       |  WHERE b.n_tokens >= a.n_tokens AND b.div_ppm >= a.div_ppm
       |    AND (b.n_tokens > a.n_tokens OR b.div_ppm > a.div_ppm))""".stripMargin
 
+  /** q142 — token burstiness (Church & Gale): a token that appears at
+    * all in a document tends to appear AGAIN — the repeat probability
+    * df₂/df₁ (docs with ≥2 occurrences over docs with ≥1) separates
+    * bursty content words from evenly-sprinkled function words, which
+    * matters when shingle- or tf-based dedup weights are tuned. Also
+    * carries the mean within-doc tf (in ppm) for the head vocabulary.
+    *
+    * Scale shape: the (token, doc) tf aggregate is the same shuffle
+    * q99's index build pays; the per-token rollup rides it. Output is
+    * head-of-vocabulary sized. All-integer ratios.
+    */
+  def q142Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df1"),
+        sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("df2"),
+        sum(col("tf")).as("occurrences"))
+      .filter(col("df1") >= 20)
+      .withColumn("burst_ppm", expr("(df2 * 1000000L) div df1"))
+      .withColumn("mean_tf_ppm", expr("(occurrences * 1000000L) div df1"))
+  }
+
+  val q142Oracle: String =
+    """WITH tf AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+      |      AS token
+      |    FROM documents)
+      |  GROUP BY token, doc_id)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df1,
+      |  CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+      |  CAST(sum(tf) AS BIGINT) AS occurrences,
+      |  (sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*)
+      |    AS burst_ppm,
+      |  (sum(tf) * 1000000) // count(*) AS mean_tf_ppm
+      |FROM tf GROUP BY token HAVING count(*) >= 20""".stripMargin
+
+  /** q143 — Heaps'-law vocabulary growth: cumulative distinct-type
+    * count as a function of cumulative token count, sampled at corpus
+    * deciles — the curve that predicts vocabulary (and so tokenizer
+    * and index) size at 10× the data from a prefix, and whose early
+    * flattening is the classic symptom of a template-dominated crawl.
+    *
+    * Scale shape: corpus order is q124's two-phase dense ID (no global
+    * window over data rows); each token's FIRST position is one
+    * vocabulary-scale min-aggregate (q98's first-occurrence trick);
+    * both cumulative curves then live on the 10-row decile spine.
+    * Nothing data-sized is ever sorted globally or windowed.
+    */
+  def q143VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ids = q124StableIds(spark, dir)
+      .transform(Materialize.once) // consumed by totals, tokens, deciles
+    val total = ids.agg(count(lit(1)).as("n_total"))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .join(ids.select(col("doc_id"), col("stable_id")), Seq("doc_id"))
+    val tokensPerDecile = toks.crossJoin(broadcast(total))
+      .groupBy(expr("cast(((stable_id - 1) * 10) div n_total as int)")
+        .as("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypesPerDecile = toks.groupBy(col("token"))
+      .agg(min(col("stable_id")).as("first_sid"))
+      .crossJoin(broadcast(total))
+      .groupBy(expr("cast(((first_sid - 1) * 10) div n_total as int)")
+        .as("decile"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPerDecile
+      .join(newTypesPerDecile, Seq("decile"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .select(col("decile"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(col("n_new_types")).over(w).as("cum_vocab"))
+  }
+
+  val q143Oracle: String =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY source, doc_id) AS stable_id
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n_total FROM documents),
+      |toks AS (
+      |  SELECT i.stable_id, unnest(string_split_regex(trim(d.text), '\s+'))
+      |    AS token
+      |  FROM documents d JOIN ids i ON i.doc_id = d.doc_id),
+      |tpd AS (
+      |  SELECT CAST(((stable_id - 1) * 10) // n_total AS INT) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM toks, tot GROUP BY 1),
+      |fo AS (
+      |  SELECT token, min(stable_id) AS first_sid FROM toks GROUP BY token),
+      |npd AS (
+      |  SELECT CAST(((first_sid - 1) * 10) // n_total AS INT) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_new_types
+      |  FROM fo, tot GROUP BY 1)
+      |SELECT t.decile,
+      |  CAST(sum(t.n_tokens) OVER (ORDER BY t.decile
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY t.decile
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM tpd t LEFT JOIN npd n ON n.decile = t.decile""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2638,7 +2745,9 @@ object PipelineQueries {
     "q130_hll_rolling" -> (q130HllRolling _),
     "q131_shard_balance" -> (q131ShardBalance _),
     "q133_posting_bytes" -> (q133PostingBytes _),
-    "q138_skyline" -> (q138Skyline _))
+    "q138_skyline" -> (q138Skyline _),
+    "q142_burstiness" -> (q142Burstiness _),
+    "q143_vocab_growth" -> (q143VocabGrowth _))
 
   val oracles: Map[String, String] = Map(
     "q64_heavy_hitters" -> q64Oracle,
@@ -2689,5 +2798,7 @@ object PipelineQueries {
     "q130_hll_rolling" -> q130Oracle,
     "q131_shard_balance" -> q131Oracle,
     "q133_posting_bytes" -> q133Oracle,
-    "q138_skyline" -> q138Oracle)
+    "q138_skyline" -> q138Oracle,
+    "q142_burstiness" -> q142Oracle,
+    "q143_vocab_growth" -> q143Oracle)
 }

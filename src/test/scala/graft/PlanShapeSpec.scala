@@ -66,7 +66,10 @@ class PlanShapeSpec extends SparkSpec {
     "q131_shard_balance",
     // power iteration's renorm: the max-|y| scalar (1-row aggregate)
     // is broadcast-crossJoined into the dim-sized x frame each round
-    "q139_power_iter")
+    "q139_power_iter",
+    // corpus-count scalar crossJoined into the decile arithmetic
+    // (q131's pattern), twice: token stream + first-occurrence frame
+    "q143_vocab_growth")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
@@ -85,7 +88,10 @@ class PlanShapeSpec extends SparkSpec {
     "q131_shard_balance",
     // skyline sweep's carry spine: one row PER PARTITION of the range
     // exchange (q124's two-phase prefix pattern, here a prefix MAX)
-    "q138_skyline")
+    "q138_skyline",
+    // composes q124 (pid spine) and adds its own 10-row decile-spine
+    // cumulative windows — both bounded by spine size, never data rows
+    "q143_vocab_growth")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
