@@ -42,7 +42,8 @@ class SynthSource extends TableProvider
                         properties: util.Map[String, String]): Table =
     new SynthTable(
       numRows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
+      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
+      buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(0))
 }
 
 object SynthSource {
@@ -78,17 +79,26 @@ object SynthSource {
   }
 }
 
-private class SynthTable(numRows: Long, partitions: Int)
+private[graft] class SynthTable(numRows: Long, partitions: Int,
+                                buckets: Int = 0)
   extends Table with SupportsRead {
   override def name(): String = s"graft-synth($numRows)"
   override def schema(): StructType = SynthSource.Schema
+  // advertised table layout: bucketed tables declare their transform so
+  // DESCRIBE-style introspection matches what the scan reports
+  override def partitioning(): Array[Transform] =
+    if (buckets > 0)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(buckets, "doc_id"))
+    else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(numRows, partitions)
+    new SynthScanBuilder(numRows, partitions, buckets)
 }
 
-private class SynthScanBuilder(numRows: Long, partitions: Int)
+private class SynthScanBuilder(numRows: Long, partitions: Int,
+                               buckets: Int = 0)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates {
@@ -170,7 +180,7 @@ private class SynthScanBuilder(numRows: Long, partitions: Int)
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new SynthAggScan(lo, hi, agg)
-    case None => new SynthScan(lo, hi, partitions, required)
+    case None => new SynthScan(lo, hi, partitions, required, buckets)
   }
 }
 
@@ -227,6 +237,17 @@ private class SynthAggReaderFactory(values: Array[Any])
 
 private[graft] case class SynthRange(lo: Long, hi: Long) extends InputPartition
 
+/** One bucket of a key-grouped scan: the ids in [lo, hi) with
+  * id % nBuckets == bucket. `partitionKey` is what lets Spark line
+  * partitions up across scans (storage-partitioned join) and satisfy
+  * clustered distributions without an exchange.
+  */
+private[graft] case class SynthBucket(bucket: Int, nBuckets: Int,
+                                      lo: Long, hi: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 /** The row scan, with DSv2 RUNTIME filtering on top of the static
   * pushdown: when this scan sits under a join on doc_id, Spark's
   * dynamic pruning executes the build side first and hands the
@@ -236,14 +257,36 @@ private[graft] case class SynthRange(lo: Long, hi: Long) extends InputPartition
   * of the key set is sound: the join itself re-checks membership).
   */
 private[graft] class SynthScan(lo: Long, hi: Long, partitions: Int,
-                        required: StructType)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+                        required: StructType, buckets: Int = 0)
+  extends Scan with Batch with SupportsRuntimeFiltering
+  with SupportsReportPartitioning {
   private var rlo = lo
   private var rhi = hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-synth range=[$rlo,$rhi) cols=${required.fieldNames.mkString(",")}"
+    s"graft-synth range=[$rlo,$rhi) buckets=$buckets " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  /** Bucketed scans report `bucket(buckets, doc_id)` key grouping —
+    * with each [[SynthBucket]] carrying its key, Spark can satisfy a
+    * ClusteredDistribution on doc_id (aggregate without an exchange)
+    * and storage-partition joins between two compatible scans. The
+    * bucket FUNCTION resolves through [[SynthCatalog]]'s
+    * FunctionCatalog — plain `format()` reads fall back to unknown
+    * partitioning (Spark needs the function to reason about the
+    * transform).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (buckets > 0)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(buckets, "doc_id")),
+        buckets)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        partitions)
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -266,6 +309,13 @@ private[graft] class SynthScan(lo: Long, hi: Long, partitions: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (buckets > 0)
+      // one partition per bucket, every bucket present even if its
+      // narrowed slice is empty — key-grouped execution expects the
+      // reported partitioning to match the planned partitions
+      return (0 until buckets)
+        .map(b => SynthBucket(b, buckets, rlo, rhi): InputPartition)
+        .toArray
     val total = math.max(0L, rhi - rlo)
     // clamp in LONG space: total.toInt would wrap past 2^31 rows and
     // silently collapse scan parallelism
@@ -283,17 +333,24 @@ private[graft] class SynthScan(lo: Long, hi: Long, partitions: Int,
 
 private class SynthReaderFactory(required: StructType)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[SynthRange]
-    new SynthReader(r.lo, r.hi, required)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SynthRange(lo, hi) => new SynthReader(lo, hi, required)
+      case SynthBucket(b, n, lo, hi) =>
+        // first id >= lo congruent to b (mod n), then stride n
+        val first = lo + (((b - (lo % n).toInt) % n + n) % n).toLong
+        new SynthReader(first, hi, required, step = n.toLong)
+      case other =>
+        throw new IllegalArgumentException(s"unexpected partition $other")
+    }
 }
 
-private class SynthReader(lo: Long, hi: Long, required: StructType)
+private class SynthReader(lo: Long, hi: Long, required: StructType,
+                          step: Long = 1L)
   extends PartitionReader[InternalRow] {
   import SynthSource._
 
-  private var id = lo - 1
+  private var id = lo - step
   // per-row memo so n_chars + text in the same projection generate the
   // (expensive) text once, while a pruned scan never generates it
   private var textId = Long.MinValue
@@ -313,7 +370,7 @@ private class SynthReader(lo: Long, hi: Long, required: StructType)
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
-  override def next(): Boolean = { id += 1; id < hi }
+  override def next(): Boolean = { id += step; id < hi }
   override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)))
   override def close(): Unit = ()
 }
