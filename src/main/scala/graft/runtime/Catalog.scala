@@ -237,6 +237,65 @@ final case class Catalog(spark: SparkSession, root: String,
     createOrReplace(merged, layer, table)
   }
 
+  /** Incremental materialized JOIN-view maintenance, append-only: keep
+    * `view` = left ⨝ right (inner equi-join on `joinKeys`) current
+    * under appends WITHOUT recomputing the join, via the classic IVM
+    * delta rule
+    *
+    *   Δ(A ⨝ B) = ΔA ⨝ B_old  ∪  A_old ⨝ ΔB  ∪  ΔA ⨝ ΔB
+    *
+    * appended to the stored view while the base tables absorb their
+    * deltas. Per-refresh cost is DELTA-proportional — every term joins
+    * a delta against a base or another delta; the full A ⨝ B is never
+    * re-touched, which at 100 TB is the difference between a minutes
+    * refresh and an hours one. Retractions (updates/deletes) need
+    * counting-IVM and are out of scope — append-only is the lakehouse
+    * fact-stream case (and what `append` itself supports).
+    *
+    * The delta terms are materialized BEFORE the bases absorb their
+    * deltas: parquet directory reads are lazy, so joining against
+    * `read(base)` after appending would silently see the delta twice.
+    * Non-key columns of the two sides must not collide (the join
+    * output carries both).
+    */
+  def refreshJoin(deltaLeft: Option[DataFrame], deltaRight: Option[DataFrame],
+                  layer: String, view: String,
+                  leftTable: String, rightTable: String,
+                  joinKeys: Seq[String]): Unit = {
+    require(joinKeys.nonEmpty, "refreshJoin needs at least one join key")
+    require(deltaLeft.nonEmpty || deltaRight.nonEmpty,
+      "refreshJoin needs at least one delta")
+    val hasL = tableExists(layer, leftTable)
+    val hasR = tableExists(layer, rightTable)
+    require((hasL || deltaLeft.nonEmpty) && (hasR || deltaRight.nonEmpty),
+      "first refresh must supply the bootstrap delta for each side")
+    val dl = deltaLeft.map(Materialize.once)  // used in up to two terms
+    val dr = deltaRight.map(Materialize.once)
+    val aOld = if (hasL) Some(read(layer, leftTable)) else None
+    val bOld = if (hasR) Some(read(layer, rightTable)) else None
+    val viewExists = tableExists(layer, view)
+    val terms = Seq(
+      // first refresh over pre-existing bases = initial materialization
+      if (!viewExists) for (a <- aOld; b <- bOld) yield a.join(b, joinKeys)
+      else None,
+      for (d <- dl; b <- bOld) yield d.join(b, joinKeys),
+      for (a <- aOld; d <- dr) yield a.join(d, joinKeys),
+      for (d1 <- dl; d2 <- dr) yield d1.join(d2, joinKeys)).flatten
+    val newRows = terms
+      .reduceOption(_ unionByName _)
+      // pin the delta rows NOW — the base reads below must not observe
+      // the appends that follow
+      .map(Materialize.once)
+    newRows.foreach { rows =>
+      if (viewExists) append(rows, layer, view, Nil)
+      else createOrReplace(rows, layer, view)
+    }
+    dl.foreach(d => if (hasL) append(d, layer, leftTable, Nil)
+                    else createOrReplace(d, layer, leftTable))
+    dr.foreach(d => if (hasR) append(d, layer, rightTable, Nil)
+                    else createOrReplace(d, layer, rightTable))
+  }
+
   /** Bucketed external table at this catalog's path: rows are hashed
     * into `buckets` files per partition by `bucketCols` and sorted
     * within each bucket. Two tables bucketed the SAME way on the join
