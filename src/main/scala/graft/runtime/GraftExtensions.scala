@@ -91,6 +91,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val a = arity("hashed_linear_score", 1)(args)
         graft.functions.HashedLinearScore(a(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_minhash_signature"),
+      new ExpressionInfo(
+        classOf[graft.functions.PortableMinHashSignature].getName,
+        "portable_minhash_signature"),
+      (args: Seq[Expression]) => {
+        val a = arity("portable_minhash_signature", 2)(args)
+        graft.functions.PortableMinHashSignature(
+          a(0), litInt(a(1), "numHashes")) }))
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

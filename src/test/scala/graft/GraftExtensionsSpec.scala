@@ -56,6 +56,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(s == one("the") * 2 + one("quick"))
   }
 
+  test("portable_minhash_signature from SQL matches the helper slots") {
+    val sig = spark.sql(
+      "SELECT portable_minhash_signature(array('a b c', 'b c d'), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 8)
+    val expected = (0 until 8).map { j =>
+      Seq("a b c", "b c d")
+        .map(s => graft.functions.PortableHash.slot(
+          graft.functions.PortableHash.hash(s), j)).min
+    }
+    assert(sig.toSeq == expected)
+    // empty shingle set is the documented -1 sentinel signature
+    val empty = spark.sql(
+      "SELECT portable_minhash_signature(array(), 4) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(empty.toSeq == Seq(-1L, -1L, -1L, -1L))
+  }
+
   test("identical inputs give identical sketches through the SQL surface") {
     val rows = spark.sql(
       """SELECT minhash_bands(array('x y z'), 32, 8) AS mh FROM range(2)""")
