@@ -661,6 +661,94 @@ object DedupQueries {
       |JOIN sizes x ON x.source = i.s1
       |JOIN sizes y ON y.source = i.s2""".stripMargin
 
+  /** q144 — sorted-neighborhood dedup (Hernández & Stolfo): the THIRD
+    * blocking family next to LSH banding (q21) and prefix filtering
+    * (q90). Sort the corpus by a cheap key that co-locates likely
+    * duplicates (here (n_chars, doc_id)), then compare only records
+    * within a rank window of w=8 — candidate volume is n·w by
+    * construction, whatever the corpus looks like, which is the
+    * property the other two families can't promise under adversarial
+    * key distributions.
+    *
+    * Scale shape: the global rank is q124's two-phase dense ID (range
+    * exchange + partition-spine offsets, no data-sized global window);
+    * the w-window pair join is a bucket trick — each rank registers at
+    * buckets {r div w, r div w + 1}, so every pair within w shares a
+    * bucket and one equi-join with a distinct() finds them all (2×
+    * replication, fanout ≤ 2w per bucket). Verification is the exact
+    * integer shingle Jaccard (q134's arithmetic).
+    */
+  def q144SortedNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val w = 8
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        Dedup.sortedShingles(TextAnalysis.wsTokens(col("text")), 3).as("sh"))
+      .repartitionByRange(col("n_chars"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // pid must be IDENTICAL in the rank and offset branches — pin it
+      .transform(graft.runtime.Materialize.once)
+    val local = d.withColumn("lrank",
+      row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("n_chars"), col("doc_id"))))
+    val offsets = d.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val ranked = local.join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("sh"),
+        (col("offset") + col("lrank")).as("r"))
+      // both sides of the pair join read this frame
+      .transform(graft.runtime.Materialize.once)
+    val buckets = ranked.select(col("doc_id"), col("sh"), col("r"),
+      explode(array(expr(s"r div $w"), expr(s"r div $w + 1"))).as("bk"))
+    val interCount = ColumnBridge.column(
+      graft.functions.SortedArrayIntersectCount(
+        ColumnBridge.expression(col("sh1")),
+        ColumnBridge.expression(col("sh2"))))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.r") < col("b.r") &&
+          col("b.r") - col("a.r") <= w)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .distinct() // a pair can share both buckets
+      .select(col("id1"), col("id2"),
+        interCount.cast("long").as("n_common"),
+        (size(col("sh1")) + size(col("sh2"))).cast("long").as("n_sizes"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000L) div (n_sizes - n_common)"))
+      .filter(col("jaccard_ppm") >= 300000)
+      .select(col("id1"), col("id2"), col("n_common"), col("jaccard_ppm"))
+  }
+
+  val q144Oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, n_chars,
+      |    list_sort(list_distinct(list_transform(
+      |      range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS sh
+      |  FROM (SELECT doc_id, n_chars,
+      |          string_split_regex(trim(text), '\s+') AS t
+      |        FROM documents)),
+      |r AS (
+      |  SELECT doc_id, sh,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
+      |  FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+      |  FROM r a JOIN r b ON b.r > a.r AND b.r - a.r <= 8),
+      |v AS (
+      |  SELECT id1, id2,
+      |    CAST(len(list_intersect(sh1, sh2)) AS BIGINT) AS n_common,
+      |    CAST(len(sh1) + len(sh2) AS BIGINT) AS n_sizes
+      |  FROM pairs)
+      |SELECT id1, id2, n_common,
+      |  (n_common * 1000000) // (n_sizes - n_common) AS jaccard_ppm
+      |FROM v
+      |WHERE (n_common * 1000000) // (n_sizes - n_common) >= 300000""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20ExactDedup _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
@@ -673,7 +761,8 @@ object DedupQueries {
     "q118_semdedup" -> (q118SemDedup _),
     "q127_split_leakage" -> (q127SplitLeakage _),
     "q134_minhash_err" -> (q134MinhashErr _),
-    "q136_source_jaccard" -> (q136SourceJaccard _))
+    "q136_source_jaccard" -> (q136SourceJaccard _),
+    "q144_sorted_neighbors" -> (q144SortedNeighbors _))
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Oracle,
@@ -687,5 +776,6 @@ object DedupQueries {
     "q118_semdedup" -> q118Oracle,
     "q127_split_leakage" -> q127Oracle,
     "q134_minhash_err" -> q134Oracle,
-    "q136_source_jaccard" -> q136Oracle)
+    "q136_source_jaccard" -> q136Oracle,
+    "q144_sorted_neighbors" -> q144Oracle)
 }

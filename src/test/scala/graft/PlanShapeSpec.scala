@@ -91,7 +91,10 @@ class PlanShapeSpec extends SparkSpec {
     "q138_skyline",
     // composes q124 (pid spine) and adds its own 10-row decile-spine
     // cumulative windows — both bounded by spine size, never data rows
-    "q143_vocab_growth")
+    "q143_vocab_growth",
+    // sorted-neighborhood rank via the q124 two-phase pattern: the
+    // offset prefix sum is one row per range partition
+    "q144_sorted_neighbors")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
