@@ -308,6 +308,54 @@ object EventQueries {
       |       THEN 1 ELSE 0 END AS shifted
       |FROM s""".stripMargin
 
+  /** q145 — gaps-and-islands run collapse (Tabibitosan): consecutive
+    * same-type events per user collapse into runs via the
+    * two-row_number difference (global seq − per-type seq is constant
+    * within a run), the standard SQL islands idiom — here surfacing
+    * repeated-action bursts (≥3 of the same event back to back), the
+    * event-stream analogue of q43's text repetition profile and the
+    * shape bot/retry detection reads.
+    *
+    * Scale shape: both row_numbers and the rollup ride ONE shuffle
+    * keyed by user_id; runs are emitted per (user, island), never
+    * globally ordered. Event ties broken by event_id for a total,
+    * engine-agreed order.
+    */
+  def q145EventRuns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("island",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("ts")).as("run_start"), max(col("ts")).as("run_end"))
+      .filter(col("run_len") >= 3)
+      .select(col("user_id"), col("event_type"), col("run_len"),
+        col("run_start"), col("run_end"))
+  }
+
+  val q145Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id)
+      |    - row_number() OVER (PARTITION BY user_id, event_type
+      |                         ORDER BY ts, event_id) AS island
+      |  FROM e)
+      |SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS run_len,
+      |  min(ts) AS run_start, max(ts) AS run_end
+      |FROM i GROUP BY user_id, event_type, island
+      |HAVING count(*) >= 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
@@ -315,7 +363,8 @@ object EventQueries {
     "q48_asof_join" -> (q48AsofJoin _),
     "q49_range_join" -> (q49RangeJoin _),
     "q50_pivot" -> (q50Pivot _),
-    "q137_cusum" -> (q137Cusum _))
+    "q137_cusum" -> (q137Cusum _),
+    "q145_event_runs" -> (q145EventRuns _))
 
   val oracles: Map[String, String] = Map(
     "q32_sessionize" -> q32Oracle,
@@ -324,5 +373,6 @@ object EventQueries {
     "q48_asof_join" -> q48Oracle,
     "q49_range_join" -> q49Oracle,
     "q50_pivot" -> q50Oracle,
-    "q137_cusum" -> q137Oracle)
+    "q137_cusum" -> q137Oracle,
+    "q145_event_runs" -> q145Oracle)
 }
