@@ -701,7 +701,10 @@ object DedupQueries {
         (col("offset") + col("lrank")).as("r"))
       // both sides of the pair join read this frame
       .transform(graft.runtime.Materialize.once)
-    val buckets = ranked.select(col("doc_id"), col("sh"), col("r"),
+    // pair mining on BARE (rank, id) rows — the shingle arrays never
+    // ride the bucket join or the distinct; they join back by id after
+    // the (much smaller) pair set is fixed (q134's shape)
+    val buckets = ranked.select(col("doc_id"), col("r"),
       explode(array(expr(s"r div $w"), expr(s"r div $w + 1"))).as("bk"))
     val interCount = ColumnBridge.column(
       graft.functions.SortedArrayIntersectCount(
@@ -711,9 +714,12 @@ object DedupQueries {
       .join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.r") < col("b.r") &&
           col("b.r") - col("a.r") <= w)
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct() // a pair can share both buckets
+      .join(ranked.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        Seq("id1"))
+      .join(ranked.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        Seq("id2"))
       .select(col("id1"), col("id2"),
         interCount.cast("long").as("n_common"),
         (size(col("sh1")) + size(col("sh2"))).cast("long").as("n_sizes"))
