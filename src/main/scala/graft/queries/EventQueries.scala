@@ -356,6 +356,91 @@ object EventQueries {
       |FROM i GROUP BY user_id, event_type, island
       |HAVING count(*) >= 3""".stripMargin
 
+  /** q146 — association mining over session baskets: support and lift
+    * of event-type PAIRS co-occurring in a session (the q32 gap
+    * sessions as baskets) — the "users who do A in a session also do
+    * B" table, the 2-itemset core of market-basket analysis. Lift as
+    * integer ppm: lift = P(ab)/(P(a)P(b)) =
+    * n_pair·n_sessions / (n_a·n_b) — ppm-scaled, no floats (the
+    * products fit i64 through sf=1 session counts; past ~10⁸ sessions
+    * the ratio moves to decimal(38) — noted, not needed here).
+    *
+    * Scale shape: basket membership is one distinct over (session,
+    * item); the pair join is keyed on the session with fanout bounded
+    * by distinct items per session (≤ the event-type cardinality, NOT
+    * events); singleton supports and the session count broadcast back
+    * at item-cardinality size.
+    */
+  def q146AssocPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize
+      .withSessionIds(Tables.load(spark, dir, "events"))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+      // consumed by the census, the scalar count, and both join sides
+      .transform(graft.runtime.Materialize.once)
+    val nSessions = sess.select(col("user_id"), col("session_seq"))
+      .distinct().agg(count(lit(1)).as("n_sessions"))
+    val items = sess.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_item"))
+    sess.as("a")
+      .join(sess.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 20)
+      .join(broadcast(items.select(col("event_type").as("t1"),
+        col("n_item").as("n1"))), Seq("t1"))
+      .join(broadcast(items.select(col("event_type").as("t2"),
+        col("n_item").as("n2"))), Seq("t2"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("t1"), col("t2"), col("n_pair"), col("n1"), col("n2"),
+        expr("(n_pair * 1000000L) div n_sessions").as("support_ppm"),
+        expr("(n_pair * n_sessions * 1000000L) div (n1 * n2)")
+          .as("lift_ppm"))
+  }
+
+  val q146Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS opens
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT DISTINCT user_id,
+      |    sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_seq,
+      |    event_type
+      |  FROM marked),
+      |ns AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM (
+      |    SELECT DISTINCT user_id, session_seq FROM sess)),
+      |items AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+      |  FROM sess GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS t1, b.event_type AS t2,
+      |    CAST(count(*) AS BIGINT) AS n_pair
+      |  FROM sess a
+      |  JOIN sess b ON a.user_id = b.user_id
+      |    AND a.session_seq = b.session_seq
+      |    AND a.event_type < b.event_type
+      |  GROUP BY a.event_type, b.event_type
+      |  HAVING count(*) >= 20)
+      |SELECT p.t1, p.t2, p.n_pair, x.n_item AS n1, y.n_item AS n2,
+      |  (p.n_pair * 1000000) // ns.n_sessions AS support_ppm,
+      |  (p.n_pair * ns.n_sessions * 1000000) // (x.n_item * y.n_item)
+      |    AS lift_ppm
+      |FROM pairs p
+      |JOIN items x ON x.event_type = p.t1
+      |JOIN items y ON y.event_type = p.t2, ns""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
@@ -364,7 +449,8 @@ object EventQueries {
     "q49_range_join" -> (q49RangeJoin _),
     "q50_pivot" -> (q50Pivot _),
     "q137_cusum" -> (q137Cusum _),
-    "q145_event_runs" -> (q145EventRuns _))
+    "q145_event_runs" -> (q145EventRuns _),
+    "q146_assoc_pairs" -> (q146AssocPairs _))
 
   val oracles: Map[String, String] = Map(
     "q32_sessionize" -> q32Oracle,
@@ -374,5 +460,6 @@ object EventQueries {
     "q49_range_join" -> q49Oracle,
     "q50_pivot" -> q50Oracle,
     "q137_cusum" -> q137Oracle,
-    "q145_event_runs" -> q145Oracle)
+    "q145_event_runs" -> q145Oracle,
+    "q146_assoc_pairs" -> q146Oracle)
 }

@@ -69,7 +69,10 @@ class PlanShapeSpec extends SparkSpec {
     "q139_power_iter",
     // corpus-count scalar crossJoined into the decile arithmetic
     // (q131's pattern), twice: token stream + first-occurrence frame
-    "q143_vocab_growth")
+    "q143_vocab_growth",
+    // session-count scalar (1-row aggregate) crossJoined into the
+    // item-pair scoring frame (q86/q91's pattern)
+    "q146_assoc_pairs")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
