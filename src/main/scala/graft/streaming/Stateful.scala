@@ -195,4 +195,68 @@ object Stateful {
           key -> merged.toSeq
       }
   }
+
+  /** Alert throttle on the arbitrary-state v2 API
+    * ([[org.apache.spark.sql.streaming.StatefulProcessor]] /
+    * `transformWithState`, which requires the RocksDB state store):
+    * a breach above `threshold` alerts AT MOST once per `cooldownSec`
+    * of EVENT time per key — the paging-suppression semantic every
+    * alerting pipeline needs so one flapping metric cannot page a
+    * hundred times. State per key is ONE long (the last alerted
+    * event-time), updated transactionally with the emit, so replayed
+    * micro-batches converge. Rows are processed in event-time order
+    * within each batch for a deterministic suppression decision; the
+    * cooldown is event-time, so a backfilled stream throttles exactly
+    * like live traffic.
+    */
+  def throttledAlerts(breaches: Dataset[Breach], threshold: Double,
+                      cooldownSec: Long): Dataset[ThrottledAlert] = {
+    import breaches.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    breaches
+      .groupByKey(_.key)
+      .transformWithState(
+        new CooldownThrottle(threshold, cooldownSec),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** One over-threshold observation on a keyed metric stream. */
+case class Breach(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** A breach that survived the cooldown throttle. */
+case class ThrottledAlert(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** The [[Stateful.throttledAlerts]] processor: last-alerted event-time
+  * as a single ValueState long per key.
+  */
+class CooldownThrottle(threshold: Double, cooldownSec: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, Breach, ThrottledAlert] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+
+  @transient private var lastAlertUs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastAlertUs = getHandle.getValueState[Long]("lastAlertUs",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[Breach],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[ThrottledAlert] = {
+    // event-time order inside the batch → deterministic suppression
+    val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+    var last = if (lastAlertUs.exists()) Some(lastAlertUs.get()) else None
+    val out = Seq.newBuilder[ThrottledAlert]
+    ordered.foreach { r =>
+      val us = r.ts.getTime * 1000L
+      if (r.value > threshold &&
+          last.forall(l => us - l >= cooldownSec * 1000000L)) {
+        out += ThrottledAlert(r.key, r.ts, r.value)
+        last = Some(us)
+        lastAlertUs.update(us)
+      }
+    }
+    out.result().iterator
+  }
 }

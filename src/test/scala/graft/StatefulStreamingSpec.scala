@@ -133,4 +133,50 @@ class StatefulStreamingSpec extends SparkSpec {
     val updatesA = rows.filter(_._1 == "a").map(_._2)
     assert(updatesA(updatesA.length - 2) == streamedA)
   }
+
+  test("throttledAlerts: one alert per cooldown of event time per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Breach
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // transformWithState requires the RocksDB state store; scope the
+    // provider switch to this query and restore the suite default
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Breach]
+      val q = Stateful.throttledAlerts(mem.toDS(), threshold = 100.0,
+        cooldownSec = 600)
+        .writeStream.format("memory").queryName("throttled")
+        .outputMode("append").start()
+      // batch 1: breach alerts; flap 2 min later suppressed;
+      // sub-threshold never alerts; second key independent
+      mem.addData(
+        Breach("api", ts("2024-01-01 10:00:00"), 150.0),
+        Breach("api", ts("2024-01-01 10:02:00"), 180.0),
+        Breach("api", ts("2024-01-01 10:03:00"), 50.0),
+        Breach("db", ts("2024-01-01 10:05:00"), 200.0))
+      q.processAllAvailable()
+      // batch 2: still inside the api cooldown (suppressed), then past
+      // it (alerts) — state carried across batches
+      mem.addData(
+        Breach("api", ts("2024-01-01 10:08:00"), 300.0),
+        Breach("api", ts("2024-01-01 10:11:00"), 120.0))
+      q.processAllAvailable()
+      q.stop()
+      val alerts = spark.table("throttled")
+        .as[graft.streaming.ThrottledAlert].collect()
+        .map(a => (a.key, a.ts.toString, a.value)).sorted.toSeq
+      assert(alerts == Seq(
+        ("api", "2024-01-01 10:00:00.0", 150.0),
+        ("api", "2024-01-01 10:11:00.0", 120.0),
+        ("db", "2024-01-01 10:05:00.0", 200.0)), s"got $alerts")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
