@@ -257,6 +257,13 @@ final case class Catalog(spark: SparkSession, root: String,
     * `read(base)` after appending would silently see the delta twice.
     * Non-key columns of the two sides must not collide (the join
     * output carries both).
+    *
+    * Crash window: view append and base appends are separate commits —
+    * a crash between them leaves the view one delta AHEAD of its
+    * bases. Re-running the same delta heals the bases but double-joins
+    * the view rows; callers needing exactly-once across a crash should
+    * version the view (`versions > 0`) and roll back before retrying,
+    * the same recovery contract as refreshAggregate.
     */
   def refreshJoin(deltaLeft: Option[DataFrame], deltaRight: Option[DataFrame],
                   layer: String, view: String,
