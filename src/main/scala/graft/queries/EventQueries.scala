@@ -441,6 +441,67 @@ object EventQueries {
       |JOIN items x ON x.event_type = p.t1
       |JOIN items y ON y.event_type = p.t2, ns""".stripMargin
 
+  /** q147 — first/last-touch attribution: every purchase is credited
+    * to the FIRST and the LAST view by the same user in the preceding
+    * 7 days — the two canonical marketing-attribution models, computed
+    * WITHOUT a self-join: a conditional struct min/max over an
+    * event-time RANGE frame (7 days preceding) picks the views while
+    * scanning the ordered event stream once. Purchases with no view in
+    * the window keep NULL attribution — the miss audit rides along.
+    *
+    * Scale shape: one shuffle keyed by user_id; both attribution
+    * models and the filter ride that sort. The range frame bounds the
+    * state the window operator holds to 7 days of one user's events.
+    * (ts, event_id) struct ordering makes tie-breaks total in both
+    * engines.
+    */
+  def q147Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SevenDaysUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-SevenDaysUs, 0)
+    val viewStruct = when(col("event_type") === "view",
+      struct(col("ts"), col("event_id")))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("first_view", min(viewStruct).over(w))
+      .withColumn("last_view", max(viewStruct).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("first_view.ts").as("first_view_ts"),
+        col("first_view.event_id").as("first_view_id"),
+        col("last_view.ts").as("last_view_ts"),
+        col("last_view.event_id").as("last_view_id"),
+        expr("(us - unix_micros(last_view.ts)) div 1000000L")
+          .as("lag_seconds"))
+  }
+
+  val q147Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, event_type, ts, event_id, us,
+      |    min(CASE WHEN event_type = 'view'
+      |             THEN {'ts': ts, 'event_id': event_id} END)
+      |      OVER w AS first_view,
+      |    max(CASE WHEN event_type = 'view'
+      |             THEN {'ts': ts, 'event_id': event_id} END)
+      |      OVER w AS last_view
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+      |  first_view.ts AS first_view_ts,
+      |  first_view.event_id AS first_view_id,
+      |  last_view.ts AS last_view_ts,
+      |  last_view.event_id AS last_view_id,
+      |  (us - epoch_us(last_view.ts)) // 1000000 AS lag_seconds
+      |FROM a WHERE event_type = 'purchase'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
@@ -450,7 +511,8 @@ object EventQueries {
     "q50_pivot" -> (q50Pivot _),
     "q137_cusum" -> (q137Cusum _),
     "q145_event_runs" -> (q145EventRuns _),
-    "q146_assoc_pairs" -> (q146AssocPairs _))
+    "q146_assoc_pairs" -> (q146AssocPairs _),
+    "q147_attribution" -> (q147Attribution _))
 
   val oracles: Map[String, String] = Map(
     "q32_sessionize" -> q32Oracle,
@@ -461,5 +523,6 @@ object EventQueries {
     "q50_pivot" -> q50Oracle,
     "q137_cusum" -> q137Oracle,
     "q145_event_runs" -> q145Oracle,
-    "q146_assoc_pairs" -> q146Oracle)
+    "q146_assoc_pairs" -> q146Oracle,
+    "q147_attribution" -> q147Oracle)
 }
