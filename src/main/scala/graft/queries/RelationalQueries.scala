@@ -415,6 +415,64 @@ object RelationalQueries {
       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS top_ids
       |FROM top GROUP BY source""".stripMargin
 
+  /** q148 — local-supplier volume (the TPC-H Q5 shape): revenue per
+    * nation from 1996 ASIA orders where the supplier and the customer
+    * share a nation — the canonical 6-table star-plus-selective-twist
+    * join that exercises join ordering, broadcast selection, and a
+    * non-key equality (c_nationkey = s_nationkey) on top of the key
+    * chain. Revenue is exact integer units (price cents × discount
+    * complement in percent): no floating sums cross the hash check.
+    *
+    * Scale shape: region→nation is a 5×25-row broadcast spine;
+    * customer and supplier broadcast at sf-small but shuffle-join at
+    * TB scale (Catalyst's size estimate flips it — nothing in the
+    * query pins a side); the fact chain orders→lineitem co-shuffles on
+    * the order key once. The 1996 predicate reaches the orders scan as
+    * a pushed filter.
+    */
+  def q148LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(expr("cast(round(l_extendedprice * 100) as long) * " +
+          "(100 - cast(round(l_discount * 100) as long))"))
+          .as("revenue_u"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q148Oracle: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |    AS BIGINT) AS revenue_u,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_tfidf" -> (q51Tfidf _),
     "q52_cube" -> (q52Cube _),
@@ -427,7 +485,8 @@ object RelationalQueries {
     "q60_rolling_window" -> (q60RollingWindow _),
     "q61_grouping_sets" -> (q61GroupingSets _),
     "q62_json_extract" -> (q62JsonExtract _),
-    "q63_string_agg" -> (q63StringAgg _))
+    "q63_string_agg" -> (q63StringAgg _),
+    "q148_local_volume" -> (q148LocalVolume _))
 
   val oracles: Map[String, String] = Map(
     "q51_tfidf" -> q51Oracle,
@@ -441,5 +500,6 @@ object RelationalQueries {
     "q60_rolling_window" -> q60Oracle,
     "q61_grouping_sets" -> q61Oracle,
     "q62_json_extract" -> q62Oracle,
-    "q63_string_agg" -> q63Oracle)
+    "q63_string_agg" -> q63Oracle,
+    "q148_local_volume" -> q148Oracle)
 }
