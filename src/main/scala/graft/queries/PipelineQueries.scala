@@ -2696,6 +2696,145 @@ object PipelineQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM tpd t LEFT JOIN npd n ON n.decile = t.decile""".stripMargin
 
+  /** q149 — Stupid Backoff bigram scoring (Brants et al., EMNLP 2007,
+    * "Large Language Models in Machine Translation"): the
+    * web-scale LM score that deliberately skips normalization —
+    * S(w2|w1) = c12/c1 when the bigram was seen in training, else
+    * α·c2/N with α = 0.4 — because at corpus scale the unnormalized
+    * ratio ranks as well as Kneser-Ney at a fraction of the cost. The
+    * model trains on even doc_ids and scores odd ones, so the backoff
+    * path actually fires; α = 2/5 keeps every score an integer ppm
+    * rational. Per scored doc: Σ score, how often backoff fired, and
+    * fully-unknown bigram count — the held-out-fluency profile a
+    * quality gate thresholds.
+    *
+    * Scale shape: identical to q76 — one bigram-stream shuffle for
+    * counts, vocabulary-scale joins back onto the scoring stream, the
+    * train-mass scalar broadcast. Backoff adds only two LEFT joins.
+    */
+  def q149StupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode_outer(wsTokens(col("text"))))
+      .withColumnRenamed("col", "w1")
+      .filter(col("w1").isNotNull)
+    val bigrams = toks
+      .withColumn("w2", lead(col("w1"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(2)).as("parity"),
+        col("w1"), col("w2"))
+      // model counts AND the scoring stream both read this
+      .transform(Materialize.once)
+    val train = bigrams.filter(col("parity") === 0)
+    val big = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val uni2 = train.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val n = train.agg(count(lit(1)).as("n_train"))
+    bigrams.filter(col("parity") === 1)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni1, Seq("w1"), "left")
+      .join(uni2, Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr(
+        """CASE WHEN c12 IS NOT NULL THEN (c12 * 1000000L) div c1
+          |     WHEN c2 IS NOT NULL THEN (2L * c2 * 1000000L) div (5L * n_train)
+          |     ELSE 0L END""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("score_ppm")).as("score_ppm"),
+        sum(when(col("c12").isNull && col("c2").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("c12").isNull && col("c2").isNull, 1L)
+          .otherwise(0L)).as("n_unknown"))
+  }
+
+  val q149Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, doc_id % 2 AS parity, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) u(i)
+      |  WHERE len(toks) >= 2),
+      |train AS (SELECT w1, w2 FROM s WHERE parity = 0),
+      |big AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM train GROUP BY w1, w2),
+      |uni1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM train GROUP BY w1),
+      |uni2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM train GROUP BY w2),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM train),
+      |scored AS (
+      |  SELECT sc.doc_id,
+      |    CASE WHEN b.c12 IS NOT NULL THEN (b.c12 * 1000000) // u1.c1
+      |         WHEN u2.c2 IS NOT NULL THEN (2 * u2.c2 * 1000000) // (5 * n.n_train)
+      |         ELSE 0 END AS score_ppm,
+      |    CASE WHEN b.c12 IS NULL AND u2.c2 IS NOT NULL THEN 1 ELSE 0 END AS bo,
+      |    CASE WHEN b.c12 IS NULL AND u2.c2 IS NULL THEN 1 ELSE 0 END AS unk
+      |  FROM s sc
+      |  LEFT JOIN big b ON b.w1 = sc.w1 AND b.w2 = sc.w2
+      |  LEFT JOIN uni1 u1 ON u1.w1 = sc.w1
+      |  LEFT JOIN uni2 u2 ON u2.w2 = sc.w2, n
+      |  WHERE sc.parity = 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(score_ppm) AS BIGINT) AS score_ppm,
+      |  CAST(sum(bo) AS BIGINT) AS n_backoff,
+      |  CAST(sum(unk) AS BIGINT) AS n_unknown
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** q150 — embedding centroid drift: per label, the integer-quantized
+    * centroid of the even-id half against the odd-id half, reported as
+    * squared distance — zero-ish for a stationary distribution, large
+    * when a label's embedding mass moved. The snapshot-to-snapshot
+    * drift monitor (here the halves stand in for two snapshots) run
+    * before trusting a trained classifier or ANN index against fresh
+    * data; complements q140's per-dimension quartile drift.
+    *
+    * Scale shape: one (label, parity, dim) aggregate over the exploded
+    * frame, then a label×dim-sized self-align and a label-sized
+    * rollup. Centroid components are quantized sums div counts, so the
+    * whole result is integer-exact.
+    */
+  def q150CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("parity"),
+        posexplode(col("embedding")).as(Seq("i", "v0")))
+      .select(col("label"), col("parity"), (col("i") + 1).as("dim"),
+        expr("CAST(round(CAST(v0 AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+    val cent = m.groupBy(col("label"), col("parity"), col("dim"))
+      .agg(expr("sum(q) div count(*)").as("c"),
+        count(lit(1)).as("n_vec"))
+    cent.filter(col("parity") === 0)
+      .select(col("label"), col("dim"), col("c").as("c0"),
+        col("n_vec").as("n_even"))
+      .join(cent.filter(col("parity") === 1)
+        .select(col("label"), col("dim"), col("c").as("c1"),
+          col("n_vec").as("n_odd")), Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n_even")).as("n_even"), max(col("n_odd")).as("n_odd"),
+        sum((col("c0") - col("c1")) * (col("c0") - col("c1")))
+          .as("drift_sq"))
+  }
+
+  val q150Oracle: String =
+    """WITH m AS (
+      |  SELECT label, vec_id % 2 AS parity, i AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+      |  WHERE embedding IS NOT NULL),
+      |cent AS (
+      |  SELECT label, parity, dim,
+      |    sum(q) // count(*) AS c,
+      |    CAST(count(*) AS BIGINT) AS n_vec
+      |  FROM m GROUP BY label, parity, dim)
+      |SELECT a.label,
+      |  CAST(max(a.n_vec) AS BIGINT) AS n_even,
+      |  CAST(max(b.n_vec) AS BIGINT) AS n_odd,
+      |  CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS drift_sq
+      |FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+      |WHERE a.parity = 0 AND b.parity = 1
+      |GROUP BY a.label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -2746,6 +2885,8 @@ object PipelineQueries {
     "q131_shard_balance" -> (q131ShardBalance _),
     "q133_posting_bytes" -> (q133PostingBytes _),
     "q138_skyline" -> (q138Skyline _),
+    "q149_stupid_backoff" -> (q149StupidBackoff _),
+    "q150_centroid_drift" -> (q150CentroidDrift _),
     "q142_burstiness" -> (q142Burstiness _),
     "q143_vocab_growth" -> (q143VocabGrowth _))
 
@@ -2799,6 +2940,8 @@ object PipelineQueries {
     "q131_shard_balance" -> q131Oracle,
     "q133_posting_bytes" -> q133Oracle,
     "q138_skyline" -> q138Oracle,
+    "q149_stupid_backoff" -> q149Oracle,
+    "q150_centroid_drift" -> q150Oracle,
     "q142_burstiness" -> q142Oracle,
     "q143_vocab_growth" -> q143Oracle)
 }

@@ -72,7 +72,10 @@ class PlanShapeSpec extends SparkSpec {
     "q143_vocab_growth",
     // session-count scalar (1-row aggregate) crossJoined into the
     // item-pair scoring frame (q86/q91's pattern)
-    "q146_assoc_pairs")
+    "q146_assoc_pairs",
+    // train-bigram-mass scalar (1-row aggregate) crossJoined into the
+    // backoff scoring stream (q76's pattern)
+    "q149_stupid_backoff")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
