@@ -358,4 +358,41 @@ class PropertiesSpec extends SparkSpec {
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
+
+  test("property: portable minhash signature = per-slot min over shingle hashes") {
+    val rows = sample(
+      Gen.listOfN(12, Gen.oneOf("a b", "c d", "e f", "gg hh", "i j", "")),
+      200)
+    val df = rows.map(Tuple1(_)).toDF("sh")
+    val sig = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PortableMinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression($"sh"), 16))
+    val got = df.select($"sh", sig.as("sig"))
+      .as[(Seq[String], Seq[Long])].collect()
+    got.foreach { case (sh, sigv) =>
+      assert(sigv.length == 16)
+      val expected =
+        if (sh.isEmpty) Seq.fill(16)(-1L)
+        else (0 until 16).map { j =>
+          sh.map(x => graft.functions.PortableHash.slot(
+            graft.functions.PortableHash.hash(x), j)).min
+        }
+      assert(sigv == expected, s"input=$sh")
+    }
+    // monotonicity: adding a shingle can only LOWER (or keep) each slot
+    val pairs = sample(for {
+      base <- Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d"))
+      extra <- Gen.oneOf("e", "f", "g")
+    } yield (base, base :+ extra), 100)
+    pairs.foreach { case (base, bigger) =>
+      def sigOf(xs: Seq[String]) =
+        if (xs.isEmpty) Seq.fill(16)(Long.MaxValue)
+        else (0 until 16).map(j => xs.map(x =>
+          graft.functions.PortableHash.slot(
+            graft.functions.PortableHash.hash(x), j)).min)
+      sigOf(base).zip(sigOf(bigger)).foreach { case (b, bg) =>
+        assert(bg <= b)
+      }
+    }
+  }
 }
