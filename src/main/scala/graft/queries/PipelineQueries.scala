@@ -2696,6 +2696,82 @@ object PipelineQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM tpd t LEFT JOIN npd n ON n.decile = t.decile""".stripMargin
 
+  /** q151 — two-sample Kolmogorov–Smirnov drift screen: per source,
+    * D = max |F_source(x) − F_corpus(x)| over document token lengths,
+    * in ppm — the nonparametric "does this source's length
+    * distribution match the corpus" test run before mixing a new crawl
+    * in, stronger than comparing means/quantiles because it sees the
+    * whole CDF. Both CDFs are integer rationals (cum·10⁶ div n)
+    * evaluated at every corpus support point, so the statistic replays
+    * bit-for-bit.
+    *
+    * Scale shape: the support is DISTINCT length values, not
+    * documents; the corpus CDF rides one support-sized window (for a
+    * continuous metric at 100 TB you bucket first, keeping the
+    * support bounded — same shape); the per-source step functions come
+    * from a support × source grid built by broadcasting the
+    * source-count-sized census, with per-source cumulative windows on
+    * the grid. Nothing document-sized is windowed.
+    */
+  def q151KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val lengths = Tables.load(spark, dir, "documents")
+      .select(col("source"), wsTokenCount(col("text")).cast("long").as("x"))
+      .transform(Materialize.once) // support + census + counts read it
+    val support = lengths.groupBy(col("x")).agg(count(lit(1)).as("c_all"))
+      .withColumn("cum_all",
+        sum(col("c_all")).over(Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val census = lengths.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val perSource = lengths.groupBy(col("source"), col("x"))
+      .agg(count(lit(1)).as("c_s"))
+    val nAll = lengths.agg(count(lit(1)).as("n_all"))
+    val grid = support.crossJoin(broadcast(census))
+      .join(perSource, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c_s"))
+      .withColumn("cum_s",
+        sum(col("c_s")).over(Window.partitionBy(col("source"))
+          .orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid.crossJoin(broadcast(nAll))
+      .withColumn("diff_ppm", abs(
+        expr("(cum_s * 1000000L) div n_s") -
+          expr("(cum_all * 1000000L) div n_all")))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), max(col("diff_ppm")).as("ks_ppm"))
+      .withColumn("drifted", (col("ks_ppm") > 200000).cast("int"))
+  }
+
+  val q151Oracle: String =
+    """WITH l AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x
+      |  FROM documents),
+      |sup AS (
+      |  SELECT x, CAST(count(*) AS BIGINT) AS c_all FROM l GROUP BY x),
+      |supc AS (
+      |  SELECT x, CAST(sum(c_all) OVER (ORDER BY x
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+      |  FROM sup),
+      |cen AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM l GROUP BY source),
+      |ps AS (
+      |  SELECT source, x, CAST(count(*) AS BIGINT) AS c_s
+      |  FROM l GROUP BY source, x),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM l),
+      |grid AS (
+      |  SELECT c.source, s.x, c.n_s, s.cum_all,
+      |    CAST(sum(coalesce(p.c_s, 0)) OVER (PARTITION BY c.source
+      |      ORDER BY s.x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+      |  FROM supc s CROSS JOIN cen c
+      |  LEFT JOIN ps p ON p.source = c.source AND p.x = s.x)
+      |SELECT g.source, max(g.n_s) AS n_docs,
+      |  CAST(max(abs((g.cum_s * 1000000) // g.n_s
+      |    - (g.cum_all * 1000000) // na.n_all)) AS BIGINT) AS ks_ppm,
+      |  CAST(CASE WHEN max(abs((g.cum_s * 1000000) // g.n_s
+      |    - (g.cum_all * 1000000) // na.n_all)) > 200000
+      |    THEN 1 ELSE 0 END AS INT) AS drifted
+      |FROM grid g, na GROUP BY g.source""".stripMargin
+
   /** q149 — Stupid Backoff bigram scoring (Brants et al., EMNLP 2007,
     * "Large Language Models in Machine Translation"): the
     * web-scale LM score that deliberately skips normalization —
@@ -2887,6 +2963,7 @@ object PipelineQueries {
     "q138_skyline" -> (q138Skyline _),
     "q149_stupid_backoff" -> (q149StupidBackoff _),
     "q150_centroid_drift" -> (q150CentroidDrift _),
+    "q151_ks_drift" -> (q151KsDrift _),
     "q142_burstiness" -> (q142Burstiness _),
     "q143_vocab_growth" -> (q143VocabGrowth _))
 
@@ -2942,6 +3019,7 @@ object PipelineQueries {
     "q138_skyline" -> q138Oracle,
     "q149_stupid_backoff" -> q149Oracle,
     "q150_centroid_drift" -> q150Oracle,
+    "q151_ks_drift" -> q151Oracle,
     "q142_burstiness" -> q142Oracle,
     "q143_vocab_growth" -> q143Oracle)
 }

@@ -75,7 +75,11 @@ class PlanShapeSpec extends SparkSpec {
     "q146_assoc_pairs",
     // train-bigram-mass scalar (1-row aggregate) crossJoined into the
     // backoff scoring stream (q76's pattern)
-    "q149_stupid_backoff")
+    "q149_stupid_backoff",
+    // support-spine × source-census grid: the census side is a
+    // broadcast source-count-sized frame; the corpus-total scalar
+    // rides the same pattern
+    "q151_ks_drift")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
@@ -100,7 +104,10 @@ class PlanShapeSpec extends SparkSpec {
     "q143_vocab_growth",
     // sorted-neighborhood rank via the q124 two-phase pattern: the
     // offset prefix sum is one row per range partition
-    "q144_sorted_neighbors")
+    "q144_sorted_neighbors",
+    // corpus CDF over the SUPPORT spine (distinct metric values, not
+    // documents — bucket first for continuous metrics at scale)
+    "q151_ks_drift")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
