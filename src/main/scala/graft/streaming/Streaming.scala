@@ -146,6 +146,33 @@ object Streaming {
         (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
           .as("lag_seconds"))
 
+  /** LEFT OUTER stream-stream interval join — the unmatched-side
+    * completion of [[attributionJoin]]: every impression emits, with
+    * its click when one landed inside `within`, or with NULLs once the
+    * watermark proves no click can still arrive. The null emission is
+    * the part only a watermark makes possible: without it "no match"
+    * is indistinguishable from "not yet", so outer results would be
+    * unboundedly deferred. State per side stays (watermark + within)
+    * of event time, exactly as in the inner form; the unmatched row
+    * materializes in the micro-batch after its join-state expires.
+    * This is the CTR-denominator stream — impressions that did NOT
+    * convert — which the inner join structurally cannot produce.
+    */
+  def attributionJoinOuter(impressions: DataFrame, clicks: DataFrame,
+                           within: String = "10 minutes",
+                           watermark: String = "20 minutes"): DataFrame =
+    impressions.withWatermark("imp_ts", watermark)
+      .join(clicks.withWatermark("click_ts", watermark),
+        expr(s"""imp_user = click_user AND
+                 click_ts >= imp_ts AND
+                 click_ts <= imp_ts + INTERVAL $within"""),
+        "left_outer")
+      .select(
+        col("imp_id"), col("click_id"), col("imp_user").as("user_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts")))
+          .as("lag_seconds"),
+        col("click_id").isNotNull.cast("int").as("converted"))
+
   /** CDC-apply sink: MERGE each micro-batch into a catalog table —
     * the streaming change-data-capture pattern (upsert latest, apply
     * deletes) on top of [[graft.runtime.Catalog.merge]]'s
