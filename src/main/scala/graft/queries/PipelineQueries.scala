@@ -2696,6 +2696,67 @@ object PipelineQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM tpd t LEFT JOIN npd n ON n.decile = t.decile""".stripMargin
 
+  /** q152 — systematic PPS sampling (Madow): select ~k documents with
+    * probability proportional to token weight by walking the global
+    * cumulative-weight axis and taking every item whose weight span
+    * crosses a multiple of step = W div k — the DETERMINISTIC weighted
+    * sampler (no random keys, no floats) whose inclusion probability
+    * is exactly w·k/W, the design a token-budgeted eval or distillation
+    * draw wants. A document heavier than step is selected with
+    * multiplicity (reported), the textbook systematic-PPS behavior.
+    *
+    * Scale shape: the global cumulative weight is q124's two-phase
+    * pattern (range exchange + partition-spine prefix sums — no
+    * data-sized global window); the total-weight scalar broadcasts
+    * into the crossing test, which is a per-row integer check.
+    */
+  def q152PpsSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // pid must be IDENTICAL in the cumsum and spine branches
+      .transform(Materialize.once)
+    val local = d.withColumn("lcum",
+      sum(col("w")).over(Window.partitionBy(col("pid"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = d.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
+      .withColumn("offset",
+        coalesce(sum(col("pw")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val total = d.agg(sum(col("w")).as("tw"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("offset") + col("lcum"))
+      .crossJoin(broadcast(total))
+      .withColumn("step", expr(s"tw div $k"))
+      .withColumn("multiplicity",
+        expr("(cum div step) - ((cum - w) div step)"))
+      .filter(col("multiplicity") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("multiplicity"))
+  }
+
+  val q152Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    CAST(sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM w),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+      |s AS (SELECT c.doc_id, c.w, c.cum, t.tw // 50 AS step FROM c, t)
+      |SELECT doc_id, w, cum,
+      |  (cum // step) - ((cum - w) // step) AS multiplicity
+      |FROM s
+      |WHERE (cum // step) - ((cum - w) // step) > 0""".stripMargin
+
   /** q151 — two-sample Kolmogorov–Smirnov drift screen: per source,
     * D = max |F_source(x) − F_corpus(x)| over document token lengths,
     * in ppm — the nonparametric "does this source's length
@@ -2964,6 +3025,7 @@ object PipelineQueries {
     "q149_stupid_backoff" -> (q149StupidBackoff _),
     "q150_centroid_drift" -> (q150CentroidDrift _),
     "q151_ks_drift" -> (q151KsDrift _),
+    "q152_pps_sample" -> (q152PpsSample _),
     "q142_burstiness" -> (q142Burstiness _),
     "q143_vocab_growth" -> (q143VocabGrowth _))
 
@@ -3020,6 +3082,7 @@ object PipelineQueries {
     "q149_stupid_backoff" -> q149Oracle,
     "q150_centroid_drift" -> q150Oracle,
     "q151_ks_drift" -> q151Oracle,
+    "q152_pps_sample" -> q152Oracle,
     "q142_burstiness" -> q142Oracle,
     "q143_vocab_growth" -> q143Oracle)
 }

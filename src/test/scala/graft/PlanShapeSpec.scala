@@ -79,7 +79,10 @@ class PlanShapeSpec extends SparkSpec {
     // support-spine × source-census grid: the census side is a
     // broadcast source-count-sized frame; the corpus-total scalar
     // rides the same pattern
-    "q151_ks_drift")
+    "q151_ks_drift",
+    // total-weight scalar (1-row aggregate) crossJoined into the
+    // crossing test (q131's pattern)
+    "q152_pps_sample")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
@@ -107,7 +110,10 @@ class PlanShapeSpec extends SparkSpec {
     "q144_sorted_neighbors",
     // corpus CDF over the SUPPORT spine (distinct metric values, not
     // documents — bucket first for continuous metrics at scale)
-    "q151_ks_drift")
+    "q151_ks_drift",
+    // global cumulative weight via the q124 two-phase pattern: the
+    // weight prefix sum spine is one row per range partition
+    "q152_pps_sample")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
