@@ -502,6 +502,62 @@ object EventQueries {
       |  (us - epoch_us(last_view.ts)) // 1000000 AS lag_seconds
       |FROM a WHERE event_type = 'purchase'""".stripMargin
 
+  /** q153 — RFM segmentation: the classic customer scoring — Recency
+    * (days since last purchase, relative to the corpus max day so the
+    * query is reproducible), Frequency (purchase count), Monetary
+    * (integer-cents spend) — each quartiled into 1–4 codes via ntile
+    * over a deterministic (metric, user_id) order, concatenated into
+    * the 'rfm' segment label ("444" = best). The segmentation every
+    * lifecycle-marketing table starts from; also the template for any
+    * multi-metric quantile coding.
+    *
+    * Scale shape: one per-user aggregate (the only event-scale
+    * shuffle), then three ntile windows over the USER-sized frame.
+    * ntile needs a total order — user_id tiebreaks make codes stable
+    * across engines and runs.
+    */
+  def q153Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(value * 100) as long)")).as("monetary_cents"))
+    val anchor = p.agg(max(col("last_day")).as("anchor_day"))
+    p.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor_day"), col("last_day")).cast("long"))
+      .withColumn("r_code", ntile(4).over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("f_code", ntile(4).over(
+        Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("m_code", ntile(4).over(
+        Window.orderBy(col("monetary_cents"), col("user_id"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        concat(col("r_code"), col("f_code"), col("m_code")).as("rfm"))
+  }
+
+  val q153Oracle: String =
+    """WITH p AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |a AS (SELECT max(last_day) AS anchor_day FROM p)
+      |SELECT user_id,
+      |  CAST(date_diff('day', last_day, anchor_day) AS BIGINT)
+      |    AS recency_days,
+      |  frequency, monetary_cents,
+      |  CAST(ntile(4) OVER (ORDER BY date_diff('day', last_day, anchor_day)
+      |      DESC, user_id) AS STRING)
+      |  || CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS STRING)
+      |  || CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS STRING)
+      |    AS rfm
+      |FROM p, a""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_sessionize" -> (q32Sessionize _),
     "q44_funnel" -> (q44Funnel _),
@@ -512,6 +568,7 @@ object EventQueries {
     "q137_cusum" -> (q137Cusum _),
     "q145_event_runs" -> (q145EventRuns _),
     "q146_assoc_pairs" -> (q146AssocPairs _),
+    "q153_rfm" -> (q153Rfm _),
     "q147_attribution" -> (q147Attribution _))
 
   val oracles: Map[String, String] = Map(
@@ -524,5 +581,6 @@ object EventQueries {
     "q137_cusum" -> q137Oracle,
     "q145_event_runs" -> q145Oracle,
     "q146_assoc_pairs" -> q146Oracle,
+    "q153_rfm" -> q153Oracle,
     "q147_attribution" -> q147Oracle)
 }

@@ -76,6 +76,9 @@ class PlanShapeSpec extends SparkSpec {
     // train-bigram-mass scalar (1-row aggregate) crossJoined into the
     // backoff scoring stream (q76's pattern)
     "q149_stupid_backoff",
+    // anchor-day scalar (1-row max aggregate) crossJoined into the
+    // user-sized RFM frame (q86/q91's pattern)
+    "q153_rfm",
     // support-spine × source-census grid: the census side is a
     // broadcast source-count-sized frame; the corpus-total scalar
     // rides the same pattern
@@ -113,7 +116,11 @@ class PlanShapeSpec extends SparkSpec {
     "q151_ks_drift",
     // global cumulative weight via the q124 two-phase pattern: the
     // weight prefix sum spine is one row per range partition
-    "q152_pps_sample")
+    "q152_pps_sample",
+    // RFM ntile codes over the USER-sized aggregate — a documented
+    // funnel like q39: at 10M+ users the codes switch to broadcast
+    // quartile thresholds (exact ntile needs the total order)
+    "q153_rfm")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
