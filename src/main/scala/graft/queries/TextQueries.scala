@@ -958,6 +958,73 @@ object TextQueries {
       |JOIN tot y ON y.token = i.t2
       |WHERE (i.n_min * 1000000) // (x.tot + y.tot - i.n_min) >= 300000""".stripMargin
 
+  /** q154 — degree distribution of the token co-occurrence graph:
+    * distinct-neighbor degree per token (undirected adjacency), the
+    * degree histogram, and the complementary CDF in ppm — the
+    * heavy-tail profile read BEFORE running graph algorithms on a
+    * corpus graph (a power-law tail means hub-aware salting; a thin
+    * tail means plain hash partitioning is fine), and the growth curve
+    * for q141's top-k context truncation.
+    *
+    * Scale shape: distinct edges are one shuffle; degrees one
+    * aggregate; the histogram is degree-support-sized and the CCDF
+    * rides a support-spine window (distinct degree VALUES, never
+    * tokens). The vocabulary total broadcasts as a 1-row scalar.
+    */
+  def q154DegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = Tables.load(spark, dir, "documents")
+      .select(wsTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS l, t[i + 1] AS r))"))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(col("l") =!= col("r"))
+    val edges = adj
+      .select(least(col("l"), col("r")).as("a"),
+        greatest(col("l"), col("r")).as("b"))
+      .distinct()
+    val degrees = edges.select(col("a").as("token"))
+      .union(edges.select(col("b").as("token")))
+      .groupBy(col("token")).agg(count(lit(1)).as("degree"))
+    val hist = degrees.groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val total = degrees.agg(count(lit(1)).as("n_vocab"))
+    hist.crossJoin(broadcast(total))
+      .withColumn("n_at_least",
+        sum(col("n_tokens")).over(Window.orderBy(col("degree").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ccdf_ppm",
+        expr("(n_at_least * 1000000L) div n_vocab"))
+      .select(col("degree"), col("n_tokens"), col("n_at_least"),
+        col("ccdf_ppm"))
+  }
+
+  val q154Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |adj AS (
+      |  SELECT t[i] AS l, t[i + 1] AS r
+      |  FROM t, unnest(range(1, len(t))) u(i)
+      |  WHERE len(t) >= 2 AND t[i] <> t[i + 1]),
+      |e AS (
+      |  SELECT DISTINCT least(l, r) AS a, greatest(l, r) AS b FROM adj),
+      |d AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS token FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY token),
+      |h AS (
+      |  SELECT degree, CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY degree),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM d)
+      |SELECT degree, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY degree DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_least,
+      |  (sum(n_tokens) OVER (ORDER BY degree DESC ROWS UNBOUNDED PRECEDING)
+      |    * 1000000) // n_vocab AS ccdf_ppm
+      |FROM h, v""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_token_stats" -> (q16TokenStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -981,7 +1048,8 @@ object TextQueries {
     "q129_filter_funnel" -> (q129FilterFunnel _),
     "q132_lang_margin" -> (q132LangMargin _),
     "q135_simpson" -> (q135Simpson _),
-    "q141_distrib_sim" -> (q141DistribSim _))
+    "q141_distrib_sim" -> (q141DistribSim _),
+    "q154_degree_dist" -> (q154DegreeDist _))
 
   val oracles: Map[String, String] = Map(
     "q16_token_stats" -> q16Oracle,
@@ -1006,5 +1074,6 @@ object TextQueries {
     "q129_filter_funnel" -> q129Oracle,
     "q132_lang_margin" -> q132Oracle,
     "q135_simpson" -> q135Oracle,
-    "q141_distrib_sim" -> q141Oracle)
+    "q141_distrib_sim" -> q141Oracle,
+    "q154_degree_dist" -> q154Oracle)
 }

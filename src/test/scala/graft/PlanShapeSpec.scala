@@ -79,6 +79,9 @@ class PlanShapeSpec extends SparkSpec {
     // anchor-day scalar (1-row max aggregate) crossJoined into the
     // user-sized RFM frame (q86/q91's pattern)
     "q153_rfm",
+    // vocabulary-count scalar (1-row aggregate) crossJoined into the
+    // degree histogram (q86/q91's pattern)
+    "q154_degree_dist",
     // support-spine × source-census grid: the census side is a
     // broadcast source-count-sized frame; the corpus-total scalar
     // rides the same pattern
@@ -120,7 +123,10 @@ class PlanShapeSpec extends SparkSpec {
     // RFM ntile codes over the USER-sized aggregate — a documented
     // funnel like q39: at 10M+ users the codes switch to broadcast
     // quartile thresholds (exact ntile needs the total order)
-    "q153_rfm")
+    "q153_rfm",
+    // CCDF over the degree-SUPPORT spine (distinct degree values,
+    // never tokens — q151's support-spine justification)
+    "q154_degree_dist")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
