@@ -2696,6 +2696,104 @@ object PipelineQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM tpd t LEFT JOIN npd n ON n.decile = t.decile""".stripMargin
 
+  /** q155 — re-sharding movement audit: when a 16-shard layout grows
+    * to 17, what fraction of documents MOVE? Under mod-N assignment
+    * nearly everything does (≈ 16/17); under rendezvous hashing
+    * (highest-random-weight, Thaler & Ravishankar 1998) an ideal hash
+    * moves only 1/17 — the reason consistent-placement schemes exist.
+    * Measured here exactly with the SQL-portable squared-slot family
+    * both engines replay (whose imperfect avalanche lands within a
+    * small factor of the ideal rate — the measurement, not the ideal,
+    * is what the audit reports). At 100 TB this is the table a store
+    * reads before committing to a shard-count change, priced in rows
+    * and token mass.
+    *
+    * Scale shape: pure per-row expressions (17 portable hashes per
+    * doc for the HRW argmax, fused in one projection) + one
+    * two-row-per-scheme aggregate. No shuffle beyond the final
+    * scheme-sized rollup.
+    */
+  def q155Reshard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.{Mod, Shift}
+    // HRW weight = the squared-slot family (PortableHash.slot — the
+    // q21 MinHash hash family): the raw polynomial hash is monotone in
+    // a trailing shard digit (no avalanche), which would make the
+    // argmax collapse to the largest shard id; squaring mod M restores
+    // per-slot independence. Ties break to the lower shard id
+    // (array_position finds the FIRST max).
+    def hrw(n: Int): org.apache.spark.sql.Column =
+      expr(s"""array_position(
+        |  transform(sequence(0, ${n - 1}),
+        |    s -> ((h + s * ${Shift}L) % ${Mod}L)
+        |         * ((h + s * ${Shift}L) % ${Mod}L) % ${Mod}L),
+        |  array_max(transform(sequence(0, ${n - 1}),
+        |    s -> ((h + s * ${Shift}L) % ${Mod}L)
+        |         * ((h + s * ${Shift}L) % ${Mod}L) % ${Mod}L))) - 1
+        |""".stripMargin)
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("w"))
+      .withColumn("h", expr(
+        "portable_string_hash(cast(doc_id as string))"))
+      .withColumn("mod_moved",
+        (pmod(col("h"), lit(16)) =!= pmod(col("h"), lit(17))).cast("long"))
+      .withColumn("hrw_moved", (hrw(16) =!= hrw(17)).cast("long"))
+    d.select(lit("mod").as("scheme"), col("mod_moved").as("moved"), col("w"))
+      .unionByName(d.select(lit("rendezvous").as("scheme"),
+        col("hrw_moved").as("moved"), col("w")))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("moved")).as("n_moved"),
+        sum(col("w") * col("moved")).as("tokens_moved"))
+      .withColumn("moved_ppm",
+        expr("(n_moved * 1000000L) div n_docs"))
+  }
+
+  val q155Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod, Shift}
+    // the established replay idioms: q21's ascii-char fold for the
+    // string hash and its squared-slot family for the HRW weights
+    def h(e: String) =
+      s"""list_reduce(list_transform(range(1, length($e) + 1),
+         |      i -> ascii(($e)[i])::BIGINT),
+         |    (a, b) -> (a * $Base + b) % $Mod)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+       |    CAST(doc_id AS VARCHAR) AS ds
+       |  FROM documents),
+       |hh AS (
+       |  SELECT doc_id, w, ${h("ds")} AS h FROM base),
+       |sh AS (
+       |  SELECT doc_id, s,
+       |    ((h + s * $Shift) % $Mod) * ((h + s * $Shift) % $Mod) % $Mod
+       |      AS hs
+       |  FROM hh, range(0, 17) r(s)),
+       |mx AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN s < 16 THEN hs END) AS m16, max(hs) AS m17
+       |  FROM sh GROUP BY doc_id),
+       |pick AS (
+       |  SELECT sh.doc_id,
+       |    CAST(min(CASE WHEN sh.s < 16 AND sh.hs = mx.m16 THEN sh.s END)
+       |      AS BIGINT) AS hrw16,
+       |    CAST(min(CASE WHEN sh.hs = mx.m17 THEN sh.s END) AS BIGINT)
+       |      AS hrw17
+       |  FROM sh JOIN mx ON mx.doc_id = sh.doc_id GROUP BY sh.doc_id),
+       |m AS (
+       |  SELECT 'mod' AS scheme,
+       |    CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END AS moved, w
+       |  FROM hh
+       |  UNION ALL
+       |  SELECT 'rendezvous',
+       |    CASE WHEN p.hrw16 <> p.hrw17 THEN 1 ELSE 0 END, hh.w
+       |  FROM pick p JOIN hh ON hh.doc_id = p.doc_id)
+       |SELECT scheme, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(moved) AS BIGINT) AS n_moved,
+       |  CAST(sum(w * moved) AS BIGINT) AS tokens_moved,
+       |  (sum(moved) * 1000000) // count(*) AS moved_ppm
+       |FROM m GROUP BY scheme""".stripMargin
+  }
+
   /** q152 — systematic PPS sampling (Madow): select ~k documents with
     * probability proportional to token weight by walking the global
     * cumulative-weight axis and taking every item whose weight span
@@ -3026,6 +3124,7 @@ object PipelineQueries {
     "q150_centroid_drift" -> (q150CentroidDrift _),
     "q151_ks_drift" -> (q151KsDrift _),
     "q152_pps_sample" -> (q152PpsSample _),
+    "q155_reshard" -> (q155Reshard _),
     "q142_burstiness" -> (q142Burstiness _),
     "q143_vocab_growth" -> (q143VocabGrowth _))
 
@@ -3083,6 +3182,7 @@ object PipelineQueries {
     "q150_centroid_drift" -> q150Oracle,
     "q151_ks_drift" -> q151Oracle,
     "q152_pps_sample" -> q152Oracle,
+    "q155_reshard" -> q155Oracle,
     "q142_burstiness" -> q142Oracle,
     "q143_vocab_growth" -> q143Oracle)
 }
