@@ -473,6 +473,64 @@ object RelationalQueries {
       |  AND o_orderdate < DATE '1997-01-01'
       |GROUP BY n_name""".stripMargin
 
+  /** q156 — Benford's-law first-digit screen over order totals: the
+    * forensic data-quality test (Nigrini's fraud screen, Benford 1938)
+    * — naturally-occurring multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); fabricated or truncated feeds don't. The
+    * first significant digit is extracted lexically (no logarithm in
+    * either engine), observed shares are integer ppm, expected shares
+    * are the Benford constants as ppm literals, and the deviation is
+    * the absolute ppm gap per digit plus its sum — flag when the total
+    * gap exceeds 10%.
+    *
+    * Scale shape: one scan + a 9-row aggregate; the total-count scalar
+    * broadcasts. Nothing else.
+    */
+  def q156Benford(spark: SparkSession, dir: String): DataFrame = {
+    // round(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed constants, so
+    // no runtime logarithm can drift between engines
+    val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expected = benfordPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p}L)" }
+      .mkString("VALUES ", ", ", " AS t(digit, expected_ppm)")
+    val d = Tables.load(spark, dir, "orders")
+      .select(expr(
+        "cast(substring(cast(cast(round(o_totalprice * 100) as long) " +
+          "as string), 1, 1) as int)").as("digit"))
+      .filter(col("digit").between(1, 9))
+    val counts = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .join(broadcast(spark.sql(s"SELECT * FROM ($expected)")),
+        Seq("digit"))
+      .withColumn("observed_ppm", expr("(n * 1000000L) div n_total"))
+      .withColumn("gap_ppm",
+        abs(col("observed_ppm") - col("expected_ppm")))
+      .select(col("digit"), col("n"), col("observed_ppm"),
+        col("expected_ppm"), col("gap_ppm"))
+  }
+
+  val q156Oracle: String = {
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L).zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders),
+       |f AS (SELECT digit FROM d WHERE digit BETWEEN 1 AND 9),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f
+       |      GROUP BY digit),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f),
+       |e(digit, expected_ppm) AS (VALUES $benford)
+       |SELECT c.digit, c.n,
+       |  (c.n * 1000000) // t.n_total AS observed_ppm,
+       |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       |  abs((c.n * 1000000) // t.n_total - e.expected_ppm) AS gap_ppm
+       |FROM c JOIN e ON e.digit = c.digit, t""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_tfidf" -> (q51Tfidf _),
     "q52_cube" -> (q52Cube _),
@@ -486,7 +544,8 @@ object RelationalQueries {
     "q61_grouping_sets" -> (q61GroupingSets _),
     "q62_json_extract" -> (q62JsonExtract _),
     "q63_string_agg" -> (q63StringAgg _),
-    "q148_local_volume" -> (q148LocalVolume _))
+    "q148_local_volume" -> (q148LocalVolume _),
+    "q156_benford" -> (q156Benford _))
 
   val oracles: Map[String, String] = Map(
     "q51_tfidf" -> q51Oracle,
@@ -501,5 +560,6 @@ object RelationalQueries {
     "q61_grouping_sets" -> q61Oracle,
     "q62_json_extract" -> q62Oracle,
     "q63_string_agg" -> q63Oracle,
-    "q148_local_volume" -> q148Oracle)
+    "q148_local_volume" -> q148Oracle,
+    "q156_benford" -> q156Oracle)
 }

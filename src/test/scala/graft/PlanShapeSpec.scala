@@ -82,6 +82,9 @@ class PlanShapeSpec extends SparkSpec {
     // vocabulary-count scalar (1-row aggregate) crossJoined into the
     // degree histogram (q86/q91's pattern)
     "q154_degree_dist",
+    // order-count scalar (1-row aggregate) crossJoined into the 9-row
+    // digit frame (q86/q91's pattern)
+    "q156_benford",
     // support-spine × source-census grid: the census side is a
     // broadcast source-count-sized frame; the corpus-total scalar
     // rides the same pattern
