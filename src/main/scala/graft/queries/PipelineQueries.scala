@@ -2696,6 +2696,80 @@ object PipelineQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM tpd t LEFT JOIN npd n ON n.decile = t.decile""".stripMargin
 
+  /** q157 — cross-source quantile normalization: replace each
+    * document's length with the POOLED distribution's value at the
+    * same within-source rank fraction — the harmonization that makes
+    * per-source metrics comparable when sources have systematically
+    * different scales (the microarray-normalization trick, applied to
+    * corpus stats). Position mapping is integer
+    * (pos = max(1, rank_s·N div n_s)); the pooled order statistic at
+    * pos resolves through the support spine's [lo, hi] cumulative
+    * runs with the q49 bucket-explode range-join trick — an
+    * equi-join, never a broadcast inequality scan.
+    *
+    * Scale shape: within-source ranks ride source-partitioned
+    * windows; the pooled CDF lives on the SUPPORT spine (distinct
+    * values — bucket first for continuous metrics); the lookup is one
+    * bucket-keyed equi-join with interval replication bounded by
+    * run-length/bucket-width.
+    */
+  def q157QuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast("long").as("x"))
+      .transform(Materialize.once) // ranks AND support read it
+    val nAll = d.agg(count(lit(1)).as("n_all"))
+    val pos = d
+      .withColumn("rank_s", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("x"), col("doc_id"))))
+      .withColumn("n_s",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(nAll))
+      .withColumn("pos", expr("greatest((rank_s * n_all) div n_s, 1L)"))
+      .withColumn("bk", expr("pos div (n_all div 32 + 1)"))
+      .select(col("doc_id"), col("source"), col("x"), col("pos"), col("bk"))
+    val spine = d.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("hi",
+        sum(col("c")).over(Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .crossJoin(broadcast(nAll))
+      .withColumn("bk", explode(expr(
+        "sequence(lo div (n_all div 32 + 1), hi div (n_all div 32 + 1))")))
+      .select(col("x").as("norm_x"), col("lo"), col("hi"), col("bk"))
+    pos.join(spine, Seq("bk"))
+      .filter(col("pos").between(col("lo"), col("hi")))
+      .select(col("doc_id"), col("source"), col("x"), col("norm_x"))
+  }
+
+  val q157Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x
+      |  FROM documents),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+      |r AS (
+      |  SELECT doc_id, source, x,
+      |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+      |      AS rank_s,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM d),
+      |p AS (
+      |  SELECT r.doc_id, r.source, r.x,
+      |    greatest((r.rank_s * na.n_all) // r.n_s, 1) AS pos
+      |  FROM r, na),
+      |sup AS (SELECT x AS norm_x, CAST(count(*) AS BIGINT) AS c
+      |        FROM d GROUP BY x),
+      |sc AS (
+      |  SELECT norm_x,
+      |    CAST(sum(c) OVER (ORDER BY norm_x ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(c) OVER (ORDER BY norm_x ROWS UNBOUNDED PRECEDING)
+      |      - c + 1 AS BIGINT) AS lo
+      |  FROM sup)
+      |SELECT p.doc_id, p.source, p.x, s.norm_x
+      |FROM p JOIN sc s ON p.pos BETWEEN s.lo AND s.hi""".stripMargin
+
   /** q155 — re-sharding movement audit: when a 16-shard layout grows
     * to 17, what fraction of documents MOVE? Under mod-N assignment
     * nearly everything does (≈ 16/17); under rendezvous hashing
@@ -3125,6 +3199,7 @@ object PipelineQueries {
     "q151_ks_drift" -> (q151KsDrift _),
     "q152_pps_sample" -> (q152PpsSample _),
     "q155_reshard" -> (q155Reshard _),
+    "q157_quantile_norm" -> (q157QuantileNorm _),
     "q142_burstiness" -> (q142Burstiness _),
     "q143_vocab_growth" -> (q143VocabGrowth _))
 
@@ -3183,6 +3258,7 @@ object PipelineQueries {
     "q151_ks_drift" -> q151Oracle,
     "q152_pps_sample" -> q152Oracle,
     "q155_reshard" -> q155Oracle,
+    "q157_quantile_norm" -> q157Oracle,
     "q142_burstiness" -> q142Oracle,
     "q143_vocab_growth" -> q143Oracle)
 }

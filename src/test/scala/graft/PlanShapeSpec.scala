@@ -85,6 +85,9 @@ class PlanShapeSpec extends SparkSpec {
     // order-count scalar (1-row aggregate) crossJoined into the 9-row
     // digit frame (q86/q91's pattern)
     "q156_benford",
+    // corpus-count scalar crossJoined into the ranked frame AND the
+    // support spine (q86/q91's pattern, twice)
+    "q157_quantile_norm",
     // support-spine × source-census grid: the census side is a
     // broadcast source-count-sized frame; the corpus-total scalar
     // rides the same pattern
@@ -129,7 +132,9 @@ class PlanShapeSpec extends SparkSpec {
     "q153_rfm",
     // CCDF over the degree-SUPPORT spine (distinct degree values,
     // never tokens — q151's support-spine justification)
-    "q154_degree_dist")
+    "q154_degree_dist",
+    // pooled CDF over the length-SUPPORT spine (q151's justification)
+    "q157_quantile_norm")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
