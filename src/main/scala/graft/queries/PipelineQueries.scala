@@ -3144,6 +3144,88 @@ object PipelineQueries {
       |WHERE a.parity = 0 AND b.parity = 1
       |GROUP BY a.label""".stripMargin
 
+  /** q158 — exact tie-aware ROC-AUC (Mann–Whitney rank-sum) of the
+    * hashed-linear quality score (q116) against the `lang='en'` label,
+    * per source: the calibration number a pipeline reads BEFORE
+    * trusting a cheap classifier as a corpus gate (q116 reports the
+    * keep decision; this reports how well the score actually ranks the
+    * positive class, threshold-free). Ties get the standard half
+    * credit, exactly: AUC = (Σ_{p,n} [s_p>s_n] + ½[s_p=s_n]) / n⁺n⁻,
+    * carried as the integer 2·numerator so nothing is halved early.
+    *
+    * Scale shape: per-doc scoring is the codegen'd expression; the
+    * rank-sum never materializes the n⁺·n⁻ pair space — it collapses
+    * to the (source, score) SUPPORT spine (c⁺, c⁻ per distinct score),
+    * one source-partitioned window over that spine, and a per-source
+    * rollup. The only caveat at extreme scale is the n⁺·n⁻·10⁶ scalar
+    * overflowing int64 past ~10⁹ balanced docs per source — at that
+    * point compute the ppm per stratified sample, or split the
+    * division; the spine algebra itself is exact and unbounded.
+    */
+  def q158Auc(spark: SparkSession, dir: String): DataFrame = {
+    val score = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HashedLinearScore(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          wsTokens(col("text")))))
+    val spine = Tables.load(spark, dir, "documents")
+      .select(col("source"), score.as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      .groupBy(col("source"), col("score"))
+      .agg(sum(col("pos")).as("c_pos"),
+        sum(lit(1L) - col("pos")).as("c_neg"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .withColumn("neg_below", sum(col("c_neg")).over(w) - col("c_neg"))
+      .groupBy(col("source"))
+      .agg(sum(col("c_pos")).as("n_pos"),
+        sum(col("c_neg")).as("n_neg"),
+        sum(col("c_pos") * (col("neg_below") * 2 + col("c_neg")))
+          .as("auc2_num"))
+      .withColumn("auc_ppm",
+        expr("(auc2_num * 1000000L) div (2 * n_pos * n_neg)"))
+  }
+
+  val q158Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod, Shift}
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(1, length(tok)+1),
+       |      i -> ascii(tok[i])::BIGINT),
+       |      (a, b) -> (a * $Base + b) % $Mod) AS hv
+       |  FROM tok),
+       |wgt AS (
+       |  SELECT doc_id,
+       |    ((((hv + 2 * $Shift) % $Mod) * ((hv + 2 * $Shift) % $Mod) % $Mod)
+       |      % 1024) % 13 - 6 AS w
+       |  FROM h),
+       |s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+       |      FROM wgt GROUP BY doc_id),
+       |spine AS (
+       |  SELECT t.source, s.score,
+       |    CAST(sum(t.pos) AS BIGINT) AS c_pos,
+       |    CAST(sum(1 - t.pos) AS BIGINT) AS c_neg
+       |  FROM t JOIN s USING (doc_id) GROUP BY t.source, s.score),
+       |acc AS (
+       |  SELECT source, c_pos, c_neg,
+       |    sum(c_neg) OVER (PARTITION BY source ORDER BY score
+       |      ROWS UNBOUNDED PRECEDING) - c_neg AS neg_below
+       |  FROM spine)
+       |SELECT source,
+       |  CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(c_neg) AS BIGINT) AS n_neg,
+       |  CAST(sum(c_pos * (neg_below * 2 + c_neg)) AS BIGINT) AS auc2_num,
+       |  (sum(c_pos * (neg_below * 2 + c_neg)) * 1000000)
+       |    // (2 * sum(c_pos) * sum(c_neg)) AS auc_ppm
+       |FROM acc GROUP BY source""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_heavy_hitters" -> (q64HeavyHitters _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
@@ -3200,6 +3282,7 @@ object PipelineQueries {
     "q152_pps_sample" -> (q152PpsSample _),
     "q155_reshard" -> (q155Reshard _),
     "q157_quantile_norm" -> (q157QuantileNorm _),
+    "q158_auc" -> (q158Auc _),
     "q142_burstiness" -> (q142Burstiness _),
     "q143_vocab_growth" -> (q143VocabGrowth _))
 
@@ -3259,6 +3342,7 @@ object PipelineQueries {
     "q152_pps_sample" -> q152Oracle,
     "q155_reshard" -> q155Oracle,
     "q157_quantile_norm" -> q157Oracle,
+    "q158_auc" -> q158Oracle,
     "q142_burstiness" -> q142Oracle,
     "q143_vocab_growth" -> q143Oracle)
 }

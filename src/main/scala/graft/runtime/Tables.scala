@@ -18,10 +18,13 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright. Read `ts` as nanos-since-epoch via the legacy conf
-    * (runtime-settable) and truncate to a micros TimestampType — the same
-    * value DuckDB produces with `CAST(ts AS TIMESTAMP)`.
+  /** events.parquet has shipped with two `ts` layouts across driver
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * outright — read as nanos-since-epoch via the legacy conf and
+    * truncate to micros) and plain TIMESTAMP_NTZ(MICROS). Both normalize
+    * here to a micros TimestampType — the same value DuckDB produces
+    * with `CAST(ts AS TIMESTAMP)` (session tz is pinned UTC, so the
+    * NTZ→instant reinterpretation is value-preserving).
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     // Deliberately session-global: the legacy nanos conf is consulted at
@@ -32,13 +35,20 @@ object Tables {
     // TIMESTAMP(NANOS) reads: they decode as raw nanos Longs instead of
     // erroring; no currently-supported table is affected.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    // Loud contract check at the only sanctioned read site: if the file
-    // layout ever changes (ts already micros, or renamed), fail here
-    // with a clear message instead of silently emitting raw Longs
-    // downstream. Any OTHER nanos parquet must also come through a
-    // loader that normalizes its type — never a bare read.parquet.
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) decoded as raw nanos Longs
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // micros wall-clock; UTC session ⇒ same instant
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        // Loud contract check at the only sanctioned read site: a new
+        // layout must be normalized here, never leaked downstream.
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other")
+    }
     require(
       df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
       s"events.ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
