@@ -287,7 +287,8 @@ object EventQueries {
       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
       |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
       |t AS (
-      |  SELECT event_type, sum(day_cents) // count(*) AS target
+      |  SELECT event_type,
+      |    CAST(sum(day_cents) // count(*) AS BIGINT) AS target
       |  FROM daily GROUP BY event_type),
       |c AS (
       |  SELECT d.event_type, d.day, d.day_cents, t.target,
@@ -303,7 +304,9 @@ object EventQueries {
       |  FROM c
       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
       |               ROWS UNBOUNDED PRECEDING))
-      |SELECT event_type, day, day_cents, cusum_pos, cusum_neg, target,
+      |SELECT event_type, day, day_cents,
+      |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+      |  CAST(cusum_neg AS BIGINT) AS cusum_neg, target,
       |  CASE WHEN cusum_pos * 5 > target OR cusum_neg * 5 > target
       |       THEN 1 ELSE 0 END AS shifted
       |FROM s""".stripMargin

@@ -2625,9 +2625,9 @@ object PipelineQueries {
       |SELECT token, CAST(count(*) AS BIGINT) AS df1,
       |  CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
       |  CAST(sum(tf) AS BIGINT) AS occurrences,
-      |  (sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*)
-      |    AS burst_ppm,
-      |  (sum(tf) * 1000000) // count(*) AS mean_tf_ppm
+      |  CAST((sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS burst_ppm,
+      |  CAST((sum(tf) * 1000000) // count(*) AS BIGINT) AS mean_tf_ppm
       |FROM tf GROUP BY token HAVING count(*) >= 20""".stripMargin
 
   /** q143 — Heaps'-law vocabulary growth: cumulative distinct-type
@@ -2864,7 +2864,7 @@ object PipelineQueries {
        |SELECT scheme, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(moved) AS BIGINT) AS n_moved,
        |  CAST(sum(w * moved) AS BIGINT) AS tokens_moved,
-       |  (sum(moved) * 1000000) // count(*) AS moved_ppm
+       |  CAST((sum(moved) * 1000000) // count(*) AS BIGINT) AS moved_ppm
        |FROM m GROUP BY scheme""".stripMargin
   }
 
@@ -3221,8 +3221,8 @@ object PipelineQueries {
        |  CAST(sum(c_pos) AS BIGINT) AS n_pos,
        |  CAST(sum(c_neg) AS BIGINT) AS n_neg,
        |  CAST(sum(c_pos * (neg_below * 2 + c_neg)) AS BIGINT) AS auc2_num,
-       |  (sum(c_pos * (neg_below * 2 + c_neg)) * 1000000)
-       |    // (2 * sum(c_pos) * sum(c_neg)) AS auc_ppm
+       |  CAST((sum(c_pos * (neg_below * 2 + c_neg)) * 1000000)
+       |    // (2 * sum(c_pos) * sum(c_neg)) AS BIGINT) AS auc_ppm
        |FROM acc GROUP BY source""".stripMargin
   }
 

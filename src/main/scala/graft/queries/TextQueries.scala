@@ -1021,8 +1021,9 @@ object TextQueries {
       |SELECT degree, n_tokens,
       |  CAST(sum(n_tokens) OVER (ORDER BY degree DESC
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_least,
-      |  (sum(n_tokens) OVER (ORDER BY degree DESC ROWS UNBOUNDED PRECEDING)
-      |    * 1000000) // n_vocab AS ccdf_ppm
+      |  CAST((sum(n_tokens) OVER (ORDER BY degree DESC
+      |    ROWS UNBOUNDED PRECEDING) * 1000000) // n_vocab AS BIGINT)
+      |    AS ccdf_ppm
       |FROM h, v""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

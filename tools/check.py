@@ -68,6 +68,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         bad = None
         for c in g.columns:
+            # Driver-hash faithfulness: the driver stringifies values, so an
+            # int column on one side vs float on the other ("5" vs "5.0")
+            # hash-mismatches even when numerically equal. DuckDB returns
+            # HUGEINT (-> pandas float64) for any uncast sum()-derived
+            # integer expression — every oracle output column derived from
+            # sum() MUST be CAST(... AS BIGINT). This caught r07's only
+            # five hash failures (q137/q142/q154/q155/q158).
+            if (np.issubdtype(g[c].dtype, np.floating) !=
+                    np.issubdtype(e[c].dtype, np.floating)):
+                bad = (c, "dtype-divergence",
+                       f"spark={g[c].dtype} oracle={e[c].dtype} "
+                       "(uncast HUGEINT? wrap oracle col in CAST(.. AS BIGINT))")
+                break
             gv, ev = g[c].values, e[c].values
             if np.issubdtype(np.asarray(gv).dtype, np.floating) or \
                np.issubdtype(np.asarray(ev).dtype, np.floating):
