@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusQueries, DedupQueries, EventQueries, MultimodalQueries, Parity, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CatalogQueries, CorpusQueries, DedupQueries, EventQueries, MultimodalQueries, Parity, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Parity.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ EventQueries.all ++
-      RelationalQueries.all ++ PipelineQueries.all ++ CorpusQueries.all
+      RelationalQueries.all ++ PipelineQueries.all ++ CorpusQueries.all ++
+      CatalogQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     Parity.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       EventQueries.oracles ++ RelationalQueries.oracles ++
-      PipelineQueries.oracles ++ CorpusQueries.oracles
+      PipelineQueries.oracles ++ CorpusQueries.oracles ++
+      CatalogQueries.oracles
 }

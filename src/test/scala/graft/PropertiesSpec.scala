@@ -395,4 +395,89 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // --- portable idiom properties (VERDICT r07 item 4): the four
+  // engine/oracle mismatch classes, each pinned against an in-JVM
+  // reference so a red from these classes is structurally impossible.
+  // The DuckDB twins of each form are documented (and empirically
+  // verified against duckdb 1.0) in graft.queries.OracleIdioms.
+
+  test("portable idiom: div truncates and floorDiv floors, any signs") {
+    import graft.queries.OracleIdioms
+    val rows = sample(
+      for {
+        a <- Gen.choose(-1000000L, 1000000L)
+        b <- Gen.choose(1L, 9999L) // all engine divisors are positive
+      } yield (a, b), 500) ++ Seq((-7L, 2L), (7L, 2L), (0L, 5L),
+      (Long.MaxValue, 3L)) // MinValue-adjacent excluded: a - pmod(a,b)
+      // would overflow, and ANSI mode (Spark 4 default) throws on it
+    val got = rows.toDF("a", "b")
+      .select($"a", $"b", expr("a div b").as("trunc_div"),
+        OracleIdioms.floorDiv($"a", $"b").as("floor_div"),
+        pmod($"a", $"b").as("pos_mod"), ($"a" % $"b").as("signed_mod"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (a, b, td, fd, pm, sm) =>
+      assert(td == a / b, s"div must truncate like JVM /: $a div $b")
+      assert(fd == Math.floorDiv(a, b), s"floorDiv($a, $b)")
+      assert(pm == Math.floorMod(a, b), s"pmod($a, $b)")
+      assert(sm == a % b, s"% must keep dividend sign: $a % $b")
+    }
+  }
+
+  test("portable idiom: whitespace split incl. empty and whitespace-only") {
+    import graft.queries.OracleIdioms
+    val ws = Gen.oneOf(" ", "\t", "\n", "  ")
+    val word = Gen.oneOf("a", "bb", "c-d", "0", "é")
+    val rows = sample(
+      Gen.listOf(Gen.oneOf(ws, word)).map(_.mkString), 400) ++
+      Seq("", " ", "\t\t", "a", " a ", "a  b", "\na\tb\n")
+    val got = rows.toDF("s")
+      .select($"s", split(trim($"s"), "\\s+").as("toks"),
+        OracleIdioms.wsTokensNonEmpty($"s").as("toks_ne"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    got.foreach { case (s, toks, toksNe) =>
+      // in-JVM reference. Verified engine semantics this reference
+      // models (and String.trim does NOT): both Spark's trim and
+      // DuckDB's trim strip ASCII SPACES ONLY — a text edged by \t or
+      // \n keeps it, and the \s+ split then yields an EMPTY edge token
+      // on both engines ('\ta b\n' → ['', 'a', 'b', '']). Java split
+      // with limit -1 likewise keeps edge empties ([""] on "").
+      val ref = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.split("\\s+", -1).toSeq
+      assert(toks == ref, s"split([${s.map(_.toInt).mkString(",")}])")
+      assert(toksNe == ref.filter(_.nonEmpty), s"nonEmpty([${s.map(_.toInt).mkString(",")}])")
+    }
+    assert(got.collectFirst { case ("", t, _) => t }.get == Seq(""))
+  }
+
+  test("portable idiom: cumulative ROWS window equals scanLeft prefix on a distinct spine") {
+    // cumulative frames are only portable over a spine with DISTINCT
+    // order keys (each engine breaks peer ties arbitrarily under ROWS);
+    // every production cumsum groups to the key first — mirror that.
+    val rows = sample(
+      for {
+        g <- Gen.oneOf("x", "y", "z")
+        k <- Gen.choose(0, 60)
+        v <- Gen.choose(-500L, 500L)
+      } yield (g, k, v), 600)
+    val spine = rows.toDF("g", "k", "v")
+      .groupBy($"g", $"k").agg(sum($"v").as("v"))
+    val w = Window.partitionBy($"g").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = spine
+      .select($"g", $"k", sum($"v").over(w).as("cum"),
+        min($"v").over(w).as("runmin"))
+      .as[(String, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val ref = rows.groupBy(r => (r._1, r._2))
+      .map { case ((g, k), vs) => (g, k, vs.map(_._3).sum) }
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    ref.foreach { case (g, seq) =>
+      val cums = seq.scanLeft(0L)(_ + _._3).tail
+      val mins = seq.map(_._3).scanLeft(Long.MaxValue)(math.min).tail
+      val gotSeq = got(g).toSeq
+      assert(gotSeq.map(_._3) == cums, s"cumsum group $g")
+      assert(gotSeq.map(_._4) == mins, s"runmin group $g")
+    }
+  }
 }

@@ -307,14 +307,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamCat.read("dds", "fact_covid").count() == facts.size)
     q.stop()
 
-    // agreement: identical alert sets (created_at excluded — both use
-    // the fixed clock anyway)
+    // agreement: identical alert sets on the semantic columns...
     val batchAlerts = batchCat.read("alerts", "covid_alerts")
       .select($"alert_date", $"country", $"alert_type", $"severity",
         $"metric_value", $"description")
       .as[(java.sql.Date, String, String, String, Double, String)]
       .collect().toSet
     assert(afterAll == batchAlerts)
+    // ...and FULL-frame equality over the complete covid_alerts schema
+    // (created_at included — both paths run the same fixed clock): the
+    // streaming path and the batch path must be indistinguishable from
+    // the table a downstream consumer reads, as multisets of whole rows
+    def wholeRows(cat: Catalog) = cat.read("alerts", "covid_alerts")
+      .select(graft.schema.Schemas.covidAlerts.fieldNames
+        .map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+      .toMap
+    assert(wholeRows(streamCat) == wholeRows(batchCat),
+      "streaming and batch alert tables must match row-for-row")
     // and the expected rules actually fired
     val jpByDay = afterAll.filter(_._2 == "Japan")
       .groupBy(_._1.toString).view.mapValues(_.map(_._3)).toMap
