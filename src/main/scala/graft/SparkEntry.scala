@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CatalogQueries, CorpusQueries, DedupQueries, EventQueries, MultimodalQueries, Parity, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CatalogQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, MultimodalQueries, Parity, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
     Parity.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ EventQueries.all ++
       RelationalQueries.all ++ PipelineQueries.all ++ CorpusQueries.all ++
-      CatalogQueries.all
+      CatalogQueries.all ++ CurationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       EventQueries.oracles ++ RelationalQueries.oracles ++
       PipelineQueries.oracles ++ CorpusQueries.oracles ++
-      CatalogQueries.oracles
+      CatalogQueries.oracles ++ CurationQueries.oracles
 }

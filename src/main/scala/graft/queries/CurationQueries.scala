@@ -1,0 +1,453 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.{Base, Mod, Shift}
+import graft.operators.Similarity
+import graft.operators.TextAnalysis.wsTokenCount
+import graft.plans.TopK
+import graft.queries.OracleIdioms.{bi, wsTokensNonEmpty, wsTokensNonEmptySql}
+import graft.runtime.{Materialize, Tables}
+
+/** Round-8 curation tier: the training-run-facing operators a corpus
+  * pipeline needs AFTER filtering/dedup have decided what survives —
+  * how the data is ordered for training (q162), which cross-document
+  * boilerplate is cut (q163), how much statistical confidence a corpus
+  * metric carries (q164), and how two retrieval signals merge into one
+  * ranking (q165).
+  *
+  * All four follow the portable-oracle idioms in [[OracleIdioms]]
+  * (BIGINT-cast sums, non-negative `div`, empty-token-filtered
+  * tokenization) and the established PortableHash replay (ascii fold +
+  * squared-slot family) so every query is hash-match checked against
+  * DuckDB.
+  */
+object CurationQueries {
+
+  /** Seed tag baked into the q162 permutation hash — a new epoch is a
+    * new tag, giving an independent deterministic order.
+    */
+  private val EpochTag = "e1:"
+  private val MicrobatchSize = 32
+
+  /** q163 fixed segmentation width (tokens) and the distinct-document
+    * frequency at which a segment counts as cross-document boilerplate.
+    */
+  private val SegTokens = 16
+  private val SegDf = 3
+
+  /** q164 Poisson-bootstrap replica count. */
+  private val BootReplicas = 32
+
+  /** Integer inverse-CDF thresholds for a Poisson(1) draw from a
+    * uniform hash slot in [0, Mod): the replica multiplicity is the
+    * number of thresholds ≤ slot (0..6). Computed once here and
+    * interpolated into BOTH the Spark plan and the oracle SQL, so the
+    * two engines share the literal constants.
+    */
+  private val PoissonThresholds: Seq[Long] = {
+    var term = math.exp(-1.0)
+    var cdf = 0.0
+    (0 to 5).map { k =>
+      if (k > 0) term /= k
+      cdf += term
+      math.floor(cdf * Mod).toLong
+    }
+  }
+
+  /** q165 rank-fusion constants (Cormack et al. SIGIR'09: k = 60). The
+    * reciprocal is scaled to an integer so both engines sum exactly.
+    */
+  private val RrfCutoff = 10
+  private val RrfDepth = 10
+  private val RrfK = 60
+  private val RrfScale = 1000000000L
+  private val RrfTop = 5
+
+  /** The PortableStringHash ascii fold replayed in DuckDB SQL —
+    * identical to the q155/q21 idiom (list_reduce seeds with the first
+    * element, matching the Scala fold's first-char initialization).
+    */
+  private def hSql(e: String): String =
+    s"""list_reduce(list_transform(range(1, length($e) + 1),
+       |      i -> ascii(($e)[i])::BIGINT),
+       |    (a, b) -> (a * $Base + b) % $Mod)""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+
+  /** q162 — deterministic epoch shuffle + microbatch mixture audit: the
+    * training-order construction step. Each document's position in the
+    * epoch is its rank under a seeded permutation hash (re-tag for a new
+    * epoch → an independent order, reproducible across reruns and
+    * restarts — the property a resumable training job needs). Positions
+    * are grouped into fixed-size microbatches and each batch's source
+    * diversity / language mix / token mass is reported — the audit that
+    * catches a degenerate shuffle (e.g. source-clumped batches) before
+    * a training run does.
+    *
+    * Scale shape: the global rank is q124's two-phase pattern — range
+    * exchange on the hash, per-partition row_number, plus a
+    * partition-count-sized offset spine — never a single-partition
+    * window over the corpus. The audit is one hash aggregate on the
+    * microbatch key. At 100 TB this is one range shuffle of slim rows
+    * (id, source, lang, weight, hash).
+    */
+  def q162EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        wsTokenCount(col("text")).cast("long").as("w"))
+      .withColumn("h", expr(
+        s"portable_string_hash(concat('$EpochTag', cast(doc_id as string)))"))
+      // squared-slot avalanche: the raw polynomial fold of a SHORT id
+      // string is small and consecutive ids stay adjacent (the fold is
+      // linear in the last digit) — squaring mod M wraps thousands of
+      // times and decorrelates neighbors, so the permutation has no
+      // id-locality clumps
+      .withColumn("hk", expr(s"h * h % ${Mod}L"))
+      .repartitionByRange(col("hk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // pid must be IDENTICAL in the rank and offset branches — pin it
+      .transform(Materialize.once)
+    val local = d.withColumn("lrank",
+      row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("hk"), col("doc_id"))))
+    val offsets = d.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("pos", col("offset") + col("lrank") - 1)
+      .withColumn("microbatch", expr(s"pos div $MicrobatchSize"))
+      .groupBy(col("microbatch"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("w")).as("tokens"))
+  }
+
+  val q162Oracle: String = {
+    val h = hSql("'" + EpochTag + "' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+       |    $h AS h
+       |  FROM documents),
+       |k AS (
+       |  SELECT *, (h * h) % $Mod AS hk FROM d),
+       |p AS (
+       |  SELECT *, row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM k)
+       |SELECT ${bi(s"pos // $MicrobatchSize")} AS microbatch,
+       |  ${bi("count(*)")} AS n_docs,
+       |  ${bi("count(DISTINCT source)")} AS n_sources,
+       |  ${bi("sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)")} AS n_en,
+       |  ${bi("sum(w)")} AS tokens
+       |FROM p GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q163
+
+  /** q163 — cross-document boilerplate removal on a FIXED segmentation
+    * (the CCNet/RefinedWeb line-dedup analog, Wenzek et al. 2020 §3.1 —
+    * our newline-free corpus segments on 16-token boundaries instead of
+    * lines): a segment whose hash appears in ≥ [[SegDf]] DISTINCT
+    * documents is boilerplate (headers, navigation, license blurbs) and
+    * is excised from every document carrying it; documents are rebuilt
+    * from their kept segments in position order. Differs from
+    * q112/q113 (Lee et al. sliding-gram spans) in unit and policy:
+    * fixed non-overlapping segments, distinct-document frequency
+    * threshold, removal from ALL carriers — the cheap first-pass cut
+    * that runs before span-level dedup.
+    *
+    * Scale shape: the census shuffles 8-byte segment hashes + doc ids
+    * (never text); the join-back is hash-keyed; the rebuild groups each
+    * document's own segments (per-doc cardinality, no data-sized
+    * window). One corpus scan feeds segmentation, census, and rebuild
+    * via a single materialization.
+    */
+  def q163SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        wsTokensNonEmpty(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val segs = base.filter(col("n") > 0)
+      .select(col("doc_id"), col("source"), col("t"), col("n"),
+        explode(expr(s"sequence(0, greatest(n - 1, 0), $SegTokens)"))
+          .as("start"))
+      .select(col("doc_id"), col("source"),
+        expr(s"start div $SegTokens").as("seg_idx"),
+        expr(s"array_join(slice(t, start + 1, $SegTokens), ' ')").as("seg"),
+        expr(s"size(slice(t, start + 1, $SegTokens))").cast("long")
+          .as("seg_len"))
+      .withColumn("seg_h", expr("portable_string_hash(seg)"))
+      .transform(Materialize.once) // census + join-back share one scan
+    val census = segs.groupBy(col("seg_h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val flagged = segs.join(census, "seg_h")
+      .withColumn("boiler", col("df") >= SegDf)
+    val rebuilt = flagged.filter(!col("boiler"))
+      .groupBy(col("doc_id"))
+      .agg(length(array_join(
+        transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg")), " ")).cast("long").as("chars_kept"))
+    val segStats = flagged.groupBy(col("source")).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_segments"),
+      sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+      sum(col("seg_len")).as("tokens_total"),
+      sum(when(col("boiler"), col("seg_len")).otherwise(0L))
+        .as("tokens_removed"))
+    val charStats = base.filter(col("n") > 0)
+      .select(col("doc_id"), col("source"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(coalesce(col("chars_kept"), lit(0L))).as("chars_kept"))
+    segStats.join(charStats, "source")
+      .withColumn("removed_ppm",
+        expr("(tokens_removed * 1000000L) div tokens_total"))
+  }
+
+  val q163Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${wsTokensNonEmptySql("text")} AS t
+       |  FROM documents),
+       |dd AS (
+       |  SELECT doc_id, source, t, len(t) AS n FROM d WHERE len(t) > 0),
+       |segs AS (
+       |  SELECT doc_id, source,
+       |    CAST(u.s // $SegTokens AS BIGINT) AS seg_idx,
+       |    array_to_string(list_slice(t, u.s + 1, least(u.s + $SegTokens, n)), ' ')
+       |      AS seg,
+       |    CAST(len(list_slice(t, u.s + 1, least(u.s + $SegTokens, n))) AS BIGINT)
+       |      AS seg_len
+       |  FROM dd, unnest(range(0, greatest(n - 1, 0) + 1, $SegTokens)) AS u(s)),
+       |sh AS (
+       |  SELECT *, ${hSql("seg")} AS seg_h FROM segs),
+       |census AS (
+       |  SELECT seg_h, count(DISTINCT doc_id) AS df FROM sh GROUP BY seg_h),
+       |fl AS (
+       |  SELECT sh.*, census.df >= $SegDf AS boiler
+       |  FROM sh JOIN census USING (seg_h)),
+       |rebuilt AS (
+       |  SELECT doc_id,
+       |    CAST(length(string_agg(seg, ' ' ORDER BY seg_idx)) AS BIGINT)
+       |      AS chars_kept
+       |  FROM fl WHERE NOT boiler GROUP BY doc_id),
+       |seg_stats AS (
+       |  SELECT source,
+       |    ${bi("count(DISTINCT doc_id)")} AS n_docs,
+       |    ${bi("count(*)")} AS n_segments,
+       |    ${bi("sum(CASE WHEN boiler THEN 1 ELSE 0 END)")} AS n_boiler,
+       |    ${bi("sum(seg_len)")} AS tokens_total,
+       |    ${bi("sum(CASE WHEN boiler THEN seg_len ELSE 0 END)")}
+       |      AS tokens_removed
+       |  FROM fl GROUP BY source),
+       |chars AS (
+       |  SELECT dd.source, ${bi("sum(coalesce(r.chars_kept, 0))")} AS chars_kept
+       |  FROM dd LEFT JOIN rebuilt r ON r.doc_id = dd.doc_id
+       |  GROUP BY dd.source)
+       |SELECT s.source, n_docs, n_segments, n_boiler, tokens_total,
+       |  tokens_removed, chars_kept,
+       |  ${bi("(tokens_removed * 1000000) // tokens_total")} AS removed_ppm
+       |FROM seg_stats s JOIN chars USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+
+  /** q164 — Poisson-bootstrap confidence bands (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams" — the
+    * one-pass bootstrap): every row draws a deterministic
+    * Poisson(1) multiplicity per replica from the squared-slot hash
+    * family (integer inverse-CDF over [[PoissonThresholds]]), giving
+    * [[BootReplicas]] resampled per-source mean-token estimates in a
+    * single scan; the band is the 2nd/31st order statistic of the 32
+    * replica means (≈ p5/p95). The answer to "is this per-source metric
+    * movement real or noise?" without a second pass over the data.
+    *
+    * Scale shape: the replica explosion is map-side (×32 per row) and
+    * collapses immediately via partial aggregation — the shuffle
+    * carries sources × 32 rows, independent of corpus size. No window
+    * over data rows; the order statistics sort a 32-element array per
+    * source. Determinism makes the bands reproducible and
+    * oracle-checkable — no RNG state, no seed plumbing.
+    */
+  def q164BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val draw = PoissonThresholds
+      .map(t => when(col("hs") >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast("long").as("w"))
+      .withColumn("h", expr(
+        "portable_string_hash(cast(doc_id as string))"))
+    val exact = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      expr("(sum(w) * 1000000L) div count(1)").as("exact_mean_ppm"))
+    val boot = d
+      .select(col("source"), col("w"), col("h"),
+        explode(expr(s"sequence(0, ${BootReplicas - 1})")).as("r"))
+      // DOUBLE squared-slot: one squaring is not enough here — the raw
+      // fold of a short id string is small, so a single square of
+      // (h + r·Shift) maps a narrow id band onto a narrow arc and a
+      // whole replica can draw all-zero in lockstep. Square h first
+      // (wraps ≫ M for any ≥3-char input, breaking id adjacency), THEN
+      // shift per replica and square again for avalanche.
+      .withColumn("y", expr(
+        s"(h * h % ${Mod}L + (r + 1) * ${Shift}L) % ${Mod}L"))
+      .withColumn("hs", expr(s"y * y % ${Mod}L"))
+      .withColumn("c", draw)
+      .groupBy(col("source"), col("r"))
+      .agg(sum(col("c")).as("rn"), sum(col("c") * col("w")).as("rw"))
+      .withColumn("mean_ppm",
+        when(col("rn") === 0, 0L)
+          .otherwise(expr("(rw * 1000000L) div rn")))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("mean_ppm"))).as("means"))
+      .select(col("source"),
+        element_at(col("means"), 2).as("boot_lo_ppm"),
+        element_at(col("means"), BootReplicas - 1).as("boot_hi_ppm"))
+    exact.join(boot, "source")
+      .select(col("source"), col("n_docs"), col("exact_mean_ppm"),
+        col("boot_lo_ppm"), col("boot_hi_ppm"))
+  }
+
+  val q164Oracle: String = {
+    val h = hSql("CAST(doc_id AS VARCHAR)")
+    val drawSql = PoissonThresholds
+      .map(t => s"CASE WHEN hs >= $t THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+       |    $h AS h
+       |  FROM documents),
+       |exact AS (
+       |  SELECT source, ${bi("count(*)")} AS n_docs,
+       |    ${bi("(sum(w) * 1000000) // count(*)")} AS exact_mean_ppm
+       |  FROM d GROUP BY source),
+       |reps AS (
+       |  SELECT source, w, r, (y * y) % $Mod AS hs FROM (
+       |    SELECT source, w, u.r AS r,
+       |      ((h * h % $Mod) + (u.r + 1) * $Shift) % $Mod AS y
+       |    FROM d, unnest(range(0, $BootReplicas)) AS u(r))),
+       |boot AS (
+       |  SELECT source, r, sum(c) AS rn, sum(c * w) AS rw
+       |  FROM (SELECT source, w, r, $drawSql AS c FROM reps)
+       |  GROUP BY source, r),
+       |bands AS (
+       |  SELECT source,
+       |    list_sort(list(CASE WHEN rn = 0 THEN 0
+       |                        ELSE CAST((rw * 1000000) // rn AS BIGINT) END))
+       |      AS means
+       |  FROM boot GROUP BY source)
+       |SELECT e.source, e.n_docs, e.exact_mean_ppm,
+       |  ${bi("b.means[2]")} AS boot_lo_ppm,
+       |  ${bi(s"b.means[${BootReplicas - 1}]")} AS boot_hi_ppm
+       |FROM exact e JOIN bands b ON b.source = e.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q165
+
+  /** q165 — reciprocal-rank fusion (Cormack, Clarke & Büttcher
+    * SIGIR'09) of a semantic ranking (exact cosine top-10 over the
+    * embeddings, q24's machinery) and a lexical ranking (distinct-token
+    * overlap top-10 via the inverted token index): fused score =
+    * Σ floor(1e9 / (60 + rank)) over the lists containing the
+    * candidate, top-5 per query. The standard no-tuning hybrid-search
+    * combiner — and an exercise of FULL OUTER join semantics, since a
+    * candidate may appear in either list alone.
+    *
+    * Scale shape: both rankings end in the bounded-heap TopKPerGroup
+    * operator (no WindowExec sort); the semantic side broadcasts the
+    * bounded query set; the lexical side joins on token (inverted-index
+    * shape, work ∝ postings of shared tokens, never |queries|×|corpus|).
+    * The fusion joins two k-bounded lists — 2·k rows per query.
+    */
+  def q165RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < RrfCutoff)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val sem = Similarity.bruteForceTopK(e, q, RrfDepth)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("rank").cast("long").as("rank_sem"))
+    val dt = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(wsTokensNonEmpty(col("text")))).as("tok"))
+      .transform(Materialize.once) // query side + corpus side, one scan
+    val qt = dt.filter(col("doc_id") < RrfCutoff)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val overlap = qt.join(dt, "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val lex = TopK.perGroup(overlap, Seq(col("query_id")),
+        Seq(col("overlap").desc, col("doc_id").asc), RrfDepth,
+        rankName = "rank_lex")
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("rank_lex").cast("long").as("rank_lex"))
+    val fused = sem.join(lex, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"${RrfScale}L div ($RrfK + rank_sem)"), lit(0L)) +
+          coalesce(expr(s"${RrfScale}L div ($RrfK + rank_lex)"), lit(0L)))
+      .select(col("query_id"), col("id"), col("rrf"))
+    TopK.perGroup(fused, Seq(col("query_id")),
+      Seq(col("rrf").desc, col("id").asc), RrfTop, rankName = "rank")
+  }
+
+  val q165Oracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < $RrfCutoff),
+       |sem0 AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |    list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+       |      AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |sem AS (
+       |  SELECT query_id, id, rn AS rank_sem FROM (
+       |    SELECT query_id, id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id)
+       |        AS rn
+       |    FROM sem0) WHERE rn <= $RrfDepth),
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct(${wsTokensNonEmptySql("text")}))
+       |    AS tok
+       |  FROM documents),
+       |ov AS (
+       |  SELECT a.doc_id AS query_id, b.doc_id AS id, count(*) AS overlap
+       |  FROM dt a JOIN dt b ON b.tok = a.tok AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < $RrfCutoff
+       |  GROUP BY a.doc_id, b.doc_id),
+       |lex AS (
+       |  SELECT query_id, id, rn AS rank_lex FROM (
+       |    SELECT query_id, id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY overlap DESC, id) AS rn
+       |    FROM ov) WHERE rn <= $RrfDepth),
+       |f AS (
+       |  SELECT query_id, id,
+       |    coalesce($RrfScale // (${RrfK} + s.rank_sem), 0)
+       |      + coalesce($RrfScale // (${RrfK} + l.rank_lex), 0) AS rrf
+       |  FROM sem s FULL JOIN lex l USING (query_id, id))
+       |SELECT query_id, id, ${bi("rrf")} AS rrf, rank FROM (
+       |  SELECT query_id, id, rrf,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id)
+       |      AS rank
+       |  FROM f) WHERE rank <= $RrfTop""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_epoch_shuffle" -> (q162EpochShuffle _),
+    "q163_segment_dedup" -> (q163SegmentDedup _),
+    "q164_bootstrap_ci" -> (q164BootstrapCi _),
+    "q165_rrf_fusion" -> (q165RrfFusion _))
+
+  val oracles: Map[String, String] = Map(
+    "q162_epoch_shuffle" -> q162Oracle,
+    "q163_segment_dedup" -> q163Oracle,
+    "q164_bootstrap_ci" -> q164Oracle,
+    "q165_rrf_fusion" -> q165Oracle)
+}

@@ -94,7 +94,10 @@ class PlanShapeSpec extends SparkSpec {
     "q151_ks_drift",
     // total-weight scalar (1-row aggregate) crossJoined into the
     // crossing test (q131's pattern)
-    "q152_pps_sample")
+    "q152_pps_sample",
+    // RRF's semantic arm is q24's brute-force shape: the ≤10-row query
+    // set broadcast-crossJoined into the corpus scan
+    "q165_rrf_fusion")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
@@ -134,7 +137,10 @@ class PlanShapeSpec extends SparkSpec {
     // never tokens — q151's support-spine justification)
     "q154_degree_dist",
     // pooled CDF over the length-SUPPORT spine (q151's justification)
-    "q157_quantile_norm")
+    "q157_quantile_norm",
+    // epoch-shuffle global rank via the q124 two-phase pattern: the
+    // offset prefix sum is one row per range partition
+    "q162_epoch_shuffle")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
