@@ -37,25 +37,39 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
 
+  /** The shared float→integer quantization: floor(x·10⁶) as a long —
+    * the exact, engine-replayable component space every PQ distance
+    * lives in.
+    */
+  private def quantized(vecCol: String): Column = expr(
+    s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+
+  /** Split an already-quantized long-array column into m subspace rows
+    * (id, [extra...], ss, v); the last subspace takes the remainder
+    * when dim % m != 0 (width = floor(dim / m)).
+    */
+  private def splitQuantized(df: DataFrame, idCol: String, qCol: String,
+                             m: Int, extra: Seq[String] = Nil): DataFrame = {
+    val parts = (0 until m).map { s =>
+      val len = if (s == m - 1) s"size($qCol) - $s * wdt" else "wdt"
+      s"struct($s AS ss, slice($qCol, $s * wdt + 1, $len) AS v)"
+    }
+    df.withColumn("wdt", expr(s"CAST(floor(size($qCol) / $m) AS INT)"))
+      .select(col(idCol).as("id") +: extra.map(col) :+
+        explode(expr(s"array(${parts.mkString(", ")})")).as("p"): _*)
+      .select(col("id") +: extra.map(col) :+ col("p.ss").as("ss") :+
+        col("p.v").as("v"): _*)
+  }
+
   /** Quantize a float-vector frame and split it into m subspace rows
-    * (id, ss, v); the last subspace takes the remainder when
-    * dim % m != 0 (width = floor(dim / m)).
+    * (id, ss, v).
     */
   private def subspaceRows(df: DataFrame, idCol: String, vecCol: String,
-                           m: Int): DataFrame = {
-    val parts = (0 until m).map { s =>
-      val len = if (s == m - 1) s"size(q) - $s * wdt" else "wdt"
-      s"struct($s AS ss, slice(q, $s * wdt + 1, $len) AS v)"
-    }
-    df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), expr(
-        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
-        .as("q"))
-      .withColumn("wdt", expr(s"CAST(floor(size(q) / $m) AS INT)"))
-      .select(col("id"),
-        explode(expr(s"array(${parts.mkString(", ")})")).as("p"))
-      .select(col("id"), col("p.ss").as("ss"), col("p.v").as("v"))
-  }
+                           m: Int): DataFrame =
+    splitQuantized(
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), quantized(vecCol).as("q")),
+      "id", "q", m)
 
   /** Nearest code per (subspace, id): broadcast join + max_by
     * collapse; tie-break min distance then min code, matching the SQL
@@ -133,6 +147,87 @@ object Pq {
       .agg(sum(col("d")).as("ad"))
     // rank through the bounded-heap TopKPerGroup operator — O(topK)
     // memory per query, no full per-partition sort
+    graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("ad").asc, col("vec_id").asc), topK, rankName = "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("ad").as("adc_dist"), col("rank"))
+  }
+
+  /** The composed IVF-PQ index (Jégou TPAMI'11 §V, the FAISS IVFPQ
+    * layout — the shape billion-scale ANN actually deploys): a coarse
+    * quantizer of `nlist` cells partitions the corpus; each vector's
+    * RESIDUAL from its cell centroid is PQ-encoded (m codes from one
+    * shared k-code residual codebook, one Lloyd round); a query probes
+    * its `nprobe` nearest cells and ranks ONLY their members by
+    * asymmetric distance between its per-cell residual and the codes.
+    *
+    * All arithmetic happens in the quantized integer space (components
+    * floor(x·10⁶), integer L2², floor-divided Lloyd means), so results
+    * are exact and engine-replayable. Cell assignment and probing use
+    * integer L2 — the metric PQ distances live in — not cosine.
+    *
+    * Scale shape: the coarse pass is a broadcast nlist-row join +
+    * max_by collapse; residual/codebook passes mirror [[adcTopK]]
+    * (broadcast m×k codebooks); the search join keys on (cell,
+    * subspace, code) against the broadcast per-query LUT, so scan work
+    * is bounded by the probed cells' postings — never the corpus — and
+    * the encoded index carries m small codes per vector, the
+    * compression that lets 100 TB of raw vectors fit a cluster's disks.
+    */
+  def ivfpqTopK(embeddings: DataFrame, queries: DataFrame, topK: Int,
+                nlist: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantized("embedding").as("q"))
+      .transform(Materialize.once) // seeds + assignment share one scan
+    val cents = broadcast(e.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cid"), col("q").as("cq")))
+    // nearest cell by integer L2 (tie → lowest cid), then the residual
+    val assigned = e.crossJoin(cents)
+      .withColumn("cd", dist2(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("cq"), col("q")),
+        struct(-col("cd"), -col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"),
+        zip_with(col("b.q"), col("b.cq"), (x, c) => x - c).as("r"))
+      .transform(Materialize.once) // PQ train + encode + cid join-back
+    val subs = splitQuantized(assigned, "vec_id", "r", m)
+      .transform(Materialize.once)
+    val seedIds = assigned.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("sid"))
+    val cb0 = broadcast(
+      subs.join(broadcast(seedIds), subs("id") === seedIds("sid"))
+        .select(col("ss"), col("id").as("code"), col("v").as("cvec")))
+    val cb1 = broadcast(assign(subs, cb0)
+      .select(col("ss"), col("code"), posexplode(col("v")))
+      .groupBy(col("ss"), col("code"), col("pos"))
+      .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("sq") / col("n")).cast("long"))
+      .groupBy(col("ss"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec")))
+    val encoded = assign(subs, cb1)
+      .select(col("ss"), col("id").as("vec_id"), col("code"))
+      .join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+    val qe = queries.filter(col("query_vec").isNotNull)
+      .select(col("query_id"), quantized("query_vec").as("qq"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cd"), col("cid"))
+    val probed = qe.crossJoin(cents)
+      .withColumn("cd", dist2(col("qq"), col("cq")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cid"),
+        zip_with(col("qq"), col("cq"), (x, c) => x - c).as("qr"))
+    val lut = broadcast(
+      splitQuantized(probed, "query_id", "qr", m, extra = Seq("cid"))
+        .join(cb1, Seq("ss"))
+        .select(col("id").as("query_id"), col("cid"), col("ss"),
+          col("code"), dist2(col("v"), col("cvec")).as("d")))
+    val scored = encoded.join(lut, Seq("cid", "ss", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("ad"))
     graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("ad").asc, col("vec_id").asc), topK, rankName = "rank")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

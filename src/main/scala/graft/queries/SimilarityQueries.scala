@@ -709,6 +709,105 @@ object SimilarityQueries {
       |   OR rk = ((n - 1) * 75) // 100 + 1
       |GROUP BY dim, n""".stripMargin
 
+  /** q166 — the composed IVF-PQ index ([[graft.operators.Pq.ivfpqTopK]]):
+    * coarse cells + residual PQ codes + probed ADC search, the layout
+    * billion-scale ANN deploys. All-integer (quantized components,
+    * integer L2², floor-mean Lloyd), so the oracle replays the ENTIRE
+    * chain — coarse assign, residuals, codebook training, encoding,
+    * probing, LUT scoring — hash-exact.
+    */
+  def q166Ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    graft.operators.Pq.ivfpqTopK(e, queriesOf(e), topK = 5,
+      nlist = IvfpqNlist, m = IvfpqM, k = IvfpqK, nprobe = IvfpqNprobe)
+  }
+
+  private val IvfpqNlist = 8
+  private val IvfpqM = 2
+  private val IvfpqK = 4
+  private val IvfpqNprobe = 2
+
+  val q166Oracle: String = {
+    val qz = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    def split(src: String, vec: String) =
+      s"""SELECT *, CAST(t.ss AS INT) AS sss,
+         |    CASE WHEN t.ss = $IvfpqM - 1
+         |      THEN list_slice($vec, t.ss * (len($vec) // $IvfpqM) + 1, len($vec))
+         |      ELSE list_slice($vec, t.ss * (len($vec) // $IvfpqM) + 1,
+         |                      (t.ss + 1) * (len($vec) // $IvfpqM)) END AS vv
+         |  FROM $src, range(0, $IvfpqM) t(ss)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, $qz AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cents AS (
+       |  SELECT vec_id AS cid, q AS cq FROM e ORDER BY vec_id LIMIT $IvfpqNlist),
+       |ca AS (
+       |  SELECT vec_id, cid,
+       |    list_transform(range(1, len(q) + 1), i -> q[i] - cq[i]) AS r
+       |  FROM (
+       |    SELECT e.vec_id, c.cid, e.q, c.cq,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${pqDistSql("e.q", "c.cq")}, c.cid) AS rk
+       |    FROM e, cents c) WHERE rk = 1),
+       |sv AS (
+       |  SELECT vec_id, sss AS ss, vv AS v FROM (${split("ca", "r")})),
+       |seeds AS (
+       |  SELECT ss, vec_id AS code, v AS cvec FROM sv
+       |  WHERE vec_id IN (SELECT vec_id FROM ca ORDER BY vec_id LIMIT $IvfpqK)),
+       |d0 AS (
+       |  SELECT s.ss, s.vec_id, c.code, s.v, ${pqDistSql("s.v", "c.cvec")} AS d
+       |  FROM sv s JOIN seeds c USING (ss)),
+       |a0 AS (
+       |  SELECT ss, vec_id, code, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ss, vec_id
+       |      ORDER BY d, code) AS rk FROM d0) WHERE rk = 1),
+       |comp AS (
+       |  SELECT ss, code, i AS dim, sum(v[i]) AS sq, count(*) AS n
+       |  FROM a0, unnest(range(1, len(v) + 1)) u(i) GROUP BY 1, 2, 3),
+       |cb1 AS (
+       |  SELECT ss, code,
+       |    list(CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT)
+       |         ORDER BY dim) AS cvec
+       |  FROM comp GROUP BY 1, 2),
+       |d1 AS (
+       |  SELECT s.ss, s.vec_id, c.code, ${pqDistSql("s.v", "c.cvec")} AS d
+       |  FROM sv s JOIN cb1 c USING (ss)),
+       |a1 AS (
+       |  SELECT ss, vec_id, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ss, vec_id
+       |      ORDER BY d, code) AS rk FROM d1) WHERE rk = 1),
+       |enc AS (
+       |  SELECT a1.ss, a1.vec_id, a1.code, ca.cid FROM a1 JOIN ca USING (vec_id)),
+       |qe AS (
+       |  SELECT vec_id AS query_id, $qz AS qq
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id < $QueryCutoff),
+       |qp AS (
+       |  SELECT query_id, cid,
+       |    list_transform(range(1, len(qq) + 1), i -> qq[i] - cq[i]) AS qr
+       |  FROM (
+       |    SELECT q.query_id, c.cid, q.qq, c.cq,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${pqDistSql("q.qq", "c.cq")}, c.cid) AS rk
+       |    FROM qe q, cents c) WHERE rk <= $IvfpqNprobe),
+       |qsv AS (
+       |  SELECT query_id, cid, sss AS ss, vv AS v FROM (${split("qp", "qr")})),
+       |lut AS (
+       |  SELECT s.query_id, s.cid, s.ss, c.code, ${pqDistSql("s.v", "c.cvec")} AS d
+       |  FROM qsv s JOIN cb1 c USING (ss)),
+       |sc AS (
+       |  SELECT l.query_id, e2.vec_id, CAST(sum(l.d) AS BIGINT) AS ad
+       |  FROM enc e2
+       |  JOIN lut l ON e2.cid = l.cid AND e2.ss = l.ss AND e2.code = l.code
+       |  WHERE e2.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id AS neighbor_id, ad AS adc_dist,
+       |  CAST(rk AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ad, vec_id) AS rk FROM sc)
+       |WHERE rk <= 5""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_knn_brute" -> (q24KnnBrute _),
     "q25_ann_lsh" -> (q25AnnLsh _),
@@ -720,7 +819,8 @@ object SimilarityQueries {
     "q123_rocchio" -> (q123Rocchio _),
     "q126_train_pairs" -> (q126TrainPairs _),
     "q139_power_iter" -> (q139PowerIter _),
-    "q140_dim_stats" -> (q140DimStats _))
+    "q140_dim_stats" -> (q140DimStats _),
+    "q166_ivfpq" -> (q166Ivfpq _))
 
   val oracles: Map[String, String] = Map(
     "q24_knn_brute" -> q24Oracle,
@@ -733,5 +833,6 @@ object SimilarityQueries {
     "q123_rocchio" -> q123Oracle,
     "q126_train_pairs" -> q126Oracle,
     "q139_power_iter" -> q139Oracle,
-    "q140_dim_stats" -> q140Oracle)
+    "q140_dim_stats" -> q140Oracle,
+    "q166_ivfpq" -> q166Oracle)
 }

@@ -97,7 +97,10 @@ class PlanShapeSpec extends SparkSpec {
     "q152_pps_sample",
     // RRF's semantic arm is q24's brute-force shape: the ≤10-row query
     // set broadcast-crossJoined into the corpus scan
-    "q165_rrf_fusion")
+    "q165_rrf_fusion",
+    // IVF-PQ coarse pass: the 8-row centroid frame is broadcast-
+    // crossJoined into the assignment and probe scans (q33's shape)
+    "q166_ivfpq")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single

@@ -43,6 +43,37 @@ class PqSpec extends SparkSpec {
     assert(got.forall(_._3 == 0L))
   }
 
+  test("IVF-PQ scores exact residual-pattern matches at zero distance") {
+    // dim 8, m=2 → 4-component subvectors. 12 vectors = a base point
+    // plus one of 4 exact offset patterns (id%4): the patterns ARE the
+    // residual structure, so after coarse assignment the shared
+    // codebook recovers them exactly and a query replaying pattern 2
+    // must see every pattern-2 member at ADC distance exactly 0,
+    // ranked ahead of everything else (ties toward the lowest id).
+    // Note the discrimination lives in the CODES: ADC cannot split
+    // same-code members — that is the documented PQ trade, and this
+    // fixture keeps one pattern per code so the ranking is exact.
+    val offs = Seq(
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f),
+      Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f))
+    def vec(i: Long): Array[Float] =
+      offs((i % 4).toInt).map(_ + 0.5f)
+    val corpus = (0L until 12L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((999L, vec(2L))).toDF("query_id", "query_vec")
+    val out = Pq.ivfpqTopK(corpus, queries, topK = 5,
+        nlist = 2, m = 2, k = 4, nprobe = 2)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.take(3).map(_._2).toSeq == Seq(2L, 6L, 10L),
+      s"pattern-2 members must lead by lowest id, got ${out.toSeq}")
+    assert(out.take(3).forall(_._3 == 0L),
+      "exact pattern matches must sit at ADC distance 0")
+    assert(out(3)._3 > 0L, "other patterns must score a positive distance")
+  }
+
   test("equidistant vectors break ties toward the lowest code") {
     // quantized subvector (1e6,1e6) sits exactly between the seed
     // patterns (0,0) and (2e6,2e6) — equal integer distance to both,
