@@ -437,17 +437,201 @@ object CurationQueries {
        |      AS rank
        |  FROM f) WHERE rank <= $RrfTop""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+
+  /** Distinct l-diversity threshold for q167. */
+  private val LDiv = 3
+
+  /** q167 — l-diversity release gate (Machanavajjhala et al. ICDE'06):
+    * k-anonymity (q121) bounds group SIZE but a uniform sensitive value
+    * still leaks; distinct l-diversity additionally requires ≥ l
+    * distinct sensitive values per quasi-identifier group. QI =
+    * (lang, source), sensitive = the document length band; groups
+    * below l collapse into a per-lang residual that is itself released
+    * only if diverse. The privacy-release companion to q121.
+    *
+    * Scale shape: one row-level aggregate for the group census, one
+    * broadcast join of the (small) suppressed-key set back over the
+    * rows for the residual diversity — no window, no self-join.
+    */
+  def q167LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"), expr("n_chars div 200").as("band"))
+      .transform(Materialize.once) // census + residual branches
+    val g = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("band")).as("l_div"))
+      .transform(Materialize.once)
+    val ok = g.filter(col("l_div") >= LDiv)
+      .select(col("lang"), col("source"), col("n_docs"), col("l_div"))
+    val suppKeys = g.filter(col("l_div") < LDiv).select(col("lang"), col("source"))
+    val residual = d.join(broadcast(suppKeys), Seq("lang", "source"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("band")).as("l_div"))
+      .filter(col("l_div") >= LDiv)
+      .select(col("lang"), lit("__suppressed__").as("source"),
+        col("n_docs"), col("l_div"))
+    ok.unionByName(residual)
+  }
+
+  val q167Oracle: String =
+    s"""WITH d AS (
+       |  SELECT lang, source, n_chars // 200 AS band FROM documents),
+       |g AS (
+       |  SELECT lang, source, ${bi("count(*)")} AS n_docs,
+       |    ${bi("count(DISTINCT band)")} AS l_div
+       |  FROM d GROUP BY lang, source),
+       |ok AS (
+       |  SELECT lang, source, n_docs, l_div FROM g WHERE l_div >= $LDiv),
+       |supp AS (
+       |  SELECT d.* FROM d JOIN g USING (lang, source) WHERE g.l_div < $LDiv),
+       |residual AS (
+       |  SELECT lang, '__suppressed__' AS source,
+       |    ${bi("count(*)")} AS n_docs,
+       |    ${bi("count(DISTINCT band)")} AS l_div
+       |  FROM supp GROUP BY lang
+       |  HAVING count(DISTINCT band) >= $LDiv)
+       |SELECT lang, source, n_docs, l_div FROM ok
+       |UNION ALL
+       |SELECT lang, source, n_docs, l_div FROM residual""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+
+  /** q168 — temperature-scaled mixture weights (Lample & Conneau 2019 /
+    * XLM-R α-sampling, α = 0.5): source s is sampled proportionally to
+    * n_s^α, upweighting small sources against head domination without
+    * the q103 hard-target mixture's feasibility cliff. Weight =
+    * EXACT integer sqrt (double sqrt + a one-step integer correction,
+    * so an ulp-off floor can never desync the engines); the target
+    * sample (half the corpus) is allocated ∝ weight and capped at the
+    * source's size.
+    *
+    * Scale shape: one source-sized aggregate; the Σweights/total scalar
+    * broadcasts back over the source table (1-row crossJoin, q103's
+    * pattern). The corpus is scanned once.
+    */
+  def q168TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w0", expr(
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      .withColumn("weight", expr(
+        "w0 - (CASE WHEN w0 * w0 > n_docs THEN 1 ELSE 0 END)" +
+          " + (CASE WHEN (w0 + 1) * (w0 + 1) <= n_docs THEN 1 ELSE 0 END)"))
+      .transform(Materialize.once) // scalar + allocation branches
+    val tot = counts.agg(sum(col("weight")).as("sw"),
+      sum(col("n_docs")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        least(expr("(total div 2) * weight div sw"), col("n_docs")))
+      .withColumn("alloc_ppm", expr("alloc * 1000000L div n_docs"))
+      .select(col("source"), col("n_docs"), col("weight"), col("alloc"),
+        col("alloc_ppm"))
+  }
+
+  val q168Oracle: String =
+    s"""WITH counts AS (
+       |  SELECT source, ${bi("count(*)")} AS n_docs FROM documents
+       |  GROUP BY source),
+       |wts AS (
+       |  SELECT source, n_docs,
+       |    ${bi("""w0 - (CASE WHEN w0 * w0 > n_docs THEN 1 ELSE 0 END)
+       |       + (CASE WHEN (w0 + 1) * (w0 + 1) <= n_docs THEN 1 ELSE 0 END)""")}
+       |      AS weight
+       |  FROM (SELECT source, n_docs,
+       |          CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w0
+       |        FROM counts)),
+       |tot AS (
+       |  SELECT ${bi("sum(weight)")} AS sw, ${bi("sum(n_docs)")} AS total
+       |  FROM wts)
+       |SELECT source, n_docs, weight,
+       |  ${bi("least((total // 2) * weight // sw, n_docs)")} AS alloc,
+       |  ${bi("least((total // 2) * weight // sw, n_docs) * 1000000 // n_docs")}
+       |    AS alloc_ppm
+       |FROM wts, tot""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+
+  /** Truncated discrete-Laplace inverse-CDF thresholds for ε = ln 2
+    * (decay 1/2 per step, support clamped to ±8 with the tails
+    * absorbed into the extreme bins — tail mass 1/384 per side). CDF
+    * values are exact rationals (denominator 3·2^k), scaled to [0, Mod)
+    * with BigInt floor division — no float anywhere, and both engines
+    * interpolate these literal constants.
+    */
+  private val DpThresholds: Seq[Long] = {
+    val M = BigInt(Mod)
+    val neg = (-8 to -1).map { k => // CDF(k) = (1/3)(1/2)^(-k-1)
+      (M / (BigInt(3) * BigInt(2).pow(-k - 1))).toLong
+    }
+    val zero = (M * 2 / 3).toLong // CDF(0) = 2/3
+    val pos = (1 to 7).map { k => // CDF(k) = 1 - (1/3)(1/2)^k
+      val d = BigInt(3) * BigInt(2).pow(k)
+      ((M * (d - 1)) / d).toLong
+    }
+    neg ++ Seq(zero) ++ pos
+  }
+
+  /** q169 — differentially-private noisy counts (Dwork et al. TCC'06;
+    * discrete/geometric mechanism, Ghosh-Roughgarden-Sundararajan
+    * SICOMP'12): per-source document counts released with additive
+    * two-sided-geometric noise at ε = ln 2, drawn DETERMINISTICALLY
+    * from the double-squared-slot hash of the group key via the exact
+    * integer inverse-CDF [[DpThresholds]] — reproducible, seedable
+    * (retag the hash), and oracle-checkable, with no RNG service in
+    * the loop. The true count rides along here for verifiability; a
+    * production release would drop it (and the clamp-at-zero).
+    *
+    * Scale shape: one aggregate, then per-GROUP scalar arithmetic —
+    * the noise draw costs nothing at any corpus size.
+    */
+  def q169DpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val draw = DpThresholds
+      .map(t => when(col("hs") >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _) - lit(8L)
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+      .withColumn("h", expr("portable_string_hash(concat('dp1:', source))"))
+      .withColumn("y", expr(s"h * h % ${Mod}L"))
+      .withColumn("hs", expr(s"y * y % ${Mod}L"))
+      .withColumn("noise", draw)
+      .select(col("source"), col("n_true"), col("noise"),
+        greatest(lit(0L), col("n_true") + col("noise")).as("n_noisy"))
+  }
+
+  val q169Oracle: String = {
+    val h = hSql("'dp1:' || source")
+    val drawSql = DpThresholds
+      .map(t => s"CASE WHEN hs >= $t THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT source, ${bi("count(*)")} AS n_true FROM documents
+       |  GROUP BY source),
+       |hh AS (
+       |  SELECT source, n_true, (y * y) % $Mod AS hs FROM (
+       |    SELECT source, n_true, (($h) * ($h)) % $Mod AS y FROM g)),
+       |nz AS (
+       |  SELECT source, n_true, ${bi(s"($drawSql) - 8")} AS noise FROM hh)
+       |SELECT source, n_true, noise,
+       |  ${bi("greatest(0, n_true + noise)")} AS n_noisy
+       |FROM nz""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_epoch_shuffle" -> (q162EpochShuffle _),
     "q163_segment_dedup" -> (q163SegmentDedup _),
     "q164_bootstrap_ci" -> (q164BootstrapCi _),
-    "q165_rrf_fusion" -> (q165RrfFusion _))
+    "q165_rrf_fusion" -> (q165RrfFusion _),
+    "q167_l_diversity" -> (q167LDiversity _),
+    "q168_temperature_mix" -> (q168TemperatureMix _),
+    "q169_dp_counts" -> (q169DpCounts _))
 
   val oracles: Map[String, String] = Map(
     "q162_epoch_shuffle" -> q162Oracle,
     "q163_segment_dedup" -> q163Oracle,
     "q164_bootstrap_ci" -> q164Oracle,
-    "q165_rrf_fusion" -> q165Oracle)
+    "q165_rrf_fusion" -> q165Oracle,
+    "q167_l_diversity" -> q167Oracle,
+    "q168_temperature_mix" -> q168Oracle,
+    "q169_dp_counts" -> q169Oracle)
 }

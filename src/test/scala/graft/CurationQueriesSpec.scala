@@ -95,6 +95,43 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q167 never releases a group below the diversity threshold") {
+    val out = CurationQueries.q167LDiversity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("l_div") >= 3,
+        s"released group ${r.getAs[String]("lang")}/${r.getAs[String]("source")} " +
+          s"has l_div ${r.getAs[Long]("l_div")} < 3")
+    }
+  }
+
+  test("q168 weights are exact integer square roots and allocations are capped") {
+    val out = CurationQueries.q168TemperatureMix(spark, sfDir).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val w = r.getAs[Long]("weight")
+      assert(w * w <= n && n < (w + 1) * (w + 1),
+        s"weight $w is not the integer sqrt of $n")
+      assert(r.getAs[Long]("alloc") <= n, "allocation must not exceed the source")
+    }
+    assert(out.map(_.getAs[Long]("alloc")).sum <= total / 2,
+      "floor-rounded allocations must not exceed the target sample")
+  }
+
+  test("q169 noise is bounded, mixed, and deterministic") {
+    val out = CurationQueries.q169DpCounts(spark, sfDir).collect()
+    val noises = out.map(_.getAs[Long]("noise"))
+    assert(noises.forall(n => n >= -8 && n <= 8), s"noise out of support: ${noises.toSeq}")
+    assert(noises.distinct.length > 1,
+      "every group drew identical noise — the per-key hash mixing is broken")
+    out.foreach(r => assert(r.getAs[Long]("n_noisy") >= 0))
+    val again = CurationQueries.q169DpCounts(spark, sfDir).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq,
+      "the mechanism must be reproducible")
+  }
+
   test("q165 equals an independently spelled window RRF on real data") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 10)

@@ -100,7 +100,10 @@ class PlanShapeSpec extends SparkSpec {
     "q165_rrf_fusion",
     // IVF-PQ coarse pass: the 8-row centroid frame is broadcast-
     // crossJoined into the assignment and probe scans (q33's shape)
-    "q166_ivfpq")
+    "q166_ivfpq",
+    // Σweights/total scalar (1-row aggregate) crossJoined into the
+    // source-sized allocation table (q103's pattern)
+    "q168_temperature_mix")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
