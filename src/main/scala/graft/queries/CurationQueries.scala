@@ -615,6 +615,90 @@ object CurationQueries {
        |FROM nz""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q170
+
+  /** q170 fixed example length (tokens, EOS included). */
+  private val BlockLen = 128
+
+  /** q170 — concat-and-slice training-example construction (the GPT
+    * pretraining layout: every document's tokens plus one EOS flow
+    * into a single corpus-ordered stream, sliced into fixed
+    * [[BlockLen]]-token examples; documents CROSS example boundaries).
+    * Differs from q104 (per-document overlapping windows) and q36
+    * (greedy whole-doc bin packing): here the slicing is global and
+    * exact, the layout that wastes zero tokens to padding. Output is
+    * the docs-per-example distribution with each bucket's example
+    * token range — the fragmentation profile that decides whether
+    * BlockLen fits the corpus's document lengths.
+    *
+    * Scale shape: the global token offset is q124's two-phase prefix
+    * sum (range exchange + per-partition cumsum + partition-spine
+    * offsets — no corpus-sized window); each document then emits only
+    * its own overlapped example ids (≤ len/BlockLen + 1 rows), and two
+    * hash aggregates finish. One corpus scan, one range shuffle.
+    */
+  def q170ExamplePack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (size(wsTokensNonEmpty(col("text"))) + 1).cast("long").as("n_tok"))
+      .repartitionByRange(col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .transform(Materialize.once) // local cumsum + offset spine
+    val local = t.withColumn("loff",
+      coalesce(sum(col("n_tok")).over(Window.partitionBy(col("pid"))
+        .orderBy(col("source"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = t.groupBy(col("pid")).agg(sum(col("n_tok")).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val spans = local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("off", col("loff") + col("offset"))
+      .withColumn("e_end", col("off") + col("n_tok") - 1)
+    val perExample = spans
+      .select(col("off"), col("e_end"),
+        explode(expr(s"sequence(off div $BlockLen, e_end div $BlockLen)"))
+          .as("example_id"))
+      .withColumn("tok", expr(
+        s"least(e_end, (example_id + 1) * $BlockLen - 1)" +
+          s" - greatest(off, example_id * $BlockLen) + 1"))
+      .groupBy(col("example_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    perExample.groupBy(col("n_docs").as("docs_per_example"))
+      .agg(count(lit(1)).as("n_examples"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  val q170Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${wsTokensNonEmptySql("text")}) + 1 AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT *, coalesce(sum(n_tok) OVER (ORDER BY source, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t),
+       |spans AS (
+       |  SELECT CAST(off AS BIGINT) AS off,
+       |    CAST(off + n_tok - 1 AS BIGINT) AS e_end
+       |  FROM o),
+       |ex AS (
+       |  SELECT u.e AS example_id,
+       |    least(e_end, (u.e + 1) * $BlockLen - 1)
+       |      - greatest(off, u.e * $BlockLen) + 1 AS tok
+       |  FROM spans, unnest(range(off // $BlockLen, e_end // $BlockLen + 1))
+       |    AS u(e)),
+       |agg AS (
+       |  SELECT example_id, count(*) AS n_docs, sum(tok) AS n_tokens
+       |  FROM ex GROUP BY example_id)
+       |SELECT ${bi("n_docs")} AS docs_per_example,
+       |  ${bi("count(*)")} AS n_examples,
+       |  ${bi("min(n_tokens)")} AS min_tokens,
+       |  ${bi("max(n_tokens)")} AS max_tokens
+       |FROM agg GROUP BY n_docs""".stripMargin
+
   // ----------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -624,7 +708,8 @@ object CurationQueries {
     "q165_rrf_fusion" -> (q165RrfFusion _),
     "q167_l_diversity" -> (q167LDiversity _),
     "q168_temperature_mix" -> (q168TemperatureMix _),
-    "q169_dp_counts" -> (q169DpCounts _))
+    "q169_dp_counts" -> (q169DpCounts _),
+    "q170_example_pack" -> (q170ExamplePack _))
 
   val oracles: Map[String, String] = Map(
     "q162_epoch_shuffle" -> q162Oracle,
@@ -633,5 +718,6 @@ object CurationQueries {
     "q165_rrf_fusion" -> q165Oracle,
     "q167_l_diversity" -> q167Oracle,
     "q168_temperature_mix" -> q168Oracle,
-    "q169_dp_counts" -> q169Oracle)
+    "q169_dp_counts" -> q169Oracle,
+    "q170_example_pack" -> q170Oracle)
 }

@@ -132,6 +132,25 @@ class CurationQueriesSpec extends SparkSpec {
       "the mechanism must be reproducible")
   }
 
+  test("q170 slices the token stream into exactly ceil(T/128) full blocks") {
+    import graft.queries.OracleIdioms.wsTokensNonEmpty
+    val totalTokens = Tables.load(spark, sfDir, "documents")
+      .select(sum(size(wsTokensNonEmpty(col("text"))) + 1)).head.getLong(0)
+    val out = CurationQueries.q170ExamplePack(spark, sfDir).collect()
+    val nExamples = out.map(_.getAs[Long]("n_examples")).sum
+    assert(nExamples == (totalTokens + 127) / 128,
+      s"expected ceil($totalTokens/128) examples, got $nExamples")
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_tokens") <= 128,
+        "no example may exceed the block length")
+      assert(r.getAs[Long]("docs_per_example") >= 1)
+    }
+    // at most one example (the stream tail) is shorter than the block
+    val short = out.filter(_.getAs[Long]("min_tokens") < 128)
+    assert(short.length <= 1,
+      s"only the tail may fall short of 128 tokens: ${short.toSeq}")
+  }
+
   test("q165 equals an independently spelled window RRF on real data") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 10)

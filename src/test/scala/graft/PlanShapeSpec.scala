@@ -146,7 +146,10 @@ class PlanShapeSpec extends SparkSpec {
     "q157_quantile_norm",
     // epoch-shuffle global rank via the q124 two-phase pattern: the
     // offset prefix sum is one row per range partition
-    "q162_epoch_shuffle")
+    "q162_epoch_shuffle",
+    // concat-and-slice global token offset via the q124 two-phase
+    // pattern: the offset prefix sum is one row per range partition
+    "q170_example_pack")
 
   // plan each query ONCE and share across the three assertions
   private lazy val plans = SparkEntry.queries.map { case (name, fn) =>
