@@ -101,6 +101,7 @@ object GraftExtensions {
         graft.functions.PortableMinHashSignature(
           a(0), litInt(a(1), "numHashes")) }))
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
