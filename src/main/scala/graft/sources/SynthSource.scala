@@ -43,7 +43,9 @@ class SynthSource extends TableProvider
     new SynthTable(
       numRows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
-      buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(0))
+      buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(0),
+      rowsPerBatch = Option(properties.get("rowsPerBatch")).map(_.toLong)
+        .getOrElse(1000L))
 }
 
 object SynthSource {
@@ -80,7 +82,8 @@ object SynthSource {
 }
 
 private[graft] class SynthTable(numRows: Long, partitions: Int,
-                                buckets: Int = 0)
+                                buckets: Int = 0,
+                                rowsPerBatch: Long = 1000L)
   extends Table with SupportsRead {
   override def name(): String = s"graft-synth($numRows)"
   override def schema(): StructType = SynthSource.Schema
@@ -92,13 +95,14 @@ private[graft] class SynthTable(numRows: Long, partitions: Int,
         .bucket(buckets, "doc_id"))
     else Array.empty
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(numRows, partitions, buckets)
+    new SynthScanBuilder(numRows, partitions, buckets, rowsPerBatch)
 }
 
 private class SynthScanBuilder(numRows: Long, partitions: Int,
-                               buckets: Int = 0)
+                               buckets: Int = 0, rowsPerBatch: Long = 1000L)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates {
@@ -180,7 +184,8 @@ private class SynthScanBuilder(numRows: Long, partitions: Int,
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new SynthAggScan(lo, hi, agg)
-    case None => new SynthScan(lo, hi, partitions, required, buckets)
+    case None => new SynthScan(lo, hi, partitions, required, buckets,
+      rowsPerBatch)
   }
 }
 
@@ -257,13 +262,17 @@ private[graft] case class SynthBucket(bucket: Int, nBuckets: Int,
   * of the key set is sound: the join itself re-checks membership).
   */
 private[graft] class SynthScan(lo: Long, hi: Long, partitions: Int,
-                        required: StructType, buckets: Int = 0)
+                        required: StructType, buckets: Int = 0,
+                        rowsPerBatch: Long = 1000L)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
   private var rlo = lo
   private var rhi = hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(rlo, rhi, partitions, required, rowsPerBatch)
   override def description(): String =
     s"graft-synth range=[$rlo,$rhi) buckets=$buckets " +
       s"cols=${required.fieldNames.mkString(",")}"
@@ -373,4 +382,82 @@ private class SynthReader(lo: Long, hi: Long, required: StructType,
   override def next(): Boolean = { id += step; id < hi }
   override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)))
   override def close(): Unit = ()
+}
+
+/** Stream offset = the next unemitted doc_id — a pure position in the
+  * deterministic id space, so checkpoint restarts replay byte-identical
+  * batches.
+  */
+private[graft] case class SynthOffset(id: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch streaming over the generated id space — the DSv2
+  * streaming surface next to the batch scan's pushdown tiers. Offsets
+  * are positions in [lo, hi); each trigger admits `rowsPerBatch` ids
+  * (admission control via [[SupportsAdmissionControl]], the same
+  * mechanism Kafka/rate sources use), the batch's range splits into
+  * `partitions` parallel readers, and the stream goes idle once `hi`
+  * is reached. Because rows are a pure function of doc_id, a restart
+  * from any checkpointed offset regenerates exactly the rows of every
+  * uncommitted batch — exactly-once end to end with a transactional
+  * sink, no source-side state beyond the offset.
+  *
+  * Column pruning applies to streaming reads through the same
+  * ScanBuilder: a `select(doc_id)` stream never generates text.
+  */
+private[graft] class SynthMicroBatchStream(
+    lo: Long, hi: Long, partitions: Int, required: StructType,
+    rowsPerBatch: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerBatch)
+
+  /** Spark calls the admission-control variant when implemented; the
+    * no-arg form must not be reachable.
+    */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].id
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        r.maxRows()
+      case _ => rowsPerBatch
+    }
+    SynthOffset(math.min(hi, s + math.max(1L, step)))
+  }
+
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].id
+    val e = end.asInstanceOf[SynthOffset].id
+    val total = math.max(0L, e - s)
+    if (total == 0) return Array.empty
+    val n = math.max(1L, math.min(partitions.toLong, total)).toInt
+    val step = (total + n - 1) / n
+    (0 until n).map { i =>
+      val p = s + i * step
+      SynthRange(p, math.min(p + step, e))
+    }.filter(r => r.lo < r.hi).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
