@@ -450,6 +450,75 @@ class PropertiesSpec extends SparkSpec {
     assert(got.collectFirst { case ("", t, _) => t }.get == Seq(""))
   }
 
+  test("portable idiom: isqrt double+correction equals exact BigInt sqrt") {
+    // q168's exact integer square root: floor(sqrt(double)) plus a
+    // one-step correction. The correction must absorb any ulp error in
+    // the double sqrt — compare against BigInt ground truth, leaning on
+    // values near perfect squares where doubles round worst.
+    val cases = sample(Gen.oneOf(
+      Gen.choose(0L, 1000000L),
+      Gen.choose(0L, 3037000498L).map(s => s * s), // exact squares
+      Gen.choose(1L, 3037000498L).map(s => s * s - 1),
+      Gen.choose(0L, 3037000498L).map(s => s * s + 1)), 2000)
+      .filter(_ >= 0)
+    val got = cases.toDF("n").select($"n", expr(
+      """CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+        |  - (CASE WHEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+        |            * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) > n
+        |     THEN 1 ELSE 0 END)
+        |  + (CASE WHEN (CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1)
+        |            * (CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1) <= n
+        |     THEN 1 ELSE 0 END)""".stripMargin).as("w"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, w) =>
+      val exact = java.math.BigInteger.valueOf(n).sqrt().longValueExact()
+      assert(w == exact, s"isqrt($n): got $w, exact $exact")
+    }
+  }
+
+  test("portable idiom: inverse-CDF threshold tables are strictly monotone and unbiased") {
+    // the q164 Poisson and q169 discrete-Laplace draws are defined by
+    // interpolated threshold constants; both definitions break if a
+    // table is non-monotone (double-counted bins) or the slot hash is
+    // clustered. Check monotonicity structurally and the realized
+    // mean on a large uniform slot sweep.
+    val mod = graft.functions.PortableHash.Mod
+    def draws(thresholds: Seq[Long], shift: Long): Seq[Int] = {
+      assert(thresholds == thresholds.sorted &&
+        thresholds.distinct.length == thresholds.length,
+        "threshold table must be strictly increasing")
+      assert(thresholds.head > 0 && thresholds.last < mod)
+      (0 until 20000).map { i =>
+        val h = (i.toLong * 2654435761L + shift) % mod // uniform-ish slots
+        thresholds.count(t => h >= t)
+      }
+    }
+    // Poisson(1): mean 1 (truncated at 6 — bias < 1e-4)
+    val pThresholds = {
+      var term = math.exp(-1.0); var cdf = 0.0
+      (0 to 5).map { k =>
+        if (k > 0) term /= k
+        cdf += term
+        math.floor(cdf * mod).toLong
+      }
+    }
+    val pMean = draws(pThresholds, 17L).sum.toDouble / 20000
+    assert(math.abs(pMean - 1.0) < 0.05, s"Poisson(1) mean drifted: $pMean")
+    // discrete Laplace eps=ln2: symmetric around 0 after the -8 shift
+    val dThresholds = {
+      val M = BigInt(mod)
+      val neg = (-8 to -1).map(k => (M / (BigInt(3) * BigInt(2).pow(-k - 1))).toLong)
+      val zero = (M * 2 / 3).toLong
+      val pos = (1 to 7).map { k =>
+        val d = BigInt(3) * BigInt(2).pow(k)
+        ((M * (d - 1)) / d).toLong
+      }
+      neg ++ Seq(zero) ++ pos
+    }
+    val dMean = draws(dThresholds, 23L).map(_ - 8).sum.toDouble / 20000
+    assert(math.abs(dMean) < 0.05, s"discrete Laplace mean drifted: $dMean")
+  }
+
   test("portable idiom: cumulative ROWS window equals scanLeft prefix on a distinct spine") {
     // cumulative frames are only portable over a spine with DISTINCT
     // order keys (each engine breaks peer ties arbitrarily under ROWS);
