@@ -265,11 +265,34 @@ private[graft] class SynthScan(lo: Long, hi: Long, partitions: Int,
                         required: StructType, buckets: Int = 0,
                         rowsPerBatch: Long = 1000L)
   extends Scan with Batch with SupportsRuntimeFiltering
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsReportStatistics {
   private var rlo = lo
   private var rhi = hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Exact statistics from the (filter-narrowed) generated range —
+    * what lets Spark auto-broadcast a small synthetic side instead of
+    * falling back to `defaultSizeInBytes` (= never broadcast). Width
+    * is the PRUNED schema's: a doc_id-only projection reports 8
+    * bytes/row however wide the table is — the same contract parquet
+    * footer stats give the optimizer.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, rhi - rlo)
+    // generated text averages ~60 chars; fixed-width columns by type
+    private val width = required.fields.map { f =>
+      f.name match {
+        case "text" => 60L
+        case "source" | "lang" => 8L
+        case _ => 8L
+      }
+    }.sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * width)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SynthMicroBatchStream(rlo, rhi, partitions, required, rowsPerBatch)

@@ -118,4 +118,25 @@ class SynthSourceSpec extends SparkSpec {
     assert(joined.collect().toSeq.sortBy(_.getLong(0)) ==
       expected.sortBy(_.getLong(0)))
   }
+
+  test("reported statistics let a small synth side auto-broadcast") {
+    // without SupportsReportStatistics a DSv2 relation reports
+    // defaultSizeInBytes (huge) and can never auto-broadcast; with the
+    // range-exact stats a 50-row side must plan as BroadcastHashJoin
+    // with no hint. Filter pushdown narrows the range BEFORE stats, so
+    // a big table filtered small broadcasts too.
+    val big = spark.range(0, 200000).toDF("doc_id")
+    val small = read(50).select($"doc_id", $"lang")
+    val joined = big.join(small, "doc_id")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected an auto-broadcast from reported stats:\n$plan")
+    assert(joined.count() == 50)
+    val narrowed = read(1000000).filter($"doc_id" < 40)
+      .select($"doc_id", $"source")
+    val joined2 = big.join(narrowed, "doc_id")
+    assert(joined2.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "pushdown-narrowed range must report narrowed stats")
+    assert(joined2.count() == 40)
+  }
 }
