@@ -363,7 +363,11 @@ object CurationQueries {
     * shape, work ∝ postings of shared tokens, never |queries|×|corpus|).
     * The fusion joins two k-bounded lists — 2·k rows per query.
     */
-  def q165RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  /** The q165/q171 shared machinery: (semantic top-RrfDepth, lexical
+    * top-RrfDepth, fused top-RrfTop) frames.
+    */
+  private def rrfParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < RrfCutoff)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -390,12 +394,19 @@ object CurationQueries {
         coalesce(expr(s"${RrfScale}L div ($RrfK + rank_sem)"), lit(0L)) +
           coalesce(expr(s"${RrfScale}L div ($RrfK + rank_lex)"), lit(0L)))
       .select(col("query_id"), col("id"), col("rrf"))
-    TopK.perGroup(fused, Seq(col("query_id")),
+    val top = TopK.perGroup(fused, Seq(col("query_id")),
       Seq(col("rrf").desc, col("id").asc), RrfTop, rankName = "rank")
+    (sem, lex, top)
   }
 
-  val q165Oracle: String =
-    s"""WITH q AS (
+  def q165RrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfParts(spark, dir)._3
+
+  /** Shared q165/q171 oracle CTE chain, ending with `sem` / `lex`
+    * (top-RrfDepth rankings) and `fr` (fused top-RrfTop).
+    */
+  private val rrfCtes: String =
+    s"""q AS (
        |  SELECT vec_id AS query_id, embedding AS qv
        |  FROM embeddings WHERE vec_id < $RrfCutoff),
        |sem0 AS (
@@ -430,12 +441,103 @@ object CurationQueries {
        |  SELECT query_id, id,
        |    coalesce($RrfScale // (${RrfK} + s.rank_sem), 0)
        |      + coalesce($RrfScale // (${RrfK} + l.rank_lex), 0) AS rrf
-       |  FROM sem s FULL JOIN lex l USING (query_id, id))
-       |SELECT query_id, id, ${bi("rrf")} AS rrf, rank FROM (
-       |  SELECT query_id, id, rrf,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id)
-       |      AS rank
-       |  FROM f) WHERE rank <= $RrfTop""".stripMargin
+       |  FROM sem s FULL JOIN lex l USING (query_id, id)),
+       |fr AS (
+       |  SELECT query_id, id, rrf, rank FROM (
+       |    SELECT query_id, id, rrf,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id)
+       |        AS rank
+       |    FROM f) WHERE rank <= $RrfTop)""".stripMargin
+
+  val q165Oracle: String =
+    s"""WITH $rrfCtes
+       |SELECT query_id, id, ${bi("rrf")} AS rrf, rank FROM fr""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+
+  /** Evaluation depth and integer DCG weights: W_r = floor(1e9 /
+    * log2(r+1)), the standard discounted-gain table as fixed constants
+    * both engines share; IDCG@5 is the ideal-ordering constant for the
+    * graded ground truth rel = 11 − rank (10, 9, 8, 7, 6).
+    */
+  private val NdcgK = 5
+  private val DcgW: Seq[Long] = (1 to NdcgK).map(r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  private val IdcgAtK: Long =
+    (1 to NdcgK).map(r => (11 - r).toLong * DcgW(r - 1)).sum
+
+  /** q171 — retrieval-quality evaluation (MRR and nDCG@5, Järvelin &
+    * Kekäläinen TOIS'02): the lexical token-overlap ranking and the
+    * RRF-fused ranking (q165's two systems) are scored against the
+    * exact-cosine ranking as graded ground truth (rel = 11 − rank over
+    * its top-10). The eval harness every retrieval change needs before
+    * it ships — and the measurement that justifies fusing at all: the
+    * fused system must dominate the lexical arm on both metrics.
+    * All-integer: reciprocal ranks and discount weights are scaled
+    * floors of fixed constants, so both engines agree exactly.
+    *
+    * Scale shape: rankings are the k-bounded q165 frames; the eval
+    * joins |Q|·k-row lists and aggregates to one row per system.
+    */
+  def q171RankEval(spark: SparkSession, dir: String): DataFrame = {
+    val (sem, lex, top) = rrfParts(spark, dir)
+    val gt = sem.select(col("query_id"), col("id"),
+      (lit(11L) - col("rank_sem")).as("rel"))
+    val wCase = "CASE rank " + (1 to NdcgK)
+      .map(r => s"WHEN $r THEN ${DcgW(r - 1)}L").mkString(" ") + " ELSE 0L END"
+    def evalSys(name: String, sys: DataFrame): DataFrame =
+      sys.join(gt, Seq("query_id", "id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .groupBy(col("query_id"))
+        .agg(sum(expr(s"rel * ($wCase)")).as("dcg"),
+          min(when(col("rel") > 0, col("rank"))).as("rfirst"))
+        .select(
+          when(col("rfirst").isNull, 0L)
+            .otherwise(expr(s"${RrfScale}L div rfirst")).as("rr_ppb"),
+          expr(s"dcg * 1000000L div ${IdcgAtK}L").as("ndcg_ppm"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(rr_ppb) div count(1)").as("mrr_ppb"),
+          expr("sum(ndcg_ppm) div count(1)").as("ndcg_ppm"))
+        .select(lit(name).as("system"), col("n_queries"),
+          col("mrr_ppb"), col("ndcg_ppm"))
+    val lexK = lex.filter(col("rank_lex") <= NdcgK)
+      .select(col("query_id"), col("id"), col("rank_lex").as("rank"))
+    val rrfK = top.select(col("query_id"), col("id"),
+      col("rank").cast("long").as("rank"))
+    evalSys("lexical", lexK).unionByName(evalSys("rrf", rrfK))
+  }
+
+  val q171Oracle: String = {
+    val wCase = "CASE rank " + (1 to NdcgK)
+      .map(r => s"WHEN $r THEN ${DcgW(r - 1)}").mkString(" ") + " ELSE 0 END"
+    s"""WITH $rrfCtes,
+       |gt AS (
+       |  SELECT query_id, id, 11 - rank_sem AS rel FROM sem),
+       |sys AS (
+       |  SELECT 'lexical' AS system, query_id, id, rank_lex AS rank
+       |  FROM lex WHERE rank_lex <= $NdcgK
+       |  UNION ALL
+       |  SELECT 'rrf', query_id, id, rank FROM fr),
+       |j AS (
+       |  SELECT s.system, s.query_id, s.rank, coalesce(g.rel, 0) AS rel
+       |  FROM sys s LEFT JOIN gt g
+       |    ON g.query_id = s.query_id AND g.id = s.id),
+       |pq AS (
+       |  SELECT system, query_id,
+       |    sum(rel * ($wCase)) AS dcg,
+       |    min(CASE WHEN rel > 0 THEN rank END) AS rfirst
+       |  FROM j GROUP BY system, query_id),
+       |per AS (
+       |  SELECT system,
+       |    CASE WHEN rfirst IS NULL THEN 0
+       |         ELSE $RrfScale // rfirst END AS rr_ppb,
+       |    dcg * 1000000 // $IdcgAtK AS ndcg_ppm
+       |  FROM pq)
+       |SELECT system, ${bi("count(*)")} AS n_queries,
+       |  ${bi("sum(rr_ppb) // count(*)")} AS mrr_ppb,
+       |  ${bi("sum(ndcg_ppm) // count(*)")} AS ndcg_ppm
+       |FROM per GROUP BY system""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q167
 
@@ -709,7 +811,8 @@ object CurationQueries {
     "q167_l_diversity" -> (q167LDiversity _),
     "q168_temperature_mix" -> (q168TemperatureMix _),
     "q169_dp_counts" -> (q169DpCounts _),
-    "q170_example_pack" -> (q170ExamplePack _))
+    "q170_example_pack" -> (q170ExamplePack _),
+    "q171_rank_eval" -> (q171RankEval _))
 
   val oracles: Map[String, String] = Map(
     "q162_epoch_shuffle" -> q162Oracle,
@@ -719,5 +822,6 @@ object CurationQueries {
     "q167_l_diversity" -> q167Oracle,
     "q168_temperature_mix" -> q168Oracle,
     "q169_dp_counts" -> q169Oracle,
-    "q170_example_pack" -> q170Oracle)
+    "q170_example_pack" -> q170Oracle,
+    "q171_rank_eval" -> q171Oracle)
 }

@@ -151,6 +151,26 @@ class CurationQueriesSpec extends SparkSpec {
       s"only the tail may fall short of 128 tokens: ${short.toSeq}")
   }
 
+  test("q171 metrics are bounded and the fused system dominates the lexical arm") {
+    val out = CurationQueries.q171RankEval(spark, sfDir).collect()
+      .map(r => r.getAs[String]("system") -> r).toMap
+    assert(out.keySet == Set("lexical", "rrf"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("mrr_ppb") <= 1000000000L &&
+        r.getAs[Long]("mrr_ppb") >= 0L)
+      assert(r.getAs[Long]("ndcg_ppm") <= 1000000L &&
+        r.getAs[Long]("ndcg_ppm") >= 0L)
+      assert(r.getAs[Long]("n_queries") == 10L)
+    }
+    // the point of fusing: RRF contains the semantic arm, so against
+    // cosine ground truth it must beat the lexical ranking alone
+    assert(out("rrf").getAs[Long]("ndcg_ppm") >
+      out("lexical").getAs[Long]("ndcg_ppm"),
+      "fused nDCG must dominate the lexical arm")
+    assert(out("rrf").getAs[Long]("mrr_ppb") >=
+      out("lexical").getAs[Long]("mrr_ppb"))
+  }
+
   test("q165 equals an independently spelled window RRF on real data") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 10)

@@ -103,7 +103,10 @@ class PlanShapeSpec extends SparkSpec {
     "q166_ivfpq",
     // Σweights/total scalar (1-row aggregate) crossJoined into the
     // source-sized allocation table (q103's pattern)
-    "q168_temperature_mix")
+    "q168_temperature_mix",
+    // rank-eval's ground truth + semantic arm are q24's brute-force
+    // shape (broadcast ≤10-row query set)
+    "q171_rank_eval")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
