@@ -133,13 +133,175 @@ object CatalogQueries {
        |FROM nation, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(fmt)
        |GROUP BY f.fmt""".stripMargin
 
+  /** q172 — snapshot versioning / time travel through
+    * [[graft.runtime.Catalog]] (`versions` retention + `readVersion` +
+    * `changesBetween`): three successive states of a balance table
+    * (base → +1000 on every 3rd key → drop every 5th key); the query
+    * reads BOTH retained versions, the live table, and the op-tagged
+    * changelog between the retained versions, and summarizes each.
+    * DuckDB recomputes every state from the raw table, so a versioning
+    * bug (wrong archive, wrong diff direction, lost rows) breaks the
+    * hash.
+    */
+  def q172TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Catalog(spark, scratch("graft-q172"), versions = 4)
+    val base = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        expr("cast(round(c_acctbal * 100) as long)").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val stateB = base.withColumn("bal",
+      when(col("k") % 3 === 0, col("bal") + 1000L).otherwise(col("bal")))
+    val stateC = stateB.filter(col("k") % 5 =!= 0)
+    cat.createOrReplace(base, "ods", "hist")
+    cat.createOrReplace(stateB, "ods", "hist")
+    cat.createOrReplace(stateC, "ods", "hist")
+    val hist = cat.history("ods", "hist")
+    def summ(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("bal_sum"))
+        .select(lit(tag).as("state"), col("seg"), col("n"), col("bal_sum"))
+    val chg = cat
+      .changesBetween("ods", "hist", hist.head, Some(hist.last))
+      .groupBy(col("__op"))
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("bal_sum"))
+      .select(concat(lit("chg_"), col("__op")).as("state"),
+        lit("__all__").as("seg"), col("n"), col("bal_sum"))
+    summ(cat.readVersion("ods", "hist", hist.head), "v_first")
+      .unionByName(summ(cat.readVersion("ods", "hist", hist.last), "v_second"))
+      .unionByName(summ(cat.read("ods", "hist"), "live"))
+      .unionByName(chg)
+  }
+
+  val q172Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |    c_mktsegment AS seg
+       |  FROM customer),
+       |b AS (
+       |  SELECT k, CASE WHEN k % 3 = 0 THEN bal + 1000 ELSE bal END AS bal,
+       |    seg
+       |  FROM base),
+       |c AS (SELECT * FROM b WHERE k % 5 <> 0)
+       |SELECT 'v_first' AS state, seg, ${bi("count(*)")} AS n,
+       |  ${bi("sum(bal)")} AS bal_sum FROM base GROUP BY seg
+       |UNION ALL
+       |SELECT 'v_second', seg, ${bi("count(*)")}, ${bi("sum(bal)")}
+       |FROM b GROUP BY seg
+       |UNION ALL
+       |SELECT 'live', seg, ${bi("count(*)")}, ${bi("sum(bal)")}
+       |FROM c GROUP BY seg
+       |UNION ALL
+       |SELECT 'chg_insert', '__all__', ${bi("count(*)")}, ${bi("sum(bal)")}
+       |FROM b WHERE k % 3 = 0
+       |UNION ALL
+       |SELECT 'chg_delete', '__all__', ${bi("count(*)")}, ${bi("sum(bal)")}
+       |FROM base WHERE k % 3 = 0""".stripMargin
+
+  /** q173 — small-files compaction through
+    * [[graft.runtime.Catalog.compact]]: the fact table lands as 8
+    * separate appends (8+ file groups), is compacted through the
+    * crash-safe swap, and must preserve every row and measure exactly.
+    * File-count and layout assertions stay in CatalogMaintenanceSpec;
+    * this is the driver-checked data-preservation contract.
+    */
+  def q173Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Catalog(spark, scratch("graft-q173"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        expr("cast(round(l_extendedprice * 100) as long)").as("price"))
+    (0 until 8).foreach { i =>
+      cat.append(li.filter(col("k") % 8 === i), "ods", "facts", Nil)
+    }
+    cat.compact("ods", "facts")
+    cat.read("ods", "facts")
+      .groupBy((col("k") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("price_sum"),
+        sum(col("ln").cast("long")).as("ln_sum"))
+  }
+
+  val q173Oracle: String =
+    s"""SELECT l_orderkey % 4 AS bucket, ${bi("count(*)")} AS n_rows,
+       |  ${bi("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")}
+       |    AS price_sum,
+       |  ${bi("sum(l_linenumber)")} AS ln_sum
+       |FROM lineitem GROUP BY l_orderkey % 4""".stripMargin
+
+  /** q174 — incremental materialized-aggregate maintenance
+    * ([[graft.runtime.Catalog.refreshAggregate]]): per-customer order
+    * totals built from THREE delta batches folded into the stored
+    * aggregate, never rescanning history; the final table must equal
+    * DuckDB's one-shot GROUP BY over all orders. The core IVM claim —
+    * incremental == full recompute — as a driver-checked hash.
+    */
+  def q174IvmAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Catalog(spark, scratch("graft-q174"))
+    val orders = Tables.load(spark, dir, "orders")
+    (0 until 3).foreach { i =>
+      val delta = orders.filter(col("o_orderkey") % 3 === i)
+        .select(col("o_custkey").as("cust"),
+          expr("cast(round(o_totalprice * 100) as long)").as("cents"),
+          lit(1L).as("cnt"))
+      cat.refreshAggregate(delta, "mart", "cust_totals",
+        keys = Seq("cust"), measures = Seq("cents", "cnt"))
+    }
+    cat.read("mart", "cust_totals")
+  }
+
+  val q174Oracle: String =
+    s"""SELECT o_custkey AS cust,
+       |  ${bi("sum(CAST(round(o_totalprice * 100) AS BIGINT))")} AS cents,
+       |  ${bi("count(*)")} AS cnt
+       |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** q175 — incremental materialized JOIN-view maintenance
+    * ([[graft.runtime.Catalog.refreshJoin]], the append-only IVM delta
+    * rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the customer⋈orders view is built
+    * from a bootstrap batch, a left-only delta, and a right-only
+    * delta; the final view must equal the one-shot join. Every delta
+    * term and the double-count guard are on the hash path.
+    */
+  def q175IvmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Catalog(spark, scratch("graft-q175"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+    cat.refreshJoin(Some(c.filter(col("ck") % 2 === 0)),
+      Some(o.filter(col("ok") % 2 === 0)),
+      "mart", "cust_orders", "cust", "ord", Seq("ck"))
+    cat.refreshJoin(Some(c.filter(col("ck") % 2 === 1)), None,
+      "mart", "cust_orders", "cust", "ord", Seq("ck"))
+    cat.refreshJoin(None, Some(o.filter(col("ok") % 2 === 1)),
+      "mart", "cust_orders", "cust", "ord", Seq("ck"))
+    cat.read("mart", "cust_orders")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
+  }
+
+  val q175Oracle: String =
+    s"""SELECT c.c_mktsegment AS seg, ${bi("count(*)")} AS n_orders,
+       |  ${bi("sum(CAST(round(o.o_totalprice * 100) AS BIGINT))")}
+       |    AS cents_sum
+       |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       |GROUP BY c.c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
-    "q161_multiformat" -> (q161Multiformat _))
+    "q161_multiformat" -> (q161Multiformat _),
+    "q172_time_travel" -> (q172TimeTravel _),
+    "q173_compaction" -> (q173Compaction _),
+    "q174_ivm_aggregate" -> (q174IvmAggregate _),
+    "q175_ivm_join" -> (q175IvmJoin _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
     "q160_schema_evolution" -> q160Oracle,
-    "q161_multiformat" -> q161Oracle)
+    "q161_multiformat" -> q161Oracle,
+    "q172_time_travel" -> q172Oracle,
+    "q173_compaction" -> q173Oracle,
+    "q174_ivm_aggregate" -> q174Oracle,
+    "q175_ivm_join" -> q175Oracle)
 }
