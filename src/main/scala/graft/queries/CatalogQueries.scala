@@ -287,6 +287,105 @@ object CatalogQueries {
        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
        |GROUP BY c.c_mktsegment""".stripMargin
 
+  /** q176 — bucketed co-located join through
+    * [[graft.runtime.Catalog.writeBucketed]]/`readBucketed`: both
+    * sides bucketed 8-way on the join key, joined WITHOUT any shuffle
+    * (the zero-Exchange plan assertion lives in CatalogSpec); the
+    * driver checks the join's RESULTS against DuckDB's plain join, so
+    * a bucket-misalignment bug (rows hashed to different buckets on
+    * the two sides silently dropping matches) breaks the hash.
+    */
+  def q176BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Catalog(spark, scratch("graft-q176"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+    cat.writeBucketed(c, "ods", "cust_b", 8, Seq("ck"))
+    cat.writeBucketed(o, "ods", "ord_b", 8, Seq("ck"))
+    cat.readBucketed("ods", "cust_b")
+      .join(cat.readBucketed("ods", "ord_b"), "ck")
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("ck")).as("n_custs"),
+        max(col("cents")).as("max_cents"))
+  }
+
+  val q176Oracle: String =
+    s"""SELECT c.c_mktsegment AS seg,
+       |  ${bi("count(DISTINCT c.c_custkey)")} AS n_custs,
+       |  ${bi("max(CAST(round(o.o_totalprice * 100) AS BIGINT))")}
+       |    AS max_cents
+       |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       |GROUP BY c.c_mktsegment""".stripMargin
+
+  /** q177 — declarative data-quality expectations
+    * ([[graft.ops.Expectations]]): four named rules over a
+    * deterministically-drifted documents frame (every 7th doc's
+    * n_chars corrupted, every 11th doc's lang unknowned); the output
+    * is each violated rule's row count plus the clean-row count, so
+    * the tagging, null-safe predicate handling, and exhaustive split
+    * are all on the driver's hash path.
+    */
+  def q177Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+        col("n_chars") + 1).otherwise(col("n_chars")))
+      .withColumn("lang", when(col("doc_id") % 11 === 0, lit("xx"))
+        .otherwise(col("lang")))
+    val rules = Seq(
+      Expectations.Rule("nonempty_text", length(trim(col("text"))) > 0),
+      Expectations.Rule("known_lang",
+        col("lang").isin("en", "de", "es", "fr", "zh")),
+      Expectations.Rule("id_in_range",
+        col("doc_id") >= 0 && col("doc_id") < 100000),
+      Expectations.Rule("chars_match",
+        col("n_chars") === length(col("text"))))
+    val tagged = Expectations.tag(d, rules)
+      .transform(graft.runtime.Materialize.once)
+    val perRule = tagged
+      .select(explode(col("failed_rules")).as("rule"))
+      .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+    val cleanRow = tagged.filter(size(col("failed_rules")) === 0)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("__clean__").as("rule"), col("n"))
+    perRule.unionByName(cleanRow)
+  }
+
+  val q177Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+       |    n_chars + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_chars
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id,
+       |    NOT coalesce(length(trim(text)) > 0, false) AS v_nonempty,
+       |    NOT coalesce(lang IN ('en','de','es','fr','zh'), false) AS v_lang,
+       |    NOT coalesce(doc_id >= 0 AND doc_id < 100000, false) AS v_id,
+       |    NOT coalesce(n_chars = length(text), false) AS v_chars
+       |  FROM d),
+       |counts AS (
+       |  SELECT 'nonempty_text' AS rule,
+       |    ${bi("sum(CASE WHEN v_nonempty THEN 1 ELSE 0 END)")} AS n FROM v
+       |  UNION ALL
+       |  SELECT 'known_lang',
+       |    ${bi("sum(CASE WHEN v_lang THEN 1 ELSE 0 END)")} FROM v
+       |  UNION ALL
+       |  SELECT 'id_in_range',
+       |    ${bi("sum(CASE WHEN v_id THEN 1 ELSE 0 END)")} FROM v
+       |  UNION ALL
+       |  SELECT 'chars_match',
+       |    ${bi("sum(CASE WHEN v_chars THEN 1 ELSE 0 END)")} FROM v
+       |  UNION ALL
+       |  SELECT '__clean__',
+       |    ${bi("""sum(CASE WHEN NOT v_nonempty AND NOT v_lang
+       |                 AND NOT v_id AND NOT v_chars THEN 1 ELSE 0 END)""")}
+       |  FROM v)
+       |SELECT rule, n FROM counts
+       |WHERE n > 0 OR rule = '__clean__'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -294,7 +393,9 @@ object CatalogQueries {
     "q172_time_travel" -> (q172TimeTravel _),
     "q173_compaction" -> (q173Compaction _),
     "q174_ivm_aggregate" -> (q174IvmAggregate _),
-    "q175_ivm_join" -> (q175IvmJoin _))
+    "q175_ivm_join" -> (q175IvmJoin _),
+    "q176_bucketed_join" -> (q176BucketedJoin _),
+    "q177_expectations" -> (q177Expectations _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -303,5 +404,7 @@ object CatalogQueries {
     "q172_time_travel" -> q172Oracle,
     "q173_compaction" -> q173Oracle,
     "q174_ivm_aggregate" -> q174Oracle,
-    "q175_ivm_join" -> q175Oracle)
+    "q175_ivm_join" -> q175Oracle,
+    "q176_bucketed_join" -> q176Oracle,
+    "q177_expectations" -> q177Oracle)
 }
