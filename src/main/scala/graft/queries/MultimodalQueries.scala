@@ -276,17 +276,72 @@ object MultimodalQueries {
       |  CAST(sum(zcr) AS BIGINT) AS zcr_total
       |FROM fr""".stripMargin
 
+  /** q178 — video frame sampling ([[Multimodal.sampleFrames]]): every
+    * 2nd 256-byte window of each motion-BMP payload, full frames only.
+    * The per-video audit (payload length, sampled-frame count, index
+    * sum, sampled byte mass) is predicted by the oracle from the
+    * container-length arithmetic alone — frames×(4-byte prefix +
+    * 54-byte BMP headers + 4-padded bottom-up rows) — so the stride
+    * math, the full-frame bound, AND the encoder's byte layout are all
+    * on the hash path. Videos shorter than one frame must yield zero
+    * sampled rows (none exist in testdata, but the right-join +
+    * coalesce keeps the contract visible).
+    */
+  def q178FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    val ids = Tables.load(spark, dir, "documents")
+      .filter(Multimodal.modalityColumn(col("doc_id")) === "video")
+      .select(col("doc_id"))
+      .repartition(pmod(hash(col("doc_id")), lit(p)))
+    val assets = Multimodal.assetsFromDocuments(ids).toDF()
+      .transform(graft.runtime.Materialize.once) // frames + length audit
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 256, stride = 2)
+    frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_idx").cast("long")).as("idx_sum"),
+        sum(length(col("frame_bytes")).cast("long")).as("bytes_sampled"))
+      .join(assets.select(col("doc_id"),
+        length(col("payload")).cast("long").as("payload_len")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("payload_len"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("idx_sum"), lit(0L)).as("idx_sum"),
+        coalesce(col("bytes_sampled"), lit(0L)).as("bytes_sampled"))
+  }
+
+  val q178Oracle: String =
+    """WITH v AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS frames, 8 + doc_id % 8 AS side
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |len AS (
+      |  SELECT doc_id,
+      |    frames * (4 + 54 + ((3 * side + 3) // 4) * 4 * side)
+      |      AS payload_len
+      |  FROM v),
+      |samp AS (
+      |  SELECT doc_id, payload_len,
+      |    CASE WHEN payload_len >= 256
+      |         THEN (payload_len - 256) // 512 + 1 ELSE 0 END AS n
+      |  FROM len)
+      |SELECT doc_id, CAST(payload_len AS BIGINT) AS payload_len,
+      |  CAST(n AS BIGINT) AS n_frames,
+      |  CAST(n * (n - 1) // 2 AS BIGINT) AS idx_sum,
+      |  CAST(n * 256 AS BIGINT) AS bytes_sampled
+      |FROM samp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_multimodal_inventory" -> (q27MultimodalInventory _),
     "q28_decode_features" -> (q28DecodeFeatures _),
     "q101_resize_stats" -> (q101ResizeStats _),
     "q120_image_histogram" -> (q120ImageHistogram _),
-    "q122_audio_frames" -> (q122AudioFrames _))
+    "q122_audio_frames" -> (q122AudioFrames _),
+    "q178_frame_sample" -> (q178FrameSample _))
 
   val oracles: Map[String, String] = Map(
     "q27_multimodal_inventory" -> q27Oracle,
     "q28_decode_features" -> q28Oracle,
     "q101_resize_stats" -> q101Oracle,
     "q120_image_histogram" -> q120Oracle,
-    "q122_audio_frames" -> q122Oracle)
+    "q122_audio_frames" -> q122Oracle,
+    "q178_frame_sample" -> q178Oracle)
 }
