@@ -3103,6 +3103,114 @@ object PipelineQueries {
     * rollup. Centroid components are quantized sums div counts, so the
     * whole result is integer-exact.
     */
+  /** q179 — interpolated Kneser-Ney bigram scoring (Kneser & Ney
+    * ICASSP'95; Chen & Goodman '98 eq. 4.25, absolute discount
+    * d = 1/2): the canonical LM smoothing next to q149's Stupid
+    * Backoff. Continuation probabilities use TYPE counts — N1+(w1·)
+    * distinct successors, N1+(·w2) distinct predecessors, T distinct
+    * bigram types — so frequent-but-narrow tokens (the "San
+    * Francisco" effect) score low in novel contexts. Same
+    * even/odd-document train/score split as q149 so every code path
+    * (hit, interpolated-only, unseen-context continuation, unknown)
+    * fires. All terms are floor-scaled integer rationals with d = 1/2
+    * exact as (2c−1)/2c₁ arithmetic — both engines agree bit-for-bit.
+    *
+    * Scale shape: model frames are vocabulary-sized aggregates off one
+    * materialized bigram stream; scoring is three hash joins + the
+    * 1-row types scalar broadcast (q149's shape).
+    */
+  def q179KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode_outer(wsTokens(col("text"))))
+      .withColumnRenamed("col", "w1")
+      .filter(col("w1").isNotNull)
+    val bigrams = toks
+      .withColumn("w2", lead(col("w1"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(2)).as("parity"),
+        col("w1"), col("w2"))
+      .transform(Materialize.once)
+    val big = bigrams.filter(col("parity") === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .transform(Materialize.once) // ctx, cont, and types all read this
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n1m"))
+    val types = big.agg(count(lit(1)).as("t_types"))
+    bigrams.filter(col("parity") === 1)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("score_ppb", expr(
+        """CASE
+          |  WHEN c1 IS NOT NULL THEN
+          |    (CASE WHEN c12 IS NOT NULL
+          |          THEN ((2L * c12 - 1L) * 1000000000L) div (2L * c1)
+          |          ELSE 0L END)
+          |    + (n1p * coalesce(n1m, 0L) * 1000000000L)
+          |      div (2L * c1 * t_types)
+          |  WHEN n1m IS NOT NULL THEN (n1m * 1000000000L) div t_types
+          |  ELSE 0L END""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("score_ppb")).as("score_ppb"),
+        sum(when(col("c12").isNull && col("c1").isNotNull, 1L)
+          .otherwise(0L)).as("n_interp"),
+        sum(when(col("c1").isNull && col("n1m").isNotNull, 1L)
+          .otherwise(0L)).as("n_cont"),
+        sum(when(col("c1").isNull && col("n1m").isNull, 1L)
+          .otherwise(0L)).as("n_unknown"))
+  }
+
+  val q179Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, doc_id % 2 AS parity, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) u(i)
+      |  WHERE len(toks) >= 2),
+      |big AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM s WHERE parity = 0 GROUP BY w1, w2),
+      |ctx AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1p
+      |  FROM big GROUP BY w1),
+      |cont AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS n1m FROM big GROUP BY w2),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM big),
+      |scored AS (
+      |  SELECT sc.doc_id,
+      |    CASE
+      |      WHEN x.c1 IS NOT NULL THEN
+      |        (CASE WHEN b.c12 IS NOT NULL
+      |              THEN ((2 * b.c12 - 1) * 1000000000) // (2 * x.c1)
+      |              ELSE 0 END)
+      |        + (x.n1p * coalesce(n.n1m, 0) * 1000000000)
+      |          // (2 * x.c1 * ty.t_types)
+      |      WHEN n.n1m IS NOT NULL THEN (n.n1m * 1000000000) // ty.t_types
+      |      ELSE 0 END AS score_ppb,
+      |    CASE WHEN b.c12 IS NULL AND x.c1 IS NOT NULL THEN 1 ELSE 0 END
+      |      AS it,
+      |    CASE WHEN x.c1 IS NULL AND n.n1m IS NOT NULL THEN 1 ELSE 0 END
+      |      AS co,
+      |    CASE WHEN x.c1 IS NULL AND n.n1m IS NULL THEN 1 ELSE 0 END AS un
+      |  FROM s sc
+      |  LEFT JOIN big b ON b.w1 = sc.w1 AND b.w2 = sc.w2
+      |  LEFT JOIN ctx x ON x.w1 = sc.w1
+      |  LEFT JOIN cont n ON n.w2 = sc.w2
+      |  CROSS JOIN ty
+      |  WHERE sc.parity = 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(score_ppb) AS BIGINT) AS score_ppb,
+      |  CAST(sum(it) AS BIGINT) AS n_interp,
+      |  CAST(sum(co) AS BIGINT) AS n_cont,
+      |  CAST(sum(un) AS BIGINT) AS n_unknown
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   def q150CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.load(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
@@ -3277,6 +3385,7 @@ object PipelineQueries {
     "q133_posting_bytes" -> (q133PostingBytes _),
     "q138_skyline" -> (q138Skyline _),
     "q149_stupid_backoff" -> (q149StupidBackoff _),
+    "q179_kneser_ney" -> (q179KneserNey _),
     "q150_centroid_drift" -> (q150CentroidDrift _),
     "q151_ks_drift" -> (q151KsDrift _),
     "q152_pps_sample" -> (q152PpsSample _),
@@ -3337,6 +3446,7 @@ object PipelineQueries {
     "q133_posting_bytes" -> q133Oracle,
     "q138_skyline" -> q138Oracle,
     "q149_stupid_backoff" -> q149Oracle,
+    "q179_kneser_ney" -> q179Oracle,
     "q150_centroid_drift" -> q150Oracle,
     "q151_ks_drift" -> q151Oracle,
     "q152_pps_sample" -> q152Oracle,

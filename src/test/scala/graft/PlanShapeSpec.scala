@@ -76,6 +76,9 @@ class PlanShapeSpec extends SparkSpec {
     // train-bigram-mass scalar (1-row aggregate) crossJoined into the
     // backoff scoring stream (q76's pattern)
     "q149_stupid_backoff",
+    // bigram-type-count scalar (1-row aggregate) crossJoined into the
+    // Kneser-Ney scoring stream (q149's pattern)
+    "q179_kneser_ney",
     // anchor-day scalar (1-row max aggregate) crossJoined into the
     // user-sized RFM frame (q86/q91's pattern)
     "q153_rfm",
