@@ -105,7 +105,8 @@ private class SynthScanBuilder(numRows: Long, partitions: Int,
                                buckets: Int = 0, rowsPerBatch: Long = 1000L)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
@@ -150,6 +151,51 @@ private class SynthScanBuilder(numRows: Long, partitions: Int,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT k over a deterministic generator is range arithmetic: any k
+    * rows satisfy a bare LIMIT, so the id range narrows to its first k
+    * ids and the generator never produces a row Spark would discard.
+    * Fully pushed (`isPartiallyPushed` = false): Spark drops its own
+    * Limit node entirely.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit >= 0) hi = math.min(hi, lo + limit)
+    limit >= 0
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** ORDER BY doc_id LIMIT k is answerable from the range: ids
+    * generate in order, so ascending top-k is the first k ids —
+    * FULLY pushed (the reader emits them in the required order, so
+    * Spark may drop its Sort). Descending top-k lives in the LAST k
+    * ids: the range still narrows (the scan generates only k rows)
+    * but the push is DECLINED, because a full push obliges the source
+    * to emit rows in the requested order and the reader is ascending —
+    * Spark keeps its (now k-row) sort. Other sort columns decline
+    * untouched.
+    */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val onDocId = limit >= 0 && orders.length == 1 &&
+      (orders.head.expression match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      })
+    if (!onDocId) false
+    else if (orders.head.direction == SortDirection.ASCENDING) {
+      hi = math.min(hi, lo + limit)
+      // full push requires the scan's OUTPUT order to be ascending
+      // ids: true for contiguous range partitions (collect
+      // concatenates them in index order), false for strided bucket
+      // partitions — those narrow the range but keep Spark's sort
+      buckets == 0
+    } else {
+      lo = math.max(lo, hi - limit)
+      false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {

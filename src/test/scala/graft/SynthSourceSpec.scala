@@ -119,6 +119,27 @@ class SynthSourceSpec extends SparkSpec {
       expected.sortBy(_.getLong(0)))
   }
 
+  test("limit and ascending top-N push into the generated range") {
+    // bare LIMIT: fully pushed — the generator produces exactly k rows
+    val lim = read(100000).limit(7)
+    assert(lim.queryExecution.optimizedPlan.toString.contains("LocalLimit") ==
+      false || lim.count() == 7) // plan detail is version-dependent; rows must be exact
+    assert(lim.count() == 7)
+    // ORDER BY doc_id ASC LIMIT k: fully pushed, results sorted
+    val asc = read(100000).orderBy($"doc_id").limit(5)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 5L).toSeq)
+    assert(asc.queryExecution.executedPlan.toString.contains("graft-synth"),
+      "scan must survive the rewrite")
+    // DESC: the range narrows to the last k ids (the scan generates
+    // only k rows) but Spark keeps the sort — results still correct
+    val desc = read(100000).orderBy($"doc_id".desc).limit(5)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (99999L to 99995L by -1).toSeq)
+    // pushdown composes with filters: range narrows twice
+    val both = read(100000).filter($"doc_id" >= 500).orderBy($"doc_id").limit(3)
+    assert(both.collect().map(_.getLong(0)).toSeq == Seq(500L, 501L, 502L))
+  }
+
   test("reported statistics let a small synth side auto-broadcast") {
     // without SupportsReportStatistics a DSv2 relation reports
     // defaultSizeInBytes (huge) and can never auto-broadcast; with the
