@@ -1673,6 +1673,66 @@ object PipelineQueries {
         col("n_chars"), col("n_bpe_tokens"))
   }
 
+  /** q180 — tokenizer compression-rate sweep: corpus chars-per-token
+    * after 0 / 2 / 4 / 8 BPE merge rounds — the vocabulary-size design
+    * table (how much each merge budget actually buys) that q105/q107
+    * end at a single point. BPE merge sequences are prefix-stable
+    * (round r+1 never revises rounds 1..r), so ONE 8-round training
+    * serves every sweep point via merge-list prefixes; each point
+    * re-symbolizes the VOCABULARY (distinct words), never the corpus.
+    *
+    * Scale shape: q105's training cost once, then 4 vocabulary-scale
+    * scalar aggregates — corpus token mass rides the word-frequency
+    * weights, so the corpus is touched exactly once (the shared `words`
+    * aggregate).
+    */
+  def q180BpeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .transform(Materialize.once) // training + 4 sweep points
+    val merges8 = Bpe.trainMerges(words, BpeTrainRounds)
+    Seq(0, 2, 4, BpeTrainRounds).map { r =>
+      words.select(col("cnt"),
+          length(col("w")).cast("long").as("n_chars"),
+          Bpe.tokenCount(Bpe.applyMerges(Bpe.reprOf(col("w")),
+            merges8.take(r))).cast("long").as("n_tok"))
+        .agg(sum(col("cnt") * col("n_chars")).as("total_chars"),
+          sum(col("cnt") * col("n_tok")).as("total_tokens"))
+        .select(lit(r).as("merge_rounds"), col("total_chars"),
+          col("total_tokens"))
+    }.reduce(_ unionByName _)
+      .withColumn("chars_per_token_ppm",
+        expr("total_chars * 1000000L div total_tokens"))
+  }
+
+  val q180Oracle: String = {
+    val SS = "chr(31) || chr(31)"
+    val head =
+      """WITH w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1),""".stripMargin
+    val points = Seq(0, 2, 4, BpeTrainRounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS merge_rounds,
+         |  CAST(sum(cnt * length(w)) AS BIGINT) AS total_chars,
+         |  CAST(sum(cnt * len(string_split(
+         |      substr(repr, 2, length(repr) - 2), $SS))) AS BIGINT)
+         |    AS total_tokens
+         |FROM r$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    head + "\n" + bpeRoundCtes(carryWord = true) + ",\n" +
+      s"""pts AS (
+         |$points)
+         |SELECT merge_rounds, total_chars, total_tokens,
+         |  CAST(total_chars * 1000000 // total_tokens AS BIGINT)
+         |    AS chars_per_token_ppm
+         |FROM pts""".stripMargin
+  }
+
   val q107Oracle: String = {
     val SS = "chr(31) || chr(31)"
     val head =
@@ -3386,6 +3446,7 @@ object PipelineQueries {
     "q138_skyline" -> (q138Skyline _),
     "q149_stupid_backoff" -> (q149StupidBackoff _),
     "q179_kneser_ney" -> (q179KneserNey _),
+    "q180_bpe_sweep" -> (q180BpeSweep _),
     "q150_centroid_drift" -> (q150CentroidDrift _),
     "q151_ks_drift" -> (q151KsDrift _),
     "q152_pps_sample" -> (q152PpsSample _),
@@ -3447,6 +3508,7 @@ object PipelineQueries {
     "q138_skyline" -> q138Oracle,
     "q149_stupid_backoff" -> q149Oracle,
     "q179_kneser_ney" -> q179Oracle,
+    "q180_bpe_sweep" -> q180Oracle,
     "q150_centroid_drift" -> q150Oracle,
     "q151_ks_drift" -> q151Oracle,
     "q152_pps_sample" -> q152Oracle,
