@@ -569,6 +569,98 @@ object DedupQueries {
       .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
   }
 
+  /** q181 — LSH band/row operating-point sweep: candidate volume and
+    * estimated-similarity profile for (bands × rows/band) =
+    * (16×2, 8×4, 4×8) over the SAME 32-slot portable signatures — the
+    * S-curve design table (Leskovec/Rajaraman/Ullman MMDS §3.4) that
+    * decides b and r before a corpus-scale dedup run: more bands catch
+    * lower-similarity pairs (recall) at the price of candidate volume
+    * (cost), fewer bands sharpen the threshold. q134 calibrates the
+    * estimator; this sweeps the operating point.
+    *
+    * Scale shape: one signature materialization; each config is a
+    * banded equi-join (bucket-bounded, the q21 shape — never
+    * all-pairs) plus a k-bounded slot-match join-back; the report is
+    * three scalar aggregates.
+    */
+  def q181LshSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sketched = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        Dedup.sortedShingles(TextAnalysis.wsTokens(col("text")), 3).as("sh"))
+      .withColumn("sig", ColumnBridge.column(
+        graft.functions.PortableMinHashSignature(
+          ColumnBridge.expression(col("sh")), 32)))
+      .select(col("doc_id"), col("sig"))
+      .transform(graft.runtime.Materialize.once) // 3 configs + join-backs
+    Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+      val bands = sketched.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${b - 1}), i -> struct(i AS band,
+           |  array_join(transform(slice(sig, i * $r + 1, $r),
+           |    x -> cast(x as string)), ',') AS key))""".stripMargin))
+        .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand
+        .join(sketched.select(col("doc_id").as("id1"), col("sig").as("sig1")),
+          Seq("id1"))
+        .join(sketched.select(col("doc_id").as("id2"), col("sig").as("sig2")),
+          Seq("id2"))
+        .select(expr("aggregate(zip_with(sig1, sig2, (a, b) -> if(a = b, 1, 0)), " +
+          "0, (acc, x) -> acc + x)").cast("long").as("m"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("m")), lit(0L)).as("sm"),
+          coalesce(sum(when(col("m") * 2 >= 32, 1L).otherwise(0L)), lit(0L))
+            .as("n_est_above_half"))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"),
+          expr("CASE WHEN n_candidates = 0 THEN 0L " +
+            "ELSE (sm * 1000000L) div (32L * n_candidates) END")
+            .as("mean_est_ppm"),
+          col("n_est_above_half"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q181Oracle: String = {
+    def config(b: Int, r: Int): String =
+      s"""bk$b AS (
+         |  SELECT doc_id, (j) // $r AS band,
+         |    string_agg(CAST(mn AS VARCHAR), ',' ORDER BY j) AS key
+         |  FROM slots GROUP BY doc_id, (j) // $r),
+         |cand$b AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bk$b a JOIN bk$b b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sm$b AS (
+         |  SELECT c.id1, c.id2,
+         |    CAST(sum(CASE WHEN x.mn = y.mn THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM cand$b c
+         |  JOIN slots x ON x.doc_id = c.id1
+         |  JOIN slots y ON y.doc_id = c.id2 AND y.j = x.j
+         |  GROUP BY c.id1, c.id2),
+         |pt$b AS (
+         |  SELECT CAST($b AS INT) AS n_bands, CAST($r AS INT) AS rows_per_band,
+         |    CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(CASE WHEN count(*) = 0 THEN 0
+         |         ELSE (sum(m) * 1000000) // (32 * count(*)) END AS BIGINT)
+         |      AS mean_est_ppm,
+         |    CAST(coalesce(sum(CASE WHEN m * 2 >= 32 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_est_above_half
+         |  FROM sm$b)""".stripMargin
+    s"""$lshOracleCtes,
+       |${config(16, 2)},
+       |${config(8, 4)},
+       |${config(4, 8)}
+       |SELECT * FROM pt16
+       |UNION ALL SELECT * FROM pt8
+       |UNION ALL SELECT * FROM pt4""".stripMargin
+  }
+
   val q134Oracle: String =
     s"""$lshOracleCtes,
        |pairs AS (
@@ -767,6 +859,7 @@ object DedupQueries {
     "q118_semdedup" -> (q118SemDedup _),
     "q127_split_leakage" -> (q127SplitLeakage _),
     "q134_minhash_err" -> (q134MinhashErr _),
+    "q181_lsh_sweep" -> (q181LshSweep _),
     "q136_source_jaccard" -> (q136SourceJaccard _),
     "q144_sorted_neighbors" -> (q144SortedNeighbors _))
 
@@ -782,6 +875,7 @@ object DedupQueries {
     "q118_semdedup" -> q118Oracle,
     "q127_split_leakage" -> q127Oracle,
     "q134_minhash_err" -> q134Oracle,
+    "q181_lsh_sweep" -> q181Oracle,
     "q136_source_jaccard" -> q136Oracle,
     "q144_sorted_neighbors" -> q144Oracle)
 }
