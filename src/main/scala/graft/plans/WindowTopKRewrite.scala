@@ -62,9 +62,21 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         rankBound(cond, rank) match {
           case Some(k) if k >= 1 =>
             // Spark's InferWindowGroupLimit may already have inserted
-            // its pre-filter below the Window; TopK subsumes it
+            // its pre-filter below the Window; TopK subsumes it — but
+            // ONLY when that limit provably keeps every row TopK needs:
+            // same partition/order specs (semantically), a row_number
+            // rank function, and a limit of at least k. Any other
+            // WindowGroupLimit (a future rule, a spec mismatch) is
+            // preserved as the child rather than silently dropped.
             val base = child match {
-              case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+              case wgl @ WindowGroupLimit(p2, o2, rankFn, limit, grandchild) =>
+                val sameSpecs = p2.length == part.length &&
+                  p2.zip(part).forall { case (a, b) => a.semanticEquals(b) } &&
+                  o2.length == order.length &&
+                  o2.zip(order).forall { case (a, b) => a.semanticEquals(b) }
+                if (sameSpecs && rankFn.isInstanceOf[RowNumber] && limit >= k)
+                  grandchild
+                else wgl
               case other => other
             }
             Filter(cond, TopKPerGroup(part, order, k, rank, base))

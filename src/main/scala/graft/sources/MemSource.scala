@@ -71,6 +71,21 @@ object MemSource {
                                parts: Seq[Array[InternalRow]],
                                truncate: Boolean): Unit =
     store.synchronized { // append must read+replace atomically
+      // appends must match the committed layout: supportsExternalMetadata
+      // makes AppendData's analysis check trivially true (the table echoes
+      // the writer's schema), so an unchecked append could commit
+      // mixed-layout InternalRow partitions that readers then
+      // misinterpret ordinally. Name + type must agree positionally;
+      // nullability may narrow (a non-null write into a nullable slot).
+      if (!truncate) store.get(name).map(_._1).foreach { stored =>
+        val compatible = stored.length == schema.length &&
+          stored.fields.zip(schema.fields).forall { case (s, w) =>
+            s.name == w.name && s.dataType == w.dataType
+          }
+        require(compatible,
+          s"graft-mem append to '$name': incoming schema ${schema.simpleString} " +
+            s"is incompatible with committed schema ${stored.simpleString}")
+      }
       val prev =
         if (truncate) Seq.empty
         else store.get(name).map(_._2).getOrElse(Seq.empty)
@@ -104,18 +119,22 @@ private class MemScan(name: String, val readSchema: StructType)
   extends Scan with Batch {
   override def toBatch: Batch = this
   override def description(): String = s"graft-mem scan $name"
+  /** Rows are SNAPSHOTTED into the partitions at planning time: a scan
+    * is pinned to the committed state it was planned against, so a
+    * truncate/overwrite that commits between planInputPartitions and
+    * task execution can neither throw (index drift) nor serve mixed
+    * state — and the rows travel with the partition, the shape that
+    * survives multi-JVM shipping (the committed UnsafeRows serialize).
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = MemSource.read(name)
-    if (parts.isEmpty) Array(MemPartition(name, -1))
-    else parts.indices.map(i => MemPartition(name, i): InputPartition).toArray
+    if (parts.isEmpty) Array(MemPartition(name, Array.empty))
+    else parts.map(rows => MemPartition(name, rows): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val MemPartition(n, idx) = p: @unchecked
-        val rows =
-          if (idx < 0) Array.empty[InternalRow]
-          else MemSource.read(n)(idx)
+        val MemPartition(_, rows) = p: @unchecked
         new PartitionReader[InternalRow] {
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
@@ -126,7 +145,8 @@ private class MemScan(name: String, val readSchema: StructType)
     }
 }
 
-private case class MemPartition(name: String, idx: Int) extends InputPartition
+private case class MemPartition(name: String, rows: Array[InternalRow])
+  extends InputPartition
 
 private class MemWriteBuilder(name: String, schema: StructType)
   extends WriteBuilder with SupportsTruncate {

@@ -36,26 +36,24 @@ class SynthStreamingSpec extends SparkSpec {
   test("restart from checkpoint is exactly-once into the file sink") {
     val ckpt = tmpDir("graft-synth-ckpt")
     val out = tmpDir("graft-synth-out")
-    def start() = spark.readStream.format("graft-synth")
-      .option("rows", "4000").option("rowsPerBatch", "500")
+    // Deterministic mid-stream stop (no sleep-vs-trigger race): phase 1
+    // bounds the id space at 2000, drains completely, and stops idle at
+    // a known offset; phase 2 reopens the SAME checkpoint with the full
+    // 4000-row bound, so the restart must resume from the checkpointed
+    // position — the offset is a pure id-space position, which is
+    // exactly what makes widening the bound a valid continuation.
+    def start(rows: Int) = spark.readStream.format("graft-synth")
+      .option("rows", rows.toString).option("rowsPerBatch", "500")
       .load().select(col("doc_id"), col("source"))
       .writeStream.format("parquet")
       .option("checkpointLocation", ckpt).option("path", out)
       .trigger(Trigger.ProcessingTime(10))
       .outputMode("append").start()
-    val q1 = start()
-    try {
-      // stop mid-stream: wait for the first committed batches, then kill
-      var waited = 0
-      while (q1.recentProgress.count(_.numInputRows > 0) < 2 && waited < 300) {
-        Thread.sleep(100); waited += 1
-      }
-      assert(q1.recentProgress.exists(_.numInputRows > 0),
-        "stream never committed a batch")
-    } finally q1.stop()
+    val q1 = start(2000)
+    try q1.processAllAvailable() finally q1.stop()
     val mid = spark.read.parquet(out).count()
-    assert(mid < 4000, s"stream already finished ($mid rows) — restart not exercised")
-    val q2 = start()
+    assert(mid == 2000, s"phase 1 must drain its bounded id space, got $mid")
+    val q2 = start(4000)
     try q2.processAllAvailable() finally q2.stop()
     val fin = spark.read.parquet(out)
     assert(fin.count() == 4000,
