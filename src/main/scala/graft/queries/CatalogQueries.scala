@@ -386,6 +386,124 @@ object CatalogQueries {
        |SELECT rule, n FROM counts
        |WHERE n > 0 OR rule = '__clean__'""".stripMargin
 
+  /** Registers a throwaway [[graft.sources.GraftCatalog]] under a
+    * unique session-catalog name over a scratch root. Unique because
+    * catalog instances are cached by name with their option snapshot —
+    * a reused name would pin the first invocation's scratch dir.
+    */
+  private def sqlCatalog(spark: SparkSession, prefix: String): String = {
+    val dir = scratch(prefix)
+    val name = prefix + java.lang.Long.toHexString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xff)))
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", dir)
+    name
+  }
+
+  /** q182 — the session-catalog plugin ([[graft.sources.GraftCatalog]]):
+    * tables addressed by NAME through SQL, the reference's
+    * `spark.table("iceberg.raw.daily_reports")` addressing mode
+    * (process_covid_ods.py:30). The full DDL+DML round-trip runs on the
+    * driver's hash path: CREATE NAMESPACE → CREATE TABLE (partitioned)
+    * → INSERT INTO (twice — append semantics) → INSERT OVERWRITE of a
+    * second unpartitioned table → a SQL join of the two BY NAME.
+    * DuckDB recomputes the same state from the raw parquet, so broken
+    * name resolution, a lost append, or a bad overwrite all break the
+    * hash.
+    *
+    * Scale shape: writes are the engine's partitioned-append /
+    * swap-replace protocols (no collects); the partitioned fact table
+    * gets hive pruning on any later day-scoped read.
+    */
+  def q182SqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g182")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g182_orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g182_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.facts " +
+      "(ok BIGINT, cust BIGINT, cents BIGINT, pri STRING) PARTITIONED BY (pri)")
+    spark.sql(s"""INSERT INTO $cat.ods.facts
+      SELECT o_orderkey, o_custkey,
+        CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority
+      FROM g182_orders WHERE o_orderkey % 2 = 0""")
+    spark.sql(s"""INSERT INTO $cat.ods.facts
+      SELECT o_orderkey, o_custkey,
+        CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority
+      FROM g182_orders WHERE o_orderkey % 2 = 1""")
+    spark.sql(s"CREATE TABLE $cat.ods.dim (ck BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.dim SELECT c_custkey, 'WRONG' FROM g182_customer")
+    spark.sql(s"INSERT OVERWRITE $cat.ods.dim " +
+      "SELECT c_custkey, c_mktsegment FROM g182_customer")
+    spark.sql(s"""SELECT d.seg, f.pri, count(*) AS n, sum(f.cents) AS cents_sum
+      FROM $cat.ods.facts f JOIN $cat.ods.dim d ON d.ck = f.cust
+      GROUP BY d.seg, f.pri""")
+  }
+
+  val q182Oracle: String =
+    s"""SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+       |  ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(o.o_totalprice * 100) AS BIGINT))")}
+       |    AS cents_sum
+       |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |GROUP BY c.c_mktsegment, o.o_orderpriority""".stripMargin
+
+  /** q183 — `MERGE INTO` as SQL TEXT through the session catalog's
+    * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
+    * (group-based copy-on-write): the exact q159 scenario — every 7th
+    * key updated, every 21st deleted, every 13th key inserted as new —
+    * driven by the MERGE statement instead of the `Catalog.merge` call,
+    * checked against the same oracle algebra. A DELETE statement then
+    * removes a slice SQL-side, so both row-level commands sit on the
+    * hash path.
+    */
+  def q183SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g183")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g183_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.balances (k BIGINT, bal_cents BIGINT, seg STRING)")
+    spark.sql(s"""INSERT INTO $cat.ods.balances
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g183_customer""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW g183_updates AS
+      SELECT c_custkey AS k, CAST(c_custkey * 100 AS BIGINT) AS bal_cents,
+        c_mktsegment AS seg, (c_custkey % 21 = 0) AS del
+      FROM g183_customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, CAST(c_custkey AS BIGINT), 'NEW', false
+      FROM g183_customer WHERE c_custkey % 13 = 0""")
+    spark.sql(s"""MERGE INTO $cat.ods.balances t USING g183_updates u ON t.k = u.k
+      WHEN MATCHED AND u.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.bal_cents = u.bal_cents, t.seg = u.seg
+      WHEN NOT MATCHED THEN INSERT (k, bal_cents, seg)
+        VALUES (u.k, u.bal_cents, u.seg)""")
+    spark.sql(s"DELETE FROM $cat.ods.balances WHERE seg = 'NEW' AND k % 2 = 0")
+    spark.table(s"$cat.ods.balances")
+      .select(col("k"), col("bal_cents"), col("seg"))
+  }
+
+  val q183Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |    c_mktsegment AS seg
+      |  FROM customer),
+      |upd AS (
+      |  SELECT k, CAST(k * 100 AS BIGINT) AS bal_cents, seg,
+      |    (k % 21 = 0) AS del
+      |  FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k + 10000000, CAST(k AS BIGINT), 'NEW', false
+      |  FROM base WHERE k % 13 = 0),
+      |merged AS (
+      |  SELECT b.k, b.bal_cents, b.seg FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)
+      |  UNION ALL
+      |  SELECT k, bal_cents, seg FROM upd WHERE NOT del)
+      |SELECT k, bal_cents, seg FROM merged
+      |WHERE NOT (seg = 'NEW' AND k % 2 = 0)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -395,7 +513,9 @@ object CatalogQueries {
     "q174_ivm_aggregate" -> (q174IvmAggregate _),
     "q175_ivm_join" -> (q175IvmJoin _),
     "q176_bucketed_join" -> (q176BucketedJoin _),
-    "q177_expectations" -> (q177Expectations _))
+    "q177_expectations" -> (q177Expectations _),
+    "q182_sql_catalog" -> (q182SqlCatalog _),
+    "q183_sql_merge" -> (q183SqlMerge _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -406,5 +526,7 @@ object CatalogQueries {
     "q174_ivm_aggregate" -> q174Oracle,
     "q175_ivm_join" -> q175Oracle,
     "q176_bucketed_join" -> q176Oracle,
-    "q177_expectations" -> q177Oracle)
+    "q177_expectations" -> q177Oracle,
+    "q182_sql_catalog" -> q182Oracle,
+    "q183_sql_merge" -> q183Oracle)
 }

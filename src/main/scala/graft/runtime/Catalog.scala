@@ -194,11 +194,22 @@ final case class Catalog(spark: SparkSession, root: String,
     * clears the target before the new files are committed.
     */
   def createOrReplace(df: DataFrame, layer: String, table: String): Unit =
+    createOrReplace(df, layer, table, Nil)
+
+  /** Full-replace preserving a hive-partitioned layout: the whole new
+    * state lands partitioned in the sibling temp dir, then swaps in —
+    * the static INSERT OVERWRITE semantic (every partition replaced,
+    * absent partitions dropped), unlike [[overwritePartitions]] which
+    * scopes the replace to the partitions present in `df`.
+    */
+  def createOrReplace(df: DataFrame, layer: String, table: String,
+                      partitionCols: Seq[String]): Unit =
     safeSwapWrite(layer, table) { tmp =>
-      df.write
+      val w = df.write
         .options(writeOptions)
         .mode("overwrite")
         .format(format)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .save(tmp)
     }
 

@@ -1,0 +1,502 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.v2.FileTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.runtime.Catalog
+
+/** Session-catalog plugin over the engine's path-based warehouse —
+  * the piece that makes [[graft.runtime.Catalog]] tables addressable
+  * by NAME through Spark SQL, the way the reference addresses every
+  * table through its metastore catalog
+  * (`spark.table("iceberg.raw.daily_reports")` at
+  * /root/reference/airflow/dags/scripts/process_covid_ods.py:30,
+  * `CREATE NAMESPACE IF NOT EXISTS` at process_covid_raw.py:100).
+  *
+  * Register:
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse/path
+  *   spark.sql.catalog.graft.format = parquet   (optional)
+  * }}}
+  * then `CREATE NAMESPACE graft.ods`, `CREATE TABLE graft.ods.t (...)
+  * PARTITIONED BY (...)`, `INSERT INTO graft.ods.t ...`,
+  * `SELECT ... FROM graft.ods.t`, `MERGE INTO graft.ods.t ...`,
+  * `UPDATE` / `DELETE`, `DESCRIBE`, `SHOW TABLES` all resolve here.
+  *
+  * Layout contract is exactly the object API's: namespace = first-level
+  * directory (layer), table = `<root>/<layer>/<table>` in one of the
+  * catalog's storage formats, hive-style partition directories. Tables
+  * written through `graft.runtime.Catalog` are therefore readable by
+  * name with NO registration step (schema inferred from footers /
+  * partition layout), and tables created via SQL DDL are readable by
+  * the object API — one warehouse, two addressing modes.
+  *
+  * Division of labor per surface:
+  *  - READS delegate to Spark's own file tables (ParquetTable & co), so
+  *    the scans keep every DSv2 tier: filter/column pushdown, partition
+  *    pruning, runtime (dynamic) pruning, footer statistics;
+  *  - INSERT INTO / INSERT OVERWRITE build a [[V1Write]] routed through
+  *    [[graft.runtime.Catalog]]'s crash-safe write protocols
+  *    (partitioned append; temp-dir + rename-swap full replace) — the
+  *    same paths the object API uses, so SQL writes inherit the
+  *    publish-safety story instead of reimplementing it;
+  *  - MERGE / UPDATE / DELETE implement [[SupportsRowLevelOperations]]
+  *    as group-based copy-on-write (see [[GraftTable]] docs).
+  *
+  * SQL-created tables persist their schema + partition spec in a
+  * `_graft_meta` sidecar inside the table directory (underscore prefix
+  * ⇒ invisible to file indexes), standing in for the metastore entry; a
+  * table without a sidecar is served schema-by-inference.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var root: String = _
+  private var format: String = "parquet"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name needs spark.sql.catalog.$name.root=<warehouse path>"))
+    format = Option(options.get("format")).getOrElse("parquet")
+    require(Catalog.Formats.contains(format),
+      s"unsupported format '$format' (one of ${Catalog.Formats.mkString(", ")})")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def engine: Catalog = Catalog(spark, root, format)
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def layerOf(ns: Array[String]): String = {
+    require(ns.length == 1,
+      s"graft namespaces are single-level layers, got ${ns.mkString(".")}")
+    ns.head
+  }
+
+  /** Internal publish/version/staging siblings must never surface as
+    * tables or namespaces.
+    */
+  private def isInternal(dirName: String): Boolean =
+    dirName.contains(".__") || dirName.startsWith("_") || dirName.startsWith(".")
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) Array.empty
+    else fs.listStatus(r).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(isInternal)
+      .sorted.map(Array(_))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level: no children
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fs.exists(new Path(s"$root/${namespace.head}"))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    Map("location" -> s"$root/${layerOf(namespace)}").asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
+    fs.mkdirs(new Path(s"$root/${layerOf(namespace)}"))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) false
+    else {
+      if (!cascade && listTables(namespace).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(new Path(s"$root/${layerOf(namespace)}"), true)
+    }
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(s"$root/${layerOf(ident.namespace)}/${ident.name}")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    val dir = new Path(s"$root/${layerOf(namespace)}")
+    fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(isInternal)
+      .sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && fs.exists(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val meta = GraftTableMeta.read(fs, tableDir(ident))
+    new GraftTable(spark, catalogName, root, format,
+      layerOf(ident.namespace), ident.name, meta)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
+    val partitionCols = partitions.map {
+      case t if t.name == "identity" =>
+        t.references().head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity (hive-style) partitioning only, got $other")
+    }.toSeq
+    val unknown = partitionCols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"partition columns not in schema: $unknown")
+    val dir = tableDir(ident)
+    fs.mkdirs(dir)
+    val meta = GraftTableMeta(Some(schema), partitionCols)
+    GraftTableMeta.write(fs, dir, meta)
+    new GraftTable(spark, catalogName, root, format,
+      layerOf(ident.namespace), ident.name, meta)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution happens through " +
+        "appends + mergeSchema reads (Catalog.readMerged)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && {
+      val dir = tableDir(ident)
+      // internal siblings (versions, staging) die with the table
+      val siblings = fs.listStatus(dir.getParent)
+        .map(_.getPath)
+        .filter(_.getName.startsWith(ident.name + ".__"))
+      siblings.foreach(fs.delete(_, true))
+      fs.delete(dir, true)
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(catalogName +: newIdent.namespace.toSeq)
+    require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
+      s"rename failed: $oldIdent -> $newIdent")
+  }
+}
+
+/** Sidecar metadata for SQL-created tables: schema JSON + partition
+  * columns, one `_graft_meta` file inside the table directory. Tables
+  * created by the object API have none — their schema is inferred from
+  * data files and partition directories, like any external table.
+  */
+private[sources] final case class GraftTableMeta(
+    schema: Option[StructType], partitionCols: Seq[String])
+
+private[sources] object GraftTableMeta {
+  private val FileName = "_graft_meta"
+
+  def read(fs: FileSystem, dir: Path): GraftTableMeta = {
+    val f = new Path(dir, FileName)
+    if (!fs.exists(f)) GraftTableMeta(None, Nil)
+    else {
+      val in = fs.open(f)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val schema = lines.headOption.filter(_.nonEmpty)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      val parts = lines.drop(1).headOption.filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      GraftTableMeta(schema, parts)
+    }
+  }
+
+  def write(fs: FileSystem, dir: Path, meta: GraftTableMeta): Unit = {
+    val out = fs.create(new Path(dir, FileName), true)
+    try out.write(
+      (meta.schema.map(_.json).getOrElse("") + "\n" +
+        meta.partitionCols.mkString(",") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+}
+
+/** One table of the [[GraftCatalog]]: reads delegate to Spark's file
+  * table for the format (full DSv2 pushdown/pruning tiers), DML writes
+  * route through [[graft.runtime.Catalog]]'s crash-safe protocols, and
+  * MERGE/UPDATE/DELETE implement group-based copy-on-write row-level
+  * operations:
+  *
+  *  - the operation's scan is the table's ordinary scan (the "groups"
+  *    are the whole table — no runtime group filtering, the simplest
+  *    sound granularity);
+  *  - the operation's write delegates to the file format's v2 batch
+  *    write (tasks stage under `_temporary`, nothing visible until job
+  *    commit), then retires the PRE-EXISTING data files, snapshotted at
+  *    write-build time, in the same driver-side commit step. A crash
+  *    between the format commit and the retirement step leaves
+  *    duplicate rows — visible, repairable (delete the old-generation
+  *    files), never silent data loss;
+  *  - partition-scoped SQL row-level ops are refused: the v2 file write
+  *    would flatten the hive layout. Partitioned merges stay on
+  *    [[graft.runtime.Catalog.merge]], whose rewrite cost is bounded by
+  *    the TOUCHED partitions — the shape that survives 100 TB.
+  *
+  * Scale: every path is a distributed job; the only driver-side work is
+  * directory bookkeeping (file listing, renames) — never row data.
+  */
+private[sources] class GraftTable(
+    spark: SparkSession, catalogName: String, root: String, format: String,
+    layer: String, table: String, meta: GraftTableMeta)
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations {
+
+  private val dir = s"$root/$layer/$table"
+
+  private def engine: Catalog = Catalog(spark, root, format)
+
+  /** Per-format reader options mirroring [[Catalog.readOptions]]; the
+    * sidecar schema (when present) replaces csv inference.
+    */
+  private def readOptions: Map[String, String] = format match {
+    case "csv" =>
+      Map("header" -> "true") ++
+        (if (meta.schema.isEmpty) Map("inferSchema" -> "true") else Map.empty)
+    case _ => Map.empty
+  }
+
+  /** Fresh delegate per call: file listings must see the current
+    * directory state, not the state at table-load time.
+    */
+  private def delegate: FileTable = {
+    val opts = new CaseInsensitiveStringMap(readOptions.asJava)
+    val paths = Seq(dir)
+    format match {
+      case "parquet" =>
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          name(), spark, opts, paths, meta.schema,
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      case "orc" =>
+        org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
+          name(), spark, opts, paths, meta.schema,
+          classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat])
+      case "csv" =>
+        org.apache.spark.sql.execution.datasources.v2.csv.CSVTable(
+          name(), spark, opts, paths, meta.schema,
+          classOf[org.apache.spark.sql.execution.datasources.csv.CSVFileFormat])
+      case "json" =>
+        org.apache.spark.sql.execution.datasources.v2.json.JsonTable(
+          name(), spark, opts, paths, meta.schema,
+          classOf[org.apache.spark.sql.execution.datasources.json.JsonFileFormat])
+      case other => throw new IllegalStateException(s"unreachable format $other")
+    }
+  }
+
+  override def name(): String = s"$catalogName.$layer.$table"
+
+  override def schema(): StructType =
+    meta.schema.getOrElse(delegate.schema)
+
+  override def partitioning(): Array[Transform] = {
+    val cols =
+      if (meta.partitionCols.nonEmpty) meta.partitionCols
+      else delegate.partitioning().toSeq.collect {
+        case t if t.name == "identity" =>
+          t.references().head.fieldNames.mkString(".")
+      }
+    cols.map(Expressions.identity).toArray
+  }
+
+  private def effectivePartitionCols: Seq[String] =
+    partitioning().toSeq.collect {
+      case t if t.name == "identity" =>
+        t.references().head.fieldNames.mkString(".")
+    }
+
+  override def properties(): util.Map[String, String] =
+    Map("format" -> format, "location" -> dir).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  /** INSERT INTO (append) / INSERT OVERWRITE (truncate): a V1 write
+    * whose insert() routes through the engine's partitioned append and
+    * swap-replace — SQL writes get the identical crash-safety contract
+    * as the object API, because they ARE the object API.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = {
+        val replace = overwrite
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            (data, overwriteFlag) => {
+              val parts = effectivePartitionCols
+              if (replace || overwriteFlag)
+                engine.createOrReplace(data, layer, table, parts)
+              else engine.append(data, layer, table, parts)
+            }
+        }
+      }
+    }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(effectivePartitionCols.isEmpty,
+      s"${info.command} via SQL is supported on unpartitioned graft tables; " +
+        "partition-scoped row-level merges go through graft.runtime.Catalog.merge " +
+        "(cost bounded by touched partitions)")
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command
+      override def description(): String = s"graft copy-on-write ${info.command}"
+
+      /** The replaced "group" is the WHOLE table, so the operation's
+        * scan must produce every row the write supersedes. The wrapper
+        * therefore exposes NO pushdown surface: letting Spark push the
+        * command condition into the parquet scan would row-group-skip
+        * rows that don't match — exactly the carryover rows the
+        * replacement must keep — while the write still retires their
+        * files (verified: an unwrapped builder loses non-matching rows
+        * on `DELETE WHERE k = 1`). Group-scoped pruning needs a
+        * group-tracking scan (the Iceberg copy-on-write shape);
+        * partition-scoped cost control lives in Catalog.merge.
+        */
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            delegate.newScanBuilder(options).build()
+        }
+
+      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder { override def build(): Write = {
+          // snapshot the current generation's data files NOW (driver,
+          // pre-job): these are exactly the files the replacement
+          // supersedes and retires at commit
+          val fs = new Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val old = listDataFiles(fs, new Path(dir))
+          val fileWrite = delegate.newWriteBuilder(writeInfo).build()
+          new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old)
+        } }
+    }
+  }
+
+  private def listDataFiles(fs: FileSystem, p: Path): Seq[Path] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(fs, st.getPath)
+      else Seq(st.getPath)
+    }
+
+  /** The copy-on-write replacement write: delegate the distributed
+    * write (staged invisibly by the file commit protocol), then retire
+    * the superseded generation in the same driver commit.
+    *
+    * Row layout note: group-based ReplaceData rows arrive prefixed with
+    * Spark's `__row_operation` int column; the runtime only projects it
+    * away when the operation declares metadata attributes (the
+    * [[org.apache.spark.sql.execution.datasources.v2.ReplaceDataExec]]
+    * writingTask dispatch), so with none declared the raw
+    * `[op, data...]` rows would hit the format writer and overflow its
+    * schema. [[StripOperationFactory]] applies the data projection the
+    * engine would otherwise skip.
+    */
+  private class ReplaceFilesWrite(inner: Write, dataSchema: StructType,
+                                  dir: String,
+                                  oldFiles: Seq[Path]) extends Write {
+    override def description(): String = s"graft replace-data $dir"
+    override def toBatch: BatchWrite = new BatchWrite {
+      private val innerBatch = inner.toBatch
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        StripOperationFactory(innerBatch.createBatchWriterFactory(info),
+          dataSchema)
+      override def useCommitCoordinator(): Boolean =
+        innerBatch.useCommitCoordinator()
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        innerBatch.commit(messages) // new generation becomes visible
+        val fs = new Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        oldFiles.foreach(fs.delete(_, false)) // old generation retires
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        innerBatch.abort(messages) // old generation untouched
+    }
+  }
+}
+
+/** Task-side adapter for the [[GraftTable]] row-level write: strips the
+  * leading `__row_operation` column off group-based replacement rows
+  * (the rewrites emit `[op] ++ dataColumns` in table-column order, per
+  * `RewriteRowLevelCommand.buildReplaceDataProjections`) so the
+  * delegated file writer sees exactly its declared schema. Rows that
+  * already match the data schema pass through untouched, which keeps
+  * the adapter correct if a future Spark applies its own projection.
+  */
+private case class StripOperationFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val delegate = inner.createWriter(partitionId, taskId)
+    val n = dataSchema.length
+    val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      dataSchema, (1 to n).toIndexedSeq)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == n) delegate.write(row)
+        else {
+          require(row.numFields == n + 1,
+            s"replacement row has ${row.numFields} fields for a $n-column table")
+          proj.project(row)
+          delegate.write(proj)
+        }
+      override def commit(): WriterCommitMessage = delegate.commit()
+      override def abort(): Unit = delegate.abort()
+      override def close(): Unit = delegate.close()
+    }
+  }
+}

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.runtime.Catalog
+
+/** The DSv2 session-catalog plugin ([[graft.sources.GraftCatalog]]):
+  * SQL names, DDL, DML, and row-level operations resolving through
+  * `spark.sql.catalog.<name>` onto the engine's path-based warehouse.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  /** Fresh catalog per test: catalog instances are cached by name with
+    * their option snapshot, so each test registers a unique name over a
+    * unique scratch root.
+    */
+  private var n = 0
+  private def freshCatalog(format: String = "parquet"): (String, String) = {
+    n += 1
+    val name = s"gcat${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-cat-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.format", format)
+    (name, root)
+  }
+
+  test("DDL round-trip: create namespace -> create table -> insert -> select by name") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.people (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.ods.people VALUES (1, 'ada', 9.5), (2, 'lin', 7.25)")
+    spark.sql(s"INSERT INTO $cat.ods.people VALUES (3, 'bob', 3.0)")
+    val got = spark.table(s"$cat.ods.people").orderBy("id").collect()
+    assert(got.toSeq == Seq(Row(1L, "ada", 9.5), Row(2L, "lin", 7.25),
+      Row(3L, "bob", 3.0)))
+    // catalog introspection surfaces
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ods"))
+    assert(spark.sql(s"SHOW TABLES IN $cat.ods").collect()
+      .map(_.getString(1)).contains("people"))
+    assert(spark.sql(s"DESCRIBE TABLE $cat.ods.people").collect()
+      .map(_.getString(0)).contains("score"))
+  }
+
+  test("tables written by the object API are readable by SQL name, and vice versa") {
+    val (cat, root) = freshCatalog()
+    val engine = Catalog(spark, root)
+    import spark.implicits._
+    engine.createOrReplace(
+      Seq((1L, "de"), (2L, "fr"), (3L, "de")).toDF("id", "country"),
+      "ods", "visits")
+    // object-API table, no DDL, no sidecar: resolved + inferred by name
+    val bySql = spark.sql(
+      s"SELECT country, count(*) AS n FROM $cat.ods.visits GROUP BY country")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySql == Map("de" -> 2L, "fr" -> 1L))
+    // SQL-created table readable through the object API
+    spark.sql(s"CREATE TABLE $cat.ods.dims (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.dims VALUES (10, 'x'), (20, 'y')")
+    assert(engine.read("ods", "dims").count() == 2)
+  }
+
+  test("INSERT OVERWRITE replaces the full table state") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (1, 'old'), (2, 'old')")
+    spark.sql(s"INSERT OVERWRITE $cat.ods.t VALUES (9, 'new')")
+    assert(spark.table(s"$cat.ods.t").collect().toSeq == Seq(Row(9L, "new")))
+  }
+
+  test("partitioned create + insert produce a hive layout the scan prunes") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.events (id BIGINT, val STRING, day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.ods.events VALUES " +
+      "(1, 'a', '2026-01-01'), (2, 'b', '2026-01-02'), (3, 'c', '2026-01-01')")
+    // physical layout: hive partition directories (the object-API layout)
+    val dirs = new java.io.File(s"$root/ods/events").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("day=2026-01-01", "day=2026-01-02"))
+    // partition pruning reaches the file index: only one partition read
+    val pruned = spark.table(s"$cat.ods.events").filter(col("day") === "2026-01-02")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(pruned.collect().toSeq == Seq(Row(2L, "b", "2026-01-02")))
+    // appends accumulate per-partition, replacing nothing
+    spark.sql(s"INSERT INTO $cat.ods.events VALUES (4, 'd', '2026-01-02')")
+    assert(spark.table(s"$cat.ods.events").count() == 4)
+    assert(scanDesc.contains("PartitionFilters"))
+  }
+
+  test("MERGE INTO executes upsert + delete through the SQL surface") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.bal (k BIGINT, cents BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.bal VALUES " +
+      "(1, 100, 'A'), (2, 200, 'B'), (3, 300, 'A'), (4, 400, 'C')")
+    import spark.implicits._
+    Seq((2L, 999L, "B", false), (4L, 0L, "C", true), (5L, 555L, "N", false))
+      .toDF("k", "cents", "seg", "del").createOrReplaceTempView("bal_updates")
+    spark.sql(
+      s"""MERGE INTO $cat.ods.bal t USING bal_updates u ON t.k = u.k
+         |WHEN MATCHED AND u.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.cents = u.cents, t.seg = u.seg
+         |WHEN NOT MATCHED THEN INSERT (k, cents, seg) VALUES (u.k, u.cents, u.seg)
+         |""".stripMargin)
+    val got = spark.table(s"$cat.ods.bal").orderBy("k").collect()
+    assert(got.toSeq == Seq(
+      Row(1L, 100L, "A"),  // untouched
+      Row(2L, 999L, "B"),  // updated
+      Row(3L, 300L, "A"),  // untouched
+      Row(5L, 555L, "N"))) // inserted; 4 deleted
+  }
+
+  test("UPDATE and DELETE rewrite through the copy-on-write operation") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.kv (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.kv VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    spark.sql(s"UPDATE $cat.ods.kv SET v = v + 1 WHERE k % 2 = 0")
+    spark.sql(s"DELETE FROM $cat.ods.kv WHERE k = 1")
+    val got = spark.table(s"$cat.ods.kv").orderBy("k").collect()
+    assert(got.toSeq == Seq(Row(2L, 21L), Row(3L, 30L), Row(4L, 41L)))
+  }
+
+  test("drop and rename manage the directory layout") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.a (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.a VALUES (1)")
+    spark.sql(s"ALTER TABLE $cat.ods.a RENAME TO ods.b")
+    assert(!new java.io.File(s"$root/ods/a").exists())
+    assert(spark.table(s"$cat.ods.b").count() == 1)
+    spark.sql(s"DROP TABLE $cat.ods.b")
+    assert(!new java.io.File(s"$root/ods/b").exists())
+    assert(spark.sql(s"SHOW TABLES IN $cat.ods").collect().isEmpty)
+  }
+
+  test("CREATE TABLE AS SELECT lands schema and data") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    import spark.implicits._
+    Seq((1L, "x", 5.0), (2L, "y", 6.0)).toDF("id", "tag", "w")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE $cat.mart.copy AS SELECT id, w FROM ctas_src")
+    val got = spark.table(s"$cat.mart.copy").orderBy("id").collect()
+    assert(got.toSeq == Seq(Row(1L, 5.0), Row(2L, 6.0)))
+  }
+
+  test("a non-default storage format round-trips through SQL") {
+    val (cat, _) = freshCatalog(format = "orc")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (7, 'orc-row')")
+    assert(spark.table(s"$cat.ods.t").collect().toSeq == Seq(Row(7L, "orc-row")))
+  }
+
+  test("row-level SQL on a partitioned table is refused with guidance") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.pt (k BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $cat.ods.pt VALUES (1, 'd1')")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.ods.pt WHERE k = 1")
+    }
+    assert(e.getMessage.contains("Catalog.merge"),
+      s"expected guidance to the partition-scoped merge, got: ${e.getMessage}")
+  }
+}
