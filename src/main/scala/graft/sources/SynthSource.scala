@@ -121,11 +121,11 @@ private class SynthScanBuilder(numRows: Long, partitions: Int,
     * id range are O(1) arithmetic on [lo, hi) — the connector answers
     * them without generating a single row, the DSv2 analogue of
     * metadata-only aggregate answering (parquet footer counts, Iceberg
-    * manifest stats). Grouped or non-range aggregates are declined and
-    * run in Spark as usual.
+    * manifest stats). Non-range aggregates are declined and run in
+    * Spark as usual.
     */
-  private def answerable(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+  private def rangeAggs(agg: Aggregation): Boolean =
+    agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => m.column match {
@@ -139,12 +139,34 @@ private class SynthScanBuilder(numRows: Long, partitions: Int,
         case _ => false
       }
 
-  // one row from one partition — the complete-pushdown contract
+  private def answerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && rangeAggs(agg)
+
+  /** GROUP BY the key the layout is organized by (doc_id — the bucket
+    * key of bucketed tables) is ALSO metadata arithmetic: every id in
+    * [lo, hi) is its own group, so each group's COUNT(*)/MIN/MAX is a
+    * pure function of the id and the connector can emit finished
+    * per-group rows with neither row generation (no text/source
+    * synthesis) nor any Spark-side aggregation or exchange — the DSv2
+    * analogue of a warehouse connector answering partition-grouped
+    * aggregates from its manifest. The complete-pushdown contract
+    * requires each group to appear in EXACTLY ONE emitted row, which
+    * holds for both the contiguous range split and the strided bucket
+    * split (each id lives in exactly one partition either way).
+    */
+  private def groupedAnswerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.length == 1 &&
+      (agg.groupByExpressions.head match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }) && rangeAggs(agg)
+
+  // one row per group from one partition — the complete-pushdown contract
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerable(agg)
+    answerable(agg) || groupedAnswerable(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = answerable(agg)
+    val ok = answerable(agg) || groupedAnswerable(agg)
     if (ok) aggPushed = Some(agg)
     ok
   }
@@ -229,9 +251,90 @@ private class SynthScanBuilder(numRows: Long, partitions: Int,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = aggPushed match {
-    case Some(agg) => new SynthAggScan(lo, hi, agg)
+    case Some(agg) if agg.groupByExpressions.isEmpty =>
+      new SynthAggScan(lo, hi, agg)
+    case Some(agg) =>
+      new SynthGroupedAggScan(lo, hi, partitions, buckets, agg)
     case None => new SynthScan(lo, hi, partitions, required, buckets,
       rowsPerBatch)
+  }
+}
+
+/** Completely-pushed GROUP BY doc_id scan: one finished row per group
+  * (id, then the aggregates in pushed order), generated arithmetically
+  * in parallel over the same range/bucket split as the row scan — no
+  * column synthesis, no Spark-side aggregation.
+  */
+private class SynthGroupedAggScan(
+    lo: Long, hi: Long, partitions: Int, buckets: Int,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+  extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  override def readSchema(): StructType = StructType(
+    StructField("doc_id", LongType, nullable = false) +:
+      agg.aggregateExpressions.zipWithIndex.map {
+        case (_, i) => StructField(s"agg_$i", LongType, nullable = false)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth range=[$lo,$hi) pushedGroupBy=[doc_id] pushedAggregates=[" +
+      agg.aggregateExpressions.map(_.toString).mkString(", ") + "]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (buckets > 0)
+      return (0 until buckets)
+        .map(b => SynthBucket(b, buckets, lo, hi): InputPartition).toArray
+    val total = math.max(0L, hi - lo)
+    if (total == 0) return Array.empty
+    val n = math.max(1L, math.min(partitions.toLong, total)).toInt
+    val step = (total + n - 1) / n
+    (0 until n).map { i =>
+      val s = lo + i * step
+      SynthRange(s, math.min(s + step, hi))
+    }.filter(r => r.lo < r.hi).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // resolve each aggregate to a per-id generator once, driver-side;
+    // the factory ships only a serializable tag array
+    val tags: Array[Int] = agg.aggregateExpressions.map {
+      case _: CountStar => 0
+      case _: Min => 1
+      case _: Max => 2
+      case other => throw new IllegalStateException(
+        s"unanswerable pushed aggregate $other") // groupedAnswerable gates
+    }.toArray
+    new SynthGroupedAggReaderFactory(tags)
+  }
+}
+
+private class SynthGroupedAggReaderFactory(tags: Array[Int])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (first, hi, step) = p match {
+      case SynthRange(lo, h) => (lo, h, 1L)
+      case SynthBucket(b, n, lo, h) =>
+        (lo + (((b - (lo % n).toInt) % n + n) % n).toLong, h, n.toLong)
+      case other =>
+        throw new IllegalArgumentException(s"unexpected partition $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var id = first - step
+      override def next(): Boolean = { id += step; id < hi }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](tags.length + 1)
+        vals(0) = id
+        var i = 0
+        while (i < tags.length) {
+          vals(i + 1) = if (tags(i) == 0) 1L else id // count=1; min=max=id
+          i += 1
+        }
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(vals))
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -72,6 +72,34 @@ class SynthSourceSpec extends SparkSpec {
     assert(empty.collect().head.toSeq == Seq(0L, null, null))
   }
 
+  test("GROUP BY the layout key pushes completely: no aggregate, no exchange, no rows") {
+    val df = read(1000, parts = 4)
+      .filter($"doc_id" >= 100 && $"doc_id" < 140)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), max($"doc_id").as("mx"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("pushedGroupBy=[doc_id]"),
+      scan.scan.description())
+    // COMPLETE pushdown: Spark plans neither an aggregate nor the
+    // shuffle underneath one — the scan's finished per-group rows ARE
+    // the result (the manifest-answered partition-grouped aggregate
+    // shape of real warehouse connectors)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(df.as[(Long, Long, Long)].collect().sorted.toSeq ==
+      (100L until 140L).map(id => (id, 1L, id)))
+    // bucketed layout: same complete pushdown over the strided split,
+    // every group exactly once
+    val bucketed = spark.read.format("graft-synth")
+      .option("rows", "300").option("buckets", "8").load()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    assert(scanOf(bucketed).scan.description().contains("pushedGroupBy="))
+    assert(bucketed.as[(Long, Long, Long)].collect().sorted.toSeq ==
+      (0L until 300L).map(id => (id, 1L, id)))
+  }
+
   test("unsupported aggregates decline pushdown and stay correct") {
     // grouped aggregate: connector declines, Spark aggregates rows
     val grouped = read(100).groupBy($"lang").agg(count(lit(1)).as("n"))
