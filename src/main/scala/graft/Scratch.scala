@@ -9,6 +9,12 @@ object Scratch {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.runtime.GraftSession.local()
+    // SPARK_GRAFT_SET="k=v,k=v": session-conf overrides, for A/B-ing a
+    // rule or config against the same query (e.g. spark.graft.topk.rewrite)
+    sys.env.get("SPARK_GRAFT_SET").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.range(1000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))

@@ -7,11 +7,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal, Expression => CatalystExpr}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportStatistics, SupportsRuntimeV2Filtering, VariantExtraction}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.execution.datasources.v2.FileTable
+import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder, FileTable}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -351,8 +355,23 @@ private[sources] class GraftTable(
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Scans wrap the delegate builder to add what Spark's own V2 file
+    * scans are missing: `SupportsRuntimeV2Filtering`. Without it, a
+    * join against a filtered dimension on the partition key
+    * full-scans history — V1 file reads get dynamic partition pruning
+    * from `FileSourceScanExec`, but `FileScan` never implemented the
+    * V2 runtime-filtering contract, so a DSv2 catalog table silently
+    * loses the whole DPP tier (the reason Spark keeps built-in file
+    * sources on the V1 path by default). The wrapper forwards every
+    * pushdown surface and translates runtime IN-predicates on
+    * partition columns back into catalyst partition filters on a
+    * rebuilt delegate scan. PartitionPruningSpec pins the behavior.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    delegate.newScanBuilder(options) match {
+      case fsb: FileScanBuilder => new GraftScanBuilder(fsb)
+      case other => other
+    }
 
   /** INSERT INTO (append) / INSERT OVERWRITE (truncate): a V1 write
     * whose insert() routes through the engine's partitioned append and
@@ -499,4 +518,132 @@ private case class StripOperationFactory(
       override def close(): Unit = delegate.close()
     }
   }
+}
+
+/** Forwarding scan builder: preserves every pushdown tier of the
+  * delegate file builder (column pruning, catalyst filter pushdown,
+  * aggregate pushdown, variant extraction) and wraps the built scan in
+  * [[GraftRuntimeFilterScan]] so catalog tables participate in dynamic
+  * partition pruning — the one scan tier Spark's V2 file scans lack.
+  */
+private[sources] final class GraftScanBuilder(delegate: FileScanBuilder)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with SupportsPushDownAggregates
+  with SupportsPushDownVariantExtractions {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] =
+    delegate.pushFilters(filters)
+
+  override def pushedFilters: Array[Predicate] = delegate.pushedFilters
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    delegate match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+      case _ => false
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    delegate match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] =
+    delegate match {
+      case v: SupportsPushDownVariantExtractions =>
+        v.pushVariantExtractions(extractions)
+      case _ => new Array[Boolean](extractions.length)
+    }
+
+  override def build(): Scan = delegate.build() match {
+    case fs: FileScan => new GraftRuntimeFilterScan(fs)
+    case other => other
+  }
+}
+
+/** Runtime-filterable file scan: declares the partition columns as
+  * filter attributes, and on `filter(...)` translates the IN
+  * predicates Spark's DPP machinery delivers (see
+  * `DataSourceV2Strategy.translateRuntimeFilterV2`: `Predicate("IN",
+  * FieldReference +: LiteralValue*)` with catalyst-internal values)
+  * into catalyst partition filters on a rebuilt delegate — partition
+  * directories outside the dimension's filtered key set are never
+  * listed, let alone read. Predicates that aren't partition-column IN/=
+  * shapes are ignored, which is always safe: runtime filters are an
+  * optimization, the join above still applies the full condition.
+  */
+private[sources] final class GraftRuntimeFilterScan(initial: FileScan)
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  @volatile private var current: FileScan = initial
+
+  override def readSchema(): StructType = current.readSchema()
+  override def toBatch: Batch = current.toBatch
+  override def description(): String = current.description()
+  override def estimateStatistics(): Statistics = current.estimateStatistics()
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    current.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    current.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    current.columnarSupportMode()
+
+  override def filterAttributes(): Array[NamedReference] =
+    current.readPartitionSchema.fieldNames.map(Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val partSchema = current.readPartitionSchema
+    val extra = predicates.toSeq.flatMap(toPartitionFilter(_, partSchema))
+    if (extra.nonEmpty) current = withPartitionFilters(current, extra)
+  }
+
+  /** IN/= on a partition column → catalyst expression bound (by name —
+    * `PartitioningAwareFileIndex` resolves partition-filter attributes
+    * by name) to the partition schema; anything else → None.
+    */
+  private def toPartitionFilter(p: Predicate,
+                                partSchema: StructType): Option[CatalystExpr] = {
+    def attrOf(ref: NamedReference): Option[AttributeReference] = {
+      val name = ref.fieldNames.mkString(".")
+      partSchema.fields.find(f => f.name.equalsIgnoreCase(name))
+        .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
+    }
+    p.children().toSeq match {
+      case (ref: NamedReference) +: values
+        if p.name == "IN" && values.nonEmpty &&
+          values.forall(_.isInstanceOf[V2Literal[_]]) =>
+        attrOf(ref).map { a =>
+          In(a, values.map { case l: V2Literal[_] =>
+            Literal(l.value, l.dataType)
+          })
+        }
+      case Seq(ref: NamedReference, l: V2Literal[_]) if p.name == "=" =>
+        attrOf(ref).map(a => EqualTo(a, Literal(l.value, l.dataType)))
+      case _ => None
+    }
+  }
+
+  /** Rebuild the delegate with extra partition filters — each concrete
+    * file scan is a case class carrying `partitionFilters`, applied by
+    * the shared file index at listing time.
+    */
+  private def withPartitionFilters(scan: FileScan,
+                                   extra: Seq[CatalystExpr]): FileScan =
+    scan match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.copy(partitionFilters = p.partitionFilters ++ extra)
+      case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
+        o.copy(partitionFilters = o.partitionFilters ++ extra)
+      case c: org.apache.spark.sql.execution.datasources.v2.csv.CSVScan =>
+        c.copy(partitionFilters = c.partitionFilters ++ extra)
+      case j: org.apache.spark.sql.execution.datasources.v2.json.JsonScan =>
+        j.copy(partitionFilters = j.partitionFilters ++ extra)
+      case other => other // unknown scan type: skip pruning, stay correct
+    }
 }

@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * line per run plus a summary with time ratios.
   */
 object ScaleProbe {
-  private val Stride = 10000000L // > any entity key at any generated sf
+  // > any entity key at any generated sf, and far above the synthetic
+  // key offsets some queries add (q159 inserts at k + 1e7 — a 1e7
+  // stride made clone-1's keys collide with clone-0's synthetic rows)
+  private val Stride = 1000000000L
 
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: src :: dst :: factor :: Nil =>

@@ -108,6 +108,43 @@ class PartitionPruningSpec extends SparkSpec {
     assert(q.count() == 2) // audit days 2020-03-01 and 2020-03-04
   }
 
+  test("DPP survives the session catalog: runtime pruning on a partitioned SQL table") {
+    // same join shape as the v1-path test above, but resolved through
+    // the DSv2 session catalog (graft.sources.GraftCatalog) — proves
+    // the delegate file-table scan kept Spark's runtime group
+    // filtering tier (SupportsRuntimeV2Filtering), not just static
+    // pushdown
+    val name = s"gdpp${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", tmpDir("gdpp_wh"))
+    spark.sql(s"CREATE NAMESPACE $name.dds")
+    spark.sql(s"CREATE TABLE $name.dds.fact " +
+      "(location_key STRING, confirmed BIGINT, report_date DATE) " +
+      "PARTITIONED BY (report_date)")
+    val factRows = dates.flatMap(d => Seq("AA", "BB", "CC").map(k =>
+      s"('$k', 100, DATE'$d')")).mkString(", ")
+    spark.sql(s"INSERT INTO $name.dds.fact VALUES $factRows")
+
+    val dimPath = tmpDir("gdpp_dim")
+    dates.zipWithIndex
+      .map { case (d, i) =>
+        (Date.valueOf(d), if (i % 3 == 0) "audit" else "regular") }
+      .toDF("report_date", "day_kind")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView(s"${name}_dates")
+
+    val q = spark.sql(s"""
+      SELECT f.report_date, sum(f.confirmed) AS c
+      FROM $name.dds.fact f
+      JOIN ${name}_dates d ON d.report_date = f.report_date
+      WHERE d.day_kind = 'audit'
+      GROUP BY f.report_date""")
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no runtime pruning on the catalog table scan:\n$plan")
+    assert(q.count() == 2)
+  }
+
   test("flagship window paths keep full history below the LAG window (pinned semantics)") {
     val cat = seed()
     val fact = cat.read(DdsLayer.layer, DdsLayer.factTable)
