@@ -391,7 +391,8 @@ object CatalogQueries {
     * catalog instances are cached by name with their option snapshot —
     * a reused name would pin the first invocation's scratch dir.
     */
-  private def sqlCatalog(spark: SparkSession, prefix: String): String = {
+  private def sqlCatalog(spark: SparkSession, prefix: String,
+                         versions: Int = 0): String = {
     val dir = scratch(prefix)
     val name = prefix + java.lang.Long.toHexString(
       java.security.MessageDigest.getInstance("SHA-256")
@@ -399,6 +400,8 @@ object CatalogQueries {
         .foldLeft(0L)((a, b) => (a << 8) | (b & 0xff)))
     spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$name.root", dir)
+    if (versions > 0)
+      spark.conf.set(s"spark.sql.catalog.$name.versions", versions.toString)
     name
   }
 
@@ -504,6 +507,69 @@ object CatalogQueries {
       |SELECT k, bal_cents, seg FROM merged
       |WHERE NOT (seg = 'NEW' AND k % 2 = 0)""".stripMargin
 
+  /** q184 — time travel as SQL TEXT: `VERSION AS OF` resolving through
+    * the session catalog's `loadTable(ident, version)` onto the
+    * engine's version store — the SQL twin of q172's object-API
+    * `readVersion` (and of the reference's Iceberg snapshot reads).
+    * Three full-replace states land through INSERT OVERWRITE with
+    * version retention on (`spark.sql.catalog.<name>.versions`); the
+    * result unions per-segment summaries of version 1, version 2, and
+    * the live table, so the snapshot numbering, the archived bytes,
+    * and the live read all sit on the oracle hash.
+    */
+  def q184SqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g184", versions = 4)
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g184_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.hist (k BIGINT, bal BIGINT, seg STRING)")
+    spark.sql(s"""INSERT INTO $cat.ods.hist
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g184_customer""")
+    spark.sql(s"""INSERT OVERWRITE $cat.ods.hist
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 3 = 0
+          THEN CAST(round(c_acctbal * 100) AS BIGINT) + 1000
+          ELSE CAST(round(c_acctbal * 100) AS BIGINT) END,
+        c_mktsegment
+      FROM g184_customer""")
+    spark.sql(s"""INSERT OVERWRITE $cat.ods.hist
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 3 = 0
+          THEN CAST(round(c_acctbal * 100) AS BIGINT) + 1000
+          ELSE CAST(round(c_acctbal * 100) AS BIGINT) END,
+        c_mktsegment
+      FROM g184_customer WHERE c_custkey % 5 <> 0""")
+    spark.sql(s"""
+      SELECT 'v_first' AS state, seg, count(*) AS n, sum(bal) AS bal_sum
+      FROM $cat.ods.hist VERSION AS OF 1 GROUP BY seg
+      UNION ALL
+      SELECT 'v_second', seg, count(*), sum(bal)
+      FROM $cat.ods.hist VERSION AS OF 2 GROUP BY seg
+      UNION ALL
+      SELECT 'live', seg, count(*), sum(bal)
+      FROM $cat.ods.hist GROUP BY seg""")
+  }
+
+  val q184Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |    c_mktsegment AS seg
+       |  FROM customer),
+       |b AS (
+       |  SELECT k, CASE WHEN k % 3 = 0 THEN bal + 1000 ELSE bal END AS bal,
+       |    seg
+       |  FROM base),
+       |c AS (SELECT * FROM b WHERE k % 5 <> 0)
+       |SELECT 'v_first' AS state, seg, ${bi("count(*)")} AS n,
+       |  ${bi("sum(bal)")} AS bal_sum FROM base GROUP BY seg
+       |UNION ALL
+       |SELECT 'v_second', seg, ${bi("count(*)")}, ${bi("sum(bal)")}
+       |FROM b GROUP BY seg
+       |UNION ALL
+       |SELECT 'live', seg, ${bi("count(*)")}, ${bi("sum(bal)")}
+       |FROM c GROUP BY seg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -515,7 +581,8 @@ object CatalogQueries {
     "q176_bucketed_join" -> (q176BucketedJoin _),
     "q177_expectations" -> (q177Expectations _),
     "q182_sql_catalog" -> (q182SqlCatalog _),
-    "q183_sql_merge" -> (q183SqlMerge _))
+    "q183_sql_merge" -> (q183SqlMerge _),
+    "q184_sql_time_travel" -> (q184SqlTimeTravel _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -528,5 +595,6 @@ object CatalogQueries {
     "q176_bucketed_join" -> q176Oracle,
     "q177_expectations" -> q177Oracle,
     "q182_sql_catalog" -> q182Oracle,
-    "q183_sql_merge" -> q183Oracle)
+    "q183_sql_merge" -> q183Oracle,
+    "q184_sql_time_travel" -> q184Oracle)
 }

@@ -71,6 +71,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = "graft"
   private var root: String = _
   private var format: String = "parquet"
+  private var versions: Int = 0
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -80,12 +81,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     format = Option(options.get("format")).getOrElse("parquet")
     require(Catalog.Formats.contains(format),
       s"unsupported format '$format' (one of ${Catalog.Formats.mkString(", ")})")
+    // spark.sql.catalog.<name>.versions = N retains each full replace
+    // as an Iceberg-snapshot-style version — the store VERSION AS OF /
+    // TIMESTAMP AS OF resolve against
+    versions = Option(options.get("versions")).map(_.toInt).getOrElse(0)
+    require(versions >= 0, "versions must be >= 0")
   }
 
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
-  private def engine: Catalog = Catalog(spark, root, format)
+  private def engine: Catalog = Catalog(spark, root, format, versions)
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -170,7 +176,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val meta = GraftTableMeta.read(fs, tableDir(ident))
     new GraftTable(spark, catalogName, root, format,
-      layerOf(ident.namespace), ident.name, meta)
+      layerOf(ident.namespace), ident.name, meta, versions)
+  }
+
+  /** `SELECT ... FROM cat.ns.t VERSION AS OF n` — serves the retained
+    * version directory ([[graft.runtime.Catalog.readVersion]]'s store)
+    * as a read-only snapshot table. Version n is the table as it was
+    * BEFORE the (n+1)-th retained full replace, matching the object
+    * API's `history` numbering exactly.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft versions are integers (history numbering), got '$version'")
+    }
+    val hist = engine.history(layerOf(ident.namespace), ident.name)
+    require(hist.contains(v),
+      s"$ident has no retained version $v (history: ${hist.mkString(", ")})")
+    snapshotTable(ident, v)
+  }
+
+  /** `SELECT ... FROM cat.ns.t TIMESTAMP AS OF ts` — resolves against
+    * each state's PUBLISH time, which the directory store carries for
+    * free: a directory's mtime is when its files were written, and the
+    * archive rename (like the publish swap) preserves it. The state at
+    * ts is therefore the latest state (retained version or the live
+    * table) whose publish mtime is at-or-before ts — Iceberg's
+    * snapshot-as-of rule over a directory store. A ts before the
+    * earliest retained publish is refused (that history is pruned,
+    * same as Iceberg before the first snapshot).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val layer = layerOf(ident.namespace)
+    val tsMillis = timestamp / 1000L // Spark passes microseconds
+    def publishedAt(p: Path): Long = fs.getFileStatus(p).getModificationTime
+    val states: Seq[(Option[Int], Long)] =
+      engine.history(layer, ident.name).map { v =>
+        (Some(v), publishedAt(new Path(
+          s"$root/$layer/${ident.name}.__versions/" + f"v$v%06d")))
+      } :+ ((None, publishedAt(tableDir(ident))))
+    val atOrBefore = states.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"$ident: timestamp predates the retained history (earliest " +
+        s"publish ${new java.sql.Timestamp(states.map(_._2).min)})")
+    atOrBefore.maxBy(_._2)._1 match {
+      case Some(v) => snapshotTable(ident, v)
+      case None => loadTable(ident) // live state is the match
+    }
+  }
+
+  private def snapshotTable(ident: Identifier, v: Int): Table = {
+    val layer = layerOf(ident.namespace)
+    new GraftTable(spark, catalogName, root, format, layer,
+      s"${ident.name}@v$v", GraftTableMeta(None, Nil), versions,
+      dataDirOverride =
+        Some(s"$root/$layer/${ident.name}.__versions/" + f"v$v%06d"))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -282,13 +344,18 @@ private[sources] object GraftTableMeta {
   */
 private[sources] class GraftTable(
     spark: SparkSession, catalogName: String, root: String, format: String,
-    layer: String, table: String, meta: GraftTableMeta)
+    layer: String, table: String, meta: GraftTableMeta,
+    versions: Int = 0,
+    // time-travel reads serve an archived version directory instead of
+    // the live table dir, and are strictly read-only
+    dataDirOverride: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations {
 
-  private val dir = s"$root/$layer/$table"
+  private val dir = dataDirOverride.getOrElse(s"$root/$layer/$table")
+  private def readOnly: Boolean = dataDirOverride.isDefined
 
-  private def engine: Catalog = Catalog(spark, root, format)
+  private def engine: Catalog = Catalog(spark, root, format, versions)
 
   /** Per-format reader options mirroring [[Catalog.readOptions]]; the
     * sidecar schema (when present) replaces csv inference.
@@ -352,7 +419,8 @@ private[sources] class GraftTable(
     Map("format" -> format, "location" -> dir).asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** Scans wrap the delegate builder to add what Spark's own V2 file
@@ -378,7 +446,8 @@ private[sources] class GraftTable(
     * swap-replace — SQL writes get the identical crash-safety contract
     * as the object API, because they ARE the object API.
     */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -395,9 +464,11 @@ private[sources] class GraftTable(
         }
       }
     }
+  }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
     require(effectivePartitionCols.isEmpty,
       s"${info.command} via SQL is supported on unpartitioned graft tables; " +
         "partition-scoped row-level merges go through graft.runtime.Catalog.merge " +

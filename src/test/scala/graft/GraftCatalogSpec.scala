@@ -169,4 +169,53 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("Catalog.merge"),
       s"expected guidance to the partition-scoped merge, got: ${e.getMessage}")
   }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve retained states; snapshots are read-only") {
+    val (cat, root) = freshCatalog()
+    spark.conf.set(s"spark.sql.catalog.$cat.versions", "3")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.hist (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.hist VALUES (1, 'a')")
+    spark.sql(s"INSERT OVERWRITE $cat.ods.hist VALUES (1, 'b'), (2, 'b')")
+    Thread.sleep(1200) // separate the two archive mtimes + the probe ts
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(1200)
+    spark.sql(s"INSERT OVERWRITE $cat.ods.hist VALUES (3, 'c')")
+
+    // live vs versions (history numbering = object API's)
+    assert(spark.table(s"$cat.ods.hist").collect().toSeq == Seq(Row(3L, "c")))
+    val v1 = spark.sql(s"SELECT * FROM $cat.ods.hist VERSION AS OF 1")
+      .orderBy("k").collect().toSeq
+    assert(v1 == Seq(Row(1L, "a")), s"v1 = $v1")
+    val v2 = spark.sql(s"SELECT * FROM $cat.ods.hist VERSION AS OF 2")
+      .orderBy("k").collect().toSeq
+    assert(v2 == Seq(Row(1L, "b"), Row(2L, "b")), s"v2 = $v2")
+
+    // timestamp between the two replaces resolves to the middle state
+    val atTs = spark.sql(s"SELECT * FROM $cat.ods.hist " +
+        s"TIMESTAMP AS OF timestamp_millis(${betweenMillis}L)")
+      .orderBy("k").collect().toSeq
+    assert(atTs == Seq(Row(1L, "b"), Row(2L, "b")), s"atTs = $atTs")
+    // a future timestamp reads the live table
+    val future = spark.sql(s"SELECT * FROM $cat.ods.hist " +
+        s"TIMESTAMP AS OF timestamp_millis(${System.currentTimeMillis() + 60000}L)")
+      .collect().toSeq
+    assert(future == Seq(Row(3L, "c")))
+
+    // snapshots refuse writes, missing versions refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ods.hist VERSION AS OF 1 VALUES (9, 'x')")
+    }
+    assert(e != null)
+    val missing = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ods.hist VERSION AS OF 99").collect()
+    }
+    assert(missing.getMessage.contains("no retained version"),
+      s"got: ${missing.getMessage}")
+
+    // object-API history sees the same numbering over the same root
+    val eng = Catalog(spark, root, versions = 3)
+    assert(eng.history("ods", "hist") == Seq(1, 2))
+    assert(eng.readVersion("ods", "hist", 1).collect().toSeq == Seq(Row(1L, "a")))
+  }
 }
