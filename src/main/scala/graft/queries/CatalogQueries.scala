@@ -550,6 +550,44 @@ object CatalogQueries {
       FROM $cat.ods.hist GROUP BY seg""")
   }
 
+  /** q185 — schema evolution as SQL DDL: `ALTER TABLE ADD COLUMN`
+    * (metadata-only; pre-change files null-fill the new column on
+    * read) and `DROP COLUMN` (readers stop projecting it), through the
+    * session catalog's sidecar-schema alterTable — the SQL twin of
+    * q160's object-API readMerged evolution. Old rows group under a
+    * NULL segment, new rows under their real one, and the post-drop
+    * column count proves DROP took effect — all on one oracle hash.
+    */
+  def q185SqlSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g185")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g185_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.hist (k BIGINT, bal BIGINT)")
+    spark.sql(s"""INSERT INTO $cat.ods.hist
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM g185_customer WHERE c_custkey % 2 = 0""")
+    spark.sql(s"ALTER TABLE $cat.ods.hist ADD COLUMN seg STRING")
+    spark.sql(s"""INSERT INTO $cat.ods.hist
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g185_customer WHERE c_custkey % 2 = 1""")
+    val evolved = spark.sql(s"""
+      SELECT seg, count(*) AS n, sum(bal) AS bal_sum
+      FROM $cat.ods.hist GROUP BY seg""")
+    spark.sql(s"ALTER TABLE $cat.ods.hist DROP COLUMN bal")
+    val postDrop = spark.table(s"$cat.ods.hist").columns.length.toLong
+    evolved.unionAll(spark.sql(
+      s"SELECT '__cols_after_drop__' AS seg, ${postDrop}L AS n, " +
+        "CAST(NULL AS BIGINT) AS bal_sum"))
+  }
+
+  val q185Oracle: String =
+    s"""SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS seg,
+       |  ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS bal_sum
+       |FROM customer GROUP BY 1
+       |UNION ALL
+       |SELECT '__cols_after_drop__', 2, NULL""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -582,7 +620,8 @@ object CatalogQueries {
     "q177_expectations" -> (q177Expectations _),
     "q182_sql_catalog" -> (q182SqlCatalog _),
     "q183_sql_merge" -> (q183SqlMerge _),
-    "q184_sql_time_travel" -> (q184SqlTimeTravel _))
+    "q184_sql_time_travel" -> (q184SqlTimeTravel _),
+    "q185_sql_schema_evolution" -> (q185SqlSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -596,5 +635,6 @@ object CatalogQueries {
     "q177_expectations" -> q177Oracle,
     "q182_sql_catalog" -> q182Oracle,
     "q183_sql_merge" -> q183Oracle,
-    "q184_sql_time_travel" -> q184Oracle)
+    "q184_sql_time_travel" -> q184Oracle,
+    "q185_sql_schema_evolution" -> q185Oracle)
 }

@@ -257,10 +257,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       layerOf(ident.namespace), ident.name, meta)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution happens through " +
-        "appends + mergeSchema reads (Catalog.readMerged)")
+  /** Schema evolution through SQL DDL — the metadata-only subset that
+    * is safe over immutable data files:
+    *  - ADD COLUMN (nullable, no default): appended to the sidecar
+    *    schema; files written before the change simply lack the column
+    *    and every format here null-fills a requested-but-absent field,
+    *    so old rows read as NULL with zero rewrites — Iceberg's add-
+    *    column semantics;
+    *  - DROP COLUMN: removed from the sidecar schema; readers stop
+    *    projecting it (the bytes stay in old files, unreachable) —
+    *    again metadata-only.
+    * RENAME COLUMN is refused: files resolve columns BY NAME, so a
+    * rename would silently disconnect every existing file's data from
+    * the renamed field (Iceberg survives this via field IDs; a plain
+    * directory store has none). Type changes and defaults are refused
+    * for the same read-path reasons. A table created by the object API
+    * (no sidecar) gets its inferred schema materialized first, then
+    * altered.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    require(format != "csv",
+      "csv files resolve columns by POSITION: any schema change would " +
+        "mis-map existing files' columns — rewrite via CTAS instead")
+    val dir = tableDir(ident)
+    val meta0 = GraftTableMeta.read(fs, dir)
+    val table0 = new GraftTable(spark, catalogName, root, format,
+      layerOf(ident.namespace), ident.name, meta0, versions)
+    val base = meta0.schema.getOrElse(table0.schema())
+    val partCols =
+      if (meta0.partitionCols.nonEmpty) meta0.partitionCols
+      else table0.partitioning().toSeq.collect {
+        case t if t.name == "identity" =>
+          t.references().head.fieldNames.mkString(".")
+      }
+    val newSchema = changes.foldLeft(base) { (s, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            s"graft tables support top-level columns only, got ${add.fieldNames.mkString(".")}")
+          val name = add.fieldNames.head
+          require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"column $name already exists")
+          require(add.isNullable,
+            s"ADD COLUMN $name must be nullable: rows written before the " +
+              "change have no value for it")
+          require(add.defaultValue == null,
+            s"ADD COLUMN $name: defaults are not supported (old files " +
+              "cannot be backfilled without a rewrite)")
+          StructType(s.fields :+
+            org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            s"graft tables support top-level columns only, got ${del.fieldNames.mkString(".")}")
+          val name = del.fieldNames.head
+          require(!partCols.exists(_.equalsIgnoreCase(name)),
+            s"cannot drop partition column $name")
+          if (!s.fieldNames.exists(_.equalsIgnoreCase(name))) {
+            require(del.ifExists, s"column $name does not exist"); s
+          } else {
+            val remaining = s.fields.filterNot(_.name.equalsIgnoreCase(name))
+            require(remaining.nonEmpty, "cannot drop the last column")
+            StructType(remaining)
+          }
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change $other: only metadata-safe " +
+            "ADD COLUMN / DROP COLUMN are supported (renames and type " +
+            "changes would disconnect existing files, which resolve " +
+            "columns by name)")
+      }
+    }
+    GraftTableMeta.write(fs, dir, GraftTableMeta(Some(newSchema), partCols))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && {

@@ -170,6 +170,53 @@ class GraftCatalogSpec extends SparkSpec {
       s"expected guidance to the partition-scoped merge, got: ${e.getMessage}")
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN evolve the schema metadata-only") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.ev (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.ev VALUES (1, 'old')")
+
+    spark.sql(s"ALTER TABLE $cat.ods.ev ADD COLUMN score DOUBLE")
+    // pre-change files null-fill the new column; new writes carry it
+    spark.sql(s"INSERT INTO $cat.ods.ev VALUES (2, 'new', 9.5)")
+    val rows = spark.table(s"$cat.ods.ev").orderBy("k").collect().toSeq
+    assert(rows == Seq(Row(1L, "old", null), Row(2L, "new", 9.5)), s"got $rows")
+
+    spark.sql(s"ALTER TABLE $cat.ods.ev DROP COLUMN v")
+    val after = spark.table(s"$cat.ods.ev").orderBy("k").collect().toSeq
+    assert(after == Seq(Row(1L, null), Row(2L, 9.5)), s"got $after")
+    assert(spark.table(s"$cat.ods.ev").columns.toSeq == Seq("k", "score"))
+
+    // unsafe changes are refused with the reason
+    val ren = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ods.ev RENAME COLUMN score TO s2")
+    }
+    assert(ren.getMessage.contains("by name"), ren.getMessage)
+    val nn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ods.ev ADD COLUMN must_have BIGINT NOT NULL")
+    }
+    assert(nn.getMessage.toLowerCase.contains("nullable"), nn.getMessage)
+  }
+
+  test("ALTER TABLE materializes an inferred schema for object-API tables; csv refused") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    val engine = Catalog(spark, root)
+    engine.createOrReplace(Seq((1L, "a")).toDF("k", "v"), "ods", "obj")
+    spark.sql(s"ALTER TABLE $cat.ods.obj ADD COLUMN extra BIGINT")
+    spark.sql(s"INSERT INTO $cat.ods.obj VALUES (2, 'b', 42)")
+    val rows = spark.table(s"$cat.ods.obj").orderBy("k").collect().toSeq
+    assert(rows == Seq(Row(1L, "a", null), Row(2L, "b", 42L)), s"got $rows")
+
+    val (csvCat, _) = freshCatalog(format = "csv")
+    spark.sql(s"CREATE NAMESPACE $csvCat.ods")
+    spark.sql(s"CREATE TABLE $csvCat.ods.c (k BIGINT, v STRING)")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $csvCat.ods.c ADD COLUMN x BIGINT")
+    }
+    assert(e.getMessage.contains("POSITION"), e.getMessage)
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF resolve retained states; snapshots are read-only") {
     val (cat, root) = freshCatalog()
     spark.conf.set(s"spark.sql.catalog.$cat.versions", "3")
