@@ -588,6 +588,57 @@ object CatalogQueries {
        |UNION ALL
        |SELECT '__cols_after_drop__', 2, NULL""".stripMargin
 
+  /** q186 — catalog-scoped SQL FUNCTIONS
+    * ([[graft.sources.GraftFunctions]] through the
+    * [[graft.sources.GraftCatalog]] FunctionCatalog surface): the same
+    * engine kernels the extension tier injects, but resolved as
+    * `<catalog>.fn.<name>` with NO extensions install — the way the
+    * reference's engines expose engine functions through their
+    * connector catalogs. Exercises the scalar magic-method path
+    * (`token_count`, `portable_hash` — direct Invoke, codegen-
+    * compatible) composed inside builtin aggregates, AND the V2
+    * AggregateFunction partial/merge contract (`sum_sq` — only the
+    * 8-byte state crosses the exchange).
+    *
+    * Scale shape: one hash aggregate over documents; scalar functions
+    * evaluate rowwise inside the scan stage, the custom aggregate
+    * partial-aggregates map-side exactly like a builtin SUM.
+    */
+  def q186SqlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g186")
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("g186_docs")
+    spark.sql(s"""
+      SELECT lang,
+        CAST(sum($cat.fn.token_count(text)) AS BIGINT) AS tok_sum,
+        CAST(max($cat.fn.token_count(text)) AS BIGINT) AS tok_max,
+        $cat.fn.sum_sq(doc_id) AS id_sq,
+        min($cat.fn.portable_hash(source)) AS src_h_min
+      FROM g186_docs GROUP BY lang""")
+  }
+
+  /** DuckDB twin: the established ws-token and Horner-fold idioms from
+    * [[OracleIdioms]] / the q21 hash replay, plus plain integer
+    * arithmetic for the aggregate.
+    */
+  val q186Oracle: String = {
+    import graft.functions.PortableHash.{Base, Mod}
+    val srcHash =
+      s"""list_reduce(list_transform(range(1, length(source) + 1),
+         |      i -> ascii((source)[i])::BIGINT),
+         |    (a, b) -> (a * $Base + b) % $Mod)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    len(${OracleIdioms.wsTokensNonEmptySql("text")}) AS tok,
+       |    $srcHash AS sh
+       |  FROM documents)
+       |SELECT lang,
+       |  ${bi("sum(tok)")} AS tok_sum,
+       |  ${bi("max(tok)")} AS tok_max,
+       |  ${bi("sum(doc_id * doc_id)")} AS id_sq,
+       |  ${bi("min(sh)")} AS src_h_min
+       |FROM t GROUP BY lang""".stripMargin
+  }
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -621,7 +672,8 @@ object CatalogQueries {
     "q182_sql_catalog" -> (q182SqlCatalog _),
     "q183_sql_merge" -> (q183SqlMerge _),
     "q184_sql_time_travel" -> (q184SqlTimeTravel _),
-    "q185_sql_schema_evolution" -> (q185SqlSchemaEvolution _))
+    "q185_sql_schema_evolution" -> (q185SqlSchemaEvolution _),
+    "q186_sql_functions" -> (q186SqlFunctions _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -636,5 +688,6 @@ object CatalogQueries {
     "q182_sql_catalog" -> q182Oracle,
     "q183_sql_merge" -> q183Oracle,
     "q184_sql_time_travel" -> q184Oracle,
-    "q185_sql_schema_evolution" -> q185Oracle)
+    "q185_sql_schema_evolution" -> q185Oracle,
+    "q186_sql_functions" -> q186Oracle)
 }

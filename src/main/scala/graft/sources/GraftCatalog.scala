@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal, Expression => CatalystExpr}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Literal => V2Literal}
@@ -66,7 +66,8 @@ import graft.runtime.Catalog
   * ⇒ invisible to file indexes), standing in for the metastore entry; a
   * table without a sidecar is served schema-by-inference.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var root: String = _
@@ -109,11 +110,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces -------------------------------------------------------
 
+  private def isFnNamespace(ns: Array[String]): Boolean =
+    ns.length == 1 && ns.head.equalsIgnoreCase(GraftFunctions.Namespace)
+
   override def listNamespaces(): Array[Array[String]] = {
     val r = new Path(root)
-    if (!fs.exists(r)) Array.empty
-    else fs.listStatus(r).filter(_.isDirectory)
-      .map(_.getPath.getName).filterNot(isInternal)
+    val stored =
+      if (!fs.exists(r)) Array.empty[String]
+      else fs.listStatus(r).filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(isInternal)
+    // the virtual function namespace is always present (and wins over
+    // an unluckily-named data directory)
+    (stored.filterNot(_ == GraftFunctions.Namespace) :+ GraftFunctions.Namespace)
       .sorted.map(Array(_))
   }
 
@@ -123,7 +131,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && fs.exists(new Path(s"$root/${namespace.head}"))
+    isFnNamespace(namespace) ||
+      (namespace.length == 1 && fs.exists(new Path(s"$root/${namespace.head}")))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
@@ -134,6 +143,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
+    require(!isFnNamespace(namespace),
+      s"'${GraftFunctions.Namespace}' is the reserved function namespace")
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
     fs.mkdirs(new Path(s"$root/${layerOf(namespace)}"))
@@ -146,6 +157,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
+    require(!isFnNamespace(namespace),
+      s"'${GraftFunctions.Namespace}' is the reserved function namespace")
     if (!namespaceExists(namespace)) false
     else {
       if (!cascade && listTables(namespace).nonEmpty)
@@ -164,7 +177,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
     val dir = new Path(s"$root/${layerOf(namespace)}")
-    fs.listStatus(dir).filter(_.isDirectory)
+    if (!fs.exists(dir)) Array.empty // the virtual fn namespace holds no tables
+    else fs.listStatus(dir).filter(_.isDirectory)
       .map(_.getPath.getName).filterNot(isInternal)
       .sorted.map(Identifier.of(namespace, _))
   }
@@ -349,6 +363,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchNamespaceException(catalogName +: newIdent.namespace.toSeq)
     require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
       s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  // ---- functions --------------------------------------------------------
+  // Catalog-scoped SQL functions (`SELECT <cat>.fn.token_count(x)`) —
+  // see [[GraftFunctions]]. They live in the reserved virtual namespace
+  // `fn`, so they never collide with table namespaces and need no
+  // storage. Spark also probes the bare-catalog spelling
+  // (`<cat>.token_count(x)` ⇒ empty namespace); both resolve.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || isFnNamespace(namespace))
+      GraftFunctions.all.keys.toArray.sorted
+        .map(Identifier.of(Array(GraftFunctions.Namespace), _))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def loadFunction(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (!(ident.namespace.isEmpty || isFnNamespace(ident.namespace)))
+      throw new NoSuchFunctionException(ident)
+    GraftFunctions.all.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new NoSuchFunctionException(ident))
   }
 }
 

@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PortableHash
+
+/** The [[GraftCatalog]]'s DSv2 FUNCTION registry — catalog-scoped SQL
+  * functions (`SELECT graft.fn.token_count(text) ...`), the third leg
+  * of the session-catalog surface next to tables and namespaces.
+  *
+  * This is deliberately a different mechanism from
+  * [[graft.runtime.GraftExtensions]]'s `injectFunction` expressions:
+  * extension functions patch the ONE session's global registry, while
+  * catalog functions travel WITH the catalog — any Spark session that
+  * configures `spark.sql.catalog.<name> = graft.sources.GraftCatalog`
+  * gets them, qualified under the catalog's own namespace, with no
+  * extensions jar or session rebuild. That is how the reference's
+  * engines expose engine-scoped functions through their connector
+  * catalogs (Trino resolves `catalog.schema.function`; the reference
+  * queries lean on engine builtins like `date_diff` /
+  * `regexp_extract` at
+  * /root/reference/trino/queries/mart_cases.sql).
+  *
+  * Execution shape: each scalar function carries the
+  * `ScalarFunction.MAGIC_METHOD_NAME` ("invoke") overload with exact
+  * JVM types, so Spark's `V2ExpressionUtils` resolves it to a direct
+  * `Invoke` call — codegen-compatible, no boxing, no InternalRow
+  * wrapping on the hot path. `produceResult` stays as the documented
+  * interpreted fallback. The aggregate implements the V2 partial/
+  * merge/final contract, so map-side combine happens exactly as for a
+  * builtin: state flows through partial aggregation, never rows.
+  */
+object GraftFunctions {
+
+  /** Virtual namespace the functions resolve under: `<catalog>.fn.<f>`. */
+  val Namespace = "fn"
+
+  val all: Map[String, UnboundFunction] = Map(
+    "token_count" -> TokenCountFn,
+    "portable_hash" -> PortableHashFn,
+    "sum_sq" -> SumSqFn)
+}
+
+/** `token_count(text)` — count of non-empty whitespace-separated
+  * tokens, the engine's canonical token counter
+  * ([[graft.queries.OracleIdioms.wsTokensNonEmpty]] semantics: an
+  * empty or whitespace-only document counts ZERO tokens). Counting
+  * directly over the UTF8String bytes avoids the split-allocate-filter
+  * array churn of the expression form — whitespace is detected on the
+  * raw bytes (ASCII space/tab/newline family, matching `\s` for the
+  * synthetic corpus and `trim`+`split` for any ASCII-spaced text).
+  */
+object TokenCountFn extends UnboundFunction {
+  override def name(): String = "token_count"
+  override def description(): String =
+    "token_count(string) -> int: non-empty whitespace-separated token count"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"token_count takes 1 argument, got ${inputType.length}")
+    TokenCountBound
+  }
+}
+
+object TokenCountBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(StringType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "token_count"
+  override def canonicalName(): String = "graft.fn.token_count"
+
+  /** Magic-method fast path: resolved by reflection to a direct Invoke.
+    * Spark invokes magic methods with `propagateNull = false` — the
+    * method sees the raw (possibly null) input and owns the null
+    * semantics, hence the boxed return: null text -> null count.
+    */
+  def invoke(s: UTF8String): Integer = {
+    if (s == null) return null
+    val bytes = s.getBytes
+    var i = 0
+    var count = 0
+    var inToken = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      // the \s class over ASCII: space, \t \n  \f \r
+      val ws = b == ' ' || (b >= '\t' && b <= '\r')
+      if (!ws && !inToken) { count += 1; inToken = true }
+      else if (ws) inToken = false
+      i += 1
+    }
+    Integer.valueOf(count)
+  }
+
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null else invoke(input.getUTF8String(0))
+}
+
+/** `portable_hash(text)` — the engine's portable Horner base-257
+  * string hash mod 2^31−1 ([[graft.functions.PortableHash]]), exposed
+  * through the catalog so ad-hoc SQL can address the same buckets and
+  * sketch slots every portable operator (MinHash bands, Count-Min
+  * probes, epoch shuffle) uses. DuckDB replay: the established
+  * `list_reduce((a,b) -> (a*257+b) % M)` oracle idiom.
+  */
+object PortableHashFn extends UnboundFunction {
+  override def name(): String = "portable_hash"
+  override def description(): String =
+    "portable_hash(string) -> bigint: Horner base-257 fold mod 2^31-1"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"portable_hash takes 1 argument, got ${inputType.length}")
+    PortableHashBound
+  }
+}
+
+object PortableHashBound extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(StringType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "portable_hash"
+  override def canonicalName(): String = "graft.fn.portable_hash"
+
+  /** Null-safe boxed magic method — see [[TokenCountBound.invoke]]. */
+  def invoke(s: UTF8String): java.lang.Long =
+    if (s == null) null else java.lang.Long.valueOf(PortableHash.hash(s.toString))
+
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) null else invoke(input.getUTF8String(0))
+}
+
+/** `sum_sq(x)` — aggregate Σ x², the integer second-moment kernel
+  * (variance / energy computations without a float in sight). NULLs
+  * are skipped like builtin SUM; an all-NULL group yields 0 (the
+  * additive identity — V2 aggregates have no "saw nothing" channel,
+  * and the engine's integer conventions prefer 0 over NULL anyway).
+  * Declared [[AggregateFunction]], so Spark runs it with partial
+  * aggregation: per-partition states merge pairwise, only the 8-byte
+  * state crosses the exchange.
+  */
+object SumSqFn extends UnboundFunction {
+  override def name(): String = "sum_sq"
+  override def description(): String =
+    "sum_sq(bigint) -> bigint: sum of squares aggregate (nulls skipped)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"sum_sq takes 1 argument, got ${inputType.length}")
+    SumSqBound
+  }
+}
+
+object SumSqBound extends AggregateFunction[java.lang.Long, java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "sum_sq"
+  override def canonicalName(): String = "graft.fn.sum_sq"
+  override def isResultNullable: Boolean = false
+
+  override def newAggregationState(): java.lang.Long = java.lang.Long.valueOf(0L)
+
+  override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) state
+    else {
+      val v = input.getLong(0)
+      java.lang.Long.valueOf(state.longValue() + v * v)
+    }
+
+  override def merge(left: java.lang.Long, right: java.lang.Long): java.lang.Long =
+    java.lang.Long.valueOf(left.longValue() + right.longValue())
+
+  override def produceResult(state: java.lang.Long): java.lang.Long = state
+}
