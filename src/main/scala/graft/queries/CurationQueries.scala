@@ -803,6 +803,246 @@ object CurationQueries {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q187
+
+  /** q187 PII patterns (replace-all on both engines): plain character
+    * classes + bounded repetition only, the regex subset where Java's
+    * engine (Spark) and RE2 (DuckDB) agree exactly.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** q187 — PII redaction screen (the C4/Dolma-style scrub pass every
+    * released corpus runs): regex-detect emails and phone numbers,
+    * replace ALL occurrences with typed placeholder tokens, and audit
+    * per language how many instances were removed and how much
+    * character mass the scrub cost. The synthetic corpus carries no
+    * PII, so both engines PLANT it deterministically first (every
+    * 3rd doc gets two emails, the next a phone number, the rest stay
+    * clean) — the planted shapes exercise replace-all, multi-match
+    * counting, and the untouched-document path on one oracle hash.
+    *
+    * Scale shape: pure rowwise regex work inside the scan stage plus
+    * one hash aggregate on lang — no joins, no window, codegen
+    * end-to-end. At 100 TB this is the cheapest kind of full-corpus
+    * pass there is.
+    */
+  def q187PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug0 = Tables.load(spark, dir, "documents").withColumn("aug",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or ping ops@corp.example.org")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call +1-202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today")))
+        .otherwise(col("text")))
+    val red = aug0
+      .withColumn("emails", regexp_count(col("aug"), lit(EmailPat)))
+      .withColumn("phones", regexp_count(col("aug"), lit(PhonePat)))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("aug"), EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"))
+    red.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("emails").cast("long")).as("emails"),
+      sum(col("phones").cast("long")).as("phones"),
+      sum(when(col("red") === col("aug"), 1L).otherwise(0L)).as("clean_docs"),
+      sum((length(col("aug")) - length(col("red"))).cast("long"))
+        .as("chars_removed"))
+  }
+
+  val q187Oracle: String =
+    s"""WITH aug AS (
+       |  SELECT lang,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+       |           CAST(doc_id AS VARCHAR) ||
+       |           '@mail.example.com or ping ops@corp.example.org'
+       |         WHEN doc_id % 3 = 1 THEN text || ' call +1-202-555-' ||
+       |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |         ELSE text END AS aug
+       |  FROM documents),
+       |red AS (
+       |  SELECT lang, aug,
+       |    len(regexp_extract_all(aug, '$EmailPat')) AS emails,
+       |    len(regexp_extract_all(aug, '$PhonePat')) AS phones,
+       |    regexp_replace(regexp_replace(aug, '$EmailPat', '<EMAIL>', 'g'),
+       |      '$PhonePat', '<PHONE>', 'g') AS red
+       |  FROM aug)
+       |SELECT lang, ${bi("count(*)")} AS n_docs,
+       |  ${bi("sum(emails)")} AS emails,
+       |  ${bi("sum(phones)")} AS phones,
+       |  ${bi("sum(CASE WHEN red = aug THEN 1 ELSE 0 END)")} AS clean_docs,
+       |  ${bi("sum(len(aug) - len(red))")} AS chars_removed
+       |FROM red GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+
+  /** q188 hashed-feature space and integer weight scale. */
+  private val DsirBuckets = 1024
+  private val DsirScale = 1000000L
+
+  /** q188 — DSIR importance weighting (Xie et al., NeurIPS 2023 "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-bigram profile looks like a
+    * TARGET distribution (here: the English slice standing in for the
+    * curated seed corpus) relative to the RAW crawl distribution.
+    * Per-bucket weight is the add-one-smoothed probability ratio
+    * `S · p_target(b) / p_raw(b)` with `p(b) = (count[b]+1) /
+    * (total+B)`, computed as one fused integer multiply-divide; a
+    * document's score is the sum over its bigram occurrences, and
+    * docs scoring above ratio 1 (`S` per bigram) are the ones
+    * importance resampling would upweight. Reported per source:
+    * docs, bigram mass, total weight, upweighted count.
+    *
+    * Scale shape: bigram explode is corpus-linear (no materialized
+    * n-gram table — `transform` over the token array inside the
+    * scan); the feature space is CAPPED at [[DsirBuckets]] buckets, so
+    * the weight table is a broadcast — the corpus-sized side shuffles
+    * once for the per-doc aggregate and once for the source rollup.
+    * Integer math throughout ([[OracleIdioms]] class 2: positive
+    * operands, so `div`/`//` agree).
+    */
+  def q188DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        wsTokensNonEmpty(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(col("doc_id"), col("source"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("bg"))
+      // portable hash is non-negative, so plain % is already the
+      // canonical residue on both engines
+      .withColumn("b", expr(s"portable_string_hash(bg) % $DsirBuckets"))
+    val counts = bigrams.groupBy(col("b")).agg(
+      count(lit(1)).as("r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+    // the importance ratio needs the PROBABILITY estimates, not raw
+    // counts (target is a subset of raw, so tc/r alone is always < 1):
+    // p_t(b) = (tc+1)/(tt+B), p_r(b) = (r+1)/(rt+B) — add-one
+    // smoothed — and w = S · p_t/p_r, an exact integer via one fused
+    // multiply-divide. rt/tt are a 1-row scalar broadcast.
+    val totals = counts.agg(sum(col("r")).as("rt"), sum(col("tc")).as("tt"))
+    val perDoc = bigrams.join(broadcast(counts), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w", expr(
+        s"((tc + 1) * (rt + $DsirBuckets) * $DsirScale) div " +
+          s"((r + 1) * (tt + $DsirBuckets))"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("w")).as("w_sum"))
+    perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bg")).as("bigrams"),
+      sum(col("w_sum")).as("w_total"),
+      // doc's mean importance ratio above 1 (= S per occurrence)
+      sum(when(col("w_sum") > col("n_bg") * DsirScale, 1L).otherwise(0L))
+        .as("n_upweighted"))
+  }
+
+  val q188Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang, ${wsTokensNonEmptySql("text")} AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, lang, t[gi] || ' ' || t[gi + 1] AS bg
+       |  FROM toks, UNNEST(range(1, len(t))) AS u(gi)),
+       |bgb AS (
+       |  SELECT doc_id, source, lang,
+       |    (${hSql("bg")}) % $DsirBuckets AS b
+       |  FROM bg),
+       |counts AS (
+       |  SELECT b, count(*) AS r,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+       |  FROM bgb GROUP BY b),
+       |totals AS (
+       |  SELECT sum(r) AS rt, sum(tc) AS tt FROM counts),
+       |scored AS (
+       |  SELECT g.doc_id, g.source,
+       |    ((c.tc + 1) * (t.rt + $DsirBuckets) * $DsirScale) //
+       |      ((c.r + 1) * (t.tt + $DsirBuckets)) AS w
+       |  FROM bgb g JOIN counts c USING (b), totals t),
+       |perdoc AS (
+       |  SELECT doc_id, source, count(*) AS n_bg, sum(w) AS w_sum
+       |  FROM scored GROUP BY doc_id, source)
+       |SELECT source, ${bi("count(*)")} AS n_docs,
+       |  ${bi("sum(n_bg)")} AS bigrams,
+       |  ${bi("sum(w_sum)")} AS w_total,
+       |  ${bi(s"sum(CASE WHEN w_sum > n_bg * $DsirScale THEN 1 ELSE 0 END)")}
+       |    AS n_upweighted
+       |FROM perdoc GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+
+  /** q189 volume threshold: mild-term occurrences at or above this
+    * drop the document.
+    */
+  private val MildCap = 8
+
+  /** q189 — blocklist screening (the C4 "bad words" filter, Raffel et
+    * al. JMLR 2020 §2.2, as a policy with severity tiers): documents
+    * containing ANY severe term are dropped outright; documents with
+    * at least [[MildCap]] mild-term occurrences are dropped for
+    * volume; the rest keep. Occurrences count as a multiset (every
+    * token hit, not distinct terms) — the shape that lets the same
+    * join power both the any-hit and the frequency policy. Reported
+    * per (lang, verdict) with the hit masses that justified it.
+    *
+    * Scale shape: token explode joined against a BROADCAST blocklist
+    * (blocklists are thousands of terms, never corpus-sized), one
+    * per-doc aggregate, one left join back to keep zero-hit docs, one
+    * rollup. No all-pairs anything.
+    */
+  def q189Blocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bl = Seq(("spark", 1), ("slow", 0), ("hash", 0), ("fast", 0),
+      ("value", 0)).toDF("term", "severe")
+    val docs = Tables.load(spark, dir, "documents")
+    val hits = docs.select(col("doc_id"),
+        explode(wsTokensNonEmpty(col("text"))).as("tok"))
+      .join(broadcast(bl), col("tok") === col("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("severe") === 1, 1L).otherwise(0L)).as("severe_hits"),
+        sum(when(col("severe") === 0, 1L).otherwise(0L)).as("mild_hits"))
+    docs.join(hits, Seq("doc_id"), "left")
+      .withColumn("sh", coalesce(col("severe_hits"), lit(0L)))
+      .withColumn("mh", coalesce(col("mild_hits"), lit(0L)))
+      .withColumn("verdict",
+        when(col("sh") > 0, "drop_severe")
+          .when(col("mh") >= MildCap, "drop_volume")
+          .otherwise("keep"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sh")).as("severe_hits"),
+        sum(col("mh")).as("mild_hits"))
+  }
+
+  val q189Oracle: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(${wsTokensNonEmptySql("text")}) AS tok
+       |  FROM documents),
+       |bl AS (
+       |  SELECT * FROM (VALUES ('spark', 1), ('slow', 0), ('hash', 0),
+       |    ('fast', 0), ('value', 0)) AS t(term, severe)),
+       |h AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN severe = 1 THEN 1 ELSE 0 END) AS severe_hits,
+       |    sum(CASE WHEN severe = 0 THEN 1 ELSE 0 END) AS mild_hits
+       |  FROM tk JOIN bl ON tk.tok = bl.term
+       |  GROUP BY doc_id),
+       |v AS (
+       |  SELECT d.lang,
+       |    COALESCE(h.severe_hits, 0) AS sh,
+       |    COALESCE(h.mild_hits, 0) AS mh,
+       |    CASE WHEN COALESCE(h.severe_hits, 0) > 0 THEN 'drop_severe'
+       |         WHEN COALESCE(h.mild_hits, 0) >= $MildCap THEN 'drop_volume'
+       |         ELSE 'keep' END AS verdict
+       |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id)
+       |SELECT lang, verdict, ${bi("count(*)")} AS n_docs,
+       |  ${bi("sum(sh)")} AS severe_hits,
+       |  ${bi("sum(mh)")} AS mild_hits
+       |FROM v GROUP BY lang, verdict""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_epoch_shuffle" -> (q162EpochShuffle _),
     "q163_segment_dedup" -> (q163SegmentDedup _),
@@ -812,7 +1052,10 @@ object CurationQueries {
     "q168_temperature_mix" -> (q168TemperatureMix _),
     "q169_dp_counts" -> (q169DpCounts _),
     "q170_example_pack" -> (q170ExamplePack _),
-    "q171_rank_eval" -> (q171RankEval _))
+    "q171_rank_eval" -> (q171RankEval _),
+    "q187_pii_redact" -> (q187PiiRedact _),
+    "q188_dsir_weights" -> (q188DsirWeights _),
+    "q189_blocklist" -> (q189Blocklist _))
 
   val oracles: Map[String, String] = Map(
     "q162_epoch_shuffle" -> q162Oracle,
@@ -823,5 +1066,8 @@ object CurationQueries {
     "q168_temperature_mix" -> q168Oracle,
     "q169_dp_counts" -> q169Oracle,
     "q170_example_pack" -> q170Oracle,
-    "q171_rank_eval" -> q171Oracle)
+    "q171_rank_eval" -> q171Oracle,
+    "q187_pii_redact" -> q187Oracle,
+    "q188_dsir_weights" -> q188Oracle,
+    "q189_blocklist" -> q189Oracle)
 }

@@ -109,7 +109,10 @@ class PlanShapeSpec extends SparkSpec {
     "q168_temperature_mix",
     // rank-eval's ground truth + semantic arm are q24's brute-force
     // shape (broadcast ≤10-row query set)
-    "q171_rank_eval")
+    "q171_rank_eval",
+    // target/raw-mass scalar (1-row aggregate) crossJoined into the
+    // bigram scoring stream (q76/q149's pattern)
+    "q188_dsir_weights")
 
   // ranking over the ≥5%-document-frequency vocabulary: the filter
   // shrinks the set to the shared vocabulary before this single
