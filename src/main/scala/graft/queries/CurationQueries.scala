@@ -1043,6 +1043,135 @@ object CurationQueries {
        |  ${bi("sum(mh)")} AS mild_hits
        |FROM v GROUP BY lang, verdict""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+
+  /** q190 per-domain document cap. */
+  private val DomainCap = 10
+
+  /** q190 — per-domain quota sampling (the RefinedWeb/C4 crawl-balance
+    * rule: no single domain may dominate the corpus): within each
+    * source, rank documents by token mass (doc_id tiebreak) and keep
+    * only the top [[DomainCap]]. Reports per source the kept/total
+    * split, the retained token mass, and the admission cutoff — the
+    * table a crawl operator reads to see what the cap cost each
+    * domain.
+    *
+    * Engine path: the keep set is the `row_number().over(...)
+    * .filter(rn <= k)` idiom, which [[graft.plans.WindowTopKRewrite]]
+    * rewrites into the bounded-heap TopKPerGroup operator — this query
+    * keeps that rewrite exercised (and oracle-checked) on the driver
+    * path, not just in its spec. Scale shape: two hash aggregates and
+    * a per-group bounded heap; no global sort, no data-sized window.
+    */
+  def q190DomainQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast("long").as("tok"))
+    val kept = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("tok").desc, col("doc_id"))))
+      .filter(col("rn") <= DomainCap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("kept_mass"),
+        min(col("tok")).as("cutoff_tok"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("tok")).as("total_mass"))
+      .join(kept, Seq("source"))
+  }
+
+  val q190Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${wsTokensNonEmptySql("text")}) AS BIGINT) AS tok
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY tok DESC, doc_id) AS rn
+       |  FROM d)
+       |SELECT source, ${bi("count(*)")} AS n_total,
+       |  ${bi("sum(tok)")} AS total_mass,
+       |  ${bi(s"sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END)")} AS n_kept,
+       |  ${bi(s"sum(CASE WHEN rn <= $DomainCap THEN tok ELSE 0 END)")}
+       |    AS kept_mass,
+       |  ${bi(s"min(CASE WHEN rn <= $DomainCap THEN tok END)")} AS cutoff_tok
+       |FROM r GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q191
+
+  /** q191 repetition thresholds, in ppm of a document's bigram mass —
+    * set at the synthetic corpus's ~p95 so the gate actually
+    * discriminates here (Gopher's absolute 0.18/0.40 values target
+    * natural web text; a real deployment tunes gates against the
+    * observed distribution exactly like this).
+    */
+  private val TopBigramPpm = 90000L
+  private val DupMassPpm = 85000L
+
+  /** q191 — within-document repetition screen (the Gopher repetition
+    * rules, Rae et al. 2021 §A1.1: drop documents whose text is
+    * dominated by repeated n-grams — boilerplate listings, keyword
+    * stuffing, template spam). Two integer-ppm signals per document
+    * over its bigram multiset: the share of the single most frequent
+    * bigram, and the share of all repeated occurrences (occurrences
+    * beyond each bigram's first). A document fails on either
+    * threshold; reported per language with the signal masses.
+    *
+    * Scale shape: bigram explode (corpus-linear, inside the scan
+    * stage), one (doc, bigram) count aggregate, one per-doc rollup,
+    * one language rollup — shuffles carry counts, never text.
+    */
+  def q191Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), wsTokensNonEmpty(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("bg"))
+    val perDoc = bigrams.groupBy(col("doc_id"), col("lang"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("m"), max(col("c")).as("top"),
+        sum(col("c") - 1).as("dup"))
+      .withColumn("top_ppm", expr("(top * 1000000L) div m"))
+      .withColumn("dup_ppm", expr("(dup * 1000000L) div m"))
+      .withColumn("fail",
+        (col("top_ppm") > TopBigramPpm || col("dup_ppm") > DupMassPpm)
+          .cast("int"))
+    perDoc.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("fail")).as("n_dropped"),
+      sum(col("top_ppm")).as("top_ppm_sum"),
+      sum(col("dup_ppm")).as("dup_ppm_sum"))
+  }
+
+  val q191Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${wsTokensNonEmptySql("text")} AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, t[gi] || ' ' || t[gi + 1] AS bg
+       |  FROM toks, UNNEST(range(1, len(t))) AS u(gi)),
+       |cnt AS (
+       |  SELECT doc_id, lang, bg, count(*) AS c
+       |  FROM bg GROUP BY doc_id, lang, bg),
+       |perdoc AS (
+       |  SELECT doc_id, lang, sum(c) AS m, max(c) AS top,
+       |    sum(c - 1) AS dup
+       |  FROM cnt GROUP BY doc_id, lang),
+       |ppm AS (
+       |  SELECT lang,
+       |    (top * 1000000) // m AS top_ppm,
+       |    (dup * 1000000) // m AS dup_ppm
+       |  FROM perdoc)
+       |SELECT lang, ${bi("count(*)")} AS n_docs,
+       |  ${bi(s"sum(CASE WHEN top_ppm > $TopBigramPpm OR " +
+      s"dup_ppm > $DupMassPpm THEN 1 ELSE 0 END)")} AS n_dropped,
+       |  ${bi("sum(top_ppm)")} AS top_ppm_sum,
+       |  ${bi("sum(dup_ppm)")} AS dup_ppm_sum
+       |FROM ppm GROUP BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_epoch_shuffle" -> (q162EpochShuffle _),
     "q163_segment_dedup" -> (q163SegmentDedup _),
@@ -1055,7 +1184,9 @@ object CurationQueries {
     "q171_rank_eval" -> (q171RankEval _),
     "q187_pii_redact" -> (q187PiiRedact _),
     "q188_dsir_weights" -> (q188DsirWeights _),
-    "q189_blocklist" -> (q189Blocklist _))
+    "q189_blocklist" -> (q189Blocklist _),
+    "q190_domain_quota" -> (q190DomainQuota _),
+    "q191_repetition" -> (q191Repetition _))
 
   val oracles: Map[String, String] = Map(
     "q162_epoch_shuffle" -> q162Oracle,
@@ -1069,5 +1200,7 @@ object CurationQueries {
     "q171_rank_eval" -> q171Oracle,
     "q187_pii_redact" -> q187Oracle,
     "q188_dsir_weights" -> q188Oracle,
-    "q189_blocklist" -> q189Oracle)
+    "q189_blocklist" -> q189Oracle,
+    "q190_domain_quota" -> q190Oracle,
+    "q191_repetition" -> q191Oracle)
 }
