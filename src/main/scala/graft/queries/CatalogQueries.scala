@@ -639,6 +639,40 @@ object CatalogQueries {
        |FROM t GROUP BY lang""".stripMargin
   }
 
+  /** q192 — metadata-only partition DELETE as SQL text
+    * ([[graft.sources.GraftCatalog]] SupportsDeleteV2 via Spark's
+    * OptimizeMetadataOnlyDeleteFromTable): `DELETE FROM t WHERE
+    * <partition predicate>` on a partitioned catalog table drops the
+    * matching hive DIRECTORIES — no data rewrite, cost bounded by
+    * touched partitions, the Iceberg/Hive metadata-delete shape. Both
+    * the `=` and `IN` translations run (the IN includes a value whose
+    * directory name needs hive path escaping — '4-NOT SPECIFIED'), and
+    * the surviving table is the oracle-checked output.
+    */
+  def q192SqlPartitionDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g192")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g192_orders")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.facts " +
+      "(ok BIGINT, cents BIGINT, pri STRING) PARTITIONED BY (pri)")
+    spark.sql(s"""INSERT INTO $cat.ods.facts
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+        o_orderpriority
+      FROM g192_orders""")
+    spark.sql(s"DELETE FROM $cat.ods.facts WHERE pri = '1-URGENT'")
+    spark.sql(
+      s"DELETE FROM $cat.ods.facts WHERE pri IN ('5-LOW', '4-NOT SPECIFIED')")
+    spark.sql(s"""SELECT pri, count(*) AS n, sum(cents) AS cents_sum
+      FROM $cat.ods.facts GROUP BY pri""")
+  }
+
+  val q192Oracle: String =
+    s"""SELECT o_orderpriority AS pri, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(o_totalprice * 100) AS BIGINT))")} AS cents_sum
+       |FROM orders
+       |WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW', '4-NOT SPECIFIED')
+       |GROUP BY 1""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -673,7 +707,8 @@ object CatalogQueries {
     "q183_sql_merge" -> (q183SqlMerge _),
     "q184_sql_time_travel" -> (q184SqlTimeTravel _),
     "q185_sql_schema_evolution" -> (q185SqlSchemaEvolution _),
-    "q186_sql_functions" -> (q186SqlFunctions _))
+    "q186_sql_functions" -> (q186SqlFunctions _),
+    "q192_sql_partition_delete" -> (q192SqlPartitionDelete _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -689,5 +724,6 @@ object CatalogQueries {
     "q183_sql_merge" -> q183Oracle,
     "q184_sql_time_travel" -> q184Oracle,
     "q185_sql_schema_evolution" -> q185Oracle,
-    "q186_sql_functions" -> q186Oracle)
+    "q186_sql_functions" -> q186Oracle,
+    "q192_sql_partition_delete" -> q192Oracle)
 }

@@ -455,7 +455,7 @@ private[sources] class GraftTable(
     // the live table dir, and are strictly read-only
     dataDirOverride: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations with SupportsDeleteV2 {
 
   private val dir = dataDirOverride.getOrElse(s"$root/$layer/$table")
   private def readOnly: Boolean = dataDirOverride.isDefined
@@ -574,10 +574,6 @@ private[sources] class GraftTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
-    require(effectivePartitionCols.isEmpty,
-      s"${info.command} via SQL is supported on unpartitioned graft tables; " +
-        "partition-scoped row-level merges go through graft.runtime.Catalog.merge " +
-        "(cost bounded by touched partitions)")
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command
       override def description(): String = s"graft copy-on-write ${info.command}"
@@ -599,7 +595,19 @@ private[sources] class GraftTable(
             delegate.newScanBuilder(options).build()
         }
 
-      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
+        // refused at write-BUILD time (physical planning), not at
+        // analysis: a partition-predicate DELETE never reaches here —
+        // OptimizeMetadataOnlyDeleteFromTable has already replaced the
+        // rewrite plan with the metadata deleteWhere path below
+        require(effectivePartitionCols.isEmpty,
+          s"${info.command} via SQL rewrites the whole table and is " +
+            "supported on unpartitioned graft tables only (the v2 file " +
+            "write would flatten the hive layout); partition-scoped " +
+            "row-level merges go through graft.runtime.Catalog.merge " +
+            "(cost bounded by touched partitions), and DELETEs whose " +
+            "condition is on the partition column drop partitions as a " +
+            "metadata operation")
         new WriteBuilder { override def build(): Write = {
           // snapshot the current generation's data files NOW (driver,
           // pre-job): these are exactly the files the replacement
@@ -610,6 +618,97 @@ private[sources] class GraftTable(
           val fileWrite = delegate.newWriteBuilder(writeInfo).build()
           new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old)
         } }
+      }
+    }
+  }
+
+  // ---- metadata-only DELETE --------------------------------------------
+  // `DELETE FROM t WHERE <partition-col predicate>` on a partitioned
+  // table never rewrites data: matching hive partition DIRECTORIES are
+  // dropped, the Iceberg/Hive metadata-delete shape whose cost is
+  // bounded by the number of touched partitions, not table size. Spark
+  // wires this through OptimizeMetadataOnlyDeleteFromTable: the
+  // row-level rewrite plan is replaced by a deleteWhere call when every
+  // conjunct translates and canDeleteWhere accepts. Non-partition
+  // predicates keep the copy-on-write path (unpartitioned tables) or
+  // refuse with the Catalog.merge pointer (partitioned ones).
+  // TRUNCATE TABLE rides the same surface (ALWAYS_TRUE).
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    !readOnly && {
+      val parts = effectivePartitionCols
+      parts.length == 1 &&
+        predicates.forall(p => predicatePartitionValues(p, parts.head).isDefined)
+    }
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (predicates.forall(_.name == "ALWAYS_TRUE")) {
+      // TRUNCATE / unconditional DELETE: every data child goes, the
+      // metadata sidecar stays (the table keeps its schema)
+      if (fs.exists(new Path(dir)))
+        fs.listStatus(new Path(dir)).map(_.getPath)
+          .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+          .foreach(fs.delete(_, true))
+    } else {
+      val parts = effectivePartitionCols
+      require(parts.length == 1, s"${name()}: metadata delete needs a " +
+        "single-level partition layout")
+      // an ALWAYS_TRUE conjunct constrains nothing — drop it rather
+      // than letting its empty token list poison the intersection
+      val valueSets = predicates.toSeq.filterNot(_.name == "ALWAYS_TRUE")
+        .map { p =>
+          predicatePartitionValues(p, parts.head).getOrElse(
+            throw new IllegalArgumentException(
+              s"${name()}: cannot delete-where on predicate $p"))
+        }
+      // the predicate array is a conjunction: intersect the value sets
+      val values = valueSets.map(_.toSet).reduce(_ intersect _)
+      values.foreach { v =>
+        val p = new Path(dir,
+          s"${parts.head}=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(v))
+        // absent partition = already-satisfied delete (idempotent);
+        // each directory drop is atomic, so a crash mid-way leaves a
+        // prefix of partitions deleted — a re-run converges
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+  }
+
+  /** `=` / `IN` on THE partition column with string/integral literals →
+    * the matching partition directory value tokens (rendered exactly as
+    * the hive-style writer names directories); anything else → None.
+    */
+  private def predicatePartitionValues(p: Predicate,
+                                       partCol: String): Option[Seq[String]] = {
+    def isPartRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames.length == 1 && r.fieldNames.head.equalsIgnoreCase(partCol)
+        case _ => false
+      }
+    def token(l: V2Literal[_]): Option[String] = l.dataType match {
+      case _: org.apache.spark.sql.types.StringType => Some(l.value.toString)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.BooleanType => Some(String.valueOf(l.value))
+      case _ => None // dates/decimals render differently: stay on the safe path
+    }
+    p.children().toSeq match {
+      case _ if p.name == "ALWAYS_TRUE" => Some(Nil)
+      case Seq(ref, l: V2Literal[_]) if p.name == "=" && isPartRef(ref) =>
+        token(l).map(Seq(_))
+      case Seq(l: V2Literal[_], ref) if p.name == "=" && isPartRef(ref) =>
+        token(l).map(Seq(_))
+      case ref +: values if p.name == "IN" && isPartRef(ref) &&
+          values.nonEmpty && values.forall(_.isInstanceOf[V2Literal[_]]) =>
+        val toks = values.map { case l: V2Literal[_] => token(l) }
+        if (toks.forall(_.isDefined)) Some(toks.map(_.get)) else None
+      case _ => None
     }
   }
 
