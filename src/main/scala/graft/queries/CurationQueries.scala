@@ -1172,6 +1172,136 @@ object CurationQueries {
        |  ${bi("sum(dup_ppm)")} AS dup_ppm_sum
        |FROM ppm GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+
+  /** q193 vocabulary admission threshold (train-split occurrences) and
+    * the interleaved split stride (both halves must contain every
+    * source, or per-source attribution degenerates — doc ids cycle
+    * through sources, so parity-style splits silently partition BY
+    * source).
+    */
+  private val VocabMinCount = 10L
+  private val SplitStride = 20L
+
+  /** q193 — tokenizer merge-coverage / OOV-rate screen: build the
+    * BIGRAM vocabulary from the train half (every pair with at least
+    * [[VocabMinCount]] occurrences — a frequency threshold is
+    * deterministic where a top-K cut would tie-break), then measure
+    * each source's out-of-vocabulary pair rate on the held-out half.
+    * Pairs, not unigrams, are the unit a BPE tokenizer's merges
+    * actually cover — a high OOV-pair source fragments into short
+    * merges and inflates its token bill, the signal that a tokenizer
+    * retrain is due before the next corpus revision ships.
+    *
+    * Scale shape: two bigram explodes (train census, probe), one
+    * count aggregate for the vocabulary, one pair-keyed shuffle join
+    * of probe pairs against it (a merge table can be millions of
+    * entries — no broadcast assumption), one source rollup. Integer
+    * ppm throughout.
+    */
+  def q193OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), wsTokensNonEmpty(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("bg"))
+      .withColumn("half", expr(s"(doc_id div $SplitStride) % 2"))
+    val vocab = bigrams.filter(col("half") === 0).groupBy(col("bg"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= VocabMinCount)
+      .select(col("bg"), lit(1).as("in_vocab"))
+    bigrams.filter(col("half") === 1).join(vocab, Seq("bg"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000L) div n_pairs"))
+  }
+
+  val q193Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, ${wsTokensNonEmptySql("text")} AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, t[gi] || ' ' || t[gi + 1] AS bg,
+       |    (doc_id // $SplitStride) % 2 AS half
+       |  FROM toks, UNNEST(range(1, len(t))) AS u(gi)),
+       |vocab AS (
+       |  SELECT bg FROM bg WHERE half = 0
+       |  GROUP BY bg HAVING count(*) >= $VocabMinCount),
+       |j AS (
+       |  SELECT p.source,
+       |    CASE WHEN v.bg IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bg p LEFT JOIN vocab v ON p.bg = v.bg
+       |  WHERE p.half = 1),
+       |agg AS (
+       |  SELECT source, count(*) AS n_pairs, sum(oov) AS n_oov
+       |  FROM j GROUP BY source)
+       |SELECT source, ${bi("n_pairs")} AS n_pairs, ${bi("n_oov")} AS n_oov,
+       |  ${bi("(n_oov * 1000000) // n_pairs")} AS oov_ppm
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+
+  /** q194 candidate sequence lengths (tokens per padded batch row),
+    * spanning the corpus's 10-99-token document range so every bucket
+    * is populated AND the truncation path is live (docs above the
+    * largest length lose tokens — the real trade the table surfaces).
+    */
+  private val PadBuckets = Seq(16L, 32L, 64L, 80L)
+
+  /** q194 — length-bucketed padding-waste audit (the dynamic-batching
+    * design table): assign every document to the smallest candidate
+    * sequence length that holds it (longer documents truncate to the
+    * largest), then report per bucket the document count, kept token
+    * mass, padding mass, and padding share in ppm. This is the table
+    * that picks the bucket boundaries for batched training or
+    * inference — padding share IS the wasted accelerator time.
+    *
+    * Scale shape: pure rowwise CASE arithmetic inside the scan plus
+    * one 4-group aggregate. Nothing shuffles but the counters.
+    */
+  def q194PaddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val last = PadBuckets.last
+    val bucket = PadBuckets.init.foldRight(lit(last)) { (b, rest) =>
+      when(col("tok") <= b, lit(b)).otherwise(rest)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(wsTokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("bucket", bucket)
+      .withColumn("kept", least(col("tok"), lit(last)))
+      .withColumn("pad", col("bucket") - col("kept"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("kept_tokens"),
+        sum(col("pad")).as("pad_tokens"))
+      .withColumn("pad_ppm",
+        expr("(pad_tokens * 1000000L) div (pad_tokens + kept_tokens)"))
+  }
+
+  val q194Oracle: String = {
+    val last = PadBuckets.last
+    val caseSql = PadBuckets.init
+      .map(b => s"WHEN tok <= $b THEN $b").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(len(${wsTokensNonEmptySql("text")}) AS BIGINT) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT CASE $caseSql ELSE $last END AS bucket,
+       |    least(tok, $last) AS kept
+       |  FROM d),
+       |agg AS (
+       |  SELECT bucket, count(*) AS n_docs, sum(kept) AS kept_tokens,
+       |    sum(bucket - kept) AS pad_tokens
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, ${bi("n_docs")} AS n_docs,
+       |  ${bi("kept_tokens")} AS kept_tokens,
+       |  ${bi("pad_tokens")} AS pad_tokens,
+       |  ${bi("(pad_tokens * 1000000) // (pad_tokens + kept_tokens)")}
+       |    AS pad_ppm
+       |FROM agg""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_epoch_shuffle" -> (q162EpochShuffle _),
     "q163_segment_dedup" -> (q163SegmentDedup _),
@@ -1186,7 +1316,9 @@ object CurationQueries {
     "q188_dsir_weights" -> (q188DsirWeights _),
     "q189_blocklist" -> (q189Blocklist _),
     "q190_domain_quota" -> (q190DomainQuota _),
-    "q191_repetition" -> (q191Repetition _))
+    "q191_repetition" -> (q191Repetition _),
+    "q193_oov_rate" -> (q193OovRate _),
+    "q194_padding_audit" -> (q194PaddingAudit _))
 
   val oracles: Map[String, String] = Map(
     "q162_epoch_shuffle" -> q162Oracle,
@@ -1202,5 +1334,7 @@ object CurationQueries {
     "q188_dsir_weights" -> q188Oracle,
     "q189_blocklist" -> q189Oracle,
     "q190_domain_quota" -> q190Oracle,
-    "q191_repetition" -> q191Oracle)
+    "q191_repetition" -> q191Oracle,
+    "q193_oov_rate" -> q193Oracle,
+    "q194_padding_audit" -> q194Oracle)
 }
