@@ -1302,6 +1302,134 @@ object CurationQueries {
        |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q195
+
+  /** q195 funnel constants: prefix-fingerprint width (tokens), the
+    * repetition thresholds (q191's), the blocklist policy (q189's
+    * shape with 'dup' as the severe term — rare enough that the
+    * funnel's later stages stay populated), and the per-source cap
+    * (q190's).
+    */
+  private val FunnelPrefix = 8
+  private val FunnelMildCap = 8
+
+  /** q195 — the composed curation funnel: the screens of this tier
+    * chained the way a release pipeline actually runs them, with one
+    * survivor-count/token-mass row PER STAGE — the attrition table
+    * every corpus datasheet leads with. Stages: ingest → keep-first
+    * prefix-fingerprint dedup (sorted-neighborhood's blocking key as
+    * an exact screen) → within-doc repetition gate (q191 thresholds)
+    * → severity blocklist (severe term drops outright, mild volume at
+    * [[FunnelMildCap]]) → per-source quota cap (q190). Each stage
+    * consumes the previous stage's SURVIVORS, so the oracle checks
+    * the composition, not just each screen in isolation.
+    *
+    * Scale shape: every stage is a aggregate/semi-join over the
+    * shrinking survivor set — dedup is a keep-first aggregate, the
+    * gates are per-doc aggregates joined back left-semi, the quota is
+    * the TopKPerGroup bounded heap. No stage materializes pairs.
+    */
+  def q195CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), wsTokensNonEmpty(col("text")).as("t"))
+      .withColumn("tok", size(col("t")).cast("long"))
+    val keyed = d.withColumn("pfx",
+      expr(s"array_join(slice(t, 1, $FunnelPrefix), ' ')"))
+    val s2 = keyed.join(
+      keyed.groupBy(col("pfx")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("pfx", "doc_id"), "left_semi")
+    val repPass = s2.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("m"), max(col("c")).as("top"),
+        sum(col("c") - 1).as("dup"))
+      .filter(expr(s"(top * 1000000L) div m <= $TopBigramPpm") &&
+        expr(s"(dup * 1000000L) div m <= $DupMassPpm"))
+      .select(col("doc_id"))
+    val s3 = s2.join(repPass, Seq("doc_id"), "left_semi")
+    val bl = Seq(("dup", 1), ("slow", 0), ("hash", 0), ("fast", 0),
+      ("value", 0)).toDF("term", "severe")
+    val hits = s3.select(col("doc_id"), explode(col("t")).as("tok_w"))
+      .join(broadcast(bl), col("tok_w") === col("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("severe") === 1, 1L).otherwise(0L)).as("sh"),
+        sum(when(col("severe") === 0, 1L).otherwise(0L)).as("mh"))
+    val s4 = s3.join(hits, Seq("doc_id"), "left")
+      .filter(coalesce(col("sh"), lit(0L)) === 0 &&
+        coalesce(col("mh"), lit(0L)) < FunnelMildCap)
+      .select(s3.columns.map(col): _*)
+    val s5 = s4.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("tok").desc, col("doc_id"))))
+      .filter(col("rn") <= DomainCap)
+    def summ(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("token_mass"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("token_mass"))
+    summ(d, 1, "ingested")
+      .unionByName(summ(s2, 2, "prefix_dedup"))
+      .unionByName(summ(s3, 3, "repetition"))
+      .unionByName(summ(s4, 4, "blocklist"))
+      .unionByName(summ(s5, 5, "domain_quota"))
+  }
+
+  val q195Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${wsTokensNonEmptySql("text")} AS t,
+       |    CAST(len(${wsTokensNonEmptySql("text")}) AS BIGINT) AS tok
+       |  FROM documents),
+       |k AS (
+       |  SELECT *, array_to_string(t[1:$FunnelPrefix], ' ') AS pfx FROM d),
+       |s2 AS (
+       |  SELECT * FROM k
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY pfx)),
+       |bgc AS (
+       |  SELECT doc_id, bg, count(*) AS c FROM (
+       |    SELECT s2.doc_id, t[gi] || ' ' || t[gi + 1] AS bg
+       |    FROM s2, UNNEST(range(1, len(t))) AS u(gi))
+       |  GROUP BY doc_id, bg),
+       |pd AS (
+       |  SELECT doc_id, sum(c) AS m, max(c) AS top, sum(c - 1) AS dup
+       |  FROM bgc GROUP BY doc_id),
+       |s3 AS (
+       |  SELECT s2.* FROM s2 JOIN pd USING (doc_id)
+       |  WHERE (pd.top * 1000000) // pd.m <= $TopBigramPpm
+       |    AND (pd.dup * 1000000) // pd.m <= $DupMassPpm),
+       |bl AS (
+       |  SELECT * FROM (VALUES ('dup', 1), ('slow', 0), ('hash', 0),
+       |    ('fast', 0), ('value', 0)) AS v(term, severe)),
+       |hits AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN severe = 1 THEN 1 ELSE 0 END) AS sh,
+       |    sum(CASE WHEN severe = 0 THEN 1 ELSE 0 END) AS mh
+       |  FROM (SELECT s3.doc_id, unnest(t) AS tok_w FROM s3) tk
+       |  JOIN bl ON tk.tok_w = bl.term
+       |  GROUP BY doc_id),
+       |s4 AS (
+       |  SELECT s3.* FROM s3 LEFT JOIN hits USING (doc_id)
+       |  WHERE COALESCE(hits.sh, 0) = 0
+       |    AND COALESCE(hits.mh, 0) < $FunnelMildCap),
+       |s5 AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY source ORDER BY tok DESC, doc_id) AS rn
+       |    FROM s4)
+       |  WHERE rn <= $DomainCap)
+       |SELECT 1 AS stage_ord, 'ingested' AS stage,
+       |  ${bi("count(*)")} AS n_docs, ${bi("sum(tok)")} AS token_mass FROM d
+       |UNION ALL SELECT 2, 'prefix_dedup', ${bi("count(*)")},
+       |  ${bi("sum(tok)")} FROM s2
+       |UNION ALL SELECT 3, 'repetition', ${bi("count(*)")},
+       |  ${bi("sum(tok)")} FROM s3
+       |UNION ALL SELECT 4, 'blocklist', ${bi("count(*)")},
+       |  ${bi("sum(tok)")} FROM s4
+       |UNION ALL SELECT 5, 'domain_quota', ${bi("count(*)")},
+       |  ${bi("sum(tok)")} FROM s5""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_epoch_shuffle" -> (q162EpochShuffle _),
     "q163_segment_dedup" -> (q163SegmentDedup _),
@@ -1318,7 +1446,8 @@ object CurationQueries {
     "q190_domain_quota" -> (q190DomainQuota _),
     "q191_repetition" -> (q191Repetition _),
     "q193_oov_rate" -> (q193OovRate _),
-    "q194_padding_audit" -> (q194PaddingAudit _))
+    "q194_padding_audit" -> (q194PaddingAudit _),
+    "q195_curation_funnel" -> (q195CurationFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q162_epoch_shuffle" -> q162Oracle,
@@ -1336,5 +1465,6 @@ object CurationQueries {
     "q190_domain_quota" -> q190Oracle,
     "q191_repetition" -> q191Oracle,
     "q193_oov_rate" -> q193Oracle,
-    "q194_padding_audit" -> q194Oracle)
+    "q194_padding_audit" -> q194Oracle,
+    "q195_curation_funnel" -> q195Oracle)
 }
