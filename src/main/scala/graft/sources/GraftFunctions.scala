@@ -41,6 +41,8 @@ object GraftFunctions {
   val all: Map[String, UnboundFunction] = Map(
     "token_count" -> TokenCountFn,
     "portable_hash" -> PortableHashFn,
+    "simhash64" -> SimHashFn,
+    "cosine_sim" -> CosineSimFn,
     "sum_sq" -> SumSqFn)
 }
 
@@ -126,6 +128,84 @@ object PortableHashBound extends ScalarFunction[java.lang.Long] {
 
   override def produceResult(input: InternalRow): java.lang.Long =
     if (input.isNullAt(0)) null else invoke(input.getUTF8String(0))
+}
+
+/** `simhash64(tokens)` — the engine's 64-bit SimHash fingerprint over
+  * a token array, identical bit-for-bit to the extension-injected
+  * [[graft.functions.SimHash64]] expression (both call
+  * [[graft.functions.SimHashHelper]]). Catalog exposure means an
+  * unmodified session can fingerprint ad-hoc SQL text against stored
+  * fingerprints produced by the dedup tier.
+  */
+object SimHashFn extends UnboundFunction {
+  override def name(): String = "simhash64"
+  override def description(): String =
+    "simhash64(array<string>) -> bigint: 64-bit SimHash fingerprint"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"simhash64 takes 1 argument, got ${inputType.length}")
+    SimHashBound
+  }
+}
+
+object SimHashBound extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] =
+    Array(ArrayType(StringType))
+  override def resultType(): DataType = LongType
+  override def name(): String = "simhash64"
+  override def canonicalName(): String = "graft.fn.simhash64"
+
+  def invoke(a: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long =
+    if (a == null) null
+    else java.lang.Long.valueOf(graft.functions.SimHashHelper.compute(a))
+
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) null else invoke(input.getArray(0))
+}
+
+/** `cosine_sim(a, b)` — cosine similarity of two float vectors, the
+  * same fused ascending-index loop as the extension-injected
+  * [[graft.functions.CosineSimilarity]] expression (bit-identical
+  * sums; null for null inputs or zero norms, common-prefix length
+  * defense for mismatched dims).
+  */
+object CosineSimFn extends UnboundFunction {
+  override def name(): String = "cosine_sim"
+  override def description(): String =
+    "cosine_sim(array<float>, array<float>) -> double"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"cosine_sim takes 2 arguments, got ${inputType.length}")
+    CosineSimBound
+  }
+}
+
+object CosineSimBound extends ScalarFunction[java.lang.Double] {
+  override def inputTypes(): Array[DataType] =
+    Array(ArrayType(FloatType), ArrayType(FloatType))
+  override def resultType(): DataType = DoubleType
+  override def name(): String = "cosine_sim"
+  override def canonicalName(): String = "graft.fn.cosine_sim"
+
+  def invoke(x: org.apache.spark.sql.catalyst.util.ArrayData,
+             y: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    if (x == null || y == null) return null
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override def produceResult(input: InternalRow): java.lang.Double =
+    if (input.isNullAt(0) || input.isNullAt(1)) null
+    else invoke(input.getArray(0), input.getArray(1))
 }
 
 /** `sum_sq(x)` — aggregate Σ x², the integer second-moment kernel

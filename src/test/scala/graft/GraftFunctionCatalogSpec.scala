@@ -51,6 +51,31 @@ class GraftFunctionCatalogSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("simhash64 and cosine_sim match their extension-injected expression twins") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    Seq("alpha beta gamma", "alpha beta delta", "x")
+      .toDF("text").createOrReplaceTempView("fn_sim")
+    spark.sql(
+      s"""SELECT $cat.fn.simhash64(split(text, ' ')) AS viaCatalog,
+         |       simhash64(split(text, ' ')) AS viaExtension
+         |FROM fn_sim""".stripMargin)
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f))) // zero norm -> null
+      .toDF("a", "b").createOrReplaceTempView("fn_cos")
+    val rows = spark.sql(
+      s"""SELECT $cat.fn.cosine_sim(a, b) AS viaCatalog,
+         |       cosine_sim(a, b) AS viaExtension
+         |FROM fn_cos""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1)) // bit-identical
+    }
+    assert(rows.count(_.isNullAt(0)) == 1)
+  }
+
   test("sum_sq aggregates with partial state across many partitions, skipping nulls") {
     val cat = freshCatalog()
     import spark.implicits._
