@@ -150,6 +150,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(1L, 5.0), Row(2L, 6.0)))
   }
 
+  test("REPLACE TABLE AS SELECT swaps contents and schema; partitioned CTAS lays out hive dirs") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    import spark.implicits._
+    Seq((1L, "x", 5.0), (2L, "y", 6.0)).toDF("id", "tag", "w")
+      .createOrReplaceTempView("rtas_src")
+    spark.sql(s"CREATE TABLE $cat.mart.rt AS SELECT id, w FROM rtas_src")
+    // RTAS: new schema (tag instead of w), old rows gone
+    spark.sql(s"REPLACE TABLE $cat.mart.rt AS SELECT id, tag FROM rtas_src")
+    assert(spark.table(s"$cat.mart.rt").columns.toSeq == Seq("id", "tag"))
+    assert(spark.table(s"$cat.mart.rt").orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "x"), Row(2L, "y")))
+    // partitioned CTAS: hive directory layout + pruning survive
+    spark.sql(s"CREATE TABLE $cat.mart.ptc PARTITIONED BY (tag) " +
+      "AS SELECT id, w, tag FROM rtas_src")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/mart/ptc/tag=x")))
+    assert(spark.table(s"$cat.mart.ptc").where("tag = 'y'")
+      .collect().toSeq == Seq(Row(2L, 6.0, "y")))
+  }
+
   test("a non-default storage format round-trips through SQL") {
     val (cat, _) = freshCatalog(format = "orc")
     spark.sql(s"CREATE NAMESPACE $cat.ods")
