@@ -673,6 +673,56 @@ object CatalogQueries {
        |WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW', '4-NOT SPECIFIED')
        |GROUP BY 1""".stripMargin
 
+  /** q196 — `MERGE INTO` a PARTITIONED catalog table (r09 item 2): the
+    * exact q183 scenario and oracle algebra, but the target is
+    * `PARTITIONED BY (seg)`, so the statement exercises the partitioned
+    * copy-on-write path end to end — Spark's runtime group filtering
+    * (RowLevelOperationRuntimeGroupFiltering over the scan's
+    * [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]])
+    * narrows the rewrite to the partitions holding matched keys, the
+    * replacement write lays rows back out in the hive layout
+    * ([[graft.sources.GraftPartitionedCow]]), inserts land in a
+    * brand-new `seg=NEW` partition, and the commit retires superseded
+    * files only inside the scanned partitions (GraftCatalogSpec proves
+    * untouched partitions stay byte-identical). The trailing DELETE
+    * mixes a partition conjunct with a row predicate — not metadata-
+    * translatable, so it rides the same partitioned rewrite, group-
+    * filtered to `seg=NEW`. This is the reference's incremental unit
+    * (`overwritePartitions()`, process_covid_ods.py:87) as pure SQL,
+    * with cost bounded by touched partitions — the shape that survives
+    * 100 TB.
+    */
+  def q196SqlMergePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g196")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g196_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.balances " +
+      "(k BIGINT, bal_cents BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"""INSERT INTO $cat.ods.balances
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g196_customer""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW g196_updates AS
+      SELECT c_custkey AS k, CAST(c_custkey * 100 AS BIGINT) AS bal_cents,
+        c_mktsegment AS seg, (c_custkey % 21 = 0) AS del
+      FROM g196_customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, CAST(c_custkey AS BIGINT), 'NEW', false
+      FROM g196_customer WHERE c_custkey % 13 = 0""")
+    spark.sql(s"""MERGE INTO $cat.ods.balances t USING g196_updates u ON t.k = u.k
+      WHEN MATCHED AND u.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.bal_cents = u.bal_cents, t.seg = u.seg
+      WHEN NOT MATCHED THEN INSERT (k, bal_cents, seg)
+        VALUES (u.k, u.bal_cents, u.seg)""")
+    spark.sql(s"DELETE FROM $cat.ods.balances WHERE seg = 'NEW' AND k % 2 = 0")
+    spark.table(s"$cat.ods.balances")
+      .select(col("k"), col("bal_cents"), col("seg"))
+  }
+
+  /** Same algebra as [[q183Oracle]] — the partitioned and unpartitioned
+    * SQL merge paths must agree on the exact same final state.
+    */
+  val q196Oracle: String = q183Oracle
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -708,7 +758,8 @@ object CatalogQueries {
     "q184_sql_time_travel" -> (q184SqlTimeTravel _),
     "q185_sql_schema_evolution" -> (q185SqlSchemaEvolution _),
     "q186_sql_functions" -> (q186SqlFunctions _),
-    "q192_sql_partition_delete" -> (q192SqlPartitionDelete _))
+    "q192_sql_partition_delete" -> (q192SqlPartitionDelete _),
+    "q196_sql_merge_partitioned" -> (q196SqlMergePartitioned _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -725,5 +776,6 @@ object CatalogQueries {
     "q184_sql_time_travel" -> q184Oracle,
     "q185_sql_schema_evolution" -> q185Oracle,
     "q186_sql_functions" -> q186Oracle,
-    "q192_sql_partition_delete" -> q192Oracle)
+    "q192_sql_partition_delete" -> q192Oracle,
+    "q196_sql_merge_partitioned" -> q196Oracle)
 }

@@ -252,6 +252,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    // the virtual function namespace satisfies namespaceExists but must
+    // hold no tables: a data directory materialized under it would be
+    // unreachable (dropNamespace refuses the reserved name)
+    require(!isFnNamespace(ident.namespace),
+      s"'${GraftFunctions.Namespace}' is the reserved function namespace: " +
+        "tables cannot be created in it")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
@@ -357,6 +363,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(!isFnNamespace(newIdent.namespace),
+      s"'${GraftFunctions.Namespace}' is the reserved function namespace: " +
+        "tables cannot be moved into it")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     if (!namespaceExists(newIdent.namespace))
@@ -429,20 +438,27 @@ private[sources] object GraftTableMeta {
   * MERGE/UPDATE/DELETE implement group-based copy-on-write row-level
   * operations:
   *
-  *  - the operation's scan is the table's ordinary scan (the "groups"
-  *    are the whole table — no runtime group filtering, the simplest
-  *    sound granularity);
-  *  - the operation's write delegates to the file format's v2 batch
-  *    write (tasks stage under `_temporary`, nothing visible until job
-  *    commit), then retires the PRE-EXISTING data files, snapshotted at
-  *    write-build time, in the same driver-side commit step. A crash
-  *    between the format commit and the retirement step leaves
-  *    duplicate rows — visible, repairable (delete the old-generation
-  *    files), never silent data loss;
-  *  - partition-scoped SQL row-level ops are refused: the v2 file write
-  *    would flatten the hive layout. Partitioned merges stay on
-  *    [[graft.runtime.Catalog.merge]], whose rewrite cost is bounded by
-  *    the TOUCHED partitions — the shape that survives 100 TB.
+  *  - unpartitioned tables: the operation's scan is the table's
+  *    ordinary scan (the "group" is the whole table) and the write
+  *    delegates to the file format's v2 batch write (tasks stage under
+  *    `_temporary`, nothing visible until job commit), then retires the
+  *    PRE-EXISTING data files, snapshotted at write-build time, in the
+  *    same driver-side commit step;
+  *  - PARTITIONED tables: the "groups" are partitions. The operation's
+  *    scan participates in Spark's runtime group filtering
+  *    (RowLevelOperationRuntimeGroupFiltering + the scan's
+  *    [[SupportsRuntimeV2Filtering]]), so only the TOUCHED partitions
+  *    are read; the replacement write re-partitions rows into the hive
+  *    layout itself ([[GraftPartitionedCow]], clustered by partition
+  *    columns via RequiresDistributionAndOrdering), staging dot-prefixed
+  *    invisible files inside the target partition directories; commit
+  *    publishes them by atomic rename and retires superseded files ONLY
+  *    within the scanned partitions — `MERGE INTO` cost bounded by
+  *    touched partitions, the reference's incremental unit
+  *    (`overwritePartitions()`, process_covid_ods.py:87), now as SQL.
+  *    A crash between publish and retirement leaves duplicate rows —
+  *    visible, repairable (delete the old-generation files), never
+  *    silent data loss — the same contract as the unpartitioned path.
   *
   * Scale: every path is a distributed job; the only driver-side work is
   * directory bookkeeping (file listing, renames) — never row data.
@@ -578,46 +594,101 @@ private[sources] class GraftTable(
       override def command(): RowLevelOperation.Command = info.command
       override def description(): String = s"graft copy-on-write ${info.command}"
 
-      /** The replaced "group" is the WHOLE table, so the operation's
-        * scan must produce every row the write supersedes. The wrapper
-        * therefore exposes NO pushdown surface: letting Spark push the
+      /** Partition constraints the runtime group filter narrowed this
+        * operation's SCAN to (per-column allowed directory tokens,
+        * conjunction). The scan and the write are built from this same
+        * operation instance, which is exactly how the connector API
+        * intends scan→write state to flow: the scan records what it
+        * read, the commit retires only files inside those partitions.
+        * None = the group filter never fired — the scan read every
+        * partition, so the commit must retire every pre-existing file
+        * (whole-table rewrite: correct, just not partition-bounded).
+        */
+      @volatile private var scanned: Option[Map[String, Set[String]]] = None
+      private def recordScanned(ts: Map[String, Set[String]]): Unit =
+        synchronized {
+          val prev = scanned.getOrElse(Map.empty[String, Set[String]])
+          scanned = Some((prev.keySet ++ ts.keySet).map { k =>
+            (prev.get(k), ts.get(k)) match {
+              case (Some(a), Some(b)) => k -> (a intersect b)
+              case (Some(a), None) => k -> a
+              case (None, Some(b)) => k -> b
+              case _ => k -> Set.empty[String]
+            }
+          }.toMap)
+        }
+
+      /** The replaced "group" is a PARTITION (or, unpartitioned, the
+        * whole table), so the operation's scan must produce every row
+        * of every group the write supersedes. The wrapper therefore
+        * exposes NO static pushdown surface: letting Spark push the
         * command condition into the parquet scan would row-group-skip
         * rows that don't match — exactly the carryover rows the
         * replacement must keep — while the write still retires their
         * files (verified: an unwrapped builder loses non-matching rows
-        * on `DELETE WHERE k = 1`). Group-scoped pruning needs a
-        * group-tracking scan (the Iceberg copy-on-write shape);
-        * partition-scoped cost control lives in Catalog.merge.
+        * on `DELETE WHERE k = 1`). What IS sound is group-granular
+        * runtime pruning: for partitioned tables the scan implements
+        * [[SupportsRuntimeV2Filtering]], so Spark's
+        * RowLevelOperationRuntimeGroupFiltering rule plans a subquery
+        * over the command condition, delivers the matching partition
+        * values as runtime IN-predicates, and the scan reads ONLY the
+        * touched partitions — the Iceberg copy-on-write shape, and the
+        * piece that bounds a 100 TB merge by its touched partitions.
+        * The applied constraint set is recorded on the operation so
+        * the commit retires exactly the files the scan superseded
+        * (capture mode keeps the applied and reported sets identical
+        * by construction — see [[GraftRuntimeFilterScan.filter]]).
         */
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder {
           override def build(): org.apache.spark.sql.connector.read.Scan =
-            delegate.newScanBuilder(options).build()
+            delegate.newScanBuilder(options).build() match {
+              case fsn: FileScan if effectivePartitionCols.nonEmpty =>
+                new GraftRuntimeFilterScan(fsn, captureTokens = Some(recordScanned))
+              case other => other
+            }
         }
 
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
-        // refused at write-BUILD time (physical planning), not at
-        // analysis: a partition-predicate DELETE never reaches here —
-        // OptimizeMetadataOnlyDeleteFromTable has already replaced the
-        // rewrite plan with the metadata deleteWhere path below
-        require(effectivePartitionCols.isEmpty,
-          s"${info.command} via SQL rewrites the whole table and is " +
-            "supported on unpartitioned graft tables only (the v2 file " +
-            "write would flatten the hive layout); partition-scoped " +
-            "row-level merges go through graft.runtime.Catalog.merge " +
-            "(cost bounded by touched partitions), and DELETEs whose " +
-            "condition is on the partition column drop partitions as a " +
-            "metadata operation")
-        new WriteBuilder { override def build(): Write = {
-          // snapshot the current generation's data files NOW (driver,
-          // pre-job): these are exactly the files the replacement
-          // supersedes and retires at commit
-          val fs = new Path(dir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val old = listDataFiles(fs, new Path(dir))
-          val fileWrite = delegate.newWriteBuilder(writeInfo).build()
-          new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old)
-        } }
+        val parts = effectivePartitionCols
+        if (parts.isEmpty)
+          new WriteBuilder { override def build(): Write = {
+            // snapshot the current generation's data files NOW (driver,
+            // pre-job): these are exactly the files the replacement
+            // supersedes and retires at commit
+            val fs = new Path(dir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val old = listDataFiles(fs, new Path(dir))
+            val fileWrite = delegate.newWriteBuilder(writeInfo).build()
+            new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old)
+          } }
+        else {
+          // partitioned copy-on-write: the replacement write lays rows
+          // out in the hive directory structure itself (the piece the
+          // flat v2 file write lacks). Partition values become
+          // directory names, so they must render identically to the
+          // dynamic-partition writer's tokens — restrict to the types
+          // whose rendering is unambiguous.
+          val schema = writeInfo.schema()
+          val bad = parts.filter { c =>
+            schema.fields.find(_.name.equalsIgnoreCase(c))
+              .forall(f => !GraftPartitionedCow.dirRenderable(f.dataType))
+          }
+          require(bad.isEmpty,
+            s"${info.command}: partition columns ${bad.mkString(", ")} have " +
+              "types whose directory rendering is ambiguous (supported: " +
+              "string, integral, boolean); use graft.runtime.Catalog.merge")
+          require(parts.size < schema.fields.length,
+            s"${info.command}: every column is a partition column — no " +
+              "data columns to write")
+          new WriteBuilder { override def build(): Write = {
+            val fs = new Path(dir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val old = listDataFiles(fs, new Path(dir))
+            new GraftPartitionedCow.PartitionedReplaceWrite(
+              spark, format, schema, dir, parts, old, () => scanned)
+          } }
+        }
       }
     }
   }
@@ -637,8 +708,14 @@ private[sources] class GraftTable(
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     !readOnly && {
       val parts = effectivePartitionCols
-      parts.length == 1 &&
-        predicates.forall(p => predicatePartitionValues(p, parts.head).isDefined)
+      // every conjunct must be a =/IN over SOME partition column (any
+      // level of a multi-level year=/month= layout — the reference's
+      // landing shape, covid_to_s3.py:41); a partial spec (WHERE
+      // year = 2020 alone) is fine: it drops a directory SUBTREE
+      parts.nonEmpty && predicates.forall { p =>
+        p.name == "ALWAYS_TRUE" ||
+          parts.exists(c => predicatePartitionValues(p, c).isDefined)
+      }
     }
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
@@ -653,27 +730,52 @@ private[sources] class GraftTable(
           .foreach(fs.delete(_, true))
     } else {
       val parts = effectivePartitionCols
-      require(parts.length == 1, s"${name()}: metadata delete needs a " +
-        "single-level partition layout")
-      // an ALWAYS_TRUE conjunct constrains nothing — drop it rather
-      // than letting its empty token list poison the intersection
-      val valueSets = predicates.toSeq.filterNot(_.name == "ALWAYS_TRUE")
+      // the predicate array is a conjunction: build a per-column
+      // constraint map, intersecting same-column value sets. An
+      // ALWAYS_TRUE conjunct constrains nothing — drop it rather than
+      // letting its empty token list poison the intersection.
+      val constraints = predicates.toSeq.filterNot(_.name == "ALWAYS_TRUE")
         .map { p =>
-          predicatePartitionValues(p, parts.head).getOrElse(
-            throw new IllegalArgumentException(
+          parts.iterator
+            .map(c => c -> predicatePartitionValues(p, c))
+            .collectFirst { case (c, Some(vs)) => c -> vs.toSet }
+            .getOrElse(throw new IllegalArgumentException(
               s"${name()}: cannot delete-where on predicate $p"))
         }
-      // the predicate array is a conjunction: intersect the value sets
-      val values = valueSets.map(_.toSet).reduce(_ intersect _)
-      values.foreach { v =>
-        val p = new Path(dir,
-          s"${parts.head}=" + org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.escapePathName(v))
-        // absent partition = already-satisfied delete (idempotent);
-        // each directory drop is atomic, so a crash mid-way leaves a
-        // prefix of partitions deleted — a re-run converges
-        if (fs.exists(p)) fs.delete(p, true)
+        .groupMapReduce(_._1)(_._2)(_ intersect _)
+      require(constraints.nonEmpty,
+        s"${name()}: delete-where resolved no partition constraints")
+      // walk the hive tree level by level: constrained levels descend
+      // only into matching directories; once no constraint remains at
+      // or below a level, the whole matching SUBTREE is dropped — a
+      // partial spec on a two-level layout deletes one directory, not
+      // one directory per leaf. Absent directories are already-
+      // satisfied deletes (idempotent); each drop is atomic, so a
+      // crash mid-way leaves a prefix deleted and a re-run converges.
+      def walk(d: Path, level: Int): Unit = {
+        if (!parts.drop(level).exists(constraints.contains)) {
+          if (fs.exists(d)) fs.delete(d, true)
+        } else if (level < parts.length) {
+          val col = parts(level)
+          val children = constraints.get(col) match {
+            case Some(toks) => toks.toSeq.map(t => new Path(d,
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(col, t))).filter(fs.exists)
+            case None =>
+              if (!fs.exists(d)) Nil
+              else fs.listStatus(d).toSeq
+                .filter(st => st.isDirectory &&
+                  st.getPath.getName.startsWith(col + "="))
+                .map(_.getPath)
+          }
+          children.foreach(walk(_, level + 1))
+          // a parent emptied by its children's deletion goes too, so
+          // the layout never accumulates hollow year=/month= shells
+          if (level > 0 && fs.exists(d) && fs.listStatus(d).isEmpty)
+            fs.delete(d, false)
+        }
       }
+      walk(new Path(dir), 0)
     }
   }
 
@@ -689,15 +791,23 @@ private[sources] class GraftTable(
           r.fieldNames.length == 1 && r.fieldNames.head.equalsIgnoreCase(partCol)
         case _ => false
       }
-    def token(l: V2Literal[_]): Option[String] = l.dataType match {
-      case _: org.apache.spark.sql.types.StringType => Some(l.value.toString)
-      case org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.BooleanType => Some(String.valueOf(l.value))
-      case _ => None // dates/decimals render differently: stay on the safe path
-    }
+    // a NULL literal (DELETE ... WHERE pri IN ('a', NULL)) must decline
+    // the metadata path cleanly, not NPE inside canDeleteWhere; an
+    // EMPTY-string literal must decline too — the hive writer folds ''
+    // into __HIVE_DEFAULT_PARTITION__ alongside NULLs, so a directory
+    // drop would take the null rows with it
+    def token(l: V2Literal[_]): Option[String] =
+      if (l.value == null) None
+      else l.dataType match {
+        case _: org.apache.spark.sql.types.StringType =>
+          Some(l.value.toString).filter(_.nonEmpty)
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType => Some(String.valueOf(l.value))
+        case _ => None // dates/decimals render differently: stay on the safe path
+      }
     p.children().toSeq match {
       case _ if p.name == "ALWAYS_TRUE" => Some(Nil)
       case Seq(ref, l: V2Literal[_]) if p.name == "=" && isPartRef(ref) =>
@@ -853,7 +963,17 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder)
   * shapes are ignored, which is always safe: runtime filters are an
   * optimization, the join above still applies the full condition.
   */
-private[sources] final class GraftRuntimeFilterScan(initial: FileScan)
+private[sources] final class GraftRuntimeFilterScan(
+    initial: FileScan,
+    // row-level (copy-on-write) capture mode: report the applied
+    // partition constraints (per-column directory-renderable tokens) to
+    // the owning RowLevelOperation so the commit retires exactly the
+    // files the scan superseded. In this mode a predicate is applied
+    // ONLY IF it is also token-renderable — the applied and reported
+    // constraint sets must be identical, or the scanned and retired
+    // partition sets diverge (retire ⊄ scanned = data loss; scanned ⊄
+    // retired = resurrected duplicates).
+    captureTokens: Option[Map[String, Set[String]] => Unit] = None)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: FileScan = initial
@@ -872,10 +992,73 @@ private[sources] final class GraftRuntimeFilterScan(initial: FileScan)
   override def filterAttributes(): Array[NamedReference] =
     current.readPartitionSchema.fieldNames.map(Expressions.column)
 
-  override def filter(predicates: Array[Predicate]): Unit = {
-    val partSchema = current.readPartitionSchema
-    val extra = predicates.toSeq.flatMap(toPartitionFilter(_, partSchema))
-    if (extra.nonEmpty) current = withPartitionFilters(current, extra)
+  override def filter(predicates: Array[Predicate]): Unit = captureTokens match {
+    case None =>
+      val partSchema = current.readPartitionSchema
+      val extra = predicates.toSeq.flatMap(toPartitionFilter(_, partSchema))
+      if (extra.nonEmpty) current = withPartitionFilters(current, extra)
+    case Some(report) =>
+      val partSchema = current.readPartitionSchema
+      // apply ∧ report only the predicates that BOTH translate to a
+      // catalyst partition filter AND render to directory tokens; a
+      // predicate failing either test is skipped entirely (the scan
+      // reads more, the commit retires more — consistently)
+      val usable = predicates.toSeq.flatMap { p =>
+        for {
+          f <- toPartitionFilter(p, partSchema)
+          ct <- predicateTokens(p, partSchema)
+        } yield (f, ct)
+      }
+      if (usable.nonEmpty) {
+        current = withPartitionFilters(current, usable.map(_._1))
+        report(usable.map(_._2)
+          .groupMapReduce(_._1)(_._2)(_ intersect _))
+      }
+  }
+
+  /** Capture-mode twin of [[toPartitionFilter]]: the same IN/= shapes,
+    * but rendered to hive directory-name tokens. Values arrive
+    * catalyst-internal (UTF8String for strings). NULL and
+    * empty-string values are unrenderable — both fold into
+    * `__HIVE_DEFAULT_PARTITION__` on the write side, which a runtime
+    * equality filter can never match — as are non-string/integral/
+    * boolean types, whose directory rendering differs from
+    * `String.valueOf`; any unrenderable value rejects the whole
+    * predicate (consistency over partial pruning).
+    */
+  private def predicateTokens(p: Predicate,
+      partSchema: StructType): Option[(String, Set[String])] = {
+    def colOf(ref: NamedReference): Option[String] = {
+      val name = ref.fieldNames.mkString(".")
+      partSchema.fields.find(_.name.equalsIgnoreCase(name)).map(_.name)
+    }
+    def render(value: Any, dt: DataType): Option[String] =
+      if (value == null) None
+      else dt match {
+        case _: org.apache.spark.sql.types.StringType =>
+          Some(value.toString).filter(_.nonEmpty)
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType =>
+          Some(String.valueOf(value))
+        case _ => None
+      }
+    p.children().toSeq match {
+      case (ref: NamedReference) +: values
+        if p.name == "IN" && values.nonEmpty &&
+          values.forall(_.isInstanceOf[V2Literal[_]]) =>
+        colOf(ref).flatMap { c =>
+          val toks = values.map { case l: V2Literal[_] =>
+            render(l.value, l.dataType)
+          }
+          if (toks.forall(_.isDefined)) Some(c -> toks.flatten.toSet) else None
+        }
+      case Seq(ref: NamedReference, l: V2Literal[_]) if p.name == "=" =>
+        colOf(ref).flatMap(c => render(l.value, l.dataType).map(t => c -> Set(t)))
+      case _ => None
+    }
   }
 
   /** IN/= on a partition column → catalyst expression bound (by name —
@@ -921,4 +1104,284 @@ private[sources] final class GraftRuntimeFilterScan(initial: FileScan)
         j.copy(partitionFilters = j.partitionFilters ++ extra)
       case other => other // unknown scan type: skip pruning, stay correct
     }
+}
+
+/** Partitioned copy-on-write replacement write: the distributed write
+  * that Spark's v2 file writes lack — rows land in the hive directory
+  * layout (partition values become directories, partition columns are
+  * NOT stored in the files, matching the dynamic-partition writer), so
+  * a partitioned catalog table's SQL `MERGE INTO` / `UPDATE` / `DELETE`
+  * rewrites only its touched partitions.
+  *
+  * Protocol (same crash contract as the flat [[GraftTable]] path):
+  *  1. tasks write DOT-PREFIXED files directly inside the target
+  *     partition directories — invisible to every reader (file indexes
+  *     skip `.`/`_` names), so a crash mid-job leaves the live table
+  *     byte-identical;
+  *  2. driver commit renames each staged file to its visible name
+  *     (atomic per file, same directory), then deletes the superseded
+  *     generation's files WITHIN THE SCANNED PARTITIONS only, then
+  *     prunes partition directories the deletion emptied (a fully-
+  *     deleted partition disappears instead of resurrecting as an
+  *     empty dir);
+  *  3. abort deletes the staged files.
+  * A crash between publish and retirement leaves duplicate rows —
+  * visible, repairable, never silent loss.
+  *
+  * Scale: the write declares `RequiresDistributionAndOrdering`
+  * clustering on the partition columns, so Spark shuffles replacement
+  * rows once and each task holds a handful of open writers instead of
+  * every task writing a sliver of every partition — the small-files
+  * story at 1000 executors. All row work is task-side; the driver
+  * does rename/delete bookkeeping proportional to file count in the
+  * touched partitions.
+  */
+private[sources] object GraftPartitionedCow {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.SortOrder
+  import org.apache.spark.sql.connector.write.{DataWriter, RequiresDistributionAndOrdering}
+  import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+  import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType, LongType, ShortType, StringType}
+
+  /** Partition-value types whose directory rendering is unambiguous and
+    * identical to the dynamic-partition writer's (`String.valueOf` for
+    * integrals/booleans, the raw string otherwise — escaping applied by
+    * `getPartitionPathString`).
+    */
+  def dirRenderable(dt: DataType): Boolean = dt match {
+    case _: StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType => true
+    case _ => false
+  }
+
+  /** Mirrors [[graft.runtime.Catalog]]'s writeOptions so COW-written
+    * files are indistinguishable from engine-appended ones.
+    */
+  private def writeOptions(format: String): Map[String, String] = format match {
+    case "csv" => Map("header" -> "true", "compression" -> "gzip")
+    case "json" => Map("compression" -> "gzip")
+    case _ => Map("compression" -> "snappy")
+  }
+
+  private def fileFormat(format: String)
+      : org.apache.spark.sql.execution.datasources.FileFormat = format match {
+    case "parquet" =>
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+    case "csv" => new org.apache.spark.sql.execution.datasources.csv.CSVFileFormat()
+    case "json" => new org.apache.spark.sql.execution.datasources.json.JsonFileFormat()
+    case other => throw new IllegalStateException(s"unreachable format $other")
+  }
+
+  /** Hadoop Configuration is not Serializable; ship it the way Spark
+    * does internally (write/readFields), without reaching into
+    * private[spark] helpers.
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private final case class CowTaskFiles(files: Seq[(String, String)])
+    extends WriterCommitMessage // (staged dot-path, final path)
+
+  final class PartitionedReplaceWrite(
+      spark: SparkSession, format: String, dataSchema: StructType,
+      dir: String, partitionCols: Seq[String], oldFiles: Seq[Path],
+      scanned: () => Option[Map[String, Set[String]]])
+    extends Write with RequiresDistributionAndOrdering {
+
+    override def description(): String = s"graft partitioned replace-data $dir"
+
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(
+        partitionCols.map(c => Expressions.identity(c)
+          .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+          .toArray)
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory = {
+        // driver-side: build the format's OutputWriterFactory over the
+        // FILE schema (data columns minus partition columns — hive
+        // layout stores partition values in directory names only)
+        val fileFields = dataSchema.fields.zipWithIndex.filterNot {
+          case (f, _) => partitionCols.exists(_.equalsIgnoreCase(f.name))
+        }
+        val fileSchema = StructType(fileFields.map(_._1))
+        val partFields = partitionCols.map { c =>
+          val i = dataSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+          require(i >= 0, s"partition column $c not in replacement schema")
+          (c, i, dataSchema.fields(i).dataType)
+        }
+        val job = org.apache.hadoop.mapreduce.Job
+          .getInstance(spark.sessionState.newHadoopConf())
+        val owf = fileFormat(format)
+          .prepareWrite(spark, job, writeOptions(format), fileSchema)
+        PartitionedCowWriterFactory(owf,
+          new SerializableHadoopConf(job.getConfiguration), dir,
+          dataSchema, fileSchema, fileFields.map(_._2).toSeq, partFields)
+      }
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val fs = new Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // phase 1 — publish the new generation (atomic per-file rename)
+        messages.foreach {
+          case CowTaskFiles(files) => files.foreach { case (staged, fin) =>
+            require(fs.rename(new Path(staged), new Path(fin)),
+              s"commit: could not publish $staged -> $fin")
+          }
+          case _ => ()
+        }
+        // phase 2 — retire the superseded generation, but ONLY inside
+        // the partitions the operation's scan read (None = no runtime
+        // group filter fired = the scan read everything)
+        val constraints = scanned()
+        val retired = oldFiles.filter(inScanned(_, constraints))
+        retired.foreach(fs.delete(_, false))
+        // phase 3 — prune partition directories the retirement emptied
+        // (fully-deleted partitions vanish rather than lingering as
+        // empty dirs the next scan lists for nothing)
+        val base = new Path(dir)
+        retired.map(_.getParent).distinct.foreach { p =>
+          var d = p
+          while (d != null && d != base && d.getName.contains("=") &&
+              fs.exists(d) && fs.listStatus(d).isEmpty) {
+            fs.delete(d, false)
+            d = d.getParent
+          }
+        }
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val fs = new Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        messages.foreach {
+          case CowTaskFiles(files) => files.foreach { case (staged, _) =>
+            try fs.delete(new Path(staged), false)
+            catch { case _: Throwable => () }
+          }
+          case _ => ()
+        }
+      }
+    }
+
+    /** A pre-existing file is superseded iff its partition-directory
+      * path satisfies EVERY recorded constraint. A file missing a
+      * constrained column's `col=value` segment is kept (conservative:
+      * never delete what the scan may not have read).
+      */
+    private def inScanned(file: Path,
+        constraints: Option[Map[String, Set[String]]]): Boolean =
+      constraints match {
+        case None => true
+        case Some(m) =>
+          val segments = file.toString
+            .stripPrefix(new Path(dir).toString).split("/").toSeq
+          m.forall { case (col, toks) =>
+            val allowed = toks.map(t =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(col, t))
+            segments.exists(s => s.startsWith(col + "=") && allowed.contains(s))
+          }
+      }
+  }
+
+  private final case class PartitionedCowWriterFactory(
+      owf: OutputWriterFactory, conf: SerializableHadoopConf,
+      tableDir: String, dataSchema: StructType, fileSchema: StructType,
+      fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)])
+    extends DataWriterFactory {
+    override def createWriter(partitionId: Int,
+        taskId: Long): DataWriter[InternalRow] =
+      new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
+        fileSchema, fileFieldIdx, partFields, partitionId, taskId)
+  }
+
+  /** Task-side dynamic-partition writer. Replacement rows may arrive
+    * prefixed with Spark's `__row_operation` int column (see
+    * [[StripOperationFactory]]) — the offset is detected per row and
+    * both the partition-value reads and the file projection shift by
+    * it. One open OutputWriter per partition value encountered; with
+    * the clustered distribution above that is a handful per task.
+    */
+  private final class PartitionedCowWriter(
+      owf: OutputWriterFactory, conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String, dataSchema: StructType, fileSchema: StructType,
+      fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
+      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+    private val ctx = {
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+        new TaskAttemptID(new TaskID(new JobID("graftcow", 0),
+          TaskType.MAP, partitionId), taskId.toInt))
+    }
+    private val ext = owf.getFileExtension(ctx)
+    private val uuid = java.util.UUID.randomUUID().toString.take(8)
+    private def projection(offset: Int) =
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+        fileFieldIdx.map { i =>
+          val f = dataSchema.fields(i)
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i + offset, f.dataType, f.nullable)
+        })
+    private lazy val proj0 = projection(0)
+    private lazy val proj1 = projection(1)
+    // partRel -> (writer, stagedPath, finalPath)
+    private val open =
+      scala.collection.mutable.LinkedHashMap[String, (OutputWriter, String, String)]()
+
+    private def render(value: Any): String =
+      if (value == null) null else value.toString
+
+    override def write(row: InternalRow): Unit = {
+      val offset = row.numFields - dataSchema.length
+      require(offset == 0 || offset == 1,
+        s"replacement row has ${row.numFields} fields for a " +
+          s"${dataSchema.length}-column table")
+      val rel = partFields.map { case (c, i, dt) =>
+        ExternalCatalogUtils.getPartitionPathString(c,
+          render(if (row.isNullAt(i + offset)) null else row.get(i + offset, dt)))
+      }.mkString("/")
+      val (w, _, _) = open.getOrElseUpdate(rel, {
+        val name = s"part-$uuid-p$partitionId-${open.size}$ext"
+        val staged = s"$tableDir/$rel/.$name"
+        (owf.newInstance(staged, fileSchema, ctx), staged, s"$tableDir/$rel/$name")
+      })
+      w.write(if (offset == 0) proj0(row) else proj1(row))
+    }
+
+    override def commit(): WriterCommitMessage = {
+      open.values.foreach(_._1.close())
+      CowTaskFiles(open.values.map(v => (v._2, v._3)).toSeq)
+    }
+
+    override def abort(): Unit = {
+      open.values.foreach { case (w, staged, _) =>
+        try w.close() catch { case _: Throwable => () }
+        try {
+          val p = new Path(staged)
+          p.getFileSystem(conf).delete(p, false)
+        } catch { case _: Throwable => () }
+      }
+    }
+
+    override def close(): Unit = ()
+  }
 }
