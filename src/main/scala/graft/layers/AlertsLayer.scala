@@ -138,12 +138,12 @@ object AlertsLayer {
     */
   def runDates(cat: Catalog, dates: Seq[String],
                fixedClock: Option[Timestamp] = None): Long = {
-    val fact = cat.read(DdsLayer.layer, DdsLayer.factTable)
-    val dim = cat.read(DdsLayer.layer, DdsLayer.dimTable)
+    val fact = cat.table(DdsLayer.layer, DdsLayer.factTable)
+    val dim = cat.table(DdsLayer.layer, DdsLayer.dimTable)
     val cand = candidatesFor(fact, dim, dates)
 
     val existing: DataFrame =
-      if (cat.tableExists(layer, table)) cat.read(layer, table)
+      if (cat.tableExists(layer, table)) cat.table(layer, table)
       else cat.spark.createDataFrame(
         cat.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.covidAlerts)
@@ -162,7 +162,7 @@ object AlertsLayer {
     toWrite.persist()
     try {
       val n = toWrite.count()
-      if (n > 0) cat.append(toWrite, layer, table, partitionCols = Nil)
+      if (n > 0) cat.appendByName(toWrite, layer, table, partitionCols = Nil)
       n
     } finally toWrite.unpersist()
   }

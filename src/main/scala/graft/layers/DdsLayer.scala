@@ -58,17 +58,17 @@ object DdsLayer {
     if (!cat.tableExists(PopulationLayer.layer, PopulationLayer.table)) return None
     // Rebuilt unconditionally, matching process_covid_dds.py:41-44 (the
     // reference rebuilds the dim before its empty-ODS short-circuit).
-    val dim = buildDim(cat.read(PopulationLayer.layer, PopulationLayer.table))
-    cat.createOrReplace(dim, layer, dimTable)
+    val dim = buildDim(cat.table(PopulationLayer.layer, PopulationLayer.table))
+    cat.createOrReplaceByName(dim, layer, dimTable)
 
     if (!cat.tableExists(OdsLayer.layer, OdsLayer.table)) return None
-    val ods = cat.read(OdsLayer.layer, OdsLayer.table)
+    val ods = cat.table(OdsLayer.layer, OdsLayer.table)
       .filter(col("report_date") === lit(reportDate).cast("date"))
     if (ods.isEmpty) return None
 
-    val fact = buildFact(ods, cat.read(layer, dimTable))
+    val fact = buildFact(ods, cat.table(layer, dimTable))
     val missing = fact.filter(col("location_key").isNull).count()
-    cat.overwritePartitions(fact, layer, factTable, Seq("report_date"))
+    cat.overwritePartitionsByName(fact, layer, factTable, Seq("report_date"))
     Some(missing)
   }
 }

@@ -84,9 +84,9 @@ object MartLayer {
 
   def run(cat: Catalog, reportDate: String): Unit = {
     val df = slice(
-      cat.read(DdsLayer.layer, DdsLayer.factTable),
-      cat.read(DdsLayer.layer, DdsLayer.dimTable),
+      cat.table(DdsLayer.layer, DdsLayer.factTable),
+      cat.table(DdsLayer.layer, DdsLayer.dimTable),
       reportDate)
-    cat.overwritePartitions(df, layer, table, Seq("report_date"))
+    cat.overwritePartitionsByName(df, layer, table, Seq("report_date"))
   }
 }

@@ -44,11 +44,11 @@ object OdsLayer {
 
   def run(cat: Catalog, reportDate: String,
           fixedClock: Option[Timestamp] = None): Boolean = {
-    val raw = cat.read(RawLayer.layer, RawLayer.table)
+    val raw = cat.table(RawLayer.layer, RawLayer.table)
     val ods = transform(raw, reportDate)
     if (ods.isEmpty) return false
     val ts = fixedClock.map(lit(_)).getOrElse(current_timestamp())
-    cat.overwritePartitions(
+    cat.overwritePartitionsByName(
       ods.withColumn("ingestion_ts", ts),
       layer, table, partitionCols = Seq("report_date"))
     true

@@ -39,11 +39,11 @@ object PopulationLayer {
     */
   def seedIfEmpty(cat: Catalog, source: => DataFrame): Boolean = {
     val needsSeed = !cat.tableExists(layer, table) ||
-      cat.read(layer, table).isEmpty
+      cat.table(layer, table).isEmpty
     if (needsSeed) {
       val conformed = source.select(
         Schemas.countryPopulation.fieldNames.map(col).toIndexedSeq: _*)
-      cat.createOrReplace(conformed, layer, table)
+      cat.createOrReplaceByName(conformed, layer, table)
     }
     needsSeed
   }

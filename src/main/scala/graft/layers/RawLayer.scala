@@ -30,7 +30,7 @@ object RawLayer {
     */
   def alreadyIngested(cat: Catalog, csvPath: String): Boolean =
     cat.tableExists(layer, table) &&
-      !cat.read(layer, table)
+      !cat.table(layer, table)
         .where(col("source_file") === csvPath).limit(1).isEmpty
 
   def ingest(cat: Catalog, csvPath: String,
@@ -66,7 +66,7 @@ object RawLayer {
           .select(col("_corrupt_record").as("raw_line"),
             lit(jsonPath).as("source_file"), ts.as("ingestion_ts"))
         if (!bad.isEmpty)
-          cat.append(bad, layer, "quarantine", partitionCols = Nil)
+          cat.appendByName(bad, layer, "quarantine", partitionCols = Nil)
         parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
       } else df
     conformAndAppend(cat, good, jsonPath, fixedClock)
@@ -78,7 +78,7 @@ object RawLayer {
     val finalDf: DataFrame = Normalize(df, Schemas.rawDailyReport)
       .withColumn("source_file", lit(sourcePath))
       .withColumn("ingestion_ts", ts)
-    cat.append(finalDf, layer, table,
+    cat.appendByName(finalDf, layer, table,
       partitionCols = Seq("Country_Region"),
       sortCols = Seq("Country_Region"))
   }

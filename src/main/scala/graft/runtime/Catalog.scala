@@ -64,6 +64,134 @@ final case class Catalog(spark: SparkSession, root: String,
   def read(layer: String, table: String): DataFrame =
     spark.read.format(format).options(readOptions).load(path(layer, table))
 
+  // ---- name-based addressing (session-catalog binding) -----------------
+  // The reference addresses every table by CATALOG NAME
+  // (`spark.table("iceberg.raw.daily_reports")`,
+  // /root/reference/airflow/dags/scripts/process_covid_ods.py:30); the
+  // medallion layers do the same through these helpers, which bind this
+  // warehouse root to a `graft.sources.GraftCatalog` session catalog and
+  // resolve `<catalog>.<layer>.<table>` identifiers through Spark's
+  // catalog manager. Reads keep every DSv2 scan tier (pushdown, static
+  // + runtime partition pruning via the catalog's
+  // SupportsRuntimeV2Filtering wrapper); writes resolve to the SAME
+  // crash-safe engine protocols (the catalog's V1Write delegates back
+  // here; dynamic partition overwrite is the catalog's staged-invisible
+  // hive-layout v2 write) — one warehouse, two addressing modes, one
+  // publish-safety story.
+
+  /** Session-catalog name bound to this root: `graft` when free (or
+    * already bound to this root+format), otherwise a deterministic
+    * per-root fallback — Spark's CatalogManager caches instances by
+    * name, so a name can never be re-pointed at a second root within a
+    * session (tests spin up many warehouses).
+    */
+  lazy val sqlName: String = {
+    def tryBind(name: String): Boolean = {
+      val rootKey = s"spark.sql.catalog.$name.root"
+      val implKey = s"spark.sql.catalog.$name"
+      spark.conf.getOption(implKey) match {
+        case Some(impl) =>
+          impl == "graft.sources.GraftCatalog" &&
+            spark.conf.getOption(rootKey).contains(root) &&
+            spark.conf.getOption(s"spark.sql.catalog.$name.format")
+              .getOrElse("parquet") == format
+        case None =>
+          spark.conf.set(implKey, "graft.sources.GraftCatalog")
+          spark.conf.set(rootKey, root)
+          spark.conf.set(s"spark.sql.catalog.$name.format", format)
+          if (versions > 0)
+            spark.conf.set(s"spark.sql.catalog.$name.versions", versions.toString)
+          true
+      }
+    }
+    if (tryBind("graft")) "graft"
+    else {
+      val suffix = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s"$root|$format|$versions")
+          .toLong & 0xffffffffL)
+      val unique = s"graft_$suffix"
+      require(tryBind(unique),
+        s"session catalog $unique is bound to a different root")
+      unique
+    }
+  }
+
+  /** Fully-qualified SQL identifier for a table of this warehouse. */
+  def sqlIdent(layer: String, table: String): String =
+    s"$sqlName.`$layer`.`$table`"
+
+  /** Name-based read: resolves through the session catalog — the
+    * reference's addressing mode. Scan tiers are the DSv2 delegate's
+    * (pushdown, partition pruning, DPP via the runtime-filter wrapper).
+    */
+  def table(layer: String, table: String): DataFrame =
+    spark.table(sqlIdent(layer, table))
+
+  /** Name-based partitioned append (S5 by name): clusters within write
+    * partitions like [[append]], then routes through the session
+    * catalog — CTAS on first write (which persists the schema + spec in
+    * the table sidecar), by-name-resolved append after.
+    */
+  def appendByName(df: DataFrame, layer: String, table: String,
+                   partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val clustered =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else df
+    val w = clustered.writeTo(sqlIdent(layer, table))
+    if (tableExists(layer, table)) w.append()
+    else {
+      ensureNamespace(layer)
+      if (partitionCols.nonEmpty)
+        w.partitionedBy(org.apache.spark.sql.functions.col(partitionCols.head),
+          partitionCols.tail.map(org.apache.spark.sql.functions.col): _*).create()
+      else w.create()
+    }
+  }
+
+  /** Name-based dynamic partition overwrite (S6 by name): resolves to
+    * the catalog's staged-invisible hive-layout v2 write
+    * ([[graft.sources.GraftPartitionedCow]] DynamicOverwriteWrite),
+    * replacing exactly the partitions present in `df`.
+    */
+  def overwritePartitionsByName(df: DataFrame, layer: String, table: String,
+                                partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitionsByName needs partition columns")
+    val w = df.writeTo(sqlIdent(layer, table))
+    if (tableExists(layer, table)) w.overwritePartitions()
+    else {
+      ensureNamespace(layer)
+      w.partitionedBy(org.apache.spark.sql.functions.col(partitionCols.head),
+        partitionCols.tail.map(org.apache.spark.sql.functions.col): _*).create()
+    }
+  }
+
+  /** Name-based full replace (S7 by name): `overwrite(true)` resolves
+    * to the catalog's truncate write, which IS [[createOrReplace]]'s
+    * crash-safe swap (not a drop+recreate RTAS — the table identity and
+    * version history survive).
+    */
+  def createOrReplaceByName(df: DataFrame, layer: String, table: String,
+                            partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.writeTo(sqlIdent(layer, table))
+    if (tableExists(layer, table))
+      w.overwrite(org.apache.spark.sql.functions.lit(true))
+    else {
+      ensureNamespace(layer)
+      if (partitionCols.nonEmpty)
+        w.partitionedBy(org.apache.spark.sql.functions.col(partitionCols.head),
+          partitionCols.tail.map(org.apache.spark.sql.functions.col): _*).create()
+      else w.create()
+    }
+  }
+
+  /** CTAS needs the namespace (layer directory) to exist. */
+  private def ensureNamespace(layer: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$layer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.mkdirs(p)
+  }
+
   /** S5 — partitioned append, clustered within partitions. */
   def append(df: DataFrame, layer: String, table: String,
              partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {

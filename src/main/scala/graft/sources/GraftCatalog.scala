@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportStatistics, SupportsRuntimeV2Filtering, VariantExtraction}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder, FileTable}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -542,7 +542,8 @@ private[sources] class GraftTable(
   override def capabilities(): util.Set[TableCapability] =
     if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** Scans wrap the delegate builder to add what Spark's own V2 file
     * scans are missing: `SupportsRuntimeV2Filtering`. Without it, a
@@ -565,24 +566,55 @@ private[sources] class GraftTable(
   /** INSERT INTO (append) / INSERT OVERWRITE (truncate): a V1 write
     * whose insert() routes through the engine's partitioned append and
     * swap-replace — SQL writes get the identical crash-safety contract
-    * as the object API, because they ARE the object API.
+    * as the object API, because they ARE the object API. Dynamic
+    * partition overwrite (`INSERT OVERWRITE` under
+    * partitionOverwriteMode=dynamic, `df.writeTo(t)
+    * .overwritePartitions()`) has no V1 fallback in Spark, so it is a
+    * real v2 batch write: [[GraftPartitionedCow.DynamicOverwriteWrite]]
+    * stages hive-layout files invisibly and replaces exactly the
+    * partitions that received data — the engine's
+    * `overwritePartitions` semantics on the DSv2 surface, and the
+    * reference's incremental unit (`overwritePartitions()`,
+    * process_covid_ods.py:87) addressable purely by table NAME.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = {
-        val replace = overwrite
-        new V1Write {
-          override def toInsertableRelation: InsertableRelation =
-            (data, overwriteFlag) => {
-              val parts = effectivePartitionCols
-              if (replace || overwriteFlag)
-                engine.createOrReplace(data, layer, table, parts)
-              else engine.append(data, layer, table, parts)
-            }
-        }
+    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+      private var mode: String = "append"
+      override def truncate(): WriteBuilder = { mode = "truncate"; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = "dynamic"; this
+      }
+      override def build(): Write = mode match {
+        case "dynamic" =>
+          val parts = effectivePartitionCols
+          require(parts.nonEmpty,
+            s"${name()}: dynamic partition overwrite needs a partitioned table")
+          val schema = info.schema()
+          val bad = parts.filter { c =>
+            schema.fields.find(_.name.equalsIgnoreCase(c))
+              .forall(f => !GraftPartitionedCow.dirRenderable(f.dataType))
+          }
+          require(bad.isEmpty,
+            s"${name()}: partition columns ${bad.mkString(", ")} have types " +
+              "whose directory rendering is ambiguous (supported: string, " +
+              "integral, boolean)")
+          val fs = new Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val old = listDataFiles(fs, new Path(dir))
+          new GraftPartitionedCow.DynamicOverwriteWrite(
+            spark, format, schema, dir, parts, old)
+        case m =>
+          val replace = m == "truncate"
+          new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              (data, overwriteFlag) => {
+                val parts = effectivePartitionCols
+                if (replace || overwriteFlag)
+                  engine.createOrReplace(data, layer, table, parts)
+                else engine.append(data, layer, table, parts)
+              }
+          }
       }
     }
   }
@@ -791,23 +823,13 @@ private[sources] class GraftTable(
           r.fieldNames.length == 1 && r.fieldNames.head.equalsIgnoreCase(partCol)
         case _ => false
       }
-    // a NULL literal (DELETE ... WHERE pri IN ('a', NULL)) must decline
-    // the metadata path cleanly, not NPE inside canDeleteWhere; an
-    // EMPTY-string literal must decline too — the hive writer folds ''
-    // into __HIVE_DEFAULT_PARTITION__ alongside NULLs, so a directory
-    // drop would take the null rows with it
+    // NULL and empty-string literals (DELETE ... WHERE pri IN ('a',
+    // NULL)) decline the metadata path cleanly — both fold into
+    // __HIVE_DEFAULT_PARTITION__ on the write side, so a directory drop
+    // would take other rows with it; timestamps/decimals decline for
+    // rendering ambiguity ([[GraftPartitionedCow.dirToken]])
     def token(l: V2Literal[_]): Option[String] =
-      if (l.value == null) None
-      else l.dataType match {
-        case _: org.apache.spark.sql.types.StringType =>
-          Some(l.value.toString).filter(_.nonEmpty)
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.BooleanType => Some(String.valueOf(l.value))
-        case _ => None // dates/decimals render differently: stay on the safe path
-      }
+      GraftPartitionedCow.dirToken(l.value, l.dataType)
     p.children().toSeq match {
       case _ if p.name == "ALWAYS_TRUE" => Some(Nil)
       case Seq(ref, l: V2Literal[_]) if p.name == "=" && isPartRef(ref) =>
@@ -1033,18 +1055,7 @@ private[sources] final class GraftRuntimeFilterScan(
       partSchema.fields.find(_.name.equalsIgnoreCase(name)).map(_.name)
     }
     def render(value: Any, dt: DataType): Option[String] =
-      if (value == null) None
-      else dt match {
-        case _: org.apache.spark.sql.types.StringType =>
-          Some(value.toString).filter(_.nonEmpty)
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.BooleanType =>
-          Some(String.valueOf(value))
-        case _ => None
-      }
+      GraftPartitionedCow.dirToken(value, dt)
     p.children().toSeq match {
       case (ref: NamedReference) +: values
         if p.name == "IN" && values.nonEmpty &&
@@ -1148,14 +1159,40 @@ private[sources] object GraftPartitionedCow {
 
   /** Partition-value types whose directory rendering is unambiguous and
     * identical to the dynamic-partition writer's (`String.valueOf` for
-    * integrals/booleans, the raw string otherwise — escaping applied by
-    * `getPartitionPathString`).
+    * integrals/booleans, ISO `yyyy-MM-dd` for dates, the raw string
+    * otherwise — escaping applied by `getPartitionPathString`).
     */
   def dirRenderable(dt: DataType): Boolean = dt match {
     case _: StringType | IntegerType | LongType | ShortType | ByteType |
-         BooleanType => true
+         BooleanType | org.apache.spark.sql.types.DateType => true
     case _ => false
   }
+
+  /** Raw directory-value rendering for a (possibly catalyst-internal)
+    * partition value of a [[dirRenderable]] type. Dates arrive as epoch
+    * days internally (Integer) or `java.sql.Date` externally — both
+    * render to the ISO form Spark's dynamic-partition writer uses.
+    * NULL stays null (getPartitionPathString maps it to the hive
+    * default partition).
+    */
+  def renderRaw(value: Any, dt: DataType): String = value match {
+    case null => null
+    case i: java.lang.Integer
+      if dt == org.apache.spark.sql.types.DateType =>
+      java.time.LocalDate.ofEpochDay(i.longValue()).toString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case v => v.toString
+  }
+
+  /** Directory token for predicate translation: None when the value
+    * cannot prune/retire safely — NULL and empty strings fold into
+    * `__HIVE_DEFAULT_PARTITION__` on the write side (a directory shared
+    * with other values, so an equality can never own it), and
+    * non-[[dirRenderable]] types render ambiguously.
+    */
+  def dirToken(value: Any, dt: DataType): Option[String] =
+    if (!dirRenderable(dt)) None
+    else Option(renderRaw(value, dt)).filter(_.nonEmpty)
 
   /** Mirrors [[graft.runtime.Catalog]]'s writeOptions so COW-written
     * files are indistinguishable from engine-appended ones.
@@ -1197,20 +1234,25 @@ private[sources] object GraftPartitionedCow {
   private final case class CowTaskFiles(files: Seq[(String, String)])
     extends WriterCommitMessage // (staged dot-path, final path)
 
-  final class PartitionedReplaceWrite(
+  /** Shared hive-layout batch write: tasks stage dot-prefixed files in
+    * the target partition directories, commit publishes by rename and
+    * retires whatever [[retired]] selects. Subclasses choose the
+    * retirement policy — that is the entire difference between a
+    * copy-on-write replacement and a dynamic partition overwrite.
+    */
+  sealed abstract class HiveLayoutWrite(
       spark: SparkSession, format: String, dataSchema: StructType,
-      dir: String, partitionCols: Seq[String], oldFiles: Seq[Path],
-      scanned: () => Option[Map[String, Set[String]]])
-    extends Write with RequiresDistributionAndOrdering {
+      dir: String, partitionCols: Seq[String], oldFiles: Seq[Path])
+    extends Write {
 
-    override def description(): String = s"graft partitioned replace-data $dir"
-
-    override def requiredDistribution(): Distribution =
-      Distributions.clustered(
-        partitionCols.map(c => Expressions.identity(c)
-          .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
-          .toArray)
-    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    /** Pre-existing files superseded by this write, given the final
+      * (published) paths of the new generation's files. Both the
+      * published paths and [[oldFiles]] arrive fully FileSystem-
+      * qualified (`file:/...`), so parent/prefix comparisons are exact.
+      */
+    protected def retired(published: Seq[Path], fs: FileSystem): Seq[Path]
+    /** Whether to prune partition directories the retirement emptied. */
+    protected def pruneEmptied: Boolean
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
@@ -1240,29 +1282,29 @@ private[sources] object GraftPartitionedCow {
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // phase 1 — publish the new generation (atomic per-file rename)
-        messages.foreach {
-          case CowTaskFiles(files) => files.foreach { case (staged, fin) =>
+        val published = messages.toSeq.flatMap {
+          case CowTaskFiles(files) => files.map { case (staged, fin) =>
             require(fs.rename(new Path(staged), new Path(fin)),
               s"commit: could not publish $staged -> $fin")
+            fs.makeQualified(new Path(fin))
           }
-          case _ => ()
+          case _ => Nil
         }
-        // phase 2 — retire the superseded generation, but ONLY inside
-        // the partitions the operation's scan read (None = no runtime
-        // group filter fired = the scan read everything)
-        val constraints = scanned()
-        val retired = oldFiles.filter(inScanned(_, constraints))
-        retired.foreach(fs.delete(_, false))
+        // phase 2 — retire the superseded generation per the policy
+        val gone = retired(published, fs)
+        gone.foreach(fs.delete(_, false))
         // phase 3 — prune partition directories the retirement emptied
         // (fully-deleted partitions vanish rather than lingering as
         // empty dirs the next scan lists for nothing)
-        val base = new Path(dir)
-        retired.map(_.getParent).distinct.foreach { p =>
-          var d = p
-          while (d != null && d != base && d.getName.contains("=") &&
-              fs.exists(d) && fs.listStatus(d).isEmpty) {
-            fs.delete(d, false)
-            d = d.getParent
+        if (pruneEmptied) {
+          val base = new Path(dir)
+          gone.map(_.getParent).distinct.foreach { p =>
+            var d = p
+            while (d != null && d != base && d.getName.contains("=") &&
+                fs.exists(d) && fs.listStatus(d).isEmpty) {
+              fs.delete(d, false)
+              d = d.getParent
+            }
           }
         }
       }
@@ -1280,25 +1322,83 @@ private[sources] object GraftPartitionedCow {
       }
     }
 
+  }
+
+  /** Copy-on-write replacement (row-level MERGE/UPDATE/DELETE): retires
+    * the old generation inside the partitions the operation's SCAN was
+    * runtime-group-filtered to (None = the filter never fired = the
+    * scan read everything, whole-table rewrite). Declares a clustered
+    * distribution on the partition columns: replacement rows for a
+    * partition arrive at one task, so a 1000-executor merge writes a
+    * handful of files per touched partition instead of
+    * tasks × partitions slivers.
+    */
+  final class PartitionedReplaceWrite(
+      spark: SparkSession, format: String, dataSchema: StructType,
+      dir: String, partitionCols: Seq[String], oldFiles: Seq[Path],
+      scanned: () => Option[Map[String, Set[String]]])
+    extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
+      oldFiles) with RequiresDistributionAndOrdering {
+
+    override def description(): String = s"graft partitioned replace-data $dir"
+
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(
+        partitionCols.map(c => Expressions.identity(c)
+          .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+          .toArray)
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+    override protected def pruneEmptied: Boolean = true
+
     /** A pre-existing file is superseded iff its partition-directory
       * path satisfies EVERY recorded constraint. A file missing a
       * constrained column's `col=value` segment is kept (conservative:
       * never delete what the scan may not have read).
       */
-    private def inScanned(file: Path,
-        constraints: Option[Map[String, Set[String]]]): Boolean =
-      constraints match {
-        case None => true
-        case Some(m) =>
+    override protected def retired(published: Seq[Path],
+        fs: FileSystem): Seq[Path] =
+      scanned() match {
+        case None => oldFiles
+        case Some(m) => oldFiles.filter { file =>
           val segments = file.toString
-            .stripPrefix(new Path(dir).toString).split("/").toSeq
+            .stripPrefix(fs.makeQualified(new Path(dir)).toString)
+            .split("/").toSeq
           m.forall { case (col, toks) =>
             val allowed = toks.map(t =>
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .getPartitionPathString(col, t))
             segments.exists(s => s.startsWith(col + "=") && allowed.contains(s))
           }
+        }
       }
+  }
+
+  /** Dynamic partition overwrite (`INSERT OVERWRITE` under dynamic
+    * mode, `df.writeTo(t).overwritePartitions()`): retires the old
+    * generation exactly in the partitions that RECEIVED new files —
+    * the engine's `overwritePartitions` contract
+    * ([[graft.runtime.Catalog.overwritePartitions]]) on the DSv2
+    * surface. No distribution requirement: the incoming partitioning
+    * is preserved, so a single-date daily refresh (the reference's
+    * incremental unit) keeps its full write parallelism instead of
+    * funneling the day through one task; the many-partitions case
+    * writes tasks×partitions files, the same trade Spark's own
+    * dynamic-partition writer makes absent an explicit repartition.
+    */
+  final class DynamicOverwriteWrite(
+      spark: SparkSession, format: String, dataSchema: StructType,
+      dir: String, partitionCols: Seq[String], oldFiles: Seq[Path])
+    extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
+      oldFiles) {
+
+    override def description(): String = s"graft dynamic-overwrite $dir"
+    override protected def pruneEmptied: Boolean = false
+    override protected def retired(published: Seq[Path],
+        fs: FileSystem): Seq[Path] = {
+      val touched = published.map(_.getParent).toSet
+      oldFiles.filter(f => touched.contains(fs.makeQualified(f).getParent))
+    }
   }
 
   private final case class PartitionedCowWriterFactory(
@@ -1347,9 +1447,6 @@ private[sources] object GraftPartitionedCow {
     private val open =
       scala.collection.mutable.LinkedHashMap[String, (OutputWriter, String, String)]()
 
-    private def render(value: Any): String =
-      if (value == null) null else value.toString
-
     override def write(row: InternalRow): Unit = {
       val offset = row.numFields - dataSchema.length
       require(offset == 0 || offset == 1,
@@ -1357,7 +1454,8 @@ private[sources] object GraftPartitionedCow {
           s"${dataSchema.length}-column table")
       val rel = partFields.map { case (c, i, dt) =>
         ExternalCatalogUtils.getPartitionPathString(c,
-          render(if (row.isNullAt(i + offset)) null else row.get(i + offset, dt)))
+          GraftPartitionedCow.renderRaw(
+            if (row.isNullAt(i + offset)) null else row.get(i + offset, dt), dt))
       }.mkString("/")
       val (w, _, _) = open.getOrElseUpdate(rel, {
         val name = s"part-$uuid-p$partitionId-${open.size}$ext"

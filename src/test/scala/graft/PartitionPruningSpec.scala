@@ -163,4 +163,34 @@ class PartitionPruningSpec extends SparkSpec {
     assert(factScans(alerts).forall(_.partitionFilters.isEmpty),
       "alert-date filter was pushed below the spike-rate LAG window")
   }
+
+  test("name-based layer reads keep static and runtime pruning (the pipeline's addressing mode)") {
+    // the layers now address tables by CATALOG NAME (Catalog.table →
+    // spark.table("<cat>.dds.fact_covid")), the reference's addressing
+    // mode — prove the DSv2 path kept both pruning tiers on the exact
+    // frames DdsLayer/MartLayer consume
+    val cat = seed()
+    // static: the day-slice behind the name touches one partition
+    val slice = cat.table(DdsLayer.layer, DdsLayer.factTable)
+      .filter(col("report_date") === lit("2020-03-04").cast("date"))
+    val files = slice.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("report_date=2020-03-04")),
+      s"name-based slice read outside its partition: ${files.mkString(", ")}")
+    // runtime: a filtered date-dim join on the partition key prunes the
+    // name-resolved fact scan dynamically
+    val dimPath = tmpDir("name_date_dim")
+    dates.zipWithIndex
+      .map { case (d, i) =>
+        (Date.valueOf(d), if (i % 3 == 0) "audit" else "regular") }
+      .toDF("report_date", "day_kind")
+      .write.mode("overwrite").parquet(dimPath)
+    val dateDim = spark.read.parquet(dimPath)
+    val q = cat.table(DdsLayer.layer, DdsLayer.factTable)
+      .join(dateDim.where(col("day_kind") === "audit"), Seq("report_date"))
+      .groupBy("report_date").agg(sum("confirmed").as("c"))
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no runtime pruning on the name-resolved fact scan:\n$plan")
+    assert(q.count() == 2)
+  }
 }
