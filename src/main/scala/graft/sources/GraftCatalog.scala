@@ -543,7 +543,7 @@ private[sources] class GraftTable(
     if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
 
   /** Scans wrap the delegate builder to add what Spark's own V2 file
     * scans are missing: `SupportsRuntimeV2Filtering`. Without it, a
@@ -614,6 +614,31 @@ private[sources] class GraftTable(
                   engine.createOrReplace(data, layer, table, parts)
                 else engine.append(data, layer, table, parts)
               }
+            /** `df.writeStream.toTable("<cat>.<layer>.<table>")` —
+              * exactly-once-per-epoch streaming append (see
+              * [[GraftPartitionedCow.StreamingAppendWrite]]). Append
+              * output mode only: Complete would need a per-epoch full
+              * replace, which belongs to `foreachBatch` + the object
+              * API's swap protocols.
+              */
+            override def toStreaming
+                : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+              require(!replace,
+                s"${name()}: streaming supports Append output mode only " +
+                  "(use foreachBatch + Catalog.createOrReplace for " +
+                  "Complete-mode refreshes)")
+              val parts = effectivePartitionCols
+              val schema = info.schema()
+              val bad = parts.filter { c =>
+                schema.fields.find(_.name.equalsIgnoreCase(c))
+                  .forall(f => !GraftPartitionedCow.dirRenderable(f.dataType))
+              }
+              require(bad.isEmpty,
+                s"${name()}: partition columns ${bad.mkString(", ")} have " +
+                  "types whose directory rendering is ambiguous")
+              new GraftPartitionedCow.StreamingAppendWrite(
+                spark, format, schema, dir, parts, info.queryId())
+            }
           }
       }
     }
@@ -1231,8 +1256,109 @@ private[sources] object GraftPartitionedCow {
     }
   }
 
-  private final case class CowTaskFiles(files: Seq[(String, String)])
+  private[sources] final case class CowTaskFiles(files: Seq[(String, String)])
     extends WriterCommitMessage // (staged dot-path, final path)
+
+  /** Driver-side write preparation shared by the batch and streaming
+    * factories: the format's OutputWriterFactory over the FILE schema
+    * (data columns minus partition columns — hive layout stores
+    * partition values in directory names only), plus the serialized
+    * hadoop conf and the partition-field extraction plan.
+    */
+  private final case class Prepared(
+      owf: OutputWriterFactory, conf: SerializableHadoopConf,
+      fileSchema: StructType, fileFieldIdx: Seq[Int],
+      partFields: Seq[(String, Int, DataType)])
+
+  private def prepare(spark: SparkSession, format: String,
+      dataSchema: StructType, partitionCols: Seq[String]): Prepared = {
+    val fileFields = dataSchema.fields.zipWithIndex.filterNot {
+      case (f, _) => partitionCols.exists(_.equalsIgnoreCase(f.name))
+    }
+    val fileSchema = StructType(fileFields.map(_._1))
+    val partFields = partitionCols.map { c =>
+      val i = dataSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+      require(i >= 0, s"partition column $c not in write schema")
+      (c, i, dataSchema.fields(i).dataType)
+    }
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sessionState.newHadoopConf())
+    val owf = fileFormat(format)
+      .prepareWrite(spark, job, writeOptions(format), fileSchema)
+    Prepared(owf, new SerializableHadoopConf(job.getConfiguration),
+      fileSchema, fileFields.map(_._2).toSeq, partFields)
+  }
+
+  /** Exactly-once streaming append (`df.writeStream.toTable(...)`):
+    * tasks stage invisibly like every write here; `commit(epochId)` is
+    * idempotent at two levels:
+    *  1. an EPOCH MARKER (`_graft_stream_commits/<query>/<epoch>`,
+    *     underscore-invisible to scans, created after publish) makes a
+    *     re-delivered epoch a declared no-op — Spark re-runs an epoch
+    *     whose sink committed but whose checkpoint log write was lost,
+    *     the classic at-least-once window;
+    *  2. inside the publish itself, final file names are DETERMINISTIC
+    *     per (query, epoch, task partition, partition dir), so a crash
+    *     BETWEEN renames re-converges file-by-file on re-execution — a
+    *     staged file whose final name already exists is dropped, not
+    *     published twice. The two levels together close both duplicate
+    *     windows a directory store has (no atomic multi-file commit).
+    * Scale: marker cost is one tiny file per epoch; publish is one
+    * rename per written file; no row ever touches the driver.
+    */
+  final class StreamingAppendWrite(
+      spark: SparkSession, format: String, dataSchema: StructType,
+      dir: String, partitionCols: Seq[String], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+    private val queryTag =
+      f"${scala.util.hashing.MurmurHash3.stringHash(queryId)}%08x"
+    private def markerDir = new Path(dir, s"_graft_stream_commits/$queryTag")
+    private def marker(epochId: Long) = new Path(markerDir, epochId.toString)
+
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+      val p = prepare(spark, format, dataSchema, partitionCols)
+      StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
+        p.fileSchema, p.fileFieldIdx, p.partFields, queryTag)
+    }
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker(epochId))) {
+        // duplicate epoch delivery: the data is already live — drop the
+        // re-execution's staged files and decline
+        abort(epochId, messages)
+      } else {
+        messages.foreach {
+          case CowTaskFiles(files) => files.foreach { case (staged, fin) =>
+            val finP = new Path(fin)
+            if (fs.exists(finP)) fs.delete(new Path(staged), false)
+            else require(fs.rename(new Path(staged), finP),
+              s"stream commit: could not publish $staged -> $fin")
+          }
+          case _ => ()
+        }
+        fs.mkdirs(markerDir)
+        val out = fs.create(marker(epochId), true)
+        out.close()
+      }
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      messages.foreach {
+        case CowTaskFiles(files) => files.foreach { case (staged, _) =>
+          try fs.delete(new Path(staged), false)
+          catch { case _: Throwable => () }
+        }
+        case _ => ()
+      }
+    }
+  }
 
   /** Shared hive-layout batch write: tasks stage dot-prefixed files in
     * the target partition directories, commit publishes by rename and
@@ -1257,25 +1383,9 @@ private[sources] object GraftPartitionedCow {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory = {
-        // driver-side: build the format's OutputWriterFactory over the
-        // FILE schema (data columns minus partition columns — hive
-        // layout stores partition values in directory names only)
-        val fileFields = dataSchema.fields.zipWithIndex.filterNot {
-          case (f, _) => partitionCols.exists(_.equalsIgnoreCase(f.name))
-        }
-        val fileSchema = StructType(fileFields.map(_._1))
-        val partFields = partitionCols.map { c =>
-          val i = dataSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))
-          require(i >= 0, s"partition column $c not in replacement schema")
-          (c, i, dataSchema.fields(i).dataType)
-        }
-        val job = org.apache.hadoop.mapreduce.Job
-          .getInstance(spark.sessionState.newHadoopConf())
-        val owf = fileFormat(format)
-          .prepareWrite(spark, job, writeOptions(format), fileSchema)
-        PartitionedCowWriterFactory(owf,
-          new SerializableHadoopConf(job.getConfiguration), dir,
-          dataSchema, fileSchema, fileFields.map(_._2).toSeq, partFields)
+        val p = prepare(spark, format, dataSchema, partitionCols)
+        PartitionedCowWriterFactory(p.owf, p.conf, dir,
+          dataSchema, p.fileSchema, p.fileFieldIdx, p.partFields)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1409,7 +1519,25 @@ private[sources] object GraftPartitionedCow {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
-        fileSchema, fileFieldIdx, partFields, partitionId, taskId)
+        fileSchema, fileFieldIdx, partFields, partitionId, None)
+  }
+
+  /** Streaming twin of the factory: final file names are DETERMINISTIC
+    * per (queryId, epochId, partitionId, partition-dir), so an epoch
+    * re-executed after a crash mid-publish converges file-by-file
+    * instead of duplicating — see [[StreamingAppendWrite.commit]].
+    */
+  private final case class StreamingHiveWriterFactory(
+      owf: OutputWriterFactory, conf: SerializableHadoopConf,
+      tableDir: String, dataSchema: StructType, fileSchema: StructType,
+      fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
+      queryTag: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] =
+      new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
+        fileSchema, fileFieldIdx, partFields, partitionId,
+        Some((queryTag, epochId)))
   }
 
   /** Task-side dynamic-partition writer. Replacement rows may arrive
@@ -1418,22 +1546,40 @@ private[sources] object GraftPartitionedCow {
     * both the partition-value reads and the file projection shift by
     * it. One open OutputWriter per partition value encountered; with
     * the clustered distribution above that is a handful per task.
+    *
+    * `epoch = Some((queryTag, epochId))` switches to streaming naming:
+    * the FINAL name is a pure function of (queryTag, epoch, partitionId,
+    * partition dir) — no uuid, no taskId — so every re-execution of an
+    * epoch produces the same final names and a crashed publish can be
+    * completed idempotently; the STAGED name keeps a per-attempt uuid so
+    * concurrent task attempts never write the same file.
     */
   private final class PartitionedCowWriter(
       owf: OutputWriterFactory, conf: org.apache.hadoop.conf.Configuration,
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
-      partitionId: Int, taskId: Long)
+      partitionId: Int, epoch: Option[(String, Long)])
     extends DataWriter[InternalRow] {
 
     private val ctx = {
       import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
       new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
         new TaskAttemptID(new TaskID(new JobID("graftcow", 0),
-          TaskType.MAP, partitionId), taskId.toInt))
+          TaskType.MAP, partitionId), 0))
     }
     private val ext = owf.getFileExtension(ctx)
     private val uuid = java.util.UUID.randomUUID().toString.take(8)
+
+    private def finalName(rel: String): String = epoch match {
+      case None => s"part-$uuid-p$partitionId-${open.size}$ext"
+      case Some((tag, e)) =>
+        val relHash = f"${scala.util.hashing.MurmurHash3.stringHash(rel)}%08x"
+        s"part-s$tag-e$e-p$partitionId-r$relHash$ext"
+    }
+    private def stagedName(fin: String): String = epoch match {
+      case None => s".$fin"
+      case Some(_) => s".stg-$uuid-$fin"
+    }
     private def projection(offset: Int) =
       org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
         fileFieldIdx.map { i =>
@@ -1458,9 +1604,10 @@ private[sources] object GraftPartitionedCow {
             if (row.isNullAt(i + offset)) null else row.get(i + offset, dt), dt))
       }.mkString("/")
       val (w, _, _) = open.getOrElseUpdate(rel, {
-        val name = s"part-$uuid-p$partitionId-${open.size}$ext"
-        val staged = s"$tableDir/$rel/.$name"
-        (owf.newInstance(staged, fileSchema, ctx), staged, s"$tableDir/$rel/$name")
+        val name = finalName(rel)
+        val prefix = if (rel.isEmpty) tableDir else s"$tableDir/$rel"
+        val staged = s"$prefix/${stagedName(name)}"
+        (owf.newInstance(staged, fileSchema, ctx), staged, s"$prefix/$name")
       })
       w.write(if (offset == 0) proj0(row) else proj1(row))
     }
