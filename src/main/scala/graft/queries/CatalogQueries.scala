@@ -723,6 +723,50 @@ object CatalogQueries {
     */
   val q196Oracle: String = q183Oracle
 
+  /** q197 — BUCKETED catalog tables (r09 item 6): `PARTITIONED BY
+    * (bucket(16, cust))` on two REAL warehouse tables; inserts route
+    * rows into bucket-tagged files (one per bucket via the clustered
+    * write distribution), scans report KeyGroupedPartitioning through
+    * the catalog-resolved `bucket` function, and with
+    * `spark.sql.sources.v2.bucketing.enabled` the fact-fact join below
+    * storage-partition-joins with NO Exchange on either side
+    * (GraftBucketingSpec pins the plan shape; this entry puts the
+    * bucketed write→scan→join round-trip on the oracle hash). At
+    * 100 TB this is the co-located fact join — the one shape where a
+    * shuffle of both sides dominates everything else the query does.
+    */
+  def q197BucketedSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g197")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g197_orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g197_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.fact_orders " +
+      "(cust BIGINT, cents BIGINT, pri STRING) PARTITIONED BY (bucket(16, cust))")
+    spark.sql(s"CREATE TABLE $cat.dds.fact_balance " +
+      "(cust BIGINT, bal_cents BIGINT, seg STRING) PARTITIONED BY (bucket(16, cust))")
+    spark.sql(s"""INSERT INTO $cat.dds.fact_orders
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),
+        o_orderpriority
+      FROM g197_orders""")
+    spark.sql(s"""INSERT INTO $cat.dds.fact_balance
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g197_customer""")
+    spark.sql(s"""SELECT b.seg, f.pri, count(*) AS n,
+        sum(f.cents) AS cents_sum, sum(b.bal_cents) AS bal_sum
+      FROM $cat.dds.fact_orders f
+      JOIN $cat.dds.fact_balance b ON b.cust = f.cust
+      GROUP BY b.seg, f.pri""")
+  }
+
+  val q197Oracle: String =
+    s"""SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+       |  ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(o.o_totalprice * 100) AS BIGINT))")} AS cents_sum,
+       |  ${bi("sum(CAST(round(c.c_acctbal * 100) AS BIGINT))")} AS bal_sum
+       |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |GROUP BY c.c_mktsegment, o.o_orderpriority""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -759,7 +803,8 @@ object CatalogQueries {
     "q185_sql_schema_evolution" -> (q185SqlSchemaEvolution _),
     "q186_sql_functions" -> (q186SqlFunctions _),
     "q192_sql_partition_delete" -> (q192SqlPartitionDelete _),
-    "q196_sql_merge_partitioned" -> (q196SqlMergePartitioned _))
+    "q196_sql_merge_partitioned" -> (q196SqlMergePartitioned _),
+    "q197_bucketed_sql_catalog" -> (q197BucketedSqlCatalog _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -777,5 +822,6 @@ object CatalogQueries {
     "q185_sql_schema_evolution" -> q185Oracle,
     "q186_sql_functions" -> q186Oracle,
     "q192_sql_partition_delete" -> q192Oracle,
-    "q196_sql_merge_partitioned" -> q196Oracle)
+    "q196_sql_merge_partitioned" -> q196Oracle,
+    "q197_bucketed_sql_catalog" -> q197Oracle)
 }

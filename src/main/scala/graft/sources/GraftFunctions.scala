@@ -43,7 +43,116 @@ object GraftFunctions {
     "portable_hash" -> PortableHashFn,
     "simhash64" -> SimHashFn,
     "cosine_sim" -> CosineSimFn,
-    "sum_sq" -> SumSqFn)
+    "sum_sq" -> SumSqFn,
+    "bucket" -> GraftBucketFn)
+}
+
+/** The warehouse bucket assignment — ONE definition shared by the
+  * bucket-respecting writers ([[GraftPartitionedCow]]) and the
+  * catalog-resolved `bucket(n, key)` SQL function, which is the
+  * contract that makes a bucketed scan's reported
+  * KeyGroupedPartitioning truthful (storage-partitioned joins skip the
+  * exchange only because rows provably sit where the transform says).
+  *
+  * splitmix64 finalizer over the key's 64-bit image, `floorMod n`:
+  * integral keys use their value directly; strings fold a 31-base
+  * polynomial over UTF-8 bytes first. A plain `k % n` would inherit
+  * arithmetic patterns in real keys (every-7th-id updates, sharded id
+  * ranges) straight into bucket skew; the mix makes bucket load
+  * uniform for ~free. NULL keys bucket as key 0's image — a
+  * deterministic home, matching the writer.
+  */
+object GraftBucket {
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def ofLong(k: Long, n: Int): Int =
+    java.lang.Math.floorMod(mix64(k), n.toLong).toInt
+  def ofBytes(bytes: Array[Byte], n: Int): Int = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    ofLong(h, n)
+  }
+  def keyType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | _: StringType => true
+    case _ => false
+  }
+  /** Dispatch over catalyst-internal values (the writer's row reads). */
+  def of(value: Any, n: Int): Int = value match {
+    case null => ofLong(0L, n)
+    case l: java.lang.Long => ofLong(l.longValue(), n)
+    case i: java.lang.Integer => ofLong(i.longValue(), n)
+    case s: java.lang.Short => ofLong(s.longValue(), n)
+    case b: java.lang.Byte => ofLong(b.longValue(), n)
+    case u: UTF8String => ofBytes(u.getBytes, n)
+    case s: String => ofBytes(s.getBytes("UTF-8"), n)
+    case other => throw new IllegalArgumentException(
+      s"unbucketable key value class ${other.getClass}")
+  }
+}
+
+/** `bucket(n, key)` — the bucket transform's function, resolved by
+  * Spark's V2ScanPartitioning / DistributionAndOrderingUtils to reason
+  * about bucketed scans and writes (the bare-catalog lookup
+  * `loadFunction(Identifier(Array(), "bucket"))`). All key-type
+  * variants share one canonicalName, so two tables bucketed
+  * `bucket(8, <long>)` and `bucket(8, <long>)` compare compatible.
+  */
+object GraftBucketFn extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): graft warehouse bucket id (splitmix64, floorMod n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(n, key) takes two arguments, got ${inputType.fields.length}")
+    inputType.fields(1).dataType match {
+      case LongType => GraftBucketLongBound
+      case IntegerType => GraftBucketIntBound
+      case _: StringType => GraftBucketStringBound
+      case other => throw new UnsupportedOperationException(
+        s"bucket key type $other (supported: long, int, string)")
+    }
+  }
+}
+
+object GraftBucketLongBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def produceResult(input: InternalRow): Integer =
+    GraftBucket.ofLong(input.getLong(1), input.getInt(0))
+  def invoke(n: Integer, key: java.lang.Long): Integer =
+    if (n == null || key == null) null
+    else GraftBucket.ofLong(key.longValue(), n.intValue())
+}
+
+object GraftBucketIntBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def produceResult(input: InternalRow): Integer =
+    GraftBucket.ofLong(input.getInt(1).toLong, input.getInt(0))
+  def invoke(n: Integer, key: Integer): Integer =
+    if (n == null || key == null) null
+    else GraftBucket.ofLong(key.longValue(), n.intValue())
+}
+
+object GraftBucketStringBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def produceResult(input: InternalRow): Integer =
+    GraftBucket.ofBytes(input.getUTF8String(1).getBytes, input.getInt(0))
+  def invoke(n: Integer, key: UTF8String): Integer =
+    if (n == null || key == null) null
+    else GraftBucket.ofBytes(key.getBytes, n.intValue())
 }
 
 /** `token_count(text)` — count of non-empty whitespace-separated

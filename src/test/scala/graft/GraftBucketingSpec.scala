@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Bucketed (`PARTITIONED BY (bucket(n, col))`) warehouse tables in the
+  * session catalog (r09 item 6): the bucket spec persists in the
+  * `_graft_meta` sidecar, writes route rows into bucket-tagged files
+  * (one file per bucket per write via the clustered distribution), and
+  * scans report KeyGroupedPartitioning — so a same-spec join of two
+  * REAL catalog tables storage-partition-joins with no Exchange on
+  * either side, the fact-fact join shape that previously shuffled both
+  * sides.
+  */
+class GraftBucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val name = s"gbk${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-bk-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    (name, root)
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+
+  private def seedTwo(cat: String): Unit = {
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.facts (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE $cat.dds.dims (k BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1L to 400L).map(i => (i, i * 10)).toDF("k", "v")
+      .createOrReplaceTempView("gbk_facts_src")
+    (1L to 400L).map(i => (i, s"t${i % 7}")).toDF("k", "tag")
+      .createOrReplaceTempView("gbk_dims_src")
+    spark.sql(s"INSERT INTO $cat.dds.facts SELECT * FROM gbk_facts_src")
+    spark.sql(s"INSERT INTO $cat.dds.dims SELECT * FROM gbk_dims_src")
+  }
+
+  test("same-bucket-spec join of two catalog tables: no Exchange on either side") {
+    val (cat, _) = freshCatalog()
+    seedTwo(cat)
+    val joined = spark.table(s"$cat.dds.facts")
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    assert(shuffles(joined).isEmpty,
+      s"expected a storage-partitioned join, got:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 400)
+    // and the join is CORRECT, not just exchange-free
+    val row = joined.where(col("k") === 42).collect()
+    assert(row.length == 1 && row(0).getAs[Long]("v") == 420L)
+  }
+
+  test("groupBy the bucket key plans with no exchange") {
+    val (cat, _) = freshCatalog()
+    seedTwo(cat)
+    val agg = spark.table(s"$cat.dds.facts").groupBy("k")
+      .agg(sum("v").as("s"))
+    assert(shuffles(agg).isEmpty,
+      s"expected exchange-free aggregate, got:\n${agg.queryExecution.executedPlan}")
+    assert(agg.count() == 400)
+  }
+
+  test("appends keep the bucket layout; rows match an unbucketed write") {
+    val (cat, root) = freshCatalog()
+    seedTwo(cat)
+    spark.sql(s"INSERT INTO $cat.dds.facts VALUES (401, 4010), (402, 4020)")
+    // still exchange-free after the second generation of files
+    val joined = spark.table(s"$cat.dds.facts")
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    assert(shuffles(joined).isEmpty)
+    assert(spark.table(s"$cat.dds.facts").count() == 402)
+    // every data file carries a bucket tag
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/dds/facts"))
+      .filterNot(st => st.getPath.getName.startsWith("_"))
+    assert(files.nonEmpty && files.forall(_.getPath.getName.matches(".*-b\\d{5}\\..*")),
+      s"untagged bucket files: ${files.map(_.getPath.getName).mkString(", ")}")
+  }
+
+  test("a foreign untagged file fails safe: fallback to normal scan, never a wrong grouping") {
+    val (cat, root) = freshCatalog()
+    seedTwo(cat)
+    // an object-API write drops an untagged file into the table dir
+    graft.runtime.Catalog(spark, root)
+      .append(Seq((500L, 5000L)).toDF("k", "v"), "dds", "facts", Nil)
+    val joined = spark.table(s"$cat.dds.facts")
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    // correctness holds; the exchange is allowed to come back
+    assert(joined.count() == 400)
+    assert(spark.table(s"$cat.dds.facts").count() == 401)
+  }
+
+  test("INSERT OVERWRITE replaces a bucketed table and keeps the layout") {
+    val (cat, _) = freshCatalog()
+    seedTwo(cat)
+    spark.sql(s"INSERT OVERWRITE $cat.dds.facts " +
+      "SELECT k, v * 2 FROM gbk_facts_src WHERE k <= 100")
+    assert(spark.table(s"$cat.dds.facts").count() == 100)
+    val joined = spark.table(s"$cat.dds.facts")
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    assert(shuffles(joined).isEmpty,
+      s"overwrite lost the bucket layout:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 100)
+  }
+}
