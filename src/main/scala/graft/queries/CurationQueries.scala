@@ -924,11 +924,18 @@ object CurationQueries {
     // smoothed — and w = S · p_t/p_r, an exact integer via one fused
     // multiply-divide. rt/tt are a 1-row scalar broadcast.
     val totals = counts.agg(sum(col("r")).as("rt"), sum(col("tc")).as("tt"))
+    // exact integer math in DECIMAL(38,0): the numerator is
+    // (tc+1)·(rt+B)·S ≈ tt·rt·10^6, which exceeds Long around 10^13
+    // corpus bigrams (≈ sf1 of all-English text — ANSI Spark would
+    // throw, non-ANSI would wrap while DuckDB promotes, r09 ADVICE).
+    // 38 digits hold products up to ~10^38, i.e. ~10^15 bigrams
+    // (petabytes of text); `div` on decimals is exact integral
+    // division on both engines, so the hash is magnitude-independent.
     val perDoc = bigrams.join(broadcast(counts), Seq("b"))
       .crossJoin(broadcast(totals))
       .withColumn("w", expr(
-        s"((tc + 1) * (rt + $DsirBuckets) * $DsirScale) div " +
-          s"((r + 1) * (tt + $DsirBuckets))"))
+        s"CAST((CAST(tc + 1 AS DECIMAL(38,0)) * (rt + $DsirBuckets) * $DsirScale) div " +
+          s"(CAST(r + 1 AS DECIMAL(38,0)) * (tt + $DsirBuckets)) AS BIGINT)"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_bg"), sum(col("w")).as("w_sum"))
     perDoc.groupBy(col("source")).agg(
@@ -959,8 +966,8 @@ object CurationQueries {
        |  SELECT sum(r) AS rt, sum(tc) AS tt FROM counts),
        |scored AS (
        |  SELECT g.doc_id, g.source,
-       |    ((c.tc + 1) * (t.rt + $DsirBuckets) * $DsirScale) //
-       |      ((c.r + 1) * (t.tt + $DsirBuckets)) AS w
+       |    CAST(((c.tc + 1)::HUGEINT * (t.rt + $DsirBuckets) * $DsirScale) //
+       |      ((c.r + 1)::HUGEINT * (t.tt + $DsirBuckets)) AS BIGINT) AS w
        |  FROM bgb g JOIN counts c USING (b), totals t),
        |perdoc AS (
        |  SELECT doc_id, source, count(*) AS n_bg, sum(w) AS w_sum

@@ -326,10 +326,17 @@ object CosineSimBound extends ScalarFunction[java.lang.Double] {
   * aggregation: per-partition states merge pairwise, only the 8-byte
   * state crosses the exchange.
   */
+/** Magnitude bound (r09 ADVICE): state and result are Long, so
+  * `sum(x²)` must stay under 2^63 ≈ 9.2·10^18 — safe for keys up to
+  * ~10^6 over ~10^6 rows (|x|²·rows < 2^63). Inputs beyond that need a
+  * DECIMAL(38,0) twin; this function's role is the V2 partial/merge
+  * aggregate CONTRACT demonstration, not unbounded statistics.
+  */
 object SumSqFn extends UnboundFunction {
   override def name(): String = "sum_sq"
   override def description(): String =
-    "sum_sq(bigint) -> bigint: sum of squares aggregate (nulls skipped)"
+    "sum_sq(bigint) -> bigint: sum of squares aggregate (nulls skipped; " +
+      "caller guarantees sum(x*x) < 2^63)"
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.length == 1,
       s"sum_sq takes 1 argument, got ${inputType.length}")
