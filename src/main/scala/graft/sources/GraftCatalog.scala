@@ -1091,31 +1091,32 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
   * grouping. All `n` groups are always emitted (empty ones included)
   * so two scans' key sets align regardless of data skew.
   */
-private[sources] final class GraftBucketedScan(delegate: FileScan,
+private[sources] final class GraftBucketedScan(initial: FileScan,
     n: Int, col: String)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
-  import org.apache.spark.sql.execution.datasources.FilePartition
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 
-  override def readSchema(): StructType = delegate.readSchema()
+  @volatile private var current: FileScan = initial
+
+  override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-bucketed(n=$n, key=$col) ${delegate.description()}"
-  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
+    s"graft-bucketed(n=$n, key=$col) ${current.description()}"
+  override def estimateStatistics(): Statistics = current.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    delegate.columnarSupportMode()
-
-  private lazy val planned: Array[
-      org.apache.spark.sql.connector.read.InputPartition] =
-    delegate.toBatch.planInputPartitions()
+    current.columnarSupportMode()
 
   private val BucketTag = "-b(\\d{5})\\.".r
 
-  private lazy val grouped: Option[Array[
-      org.apache.spark.sql.connector.read.InputPartition]] = {
-    val fps = planned.toSeq.map {
+  /** files per bucket id, or None if any split is untagged/foreign. */
+  private def bucketsOf(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition])
+      : Option[Map[Int, Seq[PartitionedFile]]] = {
+    val fps = parts.toSeq.map {
       case fp: FilePartition => Some(fp)
       case _ => None
     }
@@ -1127,35 +1128,64 @@ private[sources] final class GraftBucketedScan(delegate: FileScan,
           .map(_.group(1).toInt).filter(_ < n), f)
       }
       if (tagged.exists(_._1.isEmpty)) None
-      else {
-        val byBucket = tagged.map { case (b, f) => (b.get, f) }.groupBy(_._1)
-        Some((0 until n).map { b =>
-          new KeyedFilePartition(b,
-            byBucket.getOrElse(b, Nil).map(_._2).toArray)
-            : org.apache.spark.sql.connector.read.InputPartition
-        }.toArray)
-      }
+      else Some(tagged.map { case (b, f) => (b.get, f) }
+        .groupMap(_._1)(_._2))
     }
   }
 
+  /** Groupability is decided ONCE, on the unfiltered file set at
+    * planning time (outputPartitioning must be stable); runtime
+    * filters only SHRINK the set, and a subset of tagged files stays
+    * tagged, so the decision cannot be invalidated later.
+    */
+  private lazy val initialPlan = initial.toBatch.planInputPartitions()
+  private lazy val groupable: Boolean = bucketsOf(initialPlan).isDefined
+
   override def planInputPartitions(): Array[
       org.apache.spark.sql.connector.read.InputPartition] =
-    grouped.getOrElse(planned)
+    if (!groupable) current.toBatch.planInputPartitions()
+    else {
+      val by = bucketsOf(current.toBatch.planInputPartitions())
+        .getOrElse(Map.empty[Int, Seq[PartitionedFile]])
+      // ALWAYS all n groups (empty ones included): two scans' key sets
+      // must align for the storage-partitioned join regardless of skew
+      // or runtime pruning
+      (0 until n).map { b =>
+        new KeyedFilePartition(b, by.getOrElse(b, Nil).toArray)
+          : org.apache.spark.sql.connector.read.InputPartition
+      }.toArray
+    }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    delegate.toBatch.createReaderFactory()
+    current.toBatch.createReaderFactory()
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    grouped match {
-      case Some(_) =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(Array(Expressions.bucket(n, col)), n)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .UnknownPartitioning(planned.length)
-    }
+    if (groupable)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(Array(Expressions.bucket(n, col)), n)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(initialPlan.length)
+
+  // ---- runtime (dynamic) partition pruning ------------------------------
+  // A bucketed table can ALSO be hive-partitioned; without this the
+  // bucket layout would trade away the DPP tier. Runtime IN/= on the
+  // hive partition columns narrows the file listing BEFORE buckets are
+  // regrouped — the partition count stays n (some buckets just hold
+  // fewer files), so the reported KeyGroupedPartitioning stays truthful.
+
+  override def filterAttributes(): Array[NamedReference] =
+    current.readPartitionSchema.fieldNames.map(Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val partSchema = current.readPartitionSchema
+    val extra = predicates.toSeq
+      .flatMap(GraftScanFilters.toPartitionFilter(_, partSchema))
+    if (extra.nonEmpty)
+      current = GraftScanFilters.withPartitionFilters(current, extra)
+  }
 }
 
 /** A [[FilePartition]] that knows its bucket key — what lets Spark
@@ -1269,12 +1299,27 @@ private[sources] final class GraftRuntimeFilterScan(
     }
   }
 
+  private def toPartitionFilter(p: Predicate,
+      partSchema: StructType): Option[CatalystExpr] =
+    GraftScanFilters.toPartitionFilter(p, partSchema)
+
+  private def withPartitionFilters(scan: FileScan,
+      extra: Seq[CatalystExpr]): FileScan =
+    GraftScanFilters.withPartitionFilters(scan, extra)
+}
+
+/** Runtime-predicate → partition-filter translation shared by the
+  * DPP wrapper ([[GraftRuntimeFilterScan]]) and the bucketed scan
+  * ([[GraftBucketedScan]]).
+  */
+private[sources] object GraftScanFilters {
+
   /** IN/= on a partition column → catalyst expression bound (by name —
     * `PartitioningAwareFileIndex` resolves partition-filter attributes
     * by name) to the partition schema; anything else → None.
     */
-  private def toPartitionFilter(p: Predicate,
-                                partSchema: StructType): Option[CatalystExpr] = {
+  def toPartitionFilter(p: Predicate,
+                        partSchema: StructType): Option[CatalystExpr] = {
     def attrOf(ref: NamedReference): Option[AttributeReference] = {
       val name = ref.fieldNames.mkString(".")
       partSchema.fields.find(f => f.name.equalsIgnoreCase(name))
@@ -1299,8 +1344,8 @@ private[sources] final class GraftRuntimeFilterScan(
     * file scan is a case class carrying `partitionFilters`, applied by
     * the shared file index at listing time.
     */
-  private def withPartitionFilters(scan: FileScan,
-                                   extra: Seq[CatalystExpr]): FileScan =
+  def withPartitionFilters(scan: FileScan,
+                           extra: Seq[CatalystExpr]): FileScan =
     scan match {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         p.copy(partitionFilters = p.partitionFilters ++ extra)

@@ -98,6 +98,47 @@ class GraftBucketingSpec extends SparkSpec {
     assert(spark.table(s"$cat.dds.facts").count() == 401)
   }
 
+  test("partitioned + bucketed: runtime pruning coexists with the bucket layout") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.pb (k BIGINT, v BIGINT, day STRING) " +
+      "PARTITIONED BY (day, bucket(8, k))")
+    val days = Seq("d1", "d2", "d3", "d4", "d5", "d6")
+    val rows = days.zipWithIndex.flatMap { case (d, i) =>
+      (1L to 50L).map(j => (i * 100L + j, j, d))
+    }
+    rows.toDF("k", "v", "day").createOrReplaceTempView("gbk_pb_src")
+    spark.sql(s"INSERT INTO $cat.dds.pb SELECT * FROM gbk_pb_src")
+
+    // DPP: a filtered date-dim join on the hive partition column prunes
+    // the bucketed fact scan at runtime — the bucket layout must not
+    // trade away the dynamic-pruning tier
+    val dimPath = tmpDir("gbk-date-dim")
+    days.zipWithIndex.map { case (d, i) =>
+      (d, if (i % 3 == 0) "audit" else "regular")
+    }.toDF("day", "kind").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = spark.table(s"$cat.dds.pb")
+      .join(dim.where(col("kind") === "audit"), Seq("day"))
+      .groupBy("day").agg(sum("v").as("s"))
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no runtime pruning on the bucketed fact scan:\n$plan")
+    assert(q.count() == 2) // d1 and d4
+    // execution-level proof: only the pruned days' files were read
+    val files = spark.table(s"$cat.dds.pb")
+      .join(dim.where(col("kind") === "audit"), Seq("day"))
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("day=d1") || f.contains("day=d4")),
+      s"scan read outside the pruned days: ${files.mkString(", ")}")
+    // and the bucket grouping is still live on the same table
+    val agg = spark.table(s"$cat.dds.pb").groupBy("k").agg(sum("v").as("s"))
+    assert(shuffles(agg).isEmpty,
+      s"bucket grouping lost under hive partitioning:\n${agg.queryExecution.executedPlan}")
+  }
+
   test("INSERT OVERWRITE replaces a bucketed table and keeps the layout") {
     val (cat, _) = freshCatalog()
     seedTwo(cat)
