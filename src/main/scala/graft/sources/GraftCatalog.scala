@@ -1238,8 +1238,21 @@ private[sources] final class GraftRuntimeFilterScan(
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     current.columnarSupportMode()
 
-  override def filterAttributes(): Array[NamedReference] =
-    current.readPartitionSchema.fieldNames.map(Expressions.column)
+  override def filterAttributes(): Array[NamedReference] = {
+    val all = current.readPartitionSchema.fieldNames
+    // capture (row-level) mode: RowLevelOperationRuntimeGroupFiltering
+    // builds ONE dynamic-pruning subquery over ALL declared attributes;
+    // with more than one it keys the IN on a named_struct, which
+    // DataSourceV2Strategy's runtime-filter translation cannot deliver
+    // to a V2 scan — the filter silently evaporates and the rewrite
+    // goes unbounded. Declaring only the FIRST (top-level) partition
+    // column keeps the subquery single-attribute — translatable,
+    // delivered, and pruning at the dominant axis of a hierarchical
+    // layout (year of year=/month=). Join-DPP (non-capture mode) plans
+    // per-key subqueries instead, so it keeps every column.
+    val names = if (captureTokens.isDefined) all.take(1) else all
+    names.map(Expressions.column)
+  }
 
   override def filter(predicates: Array[Predicate]): Unit = captureTokens match {
     case None =>

@@ -232,6 +232,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dataFiles(root, "ods/bal/seg=a").nonEmpty)
   }
 
+  test("copy-on-write on a TWO-LEVEL partition layout touches only the matching subtree") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.land (id BIGINT, v BIGINT, year INT, month INT) " +
+      "PARTITIONED BY (year, month)")
+    spark.sql(s"INSERT INTO $cat.raw.land VALUES " +
+      "(1, 10, 2020, 1), (2, 20, 2020, 2), (3, 30, 2021, 1), (4, 40, 2021, 2)")
+    val before2021 = dataFiles(root, "raw/land/year=2021")
+    // id % 2 = 1 defeats the metadata path; the runtime group filter
+    // bounds the rewrite at the TOP partition level (year=2020 — the
+    // multi-column group filter keys a struct IN that Spark cannot
+    // deliver to a V2 scan, so the scan declares the first level only)
+    spark.sql(s"DELETE FROM $cat.raw.land WHERE year = 2020 AND month = 1 AND id % 2 = 1")
+    val got = spark.table(s"$cat.raw.land").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 4L), s"got $got")
+    assert(dataFiles(root, "raw/land/year=2021") == before2021,
+      "year=2021 rewritten by a delete scoped to year=2020")
+    // the fully-emptied leaf directory is pruned
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/raw/land/year=2020/month=1")),
+      "emptied two-level leaf should have been pruned")
+  }
+
   test("UPDATE on a partitioned table rewrites only the matching partition") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
