@@ -1622,6 +1622,11 @@ private[sources] object GraftPartitionedCow {
     protected def retired(published: Seq[Path], fs: FileSystem): Seq[Path]
     /** Whether to prune partition directories the retirement emptied. */
     protected def pruneEmptied: Boolean
+    /** True when the write declared [[orderingOf]]: rows arrive grouped
+      * by key, so the task writer runs in close-on-key-change mode (one
+      * open columnar writer at a time).
+      */
+    protected def sortedInput: Boolean
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
@@ -1629,7 +1634,7 @@ private[sources] object GraftPartitionedCow {
         val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
         PartitionedCowWriterFactory(p.owf, p.conf, dir,
           dataSchema, p.fileSchema, p.fileFieldIdx, p.partFields,
-          p.bucketField)
+          p.bucketField, sortedInput)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1689,7 +1694,13 @@ private[sources] object GraftPartitionedCow {
     */
   /** Clustering for a hive-layout write: identity partitions plus the
     * bucket transform when present — one shuffle, then each task owns
-    * whole (partition, bucket) groups.
+    * whole (partition, bucket) groups. Declared NON-strict
+    * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+    * .distributionStrictlyRequired]] = false in the ordered writes):
+    * correctness never depends on co-location here (several files per
+    * group are fine), so AQE may plan a REBALANCE instead of a strict
+    * hash exchange and split a skewed group — one giant date partition
+    * stops being one giant task.
     */
   private def clusteringOf(partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)]): Distribution =
@@ -1699,6 +1710,24 @@ private[sources] object GraftPartitionedCow {
         bucketSpec.map { case (nb, c) => Expressions.bucket(nb, c)
           : org.apache.spark.sql.connector.expressions.Expression })
         .toArray)
+
+  /** Within-task ordering on the same keys: lets the task writer hold
+    * ONE open file writer at a time (close-on-key-change) instead of
+    * one per group it touches — columnar writers buffer O(100 MB)
+    * each, so concurrent-per-group writers are the classic dynamic-
+    * partition-write OOM at cluster scale. Spark's own
+    * FileFormatWriter sorts for exactly this reason.
+    */
+  private def orderingOf(partitionCols: Seq[String],
+      bucketSpec: Option[(Int, String)])
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    (partitionCols.map(c => Expressions.identity(c)
+      : org.apache.spark.sql.connector.expressions.Expression) ++
+      bucketSpec.map { case (nb, c) => Expressions.bucket(nb, c)
+        : org.apache.spark.sql.connector.expressions.Expression })
+      .map(e => Expressions.sort(e,
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
 
   final class PartitionedReplaceWrite(
       spark: SparkSession, format: String, dataSchema: StructType,
@@ -1712,7 +1741,10 @@ private[sources] object GraftPartitionedCow {
 
     override def requiredDistribution(): Distribution =
       clusteringOf(partitionCols, bucketSpec)
-    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    override def requiredOrdering(): Array[SortOrder] =
+      orderingOf(partitionCols, bucketSpec)
+    override def distributionStrictlyRequired(): Boolean = false
+    override protected def sortedInput: Boolean = true
 
     override protected def pruneEmptied: Boolean = true
 
@@ -1760,6 +1792,7 @@ private[sources] object GraftPartitionedCow {
 
     override def description(): String = s"graft dynamic-overwrite $dir"
     override protected def pruneEmptied: Boolean = false
+    override protected def sortedInput: Boolean = false
     override protected def retired(published: Seq[Path],
         fs: FileSystem): Seq[Path] = {
       val touched = published.map(_.getParent).toSet
@@ -1781,7 +1814,10 @@ private[sources] object GraftPartitionedCow {
     override def description(): String = s"graft bucketed-append $dir"
     override def requiredDistribution(): Distribution =
       clusteringOf(partitionCols, bucketSpec)
-    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    override def requiredOrdering(): Array[SortOrder] =
+      orderingOf(partitionCols, bucketSpec)
+    override def distributionStrictlyRequired(): Boolean = false
+    override protected def sortedInput: Boolean = true
     override protected def pruneEmptied: Boolean = false
     override protected def retired(published: Seq[Path],
         fs: FileSystem): Seq[Path] = Nil
@@ -1807,7 +1843,10 @@ private[sources] object GraftPartitionedCow {
     override def description(): String = s"graft bucketed-replace $dir"
     override def requiredDistribution(): Distribution =
       clusteringOf(partitionCols, bucketSpec)
-    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    override def requiredOrdering(): Array[SortOrder] =
+      orderingOf(partitionCols, bucketSpec)
+    override def distributionStrictlyRequired(): Boolean = false
+    override protected def sortedInput: Boolean = true
     override protected def pruneEmptied: Boolean = true
     override protected def retired(published: Seq[Path],
         fs: FileSystem): Seq[Path] = oldFiles
@@ -1817,12 +1856,13 @@ private[sources] object GraftPartitionedCow {
       owf: OutputWriterFactory, conf: SerializableHadoopConf,
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
-      bucketField: Option[(Int, Int)])
+      bucketField: Option[(Int, Int)], sorted: Boolean)
     extends DataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
-        fileSchema, fileFieldIdx, partFields, bucketField, partitionId, None)
+        fileSchema, fileFieldIdx, partFields, bucketField, partitionId, None,
+        sorted)
   }
 
   /** Streaming twin of the factory: final file names are DETERMINISTIC
@@ -1840,7 +1880,7 @@ private[sources] object GraftPartitionedCow {
         epochId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
         fileSchema, fileFieldIdx, partFields, bucketField, partitionId,
-        Some((queryTag, epochId)))
+        Some((queryTag, epochId)), sorted = false)
   }
 
   /** Task-side dynamic-partition writer. Replacement rows may arrive
@@ -1862,7 +1902,12 @@ private[sources] object GraftPartitionedCow {
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
       bucketField: Option[(Int, Int)],
-      partitionId: Int, epoch: Option[(String, Long)])
+      partitionId: Int, epoch: Option[(String, Long)],
+      // sorted = the write declared orderingOf, so rows arrive grouped
+      // by (partition, bucket) key: ONE columnar writer open at a time
+      // (close-on-key-change) — bounded task memory however many groups
+      // the task owns. Unsorted mode keeps a writer per key encountered.
+      sorted: Boolean)
     extends DataWriter[InternalRow] {
 
     private val ctx = {
@@ -1881,7 +1926,7 @@ private[sources] object GraftPartitionedCow {
       if (bucketId < 0) "" else f"-b$bucketId%05d"
 
     private def finalName(rel: String, bucketId: Int): String = epoch match {
-      case None => s"part-$uuid-p$partitionId-${open.size}${bTag(bucketId)}$ext"
+      case None => s"part-$uuid-p$partitionId-$fileSeq${bTag(bucketId)}$ext"
       case Some((tag, e)) =>
         val relHash = f"${scala.util.hashing.MurmurHash3.stringHash(rel)}%08x"
         s"part-s$tag-e$e-p$partitionId-r$relHash${bTag(bucketId)}$ext"
@@ -1899,9 +1944,25 @@ private[sources] object GraftPartitionedCow {
         })
     private lazy val proj0 = projection(0)
     private lazy val proj1 = projection(1)
-    // partRel -> (writer, stagedPath, finalPath)
+    // every file this task created: (stagedPath, finalPath) — closed
+    // files included, so commit/abort see the full set in both modes
+    private val files =
+      scala.collection.mutable.ArrayBuffer[(String, String)]()
+    private var fileSeq = 0
+    // unsorted mode: key -> open writer; sorted mode: one open writer
     private val open =
-      scala.collection.mutable.LinkedHashMap[String, (OutputWriter, String, String)]()
+      scala.collection.mutable.LinkedHashMap[String, OutputWriter]()
+    private var curKey: String = null
+    private var curWriter: OutputWriter = null
+
+    private def newFile(rel: String, bucketId: Int): OutputWriter = {
+      val name = finalName(rel, bucketId)
+      val prefix = if (rel.isEmpty) tableDir else s"$tableDir/$rel"
+      val staged = s"$prefix/${stagedName(name)}"
+      files += ((staged, s"$prefix/$name"))
+      fileSeq += 1
+      owf.newInstance(staged, fileSchema, ctx)
+    }
 
     override def write(row: InternalRow): Unit = {
       val offset = row.numFields - dataSchema.length
@@ -1918,23 +1979,37 @@ private[sources] object GraftPartitionedCow {
           if (row.isNullAt(i + offset)) null
           else row.get(i + offset, dataSchema.fields(i).dataType), nb)
       }.getOrElse(-1)
-      val (w, _, _) = open.getOrElseUpdate(s"$rel|$bucketId", {
-        val name = finalName(rel, bucketId)
-        val prefix = if (rel.isEmpty) tableDir else s"$tableDir/$rel"
-        val staged = s"$prefix/${stagedName(name)}"
-        (owf.newInstance(staged, fileSchema, ctx), staged, s"$prefix/$name")
-      })
+      val key = s"$rel|$bucketId"
+      val w =
+        if (sorted) {
+          if (curKey != key) {
+            // close-on-key-change; a recurring key (possible only if
+            // the ordering guarantee broke) just opens a fresh file —
+            // correct either way, fileSeq keeps names distinct
+            if (curWriter != null) curWriter.close()
+            curWriter = newFile(rel, bucketId)
+            curKey = key
+          }
+          curWriter
+        } else open.getOrElseUpdate(key, newFile(rel, bucketId))
       w.write(if (offset == 0) proj0(row) else proj1(row))
     }
 
     override def commit(): WriterCommitMessage = {
-      open.values.foreach(_._1.close())
-      CowTaskFiles(open.values.map(v => (v._2, v._3)).toSeq)
+      if (curWriter != null) { curWriter.close(); curWriter = null }
+      open.values.foreach(_.close())
+      open.clear()
+      CowTaskFiles(files.toSeq)
     }
 
     override def abort(): Unit = {
-      open.values.foreach { case (w, staged, _) =>
-        try w.close() catch { case _: Throwable => () }
+      if (curWriter != null) {
+        try curWriter.close() catch { case _: Throwable => () }
+        curWriter = null
+      }
+      open.values.foreach(w => try w.close() catch { case _: Throwable => () })
+      open.clear()
+      files.foreach { case (staged, _) =>
         try {
           val p = new Path(staged)
           p.getFileSystem(conf).delete(p, false)
