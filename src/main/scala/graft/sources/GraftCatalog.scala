@@ -583,10 +583,12 @@ private[sources] class GraftTable(
     else if (meta.bucketSpec.isDefined)
       // bucketed tables write through the v2 hive-layout path only —
       // declaring V1_BATCH_WRITE would make Spark REQUIRE a V1Write
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.STREAMING_WRITE)
-    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
 
@@ -1104,6 +1106,9 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
 
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableMicroBatchStream(initial, checkpointLocation)
   override def description(): String =
     s"graft-bucketed(n=$n, key=$col) ${current.description()}"
   override def estimateStatistics(): Statistics = current.estimateStatistics()
@@ -1229,6 +1234,9 @@ private[sources] final class GraftRuntimeFilterScan(
 
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = current.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableMicroBatchStream(current, checkpointLocation)
   override def description(): String = current.description()
   override def estimateStatistics(): Statistics = current.estimateStatistics()
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -1370,6 +1378,149 @@ private[sources] object GraftScanFilters {
         j.copy(partitionFilters = j.partitionFilters ++ extra)
       case other => other // unknown scan type: skip pruning, stay correct
     }
+
+  /** Rebuild the delegate over a different FILE set (same pruned
+    * schemas, same filters) — how the micro-batch stream plans one
+    * batch's files with the ordinary batch reader.
+    */
+  def withFileIndex(scan: FileScan,
+      idx: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex)
+      : FileScan =
+    scan match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.copy(fileIndex = idx)
+      case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
+        o.copy(fileIndex = idx)
+      case c: org.apache.spark.sql.execution.datasources.v2.csv.CSVScan =>
+        c.copy(fileIndex = idx)
+      case j: org.apache.spark.sql.execution.datasources.v2.json.JsonScan =>
+        j.copy(fileIndex = idx)
+      case other => other
+    }
+}
+
+/** Micro-batch streaming READ over a catalog table
+  * (`spark.readStream.table("<cat>.<ns>.<t>")`): each trigger lists the
+  * table's data files, diffs against the files already delivered, and
+  * makes the NEW files the next batch — appends (batch INSERT INTO,
+  * the streaming sink's epochs, engine appends) flow through as they
+  * land, the FileStreamSource contract on the DSv2 surface.
+  *
+  * Exactly-once replay: the discovered file set per batch is persisted
+  * in a per-source log under the query CHECKPOINT
+  * (`<checkpoint>/graft-file-log/<batchId>`, one path per line) BEFORE
+  * the offset is returned, so a batch re-executed after a crash
+  * re-reads exactly the same files — deterministic replay, which is
+  * what sinks build exactly-once on. A logged-but-uncommitted batch is
+  * simply re-delivered on restart.
+  *
+  * Contract: APPEND-ONLY streaming. A copy-on-write rewrite
+  * (MERGE/UPDATE/DELETE) produces new files whose rows would re-deliver
+  * — the same caveat as every file-stream source; stream from tables
+  * maintained by append/dynamic-overwrite-of-new-partitions.
+  *
+  * Scale: the driver handles file NAMES only (listing + set diff —
+  * same cost class as the batch file index); all row work is the
+  * ordinary pruned batch reader over the batch's file subset.
+  */
+private[sources] final class GraftTableMicroBatchStream(
+    template: FileScan, checkpointLocation: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark: SparkSession = SparkSession.active
+  private val tableRoot: Path = template.fileIndex.rootPaths.head
+  private val fs: FileSystem =
+    tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+  private val logDir = new Path(checkpointLocation, "graft-file-log")
+
+  private case class FileBatchOffset(batchId: Long) extends Offset {
+    override def json(): String = s"""{"batchId":$batchId}"""
+  }
+
+  private var loaded = false
+  private val entries = scala.collection.mutable.TreeMap[Long, Seq[String]]()
+  private val seen = scala.collection.mutable.HashSet[String]()
+
+  private def loadLog(): Unit = if (!loaded) {
+    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+      val id = try st.getPath.getName.toLong catch {
+        case _: NumberFormatException => -1L
+      }
+      if (id >= 0) {
+        val in = fs.open(st.getPath)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        val files = lines.filter(_.nonEmpty)
+        entries(id) = files
+        seen ++= files
+      }
+    }
+    loaded = true
+  }
+
+  private def maxBatch: Long = entries.keySet.lastOption.getOrElse(-1L)
+
+  private def listDataFiles(p: Path): Seq[String] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(st.getPath)
+      else Seq(fs.makeQualified(st.getPath).toString)
+    }
+
+  override def initialOffset(): Offset = FileBatchOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset =
+    FileBatchOffset(""""batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+
+  override def latestOffset(): Offset = synchronized {
+    loadLog()
+    val fresh = listDataFiles(tableRoot).filterNot(seen)
+    if (fresh.nonEmpty) {
+      val next = maxBatch + 1
+      fs.mkdirs(logDir)
+      val out = fs.create(new Path(logDir, next.toString), true)
+      try out.write((fresh.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      entries(next) = fresh
+      seen ++= fresh
+    }
+    FileBatchOffset(maxBatch)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = synchronized {
+    loadLog()
+    val s = start.asInstanceOf[FileBatchOffset].batchId
+    val e = end.asInstanceOf[FileBatchOffset].batchId
+    val files = entries.range(s + 1, e + 1).values.flatten.toSeq
+    if (files.isEmpty) Array.empty
+    else {
+      // the batch's files behind a fresh index (basePath keeps hive
+      // partition inference rooted at the TABLE, not the file dirs);
+      // everything else — pruned schemas, pushed filters — is the
+      // template scan's, so the shared reader factory applies
+      val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+        spark, files.map(new Path(_)),
+        Map("basePath" -> tableRoot.toString),
+        Some(StructType(template.dataSchema.fields ++
+          template.fileIndex.partitionSchema.fields)))
+      GraftScanFilters.withFileIndex(template, idx)
+        .toBatch.planInputPartitions()
+    }
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    template.toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Partitioned copy-on-write replacement write: the distributed write
