@@ -576,7 +576,8 @@ private[sources] class GraftTable(
     }
 
   override def properties(): util.Map[String, String] =
-    Map("format" -> format, "location" -> dir).asJava
+    (Map("format" -> format, "location" -> dir) ++
+      meta.bucketSpec.map { case (nb, c) => "buckets" -> s"$nb ($c)" }).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
