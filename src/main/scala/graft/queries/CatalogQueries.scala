@@ -767,6 +767,51 @@ object CatalogQueries {
        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_mktsegment, o.o_orderpriority""".stripMargin
 
+  /** q198 — the STREAMING table-to-table pipeline on the oracle hash
+    * path: `spark.readStream.table(src)` → `writeStream.toTable(dst)`,
+    * both ends resolved by catalog NAME (MICRO_BATCH_READ +
+    * STREAMING_WRITE). Two separate batch INSERTs land in `src` as two
+    * file generations; the stream delivers generation 1, then
+    * generation 2 arrives WHILE THE QUERY RUNS and is delivered as a
+    * second micro-batch — exactly-once both times (epoch markers +
+    * deterministic file names on the sink, checkpointed file log on
+    * the source). The emitted frame is the destination table, whose
+    * hash must equal the plain relational derivation of both
+    * generations from `customer` — so dropped batches, duplicated
+    * epochs, or partition-value corruption all break the compare.
+    *
+    * Scale shape: the driver handles file names and epoch markers
+    * only; each micro-batch is the ordinary pruned batch scan over
+    * that batch's files and a distributed staged-invisible append.
+    */
+  def q198StreamingTablePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g198")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g198_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.src (k BIGINT, bal_cents BIGINT, seg STRING)")
+    spark.sql(s"CREATE TABLE $cat.raw.dst (k BIGINT, bal_cents BIGINT, seg STRING)")
+    spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g198_customer WHERE c_custkey % 2 = 0""")
+    val cp = scratch("graft-q198-cp")
+    val q = spark.readStream.table(s"$cat.raw.src")
+      .writeStream.option("checkpointLocation", cp)
+      .toTable(s"$cat.raw.dst")
+    q.processAllAvailable() // generation 1 delivered
+    spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g198_customer WHERE c_custkey % 2 = 1""")
+    q.processAllAvailable() // generation 2 delivered mid-stream
+    q.stop()
+    spark.table(s"$cat.raw.dst").select(col("k"), col("bal_cents"), col("seg"))
+  }
+
+  val q198Oracle: String =
+    """SELECT c_custkey AS k,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |  c_mktsegment AS seg
+      |FROM customer""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -804,7 +849,8 @@ object CatalogQueries {
     "q186_sql_functions" -> (q186SqlFunctions _),
     "q192_sql_partition_delete" -> (q192SqlPartitionDelete _),
     "q196_sql_merge_partitioned" -> (q196SqlMergePartitioned _),
-    "q197_bucketed_sql_catalog" -> (q197BucketedSqlCatalog _))
+    "q197_bucketed_sql_catalog" -> (q197BucketedSqlCatalog _),
+    "q198_streaming_table_pipeline" -> (q198StreamingTablePipeline _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -823,5 +869,6 @@ object CatalogQueries {
     "q186_sql_functions" -> q186Oracle,
     "q192_sql_partition_delete" -> q192Oracle,
     "q196_sql_merge_partitioned" -> q196Oracle,
-    "q197_bucketed_sql_catalog" -> q197Oracle)
+    "q197_bucketed_sql_catalog" -> q197Oracle,
+    "q198_streaming_table_pipeline" -> q198Oracle)
 }

@@ -507,7 +507,8 @@ private[sources] class GraftTable(
     // the live table dir, and are strictly read-only
     dataDirOverride: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations with SupportsDeleteV2 {
+  with SupportsRowLevelOperations with SupportsDeleteV2
+  with SupportsPartitionManagement {
 
   private val dir = dataDirOverride.getOrElse(s"$root/$layer/$table")
   private def readOnly: Boolean = dataDirOverride.isDefined
@@ -574,6 +575,104 @@ private[sources] class GraftTable(
       case t if t.name == "identity" =>
         t.references().head.fieldNames.mkString(".")
     }
+
+  // ---- partition management (SHOW PARTITIONS / ADD / DROP PARTITION) ----
+  // The hive directory layout IS the partition metadata, so management
+  // is directory bookkeeping: list = walk the `col=value` tree (tokens
+  // parsed back to typed values, the default partition as NULL),
+  // create = mkdir, drop = recursive directory delete — the same
+  // operation the metadata-only DELETE performs, addressable as
+  // `ALTER TABLE ... DROP PARTITION` SQL. No per-partition properties
+  // (a directory store has nowhere durable to put them).
+
+  override def partitionSchema(): StructType = {
+    val s = schema()
+    StructType(effectivePartitionCols.map { c =>
+      s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalStateException(s"partition column $c not in schema"))
+    })
+  }
+
+  private def partitionDirOf(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Path = {
+    val ps = partitionSchema()
+    require(ident.numFields == ps.length,
+      s"partition spec has ${ident.numFields} values for ${ps.length} columns")
+    val rel = ps.fields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(f.name, GraftPartitionedCow.renderRaw(
+          if (ident.isNullAt(i)) null else ident.get(i, f.dataType),
+          f.dataType))
+    }.mkString("/")
+    new Path(dir, rel)
+  }
+
+  private def pmFs: FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit = {
+    require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
+    require(properties.isEmpty,
+      "graft partitions carry no properties (directory store)")
+    val p = partitionDirOf(ident)
+    if (pmFs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(name(), ident, partitionSchema())
+    pmFs.mkdirs(p)
+  }
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    !readOnly && {
+      val p = partitionDirOf(ident)
+      pmFs.exists(p) && pmFs.delete(p, true)
+    }
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no mutable metadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    require(names.length == ident.numFields,
+      s"${names.length} names for ${ident.numFields} constraint values")
+    val constraintIdx = names.map { n =>
+      val i = ps.fields.indexWhere(_.name.equalsIgnoreCase(n))
+      require(i >= 0, s"$n is not a partition column of ${name()}")
+      i
+    }
+    val fs = pmFs
+    def walk(d: Path, level: Int, acc: List[Any]): Seq[Seq[Any]] =
+      if (level == ps.length) Seq(acc.reverse)
+      else if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(ps.fields(level).name + "="))
+        .flatMap { st =>
+          val tok = st.getPath.getName.drop(ps.fields(level).name.length + 1)
+          walk(st.getPath, level + 1,
+            GraftPartitionedCow.parseToken(tok, ps.fields(level).dataType) :: acc)
+        }
+    walk(new Path(dir), 0, Nil)
+      .filter { values =>
+        constraintIdx.zipWithIndex.forall { case (pi, ci) =>
+          val want = if (ident.isNullAt(ci)) null
+            else ident.get(ci, ps.fields(pi).dataType)
+          java.util.Objects.equals(values(pi), want)
+        }
+      }
+      .map(v => org.apache.spark.sql.catalyst.InternalRow.fromSeq(v))
+      .toArray
+  }
 
   override def properties(): util.Map[String, String] =
     (Map("format" -> format, "location" -> dir) ++
@@ -1600,6 +1699,32 @@ private[sources] object GraftPartitionedCow {
   def dirToken(value: Any, dt: DataType): Option[String] =
     if (!dirRenderable(dt)) None
     else Option(renderRaw(value, dt)).filter(_.nonEmpty)
+
+  /** Inverse of the directory rendering: a `col=token` directory-name
+    * token back to the catalyst-internal partition value (the hive
+    * default partition reads as NULL).
+    */
+  def parseToken(tok: String, dt: DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (tok == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME) null
+    else {
+      val un = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(tok)
+      dt match {
+        case _: StringType =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(un)
+        case IntegerType => un.toInt
+        case LongType => un.toLong
+        case ShortType => un.toShort
+        case ByteType => un.toByte
+        case BooleanType => un.toBoolean
+        case DateType => java.time.LocalDate.parse(un).toEpochDay.toInt
+        case other => throw new IllegalArgumentException(
+          s"unparseable partition type $other")
+      }
+    }
+  }
 
   /** Mirrors [[graft.runtime.Catalog]]'s writeOptions so COW-written
     * files are indistinguishable from engine-appended ones.
