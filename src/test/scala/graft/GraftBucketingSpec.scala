@@ -85,6 +85,23 @@ class GraftBucketingSpec extends SparkSpec {
       s"untagged bucket files: ${files.map(_.getPath.getName).mkString(", ")}")
   }
 
+  test("ALTER TABLE schema evolution preserves the bucket spec") {
+    val (cat, _) = freshCatalog()
+    seedTwo(cat)
+    spark.sql(s"ALTER TABLE $cat.dds.facts ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $cat.dds.facts VALUES (500, 5000, 'x')")
+    // the spec survived the sidecar rewrite: still exchange-free
+    val joined = spark.table(s"$cat.dds.facts")
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    assert(shuffles(joined).isEmpty,
+      s"ALTER TABLE dropped the bucket spec:\n${joined.queryExecution.executedPlan}")
+    assert(spark.table(s"$cat.dds.facts").count() == 401)
+    // dropping the bucket column itself is refused
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.dds.facts DROP COLUMN k"))
+    assert(e.getMessage.contains("bucket column"), e.getMessage)
+  }
+
   test("a foreign untagged file fails safe: fallback to normal scan, never a wrong grouping") {
     val (cat, root) = freshCatalog()
     seedTwo(cat)
