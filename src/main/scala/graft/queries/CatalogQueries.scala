@@ -737,26 +737,45 @@ object CatalogQueries {
     */
   def q197BucketedSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
     val cat = sqlCatalog(spark, "g197")
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    Tables.load(spark, dir, "orders").createOrReplaceTempView("g197_orders")
-    Tables.load(spark, dir, "customer").createOrReplaceTempView("g197_customer")
-    spark.sql(s"CREATE NAMESPACE $cat.dds")
-    spark.sql(s"CREATE TABLE $cat.dds.fact_orders " +
-      "(cust BIGINT, cents BIGINT, pri STRING) PARTITIONED BY (bucket(16, cust))")
-    spark.sql(s"CREATE TABLE $cat.dds.fact_balance " +
-      "(cust BIGINT, bal_cents BIGINT, seg STRING) PARTITIONED BY (bucket(16, cust))")
-    spark.sql(s"""INSERT INTO $cat.dds.fact_orders
-      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),
-        o_orderpriority
-      FROM g197_orders""")
-    spark.sql(s"""INSERT INTO $cat.dds.fact_balance
-      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
-      FROM g197_customer""")
-    spark.sql(s"""SELECT b.seg, f.pri, count(*) AS n,
-        sum(f.cents) AS cents_sum, sum(b.bal_cents) AS bal_sum
-      FROM $cat.dds.fact_orders f
-      JOIN $cat.dds.fact_balance b ON b.cust = f.cust
-      GROUP BY b.seg, f.pri""")
+    // save/restore around the query (r10 ADVICE): leaking the setting
+    // into the shared bench session would make every LATER query's plan
+    // depend on whether q197 ran first — an order-dependent confound in
+    // the exact artifact the plan fingerprints are meant to compare.
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = spark.conf.getOption(bucketingKey)
+    spark.conf.set(bucketingKey, "true")
+    try {
+      Tables.load(spark, dir, "orders").createOrReplaceTempView("g197_orders")
+      Tables.load(spark, dir, "customer").createOrReplaceTempView("g197_customer")
+      spark.sql(s"CREATE NAMESPACE $cat.dds")
+      spark.sql(s"CREATE TABLE $cat.dds.fact_orders " +
+        "(cust BIGINT, cents BIGINT, pri STRING) PARTITIONED BY (bucket(16, cust))")
+      spark.sql(s"CREATE TABLE $cat.dds.fact_balance " +
+        "(cust BIGINT, bal_cents BIGINT, seg STRING) PARTITIONED BY (bucket(16, cust))")
+      spark.sql(s"""INSERT INTO $cat.dds.fact_orders
+        SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),
+          o_orderpriority
+        FROM g197_orders""")
+      spark.sql(s"""INSERT INTO $cat.dds.fact_balance
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+        FROM g197_customer""")
+      // the joined frame is materialized INSIDE the conf scope: the
+      // storage-partitioned planning happens at execution, and the
+      // caller may run the returned frame after the restore below —
+      // collect to a local relation so the measured plan is the one the
+      // conf enabled. Result is |segments × priorities| ≈ 25 rows.
+      val out = spark.sql(s"""SELECT b.seg, f.pri, count(*) AS n,
+          sum(f.cents) AS cents_sum, sum(b.bal_cents) AS bal_sum
+        FROM $cat.dds.fact_orders f
+        JOIN $cat.dds.fact_balance b ON b.cust = f.cust
+        GROUP BY b.seg, f.pri""")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally prev match {
+      case Some(v) => spark.conf.set(bucketingKey, v)
+      case None => spark.conf.unset(bucketingKey)
+    }
   }
 
   val q197Oracle: String =

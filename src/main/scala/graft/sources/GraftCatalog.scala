@@ -290,7 +290,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"bucket column $c not in schema"))
       require(GraftBucket.keyType(f.dataType),
-        s"bucket column $c: type ${f.dataType} unsupported (long/int/string)")
+        s"bucket column $c: type ${f.dataType} unsupported " +
+          "(long/int/short/byte/string)")
       require(!partitionCols.exists(_.equalsIgnoreCase(c)),
         s"column $c cannot be both a partition and a bucket column")
     }
@@ -736,10 +737,20 @@ private[sources] class GraftTable(
         mode = "dynamic"; this
       }
       override def build(): Write = mode match {
+        // OVERWRITE_DYNAMIC is declared unconditionally in capabilities,
+        // so with partitionOverwriteMode=dynamic set SESSION-WIDE Spark
+        // plans OverwritePartitionsDynamic for ANY insert-overwrite —
+        // including unpartitioned tables, where "replace the partitions
+        // that received data" degenerates to a full replace. Route that
+        // case to the truncate semantics instead of refusing (r10
+        // ADVICE): bucketed tables take the bucket-tagging v2 full
+        // replace, plain ones the V1 versioned swap-replace.
+        case "dynamic" if effectivePartitionCols.isEmpty =>
+          // OverwritePartitionsDynamicExec has NO V1 fallback, so this
+          // must be a real v2 write even for plain tables
+          buildV2Replace(info.schema())
         case "dynamic" =>
           val parts = effectivePartitionCols
-          require(parts.nonEmpty,
-            s"${name()}: dynamic partition overwrite needs a partitioned table")
           val schema = info.schema()
           val bad = parts.filter { c =>
             schema.fields.find(_.name.equalsIgnoreCase(c))
@@ -748,28 +759,38 @@ private[sources] class GraftTable(
           require(bad.isEmpty,
             s"${name()}: partition columns ${bad.mkString(", ")} have types " +
               "whose directory rendering is ambiguous (supported: string, " +
-              "integral, boolean)")
+              "integral, boolean, date)")
           val fs = new Path(dir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val old = listDataFiles(fs, new Path(dir))
           new GraftPartitionedCow.DynamicOverwriteWrite(
             spark, format, schema, dir, parts, old, meta.bucketSpec)
-        case m if meta.bucketSpec.isDefined =>
+        case m => buildBatch(replace = m == "truncate")
+      }
+
+      /** Staged-invisible v2 full replace (with version retention when
+        * configured) — the truncate path for bucketed tables and the
+        * dynamic-overwrite degenerate case above.
+        */
+      private def buildV2Replace(schema: StructType): Write = {
+        val fs = new Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = listDataFiles(fs, new Path(dir))
+        new GraftPartitionedCow.TruncateReplaceWrite(spark, format,
+          schema, dir, effectivePartitionCols, old, meta.bucketSpec,
+          if (versions > 0) Some((s"$dir.__versions", versions)) else None)
+      }
+
+      private def buildBatch(replace: Boolean): Write =
+        if (meta.bucketSpec.isDefined) {
           // bucketed tables write through the v2 hive-layout path — the
           // V1 append cannot tag bucket files
-          val schema = info.schema()
-          if (m == "truncate") {
-            val fs = new Path(dir)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val old = listDataFiles(fs, new Path(dir))
-            new GraftPartitionedCow.BucketedTruncateWrite(spark, format,
-              schema, dir, effectivePartitionCols, old, meta.bucketSpec)
-          } else
+          if (replace) buildV2Replace(info.schema())
+          else
             new GraftPartitionedCow.BucketedAppendWrite(spark, format,
-              schema, dir, effectivePartitionCols, meta.bucketSpec,
+              info.schema(), dir, effectivePartitionCols, meta.bucketSpec,
               info.queryId())
-        case m =>
-          val replace = m == "truncate"
+        } else
           new V1Write {
             override def toInsertableRelation: InsertableRelation =
               (data, overwriteFlag) => {
@@ -804,7 +825,6 @@ private[sources] class GraftTable(
                 spark, format, schema, dir, parts, info.queryId())
             }
           }
-      }
     }
   }
 
@@ -900,7 +920,7 @@ private[sources] class GraftTable(
           require(bad.isEmpty,
             s"${info.command}: partition columns ${bad.mkString(", ")} have " +
               "types whose directory rendering is ambiguous (supported: " +
-              "string, integral, boolean); use graft.runtime.Catalog.merge")
+              "string, integral, boolean, date); use graft.runtime.Catalog.merge")
           require(parts.size < schema.fields.length,
             s"${info.command}: every column is a partition column — no " +
               "data columns to write")
@@ -925,8 +945,10 @@ private[sources] class GraftTable(
   // wires this through OptimizeMetadataOnlyDeleteFromTable: the
   // row-level rewrite plan is replaced by a deleteWhere call when every
   // conjunct translates and canDeleteWhere accepts. Non-partition
-  // predicates keep the copy-on-write path (unpartitioned tables) or
-  // refuse with the Catalog.merge pointer (partitioned ones).
+  // predicates keep the copy-on-write path: a whole-table rewrite on
+  // unpartitioned tables, the partitioned COW rewrite (group-filtered
+  // to the touched partitions) on partitioned ones
+  // (GraftPartitionDeleteSpec pins both).
   // TRUNCATE TABLE rides the same surface (ALWAYS_TRUE).
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
@@ -1899,6 +1921,12 @@ private[sources] object GraftPartitionedCow {
     protected def retired(published: Seq[Path], fs: FileSystem): Seq[Path]
     /** Whether to prune partition directories the retirement emptied. */
     protected def pruneEmptied: Boolean
+    /** How retired files leave the live table: deleted by default;
+      * full-replace writes with version retention override this to MOVE
+      * them into the version store instead.
+      */
+    protected def retire(gone: Seq[Path], fs: FileSystem): Unit =
+      gone.foreach(fs.delete(_, false))
     /** True when the write declared [[orderingOf]]: rows arrive grouped
       * by key, so the task writer runs in close-on-key-change mode (one
       * open columnar writer at a time).
@@ -1928,7 +1956,7 @@ private[sources] object GraftPartitionedCow {
         }
         // phase 2 — retire the superseded generation per the policy
         val gone = retired(published, fs)
-        gone.foreach(fs.delete(_, false))
+        retire(gone, fs)
         // phase 3 — prune partition directories the retirement emptied
         // (fully-deleted partitions vanish rather than lingering as
         // empty dirs the next scan lists for nothing)
@@ -2107,17 +2135,31 @@ private[sources] object GraftPartitionedCow {
         partitionCols, queryId, bucketSpec)
   }
 
-  /** INSERT OVERWRITE a BUCKETED table: staged-invisible full replace —
-    * publish the new bucket-tagged generation, retire every pre-existing
-    * data file in the same commit.
+  /** INSERT OVERWRITE through the v2 path: staged-invisible full
+    * replace — publish the new generation (bucket-tagged when the table
+    * has a bucket spec), retire every pre-existing data file in the
+    * same commit. Used by bucketed tables (whose files the V1 swap
+    * cannot tag) and by `INSERT OVERWRITE` of an unpartitioned table
+    * planned as OverwritePartitionsDynamic (session-wide dynamic mode;
+    * no V1 fallback exists for that plan — r10 ADVICE).
+    *
+    * `versionStore = Some((versionsDir, retain))` preserves the
+    * version-retention contract of the V1 swap path: the retired
+    * generation is a COMPLETE previous table state (this is a full
+    * replace), so instead of deleting it the commit MOVES each retired
+    * file — relative hive path preserved — into the next `v<N>`
+    * directory of the store that `VERSION AS OF` / `readVersion`
+    * resolve against, pruned to the newest `retain`. One rename per
+    * retired file: same cost class as the deletes it replaces.
     */
-  final class BucketedTruncateWrite(
+  final class TruncateReplaceWrite(
       spark: SparkSession, format: String, dataSchema: StructType,
       dir: String, partitionCols: Seq[String], oldFiles: Seq[Path],
-      bucketSpec: Option[(Int, String)])
+      bucketSpec: Option[(Int, String)],
+      versionStore: Option[(String, Int)] = None)
     extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
       oldFiles, bucketSpec) with RequiresDistributionAndOrdering {
-    override def description(): String = s"graft bucketed-replace $dir"
+    override def description(): String = s"graft truncate-replace $dir"
     override def requiredDistribution(): Distribution =
       clusteringOf(partitionCols, bucketSpec)
     override def requiredOrdering(): Array[SortOrder] =
@@ -2127,6 +2169,29 @@ private[sources] object GraftPartitionedCow {
     override protected def pruneEmptied: Boolean = true
     override protected def retired(published: Seq[Path],
         fs: FileSystem): Seq[Path] = oldFiles
+    override protected def retire(gone: Seq[Path], fs: FileSystem): Unit =
+      versionStore match {
+        case Some((store, retain)) if gone.nonEmpty =>
+          val storeP = new Path(store)
+          val existing: Seq[Int] =
+            if (!fs.exists(storeP)) Nil
+            else fs.listStatus(storeP).toSeq.map(_.getPath.getName)
+              .filter(_.matches("v\\d{6}")).map(_.drop(1).toInt).sorted
+          val vDir = new Path(storeP,
+            f"v${existing.lastOption.getOrElse(0) + 1}%06d")
+          val qualBase = fs.makeQualified(new Path(dir)).toString
+          gone.foreach { f =>
+            val rel = f.toString.stripPrefix(qualBase).stripPrefix("/")
+            val dest = new Path(vDir, rel)
+            fs.mkdirs(dest.getParent)
+            require(fs.rename(f, dest),
+              s"version archive: could not retain $f as $dest")
+          }
+          existing.dropRight(retain - 1).foreach { v =>
+            fs.delete(new Path(storeP, f"v$v%06d"), true)
+          }
+        case _ => super.retire(gone, fs)
+      }
   }
 
   private final case class PartitionedCowWriterFactory(

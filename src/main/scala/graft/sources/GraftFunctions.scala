@@ -112,9 +112,11 @@ object GraftBucketFn extends UnboundFunction {
     inputType.fields(1).dataType match {
       case LongType => GraftBucketLongBound
       case IntegerType => GraftBucketIntBound
+      case ShortType => GraftBucketShortBound
+      case ByteType => GraftBucketByteBound
       case _: StringType => GraftBucketStringBound
       case other => throw new UnsupportedOperationException(
-        s"bucket key type $other (supported: long, int, string)")
+        s"bucket key type $other (supported: long, int, short, byte, string)")
     }
   }
 }
@@ -139,6 +141,38 @@ object GraftBucketIntBound extends ScalarFunction[Integer] {
   override def produceResult(input: InternalRow): Integer =
     GraftBucket.ofLong(input.getInt(1).toLong, input.getInt(0))
   def invoke(n: Integer, key: Integer): Integer =
+    if (n == null || key == null) null
+    else GraftBucket.ofLong(key.longValue(), n.intValue())
+}
+
+/** Short/Byte twins (r10 ADVICE): [[GraftBucket.keyType]] admits these
+  * at CREATE TABLE, so the function catalog must bind them too — the
+  * previous gap left a `bucket(n, smallint)` table creatable but never
+  * writable (the write's RequiresDistributionAndOrdering resolution
+  * threw at bind). Same canonicalName: all integral widths share the
+  * splitmix64 image of their Long value, so cross-width specs compare
+  * compatible exactly when their bucket assignments agree.
+  */
+object GraftBucketShortBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, ShortType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def produceResult(input: InternalRow): Integer =
+    GraftBucket.ofLong(input.getShort(1).toLong, input.getInt(0))
+  def invoke(n: Integer, key: java.lang.Short): Integer =
+    if (n == null || key == null) null
+    else GraftBucket.ofLong(key.longValue(), n.intValue())
+}
+
+object GraftBucketByteBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, ByteType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def produceResult(input: InternalRow): Integer =
+    GraftBucket.ofLong(input.getByte(1).toLong, input.getInt(0))
+  def invoke(n: Integer, key: java.lang.Byte): Integer =
     if (n == null || key == null) null
     else GraftBucket.ofLong(key.longValue(), n.intValue())
 }

@@ -156,6 +156,32 @@ class GraftBucketingSpec extends SparkSpec {
       s"bucket grouping lost under hive partitioning:\n${agg.queryExecution.executedPlan}")
   }
 
+  test("short/byte bucket keys are creatable AND writable (r10 ADVICE)") {
+    // keyType admits Short/Byte at CREATE TABLE, so the function catalog
+    // must bind them too — previously bind() threw, leaving the table
+    // creatable but never writable.
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.sfacts (k SMALLINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.dds.sdims (k SMALLINT, tag STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.dds.sfacts " +
+      "SELECT CAST(id AS SMALLINT), id * 10 FROM range(1, 101)")
+    spark.sql(s"INSERT INTO $cat.dds.sdims " +
+      "SELECT CAST(id AS SMALLINT), concat('t', id % 5) FROM range(1, 101)")
+    val joined = spark.table(s"$cat.dds.sfacts")
+      .join(spark.table(s"$cat.dds.sdims"), Seq("k"))
+    assert(joined.count() == 100)
+    assert(shuffles(joined).isEmpty,
+      s"short-keyed bucket join shuffled:\n${joined.queryExecution.executedPlan}")
+    spark.sql(s"CREATE TABLE $cat.dds.bfacts (k TINYINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.dds.bfacts " +
+      "SELECT CAST(id AS TINYINT), id FROM range(1, 51)")
+    assert(spark.table(s"$cat.dds.bfacts").count() == 50)
+  }
+
   test("INSERT OVERWRITE replaces a bucketed table and keeps the layout") {
     val (cat, _) = freshCatalog()
     seedTwo(cat)

@@ -71,6 +71,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.ods.t").collect().toSeq == Seq(Row(9L, "new")))
   }
 
+  test("INSERT OVERWRITE an UNPARTITIONED table under partitionOverwriteMode=dynamic " +
+      "is a full replace (r10 ADVICE)") {
+    // OVERWRITE_DYNAMIC is a declared capability, so a session-wide
+    // dynamic mode makes Spark plan OverwritePartitionsDynamic even for
+    // unpartitioned targets — which must degrade to truncate semantics,
+    // not throw at write-build time.
+    val (cat, _) = freshCatalog()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ods")
+      spark.sql(s"CREATE TABLE $cat.ods.flat (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.ods.flat VALUES (1, 'old'), (2, 'old')")
+      spark.sql(s"INSERT OVERWRITE $cat.ods.flat VALUES (3, 'new')")
+      assert(spark.table(s"$cat.ods.flat").collect().toSeq ==
+        Seq(Row(3L, "new")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("partitioned create + insert produce a hive layout the scan prunes") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
