@@ -21,7 +21,15 @@ object Bench {
   private final class PlanCensus
       extends org.apache.spark.sql.util.QueryExecutionListener {
     private val nodes = new scala.collection.mutable.ArrayBuffer[String]
-    def reset(): Unit = synchronized { nodes.clear() }
+    // QueryExecutions already recorded, by IDENTITY: the timed action's
+    // plan is recorded synchronously by the bench loop (see record
+    // below) AND delivered later through the async listener — without
+    // the dedup the same plan would census twice.
+    private val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[
+        org.apache.spark.sql.execution.QueryExecution, java.lang.Boolean]())
+    def reset(): Unit = synchronized { nodes.clear(); seen.clear() }
+    def size: Int = synchronized { nodes.size }
     /** "b<bhj>s<smj>h<shj>n<bnlj>-<8-hex structural hash>" */
     def fingerprint(): String = synchronized {
       val s = nodes.mkString(">")
@@ -30,7 +38,16 @@ object Bench {
         f"-${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"
     }
     private def count(n: String): Int = nodes.count(_.startsWith(n))
-    private def record(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+    /** Public: the bench loop records the timed action's OWN
+      * QueryExecution synchronously after the action returns —
+      * QueryExecutionListener events ride the async ExecutionListenerBus
+      * and were mostly undelivered when the fingerprint was read (r10
+      * ADVICE: 104 of 198 committed fingerprints were the identical
+      * empty census). The listener stays registered for AUXILIARY
+      * statements (DDL/DML a query runs internally before its final
+      * frame), deduped against the synchronous capture by identity.
+      */
+    def record(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
       // treeString of an executed AQE plan prints the FINAL plan
       // (isFinalPlan=true); strip per-line decorations down to the
       // operator name so codegen ids / plan ids don't perturb the hash.
@@ -40,7 +57,7 @@ object Bench {
         val name = t2.takeWhile(c => c.isLetterOrDigit)
         if (name.nonEmpty) Some(name) else None
       }.toList
-      synchronized { nodes ++= ns }
+      synchronized { if (seen.add(qe)) nodes ++= ns }
     }
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
@@ -155,12 +172,33 @@ object Bench {
         census.reset()
         val (g0, j0) = (gcMs(), jitMs())
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
+        // the timed action is df.count()'s exact plan, built explicitly
+        // so its (AQE-final) QueryExecution stays in hand for the
+        // synchronous census below
+        var counted: Option[org.apache.spark.sql.DataFrame] = None
+        val err = try {
+          val cdf = fn(spark, sfDir).groupBy().count()
+          counted = Some(cdf)
+          cdf.collect()
+          None
+        } catch {
           case e: Throwable => Some(e.toString.takeWhile(_ != '\n'))
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        val t = Timing(sec, gcMs() - g0, jitMs() - j0, census.fingerprint(), err)
+        val (g1, j1) = (gcMs() - g0, jitMs() - j0)
+        // main plan: synchronous, race-free (r10 ADVICE)
+        counted.foreach(c =>
+          try census.record(c.queryExecution) catch { case _: Throwable => () })
         quiesce()
+        // auxiliary statements' events are async: drain with a bounded
+        // stability poll (outside the timing window) before reading
+        var (last, stable, waited) = (-1, 0, 0)
+        while (stable < 2 && waited < 300) {
+          val s = census.size
+          if (s == last) stable += 1 else { stable = 0; last = s }
+          Thread.sleep(10); waited += 10
+        }
+        val t = Timing(sec, g1, j1, census.fingerprint(), err)
         System.err.println(f"[bench] $name%-28s $sec%8.2f s  gc=${t.gc}%4d ms  ${t.fp}" +
           err.map(m => s"  FAILED: $m").getOrElse(""))
         (name, t)
