@@ -102,6 +102,10 @@ object GraftExtensions {
           a(0), litInt(a(1), "numHashes")) }))
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // leaf-level group narrowing for partitioned MERGE/UPDATE/DELETE on
+    // catalog tables: a rewrite touching one (year, month) reads and
+    // replaces ONE leaf partition, not the whole year
+    ext.injectOptimizerRule(_ => graft.sources.GraftCowLeafScope)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

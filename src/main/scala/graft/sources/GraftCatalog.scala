@@ -828,12 +828,66 @@ private[sources] class GraftTable(
     }
   }
 
+  /** Fully-quoted SQL identifier of this table (for re-reads through
+    * the session catalog from driver-side commit logic).
+    */
+  private def quotedIdent: String = s"`$catalogName`.`$layer`.`$table`"
+
+  /** Pre-write row counts per hive partition rel-dir within a
+    * per-column value scope — the commit-time carryover-equality check
+    * of the leaf-narrowed copy-on-write ([[GraftCowLeafScope]]). Runs
+    * as one distributed zero-data-column aggregate over the scoped
+    * partitions (partition-pruned via the typed isin filters); only the
+    * per-partition counts — touched-scope-bounded — reach the driver.
+    */
+  private[sources] def countRowsByPartition(
+      scope: Map[String, Set[String]]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val parts = effectivePartitionCols
+    val s = schema()
+    def dtOf(c: String): DataType =
+      s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalStateException(s"partition column $c not in schema"))
+        .dataType
+    val scoped = scope.foldLeft(spark.table(quotedIdent)) {
+      case (df, (c, toks)) =>
+        df.where(col(c).isin(
+          toks.toSeq.map(GraftPartitionedCow.externalToken(_, dtOf(c))): _*))
+    }
+    scoped.groupBy(parts.map(col): _*).count().collect().map { row =>
+      val rel = parts.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c,
+            GraftPartitionedCow.renderRaw(row.get(i), dtOf(c)))
+      }.mkString("/")
+      rel -> row.getLong(parts.length)
+    }.toMap
+  }
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
-    () => new RowLevelOperation {
+    () => new RowLevelOperation with GraftCowOperation {
       override def command(): RowLevelOperation.Command = info.command
       override def description(): String = s"graft copy-on-write ${info.command}"
+
+      /** Leaf-scope channel ([[GraftCowLeafScope]]): None = undecided,
+        * Some(None) = declined (fall back to the first-column runtime
+        * capture), Some(Some(ls)) = exact leaf narrowing active.
+        */
+      @volatile private var leafState
+          : Option[Option[GraftCowLeafScope.LeafScope]] = None
+      override def cowPartitionCols: Seq[String] = effectivePartitionCols
+      override def cowCountRowsWithin(
+          scope: Map[String, Set[String]]): Map[String, Long] =
+        countRowsByPartition(scope)
+      override def leafScopeDecided: Boolean = leafState.isDefined
+      override def leafScope: Option[GraftCowLeafScope.LeafScope] =
+        leafState.flatten
+      override def offerLeafScope(ls: GraftCowLeafScope.LeafScope): Unit =
+        synchronized { if (leafState.isEmpty) leafState = Some(Some(ls)) }
+      override def declineLeafScope(): Unit =
+        synchronized { if (leafState.isEmpty) leafState = Some(None) }
 
       /** Partition constraints the runtime group filter narrowed this
         * operation's SCAN to (per-column allowed directory tokens,
@@ -880,15 +934,44 @@ private[sources] class GraftTable(
         * (capture mode keeps the applied and reported sets identical
         * by construction — see [[GraftRuntimeFilterScan.filter]]).
         */
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new ScanBuilder {
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        val inner = delegate.newScanBuilder(options)
+        // The ONE static pushdown this scan accepts: filters whose
+        // references are ALL partition columns. Those drop whole GROUPS
+        // (a partition-column predicate can never split a partition),
+        // which is exactly the granularity a group-based rewrite may
+        // prune at — and it is how [[GraftCowLeafScope]]'s injected
+        // per-column IN reaches the FILE LISTING instead of being
+        // row-filtered after a full read. Anything referencing a data
+        // column stays un-pushed (returned as post-scan) for the
+        // reasons in the class doc above.
+        new ScanBuilder
+          with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+          override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
+            val parts = effectivePartitionCols
+            val (pure, rest) = filters.partition { f =>
+              f.deterministic && f.references.nonEmpty &&
+                f.references.forall(a =>
+                  parts.exists(_.equalsIgnoreCase(a.name)))
+            }
+            val residual = inner match {
+              case fsb: FileScanBuilder if pure.nonEmpty => fsb.pushFilters(pure)
+              case _ => pure
+            }
+            rest ++ residual
+          }
+          override def pushedFilters: Array[Predicate] = inner match {
+            case fsb: FileScanBuilder => fsb.pushedFilters
+            case _ => Array.empty
+          }
           override def build(): org.apache.spark.sql.connector.read.Scan =
-            delegate.newScanBuilder(options).build() match {
+            inner.build() match {
               case fsn: FileScan if effectivePartitionCols.nonEmpty =>
                 new GraftRuntimeFilterScan(fsn, captureTokens = Some(recordScanned))
               case other => other
             }
         }
+      }
 
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
         val parts = effectivePartitionCols
@@ -930,7 +1013,7 @@ private[sources] class GraftTable(
             val old = listDataFiles(fs, new Path(dir))
             new GraftPartitionedCow.PartitionedReplaceWrite(
               spark, format, schema, dir, parts, old, () => scanned,
-              meta.bucketSpec)
+              meta.bucketSpec, () => leafScope)
           } }
         }
       }
@@ -1722,6 +1805,25 @@ private[sources] object GraftPartitionedCow {
     if (!dirRenderable(dt)) None
     else Option(renderRaw(value, dt)).filter(_.nonEmpty)
 
+  /** A raw directory token back to the EXTERNAL (Row-API) value — for
+    * typed `isin` filters built through the public DataFrame API, where
+    * catalyst-internal values (UTF8String, epoch-day ints) don't apply.
+    */
+  def externalToken(tok: String, dt: DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: StringType => tok
+      case IntegerType => tok.toInt
+      case LongType => tok.toLong
+      case ShortType => tok.toShort
+      case ByteType => tok.toByte
+      case BooleanType => tok.toBoolean
+      case DateType => java.sql.Date.valueOf(tok)
+      case other => throw new IllegalArgumentException(
+        s"unfilterable partition type $other")
+    }
+  }
+
   /** Inverse of the directory rendering: a `col=token` directory-name
     * token back to the catalyst-internal partition value (the hive
     * default partition reads as NULL).
@@ -1785,8 +1887,9 @@ private[sources] object GraftPartitionedCow {
     }
   }
 
-  private[sources] final case class CowTaskFiles(files: Seq[(String, String)])
-    extends WriterCommitMessage // (staged dot-path, final path)
+  private[sources] final case class CowTaskFiles(
+      files: Seq[(String, String, Long)])
+    extends WriterCommitMessage // (staged dot-path, final path, row count)
 
   /** Driver-side write preparation shared by the batch and streaming
     * factories: the format's OutputWriterFactory over the FILE schema
@@ -1874,7 +1977,7 @@ private[sources] object GraftPartitionedCow {
         abort(epochId, messages)
       } else {
         messages.foreach {
-          case CowTaskFiles(files) => files.foreach { case (staged, fin) =>
+          case CowTaskFiles(files) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
             if (fs.exists(finP)) fs.delete(new Path(staged), false)
             else require(fs.rename(new Path(staged), finP),
@@ -1892,7 +1995,7 @@ private[sources] object GraftPartitionedCow {
         messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files) => files.foreach { case (staged, _) =>
+        case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -1945,14 +2048,21 @@ private[sources] object GraftPartitionedCow {
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // phase 1 — publish the new generation (atomic per-file rename)
-        val published = messages.toSeq.flatMap {
-          case CowTaskFiles(files) => files.map { case (staged, fin) =>
-            require(fs.rename(new Path(staged), new Path(fin)),
-              s"commit: could not publish $staged -> $fin")
-            fs.makeQualified(new Path(fin))
-          }
+        val staged = messages.toSeq.flatMap {
+          case CowTaskFiles(files) => files
           case _ => Nil
+        }
+        // phase 0 — the publish policy may DROP staged files instead of
+        // publishing them (leaf-narrowed replace: a partition proven
+        // pure-carryover keeps its ORIGINAL files and discards the
+        // staged copies — byte-identical untouched partitions)
+        val (toPublish, toDrop) = partitionPublish(staged, fs)
+        toDrop.foreach(p => fs.delete(new Path(p), false))
+        // phase 1 — publish the new generation (atomic per-file rename)
+        val published = toPublish.map { case (staged0, fin) =>
+          require(fs.rename(new Path(staged0), new Path(fin)),
+            s"commit: could not publish $staged0 -> $fin")
+          fs.makeQualified(new Path(fin))
         }
         // phase 2 — retire the superseded generation per the policy
         val gone = retired(published, fs)
@@ -1977,7 +2087,7 @@ private[sources] object GraftPartitionedCow {
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         messages.foreach {
-          case CowTaskFiles(files) => files.foreach { case (staged, _) =>
+          case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
             try fs.delete(new Path(staged), false)
             catch { case _: Throwable => () }
           }
@@ -1986,6 +2096,12 @@ private[sources] object GraftPartitionedCow {
       }
     }
 
+    /** Which staged files become visible: (publish pairs, staged paths
+      * to drop). Default: publish everything.
+      */
+    protected def partitionPublish(staged: Seq[(String, String, Long)],
+        fs: FileSystem): (Seq[(String, String)], Seq[String]) =
+      (staged.map(t => (t._1, t._2)), Nil)
   }
 
   /** Copy-on-write replacement (row-level MERGE/UPDATE/DELETE): retires
@@ -2038,7 +2154,8 @@ private[sources] object GraftPartitionedCow {
       spark: SparkSession, format: String, dataSchema: StructType,
       dir: String, partitionCols: Seq[String], oldFiles: Seq[Path],
       scanned: () => Option[Map[String, Set[String]]],
-      bucketSpec: Option[(Int, String)] = None)
+      bucketSpec: Option[(Int, String)] = None,
+      leafScope: () => Option[GraftCowLeafScope.LeafScope] = () => None)
     extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
       oldFiles, bucketSpec) with RequiresDistributionAndOrdering {
 
@@ -2053,24 +2170,95 @@ private[sources] object GraftPartitionedCow {
 
     override protected def pruneEmptied: Boolean = true
 
+    /** Partition rel-dir of a table file path ("" for the table root). */
+    private def relOf(p: String, fs: FileSystem): String = {
+      val base = fs.makeQualified(new Path(dir)).toString
+      val parent = fs.makeQualified(new Path(p)).getParent.toString
+      if (parent == base) "" else parent.stripPrefix(base + "/")
+    }
+
+    private def inScope(rel: String,
+        scope: Map[String, Set[String]]): Boolean = {
+      val segments = rel.split("/").toSeq
+      scope.forall { case (colName, toks) =>
+        val allowed = toks.map(t =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(colName, t))
+        segments.exists(allowed.contains)
+      }
+    }
+
+    // leaf mode state threaded from partitionPublish (phase 0) to
+    // retired (phase 2) within the single driver-side commit call
+    private var leafActive: Option[GraftCowLeafScope.LeafScope] = None
+    private var mismatchRels: Set[String] = Set.empty
+
+    /** Leaf-narrowed publish ([[GraftCowLeafScope]]): per staged
+      * partition Q —
+      *  - Q ∈ matched: publish (its old generation retires below);
+      *  - Q ∈ scan scope, not matched: Q's carryover was fully read, so
+      *    staged rows = pre-write rows ⟺ nothing moved in or was
+      *    inserted there ⟹ DROP the staged copies, keep the original
+      *    files byte-identical. A count mismatch means rows moved into
+      *    Q (a partition-changing UPDATE/MERGE) riding on the full
+      *    carryover ⟹ publish AND retire Q's old generation;
+      *  - Q outside the scan scope: only NEW rows (inserts landing in
+      *    untouched partitions) can stage there — publish, and never
+      *    retire (no carryover was read, the old files stay).
+      * Without a leaf scope (rule declined / extensions absent) every
+      * staged file publishes, as before.
+      */
+    override protected def partitionPublish(
+        staged: Seq[(String, String, Long)],
+        fs: FileSystem): (Seq[(String, String)], Seq[String]) =
+      leafScope() match {
+        case None => super.partitionPublish(staged, fs)
+        case some @ Some(ls) =>
+          leafActive = some
+          lazy val pre: Map[String, Long] = ls.preCounts()
+          val publish = Seq.newBuilder[(String, String)]
+          val drop = Seq.newBuilder[String]
+          staged.groupBy(t => relOf(t._2, fs)).foreach { case (rel, files) =>
+            if (ls.matchedRels.contains(rel))
+              publish ++= files.map(t => (t._1, t._2))
+            else if (inScope(rel, ls.scopeTokens)) {
+              val stagedRows = files.map(_._3).sum
+              if (pre.get(rel).contains(stagedRows))
+                drop ++= files.map(_._1)
+              else {
+                publish ++= files.map(t => (t._1, t._2))
+                mismatchRels += rel
+              }
+            } else publish ++= files.map(t => (t._1, t._2))
+          }
+          (publish.result(), drop.result())
+      }
+
     /** A pre-existing file is superseded iff its partition-directory
       * path satisfies EVERY recorded constraint. A file missing a
       * constrained column's `col=value` segment is kept (conservative:
-      * never delete what the scan may not have read).
+      * never delete what the scan may not have read). In leaf mode the
+      * retired set is exact: the matched partitions plus the in-scope
+      * partitions whose staged state proved to differ.
       */
     override protected def retired(published: Seq[Path],
         fs: FileSystem): Seq[Path] =
-      scanned() match {
-        case None => oldFiles
-        case Some(m) => oldFiles.filter { file =>
-          val segments = file.toString
-            .stripPrefix(fs.makeQualified(new Path(dir)).toString)
-            .split("/").toSeq
-          m.forall { case (col, toks) =>
-            val allowed = toks.map(t =>
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .getPartitionPathString(col, t))
-            segments.exists(s => s.startsWith(col + "=") && allowed.contains(s))
+      leafActive match {
+        case Some(ls) =>
+          val gone = ls.matchedRels ++ mismatchRels
+          oldFiles.filter(f => gone.contains(relOf(f.toString, fs)))
+        case None => scanned() match {
+          case None => oldFiles
+          case Some(m) => oldFiles.filter { file =>
+            val segments = file.toString
+              .stripPrefix(fs.makeQualified(new Path(dir)).toString)
+              .split("/").toSeq
+            m.forall { case (col, toks) =>
+              val allowed = toks.map(t =>
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .getPartitionPathString(col, t))
+              segments.exists(s => s.startsWith(col + "=") && allowed.contains(s))
+            }
           }
         }
       }
@@ -2286,24 +2474,29 @@ private[sources] object GraftPartitionedCow {
         })
     private lazy val proj0 = projection(0)
     private lazy val proj1 = projection(1)
-    // every file this task created: (stagedPath, finalPath) — closed
-    // files included, so commit/abort see the full set in both modes
+    // every file this task created: (stagedPath, finalPath) with a
+    // parallel per-file ROW COUNT (the leaf-narrowed commit's
+    // carryover-equality evidence) — closed files included, so
+    // commit/abort see the full set in both modes
     private val files =
       scala.collection.mutable.ArrayBuffer[(String, String)]()
+    private val rowCounts = scala.collection.mutable.ArrayBuffer[Long]()
     private var fileSeq = 0
-    // unsorted mode: key -> open writer; sorted mode: one open writer
+    // unsorted mode: key -> (open writer, file idx); sorted mode: one
     private val open =
-      scala.collection.mutable.LinkedHashMap[String, OutputWriter]()
+      scala.collection.mutable.LinkedHashMap[String, (OutputWriter, Int)]()
     private var curKey: String = null
     private var curWriter: OutputWriter = null
+    private var curIdx: Int = -1
 
-    private def newFile(rel: String, bucketId: Int): OutputWriter = {
+    private def newFile(rel: String, bucketId: Int): (OutputWriter, Int) = {
       val name = finalName(rel, bucketId)
       val prefix = if (rel.isEmpty) tableDir else s"$tableDir/$rel"
       val staged = s"$prefix/${stagedName(name)}"
       files += ((staged, s"$prefix/$name"))
+      rowCounts += 0L
       fileSeq += 1
-      owf.newInstance(staged, fileSchema, ctx)
+      (owf.newInstance(staged, fileSchema, ctx), files.length - 1)
     }
 
     override def write(row: InternalRow): Unit = {
@@ -2322,26 +2515,30 @@ private[sources] object GraftPartitionedCow {
           else row.get(i + offset, dataSchema.fields(i).dataType), nb)
       }.getOrElse(-1)
       val key = s"$rel|$bucketId"
-      val w =
+      val (w, idx) =
         if (sorted) {
           if (curKey != key) {
             // close-on-key-change; a recurring key (possible only if
             // the ordering guarantee broke) just opens a fresh file —
             // correct either way, fileSeq keeps names distinct
             if (curWriter != null) curWriter.close()
-            curWriter = newFile(rel, bucketId)
+            val (nw, ni) = newFile(rel, bucketId)
+            curWriter = nw; curIdx = ni
             curKey = key
           }
-          curWriter
+          (curWriter, curIdx)
         } else open.getOrElseUpdate(key, newFile(rel, bucketId))
+      rowCounts(idx) += 1
       w.write(if (offset == 0) proj0(row) else proj1(row))
     }
 
     override def commit(): WriterCommitMessage = {
       if (curWriter != null) { curWriter.close(); curWriter = null }
-      open.values.foreach(_.close())
+      open.values.foreach(_._1.close())
       open.clear()
-      CowTaskFiles(files.toSeq)
+      CowTaskFiles(files.toSeq.zip(rowCounts.toSeq).map {
+        case ((s, f), n) => (s, f, n)
+      })
     }
 
     override def abort(): Unit = {
@@ -2349,7 +2546,7 @@ private[sources] object GraftPartitionedCow {
         try curWriter.close() catch { case _: Throwable => () }
         curWriter = null
       }
-      open.values.foreach(w => try w.close() catch { case _: Throwable => () })
+      open.values.foreach(w => try w._1.close() catch { case _: Throwable => () })
       open.clear()
       files.foreach { case (staged, _) =>
         try {

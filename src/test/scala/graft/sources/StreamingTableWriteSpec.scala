@@ -141,9 +141,9 @@ class StreamingTableWriteSpec extends graft.SparkSpec {
     w1.write(row(1L, "a", "x")); w1.write(row(2L, "b", "y"))
     val m1 = w1.commit()
     val files1 = m1.asInstanceOf[GraftPartitionedCow.CowTaskFiles].files
-    val (staged0, fin0) = files1.head
+    val (staged0, fin0, _) = files1.head
     require(fs.rename(new Path(staged0), new Path(fin0))) // partial publish
-    files1.tail.foreach { case (s, _) => fs.delete(new Path(s), false) }
+    files1.tail.foreach { case (s, _, _) => fs.delete(new Path(s), false) }
 
     // re-execution of epoch 3 (same data, fresh attempt) + full commit:
     // the already-published file must not duplicate, the missing one
