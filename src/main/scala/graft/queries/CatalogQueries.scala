@@ -831,6 +831,54 @@ object CatalogQueries {
       |  c_mktsegment AS seg
       |FROM customer""".stripMargin
 
+  /** q199 — row-level SQL on a BUCKETED catalog table (r10 item 2): the
+    * exact q183 merge+delete scenario and oracle algebra, but the
+    * target is `PARTITIONED BY (bucket(16, k))`, so both statements
+    * ride the bucket-preserving copy-on-write
+    * ([[graft.sources.GraftPartitionedCow.PartitionedReplaceWrite]]
+    * with the bucket spec threaded through): the replacement rows are
+    * clustered by the bucket transform and land back in bucket-tagged
+    * files. The emitted frame is the post-merge table, which DuckDB
+    * recomputes relationally — so a rewrite that mis-routes a bucket,
+    * loses carryover rows, or resurrects deleted ones breaks the hash;
+    * GraftBucketingSpec separately asserts the zero-ShuffleExchange
+    * same-spec join survives the rewrite (bucket tags intact). At
+    * 100 TB this is "fact tables stay
+    * co-located under row-level maintenance": the property that makes
+    * bucketed layouts usable for mutable warehouse tables at all.
+    */
+  def q199BucketedSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g199")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g199_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.balances " +
+      "(k BIGINT, bal_cents BIGINT, seg STRING) " +
+      "PARTITIONED BY (bucket(16, k))")
+    spark.sql(s"""INSERT INTO $cat.ods.balances
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g199_customer""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW g199_updates AS
+      SELECT c_custkey AS k, CAST(c_custkey * 100 AS BIGINT) AS bal_cents,
+        c_mktsegment AS seg, (c_custkey % 21 = 0) AS del
+      FROM g199_customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, CAST(c_custkey AS BIGINT), 'NEW', false
+      FROM g199_customer WHERE c_custkey % 13 = 0""")
+    spark.sql(s"""MERGE INTO $cat.ods.balances t USING g199_updates u ON t.k = u.k
+      WHEN MATCHED AND u.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.bal_cents = u.bal_cents, t.seg = u.seg
+      WHEN NOT MATCHED THEN INSERT (k, bal_cents, seg)
+        VALUES (u.k, u.bal_cents, u.seg)""")
+    spark.sql(s"DELETE FROM $cat.ods.balances WHERE seg = 'NEW' AND k % 2 = 0")
+    spark.table(s"$cat.ods.balances")
+      .select(col("k"), col("bal_cents"), col("seg"))
+  }
+
+  /** Same algebra as [[q183Oracle]] — the bucketed target must reach
+    * the exact same final state as the flat and hive-partitioned ones.
+    */
+  val q199Oracle: String = q183Oracle
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -869,7 +917,8 @@ object CatalogQueries {
     "q192_sql_partition_delete" -> (q192SqlPartitionDelete _),
     "q196_sql_merge_partitioned" -> (q196SqlMergePartitioned _),
     "q197_bucketed_sql_catalog" -> (q197BucketedSqlCatalog _),
-    "q198_streaming_table_pipeline" -> (q198StreamingTablePipeline _))
+    "q198_streaming_table_pipeline" -> (q198StreamingTablePipeline _),
+    "q199_bucketed_sql_merge" -> (q199BucketedSqlMerge _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -889,5 +938,6 @@ object CatalogQueries {
     "q192_sql_partition_delete" -> q192Oracle,
     "q196_sql_merge_partitioned" -> q196Oracle,
     "q197_bucketed_sql_catalog" -> q197Oracle,
-    "q198_streaming_table_pipeline" -> q198Oracle)
+    "q198_streaming_table_pipeline" -> q198Oracle,
+    "q199_bucketed_sql_merge" -> q199Oracle)
 }

@@ -182,6 +182,50 @@ class GraftBucketingSpec extends SparkSpec {
     assert(spark.table(s"$cat.dds.bfacts").count() == 50)
   }
 
+  test("MERGE INTO a bucketed table preserves bucket tags and the exchange-free join (r10 item 2)") {
+    val (cat, root) = freshCatalog()
+    seedTwo(cat)
+    // row-level rewrite: update every 5th key, delete every 20th,
+    // insert a new key — the copy-on-write replacement must route rows
+    // back into bucket-tagged files or every future join silently
+    // downgrades to the fail-safe shuffle path
+    spark.sql(s"""MERGE INTO $cat.dds.facts t
+      USING (SELECT id AS k, id * 1000 AS v, (id % 20 = 0) AS del
+             FROM range(5, 401, 5)
+             UNION ALL SELECT 401L, 401000L, false) u
+      ON t.k = u.k
+      WHEN MATCHED AND u.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = u.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (u.k, u.v)""")
+    // contents: 400 - 20 deleted + 1 inserted
+    assert(spark.table(s"$cat.dds.facts").count() == 381)
+    val r = spark.table(s"$cat.dds.facts").where(col("k") === 25).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("v") == 25000L)
+    assert(spark.table(s"$cat.dds.facts").where(col("k") === 20).isEmpty)
+    assert(spark.table(s"$cat.dds.facts").where(col("k") === 401)
+      .collect()(0).getAs[Long]("v") == 401000L)
+    // every post-rewrite data file still carries a bucket tag
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/dds/facts"))
+      .filterNot(st => st.getPath.getName.startsWith("_"))
+    assert(files.nonEmpty && files.forall(_.getPath.getName.matches(".*-b\\d{5}\\..*")),
+      s"merge rewrite dropped bucket tags: ${files.map(_.getPath.getName).mkString(", ")}")
+    // and the same-spec join still plans with ZERO ShuffleExchange
+    val joined = spark.table(s"$cat.dds.facts")
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    assert(shuffles(joined).isEmpty,
+      s"merge rewrite lost the storage-partitioned join:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 380) // 381 minus the inserted 401 (no dim row)
+    // a row-level DELETE rides the same bucket-preserving rewrite
+    spark.sql(s"DELETE FROM $cat.dds.facts WHERE k % 2 = 1 AND v < 100000")
+    val joined2 = spark.table(s"$cat.dds.facts")
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    assert(shuffles(joined2).isEmpty,
+      s"delete rewrite lost the storage-partitioned join:\n${joined2.queryExecution.executedPlan}")
+  }
+
   test("INSERT OVERWRITE replaces a bucketed table and keeps the layout") {
     val (cat, _) = freshCatalog()
     seedTwo(cat)
