@@ -545,6 +545,41 @@ final case class Catalog(spark: SparkSession, root: String,
     tasks
   }
 
+  /** LAYOUT-PRESERVING compaction by catalog NAME: a self
+    * `INSERT OVERWRITE` through the session catalog's write path.
+    * [[compact]] rewrites through a plain DataFrame write, which cannot
+    * tag bucket files — running it on a `bucket(n, col)` table would
+    * silently downgrade every future same-spec join to the fail-safe
+    * shuffle path. This variant resolves the table by name, so the
+    * catalog's own truncate write runs instead: bucketed tables take
+    * [[graft.sources.GraftPartitionedCow.TruncateReplaceWrite]]
+    * (replacement rows re-clustered by the partition+bucket transforms
+    * → ~one tagged file per (partition, bucket); staged-invisible,
+    * old generation retired — or version-archived — in the driver
+    * commit), plain tables the V1 versioned swap-replace.
+    *
+    * Streaming appends (one file per epoch per bucket) are the
+    * motivating accretion: N epochs × n buckets collapse to ~n files
+    * with the layout — and therefore the exchange-free join — intact.
+    *
+    * Safe to read-and-replace in one statement: the scan reads the old
+    * generation while tasks stage dot-invisible files beside it;
+    * nothing is retired until the driver commit, and a crash
+    * mid-anything leaves the old generation complete.
+    *
+    * Scale note: this compacts the WHOLE table (one distributed
+    * rewrite). For a 100 TB table, compact incrementally instead:
+    * dynamic-overwrite the specific partitions whose file counts
+    * accreted (`overwritePartitionsByName` of a re-coalesced slice) —
+    * same machinery, partition-bounded cost.
+    */
+  def compactByName(layer: String, table: String): Unit = {
+    require(tableExists(layer, table), s"$layer.$table does not exist")
+    spark.table(sqlIdent(layer, table))
+      .writeTo(sqlIdent(layer, table))
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+  }
+
   /** Full-replace through a sibling temp dir and a two-step rename
     * swap: live dir aside, new dir in. Every failure mode leaves a
     * complete copy of the data on disk — a plain mode("overwrite")

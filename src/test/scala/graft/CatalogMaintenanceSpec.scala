@@ -42,6 +42,54 @@ class CatalogMaintenanceSpec extends SparkSpec {
     assert(back.select("v").as[Long].collect().toSet == (0L until 1000L).toSet)
   }
 
+  test("compactByName preserves bucket tags: streamed epochs collapse, join stays exchange-free (r10 item 3)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("compact-bucketed")
+    val cat = Catalog(spark, root)
+    val name = cat.sqlName
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.dds")
+    spark.sql(s"CREATE TABLE $name.dds.sfacts (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $name.dds.sdims (k BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $name.dds.sdims " +
+      "SELECT id, concat('t', id % 5) FROM range(0, 120)")
+    // 5 streamed epochs accrete one file per bucket per epoch
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", tmpDir("compact-bucketed-cp"))
+      .toTable(s"$name.dds.sfacts")
+    (0 until 5).foreach { e =>
+      mem.addData((0L until 24L).map(i => (e * 24L + i, e * 1000L + i)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val before = parquetFiles(s"$root/dds/sfacts").size
+    assert(before >= 10, s"expected epoch accretion, got $before files")
+    cat.compactByName("dds", "sfacts")
+    val files = parquetFiles(s"$root/dds/sfacts")
+    assert(files.size < before && files.size <= 8,
+      s"compaction did not collapse files: $before -> ${files.size}")
+    // every compacted file keeps its bucket tag
+    assert(files.forall(_.getName.matches(".*-b\\d{5}\\..*")),
+      s"compaction dropped bucket tags: ${files.map(_.getName).mkString(", ")}")
+    // rows intact
+    assert(spark.table(s"$name.dds.sfacts").as[(Long, Long)].collect().toSet ==
+      (0 until 5).flatMap(e => (0L until 24L).map(i =>
+        (e * 24L + i, e * 1000L + i))).toSet)
+    // and the same-spec join still plans with zero ShuffleExchange
+    val joined = spark.table(s"$name.dds.sfacts")
+      .join(spark.table(s"$name.dds.sdims"), Seq("k"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"compaction lost the storage-partitioned join:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 120)
+  }
+
   test("compact is lossless on schema-evolved tables") {
     val cat = Catalog(spark, tmpDir("compact-evolved"))
     cat.append(Seq((1L, "a")).toDF("id", "s"), "raw", "t", Seq.empty)
