@@ -1946,6 +1946,22 @@ private[sources] object GraftPartitionedCow {
     *     staged file whose final name already exists is dropped, not
     *     published twice. The two levels together close both duplicate
     *     windows a directory store has (no atomic multi-file commit).
+    *
+    * RESIDUAL at-least-once window (r10 ADVICE, documented not hidden):
+    * name-determinism covers re-executions that route rows to the same
+    * (partitionId, partition-dir) cells. If a driver crash lands
+    * BETWEEN the first publish rename and the marker write AND the
+    * restart re-plans the epoch with different parallelism or row
+    * routing, the re-execution's files get different names while the
+    * earlier attempt's already-published files stay visible — duplicate
+    * rows. This mirrors the batch COW's crash contract ("visible,
+    * repairable duplicates, never silent loss"): the orphaned files are
+    * identifiable by name (same `-s<query>-e<epoch>-` prefix, different
+    * `p`/`r` cells) and deletable; closing the window entirely would
+    * need a per-epoch manifest committed before the first rename, which
+    * trades a second driver write per epoch for a case that requires a
+    * driver crash + a cluster-shape change within one epoch.
+    *
     * Scale: marker cost is one tiny file per epoch; publish is one
     * rename per written file; no row ever touches the driver.
     */

@@ -393,4 +393,79 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eng.history("ods", "hist") == Seq(1, 2))
     assert(eng.readVersion("ods", "hist", 1).collect().toSeq == Seq(Row(1L, "a")))
   }
+
+  test("time travel x round-10 writers: versioning is full-replace-scoped (r10 item 7)") {
+    // CONTRACT: the version store archives COMPLETE previous table
+    // states, which only FULL REPLACES produce — INSERT OVERWRITE (the
+    // V1 swap for plain tables, TruncateReplaceWrite for bucketed /
+    // dynamic-on-unpartitioned ones). Appends, streaming epochs, and
+    // partition-scoped copy-on-write (MERGE/UPDATE/DELETE) do NOT
+    // create versions: their deltas never materialize the prior whole-
+    // table state, and archiving one would mean copying every untouched
+    // partition — the exact cost the partition-scoped paths exist to
+    // avoid. What this spec pins: those writers also never CORRUPT the
+    // store — retained versions resolve unchanged across them, and the
+    // next full replace archives the cumulative state they produced.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    spark.conf.set(s"spark.sql.catalog.$cat.versions", "3")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.tl (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.ods.tl VALUES (1, 'a'), (2, 'b')")
+    // full replace #1 archives the initial state as v1
+    spark.sql(s"INSERT OVERWRITE $cat.ods.tl VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+    def v1(): Seq[Row] = spark.sql(
+      s"SELECT * FROM $cat.ods.tl VERSION AS OF 1").orderBy("k").collect().toSeq
+    val v1Before = v1()
+    assert(v1Before == Seq(Row(1L, "a"), Row(2L, "b")))
+
+    // a streaming epoch lands (no new version, v1 untouched)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "seg").writeStream
+      .option("checkpointLocation", tmpDir("gcat-tl-cp"))
+      .toTable(s"$cat.ods.tl")
+    mem.addData((4L, "a")); q.processAllAvailable(); q.stop()
+    // a partitioned MERGE rewrites its touched partition (no version)
+    spark.sql(s"""MERGE INTO $cat.ods.tl t
+      USING (SELECT 2L AS k, 'b' AS seg, 222L AS nk) u ON t.k = u.k
+      WHEN MATCHED THEN UPDATE SET t.k = u.nk""")
+    val eng = Catalog(spark, root, versions = 3)
+    assert(eng.history("ods", "tl") == Seq(1),
+      "append/streaming/COW writers must not mint versions")
+    assert(v1() == v1Before, "a delta writer corrupted an archived version")
+    assert(spark.table(s"$cat.ods.tl").orderBy("k").collect().toSeq ==
+      Seq(Row(1L, "a"), Row(3L, "b"), Row(4L, "a"), Row(222L, "b")))
+
+    // the NEXT full replace archives the cumulative post-delta state
+    spark.sql(s"INSERT OVERWRITE $cat.ods.tl VALUES (9, 'z')")
+    assert(eng.history("ods", "tl") == Seq(1, 2))
+    assert(spark.sql(s"SELECT * FROM $cat.ods.tl VERSION AS OF 2")
+      .orderBy("k").collect().toSeq ==
+      Seq(Row(1L, "a"), Row(3L, "b"), Row(4L, "a"), Row(222L, "b")))
+  }
+
+  test("bucketed INSERT OVERWRITE archives versions through the v2 replace (r11)") {
+    val (cat, root) = freshCatalog()
+    spark.conf.set(s"spark.sql.catalog.$cat.versions", "2")
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.bv (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.dds.bv SELECT id, id * 10 FROM range(0, 20)")
+    spark.sql(s"INSERT OVERWRITE $cat.dds.bv SELECT id, id * 100 FROM range(0, 5)")
+    spark.sql(s"INSERT OVERWRITE $cat.dds.bv SELECT id, id * 1000 FROM range(0, 3)")
+    val eng = Catalog(spark, root, versions = 2)
+    assert(eng.history("dds", "bv") == Seq(1, 2))
+    // v1 = the original 20-row state, archived file-by-file with tags
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.dds.bv VERSION AS OF 1")
+      .head.getLong(0) == (0L until 20L).map(_ * 10).sum)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.dds.bv VERSION AS OF 2")
+      .head.getLong(0) == (0L until 5L).map(_ * 100).sum)
+    assert(spark.table(s"$cat.dds.bv").count() == 3)
+    // retention pruned to the newest 2 on the NEXT replace
+    spark.sql(s"INSERT OVERWRITE $cat.dds.bv SELECT id, id FROM range(0, 2)")
+    assert(eng.history("dds", "bv") == Seq(2, 3))
+  }
 }

@@ -48,6 +48,41 @@ class GraftPartitionMgmtSpec extends SparkSpec {
     assert(after == Seq("day=d2", "day=d3"), s"got $after")
   }
 
+  test("SHOW PARTITIONS on bucketed layouts: bucket level is NOT a partition (r10 item 6)") {
+    // Contract: buckets are a FILE-layout property (the `-b<id>` tag),
+    // not a partition level — SHOW PARTITIONS reports only identity
+    // (hive-directory) partitions, so a q197-style table never leaks
+    // `bucket=` rows, and a bucket-only table reports the empty set
+    // (it has no hive directories to manage).
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.pb (k BIGINT, v BIGINT, day STRING) " +
+      "PARTITIONED BY (day, bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.dds.pb " +
+      "SELECT id, id, concat('d', id % 2) FROM range(0, 40)")
+    val shown = spark.sql(s"SHOW PARTITIONS $cat.dds.pb")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(shown == Seq("day=d0", "day=d1"),
+      s"bucket level leaked into SHOW PARTITIONS: $shown")
+    // partial spec on the identity column still filters
+    val one = spark.sql(s"SHOW PARTITIONS $cat.dds.pb PARTITION (day='d1')")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("day=d1"), s"got $one")
+    // bucket-only table: no identity partitions -> the table counts as
+    // NOT PARTITIONED for partition management (Spark refuses with
+    // PARTITION_SCHEMA_IS_EMPTY), and the bucket column is not
+    // addressable as a partition spec
+    spark.sql(s"CREATE TABLE $cat.dds.bo (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.dds.bo SELECT id, id FROM range(0, 10)")
+    val notPart = intercept[Exception](
+      spark.sql(s"SHOW PARTITIONS $cat.dds.bo").collect())
+    assert(notPart.getMessage.contains("not partitioned"),
+      s"got: ${notPart.getMessage}")
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.dds.bo ADD PARTITION (k=1)"))
+  }
+
   test("two-level layout: partial-spec SHOW PARTITIONS filters; typed values round-trip") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.raw")
