@@ -879,6 +879,76 @@ object CatalogQueries {
     */
   val q199Oracle: String = q183Oracle
 
+  /** q200 — WATERMARKED STREAMING AGGREGATION landing in a catalog
+    * table (r10 item 4): `readStream.table(src)` → `withWatermark` +
+    * 10-minute tumbling window count/sum → Append-mode
+    * `writeStream.toTable(dst)`, both ends catalog names. Event time is
+    * synthesized deterministically (ts = custkey minutes), the stream
+    * is fed as two time-ordered generations, and a far-future sentinel
+    * row advances the watermark past every real window — so exactly
+    * the FULL set of real windows finalizes, the sentinel's own window
+    * (not yet closed) stays in state, and the landed table equals the
+    * plain relational GROUP BY DuckDB recomputes. Late-arrival
+    * correctness is inherent: generation 2's event times all exceed
+    * generation 1's watermark, so nothing is dropped — and a dropped
+    * batch, duplicated epoch, or premature (non-finalized) emission
+    * each break the hash.
+    *
+    * Scale shape: streaming state = open windows only (watermark
+    * eviction proven separately in StateEvictionSpec); each micro-batch
+    * is a pruned scan of that batch's files plus a partial-aggregated
+    * shuffle on (seg, window); the sink stages invisibly and commits
+    * exactly-once per epoch.
+    */
+  def q200StreamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g200")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g200_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.src (seg STRING, ts TIMESTAMP, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.raw.agg " +
+      "(seg STRING, win_min BIGINT, n BIGINT, cents_sum BIGINT) " +
+      "PARTITIONED BY (seg)")
+    val half = Tables.load(spark, dir, "customer")
+      .agg(max(col("c_custkey"))).head.getLong(0) / 2
+    def gen(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_mktsegment, timestamp_millis(c_custkey * 60000),
+        CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM g200_customer WHERE $pred""")
+    gen(s"c_custkey < $half")
+    val cp = scratch("graft-q200-cp")
+    val q = spark.readStream.table(s"$cat.raw.src")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("seg"),
+        org.apache.spark.sql.functions.window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+      .select(col("seg"),
+        expr("unix_millis(window.start) DIV 60000").as("win_min"),
+        col("n"), col("cents_sum"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .toTable(s"$cat.raw.agg")
+    q.processAllAvailable() // generation 1 aggregated; open windows held
+    gen(s"c_custkey >= $half")
+    // the sentinel closes every real window; its own never finalizes
+    spark.sql(s"INSERT INTO $cat.raw.src VALUES " +
+      "('__SENTINEL__', timestamp_millis(86400000000000), 0)")
+    q.processAllAvailable()
+    q.stop()
+    spark.table(s"$cat.raw.agg")
+      .select(col("seg"), col("win_min"), col("n"), col("cents_sum"))
+  }
+
+  /** DuckDB twin: the tumbling window over ts = custkey minutes is
+    * exactly integer bucketing on custkey — every real window closes,
+    * the sentinel never lands.
+    */
+  val q200Oracle: String =
+    s"""SELECT c_mktsegment AS seg,
+       |  CAST((c_custkey // 10) * 10 AS BIGINT) AS win_min,
+       |  ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS cents_sum
+       |FROM customer GROUP BY 1, 2""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -918,7 +988,8 @@ object CatalogQueries {
     "q196_sql_merge_partitioned" -> (q196SqlMergePartitioned _),
     "q197_bucketed_sql_catalog" -> (q197BucketedSqlCatalog _),
     "q198_streaming_table_pipeline" -> (q198StreamingTablePipeline _),
-    "q199_bucketed_sql_merge" -> (q199BucketedSqlMerge _))
+    "q199_bucketed_sql_merge" -> (q199BucketedSqlMerge _),
+    "q200_streaming_window_agg" -> (q200StreamingWindowAgg _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -939,5 +1010,6 @@ object CatalogQueries {
     "q196_sql_merge_partitioned" -> q196Oracle,
     "q197_bucketed_sql_catalog" -> q197Oracle,
     "q198_streaming_table_pipeline" -> q198Oracle,
-    "q199_bucketed_sql_merge" -> q199Oracle)
+    "q199_bucketed_sql_merge" -> q199Oracle,
+    "q200_streaming_window_agg" -> q200Oracle)
 }

@@ -814,6 +814,24 @@ private[sources] class GraftTable(
                   "Complete-mode refreshes)")
               val parts = effectivePartitionCols
               val schema = info.schema()
+              // `writeStream.toTable` hands the QUERY's schema straight
+              // through (no ResolveOutputRelation cast pass on this
+              // path), so a type drift — e.g. a DOUBLE landing in a
+              // BIGINT column — would write files the table's declared
+              // schema can never read back. Fail the mismatch at query
+              // START, not at first read.
+              meta.schema.foreach { declared =>
+                schema.fields.foreach { f =>
+                  declared.fields.find(_.name.equalsIgnoreCase(f.name))
+                    .foreach { d =>
+                      require(d.dataType == f.dataType,
+                        s"${name()}: streaming query writes ${f.name}: " +
+                          s"${f.dataType.simpleString} but the table " +
+                          s"declares ${d.dataType.simpleString} — cast in " +
+                          "the query (files would be unreadable)")
+                    }
+                }
+              }
               val bad = parts.filter { c =>
                 schema.fields.find(_.name.equalsIgnoreCase(c))
                   .forall(f => !GraftPartitionedCow.dirRenderable(f.dataType))
