@@ -916,6 +916,16 @@ object CatalogQueries {
       FROM g200_customer WHERE $pred""")
     gen(s"c_custkey < $half")
     val cp = scratch("graft-q200-cp")
+    // the streaming aggregate instantiates ONE state store per shuffle
+    // partition per micro-batch (checkpointed to disk each commit) —
+    // at this cardinality (|segments| x open windows) 32 partitions is
+    // pure fixed overhead. 4 partitions is plenty; the setting is
+    // pinned into the checkpoint at first start, and restored after
+    // (try/finally) so later queries are unaffected.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4")
+    try {
     val q = spark.readStream.table(s"$cat.raw.src")
       .withWatermark("ts", "0 seconds")
       .groupBy(col("seg"),
@@ -934,6 +944,10 @@ object CatalogQueries {
       "('__SENTINEL__', timestamp_millis(86400000000000), 0)")
     q.processAllAvailable()
     q.stop()
+    } finally prevShuffle match {
+      case Some(v) => spark.conf.set(shuffleKey, v)
+      case None => spark.conf.unset(shuffleKey)
+    }
     spark.table(s"$cat.raw.agg")
       .select(col("seg"), col("win_min"), col("n"), col("cents_sum"))
   }
