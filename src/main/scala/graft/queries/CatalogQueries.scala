@@ -963,6 +963,63 @@ object CatalogQueries {
        |  ${bi("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS cents_sum
        |FROM customer GROUP BY 1, 2""".stripMargin
 
+  /** q201 — COMPLETE-output-mode streaming REFRESH of a catalog table
+    * ([[graft.sources.GraftPartitionedCow.StreamingReplaceWrite]], the
+    * round-10 "Append-only" gap closed): `readStream.table(src)` → an
+    * unwatermarked running aggregate → `outputMode("complete")` →
+    * `writeStream.toTable(dst)` lands the FULL aggregate state every
+    * epoch as a staged-invisible whole-table replace, with the
+    * superseded generation retired in the same commit. Two source
+    * generations arrive while the query runs, so the landed table must
+    * equal the one-shot GROUP BY over everything — a stale epoch
+    * surviving the refresh, a dropped batch, or a double-applied
+    * refresh each break the hash. This is the continuously-refreshed
+    * mart dimension as a STREAM: the reference's `createOrReplace()`
+    * rebuild unit (process_covid_dds.py:41-44) at trigger cadence.
+    *
+    * Scale shape: streaming state = one row per group (|segments|);
+    * each epoch's write is distributed and hive-partitioned; the
+    * replace retires exactly the previous generation's files.
+    */
+  def q201StreamingCompleteRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g201")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g201_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.src (seg STRING, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.raw.agg " +
+      "(seg STRING, n BIGINT, cents_sum BIGINT) PARTITIONED BY (seg)")
+    def gen(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM g201_customer WHERE $pred""")
+    gen("c_custkey % 2 = 0")
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4") // state-store count, see q200
+    try {
+      val cp = scratch("graft-q201-cp")
+      val q = spark.readStream.table(s"$cat.raw.src")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.raw.agg")
+      q.processAllAvailable() // epoch 1: half the customers
+      gen("c_custkey % 2 = 1")
+      q.processAllAvailable() // epoch 2 refreshes to the full state
+      q.stop()
+    } finally prevShuffle match {
+      case Some(v) => spark.conf.set(shuffleKey, v)
+      case None => spark.conf.unset(shuffleKey)
+    }
+    spark.table(s"$cat.raw.agg")
+      .select(col("seg"), col("n"), col("cents_sum"))
+  }
+
+  val q201Oracle: String =
+    s"""SELECT c_mktsegment AS seg, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS cents_sum
+       |FROM customer GROUP BY 1""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1003,7 +1060,8 @@ object CatalogQueries {
     "q197_bucketed_sql_catalog" -> (q197BucketedSqlCatalog _),
     "q198_streaming_table_pipeline" -> (q198StreamingTablePipeline _),
     "q199_bucketed_sql_merge" -> (q199BucketedSqlMerge _),
-    "q200_streaming_window_agg" -> (q200StreamingWindowAgg _))
+    "q200_streaming_window_agg" -> (q200StreamingWindowAgg _),
+    "q201_streaming_complete_refresh" -> (q201StreamingCompleteRefresh _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1025,5 +1083,6 @@ object CatalogQueries {
     "q197_bucketed_sql_catalog" -> q197Oracle,
     "q198_streaming_table_pipeline" -> q198Oracle,
     "q199_bucketed_sql_merge" -> q199Oracle,
-    "q200_streaming_window_agg" -> q200Oracle)
+    "q200_streaming_window_agg" -> q200Oracle,
+    "q201_streaming_complete_refresh" -> q201Oracle)
 }

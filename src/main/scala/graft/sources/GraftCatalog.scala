@@ -778,7 +778,8 @@ private[sources] class GraftTable(
         val old = listDataFiles(fs, new Path(dir))
         new GraftPartitionedCow.TruncateReplaceWrite(spark, format,
           schema, dir, effectivePartitionCols, old, meta.bucketSpec,
-          if (versions > 0) Some((s"$dir.__versions", versions)) else None)
+          if (versions > 0) Some((s"$dir.__versions", versions)) else None,
+          info.queryId())
       }
 
       private def buildBatch(replace: Boolean): Write =
@@ -800,18 +801,15 @@ private[sources] class GraftTable(
                 else engine.append(data, layer, table, parts)
               }
             /** `df.writeStream.toTable("<cat>.<layer>.<table>")` —
-              * exactly-once-per-epoch streaming append (see
-              * [[GraftPartitionedCow.StreamingAppendWrite]]). Append
-              * output mode only: Complete would need a per-epoch full
-              * replace, which belongs to `foreachBatch` + the object
-              * API's swap protocols.
+              * exactly-once-per-epoch streaming: Append output mode
+              * lands each epoch as an append
+              * ([[GraftPartitionedCow.StreamingAppendWrite]]); Complete
+              * output mode (`replace` here — Spark calls `truncate()`
+              * before `toStreaming` for it) lands each epoch as a full
+              * refresh ([[GraftPartitionedCow.StreamingReplaceWrite]]).
               */
             override def toStreaming
                 : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-              require(!replace,
-                s"${name()}: streaming supports Append output mode only " +
-                  "(use foreachBatch + Catalog.createOrReplace for " +
-                  "Complete-mode refreshes)")
               val parts = effectivePartitionCols
               val schema = info.schema()
               // `writeStream.toTable` hands the QUERY's schema straight
@@ -839,8 +837,12 @@ private[sources] class GraftTable(
               require(bad.isEmpty,
                 s"${name()}: partition columns ${bad.mkString(", ")} have " +
                   "types whose directory rendering is ambiguous")
-              new GraftPartitionedCow.StreamingAppendWrite(
-                spark, format, schema, dir, parts, info.queryId())
+              if (replace)
+                new GraftPartitionedCow.StreamingReplaceWrite(
+                  spark, format, schema, dir, parts, info.queryId())
+              else
+                new GraftPartitionedCow.StreamingAppendWrite(
+                  spark, format, schema, dir, parts, info.queryId())
             }
           }
     }
@@ -2038,6 +2040,113 @@ private[sources] object GraftPartitionedCow {
     }
   }
 
+  /** Data files under a table/partition root (dot/underscore names and
+    * internal directories excluded) — the commit-time listing the
+    * streaming replace retires against.
+    */
+  private def listVisibleFiles(fs: FileSystem, p: Path): Seq[Path] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listVisibleFiles(fs, st.getPath)
+      else Seq(st.getPath)
+    }
+
+  /** COMPLETE-output-mode streaming sink (`writeStream.outputMode
+    * ("complete").toTable(...)`): each epoch's emitted state REPLACES
+    * the whole table — the continuously-refreshed mart/dimension shape
+    * (a streaming aggregate without watermark re-emits every group per
+    * epoch; landing it as a full refresh is exactly Iceberg's
+    * replace-per-commit). Round 10 refused this mode with a
+    * foreachBatch pointer; this closes the gap engine-side.
+    *
+    * Per-epoch protocol (one write instance lives across ALL epochs, so
+    * the superseded generation is listed at COMMIT time, never cached):
+    *  1. tasks stage dot-prefixed files with the deterministic
+    *     streaming names (`part-s<query>-e<epoch>-...`);
+    *  2. `commit(e)`: a pre-existing epoch marker declares a duplicate
+    *     delivery a no-op. Otherwise: list the CURRENT visible files,
+    *     EXCLUDING any that already carry this (query, epoch) name tag
+    *     — those are a crashed prior attempt's partial publish, which
+    *     the deterministic names let this attempt complete rather than
+    *     duplicate or destroy; publish the staged files (an
+    *     already-present final name drops its staged copy); retire the
+    *     listing; prune emptied partition directories (a group absent
+    *     from the new state disappears); write the marker.
+    * A crash between publish and retire leaves duplicate rows —
+    * visible, repairable, never silent loss: the same contract as every
+    * write here. Version retention does NOT apply (a per-epoch archive
+    * would churn the whole retention window every trigger; snapshot via
+    * batch INSERT OVERWRITE when a durable version is wanted).
+    */
+  final class StreamingReplaceWrite(
+      spark: SparkSession, format: String, dataSchema: StructType,
+      dir: String, partitionCols: Seq[String], queryId: String,
+      bucketSpec: Option[(Int, String)] = None)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+    private val queryTag =
+      f"${scala.util.hashing.MurmurHash3.stringHash(queryId)}%08x"
+    private def markerDir = new Path(dir, s"_graft_stream_commits/$queryTag")
+    private def marker(epochId: Long) = new Path(markerDir, s"r$epochId")
+
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
+      StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
+        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
+    }
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker(epochId))) {
+        abort(epochId, messages)
+      } else {
+        val thisEpochTag = s"-s$queryTag-e$epochId-"
+        val old = listVisibleFiles(fs, new Path(dir))
+          .filterNot(_.getName.contains(thisEpochTag))
+        messages.foreach {
+          case CowTaskFiles(files) => files.foreach { case (staged, fin, _) =>
+            val finP = new Path(fin)
+            if (fs.exists(finP)) fs.delete(new Path(staged), false)
+            else require(fs.rename(new Path(staged), finP),
+              s"stream replace commit: could not publish $staged -> $fin")
+          }
+          case _ => ()
+        }
+        old.foreach(fs.delete(_, false))
+        // prune partition dirs the refresh emptied
+        val base = new Path(dir)
+        old.map(_.getParent).distinct.foreach { p0 =>
+          var d = p0
+          while (d != null && d != base && d.getName.contains("=") &&
+              fs.exists(d) && fs.listStatus(d).isEmpty) {
+            fs.delete(d, false)
+            d = d.getParent
+          }
+        }
+        fs.mkdirs(markerDir)
+        val out = fs.create(marker(epochId), true)
+        out.close()
+      }
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      messages.foreach {
+        case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
+          try fs.delete(new Path(staged), false)
+          catch { case _: Throwable => () }
+        }
+        case _ => ()
+      }
+    }
+  }
+
   /** Shared hive-layout batch write: tasks stage dot-prefixed files in
     * the target partition directories, commit publishes by rename and
     * retires whatever [[retired]] selects. Subclasses choose the
@@ -2378,10 +2487,19 @@ private[sources] object GraftPartitionedCow {
       spark: SparkSession, format: String, dataSchema: StructType,
       dir: String, partitionCols: Seq[String], oldFiles: Seq[Path],
       bucketSpec: Option[(Int, String)],
-      versionStore: Option[(String, Int)] = None)
+      versionStore: Option[(String, Int)] = None,
+      queryId: String = "")
     extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
       oldFiles, bucketSpec) with RequiresDistributionAndOrdering {
     override def description(): String = s"graft truncate-replace $dir"
+    /** Complete-output-mode streaming on a BUCKETED table: per-epoch
+      * full refresh that keeps the bucket-tagged layout (versioning
+      * does not apply per-epoch — see [[StreamingReplaceWrite]]).
+      */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new StreamingReplaceWrite(spark, format, dataSchema, dir,
+        partitionCols, queryId, bucketSpec)
     override def requiredDistribution(): Distribution =
       clusteringOf(partitionCols, bucketSpec)
     override def requiredOrdering(): Array[SortOrder] =
