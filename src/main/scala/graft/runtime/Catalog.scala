@@ -580,6 +580,94 @@ final case class Catalog(spark: SparkSession, root: String,
       .overwrite(org.apache.spark.sql.functions.lit(true))
   }
 
+  /** INCREMENTAL compaction by catalog name: compact ONLY the hive
+    * partitions whose visible file count reached `minFiles` — the
+    * 100 TB path [[compactByName]]'s scale note promises. Streaming
+    * appends and per-trigger epochs accrete files partition by
+    * partition; rewriting the whole table to fix a handful of hot
+    * partitions is the thing that does not survive scale.
+    *
+    * Mechanics: list leaf partition directories (driver-side NAME
+    * walk, no row data), pick the accreted ones, read exactly those
+    * partitions back (typed equality filters → static partition
+    * pruning at the listing), re-cluster one task per partition, and
+    * DYNAMIC-OVERWRITE them — the catalog's staged-invisible
+    * [[graft.sources.GraftPartitionedCow.DynamicOverwriteWrite]]
+    * replaces exactly the partitions present in the frame and retires
+    * their superseded files at commit; untouched partitions are never
+    * read, written, or listed twice. Bucket specs survive (the
+    * hive-layout writer tags per (partition, bucket) as always).
+    *
+    * Cost: scan + rewrite of the accreted partitions only. One task
+    * per compacted partition (that IS the compaction); a partition too
+    * large for one task has outgrown file-count compaction and wants
+    * a split of its own.
+    *
+    * Returns the compacted partitions' rel dirs (empty = nothing to
+    * do, and nothing was read or written).
+    */
+  def compactPartitionsByName(layer: String, table: String,
+      minFiles: Int = 4): Seq[String] = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite every partition")
+    require(tableExists(layer, table), s"$layer.$table does not exist")
+    import org.apache.spark.sql.functions.col
+    val df0 = spark.table(sqlIdent(layer, table))
+    // partition columns in LAYOUT order, from the catalog's own spec
+    val partCols = spark.sessionState.catalogManager.catalog(sqlName)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(layer), table))
+      .partitioning().toSeq.collect {
+        case t if t.name == "identity" =>
+          t.references().head.fieldNames.mkString(".")
+      }
+    require(partCols.nonEmpty,
+      s"$layer.$table has no hive partitions; use compactByName")
+    val types = partCols.map { c =>
+      c -> df0.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c not in schema"))
+        .dataType
+    }.toMap
+    val base = new org.apache.hadoop.fs.Path(path(layer, table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // leaf dirs carrying >= minFiles visible data files
+    def walk(dir: org.apache.hadoop.fs.Path, level: Int,
+             rel: String): Seq[(String, Seq[String])] =
+      if (level == partCols.length) {
+        val files = fs.listStatus(dir).toSeq
+          .filter(st => !st.isDirectory &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        if (files.size >= minFiles) Seq((rel, rel.split("/").toSeq)) else Nil
+      } else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(partCols(level) + "="))
+        .flatMap { st =>
+          val nm = st.getPath.getName
+          walk(st.getPath, level + 1, if (rel.isEmpty) nm else s"$rel/$nm")
+        }
+    val accreted = walk(base, 0, "")
+    if (accreted.isEmpty) return Nil
+    // typed per-leaf equality conjunctions, OR'd — static partition
+    // pruning keeps the scan on exactly the accreted leaves. NULL
+    // (__HIVE_DEFAULT_PARTITION__) leaves use isNull.
+    val leafPreds = accreted.map { case (_, segs) =>
+      segs.zip(partCols).map { case (seg, c) =>
+        val tok = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(c.length + 1))
+        if (tok == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME) col(c).isNull
+        else col(c) === org.apache.spark.sql.functions.lit(
+          graft.sources.GraftPartitionedCow.externalToken(tok, types(c)))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    df0.where(leafPreds)
+      .repartition(partCols.map(col): _*)
+      .writeTo(sqlIdent(layer, table))
+      .overwritePartitions()
+    accreted.map(_._1)
+  }
+
   /** Full-replace through a sibling temp dir and a two-step rename
     * swap: live dir aside, new dir in. Every failure mode leaves a
     * complete copy of the data on disk — a plain mode("overwrite")

@@ -1778,7 +1778,7 @@ private[sources] final class GraftTableMicroBatchStream(
   * does rename/delete bookkeeping proportional to file count in the
   * touched partitions.
   */
-private[sources] object GraftPartitionedCow {
+private[graft] object GraftPartitionedCow {
 
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils

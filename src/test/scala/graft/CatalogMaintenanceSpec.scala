@@ -90,6 +90,43 @@ class CatalogMaintenanceSpec extends SparkSpec {
     assert(joined.count() == 120)
   }
 
+  test("compactPartitionsByName compacts ONLY the accreted partitions (r11)") {
+    val root = tmpDir("compact-incr")
+    val cat = Catalog(spark, root)
+    val name = cat.sqlName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.ods")
+    spark.sql(s"CREATE TABLE $name.ods.ev (id BIGINT, v BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    // one clean insert for d0/d2, then SIX appends hammering only d1
+    spark.sql(s"INSERT INTO $name.ods.ev " +
+      "SELECT /*+ REPARTITION(1) */ id, id, concat('d', id % 3) " +
+      "FROM range(0, 300) WHERE id % 3 != 1")
+    (0 until 6).foreach { i =>
+      spark.sql(s"INSERT INTO $name.ods.ev " +
+        s"SELECT /*+ REPARTITION(1) */ id, id, 'd1' " +
+        s"FROM range(${300 + i * 10}, ${310 + i * 10})")
+    }
+    def filesIn(rel: String) = parquetFiles(s"$root/ods/ev/$rel")
+    val d0Before = filesIn("day=d0").map(f => (f.getName, f.length, f.lastModified))
+    val d2Before = filesIn("day=d2").map(f => (f.getName, f.length, f.lastModified))
+    assert(filesIn("day=d1").size >= 6)
+
+    val compacted = cat.compactPartitionsByName("ods", "ev", minFiles = 4)
+    assert(compacted == Seq("day=d1"), s"got $compacted")
+    // d1 collapsed; d0/d2 untouched down to mtimes
+    assert(filesIn("day=d1").size == 1,
+      s"d1 not compacted: ${filesIn("day=d1").map(_.getName)}")
+    assert(filesIn("day=d0").map(f => (f.getName, f.length, f.lastModified))
+      == d0Before, "compaction rewrote an un-accreted partition (d0)")
+    assert(filesIn("day=d2").map(f => (f.getName, f.length, f.lastModified))
+      == d2Before, "compaction rewrote an un-accreted partition (d2)")
+    // rows intact
+    assert(spark.table(s"$name.ods.ev").count() == 260)
+    assert(spark.table(s"$name.ods.ev").where(col("day") === "d1").count() == 60)
+    // idempotent: a second pass finds nothing to do
+    assert(cat.compactPartitionsByName("ods", "ev", minFiles = 4).isEmpty)
+  }
+
   test("compact is lossless on schema-evolved tables") {
     val cat = Catalog(spark, tmpDir("compact-evolved"))
     cat.append(Seq((1L, "a")).toDF("id", "s"), "raw", "t", Seq.empty)
