@@ -1020,6 +1020,73 @@ object CatalogQueries {
        |  ${bi("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS cents_sum
        |FROM customer GROUP BY 1""".stripMargin
 
+  /** q202 — `MERGE INTO` + row-predicate `DELETE` on a TWO-LEVEL
+    * (`yr=/mo=`) partitioned catalog table — the reference's landing
+    * layout (covid_to_s3.py:41) under the leaf-exact copy-on-write
+    * ([[graft.sources.GraftCowLeafScope]], r10 item 1). The established
+    * merge algebra runs against a target whose partitions derive from
+    * the key (yr = 2020 + k mod 3, mo = 1 + k mod 4), so matched keys
+    * scatter across twelve leaves, inserted keys land in a brand-new
+    * (2031, 7) leaf, and the trailing DELETE's matches concentrate in
+    * the NEW leaf — every branch of the leaf commit logic (matched
+    * rewrite, cartesian-corner carryover drop, outside-scope insert
+    * publish) sits on the DuckDB hash. GraftCowLeafSpec separately
+    * proves untouched sibling leaves stay byte-identical; this entry
+    * proves the narrowed rewrite never loses or duplicates a row.
+    */
+  def q202TwoLevelLeafMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g202")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g202_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.land " +
+      "(k BIGINT, bal_cents BIGINT, yr INT, mo INT) PARTITIONED BY (yr, mo)")
+    spark.sql(s"""INSERT INTO $cat.ods.land
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
+        CAST(2020 + c_custkey % 3 AS INT), CAST(1 + c_custkey % 4 AS INT)
+      FROM g202_customer""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW g202_updates AS
+      SELECT c_custkey AS k, CAST(c_custkey * 100 AS BIGINT) AS bal_cents,
+        CAST(2020 + c_custkey % 3 AS INT) AS yr,
+        CAST(1 + c_custkey % 4 AS INT) AS mo,
+        (c_custkey % 21 = 0) AS del
+      FROM g202_customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, CAST(c_custkey AS BIGINT),
+        CAST(2031 AS INT), CAST(7 AS INT), false
+      FROM g202_customer WHERE c_custkey % 13 = 0""")
+    spark.sql(s"""MERGE INTO $cat.ods.land t USING g202_updates u ON t.k = u.k
+      WHEN MATCHED AND u.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.bal_cents = u.bal_cents
+      WHEN NOT MATCHED THEN INSERT (k, bal_cents, yr, mo)
+        VALUES (u.k, u.bal_cents, u.yr, u.mo)""")
+    spark.sql(s"DELETE FROM $cat.ods.land WHERE yr = 2031 AND k % 2 = 0")
+    spark.table(s"$cat.ods.land")
+      .select(col("k"), col("bal_cents"), col("yr"), col("mo"))
+  }
+
+  val q202Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |    CAST(2020 + c_custkey % 3 AS INT) AS yr,
+      |    CAST(1 + c_custkey % 4 AS INT) AS mo
+      |  FROM customer),
+      |upd AS (
+      |  SELECT k, CAST(k * 100 AS BIGINT) AS bal_cents, yr, mo,
+      |    (k % 21 = 0) AS del
+      |  FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, CAST(c_custkey AS BIGINT),
+      |    CAST(2031 AS INT), CAST(7 AS INT), false
+      |  FROM customer WHERE c_custkey % 13 = 0),
+      |merged AS (
+      |  SELECT b.k, b.bal_cents, b.yr, b.mo FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)
+      |  UNION ALL
+      |  SELECT k, bal_cents, yr, mo FROM upd WHERE NOT del)
+      |SELECT k, bal_cents, yr, mo FROM merged
+      |WHERE NOT (yr = 2031 AND k % 2 = 0)""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1061,7 +1128,8 @@ object CatalogQueries {
     "q198_streaming_table_pipeline" -> (q198StreamingTablePipeline _),
     "q199_bucketed_sql_merge" -> (q199BucketedSqlMerge _),
     "q200_streaming_window_agg" -> (q200StreamingWindowAgg _),
-    "q201_streaming_complete_refresh" -> (q201StreamingCompleteRefresh _))
+    "q201_streaming_complete_refresh" -> (q201StreamingCompleteRefresh _),
+    "q202_two_level_leaf_merge" -> (q202TwoLevelLeafMerge _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1084,5 +1152,6 @@ object CatalogQueries {
     "q198_streaming_table_pipeline" -> q198Oracle,
     "q199_bucketed_sql_merge" -> q199Oracle,
     "q200_streaming_window_agg" -> q200Oracle,
-    "q201_streaming_complete_refresh" -> q201Oracle)
+    "q201_streaming_complete_refresh" -> q201Oracle,
+    "q202_two_level_leaf_merge" -> q202Oracle)
 }

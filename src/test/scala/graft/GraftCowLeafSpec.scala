@@ -199,6 +199,33 @@ class GraftCowLeafSpec extends SparkSpec {
     assert(spark.table(s"$cat.ods.facts").count() == 1190)
   }
 
+  test("DATE-partitioned MERGE narrows to the matched dates (reference's report_date layout)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.daily (k BIGINT, v BIGINT, d DATE) " +
+      "PARTITIONED BY (d)")
+    spark.sql(s"""INSERT INTO $cat.ods.daily
+      SELECT id, id * 10, date_add(DATE'2021-03-01', CAST(id DIV 50 AS INT))
+      FROM range(0, 500)""")
+    val before = fileState(root, "ods", "daily")
+    assert(before.keys.map(_.split("/").head).toSet.size == 10) // 10 dates
+    // matched keys live entirely in d=2021-03-04 (ids 150..199)
+    spark.sql(s"""MERGE INTO $cat.ods.daily t
+      USING (SELECT id AS k FROM range(160, 170)) u ON t.k = u.k
+      WHEN MATCHED THEN UPDATE SET t.v = 0""")
+    val after = fileState(root, "ods", "daily")
+    val touched = (rel: String) => rel.startsWith("d=2021-03-04/")
+    assert(before.view.filterKeys(r => !touched(r)).toMap ==
+      after.view.filterKeys(r => !touched(r)).toMap,
+      "a one-date merge rewrote sibling dates")
+    assert(before.filter(t => touched(t._1)) != after.filter(t => touched(t._1)),
+      "the matched date was not rewritten")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ods.daily " +
+      "WHERE d = DATE'2021-03-04'").head.getLong(0) ==
+      ((150L until 160L) ++ (170L until 200L)).map(_ * 10).sum)
+    assert(spark.table(s"$cat.ods.daily").count() == 500)
+  }
+
   test("NULL partition values decline the narrowing and stay correct") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
