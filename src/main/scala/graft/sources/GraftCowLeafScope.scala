@@ -185,12 +185,20 @@ object GraftCowLeafScope extends Rule[LogicalPlan] {
       }.toMap
 
     // inject the static per-column scan filter above the rewrite's read
-    // relation (matched by its RowLevelOperationTable instance)
+    // relation (matched by its RowLevelOperationTable instance). The
+    // three group-based rewrites each read the operation relation
+    // EXACTLY once (MERGE: one join side; UPDATE: one CASE-WHEN
+    // projection; DELETE: one survivor filter) — if a future plan shape
+    // read it twice, filtering only one occurrence would let the other
+    // emit out-of-scope carryover the commit logic would then publish
+    // as duplicates, so any count other than one declines outright.
     val opTable = rd.table.asInstanceOf[DataSourceV2Relation].table
-    var injected = false
+    val occurrences = rd.query.collect {
+      case r: DataSourceV2Relation if r.table eq opTable => r
+    }
+    if (occurrences.length != 1) { op.declineLeafScope(); return rd }
     val newQuery = rd.query.transformUp {
-      case r: DataSourceV2Relation if (r.table eq opTable) && !injected =>
-        injected = true
+      case r: DataSourceV2Relation if r.table eq opTable =>
         val pred: Expression =
           if (tuples.isEmpty) Literal.FalseLiteral
           else partCols.flatMap { c =>
@@ -200,7 +208,6 @@ object GraftCowLeafScope extends Rule[LogicalPlan] {
           }.reduceLeft[Expression](And(_, _))
         Filter(pred, r)
     }
-    if (!injected) { op.declineLeafScope(); return rd }
 
     op.offerLeafScope(LeafScope(matchedRels, scopeTokens,
       () => op.cowCountRowsWithin(scopeTokens)))
