@@ -1087,6 +1087,50 @@ object CatalogQueries {
       |SELECT k, bal_cents, yr, mo FROM merged
       |WHERE NOT (yr = 2031 AND k % 2 = 0)""".stripMargin
 
+  /** q203 — file-level data skipping ([[graft.sources.GraftStats]]) on
+    * a catalog table: four generations of orders land with DISJOINT
+    * order-date ranges (so each parquet file's footer min/max spans one
+    * band), `Catalog.analyze` collects the per-file stats into the
+    * `_graft_stats` manifest, and the reporting query's date predicate
+    * then schedules only the covering generations' files — whole files
+    * are skipped at PLANNING time, before any footer is opened, which
+    * is the tier that matters at 100 TB where a selective scan over
+    * millions of files must not pay a round-trip per skipped file.
+    * GraftStatsSpec pins the scheduled-file counts (and the fail-safe
+    * contract); this entry pins the VALUES on the driver's DuckDB hash.
+    */
+  def q203DataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g203")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g203_orders")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.orders " +
+      "(okey BIGINT, odate DATE, prio STRING, total_cents BIGINT)")
+    // testdata order dates span 1995..2001; the four bands cover the
+    // full range so the union IS the table, while each band's files
+    // carry a disjoint footer min/max for `odate`
+    Seq((1995, 1996), (1997, 1998), (1999, 2000), (2001, 2001)).foreach {
+      case (lo, hi) =>
+        spark.sql(s"""INSERT INTO $cat.ods.orders
+          SELECT o_orderkey, o_orderdate, o_orderpriority,
+            CAST(round(o_totalprice * 100) AS BIGINT)
+          FROM g203_orders
+          WHERE year(o_orderdate) BETWEEN $lo AND $hi""")
+    }
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    Catalog(spark, root).analyze("ods", "orders")
+    spark.table(s"$cat.ods.orders")
+      .where(col("odate") >= lit("1999-01-01").cast("date"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("total_cents")).as("cents"))
+  }
+
+  val q203Oracle: String =
+    s"""SELECT o_orderpriority AS prio, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(o_totalprice * 100) AS BIGINT))")} AS cents
+       |FROM orders
+       |WHERE o_orderdate >= DATE '1999-01-01'
+       |GROUP BY o_orderpriority""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1129,7 +1173,8 @@ object CatalogQueries {
     "q199_bucketed_sql_merge" -> (q199BucketedSqlMerge _),
     "q200_streaming_window_agg" -> (q200StreamingWindowAgg _),
     "q201_streaming_complete_refresh" -> (q201StreamingCompleteRefresh _),
-    "q202_two_level_leaf_merge" -> (q202TwoLevelLeafMerge _))
+    "q202_two_level_leaf_merge" -> (q202TwoLevelLeafMerge _),
+    "q203_data_skipping" -> (q203DataSkipping _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1153,5 +1198,6 @@ object CatalogQueries {
     "q199_bucketed_sql_merge" -> q199Oracle,
     "q200_streaming_window_agg" -> q200Oracle,
     "q201_streaming_complete_refresh" -> q201Oracle,
-    "q202_two_level_leaf_merge" -> q202Oracle)
+    "q202_two_level_leaf_merge" -> q202Oracle,
+    "q203_data_skipping" -> q203Oracle)
 }

@@ -500,6 +500,19 @@ final case class Catalog(spark: SparkSession, root: String,
       .load(path(layer, table))
   }
 
+  /** Collect file-level column min/max statistics for a table into its
+    * `_graft_stats` sidecar — the data-skipping tier
+    * ([[graft.sources.GraftStats]]): subsequent scans (path or name
+    * addressed; plain or bucketed) prune whole FILES whose stats prove
+    * a pushed data filter can't match, before any footer is opened.
+    * Incremental: only files not yet covered get a (distributed)
+    * footer read; entries for rewritten or vanished files drop out.
+    * Fail-safe by construction — files written after the last analyze
+    * simply scan unpruned. Returns the number of files newly analyzed.
+    */
+  def analyze(layer: String, table: String): Int =
+    graft.sources.GraftStats.analyze(spark, path(layer, table), format)
+
   /** Small-files compaction: rewrite the table into
     * ceil(bytes / targetFileBytes) files (per partition directory when
     * `partitionCols` is given). Streaming/incremental appends

@@ -707,10 +707,15 @@ private[sources] class GraftTable(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options) match {
-      case fsb: FileScanBuilder => meta.bucketSpec match {
-        case Some((n, c)) => new GraftScanBuilder(fsb, bucket = Some((n, c)))
-        case None => new GraftScanBuilder(fsb)
-      }
+      case fsb: FileScanBuilder =>
+        // data-skipping tier: planned splits are pruned against the
+        // _graft_stats manifest (when one exists) — see [[GraftStats]]
+        val stats = Some(new Path(dir))
+        meta.bucketSpec match {
+          case Some((n, c)) =>
+            new GraftScanBuilder(fsb, bucket = Some((n, c)), statsDir = stats)
+          case None => new GraftScanBuilder(fsb, statsDir = stats)
+        }
       case other => other
     }
 
@@ -1256,7 +1261,8 @@ private case class StripOperationFactory(
   * bucketed scan trades the runtime-pruning tier for the key grouping.
   */
 private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
-    bucket: Option[(Int, String)] = None)
+    bucket: Option[(Int, String)] = None,
+    statsDir: Option[Path] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1293,8 +1299,8 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
 
   override def build(): Scan = delegate.build() match {
     case fs: FileScan => bucket match {
-      case Some((n, c)) => new GraftBucketedScan(fs, n, c)
-      case None => new GraftRuntimeFilterScan(fs)
+      case Some((n, c)) => new GraftBucketedScan(fs, n, c, statsDir)
+      case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir)
     }
     case other => other
   }
@@ -1319,7 +1325,11 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
   * so two scans' key sets align regardless of data skew.
   */
 private[sources] final class GraftBucketedScan(initial: FileScan,
-    n: Int, col: String)
+    n: Int, col: String,
+    // data-skipping manifest location ([[GraftStats]]); pruning happens
+    // WITHIN bucket groups, so all `n` key groups are still emitted and
+    // the reported KeyGroupedPartitioning stays truthful
+    statsDir: Option[Path] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsRuntimeV2Filtering
@@ -1328,6 +1338,15 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 
   @volatile private var current: FileScan = initial
+
+  @volatile private var manifestCache: Map[String, GraftStats.FileStats] = _
+  private def manifest(dir: Path): Map[String, GraftStats.FileStats] = {
+    if (manifestCache == null)
+      manifestCache = GraftStats.read(
+        dir.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration), dir)
+    manifestCache
+  }
 
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = this
@@ -1377,11 +1396,21 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     else {
       val by = bucketsOf(current.toBatch.planInputPartitions())
         .getOrElse(Map.empty[Int, Seq[PartitionedFile]])
+      // file-level data skipping inside each group (fail-safe: a file
+      // without a valid manifest entry is always kept)
+      val filters = current.dataFilters
+      val skip: PartitionedFile => Boolean = statsDir match {
+        case Some(d) if filters.nonEmpty =>
+          val m = manifest(d)
+          if (m.isEmpty) _ => true
+          else f => GraftStats.keepFile(f, filters, m, d)
+        case _ => _ => true
+      }
       // ALWAYS all n groups (empty ones included): two scans' key sets
       // must align for the storage-partitioned join regardless of skew
       // or runtime pruning
       (0 until n).map { b =>
-        new KeyedFilePartition(b, by.getOrElse(b, Nil).toArray)
+        new KeyedFilePartition(b, by.getOrElse(b, Nil).filter(skip).toArray)
           : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
     }
@@ -1452,18 +1481,100 @@ private[sources] final class GraftRuntimeFilterScan(
     // constraint sets must be identical, or the scanned and retired
     // partition sets diverge (retire ⊄ scanned = data loss; scanned ⊄
     // retired = resurrected duplicates).
-    captureTokens: Option[Map[String, Set[String]] => Unit] = None)
+    captureTokens: Option[Map[String, Set[String]] => Unit] = None,
+    // data-skipping manifest location ([[GraftStats]]); None (and any
+    // capture-mode scan — a COW rewrite must read every surviving row
+    // of its groups) reads the delegate's plan unchanged
+    statsDir: Option[Path] = None)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: FileScan = initial
 
+  @volatile private var manifestCache: Map[String, GraftStats.FileStats] = _
+  private def manifest(dir: Path): Map[String, GraftStats.FileStats] = {
+    if (manifestCache == null)
+      manifestCache = GraftStats.read(
+        dir.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration), dir)
+    manifestCache
+  }
+
+  /** Batch view that prunes planned splits through the stats manifest.
+    * Delegation happens per CALL (not at construction) so runtime
+    * partition filters applied to `current` after `toBatch` are still
+    * honored, exactly as the unwrapped path behaves.
+    */
+  private final class SkippingBatch(dir: Path) extends Batch {
+    override def planInputPartitions()
+        : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      val parts = current.toBatch.planInputPartitions()
+      val filters = current.dataFilters
+      if (filters.isEmpty) parts
+      else {
+        val m = manifest(dir)
+        if (m.isEmpty) parts else GraftStats.prune(parts, filters, m, dir)
+      }
+    }
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      current.toBatch.createReaderFactory()
+  }
+
   override def readSchema(): StructType = current.readSchema()
-  override def toBatch: Batch = current.toBatch
+  override def toBatch: Batch = statsDir match {
+    case Some(d) if captureTokens.isEmpty => new SkippingBatch(d)
+    case _ => current.toBatch
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(current, checkpointLocation)
   override def description(): String = current.description()
-  override def estimateStatistics(): Statistics = current.estimateStatistics()
+
+  /** Planning-time statistics AFTER data skipping: when a manifest
+    * covers the surviving files, report their byte sum (and, when every
+    * survivor is covered, their exact analyze-time row sum) instead of
+    * the delegate's whole-listing estimate. This is where skipping
+    * compounds: a selectively-filtered fact side shrinks below the
+    * broadcast threshold at PLANNING time, turning a 100 TB shuffle
+    * join into a broadcast join — the same reason Delta/Iceberg feed
+    * their manifest metrics to the optimizer. Fail-safe like the
+    * pruning itself: any uncovered file falls back to its listed size
+    * with no row claim.
+    */
+  override def estimateStatistics(): Statistics = {
+    val base = current.estimateStatistics()
+    statsDir match {
+      case Some(d) if captureTokens.isEmpty && current.dataFilters.nonEmpty =>
+        val m = manifest(d)
+        if (m.isEmpty) base
+        else {
+          val files = toBatch.planInputPartitions().toSeq.collect {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.toSeq
+          }.flatten
+          val dirUri = d.toUri.getPath
+          val entries = files.map { f =>
+            val p = f.toPath.toUri.getPath
+            val rel =
+              if (p.startsWith(dirUri)) p.stripPrefix(dirUri).stripPrefix("/")
+              else p
+            (f, m.get(rel).filter(st =>
+              st.size == f.fileSize && st.mtime == f.modificationTime))
+          }
+          val bytes = entries.map(_._1.fileSize).sum
+          val rows =
+            if (entries.forall(_._2.isDefined)) // all pruned → exact 0
+              java.util.OptionalLong.of(entries.map(_._2.get.rows).sum)
+            else java.util.OptionalLong.empty()
+          new Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(bytes)
+            override def numRows(): java.util.OptionalLong = rows
+          }
+        }
+      case _ => base
+    }
+  }
   override def supportedCustomMetrics(): Array[CustomMetric] =
     current.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[CustomTaskMetric] =

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.runtime.Catalog
+
+/** File-level data skipping ([[graft.sources.GraftStats]]): ANALYZE
+  * collects per-file column min/max from parquet footers into the
+  * `_graft_stats` sidecar; scans then drop whole files whose stats
+  * prove a pushed data filter can't match — the pruning tier between
+  * hive partition directories and parquet row-group filters, and the
+  * one that matters at 100 TB where opening a million footers to skip
+  * them is itself the bottleneck.
+  *
+  * Every test asserts BOTH the pruning (scheduled file count) and the
+  * result (values), because a data-skipping bug that drops a live file
+  * is silent data loss.
+  */
+class GraftStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val name = s"gst${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-st-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (name, root)
+  }
+
+  /** Files actually scheduled by the v2 scan(s) of `df` — the
+    * AdaptiveSparkPlanHelper `collect` sees through AQE wrappers and
+    * materialized query stages (a plain `plan.collect` would not).
+    */
+  private def scannedFiles(df: DataFrame,
+      only: BatchScanExec => Boolean = _ => true): Int =
+    collect(df.queryExecution.executedPlan) {
+      case b: BatchScanExec if only(b) =>
+        b.partitions.flatten.map {
+          // KeyedFilePartition (bucketed scans) extends FilePartition
+          case fp: FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+    }.sum
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    collect(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+
+  /** Four single-task inserts → four files with disjoint id ranges. */
+  private def seedRanged(cat: String): Unit = {
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (id BIGINT, tag STRING, score DOUBLE)")
+    (0 until 4).foreach { b =>
+      val lo = b * 100
+      (lo until lo + 100).map(i => (i.toLong, s"g$b", i / 7.0))
+        .toDF("id", "tag", "score").coalesce(1)
+        .createOrReplaceTempView("gst_src")
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT * FROM gst_src")
+    }
+  }
+
+  test("analyze + long-range predicate schedules exactly the covering file") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    val eng = Catalog(spark, root)
+    assert(eng.analyze("ods", "t") == 4)
+
+    val q = spark.table(s"$cat.ods.t").where(col("id") >= 120 && col("id") <= 180)
+    assert(q.count() == 61)
+    assert(scannedFiles(q) == 1,
+      s"expected 1 file, plan:\n${q.queryExecution.executedPlan}")
+
+    // unfiltered scan still reads everything
+    val all = spark.table(s"$cat.ods.t")
+    assert(all.count() == 400)
+    assert(scannedFiles(all) == 4)
+  }
+
+  test("string equality prunes to the one file holding the value") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    Catalog(spark, root).analyze("ods", "t")
+    val q = spark.table(s"$cat.ods.t").where(col("tag") === "g2")
+    assert(q.count() == 100)
+    assert(scannedFiles(q) == 1)
+    // IN over two values → two files
+    val q2 = spark.table(s"$cat.ods.t").where(col("tag").isin("g0", "g3"))
+    assert(q2.count() == 200)
+    assert(scannedFiles(q2) == 2)
+  }
+
+  test("IS NULL prunes null-free files; all-null file answers value predicates false") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.nn (id BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("gst_nn1")
+    spark.sql(s"INSERT INTO $cat.ods.nn SELECT * FROM gst_nn1")
+    Seq((3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("id", "v").coalesce(1).createOrReplaceTempView("gst_nn2")
+    spark.sql(s"INSERT INTO $cat.ods.nn SELECT * FROM gst_nn2")
+    Catalog(spark, root).analyze("ods", "nn")
+
+    val nulls = spark.table(s"$cat.ods.nn").where(col("v").isNull)
+    assert(nulls.count() == 2)
+    assert(scannedFiles(nulls) == 1) // the null-free file is skipped
+
+    // a value predicate can't match the all-null file
+    val eq = spark.table(s"$cat.ods.nn").where(col("v") === "a")
+    assert(eq.count() == 1)
+    assert(scannedFiles(eq) == 1)
+  }
+
+  test("files written after analyze scan unpruned (fail-safe, no loss)") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    val eng = Catalog(spark, root)
+    eng.analyze("ods", "t")
+    // new generation arrives AFTER the manifest — same id range as an
+    // analyzed file, so a non-fail-safe pruner would drop it
+    Seq((150L, "late", 0.0)).toDF("id", "tag", "score").coalesce(1)
+      .createOrReplaceTempView("gst_late")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT * FROM gst_late")
+
+    val q = spark.table(s"$cat.ods.t").where(col("id") === 150)
+    assert(q.count() == 2) // both the analyzed file's row and the late row
+    assert(scannedFiles(q) == 2) // pruned to 1 known file + 1 unknown file
+
+    // incremental analyze prices only the delta, then prunes both
+    assert(eng.analyze("ods", "t") == 1)
+    val q2 = spark.table(s"$cat.ods.t").where(col("id") === 350)
+    assert(q2.count() == 1)
+    assert(scannedFiles(q2) == 1)
+  }
+
+  test("stale manifest after a full rewrite never wrong-prunes") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    val eng = Catalog(spark, root)
+    eng.analyze("ods", "t")
+    // compactByName rewrites every file under new names; the manifest
+    // still describes the OLD generation
+    eng.compactByName("ods", "t")
+    val q = spark.table(s"$cat.ods.t").where(col("id") >= 120 && col("id") <= 180)
+    assert(q.count() == 61) // correctness holds; nothing is pruned
+    // and a re-analyze restores pruning on the new layout
+    assert(eng.analyze("ods", "t") > 0)
+    val q2 = spark.table(s"$cat.ods.t").where(col("id") === 42)
+    assert(q2.count() == 1)
+    assert(scannedFiles(q2) < 4)
+  }
+
+  test("double predicates never prune (NaN-safe by design)") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    Catalog(spark, root).analyze("ods", "t")
+    val q = spark.table(s"$cat.ods.t").where(col("score") > 1000.0)
+    assert(q.count() == 0)
+    assert(scannedFiles(q) == 4) // stats deliberately absent for double
+  }
+
+  test("estimateStatistics reports post-skip bytes and exact analyzed rows") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    Catalog(spark, root).analyze("ods", "t")
+    def scanStats(df: DataFrame) = {
+      val scan = collect(df.queryExecution.sparkPlan) {
+        case b: BatchScanExec => b.scan
+      }.head
+      scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    }
+    val whole = scanStats(spark.table(s"$cat.ods.t"))
+    // filter covers exactly one 100-row file: the reported stats are
+    // the SURVIVORS' (this is what lets a skipped-down fact side drop
+    // under the broadcast threshold at planning time)
+    val one = scanStats(
+      spark.table(s"$cat.ods.t").where(col("id") >= 120 && col("id") <= 180))
+    assert(one.numRows.isPresent && one.numRows.getAsLong == 100)
+    assert(one.sizeInBytes.isPresent && whole.sizeInBytes.isPresent &&
+      one.sizeInBytes.getAsLong < whole.sizeInBytes.getAsLong)
+    // a predicate no file can hold: exact zero
+    val none = scanStats(
+      spark.table(s"$cat.ods.t").where(col("id") === 5000))
+    assert(none.numRows.isPresent && none.numRows.getAsLong == 0)
+  }
+
+  test("COW update invalidates its files' stats entries (no wrong-prune)") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    val eng = Catalog(spark, root)
+    eng.analyze("ods", "t")
+    // rewrite moves a row INTO the range the old stats say can't match
+    spark.sql(s"UPDATE $cat.ods.t SET id = 9999 WHERE id = 250")
+    val q = spark.table(s"$cat.ods.t").where(col("id") === 9999)
+    assert(q.count() == 1) // the rewritten file has a new name → unpruned
+    // untouched files still prune after re-analyze
+    assert(eng.analyze("ods", "t") >= 1)
+    val q2 = spark.table(s"$cat.ods.t").where(col("id") === 9999)
+    assert(q2.count() == 1)
+    assert(scannedFiles(q2) == 1)
+  }
+
+  test("bucketed table: pruning inside groups keeps the exchange-free join") {
+    val (cat, root) = freshCatalog()
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.dds")
+      spark.sql(s"CREATE TABLE $cat.dds.f (k BIGINT, day STRING, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"CREATE TABLE $cat.dds.d (k BIGINT, tag STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      // two generations of fact files per bucket with disjoint `day`s
+      Seq("d1", "d2").foreach { day =>
+        (1L to 200L).map(i => (i, day, i)).toDF("k", "day", "v")
+          .createOrReplaceTempView("gst_f_src")
+        spark.sql(s"INSERT INTO $cat.dds.f SELECT * FROM gst_f_src")
+      }
+      (1L to 200L).map(i => (i, s"t${i % 5}")).toDF("k", "tag")
+        .createOrReplaceTempView("gst_d_src")
+      spark.sql(s"INSERT INTO $cat.dds.d SELECT * FROM gst_d_src")
+      val eng = Catalog(spark, root)
+      assert(eng.analyze("dds", "f") > 0)
+
+      // join WITHOUT aggregation: a same-spec storage-partitioned join
+      // must stay completely exchange-free even with files pruned out
+      // of some bucket groups
+      val joined = spark.table(s"$cat.dds.f").where(col("day") === "d2")
+        .join(spark.table(s"$cat.dds.d"), Seq("k"))
+      assert(joined.count() == 200)
+      assert(shuffles(joined).isEmpty,
+        s"join shuffled:\n${joined.queryExecution.executedPlan}")
+      // the fact side scheduled only the d2 generation: 4 files, not 8
+      val factFiles = scannedFiles(joined,
+        only = _.schema.fieldNames.contains("day"))
+      assert(factFiles == 4, s"expected 4 of 8 fact files, got $factFiles")
+
+      // and the values survive the pruning
+      val agg = joined.groupBy("tag").agg(sum("v").as("sv"))
+      assert(agg.collect().map(_.getAs[Long]("sv")).sum == (1L to 200L).sum)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+}
