@@ -1131,6 +1131,48 @@ object CatalogQueries {
        |WHERE o_orderdate >= DATE '1999-01-01'
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** q204 — SQL-addressable maintenance ([[graft.sources
+    * .GraftProcedures]]): the table accretes four small generations per
+    * hive partition, then `CALL system.compact_partitions` rewrites the
+    * accreted partitions through the catalog's dynamic-overwrite path
+    * and `CALL system.analyze` rebuilds the data-skipping manifest over
+    * the compacted layout — the Iceberg/Trino `CALL system.*`
+    * maintenance shape, driven purely from SQL the way a cluster
+    * operator would. The emitted aggregate pins on the driver's hash
+    * that the maintenance cycle preserved every row (a compaction bug
+    * that drops or duplicates rows is exactly what this catches);
+    * GraftProceduresSpec pins the file-count and result-row contracts.
+    */
+  def q204SqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g204")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g204_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.items " +
+      "(okey BIGINT, qty BIGINT, ship DATE, rflag STRING) " +
+      "PARTITIONED BY (rflag)")
+    (0 until 4).foreach { k =>
+      spark.sql(s"""INSERT INTO $cat.ods.items
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT),
+          CAST(l_shipdate AS DATE), l_returnflag
+        FROM g204_l WHERE l_linenumber % 4 = $k""")
+    }
+    spark.sql(
+      s"CALL $cat.system.compact_partitions('ods.items', min_files => 2)")
+      .collect() // eager: the rewrite must land before the read below
+    spark.sql(s"CALL $cat.system.analyze('ods.items')").collect()
+    spark.table(s"$cat.ods.items")
+      .where(col("ship") >= lit("1999-01-01").cast("date"))
+      .groupBy(col("rflag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+  }
+
+  val q204Oracle: String =
+    s"""SELECT l_returnflag AS rflag, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(l_quantity AS BIGINT))")} AS qty_sum
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1999-01-01'
+       |GROUP BY l_returnflag""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1174,7 +1216,8 @@ object CatalogQueries {
     "q200_streaming_window_agg" -> (q200StreamingWindowAgg _),
     "q201_streaming_complete_refresh" -> (q201StreamingCompleteRefresh _),
     "q202_two_level_leaf_merge" -> (q202TwoLevelLeafMerge _),
-    "q203_data_skipping" -> (q203DataSkipping _))
+    "q203_data_skipping" -> (q203DataSkipping _),
+    "q204_sql_maintenance" -> (q204SqlMaintenance _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1199,5 +1242,6 @@ object CatalogQueries {
     "q200_streaming_window_agg" -> q200Oracle,
     "q201_streaming_complete_refresh" -> q201Oracle,
     "q202_two_level_leaf_merge" -> q202Oracle,
-    "q203_data_skipping" -> q203Oracle)
+    "q203_data_skipping" -> q203Oracle,
+    "q204_sql_maintenance" -> q204Oracle)
 }

@@ -67,7 +67,7 @@ import graft.runtime.Catalog
   * table without a sidecar is served schema-by-inference.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var root: String = _
@@ -423,6 +423,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchFunctionException(ident)
     GraftFunctions.all.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
       throw new NoSuchFunctionException(ident))
+  }
+
+  // ---- ProcedureCatalog: CALL <cat>.system.<proc>(...) --------------
+  // SQL-addressable maintenance (analyze / compact / compact_partitions)
+  // — the Iceberg/Trino `CALL system.*` shape; see [[GraftProcedures]].
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        (namespace.length == 1 &&
+          namespace(0).equalsIgnoreCase(GraftProcedures.Namespace)))
+      GraftProcedures.names.map(
+        Identifier.of(Array(GraftProcedures.Namespace), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.length == 1 &&
+      ident.namespace.head.equalsIgnoreCase(GraftProcedures.Namespace),
+      s"procedures live in the '${GraftProcedures.Namespace}' namespace " +
+        s"(got ${ident.namespace.mkString(".")}.${ident.name})")
+    GraftProcedures.load(
+      ident.name.toLowerCase(java.util.Locale.ROOT), () => engine)
   }
 }
 
