@@ -2100,23 +2100,24 @@ private[graft] object GraftPartitionedCow {
     *     published twice. The two levels together close both duplicate
     *     windows a directory store has (no atomic multi-file commit).
     *
-    * RESIDUAL at-least-once window (r10 ADVICE, documented not hidden):
-    * name-determinism covers re-executions that route rows to the same
-    * (partitionId, partition-dir) cells. If a driver crash lands
-    * BETWEEN the first publish rename and the marker write AND the
-    * restart re-plans the epoch with different parallelism or row
-    * routing, the re-execution's files get different names while the
-    * earlier attempt's already-published files stay visible — duplicate
-    * rows. This mirrors the batch COW's crash contract ("visible,
-    * repairable duplicates, never silent loss"): the orphaned files are
-    * identifiable by name (same `-s<query>-e<epoch>-` prefix, different
-    * `p`/`r` cells) and deletable; closing the window entirely would
-    * need a per-epoch manifest committed before the first rename, which
-    * trades a second driver write per epoch for a case that requires a
-    * driver crash + a cluster-shape change within one epoch.
+    * The re-planned-epoch window (r10 ADVICE) is CLOSED by a per-epoch
+    * MANIFEST: before the first publish rename, the commit writes the
+    * complete list of final names this attempt will make visible
+    * (`_graft_stream_commits/<query>/<epoch>.manifest`). A re-executed
+    * epoch that finds a manifest but no marker is retrying after a
+    * mid-publish crash: it first deletes every file the crashed
+    * attempt may have published (the manifest IS that set — written
+    * before any rename, so it is always complete), then publishes its
+    * own files. A restart that re-plans the epoch with different
+    * parallelism or row routing therefore converges to exactly the new
+    * attempt's rows — no orphaned cells from the old shape survive.
+    * The marker supersedes the manifest (deleted after the marker
+    * lands); a crash between marker and manifest-delete is harmless —
+    * the next delivery sees the marker first and declines.
     *
-    * Scale: marker cost is one tiny file per epoch; publish is one
-    * rename per written file; no row ever touches the driver.
+    * Scale: manifest + marker are two tiny driver writes per epoch;
+    * publish is one rename per written file; no row ever touches the
+    * driver.
     */
   final class StreamingAppendWrite(
       spark: SparkSession, format: String, dataSchema: StructType,
@@ -2128,6 +2129,8 @@ private[graft] object GraftPartitionedCow {
       f"${scala.util.hashing.MurmurHash3.stringHash(queryId)}%08x"
     private def markerDir = new Path(dir, s"_graft_stream_commits/$queryTag")
     private def marker(epochId: Long) = new Path(markerDir, epochId.toString)
+    private def manifest(epochId: Long) =
+      new Path(markerDir, s"$epochId.manifest")
 
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo)
@@ -2145,6 +2148,28 @@ private[graft] object GraftPartitionedCow {
         // re-execution's staged files and decline
         abort(epochId, messages)
       } else {
+        // a manifest without a marker = a prior attempt of THIS epoch
+        // crashed mid-publish; retract whatever it made visible (the
+        // manifest is complete by construction — written before its
+        // first rename) so a re-planned attempt can't leave duplicates
+        val mf = manifest(epochId)
+        if (fs.exists(mf)) {
+          val in = fs.open(mf)
+          val prior = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          prior.filter(_.nonEmpty).foreach { p =>
+            try fs.delete(new Path(p), false)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        // manifest BEFORE the first rename
+        val finals = messages.collect {
+          case CowTaskFiles(files) => files.map(_._2)
+        }.flatten
+        fs.mkdirs(markerDir)
+        val out = fs.create(mf, true)
+        try out.write(finals.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
         messages.foreach {
           case CowTaskFiles(files) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
@@ -2154,9 +2179,9 @@ private[graft] object GraftPartitionedCow {
           }
           case _ => ()
         }
-        fs.mkdirs(markerDir)
-        val out = fs.create(marker(epochId), true)
-        out.close()
+        val mk = fs.create(marker(epochId), true)
+        mk.close()
+        fs.delete(mf, false) // superseded by the marker
       }
     }
 
