@@ -1173,6 +1173,90 @@ object CatalogQueries {
        |WHERE CAST(l_shipdate AS DATE) >= DATE '1999-01-01'
        |GROUP BY l_returnflag""".stripMargin
 
+  /** q205 — range-clustering maintenance ([[graft.runtime.Catalog
+    * .clusterByName]] via `CALL system.cluster`): the table lands in
+    * interleaved insert order (every file spans the whole orderkey
+    * domain — the layout data skipping can prove nothing about), then
+    * one CALL rewrites it ordered by `okey` and re-analyzes, making
+    * every file a tight disjoint key slice. The emitted selective
+    * aggregate pins on the driver's hash that the reorder preserved
+    * every row; GraftProceduresSpec pins the scheduled-file collapse
+    * (4 → <4 on the same predicate) and the partitioned-table refusal.
+    */
+  def q205ClusteredLayout(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g205")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g205_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.items " +
+      "(okey BIGINT, qty BIGINT, price_cents BIGINT)")
+    (0 until 4).foreach { k =>
+      spark.sql(s"""INSERT INTO $cat.ods.items
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT),
+          CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM g205_l WHERE l_linenumber % 4 = $k""")
+    }
+    spark.sql(s"CALL $cat.system.cluster('ods.items', sort_by => 'okey', " +
+      "target_file_bytes => 262144)").collect()
+    spark.table(s"$cat.ods.items")
+      .where(col("okey") >= 10000 && col("okey") < 30000)
+      .groupBy((col("okey") % 5).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"),
+        sum(col("price_cents")).as("cents"))
+  }
+
+  val q205Oracle: String =
+    s"""SELECT l_orderkey % 5 AS g, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(l_quantity AS BIGINT))")} AS qty_sum,
+       |  ${bi("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")} AS cents
+       |FROM lineitem
+       |WHERE l_orderkey >= 10000 AND l_orderkey < 30000
+       |GROUP BY l_orderkey % 5""".stripMargin
+
+  /** q206 — SQL-addressable time travel ([[graft.runtime.Catalog
+    * .restoreVersionByName]] via `CALL system.rollback`): a corrupting
+    * full overwrite lands on the versioned table (archiving the good
+    * state as v1), the operator inspects `CALL system.history`, rolls
+    * back from SQL, and `CALL system.remove_orphans` sweeps write
+    * residue — the Iceberg `rollback_to_snapshot` +
+    * `remove_orphan_files` maintenance pair. The emitted aggregate pins
+    * on the driver's hash that the rollback restored EXACTLY the
+    * pre-corruption rows (a no-op rollback leaves the poisoned
+    * quantities and breaks the hash) and that the orphan sweep touched
+    * no live data. GraftProceduresSpec pins the archive-on-rollback
+    * (history grows, VERSION AS OF still reads the bad state) and
+    * grace-period contracts.
+    */
+  def q206RollbackMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g206", versions = 3)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g206_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.items " +
+      "(okey BIGINT, qty BIGINT, rflag STRING)")
+    spark.sql(s"""INSERT INTO $cat.ods.items
+      SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+      FROM g206_l""")
+    // the corrupting overwrite: every quantity poisoned; the versioned
+    // truncate archives the good state as v1 instead of destroying it
+    spark.sql(s"""INSERT OVERWRITE $cat.ods.items
+      SELECT l_orderkey, CAST(-1 AS BIGINT), l_returnflag FROM g206_l""")
+    val hist = spark.sql(s"CALL $cat.system.history('ods.items')")
+      .collect().map(_.getInt(0)).toSeq
+    require(hist == Seq(1), s"expected one archived version, got $hist")
+    spark.sql(s"CALL $cat.system.rollback('ods.items', version => 1)")
+      .collect() // eager: the restore must land before the read below
+    spark.sql(s"CALL $cat.system.remove_orphans('ods.items', " +
+      "older_than_ms => 0)").collect()
+    spark.table(s"$cat.ods.items")
+      .groupBy(col("rflag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+  }
+
+  val q206Oracle: String =
+    s"""SELECT l_returnflag AS rflag, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(l_quantity AS BIGINT))")} AS qty_sum
+       |FROM lineitem
+       |GROUP BY l_returnflag""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1217,7 +1301,9 @@ object CatalogQueries {
     "q201_streaming_complete_refresh" -> (q201StreamingCompleteRefresh _),
     "q202_two_level_leaf_merge" -> (q202TwoLevelLeafMerge _),
     "q203_data_skipping" -> (q203DataSkipping _),
-    "q204_sql_maintenance" -> (q204SqlMaintenance _))
+    "q204_sql_maintenance" -> (q204SqlMaintenance _),
+    "q205_clustered_layout" -> (q205ClusteredLayout _),
+    "q206_rollback_maintenance" -> (q206RollbackMaintenance _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1243,5 +1329,7 @@ object CatalogQueries {
     "q201_streaming_complete_refresh" -> q201Oracle,
     "q202_two_level_leaf_merge" -> q202Oracle,
     "q203_data_skipping" -> q203Oracle,
-    "q204_sql_maintenance" -> q204Oracle)
+    "q204_sql_maintenance" -> q204Oracle,
+    "q205_clustered_layout" -> q205Oracle,
+    "q206_rollback_maintenance" -> q206Oracle)
 }

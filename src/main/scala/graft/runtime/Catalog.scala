@@ -593,6 +593,55 @@ final case class Catalog(spark: SparkSession, root: String,
       .overwrite(org.apache.spark.sql.functions.lit(true))
   }
 
+  /** RANGE-CLUSTERING rewrite by catalog name: reorder the whole table
+    * so consecutive `sortCols` ranges land in the same files — the sort
+    * strategy of Iceberg's `rewrite_data_files` / Delta `OPTIMIZE`.
+    * Compaction fixes file COUNT; clustering fixes file STATS: after
+    * arbitrary insert order, every file's min/max spans the whole key
+    * domain and the [[analyze]] data-skipping manifest can prove
+    * nothing. `repartitionByRange` (sampled range boundaries, so skew
+    * balances across tasks) + an intra-task sort makes each rewritten
+    * file cover a TIGHT, disjoint slice of the leading sort column —
+    * a selective predicate then schedules O(1) files instead of all of
+    * them, which at 100 TB is the difference between a point lookup
+    * and a full scan. File sizing reuses [[compact]]'s
+    * bytes/targetFileBytes heuristic. Plain (non-hive-partitioned,
+    * non-bucketed) tables only: those layouts impose their own write
+    * clustering, which would override this one — their per-partition
+    * ordering lever is [[appendByName]]'s sortCols. Pair with
+    * [[analyze]] (or let `CALL system.cluster` do both). Returns the
+    * task (≈ file) count of the rewrite.
+    */
+  def clusterByName(layer: String, table: String, sortCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(tableExists(layer, table), s"$layer.$table does not exist")
+    require(sortCols.nonEmpty, "clusterByName needs at least one sort column")
+    // partitioned/bucketed writes impose their own clustering, which
+    // would silently override the range layout — refuse, don't no-op
+    val transforms = spark.sessionState.catalogManager.catalog(sqlName)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(layer), table))
+      .partitioning().toSeq
+    require(transforms.isEmpty,
+      s"$layer.$table declares ${transforms.mkString(", ")}: partitioned/" +
+        "bucketed layouts own their write clustering; range-cluster " +
+        "applies to plain tables (per-partition ordering is appendByName's " +
+        "sortCols)")
+    val hp = new org.apache.hadoop.fs.Path(path(layer, table))
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val tasks =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    spark.table(sqlIdent(layer, table))
+      .repartitionByRange(tasks, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .writeTo(sqlIdent(layer, table))
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    tasks
+  }
+
   /** INCREMENTAL compaction by catalog name: compact ONLY the hive
     * partitions whose visible file count reached `minFiles` — the
     * 100 TB path [[compactByName]]'s scale note promises. Streaming
@@ -679,6 +728,78 @@ final case class Catalog(spark: SparkSession, root: String,
       .writeTo(sqlIdent(layer, table))
       .overwritePartitions()
     accreted.map(_._1)
+  }
+
+  /** ORPHAN-FILE cleanup by catalog name — the `remove_orphan_files`
+    * maintenance op every staged-commit protocol eventually needs. All
+    * writers here stage DOT-PREFIXED files beside the data and publish
+    * by rename; a crash mid-job leaves the staged files behind,
+    * invisible to every reader but occupying storage forever. At 100 TB
+    * with thousands of jobs, abandoned stages are real capacity.
+    *
+    * Deletes, under the table directory only:
+    *  - dot-prefixed files older than `olderThanMs` (abandoned stages,
+    *    `._graft_stats.tmp` leftovers) — EXCEPT checksum sidecars of
+    *    live visible files (`.name.crc` where `name` exists and is
+    *    itself visible);
+    *  - `_temporary` committer scratch directories older than the
+    *    grace (only a crashed V1 job leaves one behind).
+    *
+    * Never touched: visible data files, `_graft_meta` / `_graft_stats`
+    * sidecars, `_graft_stream_commits` (epoch markers and crash-retry
+    * manifests ARE the exactly-once state), and the `.__versions` /
+    * `.__swap*` SIBLING directories (time-travel store and swap-crash
+    * recovery state live outside the table dir and are managed by
+    * their own protocols). The grace period is the correctness lever:
+    * an in-flight job's stage is younger than any sane grace, so
+    * cleanup can run concurrently with writers.
+    *
+    * Returns (files deleted, bytes reclaimed).
+    */
+  def removeOrphansByName(layer: String, table: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000): (Int, Long) = {
+    require(tableExists(layer, table), s"$layer.$table does not exist")
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val base = new org.apache.hadoop.fs.Path(path(layer, table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var files = 0
+    var bytes = 0L
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n == "_temporary") {
+            if (st.getModificationTime < cutoff) {
+              // count through the same (checksum-filtered) listing view
+              // the rest of the walk uses — getContentSummary delegates
+              // to the raw FS and would count .crc sidecars
+              def sub(p: org.apache.hadoop.fs.Path): Unit =
+                fs.listStatus(p).foreach { c =>
+                  if (c.isDirectory) sub(c.getPath)
+                  else { files += 1; bytes += c.getLen }
+                }
+              sub(st.getPath)
+              fs.delete(st.getPath, true)
+            }
+          } else if (!n.startsWith("_") && !n.startsWith("."))
+            walk(st.getPath) // hive partition subtree
+        } else if (n.startsWith(".")) {
+          // `.name.crc` guarding a still-visible `name` is live metadata
+          val liveCrc = n.endsWith(".crc") && {
+            val guarded = n.stripPrefix(".").stripSuffix(".crc")
+            !guarded.startsWith(".") && !guarded.isEmpty &&
+              fs.exists(new org.apache.hadoop.fs.Path(dir, guarded))
+          }
+          if (!liveCrc && st.getModificationTime < cutoff) {
+            files += 1
+            bytes += st.getLen
+            fs.delete(st.getPath, false)
+          }
+        }
+      }
+    walk(base)
+    (files, bytes)
   }
 
   /** Full-replace through a sibling temp dir and a two-step rename
@@ -770,6 +891,20 @@ final case class Catalog(spark: SparkSession, root: String,
     */
   def restoreVersion(layer: String, table: String, version: Int): Unit =
     createOrReplace(readVersion(layer, table, version), layer, table)
+
+  /** [[restoreVersion]] through the session catalog's OWN write path:
+    * the truncate-replace write re-clusters rows by the table's
+    * declared transforms, so a bucketed/partitioned table keeps its
+    * layout (and its exchange-free joins) across a rollback — the
+    * path-addressed [[restoreVersion]] writes a plain frame and would
+    * drop bucket tags. Same never-a-deletion contract: the catalog
+    * write archives the replaced current state as one more version.
+    */
+  def restoreVersionByName(layer: String, table: String,
+      version: Int): Unit =
+    readVersion(layer, table, version)
+      .writeTo(sqlIdent(layer, table))
+      .overwrite(org.apache.spark.sql.functions.lit(true))
 
   /** Incremental read between two retained versions (`to` = None
     * reads the live table): the row-level changes as an `__op`-tagged

@@ -24,6 +24,9 @@ import graft.runtime.Catalog
   *
   *  - `analyze(table)` — collect the [[GraftStats]] file-skipping
   *    manifest; returns the incremental footer-read count.
+  *  - `cluster(table, sort_by)` — range-clustering rewrite
+  *    ([[Catalog.clusterByName]]) followed by a re-analyze, so a
+  *    selective predicate on the sort column schedules O(1) files.
   *  - `compact(table)` — whole-table layout-preserving rewrite
   *    ([[Catalog.compactByName]]); returns visible data-file counts
   *    before/after.
@@ -31,6 +34,14 @@ import graft.runtime.Catalog
   *    only the hive partitions that accreted >= min_files files
   *    ([[Catalog.compactPartitionsByName]]); one row per compacted
   *    partition, zero rows = nothing touched (and nothing read).
+  *  - `history(table)` — one row per retained time-travel version
+  *    (the `VERSION AS OF` inventory, discoverable from SQL).
+  *  - `rollback(table, version)` — restore a retained version through
+  *    the catalog's own write path ([[Catalog.restoreVersionByName]]:
+  *    layout survives, the replaced state is archived first).
+  *  - `remove_orphans(table, older_than_ms)` — delete abandoned staged
+  *    files and committer scratch older than the grace
+  *    ([[Catalog.removeOrphansByName]]).
   *
   * `SHOW PROCEDURES` / `DESCRIBE PROCEDURE` come free from the
   * catalog's listProcedures/description.
@@ -39,13 +50,19 @@ object GraftProcedures {
 
   val Namespace = "system"
 
-  def names: Array[String] = Array("analyze", "compact", "compact_partitions")
+  def names: Array[String] =
+    Array("analyze", "cluster", "compact", "compact_partitions",
+      "history", "remove_orphans", "rollback")
 
   def load(procName: String, engine: () => Catalog): UnboundProcedure =
     procName match {
       case "analyze" => new AnalyzeProc(engine)
+      case "cluster" => new ClusterProc(engine)
       case "compact" => new CompactProc(engine)
       case "compact_partitions" => new CompactPartitionsProc(engine)
+      case "history" => new HistoryProc(engine)
+      case "remove_orphans" => new RemoveOrphansProc(engine)
+      case "rollback" => new RollbackProc(engine)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (one of ${names.mkString(", ")})")
     }
@@ -110,6 +127,36 @@ object GraftProcedures {
     }
   }
 
+  private final class ClusterProc(engine: () => Catalog)
+    extends MaintenanceProc("cluster") {
+    override def description(): String =
+      "range-clustering rewrite ordered by sort_by (comma-separated " +
+        "columns), then re-analyze — makes every file's min/max a " +
+        "tight slice so the skipping manifest prunes selective scans"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table> (plain layout)").build(),
+      ProcedureParameter.in("sort_by", StringType)
+        .comment("col[,col...]; leading column drives the ranges").build(),
+      ProcedureParameter.in("target_file_bytes", LongType)
+        .defaultValue((128L << 20).toString)
+        .comment("rewrite file sizing").build())
+    private val out = StructType(Seq(
+      StructField("files", IntegerType, nullable = false),
+      StructField("files_analyzed", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val sortCols = String.valueOf(input.getUTF8String(1))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val eng = engine()
+      val files = eng.clusterByName(layer, table, sortCols, input.getLong(2))
+      // the rewrite just retired every analyzed file: refresh the
+      // manifest in the same call so skipping works immediately
+      val analyzed = eng.analyze(layer, table)
+      one(out, InternalRow(files, analyzed))
+    }
+  }
+
   private final class CompactProc(engine: () => Catalog)
     extends MaintenanceProc("compact") {
     override def description(): String =
@@ -127,6 +174,71 @@ object GraftProcedures {
       val before = dataFileCount(eng, layer, table)
       eng.compactByName(layer, table)
       one(out, InternalRow(before, dataFileCount(eng, layer, table)))
+    }
+  }
+
+  private final class HistoryProc(engine: () => Catalog)
+    extends MaintenanceProc("history") {
+    override def description(): String =
+      "retained time-travel versions, oldest first — the VERSION AS " +
+        "OF inventory; zero rows = nothing retained"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build())
+    private val out = StructType(Seq(
+      StructField("version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val versions = engine().history(layer, table)
+      Collections.singletonList(new ResultScan(out,
+        versions.map(v => InternalRow(v)).toArray): Scan).iterator()
+    }
+  }
+
+  private final class RemoveOrphansProc(engine: () => Catalog)
+    extends MaintenanceProc("remove_orphans") {
+    override def description(): String =
+      "delete abandoned staged files / committer scratch older than " +
+        "the grace period; engine sidecars and visible data untouched"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build(),
+      ProcedureParameter.in("older_than_ms", LongType)
+        .defaultValue((3L * 24 * 3600 * 1000).toString)
+        .comment("grace: never delete younger than this").build())
+    private val out = StructType(Seq(
+      StructField("files_deleted", IntegerType, nullable = false),
+      StructField("bytes_reclaimed", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val (files, bytes) =
+        engine().removeOrphansByName(layer, table, input.getLong(1))
+      one(out, InternalRow(files, bytes))
+    }
+  }
+
+  private final class RollbackProc(engine: () => Catalog)
+    extends MaintenanceProc("rollback") {
+    override def description(): String =
+      "restore a retained version through the catalog write path " +
+        "(layout survives; the replaced state is archived first, so " +
+        "a rollback can be rolled back)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build(),
+      ProcedureParameter.in("version", IntegerType)
+        .comment("a version from system.history").build())
+    private val out = StructType(Seq(
+      StructField("restored_version", IntegerType, nullable = false),
+      StructField("files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val v = input.getInt(1)
+      val eng = engine()
+      eng.restoreVersionByName(layer, table, v)
+      // evidence stays metadata-cheap: a row count here would be a
+      // full scan of a possibly-100TB table for a return value
+      one(out, InternalRow(v, dataFileCount(eng, layer, table)))
     }
   }
 

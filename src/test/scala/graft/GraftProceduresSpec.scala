@@ -95,11 +95,133 @@ class GraftProceduresSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"CALL $cat.system.compact_partitions('ods.p')").collect().isEmpty)
   }
 
+  test("CALL system.cluster turns a skip-blind layout into a pruning one") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (id BIGINT, v BIGINT)")
+    // interleaved inserts: EVERY file spans the whole id domain, so
+    // min/max stats can prove nothing about any id predicate
+    (0 until 4).foreach { k =>
+      (0 until 400).filter(_ % 4 == k).map(i => (i.toLong, i.toLong))
+        .toDF("id", "v").coalesce(1).createOrReplaceTempView("gpr_cl")
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT * FROM gpr_cl")
+    }
+    spark.sql(s"CALL $cat.system.analyze('ods.t')").collect()
+    val blind = spark.table(s"$cat.ods.t")
+      .where(col("id") >= 100 && col("id") < 200)
+    assert(blind.count() == 100)
+    assert(scannedFiles(blind) == 4) // stats valid but useless
+
+    // tiny target size → several range-disjoint files
+    val r = spark.sql(s"CALL $cat.system.cluster('ods.t', " +
+      "sort_by => 'id', target_file_bytes => 1024)").collect()
+    assert(r.length == 1 && r(0).getInt(0) >= 2 &&
+      r(0).getInt(1) == r(0).getInt(0)) // re-analyze covered the rewrite
+    val sharp = spark.table(s"$cat.ods.t")
+      .where(col("id") >= 100 && col("id") < 200)
+    assert(sharp.count() == 100)
+    val scanned = sharp.queryExecution // force fresh plan
+    assert(scannedFiles(sharp) < 4,
+      s"expected pruning after cluster, got ${scannedFiles(sharp)} files")
+    // and the rewrite lost nothing
+    assert(spark.table(s"$cat.ods.t").count() == 400)
+
+    // partitioned layouts refuse (their writes own the clustering)
+    spark.sql(s"CREATE TABLE $cat.ods.p (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cluster('ods.p', sort_by => 'id')")
+        .collect()
+    }
+    assert(e.getMessage.contains("plain tables"), e.getMessage)
+  }
+
+  test("CALL system.remove_orphans deletes stale stages, spares live state") {
+    import org.apache.hadoop.fs.Path
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (id BIGINT, v BIGINT)")
+    Seq((1L, 1L), (2L, 2L)).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("gpr_orph")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT * FROM gpr_orph")
+    spark.sql(s"CALL $cat.system.analyze('ods.t')").collect()
+
+    val dir = new Path(s"$root/ods/t")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayAgo = System.currentTimeMillis() - 86400000L
+    def mk(p: Path, old: Boolean): Unit = {
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true)
+      try o.write("x".getBytes("UTF-8")) finally o.close()
+      if (old) fs.setTimes(p, dayAgo, -1)
+    }
+    mk(new Path(dir, ".part-crashed-stage.parquet"), old = true)
+    mk(new Path(dir, "._graft_stats.tmp"), old = true)
+    mk(new Path(dir, "_temporary/0/part-x"), old = true)
+    fs.setTimes(new Path(dir, "_temporary"), dayAgo, -1)
+    mk(new Path(dir, ".part-inflight-stage.parquet"), old = false)
+
+    val r = spark.sql(s"CALL $cat.system.remove_orphans('ods.t', " +
+      "older_than_ms => 60000)").collect()
+    assert(r.length == 1 && r(0).getInt(0) == 3 && r(0).getLong(1) > 0,
+      r.mkString(","))
+    assert(!fs.exists(new Path(dir, ".part-crashed-stage.parquet")))
+    assert(!fs.exists(new Path(dir, "._graft_stats.tmp")))
+    assert(!fs.exists(new Path(dir, "_temporary")))
+    // inside the grace = possibly in-flight: spared
+    assert(fs.exists(new Path(dir, ".part-inflight-stage.parquet")))
+    // engine sidecars and visible data untouched
+    assert(fs.exists(new Path(dir, "_graft_meta")))
+    assert(fs.exists(new Path(dir, "_graft_stats")))
+    assert(spark.table(s"$cat.ods.t").count() == 2)
+    // and the manifest still prunes (stats survived the cleanup)
+    val q = spark.table(s"$cat.ods.t").where(col("id") === 1)
+    assert(q.count() == 1)
+    // zero grace clears the remaining stage
+    val r2 = spark.sql(s"CALL $cat.system.remove_orphans('ods.t', " +
+      "older_than_ms => 0)").collect()
+    assert(r2(0).getInt(0) == 1, r2.mkString(","))
+    assert(spark.table(s"$cat.ods.t").count() == 2)
+  }
+
+  test("CALL system.history + system.rollback round-trip a bad overwrite") {
+    val (cat, _) = freshCatalog()
+    spark.conf.set(s"spark.sql.catalog.$cat.versions", "3")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (id BIGINT, v BIGINT)")
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("gpr_rb")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT * FROM gpr_rb")
+    assert(spark.sql(s"CALL $cat.system.history('ods.t')")
+      .collect().isEmpty) // appends don't version
+    // a bad full overwrite archives the good state as v1
+    spark.sql(s"INSERT OVERWRITE $cat.ods.t SELECT id, CAST(0 AS BIGINT) " +
+      "FROM gpr_rb")
+    assert(spark.sql(s"CALL $cat.system.history('ods.t')")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(spark.table(s"$cat.ods.t").agg(sum(col("v"))).head.getLong(0) == 0)
+
+    val r = spark.sql(s"CALL $cat.system.rollback('ods.t', version => 1)")
+      .collect()
+    assert(r.length == 1 && r(0).getInt(0) == 1 && r(0).getInt(1) >= 1)
+    // the good rows are live again ...
+    assert(spark.table(s"$cat.ods.t").orderBy(col("id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // ... and the bad state was archived, not destroyed: rollback of
+    // the rollback stays possible, VERSION AS OF can still read it
+    assert(spark.sql(s"CALL $cat.system.history('ods.t')")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ods.t VERSION AS OF 2")
+      .head.getLong(0) == 0)
+  }
+
   test("SHOW PROCEDURES lists the system namespace; DESCRIBE works") {
     val (cat, _) = freshCatalog()
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").as[String].collect().toSet
-    assert(Set("analyze", "compact", "compact_partitions").subsetOf(names),
+    assert(Set("analyze", "cluster", "compact", "compact_partitions",
+      "history", "remove_orphans", "rollback").subsetOf(names),
       names.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.analyze")
       .collect().map(_.getString(0)).mkString("\n")
