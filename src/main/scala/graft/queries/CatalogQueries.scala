@@ -1257,6 +1257,45 @@ object CatalogQueries {
        |FROM lineitem
        |GROUP BY l_returnflag""".stripMargin
 
+  /** q207 — Z-ORDER clustering maintenance ([[graft.runtime.Catalog
+    * .clusterByName]] `strategy = "zorder"` via `CALL system.cluster`):
+    * the table lands ordered by orderkey, so partkey predicates can
+    * skip nothing; one CALL rewrites it along the Morton interleave of
+    * (okey, pkey) and re-analyzes — every file becomes a tight
+    * rectangle in BOTH key dimensions (Delta's `OPTIMIZE ... ZORDER
+    * BY`), and the emitted aggregate filters on the SECOND dimension,
+    * the one a lexicographic sort cannot serve. The driver's hash pins
+    * that the curve rewrite preserved every row; GraftProceduresSpec
+    * pins that both single-column predicates prune after the rewrite.
+    */
+  def q207ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g207")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g207_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.items " +
+      "(okey BIGINT, pkey BIGINT, qty BIGINT)")
+    spark.sql(s"""INSERT INTO $cat.ods.items
+      SELECT l_orderkey, CAST(l_partkey AS BIGINT),
+        CAST(l_quantity AS BIGINT)
+      FROM g207_l""")
+    spark.sql(s"CALL $cat.system.cluster('ods.items', " +
+      "sort_by => 'okey,pkey', target_file_bytes => 262144, " +
+      "strategy => 'zorder')").collect()
+    spark.table(s"$cat.ods.items")
+      .where(col("pkey") >= 100 && col("pkey") < 600)
+      .groupBy((col("pkey") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"),
+        sum(col("okey")).as("okey_sum"))
+  }
+
+  val q207Oracle: String =
+    s"""SELECT l_partkey % 7 AS g, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(l_quantity AS BIGINT))")} AS qty_sum,
+       |  ${bi("sum(l_orderkey)")} AS okey_sum
+       |FROM lineitem
+       |WHERE l_partkey >= 100 AND l_partkey < 600
+       |GROUP BY l_partkey % 7""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1303,7 +1342,8 @@ object CatalogQueries {
     "q203_data_skipping" -> (q203DataSkipping _),
     "q204_sql_maintenance" -> (q204SqlMaintenance _),
     "q205_clustered_layout" -> (q205ClusteredLayout _),
-    "q206_rollback_maintenance" -> (q206RollbackMaintenance _))
+    "q206_rollback_maintenance" -> (q206RollbackMaintenance _),
+    "q207_zorder_layout" -> (q207ZorderLayout _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1331,5 +1371,6 @@ object CatalogQueries {
     "q203_data_skipping" -> q203Oracle,
     "q204_sql_maintenance" -> q204Oracle,
     "q205_clustered_layout" -> q205Oracle,
-    "q206_rollback_maintenance" -> q206Oracle)
+    "q206_rollback_maintenance" -> q206Oracle,
+    "q207_zorder_layout" -> q207Oracle)
 }

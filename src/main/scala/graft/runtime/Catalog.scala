@@ -611,11 +611,24 @@ final case class Catalog(spark: SparkSession, root: String,
     * ordering lever is [[appendByName]]'s sortCols. Pair with
     * [[analyze]] (or let `CALL system.cluster` do both). Returns the
     * task (≈ file) count of the rewrite.
+    *
+    * `strategy = "zorder"` (exactly two integral columns) orders by
+    * the [[mortonKey]] Morton interleave instead of lexicographically:
+    * every file becomes tight in BOTH dimensions, so the skipping
+    * manifest prunes predicates on EITHER column — a lexicographic
+    * (x, y) sort serves only the leading one. The Delta
+    * `OPTIMIZE ... ZORDER BY` semantic; the curve key is dropped
+    * before writing, clustering survives as physical row order.
     */
   def clusterByName(layer: String, table: String, sortCols: Seq[String],
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20,
+      strategy: String = "range"): Int = {
     require(tableExists(layer, table), s"$layer.$table does not exist")
     require(sortCols.nonEmpty, "clusterByName needs at least one sort column")
+    require(strategy == "range" || strategy == "zorder",
+      s"strategy must be 'range' or 'zorder', got '$strategy'")
+    require(strategy != "zorder" || sortCols.length == 2,
+      "zorder clustering takes exactly two columns")
     // partitioned/bucketed writes impose their own clustering, which
     // would silently override the range layout — refuse, don't no-op
     val transforms = spark.sessionState.catalogManager.catalog(sqlName)
@@ -634,9 +647,19 @@ final case class Catalog(spark: SparkSession, root: String,
     val tasks =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val cols = sortCols.map(org.apache.spark.sql.functions.col)
-    spark.table(sqlIdent(layer, table))
-      .repartitionByRange(tasks, cols: _*)
-      .sortWithinPartitions(cols: _*)
+    val base = spark.table(sqlIdent(layer, table))
+    val ordered =
+      if (strategy == "zorder") {
+        require(!base.columns.contains("__z"),
+          "zorder clustering reserves the column name __z")
+        base.withColumn("__z", mortonKey(base, sortCols(0), sortCols(1)))
+          .repartitionByRange(tasks, org.apache.spark.sql.functions.col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      } else base
+        .repartitionByRange(tasks, cols: _*)
+        .sortWithinPartitions(cols: _*)
+    ordered
       .writeTo(sqlIdent(layer, table))
       .overwrite(org.apache.spark.sql.functions.lit(true))
     tasks
@@ -931,19 +954,19 @@ final case class Catalog(spark: SparkSession, root: String,
     * serves the leading one. The curve key is dropped before writing;
     * clustering survives as physical row order.
     */
-  def writeClustered(df: DataFrame, layer: String, table: String,
-                     zCols: (String, String), files: Int): Unit = {
+  /** The Morton curve key for two integral columns, rescaled to the
+    * interleave's 16-bit domain from the frame's actual min/max.
+    * MortonCode interleaves the LOW 16 BITS — raw keys beyond 65535
+    * (or negative) would silently degrade clustering to hashing, so
+    * each column rescales to [0, 65535] (one extra 1-row aggregate at
+    * write time; double rounding is fine — the curve key orders data,
+    * it never answers queries).
+    */
+  private def mortonKey(df: DataFrame, c1: String,
+      c2: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, greatest, least, lit, max, min}
-    require(!df.columns.contains("__z"),
-      "writeClustered reserves the column name __z")
-    // MortonCode interleaves the LOW 16 BITS — raw keys beyond 65535
-    // (or negative) would silently degrade clustering to hashing, so
-    // rescale each column to [0, 65535] from its actual min/max (one
-    // extra aggregate pass at write time; double rounding is fine —
-    // the curve key orders data, it never answers queries)
     val Array(r) = df
-      .agg(min(col(zCols._1)), max(col(zCols._1)),
-        min(col(zCols._2)), max(col(zCols._2)))
+      .agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2)))
       .collect()
     def scaled(c: String, lo: Long, hiv: Long) = {
       val range = math.max(1L, hiv - lo)
@@ -951,9 +974,17 @@ final case class Catalog(spark: SparkSession, root: String,
         ((col(c) - lit(lo)).cast("double") * 65535.0 / range).cast("long"),
         lit(0L)), lit(65535L))
     }
-    val z = graft.functions.MortonCode(
-      scaled(zCols._1, r.getLong(0), r.getLong(1)),
-      scaled(zCols._2, r.getLong(2), r.getLong(3)))
+    graft.functions.MortonCode(
+      scaled(c1, r.getLong(0), r.getLong(1)),
+      scaled(c2, r.getLong(2), r.getLong(3)))
+  }
+
+  def writeClustered(df: DataFrame, layer: String, table: String,
+                     zCols: (String, String), files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(!df.columns.contains("__z"),
+      "writeClustered reserves the column name __z")
+    val z = mortonKey(df, zCols._1, zCols._2)
     // temp-dir + rename swap: a re-cluster that fails mid-write must
     // not have cleared the live table first
     safeSwapWrite(layer, table) { tmp =>

@@ -140,7 +140,12 @@ object GraftProcedures {
         .comment("col[,col...]; leading column drives the ranges").build(),
       ProcedureParameter.in("target_file_bytes", LongType)
         .defaultValue((128L << 20).toString)
-        .comment("rewrite file sizing").build())
+        .comment("rewrite file sizing").build(),
+      ProcedureParameter.in("strategy", StringType)
+        .defaultValue("'range'")
+        .comment("'range' (lexicographic) or 'zorder' (Morton " +
+          "interleave of exactly two integral columns: files become " +
+          "tight in BOTH dimensions)").build())
     private val out = StructType(Seq(
       StructField("files", IntegerType, nullable = false),
       StructField("files_analyzed", IntegerType, nullable = false)))
@@ -149,7 +154,8 @@ object GraftProcedures {
       val sortCols = String.valueOf(input.getUTF8String(1))
         .split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val eng = engine()
-      val files = eng.clusterByName(layer, table, sortCols, input.getLong(2))
+      val files = eng.clusterByName(layer, table, sortCols, input.getLong(2),
+        String.valueOf(input.getUTF8String(3)))
       // the rewrite just retired every analyzed file: refresh the
       // manifest in the same call so skipping works immediately
       val analyzed = eng.analyze(layer, table)

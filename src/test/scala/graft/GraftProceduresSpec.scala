@@ -136,6 +136,44 @@ class GraftProceduresSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e.getMessage.contains("plain tables"), e.getMessage)
   }
 
+  test("CALL system.cluster strategy => 'zorder' prunes on EITHER column") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.g (x BIGINT, y BIGINT, v BIGINT)")
+    // 64x64 grid in row-major order, 4 files: each file is 16
+    // consecutive y rows — tight in y, spanning ALL of x, so x
+    // predicates can prune nothing
+    (0 until 64).flatMap(yy => (0 until 64).map(xx =>
+      (xx.toLong, yy.toLong, (xx + yy).toLong)))
+      .toDF("x", "y", "v").coalesce(4).createOrReplaceTempView("gpr_z")
+    spark.sql(s"INSERT INTO $cat.ods.g SELECT * FROM gpr_z")
+    spark.sql(s"CALL $cat.system.analyze('ods.g')").collect()
+    val xBlind = spark.table(s"$cat.ods.g").where(col("x") < 8)
+    assert(xBlind.count() == 8 * 64)
+    assert(scannedFiles(xBlind) == 4, "x spans every row-major file")
+
+    val r = spark.sql(s"CALL $cat.system.cluster('ods.g', " +
+      "sort_by => 'x,y', target_file_bytes => 1024, " +
+      "strategy => 'zorder')").collect()
+    val total = r(0).getInt(0)
+    assert(total >= 4, s"want several z-files, got $total")
+    val xq = spark.table(s"$cat.ods.g").where(col("x") < 8)
+    val yq = spark.table(s"$cat.ods.g").where(col("y") < 8)
+    assert(xq.count() == 8 * 64 && yq.count() == 8 * 64)
+    assert(scannedFiles(xq) < total,
+      s"x predicate scanned ${scannedFiles(xq)}/$total after zorder")
+    assert(scannedFiles(yq) < total,
+      s"y predicate scanned ${scannedFiles(yq)}/$total after zorder")
+    assert(spark.table(s"$cat.ods.g").count() == 4096)
+
+    // zorder needs exactly two columns
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cluster('ods.g', sort_by => 'x', " +
+        "strategy => 'zorder')").collect()
+    }
+    assert(e.getMessage.contains("exactly two"), e.getMessage)
+  }
+
   test("CALL system.remove_orphans deletes stale stages, spares live state") {
     import org.apache.hadoop.fs.Path
     val (cat, root) = freshCatalog()
