@@ -392,7 +392,8 @@ object CatalogQueries {
     * a reused name would pin the first invocation's scratch dir.
     */
   private def sqlCatalog(spark: SparkSession, prefix: String,
-                         versions: Int = 0): String = {
+                         versions: Int = 0,
+                         autoAnalyze: Boolean = false): String = {
     val dir = scratch(prefix)
     val name = prefix + java.lang.Long.toHexString(
       java.security.MessageDigest.getInstance("SHA-256")
@@ -402,6 +403,8 @@ object CatalogQueries {
     spark.conf.set(s"spark.sql.catalog.$name.root", dir)
     if (versions > 0)
       spark.conf.set(s"spark.sql.catalog.$name.versions", versions.toString)
+    if (autoAnalyze)
+      spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
     name
   }
 
@@ -1296,6 +1299,52 @@ object CatalogQueries {
        |WHERE l_partkey >= 100 AND l_partkey < 600
        |GROUP BY l_partkey % 7""".stripMargin
 
+  /** q208 — write-time statistics maintenance (`auto_analyze = true`):
+    * the catalog refreshes the [[graft.sources.GraftStats]] skipping
+    * manifest at every write COMMIT — each of the four appends pays a
+    * footer read only for its own new files (Delta's
+    * stats-in-the-transaction-log freshness; the manifest is never
+    * stale and never needs an operator `CALL system.analyze`). The
+    * emitted aggregate's selective okey predicate rides the
+    * automatically-collected stats, and the driver's hash pins that
+    * write-time collection neither drops rows (a wrong-prune here is
+    * silent data loss) nor corrupts the committed data.
+    * GraftStatsSpec pins freshness across append AND row-level rewrite
+    * with scheduled-file-count assertions.
+    */
+  def q208AutoStats(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g208", autoAnalyze = true)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g208_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.items " +
+      "(okey BIGINT, qty BIGINT, rflag STRING)")
+    // range slices: each append's files carry tight disjoint okey
+    // ranges, so the auto-collected stats actually discriminate
+    // (a 1-row max() to size the slices — bounded driver work)
+    val mx = spark.sql("SELECT max(l_orderkey) FROM g208_l").head.getLong(0)
+    (0 until 4).foreach { k =>
+      val lo = mx * k / 4
+      val hi = if (k == 3) mx + 1 else mx * (k + 1) / 4
+      spark.sql(s"""INSERT INTO $cat.ods.items
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+        FROM g208_l WHERE l_orderkey >= $lo AND l_orderkey < $hi""")
+    }
+    // scale-relative selective predicate (a fixed bound would be empty
+    // at small sf and unselective at large): second key quartile only
+    spark.table(s"$cat.ods.items")
+      .where(col("okey") >= lit(mx / 4) && col("okey") < lit(mx / 2))
+      .groupBy(col("rflag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+  }
+
+  val q208Oracle: String =
+    s"""SELECT l_returnflag AS rflag, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(l_quantity AS BIGINT))")} AS qty_sum
+       |FROM lineitem
+       |WHERE l_orderkey >= (SELECT max(l_orderkey) // 4 FROM lineitem)
+       |  AND l_orderkey < (SELECT max(l_orderkey) // 2 FROM lineitem)
+       |GROUP BY l_returnflag""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1343,7 +1392,8 @@ object CatalogQueries {
     "q204_sql_maintenance" -> (q204SqlMaintenance _),
     "q205_clustered_layout" -> (q205ClusteredLayout _),
     "q206_rollback_maintenance" -> (q206RollbackMaintenance _),
-    "q207_zorder_layout" -> (q207ZorderLayout _))
+    "q207_zorder_layout" -> (q207ZorderLayout _),
+    "q208_auto_stats" -> (q208AutoStats _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1372,5 +1422,6 @@ object CatalogQueries {
     "q204_sql_maintenance" -> q204Oracle,
     "q205_clustered_layout" -> q205Oracle,
     "q206_rollback_maintenance" -> q206Oracle,
-    "q207_zorder_layout" -> q207Oracle)
+    "q207_zorder_layout" -> q207Oracle,
+    "q208_auto_stats" -> q208Oracle)
 }

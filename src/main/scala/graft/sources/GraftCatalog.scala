@@ -73,6 +73,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var root: String = _
   private var format: String = "parquet"
   private var versions: Int = 0
+  private var autoAnalyze: Boolean = false
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -87,6 +88,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // TIMESTAMP AS OF resolve against
     versions = Option(options.get("versions")).map(_.toInt).getOrElse(0)
     require(versions >= 0, "versions must be >= 0")
+    // spark.sql.catalog.<name>.auto_analyze = true refreshes the
+    // _graft_stats skipping manifest incrementally after every
+    // committed write (only the write's own new files pay a footer
+    // read) — Delta's stats-in-the-log freshness without an operator
+    // CALL; default off, CALL system.analyze remains the manual lever
+    autoAnalyze = Option(options.get("auto_analyze")).exists(_.toBoolean)
   }
 
   override def name(): String = catalogName
@@ -190,7 +197,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val meta = GraftTableMeta.read(fs, tableDir(ident))
     new GraftTable(spark, catalogName, root, format,
-      layerOf(ident.namespace), ident.name, meta, versions)
+      layerOf(ident.namespace), ident.name, meta, versions,
+      autoAnalyze = autoAnalyze)
   }
 
   /** `SELECT ... FROM cat.ns.t VERSION AS OF n` — serves the retained
@@ -300,7 +308,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = GraftTableMeta(Some(schema), partitionCols, bucketSpec)
     GraftTableMeta.write(fs, dir, meta)
     new GraftTable(spark, catalogName, root, format,
-      layerOf(ident.namespace), ident.name, meta)
+      layerOf(ident.namespace), ident.name, meta,
+      autoAnalyze = autoAnalyze)
   }
 
   /** Schema evolution through SQL DDL — the metadata-only subset that
@@ -526,6 +535,9 @@ private[sources] class GraftTable(
     spark: SparkSession, catalogName: String, root: String, format: String,
     layer: String, table: String, meta: GraftTableMeta,
     versions: Int = 0,
+    // catalog option auto_analyze: committed writes refresh the
+    // _graft_stats skipping manifest incrementally
+    autoAnalyze: Boolean = false,
     // time-travel reads serve an archived version directory instead of
     // the live table dir, and are strictly read-only
     dataDirOverride: Option[String] = None)
@@ -755,6 +767,81 @@ private[sources] class GraftTable(
     * reference's incremental unit (`overwritePartitions()`,
     * process_covid_ods.py:87) addressable purely by table NAME.
     */
+  /** `auto_analyze = true`: after a committed write (batch insert,
+    * overwrite, row-level rewrite, or streaming epoch), refresh the
+    * [[GraftStats]] skipping manifest incrementally — only the files
+    * this write just published pay a footer read, so the cost scales
+    * with the delta, not the table, and scans prune fresh data without
+    * an operator `CALL system.analyze`. The refresh is ADVISORY: the
+    * data is already committed when it runs, so a failed refresh must
+    * not fail the write — affected files simply scan unpruned, the
+    * same fail-safe as having no manifest entry. The wrapper preserves
+    * the inner write's planning contracts ([[V1Write]]-ness for the
+    * V1_BATCH_WRITE capability check; `RequiresDistributionAndOrdering`
+    * for the hive-layout/bucketed clustering).
+    */
+  private def withAutoAnalyze(w: Write): Write = {
+    import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+    import org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    if (!autoAnalyze || readOnly) return w
+    def refresh(): Unit =
+      try GraftStats.analyze(spark, dir, format)
+      catch { case scala.util.control.NonFatal(_) => () }
+    def batch(b: BatchWrite): BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        b.createBatchWriterFactory(info)
+      override def useCommitCoordinator(): Boolean = b.useCommitCoordinator()
+      override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+        b.onDataWriterCommit(m)
+      override def commit(ms: Array[WriterCommitMessage]): Unit = {
+        b.commit(ms); refresh()
+      }
+      override def abort(ms: Array[WriterCommitMessage]): Unit = b.abort(ms)
+    }
+    def stream(s: StreamingWrite): StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming
+            .StreamingDataWriterFactory =
+        s.createStreamingWriterFactory(info)
+      override def useCommitCoordinator(): Boolean = s.useCommitCoordinator()
+      override def commit(e: Long, ms: Array[WriterCommitMessage]): Unit = {
+        s.commit(e, ms); refresh()
+      }
+      override def abort(e: Long, ms: Array[WriterCommitMessage]): Unit =
+        s.abort(e, ms)
+    }
+    w match {
+      case v1: V1Write => new V1Write {
+        override def toInsertableRelation: InsertableRelation = {
+          val inner = v1.toInsertableRelation
+          (data, overwrite) => { inner.insert(data, overwrite); refresh() }
+        }
+        override def toStreaming: StreamingWrite = stream(v1.toStreaming)
+        override def description(): String = v1.description()
+      }
+      case rdo: RequiresDistributionAndOrdering =>
+        new Write with RequiresDistributionAndOrdering {
+          override def requiredDistribution = rdo.requiredDistribution()
+          override def distributionStrictlyRequired: Boolean =
+            rdo.distributionStrictlyRequired()
+          override def requiredNumPartitions: Int = rdo.requiredNumPartitions()
+          override def advisoryPartitionSizeInBytes: Long =
+            rdo.advisoryPartitionSizeInBytes()
+          override def requiredOrdering = rdo.requiredOrdering()
+          override def toBatch: BatchWrite = batch(w.toBatch)
+          override def toStreaming: StreamingWrite = stream(w.toStreaming)
+          override def description(): String = w.description()
+        }
+      case other => new Write {
+        override def toBatch: BatchWrite = batch(other.toBatch)
+        override def toStreaming: StreamingWrite = stream(other.toStreaming)
+        override def description(): String = other.description()
+      }
+    }
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
     new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
@@ -763,7 +850,7 @@ private[sources] class GraftTable(
       override def overwriteDynamicPartitions(): WriteBuilder = {
         mode = "dynamic"; this
       }
-      override def build(): Write = mode match {
+      override def build(): Write = withAutoAnalyze(mode match {
         // OVERWRITE_DYNAMIC is declared unconditionally in capabilities,
         // so with partitionOverwriteMode=dynamic set SESSION-WIDE Spark
         // plans OverwritePartitionsDynamic for ANY insert-overwrite —
@@ -793,7 +880,7 @@ private[sources] class GraftTable(
           new GraftPartitionedCow.DynamicOverwriteWrite(
             spark, format, schema, dir, parts, old, meta.bucketSpec)
         case m => buildBatch(replace = m == "truncate")
-      }
+      })
 
       /** Staged-invisible v2 full replace (with version retention when
         * configured) — the truncate path for bucketed tables and the
@@ -1033,7 +1120,8 @@ private[sources] class GraftTable(
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             val old = listDataFiles(fs, new Path(dir))
             val fileWrite = delegate.newWriteBuilder(writeInfo).build()
-            new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old)
+            withAutoAnalyze(
+              new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old))
           } }
         else {
           // partitioned copy-on-write: the replacement write lays rows
@@ -1058,9 +1146,9 @@ private[sources] class GraftTable(
             val fs = new Path(dir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             val old = listDataFiles(fs, new Path(dir))
-            new GraftPartitionedCow.PartitionedReplaceWrite(
+            withAutoAnalyze(new GraftPartitionedCow.PartitionedReplaceWrite(
               spark, format, schema, dir, parts, old, () => scanned,
-              meta.bucketSpec, () => leafScope)
+              meta.bucketSpec, () => leafScope))
           } }
         }
       }

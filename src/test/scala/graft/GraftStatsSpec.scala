@@ -67,6 +67,54 @@ class GraftStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("auto_analyze: writes keep the manifest fresh without a CALL") {
+    n += 1
+    val name = s"gsta${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-sta-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    seedRanged(name)
+    // NO CALL system.analyze anywhere in this test: the inserts
+    // themselves refreshed the manifest at each commit
+    val q = spark.table(s"$name.ods.t").where(col("id") === 150)
+    assert(q.count() == 1)
+    assert(scannedFiles(q) == 1, s"expected 1 file, got ${scannedFiles(q)}")
+    // a later append is immediately covered too
+    Seq((1000L, "late", 0.0)).toDF("id", "tag", "score").coalesce(1)
+      .createOrReplaceTempView("gst_auto")
+    spark.sql(s"INSERT INTO $name.ods.t SELECT * FROM gst_auto")
+    val q2 = spark.table(s"$name.ods.t").where(col("id") === 1000)
+    assert(q2.count() == 1)
+    assert(scannedFiles(q2) == 1)
+    // and a COW rewrite leaves fresh (not just invalidated) stats: at
+    // commit the replacement generation is re-analyzed, so EVERY
+    // visible file has a VALID manifest entry (size+mtime match) —
+    // the rewrite may coalesce input splits into range-overlapping
+    // files, so coverage (not a scheduled-file count) is the claim
+    spark.sql(s"UPDATE $name.ods.t SET tag = 'hot' WHERE id = 150")
+    val q3 = spark.table(s"$name.ods.t").where(col("id") === 150)
+    assert(q3.collect().map(_.getString(1)).toSeq == Seq("hot"))
+    import org.apache.hadoop.fs.Path
+    val dirP = new Path(s"$root/ods/t")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = graft.sources.GraftStats.read(fs, dirP)
+    def files(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Nil
+        else if (st.isDirectory) files(st.getPath) else Seq(st)
+      }
+    files(dirP).foreach { st =>
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(dirP.toUri.getPath).stripPrefix("/")
+      val e = manifest.get(rel)
+      assert(e.exists(m => m.size == st.getLen &&
+        m.mtime == st.getModificationTime),
+        s"rewritten file $rel lacks a fresh manifest entry")
+    }
+  }
+
   test("analyze + long-range predicate schedules exactly the covering file") {
     val (cat, root) = freshCatalog()
     seedRanged(cat)
