@@ -1345,6 +1345,77 @@ object CatalogQueries {
        |  AND l_orderkey < (SELECT max(l_orderkey) // 2 FROM lineitem)
        |GROUP BY l_returnflag""".stripMargin
 
+  /** q209 — metadata-only aggregation: on an `auto_analyze` table,
+    * unfiltered `COUNT(*)` / `COUNT(col)` / `MIN` / `MAX` are answered
+    * entirely from the `_graft_stats` manifest via complete DSv2
+    * aggregate pushdown ([[graft.sources.GraftStatsLocalAggScan]] —
+    * the plan is a LocalTableScan: zero input partitions, zero tasks,
+    * zero file opens). At 100 TB this is the freshness/rowcount probe
+    * (`count(*), max(loaded_date)`) every orchestrator fires between
+    * pipeline stages, answered in driver milliseconds instead of a
+    * million-file scan — Iceberg's manifest-metrics fast path. The
+    * NULLIF-derived column pins exact null accounting (count(col)
+    * must subtract per-file footer null counts, not guess), and the
+    * driver hash pins that the manifest answer equals DuckDB's
+    * full-scan answer. GraftStatsSpec proves the zero-read claim by
+    * corrupting every data file in place and re-running the aggregate.
+    */
+  def q209MetaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g209", autoAnalyze = true)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g209_o")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.ord " +
+      "(okey BIGINT, cust BIGINT, odate DATE)")
+    (0 until 3).foreach { k =>
+      spark.sql(s"""INSERT INTO $cat.ods.ord
+        SELECT o_orderkey, NULLIF(o_custkey % 997, 0), o_orderdate
+        FROM g209_o WHERE o_orderkey % 3 = $k""")
+    }
+    spark.sql(s"""SELECT count(*) AS n_rows, count(cust) AS n_cust,
+      min(okey) AS min_k, max(okey) AS max_k,
+      min(odate) AS d_lo, max(odate) AS d_hi FROM $cat.ods.ord""")
+  }
+
+  val q209Oracle: String =
+    s"""SELECT ${bi("count(*)")} AS n_rows,
+       |  ${bi("count(NULLIF(o_custkey % 997, 0))")} AS n_cust,
+       |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+       |  min(o_orderdate) AS d_lo, max(o_orderdate) AS d_hi
+       |FROM orders""".stripMargin
+
+  /** q210 — partition-level metrics from metadata: `GROUP BY` a
+    * partition column with COUNT/MIN/MAX is answered entirely from the
+    * `_graft_stats` manifest plus the hive directory names (group
+    * values parsed from `col=value` tokens, per-group folds over the
+    * per-file footer stats — [[graft.sources.GraftStats
+    * .completeAggregate]]). This is `SELECT partition, count(*),
+    * max(ts) ... GROUP BY partition` — the per-partition freshness /
+    * volume dashboard every warehouse runs — as a LocalTableScan:
+    * zero tasks where a real scan would stream every row of every
+    * partition through a shuffle. A group whose files hold zero rows
+    * is omitted (a real scan emits no group for it), and any uncovered
+    * file falls the whole query back to the distributed scan.
+    */
+  def q210PartMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g210", autoAnalyze = true)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g210_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.li " +
+      "(okey BIGINT, qty BIGINT, rflag STRING) PARTITIONED BY (rflag)")
+    spark.sql(s"""INSERT INTO $cat.ods.li
+      SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+      FROM g210_l""")
+    spark.sql(s"""SELECT rflag, count(*) AS n_rows, count(qty) AS n_qty,
+      min(okey) AS k_lo, max(okey) AS k_hi
+      FROM $cat.ods.li GROUP BY rflag""")
+  }
+
+  val q210Oracle: String =
+    s"""SELECT l_returnflag AS rflag, ${bi("count(*)")} AS n_rows,
+       |  ${bi("count(l_quantity)")} AS n_qty,
+       |  min(l_orderkey) AS k_lo, max(l_orderkey) AS k_hi
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1393,7 +1464,9 @@ object CatalogQueries {
     "q205_clustered_layout" -> (q205ClusteredLayout _),
     "q206_rollback_maintenance" -> (q206RollbackMaintenance _),
     "q207_zorder_layout" -> (q207ZorderLayout _),
-    "q208_auto_stats" -> (q208AutoStats _))
+    "q208_auto_stats" -> (q208AutoStats _),
+    "q209_meta_agg" -> (q209MetaAgg _),
+    "q210_part_metrics" -> (q210PartMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1423,5 +1496,7 @@ object CatalogQueries {
     "q205_clustered_layout" -> q205Oracle,
     "q206_rollback_maintenance" -> q206Oracle,
     "q207_zorder_layout" -> q207Oracle,
-    "q208_auto_stats" -> q208Oracle)
+    "q208_auto_stats" -> q208Oracle,
+    "q209_meta_agg" -> q209Oracle,
+    "q210_part_metrics" -> q210Oracle)
 }

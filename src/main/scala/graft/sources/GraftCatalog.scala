@@ -745,10 +745,17 @@ private[sources] class GraftTable(
         // data-skipping tier: planned splits are pruned against the
         // _graft_stats manifest (when one exists) — see [[GraftStats]]
         val stats = Some(new Path(dir))
+        val pSchema =
+          if (effectivePartitionCols.isEmpty) new StructType()
+          else partitionSchema()
         meta.bucketSpec match {
           case Some((n, c)) =>
-            new GraftScanBuilder(fsb, bucket = Some((n, c)), statsDir = stats)
-          case None => new GraftScanBuilder(fsb, statsDir = stats)
+            new GraftScanBuilder(fsb, bucket = Some((n, c)),
+              statsDir = stats, tableSchema = schema(),
+              partitionSchema = pSchema)
+          case None =>
+            new GraftScanBuilder(fsb, statsDir = stats,
+              tableSchema = schema(), partitionSchema = pSchema)
         }
       case other => other
     }
@@ -1372,7 +1379,9 @@ private case class StripOperationFactory(
   */
 private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     bucket: Option[(Int, String)] = None,
-    statsDir: Option[Path] = None)
+    statsDir: Option[Path] = None,
+    tableSchema: StructType = new StructType(),
+    partitionSchema: StructType = new StructType())
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1382,22 +1391,65 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
 
-  override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] =
+  // the manifest aggregate fast path only answers FULL-table
+  // aggregates, so any pushed filter (partition or data) disables it
+  private var sawFilters = false
+
+  override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
+    if (filters.nonEmpty) sawFilters = true
     delegate.pushFilters(filters)
+  }
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
+  /** Unfiltered ungrouped COUNT/MIN/MAX answered from the
+    * [[GraftStats]] manifest — COMPLETE pushdown delivering a
+    * [[GraftStatsLocalAggScan]] (plans as a LocalTableScan: zero
+    * files opened, zero tasks). Computed once and cached: Spark calls
+    * supportCompletePushDown then pushAggregation with the same
+    * Aggregation. Fail-safe per [[GraftStats.completeAggregate]] —
+    * any uncovered file or unsupported aggregate falls back to the
+    * delegate (parquet footer pushdown, off by default) and the
+    * ordinary distributed scan.
+    */
+  private var manifestAggCache: Option[(Aggregation,
+    Option[(StructType,
+      Seq[org.apache.spark.sql.catalyst.InternalRow])])] = None
+  private var stashedAgg:
+    Option[(StructType,
+      Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
+
+  private def manifestAgg(aggregation: Aggregation)
+      : Option[(StructType,
+        Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    manifestAggCache match {
+      case Some((a, r)) if a eq aggregation => r
+      case _ =>
+        val r =
+          if (sawFilters || tableSchema.isEmpty) None
+          else statsDir.flatMap(d => GraftStats.completeAggregate(
+            SparkSession.active, d, tableSchema, partitionSchema,
+            aggregation))
+        manifestAggCache = Some((aggregation, r))
+        r
+    }
+  }
+
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    delegate match {
-      case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
-      case _ => false
+    manifestAgg(aggregation) match {
+      case some @ Some(_) => stashedAgg = some; true
+      case None => delegate match {
+        case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+        case _ => false
+      }
     }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    delegate match {
-      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+    manifestAgg(aggregation).isDefined || (delegate match {
+      case a: SupportsPushDownAggregates =>
+        a.supportCompletePushDown(aggregation)
       case _ => false
-    }
+    })
 
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
@@ -1407,13 +1459,35 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
       case _ => new Array[Boolean](extractions.length)
     }
 
-  override def build(): Scan = delegate.build() match {
-    case fs: FileScan => bucket match {
-      case Some((n, c)) => new GraftBucketedScan(fs, n, c, statsDir)
-      case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir)
+  override def build(): Scan = stashedAgg match {
+    case Some((aggSchema, rows)) =>
+      new GraftStatsLocalAggScan(aggSchema, rows,
+        s"graft-stats-agg(${aggSchema.fieldNames.mkString(", ")})")
+    case None => delegate.build() match {
+      case fs: FileScan => bucket match {
+        case Some((n, c)) => new GraftBucketedScan(fs, n, c, statsDir)
+        case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir)
+      }
+      case other => other
     }
-    case other => other
   }
+}
+
+/** The one-row result of a manifest-answered aggregate ([[GraftStats
+  * .completeAggregate]]). Implementing [[LocalScan]] makes Spark plan
+  * it as a `LocalTableScanExec`: the 100 TB `count(*)`/`max(ts)`
+  * freshness probe executes with NO input partitions, NO tasks and NO
+  * file opens — the same contract as Iceberg answering from manifest
+  * metrics.
+  */
+private[sources] final class GraftStatsLocalAggScan(aggSchema: StructType,
+    resultRows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+    desc: String)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    resultRows.toArray
+  override def description(): String = desc
 }
 
 /** Key-grouped scan over a bucketed warehouse table: the delegate file

@@ -499,4 +499,242 @@ object GraftStats {
       }
     }
   }
+
+  // ---- metadata-only aggregation --------------------------------------
+
+  /** Complete aggregate pushdown from the manifest: answers
+    * `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` (no GROUP BY,
+    * no filters) without scheduling a single task or opening a single
+    * file — the lakehouse "metadata query" tier (Iceberg answers these
+    * from manifest metrics, Delta from the stats in its log). At
+    * 100 TB a `SELECT count(*), max(event_date) FROM fact` freshness
+    * probe is a pure driver-side manifest fold instead of a
+    * million-file scan; with `auto_analyze` every committed write
+    * keeps the manifest complete, so the fast path stays available.
+    *
+    * Returns the one result row (catalyst-internal values) and its
+    * schema, or None when the manifest cannot answer EXACTLY —
+    * fail-safe conditions, each falling back to the normal scan:
+    *  - every visible data file must carry a VALID manifest entry
+    *    (size+mtime match): one un-analyzed file → None;
+    *  - `COUNT(col)` needs a recorded null count in every file;
+    *  - `MIN`/`MAX` are served for integer-like ('l') and boolean
+    *    columns only. STRING stats are deliberately refused: parquet
+    *    writers may TRUNCATE binary min/max (a rounded-up max is a
+    *    valid PRUNING bound but not the actual value) — skipping may
+    *    prune on them, answering may not;
+    *  - any other aggregate (SUM/AVG/DISTINCT/UDAF) → None.
+    */
+  def completeAggregate(spark: SparkSession, tableDir: Path,
+      tableSchema: StructType, partitionSchema: StructType,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType,
+        Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+    def named(c: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = c match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def partIdx(name: String): Option[Int] = {
+      val is = partitionSchema.fields.indices
+        .filter(i => partitionSchema.fields(i).name.equalsIgnoreCase(name))
+      if (is.length == 1) Some(is.head) else None
+    }
+    // GROUP BY is answerable ONLY over partition columns (their values
+    // live in the directory names; everything else needs row reads)
+    val groupIdx: Seq[Int] = agg.groupByExpressions.toSeq.map { g =>
+      named(g).flatMap(partIdx) match {
+        case Some(i) => i
+        case None => return None
+      }
+    }
+
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tableDir)) return None
+    val manifest = read(fs, tableDir)
+
+    def visible(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) visible(st.getPath) else Seq(st)
+      }
+    val dirUri = tableDir.toUri.getPath
+    // every visible file needs a VALID manifest entry and, when the
+    // table is hive-partitioned, a parseable `col=value` dir chain
+    // (catalyst-internal values — what scans would produce)
+    val perFile: Seq[Option[(FileStats, Array[Any])]] =
+      visible(tableDir).map { st =>
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(dirUri).stripPrefix("/")
+        manifest.get(rel)
+          .filter(m => m.size == st.getLen && m.mtime == st.getModificationTime)
+          .flatMap { m =>
+            if (partitionSchema.isEmpty) Some((m, Array.empty[Any]))
+            else {
+              val segs = rel.split('/')
+              if (segs.length != partitionSchema.length + 1) None
+              else {
+                val vals = partitionSchema.fields.zip(segs).map {
+                  case (f, seg) =>
+                    val eq = seg.indexOf('=')
+                    if (eq < 0) return None
+                    val nm = org.apache.spark.sql.catalyst.catalog
+                      .ExternalCatalogUtils.unescapePathName(seg.take(eq))
+                    if (!nm.equalsIgnoreCase(f.name)) return None
+                    try GraftPartitionedCow.parseToken(seg.drop(eq + 1),
+                      f.dataType)
+                    catch { case scala.util.control.NonFatal(_) => return None }
+                }
+                Some((m, vals.toArray))
+              }
+            }
+          }
+      }
+    if (perFile.exists(_.isEmpty)) return None // uncovered file: bail
+    val allFiles = perFile.flatten
+
+    def resolveData(name: String): Option[StructField] = {
+      val cands = tableSchema.fields.filter(_.name.equalsIgnoreCase(name))
+      if (cands.length == 1) Some(cands.head) else None
+    }
+    def internalOf(dt: DataType, v: Any): Any = dt match {
+      case ByteType => v.asInstanceOf[Long].toByte
+      case ShortType => v.asInstanceOf[Long].toShort
+      case IntegerType | DateType => v.asInstanceOf[Long].toInt
+      case _ => v // Long/Timestamp(NTZ) hold Long; Boolean holds Boolean
+    }
+    // partition-value ordering for min/max over dir tokens: catalyst-
+    // internal values of the dirRenderable types are all Comparable
+    // (UTF8String included), and dir tokens are EXACT — no truncation
+    // caveat, so partition-column min/max serves strings too
+    def cmpInternal(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    /** One group's aggregate values, or None if any function is not
+      * derivable from the manifest for this table.
+      */
+    def aggValues(files: Seq[(FileStats, Array[Any])])
+        : Option[Seq[(StructField, Any)]] = {
+      val stats = files.map(_._1)
+      def colStats(f: StructField): Option[Seq[ColStats]] =
+        kindOf(f.dataType).flatMap { k =>
+          val per = stats.map(_.cols.get(f.name).filter(_.kind == k))
+          if (per.exists(_.isEmpty)) None else Some(per.flatten)
+        }
+      // rows>0 files only: a 0-row file's dir token is not a value
+      def pvals(i: Int): Seq[(Any, Long)] =
+        files.filter(_._1.rows > 0).map(f => (f._2(i), f._1.rows))
+      val out = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            stats.map(_.rows).sum: Any))
+        case c: Count if !c.isDistinct =>
+          named(c.column).flatMap { nm =>
+            partIdx(nm) match {
+              case Some(i) => // partition col: null only in the default dir
+                Some((StructField(s"count($nm)", LongType, nullable = false),
+                  pvals(i).collect { case (v, r) if v != null => r }.sum: Any))
+              case None => resolveData(nm).flatMap { f =>
+                colStats(f).flatMap { per =>
+                  if (per.exists(_.nulls < 0)) None
+                  else Some((StructField(s"count(${f.name})", LongType,
+                    nullable = false),
+                    (stats.map(_.rows).sum - per.map(_.nulls).sum): Any))
+                }
+              }
+            }
+          }
+        case m: Min =>
+          named(m.column).flatMap { nm =>
+            partIdx(nm) match {
+              case Some(i) =>
+                val f = partitionSchema.fields(i)
+                val v = pvals(i).map(_._1).filter(_ != null)
+                  .reduceOption((a, b) => if (cmpInternal(a, b) <= 0) a else b)
+                  .orNull
+                Some((StructField(s"min(${f.name})", f.dataType,
+                  nullable = true), v: Any))
+              case None => resolveData(nm).flatMap { f =>
+                if (kindOf(f.dataType).contains('s')) None // truncation risk
+                else colStats(f).map { per =>
+                  val k = kindOf(f.dataType).get
+                  val v = per.flatMap(_.min)
+                    .reduceOption((a, b) => minOf(k, a, b))
+                    .map(internalOf(f.dataType, _)).orNull
+                  (StructField(s"min(${f.name})", f.dataType,
+                    nullable = true), v: Any)
+                }
+              }
+            }
+          }
+        case m: Max =>
+          named(m.column).flatMap { nm =>
+            partIdx(nm) match {
+              case Some(i) =>
+                val f = partitionSchema.fields(i)
+                val v = pvals(i).map(_._1).filter(_ != null)
+                  .reduceOption((a, b) => if (cmpInternal(a, b) >= 0) a else b)
+                  .orNull
+                Some((StructField(s"max(${f.name})", f.dataType,
+                  nullable = true), v: Any))
+              case None => resolveData(nm).flatMap { f =>
+                if (kindOf(f.dataType).contains('s')) None
+                else colStats(f).map { per =>
+                  val k = kindOf(f.dataType).get
+                  val v = per.flatMap(_.max)
+                    .reduceOption((a, b) => maxOf(k, a, b))
+                    .map(internalOf(f.dataType, _)).orNull
+                  (StructField(s"max(${f.name})", f.dataType,
+                    nullable = true), v: Any)
+                }
+              }
+            }
+          }
+        case _ => None // SUM/AVG/DISTINCT/UDAF: not derivable
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.flatten)
+    }
+
+    if (groupIdx.isEmpty) {
+      // ungrouped: exactly one row — including count(*)=0 on an empty
+      // table (the planner's global-aggregate contract)
+      aggValues(allFiles).map { vs =>
+        (StructType(vs.map(_._1)),
+          Seq(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vs.map(_._2).toArray)))
+      }
+    } else {
+      // grouped: one row per distinct partition tuple that holds at
+      // least one ROW (a group of only 0-row files must not surface —
+      // a real scan would emit no group for it)
+      val groups = allFiles.groupBy(f => groupIdx.map(f._2(_)).toList)
+        .toSeq.filter(_._2.exists(_._1.rows > 0))
+      val gFields = groupIdx.map { i =>
+        val f = partitionSchema.fields(i)
+        StructField(f.name, f.dataType, nullable = true)
+      }
+      val rows = groups.map { case (key, files) =>
+        aggValues(files) match {
+          case Some(vs) =>
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow((key ++ vs.map(_._2)).toArray)
+          case None => return None
+        }
+      }
+      val aggFields = groups.headOption.flatMap(g => aggValues(g._2))
+        .map(_.map(_._1)).getOrElse {
+          // no non-empty groups: derive the schema from an empty fold
+          aggValues(Nil) match {
+            case Some(vs) => vs.map(_._1)
+            case None => return None
+          }
+        }
+      Some((StructType(gFields ++ aggFields), rows))
+    }
+  }
 }

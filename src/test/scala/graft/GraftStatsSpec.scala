@@ -115,6 +115,157 @@ class GraftStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("manifest-answered aggregate plans as a LocalTableScan, zero file opens") {
+    n += 1
+    val name = s"gsta${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-sta-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    seedRanged(name)
+    def isLocal(df: DataFrame): Boolean = {
+      val plan = df.queryExecution.executedPlan
+      collect(plan) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty &&
+        collect(plan) { case b: BatchScanExec => b }.isEmpty
+    }
+    val q = spark.sql(s"SELECT count(*) AS c, count(tag) AS ct, " +
+      s"min(id) AS mn, max(id) AS mx FROM $name.ods.t")
+    assert(q.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) ==
+      Seq((400L, 400L, 0L, 399L)))
+    assert(isLocal(q), "metadata aggregate did not plan as LocalTableScan")
+
+    // the hard proof of "no file opened": corrupt every data file
+    // in-place (same length, mtime restored) — the manifest answer
+    // must not notice, while a genuine scan must now fail
+    import org.apache.hadoop.fs.Path
+    val dirP = new Path(s"$root/ods/t")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Nil
+        else if (st.isDirectory) dataFiles(st.getPath) else Seq(st)
+      }
+    dataFiles(dirP).foreach { st =>
+      val mt = st.getModificationTime
+      val out = fs.create(st.getPath, true)
+      out.write(new Array[Byte](st.getLen.toInt)); out.close()
+      fs.setTimes(st.getPath, mt, -1)
+    }
+    val q2 = spark.sql(
+      s"SELECT count(*) AS c, max(id) AS mx FROM $name.ods.t")
+    assert(q2.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((400L, 399L)))
+    assert(isLocal(q2))
+    // sum() is not manifest-derivable -> real scan -> corrupt parquet
+    intercept[Throwable] {
+      spark.sql(s"SELECT sum(id) FROM $name.ods.t").collect()
+    }
+  }
+
+  test("aggregate fast path declines fail-safe: uncovered file, filter, string, distinct") {
+    val (cat, root) = freshCatalog()
+    seedRanged(cat)
+    spark.sql(s"CALL $cat.system.analyze('ods.t')")
+    def planOf(df: DataFrame) = df.queryExecution.executedPlan
+    def isScan(df: DataFrame): Boolean =
+      collect(planOf(df)) { case b: BatchScanExec => b }.nonEmpty
+    // all-covered: the count/min/max rides the manifest
+    val fast = spark.sql(s"SELECT count(*) AS c FROM $cat.ods.t")
+    assert(fast.head.getLong(0) == 400L && !isScan(fast))
+    // a filter (even a partition-free one) disables the fast path
+    val filt = spark.table(s"$cat.ods.t").where(col("id") >= 200)
+      .agg(count(lit(1)).as("c"))
+    assert(filt.head.getLong(0) == 200L && isScan(filt))
+    // string min/max: refused (parquet may truncate binary stats)
+    val smin = spark.sql(s"SELECT min(tag) AS m FROM $cat.ods.t")
+    assert(smin.head.getString(0) == "g0" && isScan(smin))
+    // count(distinct): not derivable
+    val dst = spark.sql(s"SELECT count(DISTINCT tag) AS d FROM $cat.ods.t")
+    assert(dst.head.getLong(0) == 4L && isScan(dst))
+    // an append AFTER the analyze leaves one uncovered file: the
+    // aggregate must fall back to the scan and SEE the new row
+    Seq((9999L, "late", 0.0)).toDF("id", "tag", "score").coalesce(1)
+      .createOrReplaceTempView("gst_late_agg")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT * FROM gst_late_agg")
+    val after = spark.sql(
+      s"SELECT count(*) AS c, max(id) AS mx FROM $cat.ods.t")
+    assert(after.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((401L, 9999L)))
+    assert(isScan(after))
+  }
+
+  test("manifest aggregate: null counts and all-null files answer exactly") {
+    n += 1
+    val name = s"gsta${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-sta-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    spark.sql(s"CREATE NAMESPACE $name.ods")
+    spark.sql(s"CREATE TABLE $name.ods.nl (id BIGINT, v BIGINT)")
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "v").coalesce(1).createOrReplaceTempView("gst_nl1")
+    spark.sql(s"INSERT INTO $name.ods.nl SELECT * FROM gst_nl1")
+    // second file: v entirely NULL (min/max absent, nulls == rows)
+    Seq((4L, None: Option[Long]), (5L, None: Option[Long]))
+      .toDF("id", "v").coalesce(1).createOrReplaceTempView("gst_nl2")
+    spark.sql(s"INSERT INTO $name.ods.nl SELECT * FROM gst_nl2")
+    val q = spark.sql(s"SELECT count(*) AS c, count(v) AS cv, " +
+      s"min(v) AS mn, max(v) AS mx FROM $name.ods.nl")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (5L, 2L, 10L, 30L))
+    assert(collect(q.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }.isEmpty, "null-count aggregate should ride the manifest")
+  }
+
+  test("GROUP BY partition column rides the manifest; data-column grouping scans") {
+    n += 1
+    val name = s"gsta${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-sta-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    spark.sql(s"CREATE NAMESPACE $name.ods")
+    spark.sql(s"CREATE TABLE $name.ods.pt (id BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    (0 until 300).map(i => (i.toLong, s"p${i % 3}"))
+      .toDF("id", "g").createOrReplaceTempView("gst_pt")
+    spark.sql(s"INSERT INTO $name.ods.pt SELECT * FROM gst_pt")
+    def isLocal(df: DataFrame): Boolean =
+      collect(df.queryExecution.executedPlan) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty && collect(df.queryExecution.executedPlan) {
+        case b: BatchScanExec => b
+      }.isEmpty
+    val q = spark.sql(s"SELECT g, count(*) AS c, count(g) AS cg, " +
+      s"min(id) AS lo, max(id) AS hi FROM $name.ods.pt GROUP BY g")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq ==
+      Seq(("p0", 100L, 100L, 0L, 297L), ("p1", 100L, 100L, 1L, 298L),
+        ("p2", 100L, 100L, 2L, 299L)))
+    assert(isLocal(q), "partition-grouped aggregate should ride the manifest")
+    // min/max of the partition column itself (dir tokens are exact,
+    // so strings ARE served here, unlike data-column string stats)
+    val q2 = spark.sql(
+      s"SELECT min(g) AS glo, max(g) AS ghi, count(*) AS c FROM $name.ods.pt")
+    assert(q2.collect().toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))) ==
+      Seq(("p0", "p2", 300L)))
+    assert(isLocal(q2))
+    // grouping by a DATA column needs row reads -> falls back to scan
+    val q3 = spark.sql(
+      s"SELECT id % 2 AS par, count(*) AS c FROM $name.ods.pt GROUP BY id % 2")
+    assert(q3.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .toSeq == Seq((0L, 150L), (1L, 150L)))
+    assert(!isLocal(q3))
+  }
+
   test("analyze + long-range predicate schedules exactly the covering file") {
     val (cat, root) = freshCatalog()
     seedRanged(cat)
