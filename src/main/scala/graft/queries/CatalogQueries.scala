@@ -1416,6 +1416,42 @@ object CatalogQueries {
        |  min(l_orderkey) AS k_lo, max(l_orderkey) AS k_hi
        |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q211 — partition-filtered metadata aggregation: partition-column
+    * predicates are EXACT at file granularity (every row of a file
+    * shares its dir tokens), so `WHERE lstat = 'F' AND rflag IN
+    * ('A','R') GROUP BY rflag` filters the manifest's file list and
+    * folds per surviving group — still a LocalTableScan, zero file
+    * opens ([[graft.sources.GraftStats.completeAggregate]] with the
+    * pushed catalyst filters three-valued-evaluated against parsed
+    * dir values). The "how much landed for THIS slice" probe at
+    * 100 TB; any data-column conjunct bails the whole query to the
+    * distributed scan (GraftStatsSpec pins both directions).
+    */
+  def q211FilteredMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g211", autoAnalyze = true)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g211_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.li " +
+      "(okey BIGINT, qty BIGINT, rflag STRING, lstat STRING) " +
+      "PARTITIONED BY (rflag, lstat)")
+    spark.sql(s"""INSERT INTO $cat.ods.li
+      SELECT l_orderkey, CAST(l_quantity AS BIGINT),
+             l_returnflag, l_linestatus
+      FROM g211_l""")
+    spark.sql(s"""SELECT rflag, count(*) AS n_rows,
+      min(okey) AS k_lo, max(okey) AS k_hi
+      FROM $cat.ods.li
+      WHERE lstat = 'F' AND rflag IN ('A', 'R')
+      GROUP BY rflag""")
+  }
+
+  val q211Oracle: String =
+    s"""SELECT l_returnflag AS rflag, ${bi("count(*)")} AS n_rows,
+       |  min(l_orderkey) AS k_lo, max(l_orderkey) AS k_hi
+       |FROM lineitem
+       |WHERE l_linestatus = 'F' AND l_returnflag IN ('A', 'R')
+       |GROUP BY l_returnflag""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1466,7 +1502,8 @@ object CatalogQueries {
     "q207_zorder_layout" -> (q207ZorderLayout _),
     "q208_auto_stats" -> (q208AutoStats _),
     "q209_meta_agg" -> (q209MetaAgg _),
-    "q210_part_metrics" -> (q210PartMetrics _))
+    "q210_part_metrics" -> (q210PartMetrics _),
+    "q211_filtered_metrics" -> (q211FilteredMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1498,5 +1535,6 @@ object CatalogQueries {
     "q207_zorder_layout" -> q207Oracle,
     "q208_auto_stats" -> q208Oracle,
     "q209_meta_agg" -> q209Oracle,
-    "q210_part_metrics" -> q210Oracle)
+    "q210_part_metrics" -> q210Oracle,
+    "q211_filtered_metrics" -> q211Oracle)
 }

@@ -898,6 +898,31 @@ final case class Catalog(spark: SparkSession, root: String,
       .filter(_.matches("v\\d{6}")).map(_.drop(1).toInt).sorted
   }
 
+  /** Expire retained time-travel versions beyond the newest `keep` —
+    * Iceberg's `expire_snapshots` for the directory version store.
+    * Storage-only maintenance: the LIVE table is untouched, and the
+    * write-time retention window (`versions`) keeps pruning on its
+    * own; this is the manual lever for reclaiming an over-retained
+    * store (e.g. after lowering the retention policy). Returns
+    * (versions expired, bytes reclaimed). A concurrent `VERSION AS
+    * OF` of an expired version fails on its next file read — the
+    * same contract as Iceberg expiring a snapshot a reader holds.
+    */
+  def expireVersionsByName(layer: String, table: String,
+      keep: Int): (Int, Long) = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val dir = versionsDir(layer, table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gone = history(layer, table).dropRight(keep)
+    var bytes = 0L
+    gone.foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(dir, f"v$v%06d")
+      bytes += fs.getContentSummary(p).getLength
+      fs.delete(p, true)
+    }
+    (gone.size, bytes)
+  }
+
   /** Time-travel read of a retained version. */
   def readVersion(layer: String, table: String, version: Int): DataFrame = {
     require(history(layer, table).contains(version),

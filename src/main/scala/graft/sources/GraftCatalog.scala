@@ -748,14 +748,20 @@ private[sources] class GraftTable(
         val pSchema =
           if (effectivePartitionCols.isEmpty) new StructType()
           else partitionSchema()
+        // streaming admission limits (readStream.option) — batch scans
+        // ignore them
+        val mft = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+        val mbt = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
         meta.bucketSpec match {
           case Some((n, c)) =>
             new GraftScanBuilder(fsb, bucket = Some((n, c)),
               statsDir = stats, tableSchema = schema(),
-              partitionSchema = pSchema)
+              partitionSchema = pSchema, maxFilesPerTrigger = mft,
+              maxBytesPerTrigger = mbt)
           case None =>
             new GraftScanBuilder(fsb, statsDir = stats,
-              tableSchema = schema(), partitionSchema = pSchema)
+              tableSchema = schema(), partitionSchema = pSchema,
+              maxFilesPerTrigger = mft, maxBytesPerTrigger = mbt)
         }
       case other => other
     }
@@ -1381,7 +1387,9 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     bucket: Option[(Int, String)] = None,
     statsDir: Option[Path] = None,
     tableSchema: StructType = new StructType(),
-    partitionSchema: StructType = new StructType())
+    partitionSchema: StructType = new StructType(),
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1391,26 +1399,28 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
 
-  // the manifest aggregate fast path only answers FULL-table
-  // aggregates, so any pushed filter (partition or data) disables it
-  private var sawFilters = false
+  // recorded for the manifest aggregate fast path: PARTITION-column
+  // predicates are exact at file granularity (dir tokens), so the
+  // aggregate can apply them to the file list; anything else bails
+  private var pushedCatalyst: Seq[CatalystExpr] = Nil
 
   override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
-    if (filters.nonEmpty) sawFilters = true
+    pushedCatalyst = pushedCatalyst ++ filters
     delegate.pushFilters(filters)
   }
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
-  /** Unfiltered ungrouped COUNT/MIN/MAX answered from the
-    * [[GraftStats]] manifest — COMPLETE pushdown delivering a
+  /** COUNT/MIN/MAX — ungrouped or GROUP BY partition columns, with
+    * at most partition-column filters — answered from the
+    * [[GraftStats]] manifest: COMPLETE pushdown delivering a
     * [[GraftStatsLocalAggScan]] (plans as a LocalTableScan: zero
     * files opened, zero tasks). Computed once and cached: Spark calls
     * supportCompletePushDown then pushAggregation with the same
     * Aggregation. Fail-safe per [[GraftStats.completeAggregate]] —
-    * any uncovered file or unsupported aggregate falls back to the
-    * delegate (parquet footer pushdown, off by default) and the
-    * ordinary distributed scan.
+    * any uncovered file, data-column filter, or unsupported aggregate
+    * falls back to the delegate (parquet footer pushdown, off by
+    * default) and the ordinary distributed scan.
     */
   private var manifestAggCache: Option[(Aggregation,
     Option[(StructType,
@@ -1426,10 +1436,10 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
       case Some((a, r)) if a eq aggregation => r
       case _ =>
         val r =
-          if (sawFilters || tableSchema.isEmpty) None
+          if (tableSchema.isEmpty) None
           else statsDir.flatMap(d => GraftStats.completeAggregate(
             SparkSession.active, d, tableSchema, partitionSchema,
-            aggregation))
+            pushedCatalyst, aggregation))
         manifestAggCache = Some((aggregation, r))
         r
     }
@@ -1465,8 +1475,13 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
         s"graft-stats-agg(${aggSchema.fieldNames.mkString(", ")})")
     case None => delegate.build() match {
       case fs: FileScan => bucket match {
-        case Some((n, c)) => new GraftBucketedScan(fs, n, c, statsDir)
-        case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir)
+        case Some((n, c)) =>
+          new GraftBucketedScan(fs, n, c, statsDir,
+            maxFilesPerTrigger = maxFilesPerTrigger,
+            maxBytesPerTrigger = maxBytesPerTrigger)
+        case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir,
+          maxFilesPerTrigger = maxFilesPerTrigger,
+          maxBytesPerTrigger = maxBytesPerTrigger)
       }
       case other => other
     }
@@ -1513,7 +1528,9 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     // data-skipping manifest location ([[GraftStats]]); pruning happens
     // WITHIN bucket groups, so all `n` key groups are still emitted and
     // the reported KeyGroupedPartitioning stays truthful
-    statsDir: Option[Path] = None)
+    statsDir: Option[Path] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsRuntimeV2Filtering
@@ -1536,7 +1553,8 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftTableMicroBatchStream(initial, checkpointLocation)
+    new GraftTableMicroBatchStream(initial, checkpointLocation,
+      maxFilesPerTrigger, maxBytesPerTrigger)
   override def description(): String =
     s"graft-bucketed(n=$n, key=$col) ${current.description()}"
   override def estimateStatistics(): Statistics = current.estimateStatistics()
@@ -1669,7 +1687,9 @@ private[sources] final class GraftRuntimeFilterScan(
     // data-skipping manifest location ([[GraftStats]]); None (and any
     // capture-mode scan — a COW rewrite must read every surviving row
     // of its groups) reads the delegate's plan unchanged
-    statsDir: Option[Path] = None)
+    statsDir: Option[Path] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: FileScan = initial
@@ -1711,7 +1731,8 @@ private[sources] final class GraftRuntimeFilterScan(
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftTableMicroBatchStream(current, checkpointLocation)
+    new GraftTableMicroBatchStream(current, checkpointLocation,
+      maxFilesPerTrigger, maxBytesPerTrigger)
   override def description(): String = current.description()
 
   /** Planning-time statistics AFTER data skipping: when a manifest
@@ -1944,10 +1965,16 @@ private[sources] object GraftScanFilters {
   * ordinary pruned batch reader over the batch's file subset.
   */
 private[sources] final class GraftTableMicroBatchStream(
-    template: FileScan, checkpointLocation: String)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    template: FileScan, checkpointLocation: String,
+    // readStream.option("maxFilesPerTrigger"/"maxBytesPerTrigger"):
+    // the source's default admission limits — without one, a backfill
+    // of a 100 TB table would arrive as ONE micro-batch
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadLimit, ReadMaxFiles}
 
   private def spark: SparkSession = SparkSession.active
   private val tableRoot: Path = template.fileIndex.rootPaths.head
@@ -1983,12 +2010,15 @@ private[sources] final class GraftTableMicroBatchStream(
   private def maxBatch: Long = entries.keySet.lastOption.getOrElse(-1L)
 
   private def listDataFiles(p: Path): Seq[String] =
+    listDataFilesWithLen(p).map(_._1)
+
+  private def listDataFilesWithLen(p: Path): Seq[(String, Long)] =
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("_") || n.startsWith(".")) Nil
-      else if (st.isDirectory) listDataFiles(st.getPath)
-      else Seq(fs.makeQualified(st.getPath).toString)
+      else if (st.isDirectory) listDataFilesWithLen(st.getPath)
+      else Seq((fs.makeQualified(st.getPath).toString, st.getLen))
     }
 
   override def initialOffset(): Offset = FileBatchOffset(-1L)
@@ -1998,20 +2028,96 @@ private[sources] final class GraftTableMicroBatchStream(
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
 
-  override def latestOffset(): Offset = synchronized {
+  // ---- admission control (maxFilesPerTrigger / Trigger.AvailableNow) ----
+  // Scale rationale: micro-batch size must be an OPERATOR choice, not
+  // a function of how far behind the stream is — catching up on a year
+  // of appends (or bootstrapping from a full table) proceeds in
+  // bounded batches instead of one cluster-melting mega-batch. This is
+  // FileStreamSource's admission contract on the catalog source.
+
+  /** AvailableNow: the run is bounded to files visible at start —
+    * files appended DURING the run are excluded, so the query drains
+    * and stops (Spark keeps triggering until the offset stops moving).
+    */
+  @volatile private var availableNowSnapshot: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
     loadLog()
-    val fresh = listDataFiles(tableRoot).filterNot(seen)
-    if (fresh.nonEmpty) {
-      val next = maxBatch + 1
-      fs.mkdirs(logDir)
-      val out = fs.create(new Path(logDir, next.toString), true)
-      try out.write((fresh.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      entries(next) = fresh
-      seen ++= fresh
-    }
-    FileBatchOffset(maxBatch)
+    availableNowSnapshot =
+      Some(seen.toSet ++ listDataFiles(tableRoot))
   }
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case mf: ReadMaxFiles => Some(mf.maxFiles())
+    case c: CompositeReadLimit =>
+      val ns = c.getReadLimits.toSeq.flatMap(maxFilesOf)
+      if (ns.isEmpty) None else Some(ns.min)
+    case _ => None
+  }
+
+  private def maxBytesOf(limit: ReadLimit): Option[Long] = limit match {
+    case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      Some(mb.maxBytes())
+    case c: CompositeReadLimit =>
+      val ns = c.getReadLimits.toSeq.flatMap(maxBytesOf)
+      if (ns.isEmpty) None else Some(ns.min)
+    case _ => None
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    synchronized {
+      loadLog()
+      var freshSized = listDataFilesWithLen(tableRoot)
+        .filterNot { case (p, _) => seen(p) }
+      availableNowSnapshot.foreach(snap =>
+        freshSized = freshSized.filter { case (p, _) => snap.contains(p) })
+      val fresh: Seq[String] =
+        (maxFilesOf(limit), maxBytesOf(limit)) match {
+          case (None, None) => freshSized.map(_._1)
+          case (mf, mb) =>
+            // FileStreamSource semantics: stop once either budget is
+            // spent, but always admit at least one file (a single file
+            // over the byte budget must not livelock the stream)
+            var bytes = 0L
+            var cnt = 0
+            freshSized.takeWhile { case (_, len) =>
+              val admit = cnt == 0 ||
+                (mf.forall(cnt < _) && mb.forall(bytes + len <= _))
+              if (admit) { cnt += 1; bytes += len }
+              admit
+            }.map(_._1)
+        }
+      if (fresh.nonEmpty) {
+        val next = maxBatch + 1
+        fs.mkdirs(logDir)
+        val out = fs.create(new Path(logDir, next.toString), true)
+        try out.write((fresh.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        entries(next) = fresh
+        seen ++= fresh
+      }
+      FileBatchOffset(maxBatch)
+    }
+
+  /** Informational (progress reporting): the newest BATCHED offset —
+    * must not admit new files, so it cannot list-and-log.
+    */
+  override def reportLatestOffset(): Offset = synchronized {
+    loadLog(); FileBatchOffset(maxBatch)
+  }
+
+  override def latestOffset(): Offset =
+    latestOffset(initialOffset(), ReadLimit.allAvailable())
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = synchronized {

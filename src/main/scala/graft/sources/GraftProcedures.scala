@@ -42,6 +42,9 @@ import graft.runtime.Catalog
   *  - `remove_orphans(table, older_than_ms)` — delete abandoned staged
   *    files and committer scratch older than the grace
   *    ([[Catalog.removeOrphansByName]]).
+  *  - `expire_versions(table, keep)` — reclaim retained time-travel
+  *    versions beyond the newest `keep`
+  *    ([[Catalog.expireVersionsByName]]; Iceberg's expire_snapshots).
   *
   * `SHOW PROCEDURES` / `DESCRIBE PROCEDURE` come free from the
   * catalog's listProcedures/description.
@@ -52,7 +55,7 @@ object GraftProcedures {
 
   def names: Array[String] =
     Array("analyze", "cluster", "compact", "compact_partitions",
-      "history", "remove_orphans", "rollback")
+      "expire_versions", "history", "remove_orphans", "rollback")
 
   def load(procName: String, engine: () => Catalog): UnboundProcedure =
     procName match {
@@ -60,6 +63,7 @@ object GraftProcedures {
       case "cluster" => new ClusterProc(engine)
       case "compact" => new CompactProc(engine)
       case "compact_partitions" => new CompactPartitionsProc(engine)
+      case "expire_versions" => new ExpireVersionsProc(engine)
       case "history" => new HistoryProc(engine)
       case "remove_orphans" => new RemoveOrphansProc(engine)
       case "rollback" => new RollbackProc(engine)
@@ -220,6 +224,28 @@ object GraftProcedures {
       val (files, bytes) =
         engine().removeOrphansByName(layer, table, input.getLong(1))
       one(out, InternalRow(files, bytes))
+    }
+  }
+
+  private final class ExpireVersionsProc(engine: () => Catalog)
+    extends MaintenanceProc("expire_versions") {
+    override def description(): String =
+      "expire retained time-travel versions beyond the newest `keep` " +
+        "(storage reclamation; the live table is untouched) — " +
+        "Iceberg's expire_snapshots for the directory version store"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build(),
+      ProcedureParameter.in("keep", IntegerType)
+        .comment("newest versions to retain (>= 0)").build())
+    private val out = StructType(Seq(
+      StructField("versions_expired", IntegerType, nullable = false),
+      StructField("bytes_reclaimed", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val (nv, bytes) =
+        engine().expireVersionsByName(layer, table, input.getInt(1))
+      one(out, InternalRow(nv, bytes))
     }
   }
 

@@ -502,6 +502,127 @@ object GraftStats {
 
   // ---- metadata-only aggregation --------------------------------------
 
+  /** SQL three-valued logic for evaluating a pushed filter against a
+    * file's PARTITION values (dir tokens) — exact, not conservative:
+    * every row of the file has exactly these partition values, so a
+    * file-granularity verdict IS the row-granularity verdict. `None`
+    * = the expression is not a pure partition predicate (references a
+    * data column, an unsupported shape, a non-literal) — the caller
+    * must bail to the real scan.
+    */
+  private sealed trait Tri
+  private case object TTrue extends Tri
+  private case object TFalse extends Tri
+  private case object TNull extends Tri
+
+  private def evalPartition(e: Expression, partitionSchema: StructType,
+      pvals: Array[Any]): Option[Tri] = {
+    def attrIdx(a: AttributeReference): Option[Int] = {
+      val is = partitionSchema.fields.indices
+        .filter(i => partitionSchema.fields(i).name.equalsIgnoreCase(a.name))
+      if (is.length == 1) Some(is.head) else None
+    }
+    def bool(b: Boolean): Tri = if (b) TTrue else TFalse
+    // catalyst-internal partition value and literal, compared in the
+    // manifest's normalized forms
+    def cmpLeafP(a: AttributeReference, l: Literal, op: String)
+        : Option[Tri] =
+      attrIdx(a).flatMap { i =>
+        kindOf(partitionSchema.fields(i).dataType).flatMap { k =>
+          if (l.value == null) Some(TNull)
+          else if (pvals(i) == null) Some(TNull)
+          else (norm(k, pvals(i)), norm(k, l.value)) match {
+            case (Some(v), Some(lv)) =>
+              val c = cmp(k, v, lv)
+              Some(op match {
+                case "=" => bool(c == 0)
+                case "<" => bool(c < 0)
+                case "<=" => bool(c <= 0)
+                case ">" => bool(c > 0)
+                case ">=" => bool(c >= 0)
+              })
+            case _ => None
+          }
+        }
+      }
+    e match {
+      case Literal(null, _) => Some(TNull)
+      case Literal(b: Boolean, BooleanType) => Some(bool(b))
+      case And(l, r) =>
+        for (a <- evalPartition(l, partitionSchema, pvals);
+             b <- evalPartition(r, partitionSchema, pvals)) yield (a, b) match {
+          case (TFalse, _) | (_, TFalse) => TFalse
+          case (TTrue, TTrue) => TTrue
+          case _ => TNull
+        }
+      case Or(l, r) =>
+        for (a <- evalPartition(l, partitionSchema, pvals);
+             b <- evalPartition(r, partitionSchema, pvals)) yield (a, b) match {
+          case (TTrue, _) | (_, TTrue) => TTrue
+          case (TFalse, TFalse) => TFalse
+          case _ => TNull
+        }
+      case org.apache.spark.sql.catalyst.expressions.Not(c) =>
+        evalPartition(c, partitionSchema, pvals).map {
+          case TTrue => TFalse
+          case TFalse => TTrue
+          case TNull => TNull
+        }
+      case EqualTo(a: AttributeReference, l: Literal) => cmpLeafP(a, l, "=")
+      case EqualTo(l: Literal, a: AttributeReference) => cmpLeafP(a, l, "=")
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        attrIdx(a).flatMap { i =>
+          if (l.value == null) Some(bool(pvals(i) == null))
+          else if (pvals(i) == null) Some(TFalse)
+          else cmpLeafP(a, l, "=")
+        }
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        evalPartition(EqualNullSafe(a, l), partitionSchema, pvals)
+      case LessThan(a: AttributeReference, l: Literal) => cmpLeafP(a, l, "<")
+      case LessThan(l: Literal, a: AttributeReference) => cmpLeafP(a, l, ">")
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmpLeafP(a, l, "<=")
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmpLeafP(a, l, ">=")
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cmpLeafP(a, l, ">")
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        cmpLeafP(a, l, "<")
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmpLeafP(a, l, ">=")
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmpLeafP(a, l, "<=")
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        val per = vs.map(v =>
+          cmpLeafP(a, v.asInstanceOf[Literal], "="))
+        if (per.exists(_.isEmpty)) None
+        else {
+          val ts = per.flatten
+          if (ts.contains(TTrue)) Some(TTrue)
+          else if (ts.contains(TNull) || ts.isEmpty) Some(TNull)
+          else Some(TFalse)
+        }
+      case InSet(a: AttributeReference, vs) =>
+        attrIdx(a).flatMap { i =>
+          kindOf(partitionSchema.fields(i).dataType).flatMap { k =>
+            if (pvals(i) == null) Some(TNull)
+            else norm(k, pvals(i)).map { v =>
+              if (vs.exists(x => x != null &&
+                norm(k, x).exists(cmp(k, v, _) == 0))) TTrue
+              else if (vs.exists(_ == null)) TNull
+              else TFalse
+            }
+          }
+        }
+      case IsNull(a: AttributeReference) =>
+        attrIdx(a).map(i => bool(pvals(i) == null))
+      case IsNotNull(a: AttributeReference) =>
+        attrIdx(a).map(i => bool(pvals(i) != null))
+      case _ => None
+    }
+  }
+
   /** Complete aggregate pushdown from the manifest: answers
     * `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` (no GROUP BY,
     * no filters) without scheduling a single task or opening a single
@@ -527,6 +648,7 @@ object GraftStats {
     */
   def completeAggregate(spark: SparkSession, tableDir: Path,
       tableSchema: StructType, partitionSchema: StructType,
+      pushedFilters: Seq[Expression],
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType,
         Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
@@ -596,7 +718,19 @@ object GraftStats {
           }
       }
     if (perFile.exists(_.isEmpty)) return None // uncovered file: bail
-    val allFiles = perFile.flatten
+    // pushed filters must be pure PARTITION predicates — then they are
+    // EXACT at file granularity (every row of a file shares its dir
+    // tokens), so filtering the file list IS filtering the rows; any
+    // data-column reference or unsupported shape bails to the scan
+    val allFiles = perFile.flatten.filter { case (_, pv) =>
+      pushedFilters.forall { f =>
+        evalPartition(f, partitionSchema, pv) match {
+          case Some(TTrue) => true
+          case Some(_) => false // FALSE and NULL both drop the file
+          case None => return None
+        }
+      }
+    }
 
     def resolveData(name: String): Option[StructField] = {
       val cands = tableSchema.fields.filter(_.name.equalsIgnoreCase(name))

@@ -254,13 +254,41 @@ class GraftProceduresSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .head.getLong(0) == 0)
   }
 
+  test("CALL system.expire_versions reclaims old versions, live table untouched") {
+    val (cat, root) = freshCatalog()
+    spark.conf.set(s"spark.sql.catalog.$cat.versions", "5")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (id BIGINT, v BIGINT)")
+    (1 to 4).foreach { g =>
+      Seq((1L, g.toLong)).toDF("id", "v").coalesce(1)
+        .createOrReplaceTempView("gpr_ev")
+      spark.sql(s"INSERT OVERWRITE $cat.ods.t SELECT * FROM gpr_ev")
+    }
+    // four archived generations (the initial empty state is v1)
+    assert(spark.sql(s"CALL $cat.system.history('ods.t')")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val r = spark.sql(s"CALL $cat.system.expire_versions('ods.t', keep => 1)")
+      .collect()
+    assert(r.length == 1 && r(0).getInt(0) == 3 && r(0).getLong(1) > 0L,
+      r.mkString(","))
+    // only the newest survives; it still time-travels; live unchanged
+    assert(spark.sql(s"CALL $cat.system.history('ods.t')")
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+    assert(spark.sql(s"SELECT v FROM $cat.ods.t VERSION AS OF 4")
+      .head.getLong(0) == 3L)
+    assert(spark.table(s"$cat.ods.t").head.getLong(1) == 4L)
+    // idempotent: nothing left beyond the window
+    assert(spark.sql(s"CALL $cat.system.expire_versions('ods.t', keep => 1)")
+      .head.getInt(0) == 0)
+  }
+
   test("SHOW PROCEDURES lists the system namespace; DESCRIBE works") {
     val (cat, _) = freshCatalog()
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .select("procedure_name").as[String].collect().toSet
     assert(Set("analyze", "cluster", "compact", "compact_partitions",
-      "history", "remove_orphans", "rollback").subsetOf(names),
-      names.toString)
+      "expire_versions", "history", "remove_orphans", "rollback")
+      .subsetOf(names), names.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.analyze")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("analyze"))

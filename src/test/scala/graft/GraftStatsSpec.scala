@@ -266,6 +266,51 @@ class GraftStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!isLocal(q3))
   }
 
+  test("partition-column filters stay on the manifest fast path; data filters don't") {
+    n += 1
+    val name = s"gsta${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-sta-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    spark.sql(s"CREATE NAMESPACE $name.ods")
+    spark.sql(s"CREATE TABLE $name.ods.pf (id BIGINT, g STRING, d DATE) " +
+      "PARTITIONED BY (g, d)")
+    // g and d vary independently: 16 (g, d) leaf partitions of 25 rows
+    (0 until 400).map(i =>
+      (i.toLong, s"p${i % 4}", java.sql.Date.valueOf(f"2024-01-${i / 100 + 1}%02d")))
+      .toDF("id", "g", "d").createOrReplaceTempView("gst_pf")
+    spark.sql(s"INSERT INTO $name.ods.pf SELECT * FROM gst_pf")
+    def isLocal(df: DataFrame): Boolean =
+      collect(df.queryExecution.executedPlan) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty && collect(df.queryExecution.executedPlan) {
+        case b: BatchScanExec => b
+      }.isEmpty
+    // equality on one partition level
+    val q1 = spark.sql(s"SELECT count(*) AS c, min(id) AS lo " +
+      s"FROM $name.ods.pf WHERE g = 'p1'")
+    assert(q1.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((100L, 1L)))
+    assert(isLocal(q1), "partition-equality aggregate should ride the manifest")
+    // IN + DATE range across both levels, grouped
+    val q2 = spark.sql(s"SELECT g, count(*) AS c FROM $name.ods.pf " +
+      s"WHERE g IN ('p0', 'p2') AND d >= DATE'2024-01-03' GROUP BY g")
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq == Seq(("p0", 50L), ("p2", 50L)))
+    assert(isLocal(q2))
+    // empty partition-filter result: one row, count 0 (global agg)
+    val q3 = spark.sql(
+      s"SELECT count(*) AS c, max(id) AS hi FROM $name.ods.pf WHERE g = 'zz'")
+    val r3 = q3.head
+    assert(r3.getLong(0) == 0L && r3.isNullAt(1))
+    assert(isLocal(q3))
+    // a data-column filter bails to the scan (values still exact)
+    val q4 = spark.sql(s"SELECT count(*) AS c FROM $name.ods.pf " +
+      s"WHERE g = 'p1' AND id < 100")
+    assert(q4.head.getLong(0) == 25L && !isLocal(q4))
+  }
+
   test("analyze + long-range predicate schedules exactly the covering file") {
     val (cat, root) = freshCatalog()
     seedRanged(cat)

@@ -51,6 +51,52 @@ class StreamingTableReadSpec extends graft.SparkSpec {
       s"stream delivered wrong/duplicate rows: $got")
   }
 
+  test("maxFilesPerTrigger bounds every micro-batch; AvailableNow drains and stops") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.bsrc (k BIGINT, v STRING)")
+    // six single-file appends = six admissible files
+    (1 to 6).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.raw.bsrc VALUES ($i, 'x$i')")
+    }
+    val cp = tmpDir("gsr-acp")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table(s"$cat.raw.bsrc")
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("k").collect().map(_.getLong(0))
+        sizes.synchronized { sizes += rows.length.toLong; got ++= rows }
+        ()
+      }.start()
+    // AvailableNow terminates on its own once the start-time snapshot
+    // is drained — the backfill ran as bounded batches, not one blob
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    assert(got.sorted.toSeq == (1L to 6L), s"got $got")
+    assert(sizes.toSeq == Seq(2L, 2L, 2L),
+      s"expected three 2-file batches, got $sizes")
+
+    // byte budget: 1 byte admits exactly ONE file per batch (the
+    // at-least-one rule prevents a livelock on an over-budget file)
+    val cp2 = tmpDir("gsr-acp2")
+    val sizes2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream
+      .option("maxBytesPerTrigger", "1")
+      .table(s"$cat.raw.bsrc")
+      .writeStream.option("checkpointLocation", cp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes2.synchronized { sizes2 += df.count() }
+        ()
+      }.start()
+    assert(q2.awaitTermination(120000), "byte-limited query did not stop")
+    assert(sizes2.toSeq == Seq.fill(6)(1L),
+      s"expected six 1-file batches, got $sizes2")
+  }
+
   test("a PARTITIONED source streams with partition values intact") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.raw")
