@@ -797,9 +797,34 @@ private[sources] class GraftTable(
     import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
     import org.apache.spark.sql.connector.write.streaming.StreamingWrite
     if (!autoAnalyze || readOnly) return w
-    def refresh(): Unit =
-      try GraftStats.analyze(spark, dir, format)
+    def refresh(scope: Option[Set[String]]): Unit =
+      try GraftStats.analyze(spark, dir, format, scope)
       catch { case scala.util.control.NonFatal(_) => () }
+    // SCOPED refresh (r11 item 1): the commit messages carry the final
+    // paths this write just published, so the refresh can reconcile
+    // ONLY those partitions' manifest shards — metadata work
+    // proportional to the write, not the table. Full-replace writes
+    // (truncate / complete-mode refresh) fall back to a full
+    // reconciliation (they also retire files everywhere); so does any
+    // message shape without final paths. A delete-only partition
+    // (retired without publishing) leaves a stale shard behind —
+    // harmless by the (size, mtime) keying, garbage-collected by the
+    // next full analyze.
+    def scopeOf(ms: Array[WriterCommitMessage],
+        full: Boolean): Option[Set[String]] =
+      if (full) None
+      else {
+        val dirUri = new Path(dir).toUri.getPath
+        val rels = ms.toSeq.flatMap {
+          case GraftPartitionedCow.CowTaskFiles(files) => files.map(_._2)
+          case _ => Seq.empty[String]
+        }.map(f => new Path(f).toUri.getPath)
+        if (rels.isEmpty || rels.exists(!_.startsWith(dirUri))) None
+        else Some(rels.map(p => GraftStats.shardKeyOf(
+          p.stripPrefix(dirUri).stripPrefix("/"))).toSet)
+      }
+    val fullReplace = w.isInstanceOf[GraftPartitionedCow.TruncateReplaceWrite] ||
+      w.isInstanceOf[ReplaceFilesWrite]
     def batch(b: BatchWrite): BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
@@ -808,11 +833,13 @@ private[sources] class GraftTable(
       override def onDataWriterCommit(m: WriterCommitMessage): Unit =
         b.onDataWriterCommit(m)
       override def commit(ms: Array[WriterCommitMessage]): Unit = {
-        b.commit(ms); refresh()
+        b.commit(ms); refresh(scopeOf(ms, fullReplace))
       }
       override def abort(ms: Array[WriterCommitMessage]): Unit = b.abort(ms)
     }
     def stream(s: StreamingWrite): StreamingWrite = new StreamingWrite {
+      private val fullEpoch =
+        s.isInstanceOf[GraftPartitionedCow.StreamingReplaceWrite]
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo)
           : org.apache.spark.sql.connector.write.streaming
@@ -820,7 +847,7 @@ private[sources] class GraftTable(
         s.createStreamingWriterFactory(info)
       override def useCommitCoordinator(): Boolean = s.useCommitCoordinator()
       override def commit(e: Long, ms: Array[WriterCommitMessage]): Unit = {
-        s.commit(e, ms); refresh()
+        s.commit(e, ms); refresh(scopeOf(ms, fullEpoch))
       }
       override def abort(e: Long, ms: Array[WriterCommitMessage]): Unit =
         s.abort(e, ms)
@@ -829,7 +856,7 @@ private[sources] class GraftTable(
       case v1: V1Write => new V1Write {
         override def toInsertableRelation: InsertableRelation = {
           val inner = v1.toInsertableRelation
-          (data, overwrite) => { inner.insert(data, overwrite); refresh() }
+          (data, overwrite) => { inner.insert(data, overwrite); refresh(None) }
         }
         override def toStreaming: StreamingWrite = stream(v1.toStreaming)
         override def description(): String = v1.description()
@@ -1540,14 +1567,14 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
 
   @volatile private var current: FileScan = initial
 
-  @volatile private var manifestCache: Map[String, GraftStats.FileStats] = _
-  private def manifest(dir: Path): Map[String, GraftStats.FileStats] = {
-    if (manifestCache == null)
-      manifestCache = GraftStats.read(
-        dir.getFileSystem(
-          SparkSession.active.sparkContext.hadoopConfiguration), dir)
-    manifestCache
-  }
+  // shard-scoped manifest reads ([[GraftStats.ScopedReader]]): only the
+  // shards of directories holding PLANNED files are ever opened — a
+  // partition-pruned bucketed scan never parses foreign partitions'
+  // manifest entries
+  private lazy val scopedReader: Option[GraftStats.ScopedReader] =
+    statsDir.map(d => new GraftStats.ScopedReader(
+      d.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration), d))
 
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = this
@@ -1601,9 +1628,9 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
       // file-level data skipping inside each group (fail-safe: a file
       // without a valid manifest entry is always kept)
       val filters = current.dataFilters
-      val skip: PartitionedFile => Boolean = statsDir match {
-        case Some(d) if filters.nonEmpty =>
-          val m = manifest(d)
+      val skip: PartitionedFile => Boolean = (statsDir, scopedReader) match {
+        case (Some(d), Some(reader)) if filters.nonEmpty =>
+          val m = reader.forFiles(by.values.flatten.toSeq)
           if (m.isEmpty) _ => true
           else f => GraftStats.keepFile(f, filters, m, d)
         case _ => _ => true
@@ -1694,14 +1721,23 @@ private[sources] final class GraftRuntimeFilterScan(
 
   @volatile private var current: FileScan = initial
 
-  @volatile private var manifestCache: Map[String, GraftStats.FileStats] = _
-  private def manifest(dir: Path): Map[String, GraftStats.FileStats] = {
-    if (manifestCache == null)
-      manifestCache = GraftStats.read(
-        dir.getFileSystem(
-          SparkSession.active.sparkContext.hadoopConfiguration), dir)
-    manifestCache
-  }
+  // shard-scoped manifest reads ([[GraftStats.ScopedReader]]): only the
+  // shards of directories holding PLANNED files are ever opened — a
+  // partition-pruned (static or DPP) scan never parses foreign
+  // partitions' manifest entries, so the planning-time metadata read is
+  // proportional to the partitions scanned, not the table
+  private lazy val scopedReader: Option[GraftStats.ScopedReader] =
+    statsDir.map(d => new GraftStats.ScopedReader(
+      d.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration), d))
+
+  private def plannedFiles(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionedFile] =
+    parts.toSeq.collect {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.toSeq
+    }.flatten
 
   /** Batch view that prunes planned splits through the stats manifest.
     * Delegation happens per CALL (not at construction) so runtime
@@ -1715,7 +1751,8 @@ private[sources] final class GraftRuntimeFilterScan(
       val filters = current.dataFilters
       if (filters.isEmpty) parts
       else {
-        val m = manifest(dir)
+        val m = scopedReader.map(_.forFiles(plannedFiles(parts)))
+          .getOrElse(Map.empty)
         if (m.isEmpty) parts else GraftStats.prune(parts, filters, m, dir)
       }
     }
@@ -1750,13 +1787,20 @@ private[sources] final class GraftRuntimeFilterScan(
     val base = current.estimateStatistics()
     statsDir match {
       case Some(d) if captureTokens.isEmpty && current.dataFilters.nonEmpty =>
-        val m = manifest(d)
+        val parts = toBatch.planInputPartitions()
+        val files = plannedFiles(parts)
+        // an empty post-skip plan is EXACTLY zero rows (the manifest
+        // proved every file filterable) — no shard read needed
+        if (parts.isEmpty) new Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(0L)
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(0L)
+        }
+        else {
+        val m = scopedReader.map(_.forFiles(files)).getOrElse(Map.empty)
         if (m.isEmpty) base
         else {
-          val files = toBatch.planInputPartitions().toSeq.collect {
-            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-              fp.files.toSeq
-          }.flatten
           val dirUri = d.toUri.getPath
           val entries = files.map { f =>
             val p = f.toPath.toUri.getPath
@@ -1776,6 +1820,7 @@ private[sources] final class GraftRuntimeFilterScan(
               java.util.OptionalLong.of(bytes)
             override def numRows(): java.util.OptionalLong = rows
           }
+        }
         }
       case _ => base
     }

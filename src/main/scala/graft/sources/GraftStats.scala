@@ -29,6 +29,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * `overwritePartitions` commits rewrite Iceberg manifest metrics the
   * same way).
   *
+  * Manifest LAYOUT (r11 verdict item 1 — the scale shape): the
+  * manifest is SHARDED BY PARTITION DIRECTORY under
+  * `_graft_stats.d/` — one shard file per hive partition directory
+  * (one for the table root when unpartitioned), plus a tiny `_index`
+  * manifest-list (one fingerprint line per partition). This is
+  * Iceberg's manifest-list design, and it is what bounds metadata work
+  * by the DELTA instead of the table:
+  *  - a WRITE touching one partition reconciles and rewrites only that
+  *    partition's shard (the index fingerprint proves every other
+  *    shard fresh without opening it) — sibling shards stay
+  *    byte-identical;
+  *  - a partition-pruned QUERY loads only the shards of the
+  *    directories its surviving files live in — the manifest read is
+  *    proportional to the partitions scanned, not the table.
+  * A legacy single-file `_graft_stats` manifest (pre-r12) is still
+  * read (shards win) and is migrated into shards by the next full
+  * [[analyze]].
+  *
   * Contract (fail-safe by construction — pruning may only ever SKIP a
   * file that provably holds no matching row):
   *  - stats are collected by [[analyze]] from parquet FOOTERS only
@@ -49,7 +67,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftStats {
 
-  private val FileName = "_graft_stats"
+  private val LegacyFileName = "_graft_stats"
+  private[graft] val ShardDirName = "_graft_stats.d"
+  private val IndexFileName = "_index"
 
   /** Per-column file statistics, values in CATALYST-INTERNAL form:
     * kind 'l' = integer-like held as Long (byte/short/int/long/
@@ -65,7 +85,7 @@ object GraftStats {
       cols: Map[String, ColStats])
 
   // ---- manifest codec (line-based, like _graft_meta) ------------------
-  // line:  relPathB64 \t size \t mtime \t rows \t col(col)*
+  // line:  relPathB64 \t size \t mtime \t rows \t col(col)*
   // col:   nameB64:kind:nulls:minEnc:maxEnc   ('' = absent; strings b64)
 
   private def b64(s: String): String =
@@ -85,61 +105,201 @@ object GraftStats {
     case 'b' => s == "1"
   }
 
-  def write(fs: FileSystem, tableDir: Path,
-      m: Map[String, FileStats]): Unit = {
-    val tmp = new Path(tableDir, s".$FileName.tmp")
-    val out = fs.create(tmp, true)
-    try {
-      val sb = new StringBuilder
-      m.foreach { case (rel, st) =>
-        sb.append(b64(rel)).append('\t').append(st.size).append('\t')
-          .append(st.mtime).append('\t').append(st.rows).append('\t')
-        sb.append(st.cols.map { case (c, cs) =>
-          s"${b64(c)}:${cs.kind}:${cs.nulls}:" +
-            s"${cs.min.map(encVal(cs.kind, _)).getOrElse("")}:" +
-            s"${cs.max.map(encVal(cs.kind, _)).getOrElse("")}"
-        }.mkString("\u0001"))
-        sb.append('\n')
-      }
-      out.write(sb.toString.getBytes("UTF-8"))
-    } finally out.close()
-    // rename-over-existing fails on both local FS and HDFS: retire the
-    // prior manifest first. The window where neither exists is safe —
-    // a scan that finds no manifest simply doesn't prune.
-    val dst = new Path(tableDir, FileName)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  private def encodeLines(m: Map[String, FileStats]): String = {
+    val sb = new StringBuilder
+    // deterministic order: a shard reconciled to the same content is
+    // byte-identical, whatever map iteration produced it
+    m.toSeq.sortBy(_._1).foreach { case (rel, st) =>
+      sb.append(b64(rel)).append('\t').append(st.size).append('\t')
+        .append(st.mtime).append('\t').append(st.rows).append('\t')
+      sb.append(st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+        s"${b64(c)}:${cs.kind}:${cs.nulls}:" +
+          s"${cs.min.map(encVal(cs.kind, _)).getOrElse("")}:" +
+          s"${cs.max.map(encVal(cs.kind, _)).getOrElse("")}"
+      }.mkString(""))
+      sb.append('\n')
+    }
+    sb.toString
   }
 
-  def read(fs: FileSystem, tableDir: Path): Map[String, FileStats] = {
-    val f = new Path(tableDir, FileName)
+  private def parseLines(lines: Seq[String]): Map[String, FileStats] =
+    lines.filter(_.nonEmpty).flatMap { line =>
+      try {
+        val p = line.split('\t')
+        val cols =
+          if (p.length < 5 || p(4).isEmpty) Map.empty[String, ColStats]
+          else p(4).split('').map { ce =>
+            // values may contain ':' only in b64 padding-free alphabet
+            // (they can't: b64 uses [A-Za-z0-9+/=]); split is safe
+            val q = ce.split(':')
+            val kind = q(1).charAt(0)
+            val mn = if (q.length > 3 && q(3).nonEmpty)
+              Some(decVal(kind, q(3))) else None
+            val mx = if (q.length > 4 && q(4).nonEmpty)
+              Some(decVal(kind, q(4))) else None
+            unb64(q(0)) -> ColStats(kind, q(2).toLong, mn, mx)
+          }.toMap
+        Some(unb64(p(0)) -> FileStats(p(1).toLong, p(2).toLong,
+          p(3).toLong, cols))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+
+  /** One manifest file's entries. OPEN/READ failures propagate —
+    * manifest files are published by atomic tmp+rename, so an
+    * unopenable shard is external interference, not a normal state
+    * (and the zero-read proofs in GraftStatsSpec rely on an unread
+    * shard never being opened at all). Individual unparseable LINES
+    * are dropped (fail-safe: their files simply scan unpruned).
+    */
+  private def readFileEntries(fs: FileSystem,
+      f: Path): Map[String, FileStats] =
     if (!fs.exists(f)) Map.empty
     else {
       val in = fs.open(f)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
-      lines.filter(_.nonEmpty).flatMap { line =>
-        try {
-          val p = line.split('\t')
-          val cols =
-            if (p.length < 5 || p(4).isEmpty) Map.empty[String, ColStats]
-            else p(4).split('\u0001').map { ce =>
-              // values may contain ':' only in b64 padding-free alphabet
-              // (they can't: b64 uses [A-Za-z0-9+/=]); split is safe
-              val q = ce.split(':')
-              val kind = q(1).charAt(0)
-              val mn = if (q.length > 3 && q(3).nonEmpty)
-                Some(decVal(kind, q(3))) else None
-              val mx = if (q.length > 4 && q(4).nonEmpty)
-                Some(decVal(kind, q(4))) else None
-              unb64(q(0)) -> ColStats(kind, q(2).toLong, mn, mx)
-            }.toMap
-          Some(unb64(p(0)) -> FileStats(p(1).toLong, p(2).toLong,
-            p(3).toLong, cols))
-        } catch { case scala.util.control.NonFatal(_) => None }
-      }.toMap
+      parseLines(lines)
     }
+
+  /** Shard key of a table-relative file path: its directory chain
+    * (`year=2020/month=03`), "" for root-level files. One shard per
+    * hive partition directory.
+    */
+  def shardKeyOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  private def b64url(s: String): String =
+    Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes("UTF-8"))
+  private def unb64url(s: String): String =
+    new String(Base64.getUrlDecoder.decode(s), "UTF-8")
+
+  private def shardDir(tableDir: Path): Path =
+    new Path(tableDir, ShardDirName)
+  private[graft] def shardFile(tableDir: Path, key: String): Path =
+    new Path(shardDir(tableDir), "s-" + b64url(key))
+
+  /** ALL entries: every shard plus any legacy flat manifest (shard
+    * entries win). Diagnostic/spec surface; planning uses the scoped
+    * reads below.
+    */
+  def read(fs: FileSystem, tableDir: Path): Map[String, FileStats] = {
+    val legacy = readFileEntries(fs, new Path(tableDir, LegacyFileName))
+    val sd = shardDir(tableDir)
+    val shards =
+      if (!fs.exists(sd)) Map.empty[String, FileStats]
+      else fs.listStatus(sd).toSeq
+        .filter(st => !st.isDirectory && st.getPath.getName.startsWith("s-"))
+        .flatMap(st => readFileEntries(fs, st.getPath)).toMap
+    legacy ++ shards
+  }
+
+  /** Entries for files living under the given shard keys ONLY — the
+    * planning-time read. A partition-pruned query therefore parses
+    * only the shards of directories it actually touches; every other
+    * shard file is never opened.
+    */
+  def readForDirs(fs: FileSystem, tableDir: Path,
+      keys: Set[String]): Map[String, FileStats] = {
+    val legacy = readFileEntries(fs, new Path(tableDir, LegacyFileName))
+    val shards = keys.toSeq
+      .flatMap(k => readFileEntries(fs, shardFile(tableDir, k))).toMap
+    legacy ++ shards
+  }
+
+  /** Caching shard-scoped reader held by one scan: each partition
+    * directory's shard is opened AT MOST ONCE per scan, and only the
+    * directories of files actually planned are ever opened. Thread-safe
+    * (planning and statistics estimation may interleave).
+    */
+  final class ScopedReader(fs: FileSystem, tableDir: Path) {
+    private val dirUri = tableDir.toUri.getPath
+    private val cache =
+      scala.collection.mutable.HashMap.empty[String, Map[String, FileStats]]
+    private lazy val legacy: Map[String, FileStats] =
+      readFileEntries(fs, new Path(tableDir, LegacyFileName))
+
+    private def relOf(p: String): Option[String] =
+      if (p.startsWith(dirUri)) Some(p.stripPrefix(dirUri).stripPrefix("/"))
+      else None
+
+    /** Entries covering (at least) the given planned files. */
+    def forFiles(files: Seq[PartitionedFile]): Map[String, FileStats] =
+      synchronized {
+        val keys = files.iterator
+          .flatMap(f => relOf(f.toPath.toUri.getPath).map(shardKeyOf))
+          .toSet
+        keys.foreach { k =>
+          if (!cache.contains(k))
+            cache(k) = readFileEntries(fs, shardFile(tableDir, k))
+        }
+        legacy ++ keys.iterator.flatMap(cache(_))
+      }
+  }
+
+  private def writeManifestFile(fs: FileSystem, dst: Path,
+      content: String): Unit = {
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // rename-over-existing fails on both local FS and HDFS: retire the
+    // prior file first. The window where neither exists is safe — a
+    // scan that finds no shard simply doesn't prune.
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  // ---- manifest-list index ---------------------------------------------
+  // `_graft_stats.d/_index`: one line per partition directory —
+  // b64(shardKey) \t fingerprint-of-its-(name,size,mtime)-file-set.
+  // Lets analyze prove a shard FRESH without opening it: O(#partitions)
+  // driver work to decide, O(changed partitions) to reconcile. Purely
+  // advisory — absent/stale index just means shards get re-read (and
+  // rewritten only if their content actually changed).
+
+  private def readIndex(fs: FileSystem, tableDir: Path)
+      : Map[String, String] =
+    try {
+      val f = new Path(shardDir(tableDir), IndexFileName)
+      if (!fs.exists(f)) Map.empty
+      else {
+        val in = fs.open(f)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        lines.filter(_.nonEmpty).flatMap { l =>
+          try {
+            val p = l.split('\t')
+            Some(unb64url(p(0)) -> p(1))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def writeIndex(fs: FileSystem, tableDir: Path,
+      idx: Map[String, String]): Unit = {
+    val content = idx.toSeq.sortBy(_._1)
+      .map { case (k, fp) => s"${b64url(k)}\t$fp" }.mkString("", "\n", "\n")
+    writeManifestFile(fs, new Path(shardDir(tableDir), IndexFileName),
+      content)
+  }
+
+  /** Deterministic fingerprint of one directory's (name, size, mtime)
+    * file set — equality means the shard reconciled against exactly
+    * this listing is already current.
+    */
+  private def fingerprint(files: Seq[(String, Long, Long)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.sortBy(_._1).foreach { case (rel, len, mt) =>
+      md.update(rel.getBytes("UTF-8"))
+      md.update(0.toByte) // unambiguous field separator
+      md.update(s"$len:$mt".getBytes("UTF-8"))
+      md.update(10.toByte)
+    }
+    md.digest().map(b => f"$b%02x").mkString
   }
 
   // ---- collection (distributed parquet footer reads) ------------------
@@ -158,59 +318,157 @@ object GraftStats {
     }
   }
 
-  /** Collect (incrementally) per-file stats for every parquet data file
-    * under `tableDir`: entries whose (length, mtime) already match are
-    * kept, entries for vanished files are dropped, and only NEW files
-    * get a footer read — so re-running after an append prices the
-    * delta, not the table. Footer reads run on EXECUTORS
-    * (one task per slice of the new-file list); the driver only merges
-    * the per-file summaries and writes the manifest. Returns the number
-    * of files newly analyzed. Non-parquet formats are not collected
-    * (their scans simply never prune — same fail-safe as no manifest).
+  def analyze(spark: SparkSession, tableDir: String, format: String): Int =
+    analyze(spark, tableDir, format, None)
+
+  /** Collect (incrementally) per-file stats for parquet data files
+    * under `tableDir` into the per-partition shards.
+    *
+    * `scope = Some(dirKeys)`: reconcile ONLY those partition
+    * directories (the auto-analyze path — a committed write passes the
+    * directories it just published into, so the refresh lists, reads
+    * and rewrites metadata proportional to the WRITE, not the table).
+    * `scope = None`: full reconciliation — walks the whole tree,
+    * deletes shards of vanished directories, migrates any legacy flat
+    * manifest, and trusts the `_index` fingerprints to skip opening
+    * shards of unchanged directories.
+    *
+    * Per shard: entries whose (length, mtime) still match are kept,
+    * entries for vanished files drop, and only NEW files get a footer
+    * read — priced as ONE distributed job across all dirty shards.
+    * A shard whose reconciled content is unchanged is NOT rewritten
+    * (byte-identical siblings). Returns the number of files newly
+    * analyzed. Non-parquet formats are not collected (their scans
+    * simply never prune — same fail-safe as no manifest).
     */
-  def analyze(spark: SparkSession, tableDir: String, format: String): Int = {
+  def analyze(spark: SparkSession, tableDir: String, format: String,
+      scope: Option[Set[String]]): Int = {
     if (format != "parquet") return 0
     val dir = new Path(tableDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return 0
+    val dirUri = dir.toUri.getPath
 
-    def files(p: Path): Seq[(String, Long, Long)] =
+    def walk(p: Path): Seq[(String, Long, Long)] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (st.isDirectory) files(st.getPath)
-        else Seq((st.getPath.toUri.getPath, st.getLen,
-          st.getModificationTime))
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq((st.getPath.toUri.getPath.stripPrefix(dirUri)
+          .stripPrefix("/"), st.getLen, st.getModificationTime))
       }
-
-    val dirUri = dir.toUri.getPath
-    val current = files(dir).map { case (abs, len, mt) =>
-      (abs.stripPrefix(dirUri).stripPrefix("/"), len, mt)
+    /** Files directly inside one partition directory (non-recursive —
+      * nested directories belong to other shards).
+      */
+    def listDir(key: String): Seq[(String, Long, Long)] = {
+      val p = if (key.isEmpty) dir else new Path(dir, key)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory || n.startsWith("_") || n.startsWith(".")) Nil
+        else Seq((st.getPath.toUri.getPath.stripPrefix(dirUri)
+          .stripPrefix("/"), st.getLen, st.getModificationTime))
+      }
     }
-    val prior = read(fs, dir)
-    val kept = current.flatMap { case (rel, len, mt) =>
-      prior.get(rel).filter(st => st.size == len && st.mtime == mt)
-        .map(rel -> _)
-    }.toMap
-    val todo = current.filterNot { case (rel, _, _) => kept.contains(rel) }
-    if (todo.isEmpty && kept.size == prior.size) return 0
 
-    val sc = new SerConf(conf)
-    val slices = math.max(1, math.min(todo.size,
-      spark.sparkContext.defaultParallelism))
-    val fresh: Seq[(String, FileStats)] =
-      if (todo.isEmpty) Nil
-      else spark.sparkContext
-        .parallelize(todo.map { case (rel, len, mt) =>
-          (rel, s"$dirUri/$rel", len, mt)
-        }, slices)
-        .map { case (rel, abs, len, mt) =>
-          rel -> footerStats(sc.value, abs, len, mt)
+    val legacyPath = new Path(dir, LegacyFileName)
+    val legacy = readFileEntries(fs, legacyPath)
+    val legacyByDir = legacy.groupBy { case (rel, _) => shardKeyOf(rel) }
+
+    val byDir: Map[String, Seq[(String, Long, Long)]] = scope match {
+      case None => walk(dir).groupBy { case (rel, _, _) => shardKeyOf(rel) }
+      case Some(keys) =>
+        keys.map(k => k -> listDir(k)).filter(_._2.nonEmpty).toMap
+    }
+    val index = readIndex(fs, dir)
+    val existingShardKeys: Set[String] = scope match {
+      case Some(keys) => keys
+      case None =>
+        val sd = shardDir(dir)
+        if (!fs.exists(sd)) Set.empty
+        else fs.listStatus(sd).toSeq
+          .filter(st => !st.isDirectory && st.getPath.getName.startsWith("s-"))
+          .flatMap { st =>
+            try Some(unb64url(st.getPath.getName.stripPrefix("s-")))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }.toSet
+    }
+    val allKeys: Set[String] = scope.getOrElse(
+      byDir.keySet ++ existingShardKeys ++ legacyByDir.keySet)
+
+    final case class Dirty(key: String, fp: String,
+        kept: Map[String, FileStats], todo: Seq[(String, Long, Long)],
+        shardEntries: Map[String, FileStats])
+    val dirty = Seq.newBuilder[Dirty]
+    var indexChanged = legacy.nonEmpty // migration always rewrites it
+    var newIndex = index
+    allKeys.foreach { key =>
+      val cur = byDir.getOrElse(key, Nil)
+      if (cur.isEmpty) {
+        // vanished directory: retire its shard + index entry
+        val sf = shardFile(dir, key)
+        if (fs.exists(sf)) fs.delete(sf, false)
+        if (newIndex.contains(key)) { newIndex -= key; indexChanged = true }
+      } else {
+        val fp = fingerprint(cur)
+        // index fingerprint match proves the shard current without
+        // opening it — UNLESS a legacy manifest is still being
+        // migrated (its entries may not have reached the shard yet)
+        if (!(legacy.isEmpty && index.get(key).contains(fp))) {
+          val shardEntries = readFileEntries(fs, shardFile(dir, key))
+          val prior = legacyByDir.getOrElse(key,
+            Map.empty[String, FileStats]) ++ shardEntries
+          val kept = cur.flatMap { case (rel, len, mt) =>
+            prior.get(rel).filter(st => st.size == len && st.mtime == mt)
+              .map(rel -> _)
+          }.toMap
+          val todo = cur.filterNot { case (rel, _, _) => kept.contains(rel) }
+          dirty += Dirty(key, fp, kept, todo, shardEntries)
+          if (!newIndex.get(key).contains(fp)) {
+            newIndex += key -> fp; indexChanged = true
+          }
         }
-        .collect().toSeq
-    write(fs, dir, kept ++ fresh)
-    fresh.size
+      }
+    }
+    // full mode: drop index entries for keys outside the live tree
+    // (scope mode leaves them — other partitions are out of scope)
+    if (scope.isEmpty) {
+      val drop = newIndex.keySet -- byDir.keySet
+      if (drop.nonEmpty) { newIndex = newIndex -- drop; indexChanged = true }
+    }
+
+    val pend = dirty.result()
+    val todoAll = pend.flatMap(p => p.todo.map { case (rel, len, mt) =>
+      (rel, s"$dirUri/$rel", len, mt)
+    })
+    // ONE distributed footer job across every dirty shard's new files
+    val sc = new SerConf(conf)
+    val fresh: Map[String, FileStats] =
+      if (todoAll.isEmpty) Map.empty
+      else {
+        val slices = math.max(1, math.min(todoAll.size,
+          spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(todoAll, slices)
+          .map { case (rel, abs, len, mt) =>
+            rel -> footerStats(sc.value, abs, len, mt)
+          }
+          .collect().toMap
+      }
+    pend.foreach { p =>
+      val entries = p.kept ++ p.todo.map { case (rel, _, _) =>
+        rel -> fresh(rel)
+      }
+      // rewrite only when the reconciled content differs — untouched
+      // sibling shards stay byte-identical
+      if (entries != p.shardEntries)
+        writeManifestFile(fs, shardFile(dir, p.key), encodeLines(entries))
+    }
+    if (indexChanged) writeIndex(fs, dir, newIndex)
+    // legacy migration completes on a FULL analyze only (a scoped one
+    // may not have visited every directory the flat file covers)
+    if (scope.isEmpty && legacy.nonEmpty) fs.delete(legacyPath, false)
+    todoAll.size
   }
 
   /** One file's footer → FileStats. Column chunks aggregate across row
@@ -222,7 +480,6 @@ object GraftStats {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, IntLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
 
     val reader = ParquetFileReader.open(
@@ -624,19 +881,24 @@ object GraftStats {
   }
 
   /** Complete aggregate pushdown from the manifest: answers
-    * `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` (no GROUP BY,
-    * no filters) without scheduling a single task or opening a single
-    * file — the lakehouse "metadata query" tier (Iceberg answers these
-    * from manifest metrics, Delta from the stats in its log). At
-    * 100 TB a `SELECT count(*), max(event_date) FROM fact` freshness
-    * probe is a pure driver-side manifest fold instead of a
-    * million-file scan; with `auto_analyze` every committed write
-    * keeps the manifest complete, so the fast path stays available.
+    * `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` — ungrouped,
+    * GROUP BY partition columns, with at-most-partition-column filters
+    * — without scheduling a single task or opening a single file —
+    * the lakehouse "metadata query" tier (Iceberg answers these from
+    * manifest metrics, Delta from the stats in its log). At 100 TB a
+    * `SELECT count(*), max(event_date) FROM fact` freshness probe is a
+    * pure driver-side manifest fold instead of a million-file scan;
+    * with `auto_analyze` every committed write keeps the manifest
+    * complete, so the fast path stays available. Partition filters are
+    * applied BEFORE the manifest is consulted, so only the SURVIVING
+    * directories' shards are ever opened (and only surviving files
+    * need coverage — a stale entry in a filtered-out partition cannot
+    * block the fast path).
     *
-    * Returns the one result row (catalyst-internal values) and its
+    * Returns the result rows (catalyst-internal values) and their
     * schema, or None when the manifest cannot answer EXACTLY —
     * fail-safe conditions, each falling back to the normal scan:
-    *  - every visible data file must carry a VALID manifest entry
+    *  - every SURVIVING data file must carry a VALID manifest entry
     *    (size+mtime match): one un-analyzed file → None;
     *  - `COUNT(col)` needs a recorded null count in every file;
     *  - `MIN`/`MAX` are served for integer-like ('l') and boolean
@@ -677,7 +939,6 @@ object GraftStats {
 
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tableDir)) return None
-    val manifest = read(fs, tableDir)
 
     def visible(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -686,43 +947,37 @@ object GraftStats {
         else if (st.isDirectory) visible(st.getPath) else Seq(st)
       }
     val dirUri = tableDir.toUri.getPath
-    // every visible file needs a VALID manifest entry and, when the
-    // table is hive-partitioned, a parseable `col=value` dir chain
-    // (catalyst-internal values — what scans would produce)
-    val perFile: Seq[Option[(FileStats, Array[Any])]] =
+    // 1. every visible file parses to its partition values first (a
+    //    hive-partitioned table needs a clean `col=value` dir chain —
+    //    catalyst-internal values, what scans would produce); no
+    //    manifest is consulted yet
+    val parsed: Seq[(org.apache.hadoop.fs.FileStatus, String, Array[Any])] =
       visible(tableDir).map { st =>
         val rel = st.getPath.toUri.getPath
           .stripPrefix(dirUri).stripPrefix("/")
-        manifest.get(rel)
-          .filter(m => m.size == st.getLen && m.mtime == st.getModificationTime)
-          .flatMap { m =>
-            if (partitionSchema.isEmpty) Some((m, Array.empty[Any]))
-            else {
-              val segs = rel.split('/')
-              if (segs.length != partitionSchema.length + 1) None
-              else {
-                val vals = partitionSchema.fields.zip(segs).map {
-                  case (f, seg) =>
-                    val eq = seg.indexOf('=')
-                    if (eq < 0) return None
-                    val nm = org.apache.spark.sql.catalyst.catalog
-                      .ExternalCatalogUtils.unescapePathName(seg.take(eq))
-                    if (!nm.equalsIgnoreCase(f.name)) return None
-                    try GraftPartitionedCow.parseToken(seg.drop(eq + 1),
-                      f.dataType)
-                    catch { case scala.util.control.NonFatal(_) => return None }
-                }
-                Some((m, vals.toArray))
-              }
-            }
+        val pvals: Array[Any] =
+          if (partitionSchema.isEmpty) Array.empty[Any]
+          else {
+            val segs = rel.split('/')
+            if (segs.length != partitionSchema.length + 1) return None
+            partitionSchema.fields.zip(segs).map { case (f, seg) =>
+              val eq = seg.indexOf('=')
+              if (eq < 0) return None
+              val nm = org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(seg.take(eq))
+              if (!nm.equalsIgnoreCase(f.name)) return None
+              try GraftPartitionedCow.parseToken(seg.drop(eq + 1),
+                f.dataType)
+              catch { case scala.util.control.NonFatal(_) => return None }
+            }.toArray
           }
+        (st, rel, pvals)
       }
-    if (perFile.exists(_.isEmpty)) return None // uncovered file: bail
-    // pushed filters must be pure PARTITION predicates — then they are
-    // EXACT at file granularity (every row of a file shares its dir
-    // tokens), so filtering the file list IS filtering the rows; any
-    // data-column reference or unsupported shape bails to the scan
-    val allFiles = perFile.flatten.filter { case (_, pv) =>
+    // 2. pushed filters must be pure PARTITION predicates — then they
+    //    are EXACT at file granularity (every row of a file shares its
+    //    dir tokens), so filtering the file list IS filtering the rows;
+    //    any data-column reference or unsupported shape bails
+    val survivors = parsed.filter { case (_, _, pv) =>
       pushedFilters.forall { f =>
         evalPartition(f, partitionSchema, pv) match {
           case Some(TTrue) => true
@@ -731,6 +986,20 @@ object GraftStats {
         }
       }
     }
+    // 3. shard-scoped manifest read: only the surviving directories'
+    //    shards are opened
+    val manifest = readForDirs(fs, tableDir,
+      survivors.map { case (_, rel, _) => shardKeyOf(rel) }.toSet)
+    // 4. every SURVIVOR needs a VALID entry (size+mtime match)
+    val allFiles: Seq[(FileStats, Array[Any])] =
+      survivors.map { case (st, rel, pv) =>
+        manifest.get(rel)
+          .filter(m => m.size == st.getLen &&
+            m.mtime == st.getModificationTime) match {
+          case Some(m) => (m, pv)
+          case None => return None // uncovered surviving file: bail
+        }
+      }
 
     def resolveData(name: String): Option[StructField] = {
       val cands = tableSchema.fields.filter(_.name.equalsIgnoreCase(name))

@@ -208,9 +208,10 @@ class GraftProceduresSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!fs.exists(new Path(dir, "_temporary")))
     // inside the grace = possibly in-flight: spared
     assert(fs.exists(new Path(dir, ".part-inflight-stage.parquet")))
-    // engine sidecars and visible data untouched
+    // engine sidecars and visible data untouched (the skipping
+    // manifest is sharded under _graft_stats.d since r12)
     assert(fs.exists(new Path(dir, "_graft_meta")))
-    assert(fs.exists(new Path(dir, "_graft_stats")))
+    assert(fs.exists(new Path(dir, graft.sources.GraftStats.ShardDirName)))
     assert(spark.table(s"$cat.ods.t").count() == 2)
     // and the manifest still prunes (stats survived the cleanup)
     val q = spark.table(s"$cat.ods.t").where(col("id") === 1)
