@@ -1452,6 +1452,55 @@ object CatalogQueries {
        |WHERE l_linestatus = 'F' AND l_returnflag IN ('A', 'R')
        |GROUP BY l_returnflag""".stripMargin
 
+  /** q212 — HASH-EXACT bucket pruning on the oracle hash (r11 item 2):
+    * a point lookup on the bucket key of a `bucket(16, cust)` table
+    * evaluates the bucket transform over the literal at planning time
+    * and schedules files from EXACTLY ONE bucket's file group — the
+    * Iceberg bucket-transform pruning mode, where min/max skipping is
+    * useless by construction (a hashed layout has full-range stats in
+    * every file). The function asserts the scheduled-bucket set
+    * in-plan (regression = hard failure, not a silent 16× I/O
+    * inflation), then returns the probed rows for the DuckDB compare.
+    * At 100 TB this is the needle-in-a-bucketed-fact lookup paying
+    * 1/n of the I/O it used to.
+    */
+  def q212BucketPruning(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g212")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g212_orders")
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.fact " +
+      "(cust BIGINT, cents BIGINT, pri STRING) PARTITIONED BY (bucket(16, cust))")
+    spark.sql(s"""INSERT INTO $cat.dds.fact
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),
+        o_orderpriority
+      FROM g212_orders""")
+    val probe = spark.sql(s"""SELECT pri, count(*) AS n,
+        sum(cents) AS cents_sum
+      FROM $cat.dds.fact WHERE cust = 42 GROUP BY pri""")
+    val rows = probe.collect().toSeq // materialize so AQE finalizes
+    // in-plan proof: exactly the bucket of cust=42 schedules files
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val adaptive =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val scheduled = adaptive.collect(probe.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten.collect {
+          case fp: FilePartition if fp.files.nonEmpty => fp.index
+        }
+    }.flatten.toSet
+    val expected = Set(graft.sources.GraftBucket.ofLong(42L, 16))
+    require(scheduled == expected,
+      s"bucket pruning regressed: scheduled $scheduled, expected $expected")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), probe.schema)
+  }
+
+  val q212Oracle: String =
+    s"""SELECT o_orderpriority AS pri, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(o_totalprice * 100) AS BIGINT))")} AS cents_sum
+       |FROM orders WHERE o_custkey = 42
+       |GROUP BY o_orderpriority""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1503,7 +1552,8 @@ object CatalogQueries {
     "q208_auto_stats" -> (q208AutoStats _),
     "q209_meta_agg" -> (q209MetaAgg _),
     "q210_part_metrics" -> (q210PartMetrics _),
-    "q211_filtered_metrics" -> (q211FilteredMetrics _))
+    "q211_filtered_metrics" -> (q211FilteredMetrics _),
+    "q212_bucket_pruning" -> (q212BucketPruning _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1536,5 +1586,6 @@ object CatalogQueries {
     "q208_auto_stats" -> q208Oracle,
     "q209_meta_agg" -> q209Oracle,
     "q210_part_metrics" -> q210Oracle,
-    "q211_filtered_metrics" -> q211Oracle)
+    "q211_filtered_metrics" -> q211Oracle,
+    "q212_bucket_pruning" -> q212Oracle)
 }

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal, Expression => CatalystExpr}
+import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, EqualNullSafe, EqualTo, In, InSet, Literal, Or => CatalystOr, Expression => CatalystExpr}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
@@ -1619,18 +1619,88 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
   private lazy val initialPlan = initial.toBatch.planInputPartitions()
   private lazy val groupable: Boolean = bucketsOf(initialPlan).isDefined
 
+  /** HASH-EXACT bucket pruning (r11 item 2): the set of bucket ids
+    * that MAY hold rows matching a pushed data filter, or None when no
+    * usable shape constrains the bucket key. Min/max skipping is
+    * useless on a hashed layout, but `bucket(n, k)` is deterministic:
+    * a `k = 42` probe can only find rows in bucket
+    * [[GraftBucket.of]](42, n) — evaluating the transform over the
+    * literals at PLANNING time keeps exactly the matching buckets'
+    * file groups, the Iceberg bucket-transform pruning mode. Exact by
+    * construction (the writers route every row — NULL keys included —
+    * through the same function), so a file in another bucket provably
+    * holds no match.
+    *
+    * Shapes: =/<=> /IN/InSet over the bucket column with same-type
+    * literals; AND intersects, OR unions (both sides must be known).
+    * A non-null equality can't match NULL-key rows, so the NULL bucket
+    * is NOT added; `<=> NULL` keys to the NULL image. Anything else —
+    * casts, ranges, other columns — answers None (no pruning).
+    */
+  private def allowedBuckets(filters: Seq[CatalystExpr]): Option[Set[Int]] = {
+    def isKey(a: AttributeReference): Boolean = a.name.equalsIgnoreCase(col)
+    def one(a: AttributeReference, v: Any): Option[Set[Int]] =
+      try Some(Set(GraftBucket.of(v, n)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def lit(a: AttributeReference, l: Literal): Option[Set[Int]] =
+      if (l.dataType != a.dataType) None
+      else if (l.value == null) Some(Set.empty) // = NULL matches nothing
+      else one(a, l.value)
+    def walk(e: CatalystExpr): Option[Set[Int]] = e match {
+      case CatalystAnd(l, r) => (walk(l), walk(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+      case CatalystOr(l, r) =>
+        for (a <- walk(l); b <- walk(r)) yield a union b
+      case EqualTo(a: AttributeReference, l: Literal) if isKey(a) => lit(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) if isKey(a) => lit(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) if isKey(a) =>
+        if (l.dataType != a.dataType) None
+        else if (l.value == null) one(a, null) // NULL keys' bucket image
+        else one(a, l.value)
+      case EqualNullSafe(l: Literal, a: AttributeReference) if isKey(a) =>
+        walk(EqualNullSafe(a, l))
+      case In(a: AttributeReference, vs)
+          if isKey(a) && vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val per = vs.map(v => lit(a, v.asInstanceOf[Literal]))
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.reduce(_ union _))
+      case InSet(a: AttributeReference, vs) if isKey(a) =>
+        val per = vs.toSeq.map {
+          case null => Some(Set.empty[Int]) // IN-list NULL matches nothing
+          case v => one(a, v)
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.foldLeft(Set.empty[Int])(_ union _))
+      case _ => None
+    }
+    // the filter list is a conjunction: intersect every known verdict
+    val per = filters.map(walk)
+    if (per.forall(_.isEmpty)) None
+    else Some(per.flatten.reduce(_ intersect _))
+  }
+
   override def planInputPartitions(): Array[
       org.apache.spark.sql.connector.read.InputPartition] =
     if (!groupable) current.toBatch.planInputPartitions()
     else {
       val by = bucketsOf(current.toBatch.planInputPartitions())
         .getOrElse(Map.empty[Int, Seq[PartitionedFile]])
-      // file-level data skipping inside each group (fail-safe: a file
-      // without a valid manifest entry is always kept)
       val filters = current.dataFilters
+      // hash-exact bucket pruning: non-matching buckets keep their
+      // (empty) groups so the reported KeyGroupedPartitioning stays
+      // truthful, but schedule NO files
+      val allowed = allowedBuckets(filters)
+      // file-level data skipping inside each surviving group
+      // (fail-safe: a file without a valid manifest entry is kept)
       val skip: PartitionedFile => Boolean = (statsDir, scopedReader) match {
         case (Some(d), Some(reader)) if filters.nonEmpty =>
-          val m = reader.forFiles(by.values.flatten.toSeq)
+          val scoped = allowed match {
+            case Some(ok) => by.view.filterKeys(ok).values.flatten.toSeq
+            case None => by.values.flatten.toSeq
+          }
+          val m = reader.forFiles(scoped)
           if (m.isEmpty) _ => true
           else f => GraftStats.keepFile(f, filters, m, d)
         case _ => _ => true
@@ -1639,7 +1709,11 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
       // must align for the storage-partitioned join regardless of skew
       // or runtime pruning
       (0 until n).map { b =>
-        new KeyedFilePartition(b, by.getOrElse(b, Nil).filter(skip).toArray)
+        val files =
+          if (allowed.forall(_.contains(b)))
+            by.getOrElse(b, Nil).filter(skip).toArray
+          else Array.empty[PartitionedFile]
+        new KeyedFilePartition(b, files)
           : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
     }

@@ -226,6 +226,118 @@ class GraftBucketingSpec extends SparkSpec {
       s"delete rewrite lost the storage-partitioned join:\n${joined2.queryExecution.executedPlan}")
   }
 
+  /** r11 item 2 — hash-exact bucket pruning: an equality/IN probe on
+    * the bucket key evaluates the bucket transform over the literals
+    * at planning time and schedules files from EXACTLY the matching
+    * buckets (min/max skipping can't help a hashed layout). All n
+    * groups are still emitted (empty for non-matching buckets) so the
+    * reported KeyGroupedPartitioning stays truthful.
+    */
+  private def filesPerBucket(df: org.apache.spark.sql.DataFrame)
+      : Map[Int, Int] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.length == 1, s"expected one scan, got ${scans.length}")
+    scans.head.partitions.flatten.collect {
+      case fp: FilePartition => fp.index -> fp.files.length
+    }.toMap
+  }
+
+  test("hash-exact bucket pruning: equality probes schedule only matching buckets (r11 item 2)") {
+    val (cat, root) = freshCatalog()
+    seedTwo(cat)
+    import graft.sources.GraftBucket
+
+    // equality: files from exactly ONE bucket, values exact
+    val q1 = spark.table(s"$cat.dds.facts").where(col("k") === 42L)
+    val r1 = q1.collect()
+    assert(r1.length == 1 && r1(0).getAs[Long]("v") == 420L)
+    val per1 = filesPerBucket(q1)
+    assert(per1.size == 8, s"expected all 8 groups emitted, got ${per1.size}")
+    val nonEmpty1 = per1.filter(_._2 > 0).keySet
+    assert(nonEmpty1 == Set(GraftBucket.ofLong(42L, 8)),
+      s"equality probe scheduled buckets $nonEmpty1")
+
+    // IN over two keys in DIFFERENT buckets: exactly two groups
+    val k2 = (1L to 400L).find(k =>
+      GraftBucket.ofLong(k, 8) != GraftBucket.ofLong(42L, 8)).get
+    val q2 = spark.table(s"$cat.dds.facts")
+      .where(col("k").isin(42L, k2))
+    assert(q2.collect().map(_.getAs[Long]("v")).sorted.toSeq ==
+      Seq(420L, k2 * 10).sorted)
+    val nonEmpty2 = filesPerBucket(q2).filter(_._2 > 0).keySet
+    assert(nonEmpty2 ==
+      Set(GraftBucket.ofLong(42L, 8), GraftBucket.ofLong(k2, 8)),
+      s"IN probe scheduled buckets $nonEmpty2")
+
+    // row parity with the unpruned path: same rows as a post-scan filter
+    val all = spark.table(s"$cat.dds.facts").collect()
+      .filter(r => r.getAs[Long]("k") == 42L || r.getAs[Long]("k") == k2)
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).sorted.toSeq
+    assert(q2.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[Long]("v"))).sorted.toSeq == all)
+
+    // a RANGE predicate constrains nothing: every bucket stays scheduled
+    val q3 = spark.table(s"$cat.dds.facts").where(col("k") >= 100L)
+    assert(filesPerBucket(q3).count(_._2 > 0) == 8)
+    assert(q3.count() == 301)
+
+    // composition with file-level data skipping: a second generation
+    // of files with a disjoint v-range; the bucket keeps only its
+    // matching bucket AND the manifest drops the generation the v
+    // filter can't match
+    spark.sql(s"INSERT INTO $cat.dds.facts " +
+      "SELECT k, v + 1000000 FROM gbk_facts_src")
+    graft.runtime.Catalog(spark, root).analyze("dds", "facts")
+    val q4 = spark.table(s"$cat.dds.facts")
+      .where(col("k") === 42L && col("v") < 100000L)
+    val r4 = q4.collect()
+    assert(r4.length == 1 && r4(0).getAs[Long]("v") == 420L)
+    val per4 = filesPerBucket(q4)
+    assert(per4.filter(_._2 > 0).keySet == Set(GraftBucket.ofLong(42L, 8)))
+    assert(per4.values.sum == 1,
+      s"skipping should drop the new generation inside the bucket: $per4")
+
+    // and the equality probe leaves the storage-partitioned join intact
+    val joined = spark.table(s"$cat.dds.facts").where(col("k") === 42L)
+      .join(spark.table(s"$cat.dds.dims"), Seq("k"))
+    assert(shuffles(joined).isEmpty,
+      s"bucket pruning broke the exchange-free join:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 2) // both generations of k=42
+  }
+
+  test("bucket pruning composes with DPP on a partitioned+bucketed table") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.pbk (k BIGINT, v BIGINT, day STRING) " +
+      "PARTITIONED BY (day, bucket(8, k))")
+    val days = Seq("d1", "d2", "d3")
+    days.flatMap(d => (1L to 100L).map(j => (j, j * 2, d)))
+      .toDF("k", "v", "day").createOrReplaceTempView("gbk_pbk_src")
+    spark.sql(s"INSERT INTO $cat.dds.pbk SELECT * FROM gbk_pbk_src")
+    import graft.sources.GraftBucket
+    val q = spark.table(s"$cat.dds.pbk")
+      .where(col("day") === "d2" && col("k") === 7L)
+    val r = q.collect()
+    assert(r.length == 1 && r(0).getAs[Long]("v") == 14L)
+    val per = filesPerBucket(q)
+    assert(per.filter(_._2 > 0).keySet == Set(GraftBucket.ofLong(7L, 8)),
+      s"scheduled buckets ${per.filter(_._2 > 0).keySet}")
+    // the scheduled files all come from the day=d2 subtree
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val files = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.partitions.flatten.collect {
+        case fp: FilePartition => fp.files.map(_.toPath.toString).toSeq
+      }.flatten
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("day=d2")),
+      s"bucket pruning broke partition pruning: $files")
+  }
+
   test("INSERT OVERWRITE replaces a bucketed table and keeps the layout") {
     val (cat, _) = freshCatalog()
     seedTwo(cat)
