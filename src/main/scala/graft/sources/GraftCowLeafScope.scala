@@ -66,6 +66,17 @@ import org.apache.spark.sql.types.DataType
   */
 object GraftCowLeafScope extends Rule[LogicalPlan] {
 
+  /** Count of rewrites this rule actually NARROWED (offerLeafScope
+    * reached). The reflective [[operationOf]] contact with the
+    * private[sql] RowLevelOperationTable is guarded-but-silent: on a
+    * Spark upgrade that renames the accessor it would decline
+    * everywhere and quietly re-inflate COW rewrites to first-column
+    * scope. GraftCowLeafSpec asserts this counter MOVES on the
+    * canonical two-level MERGE, so that regression is loud (r11
+    * item 7). Monotonic; test-observability only.
+    */
+  private[graft] val engagements = new java.util.concurrent.atomic.LongAdder
+
   /** What the rule hands the operation: the exact matched leaf
     * partitions, the per-column scan scope, and a lazy pre-write
     * per-partition row-count provider for the commit's carryover check.
@@ -211,6 +222,7 @@ object GraftCowLeafScope extends Rule[LogicalPlan] {
 
     op.offerLeafScope(LeafScope(matchedRels, scopeTokens,
       () => op.cowCountRowsWithin(scopeTokens)))
+    engagements.increment()
     rd.copy(query = newQuery)
   }
 }

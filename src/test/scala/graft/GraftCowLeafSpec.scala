@@ -244,6 +244,50 @@ class GraftCowLeafSpec extends SparkSpec {
       Seq((1L, 10L), (2L, 999L), (3L, 30L), (4L, 40L)))
   }
 
+  /** r11 item 7 — make the private-API contact LOUD. The rule reaches
+    * RowLevelOperationTable.operation reflectively; if a Spark upgrade
+    * renames either, the rule declines everywhere and every COW
+    * rewrite silently re-inflates to first-column scope. These two
+    * cases fail (not decline) in that world.
+    */
+  test("the reflective RowLevelOperationTable.operation contact still resolves") {
+    // the exact class + accessor GraftCowLeafScope.operationOf reaches:
+    // a rename fails HERE first, before any behavioral drift
+    val cls = Class.forName(
+      "org.apache.spark.sql.connector.write.RowLevelOperationTable")
+    val m = cls.getMethod("operation")
+    assert(m != null && classOf[
+      org.apache.spark.sql.connector.write.RowLevelOperation]
+      .isAssignableFrom(m.getReturnType),
+      s"operation() now returns ${m.getReturnType} — update GraftCowLeafScope")
+  }
+
+  test("leaf narrowing ENGAGES on the canonical two-level MERGE (not just correct)") {
+    val (cat, root) = freshCatalog()
+    seed(cat)
+    val before = graft.sources.GraftCowLeafScope.engagements.sum()
+    spark.sql(s"""MERGE INTO $cat.ods.facts t
+      USING (SELECT id AS k, id * 1000 AS v,
+               CAST(2020 AS INT) AS year, CAST(2 AS INT) AS month
+             FROM range(100, 110)) u
+      ON t.k = u.k
+      WHEN MATCHED THEN UPDATE SET t.v = u.v
+      WHEN NOT MATCHED THEN INSERT (k, v, year, month)
+        VALUES (u.k, u.v, u.year, u.month)""")
+    val after = graft.sources.GraftCowLeafScope.engagements.sum()
+    // byte-identity alone could pass through some future alternate
+    // mechanism; this asserts the NARROWING RULE itself fired — if the
+    // reflective operation() access stops resolving, the rule declines
+    // and this count stays flat
+    assert(after == before + 1,
+      s"leaf narrowing did not engage (engagements $before -> $after): " +
+        "the reflective RowLevelOperationTable.operation contact is broken")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ods.facts " +
+      "WHERE year = 2020 AND month = 2").head.getLong(0) ==
+      (100L until 110L).map(_ * 1000).sum +
+        (110L until 200L).map(_ * 10).sum)
+  }
+
   test("the narrowed scan reads only the matched leaves (write volume evidence)") {
     val (cat, root) = freshCatalog()
     seed(cat)
