@@ -253,18 +253,26 @@ final case class Catalog(spark: SparkSession, root: String,
     // backup root: deleting it first would destroy that only copy, and
     // the docstring's 'a crash re-converges on retry' would only hold
     // when the retry's write phase succeeds.
-    if (fs.exists(oldRoot)) {
-      leaves(oldRoot).foreach { rel =>
-        val live = new org.apache.hadoop.fs.Path(base, rel)
-        if (!fs.exists(live)) {
-          fs.mkdirs(live.getParent)
-          require(fs.rename(new org.apache.hadoop.fs.Path(oldRoot, rel), live),
-            s"publish recovery: could not restore $live from $oldRoot")
+    import graft.sources.GraftCommitLock
+    GraftCommitLock.withLock(fs, base, s"publish-recovery:$layer.$table") {
+      if (fs.exists(oldRoot)) {
+        leaves(oldRoot).foreach { rel =>
+          val live = new org.apache.hadoop.fs.Path(base, rel)
+          if (!fs.exists(live)) {
+            fs.mkdirs(live.getParent)
+            require(fs.rename(new org.apache.hadoop.fs.Path(oldRoot, rel), live),
+              s"publish recovery: could not restore $live from $oldRoot")
+          }
         }
+        fs.delete(oldRoot, true)
       }
-      fs.delete(oldRoot, true)
+      fs.delete(tmp, true)
     }
-    fs.delete(tmp, true)
+    // interference fingerprint BEFORE the (long, unlocked) write: the
+    // swap below retires the touched partitions' current contents, so
+    // a commit landing in one of them mid-write would be erased — the
+    // optimistic check makes this writer abort cleanly instead
+    val before = visibleFileState(fs, base)
     // phase 1 — the only phase that can fail for data reasons runs
     // entirely against the temp dir; the live table is not involved
     df.write
@@ -280,15 +288,36 @@ final case class Catalog(spark: SparkSession, root: String,
     } else {
       // phase 2 — per-partition swap: live aside, new in, old dropped.
       // Each rename is atomic on a real filesystem, so a partition is
-      // always either its complete old or complete new contents.
-      leaves(tmp).foreach { rel =>
-        swapDirIn(fs,
-          newDir = new org.apache.hadoop.fs.Path(tmp, rel),
-          live = new org.apache.hadoop.fs.Path(base, rel),
-          aside = new org.apache.hadoop.fs.Path(oldRoot, rel))
+      // always either its complete old or complete new contents. The
+      // whole swap loop is one commit critical section; interference
+      // is checked only for the TOUCHED partitions (a concurrent
+      // append elsewhere is untouched by this publish and survives).
+      GraftCommitLock.withLock(fs, base, s"publish:$layer.$table") {
+        onBeforeSwapCheck()
+        val touched = leaves(tmp)
+        val nowTouched = visibleFileState(fs, base).filter { case (rel, _) =>
+          touched.exists(t => rel.startsWith(t + "/"))
+        }
+        val beforeTouched = before.filter { case (rel, _) =>
+          touched.exists(t => rel.startsWith(t + "/"))
+        }
+        if (nowTouched != beforeTouched) {
+          fs.delete(tmp, true)
+          throw new GraftCommitLock.ConcurrentCommitException(
+            s"$layer.$table: partitions ${touched.mkString(", ")} changed " +
+              "while this overwrite computed its replacement; the " +
+              "overwrite was DISCARDED and the live table is untouched " +
+              "— re-run it against the new state")
+        }
+        touched.foreach { rel =>
+          swapDirIn(fs,
+            newDir = new org.apache.hadoop.fs.Path(tmp, rel),
+            live = new org.apache.hadoop.fs.Path(base, rel),
+            aside = new org.apache.hadoop.fs.Path(oldRoot, rel))
+        }
+        fs.delete(tmp, true)
+        fs.delete(oldRoot, true)
       }
-      fs.delete(tmp, true)
-      fs.delete(oldRoot, true)
     }
   }
 
@@ -831,8 +860,33 @@ final case class Catalog(spark: SparkSession, root: String,
     * clears the target BEFORE the new files are committed, so a failed
     * write loses the table. Shared by compact() and merge().
     */
+  /** Test seam: invoked immediately before the swap-time interference
+    * check, under the commit lock. Lets a spec inject a racing commit
+    * into the exact window the optimistic check guards.
+    */
+  private[graft] var onBeforeSwapCheck: () => Unit = () => ()
+
+  /** Visible data files as (relPath -> (size, mtime)) — the
+    * interference fingerprint for full-rewrite swaps.
+    */
+  private def visibleFileState(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Map[String, (Long, Long)] = {
+    val baseUri = base.toUri.getPath
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, (Long, Long))] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq((st.getPath.toUri.getPath.stripPrefix(baseUri)
+          .stripPrefix("/"), (st.getLen, st.getModificationTime)))
+      }
+    walk(base).toMap
+  }
+
   private def safeSwapWrite(layer: String, table: String)
                            (writeTo: String => Unit): Unit = {
+    import graft.sources.GraftCommitLock
     val p = path(layer, table)
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -844,19 +898,41 @@ final case class Catalog(spark: SparkSession, root: String,
     // __swapold first would destroy that only copy, and a subsequent
     // write failure would then lose the previous table version
     // entirely (mirrors overwritePartitions' publish recovery).
-    if (!fs.exists(hp) && fs.exists(old)) {
-      fs.mkdirs(hp.getParent)
-      require(fs.rename(old, hp),
-        s"swap recovery: could not restore $hp from $old")
-    } else if (fs.exists(old) && versions > 0) {
-      // a crash fell between the swap and the archive below — the
-      // orphan IS a complete previous version: finish archiving it
-      archiveVersion(fs, layer, table, old)
+    // Recovery mutates the live slot, so it runs under the commit lock.
+    GraftCommitLock.withLock(fs, hp, s"swap-recovery:$layer.$table") {
+      if (!fs.exists(hp) && fs.exists(old)) {
+        fs.mkdirs(hp.getParent)
+        require(fs.rename(old, hp),
+          s"swap recovery: could not restore $hp from $old")
+      } else if (fs.exists(old) && versions > 0) {
+        // a crash fell between the swap and the archive below — the
+        // orphan IS a complete previous version: finish archiving it
+        archiveVersion(fs, layer, table, old)
+      }
+      fs.delete(tmp, true)
+      fs.delete(old, true)
     }
-    fs.delete(tmp, true)
-    fs.delete(old, true)
+    // OPTIMISTIC concurrency for the (long) rewrite itself (r11 item
+    // 6): fingerprint the live generation, write the replacement
+    // UNLOCKED, then verify under the lock that nothing committed in
+    // between — a full rewrite that swapped in over a concurrent
+    // commit would silently erase it. The maintenance job is the
+    // designated LOSER: it aborts cleanly (tmp discarded, live table
+    // untouched) and can simply re-run — the Iceberg retry contract.
+    val before = visibleFileState(fs, hp)
     writeTo(tmp.toString)
-    swapDirIn(fs, newDir = tmp, live = hp, aside = old)
+    GraftCommitLock.withLock(fs, hp, s"swap-commit:$layer.$table") {
+      onBeforeSwapCheck()
+      val now = visibleFileState(fs, hp)
+      if (now != before) {
+        fs.delete(tmp, true)
+        throw new GraftCommitLock.ConcurrentCommitException(
+          s"$layer.$table changed while its full rewrite ran " +
+            s"(${before.size} -> ${now.size} files); the rewrite was " +
+            "DISCARDED and the live table is untouched — re-run it")
+      }
+      swapDirIn(fs, newDir = tmp, live = hp, aside = old)
+    }
     // snapshot retention (the Iceberg-snapshot semantic the reference
     // relies on): the crash-safety protocol already produced the
     // previous version as a complete directory — RETAIN it as

@@ -1351,10 +1351,14 @@ private[sources] class GraftTable(
       override def useCommitCoordinator(): Boolean =
         innerBatch.useCommitCoordinator()
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        innerBatch.commit(messages) // new generation becomes visible
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        oldFiles.foreach(fs.delete(_, false)) // old generation retires
+        // publish + retire are one commit critical section: a racing
+        // committer fails cleanly instead of interleaving (r11 item 6)
+        GraftCommitLock.withLock(fs, new Path(dir), "replace-files") {
+          innerBatch.commit(messages) // new generation becomes visible
+          oldFiles.foreach(fs.delete(_, false)) // old generation retires
+        }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         innerBatch.abort(messages) // old generation untouched
@@ -2534,7 +2538,8 @@ private[graft] object GraftPartitionedCow {
         // duplicate epoch delivery: the data is already live — drop the
         // re-execution's staged files and decline
         abort(epochId, messages)
-      } else {
+      } else GraftCommitLock.withLock(fs, new Path(dir),
+          s"stream-append:$queryTag:e$epochId") {
         // a manifest without a marker = a prior attempt of THIS epoch
         // crashed mid-publish; retract whatever it made visible (the
         // manifest is complete by construction — written before its
@@ -2649,7 +2654,8 @@ private[graft] object GraftPartitionedCow {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(marker(epochId))) {
         abort(epochId, messages)
-      } else {
+      } else GraftCommitLock.withLock(fs, new Path(dir),
+          s"stream-replace:$queryTag:e$epochId") {
         val thisEpochTag = s"-s$queryTag-e$epochId-"
         val old = listVisibleFiles(fs, new Path(dir))
           .filterNot(_.getName.contains(thisEpochTag))
@@ -2736,6 +2742,11 @@ private[graft] object GraftPartitionedCow {
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // the whole publish/retire sequence is one commit critical
+        // section under the table's commit lock: a second writer
+        // (another replace, a streaming epoch) landing mid-commit
+        // fails cleanly instead of interleaving (r11 item 6)
+        GraftCommitLock.withLock(fs, new Path(dir), "hive-layout-write") {
         val staged = messages.toSeq.flatMap {
           case CowTaskFiles(files) => files
           case _ => Nil
@@ -2768,6 +2779,7 @@ private[graft] object GraftPartitionedCow {
               d = d.getParent
             }
           }
+        }
         }
       }
 

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Table-level COMMIT mutex (r11 verdict item 6 — concurrent-writer
+  * commit safety). The engine's publishes are crash-safe but were
+  * single-writer by construction: two simultaneous writers to one
+  * table (a streaming epoch racing a `CALL system.compact`, two jobs
+  * MERGE-ing the same target) could interleave their publish/retire
+  * phases and silently lose one side's files. This lock is the
+  * detect-and-refuse unit: the commit CRITICAL SECTION (publish +
+  * retire + directory swaps — seconds of driver-side renames, never
+  * the data write itself) runs under an exclusive lock file, and a
+  * second committer landing inside that window FAILS CLEANLY with the
+  * table intact — the optimistic-concurrency contract Iceberg bases
+  * every commit on (its atomic metadata-pointer swap plays the same
+  * role; a loser retries against the new table state).
+  *
+  * Mechanics:
+  *  - the lock is a SIBLING file (`<tableDir>.__lock`, beside the
+  *    `.__versions` / `.__swap*` siblings) so full-directory swaps of
+  *    the table itself never move or orphan it, and a writer racing a
+  *    swap cannot re-create the live directory by locking it;
+  *  - acquisition is an atomic create-exclusive (`fs.create(p,
+  *    overwrite = false)` — one winner per path on HDFS and local FS);
+  *    the holder records owner + wall time for diagnostics;
+  *  - a crashed holder's lock is BROKEN after `staleMs` (default 10
+  *    minutes): every protocol under this lock is independently
+  *    crash-recoverable (staged-invisible files, rename re-convergence,
+  *    swap recovery), so breaking a stale lock never corrupts — it
+  *    only re-admits writers.
+  *
+  * What this does NOT serialize: the distributed data write feeding a
+  * commit (deliberately — a 100 TB rewrite must not block epochs for
+  * its whole duration). Full-rewrite swaps instead VERIFY at swap time
+  * that the table did not change under them and abort cleanly if it
+  * did — see [[graft.runtime.Catalog]] `safeSwapWrite`.
+  */
+object GraftCommitLock {
+
+  /** A racing commit was detected and this writer lost. The table is
+    * intact (nothing of this commit published); retry after the
+    * in-flight commit completes.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  val DefaultStaleMs: Long = 10L * 60 * 1000
+
+  def lockPath(tableDir: Path): Path =
+    new Path(tableDir.getParent, tableDir.getName + ".__lock")
+
+  private def tryCreate(fs: FileSystem, lp: Path, owner: String): Boolean =
+    try {
+      fs.mkdirs(lp.getParent)
+      val out = fs.create(lp, false) // atomic create-exclusive
+      try out.write(s"$owner\t${System.currentTimeMillis()}"
+        .getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** Acquire or throw [[ConcurrentCommitException]]. One stale-break
+    * retry: a lock older than `staleMs` belongs to a crashed writer
+    * (live commits hold it for seconds) and is removed.
+    */
+  def acquire(fs: FileSystem, tableDir: Path, owner: String,
+      staleMs: Long = DefaultStaleMs): Unit = {
+    val lp = lockPath(tableDir)
+    if (tryCreate(fs, lp, owner)) return
+    val stale =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(lp).getModificationTime > staleMs
+      catch { case _: java.io.FileNotFoundException => true }
+    if (stale) {
+      try fs.delete(lp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      if (tryCreate(fs, lp, owner)) return
+    }
+    val holder =
+      try {
+        val in = fs.open(lp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+    throw new ConcurrentCommitException(
+      s"concurrent commit on $tableDir: lock $lp is held by [$holder]; " +
+        "this writer published NOTHING — retry after the in-flight " +
+        "commit completes (a crashed holder's lock expires after " +
+        s"${staleMs}ms)")
+  }
+
+  def release(fs: FileSystem, tableDir: Path): Unit =
+    try fs.delete(lockPath(tableDir), false)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  def withLock[T](fs: FileSystem, tableDir: Path, owner: String,
+      staleMs: Long = DefaultStaleMs)(body: => T): T = {
+    acquire(fs, tableDir, owner, staleMs)
+    try body finally release(fs, tableDir)
+  }
+}
