@@ -43,6 +43,37 @@ object ZOrderHelper {
 
   def mortonSql(x: String, y: String): String =
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
+  /** Generalized N-way bit interleave (r11 item 5): result bit
+    * `i*k + j` is bit `i` of `vals(j)` — for k = 2 bit-identical to
+    * [[morton]] (spread puts x's bit i at 2i, y's at 2i+1). `bits`
+    * low bits per column are consumed; `bits * k` must stay ≤ 63 so
+    * the code is a non-negative Long and Long ordering IS curve
+    * ordering. Inputs are masked to `bits` (callers rescale to the
+    * domain first — see the Catalog's curve key).
+    */
+  def interleave(vals: Array[Long], bits: Int): Long = {
+    require(vals.length >= 1 && bits >= 1 && bits * vals.length <= 63,
+      s"interleave(${vals.length} cols, $bits bits): need 1..63 total bits")
+    val k = vals.length
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < k) {
+        out |= ((vals(j) >>> i) & 1L) << (i * k + j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-column bit budget for a k-way interleave: 16 bits (the
+    * rescaled domain) when they fit, else the largest equal share of
+    * the 63 usable bits — 3 cols keep 16, 4 cols get 15, 6 get 10.
+    */
+  def bitsFor(k: Int): Int = math.min(16, 63 / math.max(1, k))
 }
 
 /** Codegen'd Morton-code expression over two long columns. */
@@ -72,4 +103,87 @@ object MortonCode {
       MortonCode(
         org.apache.spark.sql.graft.ColumnBridge.expression(x),
         org.apache.spark.sql.graft.ColumnBridge.expression(y)))
+}
+
+/** Codegen'd N-column curve code over long columns
+  * ([[ZOrderHelper.interleave]]): the clustering key behind
+  * `CALL system.cluster(strategy => 'zorder')` for 3+ columns. NULL
+  * in any input yields NULL (clustering sorts NULLs together at the
+  * front — harmless for a layout key).
+  */
+case class ZOrderCode(children: Seq[Expression], bits: Int)
+  extends Expression with ImplicitCastInputTypes {
+  require(children.nonEmpty && bits * children.length <= 63,
+    s"zorder_code(${children.length} cols, $bits bits): over 63 bits")
+  override def inputTypes: Seq[DataType] =
+    Seq.fill(children.length)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorder_code"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = new Array[Long](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZOrderHelper.interleave(arr, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    if (nullable) {
+      val fill = evals.zipWithIndex.map { case (e, i) =>
+        s"""
+           |${e.code}
+           |if (${e.isNull}) { ${ev.isNull} = true; }
+           |else { $arr[$i] = ${e.value}; }
+         """.stripMargin
+      }.mkString("\n")
+      ev.copy(code =
+        code"""
+          boolean ${ev.isNull} = false;
+          long[] $arr = new long[${children.length}];
+          $fill
+          long ${ev.value} = 0L;
+          if (!${ev.isNull}) {
+            ${ev.value} =
+              graft.functions.ZOrderHelper.interleave($arr, $bits);
+          }
+        """)
+    } else {
+      // ev.isNull is the FalseLiteral here — no null plumbing at all
+      val fill = evals.zipWithIndex.map { case (e, i) =>
+        s"""
+           |${e.code}
+           |$arr[$i] = ${e.value};
+         """.stripMargin
+      }.mkString("\n")
+      ev.copy(code =
+        code"""
+          long[] $arr = new long[${children.length}];
+          $fill
+          long ${ev.value} =
+            graft.functions.ZOrderHelper.interleave($arr, $bits);
+        """)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderCode =
+    copy(children = newChildren)
+}
+
+object ZOrderCode {
+  def of(cols: Seq[org.apache.spark.sql.Column],
+         bits: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ZOrderCode(
+        cols.map(org.apache.spark.sql.graft.ColumnBridge.expression), bits))
 }

@@ -656,8 +656,8 @@ final case class Catalog(spark: SparkSession, root: String,
     require(sortCols.nonEmpty, "clusterByName needs at least one sort column")
     require(strategy == "range" || strategy == "zorder",
       s"strategy must be 'range' or 'zorder', got '$strategy'")
-    require(strategy != "zorder" || sortCols.length == 2,
-      "zorder clustering takes exactly two columns")
+    require(strategy != "zorder" || sortCols.length >= 2,
+      "zorder clustering takes two or more columns")
     // partitioned/bucketed writes impose their own clustering, which
     // would silently override the range layout — refuse, don't no-op
     val transforms = spark.sessionState.catalogManager.catalog(sqlName)
@@ -681,7 +681,7 @@ final case class Catalog(spark: SparkSession, root: String,
       if (strategy == "zorder") {
         require(!base.columns.contains("__z"),
           "zorder clustering reserves the column name __z")
-        base.withColumn("__z", mortonKey(base, sortCols(0), sortCols(1)))
+        base.withColumn("__z", curveKey(base, sortCols))
           .repartitionByRange(tasks, org.apache.spark.sql.functions.col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
@@ -1055,37 +1055,50 @@ final case class Catalog(spark: SparkSession, root: String,
     * serves the leading one. The curve key is dropped before writing;
     * clustering survives as physical row order.
     */
-  /** The Morton curve key for two integral columns, rescaled to the
-    * interleave's 16-bit domain from the frame's actual min/max.
-    * MortonCode interleaves the LOW 16 BITS — raw keys beyond 65535
-    * (or negative) would silently degrade clustering to hashing, so
-    * each column rescales to [0, 65535] (one extra 1-row aggregate at
+  /** The Z-order curve key for N ≥ 2 integral columns, each rescaled
+    * to the interleave's per-column bit domain from the frame's actual
+    * min/max ([[graft.functions.ZOrderHelper.bitsFor]]: 16 bits up to
+    * 3 columns, shrinking so the code always fits 63 bits). The
+    * interleave consumes LOW bits — raw keys beyond the domain (or
+    * negative) would silently degrade clustering to hashing, so each
+    * column rescales to [0, 2^bits − 1] (one extra 1-row aggregate at
     * write time; double rounding is fine — the curve key orders data,
-    * it never answers queries).
+    * it never answers queries). Two columns produce bit-identical
+    * codes to the original Morton pair.
     */
-  private def mortonKey(df: DataFrame, c1: String,
-      c2: String): org.apache.spark.sql.Column = {
+  private def curveKey(df: DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, greatest, least, lit, max, min}
-    val Array(r) = df
-      .agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2)))
-      .collect()
-    def scaled(c: String, lo: Long, hiv: Long) = {
-      val range = math.max(1L, hiv - lo)
+    val bits = graft.functions.ZOrderHelper.bitsFor(cols.length)
+    val lim = (1L << bits) - 1
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val Array(r) = df.agg(aggs.head, aggs.tail: _*).collect()
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val lo = r.getLong(2 * i)
+      val range = math.max(1L, r.getLong(2 * i + 1) - lo)
       least(greatest(
-        ((col(c) - lit(lo)).cast("double") * 65535.0 / range).cast("long"),
-        lit(0L)), lit(65535L))
+        ((col(c) - lit(lo)).cast("double") * lim.toDouble / range)
+          .cast("long"),
+        lit(0L)), lit(lim))
     }
-    graft.functions.MortonCode(
-      scaled(c1, r.getLong(0), r.getLong(1)),
-      scaled(c2, r.getLong(2), r.getLong(3)))
+    graft.functions.ZOrderCode.of(scaled, bits)
   }
 
   def writeClustered(df: DataFrame, layer: String, table: String,
-                     zCols: (String, String), files: Int): Unit = {
+                     zCols: (String, String), files: Int): Unit =
+    writeClustered(df, layer, table, Seq(zCols._1, zCols._2), files)
+
+  /** N-column form (r11 item 5): interleaves every column, so a
+    * three-predicate workload prunes on any of them.
+    */
+  def writeClustered(df: DataFrame, layer: String, table: String,
+                     zCols: Seq[String], files: Int): Unit = {
     import org.apache.spark.sql.functions.col
+    require(zCols.length >= 2, "writeClustered needs two or more columns")
     require(!df.columns.contains("__z"),
       "writeClustered reserves the column name __z")
-    val z = mortonKey(df, zCols._1, zCols._2)
+    val z = curveKey(df, zCols)
     // temp-dir + rename swap: a re-cluster that fails mid-write must
     // not have cleared the live table first
     safeSwapWrite(layer, table) { tmp =>

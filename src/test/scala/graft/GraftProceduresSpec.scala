@@ -166,12 +166,44 @@ class GraftProceduresSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"y predicate scanned ${scannedFiles(yq)}/$total after zorder")
     assert(spark.table(s"$cat.ods.g").count() == 4096)
 
-    // zorder needs exactly two columns
+    // zorder needs at least two columns
     val e = intercept[Exception] {
       spark.sql(s"CALL $cat.system.cluster('ods.g', sort_by => 'x', " +
         "strategy => 'zorder')").collect()
     }
-    assert(e.getMessage.contains("exactly two"), e.getMessage)
+    assert(e.getMessage.contains("two or more"), e.getMessage)
+  }
+
+  test("CALL system.cluster zorder over THREE columns prunes on each independently (r11 item 5)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.g3 (x BIGINT, y BIGINT, z BIGINT, v BIGINT)")
+    // 32^3 lattice in row-major (z fastest) order, 8 files: each file
+    // is a slab of consecutive x values — tight in x only, so y and z
+    // predicates prune nothing before clustering
+    (0 until 32).flatMap(xx => (0 until 32).flatMap(yy => (0 until 32).map(zz =>
+      (xx.toLong, yy.toLong, zz.toLong, (xx + yy + zz).toLong))))
+      .toDF("x", "y", "z", "v").coalesce(8).createOrReplaceTempView("gpr_z3")
+    spark.sql(s"INSERT INTO $cat.ods.g3 SELECT * FROM gpr_z3")
+    spark.sql(s"CALL $cat.system.analyze('ods.g3')").collect()
+    val preTotal = scannedFiles(spark.table(s"$cat.ods.g3"))
+    val yBlind = spark.table(s"$cat.ods.g3").where(col("y") < 4)
+    assert(yBlind.count() == 4 * 32 * 32)
+    assert(scannedFiles(yBlind) == preTotal, "y spans every x-slab file")
+
+    val r = spark.sql(s"CALL $cat.system.cluster('ods.g3', " +
+      "sort_by => 'x,y,z', target_file_bytes => 1024, " +
+      "strategy => 'zorder')").collect()
+    val total = r(0).getInt(0)
+    assert(total >= 8, s"want several z-files, got $total")
+    // a selective predicate on EACH of the three columns prunes
+    for (c <- Seq("x", "y", "z")) {
+      val q = spark.table(s"$cat.ods.g3").where(col(c) < 4)
+      assert(q.count() == 4 * 32 * 32, s"$c values drifted")
+      assert(scannedFiles(q) < total,
+        s"$c predicate scanned ${scannedFiles(q)}/$total after 3-col zorder")
+    }
+    assert(spark.table(s"$cat.ods.g3").count() == 32 * 32 * 32)
   }
 
   test("CALL system.remove_orphans deletes stale stages, spares live state") {

@@ -70,6 +70,62 @@ class ZOrderSpec extends SparkSpec {
     assert(span("x") < full * 0.45 && span("y") < full * 0.45)
   }
 
+  test("N-way interleave: k=2 is bit-identical to morton; k=3 matches the bit definition") {
+    val rnd = new scala.util.Random(11)
+    // k = 2, 16 bits: the generalized interleave IS morton
+    for (_ <- 0 until 2000) {
+      val x = rnd.nextInt(65536).toLong
+      val y = rnd.nextInt(65536).toLong
+      assert(ZOrderHelper.interleave(Array(x, y), 16) ==
+        ZOrderHelper.morton(x, y))
+    }
+    // k = 3: result bit (3i + j) is bit i of vals(j), per definition
+    def ref(vals: Array[Long], bits: Int): Long = {
+      var out = 0L
+      for (i <- 0 until bits; j <- vals.indices)
+        if (((vals(j) >> i) & 1L) == 1L) out |= 1L << (i * vals.length + j)
+      out
+    }
+    for (_ <- 0 until 2000) {
+      val v = Array.fill(3)(rnd.nextInt(65536).toLong)
+      assert(ZOrderHelper.interleave(v, 16) == ref(v, 16))
+    }
+    // curve codes stay non-negative (Long order = curve order)
+    assert(ZOrderHelper.interleave(Array(65535L, 65535L, 65535L), 16) > 0)
+    // bit budget: 16 up to 3 cols, then the largest equal share of 63
+    assert(ZOrderHelper.bitsFor(2) == 16 && ZOrderHelper.bitsFor(3) == 16)
+    assert(ZOrderHelper.bitsFor(4) == 15 && ZOrderHelper.bitsFor(6) == 10)
+    // 4-col codes still fit 63 bits
+    assert(ZOrderHelper.interleave(Array.fill(4)((1L << 15) - 1), 15) > 0)
+  }
+
+  test("three-column clustering is tight in ALL dimensions (r11 item 5)") {
+    val cat = Catalog(spark, tmpDir("zorder3-wh"))
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(30000)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y", "z")
+    cat.writeClustered(df, "raw", "c3", Seq("x", "y", "z"), files = 64)
+    cat.createOrReplace(df.repartition(64), "raw", "s3")
+
+    def avgSpan(table: String, c: String): Double = {
+      val files = new java.io.File(cat.path("raw", table))
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    // 64 z-range files over a 1024^3 lattice = a 4x4x4 macro-grid:
+    // each file spans ~256 per dimension; random files span ~all 1024
+    for (c <- Seq("x", "y", "z")) {
+      assert(avgSpan("c3", c) < 520, s"3-col clustered $c not tight")
+      assert(avgSpan("s3", c) > 900, s"shuffled $c unexpectedly tight")
+    }
+  }
+
   test("writeClustered rejects a conflicting __z column") {
     val cat = Catalog(spark, tmpDir("zorder-guard"))
     intercept[IllegalArgumentException] {
