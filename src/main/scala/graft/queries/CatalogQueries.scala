@@ -1023,6 +1023,68 @@ object CatalogQueries {
        |  ${bi("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS cents_sum
        |FROM customer GROUP BY 1""".stripMargin
 
+  /** q213 — UPDATE-output-mode streaming UPSERT into a catalog table
+    * ([[graft.sources.GraftPartitionedCow.StreamingUpsertWrite]], r11
+    * item 4 — the third output mode, completing Append/Complete):
+    * `readStream.table(src)` → an unwatermarked running aggregate →
+    * `outputMode("update")` + the `upsertKeys` option →
+    * `writeStream.toTable(dst)`. Each epoch emits only the CHANGED
+    * groups, and the sink applies them as one SQL `MERGE INTO` per
+    * epoch (null-safe key equality, UPDATE SET * / INSERT *) — the
+    * exact batch-MERGE machinery, so the landed table must equal the
+    * one-shot GROUP BY over both source generations. An
+    * append-duplicated group, a dropped epoch, or a double-applied
+    * merge each break the hash. This is the continuously-maintained
+    * mart table as a stream: per-epoch cost is the changed keys' COW
+    * rewrite, not a world rebuild (Complete) or an ever-growing log
+    * (Append).
+    *
+    * Scale shape: state = one row per group; each epoch stages its
+    * changed groups distributed and key-joins them into the target
+    * under the commit lock; the driver handles file names and the
+    * epoch marker only.
+    */
+  def q213StreamingUpdateUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g213")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g213_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.raw.src (seg STRING, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.state " +
+      "(seg STRING, n BIGINT, cents_sum BIGINT)")
+    def gen(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM g213_customer WHERE $pred""")
+    gen("c_custkey % 2 = 0")
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4") // state-store count, see q200
+    try {
+      val cp = scratch("graft-q213-cp")
+      val q = spark.readStream.table(s"$cat.raw.src")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "seg")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.mart.state")
+      q.processAllAvailable() // epoch 1: even custkeys inserted
+      gen("c_custkey % 2 = 1")
+      q.processAllAvailable() // epoch 2: every group UPSERTS in place
+      q.stop()
+    } finally prevShuffle match {
+      case Some(v) => spark.conf.set(shuffleKey, v)
+      case None => spark.conf.unset(shuffleKey)
+    }
+    spark.table(s"$cat.mart.state")
+      .select(col("seg"), col("n"), col("cents_sum"))
+  }
+
+  /** Same one-shot algebra as [[q201Oracle]]: Update-upserts and
+    * Complete-refreshes of the same aggregate must agree.
+    */
+  val q213Oracle: String = q201Oracle
+
   /** q202 — `MERGE INTO` + row-predicate `DELETE` on a TWO-LEVEL
     * (`yr=/mo=`) partitioned catalog table — the reference's landing
     * layout (covid_to_s3.py:41) under the leaf-exact copy-on-write
@@ -1553,7 +1615,8 @@ object CatalogQueries {
     "q209_meta_agg" -> (q209MetaAgg _),
     "q210_part_metrics" -> (q210PartMetrics _),
     "q211_filtered_metrics" -> (q211FilteredMetrics _),
-    "q212_bucket_pruning" -> (q212BucketPruning _))
+    "q212_bucket_pruning" -> (q212BucketPruning _),
+    "q213_streaming_update_upsert" -> (q213StreamingUpdateUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1587,5 +1650,6 @@ object CatalogQueries {
     "q209_meta_agg" -> q209Oracle,
     "q210_part_metrics" -> q210Oracle,
     "q211_filtered_metrics" -> q211Oracle,
-    "q212_bucket_pruning" -> q212Oracle)
+    "q212_bucket_pruning" -> q212Oracle,
+    "q213_streaming_update_upsert" -> q213Oracle)
 }

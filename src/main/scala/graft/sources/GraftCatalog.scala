@@ -820,8 +820,13 @@ private[sources] class GraftTable(
           case _ => Seq.empty[String]
         }.map(f => new Path(f).toUri.getPath)
         if (rels.isEmpty || rels.exists(!_.startsWith(dirUri))) None
-        else Some(rels.map(p => GraftStats.shardKeyOf(
-          p.stripPrefix(dirUri).stripPrefix("/"))).toSet)
+        else Some(rels.map(p =>
+          p.stripPrefix(dirUri).stripPrefix("/"))
+          // files under hidden directories (the upsert stage) are not
+          // table data — their "partitions" need no stats refresh
+          .filter(!_.split('/').exists(s =>
+            s.startsWith("_") || s.startsWith(".")))
+          .map(GraftStats.shardKeyOf).toSet)
       }
     val fullReplace = w.isInstanceOf[GraftPartitionedCow.TruncateReplaceWrite] ||
       w.isInstanceOf[ReplaceFilesWrite]
@@ -884,13 +889,77 @@ private[sources] class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
-    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    // `upsertKeys` write option (r11 item 4): the STREAMING face of
+    // this write becomes a per-epoch keyed upsert
+    // ([[GraftPartitionedCow.StreamingUpsertWrite]]), and the builder
+    // additionally declares SupportsStreamingUpdateAsAppend — the
+    // marker Spark requires before admitting outputMode("update") into
+    // a v2 sink. Without the option, Update mode stays refused at
+    // query start (appending update rows silently would duplicate
+    // every re-emitted group).
+    val upsertKeys: Seq[String] =
+      Option(info.options.get("upsertKeys")).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    class GraftWriteBuilder extends WriteBuilder
+        with SupportsTruncate with SupportsDynamicOverwrite {
       private var mode: String = "append"
       override def truncate(): WriteBuilder = { mode = "truncate"; this }
       override def overwriteDynamicPartitions(): WriteBuilder = {
         mode = "dynamic"; this
       }
-      override def build(): Write = withAutoAnalyze(mode match {
+
+      private def upsertWrite()
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftPartitionedCow.StreamingUpsertWrite(spark, format,
+          info.schema(), dir, quotedIdent, upsertKeys, info.queryId())
+
+      private def withUpsert(base: Write): Write =
+        if (upsertKeys.isEmpty) base else asUpsert(base)
+
+      /** Reroute ONLY the streaming face to the upsert sink; the batch
+        * face (and its V1Write-ness / distribution requirements) stays
+        * exactly what the mode produced.
+        */
+      private def asUpsert(base: Write): Write = base match {
+        case v1: V1Write => new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            v1.toInsertableRelation
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            upsertWrite()
+          override def description(): String =
+            s"graft-upsert ${v1.description()}"
+        }
+        case rdo: org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering => new Write
+            with org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering {
+          override def requiredDistribution = rdo.requiredDistribution()
+          override def distributionStrictlyRequired: Boolean =
+            rdo.distributionStrictlyRequired()
+          override def requiredNumPartitions: Int =
+            rdo.requiredNumPartitions()
+          override def advisoryPartitionSizeInBytes: Long =
+            rdo.advisoryPartitionSizeInBytes()
+          override def requiredOrdering = rdo.requiredOrdering()
+          override def toBatch: BatchWrite = base.toBatch
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            upsertWrite()
+          override def description(): String =
+            s"graft-upsert ${base.description()}"
+        }
+        case other => new Write {
+          override def toBatch: BatchWrite = other.toBatch
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            upsertWrite()
+          override def description(): String =
+            s"graft-upsert ${other.description()}"
+        }
+      }
+
+      override def build(): Write = withAutoAnalyze(withUpsert(mode match {
         // OVERWRITE_DYNAMIC is declared unconditionally in capabilities,
         // so with partitionOverwriteMode=dynamic set SESSION-WIDE Spark
         // plans OverwritePartitionsDynamic for ANY insert-overwrite —
@@ -920,7 +989,7 @@ private[sources] class GraftTable(
           new GraftPartitionedCow.DynamicOverwriteWrite(
             spark, format, schema, dir, parts, old, meta.bucketSpec)
         case m => buildBatch(replace = m == "truncate")
-      })
+      }))
 
       /** Staged-invisible v2 full replace (with version retention when
         * configured) — the truncate path for bucketed tables and the
@@ -1000,6 +1069,10 @@ private[sources] class GraftTable(
             }
           }
     }
+    if (upsertKeys.nonEmpty)
+      new GraftWriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else new GraftWriteBuilder
   }
 
   /** Fully-quoted SQL identifier of this table (for re-reads through
@@ -2688,6 +2761,129 @@ private[graft] object GraftPartitionedCow {
     override def abort(epochId: Long,
         messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      messages.foreach {
+        case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
+          try fs.delete(new Path(staged), false)
+          catch { case _: Throwable => () }
+        }
+        case _ => ()
+      }
+    }
+  }
+
+  /** UPDATE-output-mode streaming sink (r11 item 4): per-epoch KEYED
+    * UPSERT into a catalog table — the streaming face of the engine's
+    * MERGE/copy-on-write machinery, and the shape a continuously
+    * maintained mart table actually wants (Append accretes rows,
+    * Complete rebuilds the world; Update lands exactly the CHANGED
+    * keys). Activated by the `upsertKeys` writeStream option (the
+    * builder then also declares SupportsStreamingUpdateAsAppend, which
+    * is what lets Spark admit `outputMode("update")` into a v2 sink);
+    * without the option, Update mode stays refused at query start.
+    *
+    * Per-epoch protocol:
+    *  1. tasks stage the epoch's rows as ordinary files in a HIDDEN
+    *     side directory (`_graft_stream_commits/<query>/upsert-stage`)
+    *     — invisible to every table scan, deterministic per-epoch
+    *     final names (same crash re-convergence as the append sink);
+    *  2. `commit(e)`: a pre-existing epoch marker declares a duplicate
+    *     delivery a no-op. Otherwise the staged files converge to
+    *     their final names, and ONE SQL `MERGE INTO target USING
+    *     stage ON <null-safe key equality> WHEN MATCHED UPDATE SET *
+    *     WHEN NOT MATCHED INSERT *` applies the epoch — the exact
+    *     batch MERGE path (COW rewrite, leaf narrowing, bucket
+    *     preservation, commit lock), so streaming and batch upserts
+    *     cannot disagree; then the stage files are deleted and the
+    *     marker lands.
+    * A re-delivered epoch after a crash BEFORE the marker re-runs the
+    * same MERGE with the same rows — convergent (matched rows update
+    * to identical values). A crash in the middle of the MERGE's own
+    * commit inherits the house publish/retire contract (duplicates
+    * possible, visible, repairable, never silent loss).
+    *
+    * Requirements: at most one row per key per epoch (a streaming
+    * aggregate in Update mode emits each changed group once — the
+    * intended producer); the query schema must cover the target's
+    * columns (UPDATE SET * / INSERT *).
+    *
+    * Scale: the epoch's rows are a distributed stage write + one
+    * key-joined COW rewrite bounded by the touched partitions; the
+    * driver handles file names and the marker only.
+    */
+  final class StreamingUpsertWrite(
+      spark: SparkSession, format: String, dataSchema: StructType,
+      dir: String, targetIdent: String, keys: Seq[String], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+    require(keys.nonEmpty, "streaming upsert needs upsertKeys")
+    keys.foreach(k => require(
+      dataSchema.fields.exists(_.name.equalsIgnoreCase(k)),
+      s"upsert key $k is not in the streaming query's schema " +
+        s"(${dataSchema.fieldNames.mkString(", ")})"))
+
+    private val queryTag =
+      f"${scala.util.hashing.MurmurHash3.stringHash(queryId)}%08x"
+    private def markerDir = new Path(dir, s"_graft_stream_commits/$queryTag")
+    private def marker(epochId: Long) = new Path(markerDir, s"u$epochId")
+    private def stageDir = new Path(markerDir, "upsert-stage")
+
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+      val p = prepare(spark, format, dataSchema, Nil)
+      StreamingHiveWriterFactory(p.owf, p.conf, stageDir.toString,
+        dataSchema, p.fileSchema, p.fileFieldIdx, p.partFields,
+        p.bucketField, queryTag)
+    }
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker(epochId))) {
+        abort(epochId, messages)
+      } else {
+        // converge staged → deterministic final names inside the stage
+        // (an already-present final from a crashed attempt wins)
+        messages.foreach {
+          case CowTaskFiles(files) => files.foreach { case (staged, fin, _) =>
+            val finP = new Path(fin)
+            if (fs.exists(finP)) fs.delete(new Path(staged), false)
+            else require(fs.rename(new Path(staged), finP),
+              s"stream upsert commit: could not stage $staged -> $fin")
+          }
+          case _ => ()
+        }
+        // THIS epoch's final stage files (a crashed prior attempt's
+        // finals are included — deterministic names make this exact)
+        val tag = s"-s$queryTag-e$epochId-"
+        val finals =
+          if (!fs.exists(stageDir)) Nil
+          else fs.listStatus(stageDir).toSeq.map(_.getPath)
+            .filter(p => !p.getName.startsWith(".") &&
+              p.getName.contains(tag))
+        if (finals.nonEmpty) {
+          val src = spark.read.format(format).schema(dataSchema)
+            .load(finals.map(_.toString): _*)
+          val view = s"g_upsert_${queryTag}_src"
+          src.createOrReplaceTempView(view)
+          try {
+            val cond = keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
+            spark.sql(s"MERGE INTO $targetIdent t USING $view s ON $cond " +
+              "WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT *")
+          } finally spark.catalog.dropTempView(view)
+        }
+        finals.foreach(fs.delete(_, false))
+        fs.mkdirs(markerDir)
+        fs.create(marker(epochId), true).close()
+      }
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
         case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
