@@ -1085,6 +1085,77 @@ object CatalogQueries {
     */
   val q213Oracle: String = q201Oracle
 
+  /** q214 — merge-on-read DELETE via deletion vectors
+    * ([[graft.sources.GraftDv]]): `TBLPROPERTIES ('delete_mode' =
+    * 'merge-on-read')` turns row-predicate DELETE into positional
+    * sidecars instead of a copy-on-write rewrite — at 100 TB, deleting
+    * 0.1% of rows scattered across many files costs kilobytes of
+    * vector, not a rewrite of every touched file (Iceberg v2 position
+    * deletes / Delta deletion vectors). Two accumulating deletes run
+    * (a conjunction and a second overlapping predicate), the query
+    * REQUIREs the data files stayed byte-identical while vectors
+    * appeared (the no-rewrite evidence, in-plan), and the final
+    * aggregate reads THROUGH the vectors — DuckDB recomputes from the
+    * complement predicate, so a resurrected or over-deleted row breaks
+    * the hash. GraftDvSpec covers the wider surface (COW interplay,
+    * bucketed layouts, time travel, loud staleness).
+    */
+  def q214MorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g214")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("g214_l")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.items " +
+      "(okey BIGINT, qty BIGINT, rflag STRING) " +
+      "TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    spark.sql(s"""INSERT INTO $cat.ods.items
+      SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+      FROM g214_l""")
+    val mx = spark.sql("SELECT max(l_orderkey) FROM g214_l").head.getLong(0)
+
+    val loc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ods"), "items"))
+      .properties().get("location")
+    val base = new org.apache.hadoop.fs.Path(loc)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(base).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    val before = dataFiles()
+
+    // scale-relative predicates: a conjunction, then an overlapping
+    // second delete — the vectors must UNION, not replace
+    spark.sql(s"DELETE FROM $cat.ods.items " +
+      s"WHERE rflag = 'R' AND okey < ${mx / 2}")
+    spark.sql(s"DELETE FROM $cat.ods.items WHERE qty >= 45")
+
+    require(dataFiles() == before,
+      "q214: merge-on-read DELETE rewrote or retired data files")
+    require(fs.exists(new org.apache.hadoop.fs.Path(base,
+        graft.sources.GraftDv.DirName)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(base,
+        graft.sources.GraftDv.DirName))
+        .exists(_.getPath.getName.endsWith(".dv")),
+      "q214: no deletion vectors were written")
+
+    spark.table(s"$cat.ods.items")
+      .groupBy(col("rflag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+  }
+
+  val q214Oracle: String =
+    s"""SELECT l_returnflag AS rflag, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(l_quantity AS BIGINT))")} AS qty_sum
+       |FROM lineitem
+       |WHERE NOT (l_returnflag = 'R'
+       |  AND l_orderkey < (SELECT max(l_orderkey) // 2 FROM lineitem))
+       |  AND NOT (CAST(l_quantity AS BIGINT) >= 45)
+       |GROUP BY l_returnflag""".stripMargin
+
   /** q202 — `MERGE INTO` + row-predicate `DELETE` on a TWO-LEVEL
     * (`yr=/mo=`) partitioned catalog table — the reference's landing
     * layout (covid_to_s3.py:41) under the leaf-exact copy-on-write
@@ -1563,6 +1634,106 @@ object CatalogQueries {
        |FROM orders WHERE o_custkey = 42
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** q215 — per-file Bloom-filter point-lookup skipping
+    * ([[graft.sources.GraftBloom]], `CALL system.analyze_bloom`): the
+    * table's lookup key is a Knuth-scattered function of o_orderkey,
+    * so every file's [min, max] spans the whole domain and the min/max
+    * manifest can prove NOTHING — the tier q203/q205 cannot serve. Six
+    * range-sliced inserts build 6+ files, `analyze_bloom` builds
+    * per-file filters, and the probe (IN over the scattered images of
+    * the min/max orderkeys plus one almost-surely-absent key) REQUIREs
+    * the scheduled file count to equal exactly the count the built
+    * filters admit (deterministic: Bloom hashing is content-pure) AND
+    * to be a strict subset of the table. DuckDB recomputes the same
+    * arithmetic, so a false-negative prune (the one impossible-by-
+    * construction failure) would break the hash.
+    */
+  def q215BloomPointlookup(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g215")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g215_orders")
+    spark.sql(s"CREATE NAMESPACE $cat.dds")
+    spark.sql(s"CREATE TABLE $cat.dds.keyed (ukey BIGINT, cents BIGINT)")
+    val bounds = spark.sql(
+      "SELECT min(o_orderkey), max(o_orderkey), count(*) FROM g215_orders")
+      .head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    (0 until 6).foreach { s =>
+      val a = lo + (hi - lo + 1) * s / 6
+      val b = if (s == 5) hi + 1 else lo + (hi - lo + 1) * (s + 1) / 6
+      spark.sql(s"""INSERT INTO $cat.dds.keyed
+        SELECT (o_orderkey * 2654435761) % 1000000007,
+          CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM g215_orders WHERE o_orderkey >= $a AND o_orderkey < $b""")
+    }
+    spark.sql(s"CALL $cat.system.analyze_bloom(" +
+      "table => 'dds.keyed', columns => 'ukey')")
+
+    def img(k: Long): Long = (k * 2654435761L) % 1000000007L
+    val probes = Seq(img(lo), img(hi), 999999937L) // last ~surely absent
+    val probe = spark.table(s"$cat.dds.keyed")
+      .where(col("ukey").isin(probes: _*))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+        min(col("ukey")).as("ukey_min"))
+    val rows = probe.collect().toSeq // materialize so AQE finalizes
+
+    // in-plan proof: scheduled files == files whose filter admits a
+    // probe value, and strictly fewer than the table holds
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val adaptive =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def filesOf(df: DataFrame): Seq[String] =
+      adaptive.collect(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.partitions.flatten.collect {
+            case fp: FilePartition => fp.files.map(_.toPath.toString).toSeq
+          }.flatten
+      }.flatten
+    val scheduled = filesOf(probe).toSet
+    val full = spark.table(s"$cat.dds.keyed")
+    val allFiles = filesOf(full)
+    val loc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("dds"), "keyed"))
+      .properties().get("location")
+    val dirP = new org.apache.hadoop.fs.Path(loc)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = new graft.sources.GraftBloom.ScopedReader(fs, dirP)
+    val planned = adaptive.collect(full.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten.collect {
+          case fp: FilePartition => fp.files.toSeq
+        }.flatten
+    }.flatten
+    val entries = reader.forFiles(planned)
+    require(entries.size >= 6, s"q215: blooms cover ${entries.size} files")
+    val admitting = entries.count { case (_, fb) =>
+      probes.exists(fb.cols("ukey")._2.mightContainLong)
+    }
+    require(scheduled.size == admitting,
+      s"q215: scheduled ${scheduled.size} files but the filters admit " +
+        s"$admitting — bloom pruning regressed")
+    require(scheduled.size < allFiles.size,
+      s"q215: no pruning (${scheduled.size} of ${allFiles.size} files)")
+
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), probe.schema)
+  }
+
+  val q215Oracle: String =
+    s"""WITH keyed AS (
+       |  SELECT (o_orderkey * 2654435761) % 1000000007 AS ukey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |bounds AS (
+       |  SELECT (min(o_orderkey) * 2654435761) % 1000000007 AS klo,
+       |    (max(o_orderkey) * 2654435761) % 1000000007 AS khi
+       |  FROM orders)
+       |SELECT ${bi("count(*)")} AS n, ${bi("sum(cents)")} AS cents_sum,
+       |  ${bi("min(ukey)")} AS ukey_min
+       |FROM keyed, bounds
+       |WHERE ukey IN (klo, khi, 999999937)""".stripMargin
+
   val q184Oracle: String =
     s"""WITH base AS (
        |  SELECT c_custkey AS k,
@@ -1616,7 +1787,9 @@ object CatalogQueries {
     "q210_part_metrics" -> (q210PartMetrics _),
     "q211_filtered_metrics" -> (q211FilteredMetrics _),
     "q212_bucket_pruning" -> (q212BucketPruning _),
-    "q213_streaming_update_upsert" -> (q213StreamingUpdateUpsert _))
+    "q213_streaming_update_upsert" -> (q213StreamingUpdateUpsert _),
+    "q214_mor_delete" -> (q214MorDelete _),
+    "q215_bloom_pointlookup" -> (q215BloomPointlookup _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1651,5 +1824,7 @@ object CatalogQueries {
     "q210_part_metrics" -> q210Oracle,
     "q211_filtered_metrics" -> q211Oracle,
     "q212_bucket_pruning" -> q212Oracle,
-    "q213_streaming_update_upsert" -> q213Oracle)
+    "q213_streaming_update_upsert" -> q213Oracle,
+    "q214_mor_delete" -> q214Oracle,
+    "q215_bloom_pointlookup" -> q215Oracle)
 }

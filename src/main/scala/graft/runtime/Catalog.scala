@@ -60,9 +60,17 @@ final case class Catalog(spark: SparkSession, root: String,
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  /** S2 — catalog table scan (partition columns inferred from layout). */
-  def read(layer: String, table: String): DataFrame =
-    spark.read.format(format).options(readOptions).load(path(layer, table))
+  /** S2 — catalog table scan (partition columns inferred from layout).
+    * Applies any merge-on-read deletion vectors ([[graft.sources.GraftDv]])
+    * the SQL-catalog surface recorded for the same warehouse dir — the
+    * object API and the name path read one table state.
+    */
+  def read(layer: String, table: String): DataFrame = {
+    val df = spark.read.format(format).options(readOptions)
+      .load(path(layer, table))
+    graft.sources.GraftDv.applyToPathRead(spark, df,
+      new org.apache.hadoop.fs.Path(path(layer, table)))
+  }
 
   // ---- name-based addressing (session-catalog binding) -----------------
   // The reference addresses every table by CATALOG NAME
@@ -525,8 +533,10 @@ final case class Catalog(spark: SparkSession, root: String,
   def readMerged(layer: String, table: String): DataFrame = {
     require(format == "parquet" || format == "orc",
       s"mergeSchema needs per-file schema footers; format '$format' has none")
-    spark.read.option("mergeSchema", "true").format(format)
+    val df = spark.read.option("mergeSchema", "true").format(format)
       .load(path(layer, table))
+    graft.sources.GraftDv.applyToPathRead(spark, df,
+      new org.apache.hadoop.fs.Path(path(layer, table)))
   }
 
   /** Collect file-level column min/max statistics for a table into its
@@ -851,6 +861,9 @@ final case class Catalog(spark: SparkSession, root: String,
         }
       }
     walk(base)
+    // deletion-vector sidecars whose data file is gone are inert
+    // garbage from rewrites/compactions — sweep them here too
+    graft.sources.GraftDv.sweepStale(fs, base)
     (files, bytes)
   }
 
@@ -881,7 +894,12 @@ final case class Catalog(spark: SparkSession, root: String,
         else Seq((st.getPath.toUri.getPath.stripPrefix(baseUri)
           .stripPrefix("/"), (st.getLen, st.getModificationTime)))
       }
-    walk(base).toMap
+    // deletion-vector sidecars are part of the generation's ROW state:
+    // a merge-on-read DELETE landing mid-rewrite must fail the swap
+    // exactly like a data-file commit would (the rewrite read
+    // pre-delete rows)
+    walk(base).toMap ++ graft.sources.GraftDv.fingerprint(fs, base)
+      .map { case (k, v) => (graft.sources.GraftDv.DirName + "/" + k, v) }
   }
 
   private def safeSwapWrite(layer: String, table: String)
@@ -1004,9 +1022,12 @@ final case class Catalog(spark: SparkSession, root: String,
     require(history(layer, table).contains(version),
       s"$layer.$table has no retained version $version " +
         s"(history: ${history(layer, table).mkString(", ")})")
-    spark.read.format(format).options(readOptions)
-      .load(new org.apache.hadoop.fs.Path(
-        versionsDir(layer, table), f"v$version%06d").toString)
+    val vDir = new org.apache.hadoop.fs.Path(
+      versionsDir(layer, table), f"v$version%06d")
+    val df = spark.read.format(format).options(readOptions)
+      .load(vDir.toString)
+    // archived generations carry their deletion-vector sidecars
+    graft.sources.GraftDv.applyToPathRead(spark, df, vDir)
   }
 
   /** Roll the live table back to a retained version. The replaced

@@ -303,9 +303,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!partitionCols.exists(_.equalsIgnoreCase(c)),
         s"column $c cannot be both a partition and a bucket column")
     }
+    // durable table properties: delete_mode selects the row-level
+    // DELETE strategy (copy-on-write rewrites files — the default;
+    // merge-on-read records positions in [[GraftDv]] deletion vectors).
+    // Unknown keys are ignored (Spark passes reserved props through).
+    val durableProps = Option(properties.get(GraftDv.ModeKey)).map { v =>
+      require(v == GraftDv.CowValue || v == GraftDv.MorValue,
+        s"${GraftDv.ModeKey} must be '${GraftDv.CowValue}' or " +
+          s"'${GraftDv.MorValue}', got '$v'")
+      require(v != GraftDv.MorValue || format == "parquet",
+        s"${GraftDv.ModeKey}=${GraftDv.MorValue} requires parquet " +
+          s"(positional deletes ride the parquet row index); format is $format")
+      Map(GraftDv.ModeKey -> v)
+    }.getOrElse(Map.empty)
     val dir = tableDir(ident)
     fs.mkdirs(dir)
-    val meta = GraftTableMeta(Some(schema), partitionCols, bucketSpec)
+    val meta = GraftTableMeta(Some(schema), partitionCols, bucketSpec,
+      durableProps)
     GraftTableMeta.write(fs, dir, meta)
     new GraftTable(spark, catalogName, root, format,
       layerOf(ident.namespace), ident.name, meta,
@@ -332,6 +346,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // property toggles are metadata-only and format-agnostic: split
+    // them out before the csv schema-change refusal below
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (schemaChanges.isEmpty && propChanges.nonEmpty)
+      return alterProperties(ident, propChanges)
+    require(propChanges.isEmpty,
+      "mix of property and schema changes in one ALTER: run them separately")
     require(format != "csv",
       "csv files resolve columns by POSITION: any schema change would " +
         "mis-map existing files' columns — rewrite via CTAS instead")
@@ -385,7 +409,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     GraftTableMeta.write(fs, dir,
-      GraftTableMeta(Some(newSchema), partCols, meta0.bucketSpec))
+      GraftTableMeta(Some(newSchema), partCols, meta0.bucketSpec,
+        meta0.props))
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` for the durable keys the
+    * engine understands — today `delete_mode`, which lets an EXISTING
+    * table opt into (or out of) merge-on-read deletes. Switching back
+    * to copy-on-write leaves already-written deletion vectors in force
+    * on the read path until `CALL system.rewrite_deletes` materializes
+    * them — a mode is a WRITE strategy, never a license to resurrect.
+    */
+  private def alterProperties(ident: Identifier,
+      changes: Seq[TableChange]): Table = {
+    val dir = tableDir(ident)
+    val meta0 = GraftTableMeta.read(fs, dir)
+    val props = changes.foldLeft(meta0.props) { (ps, ch) =>
+      ch match {
+        case s: TableChange.SetProperty =>
+          require(s.property == GraftDv.ModeKey,
+            s"unsupported table property '${s.property}' " +
+              s"(durable properties: ${GraftDv.ModeKey})")
+          require(s.value == GraftDv.CowValue || s.value == GraftDv.MorValue,
+            s"${GraftDv.ModeKey} must be '${GraftDv.CowValue}' or " +
+              s"'${GraftDv.MorValue}', got '${s.value}'")
+          require(s.value != GraftDv.MorValue || format == "parquet",
+            s"${GraftDv.ModeKey}=${GraftDv.MorValue} requires parquet; " +
+              s"this table's format is $format")
+          ps + (s.property -> s.value)
+        case r: TableChange.RemoveProperty =>
+          require(r.property == GraftDv.ModeKey,
+            s"unsupported table property '${r.property}' " +
+              s"(durable properties: ${GraftDv.ModeKey})")
+          ps - r.property
+        case other => throw new IllegalStateException(s"unreachable $other")
+      }
+    }
+    GraftTableMeta.write(fs, dir, meta0.copy(props = props))
     loadTable(ident)
   }
 
@@ -464,7 +525,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   */
 private[sources] final case class GraftTableMeta(
     schema: Option[StructType], partitionCols: Seq[String],
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, String)] = None,
+    props: Map[String, String] = Map.empty)
 
 private[sources] object GraftTableMeta {
   private val FileName = "_graft_meta"
@@ -485,16 +547,28 @@ private[sources] object GraftTableMeta {
         val i = s.indexOf(':')
         (s.take(i).toInt, s.drop(i + 1))
       }
-      GraftTableMeta(schema, parts, buckets)
+      // line 4 (absent in older sidecars): url-encoded k=v pairs, ';'
+      // joined — durable table properties (delete_mode)
+      val props = lines.drop(3).headOption.filter(_.nonEmpty)
+        .map(_.split(";").toSeq.flatMap { kv =>
+          val i = kv.indexOf('=')
+          if (i <= 0) None
+          else Some(java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+            java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+        }.toMap).getOrElse(Map.empty[String, String])
+      GraftTableMeta(schema, parts, buckets, props)
     }
   }
 
   def write(fs: FileSystem, dir: Path, meta: GraftTableMeta): Unit = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val out = fs.create(new Path(dir, FileName), true)
     try out.write(
       (meta.schema.map(_.json).getOrElse("") + "\n" +
         meta.partitionCols.mkString(",") + "\n" +
-        meta.bucketSpec.map { case (n, c) => s"$n:$c" }.getOrElse("") +
+        meta.bucketSpec.map { case (n, c) => s"$n:$c" }.getOrElse("") + "\n" +
+        meta.props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(";") +
         "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -709,8 +783,15 @@ private[sources] class GraftTable(
       .toArray
   }
 
+  /** Merge-on-read DELETE mode ([[GraftDv]]): opted in per table via
+    * `TBLPROPERTIES ('delete_mode' = 'merge-on-read')`.
+    */
+  private def morEnabled: Boolean =
+    meta.props.get(GraftDv.ModeKey).contains(GraftDv.MorValue)
+
   override def properties(): util.Map[String, String] =
     (Map("format" -> format, "location" -> dir) ++
+      meta.props ++
       meta.bucketSpec.map { case (nb, c) => "buckets" -> s"$nb ($c)" }).asJava
 
   override def capabilities(): util.Set[TableCapability] =
@@ -1213,8 +1294,19 @@ private[sources] class GraftTable(
           }
           override def build(): org.apache.spark.sql.connector.read.Scan =
             inner.build() match {
+              // wrap when partitioned (runtime group filtering) AND
+              // whenever deletion vectors exist — the operation scan
+              // must read THROUGH them or a rewrite's carryover would
+              // resurrect deleted rows into the new generation
               case fsn: FileScan if effectivePartitionCols.nonEmpty =>
-                new GraftRuntimeFilterScan(fsn, captureTokens = Some(recordScanned))
+                new GraftRuntimeFilterScan(fsn,
+                  captureTokens = Some(recordScanned),
+                  dvTableDir = Some(new Path(dir)))
+              case fsn: FileScan
+                  if GraftDv.hasAny(new Path(dir).getFileSystem(
+                    spark.sparkContext.hadoopConfiguration), new Path(dir)) =>
+                new GraftRuntimeFilterScan(fsn,
+                  dvTableDir = Some(new Path(dir)))
               case other => other
             }
         }
@@ -1293,18 +1385,42 @@ private[sources] class GraftTable(
         p.name == "ALWAYS_TRUE" ||
           parts.exists(c => predicatePartitionValues(p, c).isDefined)
       }
+    } || (
+      // merge-on-read tier ([[GraftDv]]): ARBITRARY translatable
+      // predicates delete by recording row positions — no rewrite. The
+      // partition-directory path above stays preferred when it applies
+      // (deleteWhere dispatches in the same order).
+      !readOnly && morEnabled &&
+        GraftDv.translate(predicates, schema()).isDefined)
+
+  private def partitionDeletable(predicates: Array[Predicate]): Boolean = {
+    val parts = effectivePartitionCols
+    parts.nonEmpty && predicates.forall { p =>
+      p.name == "ALWAYS_TRUE" ||
+        parts.exists(c => predicatePartitionValues(p, c).isDefined)
     }
+  }
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (predicates.forall(_.name == "ALWAYS_TRUE")) {
       // TRUNCATE / unconditional DELETE: every data child goes, the
-      // metadata sidecar stays (the table keeps its schema)
+      // metadata sidecar stays (the table keeps its schema); deletion
+      // vectors die with the rows they were deleting
       if (fs.exists(new Path(dir)))
         fs.listStatus(new Path(dir)).map(_.getPath)
           .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
           .foreach(fs.delete(_, true))
+      GraftDv.dropAll(fs, new Path(dir))
+    } else if (!partitionDeletable(predicates)) {
+      // merge-on-read positional delete (canDeleteWhere accepted, so
+      // the condition translates)
+      val cond = GraftDv.translate(predicates, schema()).getOrElse(
+        throw new IllegalStateException(
+          s"${name()}: deleteWhere on untranslatable predicates " +
+            predicates.mkString(", ")))
+      GraftDv.morDelete(spark, new Path(dir), schema(), cond)
     } else {
       val parts = effectivePartitionCols
       // the predicate array is a conjunction: build a per-column
@@ -1353,6 +1469,9 @@ private[sources] class GraftTable(
         }
       }
       walk(new Path(dir), 0)
+      // sidecar hygiene: vectors of files that died with their
+      // partition directories are inert — sweep them
+      GraftDv.sweepStale(fs, new Path(dir))
     }
   }
 
@@ -1415,6 +1534,10 @@ private[sources] class GraftTable(
                                   dir: String,
                                   oldFiles: Seq[Path]) extends Write {
     override def description(): String = s"graft replace-data $dir"
+    // deletion-vector conflict guard (see PartitionedReplaceWrite):
+    // snapshot at write build, re-check under the commit lock
+    private val dvBefore = GraftDv.fingerprint(new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(dir))
     override def toBatch: BatchWrite = new BatchWrite {
       private val innerBatch = inner.toBatch
       override def createBatchWriterFactory(
@@ -1429,8 +1552,13 @@ private[sources] class GraftTable(
         // publish + retire are one commit critical section: a racing
         // committer fails cleanly instead of interleaving (r11 item 6)
         GraftCommitLock.withLock(fs, new Path(dir), "replace-files") {
+          if (GraftDv.fingerprint(fs, new Path(dir)) != dvBefore)
+            throw new GraftCommitLock.ConcurrentCommitException(
+              s"$dir: deletion vectors changed while this rewrite ran; " +
+                "the rewrite read pre-delete rows and was DISCARDED — re-run")
           innerBatch.commit(messages) // new generation becomes visible
           oldFiles.foreach(fs.delete(_, false)) // old generation retires
+          GraftDv.dropFor(fs, new Path(dir), oldFiles)
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1533,6 +1661,17 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     Option[(StructType,
       Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
+  /** Merge-on-read deletion vectors poison every file-count-derived
+    * answer: parquet footer row counts and manifest COUNT/MIN/MAX all
+    * include deleted rows. Any live vector declines BOTH aggregate
+    * tiers — the ordinary distributed scan (which applies the vectors)
+    * answers instead.
+    */
+  private lazy val dvPresent: Boolean = statsDir.exists { td =>
+    GraftDv.hasAny(td.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration), td)
+  }
+
   private def manifestAgg(aggregation: Aggregation)
       : Option[(StructType,
         Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
@@ -1540,7 +1679,7 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
       case Some((a, r)) if a eq aggregation => r
       case _ =>
         val r =
-          if (tableSchema.isEmpty) None
+          if (tableSchema.isEmpty || dvPresent) None
           else statsDir.flatMap(d => GraftStats.completeAggregate(
             SparkSession.active, d, tableSchema, partitionSchema,
             pushedCatalyst, aggregation))
@@ -1553,14 +1692,15 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     manifestAgg(aggregation) match {
       case some @ Some(_) => stashedAgg = some; true
       case None => delegate match {
-        case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+        case a: SupportsPushDownAggregates if !dvPresent =>
+          a.pushAggregation(aggregation)
         case _ => false
       }
     }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     manifestAgg(aggregation).isDefined || (delegate match {
-      case a: SupportsPushDownAggregates =>
+      case a: SupportsPushDownAggregates if !dvPresent =>
         a.supportCompletePushDown(aggregation)
       case _ => false
     })
@@ -1585,7 +1725,8 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
             maxBytesPerTrigger = maxBytesPerTrigger)
         case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir,
           maxFilesPerTrigger = maxFilesPerTrigger,
-          maxBytesPerTrigger = maxBytesPerTrigger)
+          maxBytesPerTrigger = maxBytesPerTrigger,
+          dvTableDir = statsDir)
       }
       case other => other
     }
@@ -1653,6 +1794,20 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
       d.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration), d))
 
+  // ---- merge-on-read deletion vectors (statsDir IS the table dir) ------
+  private lazy val dvFs: Option[FileSystem] = statsDir.map(td =>
+    td.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration))
+  private lazy val dvIndex: Map[String, Path] = (statsDir, dvFs) match {
+    case (Some(td), Some(fs)) => GraftDv.list(fs, td)
+    case _ => Map.empty
+  }
+
+  private lazy val bloomReaderB: Option[GraftBloom.ScopedReader] =
+    (statsDir, dvFs) match {
+      case (Some(td), Some(fs)) => Some(new GraftBloom.ScopedReader(fs, td))
+      case _ => None
+    }
+
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1663,7 +1818,9 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     s"graft-bucketed(n=$n, key=$col) ${current.description()}"
   override def estimateStatistics(): Statistics = current.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    current.columnarSupportMode()
+    // any live vector forces the whole scan row-based (no mixed sets)
+    if (dvIndex.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    else current.columnarSupportMode()
 
   private val BucketTag = "-b(\\d{5})\\.".r
 
@@ -1760,8 +1917,24 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
 
   override def planInputPartitions(): Array[
       org.apache.spark.sql.connector.read.InputPartition] =
-    if (!groupable) current.toBatch.planInputPartitions()
-    else {
+    if (!groupable) {
+      // fallback (untagged/foreign files): delegate plan, but deletion
+      // vectors must still apply — regroup exactly as the plain scan
+      val parts = current.toBatch.planInputPartitions()
+      (statsDir, dvFs) match {
+        case (Some(td), Some(fs)) if dvIndex.nonEmpty =>
+          val planned = parts.toSeq.collect {
+            case fp: FilePartition => fp.files.toSeq
+          }.flatten
+          val dvs = GraftDv.forFiles(fs, td, planned, dvIndex)
+          if (dvs.isEmpty) parts
+          else {
+            GraftDv.verifyLive(fs, td, dvs, planned)
+            GraftDv.regroup(parts, td, dvs)
+          }
+        case _ => parts
+      }
+    } else {
       val by = bucketsOf(current.toBatch.planInputPartitions())
         .getOrElse(Map.empty[Int, Seq[PartitionedFile]])
       val filters = current.dataFilters
@@ -1770,34 +1943,58 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
       // truthful, but schedule NO files
       val allowed = allowedBuckets(filters)
       // file-level data skipping inside each surviving group
-      // (fail-safe: a file without a valid manifest entry is kept)
-      val skip: PartitionedFile => Boolean = (statsDir, scopedReader) match {
-        case (Some(d), Some(reader)) if filters.nonEmpty =>
+      // (fail-safe: a file without a valid manifest entry is kept);
+      // the bloom tier composes conjunctively for point lookups
+      val skip: PartitionedFile => Boolean = statsDir match {
+        case Some(d) if filters.nonEmpty =>
           val scoped = allowed match {
             case Some(ok) => by.view.filterKeys(ok).values.flatten.toSeq
             case None => by.values.flatten.toSeq
           }
-          val m = reader.forFiles(scoped)
-          if (m.isEmpty) _ => true
-          else f => GraftStats.keepFile(f, filters, m, d)
+          val m = scopedReader.map(_.forFiles(scoped)).getOrElse(Map.empty)
+          val blooms = bloomReaderB.map(_.forFiles(scoped))
+            .getOrElse(Map.empty)
+          f => (m.isEmpty || GraftStats.keepFile(f, filters, m, d)) &&
+            (blooms.isEmpty || GraftBloom.keepFile(f, filters, blooms, d))
         case _ => _ => true
       }
       // ALWAYS all n groups (empty ones included): two scans' key sets
       // must align for the storage-partitioned join regardless of skew
       // or runtime pruning
-      (0 until n).map { b =>
-        val files =
-          if (allowed.forall(_.contains(b)))
-            by.getOrElse(b, Nil).filter(skip).toArray
-          else Array.empty[PartitionedFile]
-        new KeyedFilePartition(b, files)
+      val scheduled = (0 until n).map { b =>
+        b -> (if (allowed.forall(_.contains(b)))
+          by.getOrElse(b, Nil).filter(skip)
+        else Nil)
+      }
+      // merge-on-read deletion vectors: a bucket whose files carry
+      // vectors becomes an ORDERED per-file chain (same partition
+      // index and key — KeyGroupedPartitioning stays truthful, the
+      // storage-partitioned join unaffected); clean buckets keep the
+      // plain keyed partition and the columnar readers
+      val dvs = (statsDir, dvFs) match {
+        case (Some(td), Some(fs)) if dvIndex.nonEmpty =>
+          val planned = scheduled.flatMap(_._2)
+          val m = GraftDv.forFiles(fs, td, planned, dvIndex)
+          if (m.nonEmpty) GraftDv.verifyLive(fs, td, m, planned)
+          m
+        case _ => Map.empty[String, GraftDv.Dv]
+      }
+      scheduled.map { case (b, files) =>
+        statsDir.flatMap(td =>
+            GraftDv.regroupBucket(b, files, td, dvs))
+          .getOrElse(new KeyedFilePartition(b, files.toArray))
           : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
     }
 
   override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    current.toBatch.createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val cleanF = current.toBatch.createReaderFactory()
+    if (dvIndex.isEmpty) cleanF
+    else new GraftDv.DvReaderFactory(cleanF,
+      GraftScanFilters.withoutDataFilters(current)
+        .toBatch.createReaderFactory())
+  }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -1867,10 +2064,45 @@ private[sources] final class GraftRuntimeFilterScan(
     // of its groups) reads the delegate's plan unchanged
     statsDir: Option[Path] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    // table dir for merge-on-read deletion vectors ([[GraftDv]]):
+    // set on EVERY catalog scan — including capture-mode COW scans,
+    // where skipping is off but deleted rows must still not resurrect
+    // into a rewrite's carryover
+    dvTableDir: Option[Path] = None)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: FileScan = initial
+
+  // ---- merge-on-read deletion vectors ------------------------------------
+  private lazy val dvFs: Option[FileSystem] = dvTableDir.map(td =>
+    td.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration))
+  /** Sidecar index (rel path -> sidecar file), loaded once per scan —
+    * one listing of `_graft_dv/`, proportional to files WITH deletions.
+    */
+  private lazy val dvIndex: Map[String, Path] = (dvTableDir, dvFs) match {
+    case (Some(td), Some(fs)) => GraftDv.list(fs, td)
+    case _ => Map.empty
+  }
+  /** Rebuild planned partitions so deleted positions are skipped at
+    * read time; verifies every planned DV against its live file first
+    * (LOUD mismatch — a stale vector must never silently resurrect).
+    */
+  private def applyDvs(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    if (dvIndex.isEmpty) parts
+    else {
+      val td = dvTableDir.get
+      val fs = dvFs.get
+      val planned = plannedFiles(parts)
+      val dvs = GraftDv.forFiles(fs, td, planned, dvIndex)
+      if (dvs.isEmpty) parts
+      else {
+        GraftDv.verifyLive(fs, td, dvs, planned)
+        GraftDv.regroup(parts, td, dvs)
+      }
+    }
 
   // shard-scoped manifest reads ([[GraftStats.ScopedReader]]): only the
   // shards of directories holding PLANNED files are ever opened — a
@@ -1882,6 +2114,11 @@ private[sources] final class GraftRuntimeFilterScan(
       d.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration), d))
 
+  private lazy val bloomReader: Option[GraftBloom.ScopedReader] =
+    statsDir.map(d => new GraftBloom.ScopedReader(
+      d.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration), d))
+
   private def plannedFiles(
       parts: Array[org.apache.spark.sql.connector.read.InputPartition])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionedFile] =
@@ -1890,33 +2127,52 @@ private[sources] final class GraftRuntimeFilterScan(
         fp.files.toSeq
     }.flatten
 
-  /** Batch view that prunes planned splits through the stats manifest.
-    * Delegation happens per CALL (not at construction) so runtime
-    * partition filters applied to `current` after `toBatch` are still
-    * honored, exactly as the unwrapped path behaves.
+  /** Batch view that prunes planned splits through the stats manifest
+    * (non-capture scans) and then applies merge-on-read deletion
+    * vectors. Delegation happens per CALL (not at construction) so
+    * runtime partition filters applied to `current` after `toBatch`
+    * are still honored, exactly as the unwrapped path behaves.
     */
-  private final class SkippingBatch(dir: Path) extends Batch {
+  private final class GraftBatch extends Batch {
     override def planInputPartitions()
         : Array[org.apache.spark.sql.connector.read.InputPartition] = {
       val parts = current.toBatch.planInputPartitions()
       val filters = current.dataFilters
-      if (filters.isEmpty) parts
-      else {
-        val m = scopedReader.map(_.forFiles(plannedFiles(parts)))
-          .getOrElse(Map.empty)
-        if (m.isEmpty) parts else GraftStats.prune(parts, filters, m, dir)
+      val pruned = statsDir match {
+        case Some(d) if captureTokens.isEmpty && filters.nonEmpty =>
+          val m = scopedReader.map(_.forFiles(plannedFiles(parts)))
+            .getOrElse(Map.empty)
+          val afterStats =
+            if (m.isEmpty) parts else GraftStats.prune(parts, filters, m, d)
+          // bloom tier ([[GraftBloom]]): point-lookup pruning where
+          // min/max proves nothing; composes conjunctively. Never in
+          // capture mode — a COW rewrite reads all of its groups.
+          val blooms = bloomReader.map(_.forFiles(plannedFiles(afterStats)))
+            .getOrElse(Map.empty)
+          if (blooms.isEmpty) afterStats
+          else GraftBloom.prune(afterStats, filters, blooms, d)
+        case _ => parts
       }
+      applyDvs(pruned)
     }
     override def createReaderFactory()
-        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      current.toBatch.createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+      val cleanF = current.toBatch.createReaderFactory()
+      if (dvIndex.isEmpty) cleanF
+      else new GraftDv.DvReaderFactory(cleanF,
+        // DV'd files read through a FILTER-STRIPPED reader: parquet
+        // pushdown skips row groups, which would shift the counted
+        // ordinals; the Filter above the scan re-applies predicates
+        GraftScanFilters.withoutDataFilters(current)
+          .toBatch.createReaderFactory())
+    }
   }
 
   override def readSchema(): StructType = current.readSchema()
-  override def toBatch: Batch = statsDir match {
-    case Some(d) if captureTokens.isEmpty => new SkippingBatch(d)
-    case _ => current.toBatch
-  }
+  override def toBatch: Batch =
+    if ((statsDir.isEmpty || captureTokens.isDefined) && dvIndex.isEmpty)
+      current.toBatch
+    else new GraftBatch
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(current, checkpointLocation,
@@ -1963,7 +2219,9 @@ private[sources] final class GraftRuntimeFilterScan(
           }
           val bytes = entries.map(_._1.fileSize).sum
           val rows =
-            if (entries.forall(_._2.isDefined)) // all pruned → exact 0
+            // deletion vectors make manifest row counts over-claims —
+            // no exact row estimate for a table with live vectors
+            if (entries.forall(_._2.isDefined) && dvIndex.isEmpty)
               java.util.OptionalLong.of(entries.map(_._2.get.rows).sum)
             else java.util.OptionalLong.empty()
           new Statistics {
@@ -1981,7 +2239,10 @@ private[sources] final class GraftRuntimeFilterScan(
   override def reportDriverMetrics(): Array[CustomTaskMetric] =
     current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    current.columnarSupportMode()
+    // any live deletion vector forces the whole scan row-based —
+    // Spark's scan exec refuses mixed row/columnar partition sets
+    if (dvIndex.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    else current.columnarSupportMode()
 
   override def filterAttributes(): Array[NamedReference] = {
     val all = current.readPartitionSchema.fieldNames
@@ -2114,6 +2375,22 @@ private[sources] object GraftScanFilters {
       case j: org.apache.spark.sql.execution.datasources.v2.json.JsonScan =>
         j.copy(partitionFilters = j.partitionFilters ++ extra)
       case other => other // unknown scan type: skip pruning, stay correct
+    }
+
+  /** Rebuild the delegate with NO data filters (schemas and partition
+    * filters intact): the reader for a file with a deletion vector —
+    * pushed-down parquet predicates skip row groups, which would shift
+    * counted row ordinals; positions are only meaningful over the
+    * unfiltered file. Parquet-only by construction ([[GraftDv]] is
+    * parquet-only); any other scan type answers itself unchanged and
+    * the caller's planning-time verification fails loudly instead.
+    */
+  def withoutDataFilters(scan: FileScan): FileScan =
+    scan match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.copy(pushedFilters = Array.empty, dataFilters = Nil,
+          pushedAggregate = None)
+      case other => other
     }
 
   /** Rebuild the delegate over a different FILE set (same pruned
@@ -2742,6 +3019,9 @@ private[graft] object GraftPartitionedCow {
           case _ => ()
         }
         old.foreach(fs.delete(_, false))
+        // a complete refresh replaces every row: deletion vectors of
+        // the retired generation are inert — drop them wholesale
+        GraftDv.dropAll(fs, new Path(dir))
         // prune partition dirs the refresh emptied
         val base = new Path(dir)
         old.map(_.getParent).distinct.foreach { p0 =>
@@ -2925,6 +3205,14 @@ private[graft] object GraftPartitionedCow {
       * open columnar writer at a time).
       */
     protected def sortedInput: Boolean
+    /** Copy-on-write replaces override this with the deletion-vector
+      * fingerprint taken at write BUILD ([[GraftDv.fingerprint]]): a
+      * merge-on-read DELETE landing between the operation's scan and
+      * this commit changed rows the rewrite has already read — the
+      * commit re-checks under the lock and the rewrite loses cleanly
+      * rather than silently erasing the delete.
+      */
+    protected def dvConflictGuard: Option[Map[String, (Long, Long)]] = None
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
@@ -2943,6 +3231,14 @@ private[graft] object GraftPartitionedCow {
         // (another replace, a streaming epoch) landing mid-commit
         // fails cleanly instead of interleaving (r11 item 6)
         GraftCommitLock.withLock(fs, new Path(dir), "hive-layout-write") {
+        dvConflictGuard.foreach { before =>
+          val now = GraftDv.fingerprint(fs, new Path(dir))
+          if (now != before)
+            throw new GraftCommitLock.ConcurrentCommitException(
+              s"$dir: deletion vectors changed while this rewrite ran " +
+                "(a merge-on-read DELETE committed in between); the " +
+                "rewrite read pre-delete rows and was DISCARDED — re-run")
+        }
         val staged = messages.toSeq.flatMap {
           case CowTaskFiles(files) => files
           case _ => Nil
@@ -2959,9 +3255,12 @@ private[graft] object GraftPartitionedCow {
             s"commit: could not publish $staged0 -> $fin")
           fs.makeQualified(new Path(fin))
         }
-        // phase 2 — retire the superseded generation per the policy
+        // phase 2 — retire the superseded generation per the policy;
+        // deletion vectors of retired files are inert — drop them
+        // (version-archiving retires MOVE the sidecars first)
         val gone = retired(published, fs)
         retire(gone, fs)
+        GraftDv.dropFor(fs, new Path(dir), gone)
         // phase 3 — prune partition directories the retirement emptied
         // (fully-deleted partitions vanish rather than lingering as
         // empty dirs the next scan lists for nothing)
@@ -3056,6 +3355,15 @@ private[graft] object GraftPartitionedCow {
       oldFiles, bucketSpec) with RequiresDistributionAndOrdering {
 
     override def description(): String = s"graft partitioned replace-data $dir"
+
+    /** Deletion-vector state at write build: a merge-on-read DELETE
+      * committing while this rewrite runs invalidates the rows already
+      * read — the commit re-checks under the lock and loses cleanly.
+      */
+    override protected val dvConflictGuard
+        : Option[Map[String, (Long, Long)]] =
+      Some(GraftDv.fingerprint(new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), new Path(dir)))
 
     override def requiredDistribution(): Distribution =
       clusteringOf(partitionCols, bucketSpec)
@@ -3275,6 +3583,17 @@ private[graft] object GraftPartitionedCow {
           val qualBase = fs.makeQualified(new Path(dir)).toString
           gone.foreach { f =>
             val rel = f.toString.stripPrefix(qualBase).stripPrefix("/")
+            // an archived file's deletion vector travels WITH it: a
+            // VERSION AS OF read of the snapshot must apply the same
+            // deletes it had live (rename preserves the file mtime the
+            // vector is keyed by)
+            val dv = GraftDv.dvPath(new Path(dir), rel)
+            if (fs.exists(dv)) {
+              val dvDest = GraftDv.dvPath(vDir, rel)
+              fs.mkdirs(dvDest.getParent)
+              require(fs.rename(dv, dvDest),
+                s"version archive: could not retain deletion vector $dv")
+            }
             val dest = new Path(vDir, rel)
             fs.mkdirs(dest.getParent)
             require(fs.rename(f, dest),

@@ -1,0 +1,763 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Merge-on-read deletion vectors — the row-level DELETE that does NOT
+  * rewrite data files.
+  *
+  * The copy-on-write tier (MERGE/UPDATE/DELETE through [[GraftTable]]'s
+  * row-level operations) rewrites every surviving row of the touched
+  * groups. That is the right trade for wide mutations, but at 100 TB a
+  * DELETE that matches 0.01% of rows scattered across many files pays a
+  * full rewrite of each touched file. The merge-on-read mode (Iceberg
+  * v2 position deletes, Delta deletion vectors) records the POSITIONS
+  * of deleted rows in a sidecar and applies them at read time; a later
+  * compaction ([[rewriteDeletes]], `CALL system.rewrite_deletes`)
+  * materializes the deletes back into clean files. Opt-in per table:
+  * `TBLPROPERTIES ('delete_mode' = 'merge-on-read')` (or ALTER TABLE
+  * SET). Parquet tables only — the positional contract rides the
+  * parquet reader's `_metadata.row_index`.
+  *
+  * Store layout: `<table>/_graft_dv/<url-encoded relative path>.dv`,
+  * one sidecar per data file that has deletions. Underscore-prefixed,
+  * so every data listing in the engine already skips it. Content is a
+  * single JSON-ish header line (`rel`, `len`, `mtime`, `card`) plus one
+  * line of comma-joined sorted row ordinals. Each sidecar is published
+  * by write-temp-then-atomic-rename; a DELETE that touches several
+  * files publishes them one by one — a crash mid-way leaves a prefix
+  * of the delete applied and a re-run converges (the same contract as
+  * the metadata partition delete).
+  *
+  * Safety posture (the part that matters):
+  *  - a DV is bound to its data file by length AND mtime. A PLANNED
+  *    file whose sidecar exists but mismatches fails the read LOUDLY —
+  *    silently ignoring a stale DV would resurrect deleted rows, the
+  *    one unacceptable failure mode. A sidecar whose data file is gone
+  *    (rewritten by COW/compaction under a fresh name) is inert
+  *    garbage, swept by retirement and `remove_orphans`.
+  *  - read-time application counts row ordinals against a
+  *    FILTER-STRIPPED delegate reader: parquet pushdown skips row
+  *    groups, which would shift counted ordinals, so a DV'd file is
+  *    always read unfiltered (Spark re-evaluates the full predicate in
+  *    the Filter above the scan — file-source pushdown is advisory).
+  *    Clean files keep the pushed-down, columnar fast path; the cost
+  *    of deletion is paid only by the files that have deletions.
+  *  - everything that answers queries from metadata declines under
+  *    DVs: the manifest aggregate ([[GraftStats.completeAggregate]])
+  *    and the delegate's parquet-footer aggregate pushdown both check
+  *    [[hasAny]] — footer row counts include deleted rows.
+  *
+  * Scale: the delete job is an ordinary distributed scan (partition
+  * pruning and data skipping apply); only matched (file, ordinal)
+  * pairs — bounded by the DELETED row count, the quantity merge-on-read
+  * exists to keep small — ever reach the driver, capped by
+  * `spark.graft.dv.maxRows` (default 10M) with a pointer to the
+  * copy-on-write path for wide deletes.
+  */
+private[graft] object GraftDv {
+
+  val DirName = "_graft_dv"
+  val MaxRowsConf = "spark.graft.dv.maxRows"
+  val MaxRowsDefault = 10L * 1000 * 1000
+
+  /** Table-property key and the merge-on-read value. */
+  val ModeKey = "delete_mode"
+  val MorValue = "merge-on-read"
+  val CowValue = "copy-on-write"
+
+  def dvDir(tableDir: Path): Path = new Path(tableDir, DirName)
+
+  /** One data file's deletion vector: identity triple + sorted ordinals. */
+  final case class Dv(rel: String, len: Long, mtime: Long, ords: Array[Long])
+
+  // ---- sidecar naming ----------------------------------------------------
+
+  private def encode(rel: String): String =
+    java.net.URLEncoder.encode(rel, "UTF-8")
+  private def decode(name: String): String =
+    java.net.URLDecoder.decode(name.stripSuffix(".dv"), "UTF-8")
+
+  def dvPath(tableDir: Path, rel: String): Path =
+    new Path(dvDir(tableDir), encode(rel) + ".dv")
+
+  /** Relative path of a data file under the table dir (URI-path based,
+    * the same normalization [[GraftStats]] keys its manifest by).
+    */
+  def relOf(tableDir: Path, file: Path): Option[String] = {
+    val dirUri = tableDir.toUri.getPath
+    val p = file.toUri.getPath
+    if (!p.startsWith(dirUri)) None
+    else Some(p.stripPrefix(dirUri).stripPrefix("/"))
+  }
+
+  // ---- sidecar IO --------------------------------------------------------
+
+  def write(fs: FileSystem, tableDir: Path, dv: Dv): Unit = {
+    val dir = dvDir(tableDir)
+    fs.mkdirs(dir)
+    val fin = dvPath(tableDir, dv.rel)
+    val tmp = new Path(dir, "." + fin.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"rel":${jstr(dv.rel)},"len":${dv.len},"mtime":${dv.mtime},""" +
+        s""""card":${dv.ords.length}}""" + "\n" +
+        dv.ords.mkString(",") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"deletion vector publish failed: $fin")
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def read(fs: FileSystem, p: Path): Dv = {
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    require(lines.length >= 2, s"malformed deletion vector $p")
+    val h = lines.head
+    def longField(k: String): Long = {
+      val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(h).getOrElse(
+        throw new IllegalStateException(s"malformed DV header $p: missing $k"))
+      m.group(1).toLong
+    }
+    val rel = decode(p.getName)
+    val ords =
+      if (lines(1).isEmpty) Array.empty[Long]
+      else lines(1).split(",").map(_.toLong)
+    Dv(rel, longField("len"), longField("mtime"), ords)
+  }
+
+  /** All sidecars of a table: relative data-file path -> sidecar path.
+    * One flat listing of `_graft_dv/` — proportional to the number of
+    * files WITH deletions, not the table.
+    */
+  def list(fs: FileSystem, tableDir: Path): Map[String, Path] = {
+    val d = dvDir(tableDir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".dv"))
+      .map(st => decode(st.getPath.getName) -> st.getPath)
+      .toMap
+  }
+
+  /** Whether the table has ANY deletion vector — the cheap guard the
+    * metadata-answer tiers (manifest aggregate, parquet footer
+    * aggregate pushdown) consult before trusting file-level counts.
+    */
+  def hasAny(fs: FileSystem, tableDir: Path): Boolean = {
+    val d = dvDir(tableDir)
+    try fs.exists(d) && fs.listStatus(d).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".dv"))
+    catch { case NonFatal(_) => true } // unreadable sidecar dir: assume DVs
+  }
+
+  /** Drop the sidecars of retired data files (hygiene — a sidecar whose
+    * file is gone is inert, but accumulating garbage isn't a store).
+    * Never throws: retirement must not fail on sidecar cleanup.
+    */
+  def dropFor(fs: FileSystem, tableDir: Path, retired: Seq[Path]): Unit =
+    try {
+      if (retired.nonEmpty && fs.exists(dvDir(tableDir)))
+        retired.foreach { f =>
+          relOf(tableDir, f).foreach { rel =>
+            val p = dvPath(tableDir, rel)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+        }
+    } catch { case NonFatal(_) => () }
+
+  /** Sidecar-state fingerprint (sidecar rel key -> (len, mtime)) — the
+    * serializable-conflict unit for copy-on-write rewrites: a rewrite
+    * snapshots it at write build and re-checks it under the commit
+    * lock. A merge-on-read DELETE landing while the rewrite ran would
+    * otherwise be silently erased (the rewrite read pre-delete rows);
+    * the mismatch makes the REWRITE lose cleanly instead — the same
+    * designated-loser contract as the full-rewrite swap check
+    * (Iceberg's validateNoNewDeleteFiles).
+    */
+  def fingerprint(fs: FileSystem, tableDir: Path): Map[String, (Long, Long)] =
+    list(fs, tableDir).map { case (rel, p) =>
+      val st = fs.getFileStatus(p)
+      rel -> (st.getLen, st.getModificationTime)
+    }
+
+  /** Drop sidecars whose data file no longer exists (partition drops,
+    * compactions and rewrites retire files under fresh names — their
+    * vectors are inert garbage). Never throws.
+    */
+  def sweepStale(fs: FileSystem, tableDir: Path): Unit =
+    try list(fs, tableDir).foreach { case (rel, p) =>
+      if (!fs.exists(new Path(tableDir, rel))) fs.delete(p, false)
+    } catch { case NonFatal(_) => () }
+
+  /** Drop the whole sidecar dir (TRUNCATE / table replace). */
+  def dropAll(fs: FileSystem, tableDir: Path): Unit =
+    try {
+      val d = dvDir(tableDir)
+      if (fs.exists(d)) fs.delete(d, true)
+    } catch { case NonFatal(_) => () }
+
+  // ---- V2 predicate -> Column translation (the MOR DELETE condition) ----
+
+  /** Translate the conjunction Spark hands `deleteWhere` into a Column
+    * over PUBLIC functions only (`col`/`lit`/`isin`), with catalyst-
+    * internal literal values converted back to external form. Covers
+    * the comparison/null/boolean shapes DELETE conditions are made of;
+    * anything else answers None and `canDeleteWhere` keeps the
+    * copy-on-write path — fail-safe, never wrong.
+    */
+  def translate(predicates: Array[Predicate], schema: StructType)
+      : Option[Column] = {
+    val cols = predicates.toSeq.map(translateOne(_, schema))
+    if (cols.exists(_.isEmpty)) None
+    else Some(cols.flatten.reduceOption(_ && _).getOrElse(lit(true)))
+  }
+
+  private def translateOne(p: Predicate, schema: StructType)
+      : Option[Column] = {
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Column] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          schema.fieldNames.exists(_.equalsIgnoreCase(nr.fieldNames.head)) =>
+        Some(col(nr.fieldNames.head))
+      case _ => None
+    }
+    def value(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: V2Literal[_] =>
+        // catalyst-internal (UTF8String, days-int, Decimal) -> external
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    /** Column/literal/arithmetic operand — `k % 4`, `qty * 2 + 1`. The
+      * public Column operators resolve to the same catalyst nodes
+      * (Add/Subtract/Multiply/Remainder) the DELETE condition held, so
+      * semantics round-trip exactly; anything else (division variants,
+      * functions, casts) declines to the copy-on-write path.
+      */
+    def operand(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Column] = e match {
+      case _ if ref(e).isDefined => ref(e)
+      case _ if value(e).isDefined => value(e).map(lit)
+      case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression
+          if g.children().length == 2 =>
+        val ab = for (a <- operand(g.children()(0));
+                      b <- operand(g.children()(1))) yield (a, b)
+        g.name() match {
+          case "+" => ab.map { case (a, b) => a + b }
+          case "-" => ab.map { case (a, b) => a - b }
+          case "*" => ab.map { case (a, b) => a * b }
+          case "%" => ab.map { case (a, b) => a % b }
+          case _ => None
+        }
+      case _ => None
+    }
+    def bin(f: (Column, Column) => Column): Option[Column] =
+      p.children().toSeq match {
+        case Seq(a, b) =>
+          for (l <- operand(a); r <- operand(b)) yield f(l, r)
+        case _ => None
+      }
+    p match {
+      case a: V2And =>
+        for (l <- translateOne(a.left(), schema);
+             r <- translateOne(a.right(), schema)) yield l && r
+      case o: V2Or =>
+        for (l <- translateOne(o.left(), schema);
+             r <- translateOne(o.right(), schema)) yield l || r
+      case n: V2Not => translateOne(n.child(), schema).map(!_)
+      case _ => p.name() match {
+        case "ALWAYS_TRUE" => Some(lit(true))
+        case "ALWAYS_FALSE" => Some(lit(false))
+        case "=" => bin(_ === _)
+        case "<>" => bin(_ =!= _)
+        case "<" => bin(_ < _)
+        case "<=" => bin(_ <= _)
+        case ">" => bin(_ > _)
+        case ">=" => bin(_ >= _)
+        case "<=>" => bin(_ <=> _)
+        case "IS_NULL" => p.children().toSeq match {
+          case Seq(a) => ref(a).map(_.isNull)
+          case _ => None
+        }
+        case "IS_NOT_NULL" => p.children().toSeq match {
+          case Seq(a) => ref(a).map(_.isNotNull)
+          case _ => None
+        }
+        case "IN" => p.children().toSeq match {
+          case r +: vs if vs.nonEmpty =>
+            val c = ref(r)
+            val ext = vs.map(value)
+            if (c.isEmpty || ext.exists(_.isEmpty)) None
+            else Some(c.get.isin(ext.flatten: _*))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+  }
+
+  // ---- the merge-on-read DELETE itself -----------------------------------
+
+  /** Execute `DELETE FROM <table> WHERE cond` as deletion vectors.
+    *
+    * Phase 1 (distributed, unlocked): scan the table with the file
+    * source's `_metadata` columns, filter by the condition, aggregate
+    * matched row ordinals per file. Partition pruning and data skipping
+    * apply as on any scan; only matched positions reach the driver.
+    *
+    * Phase 2 (driver, under the table commit lock): verify each
+    * matched file still exists — a COW rewrite or compaction landing
+    * between the scan and the lock retired it, in which case the
+    * positions are stale and the delete FAILS cleanly
+    * ([[GraftCommitLock.ConcurrentCommitException]]; re-run) — then
+    * merge with any existing sidecar and publish.
+    *
+    * Returns the number of NEWLY deleted positions.
+    */
+  def morDelete(spark: SparkSession, tableDir: Path, tableSchema: StructType,
+      cond: Column): Long = {
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxRows = spark.conf.getOption(MaxRowsConf)
+      .map(_.toLong).getOrElse(MaxRowsDefault)
+
+    val df = spark.read.schema(tableSchema).parquet(tableDir.toString)
+    val matched = df.filter(cond)
+      .select(col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__o"))
+    val perFile = matched.groupBy(col("__f"))
+      .agg(sort_array(collect_list(col("__o"))).as("__ords"))
+      .collect()
+      // bound the driver footprint BEFORE materializing rows: the
+      // aggregate itself is file-count-sized rows of ord arrays; the
+      // cap guards the total ordinal volume
+    val total = perFile.iterator.map(_.getSeq[Long](1).size.toLong).sum
+    require(total <= maxRows,
+      s"merge-on-read DELETE matched $total rows (> $MaxRowsConf=$maxRows): " +
+        "a delete this wide should rewrite files — use the copy-on-write " +
+        "path (delete_mode=copy-on-write) or a partition-level DELETE")
+    if (perFile.isEmpty) return 0L
+
+    var fresh = 0L
+    GraftCommitLock.withLock(fs, tableDir, "mor-delete") {
+      perFile.foreach { row =>
+        val uriPath = new Path(row.getString(0)).toUri.getPath
+        val file = new Path(uriPath)
+        val rel = relOf(tableDir, file).getOrElse(
+          throw new IllegalStateException(
+            s"matched file $file is outside the table dir $tableDir"))
+        val st =
+          try fs.getFileStatus(file)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              throw new GraftCommitLock.ConcurrentCommitException(
+                s"merge-on-read DELETE of $tableDir: $rel was rewritten " +
+                  "by a concurrent commit after the delete scan — re-run")
+          }
+        val newOrds = row.getSeq[Long](1).toArray
+        val dvFile = dvPath(tableDir, rel)
+        val merged =
+          if (fs.exists(dvFile)) {
+            val prior = read(fs, dvFile)
+            require(prior.len == st.getLen && prior.mtime ==
+              st.getModificationTime,
+              s"deletion vector for $rel no longer matches its data file " +
+                "(possible concurrent rewrite) — re-run the delete")
+            val set = mutable.SortedSet.empty[Long]
+            set ++= prior.ords; set ++= newOrds
+            fresh += set.size - prior.ords.length
+            Dv(rel, st.getLen, st.getModificationTime, set.toArray)
+          } else {
+            fresh += newOrds.length
+            Dv(rel, st.getLen, st.getModificationTime, newOrds)
+          }
+        write(fs, tableDir, merged)
+      }
+    }
+    fresh
+  }
+
+  // ---- read-time application ---------------------------------------------
+
+  /** One contiguous run of a single data file's splits inside a rebuilt
+    * partition, with the ordinals deleted from it (empty = clean file).
+    */
+  final case class Group(files: Array[PartitionedFile], dels: Array[Long],
+      rel: String, len: Long, mtime: Long) extends Serializable
+
+  /** A rebuilt partition: per-file groups read sequentially. Extends
+    * [[FilePartition]] so anything downstream that matches on it (the
+    * bucket regrouper, preferred locations) keeps working.
+    */
+  sealed class DvFilePartition(idx: Int, val groups: Array[Group])
+    extends FilePartition(idx, groups.flatMap(_.files))
+
+  /** Bucketed variant — carries the bucket key so the scan's
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * stays truthful with deletion vectors present.
+    */
+  final class KeyedDvFilePartition(bucket: Int, groups: Array[Group])
+    extends DvFilePartition(bucket, groups)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow = InternalRow(bucket)
+  }
+
+  /** Plan-time regrouping: rebuild only the partitions that contain a
+    * DV'd file. Within a rebuilt partition each file's splits are
+    * collected (sorted by offset, verified contiguous — ordinal
+    * counting depends on it) into a [[Group]]; untouched partitions
+    * pass through and keep the delegate's columnar, filter-pushed
+    * readers. `dvs` is keyed by relative path.
+    */
+  def regroup(parts: Array[InputPartition], tableDir: Path,
+      dvs: Map[String, Dv]): Array[InputPartition] = {
+    if (dvs.isEmpty) return parts
+    def dvOf(f: PartitionedFile): Option[Dv] =
+      relOf(tableDir, f.toPath).flatMap(dvs.get)
+    val touched = parts.zipWithIndex.collect {
+      case (fp: FilePartition, i) if fp.files.exists(f => dvOf(f).isDefined) =>
+        i
+    }.toSet
+    if (touched.isEmpty) return parts
+
+    // splits of a DV'd file may be scattered ACROSS partitions: pull
+    // every split of every DV'd file out, regroup per file, and leave
+    // the rest where it was
+    val dvSplits = mutable.Map.empty[String, mutable.ArrayBuffer[PartitionedFile]]
+    val keptParts = mutable.ArrayBuffer.empty[Array[PartitionedFile]]
+    parts.foreach {
+      case fp: FilePartition =>
+        val (d, clean) = fp.files.partition(f => dvOf(f).isDefined)
+        d.foreach { f =>
+          val rel = relOf(tableDir, f.toPath).get
+          dvSplits.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += f
+        }
+        if (clean.nonEmpty) keptParts += clean
+      case other =>
+        throw new IllegalStateException(
+          s"deletion vectors over a non-file partition: $other")
+    }
+    val fileGroups = dvSplits.toSeq.sortBy(_._1).map { case (rel, splits) =>
+      val dv = dvs(rel)
+      groupOf(rel, splits.toArray, dv)
+    }
+    val rebuilt = mutable.ArrayBuffer.empty[InputPartition]
+    keptParts.zipWithIndex.foreach { case (files, i) =>
+      rebuilt += FilePartition(i, files)
+    }
+    fileGroups.foreach { g =>
+      rebuilt += new DvFilePartition(rebuilt.length, Array(g))
+    }
+    rebuilt.toArray
+  }
+
+  /** Bucket-group variant: rebuild ONE bucket's file list into ordered
+    * per-file groups (DV'd and clean interleaved), preserving the
+    * partition count and key. Returns None when no file of the bucket
+    * has a DV — caller keeps the plain keyed partition.
+    */
+  def regroupBucket(bucket: Int, files: Seq[PartitionedFile], tableDir: Path,
+      dvs: Map[String, Dv]): Option[KeyedDvFilePartition] = {
+    if (dvs.isEmpty) return None
+    def relo(f: PartitionedFile): Option[String] = relOf(tableDir, f.toPath)
+    if (!files.exists(f => relo(f).exists(dvs.contains))) return None
+    val byFile = files.groupBy(f => f.toPath.toString).toSeq.sortBy(_._1)
+    val groups = byFile.map { case (_, splits) =>
+      val rel = relo(splits.head).getOrElse(
+        throw new IllegalStateException(
+          s"bucketed file ${splits.head.toPath} outside table dir $tableDir"))
+      dvs.get(rel) match {
+        case Some(dv) => groupOf(rel, splits.toArray, dv)
+        case None => Group(
+          splits.sortBy(_.start).toArray, Array.empty, rel, -1L, -1L)
+      }
+    }
+    Some(new KeyedDvFilePartition(bucket, groups.toArray))
+  }
+
+  private def groupOf(rel: String, splits: Array[PartitionedFile],
+      dv: Dv): Group = {
+    val sorted = splits.sortBy(_.start)
+    // contiguity: running ordinals are only meaningful over the WHOLE
+    // file in order — a missing split would silently shift positions
+    var expect = 0L
+    sorted.foreach { s =>
+      require(s.start == expect,
+        s"deletion vector for $rel: planned splits are not contiguous " +
+          s"(expected offset $expect, got ${s.start}) — cannot apply " +
+          "positions safely")
+      expect = s.start + s.length
+    }
+    require(expect == dv.len,
+      s"deletion vector for $rel no longer matches its data file " +
+        s"(recorded length ${dv.len}, planned $expect): the file changed " +
+        "since the delete — refusing to read (stale vector would " +
+        "resurrect or mis-delete rows)")
+    Group(sorted, dv.ords, rel, dv.len, dv.mtime)
+  }
+
+  /** Reader factory over rebuilt partitions: [[DvFilePartition]]s read
+    * their groups sequentially — DV'd groups through the FILTER-STRIPPED
+    * factory with ordinal skipping, clean groups through the delegate's
+    * row reader (pushed filters fine: no positions involved).
+    *
+    * The WHOLE scan reads row-based while any vector is live: Spark's
+    * scan exec refuses mixed row/columnar partition sets
+    * (`DataSourceV2ScanExecBase.supportsColumnar` requires all-or-
+    * nothing), so vectors trade the columnar path on the affected
+    * table until `CALL system.rewrite_deletes` materializes them —
+    * the read-time cost merge-on-read accepts by definition.
+    */
+  final class DvReaderFactory(clean: PartitionReaderFactory,
+      unfiltered: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      throw new UnsupportedOperationException(
+        "scans over deletion vectors read row-based")
+
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] = p match {
+      case d: DvFilePartition => new ChainedReader(d.groups)
+      case other => clean.createReader(other)
+    }
+
+    /** Sequential per-group reader. mtime re-verification happens at
+      * PLANNING (driver) via [[verifyLive]]; here the groups are taken
+      * as planned.
+      */
+    private final class ChainedReader(groups: Array[Group])
+      extends PartitionReader[InternalRow] {
+      private var gi = -1
+      private var cur: PartitionReader[InternalRow] = _
+      private var dels: Array[Long] = Array.empty
+      private var di = 0
+      private var ord = -1L
+
+      private def advanceGroup(): Boolean = {
+        if (cur != null) { cur.close(); cur = null }
+        gi += 1
+        if (gi >= groups.length) false
+        else {
+          val g = groups(gi)
+          val part = FilePartition(0, g.files)
+          cur =
+            if (g.dels.nonEmpty) unfiltered.createReader(part)
+            else clean.createReader(part)
+          dels = g.dels; di = 0; ord = -1L
+          true
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null && !advanceGroup()) return false
+          if (cur.next()) {
+            ord += 1
+            // sorted ordinals + monotonically increasing ord: one
+            // forward pointer, O(1) amortized per row
+            while (di < dels.length && dels(di) < ord) di += 1
+            if (di < dels.length && dels(di) == ord) { di += 1 }
+            else return true
+          } else {
+            cur.close(); cur = null
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+  }
+
+  /** Driver-side freshness check at planning time: every DV whose data
+    * file is PLANNED must still match length+mtime. [[regroup]] has the
+    * split lengths (sum = recorded length) but mtime needs a live stat —
+    * one `getFileStatus` per DV'd planned file, bounded by files with
+    * deletions.
+    */
+  def verifyLive(fs: FileSystem, tableDir: Path, dvs: Map[String, Dv],
+      planned: Seq[PartitionedFile]): Unit =
+    planned.foreach { f =>
+      relOf(tableDir, f.toPath).flatMap(dvs.get).foreach { dv =>
+        val st = fs.getFileStatus(f.toPath)
+        require(st.getLen == dv.len && st.getModificationTime == dv.mtime,
+          s"deletion vector for ${dv.rel} no longer matches its data file " +
+            s"(recorded len=${dv.len}/mtime=${dv.mtime}, live " +
+            s"len=${st.getLen}/mtime=${st.getModificationTime}) — refusing " +
+            "to read; re-delete or CALL system.rewrite_deletes")
+      }
+    }
+
+  /** Load the sidecars relevant to a planned file set (keyed by rel
+    * path) — the scoped read: a partition-pruned scan never parses
+    * foreign files' vectors.
+    */
+  def forFiles(fs: FileSystem, tableDir: Path,
+      planned: Seq[PartitionedFile],
+      index: Map[String, Path]): Map[String, Dv] =
+    if (index.isEmpty) Map.empty
+    else {
+      val rels = planned.flatMap(f => relOf(tableDir, f.toPath)).toSet
+      index.view.filterKeys(rels).toMap
+        .map { case (rel, p) => rel -> read(fs, p) }
+    }
+
+  // ---- materialization (CALL system.rewrite_deletes) ---------------------
+
+  /** Rewrite every file that carries a deletion vector into a clean
+    * replacement (positions applied, vector dropped) — the compaction
+    * half of merge-on-read, Iceberg's `rewrite_position_delete_files`
+    * + data-file rewrite in one maintenance verb.
+    *
+    * Per file: stage the filtered copy UNLOCKED (an ordinary
+    * distributed anti-join of the file against its positions on
+    * `_metadata.row_index`), then publish under the table commit lock
+    * with an identity re-check — a concurrent commit that touched the
+    * file makes THIS file's rewrite lose cleanly
+    * ([[GraftCommitLock.ConcurrentCommitException]]); files already
+    * processed stay rewritten (idempotent re-run converges). The
+    * replacement keeps the original's bucket tag (a `-b<id>` suffix
+    * anywhere in the name keeps [[GraftBucketedScan]]'s grouping) and
+    * lands in the same partition directory. Cost is proportional to
+    * the files WITH deletions, never the table.
+    *
+    * Returns (files rewritten, positions materialized, stale sidecars
+    * swept).
+    */
+  def rewriteDeletes(spark: SparkSession, tableDir: Path)
+      : (Int, Long, Int) = {
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(tableDir.toString + ".__dvrewrite")
+    if (fs.exists(staging)) fs.delete(staging, true) // prior crash debris
+    var files = 0
+    var positions = 0L
+    var swept = 0
+    list(fs, tableDir).toSeq.sortBy(_._1).foreach { case (rel, sidecar) =>
+      val dataFile = new Path(tableDir, rel)
+      if (!fs.exists(dataFile)) {
+        fs.delete(sidecar, false); swept += 1
+      } else {
+        val dv = read(fs, sidecar)
+        // stage the filtered copy (unlocked — the identity re-check
+        // under the lock catches anything that raced in)
+        val tmp = new Path(staging,
+          java.util.UUID.randomUUID().toString.take(8))
+        val df = spark.read.parquet(dataFile.toString)
+        import spark.implicits._
+        val ords = spark.createDataset(dv.ords.toSeq).toDF("__dv_o")
+        df.join(broadcast(ords),
+            col("_metadata.row_index") === col("__dv_o"), "left_anti")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp).map(_.getPath)
+          .find(p => p.getName.startsWith("part-")).getOrElse(
+            throw new IllegalStateException(
+              s"rewrite_deletes: no staged output for $rel under $tmp"))
+        val finName =
+          "rw-" + java.util.UUID.randomUUID().toString.take(8) + "-" +
+            dataFile.getName
+        GraftCommitLock.withLock(fs, tableDir, "rewrite-deletes") {
+          val st =
+            try fs.getFileStatus(dataFile)
+            catch {
+              case _: java.io.FileNotFoundException =>
+                throw new GraftCommitLock.ConcurrentCommitException(
+                  s"rewrite_deletes: $rel vanished mid-rewrite " +
+                    "(concurrent commit) — re-run")
+            }
+          if (st.getLen != dv.len || st.getModificationTime != dv.mtime)
+            throw new GraftCommitLock.ConcurrentCommitException(
+              s"rewrite_deletes: $rel changed mid-rewrite " +
+                "(concurrent commit) — re-run")
+          require(fs.rename(staged,
+            new Path(dataFile.getParent, finName)),
+            s"rewrite_deletes: could not publish $finName")
+          fs.delete(dataFile, false)
+          fs.delete(sidecar, false)
+        }
+        files += 1
+        positions += dv.ords.length
+      }
+    }
+    fs.delete(staging, true)
+    (files, positions, swept)
+  }
+
+  // ---- path-read application (object API) --------------------------------
+
+  /** Apply a table's deletion vectors to a RAW path read
+    * (`spark.read.parquet(dir)`): anti-join on `(_metadata.file_path,
+    * row_index)` against the exploded sidecars. Distributed, no
+    * positional counting needed — the metadata columns carry exact
+    * positions. No-op (and zero-cost) when the table has no vectors.
+    */
+  def applyToPathRead(spark: SparkSession, df: DataFrame, tableDir: Path)
+      : DataFrame = {
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = list(fs, tableDir)
+    if (index.isEmpty) df
+    else {
+      val dirUri = tableDir.toUri.getPath
+      val entries = index.toSeq.map { case (rel, p) => read(fs, p) }
+      entries.foreach { dv =>
+        val st = fs.getFileStatus(new Path(tableDir, dv.rel))
+        require(st.getLen == dv.len && st.getModificationTime == dv.mtime,
+          s"deletion vector for ${dv.rel} no longer matches its data file " +
+            "— refusing the path read")
+      }
+      import spark.implicits._
+      // key both sides through ONE normalization — scheme stripped,
+      // leading slashes collapsed — so `file:/x` (Hadoop qualified)
+      // and `file:///x` (the reader's SparkPath rendering) meet. The
+      // identical rule is applied to the driver-side qualified URI and
+      // (as a Spark expression) to `_metadata.file_path`, so any
+      // authority component survives identically on both sides.
+      def norm(s: String): String =
+        s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+          .replaceFirst("^/+", "/")
+      val deleted = entries
+        .flatMap { dv =>
+          val q = fs.makeQualified(new Path(tableDir, dv.rel))
+            .toUri.toString
+          val bare = dirUri.stripSuffix("/") + "/" + dv.rel
+          dv.ords.flatMap(o =>
+            Seq(norm(q), norm(bare)).distinct.map(k => (k, o)))
+        }
+        .toDF("__dv_f", "__dv_o")
+      val fileKey = regexp_replace(
+        regexp_replace(col("_metadata.file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
+        "^/+", "/")
+      df.join(broadcast(deleted),
+        fileKey === col("__dv_f") &&
+          col("_metadata.row_index") === col("__dv_o"),
+        "left_anti")
+    }
+  }
+}

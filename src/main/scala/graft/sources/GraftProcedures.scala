@@ -45,6 +45,13 @@ import graft.runtime.Catalog
   *  - `expire_versions(table, keep)` — reclaim retained time-travel
   *    versions beyond the newest `keep`
   *    ([[Catalog.expireVersionsByName]]; Iceberg's expire_snapshots).
+  *  - `rewrite_deletes(table)` — materialize merge-on-read deletion
+  *    vectors into clean data files ([[GraftDv.rewriteDeletes]];
+  *    Iceberg's rewrite_position_delete_files folded into the data
+  *    rewrite).
+  *  - `analyze_bloom(table, columns, fpp)` — per-file Bloom filters
+  *    for equality/IN skipping on high-cardinality unsorted columns
+  *    ([[GraftBloom]]; the Delta bloom-index / Iceberg puffin mode).
   *
   * `SHOW PROCEDURES` / `DESCRIBE PROCEDURE` come free from the
   * catalog's listProcedures/description.
@@ -54,18 +61,21 @@ object GraftProcedures {
   val Namespace = "system"
 
   def names: Array[String] =
-    Array("analyze", "cluster", "compact", "compact_partitions",
-      "expire_versions", "history", "remove_orphans", "rollback")
+    Array("analyze", "analyze_bloom", "cluster", "compact",
+      "compact_partitions", "expire_versions", "history",
+      "remove_orphans", "rewrite_deletes", "rollback")
 
   def load(procName: String, engine: () => Catalog): UnboundProcedure =
     procName match {
       case "analyze" => new AnalyzeProc(engine)
+      case "analyze_bloom" => new AnalyzeBloomProc(engine)
       case "cluster" => new ClusterProc(engine)
       case "compact" => new CompactProc(engine)
       case "compact_partitions" => new CompactPartitionsProc(engine)
       case "expire_versions" => new ExpireVersionsProc(engine)
       case "history" => new HistoryProc(engine)
       case "remove_orphans" => new RemoveOrphansProc(engine)
+      case "rewrite_deletes" => new RewriteDeletesProc(engine)
       case "rollback" => new RollbackProc(engine)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (one of ${names.mkString(", ")})")
@@ -184,6 +194,91 @@ object GraftProcedures {
       val before = dataFileCount(eng, layer, table)
       eng.compactByName(layer, table)
       one(out, InternalRow(before, dataFileCount(eng, layer, table)))
+    }
+  }
+
+  /** Per-file Bloom filters for point-lookup skipping ([[GraftBloom]]):
+    * the pruning tier min/max cannot provide on high-cardinality
+    * unsorted columns — the Delta bloom-index / Iceberg puffin mode.
+    */
+  private final class AnalyzeBloomProc(engine: () => Catalog)
+    extends MaintenanceProc("analyze_bloom") {
+    override def description(): String =
+      "build per-file Bloom filters for the named columns (equality/IN " +
+        "probes then schedule only files whose filter admits the value " +
+        "— point-lookup skipping where min/max proves nothing)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table> (parquet)").build(),
+      ProcedureParameter.in("columns", StringType)
+        .comment("col[,col...] — integral or string, non-partition").build(),
+      ProcedureParameter.in("fpp", DoubleType)
+        .defaultValue("0.01")
+        .comment("false-positive probability (bits per row trade-off)")
+        .build())
+    private val out = StructType(Seq(
+      StructField("files_built", IntegerType, nullable = false),
+      StructField("files_covered", IntegerType, nullable = false),
+      StructField("columns", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val cols = String.valueOf(input.getUTF8String(1))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val fpp = input.getDouble(2)
+      val eng = engine()
+      require(eng.tableExists(layer, table), s"$layer.$table does not exist")
+      require(eng.format == "parquet",
+        s"analyze_bloom builds over parquet; ${eng.format} unsupported")
+      val spark = SparkSession.active
+      val dir = new Path(eng.path(layer, table))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val meta = GraftTableMeta.read(fs, dir)
+      val schema = meta.schema.getOrElse(
+        spark.read.parquet(dir.toString).schema)
+      val partCols =
+        if (meta.partitionCols.nonEmpty) meta.partitionCols
+        else schema.fieldNames.toSeq.filter { n =>
+          // layout-inferred partition columns: present as dirs only
+          fs.listStatus(dir).exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith(n + "="))
+        }
+      val (built, covered, ncols) = GraftBloom.analyze(spark, dir, schema,
+        partCols, cols, fpp)
+      one(out, InternalRow(built, covered, ncols))
+    }
+  }
+
+  /** Merge-on-read compaction: materialize [[GraftDv]] deletion
+    * vectors back into clean data files (positions applied, vectors
+    * dropped, bucket tags and partition dirs preserved), then refresh
+    * the skipping manifest so the replacements are covered. Cost is
+    * proportional to files WITH deletions — the maintenance half of
+    * `delete_mode = merge-on-read`.
+    */
+  private final class RewriteDeletesProc(engine: () => Catalog)
+    extends MaintenanceProc("rewrite_deletes") {
+    override def description(): String =
+      "materialize merge-on-read deletion vectors into clean files " +
+        "(per-file rewrite; bucket tags survive); returns files " +
+        "rewritten, positions applied, stale vectors swept"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build())
+    private val out = StructType(Seq(
+      StructField("files_rewritten", IntegerType, nullable = false),
+      StructField("positions_applied", LongType, nullable = false),
+      StructField("vectors_swept", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val eng = engine()
+      require(eng.tableExists(layer, table), s"$layer.$table does not exist")
+      val dir = new Path(eng.path(layer, table))
+      val (files, positions, swept) = GraftDv.rewriteDeletes(
+        SparkSession.active, dir)
+      // replacements are new, uncovered files: refresh the skipping
+      // manifest so min/max pruning resumes over them
+      if (files > 0) eng.analyze(layer, table)
+      one(out, InternalRow(files, positions, swept))
     }
   }
 

@@ -939,6 +939,12 @@ object GraftStats {
 
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tableDir)) return None
+    // merge-on-read deletion vectors make every file-derived count an
+    // over-claim (deleted rows are still in the files): decline — the
+    // distributed scan, which applies the vectors, answers instead.
+    // (The scan builder already declines earlier; this guards direct
+    // callers.)
+    if (GraftDv.hasAny(fs, tableDir)) return None
 
     def visible(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>

@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.runtime.Catalog
+import graft.sources.GraftDv
+
+/** Merge-on-read deletion vectors ([[graft.sources.GraftDv]]):
+  * `delete_mode = 'merge-on-read'` turns DELETE into positional
+  * sidecars — no data-file rewrite — applied on every read surface
+  * (SQL scans, bucketed scans, COW carryover, object-API path reads,
+  * archived versions). The safety property under test throughout: a
+  * deleted row must NEVER resurrect, and any staleness fails LOUDLY.
+  */
+class GraftDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(extra: Map[String, String] = Map.empty)
+      : (String, String) = {
+    n += 1
+    val name = s"gdv${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-dv-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    extra.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+    }
+    (name, root)
+  }
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFileState(root: String, rel: String)
+      : Map[String, (Long, Long)] = {
+    val fs = fsOf(root)
+    val base = new Path(s"$root/$rel")
+    def walk(p: Path): Seq[(String, (Long, Long))] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq((st.getPath.toString,
+          (st.getLen, st.getModificationTime)))
+      }
+    walk(base).toMap
+  }
+
+  private def dvCount(root: String, rel: String): Int = {
+    val fs = fsOf(root)
+    val d = new Path(s"$root/$rel/${GraftDv.DirName}")
+    if (!fs.exists(d)) 0
+    else fs.listStatus(d).count(_.getPath.getName.endsWith(".dv"))
+  }
+
+  test("MOR DELETE: rows disappear, data files do not change, vectors appear") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id * 10 FROM range(0, 1000)")
+    val before = dataFileState(root, "ods/t")
+
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k >= 100 AND k < 200")
+
+    assert(dataFileState(root, "ods/t") == before,
+      "merge-on-read DELETE must not rewrite or retire data files")
+    assert(dvCount(root, "ods/t") > 0, "no deletion vector was written")
+    assert(spark.table(s"$cat.ods.t").count() == 900)
+    assert(spark.table(s"$cat.ods.t")
+      .where(col("k") >= 100 && col("k") < 200).count() == 0)
+    // untouched rows intact, values intact
+    assert(spark.table(s"$cat.ods.t").agg(sum("v")).head.getLong(0) ==
+      (0L until 1000L).filterNot(k => k >= 100 && k < 200).map(_ * 10).sum)
+  }
+
+  test("deletes accumulate across statements; filters push down correctly on DV'd files") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id % 7 FROM range(0, 1000)")
+
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE v = 3")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k < 50")
+
+    val expect = (0L until 1000L).map(k => (k, k % 7))
+      .filterNot { case (k, v) => v == 3 || k < 50 }
+    assert(spark.table(s"$cat.ods.t").as[(Long, Long)].collect().toSet ==
+      expect.toSet)
+    // a selective pushed predicate over a DV'd file: the DV reader is
+    // filter-stripped (ordinals must count every row) and the Filter
+    // above re-applies the predicate — parity is the proof
+    assert(spark.table(s"$cat.ods.t").where(col("k") === 300)
+      .as[(Long, Long)].collect().toSeq == Seq((300L, 300L % 7)))
+    assert(spark.table(s"$cat.ods.t").where(col("v") === 3).count() == 0)
+  }
+
+  test("metadata tiers decline under vectors: COUNT/MIN/MAX come from the scan and are right") {
+    val (cat, root) = freshCatalog(Map("auto_analyze" -> "true"))
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id FROM range(0, 500)")
+    // manifest-answered while clean (sanity: the fast tier IS active)
+    assert(spark.table(s"$cat.ods.t").count() == 500)
+
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k >= 490")
+    // the manifest still claims 500; only the DV-applying scan is right
+    val agg = spark.table(s"$cat.ods.t")
+      .agg(count(lit(1)), max(col("k")), min(col("k"))).head
+    assert(agg.getLong(0) == 490, "COUNT must not come from stale metadata")
+    assert(agg.getLong(1) == 489, "MAX must not come from stale metadata")
+    assert(agg.getLong(2) == 0)
+  }
+
+  test("COW UPDATE reads through vectors: no resurrection, superseded vectors dropped") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, 0 FROM range(0, 300)")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k < 100")
+    assert(dvCount(root, "ods/t") > 0)
+
+    // the rewrite's carryover must NOT contain the deleted rows
+    spark.sql(s"UPDATE $cat.ods.t SET v = 1 WHERE k >= 250")
+
+    val rows = spark.table(s"$cat.ods.t").as[(Long, Long)].collect().toSet
+    assert(rows == (100L until 300L).map(k =>
+      (k, if (k >= 250) 1L else 0L)).toSet,
+      "deleted rows resurrected (or update misapplied) through the rewrite")
+    // the rewrite replaced every file of the (unpartitioned) table:
+    // its vectors are superseded and swept
+    assert(dvCount(root, "ods/t") == 0,
+      "superseded deletion vectors survived the rewrite")
+  }
+
+  test("bucketed table: vectors apply inside bucket groups; storage-partitioned join stays exchange-free") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.a (k BIGINT, v BIGINT) " +
+      s"PARTITIONED BY (bucket(4, k)) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"CREATE TABLE $cat.ods.b (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.ods.a SELECT id, id FROM range(0, 400)")
+    spark.sql(s"INSERT INTO $cat.ods.b SELECT id, id * 2 FROM range(0, 400)")
+
+    spark.sql(s"DELETE FROM $cat.ods.a WHERE v % 10 = 7")
+    assert(dvCount(root, "ods/a") > 0)
+    assert(spark.table(s"$cat.ods.a").count() == 360)
+
+    val joined = spark.table(s"$cat.ods.a")
+      .join(spark.table(s"$cat.ods.b"), "k")
+    assert(joined.count() == 360)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"same-spec bucketed join shuffled with vectors present:\n$plan")
+    // deleted keys are gone from the join too
+    assert(joined.where(col("v") % 10 === 7).count() == 0)
+  }
+
+  test("CALL system.rewrite_deletes materializes: clean files, vectors gone, parity, bucket tags survive") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"PARTITIONED BY (bucket(4, k)) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id FROM range(0, 400)")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k % 4 = 1 AND k < 200")
+    val expected = spark.table(s"$cat.ods.t").as[(Long, Long)]
+      .collect().toSet
+    val vectors = dvCount(root, "ods/t")
+    assert(vectors > 0)
+
+    val res = spark.sql(s"CALL $cat.system.rewrite_deletes(" +
+      "table => 'ods.t')").head
+    assert(res.getInt(0) == vectors, "files_rewritten != vectors present")
+    assert(res.getLong(1) > 0)
+    assert(dvCount(root, "ods/t") == 0, "vectors survived materialization")
+    assert(spark.table(s"$cat.ods.t").as[(Long, Long)].collect().toSet ==
+      expected)
+    // bucket layout intact: rewritten files keep their -b tags and the
+    // same-spec join still plans exchange-free
+    spark.sql(s"CREATE TABLE $cat.ods.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.ods.d SELECT id, id FROM range(0, 400)")
+    val joined = spark.table(s"$cat.ods.t")
+      .join(spark.table(s"$cat.ods.d"), "k")
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "bucket tags lost through rewrite_deletes")
+    assert(joined.count() == expected.size)
+    // idempotent: nothing left to do
+    val again = spark.sql(s"CALL $cat.system.rewrite_deletes(" +
+      "table => 'ods.t')").head
+    assert(again.getInt(0) == 0 && again.getLong(1) == 0L)
+  }
+
+  test("a stale vector fails the read LOUDLY (file changed out-of-band)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k = 5")
+
+    // out-of-band rewrite of the DV'd data file (same path, new bytes)
+    val fs = fsOf(root)
+    val tableDir = new Path(s"$root/ods/t")
+    val rel = GraftDv.list(fs, tableDir).keys.head
+    val dataFile = new Path(tableDir, rel)
+    val bytes = {
+      val in = fs.open(dataFile)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toByteArray
+      } finally in.close()
+    }
+    Thread.sleep(1100) // ensure a distinct mtime even at 1s resolution
+    val out = fs.create(dataFile, true)
+    try out.write(bytes) finally out.close()
+
+    val e = intercept[Throwable] {
+      spark.table(s"$cat.ods.t").count()
+    }
+    def mentionsDv(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.getMessage != null &&
+          c.getMessage.contains("deletion vector")) return true
+        c = c.getCause
+      }
+      false
+    }
+    assert(mentionsDv(e),
+      s"stale vector must fail loudly naming the deletion vector, got $e")
+  }
+
+  test("TRUNCATE clears vectors; partition-directory DELETE stays metadata-only on MOR tables") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT, g STRING) " +
+      "PARTITIONED BY (g) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id, concat('p', id % 2) " +
+      "FROM range(0, 200)")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k < 10")
+    assert(dvCount(root, "ods/t") > 0)
+
+    // partition predicate: directory drop, NO new vectors, and the
+    // dropped partition's vectors are swept
+    val before = dvCount(root, "ods/t")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE g = 'p1'")
+    val fs = fsOf(root)
+    assert(!fs.exists(new Path(s"$root/ods/t/g=p1")),
+      "partition DELETE should drop the directory even in MOR mode")
+    assert(dvCount(root, "ods/t") <= before)
+    assert(spark.table(s"$cat.ods.t").count() == 95) // 100 even keys - 5
+
+    spark.sql(s"TRUNCATE TABLE $cat.ods.t")
+    assert(spark.table(s"$cat.ods.t").count() == 0)
+    assert(dvCount(root, "ods/t") == 0, "TRUNCATE left vectors behind")
+  }
+
+  test("object-API path read and archived versions apply vectors (dual addressing, time travel)") {
+    val (cat, root) = freshCatalog(Map("versions" -> "3"))
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k >= 90")
+
+    // object API over the same warehouse dir: one table state
+    val engine = Catalog(spark, root, "parquet", versions = 3)
+    assert(engine.read("ods", "t").count() == 90,
+      "path read resurrected merge-on-read deletes")
+
+    // INSERT OVERWRITE archives the generation WITH its vectors
+    spark.sql(s"INSERT OVERWRITE $cat.ods.t SELECT id, -id FROM range(0, 7)")
+    assert(spark.table(s"$cat.ods.t").count() == 7)
+    val snap = spark.sql(s"SELECT count(*) FROM $cat.ods.t VERSION AS OF 1")
+      .head.getLong(0)
+    assert(snap == 90,
+      s"archived version must carry its deletion vectors (got $snap)")
+    assert(engine.readVersion("ods", "t", 1).count() == 90)
+  }
+
+  test("delete_mode surface: value validation, ALTER toggle, vectors outlive the mode") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    val bad = intercept[Throwable] {
+      spark.sql(s"CREATE TABLE $cat.ods.x (k BIGINT) " +
+        s"TBLPROPERTIES ('${GraftDv.ModeKey}' = 'sideways')")
+    }
+    assert(bad.getMessage != null && bad.getMessage.contains(GraftDv.ModeKey))
+
+    // an existing COW table opts in via ALTER, out again via UNSET;
+    // vectors written while MOR stay in force after the switch back
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id FROM range(0, 100)")
+    val filesBefore = dataFileState(root, "ods/t")
+    spark.sql(s"ALTER TABLE $cat.ods.t SET TBLPROPERTIES " +
+      s"('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k = 42")
+    assert(dataFileState(root, "ods/t") == filesBefore,
+      "post-ALTER delete should be merge-on-read")
+    spark.sql(s"ALTER TABLE $cat.ods.t UNSET TBLPROPERTIES " +
+      s"('${GraftDv.ModeKey}')")
+    assert(spark.table(s"$cat.ods.t").count() == 99,
+      "existing vectors must stay in force after switching back to COW")
+    // back in COW mode, a data-column DELETE rewrites files again
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k = 43")
+    assert(dataFileState(root, "ods/t") != filesBefore,
+      "COW delete should have rewritten the table")
+    assert(spark.table(s"$cat.ods.t").count() == 98)
+    assert(dvCount(root, "ods/t") == 0,
+      "the COW rewrite should have swept the superseded vectors")
+  }
+}
