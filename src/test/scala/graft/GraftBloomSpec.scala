@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftBloom
+
+/** Per-file Bloom-filter skipping ([[graft.sources.GraftBloom]],
+  * `CALL system.analyze_bloom`): point-lookup pruning on
+  * high-cardinality UNSORTED columns where min/max proves nothing.
+  * The contract under test: false negatives are impossible (parity
+  * always), pruning is real (scheduled-file counts match what the
+  * built filters admit, and provably-pruned files are NEVER OPENED —
+  * the corruption proof), and anything without a valid entry is kept
+  * (fail-safe).
+  */
+class GraftBloomSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val name = s"gbl${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-bl-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (name, root)
+  }
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def scannedFiles(df: DataFrame): Int =
+    collect(df.queryExecution.executedPlan) {
+      case b: BatchScanExec =>
+        b.partitions.flatten.map {
+          case fp: FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+    }.sum
+
+  private def plannedOf(df: DataFrame) =
+    collect(df.queryExecution.executedPlan) {
+      case b: BatchScanExec =>
+        b.partitions.flatten.collect {
+          case fp: FilePartition => fp.files.toSeq
+        }.flatten
+    }.flatten
+
+  test("point lookup schedules exactly the admitting files; pruned files are never opened") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, tag STRING, v BIGINT)")
+    // 8 inserts -> 8+ files; k is SHUFFLED across files so every
+    // file's [min,max] spans the whole domain — min/max skipping is
+    // provably useless and any pruning must come from the blooms
+    (0 until 8).foreach { s =>
+      spark.sql(s"""INSERT INTO $cat.ods.t
+        SELECT (id * 37) % 8000, concat('t', (id * 37) % 8000), id
+        FROM range(${s * 1000}, ${(s + 1) * 1000})""")
+    }
+    val unpruned = spark.table(s"$cat.ods.t").where(col("k") === 1234)
+      .as[(Long, String, Long)].collect().toSet
+    assert(unpruned.nonEmpty, "probe key missing — test is vacuous")
+    val allFiles = scannedFiles(
+      spark.table(s"$cat.ods.t").where(col("k") === 1234))
+    assert(allFiles >= 8, s"expected >= 8 files before blooms, got $allFiles")
+
+    val res = spark.sql(s"CALL $cat.system.analyze_bloom(" +
+      "table => 'ods.t', columns => 'k,tag')").head
+    assert(res.getInt(0) >= 8 && res.getInt(1) == res.getInt(0) &&
+      res.getInt(2) == 2)
+    // INCREMENTAL: a repeat call re-reads nothing
+    val again = spark.sql(s"CALL $cat.system.analyze_bloom(" +
+      "table => 'ods.t', columns => 'k,tag')").head
+    assert(again.getInt(0) == 0 && again.getInt(1) == res.getInt(1),
+      "repeat analyze_bloom rebuilt already-covered files")
+
+    // deterministic expectation: consult the built filters directly
+    val fs = fsOf(root)
+    val dirP = new Path(s"$root/ods/t")
+    val reader = new GraftBloom.ScopedReader(fs, dirP)
+    val entries = reader.forFiles(plannedOf(spark.table(s"$cat.ods.t")))
+    assert(entries.size >= 8, "blooms missing for some files")
+    val admitting = entries.filter(
+      _._2.cols("k")._2.mightContainLong(1234L))
+    assert(admitting.size < entries.size,
+      "every filter admits 1234 — no pruning possible, test is vacuous")
+
+    val q = spark.table(s"$cat.ods.t").where(col("k") === 1234)
+    assert(q.as[(Long, String, Long)].collect().toSet == unpruned,
+      "bloom pruning changed the result")
+    assert(scannedFiles(q) == admitting.size,
+      "scheduled files != files whose filter admits the value")
+
+    // zero-read proof: replace every NON-admitting file's bytes with
+    // same-LENGTH garbage and restore its mtime — the entry identity
+    // stays valid, so the file still prunes; if the scan ever opened
+    // it, the parquet reader would explode
+    entries.foreach { case (rel, fb) =>
+      if (!fb.cols("k")._2.mightContainLong(1234L)) {
+        val p = new Path(dirP, rel)
+        val out = fs.create(p, true)
+        try out.write(new Array[Byte](fb.size.toInt)) finally out.close()
+        fs.setTimes(p, fb.mtime, -1)
+      }
+    }
+    val q2 = spark.table(s"$cat.ods.t").where(col("k") === 1234)
+    assert(q2.as[(Long, String, Long)].collect().toSet == unpruned,
+      "a bloom-pruned file was opened (corruption surfaced) or parity broke")
+  }
+
+  test("string IN-list lookups; files written after the build are kept (fail-safe)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, tag STRING)")
+    (0 until 4).foreach { s =>
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT (id * 13) % 4000, " +
+        s"concat('g', (id * 13) % 4000) FROM range(${s * 1000}, ${(s + 1) * 1000})")
+    }
+    spark.sql(s"CALL $cat.system.analyze_bloom(" +
+      "table => 'ods.t', columns => 'tag')")
+    val expect = spark.table(s"$cat.ods.t")
+      .where(col("tag").isin("g13", "g1math")).count()
+
+    // append AFTER the bloom build: the new file has no entry and must
+    // be kept — fail-safe, no false negative possible
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (13, 'g13')")
+    val q = spark.table(s"$cat.ods.t").where(col("tag").isin("g13", "g1math"))
+    assert(q.count() == expect + 1,
+      "a file written after the bloom build was wrongly pruned")
+    // an incremental re-analyze covers ONLY the appended file and the
+    // lookup stays right
+    val inc = spark.sql(s"CALL $cat.system.analyze_bloom(" +
+      "table => 'ods.t', columns => 'tag')").head
+    assert(inc.getInt(0) >= 1 && inc.getInt(0) <= 2,
+      s"incremental build touched ${inc.getInt(0)} files for one append")
+    assert(spark.table(s"$cat.ods.t")
+      .where(col("tag").isin("g13", "g1math")).count() == expect + 1)
+  }
+
+  test("refusals: partition columns, unsupported types, bad fpp") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, x DOUBLE, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id * 0.5, " +
+      "concat('p', id % 2) FROM range(0, 10)")
+    val e1 = intercept[Throwable] {
+      spark.sql(s"CALL $cat.system.analyze_bloom(table => 'ods.t', " +
+        "columns => 'g')")
+    }
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[Throwable] {
+      spark.sql(s"CALL $cat.system.analyze_bloom(table => 'ods.t', " +
+        "columns => 'x')")
+    }
+    assert(e2.getMessage.contains("unsupported"))
+    val e3 = intercept[Throwable] {
+      spark.sql(s"CALL $cat.system.analyze_bloom(table => 'ods.t', " +
+        "columns => 'k', fpp => 3.0)")
+    }
+    assert(e3.getMessage.contains("fpp"))
+  }
+
+  test("bucketed composition: bloom prunes files inside surviving bucket groups") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, u BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // several appends -> several files per bucket; u is the
+    // high-cardinality non-bucket lookup column
+    (0 until 4).foreach { s =>
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT id % 100, id * 31 " +
+        s"FROM range(${s * 500}, ${(s + 1) * 500})")
+    }
+    spark.sql(s"CALL $cat.system.analyze_bloom(" +
+      "table => 'ods.t', columns => 'u')")
+    val probe = 31L * 777
+    val q = spark.table(s"$cat.ods.t").where(col("u") === probe)
+    assert(q.as[(Long, Long)].collect().toSet == Set((777L % 100, probe)))
+    // pruning evidence: fewer files scheduled than exist
+    val total = scannedFiles(spark.table(s"$cat.ods.t"))
+    val pruned = scannedFiles(q)
+    assert(pruned < total,
+      s"bloom did not prune inside bucket groups ($pruned vs $total)")
+  }
+}
