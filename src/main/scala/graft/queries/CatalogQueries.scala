@@ -1720,6 +1720,94 @@ object CatalogQueries {
       spark.sparkContext.parallelize(rows, 1), probe.schema)
   }
 
+  /** q216 — merge-on-read MERGE ([[graft.sources.GraftDeltaMor]],
+    * Spark's SupportsDelta row-level operations): the MERGE reads row
+    * coordinates through the `_graft_file`/`_graft_pos` metadata
+    * columns and writes POSITIONS (deletion vectors) plus appended
+    * replacement/new rows — the query REQUIREs every pre-merge data
+    * file byte-identical afterwards (a 100 TB table pays kilobytes of
+    * vector and the changed rows, not a rewrite of touched files; the
+    * Iceberg v2 MOR write path). All three clause kinds fire: matched
+    * DELETE (k%9=0), matched UPDATE (+1000 cents), not-matched INSERT
+    * (shifted keys, doubled balances); DuckDB recomputes the merged
+    * state relationally, so a resurrected, lost, or double-applied row
+    * breaks the hash. GraftMorDeltaSpec pins coordinates, bucketed
+    * tags, and COW-parity separately.
+    */
+  def q216MorMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g216")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g216_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.bal " +
+      "(k BIGINT, bal_cents BIGINT, seg STRING) " +
+      "TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    spark.sql(s"""INSERT INTO $cat.ods.bal
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g216_customer""")
+    val mx = spark.sql("SELECT max(c_custkey) FROM g216_customer")
+      .head.getLong(0)
+
+    val loc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ods"), "bal"))
+      .properties().get("location")
+    val base = new org.apache.hadoop.fs.Path(loc)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(base).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    val before = dataFiles()
+
+    spark.sql(s"""MERGE INTO $cat.ods.bal t
+      USING (
+        SELECT c_custkey AS k,
+          CAST(round(c_acctbal * 100) AS BIGINT) + 1000 AS bal_cents,
+          c_mktsegment AS seg
+        FROM g216_customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + $mx + 1,
+          CAST(round(c_acctbal * 100) AS BIGINT) * 2, c_mktsegment
+        FROM g216_customer WHERE c_custkey % 11 = 0) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.k % 9 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET bal_cents = s.bal_cents
+      WHEN NOT MATCHED THEN INSERT *""")
+
+    // the merge-on-read evidence, in-plan: every pre-merge file is
+    // byte-identical (only vectors + appended rows landed)
+    val after = dataFiles()
+    before.foreach { case (f, id) =>
+      require(after.get(f).contains(id),
+        s"q216: merge-on-read MERGE rewrote or retired $f")
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(base,
+        graft.sources.GraftDv.DirName)),
+      "q216: no deletion vectors were written")
+
+    spark.table(s"$cat.ods.bal")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("bal_sum"))
+  }
+
+  val q216Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |    c_mktsegment AS seg
+       |  FROM customer)
+       |SELECT seg, ${bi("count(*)")} AS n, ${bi("sum(bal)")} AS bal_sum
+       |FROM (
+       |  SELECT seg,
+       |    CASE WHEN k % 3 = 0 THEN bal + 1000 ELSE bal END AS bal
+       |  FROM base WHERE k % 9 <> 0
+       |  UNION ALL
+       |  SELECT seg, bal * 2 FROM base WHERE k % 11 = 0)
+       |GROUP BY seg""".stripMargin
+
   val q215Oracle: String =
     s"""WITH keyed AS (
        |  SELECT (o_orderkey * 2654435761) % 1000000007 AS ukey,
@@ -1789,7 +1877,8 @@ object CatalogQueries {
     "q212_bucket_pruning" -> (q212BucketPruning _),
     "q213_streaming_update_upsert" -> (q213StreamingUpdateUpsert _),
     "q214_mor_delete" -> (q214MorDelete _),
-    "q215_bloom_pointlookup" -> (q215BloomPointlookup _))
+    "q215_bloom_pointlookup" -> (q215BloomPointlookup _),
+    "q216_mor_merge" -> (q216MorMerge _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1826,5 +1915,6 @@ object CatalogQueries {
     "q212_bucket_pruning" -> q212Oracle,
     "q213_streaming_update_upsert" -> q213Oracle,
     "q214_mor_delete" -> q214Oracle,
-    "q215_bloom_pointlookup" -> q215Oracle)
+    "q215_bloom_pointlookup" -> q215Oracle,
+    "q216_mor_merge" -> q216Oracle)
 }

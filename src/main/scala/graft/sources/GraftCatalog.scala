@@ -617,7 +617,18 @@ private[sources] class GraftTable(
     dataDirOverride: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations with SupportsDeleteV2
-  with SupportsPartitionManagement {
+  with SupportsPartitionManagement
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row coordinates for the merge-on-read delta tier
+    * ([[GraftDeltaMor]]): `_graft_file` (table-relative path) and
+    * `_graft_pos` (file-absolute ordinal) — Iceberg's `_file`/`_pos`.
+    * Hidden unless selected; scans that project them read row-based
+    * through per-file chains so positions are exact.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftDeltaMor.metadataColumns
 
   private val dir = dataDirOverride.getOrElse(s"$root/$layer/$table")
   private def readOnly: Boolean = dataDirOverride.isDefined
@@ -1195,6 +1206,36 @@ private[sources] class GraftTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
+    // merge-on-read tables run UPDATE/MERGE (and untranslatable
+    // DELETEs — translatable ones stay on the deleteWhere vector path,
+    // partition predicates on the directory-drop path) as DELTA
+    // operations ([[GraftDeltaMor]]): positions + appended rows,
+    // untouched files byte-identical. Copy-on-write tables keep the
+    // group-based rewrite below.
+    if (morEnabled && format == "parquet")
+      return () => new RowLevelOperation
+          with org.apache.spark.sql.connector.write.SupportsDelta {
+        override def command(): RowLevelOperation.Command = info.command
+        override def description(): String =
+          s"graft merge-on-read ${info.command}"
+        override def rowId(): Array[NamedReference] = Array(
+          Expressions.column(GraftDeltaMor.FileCol),
+          Expressions.column(GraftDeltaMor.PosCol))
+        override def requiredMetadataAttributes(): Array[NamedReference] =
+          Array.empty
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          GraftTable.this.newScanBuilder(options)
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo)
+            : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+          new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+            override def build()
+                : org.apache.spark.sql.connector.write.DeltaWrite =
+              new GraftDeltaMor.GraftMorDeltaWrite(spark, format,
+                writeInfo.schema(), dir, effectivePartitionCols,
+                meta.bucketSpec, writeInfo, autoAnalyze)
+          }
+      }
     () => new RowLevelOperation with GraftCowOperation {
       override def command(): RowLevelOperation.Command = info.command
       override def description(): String = s"graft copy-on-write ${info.command}"
@@ -1628,8 +1669,17 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
   with SupportsPushDownAggregates
   with SupportsPushDownVariantExtractions {
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+  // requested row-coordinate metadata columns ([[GraftDeltaMor]]):
+  // split off before delegating (the file builder doesn't know them);
+  // their presence routes build() to the positional MetaScan
+  private var metaFields: Seq[org.apache.spark.sql.types.StructField] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (meta, data) = requiredSchema.fields.partition(f =>
+      GraftDeltaMor.isMetaField(f.name))
+    metaFields = meta.toSeq
+    delegate.pruneColumns(StructType(data))
+  }
 
   // recorded for the manifest aggregate fast path: PARTITION-column
   // predicates are exact at file granularity (dir tokens), so the
@@ -1717,6 +1767,17 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     case Some((aggSchema, rows)) =>
       new GraftStatsLocalAggScan(aggSchema, rows,
         s"graft-stats-agg(${aggSchema.fieldNames.mkString(", ")})")
+    case None if metaFields.nonEmpty =>
+      // positional scan: per-file ordered chains, filter-stripped
+      // readers, deletion vectors applied — exact `_graft_pos`
+      delegate.build() match {
+        case fs: FileScan =>
+          new GraftDeltaMor.MetaScan(fs, statsDir.getOrElse(
+            throw new IllegalStateException(
+              "metadata columns need a table dir")), metaFields)
+        case other => throw new IllegalStateException(
+          s"metadata columns over non-file scan $other")
+      }
     case None => delegate.build() match {
       case fs: FileScan => bucket match {
         case Some((n, c)) =>
@@ -2767,7 +2828,7 @@ private[graft] object GraftPartitionedCow {
     * does internally (write/readFields), without reaching into
     * private[spark] helpers.
     */
-  private final class SerializableHadoopConf(
+  private[sources] final class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
     extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -2791,13 +2852,13 @@ private[graft] object GraftPartitionedCow {
     * partition values in directory names only), plus the serialized
     * hadoop conf and the partition-field extraction plan.
     */
-  private final case class Prepared(
+  private[sources] final case class Prepared(
       owf: OutputWriterFactory, conf: SerializableHadoopConf,
       fileSchema: StructType, fileFieldIdx: Seq[Int],
       partFields: Seq[(String, Int, DataType)],
       bucketField: Option[(Int, Int)]) // (numBuckets, index in dataSchema)
 
-  private def prepare(spark: SparkSession, format: String,
+  private[sources] def prepare(spark: SparkSession, format: String,
       dataSchema: StructType, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)] = None): Prepared = {
     val fileFields = dataSchema.fields.zipWithIndex.filterNot {
@@ -3318,7 +3379,7 @@ private[graft] object GraftPartitionedCow {
     * hash exchange and split a skewed group — one giant date partition
     * stops being one giant task.
     */
-  private def clusteringOf(partitionCols: Seq[String],
+  private[sources] def clusteringOf(partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)]): Distribution =
     Distributions.clustered(
       (partitionCols.map(c => Expressions.identity(c)
@@ -3334,7 +3395,7 @@ private[graft] object GraftPartitionedCow {
     * partition-write OOM at cluster scale. Spark's own
     * FileFormatWriter sorts for exactly this reason.
     */
-  private def orderingOf(partitionCols: Seq[String],
+  private[sources] def orderingOf(partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)])
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     (partitionCols.map(c => Expressions.identity(c)
@@ -3606,7 +3667,7 @@ private[graft] object GraftPartitionedCow {
       }
   }
 
-  private final case class PartitionedCowWriterFactory(
+  private[sources] final case class PartitionedCowWriterFactory(
       owf: OutputWriterFactory, conf: SerializableHadoopConf,
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
@@ -3651,7 +3712,7 @@ private[graft] object GraftPartitionedCow {
     * completed idempotently; the STAGED name keeps a per-attempt uuid so
     * concurrent task attempts never write the same file.
     */
-  private final class PartitionedCowWriter(
+  private[sources] final class PartitionedCowWriter(
       owf: OutputWriterFactory, conf: org.apache.hadoop.conf.Configuration,
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],

@@ -125,7 +125,11 @@ class GraftDvSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $cat.ods.t WHERE k < 100")
     assert(dvCount(root, "ods/t") > 0)
 
-    // the rewrite's carryover must NOT contain the deleted rows
+    // back to copy-on-write (UPDATE on a MOR table is delta-based —
+    // GraftMorDeltaSpec's tier): the COW rewrite's carryover must NOT
+    // contain the deleted rows
+    spark.sql(s"ALTER TABLE $cat.ods.t UNSET TBLPROPERTIES " +
+      s"('${GraftDv.ModeKey}')")
     spark.sql(s"UPDATE $cat.ods.t SET v = 1 WHERE k >= 250")
 
     val rows = spark.table(s"$cat.ods.t").as[(Long, Long)].collect().toSet
