@@ -131,7 +131,11 @@ private[graft] object GraftBloom {
     */
   def analyze(spark: SparkSession, tableDir: Path, tableSchema: StructType,
       partitionCols: Seq[String], columns: Seq[String],
-      fpp: Double): (Int, Int, Int) = {
+      fpp: Double,
+      // write-scoped refresh (auto-bloom): only these partition-dir
+      // shard keys are listed, reconciled, and eligible to build — the
+      // per-commit metadata cost tracks the WRITE, not the table
+      scope: Option[Set[String]] = None): (Int, Int, Int) = {
     require(columns.nonEmpty, "analyze_bloom: no columns named")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val resolved = columns.map { c =>
@@ -161,11 +165,25 @@ private[graft] object GraftBloom {
         else Seq((st.getPath.toUri.getPath.stripPrefix(dirUri)
           .stripPrefix("/"), (st.getLen, st.getModificationTime)))
       }
-    val live = listData(tableDir).toMap
+    val live = (scope match {
+      case None => listData(tableDir)
+      case Some(keys) =>
+        // scoped: list only the write's partition dirs
+        keys.toSeq.flatMap { k =>
+          listData(if (k.isEmpty) tableDir else new Path(tableDir, k))
+            // root-scoped listing must not descend into other shards'
+            // dirs twice; listData on the root recurses, so filter to
+            // the exact shard key
+            .filter { case (rel, _) => GraftStats.shardKeyOf(rel) == k }
+        }
+    }).toMap
 
     // existing entries that are identity-valid AND cover the request
     val wanted = resolved.map(_._1.toLowerCase).toSet
-    val prior = readAll(fs, tableDir)
+    val prior = scope match {
+      case None => readAll(fs, tableDir)
+      case Some(keys) => readShards(fs, tableDir, keys)
+    }
     val valid = prior.filter { case (rel, fb) =>
       live.get(rel).contains((fb.size, fb.mtime)) &&
         wanted.subsetOf(fb.cols.keySet)
@@ -178,7 +196,7 @@ private[graft] object GraftBloom {
     }
 
     if (toBuild.isEmpty) {
-      reconcileShards(fs, tableDir, valid)
+      reconcileShards(fs, tableDir, valid, scope)
       return (0, valid.size, resolved.size)
     }
     // read ONLY the files that need building, directly by path — the
@@ -254,9 +272,25 @@ private[graft] object GraftBloom {
       }
     }.toMap
     val entries = valid ++ built
-    reconcileShards(fs, tableDir, entries)
+    reconcileShards(fs, tableDir, entries, scope)
     (built.size, entries.size, resolved.size)
   }
+
+  /** Entries of a specific shard-key set (the scoped maintenance read). */
+  private def readShards(fs: FileSystem, tableDir: Path,
+      keys: Set[String]): Map[String, FileBlooms] =
+    keys.toSeq.flatMap { k =>
+      val f = shardFile(tableDir, k)
+      if (!fs.exists(f)) Nil
+      else {
+        try {
+          val in = fs.open(f)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          parseShard(lines)
+        } catch { case NonFatal(_) => Nil }
+      }
+    }.toMap
 
   /** All existing entries across every shard (file-count-bounded
     * metadata — this is the per-table maintenance path, not planning).
@@ -280,17 +314,22 @@ private[graft] object GraftBloom {
   /** Bring the shard files to exactly `entries`: shards whose content
     * is unchanged are left byte-identical (mtime included), vanished
     * shards are dropped, changed ones published by atomic tmp+rename.
+    * With a `scope`, only the scoped shard keys are touched — foreign
+    * shards (and their files) are not this write's business.
     */
   private def reconcileShards(fs: FileSystem, tableDir: Path,
-      entries: Map[String, FileBlooms]): Unit = {
+      entries: Map[String, FileBlooms],
+      scope: Option[Set[String]] = None): Unit = {
     val byShard = entries.groupBy { case (rel, _) =>
       GraftStats.shardKeyOf(rel)
     }
     fs.mkdirs(shardDir(tableDir))
     fs.listStatus(shardDir(tableDir)).foreach { st =>
+      val inScope = scope.forall(_.exists(k =>
+        shardFile(tableDir, k).getName == st.getPath.getName))
       val keep = byShard.keys.exists(k =>
         shardFile(tableDir, k).getName == st.getPath.getName)
-      if (!keep && !st.getPath.getName.startsWith("."))
+      if (inScope && !keep && !st.getPath.getName.startsWith("."))
         fs.delete(st.getPath, false)
     }
     byShard.foreach { case (key, m) =>

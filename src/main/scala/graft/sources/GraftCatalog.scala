@@ -305,17 +305,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // durable table properties: delete_mode selects the row-level
     // DELETE strategy (copy-on-write rewrites files — the default;
-    // merge-on-read records positions in [[GraftDv]] deletion vectors).
-    // Unknown keys are ignored (Spark passes reserved props through).
-    val durableProps = Option(properties.get(GraftDv.ModeKey)).map { v =>
-      require(v == GraftDv.CowValue || v == GraftDv.MorValue,
-        s"${GraftDv.ModeKey} must be '${GraftDv.CowValue}' or " +
-          s"'${GraftDv.MorValue}', got '$v'")
-      require(v != GraftDv.MorValue || format == "parquet",
-        s"${GraftDv.ModeKey}=${GraftDv.MorValue} requires parquet " +
-          s"(positional deletes ride the parquet row index); format is $format")
-      Map(GraftDv.ModeKey -> v)
-    }.getOrElse(Map.empty)
+    // merge-on-read records positions in [[GraftDv]] deletion vectors);
+    // bloom_columns/bloom_fpp keep [[GraftBloom]] point-lookup filters
+    // maintained at write time under auto_analyze catalogs. Unknown
+    // keys are ignored (Spark passes reserved props through).
+    val durableProps =
+      Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp").flatMap { k =>
+        Option(properties.get(k)).map { v =>
+          validateDurableProp(k, v, format, Some(schema))
+          k -> v
+        }
+      }.toMap
     val dir = tableDir(ident)
     fs.mkdirs(dir)
     val meta = GraftTableMeta(Some(schema), partitionCols, bucketSpec,
@@ -414,34 +414,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  private val durableKeys =
+    Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp")
+
+  /** Validate one durable table property (CREATE and ALTER share it). */
+  private def validateDurableProp(key: String, value: String,
+      format: String, schema: Option[StructType]): Unit = key match {
+    case GraftDv.ModeKey =>
+      require(value == GraftDv.CowValue || value == GraftDv.MorValue,
+        s"${GraftDv.ModeKey} must be '${GraftDv.CowValue}' or " +
+          s"'${GraftDv.MorValue}', got '$value'")
+      require(value != GraftDv.MorValue || format == "parquet",
+        s"${GraftDv.ModeKey}=${GraftDv.MorValue} requires parquet " +
+          "(positional deletes ride the parquet row index); " +
+          s"format is $format")
+    case "bloom_columns" =>
+      require(format == "parquet",
+        s"bloom_columns requires parquet; format is $format")
+      val cols = value.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, "bloom_columns names no columns")
+      schema.foreach { s =>
+        cols.foreach { c =>
+          val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"bloom_columns: column $c not in schema"))
+          require(GraftBloom.kindOf(f.dataType).isDefined,
+            s"bloom_columns: column $c type ${f.dataType.simpleString} " +
+              "unsupported (integral and string columns only)")
+        }
+      }
+    case "bloom_fpp" =>
+      val f = try value.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"bloom_fpp must be a number in (0,1), got '$value'")
+      }
+      require(f > 0 && f < 1, s"bloom_fpp must be in (0,1), got $value")
+    case other => throw new IllegalArgumentException(
+      s"unsupported table property '$other' " +
+        s"(durable properties: ${durableKeys.mkString(", ")})")
+  }
+
   /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` for the durable keys the
-    * engine understands — today `delete_mode`, which lets an EXISTING
-    * table opt into (or out of) merge-on-read deletes. Switching back
-    * to copy-on-write leaves already-written deletion vectors in force
-    * on the read path until `CALL system.rewrite_deletes` materializes
-    * them — a mode is a WRITE strategy, never a license to resurrect.
+    * engine understands: `delete_mode` lets an EXISTING table opt into
+    * (or out of) merge-on-read row-level ops — switching back to
+    * copy-on-write leaves already-written deletion vectors in force on
+    * the read path until `CALL system.rewrite_deletes` materializes
+    * them (a mode is a WRITE strategy, never a license to resurrect) —
+    * and `bloom_columns`/`bloom_fpp` turn on write-time Bloom-filter
+    * maintenance under auto_analyze catalogs.
     */
   private def alterProperties(ident: Identifier,
       changes: Seq[TableChange]): Table = {
     val dir = tableDir(ident)
     val meta0 = GraftTableMeta.read(fs, dir)
+    val table0Schema = meta0.schema
     val props = changes.foldLeft(meta0.props) { (ps, ch) =>
       ch match {
         case s: TableChange.SetProperty =>
-          require(s.property == GraftDv.ModeKey,
-            s"unsupported table property '${s.property}' " +
-              s"(durable properties: ${GraftDv.ModeKey})")
-          require(s.value == GraftDv.CowValue || s.value == GraftDv.MorValue,
-            s"${GraftDv.ModeKey} must be '${GraftDv.CowValue}' or " +
-              s"'${GraftDv.MorValue}', got '${s.value}'")
-          require(s.value != GraftDv.MorValue || format == "parquet",
-            s"${GraftDv.ModeKey}=${GraftDv.MorValue} requires parquet; " +
-              s"this table's format is $format")
+          validateDurableProp(s.property, s.value, format, table0Schema)
           ps + (s.property -> s.value)
         case r: TableChange.RemoveProperty =>
-          require(r.property == GraftDv.ModeKey,
+          require(durableKeys.contains(r.property),
             s"unsupported table property '${r.property}' " +
-              s"(durable properties: ${GraftDv.ModeKey})")
+              s"(durable properties: ${durableKeys.mkString(", ")})")
           ps - r.property
         case other => throw new IllegalStateException(s"unreachable $other")
       }
@@ -889,9 +924,23 @@ private[sources] class GraftTable(
     import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
     import org.apache.spark.sql.connector.write.streaming.StreamingWrite
     if (!autoAnalyze || readOnly) return w
-    def refresh(scope: Option[Set[String]]): Unit =
+    def refresh(scope: Option[Set[String]]): Unit = {
       try GraftStats.analyze(spark, dir, format, scope)
       catch { case scala.util.control.NonFatal(_) => () }
+      // auto-bloom: a table that declares `bloom_columns` keeps its
+      // point-lookup filters fresh at every commit too — incremental
+      // (only the write's new files pay a data read) and write-scoped
+      // like the stats refresh; advisory like it
+      meta.props.get("bloom_columns").foreach { cols =>
+        try GraftBloom.analyze(spark, new Path(dir), schema(),
+          effectivePartitionCols,
+          cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          meta.props.get("bloom_fpp").map(_.toDouble)
+            .getOrElse(GraftBloom.DefaultFpp),
+          scope)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
     // SCOPED refresh (r11 item 1): the commit messages carry the final
     // paths this write just published, so the refresh can reconcile
     // ONLY those partitions' manifest shards — metadata work

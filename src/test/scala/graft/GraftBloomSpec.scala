@@ -143,6 +143,36 @@ class GraftBloomSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .where(col("tag").isin("g13", "g1math")).count() == expect + 1)
   }
 
+  test("auto-bloom: bloom_columns + auto_analyze keep filters fresh at every commit") {
+    n += 1
+    val name = s"gbla${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-bla-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    spark.sql(s"CREATE NAMESPACE $name.ods")
+    spark.sql(s"CREATE TABLE $name.ods.t (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('bloom_columns' = 'k', 'bloom_fpp' = '0.005')")
+    (0 until 4).foreach { s =>
+      spark.sql(s"INSERT INTO $name.ods.t SELECT (id * 37) % 4000, " +
+        s"concat('t', id) FROM range(${s * 1000}, ${(s + 1) * 1000})")
+    }
+    // NO CALL happened — the filters were maintained at commit time
+    val q = spark.table(s"$name.ods.t").where(col("k") === 1234)
+    val expect = (0L until 4000L).map(_ * 37 % 4000).count(_ == 1234)
+    assert(q.count() == expect)
+    val total = scannedFiles(spark.table(s"$name.ods.t"))
+    val pruned = scannedFiles(q)
+    assert(pruned < total,
+      s"write-time blooms did not prune ($pruned of $total files)")
+    // property surface: unknown key refused, bad fpp refused
+    val e = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $name.ods.t SET TBLPROPERTIES " +
+        "('bloom_fpp' = '7')")
+    }
+    assert(e.getMessage.contains("bloom_fpp"))
+  }
+
   test("refusals: partition columns, unsupported types, bad fpp") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
