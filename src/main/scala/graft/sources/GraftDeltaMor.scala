@@ -109,11 +109,33 @@ private[sources] object GraftDeltaMor {
         SparkSession.active.sparkContext.hadoopConfiguration)
       val dvIndex = GraftDv.list(fs, tableDir)
       val parts = initial.toBatch.planInputPartitions()
-      val splits = parts.toSeq.flatMap {
+      val all = parts.toSeq.flatMap {
         case fp: FilePartition => fp.files.toSeq
         case other => throw new IllegalStateException(
           s"metadata scan over a non-file partition: $other")
       }
+      // WHOLE-FILE skipping composes with positional reads: a file the
+      // stats manifest or a bloom filter proves free of matching rows
+      // holds nothing to update or delete, so dropping it cannot change
+      // the operation (Spark only pushes filters that are semantically
+      // applicable to this scan — e.g. a NOT-MATCHED-BY-SOURCE merge
+      // pushes nothing). Positions in SURVIVING files are untouched —
+      // skipping never splits a file. Readers stay filter-stripped.
+      val filters = initial.dataFilters
+      val splits =
+        if (filters.isEmpty) all
+        else {
+          val stats = new GraftStats.ScopedReader(fs, tableDir)
+            .forFiles(all)
+          val blooms = new GraftBloom.ScopedReader(fs, tableDir)
+            .forFiles(all)
+          all.filter { f =>
+            (stats.isEmpty ||
+              GraftStats.keepFile(f, filters, stats, tableDir)) &&
+            (blooms.isEmpty ||
+              GraftBloom.keepFile(f, filters, blooms, tableDir))
+          }
+        }
       val dvs = GraftDv.forFiles(fs, tableDir, splits, dvIndex)
       if (dvs.nonEmpty) GraftDv.verifyLive(fs, tableDir, dvs, splits)
       // one chain per file: splits sorted and contiguity-checked —

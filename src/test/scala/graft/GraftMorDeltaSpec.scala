@@ -205,6 +205,47 @@ class GraftMorDeltaSpec extends SparkSpec {
       .collect().toSet == expected)
   }
 
+  test("positional scans skip: a selective UPDATE never opens files the manifest prunes") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    mor(cat, s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT)")
+    // four single-slice inserts -> four files with DISJOINT k ranges
+    (0 until 4).foreach { s =>
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT id, 0 " +
+        s"FROM range(${s * 250}, ${(s + 1) * 250})")
+    }
+    spark.sql(s"CALL $cat.system.analyze(table => 'ods.t')")
+
+    // same-length-corrupt every file that cannot hold k = 42: the
+    // manifest identity stays valid, so the positional scan must PRUNE
+    // them — if it opened one, the parquet reader would explode
+    val fs = fsOf(root)
+    val dirP = new Path(s"$root/ods/t")
+    fs.listStatus(dirP).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .foreach { p =>
+        val rows = spark.read.parquet(p.toString).agg(min("k"), max("k"))
+          .head
+        // corrupt only the k >= 250 slices: provably unmatchable by the
+        // UPDATE, and outside the parity read below
+        if (rows.getLong(0) >= 250) {
+          val st = fs.getFileStatus(p)
+          val out = fs.create(p, true)
+          try out.write(new Array[Byte](st.getLen.toInt))
+          finally out.close()
+          fs.setTimes(p, st.getModificationTime, -1)
+        }
+      }
+
+    spark.sql(s"UPDATE $cat.ods.t SET v = 9 WHERE k = 42")
+    // parity on the surviving slice (the normal scan prunes the
+    // corrupted files for the same reason the positional scan did)
+    assert(spark.table(s"$cat.ods.t").where(col("k") < 250)
+      .as[(Long, Long)].collect().toSet ==
+      (0L until 250L).map(k => (k, if (k == 42) 9L else 0L)).toSet,
+      "selective merge-on-read UPDATE opened a pruned file or misapplied")
+  }
+
   test("delta ops equal the COW result computed on an identical table") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
