@@ -246,6 +246,32 @@ class GraftMorDeltaSpec extends SparkSpec {
       "selective merge-on-read UPDATE opened a pruned file or misapplied")
   }
 
+  test("partition-moving UPDATE: the row re-homes via position + insert, no rewrite") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    mor(cat, s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id, " +
+      "concat('p', id % 2) FROM range(0, 100)")
+    val before = fileState(root, "ods/t")
+
+    // assigning the PARTITION column: delete-position in the old
+    // partition's file + replacement row written into the NEW dir
+    spark.sql(s"UPDATE $cat.ods.t SET g = 'moved' WHERE k = 7")
+
+    before.foreach { case (f, id) =>
+      assert(fileState(root, "ods/t").get(f).contains(id),
+        s"partition-moving merge-on-read UPDATE rewrote $f")
+    }
+    val fs = fsOf(root)
+    assert(fs.exists(new Path(s"$root/ods/t/g=moved")),
+      "the replacement row did not land in its new partition dir")
+    assert(spark.table(s"$cat.ods.t").as[(Long, Long, String)]
+      .collect().toSet ==
+      (0L until 100L).map(k =>
+        (k, k, if (k == 7) "moved" else s"p${k % 2}")).toSet)
+  }
+
   test("delta ops equal the COW result computed on an identical table") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
