@@ -879,15 +879,17 @@ private[sources] class GraftTable(
         // ignore them
         val mft = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
         val mbt = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+        val ignoreDel = options.getBoolean("ignoreDeletes", false)
         meta.bucketSpec match {
           case Some((n, c)) =>
             new GraftScanBuilder(fsb, bucket = Some((n, c)),
               statsDir = stats, tableSchema = schema(),
               partitionSchema = pSchema, maxFilesPerTrigger = mft,
-              maxBytesPerTrigger = mbt)
+              maxBytesPerTrigger = mbt, ignoreDeletes = ignoreDel)
           case None =>
             new GraftScanBuilder(fsb, statsDir = stats,
               tableSchema = schema(), partitionSchema = pSchema,
+              ignoreDeletes = ignoreDel,
               maxFilesPerTrigger = mft, maxBytesPerTrigger = mbt)
         }
       case other => other
@@ -1711,7 +1713,8 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     tableSchema: StructType = new StructType(),
     partitionSchema: StructType = new StructType(),
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    ignoreDeletes: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1832,11 +1835,12 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
         case Some((n, c)) =>
           new GraftBucketedScan(fs, n, c, statsDir,
             maxFilesPerTrigger = maxFilesPerTrigger,
-            maxBytesPerTrigger = maxBytesPerTrigger)
+            maxBytesPerTrigger = maxBytesPerTrigger,
+            ignoreDeletes = ignoreDeletes)
         case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir,
           maxFilesPerTrigger = maxFilesPerTrigger,
           maxBytesPerTrigger = maxBytesPerTrigger,
-          dvTableDir = statsDir)
+          dvTableDir = statsDir, ignoreDeletes = ignoreDeletes)
       }
       case other => other
     }
@@ -1885,7 +1889,8 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     // the reported KeyGroupedPartitioning stays truthful
     statsDir: Option[Path] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    ignoreDeletes: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsRuntimeV2Filtering
@@ -1923,7 +1928,7 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(initial, checkpointLocation,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, ignoreDeletes)
   override def description(): String =
     s"graft-bucketed(n=$n, key=$col) ${current.description()}"
   override def estimateStatistics(): Statistics = current.estimateStatistics()
@@ -2175,6 +2180,7 @@ private[sources] final class GraftRuntimeFilterScan(
     statsDir: Option[Path] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
+    ignoreDeletes: Boolean = false,
     // table dir for merge-on-read deletion vectors ([[GraftDv]]):
     // set on EVERY catalog scan — including capture-mode COW scans,
     // where skipping is off but deleted rows must still not resurrect
@@ -2286,7 +2292,7 @@ private[sources] final class GraftRuntimeFilterScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(current, checkpointLocation,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, ignoreDeletes)
   override def description(): String = current.description()
 
   /** Planning-time statistics AFTER data skipping: when a manifest
@@ -2553,7 +2559,14 @@ private[sources] final class GraftTableMicroBatchStream(
     // the source's default admission limits — without one, a backfill
     // of a 100 TB table would arrive as ONE micro-batch
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    // the source is APPEND-ONLY: merge-on-read deletion vectors are
+    // invisible to it (deleted rows in already-delivered files cannot
+    // be retracted, and rows of a vectored file discovered later would
+    // deliver undeleted). A table with live vectors therefore REFUSES
+    // to stream unless the operator opts in with
+    // readStream.option("ignoreDeletes", true) — the Delta contract.
+    ignoreDeletes: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -2660,6 +2673,13 @@ private[sources] final class GraftTableMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     synchronized {
       loadLog()
+      // per-trigger, so a vector landing MID-stream is caught too
+      if (!ignoreDeletes && GraftDv.hasAny(fs, tableRoot))
+        throw new IllegalStateException(
+          s"$tableRoot has live merge-on-read deletion vectors: this " +
+            "append-only stream cannot retract deleted rows. Either " +
+            "materialize them (CALL system.rewrite_deletes) or opt in " +
+            "with readStream.option(\"ignoreDeletes\", true)")
       var freshSized = listDataFilesWithLen(tableRoot)
         .filterNot { case (p, _) => seen(p) }
       availableNowSnapshot.foreach(snap =>

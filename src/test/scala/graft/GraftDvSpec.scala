@@ -294,6 +294,43 @@ class GraftDvSpec extends SparkSpec {
     assert(engine.readVersion("ods", "t", 1).count() == 90)
   }
 
+  test("streaming a table with live vectors refuses; ignoreDeletes opts in") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k < 10")
+    assert(dvCount(root, "ods/t") > 0)
+
+    // append-only source + live vectors = silent resurrection: refused
+    val q1 = spark.readStream.table(s"$cat.ods.t")
+      .writeStream.format("memory").queryName(s"dvs_refuse_$n")
+      .option("checkpointLocation", tmpDir("dv-cp-a")).start()
+    val e = intercept[Throwable] { q1.processAllAvailable() }
+    def mentions(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.getMessage != null &&
+          c.getMessage.contains("deletion vectors")) return true
+        c = c.getCause
+      }
+      false
+    }
+    assert(mentions(e), s"expected the deletion-vector refusal, got $e")
+    q1.stop()
+
+    // explicit opt-in streams the raw appended files (deleted rows
+    // included — the documented append-only contract)
+    val q2 = spark.readStream.option("ignoreDeletes", "true")
+      .table(s"$cat.ods.t")
+      .writeStream.format("memory").queryName(s"dvs_optin_$n")
+      .option("checkpointLocation", tmpDir("dv-cp-b")).start()
+    q2.processAllAvailable()
+    assert(spark.table(s"dvs_optin_$n").count() == 100)
+    q2.stop()
+  }
+
   test("delete_mode surface: value validation, ALTER toggle, vectors outlive the mode") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
