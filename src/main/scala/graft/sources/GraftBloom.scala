@@ -178,15 +178,20 @@ private[graft] object GraftBloom {
         }
     }).toMap
 
-    // existing entries that are identity-valid AND cover the request
+    // identity-valid entries survive; only those ALSO covering every
+    // requested column skip the build — but a rebuilt file MERGES its
+    // new filters into the identity-valid entry's existing columns, so
+    // analyze_bloom(t, 'b') after analyze_bloom(t, 'a') covers BOTH
     val wanted = resolved.map(_._1.toLowerCase).toSet
     val prior = scope match {
       case None => readAll(fs, tableDir)
       case Some(keys) => readShards(fs, tableDir, keys)
     }
-    val valid = prior.filter { case (rel, fb) =>
-      live.get(rel).contains((fb.size, fb.mtime)) &&
-        wanted.subsetOf(fb.cols.keySet)
+    val identityValid = prior.filter { case (rel, fb) =>
+      live.get(rel).contains((fb.size, fb.mtime))
+    }
+    val valid = identityValid.filter { case (_, fb) =>
+      wanted.subsetOf(fb.cols.keySet)
     }
     val toBuild = live.keySet -- valid.keySet
 
@@ -216,7 +221,7 @@ private[graft] object GraftBloom {
     val counts = dfBuild.groupBy(col("__f")).count().collect()
       .map(r => relOfPath(r.getString(0)) -> r.getLong(1)).toMap
     if (counts.isEmpty) {
-      reconcileShards(fs, tableDir, valid)
+      reconcileShards(fs, tableDir, valid, scope)
       return (0, valid.size, resolved.size)
     }
     val bCounts = spark.sparkContext.broadcast(counts)
@@ -266,7 +271,7 @@ private[graft] object GraftBloom {
     val built = partials.flatMap { case (rel, blobs) =>
       live.get(rel).map { case (len, mtime) =>
         rel -> FileBlooms(len, mtime,
-          (valid.get(rel).map(_.cols).getOrElse(Map.empty)) ++
+          (identityValid.get(rel).map(_.cols).getOrElse(Map.empty)) ++
             resolved.indices.map(i => resolved(i)._1.toLowerCase ->
               (kinds(i), bloomOf(blobs(i)))).toMap)
       }
@@ -349,8 +354,7 @@ private[graft] object GraftBloom {
         val tmp = new Path(fin.getParent, "." + fin.getName + ".tmp")
         val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
-        if (fs.exists(fin)) fs.delete(fin, false)
-        require(fs.rename(tmp, fin), s"bloom shard publish failed: $fin")
+        GraftDv.replaceAtomic(fs, tmp, fin)
       }
     }
   }
@@ -379,14 +383,19 @@ private[graft] object GraftBloom {
         }.distinct
         keys.flatMap { k =>
           cache.getOrElseUpdate(k, {
-            val f = shardFile(tableDir, k)
-            if (!fs.exists(f)) Map.empty
-            else {
-              val in = fs.open(f)
-              val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-                .getLines().toList finally in.close()
-              parseShard(lines)
-            }
+            // fail-safe: filters are advisory — a transient shard IO
+            // race (concurrent reconcile) must cost pruning, never a
+            // query
+            try {
+              val f = shardFile(tableDir, k)
+              if (!fs.exists(f)) Map.empty
+              else {
+                val in = fs.open(f)
+                val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+                  .getLines().toList finally in.close()
+                parseShard(lines)
+              }
+            } catch { case NonFatal(_) => Map.empty[String, FileBlooms] }
           })
         }.toMap
       }

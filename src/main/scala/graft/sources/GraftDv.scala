@@ -116,8 +116,30 @@ private[graft] object GraftDv {
         s""""card":${dv.ords.length}}""" + "\n" +
         dv.ords.mkString(",") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    require(fs.rename(tmp, fin), s"deletion vector publish failed: $fin")
+    replaceAtomic(fs, tmp, fin)
+  }
+
+  /** Replace `fin` with `tmp` as atomically as the filesystem allows:
+    * `FileContext.rename(OVERWRITE)` — atomic on HDFS and posix local —
+    * so a reader planning concurrently sees either the old sidecar or
+    * the new one, NEVER a missing one (a gap would silently resurrect
+    * deleted rows: readers take no lock by design). Falls back to
+    * delete-then-rename only where FileContext is unavailable.
+    */
+  private[sources] def replaceAtomic(fs: FileSystem, tmp: Path,
+      fin: Path): Unit = {
+    val done =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fin.toUri, fs.getConf)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(fin),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch { case NonFatal(_) => false }
+    if (!done) {
+      if (fs.exists(fin)) fs.delete(fin, false)
+      require(fs.rename(tmp, fin), s"atomic replace failed: $fin")
+    }
   }
 
   private def jstr(s: String): String =
@@ -346,18 +368,18 @@ private[graft] object GraftDv {
     val matched = df.filter(cond)
       .select(col("_metadata.file_path").as("__f"),
         col("_metadata.row_index").as("__o"))
-    val perFile = matched.groupBy(col("__f"))
-      .agg(sort_array(collect_list(col("__o"))).as("__ords"))
-      .collect()
-      // bound the driver footprint BEFORE materializing rows: the
-      // aggregate itself is file-count-sized rows of ord arrays; the
-      // cap guards the total ordinal volume
-    val total = perFile.iterator.map(_.getSeq[Long](1).size.toLong).sum
+    // enforce the cap BEFORE any ordinal reaches the driver: a count is
+    // one cheap distributed pass, and a too-wide delete must fail
+    // before — not after — it can OOM the driver
+    val total = matched.count()
     require(total <= maxRows,
       s"merge-on-read DELETE matched $total rows (> $MaxRowsConf=$maxRows): " +
         "a delete this wide should rewrite files — use the copy-on-write " +
         "path (delete_mode=copy-on-write) or a partition-level DELETE")
-    if (perFile.isEmpty) return 0L
+    if (total == 0) return 0L
+    val perFile = matched.groupBy(col("__f"))
+      .agg(sort_array(collect_list(col("__o"))).as("__ords"))
+      .collect()
 
     var fresh = 0L
     GraftCommitLock.withLock(fs, tableDir, "mor-delete") {
@@ -724,13 +746,24 @@ private[graft] object GraftDv {
     if (index.isEmpty) df
     else {
       val dirUri = tableDir.toUri.getPath
+      // an orphaned sidecar (data file retired under a fresh name) is
+      // inert — it contributes no rows and its keys anti-join nothing;
+      // skip it rather than failing the read. A sidecar whose file
+      // EXISTS but changed stays a loud refusal (resurrection risk).
       val entries = index.toSeq.map { case (rel, p) => read(fs, p) }
-      entries.foreach { dv =>
-        val st = fs.getFileStatus(new Path(tableDir, dv.rel))
-        require(st.getLen == dv.len && st.getModificationTime == dv.mtime,
-          s"deletion vector for ${dv.rel} no longer matches its data file " +
-            "— refusing the path read")
-      }
+        .filter { dv =>
+          val f = new Path(tableDir, dv.rel)
+          if (!fs.exists(f)) false
+          else {
+            val st = fs.getFileStatus(f)
+            require(st.getLen == dv.len &&
+              st.getModificationTime == dv.mtime,
+              s"deletion vector for ${dv.rel} no longer matches its data " +
+                "file — refusing the path read")
+            true
+          }
+        }
+      if (entries.isEmpty) return df
       import spark.implicits._
       // key both sides through ONE normalization — scheme stripped,
       // leading slashes collapsed — so `file:/x` (Hadoop qualified)

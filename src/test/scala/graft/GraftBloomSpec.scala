@@ -173,6 +173,35 @@ class GraftBloomSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e.getMessage.contains("bloom_fpp"))
   }
 
+  test("column-incremental: analyzing a second column keeps the first column's filters") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, tag STRING)")
+    (0 until 4).foreach { s =>
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT (id * 37) % 4000, " +
+        s"concat('t', (id * 37) % 4000) FROM range(${s * 1000}, ${(s + 1) * 1000})")
+    }
+    spark.sql(s"CALL $cat.system.analyze_bloom(table => 'ods.t', " +
+      "columns => 'k')")
+    val kPruned = scannedFiles(
+      spark.table(s"$cat.ods.t").where(col("k") === 1234))
+    assert(kPruned < scannedFiles(spark.table(s"$cat.ods.t")))
+
+    // second analyze names a DIFFERENT column: every file rebuilds for
+    // tag, but the k filters must MERGE into the entries, not vanish
+    spark.sql(s"CALL $cat.system.analyze_bloom(table => 'ods.t', " +
+      "columns => 'tag')")
+    val entries = new GraftBloom.ScopedReader(fsOf(root),
+      new Path(s"$root/ods/t"))
+      .forFiles(plannedOf(spark.table(s"$cat.ods.t")))
+    assert(entries.values.forall(fb =>
+      fb.cols.contains("k") && fb.cols.contains("tag")),
+      "the second analyze dropped the first column's filters")
+    assert(scannedFiles(
+      spark.table(s"$cat.ods.t").where(col("k") === 1234)) == kPruned,
+      "k-lookup pruning regressed after analyzing tag")
+  }
+
   test("refusals: partition columns, unsupported types, bad fpp") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
