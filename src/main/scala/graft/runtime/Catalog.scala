@@ -303,12 +303,22 @@ final case class Catalog(spark: SparkSession, root: String,
       GraftCommitLock.withLock(fs, base, s"publish:$layer.$table") {
         onBeforeSwapCheck()
         val touched = leaves(tmp)
-        val nowTouched = visibleFileState(fs, base).filter { case (rel, _) =>
-          touched.exists(t => rel.startsWith(t + "/"))
+        // an entry belongs to a touched partition if its rel path (or,
+        // for deletion-vector sidecars keyed "_graft_dv/<rel>", the
+        // data file's rel path) is under it — a merge-on-read DELETE
+        // landing mid-write changes ONLY the sidecar, and the swap
+        // would otherwise resurrect the deleted rows
+        def inTouched(rel: String): Boolean = {
+          val dataRel =
+            if (rel.startsWith(graft.sources.GraftDv.DirName + "/"))
+              rel.stripPrefix(graft.sources.GraftDv.DirName + "/")
+            else rel
+          touched.exists(t => dataRel.startsWith(t + "/"))
         }
-        val beforeTouched = before.filter { case (rel, _) =>
-          touched.exists(t => rel.startsWith(t + "/"))
+        val nowTouched = visibleFileState(fs, base).filter {
+          case (rel, _) => inTouched(rel)
         }
+        val beforeTouched = before.filter { case (rel, _) => inTouched(rel) }
         if (nowTouched != beforeTouched) {
           fs.delete(tmp, true)
           throw new GraftCommitLock.ConcurrentCommitException(

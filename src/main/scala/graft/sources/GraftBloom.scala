@@ -220,10 +220,6 @@ private[graft] object GraftBloom {
     // pass 1: per-file row counts (file-count-sized result)
     val counts = dfBuild.groupBy(col("__f")).count().collect()
       .map(r => relOfPath(r.getString(0)) -> r.getLong(1)).toMap
-    if (counts.isEmpty) {
-      reconcileShards(fs, tableDir, valid, scope)
-      return (0, valid.size, resolved.size)
-    }
     val bCounts = spark.sparkContext.broadcast(counts)
     val kinds = resolved.map(_._2).toArray
     val nCols = kinds.length
@@ -232,8 +228,11 @@ private[graft] object GraftBloom {
 
     // pass 2: partial filters per split, OR-merged per file. Merge
     // compatibility: created with the file's row count + fpp on every
-    // split of that file.
-    val partials = dfBuild.rdd.mapPartitions { it =>
+    // split of that file. Skipped entirely when pass 1 saw no rows
+    // (all toBuild files empty) — they still get entries below.
+    val partials = if (counts.isEmpty)
+      Array.empty[(String, Array[Array[Byte]])]
+    else dfBuild.rdd.mapPartitions { it =>
       val acc = scala.collection.mutable.Map.empty[String, Array[BloomFilter]]
       it.foreach { row =>
         val p0 = new Path(row.getString(0)).toUri.getPath
@@ -267,13 +266,21 @@ private[graft] object GraftBloom {
 
     // driver: attach identities (the LISTED identity, snapshotted
     // before the read — a file rewritten mid-build self-invalidates),
-    // merge with the carried-over valid entries, reconcile shards
-    val built = partials.flatMap { case (rel, blobs) =>
+    // merge with the carried-over valid entries, reconcile shards.
+    // Iterate toBuild (not partials): a ZERO-ROW file produces no
+    // groupBy/partials entry, but it still needs a shard entry with
+    // trivially-empty filters — otherwise reconcile drops its prior
+    // entry, a point lookup can never skip it, and every subsequent
+    // analyze re-lists and re-reads it (coverage never converges).
+    val partialMap = partials.toMap
+    val built = toBuild.toSeq.flatMap { rel =>
       live.get(rel).map { case (len, mtime) =>
+        val blobs = partialMap.get(rel)
         rel -> FileBlooms(len, mtime,
           (identityValid.get(rel).map(_.cols).getOrElse(Map.empty)) ++
             resolved.indices.map(i => resolved(i)._1.toLowerCase ->
-              (kinds(i), bloomOf(blobs(i)))).toMap)
+              (kinds(i), blobs.map(b => bloomOf(b(i)))
+                .getOrElse(BloomFilter.create(1, theFpp)))).toMap)
       }
     }.toMap
     val entries = valid ++ built

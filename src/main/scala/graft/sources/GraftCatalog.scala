@@ -1933,8 +1933,12 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     s"graft-bucketed(n=$n, key=$col) ${current.description()}"
   override def estimateStatistics(): Statistics = current.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    // any live vector forces the whole scan row-based (no mixed sets)
-    if (dvIndex.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    // live vectors now keep the scan COLUMNAR (r12 verdict item 1):
+    // batches without deletions pass through zero-copy and DV'd
+    // batches are rebuilt by survivor compaction. Only non-copyable
+    // (nested) schemas fall back to the row path.
+    if (dvIndex.nonEmpty && !GraftDv.columnarApplicable(readSchema()))
+      Scan.ColumnarSupportMode.UNSUPPORTED
     else current.columnarSupportMode()
 
   private val BucketTag = "-b(\\d{5})\\.".r
@@ -2108,7 +2112,7 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     if (dvIndex.isEmpty) cleanF
     else new GraftDv.DvReaderFactory(cleanF,
       GraftScanFilters.withoutDataFilters(current)
-        .toBatch.createReaderFactory())
+        .toBatch.createReaderFactory(), current.readSchema())
   }
 
   override def outputPartitioning()
@@ -2280,7 +2284,7 @@ private[sources] final class GraftRuntimeFilterScan(
         // pushdown skips row groups, which would shift the counted
         // ordinals; the Filter above the scan re-applies predicates
         GraftScanFilters.withoutDataFilters(current)
-          .toBatch.createReaderFactory())
+          .toBatch.createReaderFactory(), current.readSchema())
     }
   }
 
@@ -2355,9 +2359,10 @@ private[sources] final class GraftRuntimeFilterScan(
   override def reportDriverMetrics(): Array[CustomTaskMetric] =
     current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    // any live deletion vector forces the whole scan row-based —
-    // Spark's scan exec refuses mixed row/columnar partition sets
-    if (dvIndex.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    // live vectors keep the scan COLUMNAR (r12 verdict item 1) via
+    // survivor-compacted batch rebuilds; nested schemas fall back
+    if (dvIndex.nonEmpty && !GraftDv.columnarApplicable(readSchema()))
+      Scan.ColumnarSupportMode.UNSUPPORTED
     else current.columnarSupportMode()
 
   override def filterAttributes(): Array[NamedReference] = {

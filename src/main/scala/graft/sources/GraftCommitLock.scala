@@ -47,6 +47,12 @@ object GraftCommitLock {
 
   val DefaultStaleMs: Long = 10L * 60 * 1000
 
+  /** Test seam: invoked after the staleness check decides to break,
+    * before the break itself — the exact window a concurrent breaker
+    * can slip through. Lets a spec inject a racing break+reacquire.
+    */
+  private[graft] var onBeforeBreak: () => Unit = () => ()
+
   def lockPath(tableDir: Path): Path =
     new Path(tableDir.getParent, tableDir.getName + ".__lock")
 
@@ -73,9 +79,38 @@ object GraftCommitLock {
         fs.getFileStatus(lp).getModificationTime > staleMs
       catch { case _: java.io.FileNotFoundException => true }
     if (stale) {
-      try fs.delete(lp, false)
-      catch { case scala.util.control.NonFatal(_) => () }
-      if (tryCreate(fs, lp, owner)) return
+      onBeforeBreak()
+      // Break by ATOMIC RENAME to a unique tombstone, not delete: with
+      // delete, two waiters observing the same stale lock could race —
+      // waiter A deletes and acquires a FRESH lock, waiter B then
+      // deletes A's fresh lock and acquires too, putting two committers
+      // inside the critical section. Rename has exactly one winner per
+      // source path, and the loser falls through to the contended
+      // throw. After winning, VERIFY the tombstoned lock really was
+      // stale by its recorded creation time: the rename itself could
+      // have raced a break+reacquire cycle and stolen a just-created
+      // fresh lock — restore it and report contention in that case.
+      val tomb = new Path(lp.getParent,
+        lp.getName + ".__broken." + java.util.UUID.randomUUID())
+      val won =
+        try fs.rename(lp, tomb)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (won) {
+        // verify by MTIME (rename preserves it on local FS and HDFS) —
+        // the same clock the staleness check itself reads
+        val tombCreatedAt =
+          try fs.getFileStatus(tomb).getModificationTime
+          catch { case scala.util.control.NonFatal(_) => 0L } // gone = stale
+        if (System.currentTimeMillis() - tombCreatedAt <= staleMs) {
+          // stole a live writer's lock — put it back, treat as contended
+          try fs.rename(tomb, lp)
+          catch { case scala.util.control.NonFatal(_) => () }
+        } else {
+          try fs.delete(tomb, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          if (tryCreate(fs, lp, owner)) return
+        }
+      }
     }
     val holder =
       try {

@@ -365,21 +365,36 @@ private[graft] object GraftDv {
       .map(_.toLong).getOrElse(MaxRowsDefault)
 
     val df = spark.read.schema(tableSchema).parquet(tableDir.toString)
+    // PERSIST the matched set so the cap count and the ordinal collect
+    // read ONE snapshot: unpersisted, the two passes re-plan the scan,
+    // and files published by a concurrent append between them could
+    // push the collected set past the counted (capped) total.
     val matched = df.filter(cond)
       .select(col("_metadata.file_path").as("__f"),
         col("_metadata.row_index").as("__o"))
-    // enforce the cap BEFORE any ordinal reaches the driver: a count is
-    // one cheap distributed pass, and a too-wide delete must fail
-    // before — not after — it can OOM the driver
-    val total = matched.count()
-    require(total <= maxRows,
-      s"merge-on-read DELETE matched $total rows (> $MaxRowsConf=$maxRows): " +
-        "a delete this wide should rewrite files — use the copy-on-write " +
-        "path (delete_mode=copy-on-write) or a partition-level DELETE")
-    if (total == 0) return 0L
-    val perFile = matched.groupBy(col("__f"))
-      .agg(sort_array(collect_list(col("__o"))).as("__ords"))
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perFile = try {
+      // enforce the cap BEFORE any ordinal reaches the driver: a count
+      // is one cheap distributed pass (and materializes the cached
+      // snapshot), and a too-wide delete must fail before — not after —
+      // it can OOM the driver
+      val total = matched.count()
+      require(total <= maxRows,
+        s"merge-on-read DELETE matched $total rows (> $MaxRowsConf=$maxRows): " +
+          "a delete this wide should rewrite files — use the copy-on-write " +
+          "path (delete_mode=copy-on-write) or a partition-level DELETE")
+      if (total == 0) return 0L
+      val rows = matched.groupBy(col("__f"))
+        .agg(sort_array(collect_list(col("__o"))).as("__ords"))
+        .collect()
+      // backstop: a cache-evicted partition recomputes from live files;
+      // re-verify what actually landed on the driver
+      val landed = rows.iterator.map(_.getSeq[Long](1).size.toLong).sum
+      require(landed <= maxRows,
+        s"merge-on-read DELETE collected $landed ordinals (> $maxRows) — " +
+          "the table changed under the delete scan; re-run")
+      rows
+    } finally matched.unpersist(false)
 
     var fresh = 0L
     GraftCommitLock.withLock(fs, tableDir, "mor-delete") {
@@ -539,33 +554,200 @@ private[graft] object GraftDv {
     Group(sorted, dv.ords, rel, dv.len, dv.mtime)
   }
 
+  // ---- columnar application ----------------------------------------------
+
+  /** Whether a read schema can go through the COLUMNAR deletion-vector
+    * path: every output column (data AND partition constants — the
+    * batch carries both) must be a type [[copyValue]] can move between
+    * vectors. Nested types fall back to the row path — honest, and the
+    * engine's catalog tables are flat.
+    */
+  def columnarApplicable(schema: StructType): Boolean =
+    schema.fields.forall(f => copyableType(f.dataType))
+
+  private def copyableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | DateType |
+           LongType | TimestampType | TimestampNTZType | FloatType |
+           DoubleType | StringType | BinaryType => true
+      case _: DecimalType => true
+      case _: YearMonthIntervalType | _: DayTimeIntervalType => true
+      case _ => false
+    }
+  }
+
+  /** Copy one value between vectors — the survivor compaction of a
+    * deletion-vector'd batch. Only called for [[copyableType]] types.
+    */
+  private def copyValue(dt: org.apache.spark.sql.types.DataType,
+      src: org.apache.spark.sql.vectorized.ColumnVector, si: Int,
+      dst: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      di: Int): Unit = {
+    import org.apache.spark.sql.types._
+    if (src.isNullAt(si)) { dst.putNull(di); return }
+    dt match {
+      case BooleanType => dst.putBoolean(di, src.getBoolean(si))
+      case ByteType => dst.putByte(di, src.getByte(si))
+      case ShortType => dst.putShort(di, src.getShort(si))
+      case IntegerType | DateType | _: YearMonthIntervalType =>
+        dst.putInt(di, src.getInt(si))
+      case LongType | TimestampType | TimestampNTZType |
+           _: DayTimeIntervalType =>
+        dst.putLong(di, src.getLong(si))
+      case FloatType => dst.putFloat(di, src.getFloat(si))
+      case DoubleType => dst.putDouble(di, src.getDouble(si))
+      case StringType =>
+        val b = src.getUTF8String(si).getBytes
+        dst.putByteArray(di, b, 0, b.length)
+      case BinaryType =>
+        val b = src.getBinary(si)
+        dst.putByteArray(di, b, 0, b.length)
+      case d: DecimalType =>
+        dst.putDecimal(di, src.getDecimal(si, d.precision, d.scale),
+          d.precision)
+      case other => throw new IllegalStateException(
+        s"deletion-vector columnar copy: unexpected type $other")
+    }
+  }
+
   /** Reader factory over rebuilt partitions: [[DvFilePartition]]s read
     * their groups sequentially — DV'd groups through the FILTER-STRIPPED
     * factory with ordinal skipping, clean groups through the delegate's
-    * row reader (pushed filters fine: no positions involved).
+    * readers (pushed filters fine: no positions involved).
     *
-    * The WHOLE scan reads row-based while any vector is live: Spark's
-    * scan exec refuses mixed row/columnar partition sets
-    * (`DataSourceV2ScanExecBase.supportsColumnar` requires all-or-
-    * nothing), so vectors trade the columnar path on the affected
-    * table until `CALL system.rewrite_deletes` materializes them —
-    * the read-time cost merge-on-read accepts by definition.
+    * The scan stays COLUMNAR under live vectors (r12 verdict item 1):
+    * batches with no deleted ordinal pass through ZERO-COPY (the common
+    * case — deletions are sparse by merge-on-read's premise), and a
+    * batch containing deletions is rebuilt by compacting survivors into
+    * fresh on-heap vectors, exactly the files/batches that pay. Spark's
+    * scan exec requires all-or-nothing row/columnar partition sets, so
+    * [[supportColumnarReads]] answers from the DELEGATE's own
+    * (partition-independent) capability — clean and DV'd partitions
+    * agree by construction. Schemas with nested types fall back to the
+    * row path via [[columnarApplicable]] at the scan level.
     */
   final class DvReaderFactory(clean: PartitionReaderFactory,
-      unfiltered: PartitionReaderFactory)
+      unfiltered: PartitionReaderFactory, outputSchema: StructType)
     extends PartitionReaderFactory {
 
-    override def supportColumnarReads(p: InputPartition): Boolean = false
+    private val rebuildable = columnarApplicable(outputSchema)
+
+    override def supportColumnarReads(p: InputPartition): Boolean = p match {
+      case d: DvFilePartition =>
+        rebuildable && {
+          val fp = FilePartition(0, d.groups.flatMap(_.files))
+          clean.supportColumnarReads(fp) && unfiltered.supportColumnarReads(fp)
+        }
+      case other => rebuildable && clean.supportColumnarReads(other)
+    }
 
     override def createColumnarReader(p: InputPartition)
         : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-      throw new UnsupportedOperationException(
-        "scans over deletion vectors read row-based")
+      p match {
+        case d: DvFilePartition => new ChainedColumnarReader(d.groups)
+        case other => clean.createColumnarReader(other)
+      }
 
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] = p match {
       case d: DvFilePartition => new ChainedReader(d.groups)
       case other => clean.createReader(other)
+    }
+
+    /** Sequential per-group COLUMNAR reader: clean groups stream the
+      * delegate's batches untouched; DV'd groups count file-running row
+      * ordinals batch by batch (unfiltered reader — row-group skipping
+      * would shift them) and compact out deleted rows only in batches
+      * that actually contain one.
+      */
+    private final class ChainedColumnarReader(groups: Array[Group])
+      extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+      private val types = outputSchema.fields.map(_.dataType)
+      private var gi = -1
+      private var cur: PartitionReader[ColumnarBatch] = _
+      private var dels: Array[Long] = Array.empty
+      private var di = 0
+      private var ordBase = 0L
+      private var out: ColumnarBatch = _
+      private var owned: Array[OnHeapColumnVector] = _
+
+      private def closeOwned(): Unit = if (owned != null) {
+        owned.foreach(_.close()); owned = null
+      }
+
+      private def advanceGroup(): Boolean = {
+        if (cur != null) { cur.close(); cur = null }
+        gi += 1
+        if (gi >= groups.length) false
+        else {
+          val g = groups(gi)
+          val part = FilePartition(0, g.files)
+          cur =
+            if (g.dels.nonEmpty) unfiltered.createColumnarReader(part)
+            else clean.createColumnarReader(part)
+          dels = g.dels; di = 0; ordBase = 0L
+          true
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null && !advanceGroup()) return false
+          if (cur.next()) {
+            val b = cur.get()
+            val n = b.numRows()
+            val lo = ordBase
+            ordBase += n
+            // dels is sorted and lo is monotonic within a group: di
+            // walks forward only — O(1) amortized per batch
+            while (di < dels.length && dels(di) < lo) di += 1
+            if (di >= dels.length || dels(di) >= lo + n) {
+              if (n > 0) { out = b; return true } // zero-copy pass-through
+            } else {
+              // mark this batch's deleted row positions
+              val deleted = new java.util.BitSet(n)
+              var cnt = 0
+              while (di < dels.length && dels(di) < lo + n) {
+                deleted.set((dels(di) - lo).toInt); cnt += 1; di += 1
+              }
+              val keep = n - cnt
+              if (keep > 0) {
+                closeOwned()
+                owned = types.map(dt => new OnHeapColumnVector(keep, dt))
+                var si = 0
+                var dsti = 0
+                while (si < n) {
+                  if (!deleted.get(si)) {
+                    var c = 0
+                    while (c < types.length) {
+                      copyValue(types(c), b.column(c), si, owned(c), dsti)
+                      c += 1
+                    }
+                    dsti += 1
+                  }
+                  si += 1
+                }
+                out = new ColumnarBatch(
+                  owned.map(v => v: ColumnVector), keep)
+                return true
+              } // keep == 0: whole batch deleted, loop to the next one
+            }
+          } else {
+            cur.close(); cur = null
+          }
+        }
+        false
+      }
+
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = {
+        if (cur != null) { cur.close(); cur = null }
+        closeOwned()
+      }
     }
 
     /** Sequential per-group reader. mtime re-verification happens at

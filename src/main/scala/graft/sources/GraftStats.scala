@@ -245,12 +245,11 @@ object GraftStats {
     val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    // rename-over-existing fails on both local FS and HDFS: retire the
-    // prior file first. The window where neither exists is safe — a
-    // scan that finds no shard simply doesn't prune.
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    // FileContext rename with OVERWRITE — no window where the shard
+    // does not exist. Auto-analyze runs after every commit (each
+    // streaming epoch), so a delete-then-rename here could fail a scan
+    // that passed the exists() check and lost the race to the delete.
+    GraftDv.replaceAtomic(fs, tmp, dst)
   }
 
   // ---- manifest-list index ---------------------------------------------

@@ -202,6 +202,42 @@ class GraftBloomSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "k-lookup pruning regressed after analyzing tag")
   }
 
+  test("zero-row data files get entries and coverage converges (ADVICE r12)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, tag STRING)")
+    (0 until 4).foreach { s =>
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT (id * 37) % 4000, " +
+        s"concat('t', (id * 37) % 4000) FROM range(${s * 1000}, ${(s + 1) * 1000})")
+    }
+    // an EMPTY parquet file (an external writer's empty task output):
+    // it produces no rows in the build pass, so it used to land in
+    // neither `valid` nor `built` — its entry was dropped every
+    // analyze, coverage never converged, and it was re-read forever
+    spark.range(0).selectExpr("id AS k", "CAST(NULL AS STRING) AS tag")
+      .coalesce(1).write.mode("append").parquet(s"$root/ods/t")
+    val totalFiles = scannedFiles(spark.table(s"$cat.ods.t"))
+    assert(totalFiles >= 5)
+
+    val r1 = spark.sql(s"CALL $cat.system.analyze_bloom(table => 'ods.t', " +
+      "columns => 'k')").head
+    assert(r1.getInt(1) == totalFiles,
+      s"first analyze covered ${r1.getInt(1)} of $totalFiles files " +
+        "(the zero-row file got no entry)")
+    // convergence: a second analyze must build NOTHING
+    val r2 = spark.sql(s"CALL $cat.system.analyze_bloom(table => 'ods.t', " +
+      "columns => 'k')").head
+    assert(r2.getInt(0) == 0,
+      s"second analyze rebuilt ${r2.getInt(0)} files — coverage did not converge")
+    assert(r2.getInt(1) == totalFiles)
+    // the empty file's trivially-empty filter admits nothing: a point
+    // lookup skips it (and parity holds, trivially — it has no rows)
+    assert(scannedFiles(
+      spark.table(s"$cat.ods.t").where(col("k") === 1234)) < totalFiles)
+    assert(spark.table(s"$cat.ods.t").where(col("k") === 1234).count() ==
+      spark.read.parquet(s"$root/ods/t").where(col("k") === 1234).count())
+  }
+
   test("refusals: partition columns, unsupported types, bad fpp") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")

@@ -93,6 +93,74 @@ class GraftCommitLockSpec extends SparkSpec {
     assert(!fs.exists(lp), "lock not released after the commit")
   }
 
+  test("two waiters racing to break one stale lock: exactly one wins (ADVICE r12)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (1, 10)")
+    val dirP = new Path(s"$root/ods/t")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftCommitLock.acquire(fs, dirP, "crashed-writer")
+    val lp = GraftCommitLock.lockPath(dirP)
+    fs.setTimes(lp, System.currentTimeMillis() - 3600 * 1000L, -1)
+    // waiter B passes the staleness check; in that exact window waiter
+    // A breaks the stale lock and acquires a FRESH one. With the old
+    // delete-based break, B then deleted A's fresh lock and acquired
+    // too — two committers inside the critical section. The atomic
+    // rename-to-tombstone break must make B LOSE and leave A's lock
+    // in place.
+    GraftCommitLock.onBeforeBreak = () => {
+      GraftCommitLock.onBeforeBreak = () => () // A breaks without reentry
+      fs.delete(lp, false)
+      GraftCommitLock.acquire(fs, dirP, "waiter-a")
+    }
+    val e = try intercept[Throwable] {
+      GraftCommitLock.acquire(fs, dirP, "waiter-b")
+    } finally GraftCommitLock.onBeforeBreak = () => ()
+    assert(hasConcurrent(e), s"expected ConcurrentCommitException, got $e")
+    assert(fs.exists(lp), "waiter A's fresh lock was destroyed by waiter B")
+    val in = fs.open(lp)
+    val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(holder.startsWith("waiter-a"), s"unexpected lock holder: $holder")
+    GraftCommitLock.release(fs, dirP)
+  }
+
+  test("partition overwrite detects a merge-on-read DELETE in a touched partition (ADVICE r12)") {
+    val (cat, root) = freshCatalog()
+    val eng = Catalog(spark, root)
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.p (k BIGINT, v BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.ods.p SELECT id, id, concat('p', id % 2) " +
+      "FROM range(0, 100)")
+    val dirP = new Path(s"$root/ods/p")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.sources.GraftDv
+    // a MOR DELETE landing mid-write changes ONLY the DV sidecar — the
+    // touched-partition interference filter must still catch it, or the
+    // swap would resurrect the deleted rows
+    eng.onBeforeSwapCheck = () => {
+      val dataRel = fs.listStatus(new Path(dirP, "g=p0")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => "g=p0/" + st.getPath.getName).head
+      val st = fs.getFileStatus(new Path(dirP, dataRel))
+      GraftDv.write(fs, dirP,
+        GraftDv.Dv(dataRel, st.getLen, st.getModificationTime, Array(0L)))
+    }
+    val upd0 = Seq((1L, 111L, "p0")).toDF("k", "v", "g")
+    val e = try intercept[Throwable] {
+      eng.overwritePartitions(upd0, "ods", "p", Seq("g"))
+    } finally eng.onBeforeSwapCheck = () => ()
+    assert(hasConcurrent(e), s"expected ConcurrentCommitException, got $e")
+    // the DELETE survived: its vector is live and the row stays deleted
+    assert(spark.table(s"$cat.ods.p").count() == 99,
+      "the raced-in merge-on-read DELETE was erased by the overwrite")
+    assert(spark.table(s"$cat.ods.p").where(col("v") === 111).count() == 0,
+      "the aborted overwrite leaked rows")
+  }
+
   test("full-rewrite swap detects a commit that landed during the rewrite (compact loses)") {
     val (cat, root) = freshCatalog()
     val eng = Catalog(spark, root)

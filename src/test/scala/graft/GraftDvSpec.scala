@@ -167,6 +167,76 @@ class GraftDvSpec extends SparkSpec {
     assert(joined.where(col("v") % 10 === 7).count() == 0)
   }
 
+  test("scans stay COLUMNAR under live vectors; batch rebuilds only where deletions land (r12 item 1)") {
+    import org.apache.spark.sql.execution.ColumnarToRowExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    // mixed copyable types (long, string, decimal) + a hive partition
+    // column — the batch carries partition constants too
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, s STRING, " +
+      "d DECIMAL(12,2), g STRING) PARTITIONED BY (g) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    // 30k rows -> several parquet batches (default 4096 rows/batch):
+    // exercises pass-through batches, partially-deleted batches, and
+    // an entirely-deleted batch range
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, concat('s', id), " +
+      "CAST(id AS DECIMAL(12,2)) / 4, concat('p', id % 2) " +
+      "FROM range(0, 30000)")
+    spark.sql(s"DELETE FROM $cat.ods.t " +
+      "WHERE k % 1000 = 7 OR (k >= 8192 AND k < 16384)")
+    assert(dvCount(root, "ods/t") > 0)
+
+    def columnarScans(df: org.apache.spark.sql.DataFrame): Seq[Boolean] = {
+      df.collect() // finalize AQE
+      df.queryExecution.executedPlan.collect {
+        case s: BatchScanExec => s.supportsColumnar
+      }
+    }
+    val full = spark.table(s"$cat.ods.t")
+    val modes = columnarScans(full)
+    assert(modes.nonEmpty && modes.forall(identity),
+      "scan de-vectorized under live deletion vectors")
+    assert(full.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "no ColumnarToRow above the DV'd scan:\n" +
+        full.queryExecution.executedPlan)
+
+    // row parity across every output type, deletions applied exactly
+    val expect = (0L until 30000L)
+      .filterNot(k => k % 1000 == 7 || (k >= 8192 && k < 16384))
+    assert(full.count() == expect.size)
+    assert(full.agg(sum("k")).head.getLong(0) == expect.sum)
+    assert(full.agg(sum("d")).head.getDecimal(0) ==
+      new java.math.BigDecimal(expect.map(BigInt(_)).sum.bigInteger)
+        .divide(new java.math.BigDecimal(4))
+        .setScale(2, java.math.RoundingMode.HALF_UP),
+      "decimal survivors corrupted by the batch rebuild")
+    assert(full.where(col("s") === "s8191").count() == 1)
+    assert(full.where(col("s") === "s8192").count() == 0)
+
+    // pushed-filter parity on DV'd files (the DV reader is
+    // filter-stripped; the Filter above re-applies)
+    assert(spark.table(s"$cat.ods.t").where(col("k") === 1007).count() == 0)
+    assert(spark.table(s"$cat.ods.t").where(col("k") === 1008)
+      .select("s").head.getString(0) == "s1008")
+    // and the selective scan is STILL columnar
+    val sel = spark.table(s"$cat.ods.t").where(col("k") === 1008)
+    assert(columnarScans(sel).forall(identity))
+
+    // non-copyable (nested) schema: honest fallback to the row path,
+    // parity preserved
+    spark.sql(s"CREATE TABLE $cat.ods.nest (k BIGINT, a ARRAY<BIGINT>) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"INSERT INTO $cat.ods.nest SELECT id, array(id, id + 1) " +
+      "FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $cat.ods.nest WHERE k = 5")
+    val nest = spark.table(s"$cat.ods.nest")
+    assert(nest.count() == 99)
+    assert(nest.where(col("k") === 6).select("a").head
+      .getSeq[Long](0) == Seq(6L, 7L))
+  }
+
   test("CALL system.rewrite_deletes materializes: clean files, vectors gone, parity, bucket tags survive") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
