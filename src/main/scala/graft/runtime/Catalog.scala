@@ -334,7 +334,10 @@ final case class Catalog(spark: SparkSession, root: String,
             aside = new org.apache.hadoop.fs.Path(oldRoot, rel))
         }
         fs.delete(tmp, true)
-        fs.delete(oldRoot, true)
+        // tombstone the swapped-aside partitions (reader snapshot
+        // isolation, r12 item 2) — relative layout preserved, GC'd by
+        // remove_orphans after the grace window
+        graft.sources.GraftRetired.retireRoot(fs, base, oldRoot)
       }
     }
   }
@@ -874,7 +877,10 @@ final case class Catalog(spark: SparkSession, root: String,
     // deletion-vector sidecars whose data file is gone are inert
     // garbage from rewrites/compactions — sweep them here too
     graft.sources.GraftDv.sweepStale(fs, base)
-    (files, bytes)
+    // tombstoned generations (reader snapshot isolation) past the
+    // grace window — Iceberg's expire_snapshots role
+    val (rf, rb) = graft.sources.GraftRetired.expire(fs, base, olderThanMs)
+    (files + rf, bytes + rb)
   }
 
   /** Full-replace through a sibling temp dir and a two-step rename
@@ -967,7 +973,13 @@ final case class Catalog(spark: SparkSession, root: String,
     // v<N> instead of deleting, pruned to the newest `versions`
     if (fs.exists(old)) {
       if (versions > 0) archiveVersion(fs, layer, table, old)
-      else fs.delete(old, true)
+      else
+        // reader snapshot isolation (r12 item 2): the swapped-aside
+        // generation is TOMBSTONED, not deleted — an in-flight reader
+        // that planned before this swap re-points its vanished splits
+        // at the tombstone ([[graft.sources.GraftRetired]]); GC via
+        // remove_orphans
+        graft.sources.GraftRetired.retireRoot(fs, hp, old)
     }
   }
 

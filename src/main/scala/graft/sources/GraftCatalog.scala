@@ -1649,7 +1649,10 @@ private[sources] class GraftTable(
               s"$dir: deletion vectors changed while this rewrite ran; " +
                 "the rewrite read pre-delete rows and was DISCARDED — re-run")
           innerBatch.commit(messages) // new generation becomes visible
-          oldFiles.foreach(fs.delete(_, false)) // old generation retires
+          // old generation retires — TOMBSTONED, not deleted, so an
+          // in-flight reader that planned before this commit completes
+          // against its snapshot (r12 item 2; GC via remove_orphans)
+          GraftRetired.retireFiles(fs, new Path(dir), oldFiles)
           GraftDv.dropFor(fs, new Path(dir), oldFiles)
         }
       }
@@ -2108,11 +2111,21 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-    val cleanF = current.toBatch.createReaderFactory()
+    // snapshot-isolation fallback (r12 item 2): a split whose file was
+    // tombstoned by a commit racing this scan re-points at the
+    // `.__retired` copy instead of failing the query
+    def iso(f: org.apache.spark.sql.connector.read.PartitionReaderFactory) =
+      statsDir match {
+        case Some(td) => new GraftRetired.FallbackReaderFactory(f,
+          td.toString, new GraftPartitionedCow.SerializableHadoopConf(
+            SparkSession.active.sparkContext.hadoopConfiguration))
+        case None => f
+      }
+    val cleanF = iso(current.toBatch.createReaderFactory())
     if (dvIndex.isEmpty) cleanF
     else new GraftDv.DvReaderFactory(cleanF,
-      GraftScanFilters.withoutDataFilters(current)
-        .toBatch.createReaderFactory(), current.readSchema())
+      iso(GraftScanFilters.withoutDataFilters(current)
+        .toBatch.createReaderFactory()), current.readSchema())
   }
 
   override def outputPartitioning()
@@ -2277,14 +2290,22 @@ private[sources] final class GraftRuntimeFilterScan(
     }
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-      val cleanF = current.toBatch.createReaderFactory()
+      // snapshot-isolation fallback (r12 item 2) — see GraftRetired
+      def iso(f: org.apache.spark.sql.connector.read.PartitionReaderFactory) =
+        dvTableDir match {
+          case Some(td) => new GraftRetired.FallbackReaderFactory(f,
+            td.toString, new GraftPartitionedCow.SerializableHadoopConf(
+              SparkSession.active.sparkContext.hadoopConfiguration))
+          case None => f
+        }
+      val cleanF = iso(current.toBatch.createReaderFactory())
       if (dvIndex.isEmpty) cleanF
       else new GraftDv.DvReaderFactory(cleanF,
         // DV'd files read through a FILTER-STRIPPED reader: parquet
         // pushdown skips row groups, which would shift the counted
         // ordinals; the Filter above the scan re-applies predicates
-        GraftScanFilters.withoutDataFilters(current)
-          .toBatch.createReaderFactory(), current.readSchema())
+        iso(GraftScanFilters.withoutDataFilters(current)
+          .toBatch.createReaderFactory()), current.readSchema())
     }
   }
 
@@ -2751,7 +2772,14 @@ private[sources] final class GraftTableMicroBatchStream(
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    template.toBatch.createReaderFactory()
+    // snapshot-isolation fallback (r12 item 2): an exactly-once replay
+    // of a LOGGED batch whose files a compaction tombstoned in between
+    // re-reads the same bytes from the `.__retired` area instead of
+    // failing the restarted query
+    new GraftRetired.FallbackReaderFactory(
+      template.toBatch.createReaderFactory(), tableRoot.toString,
+      new GraftPartitionedCow.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -3329,12 +3357,16 @@ private[graft] object GraftPartitionedCow {
     protected def retired(published: Seq[Path], fs: FileSystem): Seq[Path]
     /** Whether to prune partition directories the retirement emptied. */
     protected def pruneEmptied: Boolean
-    /** How retired files leave the live table: deleted by default;
-      * full-replace writes with version retention override this to MOVE
-      * them into the version store instead.
+    /** How retired files leave the live table: TOMBSTONED by default —
+      * renamed into the sibling `.__retired/<commit>/` area so a reader
+      * that planned before this commit still finds its snapshot's bytes
+      * ([[GraftRetired]], r12 item 2: never delete at commit). Physical
+      * deletion is deferred to `CALL system.remove_orphans`. Full-replace
+      * writes with version retention override this to MOVE files into
+      * the version store instead (same reader-isolation property).
       */
     protected def retire(gone: Seq[Path], fs: FileSystem): Unit =
-      gone.foreach(fs.delete(_, false))
+      GraftRetired.retireFiles(fs, new Path(dir), gone)
     /** True when the write declared [[orderingOf]]: rows arrive grouped
       * by key, so the task writer runs in close-on-key-change mode (one
       * open columnar writer at a time).
