@@ -839,17 +839,26 @@ private[graft] object GraftDv {
     * half of merge-on-read, Iceberg's `rewrite_position_delete_files`
     * + data-file rewrite in one maintenance verb.
     *
-    * Per file: stage the filtered copy UNLOCKED (an ordinary
-    * distributed anti-join of the file against its positions on
-    * `_metadata.row_index`), then publish under the table commit lock
-    * with an identity re-check — a concurrent commit that touched the
-    * file makes THIS file's rewrite lose cleanly
+    * Staging is ONE distributed job over the whole DV'd file set (r12
+    * verdict item 3 — the old per-file driver loop issued one Spark job
+    * per file; at 100× thousands of DV'd files meant thousands of tiny
+    * serial jobs): every DV'd file is scanned in a single pass, rows
+    * are tagged with their source file via `_metadata.file_path`,
+    * anti-joined against the full (file, ordinal) deletion set, and
+    * written `partitionBy` a path-safe source-file key — survivors land
+    * in `<staging>/__src=<key>/` per source file, map-side (no
+    * shuffle: each input split's survivors stay in their task).
+    *
+    * Publishing stays PER FILE under the table commit lock with an
+    * identity re-check — a concurrent commit that touched a file makes
+    * THAT file's rewrite lose cleanly
     * ([[GraftCommitLock.ConcurrentCommitException]]); files already
-    * processed stay rewritten (idempotent re-run converges). The
+    * published stay rewritten (idempotent re-run converges). The
     * replacement keeps the original's bucket tag (a `-b<id>` suffix
     * anywhere in the name keeps [[GraftBucketedScan]]'s grouping) and
-    * lands in the same partition directory. Cost is proportional to
-    * the files WITH deletions, never the table.
+    * lands in the same partition directory; superseded originals are
+    * TOMBSTONED ([[GraftRetired]]), not deleted. Cost is proportional
+    * to the files WITH deletions, never the table.
     *
     * Returns (files rewritten, positions materialized, stale sidecars
     * swept).
@@ -859,55 +868,88 @@ private[graft] object GraftDv {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(tableDir.toString + ".__dvrewrite")
     if (fs.exists(staging)) fs.delete(staging, true) // prior crash debris
+    var swept = 0
+    val live = mutable.ArrayBuffer.empty[(String, Dv)]
+    list(fs, tableDir).toSeq.sortBy(_._1).foreach { case (rel, sidecar) =>
+      if (!fs.exists(new Path(tableDir, rel))) {
+        fs.delete(sidecar, false); swept += 1
+      } else live += ((rel, read(fs, sidecar)))
+    }
+    if (live.isEmpty) return (0, 0L, swept)
+
+    // scheme/slash normalization shared with the path-read apply: the
+    // driver-side qualified URI and the reader's file_path rendering
+    // meet on one key
+    def norm(s: String): String =
+      s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "").replaceFirst("^/+", "/")
+    def keyOf(rel: String): String = java.util.Base64.getUrlEncoder
+      .withoutPadding.encodeToString(rel.getBytes("UTF-8"))
+    val normToKey = live.map { case (rel, _) =>
+      norm(fs.makeQualified(new Path(tableDir, rel)).toUri.toString) ->
+        keyOf(rel)
+    }
+    import spark.implicits._
+    val deleted = spark.createDataset(live.toSeq.flatMap { case (rel, dv) =>
+      val k = keyOf(rel)
+      dv.ords.map(o => (k, o))
+    }).toDF("__dv_k", "__dv_o")
+    val lookup = spark.createDataset(normToKey.toSeq).toDF("__n", "__src")
+    // ONE pass over all DV'd files: mergeSchema so evolved files union
+    // (each output still carries only its rows; absent columns are the
+    // same nulls the evolution sidecar reads them as)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(live.map { case (rel, _) =>
+        new Path(tableDir, rel).toString }.toSeq: _*)
+    val normExpr = regexp_replace(
+      regexp_replace(col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")
+    df.withColumn("__n", normExpr)
+      .withColumn("__o", col("_metadata.row_index"))
+      .join(broadcast(lookup), "__n")
+      .join(broadcast(deleted),
+        col("__src") === col("__dv_k") && col("__o") === col("__dv_o"),
+        "left_anti")
+      .drop("__n", "__o")
+      .write.mode("overwrite").partitionBy("__src")
+      .parquet(staging.toString)
+
+    // publish per file under the commit lock, identity-re-checked —
+    // unchanged optimistic semantics, just fed from the batched staging
     var files = 0
     var positions = 0L
-    var swept = 0
-    list(fs, tableDir).toSeq.sortBy(_._1).foreach { case (rel, sidecar) =>
+    live.foreach { case (rel, dv) =>
       val dataFile = new Path(tableDir, rel)
-      if (!fs.exists(dataFile)) {
-        fs.delete(sidecar, false); swept += 1
-      } else {
-        val dv = read(fs, sidecar)
-        // stage the filtered copy (unlocked — the identity re-check
-        // under the lock catches anything that raced in)
-        val tmp = new Path(staging,
-          java.util.UUID.randomUUID().toString.take(8))
-        val df = spark.read.parquet(dataFile.toString)
-        import spark.implicits._
-        val ords = spark.createDataset(dv.ords.toSeq).toDF("__dv_o")
-        df.join(broadcast(ords),
-            col("_metadata.row_index") === col("__dv_o"), "left_anti")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val staged = fs.listStatus(tmp).map(_.getPath)
-          .find(p => p.getName.startsWith("part-")).getOrElse(
-            throw new IllegalStateException(
-              s"rewrite_deletes: no staged output for $rel under $tmp"))
-        val finName =
-          "rw-" + java.util.UUID.randomUUID().toString.take(8) + "-" +
-            dataFile.getName
-        GraftCommitLock.withLock(fs, tableDir, "rewrite-deletes") {
-          val st =
-            try fs.getFileStatus(dataFile)
-            catch {
-              case _: java.io.FileNotFoundException =>
-                throw new GraftCommitLock.ConcurrentCommitException(
-                  s"rewrite_deletes: $rel vanished mid-rewrite " +
-                    "(concurrent commit) — re-run")
-            }
-          if (st.getLen != dv.len || st.getModificationTime != dv.mtime)
-            throw new GraftCommitLock.ConcurrentCommitException(
-              s"rewrite_deletes: $rel changed mid-rewrite " +
-                "(concurrent commit) — re-run")
+      val srcDir = new Path(staging, s"__src=${keyOf(rel)}")
+      val parts =
+        if (!fs.exists(srcDir)) Array.empty[Path] // every row was deleted
+        else fs.listStatus(srcDir).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      GraftCommitLock.withLock(fs, tableDir, "rewrite-deletes") {
+        val st =
+          try fs.getFileStatus(dataFile)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              throw new GraftCommitLock.ConcurrentCommitException(
+                s"rewrite_deletes: $rel vanished mid-rewrite " +
+                  "(concurrent commit) — re-run")
+          }
+        if (st.getLen != dv.len || st.getModificationTime != dv.mtime)
+          throw new GraftCommitLock.ConcurrentCommitException(
+            s"rewrite_deletes: $rel changed mid-rewrite " +
+              "(concurrent commit) — re-run")
+        parts.foreach { staged =>
+          val finName =
+            "rw-" + java.util.UUID.randomUUID().toString.take(8) + "-" +
+              dataFile.getName
           require(fs.rename(staged,
             new Path(dataFile.getParent, finName)),
             s"rewrite_deletes: could not publish $finName")
-          fs.delete(dataFile, false)
-          fs.delete(sidecar, false)
         }
-        files += 1
-        positions += dv.ords.length
+        GraftRetired.retireFiles(fs, tableDir, Seq(dataFile))
+        fs.delete(dvPath(tableDir, rel), false)
       }
+      files += 1
+      positions += dv.ords.length
     }
     fs.delete(staging, true)
     (files, positions, swept)

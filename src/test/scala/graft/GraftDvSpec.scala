@@ -274,6 +274,52 @@ class GraftDvSpec extends SparkSpec {
     assert(again.getInt(0) == 0 && again.getLong(1) == 0L)
   }
 
+  test("rewrite_deletes stages N files in O(1) Spark jobs (r13 item 3)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    // 8 separate inserts -> at least 8 files, all touched by the delete
+    (0 until 8).foreach { s =>
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id " +
+        s"FROM range(${s * 500}, ${(s + 1) * 500})")
+    }
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k % 10 = 3")
+    assert(dvCount(root, "ods/t") >= 8, "need 8+ DV'd files for the proof")
+    val expected = spark.table(s"$cat.ods.t").as[(Long, Long)].collect().toSet
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try {
+        val r = spark.sql(
+          s"CALL $cat.system.rewrite_deletes(table => 'ods.t')").head
+        // listener delivery is async — bounded stability poll
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val now = jobs.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(res.getInt(0) >= 8, s"expected 8+ files rewritten, ${res.getInt(0)}")
+    // one staging pass + bounded constant overhead (schema-merge footer
+    // read, broadcast builds, the CALL's own result) — NOT one per file
+    assert(jobs.get() <= 6,
+      s"rewrite_deletes of ${res.getInt(0)} files issued ${jobs.get()} jobs " +
+        "— staging is not batched")
+    assert(dvCount(root, "ods/t") == 0)
+    assert(spark.table(s"$cat.ods.t").as[(Long, Long)].collect().toSet ==
+      expected)
+  }
+
   test("a stale vector fails the read LOUDLY (file changed out-of-band)") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
