@@ -106,6 +106,10 @@ object GraftExtensions {
     // catalog tables: a rewrite touching one (year, month) reads and
     // replaces ONE leaf partition, not the whole year
     ext.injectOptimizerRule(_ => graft.sources.GraftCowLeafScope)
+    // runtime source-key narrowing for merge-on-read (WriteDelta)
+    // positional scans — Spark's own runtime group filtering covers
+    // only group-based COW rewrites (r12 item 4)
+    ext.injectOptimizerRule(_ => graft.sources.GraftMorRuntimeScope)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1265,7 +1265,8 @@ private[sources] class GraftTable(
     // group-based rewrite below.
     if (morEnabled && format == "parquet")
       return () => new RowLevelOperation
-          with org.apache.spark.sql.connector.write.SupportsDelta {
+          with org.apache.spark.sql.connector.write.SupportsDelta
+          with GraftMorRuntimeScope.GraftMorOperation {
         override def command(): RowLevelOperation.Command = info.command
         override def description(): String =
           s"graft merge-on-read ${info.command}"

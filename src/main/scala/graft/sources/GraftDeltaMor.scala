@@ -159,6 +159,7 @@ private[sources] object GraftDeltaMor {
         FileChain(rel, sorted, dvs.get(rel).map(_.ords).getOrElse(Array.empty))
       }
       // one chain per partition: per-file parallelism, exact ordinals
+      GraftMorRuntimeScope.lastPlannedRels.set(chains.map(_.rel))
       chains.zipWithIndex.map { case (c, i) =>
         new ChainPartition(i, Array(c)): InputPartition
       }.toArray

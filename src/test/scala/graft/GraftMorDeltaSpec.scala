@@ -272,6 +272,69 @@ class GraftMorDeltaSpec extends SparkSpec {
         (k, k, if (k == 7) "moved" else s"p${k % 2}")).toSet)
   }
 
+  test("runtime source-key narrowing: a MERGE touching one partition schedules only its files (r13 item 4)") {
+    import graft.sources.GraftMorRuntimeScope
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    mor(cat, s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    (0 until 4).foreach { p =>
+      (0 until 2).foreach { s =>
+        spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id, 'p$p' " +
+          s"FROM range(${s * 100}, ${(s + 1) * 100})")
+      }
+    }
+    spark.sql(s"CREATE TABLE $cat.ods.src (k BIGINT, v BIGINT, g STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.src VALUES " +
+      "(5, 555, 'p1'), (7, 777, 'p1'), (9999, 9, 'p1')")
+    val before = fileState(root, "ods/t")
+    val engBefore = GraftMorRuntimeScope.engagements.sum()
+
+    // the ON condition references SOURCE attributes: nothing is
+    // statically pushable, so without the runtime narrowing the
+    // positional scan plans EVERY partition's files
+    spark.sql(s"MERGE INTO $cat.ods.t t USING $cat.ods.src s " +
+      "ON t.g = s.g AND t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, g) VALUES (s.k, s.v, s.g)")
+    assert(GraftMorRuntimeScope.engagements.sum() > engBefore,
+      "the runtime narrowing rule never engaged (loud tripwire)")
+    val planned = GraftMorRuntimeScope.lastPlannedRels.get()
+    assert(planned.nonEmpty && planned.forall(_.startsWith("g=p1/")),
+      s"positional scan scheduled splits outside the source's one " +
+        s"partition: $planned")
+
+    // correctness: updates applied, insert landed, every ORIGINAL file
+    // byte-identical (merge-on-read + narrowing change no write shape)
+    val t = spark.table(s"$cat.ods.t")
+    assert(t.where(col("k") === 5 && col("g") === "p1")
+      .head.getLong(1) == 555)
+    assert(t.where(col("k") === 7 && col("g") === "p1")
+      .head.getLong(1) == 777)
+    assert(t.where(col("k") === 9999).collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq == Seq((9L, "p1")))
+    assert(t.count() == 801)
+    val after = fileState(root, "ods/t")
+    before.foreach { case (f, st) =>
+      assert(after.get(f).contains(st), s"original file changed: $f")
+    }
+
+    // a target-preserving merge (NOT MATCHED BY SOURCE) must DECLINE —
+    // filtering unmatched target rows would drop their ops
+    val engMid = GraftMorRuntimeScope.engagements.sum()
+    spark.sql(s"MERGE INTO $cat.ods.t t USING $cat.ods.src s " +
+      "ON t.g = s.g AND t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = 0 " +
+      "WHEN NOT MATCHED BY SOURCE AND t.g = 'p2' THEN UPDATE SET v = -1")
+    assert(GraftMorRuntimeScope.engagements.sum() == engMid,
+      "narrowing engaged on a target-preserving merge — unsound")
+    assert(spark.table(s"$cat.ods.t").where(col("v") === -1).count() == 200,
+      "the NOT MATCHED BY SOURCE update lost rows")
+    assert(spark.table(s"$cat.ods.t")
+      .where(col("k").isin(5L, 7L, 9999L) && col("g") === "p1")
+      .agg(sum(col("v"))).head.getLong(0) == 0L)
+  }
+
   test("delta ops equal the COW result computed on an identical table") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
