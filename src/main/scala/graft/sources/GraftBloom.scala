@@ -109,6 +109,50 @@ private[graft] object GraftBloom {
       } catch { case NonFatal(_) => None } // fail-safe: unpruned
     }.toMap
 
+  /** Test seam: count of data files whose CONTENT an [[analyze]] call
+    * actually (re-)read. The writer-side maintenance contract (r12
+    * item 5) is that a commit with shipped filters leaves this at 0.
+    */
+  private[graft] val buildReads = new java.util.concurrent.atomic.LongAdder
+
+  /** Publish WRITER-ACCUMULATED filters (r12 item 5): the hive-layout
+    * DataWriter builds each file's filters as rows stream through and
+    * ships them in its commit message — this merges them into the
+    * shard store keyed by the PUBLISHED file's live identity, with
+    * zero data re-read. Runs post-commit in the advisory auto-analyze
+    * slot; any failure just leaves files for the re-read backstop.
+    * Returns the number of file entries published.
+    */
+  def publishShipped(spark: SparkSession, tableDir: Path,
+      shipped: Map[String, Seq[(String, Char, Array[Byte])]]): Int = {
+    if (shipped.isEmpty) return 0
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirUri = tableDir.toUri.getPath
+    val entries = shipped.toSeq.flatMap { case (finalPath, cols) =>
+      val up = new Path(finalPath).toUri.getPath
+      if (!up.startsWith(dirUri)) None
+      else {
+        val rel = up.stripPrefix(dirUri).stripPrefix("/")
+        // hidden dirs (upsert staging) are not table data
+        if (rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          None
+        else
+          try {
+            val st = fs.getFileStatus(new Path(finalPath))
+            Some(rel -> FileBlooms(st.getLen, st.getModificationTime,
+              cols.map { case (n, k, b) =>
+                n.toLowerCase -> (k, bloomOf(b))
+              }.toMap))
+          } catch { case NonFatal(_) => None } // gone already: backstop's job
+      }
+    }.toMap
+    if (entries.isEmpty) return 0
+    val keys = entries.keySet.map(GraftStats.shardKeyOf)
+    val prior = readShards(fs, tableDir, keys)
+    reconcileShards(fs, tableDir, prior ++ entries, Some(keys))
+    entries.size
+  }
+
   private def shardDir(tableDir: Path) = new Path(tableDir, ShardDirName)
   private def shardFile(tableDir: Path, shardKey: String): Path =
     new Path(shardDir(tableDir),
@@ -204,6 +248,7 @@ private[graft] object GraftBloom {
       reconcileShards(fs, tableDir, valid, scope)
       return (0, valid.size, resolved.size)
     }
+    buildReads.add(toBuild.size)
     // read ONLY the files that need building, directly by path — the
     // exact file set by construction (no filter-representation games),
     // projected to the bloom columns (all non-partition, so they live

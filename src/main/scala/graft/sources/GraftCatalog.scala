@@ -926,20 +926,57 @@ private[sources] class GraftTable(
     import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
     import org.apache.spark.sql.connector.write.streaming.StreamingWrite
     if (!autoAnalyze || readOnly) return w
-    def refresh(scope: Option[Set[String]]): Unit = {
+    // writer-side bloom maintenance (r12 item 5): hand the hive-layout
+    // write its bloom spec so task writers accumulate filters as rows
+    // stream through — the commit then PUBLISHES them with zero data
+    // re-read; the analyze below degrades to a covered no-op
+    lazy val writerBloomSpec: Option[GraftPartitionedCow.WriterBloomSpec] =
+      meta.props.get("bloom_columns").flatMap { cols =>
+        val s = schema()
+        val resolved = cols.split(',').map(_.trim).filter(_.nonEmpty)
+          .toSeq.flatMap { c =>
+            s.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+              GraftBloom.kindOf(f.dataType).map(k =>
+                (f.name.toLowerCase, k)))
+          }
+        if (resolved.isEmpty) None
+        else Some(GraftPartitionedCow.WriterBloomSpec(resolved,
+          meta.props.get("bloom_fpp").map(_.toDouble)
+            .getOrElse(GraftBloom.DefaultFpp),
+          spark.conf.getOption("spark.graft.bloom.writer.expectedRows")
+            .map(_.toLong).getOrElse(250000L)))
+      }
+    w match {
+      case h: GraftPartitionedCow.HiveLayoutWrite =>
+        h.writerBloom = writerBloomSpec
+      case _ => ()
+    }
+    def refresh(scope: Option[Set[String]],
+        ms: Array[WriterCommitMessage] = Array.empty): Unit = {
       try GraftStats.analyze(spark, dir, format, scope)
       catch { case scala.util.control.NonFatal(_) => () }
       // auto-bloom: a table that declares `bloom_columns` keeps its
-      // point-lookup filters fresh at every commit too — incremental
-      // (only the write's new files pay a data read) and write-scoped
-      // like the stats refresh; advisory like it
+      // point-lookup filters fresh at every commit too. Writer-shipped
+      // filters publish FIRST (zero data re-read); the analyze after
+      // is the fail-safe backstop for files without shipped filters
+      // (V1 appends, delta delete-only rows) — it finds shipped files
+      // covered and reads nothing for them. Advisory like the stats
+      // refresh.
       meta.props.get("bloom_columns").foreach { cols =>
-        try GraftBloom.analyze(spark, new Path(dir), schema(),
-          effectivePartitionCols,
-          cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-          meta.props.get("bloom_fpp").map(_.toDouble)
-            .getOrElse(GraftBloom.DefaultFpp),
-          scope)
+        try {
+          val shipped = ms.toSeq.flatMap {
+            case GraftPartitionedCow.CowTaskFiles(_, bl) => bl.toSeq
+            case _ => Nil
+          }.toMap
+          if (shipped.nonEmpty)
+            GraftBloom.publishShipped(spark, new Path(dir), shipped)
+          GraftBloom.analyze(spark, new Path(dir), schema(),
+            effectivePartitionCols,
+            cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            meta.props.get("bloom_fpp").map(_.toDouble)
+              .getOrElse(GraftBloom.DefaultFpp),
+            scope)
+        }
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
@@ -959,7 +996,7 @@ private[sources] class GraftTable(
       else {
         val dirUri = new Path(dir).toUri.getPath
         val rels = ms.toSeq.flatMap {
-          case GraftPartitionedCow.CowTaskFiles(files) => files.map(_._2)
+          case GraftPartitionedCow.CowTaskFiles(files, _) => files.map(_._2)
           case _ => Seq.empty[String]
         }.map(f => new Path(f).toUri.getPath)
         if (rels.isEmpty || rels.exists(!_.startsWith(dirUri))) None
@@ -981,7 +1018,7 @@ private[sources] class GraftTable(
       override def onDataWriterCommit(m: WriterCommitMessage): Unit =
         b.onDataWriterCommit(m)
       override def commit(ms: Array[WriterCommitMessage]): Unit = {
-        b.commit(ms); refresh(scopeOf(ms, fullReplace))
+        b.commit(ms); refresh(scopeOf(ms, fullReplace), ms)
       }
       override def abort(ms: Array[WriterCommitMessage]): Unit = b.abort(ms)
     }
@@ -995,7 +1032,7 @@ private[sources] class GraftTable(
         s.createStreamingWriterFactory(info)
       override def useCommitCoordinator(): Boolean = s.useCommitCoordinator()
       override def commit(e: Long, ms: Array[WriterCommitMessage]): Unit = {
-        s.commit(e, ms); refresh(scopeOf(ms, fullEpoch))
+        s.commit(e, ms); refresh(scopeOf(ms, fullEpoch), ms)
       }
       override def abort(e: Long, ms: Array[WriterCommitMessage]): Unit =
         s.abort(e, ms)
@@ -2946,8 +2983,22 @@ private[graft] object GraftPartitionedCow {
   }
 
   private[sources] final case class CowTaskFiles(
-      files: Seq[(String, String, Long)])
+      files: Seq[(String, String, Long)],
+      // writer-accumulated per-file Bloom filters (r12 item 5), keyed
+      // by FINAL path: (column lower-name, kind, serialized filter).
+      // Empty when the table declares no bloom_columns.
+      blooms: Map[String, Seq[(String, Char, Array[Byte])]] = Map.empty)
     extends WriterCommitMessage // (staged dot-path, final path, row count)
+
+  /** What the task writer needs to maintain filters as rows stream
+    * through: bloom column (lower-name, kind) pairs, the fpp, and the
+    * per-file expected-row sizing (writer-side filters are sized by
+    * this estimate, not the exact count the re-read path uses —
+    * over-sizing only lowers the fpp, under-sizing only raises it;
+    * correctness is unconditional).
+    */
+  private[sources] final case class WriterBloomSpec(
+      cols: Seq[(String, Char)], fpp: Double, expectedRows: Long)
 
   /** Driver-side write preparation shared by the batch and streaming
     * factories: the format's OutputWriterFactory over the FILE schema
@@ -3070,14 +3121,14 @@ private[graft] object GraftPartitionedCow {
         }
         // manifest BEFORE the first rename
         val finals = messages.collect {
-          case CowTaskFiles(files) => files.map(_._2)
+          case CowTaskFiles(files, _) => files.map(_._2)
         }.flatten
         fs.mkdirs(markerDir)
         val out = fs.create(mf, true)
         try out.write(finals.mkString("\n").getBytes("UTF-8"))
         finally out.close()
         messages.foreach {
-          case CowTaskFiles(files) => files.foreach { case (staged, fin, _) =>
+          case CowTaskFiles(files, _) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
             if (fs.exists(finP)) fs.delete(new Path(staged), false)
             else require(fs.rename(new Path(staged), finP),
@@ -3095,7 +3146,7 @@ private[graft] object GraftPartitionedCow {
         messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
+        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -3174,7 +3225,7 @@ private[graft] object GraftPartitionedCow {
         val old = listVisibleFiles(fs, new Path(dir))
           .filterNot(_.getName.contains(thisEpochTag))
         messages.foreach {
-          case CowTaskFiles(files) => files.foreach { case (staged, fin, _) =>
+          case CowTaskFiles(files, _) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
             if (fs.exists(finP)) fs.delete(new Path(staged), false)
             else require(fs.rename(new Path(staged), finP),
@@ -3206,7 +3257,7 @@ private[graft] object GraftPartitionedCow {
         messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
+        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -3290,7 +3341,7 @@ private[graft] object GraftPartitionedCow {
         // converge staged → deterministic final names inside the stage
         // (an already-present final from a crashed attempt wins)
         messages.foreach {
-          case CowTaskFiles(files) => files.foreach { case (staged, fin, _) =>
+          case CowTaskFiles(files, _) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
             if (fs.exists(finP)) fs.delete(new Path(staged), false)
             else require(fs.rename(new Path(staged), finP),
@@ -3329,7 +3380,7 @@ private[graft] object GraftPartitionedCow {
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
+        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -3382,13 +3433,21 @@ private[graft] object GraftPartitionedCow {
       */
     protected def dvConflictGuard: Option[Map[String, (Long, Long)]] = None
 
+    /** Writer-side bloom maintenance spec (r12 item 5): set by
+      * [[GraftTable.withAutoAnalyze]] from the table's `bloom_columns`
+      * properties before the write plans — the single chokepoint every
+      * write passes through. None = no accumulation (the re-read
+      * backstop maintains filters for such commits).
+      */
+    private[sources] var writerBloom: Option[WriterBloomSpec] = None
+
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory = {
         val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
         PartitionedCowWriterFactory(p.owf, p.conf, dir,
           dataSchema, p.fileSchema, p.fileFieldIdx, p.partFields,
-          p.bucketField, sortedInput)
+          p.bucketField, sortedInput, writerBloom)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3408,7 +3467,7 @@ private[graft] object GraftPartitionedCow {
                 "rewrite read pre-delete rows and was DISCARDED — re-run")
         }
         val staged = messages.toSeq.flatMap {
-          case CowTaskFiles(files) => files
+          case CowTaskFiles(files, _) => files
           case _ => Nil
         }
         // phase 0 — the publish policy may DROP staged files instead of
@@ -3450,7 +3509,7 @@ private[graft] object GraftPartitionedCow {
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         messages.foreach {
-          case CowTaskFiles(files) => files.foreach { case (staged, _, _) =>
+          case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
             try fs.delete(new Path(staged), false)
             catch { case _: Throwable => () }
           }
@@ -3778,13 +3837,14 @@ private[graft] object GraftPartitionedCow {
       owf: OutputWriterFactory, conf: SerializableHadoopConf,
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
-      bucketField: Option[(Int, Int)], sorted: Boolean)
+      bucketField: Option[(Int, Int)], sorted: Boolean,
+      bloom: Option[WriterBloomSpec] = None)
     extends DataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
         fileSchema, fileFieldIdx, partFields, bucketField, partitionId, None,
-        sorted)
+        sorted, bloom)
   }
 
   /** Streaming twin of the factory: final file names are DETERMINISTIC
@@ -3796,13 +3856,14 @@ private[graft] object GraftPartitionedCow {
       owf: OutputWriterFactory, conf: SerializableHadoopConf,
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
-      bucketField: Option[(Int, Int)], queryTag: String)
+      bucketField: Option[(Int, Int)], queryTag: String,
+      bloom: Option[WriterBloomSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
         fileSchema, fileFieldIdx, partFields, bucketField, partitionId,
-        Some((queryTag, epochId)), sorted = false)
+        Some((queryTag, epochId)), sorted = false, bloom)
   }
 
   /** Task-side dynamic-partition writer. Replacement rows may arrive
@@ -3829,8 +3890,29 @@ private[graft] object GraftPartitionedCow {
       // by (partition, bucket) key: ONE columnar writer open at a time
       // (close-on-key-change) — bounded task memory however many groups
       // the task owns. Unsorted mode keeps a writer per key encountered.
-      sorted: Boolean)
+      sorted: Boolean,
+      // writer-side bloom maintenance (r12 item 5): accumulate each
+      // open file's filters as rows stream through and ship them in
+      // the commit message — zero post-commit data re-read
+      bloom: Option[WriterBloomSpec] = None)
     extends DataWriter[InternalRow] {
+
+    // bloom columns resolved against THIS write's row schema; a column
+    // absent from it (delete-only delta rows) is skipped — the re-read
+    // backstop covers such files
+    private val bloomCols: Seq[(Int, Char)] = bloom.toSeq.flatMap { spec =>
+      spec.cols.flatMap { case (nm, kind) =>
+        val i = dataSchema.fields.indexWhere(_.name.equalsIgnoreCase(nm))
+        if (i < 0) None else Some((i, kind))
+      }
+    }
+    // per-file filters, index-parallel to `files`; a task fanning out
+    // to very many files stops accumulating past the cap (null slots)
+    // and leaves those files to the analyze backstop — bounded task
+    // memory whatever the fan-out
+    private val MaxBloomFilesPerTask = 64
+    private val fileBlooms = scala.collection.mutable.ArrayBuffer[
+      Array[org.apache.spark.util.sketch.BloomFilter]]()
 
     private val ctx = {
       import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
@@ -3887,6 +3969,12 @@ private[graft] object GraftPartitionedCow {
       val staged = s"$prefix/${stagedName(name)}"
       files += ((staged, s"$prefix/$name"))
       rowCounts += 0L
+      if (bloomCols.nonEmpty)
+        fileBlooms += (if (files.length > MaxBloomFilesPerTask) null
+        else bloomCols.map { _ =>
+          org.apache.spark.util.sketch.BloomFilter.create(
+            bloom.get.expectedRows, bloom.get.fpp)
+        }.toArray)
       fileSeq += 1
       (owf.newInstance(staged, fileSchema, ctx), files.length - 1)
     }
@@ -3921,6 +4009,26 @@ private[graft] object GraftPartitionedCow {
           (curWriter, curIdx)
         } else open.getOrElseUpdate(key, newFile(rel, bucketId))
       rowCounts(idx) += 1
+      if (bloomCols.nonEmpty && fileBlooms(idx) != null) {
+        val filters = fileBlooms(idx)
+        var bi = 0
+        while (bi < bloomCols.length) {
+          val (ci, kind) = bloomCols(bi)
+          if (!row.isNullAt(ci + offset)) kind match {
+            // same value normalization as GraftBloom's build pass
+            case 'l' => filters(bi).putLong(
+              dataSchema.fields(ci).dataType match {
+                case ByteType => row.getByte(ci + offset).toLong
+                case ShortType => row.getShort(ci + offset).toLong
+                case IntegerType => row.getInt(ci + offset).toLong
+                case _ => row.getLong(ci + offset)
+              })
+            case 's' => filters(bi).putString(
+              row.getUTF8String(ci + offset).toString)
+          }
+          bi += 1
+        }
+      }
       w.write(if (offset == 0) proj0(row) else proj1(row))
     }
 
@@ -3928,9 +4036,19 @@ private[graft] object GraftPartitionedCow {
       if (curWriter != null) { curWriter.close(); curWriter = null }
       open.values.foreach(_._1.close())
       open.clear()
+      val shipped: Map[String, Seq[(String, Char, Array[Byte])]] =
+        if (bloomCols.isEmpty) Map.empty
+        else files.toSeq.zip(fileBlooms.toSeq).collect {
+          case ((_, fin), bfs) if bfs != null =>
+            fin -> bloomCols.zip(bfs.toSeq).map { case ((ci, kind), bf) =>
+              val out = new java.io.ByteArrayOutputStream()
+              bf.writeTo(out)
+              (dataSchema.fields(ci).name.toLowerCase, kind, out.toByteArray)
+            }
+        }.toMap
       CowTaskFiles(files.toSeq.zip(rowCounts.toSeq).map {
         case ((s, f), n) => (s, f, n)
-      })
+      }, shipped)
     }
 
     override def abort(): Unit = {

@@ -410,7 +410,7 @@ private[sources] object GraftDeltaMor {
           val files =
             if (!opened) Seq.empty[(String, String, Long)]
             else inner.commit() match {
-              case GraftPartitionedCow.CowTaskFiles(fs0) => fs0
+              case GraftPartitionedCow.CowTaskFiles(fs0, _) => fs0
               case other => throw new IllegalStateException(
                 s"unexpected writer message $other")
             }

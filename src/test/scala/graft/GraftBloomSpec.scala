@@ -173,6 +173,115 @@ class GraftBloomSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e.getMessage.contains("bloom_fpp"))
   }
 
+  test("writer-side bloom maintenance: commits publish filters with ZERO data re-read (r13 item 5)") {
+    n += 1
+    val name = s"gblw${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-blw-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    spark.sql(s"CREATE NAMESPACE $name.ods")
+    // bucketed table = the v2 hive-layout write path whose task writers
+    // accumulate filters as rows stream through
+    spark.sql(s"CREATE TABLE $name.ods.t (k BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('bloom_columns' = 'k')")
+    val readsBefore = GraftBloom.buildReads.sum()
+    (0 until 4).foreach { s =>
+      spark.sql(s"INSERT INTO $name.ods.t SELECT (id * 37) % 4000, " +
+        s"concat('t', id) FROM range(${s * 1000}, ${(s + 1) * 1000})")
+    }
+    assert(GraftBloom.buildReads.sum() == readsBefore,
+      "auto-bloom re-read data files at commit despite writer-shipped filters")
+    // the writer-published filters prune and parity holds
+    val q = spark.table(s"$name.ods.t").where(col("k") === 1234)
+    val expect = (0L until 4000L).map(_ * 37 % 4000).count(_ == 1234)
+    assert(q.count() == expect)
+    val total = scannedFiles(spark.table(s"$name.ods.t"))
+    val pruned = scannedFiles(spark.table(s"$name.ods.t")
+      .where(col("k") === 1234))
+    assert(pruned < total,
+      s"writer-shipped blooms did not prune ($pruned of $total files)")
+
+    // corruption proof on the JUST-WRITTEN files: replace every data
+    // file with same-length garbage (identity preserved), then run the
+    // maintenance CALL — covered by the shipped filters, it must open
+    // NOTHING, rebuild NOTHING, and planning must keep pruning
+    val fs = fsOf(root)
+    val dirP = new Path(s"$root/ods/t")
+    fs.listStatus(dirP).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).foreach { st =>
+      val len = st.getLen
+      val mtime = st.getModificationTime
+      val out = fs.create(st.getPath, true)
+      try out.write(Array.fill(len.toInt)('x'.toByte)) finally out.close()
+      fs.setTimes(st.getPath, mtime, -1)
+    }
+    val r = spark.sql(s"CALL $name.system.analyze_bloom(" +
+      "table => 'ods.t', columns => 'k')").head
+    assert(r.getInt(0) == 0,
+      s"analyze rebuilt ${r.getInt(0)} files — writer publishing failed")
+    assert(GraftBloom.buildReads.sum() == readsBefore,
+      "analyze opened a just-written (corrupted) data file")
+    assert(scannedFiles(spark.table(s"$name.ods.t")
+      .where(col("k") === 1234)) == pruned)
+  }
+
+  test("writer-shipped filters match the re-read path's (identity, columns, admits)") {
+    n += 1
+    val name = s"gble${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-ble-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    spark.sql(s"CREATE NAMESPACE $name.ods")
+    spark.sql(s"CREATE TABLE $name.ods.t (k BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('bloom_columns' = 'k', 'bloom_fpp' = '0.01')")
+    (0 until 3).foreach { s =>
+      spark.sql(s"INSERT INTO $name.ods.t SELECT (id * 13) % 3000, " +
+        s"concat('t', id) FROM range(${s * 1000}, ${(s + 1) * 1000})")
+    }
+    val fs = fsOf(root)
+    val dirP = new Path(s"$root/ods/t")
+    def entries(): Map[String, GraftBloom.FileBlooms] =
+      new GraftBloom.ScopedReader(fs, dirP)
+        .forFiles(plannedOf(spark.table(s"$name.ods.t")))
+    val writerSide = entries()
+    assert(writerSide.nonEmpty, "no writer-published entries")
+
+    // force the RE-READ path to rebuild from the data itself
+    fs.delete(new Path(dirP, GraftBloom.ShardDirName), true)
+    spark.sql(s"CALL $name.system.analyze_bloom(" +
+      "table => 'ods.t', columns => 'k')")
+    val rereadSide = entries()
+
+    assert(writerSide.keySet == rereadSide.keySet,
+      "writer and re-read paths cover different file sets")
+    writerSide.foreach { case (rel, w) =>
+      val r = rereadSide(rel)
+      assert(w.size == r.size && w.mtime == r.mtime,
+        s"identity mismatch for $rel")
+      assert(w.cols.keySet == r.cols.keySet && w.cols.keySet == Set("k"),
+        s"column mismatch for $rel")
+      // every key actually IN the file is admitted by BOTH filters (the
+      // no-false-negative contract both paths must honor identically)
+      val keys = spark.read.parquet(s"$root/ods/t/$rel")
+        .select("k").collect().map(_.getLong(0)).distinct
+      assert(keys.nonEmpty)
+      keys.foreach { key =>
+        assert(w.cols("k")._2.mightContainLong(key),
+          s"writer filter lost key $key of $rel (false negative)")
+        assert(r.cols("k")._2.mightContainLong(key),
+          s"re-read filter lost key $key of $rel (false negative)")
+      }
+    }
+    // both states prune a point lookup to the same admitting files
+    assert(spark.table(s"$name.ods.t").where(col("k") === 26).count() ==
+      (0L until 3000L).map(_ * 13 % 3000).count(_ == 26) * 1L)
+  }
+
   test("column-incremental: analyzing a second column keeps the first column's filters") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
