@@ -1808,6 +1808,90 @@ object CatalogQueries {
        |  SELECT seg, bal * 2 FROM base WHERE k % 11 = 0)
        |GROUP BY seg""".stripMargin
 
+  /** q217 — EQUALITY-delete streaming upsert
+    * ([[graft.sources.GraftEqDel]], r12 item 6 — Iceberg v2 equality
+    * deletes): the same Update-mode running aggregate as q213, but
+    * with `upsertMode=equality` each epoch writes its rows plus one
+    * KEY SIDECAR and NEVER scans the target — per-epoch cost is the
+    * epoch, not the table. The query REQUIREs the evidence in-plan:
+    * equality sidecars exist after the run, the positional MetaScan
+    * sentinel never moved (no epoch planned a target scan), and every
+    * file of the FIRST epoch is byte-identical afterwards (the second
+    * epoch appended + sidecar'd; nothing was rewritten). The final
+    * read applies the deletes by key with epoch-floor ordering, so it
+    * must hash-equal the one-shot GROUP BY both in DuckDB and with
+    * q213's MERGE-path result.
+    */
+  def q217EqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g217")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g217_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.raw.src (seg STRING, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.state " +
+      "(seg STRING, n BIGINT, cents_sum BIGINT)")
+    def gen(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM g217_customer WHERE $pred""")
+    gen("c_custkey % 2 = 0")
+    val loc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mart"), "state"))
+      .properties().get("location")
+    val base = new org.apache.hadoop.fs.Path(loc)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(base).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    graft.sources.GraftMorRuntimeScope.lastPlannedRels
+      .set(Seq("__q217_sentinel__"))
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4") // state-store count, see q200
+    var afterE1 = Map.empty[String, (Long, Long)]
+    try {
+      val cp = scratch("graft-q217-cp")
+      val q = spark.readStream.table(s"$cat.raw.src")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "seg")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.mart.state")
+      q.processAllAvailable() // epoch 1: even custkeys
+      afterE1 = dataFiles()
+      gen("c_custkey % 2 = 1")
+      q.processAllAvailable() // epoch 2: every group re-emits
+      q.stop()
+    } finally prevShuffle match {
+      case Some(v) => spark.conf.set(shuffleKey, v)
+      case None => spark.conf.unset(shuffleKey)
+    }
+    // the equality-delete evidence, in-plan
+    require(graft.sources.GraftEqDel.hasAny(fs, base),
+      "q217: no equality-delete sidecars were written")
+    require(graft.sources.GraftMorRuntimeScope.lastPlannedRels.get() ==
+      Seq("__q217_sentinel__"),
+      "q217: an epoch positional-scanned the target")
+    val after = dataFiles()
+    afterE1.foreach { case (f, id) =>
+      require(after.get(f).contains(id),
+        s"q217: epoch 2 rewrote or retired epoch 1's file $f")
+    }
+    spark.table(s"$cat.mart.state")
+      .select(col("seg"), col("n"), col("cents_sum"))
+  }
+
+  /** Same one-shot algebra as [[q201Oracle]]/[[q213Oracle]]: equality
+    * upserts, MERGE upserts and Complete refreshes must agree.
+    */
+  val q217Oracle: String = q201Oracle
+
   val q215Oracle: String =
     s"""WITH keyed AS (
        |  SELECT (o_orderkey * 2654435761) % 1000000007 AS ukey,
@@ -1878,7 +1962,8 @@ object CatalogQueries {
     "q213_streaming_update_upsert" -> (q213StreamingUpdateUpsert _),
     "q214_mor_delete" -> (q214MorDelete _),
     "q215_bloom_pointlookup" -> (q215BloomPointlookup _),
-    "q216_mor_merge" -> (q216MorMerge _))
+    "q216_mor_merge" -> (q216MorMerge _),
+    "q217_eq_upsert" -> (q217EqUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -1916,5 +2001,6 @@ object CatalogQueries {
     "q213_streaming_update_upsert" -> q213Oracle,
     "q214_mor_delete" -> q214Oracle,
     "q215_bloom_pointlookup" -> q215Oracle,
-    "q216_mor_merge" -> q216Oracle)
+    "q216_mor_merge" -> q216Oracle,
+    "q217_eq_upsert" -> q217Oracle)
 }

@@ -68,7 +68,9 @@ final case class Catalog(spark: SparkSession, root: String,
   def read(layer: String, table: String): DataFrame = {
     val df = spark.read.format(format).options(readOptions)
       .load(path(layer, table))
-    graft.sources.GraftDv.applyToPathRead(spark, df,
+    graft.sources.GraftEqDel.applyToPathRead(spark,
+      graft.sources.GraftDv.applyToPathRead(spark, df,
+        new org.apache.hadoop.fs.Path(path(layer, table))),
       new org.apache.hadoop.fs.Path(path(layer, table)))
   }
 
@@ -548,7 +550,9 @@ final case class Catalog(spark: SparkSession, root: String,
       s"mergeSchema needs per-file schema footers; format '$format' has none")
     val df = spark.read.option("mergeSchema", "true").format(format)
       .load(path(layer, table))
-    graft.sources.GraftDv.applyToPathRead(spark, df,
+    graft.sources.GraftEqDel.applyToPathRead(spark,
+      graft.sources.GraftDv.applyToPathRead(spark, df,
+        new org.apache.hadoop.fs.Path(path(layer, table))),
       new org.apache.hadoop.fs.Path(path(layer, table)))
   }
 
@@ -1048,8 +1052,10 @@ final case class Catalog(spark: SparkSession, root: String,
       versionsDir(layer, table), f"v$version%06d")
     val df = spark.read.format(format).options(readOptions)
       .load(vDir.toString)
-    // archived generations carry their deletion-vector sidecars
-    graft.sources.GraftDv.applyToPathRead(spark, df, vDir)
+    // archived generations carry their deletion-vector and
+    // equality-delete sidecars
+    graft.sources.GraftEqDel.applyToPathRead(spark,
+      graft.sources.GraftDv.applyToPathRead(spark, df, vDir), vDir)
   }
 
   /** Roll the live table back to a retained version. The replaced

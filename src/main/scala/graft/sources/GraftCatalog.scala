@@ -1090,7 +1090,15 @@ private[sources] class GraftTable(
 
       private def upsertWrite()
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftPartitionedCow.StreamingUpsertWrite(spark, format,
+        // upsertMode=equality (r12 item 6): epochs write equality-
+        // delete sidecars + appended rows, never scanning the target;
+        // default (merge) keeps the per-epoch MERGE INTO machinery
+        if (Option(info.options.get("upsertMode"))
+            .exists(_.equalsIgnoreCase("equality")))
+          new GraftPartitionedCow.StreamingEqUpsertWrite(spark, format,
+            info.schema(), dir, effectivePartitionCols, meta.bucketSpec,
+            upsertKeys, info.queryId())
+        else new GraftPartitionedCow.StreamingUpsertWrite(spark, format,
           info.schema(), dir, quotedIdent, upsertKeys, info.queryId())
 
       private def withUpsert(base: Write): Write =
@@ -1200,8 +1208,18 @@ private[sources] class GraftTable(
               (data, overwriteFlag) => {
                 val parts = effectivePartitionCols
                 if (replace || overwriteFlag)
+                  // a full replace supersedes every row — the dir swap
+                  // carries the eq sidecars away with the old generation
                   engine.createOrReplace(data, layer, table, parts)
-                else engine.append(data, layer, table, parts)
+                else {
+                  // appended rows would be wrongly subject to LIVE
+                  // equality deletes (their floor is -1) — refuse
+                  GraftEqDel.requireNone(
+                    new Path(dir).getFileSystem(
+                      spark.sparkContext.hadoopConfiguration),
+                    new Path(dir), "a batch append")
+                  engine.append(data, layer, table, parts)
+                }
               }
             /** `df.writeStream.toTable("<cat>.<layer>.<table>")` —
               * exactly-once-per-epoch streaming: Append output mode
@@ -1505,6 +1523,11 @@ private[sources] class GraftTable(
   // TRUNCATE TABLE rides the same surface (ALWAYS_TRUE).
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    // TRUNCATE (all conjuncts ALWAYS_TRUE) is supported on EVERY
+    // table — the unconditional branch of deleteWhere needs no
+    // partitioning and consumes DV + equality-delete sidecars
+    (!readOnly && predicates.nonEmpty &&
+      predicates.forall(_.name == "ALWAYS_TRUE")) ||
     !readOnly && {
       val parts = effectivePartitionCols
       // every conjunct must be a =/IN over SOME partition column (any
@@ -1543,15 +1566,18 @@ private[sources] class GraftTable(
           .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
           .foreach(fs.delete(_, true))
       GraftDv.dropAll(fs, new Path(dir))
+      GraftEqDel.clearAll(fs, new Path(dir)) // rows gone = deletes moot
     } else if (!partitionDeletable(predicates)) {
       // merge-on-read positional delete (canDeleteWhere accepted, so
       // the condition translates)
+      GraftEqDel.requireNone(fs, new Path(dir), "a positional DELETE")
       val cond = GraftDv.translate(predicates, schema()).getOrElse(
         throw new IllegalStateException(
           s"${name()}: deleteWhere on untranslatable predicates " +
             predicates.mkString(", ")))
       GraftDv.morDelete(spark, new Path(dir), schema(), cond)
     } else {
+      GraftEqDel.requireNone(fs, new Path(dir), "a partition-drop DELETE")
       val parts = effectivePartitionCols
       // the predicate array is a conjunction: build a per-column
       // constraint map, intersecting same-column value sets. An
@@ -1682,6 +1708,7 @@ private[sources] class GraftTable(
         // publish + retire are one commit critical section: a racing
         // committer fails cleanly instead of interleaving (r11 item 6)
         GraftCommitLock.withLock(fs, new Path(dir), "replace-files") {
+          GraftEqDel.requireNone(fs, new Path(dir), "a copy-on-write rewrite")
           if (GraftDv.fingerprint(fs, new Path(dir)) != dvBefore)
             throw new GraftCommitLock.ConcurrentCommitException(
               s"$dir: deletion vectors changed while this rewrite ran; " +
@@ -1811,8 +1838,10 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     * answers instead.
     */
   private lazy val dvPresent: Boolean = statsDir.exists { td =>
-    GraftDv.hasAny(td.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration), td)
+    val fs = td.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    // equality deletes poison count-derived answers identically
+    GraftDv.hasAny(fs, td) || GraftEqDel.hasAny(fs, td)
   }
 
   private def manifestAgg(aggregation: Aggregation)
@@ -1957,6 +1986,12 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     case (Some(td), Some(fs)) => GraftDv.list(fs, td)
     case _ => Map.empty
   }
+  private lazy val eqIndex: Option[GraftEqDel.Index] =
+    (statsDir, dvFs) match {
+      case (Some(td), Some(fs)) =>
+        GraftEqDel.load(SparkSession.active, fs, td)
+      case _ => None
+    }
 
   private lazy val bloomReaderB: Option[GraftBloom.ScopedReader] =
     (statsDir, dvFs) match {
@@ -1974,11 +2009,12 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     s"graft-bucketed(n=$n, key=$col) ${current.description()}"
   override def estimateStatistics(): Statistics = current.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    // live vectors now keep the scan COLUMNAR (r12 verdict item 1):
-    // batches without deletions pass through zero-copy and DV'd
-    // batches are rebuilt by survivor compaction. Only non-copyable
-    // (nested) schemas fall back to the row path.
-    if (dvIndex.nonEmpty && !GraftDv.columnarApplicable(readSchema()))
+    // live vectors / equality deletes now keep the scan COLUMNAR (r12
+    // items 1 and 6): batches without deletions pass through zero-copy
+    // and affected batches are rebuilt by survivor compaction. Only
+    // non-copyable (nested) schemas fall back to the row path.
+    if ((dvIndex.nonEmpty || eqIndex.nonEmpty) &&
+        !GraftDv.columnarApplicable(readSchema()))
       Scan.ColumnarSupportMode.UNSUPPORTED
     else current.columnarSupportMode()
 
@@ -2159,11 +2195,19 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
             SparkSession.active.sparkContext.hadoopConfiguration))
         case None => f
       }
-    val cleanF = iso(current.toBatch.createReaderFactory())
-    if (dvIndex.isEmpty) cleanF
-    else new GraftDv.DvReaderFactory(cleanF,
-      iso(GraftScanFilters.withoutDataFilters(current)
-        .toBatch.createReaderFactory()), current.readSchema())
+    eqIndex match {
+      case Some(ix) =>
+        require(dvIndex.isEmpty,
+          s"$statsDir has both positional deletion vectors and equality " +
+            "deletes — CALL system.rewrite_deletes first")
+        GraftEqDel.factoryFor(current, ix, iso)
+      case None =>
+        val cleanF = iso(current.toBatch.createReaderFactory())
+        if (dvIndex.isEmpty) cleanF
+        else new GraftDv.DvReaderFactory(cleanF,
+          iso(GraftScanFilters.withoutDataFilters(current)
+            .toBatch.createReaderFactory()), current.readSchema())
+    }
   }
 
   override def outputPartitioning()
@@ -2255,6 +2299,15 @@ private[sources] final class GraftRuntimeFilterScan(
     case (Some(td), Some(fs)) => GraftDv.list(fs, td)
     case _ => Map.empty
   }
+  /** Equality-delete index ([[GraftEqDel]], r12 item 6) — loaded once
+    * per scan; loud on caps/mixed streams.
+    */
+  private lazy val eqIndex: Option[GraftEqDel.Index] =
+    (dvTableDir, dvFs) match {
+      case (Some(td), Some(fs)) =>
+        GraftEqDel.load(SparkSession.active, fs, td)
+      case _ => None
+    }
   /** Rebuild planned partitions so deleted positions are skipped at
     * read time; verifies every planned DV against its live file first
     * (LOUD mismatch — a stale vector must never silently resurrect).
@@ -2336,20 +2389,30 @@ private[sources] final class GraftRuntimeFilterScan(
               SparkSession.active.sparkContext.hadoopConfiguration))
           case None => f
         }
-      val cleanF = iso(current.toBatch.createReaderFactory())
-      if (dvIndex.isEmpty) cleanF
-      else new GraftDv.DvReaderFactory(cleanF,
-        // DV'd files read through a FILTER-STRIPPED reader: parquet
-        // pushdown skips row groups, which would shift the counted
-        // ordinals; the Filter above the scan re-applies predicates
-        iso(GraftScanFilters.withoutDataFilters(current)
-          .toBatch.createReaderFactory()), current.readSchema())
+      eqIndex match {
+        case Some(ix) =>
+          // equality deletes (r12 item 6): value-keyed, epoch-floored
+          require(dvIndex.isEmpty,
+            s"$dvTableDir has both positional deletion vectors and " +
+              "equality deletes — CALL system.rewrite_deletes first")
+          GraftEqDel.factoryFor(current, ix, iso)
+        case None =>
+          val cleanF = iso(current.toBatch.createReaderFactory())
+          if (dvIndex.isEmpty) cleanF
+          else new GraftDv.DvReaderFactory(cleanF,
+            // DV'd files read through a FILTER-STRIPPED reader: parquet
+            // pushdown skips row groups, which would shift the counted
+            // ordinals; the Filter above the scan re-applies predicates
+            iso(GraftScanFilters.withoutDataFilters(current)
+              .toBatch.createReaderFactory()), current.readSchema())
+      }
     }
   }
 
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch =
-    if ((statsDir.isEmpty || captureTokens.isDefined) && dvIndex.isEmpty)
+    if ((statsDir.isEmpty || captureTokens.isDefined) && dvIndex.isEmpty &&
+        eqIndex.isEmpty)
       current.toBatch
     else new GraftBatch
   override def toMicroBatchStream(checkpointLocation: String)
@@ -2398,9 +2461,10 @@ private[sources] final class GraftRuntimeFilterScan(
           }
           val bytes = entries.map(_._1.fileSize).sum
           val rows =
-            // deletion vectors make manifest row counts over-claims —
-            // no exact row estimate for a table with live vectors
-            if (entries.forall(_._2.isDefined) && dvIndex.isEmpty)
+            // deletion vectors / equality deletes make manifest row
+            // counts over-claims — no exact row estimate while live
+            if (entries.forall(_._2.isDefined) && dvIndex.isEmpty &&
+                eqIndex.isEmpty)
               java.util.OptionalLong.of(entries.map(_._2.get.rows).sum)
             else java.util.OptionalLong.empty()
           new Statistics {
@@ -2418,9 +2482,11 @@ private[sources] final class GraftRuntimeFilterScan(
   override def reportDriverMetrics(): Array[CustomTaskMetric] =
     current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    // live vectors keep the scan COLUMNAR (r12 verdict item 1) via
-    // survivor-compacted batch rebuilds; nested schemas fall back
-    if (dvIndex.nonEmpty && !GraftDv.columnarApplicable(readSchema()))
+    // live vectors / equality deletes keep the scan COLUMNAR (r12
+    // items 1 and 6) via survivor-compacted batch rebuilds; nested
+    // schemas fall back
+    if ((dvIndex.nonEmpty || eqIndex.nonEmpty) &&
+        !GraftDv.columnarApplicable(readSchema()))
       Scan.ColumnarSupportMode.UNSUPPORTED
     else current.columnarSupportMode()
 
@@ -2570,6 +2636,17 @@ private[sources] object GraftScanFilters {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         p.copy(pushedFilters = Array.empty, dataFilters = Nil,
           pushedAggregate = None)
+      case other => other
+    }
+
+  /** Rebuild the delegate with an extended READ DATA SCHEMA — how the
+    * equality-delete reader force-includes key columns the query
+    * pruned away (parquet-only; [[GraftEqDel]] is parquet-only).
+    */
+  def withReadDataSchema(scan: FileScan, s: StructType): FileScan =
+    scan match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.copy(readDataSchema = s)
       case other => other
     }
 
@@ -2738,12 +2815,14 @@ private[sources] final class GraftTableMicroBatchStream(
     synchronized {
       loadLog()
       // per-trigger, so a vector landing MID-stream is caught too
-      if (!ignoreDeletes && GraftDv.hasAny(fs, tableRoot))
+      if (!ignoreDeletes &&
+          (GraftDv.hasAny(fs, tableRoot) || GraftEqDel.hasAny(fs, tableRoot)))
         throw new IllegalStateException(
-          s"$tableRoot has live merge-on-read deletion vectors: this " +
-            "append-only stream cannot retract deleted rows. Either " +
-            "materialize them (CALL system.rewrite_deletes) or opt in " +
-            "with readStream.option(\"ignoreDeletes\", true)")
+          s"$tableRoot has live merge-on-read deletion vectors or " +
+            "equality deletes: this append-only stream cannot retract " +
+            "deleted rows. Either materialize them (CALL " +
+            "system.rewrite_deletes) or opt in with " +
+            "readStream.option(\"ignoreDeletes\", true)")
       var freshSized = listDataFilesWithLen(tableRoot)
         .filterNot { case (p, _) => seen(p) }
       availableNowSnapshot.foreach(snap =>
@@ -3105,6 +3184,7 @@ private[graft] object GraftPartitionedCow {
         abort(epochId, messages)
       } else GraftCommitLock.withLock(fs, new Path(dir),
           s"stream-append:$queryTag:e$epochId") {
+        GraftEqDel.requireNone(fs, new Path(dir), "an append-mode stream epoch")
         // a manifest without a marker = a prior attempt of THIS epoch
         // crashed mid-publish; retract whatever it made visible (the
         // manifest is complete by construction — written before its
@@ -3234,9 +3314,10 @@ private[graft] object GraftPartitionedCow {
           case _ => ()
         }
         old.foreach(fs.delete(_, false))
-        // a complete refresh replaces every row: deletion vectors of
-        // the retired generation are inert — drop them wholesale
+        // a complete refresh replaces every row: deletion vectors and
+        // equality deletes of the retired generation are inert
         GraftDv.dropAll(fs, new Path(dir))
+        GraftEqDel.clearAll(fs, new Path(dir))
         // prune partition dirs the refresh emptied
         val base = new Path(dir)
         old.map(_.getParent).distinct.foreach { p0 =>
@@ -3338,6 +3419,8 @@ private[graft] object GraftPartitionedCow {
       if (fs.exists(marker(epochId))) {
         abort(epochId, messages)
       } else {
+        GraftEqDel.requireNone(fs, new Path(dir),
+          "a merge-mode streaming upsert epoch")
         // converge staged → deterministic final names inside the stage
         // (an already-present final from a crashed attempt wins)
         messages.foreach {
@@ -3372,6 +3455,170 @@ private[graft] object GraftPartitionedCow {
         finals.foreach(fs.delete(_, false))
         fs.mkdirs(markerDir)
         fs.create(marker(epochId), true).close()
+      }
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      messages.foreach {
+        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
+          try fs.delete(new Path(staged), false)
+          catch { case _: Throwable => () }
+        }
+        case _ => ()
+      }
+    }
+  }
+
+  /** EQUALITY-delete streaming upsert (r12 item 6 — Iceberg v2
+    * equality deletes; see [[GraftEqDel]]): the
+    * `upsertMode=equality` face of the Update-output-mode sink. Where
+    * [[StreamingUpsertWrite]] lands each epoch as a real `MERGE INTO`
+    * (paying a positional scan of the TARGET per epoch), this sink's
+    * epoch writes only (a) the epoch's rows as ordinary appended files
+    * with the deterministic streaming names — their `-e<epoch>-` tag
+    * IS their equality-delete epoch floor — and (b) one sidecar
+    * holding the epoch's distinct key tuples. NO job ever touches the
+    * table: per-epoch cost is the epoch, not the table.
+    *
+    * Idempotence mirrors [[StreamingAppendWrite]]: epoch marker,
+    * retraction manifest written before the first publish, and
+    * deterministic final names — a kill/restart re-delivers the epoch,
+    * retracts any partial publish, and converges (the sidecar write is
+    * an atomic overwrite keyed by (query, epoch), so it converges
+    * too). The sidecar lands AFTER the rows: the worst crash window
+    * shows a key's old AND new row (visible duplicate, repaired by
+    * re-delivery) — never a silently lost row.
+    */
+  final class StreamingEqUpsertWrite(
+      spark: SparkSession, format: String, dataSchema: StructType,
+      dir: String, partitionCols: Seq[String],
+      bucketSpec: Option[(Int, String)], keys: Seq[String], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+    require(format == "parquet",
+      s"equality-mode upsert requires parquet; format is $format")
+    require(keys.nonEmpty, "streaming upsert needs upsertKeys")
+    private val keyFields = keys.map { k =>
+      val f = dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"upsert key $k is not in the streaming query's schema " +
+            s"(${dataSchema.fieldNames.mkString(", ")})"))
+      require(!partitionCols.exists(_.equalsIgnoreCase(k)),
+        s"equality-mode upsert key $k is a partition column — keys must " +
+          "be data columns (their values live in the files the deletes " +
+          "are tested against)")
+      val kind = GraftBloom.kindOf(f.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality-mode upsert key $k: type ${f.dataType.simpleString} " +
+            "unsupported (integral and string keys only)"))
+      (f.name, kind)
+    }
+
+    private val queryTag =
+      f"${scala.util.hashing.MurmurHash3.stringHash(queryId)}%08x"
+    private def markerDir = new Path(dir, s"_graft_stream_commits/$queryTag")
+    private def marker(epochId: Long) = new Path(markerDir, s"q$epochId")
+    private def manifest(epochId: Long) =
+      new Path(markerDir, s"q$epochId.manifest")
+
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
+      StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
+        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
+    }
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker(epochId))) { abort(epochId, messages); return }
+      // single-writer contract: refuse over positional vectors or a
+      // DIFFERENT stream's sidecars — epoch floors only order within
+      // one query tag
+      require(!GraftDv.hasAny(fs, new Path(dir)),
+        s"$dir has live merge-on-read deletion vectors: CALL " +
+          "system.rewrite_deletes before running an equality-mode upsert")
+      val foreign = GraftEqDel.list(fs, new Path(dir))
+        .map(GraftEqDel.read(fs, _)).find(_.tag != queryTag)
+      require(foreign.isEmpty,
+        s"$dir carries equality deletes from another stream " +
+          s"(${foreign.map(_.tag).getOrElse("")}): CALL " +
+          "system.rewrite_deletes before starting a new upsert stream")
+      GraftCommitLock.withLock(fs, new Path(dir),
+          s"stream-equpsert:$queryTag:e$epochId") {
+        // retraction manifest (see StreamingAppendWrite): a prior
+        // crashed attempt's partial publish is undone first
+        val mf = manifest(epochId)
+        if (fs.exists(mf)) {
+          val in = fs.open(mf)
+          val prior = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          prior.filter(_.nonEmpty).foreach { p =>
+            try fs.delete(new Path(p), false)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        val staged = messages.toSeq.flatMap {
+          case CowTaskFiles(files, _) => files
+          case _ => Nil
+        }
+        // manifest BEFORE the first publish
+        fs.mkdirs(markerDir)
+        val out = fs.create(mf, true)
+        try out.write(staged.map(_._2).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        staged.foreach { case (st, fin, _) =>
+          val finP = new Path(fin)
+          if (fs.exists(finP)) fs.delete(new Path(st), false)
+          else require(fs.rename(new Path(st), finP),
+            s"equality upsert commit: could not publish $st -> $fin")
+        }
+        // the epoch's DISTINCT keys, read from ITS OWN just-published
+        // files — one epoch-bounded job; the table is never scanned.
+        // (A crash before the sidecar lands is retracted by the
+        // manifest on re-delivery, so reading post-publish is safe.)
+        val keyTuples: Seq[Seq[Option[Any]]] =
+          if (staged.isEmpty) Nil
+          else {
+            val p = prepare(spark, format, dataSchema, partitionCols,
+              bucketSpec)
+            val src = spark.read.schema(p.fileSchema)
+              .parquet(staged.map(_._2): _*)
+            val maxKeys = spark.conf.getOption(GraftEqDel.MaxKeysConf)
+              .map(_.toLong).getOrElse(GraftEqDel.MaxKeysDefault)
+            val rows = src.select(keyFields.map(f =>
+                org.apache.spark.sql.functions.col(f._1)): _*)
+              .distinct().limit((maxKeys + 1).toInt).collect()
+            require(rows.length <= maxKeys,
+              s"epoch $epochId carries more than $maxKeys distinct keys " +
+                s"(${GraftEqDel.MaxKeysConf}) — use upsertMode=merge")
+            rows.toSeq.map { r =>
+              keyFields.zipWithIndex.map { case ((_, kind), i) =>
+                if (r.isNullAt(i)) None
+                else Some(kind match {
+                  case 'l' => r.get(i) match {
+                    case b: Byte => b.toLong
+                    case s: Short => s.toLong
+                    case n: Int => n.toLong
+                    case l: Long => l
+                    case other => other.toString.toLong
+                  }
+                  case 's' => r.get(i).toString
+                })
+              }
+            }
+          }
+        // the sidecar: older rows with these keys are now deleted
+        GraftEqDel.write(fs, new Path(dir), GraftEqDel.EqDel(
+          queryTag, epochId, keyFields.map(_._1), keyFields.map(_._2),
+          keyTuples))
+        fs.create(marker(epochId), true).close()
+        fs.delete(mf, false)
       }
     }
 
@@ -3433,6 +3680,14 @@ private[graft] object GraftPartitionedCow {
       */
     protected def dvConflictGuard: Option[Map[String, (Long, Long)]] = None
 
+    /** Whether this write may commit while equality-delete sidecars
+      * ([[GraftEqDel]]) are live. Only the full replace is — it
+      * supersedes every row, so it clears (or version-archives) the
+      * sidecars. Everything else cannot reason about epoch floors and
+      * REFUSES with a pointer to rewrite_deletes.
+      */
+    protected def eqDeleteSafe: Boolean = false
+
     /** Writer-side bloom maintenance spec (r12 item 5): set by
       * [[GraftTable.withAutoAnalyze]] from the table's `bloom_columns`
       * properties before the write plans — the single chokepoint every
@@ -3458,6 +3713,8 @@ private[graft] object GraftPartitionedCow {
         // (another replace, a streaming epoch) landing mid-commit
         // fails cleanly instead of interleaving (r11 item 6)
         GraftCommitLock.withLock(fs, new Path(dir), "hive-layout-write") {
+        if (!eqDeleteSafe)
+          GraftEqDel.requireNone(fs, new Path(dir), description())
         dvConflictGuard.foreach { before =>
           val now = GraftDv.fingerprint(fs, new Path(dir))
           if (now != before)
@@ -3795,9 +4052,13 @@ private[graft] object GraftPartitionedCow {
     override def distributionStrictlyRequired(): Boolean = false
     override protected def sortedInput: Boolean = true
     override protected def pruneEmptied: Boolean = true
+    // a full replace supersedes every row: live equality-delete
+    // sidecars are cleared (or archived with the retained version
+    // below) rather than refusing — this IS a materialization path
+    override protected def eqDeleteSafe: Boolean = true
     override protected def retired(published: Seq[Path],
         fs: FileSystem): Seq[Path] = oldFiles
-    override protected def retire(gone: Seq[Path], fs: FileSystem): Unit =
+    override protected def retire(gone: Seq[Path], fs: FileSystem): Unit = {
       versionStore match {
         case Some((store, retain)) if gone.nonEmpty =>
           val storeP = new Path(store)
@@ -3826,11 +4087,19 @@ private[graft] object GraftPartitionedCow {
             require(fs.rename(f, dest),
               s"version archive: could not retain $f as $dest")
           }
+          // equality-delete sidecars travel with the snapshot too —
+          // the archived generation must read with its deletes applied
+          GraftEqDel.archiveInto(fs, new Path(dir), vDir)
           existing.dropRight(retain - 1).foreach { v =>
             fs.delete(new Path(storeP, f"v$v%06d"), true)
           }
-        case _ => super.retire(gone, fs)
+        case _ =>
+          super.retire(gone, fs)
+          // the replace superseded every row: live equality deletes
+          // are consumed by it (this commit IS their materialization)
+          GraftEqDel.clearAll(fs, new Path(dir))
       }
+    }
   }
 
   private[sources] final case class PartitionedCowWriterFactory(

@@ -107,6 +107,9 @@ private[sources] object GraftDeltaMor {
     override def planInputPartitions(): Array[InputPartition] = {
       val fs = tableDir.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
+      // positional coordinates cannot reason about equality-delete
+      // epoch floors — refuse rather than hand out resurrectable rows
+      GraftEqDel.requireNone(fs, tableDir, "a positional (row-coordinate) scan")
       val dvIndex = GraftDv.list(fs, tableDir)
       val parts = initial.toBatch.planInputPartitions()
       val all = parts.toSeq.flatMap {
@@ -316,6 +319,8 @@ private[sources] object GraftDeltaMor {
             "should rewrite files — use delete_mode=copy-on-write")
 
         GraftCommitLock.withLock(fs, new Path(dir), "mor-delta") {
+          GraftEqDel.requireNone(fs, new Path(dir),
+            "a merge-on-read delta operation")
           if (GraftDv.fingerprint(fs, new Path(dir)) != dvBefore)
             throw new GraftCommitLock.ConcurrentCommitException(
               s"$dir: deletion vectors changed while this merge-on-read " +

@@ -361,6 +361,7 @@ private[graft] object GraftDv {
   def morDelete(spark: SparkSession, tableDir: Path, tableSchema: StructType,
       cond: Column): Long = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftEqDel.requireNone(fs, tableDir, "a merge-on-read DELETE")
     val maxRows = spark.conf.getOption(MaxRowsConf)
       .map(_.toLong).getOrElse(MaxRowsDefault)
 
@@ -578,9 +579,10 @@ private[graft] object GraftDv {
   }
 
   /** Copy one value between vectors — the survivor compaction of a
-    * deletion-vector'd batch. Only called for [[copyableType]] types.
+    * deletion-vector'd batch (shared with the equality-delete reader).
+    * Only called for [[copyableType]] types.
     */
-  private def copyValue(dt: org.apache.spark.sql.types.DataType,
+  private[sources] def copyValue(dt: org.apache.spark.sql.types.DataType,
       src: org.apache.spark.sql.vectorized.ColumnVector, si: Int,
       dst: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
       di: Int): Unit = {

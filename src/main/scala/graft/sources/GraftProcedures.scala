@@ -273,8 +273,12 @@ object GraftProcedures {
       val eng = engine()
       require(eng.tableExists(layer, table), s"$layer.$table does not exist")
       val dir = new Path(eng.path(layer, table))
-      val (files, positions, swept) = GraftDv.rewriteDeletes(
+      // equality deletes materialize first (they refuse to coexist
+      // with positional vectors, so at most one phase does real work)
+      val (eqFiles, _) = GraftEqDel.materialize(SparkSession.active, dir)
+      val (dvFiles, positions, swept) = GraftDv.rewriteDeletes(
         SparkSession.active, dir)
+      val files = eqFiles + dvFiles
       // replacements are new, uncovered files: refresh the skipping
       // manifest so min/max pruning resumes over them
       if (files > 0) eng.analyze(layer, table)

@@ -943,7 +943,8 @@ object GraftStats {
     // distributed scan, which applies the vectors, answers instead.
     // (The scan builder already declines earlier; this guards direct
     // callers.)
-    if (GraftDv.hasAny(fs, tableDir)) return None
+    if (GraftDv.hasAny(fs, tableDir) ||
+      GraftEqDel.hasAny(fs, tableDir)) return None
 
     def visible(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>

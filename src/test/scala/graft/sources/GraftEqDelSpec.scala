@@ -1,0 +1,242 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** EQUALITY deletes for streaming upserts ([[GraftEqDel]], r12 item 6
+  * — Iceberg v2 equality deletes): `upsertMode=equality` epochs write
+  * the epoch's rows plus a key sidecar and NEVER scan the target;
+  * reads apply the deletes by key with epoch-floor ordering;
+  * `rewrite_deletes` materializes them. The proofs below: epoch cost
+  * bounded by the epoch (commits succeed with every pre-existing data
+  * file corrupted), kill/restart convergence, read parity with the
+  * MERGE-mode path, and the single-writer refusals.
+  */
+class GraftEqDelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val name = s"geq${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-eq-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (name, root)
+  }
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sidecars(root: String, rel: String): Int = {
+    val fs = fsOf(root)
+    GraftEqDel.list(fs, new Path(s"$root/$rel")).length
+  }
+
+  private def withShuffle4[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("equality epochs never touch the target: commits succeed over corrupted pre-existing files") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.state (k BIGINT, total BIGINT)")
+    spark.sql(s"INSERT INTO $cat.mart.state VALUES (1, 100), (2, 200)")
+    // corrupt EVERY pre-existing data file (same length + mtime): any
+    // job that opened one would crash — the MERGE-mode epoch would,
+    // since it positional-scans the target
+    val fs = fsOf(root)
+    val dirP = new Path(s"$root/mart/state")
+    fs.listStatus(dirP).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).foreach { st =>
+      val (len, mtime) = (st.getLen, st.getModificationTime)
+      val out = fs.create(st.getPath, true)
+      try out.write(Array.fill(len.toInt)('x'.toByte)) finally out.close()
+      fs.setTimes(st.getPath, mtime, -1)
+    }
+    // sentinel: the positional MetaScan would overwrite this
+    GraftMorRuntimeScope.lastPlannedRels.set(Seq("__sentinel__"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    withShuffle4 {
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir("geq-cp-cor"))
+        .toTable(s"$cat.mart.state")
+      try {
+        mem.addData((1L, 11L), (3L, 33L))
+        q.processAllAvailable()
+        mem.addData((2L, 22L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(sidecars(root, "mart/state") >= 2,
+      "equality epochs did not write their sidecars")
+    assert(GraftMorRuntimeScope.lastPlannedRels.get() == Seq("__sentinel__"),
+      "an epoch planned a positional scan of the target")
+  }
+
+  test("read parity with the MERGE-mode upsert; columnar scans; originals untouched; materialization") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.eq (k BIGINT, total BIGINT, cnt BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.mg (k BIGINT, total BIGINT, cnt BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def run(table: String, mode: String): Unit = withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", mode)
+        .option("checkpointLocation", tmpDir(s"geq-cp-$table"))
+        .toTable(s"$cat.mart.$table")
+      try {
+        mem.addData((1L, 10L), (2L, 20L), (3L, 30L))
+        q.processAllAvailable()
+        mem.addData((2L, 5L), (4L, 40L))
+        q.processAllAvailable()
+        mem.addData((1L, 1L), (4L, 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run("eq", "equality")
+    run("mg", "merge")
+
+    def state(t: String) = spark.table(s"$cat.mart.$t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val eq = state("eq")
+    assert(eq == state("mg"),
+      s"equality-mode state diverged from the MERGE path:\n$eq\n${state("mg")}")
+    assert(eq == Seq((1L, 11L, 2L), (2L, 25L, 2L), (3L, 30L, 1L),
+      (4L, 44L, 2L)))
+
+    // the equality table applied the deletes AT READ: sidecars live,
+    // every epoch's files still on disk (no rewrite happened)
+    assert(sidecars(root, "mart/eq") == 3)
+    // aggregates decline the metadata tiers and stay right
+    assert(spark.table(s"$cat.mart.eq").count() == 4)
+    // the applying scan stays COLUMNAR (r12 item 1 discipline)
+    val df = spark.table(s"$cat.mart.eq")
+    df.collect()
+    val modes = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.supportsColumnar
+    }
+    assert(modes.nonEmpty && modes.forall(identity),
+      "equality-delete scan de-vectorized")
+    // column pruning safe: a projection WITHOUT the key column still
+    // applies the deletes (keys are force-included then stripped)
+    assert(spark.table(s"$cat.mart.eq").select("total").as[Long]
+      .collect().sorted.toSeq == Seq(11L, 25L, 30L, 44L))
+
+    // materialization: one call, sidecars consumed, parity preserved
+    val res = spark.sql(
+      s"CALL $cat.system.rewrite_deletes(table => 'mart.eq')").head
+    assert(res.getInt(0) > 0, "materialization rewrote nothing")
+    assert(sidecars(root, "mart/eq") == 0, "sidecars survived materialization")
+    assert(state("eq") == eq, "materialization changed the state")
+    // a later epoch works against the materialized table
+    withShuffle4 {
+      val mem2 = MemoryStream[(Long, Long)]
+      val q2 = mem2.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir("geq-cp-post"))
+        .toTable(s"$cat.mart.eq")
+      try { mem2.addData((3L, 3L)); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    assert(spark.table(s"$cat.mart.eq").where(col("k") === 3)
+      .head.getLong(1) == 3L,
+      "post-materialization epoch did not supersede the rewritten row")
+  }
+
+  test("kill/restart converges exactly-once (checkpoint + marker protocol)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.state (k BIGINT, total BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cp = tmpDir("geq-cp-kill")
+    val mem = MemoryStream[(Long, Long)]
+    def start() = mem.toDF().toDF("k", "v").groupBy("k")
+      .agg(sum("v").as("total"))
+      .writeStream.outputMode("update")
+      .option("upsertKeys", "k")
+      .option("upsertMode", "equality")
+      .option("checkpointLocation", cp)
+      .toTable(s"$cat.mart.state")
+    withShuffle4 {
+      val q1 = start()
+      mem.addData((1L, 10L), (2L, 20L))
+      q1.processAllAvailable()
+      q1.stop() // kill between epochs
+      val q2 = start()
+      mem.addData((1L, 1L), (3L, 30L))
+      q2.processAllAvailable()
+      q2.stop()
+    }
+    val got = spark.table(s"$cat.mart.state").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L), (3L, 30L)), s"got $got")
+  }
+
+  test("single-writer contract: other writers refuse loudly while sidecars are live") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.state (k BIGINT, total BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir("geq-cp-ref"))
+        .toTable(s"$cat.mart.state")
+      try { mem.addData((1L, 10L), (2L, 20L)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    assert(sidecars(root, "mart/state") == 1)
+    def refused(body: => Unit): Unit = {
+      val e = intercept[Throwable](body)
+      def mentions(t: Throwable): Boolean = {
+        var c: Throwable = t
+        while (c != null) {
+          if (c.getMessage != null &&
+            c.getMessage.contains("rewrite_deletes")) return true
+          c = c.getCause
+        }
+        false
+      }
+      assert(mentions(e), s"refusal does not name the fix: $e")
+    }
+    refused(spark.sql(s"INSERT INTO $cat.mart.state VALUES (9, 9)"))
+    refused(spark.sql(s"DELETE FROM $cat.mart.state WHERE k = 1"))
+    refused(spark.sql(s"UPDATE $cat.mart.state SET total = 0 WHERE k = 1"))
+    // the table is intact and still right after every refusal
+    assert(spark.table(s"$cat.mart.state").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // TRUNCATE is the sanctioned full-replace: it consumes the sidecars
+    spark.sql(s"TRUNCATE TABLE $cat.mart.state")
+    assert(sidecars(root, "mart/state") == 0)
+    assert(spark.table(s"$cat.mart.state").count() == 0)
+    spark.sql(s"INSERT INTO $cat.mart.state VALUES (9, 9)") // admitted again
+    assert(spark.table(s"$cat.mart.state").count() == 1)
+  }
+}
