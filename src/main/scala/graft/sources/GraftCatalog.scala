@@ -2432,8 +2432,80 @@ private[sources] final class GraftRuntimeFilterScan(
     * pruning itself: any uncovered file falls back to its listed size
     * with no row claim.
     */
+  /** NDV + null-count column statistics for CBO (r12 item 7): when the
+    * session runs with `spark.sql.cbo.enabled` and every PLANNED file
+    * carries identity-valid manifest registers for a column, report
+    * its merged HLL distinct count (+ null count) through the DSv2
+    * column-statistics surface — `DataSourceV2Relation.transformV2Stats`
+    * turns these into catalyst attributeStats, which is what lets
+    * aggregate/join estimation shrink a GROUP-BY side below the
+    * broadcast threshold at PLANNING time. Computed only under CBO
+    * (nobody else reads them) and declined under live deletes (counts
+    * would over-claim).
+    */
+  private def withColumnStats(res: Statistics): Statistics = {
+    val d = statsDir.get
+    val parts = toBatch.planInputPartitions()
+    val files = plannedFiles(parts)
+    if (files.isEmpty) return res
+    val m = scopedReader.map(_.forFiles(files)).getOrElse(Map.empty)
+    if (m.isEmpty) return res
+    val dirUri = d.toUri.getPath
+    val entries: Seq[Option[GraftStats.FileStats]] = files.map { f =>
+      val p = f.toPath.toUri.getPath
+      val rel =
+        if (p.startsWith(dirUri)) p.stripPrefix(dirUri).stripPrefix("/")
+        else p
+      m.get(rel).filter(st =>
+        st.size == f.fileSize && st.mtime == f.modificationTime)
+    }
+    if (entries.exists(_.isEmpty)) return res // any uncovered file: decline
+    val sts = entries.map(_.get)
+    val rows = sts.map(_.rows).sum
+    // columns where EVERY planned file has registers
+    val colNames = sts.headOption.map(_.cols.keySet).getOrElse(Set.empty)
+      .filter(c => sts.forall(_.cols.get(c).exists(_.hll.isDefined)))
+    if (colNames.isEmpty) return res
+    val out = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    colNames.foreach { c =>
+      val regs = sts.map(_.cols(c).hll.get)
+        .reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) })
+      val ndv = GraftStats.ndvEstimate(regs)
+      val nullsAll = sts.map(_.cols(c).nulls)
+      val nulls =
+        if (nullsAll.forall(_ >= 0)) java.util.OptionalLong.of(nullsAll.sum)
+        else java.util.OptionalLong.empty()
+      out.put(Expressions.column(c),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(math.max(1L, ndv))
+          override def nullCount(): java.util.OptionalLong = nulls
+        })
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = res.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        if (res.numRows().isPresent) res.numRows()
+        else java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = out
+    }
+  }
+
   override def estimateStatistics(): Statistics = {
     val base = current.estimateStatistics()
+    val res = estimateStatistics0(base)
+    val cboOn = SparkSession.active.conf
+      .getOption("spark.sql.cbo.enabled").contains("true")
+    if (!cboOn || captureTokens.isDefined || statsDir.isEmpty ||
+        dvIndex.nonEmpty || eqIndex.isDefined) res
+    else
+      try withColumnStats(res)
+      catch { case scala.util.control.NonFatal(_) => res } // advisory
+  }
+
+  private def estimateStatistics0(base: Statistics): Statistics = {
     statsDir match {
       case Some(d) if captureTokens.isEmpty && current.dataFilters.nonEmpty =>
         val parts = toBatch.planInputPartitions()

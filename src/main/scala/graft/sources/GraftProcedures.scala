@@ -129,15 +129,42 @@ object GraftProcedures {
     extends MaintenanceProc("analyze") {
     override def description(): String =
       "collect the per-file min/max data-skipping manifest " +
-        "(incremental; returns files newly analyzed)"
+        "(incremental; returns files newly analyzed). ndv_columns " +
+        "additionally attaches mergeable HyperLogLog NDV registers " +
+        "for the named columns (one incremental data pass) — the " +
+        "distinct-count statistics CBO join/aggregate estimation reads"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
-        .comment("<layer>.<table>").build())
+        .comment("<layer>.<table>").build(),
+      ProcedureParameter.in("ndv_columns", StringType)
+        .defaultValue("''")
+        .comment("col[,col...] to collect NDV registers for (optional)")
+        .build())
     private val out = StructType(Seq(
       StructField("files_analyzed", IntegerType, nullable = false)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val (layer, table) = splitIdent(input.getUTF8String(0))
-      one(out, InternalRow(engine().analyze(layer, table)))
+      val eng = engine()
+      val n = eng.analyze(layer, table)
+      val ndvCols = Option(input.getUTF8String(1)).map(String.valueOf)
+        .getOrElse("").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      if (ndvCols.nonEmpty) {
+        require(eng.format == "parquet",
+          s"ndv_columns needs parquet; ${eng.format} unsupported")
+        val spark = SparkSession.active
+        val dir = new Path(eng.path(layer, table))
+        val df = spark.table(eng.sqlIdent(layer, table))
+        val parts = spark.sessionState.catalogManager.catalog(eng.sqlName)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array(layer), table))
+          .partitioning().toSeq.collect {
+            case t if t.name == "identity" =>
+              t.references().head.fieldNames.mkString(".")
+          }
+        GraftStats.analyzeNdv(spark, dir, df.schema, parts, ndvCols)
+      }
+      one(out, InternalRow(n))
     }
   }
 

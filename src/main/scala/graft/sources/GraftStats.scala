@@ -79,10 +79,30 @@ object GraftStats {
     * null — distinct from the column being absent (no usable stats).
     */
   final case class ColStats(kind: Char, nulls: Long,
-      min: Option[Any], max: Option[Any])
+      min: Option[Any], max: Option[Any],
+      // mergeable HyperLogLog register set (r12 item 7 — the
+      // graft.functions.HllAgg algebra, 64 registers): per-file NDV
+      // that merges across files/shards by elementwise max. Seq (not
+      // Array) so structural equality keeps unchanged shards
+      // byte-identical. None until `analyze(..., ndv_columns)` runs.
+      hll: Option[Seq[Int]] = None)
 
   final case class FileStats(size: Long, mtime: Long, rows: Long,
       cols: Map[String, ColStats])
+
+  /** HLL cardinality estimate from a (merged) register set — the
+    * Flajolet alpha_64 raw estimate with the small-range
+    * linear-counting branch.
+    */
+  def ndvEstimate(regs: Seq[Int]): Long = {
+    val m = graft.functions.HllAgg.M
+    val denom = regs.iterator.map(r => 1.0 / (1L << r)).sum
+    val raw = 0.709 * m * m / denom
+    val zeros = regs.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0)
+      math.round(m * math.log(m.toDouble / zeros))
+    else math.round(raw)
+  }
 
   // ---- manifest codec (line-based, like _graft_meta) ------------------
   // line:  relPathB64 \t size \t mtime \t rows \t col(col)*
@@ -115,7 +135,9 @@ object GraftStats {
       sb.append(st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
         s"${b64(c)}:${cs.kind}:${cs.nulls}:" +
           s"${cs.min.map(encVal(cs.kind, _)).getOrElse("")}:" +
-          s"${cs.max.map(encVal(cs.kind, _)).getOrElse("")}"
+          s"${cs.max.map(encVal(cs.kind, _)).getOrElse("")}" +
+          cs.hll.map(r => ":" + r.map(v => f"$v%02x").mkString)
+            .getOrElse("")
       }.mkString(""))
       sb.append('\n')
     }
@@ -137,7 +159,10 @@ object GraftStats {
               Some(decVal(kind, q(3))) else None
             val mx = if (q.length > 4 && q(4).nonEmpty)
               Some(decVal(kind, q(4))) else None
-            unb64(q(0)) -> ColStats(kind, q(2).toLong, mn, mx)
+            val hll = if (q.length > 5 && q(5).nonEmpty)
+              Some(q(5).grouped(2).map(Integer.parseInt(_, 16)).toSeq)
+            else None
+            unb64(q(0)) -> ColStats(kind, q(2).toLong, mn, mx, hll)
           }.toMap
         Some(unb64(p(0)) -> FileStats(p(1).toLong, p(2).toLong,
           p(3).toLong, cols))
@@ -468,6 +493,156 @@ object GraftStats {
     // may not have visited every directory the flat file covers)
     if (scope.isEmpty && legacy.nonEmpty) fs.delete(legacyPath, false)
     todoAll.size
+  }
+
+  /** NDV statistics (r12 item 7): attach a mergeable HyperLogLog
+    * register set ([[graft.functions.HllAgg]], 64 registers) to each
+    * file's manifest entry for the named columns. INCREMENTAL like the
+    * bloom build: a file whose identity-valid entry already carries
+    * registers for every requested column is never re-read; the rest
+    * pay ONE distributed data pass (per-split partial registers,
+    * elementwise-max-merged per file). Values hash as their rendered
+    * token (`toString` for integer-family, the string itself for
+    * strings) — deterministic, so per-shard and merged estimates are
+    * reproducible. Returns (files built, files covered).
+    */
+  def analyzeNdv(spark: SparkSession, tableDir: Path,
+      tableSchema: StructType, partitionCols: Seq[String],
+      columns: Seq[String], scope: Option[Set[String]] = None): (Int, Int) = {
+    require(columns.nonEmpty, "analyze ndv_columns: no columns named")
+    val resolved: Seq[String] = columns.map { c =>
+      val f = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"analyze ndv_columns: column $c not in schema"))
+      require(!partitionCols.exists(_.equalsIgnoreCase(c)),
+        s"analyze ndv_columns: $c is a partition column — its distinct " +
+          "values are the partition directories themselves")
+      require(f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | StringType | BooleanType => true
+        case _ => false
+      }, s"analyze ndv_columns: $c type ${f.dataType.simpleString} " +
+        "unsupported (integer-family, string, boolean)")
+      f.name
+    }
+    // footer entries first: NDV registers attach to existing rows
+    analyze(spark, tableDir.toString, "parquet", scope)
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirUri = tableDir.toUri.getPath
+    def listData(p: Path): Seq[(String, (Long, Long))] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Nil
+        else if (st.isDirectory) listData(st.getPath)
+        else Seq((st.getPath.toUri.getPath.stripPrefix(dirUri)
+          .stripPrefix("/"), (st.getLen, st.getModificationTime)))
+      }
+    val live = (scope match {
+      case None => listData(tableDir)
+      case Some(keys) => keys.toSeq.flatMap { k =>
+        listData(if (k.isEmpty) tableDir else new Path(tableDir, k))
+          .filter { case (rel, _) => shardKeyOf(rel) == k }
+      }
+    }).toMap
+    val wanted = resolved.map(_.toLowerCase)
+    val prior: Map[String, FileStats] = scope match {
+      case None => read(fs, tableDir)
+      case Some(keys) => readForDirs(fs, tableDir, keys)
+    }
+    val identityValid = prior.filter { case (rel, st) =>
+      live.get(rel).contains((st.size, st.mtime))
+    }
+    val covered = identityValid.filter { case (_, st) =>
+      wanted.forall(c => st.cols.get(c).exists(_.hll.isDefined) ||
+        st.cols.keys.exists(k => k.equalsIgnoreCase(c) &&
+          st.cols(k).hll.isDefined))
+    }
+    val toBuild = live.keySet.intersect(identityValid.keySet) -- covered.keySet
+    if (toBuild.isEmpty) return (0, covered.size)
+
+    val buildSchema = StructType(resolved.map(nm =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(nm)).get))
+    import org.apache.spark.sql.functions.col
+    val dfBuild = spark.read.schema(buildSchema)
+      .parquet(toBuild.toSeq.sorted.map(rel =>
+        new Path(tableDir, rel).toString): _*)
+      .select(col("_metadata.file_path").as("__f") +:
+        resolved.map(col): _*)
+    val theDirUri = dirUri
+    val nCols = resolved.length
+    val partials = dfBuild.rdd.mapPartitions { it =>
+      val agg = new graft.functions.HllAgg
+      val acc = scala.collection.mutable.Map.empty[String, Array[Array[Int]]]
+      it.foreach { row =>
+        val p0 = new Path(row.getString(0)).toUri.getPath
+        val rel = if (p0.startsWith(theDirUri))
+          p0.stripPrefix(theDirUri).stripPrefix("/") else p0
+        val regs = acc.getOrElseUpdate(rel,
+          Array.fill(nCols)(new Array[Int](graft.functions.HllAgg.M)))
+        var i = 0
+        while (i < nCols) {
+          if (!row.isNullAt(i + 1))
+            agg.reduce(regs(i), row.get(i + 1).toString)
+          i += 1
+        }
+      }
+      acc.iterator
+    }.reduceByKey { (a, b) =>
+      a.zip(b).map { case (x, y) =>
+        var i = 0
+        while (i < x.length) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+        x
+      }
+    }.collect().toMap // file-count-sized: 64 ints per column per file
+
+    // merge registers into the entries (kept min/max/nulls intact) and
+    // reconcile only the touched shards, byte-identical otherwise
+    val kindOfCol: Map[String, Char] = resolved.map { nm =>
+      nm.toLowerCase -> (buildSchema.fields
+        .find(_.name.equalsIgnoreCase(nm)).get.dataType match {
+        case StringType => 's'
+        case BooleanType => 'b'
+        case _ => 'l'
+      })
+    }.toMap
+    var built = 0
+    toBuild.groupBy(shardKeyOf).foreach { case (key, rels) =>
+      val sf = shardFile(tableDir, key)
+      val entries = readFileEntries(fs, sf)
+      val updated = rels.foldLeft(entries) { (m, rel) =>
+        (m.get(rel), partials.get(rel)) match {
+          case (Some(st), Some(regs)) =>
+            built += 1
+            val cols2 = resolved.zipWithIndex.foldLeft(st.cols) {
+              case (cm, (nm, i)) =>
+                val k = cm.keys.find(_.equalsIgnoreCase(nm))
+                  .getOrElse(nm.toLowerCase)
+                val cs = cm.getOrElse(k,
+                  ColStats(kindOfCol(nm.toLowerCase), -1L, None, None))
+                cm.updated(k, cs.copy(hll = Some(regs(i).toSeq)))
+            }
+            m.updated(rel, st.copy(cols = cols2))
+          case (Some(st), None) =>
+            // a zero-row file produces no partials: trivially-empty
+            // registers so coverage converges (the bloom lesson)
+            built += 1
+            val cols2 = resolved.foldLeft(st.cols) { (cm, nm) =>
+              val k = cm.keys.find(_.equalsIgnoreCase(nm))
+                .getOrElse(nm.toLowerCase)
+              val cs = cm.getOrElse(k,
+                ColStats(kindOfCol(nm.toLowerCase), -1L, None, None))
+              cm.updated(k, cs.copy(hll =
+                Some(Seq.fill(graft.functions.HllAgg.M)(0))))
+            }
+            m.updated(rel, st.copy(cols = cols2))
+          case _ => m
+        }
+      }
+      if (updated != entries)
+        writeManifestFile(fs, sf, encodeLines(updated))
+    }
+    (built, covered.size + built)
   }
 
   /** One file's footer → FileStats. Column chunks aggregate across row

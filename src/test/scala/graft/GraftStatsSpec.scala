@@ -613,4 +613,109 @@ class GraftStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
+
+  test("NDV registers: per-shard and merged estimates within HLL error (r13 item 7)") {
+    import graft.sources.GraftStats
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, s STRING, g STRING) " +
+      "PARTITIONED BY (g)")
+    // p0: 500 distinct k / 500 distinct s; p1: 1000 distinct of each,
+    // overlapping p0's — overall 1000 distinct; several files per dir
+    (0 until 2).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT id % 500, " +
+        s"concat('v', id % 500), 'p0' FROM range(${i * 2000}, ${(i + 1) * 2000})")
+      spark.sql(s"INSERT INTO $cat.ods.t SELECT id % 1000, " +
+        s"concat('v', id % 1000), 'p1' FROM range(${i * 3000}, ${(i + 1) * 3000})")
+    }
+    spark.sql(s"CALL $cat.system.analyze(table => 'ods.t', " +
+      "ndv_columns => 'k,s')")
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/ods/t")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def merged(keys: Set[String], col: String): Long = {
+      val entries = GraftStats.readForDirs(fs, dirP, keys)
+      assert(entries.nonEmpty)
+      val regs = entries.values.toSeq.map { st =>
+        val c = st.cols.keys.find(_.equalsIgnoreCase(col)).get
+        st.cols(c).hll.getOrElse(fail(s"no registers for $col"))
+      }.reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) })
+      GraftStats.ndvEstimate(regs)
+    }
+    def within(est: Long, truth: Long): Unit =
+      assert(math.abs(est - truth).toDouble / truth <= 0.40,
+        s"estimate $est vs true $truth exceeds the m=64 HLL error budget")
+    // per shard
+    within(merged(Set("g=p0"), "k"), 500)
+    within(merged(Set("g=p1"), "k"), 1000)
+    within(merged(Set("g=p0"), "s"), 500)
+    // merged across shards: overlapping domains must NOT add up
+    within(merged(Set("g=p0", "g=p1"), "k"), 1000)
+    within(merged(Set("g=p0", "g=p1"), "s"), 1000)
+    // incremental: a second pass builds nothing
+    val (built2, covered2) = GraftStats.analyzeNdv(spark, dirP,
+      spark.table(s"$cat.ods.t").schema, Seq("g"), Seq("k", "s"))
+    assert(built2 == 0, s"second NDV pass re-read $built2 files")
+    assert(covered2 >= 4)
+    // an append invalidates only ITS files: the next pass reads those
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, concat('w', id), 'p0' " +
+      "FROM range(5000, 5100, 1, 1)") // one slice -> one new file
+    val (built3, _) = GraftStats.analyzeNdv(spark, dirP,
+      spark.table(s"$cat.ods.t").schema, Seq("g"), Seq("k", "s"))
+    assert(built3 == 1,
+      s"incremental NDV pass touched $built3 files for a one-file append")
+    // null counts ride along: manifest nulls are exact
+    val nulls = GraftStats.readForDirs(fs, dirP, Set("g=p0", "g=p1"))
+      .values.map { st =>
+        st.cols(st.cols.keys.find(_.equalsIgnoreCase("k")).get).nulls
+      }
+    assert(nulls.forall(_ == 0L))
+  }
+
+  test("CBO reads the NDV column stats: a grouped side shrinks below the broadcast threshold (r13 item 7)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    // fact: 50k rows, k has only 8 distinct values; dim: 50k rows —
+    // both tables' raw bytes exceed the (lowered) broadcast threshold
+    spark.sql(s"CREATE TABLE $cat.ods.fact (k BIGINT, v BIGINT, pad STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.fact SELECT id % 8, id, " +
+      "repeat('x', 32) FROM range(0, 50000)")
+    spark.sql(s"CREATE TABLE $cat.ods.dim (k BIGINT, w BIGINT, pad STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.dim SELECT id % 8, id, " +
+      "repeat('y', 32) FROM range(0, 50000)")
+    spark.sql(s"CALL $cat.system.analyze(table => 'ods.fact', " +
+      "ndv_columns => 'k')")
+    spark.sql(s"CALL $cat.system.analyze(table => 'ods.dim')")
+
+    def planOf(): org.apache.spark.sql.execution.SparkPlan = {
+      val df = spark.table(s"$cat.ods.fact")
+        .groupBy("k").agg(sum("v").as("sv"))
+        .join(spark.table(s"$cat.ods.dim"), "k")
+      df.queryExecution.sparkPlan // pre-AQE: the CBO-estimated plan
+    }
+    def hasBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty
+
+    val keys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      // without CBO: no column stats are attached and the aggregate
+      // side is not provably small — the join sort-merges
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(!hasBroadcast(planOf()),
+        "baseline broadcast without NDV stats — the test proves nothing")
+      // with CBO: the manifest NDV says the GROUP BY emits ~8 rows,
+      // the aggregate side shrinks below the threshold, and the join
+      // broadcasts at PLANNING time
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      assert(hasBroadcast(planOf()),
+        s"NDV-informed aggregate side did not broadcast:\n${planOf()}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
