@@ -555,11 +555,16 @@ object CatalogQueries {
 
   /** q185 — schema evolution as SQL DDL: `ALTER TABLE ADD COLUMN`
     * (metadata-only; pre-change files null-fill the new column on
-    * read) and `DROP COLUMN` (readers stop projecting it), through the
-    * session catalog's sidecar-schema alterTable — the SQL twin of
-    * q160's object-API readMerged evolution. Old rows group under a
-    * NULL segment, new rows under their real one, and the post-drop
-    * column count proves DROP took effect — all on one oracle hash.
+    * read), `RENAME COLUMN` (r12 item 8 — metadata-only via the
+    * sidecar's field-id aliases: files written under the OLD name
+    * resolve through the alias merge, no rewrite), and `DROP COLUMN`
+    * (readers stop projecting it), through the session catalog's
+    * sidecar-schema alterTable — the SQL twin of q160's object-API
+    * readMerged evolution. The aggregate runs over the RENAMED column
+    * across both file eras, old rows group under a NULL segment, new
+    * rows under their real one, and the post-drop column count proves
+    * DROP took effect — all on one oracle hash. Type changes REQUIRE
+    * a refusal in-plan.
     */
   def q185SqlSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val cat = sqlCatalog(spark, "g185")
@@ -573,10 +578,19 @@ object CatalogQueries {
     spark.sql(s"""INSERT INTO $cat.ods.hist
       SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
       FROM g185_customer WHERE c_custkey % 2 = 1""")
+    // RENAME after both file eras exist: the aggregate below reads the
+    // pre-rename files through the field-id alias, hash-checked
+    spark.sql(s"ALTER TABLE $cat.ods.hist RENAME COLUMN bal TO bal_cents")
     val evolved = spark.sql(s"""
-      SELECT seg, count(*) AS n, sum(bal) AS bal_sum
+      SELECT seg, count(*) AS n, sum(bal_cents) AS bal_sum
       FROM $cat.ods.hist GROUP BY seg""")
-    spark.sql(s"ALTER TABLE $cat.ods.hist DROP COLUMN bal")
+    // type changes stay refused — in-plan evidence
+    val refused =
+      try { spark.sql(
+        s"ALTER TABLE $cat.ods.hist ALTER COLUMN k TYPE INT"); false }
+      catch { case scala.util.control.NonFatal(_) => true }
+    require(refused, "q185: ALTER COLUMN TYPE was not refused")
+    spark.sql(s"ALTER TABLE $cat.ods.hist DROP COLUMN bal_cents")
     val postDrop = spark.table(s"$cat.ods.hist").columns.length.toLong
     evolved.unionAll(spark.sql(
       s"SELECT '__cols_after_drop__' AS seg, ${postDrop}L AS n, " +

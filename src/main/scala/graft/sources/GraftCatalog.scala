@@ -370,14 +370,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case t if t.name == "identity" =>
           t.references().head.fieldNames.mkString(".")
       }
+    // RENAME COLUMN (r12 item 8): metadata-only via field ids. The
+    // sidecar assigns each column a stable id at the first rename and
+    // logs the retired name as an ALIAS of that id; reads resolve a
+    // renamed column in pre-rename files through the alias merge
+    // ([[GraftRename]]). No file is rewritten.
+    var fieldIds = meta0.fieldIds
+    var aliases = meta0.aliases
+    var props1 = meta0.props
     val newSchema = changes.foldLeft(base) { (s, ch) =>
       ch match {
+        case rn: TableChange.RenameColumn =>
+          require(format == "parquet",
+            s"RENAME COLUMN needs parquet (alias resolution reads " +
+              s"per-file schemas); format is $format")
+          require(rn.fieldNames.length == 1,
+            s"graft tables support top-level columns only, got " +
+              rn.fieldNames.mkString("."))
+          val old = rn.fieldNames.head
+          val nw = rn.newName
+          require(s.fieldNames.exists(_.equalsIgnoreCase(old)),
+            s"column $old does not exist")
+          require(!partCols.exists(_.equalsIgnoreCase(old)),
+            s"cannot rename partition column $old: its values are " +
+              "directory names")
+          require(!meta0.bucketSpec.exists(_._2.equalsIgnoreCase(old)),
+            s"cannot rename bucket column $old")
+          require(!s.fieldNames.exists(_.equalsIgnoreCase(nw)),
+            s"column $nw already exists")
+          require(!aliases.exists(_._2.equalsIgnoreCase(nw)),
+            s"$nw was a previous name of another column — resolution " +
+              "would be ambiguous; compact the table first")
+          // positional/equality delete machinery is name/position-
+          // coupled: materialize before renaming
+          require(!GraftDv.hasAny(fs, dir) && !GraftEqDel.hasAny(fs, dir),
+            s"cannot RENAME COLUMN while deletion vectors or equality " +
+              "deletes are live — CALL system.rewrite_deletes first")
+          if (fieldIds.isEmpty)
+            fieldIds = s.fieldNames.zipWithIndex.toMap
+          val canonical = s.fieldNames.find(_.equalsIgnoreCase(old)).get
+          val id = fieldIds.getOrElse(canonical,
+            fieldIds.collectFirst {
+              case (n, i) if n.equalsIgnoreCase(canonical) => i
+            }.getOrElse(fieldIds.values.max + 1))
+          fieldIds = (fieldIds - canonical).filterNot(
+            _._1.equalsIgnoreCase(canonical)) + (nw -> id)
+          aliases = aliases :+ (id, canonical)
+          // dependent durable props follow the rename
+          props1 = props1.get("bloom_columns").fold(props1) { cols =>
+            props1.updated("bloom_columns",
+              cols.split(',').map(_.trim).map(c =>
+                if (c.equalsIgnoreCase(canonical)) nw else c)
+                .mkString(","))
+          }
+          StructType(s.fields.map(f =>
+            if (f.name.equalsIgnoreCase(canonical)) f.copy(name = nw) else f))
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
             s"graft tables support top-level columns only, got ${add.fieldNames.mkString(".")}")
           val name = add.fieldNames.head
           require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
             s"column $name already exists")
+          require(!aliases.exists(_._2.equalsIgnoreCase(name)),
+            s"$name is a retired name of a renamed column — old files " +
+              "still carry that physical column and would resurrect " +
+              "the WRONG data; compact the table first")
           require(add.isNullable,
             s"ADD COLUMN $name must be nullable: rows written before the " +
               "change have no value for it")
@@ -399,18 +456,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           } else {
             val remaining = s.fields.filterNot(_.name.equalsIgnoreCase(name))
             require(remaining.nonEmpty, "cannot drop the last column")
+            // a dropped column's field id retires with it (its aliases
+            // become unreachable and can never mis-apply to a future
+            // same-named column)
+            fieldIds = fieldIds.filterNot(_._1.equalsIgnoreCase(name))
             StructType(remaining)
           }
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change $other: only metadata-safe " +
-            "ADD COLUMN / DROP COLUMN are supported (renames and type " +
-            "changes would disconnect existing files, which resolve " +
-            "columns by name)")
+            "ADD COLUMN / DROP COLUMN / RENAME COLUMN are supported " +
+            "(type changes would disconnect existing files, which " +
+            "resolve columns by name or field-id alias)")
       }
     }
     GraftTableMeta.write(fs, dir,
       GraftTableMeta(Some(newSchema), partCols, meta0.bucketSpec,
-        meta0.props))
+        props1, fieldIds, aliases))
     loadTable(ident)
   }
 
@@ -561,7 +622,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[sources] final case class GraftTableMeta(
     schema: Option[StructType], partitionCols: Seq[String],
     bucketSpec: Option[(Int, String)] = None,
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    // Iceberg-style FIELD IDS (r12 item 8): stable per-column identity
+    // that survives renames. Assigned lazily at the first RENAME
+    // (by position); `aliases` records each id's RETIRED names, so a
+    // read can resolve a renamed column in files written before the
+    // rename. Metadata-only — no file is rewritten.
+    fieldIds: Map[String, Int] = Map.empty,
+    aliases: Seq[(Int, String)] = Nil) {
+
+  /** current-name (lower) -> old names still resolvable in live files. */
+  def renameAliases: Map[String, Seq[String]] =
+    if (aliases.isEmpty) Map.empty
+    else {
+      val byId = aliases.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      fieldIds.flatMap { case (cur, id) =>
+        byId.get(id).map(olds => cur.toLowerCase -> olds)
+      }
+    }
+}
 
 private[sources] object GraftTableMeta {
   private val FileName = "_graft_meta"
@@ -591,7 +670,20 @@ private[sources] object GraftTableMeta {
           else Some(java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
             java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
         }.toMap).getOrElse(Map.empty[String, String])
-      GraftTableMeta(schema, parts, buckets, props)
+      def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      // line 5 (absent pre-rename): field ids, "<id>:<nameEnc>" ';'-joined
+      val ids = lines.drop(4).headOption.filter(_.nonEmpty)
+        .map(_.split(";").toSeq.flatMap { e =>
+          val i = e.indexOf(':')
+          if (i <= 0) None else Some(dec(e.drop(i + 1)) -> e.take(i).toInt)
+        }.toMap).getOrElse(Map.empty[String, Int])
+      // line 6: alias log, "<id>:<oldNameEnc>" ';'-joined, append order
+      val als = lines.drop(5).headOption.filter(_.nonEmpty)
+        .map(_.split(";").toSeq.flatMap { e =>
+          val i = e.indexOf(':')
+          if (i <= 0) None else Some((e.take(i).toInt, dec(e.drop(i + 1))))
+        }).getOrElse(Nil)
+      GraftTableMeta(schema, parts, buckets, props, ids, als)
     }
   }
 
@@ -604,6 +696,12 @@ private[sources] object GraftTableMeta {
         meta.bucketSpec.map { case (n, c) => s"$n:$c" }.getOrElse("") + "\n" +
         meta.props.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(";") +
+        "\n" +
+        meta.fieldIds.toSeq.sortBy(_._2)
+          .map { case (nm, id) => s"$id:${enc(nm)}" }.mkString(";") +
+        "\n" +
+        meta.aliases.map { case (id, nm) => s"$id:${enc(nm)}" }
+          .mkString(";") +
         "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -885,12 +983,14 @@ private[sources] class GraftTable(
             new GraftScanBuilder(fsb, bucket = Some((n, c)),
               statsDir = stats, tableSchema = schema(),
               partitionSchema = pSchema, maxFilesPerTrigger = mft,
-              maxBytesPerTrigger = mbt, ignoreDeletes = ignoreDel)
+              maxBytesPerTrigger = mbt, ignoreDeletes = ignoreDel,
+              renameAliases = meta.renameAliases)
           case None =>
             new GraftScanBuilder(fsb, statsDir = stats,
               tableSchema = schema(), partitionSchema = pSchema,
               ignoreDeletes = ignoreDel,
-              maxFilesPerTrigger = mft, maxBytesPerTrigger = mbt)
+              maxFilesPerTrigger = mft, maxBytesPerTrigger = mbt,
+              renameAliases = meta.renameAliases)
         }
       case other => other
     }
@@ -1089,7 +1189,10 @@ private[sources] class GraftTable(
       }
 
       private def upsertWrite()
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(meta.renameAliases.isEmpty,
+          s"${name()} has renamed columns with un-materialized aliases: " +
+            "streaming upserts are refused until CALL system.compact")
         // upsertMode=equality (r12 item 6): epochs write equality-
         // delete sidecars + appended rows, never scanning the target;
         // default (merge) keeps the per-epoch MERGE INTO machinery
@@ -1100,6 +1203,7 @@ private[sources] class GraftTable(
             upsertKeys, info.queryId())
         else new GraftPartitionedCow.StreamingUpsertWrite(spark, format,
           info.schema(), dir, quotedIdent, upsertKeys, info.queryId())
+      }
 
       private def withUpsert(base: Write): Write =
         if (upsertKeys.isEmpty) base else asUpsert(base)
@@ -1312,6 +1416,14 @@ private[sources] class GraftTable(
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
+    // row-level operation scans (COW capture, MOR positional) bypass
+    // the alias-merging read wrapper — a rewrite would null renamed
+    // columns in pre-rename files. Compact first (it reads through the
+    // aliased scan and rewrites every row under the current names).
+    require(meta.renameAliases.isEmpty,
+      s"${name()} has renamed columns with un-materialized aliases: " +
+        "row-level operations are refused until CALL system.compact " +
+        "rewrites the old files under their current names")
     // merge-on-read tables run UPDATE/MERGE (and untranslatable
     // DELETEs — translatable ones stay on the deleteWhere vector path,
     // partition predicates on the directory-drop path) as DELTA
@@ -1571,6 +1683,9 @@ private[sources] class GraftTable(
       // merge-on-read positional delete (canDeleteWhere accepted, so
       // the condition translates)
       GraftEqDel.requireNone(fs, new Path(dir), "a positional DELETE")
+      require(meta.renameAliases.isEmpty,
+        s"${name()} has renamed columns with un-materialized aliases: " +
+          "positional deletes are refused until CALL system.compact")
       val cond = GraftDv.translate(predicates, schema()).getOrElse(
         throw new IllegalStateException(
           s"${name()}: deleteWhere on untranslatable predicates " +
@@ -1782,7 +1897,8 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     partitionSchema: StructType = new StructType(),
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    renameAliases: Map[String, Seq[String]] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1864,7 +1980,11 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     manifestAgg(aggregation) match {
       case some @ Some(_) => stashedAgg = some; true
       case None => delegate match {
-        case a: SupportsPushDownAggregates if !dvPresent =>
+        // renamed columns decline footer pushdown too: pre-rename
+        // files lack the current name, and footer aggregates resolve
+        // strictly by name
+        case a: SupportsPushDownAggregates
+          if !dvPresent && renameAliases.isEmpty =>
           a.pushAggregation(aggregation)
         case _ => false
       }
@@ -1872,7 +1992,8 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     manifestAgg(aggregation).isDefined || (delegate match {
-      case a: SupportsPushDownAggregates if !dvPresent =>
+      case a: SupportsPushDownAggregates
+        if !dvPresent && renameAliases.isEmpty =>
         a.supportCompletePushDown(aggregation)
       case _ => false
     })
@@ -1906,11 +2027,13 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
           new GraftBucketedScan(fs, n, c, statsDir,
             maxFilesPerTrigger = maxFilesPerTrigger,
             maxBytesPerTrigger = maxBytesPerTrigger,
-            ignoreDeletes = ignoreDeletes)
+            ignoreDeletes = ignoreDeletes,
+            renameAliases = renameAliases)
         case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir,
           maxFilesPerTrigger = maxFilesPerTrigger,
           maxBytesPerTrigger = maxBytesPerTrigger,
-          dvTableDir = statsDir, ignoreDeletes = ignoreDeletes)
+          dvTableDir = statsDir, ignoreDeletes = ignoreDeletes,
+          renameAliases = renameAliases)
       }
       case other => other
     }
@@ -1960,7 +2083,10 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     statsDir: Option[Path] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    // RENAME COLUMN alias map (current lower name -> retired names);
+    // see [[GraftRename]]
+    renameAliases: Map[String, Seq[String]] = Map.empty)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsRuntimeV2Filtering
@@ -2004,7 +2130,8 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(initial, checkpointLocation,
-      maxFilesPerTrigger, maxBytesPerTrigger, ignoreDeletes)
+      maxFilesPerTrigger, maxBytesPerTrigger, ignoreDeletes,
+      renameAliases)
   override def description(): String =
     s"graft-bucketed(n=$n, key=$col) ${current.description()}"
   override def estimateStatistics(): Statistics = current.estimateStatistics()
@@ -2015,6 +2142,9 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     // non-copyable (nested) schemas fall back to the row path.
     if ((dvIndex.nonEmpty || eqIndex.nonEmpty) &&
         !GraftDv.columnarApplicable(readSchema()))
+      Scan.ColumnarSupportMode.UNSUPPORTED
+    else if (renameAliases.nonEmpty &&
+        !GraftRename.columnarApplicable(readSchema(), renameAliases))
       Scan.ColumnarSupportMode.UNSUPPORTED
     else current.columnarSupportMode()
 
@@ -2202,11 +2332,15 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
             "deletes — CALL system.rewrite_deletes first")
         GraftEqDel.factoryFor(current, ix, iso)
       case None =>
-        val cleanF = iso(current.toBatch.createReaderFactory())
-        if (dvIndex.isEmpty) cleanF
-        else new GraftDv.DvReaderFactory(cleanF,
-          iso(GraftScanFilters.withoutDataFilters(current)
-            .toBatch.createReaderFactory()), current.readSchema())
+        GraftRename.factoryFor(current, renameAliases, iso) match {
+          case Some(f) => f
+          case None =>
+            val cleanF = iso(current.toBatch.createReaderFactory())
+            if (dvIndex.isEmpty) cleanF
+            else new GraftDv.DvReaderFactory(cleanF,
+              iso(GraftScanFilters.withoutDataFilters(current)
+                .toBatch.createReaderFactory()), current.readSchema())
+        }
     }
   }
 
@@ -2284,7 +2418,9 @@ private[sources] final class GraftRuntimeFilterScan(
     // set on EVERY catalog scan — including capture-mode COW scans,
     // where skipping is off but deleted rows must still not resurrect
     // into a rewrite's carryover
-    dvTableDir: Option[Path] = None)
+    dvTableDir: Option[Path] = None,
+    // RENAME COLUMN alias map; see [[GraftRename]]
+    renameAliases: Map[String, Seq[String]] = Map.empty)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: FileScan = initial
@@ -2397,28 +2533,40 @@ private[sources] final class GraftRuntimeFilterScan(
               "equality deletes — CALL system.rewrite_deletes first")
           GraftEqDel.factoryFor(current, ix, iso)
         case None =>
-          val cleanF = iso(current.toBatch.createReaderFactory())
-          if (dvIndex.isEmpty) cleanF
-          else new GraftDv.DvReaderFactory(cleanF,
-            // DV'd files read through a FILTER-STRIPPED reader: parquet
-            // pushdown skips row groups, which would shift the counted
-            // ordinals; the Filter above the scan re-applies predicates
-            iso(GraftScanFilters.withoutDataFilters(current)
-              .toBatch.createReaderFactory()), current.readSchema())
+          // RENAME COLUMN alias merge (r12 item 8): aliases imply no
+          // live DVs/eq deletes (the ALTER refuses over them and the
+          // ops refuse over aliases)
+          GraftRename.factoryFor(current, renameAliases, iso) match {
+            case Some(f) => f
+            case None =>
+              val cleanF = iso(current.toBatch.createReaderFactory())
+              if (dvIndex.isEmpty) cleanF
+              else new GraftDv.DvReaderFactory(cleanF,
+                // DV'd files read through a FILTER-STRIPPED reader:
+                // parquet pushdown skips row groups, which would shift
+                // the counted ordinals; the Filter above re-applies
+                iso(GraftScanFilters.withoutDataFilters(current)
+                  .toBatch.createReaderFactory()), current.readSchema())
+          }
       }
     }
   }
 
+  private def renameRelevant: Boolean =
+    renameAliases.nonEmpty && current.readDataSchema.fields.exists(f =>
+      renameAliases.contains(f.name.toLowerCase))
+
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch =
     if ((statsDir.isEmpty || captureTokens.isDefined) && dvIndex.isEmpty &&
-        eqIndex.isEmpty)
+        eqIndex.isEmpty && !renameRelevant)
       current.toBatch
     else new GraftBatch
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(current, checkpointLocation,
-      maxFilesPerTrigger, maxBytesPerTrigger, ignoreDeletes)
+      maxFilesPerTrigger, maxBytesPerTrigger, ignoreDeletes,
+      renameAliases)
   override def description(): String = current.description()
 
   /** Planning-time statistics AFTER data skipping: when a manifest
@@ -2559,6 +2707,9 @@ private[sources] final class GraftRuntimeFilterScan(
     // schemas fall back
     if ((dvIndex.nonEmpty || eqIndex.nonEmpty) &&
         !GraftDv.columnarApplicable(readSchema()))
+      Scan.ColumnarSupportMode.UNSUPPORTED
+    else if (renameAliases.nonEmpty &&
+        !GraftRename.columnarApplicable(readSchema(), renameAliases))
       Scan.ColumnarSupportMode.UNSUPPORTED
     else current.columnarSupportMode()
 
@@ -2779,7 +2930,10 @@ private[sources] final class GraftTableMicroBatchStream(
     // deliver undeleted). A table with live vectors therefore REFUSES
     // to stream unless the operator opts in with
     // readStream.option("ignoreDeletes", true) — the Delta contract.
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    // RENAME COLUMN aliases: the raw per-batch reads bypass the alias
+    // merge, so a renamed projection would null pre-rename files
+    renameAliases: Map[String, Seq[String]] = Map.empty)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -2886,6 +3040,11 @@ private[sources] final class GraftTableMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     synchronized {
       loadLog()
+      require(renameAliases.isEmpty ||
+        !template.readDataSchema.fields.exists(f =>
+          renameAliases.contains(f.name.toLowerCase)),
+        s"$tableRoot streams a RENAMED column whose pre-rename files " +
+          "are not yet materialized — CALL system.compact first")
       // per-trigger, so a vector landing MID-stream is caught too
       if (!ignoreDeletes &&
           (GraftDv.hasAny(fs, tableRoot) || GraftEqDel.hasAny(fs, tableRoot)))
@@ -4171,6 +4330,11 @@ private[graft] object GraftPartitionedCow {
           // are consumed by it (this commit IS their materialization)
           GraftEqDel.clearAll(fs, new Path(dir))
       }
+      // every surviving row was rewritten under the CURRENT column
+      // names: rename aliases are materialized by this replace
+      val m = GraftTableMeta.read(fs, new Path(dir))
+      if (m.aliases.nonEmpty)
+        GraftTableMeta.write(fs, new Path(dir), m.copy(aliases = Nil))
     }
   }
 

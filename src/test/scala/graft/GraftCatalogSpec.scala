@@ -315,11 +315,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(after == Seq(Row(1L, null), Row(2L, 9.5)), s"got $after")
     assert(spark.table(s"$cat.ods.ev").columns.toSeq == Seq("k", "score"))
 
-    // unsafe changes are refused with the reason
-    val ren = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ods.ev RENAME COLUMN score TO s2")
-    }
-    assert(ren.getMessage.contains("by name"), ren.getMessage)
+    // RENAME is supported now (r13 item 8) — values survive it
+    spark.sql(s"ALTER TABLE $cat.ods.ev RENAME COLUMN score TO s2")
+    assert(spark.table(s"$cat.ods.ev").columns.toSeq == Seq("k", "s2"))
+    assert(spark.table(s"$cat.ods.ev").orderBy("k").collect().toSeq ==
+      Seq(Row(1L, null), Row(2L, 9.5)))
+    // unsafe changes stay refused with the reason
     val nn = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ods.ev ADD COLUMN must_have BIGINT NOT NULL")
     }
@@ -467,5 +468,81 @@ class GraftCatalogSpec extends SparkSpec {
     // retention pruned to the newest 2 on the NEXT replace
     spark.sql(s"INSERT OVERWRITE $cat.dds.bv SELECT id, id FROM range(0, 2)")
     assert(eng.history("dds", "bv") == Seq(2, 3))
+  }
+
+  test("RENAME COLUMN is metadata-only: old and new files read correctly via field-id aliases (r13 item 8)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, bal BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id * 10, " +
+      "concat('p', id % 2) FROM range(0, 500)")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, (Long, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, (Long, Long))] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, (st.getLen, st.getModificationTime)))
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$root/ods/t")).toMap
+    }
+    val before = dataFiles()
+
+    spark.sql(s"ALTER TABLE $cat.ods.t RENAME COLUMN bal TO bal_cents")
+    // metadata-only: not one data file changed
+    assert(dataFiles() == before, "RENAME rewrote data files")
+    // old files read under the NEW name
+    assert(spark.table(s"$cat.ods.t").columns.toSeq ==
+      Seq("k", "bal_cents", "g"))
+    assert(spark.table(s"$cat.ods.t").agg(sum("bal_cents")).head.getLong(0)
+      == (0L until 500L).map(_ * 10).sum)
+    // new files mix with old ones transparently
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id * 10, " +
+      "concat('p', id % 2) FROM range(500, 800)")
+    assert(spark.table(s"$cat.ods.t").agg(sum("bal_cents")).head.getLong(0)
+      == (0L until 800L).map(_ * 10).sum)
+    // filters on the renamed name hit OLD files' rows too
+    assert(spark.table(s"$cat.ods.t").where(col("bal_cents") === 100)
+      .head.getLong(0) == 10L)
+    assert(spark.table(s"$cat.ods.t")
+      .where(col("bal_cents") < 5000).count() == 500)
+    // projections that PRUNE the renamed column stay exact
+    assert(spark.table(s"$cat.ods.t").select("k").count() == 800)
+    // a rename CHAIN resolves through every retired name
+    spark.sql(s"ALTER TABLE $cat.ods.t RENAME COLUMN bal_cents TO cents")
+    assert(spark.table(s"$cat.ods.t").agg(sum("cents")).head.getLong(0)
+      == (0L until 800L).map(_ * 10).sum)
+
+    // refusals unchanged / sharpened
+    // type changes stay refused (Spark's analyzer rejects them before
+    // the catalog is even consulted)
+    val e1 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.ods.t ALTER COLUMN k TYPE INT")
+    }
+    assert(e1.getMessage.contains("not supported"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.ods.t RENAME COLUMN g TO grp")
+    }
+    assert(e2.getMessage.contains("partition column"))
+    val e3 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE $cat.ods.t ADD COLUMN bal BIGINT")
+    }
+    assert(e3.getMessage.contains("retired name"))
+    // row-level ops refuse while aliases are live, naming the fix
+    val e4 = intercept[Throwable] {
+      spark.sql(s"UPDATE $cat.ods.t SET cents = 0 WHERE k = 1")
+    }
+    assert(e4.getMessage.contains("system.compact"), s"got: ${e4.getMessage}")
+
+    // compact materializes the rename; row-level ops are re-admitted
+    spark.sql(s"CALL $cat.system.compact(table => 'ods.t')")
+    assert(spark.table(s"$cat.ods.t").agg(sum("cents")).head.getLong(0)
+      == (0L until 800L).map(_ * 10).sum)
+    spark.sql(s"UPDATE $cat.ods.t SET cents = 0 WHERE k = 1")
+    assert(spark.table(s"$cat.ods.t").where(col("k") === 1)
+      .head.getAs[Long]("cents") == 0L)
   }
 }
