@@ -205,6 +205,12 @@ final case class Catalog(spark: SparkSession, root: String,
   /** S5 — partitioned append, clustered within partitions. */
   def append(df: DataFrame, layer: String, table: String,
              partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    // appended files carry no equality-delete epoch floor (-1): rows
+    // whose keys live in any sidecar would silently vanish on read
+    graft.sources.GraftEqDel.requireNone(
+      new org.apache.hadoop.fs.Path(path(layer, table)).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path(layer, table)), "a batch append")
     val clustered =
       if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       else df
@@ -239,6 +245,10 @@ final case class Catalog(spark: SparkSession, root: String,
     val p = path(layer, table)
     val base = new org.apache.hadoop.fs.Path(p)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // replacement files carry no equality-delete epoch floor (-1):
+    // their rows would be wrongly subject to live sidecars — refuse
+    graft.sources.GraftEqDel.requireNone(fs, base,
+      "a dynamic partition overwrite")
     val tmp = new org.apache.hadoop.fs.Path(s"$p.__pubtmp")
     val oldRoot = new org.apache.hadoop.fs.Path(s"$p.__pubold")
     // enumerate the leaf partition directories under a root

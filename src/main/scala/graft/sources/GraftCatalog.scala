@@ -406,6 +406,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!GraftDv.hasAny(fs, dir) && !GraftEqDel.hasAny(fs, dir),
             s"cannot RENAME COLUMN while deletion vectors or equality " +
               "deletes are live — CALL system.rewrite_deletes first")
+          // a bloom build of the renamed column would DATA-READ old
+          // files under the new name (all null — parquet resolves by
+          // name) and publish empty filters that silently prune their
+          // real rows: refuse rather than poison
+          require(!props1.get("bloom_columns").exists(
+              _.split(',').map(_.trim).exists(_.equalsIgnoreCase(old))),
+            s"cannot RENAME COLUMN $old while bloom_columns covers it — " +
+              "UNSET the property (or drop the column from it), rename, " +
+              "compact, then re-set")
           if (fieldIds.isEmpty)
             fieldIds = s.fieldNames.zipWithIndex.toMap
           val canonical = s.fieldNames.find(_.equalsIgnoreCase(old)).get
@@ -416,13 +425,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           fieldIds = (fieldIds - canonical).filterNot(
             _._1.equalsIgnoreCase(canonical)) + (nw -> id)
           aliases = aliases :+ (id, canonical)
-          // dependent durable props follow the rename
-          props1 = props1.get("bloom_columns").fold(props1) { cols =>
-            props1.updated("bloom_columns",
-              cols.split(',').map(_.trim).map(c =>
-                if (c.equalsIgnoreCase(canonical)) nw else c)
-                .mkString(","))
-          }
           StructType(s.fields.map(f =>
             if (f.name.equalsIgnoreCase(canonical)) f.copy(name = nw) else f))
         case add: TableChange.AddColumn =>
@@ -533,6 +535,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ch match {
         case s: TableChange.SetProperty =>
           validateDurableProp(s.property, s.value, format, table0Schema)
+          // a bloom build over an alias-carrying (renamed) column
+          // would read pre-rename files as all-null and publish
+          // silently-pruning empty filters — refuse until compact
+          if (s.property == "bloom_columns")
+            s.value.split(',').map(_.trim).foreach { c =>
+              require(!meta0.renameAliases.contains(c.toLowerCase),
+                s"bloom_columns: $c was renamed and its pre-rename files " +
+                  "are not yet materialized — CALL system.compact first")
+            }
           ps + (s.property -> s.value)
         case r: TableChange.RemoveProperty =>
           require(durableKeys.contains(r.property),
@@ -2591,9 +2602,26 @@ private[sources] final class GraftRuntimeFilterScan(
     * (nobody else reads them) and declined under live deletes (counts
     * would over-claim).
     */
+  /** Planned partitions for STATISTICS consumers only, memoized per
+    * delegate instance — Catalyst may ask for estimates repeatedly and
+    * (under CBO) two consumers read them per call; the listing/skipping
+    * pipeline should run once. Execution's own planInputPartitions path
+    * is untouched.
+    */
+  private var statsPlanCache
+      : (FileScan, Array[org.apache.spark.sql.connector.read.InputPartition]) =
+    null
+  private def plannedForStats()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    synchronized {
+      if (statsPlanCache == null || !(statsPlanCache._1 eq current))
+        statsPlanCache = (current, toBatch.planInputPartitions())
+      statsPlanCache._2
+    }
+
   private def withColumnStats(res: Statistics): Statistics = {
     val d = statsDir.get
-    val parts = toBatch.planInputPartitions()
+    val parts = plannedForStats()
     val files = plannedFiles(parts)
     if (files.isEmpty) return res
     val m = scopedReader.map(_.forFiles(files)).getOrElse(Map.empty)
@@ -2656,7 +2684,7 @@ private[sources] final class GraftRuntimeFilterScan(
   private def estimateStatistics0(base: Statistics): Statistics = {
     statsDir match {
       case Some(d) if captureTokens.isEmpty && current.dataFilters.nonEmpty =>
-        val parts = toBatch.planInputPartitions()
+        val parts = plannedForStats()
         val files = plannedFiles(parts)
         // an empty post-skip plan is EXACTLY zero rows (the manifest
         // proved every file filterable) — no shard read needed

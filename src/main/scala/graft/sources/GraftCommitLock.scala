@@ -56,11 +56,12 @@ object GraftCommitLock {
   def lockPath(tableDir: Path): Path =
     new Path(tableDir.getParent, tableDir.getName + ".__lock")
 
-  private def tryCreate(fs: FileSystem, lp: Path, owner: String): Boolean =
+  private def tryCreate(fs: FileSystem, lp: Path, owner: String,
+      token: String): Boolean =
     try {
       fs.mkdirs(lp.getParent)
       val out = fs.create(lp, false) // atomic create-exclusive
-      try out.write(s"$owner\t${System.currentTimeMillis()}"
+      try out.write(s"$owner\t${System.currentTimeMillis()}\t$token"
         .getBytes("UTF-8"))
       finally out.close()
       true
@@ -68,12 +69,17 @@ object GraftCommitLock {
 
   /** Acquire or throw [[ConcurrentCommitException]]. One stale-break
     * retry: a lock older than `staleMs` belongs to a crashed writer
-    * (live commits hold it for seconds) and is removed.
+    * (live commits hold it for seconds) and is removed. Returns an
+    * OWNERSHIP TOKEN: [[release]] deletes the lock only while its
+    * content still carries this token, so a holder whose lock was
+    * stolen by a mis-fired stale break can never delete a successor's
+    * fresh lock (the cascade that would re-admit two committers).
     */
   def acquire(fs: FileSystem, tableDir: Path, owner: String,
-      staleMs: Long = DefaultStaleMs): Unit = {
+      staleMs: Long = DefaultStaleMs): String = {
+    val token = java.util.UUID.randomUUID().toString
     val lp = lockPath(tableDir)
-    if (tryCreate(fs, lp, owner)) return
+    if (tryCreate(fs, lp, owner, token)) return token
     val stale =
       try System.currentTimeMillis() -
         fs.getFileStatus(lp).getModificationTime > staleMs
@@ -108,7 +114,7 @@ object GraftCommitLock {
         } else {
           try fs.delete(tomb, false)
           catch { case scala.util.control.NonFatal(_) => () }
-          if (tryCreate(fs, lp, owner)) return
+          if (tryCreate(fs, lp, owner, token)) return token
         }
       }
     }
@@ -125,13 +131,23 @@ object GraftCommitLock {
         s"${staleMs}ms)")
   }
 
-  def release(fs: FileSystem, tableDir: Path): Unit =
-    try fs.delete(lockPath(tableDir), false)
-    catch { case scala.util.control.NonFatal(_) => () }
+  /** Release only the lock THIS acquire created: if the content's
+    * token differs (a breaker stole and replaced the lock), deleting
+    * would destroy the successor's mutual exclusion — leave it.
+    */
+  def release(fs: FileSystem, tableDir: Path, token: String): Unit =
+    try {
+      val lp = lockPath(tableDir)
+      val in = fs.open(lp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (txt.split('\t').lastOption.contains(token))
+        fs.delete(lp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def withLock[T](fs: FileSystem, tableDir: Path, owner: String,
       staleMs: Long = DefaultStaleMs)(body: => T): T = {
-    acquire(fs, tableDir, owner, staleMs)
-    try body finally release(fs, tableDir)
+    val token = acquire(fs, tableDir, owner, staleMs)
+    try body finally release(fs, tableDir, token)
   }
 }

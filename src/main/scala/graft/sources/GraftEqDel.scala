@@ -312,6 +312,7 @@ private[graft] object GraftEqDel {
       private var fi = -1
       private var cur: PartitionReader[InternalRow] = _
       private var filtered = false
+      private var floor = -1L // cached per split — never per row
 
       private def advance(): Boolean = {
         if (cur != null) { cur.close(); cur = null }
@@ -320,7 +321,8 @@ private[graft] object GraftEqDel {
         else {
           val f = files(fi)
           cur = inner.createReader(FilePartition(0, Array(f)))
-          filtered = floorOfSplit(f) < maxEpoch
+          floor = floorOfSplit(f)
+          filtered = floor < maxEpoch
           true
         }
       }
@@ -331,7 +333,6 @@ private[graft] object GraftEqDel {
           if (cur.next()) {
             if (!filtered) return true
             val row = cur.get()
-            val floor = floorOfSplit(files(fi))
             val died = maxByKey.value.get(keyStringRow(row))
               .exists(_ > floor)
             if (!died) return true
@@ -525,6 +526,13 @@ private[graft] object GraftEqDel {
     val ps = list(fs, tableDir)
     if (ps.isEmpty) return df
     val ds = ps.map(read(fs, _))
+    // the same LOUD single-stream validation every catalog scan gets
+    // via load(): a contract-violated directory must refuse, not
+    // silently mis-floor the other stream's files
+    require(ds.map(_.tag).distinct.length == 1 &&
+      ds.map(_.cols.map(_.toLowerCase)).distinct.length == 1,
+      s"$tableDir carries equality deletes from mixed streams or key " +
+        "columns — CALL system.rewrite_deletes before path reads")
     val tag = ds.head.tag
     val cols = ds.head.cols
     val kinds = ds.head.kinds

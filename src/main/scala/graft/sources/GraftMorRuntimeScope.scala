@@ -159,6 +159,18 @@ object GraftMorRuntimeScope extends Rule[LogicalPlan] {
     val pairs = splitConjuncts(wd.condition).flatMap(keyPair)
     if (pairs.isEmpty) return wd
 
+    // the eager key collection is a SEPARATE execution of the source:
+    // a source whose output can differ between runs (non-deterministic
+    // expressions, samples, un-ordered limits) would leave the IN
+    // filter stale and silently drop matched target rows — decline
+    val sourceUnstable = sourceSide.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+      case p => p.expressions.exists(!_.deterministic)
+    }
+    if (sourceUnstable) return wd
+
     // one eager distinct over ALL key expressions (delta-bounded; the
     // cap turns a large-source merge back into the static plan)
     val keyExprs: Seq[NamedExpression] = pairs.zipWithIndex.map {

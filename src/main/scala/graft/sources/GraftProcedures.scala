@@ -81,6 +81,22 @@ object GraftProcedures {
         s"unknown procedure system.$other (one of ${names.mkString(", ")})")
     }
 
+  /** A data-reading filter/register build over a RENAMED column would
+    * read pre-rename files as all-null under the new name (parquet
+    * resolves strictly by name) and publish entries that silently
+    * mis-prune or mis-estimate — refuse until compact materializes.
+    */
+  private def requireNoAliases(spark: SparkSession, dir: Path,
+      cols: Seq[String], what: String): Unit = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aliases = GraftTableMeta.read(fs, dir).renameAliases
+    cols.foreach { c =>
+      require(!aliases.contains(c.toLowerCase),
+        s"$what: column $c was renamed and its pre-rename files are not " +
+          "yet materialized — CALL system.compact first")
+    }
+  }
+
   private def splitIdent(tableArg: UTF8String): (String, String) = {
     val s = String.valueOf(tableArg)
     s.split('.') match {
@@ -153,6 +169,7 @@ object GraftProcedures {
           s"ndv_columns needs parquet; ${eng.format} unsupported")
         val spark = SparkSession.active
         val dir = new Path(eng.path(layer, table))
+        requireNoAliases(spark, dir, ndvCols, "ndv_columns")
         val df = spark.table(eng.sqlIdent(layer, table))
         val parts = spark.sessionState.catalogManager.catalog(eng.sqlName)
           .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
@@ -258,6 +275,7 @@ object GraftProcedures {
         s"analyze_bloom builds over parquet; ${eng.format} unsupported")
       val spark = SparkSession.active
       val dir = new Path(eng.path(layer, table))
+      requireNoAliases(spark, dir, cols, "analyze_bloom")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val meta = GraftTableMeta.read(fs, dir)
       val schema = meta.schema.getOrElse(

@@ -73,10 +73,12 @@ private[graft] object GraftRetired {
     val commit = newCommitDir(tableDir)
     val qualBase = fs.makeQualified(tableDir).toString
     gone.foreach { f =>
-      val rel = fs.makeQualified(f).toString.stripPrefix(qualBase)
-        .stripPrefix("/")
-      require(!rel.startsWith("/") && !rel.contains(".."),
+      val qual = fs.makeQualified(f).toString
+      // prefix check with the trailing '/': a SIBLING dir sharing the
+      // table-dir prefix (/w/sales vs /w/sales_v2) must never pass
+      require(qual.startsWith(qualBase + "/") && !qual.contains(".."),
         s"retire: $f is not under $tableDir")
+      val rel = qual.stripPrefix(qualBase + "/")
       val dest = new Path(commit, rel)
       fs.mkdirs(dest.getParent)
       require(fs.rename(f, dest),
@@ -126,15 +128,19 @@ private[graft] object GraftRetired {
 
   /** Resolve a vanished planned file against the tombstone area and the
     * version store, newest commit first, matched by (relative path,
-    * length) — renames preserve both. Executor-side; lists only on the
-    * failure path.
+    * length, mtime) — renames preserve all three, and the mtime keeps
+    * two same-rel same-length generations apart. Executor-side; lists
+    * only on the failure path.
     */
   def resolve(fs: FileSystem, tableDir: Path, rel: String,
-      expectedLen: Long): Option[Path] = {
+      expectedLen: Long, expectedMtime: Long): Option[Path] = {
     def candidates(root: Path, newestFirst: Seq[String]): Option[Path] =
       newestFirst.iterator.map(c => new Path(root, s"$c/$rel")).find { p =>
-        try fs.exists(p) && fs.getFileStatus(p).getLen == expectedLen
-        catch { case NonFatal(_) => false }
+        try {
+          val st = fs.getFileStatus(p)
+          st.getLen == expectedLen &&
+            (expectedMtime <= 0 || st.getModificationTime == expectedMtime)
+        } catch { case NonFatal(_) => false }
       }
     def dirsOf(root: Path): Seq[String] =
       try {
@@ -212,7 +218,7 @@ private[graft] object GraftRetired {
       val qual = fs.makeQualified(f.toPath).toString
       if (!qual.startsWith(qualBase + "/")) None
       else resolve(fs, tableDir, qual.stripPrefix(qualBase + "/"),
-        f.fileSize).map { p =>
+        f.fileSize, f.modificationTime).map { p =>
         f.copy(filePath =
           org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(p)))
       }

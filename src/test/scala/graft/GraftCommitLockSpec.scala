@@ -47,7 +47,7 @@ class GraftCommitLockSpec extends SparkSpec {
     // simulate an in-flight commit: its lock file is held
     val dirP = new Path(s"$root/ods/t")
     val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GraftCommitLock.acquire(fs, dirP, "in-flight-writer")
+    val tok0 = GraftCommitLock.acquire(fs, dirP, "in-flight-writer")
     try {
       // a COW rewrite (UPDATE) must LOSE: clean error, nothing changed
       val e = intercept[Throwable] {
@@ -66,7 +66,7 @@ class GraftCommitLockSpec extends SparkSpec {
           else Nil
         }
       assert(dotFiles(dirP).isEmpty, "losing writer left staged files")
-    } finally GraftCommitLock.release(fs, dirP)
+    } finally GraftCommitLock.release(fs, dirP, tok0)
 
     // the in-flight commit finished (lock released): retry wins
     spark.sql(s"UPDATE $cat.ods.t SET v = 0 WHERE k = 5")
@@ -109,10 +109,11 @@ class GraftCommitLockSpec extends SparkSpec {
     // too — two committers inside the critical section. The atomic
     // rename-to-tombstone break must make B LOSE and leave A's lock
     // in place.
+    var tokA: String = null
     GraftCommitLock.onBeforeBreak = () => {
       GraftCommitLock.onBeforeBreak = () => () // A breaks without reentry
       fs.delete(lp, false)
-      GraftCommitLock.acquire(fs, dirP, "waiter-a")
+      tokA = GraftCommitLock.acquire(fs, dirP, "waiter-a")
     }
     val e = try intercept[Throwable] {
       GraftCommitLock.acquire(fs, dirP, "waiter-b")
@@ -123,7 +124,8 @@ class GraftCommitLockSpec extends SparkSpec {
     val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     assert(holder.startsWith("waiter-a"), s"unexpected lock holder: $holder")
-    GraftCommitLock.release(fs, dirP)
+    GraftCommitLock.release(fs, dirP, tokA)
+    assert(!fs.exists(lp))
   }
 
   test("partition overwrite detects a merge-on-read DELETE in a touched partition (ADVICE r12)") {
