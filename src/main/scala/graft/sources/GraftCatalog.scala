@@ -415,13 +415,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot RENAME COLUMN $old while bloom_columns covers it — " +
               "UNSET the property (or drop the column from it), rename, " +
               "compact, then re-set")
+          // fresh ids must clear BOTH the live ids and every RETIRED
+          // alias id: a dropped column's id stays in the alias log, and
+          // reusing it would silently merge the dropped column's
+          // physical data into the new holder (rename b->b2, drop b2,
+          // add c, rename c->d would map d -> [b])
+          def nextId: Int =
+            ((fieldIds.values ++ aliases.map(_._1)).foldLeft(-1)(math.max)) + 1
           if (fieldIds.isEmpty)
-            fieldIds = s.fieldNames.zipWithIndex.toMap
+            fieldIds = s.fieldNames.zipWithIndex.map {
+              case (n, i) => n -> (i + nextId)
+            }.toMap
           val canonical = s.fieldNames.find(_.equalsIgnoreCase(old)).get
           val id = fieldIds.getOrElse(canonical,
             fieldIds.collectFirst {
               case (n, i) if n.equalsIgnoreCase(canonical) => i
-            }.getOrElse(fieldIds.values.max + 1))
+            }.getOrElse(nextId))
           fieldIds = (fieldIds - canonical).filterNot(
             _._1.equalsIgnoreCase(canonical)) + (nw -> id)
           aliases = aliases :+ (id, canonical)
@@ -1681,13 +1690,19 @@ private[sources] class GraftTable(
     require(!readOnly, s"${name()} is a time-travel snapshot: read-only")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (predicates.forall(_.name == "ALWAYS_TRUE")) {
-      // TRUNCATE / unconditional DELETE: every data child goes, the
-      // metadata sidecar stays (the table keeps its schema); deletion
-      // vectors die with the rows they were deleting
+      // TRUNCATE / unconditional DELETE: every data child is TOMBSTONED
+      // (never deleted at commit — an in-flight reader that planned
+      // before this commit re-resolves its files from the tombstone
+      // area, the same snapshot-isolation contract every other retiring
+      // commit honors); the metadata sidecar stays (the table keeps its
+      // schema). Deletion vectors die with the rows they were deleting —
+      // in-flight readers captured their DV filters at planning time.
       if (fs.exists(new Path(dir)))
-        fs.listStatus(new Path(dir)).map(_.getPath)
-          .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-          .foreach(fs.delete(_, true))
+        GraftRetired.retireFiles(fs, new Path(dir),
+          fs.listStatus(new Path(dir)).map(_.getPath)
+            .filterNot(p =>
+              p.getName.startsWith("_") || p.getName.startsWith("."))
+            .toSeq)
       GraftDv.dropAll(fs, new Path(dir))
       GraftEqDel.clearAll(fs, new Path(dir)) // rows gone = deletes moot
     } else if (!partitionDeletable(predicates)) {
@@ -1723,13 +1738,17 @@ private[sources] class GraftTable(
       // walk the hive tree level by level: constrained levels descend
       // only into matching directories; once no constraint remains at
       // or below a level, the whole matching SUBTREE is dropped — a
-      // partial spec on a two-level layout deletes one directory, not
-      // one directory per leaf. Absent directories are already-
-      // satisfied deletes (idempotent); each drop is atomic, so a
-      // crash mid-way leaves a prefix deleted and a re-run converges.
+      // partial spec on a two-level layout drops one directory, not
+      // one directory per leaf. Dropped subtrees are TOMBSTONED
+      // ([[GraftRetired]]), never deleted at commit: an in-flight
+      // reader that planned before this DELETE re-resolves its files
+      // under the retired copy's preserved relative layout. Absent
+      // directories are already-satisfied deletes (idempotent); each
+      // drop is one atomic rename, so a crash mid-way leaves a prefix
+      // retired and a re-run converges.
       def walk(d: Path, level: Int): Unit = {
         if (!parts.drop(level).exists(constraints.contains)) {
-          if (fs.exists(d)) fs.delete(d, true)
+          if (fs.exists(d)) GraftRetired.retireFiles(fs, new Path(dir), Seq(d))
         } else if (level < parts.length) {
           val col = parts(level)
           val children = constraints.get(col) match {

@@ -56,6 +56,25 @@ object GraftCommitLock {
   def lockPath(tableDir: Path): Path =
     new Path(tableDir.getParent, tableDir.getName + ".__lock")
 
+  /** Creation time recorded INSIDE the lock file at [[tryCreate]] —
+    * the clock a rename cannot disturb. Filesystem mtime is wrong for
+    * staleness on object stores, where rename is copy+delete and
+    * stamps a FRESH mtime: a broken lock would always look live, and
+    * a genuinely stale lock could never be broken (each failed break
+    * attempt would refresh it). Falls back to fs mtime only when the
+    * content predates the timestamp field or is unparseable.
+    */
+  private def recordedCreateMs(fs: FileSystem, p: Path): Long = {
+    val txt = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    txt.split('\t').lift(1)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(fs.getFileStatus(p).getModificationTime)
+  }
+
   private def tryCreate(fs: FileSystem, lp: Path, owner: String,
       token: String): Boolean =
     try {
@@ -81,9 +100,11 @@ object GraftCommitLock {
     val lp = lockPath(tableDir)
     if (tryCreate(fs, lp, owner, token)) return token
     val stale =
-      try System.currentTimeMillis() -
-        fs.getFileStatus(lp).getModificationTime > staleMs
-      catch { case _: java.io.FileNotFoundException => true }
+      try System.currentTimeMillis() - recordedCreateMs(fs, lp) > staleMs
+      catch {
+        case _: java.io.FileNotFoundException => true
+        case scala.util.control.NonFatal(_) => false // unreadable = assume live
+      }
     if (stale) {
       onBeforeBreak()
       // Break by ATOMIC RENAME to a unique tombstone, not delete: with
@@ -102,15 +123,35 @@ object GraftCommitLock {
         try fs.rename(lp, tomb)
         catch { case scala.util.control.NonFatal(_) => false }
       if (won) {
-        // verify by MTIME (rename preserves it on local FS and HDFS) —
-        // the same clock the staleness check itself reads
+        // verify by the creation time RECORDED IN the lock content —
+        // the same clock the staleness check reads, and the only one
+        // the rename is guaranteed not to disturb (object-store rename
+        // is copy and would stamp a fresh mtime)
         val tombCreatedAt =
-          try fs.getFileStatus(tomb).getModificationTime
+          try recordedCreateMs(fs, tomb)
           catch { case scala.util.control.NonFatal(_) => 0L } // gone = stale
         if (System.currentTimeMillis() - tombCreatedAt <= staleMs) {
-          // stole a live writer's lock — put it back, treat as contended
-          try fs.rename(tomb, lp)
-          catch { case scala.util.control.NonFatal(_) => () }
+          // stole a live writer's lock — put it back, treat as
+          // contended. The restore is retried: if it ultimately fails
+          // (destination re-created by a third waiter, IO error), the
+          // live holder would finish its commit unprotected, so leave
+          // the tombstone as forensic evidence and surface the hazard
+          // in the contended throw instead of swallowing it.
+          var restored = false
+          var attempt = 0
+          while (!restored && attempt < 3) {
+            restored =
+              try fs.rename(tomb, lp)
+              catch { case scala.util.control.NonFatal(_) => false }
+            attempt += 1
+            if (!restored) Thread.sleep(50L << attempt)
+          }
+          if (!restored)
+            throw new ConcurrentCommitException(
+              s"concurrent commit on $tableDir: this writer briefly " +
+                s"broke a LIVE lock and could not restore it (kept at " +
+                s"$tomb) — the in-flight holder may be committing " +
+                "unprotected; do not start new commits until it finishes")
         } else {
           try fs.delete(tomb, false)
           catch { case scala.util.control.NonFatal(_) => () }

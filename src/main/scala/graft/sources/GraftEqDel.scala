@@ -92,6 +92,23 @@ private[graft] object GraftEqDel {
 
   def sidecarName(tag: String, epoch: Long): String = f"q$tag-e$epoch%012d.eqd"
 
+  /** Scheme/slash normalization applied IDENTICALLY to the driver-side
+    * lookup key (over the fs-qualified URI string) and the data-side
+    * `_metadata.file_path` column, so the rewrite join meets on one key
+    * on every filesystem: `hdfs://nn:8020/a/b` and its file_path
+    * rendering both become `/nn:8020/a/b`. `Path.toUri.getPath` would
+    * DROP the authority the column keeps and match NOTHING on
+    * authority-carrying filesystems — every file would stage zero
+    * survivors and be retired with no replacement (ADVICE r13 high).
+    */
+  private[graft] def normUri(s: String): String =
+    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "").replaceFirst("^/+", "/")
+
+  private[graft] def normUriCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
+      "^/+", "/")
+
   def write(fs: FileSystem, tableDir: Path, d: EqDel): Unit = {
     val dir = eqDir(tableDir)
     fs.mkdirs(dir)
@@ -200,7 +217,7 @@ private[graft] object GraftEqDel {
       maxByKey: Map[String, Long], maxEpoch: Long, sidecars: Seq[Long])
 
   /** Map key of one tuple (already-encoded components joined). */
-  private def keyOf(comps: Seq[String]): String = comps.mkString(" ")
+  private def keyOf(comps: Seq[String]): String = comps.mkString("\u0000")
 
   def encodeKey(kinds: Seq[Char], vs: Seq[Option[Any]]): String =
     keyOf(vs.zip(kinds).map { case (v, k) => encComp(k, v) })
@@ -289,7 +306,7 @@ private[graft] object GraftEqDel {
           }
         i += 1
       }
-      comps.mkString(" ")
+      comps.mkString("\u0000")
     }
 
     override def createReader(p: InputPartition)
@@ -406,7 +423,7 @@ private[graft] object GraftEqDel {
             }
           i += 1
         }
-        comps.mkString(" ")
+        comps.mkString("\u0000")
       }
 
       override def next(): Boolean = {
@@ -635,9 +652,12 @@ private[graft] object GraftEqDel {
             case None => null
           } :+ e)
         }, 1), StructType(fields))
+      // key BOTH sides with [[normUri]] over the QUALIFIED URI
+      // (GraftDv.rewriteDeletes' shape) — see normUri's doc for why
+      // toUri.getPath would silently lose every live row here
       val lookup = spark.createDataFrame(
         spark.sparkContext.parallelize(applicable.map { st =>
-          Row(st.getPath.toUri.getPath,
+          Row(normUri(fs.makeQualified(st.getPath).toUri.toString),
             keyB64(relOfP(st.getPath)),
             floorOf(st.getPath.getName, tag))
         }, 1),
@@ -646,10 +666,7 @@ private[graft] object GraftEqDel {
           StructField("__floor", LongType))))
       val df = spark.read.option("mergeSchema", "true")
         .parquet(applicable.map(_.getPath.toString): _*)
-      val normExpr = regexp_replace(
-        regexp_replace(col("_metadata.file_path"),
-          "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")
-      df.withColumn("__n", normExpr)
+      df.withColumn("__n", normUriCol(col("_metadata.file_path")))
         .join(broadcast(lookup), "__n")
         .join(broadcast(delDf),
           cols.map(c => col(c) <=> col(s"__eq_$c")).reduceLeft(_ && _) &&

@@ -162,7 +162,18 @@ object GraftMorRuntimeScope extends Rule[LogicalPlan] {
     // the eager key collection is a SEPARATE execution of the source:
     // a source whose output can differ between runs (non-deterministic
     // expressions, samples, un-ordered limits) would leave the IN
-    // filter stale and silently drop matched target rows — decline
+    // filter stale and silently drop matched target rows — decline.
+    // DECLINE-TO-CORRECT CONTRACT: what this check cannot see is a
+    // CONCURRENT COMMIT to a source TABLE between this collect and the
+    // join's own execution. The engine's statement-level assumption
+    // (shared with every scan: file sets are pinned at planning) is
+    // that a table's snapshot is stable for the duration of one
+    // statement; a writer landing mid-statement already yields
+    // undefined rows for the join itself, so the narrowing filter adds
+    // no NEW exposure class — but it can turn "reads the racing
+    // commit's rows" into "silently skips them". Engine writers are
+    // serialized per-table by [[GraftCommitLock]]; cross-engine
+    // writers racing a MERGE's source are outside the contract.
     val sourceUnstable = sourceSide.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
       case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true

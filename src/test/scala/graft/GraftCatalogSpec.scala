@@ -545,4 +545,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.ods.t").where(col("k") === 1)
       .head.getAs[Long]("cents") == 0L)
   }
+
+  test("a fresh field id never reuses a DROPPED column's id (ADVICE r13)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, b BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id * 7 FROM range(0, 10)")
+    // retire b's name under its field id, then retire the ID itself by
+    // dropping its holder — the alias (id -> b) stays in the log
+    spark.sql(s"ALTER TABLE $cat.ods.t RENAME COLUMN b TO b2")
+    spark.sql(s"ALTER TABLE $cat.ods.t DROP COLUMN b2")
+    // a NEW column that later renames must get a FRESH id: with id
+    // reuse, d would inherit the alias d -> [b] and silently resurrect
+    // the dropped column's physical data from the old files
+    spark.sql(s"ALTER TABLE $cat.ods.t ADD COLUMN c BIGINT")
+    spark.sql(s"ALTER TABLE $cat.ods.t RENAME COLUMN c TO d")
+    assert(spark.table(s"$cat.ods.t").columns.toSeq == Seq("k", "d"))
+    assert(spark.table(s"$cat.ods.t").where(col("d").isNotNull).count() == 0,
+      "the dropped column's data resurrected into the new column")
+    assert(spark.table(s"$cat.ods.t").count() == 10)
+    // new writes under d read back exactly, old rows stay null
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (100, 5)")
+    assert(spark.table(s"$cat.ods.t").agg(sum("d")).head.getLong(0) == 5L)
+    assert(spark.table(s"$cat.ods.t").where(col("d").isNotNull).count() == 1)
+  }
 }

@@ -35,6 +35,24 @@ class GraftCommitLockSpec extends SparkSpec {
     false
   }
 
+  /** Age a lock the way a crashed holder's really ages: the creation
+    * time RECORDED INSIDE the file (the staleness clock — fs mtime is
+    * untrustworthy on object stores, where rename is copy and stamps a
+    * fresh mtime). Rewrites the timestamp field, keeps owner + token.
+    */
+  private def backdateContent(fs: org.apache.hadoop.fs.FileSystem,
+      lp: Path, ageMs: Long): Unit = {
+    val in = fs.open(lp)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val parts = txt.split('\t')
+    val out = fs.create(lp, true)
+    try out.write(
+      s"${parts(0)}\t${System.currentTimeMillis() - ageMs}\t${parts(2)}"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   test("a racing commit makes the second writer fail cleanly; table intact; retry succeeds") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
@@ -86,11 +104,42 @@ class GraftCommitLockSpec extends SparkSpec {
     // a lock whose holder died long ago
     GraftCommitLock.acquire(fs, dirP, "crashed-writer")
     val lp = GraftCommitLock.lockPath(dirP)
-    fs.setTimes(lp, System.currentTimeMillis() - 3600 * 1000L, -1)
+    backdateContent(fs, lp, 3600 * 1000L)
     // the next commit breaks it and proceeds
     spark.sql(s"UPDATE $cat.ods.t SET v = 99 WHERE k = 1")
     assert(spark.table(s"$cat.ods.t").head.getLong(1) == 99L)
     assert(!fs.exists(lp), "lock not released after the commit")
+  }
+
+  test("staleness reads the lock's recorded time, not fs mtime (ADVICE r13: object-store rename is copy)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (1, 10)")
+    val dirP = new Path(s"$root/ods/t")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = GraftCommitLock.lockPath(dirP)
+
+    // 1) recorded time OLD, fs mtime FRESH (what a copy-based rename
+    //    or touch leaves behind): the lock MUST still break — with
+    //    mtime-based staleness it would look live forever
+    GraftCommitLock.acquire(fs, dirP, "crashed-writer")
+    backdateContent(fs, lp, 3600 * 1000L) // rewrite stamps a fresh mtime
+    assert(fs.getFileStatus(lp).getModificationTime >
+      System.currentTimeMillis() - 60 * 1000L, "precondition: fresh mtime")
+    val tok = GraftCommitLock.acquire(fs, dirP, "waiter")
+    GraftCommitLock.release(fs, dirP, tok)
+    assert(!fs.exists(lp))
+
+    // 2) recorded time FRESH, fs mtime OLD: the holder is LIVE — the
+    //    break must refuse and the acquire report contention
+    GraftCommitLock.acquire(fs, dirP, "live-writer")
+    fs.setTimes(lp, System.currentTimeMillis() - 3600 * 1000L, -1)
+    val e = intercept[Throwable] {
+      GraftCommitLock.acquire(fs, dirP, "waiter2")
+    }
+    assert(hasConcurrent(e), s"expected ConcurrentCommitException, got $e")
+    assert(fs.exists(lp), "a LIVE holder's lock was broken on stale mtime")
   }
 
   test("two waiters racing to break one stale lock: exactly one wins (ADVICE r12)") {
@@ -102,7 +151,7 @@ class GraftCommitLockSpec extends SparkSpec {
     val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     GraftCommitLock.acquire(fs, dirP, "crashed-writer")
     val lp = GraftCommitLock.lockPath(dirP)
-    fs.setTimes(lp, System.currentTimeMillis() - 3600 * 1000L, -1)
+    backdateContent(fs, lp, 3600 * 1000L)
     // waiter B passes the staleness check; in that exact window waiter
     // A breaks the stale lock and acquires a FRESH one. With the old
     // delete-based break, B then deleted A's fresh lock and acquired

@@ -142,6 +142,50 @@ class GraftRetiredSpec extends SparkSpec {
     assert(spark.table(s"$cat.ods.t").count() == 1600)
   }
 
+  test("TRUNCATE and partition-drop DELETE tombstone instead of deleting (ADVICE r13)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.p (k BIGINT, v BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.ods.p SELECT id, id, concat('p', id % 4) " +
+      "FROM range(0, 400)")
+    // partition-drop DELETE mid-read: the in-flight reader keeps its
+    // planned snapshot (the dropped directory is tombstoned with its
+    // relative layout preserved, so splits re-resolve)
+    perFilePartitions {
+      val it = spark.table(s"$cat.ods.p").toLocalIterator()
+      assert(it.hasNext); it.next()
+      spark.sql(s"DELETE FROM $cat.ods.p WHERE g = 'p1'")
+      var rows = 1
+      while (it.hasNext) { it.next(); rows += 1 }
+      assert(rows == 400,
+        s"in-flight read across a partition-drop DELETE broke: $rows of 400")
+    }
+    assert(retiredCommits(root, "ods/p") > 0,
+      "partition-drop DELETE deleted instead of tombstoning")
+    assert(spark.table(s"$cat.ods.p").count() == 300)
+    assert(spark.table(s"$cat.ods.p").where(col("g") === "p1").count() == 0)
+
+    // TRUNCATE mid-read: same contract over the whole table
+    val beforeCommits = retiredCommits(root, "ods/p")
+    perFilePartitions {
+      val it = spark.table(s"$cat.ods.p").toLocalIterator()
+      assert(it.hasNext); it.next()
+      spark.sql(s"TRUNCATE TABLE $cat.ods.p")
+      var rows = 1
+      while (it.hasNext) { it.next(); rows += 1 }
+      assert(rows == 300,
+        s"in-flight read across a TRUNCATE broke: $rows of 300")
+    }
+    assert(retiredCommits(root, "ods/p") > beforeCommits,
+      "TRUNCATE deleted instead of tombstoning")
+    assert(spark.table(s"$cat.ods.p").count() == 0)
+    // the tombstones are GC-able like any other retiring commit's
+    spark.sql(s"CALL $cat.system.remove_orphans(table => 'ods.p', " +
+      "older_than_ms => 0)")
+    assert(retiredCommits(root, "ods/p") == 0)
+  }
+
   test("dynamic partition overwrite tombstones the replaced partition generation") {
     val (cat, root) = freshCatalog()
     val eng = graft.runtime.Catalog(spark, root)

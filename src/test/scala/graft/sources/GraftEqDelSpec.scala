@@ -239,4 +239,31 @@ class GraftEqDelSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.mart.state VALUES (9, 9)") // admitted again
     assert(spark.table(s"$cat.mart.state").count() == 1)
   }
+
+  test("rewrite lookup key and file_path normalization agree on authority-carrying URIs (ADVICE r13 high)") {
+    // materialize() joins a driver-built lookup against the reader's
+    // _metadata.file_path: both sides must normalize one URI to ONE
+    // key. The old Path.toUri.getPath key dropped the authority that
+    // file_path keeps, so on HDFS/S3A the join matched zero rows and
+    // every applicable file was retired with NO replacement.
+    val uris = Seq(
+      "hdfs://nn:8020/w/t/part-s0011aabb-e000000000001-x.parquet",
+      "s3a://bucket/w/t/part-0.parquet",
+      "file:/tmp/w/t/part-0.parquet",
+      "file:///tmp/w/t/part-0.parquet",
+      "/tmp/w/t/part-0.parquet")
+    // scala-side and column-side renderings are identical for each URI
+    val scalaSide = uris.map(GraftEqDel.normUri)
+    val colSide = uris.toDF("u")
+      .select(GraftEqDel.normUriCol(col("u"))).as[String].collect().toSeq
+    assert(scalaSide == colSide,
+      s"driver/data normalization diverged: $scalaSide vs $colSide")
+    // the authority survives in the shared rendering...
+    assert(GraftEqDel.normUri("hdfs://nn:8020/a/b") == "/nn:8020/a/b")
+    // ...which is exactly where the old getPath key diverged
+    assert(new Path("hdfs://nn:8020/a/b").toUri.getPath == "/a/b")
+    assert(GraftEqDel.normUri("hdfs://nn:8020/a/b") !=
+      new Path("hdfs://nn:8020/a/b").toUri.getPath,
+      "regression guard lost its teeth: getPath no longer differs")
+  }
 }
