@@ -310,7 +310,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // maintained at write time under auto_analyze catalogs. Unknown
     // keys are ignored (Spark passes reserved props through).
     val durableProps =
-      Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp").flatMap { k =>
+      durableKeys.flatMap { k =>
         Option(properties.get(k)).map { v =>
           validateDurableProp(k, v, format, Some(schema))
           k -> v
@@ -487,7 +487,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val durableKeys =
-    Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp")
+    Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp") ++
+      GraftMaintenance.Keys
 
   /** Validate one durable table property (CREATE and ALTER share it). */
   private def validateDurableProp(key: String, value: String,
@@ -521,6 +522,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bloom_fpp must be a number in (0,1), got '$value'")
       }
       require(f > 0 && f < 1, s"bloom_fpp must be in (0,1), got $value")
+    case k if GraftMaintenance.Keys.contains(k) =>
+      GraftMaintenance.validate(k, value)
     case other => throw new IllegalArgumentException(
       s"unsupported table property '$other' " +
         s"(durable properties: ${durableKeys.mkString(", ")})")
@@ -1774,6 +1777,9 @@ private[sources] class GraftTable(
       // partition directories are inert — sweep them
       GraftDv.sweepStale(fs, new Path(dir))
     }
+    // maintenance policy (outside any lock): the MOR branch grew the
+    // DV area, the others grew the tombstone area
+    GraftMaintenance.afterCommit(spark, fs, new Path(dir))
   }
 
   /** `=` / `IN` on THE partition column with string/integral literals →
@@ -1865,6 +1871,9 @@ private[sources] class GraftTable(
           GraftRetired.retireFiles(fs, new Path(dir), oldFiles)
           GraftDv.dropFor(fs, new Path(dir), oldFiles)
         }
+        // maintenance policy outside the lock: this commit grew the
+        // tombstone area (retired.expire_ms GC)
+        GraftMaintenance.afterCommit(spark, fs, new Path(dir))
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         innerBatch.abort(messages) // old generation untouched
@@ -3814,7 +3823,14 @@ private[graft] object GraftPartitionedCow {
         messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(marker(epochId))) { abort(epochId, messages); return }
+      if (fs.exists(marker(epochId))) {
+        abort(epochId, messages)
+        // a crash AFTER the marker but BEFORE the policy check must
+        // still honor the rewrite threshold on re-delivery — the
+        // policy is state-driven, so re-checking here converges
+        GraftMaintenance.afterCommit(spark, fs, new Path(dir))
+        return
+      }
       // single-writer contract: refuse over positional vectors or a
       // DIFFERENT stream's sidecars — epoch floors only order within
       // one query tag
@@ -3898,6 +3914,11 @@ private[graft] object GraftPartitionedCow {
         fs.create(marker(epochId), true).close()
         fs.delete(mf, false)
       }
+      // policy check OUTSIDE the epoch's lock (materialization locks
+      // per published file itself): a table with
+      // eqdel.rewrite_threshold set auto-materializes here, so the
+      // stream never drives reads into the key-cap refusal
+      GraftMaintenance.afterCommit(spark, fs, new Path(dir))
     }
 
     override def abort(epochId: Long,
@@ -4038,6 +4059,8 @@ private[graft] object GraftPartitionedCow {
           }
         }
         }
+        // maintenance policy outside the lock (tombstone-age GC)
+        GraftMaintenance.afterCommit(spark, fs, new Path(dir))
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -369,6 +369,10 @@ private[sources] object GraftDeltaMor {
           try GraftStats.analyze(spark, dir, format, Some(scope))
           catch { case NonFatal(_) => () }
         }
+        // maintenance policy, outside the lock: this commit grew the
+        // DV area — a table with dv.rewrite_threshold set materializes
+        // once enough files carry vectors
+        GraftMaintenance.afterCommit(spark, fs, new Path(dir))
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -154,6 +154,18 @@ private[graft] object GraftEqDel {
     try list(fs, tableDir).nonEmpty
     catch { case NonFatal(_) => false }
 
+  /** Total live keys across all sidecars, read from the HEADERS only
+    * (one line per sidecar): the maintenance-policy probe runs at
+    * every epoch commit and must never scale with key count.
+    */
+  def countKeys(fs: FileSystem, tableDir: Path): Long =
+    list(fs, tableDir).map { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().split('\t')(4).toLong
+      finally in.close()
+    }.sum
+
   /** The other-writer guard: any commit that cannot reason about epoch
     * floors refuses while sidecars are live.
     */

@@ -63,7 +63,7 @@ object GraftProcedures {
   def names: Array[String] =
     Array("analyze", "analyze_bloom", "cluster", "compact",
       "compact_partitions", "expire_versions", "history",
-      "remove_orphans", "rewrite_deletes", "rollback")
+      "remove_orphans", "rewrite_deletes", "rollback", "table_state")
 
   def load(procName: String, engine: () => Catalog): UnboundProcedure =
     procName match {
@@ -77,6 +77,7 @@ object GraftProcedures {
       case "remove_orphans" => new RemoveOrphansProc(engine)
       case "rewrite_deletes" => new RewriteDeletesProc(engine)
       case "rollback" => new RollbackProc(engine)
+      case "table_state" => new TableStateProc(engine)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (one of ${names.mkString(", ")})")
     }
@@ -182,6 +183,64 @@ object GraftProcedures {
         GraftStats.analyzeNdv(spark, dir, df.schema, parts, ndvCols)
       }
       one(out, InternalRow(n))
+    }
+  }
+
+  /** Operational visibility for the maintenance policies
+    * ([[GraftMaintenance]], r13 verdict item 1): one row of the live
+    * numbers each bounded-growth cliff is measured by, so an operator
+    * (or an alerting query) sees the cliffs coming — the eq-del key
+    * map's distance to its read-refusal cap, the DV'd-file count a
+    * `dv.rewrite_threshold` would act on, and the tombstone bytes
+    * `retired.expire_ms` / `remove_orphans` would reclaim.
+    */
+  private final class TableStateProc(engine: () => Catalog)
+    extends MaintenanceProc("table_state") {
+    override def description(): String =
+      "report a table's operational sidecar state: live data " +
+        "files/bytes, merge-on-read deletion vectors (files + " +
+        "positions), equality-delete sidecars/keys vs the read cap, " +
+        "and tombstoned generations (commits/files/bytes) — the " +
+        "numbers the maintenance policies act on"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build())
+    private val out = StructType(Seq(
+      StructField("live_files", IntegerType, nullable = false),
+      StructField("live_bytes", LongType, nullable = false),
+      StructField("dv_files", IntegerType, nullable = false),
+      StructField("dv_positions", LongType, nullable = false),
+      StructField("eqdel_sidecars", IntegerType, nullable = false),
+      StructField("eqdel_keys", LongType, nullable = false),
+      StructField("eqdel_key_cap", LongType, nullable = false),
+      StructField("retired_commits", IntegerType, nullable = false),
+      StructField("retired_files", IntegerType, nullable = false),
+      StructField("retired_bytes", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val eng = engine()
+      val spark = SparkSession.active
+      val dir = new Path(eng.path(layer, table))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var liveFiles = 0
+      var liveBytes = 0L
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else { liveFiles += 1; liveBytes += st.getLen }
+      }
+      if (fs.exists(dir)) walk(dir)
+      val dvs = GraftDv.list(fs, dir).toSeq
+      val dvPositions =
+        dvs.map { case (_, p) => GraftDv.read(fs, p).ords.length.toLong }.sum
+      val eqSidecars = GraftEqDel.list(fs, dir).length
+      val eqKeys = GraftEqDel.countKeys(fs, dir)
+      val cap = spark.conf.getOption(GraftEqDel.MaxKeysConf).map(_.toLong)
+        .getOrElse(GraftEqDel.MaxKeysDefault)
+      val (rCommits, rFiles, rBytes) = GraftRetired.stats(fs, dir)
+      one(out, InternalRow(liveFiles, liveBytes, dvs.size, dvPositions,
+        eqSidecars, eqKeys, cap, rCommits, rFiles, rBytes))
     }
   }
 

@@ -126,6 +126,25 @@ private[graft] object GraftRetired {
     (files, bytes)
   }
 
+  /** Tombstone inventory for `CALL system.table_state`:
+    * (commits, files, bytes) currently parked in `.__retired/`.
+    */
+  def stats(fs: FileSystem, tableDir: Path): (Int, Int, Long) = {
+    val root = retiredRoot(tableDir)
+    if (!fs.exists(root)) return (0, 0, 0L)
+    var commits = 0
+    var files = 0
+    var bytes = 0L
+    def count(p: Path): Unit = fs.listStatus(p).foreach { c =>
+      if (c.isDirectory) count(c.getPath)
+      else { files += 1; bytes += c.getLen }
+    }
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory) { commits += 1; count(st.getPath) }
+    }
+    (commits, files, bytes)
+  }
+
   /** Resolve a vanished planned file against the tombstone area and the
     * version store, newest commit first, matched by (relative path,
     * length, mtime) — renames preserve all three, and the mtime keeps

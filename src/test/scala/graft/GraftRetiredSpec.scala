@@ -186,6 +186,39 @@ class GraftRetiredSpec extends SparkSpec {
     assert(retiredCommits(root, "ods/p") == 0)
   }
 
+  test("retired.expire_ms: tombstones expire under policy at later commits (r13 item 1)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, id FROM range(0, 100)")
+    // policy with a generous window: retiring commits GC nothing yet
+    spark.sql(s"ALTER TABLE $cat.ods.t SET TBLPROPERTIES (" +
+      "'retired.expire_ms' = '3600000')")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k % 2 = 0") // COW: retires
+    assert(retiredCommits(root, "ods/t") > 0,
+      "no tombstones created by the COW delete")
+    spark.sql(s"UPDATE $cat.ods.t SET v = v + 1 WHERE k = 1")
+    assert(retiredCommits(root, "ods/t") >= 2,
+      "inside the grace window the policy must retain tombstones")
+    // shrink the window to zero: the NEXT retiring commit expires
+    // everything older than it (no manual remove_orphans involved)
+    spark.sql(s"ALTER TABLE $cat.ods.t SET TBLPROPERTIES (" +
+      "'retired.expire_ms' = '0')")
+    spark.sql(s"UPDATE $cat.ods.t SET v = v + 1 WHERE k = 3")
+    // the two pre-existing commits are strictly older than the cutoff
+    // and MUST die; the policy commit's own tombstone may land in the
+    // cutoff's same millisecond, so 0 or 1 remain
+    assert(retiredCommits(root, "ods/t") <= 1,
+      "expired tombstones survived the policy commit")
+    assert(spark.table(s"$cat.ods.t").count() == 50)
+    // UNSET returns the table to manual remove_orphans maintenance
+    spark.sql(s"ALTER TABLE $cat.ods.t UNSET TBLPROPERTIES (" +
+      "'retired.expire_ms')")
+    spark.sql(s"UPDATE $cat.ods.t SET v = v + 1 WHERE k = 5")
+    assert(retiredCommits(root, "ods/t") > 0,
+      "tombstones GC'd with no policy set")
+  }
+
   test("dynamic partition overwrite tombstones the replaced partition generation") {
     val (cat, root) = freshCatalog()
     val eng = graft.runtime.Catalog(spark, root)

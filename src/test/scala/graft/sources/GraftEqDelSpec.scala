@@ -240,6 +240,66 @@ class GraftEqDelSpec extends SparkSpec {
     assert(spark.table(s"$cat.mart.state").count() == 1)
   }
 
+  test("eqdel.rewrite_threshold auto-materializes: a long stream NEVER hits the read refusal, across kill/restart (r13 item 1)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.st (k BIGINT, total BIGINT)")
+    spark.sql(s"ALTER TABLE $cat.mart.st SET TBLPROPERTIES (" +
+      "'eqdel.rewrite_threshold' = '0.5')")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // tiny cap so the policy is exercised: trigger at 0.5 * 8 = 4 live
+    // keys; WITHOUT the policy five 2-key epochs (10 keys) would push
+    // reads past the cap and into the loud refusal
+    spark.conf.set(GraftEqDel.MaxKeysConf, "8")
+    try withShuffle4 {
+      val cp = tmpDir("geq-cp-policy")
+      val mem = MemoryStream[(Long, Long)]
+      def start() = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.mart.st")
+      val dirP = new Path(s"$root/mart/st")
+      val fs = fsOf(root)
+      var q = start()
+      val epochs = Seq(
+        Seq((1L, 1L), (2L, 2L)), Seq((3L, 3L), (4L, 4L)),
+        Seq((5L, 5L), (6L, 6L)))
+      epochs.foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        // the policy keeps live keys strictly below the threshold's
+        // carryover: never at/above the cap, reads never refuse
+        assert(GraftEqDel.countKeys(fs, dirP) < 4,
+          s"policy failed to materialize: ${GraftEqDel.countKeys(fs, dirP)}")
+        assert(spark.table(s"$cat.mart.st").count() > 0) // read OK
+      }
+      // materialization really ran: replacement files carry the floor
+      // stamp, and sidecars were consumed at least once
+      def floorStamped(p: Path): Int =
+        fs.listStatus(p).toSeq.map(_.getPath).count(_.getName.contains("-ef"))
+      assert(floorStamped(dirP) > 0, "no floor-stamped rewrites on disk")
+      // kill/restart: the threshold stays respected (the policy is
+      // state-driven, not checkpoint-driven)
+      q.stop()
+      q = start()
+      Seq(Seq((7L, 7L), (8L, 8L)), Seq((9L, 9L), (10L, 10L))).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        assert(GraftEqDel.countKeys(fs, dirP) < 4,
+          "threshold not respected across restart")
+      }
+      q.stop()
+      // 10 distinct keys streamed; with no policy the key map would
+      // hold 10 > cap 8 and this read would REFUSE — it must be exact
+      val got = spark.table(s"$cat.mart.st").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == (1L to 10L).map(k => (k, k)), s"got $got")
+    } finally spark.conf.unset(GraftEqDel.MaxKeysConf)
+  }
+
   test("rewrite lookup key and file_path normalization agree on authority-carrying URIs (ADVICE r13 high)") {
     // materialize() joins a driver-built lookup against the reader's
     // _metadata.file_path: both sides must normalize one URI to ONE
