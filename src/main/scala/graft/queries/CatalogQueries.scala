@@ -555,26 +555,48 @@ object CatalogQueries {
 
   /** q185 — schema evolution as SQL DDL: `ALTER TABLE ADD COLUMN`
     * (metadata-only; pre-change files null-fill the new column on
-    * read), `RENAME COLUMN` (r12 item 8 — metadata-only via the
-    * sidecar's field-id aliases: files written under the OLD name
-    * resolve through the alias merge, no rewrite), and `DROP COLUMN`
-    * (readers stop projecting it), through the session catalog's
-    * sidecar-schema alterTable — the SQL twin of q160's object-API
-    * readMerged evolution. The aggregate runs over the RENAMED column
-    * across both file eras, old rows group under a NULL segment, new
-    * rows under their real one, and the post-drop column count proves
-    * DROP took effect — all on one oracle hash. Type changes REQUIRE
-    * a refusal in-plan.
+    * read), widening `ALTER COLUMN TYPE` (r13 item 2 — Iceberg's
+    * metadata-only safe promotion: the first file era stays INT on
+    * disk and the parquet readers promote it to the declared BIGINT),
+    * `RENAME COLUMN` (r12 item 8 — metadata-only via the sidecar's
+    * field-id aliases), and `DROP COLUMN` (readers stop projecting
+    * it), through the session catalog's sidecar-schema alterTable —
+    * the SQL twin of q160's object-API readMerged evolution. The
+    * aggregate runs over the RENAMED + WIDENED column across both
+    * file eras — one era narrow-physical, one wide — old rows group
+    * under a NULL segment, new rows under their real one, and the
+    * post-drop column count proves DROP took effect, all on one
+    * oracle hash. Narrowing type changes REQUIRE a refusal in-plan,
+    * and the widening REQUIRES zero rewritten files in-plan.
     */
   def q185SqlSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val cat = sqlCatalog(spark, "g185")
     Tables.load(spark, dir, "customer").createOrReplaceTempView("g185_customer")
     spark.sql(s"CREATE NAMESPACE $cat.ods")
-    spark.sql(s"CREATE TABLE $cat.ods.hist (k BIGINT, bal BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.ods.hist (k BIGINT, bal INT)")
     spark.sql(s"""INSERT INTO $cat.ods.hist
-      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT)
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS INT)
       FROM g185_customer WHERE c_custkey % 2 = 0""")
     spark.sql(s"ALTER TABLE $cat.ods.hist ADD COLUMN seg STRING")
+    // widen bal INT -> BIGINT with the narrow era on disk: metadata-
+    // only, proven in-plan by file-state identity across the ALTER
+    def fileState(): Set[(String, Long, Long)] = {
+      val dirP = new org.apache.hadoop.fs.Path(
+        spark.conf.get(s"spark.sql.catalog.$cat.root") + "/ods/hist")
+      val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+      walk(dirP).toSet
+    }
+    val beforeWiden = fileState()
+    spark.sql(s"ALTER TABLE $cat.ods.hist ALTER COLUMN bal TYPE BIGINT")
+    require(fileState() == beforeWiden,
+      "q185: the widening rewrote data files — must be metadata-only")
     spark.sql(s"""INSERT INTO $cat.ods.hist
       SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
       FROM g185_customer WHERE c_custkey % 2 = 1""")
@@ -584,12 +606,12 @@ object CatalogQueries {
     val evolved = spark.sql(s"""
       SELECT seg, count(*) AS n, sum(bal_cents) AS bal_sum
       FROM $cat.ods.hist GROUP BY seg""")
-    // type changes stay refused — in-plan evidence
+    // NARROWING type changes stay refused — in-plan evidence
     val refused =
       try { spark.sql(
         s"ALTER TABLE $cat.ods.hist ALTER COLUMN k TYPE INT"); false }
       catch { case scala.util.control.NonFatal(_) => true }
-    require(refused, "q185: ALTER COLUMN TYPE was not refused")
+    require(refused, "q185: narrowing ALTER COLUMN TYPE was not refused")
     spark.sql(s"ALTER TABLE $cat.ods.hist DROP COLUMN bal_cents")
     val postDrop = spark.table(s"$cat.ods.hist").columns.length.toLong
     evolved.unionAll(spark.sql(

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder, FileTable}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.runtime.Catalog
@@ -473,11 +473,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             fieldIds = fieldIds.filterNot(_._1.equalsIgnoreCase(name))
             StructType(remaining)
           }
+        case up: TableChange.UpdateColumnType =>
+          // type WIDENING (r13 verdict item 2 — Iceberg's metadata-only
+          // schema evolution for safe promotions): the table schema
+          // takes the wide type, not one data file is rewritten, and
+          // reads promote old files' narrower PHYSICAL type inside the
+          // parquet readers themselves (Spark's widening updaters:
+          // IntegerToLong, FloatToDouble, *ToDecimal). Every engine
+          // tier is already widening-proof because values canonicalize
+          // before they are stored or compared: stats/bloom/eq-del
+          // keys hold the integral family as LONG and floats never
+          // prune, so a literal probed after the widening hashes and
+          // compares identically to one stored before it.
+          require(format == "parquet",
+            s"ALTER COLUMN TYPE needs parquet (the readers' widening " +
+              s"promotion is a parquet capability); format is $format")
+          require(up.fieldNames.length == 1,
+            s"graft tables support top-level columns only, got " +
+              up.fieldNames.mkString("."))
+          val name = up.fieldNames.head
+          val f = s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+            throw new IllegalArgumentException(s"column $name does not exist"))
+          require(!partCols.exists(_.equalsIgnoreCase(name)),
+            s"cannot change the type of partition column $name: its " +
+              "values are directory names parsed under the declared type")
+          require(!meta0.bucketSpec.exists(_._2.equalsIgnoreCase(name)),
+            s"cannot change the type of bucket column $name: the bucket " +
+              "hash is computed over the declared type")
+          val safe = (f.dataType, up.newDataType) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case (d1: DecimalType, d2: DecimalType) =>
+              d1.scale == d2.scale && d2.precision > d1.precision
+            case _ => false
+          }
+          require(safe,
+            s"unsupported type change ${f.dataType.simpleString} -> " +
+              s"${up.newDataType.simpleString} for $name: only metadata-" +
+              "safe widenings are supported (int -> bigint, float -> " +
+              "double, decimal(p,s) -> decimal(p',s) with p' > p); " +
+              "narrowing or cross-family changes would disconnect " +
+              "existing files — rewrite via CTAS instead")
+          StructType(s.fields.map(fd =>
+            if (fd.name.equalsIgnoreCase(name))
+              fd.copy(dataType = up.newDataType)
+            else fd))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change $other: only metadata-safe " +
-            "ADD COLUMN / DROP COLUMN / RENAME COLUMN are supported " +
-            "(type changes would disconnect existing files, which " +
-            "resolve columns by name or field-id alias)")
+            "ADD COLUMN / DROP COLUMN / RENAME COLUMN / widening " +
+            "ALTER COLUMN TYPE are supported (other type changes would " +
+            "disconnect existing files, which resolve columns by name " +
+            "or field-id alias)")
       }
     }
     GraftTableMeta.write(fs, dir,

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.runtime.Catalog
 
@@ -544,6 +545,96 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"UPDATE $cat.ods.t SET cents = 0 WHERE k = 1")
     assert(spark.table(s"$cat.ods.t").where(col("k") === 1)
       .head.getAs[Long]("cents") == 0L)
+  }
+
+  test("ALTER COLUMN TYPE widens metadata-only: old narrow files read exactly; unsafe changes refuse (r13 item 2)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.w (k BIGINT, i INT, f FLOAT, " +
+      "d DECIMAL(5,2), g STRING) PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.ods.w SELECT id, CAST(id AS INT), " +
+      "CAST(id AS FLOAT) / 2, CAST(id AS DECIMAL(5,2)), " +
+      "concat('p', id % 2) FROM range(0, 500)")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, (Long, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, (Long, Long))] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, (st.getLen, st.getModificationTime)))
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$root/ods/w")).toMap
+    }
+    val before = dataFiles()
+
+    spark.sql(s"ALTER TABLE $cat.ods.w ALTER COLUMN i TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.ods.w ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.ods.w ALTER COLUMN d TYPE DECIMAL(10,2)")
+    // metadata-only: not one data file rewritten
+    assert(dataFiles() == before, "widening rewrote data files")
+    val sch = spark.table(s"$cat.ods.w").schema
+    assert(sch("i").dataType == LongType &&
+      sch("f").dataType == DoubleType &&
+      sch("d").dataType == DecimalType(10, 2), s"schema not widened: $sch")
+
+    // old files' narrow physical values read back EXACTLY as wide types
+    assert(spark.table(s"$cat.ods.w").agg(sum("i")).head.getLong(0)
+      == (0L until 500L).sum)
+    assert(spark.table(s"$cat.ods.w").agg(sum("f")).head.getDouble(0)
+      == (0 until 500).map(_.toFloat / 2).map(_.toDouble).sum)
+    // filters on the widened column still reach old files' rows
+    assert(spark.table(s"$cat.ods.w").where(col("i") === 123L)
+      .head.getLong(0) == 123L)
+    assert(spark.table(s"$cat.ods.w")
+      .where(col("d") === BigDecimal("42.00")).count() == 1)
+
+    // new wide rows mix with old narrow files transparently
+    spark.sql(s"INSERT INTO $cat.ods.w VALUES " +
+      "(1000, 5000000000, CAST(0.5 AS DOUBLE), CAST(12345678.90 AS " +
+      "DECIMAL(10,2)), 'p0')")
+    assert(spark.table(s"$cat.ods.w").where(col("i") === 5000000000L)
+      .count() == 1, "a value only the wide type can hold went missing")
+    assert(spark.table(s"$cat.ods.w").agg(sum("i")).head.getLong(0)
+      == (0L until 500L).sum + 5000000000L)
+    assert(spark.table(s"$cat.ods.w").count() == 501)
+
+    // widen + rename compose: the alias merge resolves the old NAME,
+    // the readers promote the old TYPE
+    spark.sql(s"ALTER TABLE $cat.ods.w RENAME COLUMN i TO i2")
+    assert(spark.table(s"$cat.ods.w").where(col("i2") === 123L)
+      .head.getLong(0) == 123L)
+    assert(spark.table(s"$cat.ods.w").agg(sum("i2")).head.getLong(0)
+      == (0L until 500L).sum + 5000000000L)
+
+    // refusals: narrowing and cross-family die in the analyzer; scale
+    // changes, partition and bucket columns die in the catalog
+    def refused(sql: String, needle: String): Unit = {
+      val e = intercept[Throwable](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)),
+        s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
+    }
+    refused(s"ALTER TABLE $cat.ods.w ALTER COLUMN i2 TYPE INT",
+      "not supported")        // narrowing: Spark's canUpCast gate
+    refused(s"ALTER TABLE $cat.ods.w ALTER COLUMN d TYPE DECIMAL(12,4)",
+      "only metadata-safe widenings") // scale change: catalog refusal
+      // (Spark's canUpCast admits it, but old files' physical scale
+      // would re-read wrong)
+    // partition/bucket columns refuse even analyzer-admissible
+    // widenings: dir tokens parse and bucket hashes compute under the
+    // declared type
+    spark.sql(s"CREATE TABLE $cat.ods.wp (k BIGINT, y INT) " +
+      "PARTITIONED BY (y)")
+    refused(s"ALTER TABLE $cat.ods.wp ALTER COLUMN y TYPE BIGINT",
+      "partition column")
+    spark.sql(s"CREATE TABLE $cat.ods.wb (k BIGINT, b INT) " +
+      "PARTITIONED BY (bucket(4, b))")
+    refused(s"ALTER TABLE $cat.ods.wb ALTER COLUMN b TYPE BIGINT",
+      "bucket column")
   }
 
   test("a fresh field id never reuses a DROPPED column's id (ADVICE r13)") {
