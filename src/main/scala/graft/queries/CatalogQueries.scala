@@ -1962,6 +1962,81 @@ object CatalogQueries {
        |SELECT 'live', seg, ${bi("count(*)")}, ${bi("sum(bal)")}
        |FROM c GROUP BY seg""".stripMargin
 
+  /** q218 — partition SPEC EVOLUTION end-to-end
+    * ([[graft.sources.GraftEvolved]], r13 item 3 — Iceberg's ADD
+    * PARTITION FIELD over a directory layout): a table partitioned by
+    * `d` takes one file era, `CALL system.evolve_partitioning` appends
+    * `region` METADATA-ONLY (file-state identity REQUIRED in-plan), a
+    * second era lands under the extended `(d, region)` layout
+    * (directory shape required in-plan), a COW DELETE rewrites across
+    * BOTH eras, and the aggregate spans them under anchor + evolved
+    * filters — old-era files prune by `d` and filter `region` by row,
+    * new-era files prune by BOTH as directory tokens. One oracle hash
+    * covers the whole story.
+    *
+    * Scale shape: the evolution itself is one sidecar write regardless
+    * of table size — the lakehouse answer to re-partitioning the
+    * reference's layers (country vs report date) without a rewrite.
+    */
+  def q218PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g218")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g218_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.hist (k BIGINT, region STRING, " +
+      "bal BIGINT, d STRING) PARTITIONED BY (d)")
+    spark.sql(s"""INSERT INTO $cat.ods.hist
+      SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT),
+        concat('p', CAST(c_custkey % 3 AS STRING))
+      FROM g218_customer WHERE c_custkey % 2 = 0""")
+    val tableDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.root") + "/ods/hist")
+    val hfs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileState(): Set[(String, Long, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        hfs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+      walk(tableDir).toSet
+    }
+    val before = fileState()
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.hist', add_column => 'region')").collect()
+    require(fileState() == before,
+      "q218: the evolution rewrote data files — must be metadata-only")
+    spark.sql(s"""INSERT INTO $cat.ods.hist
+      SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT),
+        concat('q', CAST(c_custkey % 3 AS STRING))
+      FROM g218_customer WHERE c_custkey % 2 = 1""")
+    // the new era REALLY laid out the extended spec
+    require(hfs.listStatus(new org.apache.hadoop.fs.Path(tableDir, "d=q1"))
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("region=")),
+      "q218: new era did not lay out the evolved (d, region) spec")
+    // a row-level rewrite ACROSS eras (copy-on-write spans both)
+    spark.sql(s"DELETE FROM $cat.ods.hist WHERE k % 10 = 3")
+    spark.sql(s"""
+      SELECT d, region, count(*) AS n, sum(bal) AS bal_sum
+      FROM $cat.ods.hist
+      WHERE region IN ('BUILDING', 'MACHINERY') AND d <> 'p2'
+      GROUP BY d, region""")
+  }
+
+  val q218Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k, c_mktsegment AS region,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |    CASE WHEN c_custkey % 2 = 0
+       |      THEN 'p' || CAST(c_custkey % 3 AS VARCHAR)
+       |      ELSE 'q' || CAST(c_custkey % 3 AS VARCHAR) END AS d
+       |  FROM customer)
+       |SELECT d, region, ${bi("count(*)")} AS n, ${bi("sum(bal)")} AS bal_sum
+       |FROM base
+       |WHERE k % 10 <> 3 AND region IN ('BUILDING', 'MACHINERY')
+       |  AND d <> 'p2'
+       |GROUP BY d, region""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -1999,7 +2074,8 @@ object CatalogQueries {
     "q214_mor_delete" -> (q214MorDelete _),
     "q215_bloom_pointlookup" -> (q215BloomPointlookup _),
     "q216_mor_merge" -> (q216MorMerge _),
-    "q217_eq_upsert" -> (q217EqUpsert _))
+    "q217_eq_upsert" -> (q217EqUpsert _),
+    "q218_partition_evolution" -> (q218PartitionEvolution _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -2038,5 +2114,6 @@ object CatalogQueries {
     "q214_mor_delete" -> q214Oracle,
     "q215_bloom_pointlookup" -> q215Oracle,
     "q216_mor_merge" -> q216Oracle,
-    "q217_eq_upsert" -> q217Oracle)
+    "q217_eq_upsert" -> q217Oracle,
+    "q218_partition_evolution" -> q218Oracle)
 }

@@ -249,6 +249,12 @@ final case class Catalog(spark: SparkSession, root: String,
     // their rows would be wrongly subject to live sidecars — refuse
     graft.sources.GraftEqDel.requireNone(fs, base,
       "a dynamic partition overwrite")
+    // mixed-era refusal (r13 item 3): a directory-granular replacement
+    // would strand old-era rows of the same logical partition
+    require(graft.sources.GraftEvolved.evolvedColsOf(fs, base).isEmpty,
+      s"$layer.$table has an un-materialized partition-spec evolution " +
+        "(file eras at mixed depths): partition overwrites are refused " +
+        "until CALL system.compact migrates the table to its current spec")
     val tmp = new org.apache.hadoop.fs.Path(s"$p.__pubtmp")
     val oldRoot = new org.apache.hadoop.fs.Path(s"$p.__pubold")
     // enumerate the leaf partition directories under a root

@@ -364,12 +364,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val table0 = new GraftTable(spark, catalogName, root, format,
       layerOf(ident.namespace), ident.name, meta0, versions)
     val base = meta0.schema.getOrElse(table0.schema())
+    // evolved spec columns are partition columns for every refusal
+    // below: their values are directory names in the new era
     val partCols =
-      if (meta0.partitionCols.nonEmpty) meta0.partitionCols
+      (if (meta0.partitionCols.nonEmpty) meta0.partitionCols
       else table0.partitioning().toSeq.collect {
         case t if t.name == "identity" =>
           t.references().head.fieldNames.mkString(".")
-      }
+      }) ++ meta0.evolvedCols
     // RENAME COLUMN (r12 item 8): metadata-only via field ids. The
     // sidecar assigns each column a stable id at the first rename and
     // logs the retired name as an ALIAS of that id; reads resolve a
@@ -698,7 +700,17 @@ private[sources] final case class GraftTableMeta(
     // read can resolve a renamed column in files written before the
     // rename. Metadata-only — no file is rewritten.
     fieldIds: Map[String, Int] = Map.empty,
-    aliases: Seq[(Int, String)] = Nil) {
+    aliases: Seq[(Int, String)] = Nil,
+    // Partition SPEC EVOLUTION (r13 item 3 — Iceberg's spec-id
+    // history for a directory layout): columns APPENDED to the
+    // partition spec after data existed. `partitionCols` stays the
+    // ANCHOR every file era shares (prefix of every chain; what reads
+    // expose as the partition schema); `evolvedCols` extend the
+    // layout for NEW writes only — and are kept IN the data files
+    // too, so pre-evolution files (which carry them as data) and
+    // post-evolution files read identically. Metadata-only: no file
+    // moves at evolution time.
+    evolvedCols: Seq[String] = Nil) {
 
   /** current-name (lower) -> old names still resolvable in live files. */
   def renameAliases: Map[String, Seq[String]] =
@@ -752,7 +764,10 @@ private[sources] object GraftTableMeta {
           val i = e.indexOf(':')
           if (i <= 0) None else Some((e.take(i).toInt, dec(e.drop(i + 1))))
         }).getOrElse(Nil)
-      GraftTableMeta(schema, parts, buckets, props, ids, als)
+      // line 7 (absent pre-evolution): evolved partition columns
+      val evolved = lines.drop(6).headOption.filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      GraftTableMeta(schema, parts, buckets, props, ids, als, evolved)
     }
   }
 
@@ -771,6 +786,8 @@ private[sources] object GraftTableMeta {
         "\n" +
         meta.aliases.map { case (id, nm) => s"$id:${enc(nm)}" }
           .mkString(";") +
+        "\n" +
+        meta.evolvedCols.mkString(",") +
         "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -840,12 +857,20 @@ private[sources] class GraftTable(
   /** Per-format reader options mirroring [[Catalog.readOptions]]; the
     * sidecar schema (when present) replaces csv inference.
     */
-  private def readOptions: Map[String, String] = format match {
+  private def readOptions: Map[String, String] = (format match {
     case "csv" =>
       Map("header" -> "true") ++
         (if (meta.schema.isEmpty) Map("inferSchema" -> "true") else Map.empty)
-    case _ => Map.empty
-  }
+    case _ => Map.empty[String, String]
+  }) ++ (
+    // evolved partition spec (r13 item 3): file eras live at DIFFERENT
+    // directory depths, which Spark's partition inference refuses
+    // ("conflicting directory structures"). Skip inference entirely —
+    // the scan builder swaps in [[GraftEvolved.EvolvedFileIndex]],
+    // which derives each file's ANCHOR values from its own chain and
+    // prunes evolved columns by their chain tokens where present.
+    if (meta.evolvedCols.nonEmpty) Map("recursiveFileLookup" -> "true")
+    else Map.empty[String, String])
 
   /** Fresh delegate per call: file listings must see the current
     * directory state, not the state at table-load time.
@@ -879,24 +904,35 @@ private[sources] class GraftTable(
   override def schema(): StructType =
     meta.schema.getOrElse(delegate.schema)
 
+  /** ANCHOR partition columns: the spec prefix EVERY file era shares —
+    * what reads expose as the partition schema and prune directories
+    * by. Equal to the full spec unless the spec evolved (r13 item 3).
+    */
+  private def anchorPartitionCols: Seq[String] =
+    if (meta.partitionCols.nonEmpty) meta.partitionCols
+    else delegate.partitioning().toSeq.collect {
+      case t if t.name == "identity" =>
+        t.references().head.fieldNames.mkString(".")
+    }
+
+  /** Columns appended to the spec by `CALL system.evolve_partitioning`
+    * — directory-laid-out for NEW files, kept in the data for all eras.
+    */
+  private def evolvedCols: Seq[String] = meta.evolvedCols
+
   override def partitioning(): Array[Transform] = {
-    val cols =
-      if (meta.partitionCols.nonEmpty) meta.partitionCols
-      else delegate.partitioning().toSeq.collect {
-        case t if t.name == "identity" =>
-          t.references().head.fieldNames.mkString(".")
-      }
+    val cols = anchorPartitionCols ++ evolvedCols
     cols.map(c => Expressions.identity(c): Transform).toArray ++
       meta.bucketSpec.map { case (n, c) =>
         Expressions.bucket(n, c): Transform
       }.toArray[Transform]
   }
 
+  /** The CURRENT partition spec — where new writes lay out their
+    * directories. == anchor unless the spec evolved.
+    */
   private def effectivePartitionCols: Seq[String] =
-    partitioning().toSeq.collect {
-      case t if t.name == "identity" =>
-        t.references().head.fieldNames.mkString(".")
-    }
+    anchorPartitionCols ++ evolvedCols
 
   // ---- partition management (SHOW PARTITIONS / ADD / DROP PARTITION) ----
   // The hive directory layout IS the partition metadata, so management
@@ -909,7 +945,11 @@ private[sources] class GraftTable(
 
   override def partitionSchema(): StructType = {
     val s = schema()
-    StructType(effectivePartitionCols.map { c =>
+    // ANCHOR columns only: partition identity must hold across every
+    // file era; evolved columns are data columns in pre-evolution
+    // files, so their directory tokens are a per-era pruning hint
+    // ([[GraftEvolved]]), not a partition schema
+    StructType(anchorPartitionCols.map { c =>
       s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalStateException(s"partition column $c not in schema"))
     })
@@ -1009,9 +1049,11 @@ private[sources] class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
-    else if (meta.bucketSpec.isDefined)
+    else if (meta.bucketSpec.isDefined || meta.evolvedCols.nonEmpty)
       // bucketed tables write through the v2 hive-layout path only —
-      // declaring V1_BATCH_WRITE would make Spark REQUIRE a V1Write
+      // declaring V1_BATCH_WRITE would make Spark REQUIRE a V1Write.
+      // Evolved-spec tables too: the V1 append cannot keep evolved
+      // columns in the data files while laying out their directories
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
@@ -1053,13 +1095,15 @@ private[sources] class GraftTable(
               statsDir = stats, tableSchema = schema(),
               partitionSchema = pSchema, maxFilesPerTrigger = mft,
               maxBytesPerTrigger = mbt, ignoreDeletes = ignoreDel,
-              renameAliases = meta.renameAliases)
+              renameAliases = meta.renameAliases,
+              evolvedCols = meta.evolvedCols)
           case None =>
             new GraftScanBuilder(fsb, statsDir = stats,
               tableSchema = schema(), partitionSchema = pSchema,
               ignoreDeletes = ignoreDel,
               maxFilesPerTrigger = mft, maxBytesPerTrigger = mbt,
-              renameAliases = meta.renameAliases)
+              renameAliases = meta.renameAliases,
+              evolvedCols = meta.evolvedCols)
         }
       case other => other
     }
@@ -1334,6 +1378,16 @@ private[sources] class GraftTable(
           // must be a real v2 write even for plain tables
           buildV2Replace(info.schema())
         case "dynamic" =>
+          // mixed-era refusal: "replace the partitions that received
+          // data" is directory-granular, but an old-era file of the
+          // same LOGICAL partition lives in a parent directory the
+          // replacement never touches — its rows would survive a
+          // replace that should supersede them
+          require(evolvedCols.isEmpty,
+            s"${name()}: dynamic partition overwrite is refused while " +
+              "the partition spec evolution is un-materialized (file " +
+              "eras at mixed depths) — CALL system.compact to migrate " +
+              "the table to its current spec first")
           val parts = effectivePartitionCols
           val schema = info.schema()
           val bad = parts.filter { c =>
@@ -1367,9 +1421,11 @@ private[sources] class GraftTable(
       }
 
       private def buildBatch(replace: Boolean): Write =
-        if (meta.bucketSpec.isDefined) {
+        if (meta.bucketSpec.isDefined || evolvedCols.nonEmpty) {
           // bucketed tables write through the v2 hive-layout path — the
-          // V1 append cannot tag bucket files
+          // V1 append cannot tag bucket files. Evolved-spec tables too:
+          // the hive-layout writers keep evolved columns IN the data
+          // (prepare's keepInData) while laying out the current spec
           if (replace) buildV2Replace(info.schema())
           else
             new GraftPartitionedCow.BucketedAppendWrite(spark, format,
@@ -1534,7 +1590,7 @@ private[sources] class GraftTable(
         */
       @volatile private var leafState
           : Option[Option[GraftCowLeafScope.LeafScope]] = None
-      override def cowPartitionCols: Seq[String] = effectivePartitionCols
+      override def cowPartitionCols: Seq[String] = anchorPartitionCols
       override def cowCountRowsWithin(
           scope: Map[String, Set[String]]): Map[String, Long] =
         countRowsByPartition(scope)
@@ -1542,7 +1598,13 @@ private[sources] class GraftTable(
       override def leafScope: Option[GraftCowLeafScope.LeafScope] =
         leafState.flatten
       override def offerLeafScope(ls: GraftCowLeafScope.LeafScope): Unit =
-        synchronized { if (leafState.isEmpty) leafState = Some(Some(ls)) }
+        synchronized {
+          if (leafState.isEmpty)
+            // mixed file eras break the leaf scope's rel-granular
+            // carryover accounting — decline; the capture-based
+            // retirement stays exact at anchor granularity
+            leafState = Some(if (evolvedCols.nonEmpty) None else Some(ls))
+        }
       override def declineLeafScope(): Unit =
         synchronized { if (leafState.isEmpty) leafState = Some(None) }
 
@@ -1604,13 +1666,19 @@ private[sources] class GraftTable(
         // reasons in the class doc above.
         new ScanBuilder
           with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+          // ANCHOR columns only: a predicate on them can never split a
+          // file of ANY era (every era carries the anchor as directory
+          // tokens); an evolved column CAN split an old-era file, so
+          // its predicates must stay row-level for carryover safety
+          private var pureAnchor: Seq[CatalystExpr] = Nil
           override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
-            val parts = effectivePartitionCols
+            val parts = anchorPartitionCols
             val (pure, rest) = filters.partition { f =>
               f.deterministic && f.references.nonEmpty &&
                 f.references.forall(a =>
                   parts.exists(_.equalsIgnoreCase(a.name)))
             }
+            pureAnchor = pureAnchor ++ pure
             val residual = inner match {
               case fsb: FileScanBuilder if pure.nonEmpty => fsb.pushFilters(pure)
               case _ => pure
@@ -1621,21 +1689,27 @@ private[sources] class GraftTable(
             case fsb: FileScanBuilder => fsb.pushedFilters
             case _ => Array.empty
           }
+          private def evolveOp(fs: FileScan): FileScan =
+            if (evolvedCols.isEmpty) fs
+            else GraftEvolved.rebuildScan(fs, spark, new Path(dir),
+              schema(), anchorPartitionCols, evolvedCols, pureAnchor)
           override def build(): org.apache.spark.sql.connector.read.Scan =
             inner.build() match {
               // wrap when partitioned (runtime group filtering) AND
               // whenever deletion vectors exist — the operation scan
               // must read THROUGH them or a rewrite's carryover would
               // resurrect deleted rows into the new generation
-              case fsn: FileScan if effectivePartitionCols.nonEmpty =>
-                new GraftRuntimeFilterScan(fsn,
+              case fsn0: FileScan if anchorPartitionCols.nonEmpty =>
+                new GraftRuntimeFilterScan(evolveOp(fsn0),
                   captureTokens = Some(recordScanned),
                   dvTableDir = Some(new Path(dir)))
-              case fsn: FileScan
+              case fsn0: FileScan
                   if GraftDv.hasAny(new Path(dir).getFileSystem(
                     spark.sparkContext.hadoopConfiguration), new Path(dir)) =>
-                new GraftRuntimeFilterScan(fsn,
+                new GraftRuntimeFilterScan(evolveOp(fsn0),
                   dvTableDir = Some(new Path(dir)))
+              case fsn0: FileScan if evolvedCols.nonEmpty =>
+                evolveOp(fsn0)
               case other => other
             }
         }
@@ -1710,7 +1784,12 @@ private[sources] class GraftTable(
     (!readOnly && predicates.nonEmpty &&
       predicates.forall(_.name == "ALWAYS_TRUE")) ||
     !readOnly && {
-      val parts = effectivePartitionCols
+      // ANCHOR columns only: a directory drop at anchor granularity
+      // takes BOTH eras' files of the logical partition with it; an
+      // evolved-column constraint cannot be a directory drop for
+      // old-era rows (they live inside files) — those decline to the
+      // row-level paths below
+      val parts = anchorPartitionCols
       // every conjunct must be a =/IN over SOME partition column (any
       // level of a multi-level year=/month= layout — the reference's
       // landing shape, covid_to_s3.py:41); a partial spec (WHERE
@@ -1728,7 +1807,7 @@ private[sources] class GraftTable(
         GraftDv.translate(predicates, schema()).isDefined)
 
   private def partitionDeletable(predicates: Array[Predicate]): Boolean = {
-    val parts = effectivePartitionCols
+    val parts = anchorPartitionCols
     parts.nonEmpty && predicates.forall { p =>
       p.name == "ALWAYS_TRUE" ||
         parts.exists(c => predicatePartitionValues(p, c).isDefined)
@@ -1768,7 +1847,7 @@ private[sources] class GraftTable(
       GraftDv.morDelete(spark, new Path(dir), schema(), cond)
     } else {
       GraftEqDel.requireNone(fs, new Path(dir), "a partition-drop DELETE")
-      val parts = effectivePartitionCols
+      val parts = anchorPartitionCols
       // the predicate array is a conjunction: build a per-column
       // constraint map, intersecting same-column value sets. An
       // ALWAYS_TRUE conjunct constrains nothing — drop it rather than
@@ -1983,7 +2062,8 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     ignoreDeletes: Boolean = false,
-    renameAliases: Map[String, Seq[String]] = Map.empty)
+    renameAliases: Map[String, Seq[String]] = Map.empty,
+    evolvedCols: Seq[String] = Nil)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -2067,9 +2147,11 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
       case None => delegate match {
         // renamed columns decline footer pushdown too: pre-rename
         // files lack the current name, and footer aggregates resolve
-        // strictly by name
+        // strictly by name. Evolved partition specs likewise — anchor
+        // columns live in NO file's footers (directory tokens only),
+        // so a footer MIN/MAX/COUNT over them would be null-wrong.
         case a: SupportsPushDownAggregates
-          if !dvPresent && renameAliases.isEmpty =>
+          if !dvPresent && renameAliases.isEmpty && evolvedCols.isEmpty =>
           a.pushAggregation(aggregation)
         case _ => false
       }
@@ -2078,7 +2160,7 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     manifestAgg(aggregation).isDefined || (delegate match {
       case a: SupportsPushDownAggregates
-        if !dvPresent && renameAliases.isEmpty =>
+        if !dvPresent && renameAliases.isEmpty && evolvedCols.isEmpty =>
         a.supportCompletePushDown(aggregation)
       case _ => false
     })
@@ -2091,6 +2173,18 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
       case _ => new Array[Boolean](extractions.length)
     }
 
+  /** Evolved partition spec (r13 item 3): the delegate listed with
+    * recursiveFileLookup (no inference over mixed-depth eras) — swap
+    * in the era-aware index and re-home anchor columns/filters.
+    */
+  private def evolve(fs: FileScan): FileScan =
+    if (evolvedCols.isEmpty) fs
+    else GraftEvolved.rebuildScan(fs, SparkSession.active,
+      statsDir.getOrElse(throw new IllegalStateException(
+        "an evolved table scan needs its table dir")),
+      tableSchema, partitionSchema.fieldNames.toSeq, evolvedCols,
+      pushedCatalyst)
+
   override def build(): Scan = stashedAgg match {
     case Some((aggSchema, rows)) =>
       new GraftStatsLocalAggScan(aggSchema, rows,
@@ -2100,14 +2194,14 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
       // readers, deletion vectors applied — exact `_graft_pos`
       delegate.build() match {
         case fs: FileScan =>
-          new GraftDeltaMor.MetaScan(fs, statsDir.getOrElse(
+          new GraftDeltaMor.MetaScan(evolve(fs), statsDir.getOrElse(
             throw new IllegalStateException(
               "metadata columns need a table dir")), metaFields)
         case other => throw new IllegalStateException(
           s"metadata columns over non-file scan $other")
       }
     case None => delegate.build() match {
-      case fs: FileScan => bucket match {
+      case fs0: FileScan => val fs = evolve(fs0); bucket match {
         case Some((n, c)) =>
           new GraftBucketedScan(fs, n, c, statsDir,
             maxFilesPerTrigger = maxFilesPerTrigger,
@@ -3042,7 +3136,12 @@ private[sources] final class GraftTableMicroBatchStream(
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadLimit, ReadMaxFiles}
 
   private def spark: SparkSession = SparkSession.active
-  private val tableRoot: Path = template.fileIndex.rootPaths.head
+  private val tableRoot: Path = template.fileIndex match {
+    // an evolved index's roots are its leaf FILES — the table dir is
+    // carried explicitly (r13 item 3)
+    case ev: GraftEvolved.EvolvedFileIndex => ev.tableDir
+    case other => other.rootPaths.head
+  }
   private val fs: FileSystem =
     tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
   private val logDir = new Path(checkpointLocation, "graft-file-log")
@@ -3210,11 +3309,19 @@ private[sources] final class GraftTableMicroBatchStream(
       // partition inference rooted at the TABLE, not the file dirs);
       // everything else — pruned schemas, pushed filters — is the
       // template scan's, so the shared reader factory applies
-      val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-        spark, files.map(new Path(_)),
-        Map("basePath" -> tableRoot.toString),
-        Some(StructType(template.dataSchema.fields ++
-          template.fileIndex.partitionSchema.fields)))
+      val idx = template.fileIndex match {
+        case ev: GraftEvolved.EvolvedFileIndex =>
+          // evolved tables replan with the era-aware index (plain
+          // inference refuses the mixed depths)
+          GraftEvolved.buildIndex(spark, ev.tableDir, ev.anchorSchema,
+            ev.evolvedSchema, Some(files.map(new Path(_))))
+        case _ =>
+          new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+            spark, files.map(new Path(_)),
+            Map("basePath" -> tableRoot.toString),
+            Some(StructType(template.dataSchema.fields ++
+              template.fileIndex.partitionSchema.fields)))
+      }
       GraftScanFilters.withFileIndex(template, idx)
         .toBatch.planInputPartitions()
     }
@@ -3424,11 +3531,29 @@ private[graft] object GraftPartitionedCow {
       partFields: Seq[(String, Int, DataType)],
       bucketField: Option[(Int, Int)]) // (numBuckets, index in dataSchema)
 
+  /** Table-dir-aware prepare: reads the sidecar's evolved partition
+    * columns (r13 item 3) so they stay IN the data files while still
+    * driving directory layout — the invariant that lets pre-evolution
+    * files (which carry them as data) and post-evolution files read
+    * identically. Non-evolved tables behave exactly as before.
+    */
   private[sources] def prepare(spark: SparkSession, format: String,
       dataSchema: StructType, partitionCols: Seq[String],
-      bucketSpec: Option[(Int, String)] = None): Prepared = {
+      bucketSpec: Option[(Int, String)], dir: String): Prepared = {
+    val dirP = new Path(dir)
+    val keep = GraftTableMeta
+      .read(dirP.getFileSystem(spark.sparkContext.hadoopConfiguration), dirP)
+      .evolvedCols.map(_.toLowerCase).toSet
+    prepare(spark, format, dataSchema, partitionCols, bucketSpec, keep)
+  }
+
+  private[sources] def prepare(spark: SparkSession, format: String,
+      dataSchema: StructType, partitionCols: Seq[String],
+      bucketSpec: Option[(Int, String)] = None,
+      keepInData: Set[String] = Set.empty): Prepared = {
     val fileFields = dataSchema.fields.zipWithIndex.filterNot {
-      case (f, _) => partitionCols.exists(_.equalsIgnoreCase(f.name))
+      case (f, _) => partitionCols.exists(_.equalsIgnoreCase(f.name)) &&
+        !keepInData.contains(f.name.toLowerCase)
     }
     val fileSchema = StructType(fileFields.map(_._1))
     val partFields = partitionCols.map { c =>
@@ -3503,7 +3628,7 @@ private[graft] object GraftPartitionedCow {
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo)
         : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
-      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
+      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
       StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
         p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
     }
@@ -3622,7 +3747,7 @@ private[graft] object GraftPartitionedCow {
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo)
         : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
-      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
+      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
       StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
         p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
     }
@@ -3860,7 +3985,7 @@ private[graft] object GraftPartitionedCow {
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo)
         : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
-      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
+      val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
       StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
         p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
     }
@@ -3926,7 +4051,7 @@ private[graft] object GraftPartitionedCow {
           if (staged.isEmpty) Nil
           else {
             val p = prepare(spark, format, dataSchema, partitionCols,
-              bucketSpec)
+              bucketSpec, dir)
             val src = spark.read.schema(p.fileSchema)
               .parquet(staged.map(_._2): _*)
             val maxKeys = spark.conf.getOption(GraftEqDel.MaxKeysConf)
@@ -4044,7 +4169,7 @@ private[graft] object GraftPartitionedCow {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory = {
-        val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec)
+        val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
         PartitionedCowWriterFactory(p.owf, p.conf, dir,
           dataSchema, p.fileSchema, p.fileFieldIdx, p.partFields,
           p.bucketField, sortedInput, writerBloom)

@@ -297,7 +297,7 @@ private[sources] object GraftDeltaMor {
           physInfo: PhysicalWriteInfo): DeltaWriterFactory = {
         val p =
           if (writesRows) Some(GraftPartitionedCow.prepare(spark, format,
-            rowSchema, partitionCols, bucketSpec))
+            rowSchema, partitionCols, bucketSpec, dir))
           else None // delete-only: no rows will ever be written
         new MorDeltaWriterFactory(p, dir, rowSchema,
           idIdx(FileCol), idIdx(PosCol))

@@ -62,8 +62,9 @@ object GraftProcedures {
 
   def names: Array[String] =
     Array("analyze", "analyze_bloom", "cluster", "compact",
-      "compact_partitions", "expire_versions", "history",
-      "remove_orphans", "rewrite_deletes", "rollback", "table_state")
+      "compact_partitions", "evolve_partitioning", "expire_versions",
+      "history", "remove_orphans", "rewrite_deletes", "rollback",
+      "table_state")
 
   def load(procName: String, engine: () => Catalog): UnboundProcedure =
     procName match {
@@ -72,6 +73,7 @@ object GraftProcedures {
       case "cluster" => new ClusterProc(engine)
       case "compact" => new CompactProc(engine)
       case "compact_partitions" => new CompactPartitionsProc(engine)
+      case "evolve_partitioning" => new EvolvePartitioningProc(engine)
       case "expire_versions" => new ExpireVersionsProc(engine)
       case "history" => new HistoryProc(engine)
       case "remove_orphans" => new RemoveOrphansProc(engine)
@@ -284,7 +286,11 @@ object GraftProcedures {
     extends MaintenanceProc("compact") {
     override def description(): String =
       "whole-table layout-preserving compaction (bucket tags and " +
-        "partition dirs survive); returns file counts before/after"
+        "partition dirs survive); returns file counts before/after. " +
+        "On a table with an evolved partition spec this is the " +
+        "MIGRATION: every row is rewritten under the current spec and " +
+        "the evolution is finalized (spec columns merge into the " +
+        "anchor; partition-granular operations re-admit)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("<layer>.<table>").build())
@@ -296,7 +302,89 @@ object GraftProcedures {
       val eng = engine()
       val before = dataFileCount(eng, layer, table)
       eng.compactByName(layer, table)
+      // finalize a partition-spec evolution: the rewrite above landed
+      // EVERY row under the current spec, so the evolved columns can
+      // merge into the anchor — one metadata commit under the lock
+      val dir = new Path(eng.path(layer, table))
+      val fs = dir.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      val m = GraftTableMeta.read(fs, dir)
+      if (m.evolvedCols.nonEmpty)
+        GraftCommitLock.withLock(fs, dir, "evolve-finalize") {
+          val m2 = GraftTableMeta.read(fs, dir) // re-read under the lock
+          if (m2.evolvedCols.nonEmpty)
+            GraftTableMeta.write(fs, dir, m2.copy(
+              partitionCols = m2.partitionCols ++ m2.evolvedCols,
+              evolvedCols = Nil))
+        }
       one(out, InternalRow(before, dataFileCount(eng, layer, table)))
+    }
+  }
+
+  /** Partition SPEC EVOLUTION ([[GraftEvolved]], r13 item 3 —
+    * Iceberg's `ALTER TABLE ... ADD PARTITION FIELD`, addressed as a
+    * procedure because vanilla Spark SQL has no parser surface for
+    * it). Metadata-only: appends a data column to the partition spec;
+    * existing files stay where they are and new writes lay out the
+    * extended spec, keeping the column in their data too.
+    */
+  private final class EvolvePartitioningProc(engine: () => Catalog)
+    extends MaintenanceProc("evolve_partitioning") {
+    override def description(): String =
+      "append a data column to the table's partition spec " +
+        "(metadata-only; Iceberg's ADD PARTITION FIELD). Existing " +
+        "files stay valid under their own era's layout; new writes " +
+        "land under the extended spec. CALL system.compact migrates " +
+        "and finalizes"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build(),
+      ProcedureParameter.in("add_column", StringType)
+        .comment("data column to append to the partition spec").build())
+    private val out = StructType(Seq(
+      StructField("partition_spec", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val colName = String.valueOf(input.getUTF8String(1)).trim
+      require(colName.nonEmpty, "add_column must name a column")
+      val eng = engine()
+      require(eng.format == "parquet",
+        s"evolve_partitioning needs parquet; format is ${eng.format}")
+      val dir = new Path(eng.path(layer, table))
+      val spark = SparkSession.active
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      GraftCommitLock.withLock(fs, dir, "evolve-partitioning") {
+        val m = GraftTableMeta.read(fs, dir)
+        val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+          s"$layer.$table has no schema sidecar (object-API table): " +
+            "evolve_partitioning needs a SQL-created table"))
+        val f = schema.fields.find(_.name.equalsIgnoreCase(colName))
+          .getOrElse(throw new IllegalArgumentException(
+            s"evolve_partitioning: column $colName not in schema"))
+        require(GraftPartitionedCow.dirRenderable(f.dataType),
+          s"evolve_partitioning: ${f.name} type " +
+            s"${f.dataType.simpleString} has ambiguous directory " +
+            "rendering (supported: string, integral, boolean, date)")
+        require(!(m.partitionCols ++ m.evolvedCols)
+            .exists(_.equalsIgnoreCase(colName)),
+          s"evolve_partitioning: ${f.name} is already a partition column")
+        require(!m.bucketSpec.exists(_._2.equalsIgnoreCase(colName)) &&
+            m.bucketSpec.isEmpty,
+          "evolve_partitioning is not supported on bucketed tables")
+        require(!m.renameAliases.contains(f.name.toLowerCase),
+          s"evolve_partitioning: ${f.name} was renamed and pre-rename " +
+            "files are not yet materialized — CALL system.compact first")
+        require((m.partitionCols.size + m.evolvedCols.size + 1) <
+            schema.fields.length,
+          "evolve_partitioning: every column would be a partition column")
+        val m2 = m.copy(evolvedCols = m.evolvedCols :+ f.name)
+        GraftTableMeta.write(fs, dir, m2)
+        one(out, InternalRow(
+          UTF8String.fromString(
+            (m2.partitionCols ++ m2.evolvedCols).mkString(",")),
+          UTF8String.fromString(m2.partitionCols.mkString(","))))
+      }
     }
   }
 

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Partition SPEC EVOLUTION ([[graft.sources.GraftEvolved]], r13 item
+  * 3): `CALL system.evolve_partitioning` appends a data column to the
+  * spec metadata-only; old files stay valid under their own era's
+  * layout (pruned by the anchor), new files land under the extended
+  * spec (pruned by BOTH); row-level ops work across eras; compact
+  * migrates and finalizes.
+  */
+class GraftEvolvedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val name = s"gev${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-ev-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (name, root)
+  }
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def scannedFiles(df: DataFrame): Int = {
+    df.collect()
+    collect(df.queryExecution.executedPlan) {
+      case b: BatchScanExec =>
+        b.partitions.flatten.map {
+          case fp: FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+    }.sum
+  }
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dirS: String): Map[String, (Long, Long)] = {
+    def walk(p: Path): Seq[(String, (Long, Long))] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq((st.getPath.toString, (st.getLen, st.getModificationTime)))
+      }
+    walk(new Path(dirS)).toMap
+  }
+
+  test("evolve date -> (date, region): metadata-only; old era pruned by anchor, new era by both") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.ev (k BIGINT, region STRING, " +
+      "v BIGINT, d STRING) PARTITIONED BY (d)")
+    // era 1 (old spec): one file per (d) dir via single-slice ranges;
+    // region deliberately decorrelated from d
+    spark.sql(s"INSERT INTO $cat.ods.ev SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'na' ELSE 'eu' END, id * 10, " +
+      "concat('d', id % 2 + 1) FROM range(0, 200, 1, 1)")
+    val fs = fsOf(root)
+    val before = dataFiles(fs, s"$root/ods/ev")
+    assert(before.nonEmpty)
+
+    // the evolution: METADATA-ONLY, not one file moves
+    val res = spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.ev', add_column => 'region')").head
+    assert(res.getString(0) == "d,region" && res.getString(1) == "d")
+    assert(dataFiles(fs, s"$root/ods/ev") == before,
+      "evolution touched data files")
+
+    // era 2 (new spec): fresh dates d3/d4 — directories carry region too
+    spark.sql(s"INSERT INTO $cat.ods.ev SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'na' ELSE 'eu' END, id * 10, " +
+      "concat('d', id % 2 + 3) FROM range(200, 400, 1, 1)")
+    val newDirs = fs.listStatus(new Path(s"$root/ods/ev/d=d3"))
+      .map(_.getPath.getName).filter(_.startsWith("region=")).sorted
+    assert(newDirs.sameElements(Array("region=eu", "region=na")),
+      s"new era did not lay out the evolved spec: ${newDirs.mkString(",")}")
+    // evolved column kept IN the new files' data (the cross-era
+    // invariant): read one new file raw and find the column
+    val newFile = dataFiles(fs, s"$root/ods/ev/d=d3").keys.head
+    assert(spark.read.parquet(newFile).columns.contains("region"),
+      "evolved column missing from new files' data")
+
+    // one table, both eras
+    val t = spark.table(s"$cat.ods.ev")
+    assert(t.count() == 400)
+    assert(t.agg(sum("v")).head.getLong(0) == (0L until 400L).map(_ * 10).sum)
+    assert(t.columns.toSeq == Seq("k", "region", "v", "d"))
+
+    // anchor pruning spans eras: d = 'd2' schedules only d=d2 files
+    val totalFiles = scannedFiles(spark.table(s"$cat.ods.ev"))
+    val d2Files = dataFiles(fs, s"$root/ods/ev/d=d2").size
+    assert(scannedFiles(t.where(col("d") === "d2")) == d2Files,
+      "anchor pruning broke across eras")
+    // row correctness under the pruned read
+    assert(t.where(col("d") === "d2").count() == 100)
+
+    // evolved-column pruning: new-era files prune by chain token, old
+    // era keeps its files (rows filter)
+    val d3NaFiles = dataFiles(fs, s"$root/ods/ev/d=d3/region=na").size
+    val d3All = dataFiles(fs, s"$root/ods/ev/d=d3").size
+    assert(d3NaFiles > 0 && d3NaFiles < d3All)
+    assert(scannedFiles(t.where(col("d") === "d3" &&
+      col("region") === "na")) == d3NaFiles,
+      "new-era chain pruning missed")
+    // multiples of 6 in [200,400): 204..396
+    assert(t.where(col("d") === "d3" && col("region") === "na")
+      .count() == 33)
+    // a pure region filter schedules ALL old-era files (row-filtered)
+    // plus ONLY the matching new-era dirs
+    val naFiles = scannedFiles(t.where(col("region") === "na"))
+    val oldEraFiles = before.size
+    val newNaFiles = dataFiles(fs, s"$root/ods/ev/d=d3/region=na").size +
+      dataFiles(fs, s"$root/ods/ev/d=d4/region=na").size
+    assert(naFiles == oldEraFiles + newNaFiles,
+      s"region='na' should scan the old era ($oldEraFiles) plus the " +
+        s"matching new dirs ($newNaFiles), got $naFiles of $totalFiles")
+    assert(naFiles < totalFiles, "evolved-column pruning pruned nothing")
+    // multiples of 3 in [0,400) = 134
+    assert(t.where(col("region") === "na").count() == 134,
+      "rows lost under evolved-column filtering")
+    assert(t.where(col("region") === "eu").count() == 266)
+
+    // row-level ops ACROSS eras: a COW DELETE touches both
+    spark.sql(s"DELETE FROM $cat.ods.ev WHERE k % 100 = 7") // 7,107,207,307
+    assert(spark.table(s"$cat.ods.ev").count() == 396)
+    assert(spark.table(s"$cat.ods.ev").where(col("k") % 100 === 7)
+      .count() == 0)
+    // MERGE across eras: update one old-era and one new-era row,
+    // insert a fresh one
+    spark.sql(s"CREATE TABLE $cat.ods.src (k BIGINT, region STRING, " +
+      "v BIGINT, d STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.src VALUES " +
+      "(10, 'na', 999, 'd1'), (210, 'na', 888, 'd3'), " +
+      "(9999, 'eu', 777, 'd9')")
+    spark.sql(s"""MERGE INTO $cat.ods.ev t USING $cat.ods.src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.table(s"$cat.ods.ev")
+      .where(col("k").isin(10L, 210L, 9999L))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((10L, 999L), (210L, 888L), (9999L, 777L)), s"$got")
+    assert(spark.table(s"$cat.ods.ev").count() == 397)
+
+    // partition-granular replacement refuses while eras are mixed
+    val e = intercept[Throwable] {
+      spark.sql(s"SET spark.sql.sources.partitionOverwriteMode=dynamic")
+      try Seq((1L, "na", 1L, "d1")).toDF("k", "region", "v", "d")
+        .writeTo(s"$cat.ods.ev").overwritePartitions()
+      finally spark.sql(
+        s"SET spark.sql.sources.partitionOverwriteMode=static")
+    }
+    def msgs(t2: Throwable): Seq[String] =
+      if (t2 == null) Nil else Option(t2.getMessage).toSeq ++ msgs(t2.getCause)
+    assert(msgs(e).exists(_.contains("system.compact")), s"got: ${msgs(e)}")
+
+    // metadata-only DELETE at anchor granularity drops BOTH eras' rows
+    spark.sql(s"DELETE FROM $cat.ods.ev WHERE d = 'd1'")
+    assert(spark.table(s"$cat.ods.ev").where(col("d") === "d1").count() == 0)
+
+    // compact MIGRATES and FINALIZES: everything lands under the
+    // current spec, the evolution closes, dynamic overwrite re-admits
+    val preCompact = spark.table(s"$cat.ods.ev").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    spark.sql(s"CALL $cat.system.compact(table => 'ods.ev')")
+    val postCompact = spark.table(s"$cat.ods.ev").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(postCompact == preCompact, "compact changed the table state")
+    // every file now lives at (d, region) depth
+    dataFiles(fs, s"$root/ods/ev").keys.foreach { f =>
+      assert(f.contains("/d=") && f.contains("/region="),
+        s"post-compact file not under the current spec: $f")
+    }
+    // finalized: partition-granular ops re-admit
+    spark.sql(s"SET spark.sql.sources.partitionOverwriteMode=dynamic")
+    try Seq((5000L, "na", 5L, "d3")).toDF("k", "region", "v", "d")
+      .writeTo(s"$cat.ods.ev").overwritePartitions()
+    finally spark.sql(s"SET spark.sql.sources.partitionOverwriteMode=static")
+    assert(spark.table(s"$cat.ods.ev")
+      .where(col("d") === "d3" && col("region") === "na")
+      .collect().map(_.getLong(0)).toSeq == Seq(5000L),
+      "post-finalize dynamic overwrite broke")
+  }
+
+  test("evolution refusals: unknown/partition/bucket columns, non-parquet shapes") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, g STRING, x DOUBLE) " +
+      "PARTITIONED BY (g)")
+    def refused(sqlText: String, needle: String): Unit = {
+      val e = intercept[Throwable](spark.sql(sqlText).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)),
+        s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
+    }
+    refused(s"CALL $cat.system.evolve_partitioning(table => 'ods.t', " +
+      "add_column => 'nope')", "not in schema")
+    refused(s"CALL $cat.system.evolve_partitioning(table => 'ods.t', " +
+      "add_column => 'g')", "already a partition column")
+    refused(s"CALL $cat.system.evolve_partitioning(table => 'ods.t', " +
+      "add_column => 'x')", "ambiguous directory rendering")
+    spark.sql(s"CREATE TABLE $cat.ods.b (k BIGINT, c STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    refused(s"CALL $cat.system.evolve_partitioning(table => 'ods.b', " +
+      "add_column => 'c')", "bucketed")
+    // the evolved column cannot be renamed/widened while eras are live
+    spark.sql(s"CREATE TABLE $cat.ods.e2 (k BIGINT, r STRING, d STRING) " +
+      "PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.ods.e2 VALUES (1, 'a', 'x')")
+    spark.sql(s"CALL $cat.system.evolve_partitioning(table => 'ods.e2', " +
+      "add_column => 'r')")
+    refused(s"ALTER TABLE $cat.ods.e2 RENAME COLUMN r TO r2",
+      "partition column")
+  }
+}
