@@ -312,7 +312,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val durableProps =
       durableKeys.flatMap { k =>
         Option(properties.get(k)).map { v =>
-          validateDurableProp(k, v, format, Some(schema))
+          validateDurableProp(k, v, format, Some(schema), partitionCols)
           k -> v
         }
       }.toMap
@@ -535,12 +535,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val durableKeys =
-    Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp") ++
+    Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp", "ndv_columns") ++
       GraftMaintenance.Keys
 
   /** Validate one durable table property (CREATE and ALTER share it). */
   private def validateDurableProp(key: String, value: String,
-      format: String, schema: Option[StructType]): Unit = key match {
+      format: String, schema: Option[StructType],
+      partitionCols: Seq[String] = Nil): Unit = key match {
     case GraftDv.ModeKey =>
       require(value == GraftDv.CowValue || value == GraftDv.MorValue,
         s"${GraftDv.ModeKey} must be '${GraftDv.CowValue}' or " +
@@ -570,6 +571,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bloom_fpp must be a number in (0,1), got '$value'")
       }
       require(f > 0 && f < 1, s"bloom_fpp must be in (0,1), got $value")
+    case "ndv_columns" =>
+      // writer/analyze-maintained HLL NDV registers (r13 item 4)
+      require(format == "parquet",
+        s"ndv_columns requires parquet; format is $format")
+      val cols = value.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, "ndv_columns names no columns")
+      schema.foreach { s =>
+        cols.foreach { c =>
+          val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"ndv_columns: column $c not in schema"))
+          require(!partitionCols.exists(_.equalsIgnoreCase(c)),
+            s"ndv_columns: $c is a partition column — its distinct " +
+              "values are the partition directories themselves")
+          require(f.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 IntegerType | LongType |
+                 org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BooleanType => true
+            case _ => false
+          }, s"ndv_columns: column $c type ${f.dataType.simpleString} " +
+            "unsupported (integer-family, string, boolean)")
+        }
+      }
     case k if GraftMaintenance.Keys.contains(k) =>
       GraftMaintenance.validate(k, value)
     case other => throw new IllegalArgumentException(
@@ -594,7 +622,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = changes.foldLeft(meta0.props) { (ps, ch) =>
       ch match {
         case s: TableChange.SetProperty =>
-          validateDurableProp(s.property, s.value, format, table0Schema)
+          validateDurableProp(s.property, s.value, format, table0Schema,
+            meta0.partitionCols ++ meta0.evolvedCols)
           // a bloom build over an alias-carrying (renamed) column
           // would read pre-rename files as all-null and publish
           // silently-pruning empty filters — refuse until compact
@@ -1159,9 +1188,21 @@ private[sources] class GraftTable(
           spark.conf.getOption("spark.graft.bloom.writer.expectedRows")
             .map(_.toLong).getOrElse(250000L)))
       }
+    // writer-side NDV maintenance (r13 item 4): same chokepoint — the
+    // task writers reduce per-file HLL registers as rows stream
+    lazy val writerNdvSpec: Option[GraftPartitionedCow.WriterNdvSpec] =
+      meta.props.get("ndv_columns").flatMap { cols =>
+        val s = schema()
+        val resolved = cols.split(',').map(_.trim).filter(_.nonEmpty)
+          .toSeq.flatMap(c =>
+            s.fields.find(_.name.equalsIgnoreCase(c)).map(_.name))
+        if (resolved.isEmpty) None
+        else Some(GraftPartitionedCow.WriterNdvSpec(resolved))
+      }
     w match {
       case h: GraftPartitionedCow.HiveLayoutWrite =>
         h.writerBloom = writerBloomSpec
+        h.writerNdv = writerNdvSpec
       case _ => ()
     }
     def refresh(scope: Option[Set[String]],
@@ -1178,7 +1219,7 @@ private[sources] class GraftTable(
       meta.props.get("bloom_columns").foreach { cols =>
         try {
           val shipped = ms.toSeq.flatMap {
-            case GraftPartitionedCow.CowTaskFiles(_, bl) => bl.toSeq
+            case GraftPartitionedCow.CowTaskFiles(_, bl, _) => bl.toSeq
             case _ => Nil
           }.toMap
           if (shipped.nonEmpty)
@@ -1189,6 +1230,26 @@ private[sources] class GraftTable(
             meta.props.get("bloom_fpp").map(_.toDouble)
               .getOrElse(GraftBloom.DefaultFpp),
             scope)
+        }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // auto-NDV (r13 item 4): writer-shipped registers publish FIRST
+      // (zero data re-read — after the footer analyze above created
+      // the entries they attach to), then the incremental analyzeNdv
+      // backstop covers files without shipped registers (V1 appends,
+      // timestamp columns, over-cap task fan-outs). Advisory like the
+      // other refreshes.
+      meta.props.get("ndv_columns").foreach { cols =>
+        try {
+          val shippedNdv = ms.toSeq.flatMap {
+            case c: GraftPartitionedCow.CowTaskFiles => c.ndvs.toSeq
+            case _ => Nil
+          }.toMap
+          if (shippedNdv.nonEmpty)
+            GraftStats.publishShippedNdv(spark, new Path(dir), shippedNdv)
+          GraftStats.analyzeNdv(spark, new Path(dir), schema(),
+            effectivePartitionCols,
+            cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq, scope)
         }
         catch { case scala.util.control.NonFatal(_) => () }
       }
@@ -1209,7 +1270,7 @@ private[sources] class GraftTable(
       else {
         val dirUri = new Path(dir).toUri.getPath
         val rels = ms.toSeq.flatMap {
-          case GraftPartitionedCow.CowTaskFiles(files, _) => files.map(_._2)
+          case GraftPartitionedCow.CowTaskFiles(files, _, _) => files.map(_._2)
           case _ => Seq.empty[String]
         }.map(f => new Path(f).toUri.getPath)
         if (rels.isEmpty || rels.exists(!_.startsWith(dirUri))) None
@@ -3506,7 +3567,11 @@ private[graft] object GraftPartitionedCow {
       // writer-accumulated per-file Bloom filters (r12 item 5), keyed
       // by FINAL path: (column lower-name, kind, serialized filter).
       // Empty when the table declares no bloom_columns.
-      blooms: Map[String, Seq[(String, Char, Array[Byte])]] = Map.empty)
+      blooms: Map[String, Seq[(String, Char, Array[Byte])]] = Map.empty,
+      // writer-accumulated per-file NDV HLL registers (r13 item 4),
+      // keyed by FINAL path: (column lower-name, kind, registers).
+      // Empty when the table declares no ndv_columns.
+      ndvs: Map[String, Seq[(String, Char, Array[Int])]] = Map.empty)
     extends WriterCommitMessage // (staged dot-path, final path, row count)
 
   /** What the task writer needs to maintain filters as rows stream
@@ -3518,6 +3583,14 @@ private[graft] object GraftPartitionedCow {
     */
   private[sources] final case class WriterBloomSpec(
       cols: Seq[(String, Char)], fpp: Double, expectedRows: Long)
+
+  /** Writer-side NDV maintenance (r13 item 4): the columns whose HLL
+    * registers the task writers accumulate as rows stream through.
+    * Values hash as the SAME rendered token the analyze data pass
+    * produces (external-Row `toString`), so shipped and rebuilt
+    * registers are byte-identical.
+    */
+  private[sources] final case class WriterNdvSpec(cols: Seq[String])
 
   /** Driver-side write preparation shared by the batch and streaming
     * factories: the format's OutputWriterFactory over the FILE schema
@@ -3659,14 +3732,14 @@ private[graft] object GraftPartitionedCow {
         }
         // manifest BEFORE the first rename
         val finals = messages.collect {
-          case CowTaskFiles(files, _) => files.map(_._2)
+          case CowTaskFiles(files, _, _) => files.map(_._2)
         }.flatten
         fs.mkdirs(markerDir)
         val out = fs.create(mf, true)
         try out.write(finals.mkString("\n").getBytes("UTF-8"))
         finally out.close()
         messages.foreach {
-          case CowTaskFiles(files, _) => files.foreach { case (staged, fin, _) =>
+          case CowTaskFiles(files, _, _) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
             if (fs.exists(finP)) fs.delete(new Path(staged), false)
             else require(fs.rename(new Path(staged), finP),
@@ -3684,7 +3757,7 @@ private[graft] object GraftPartitionedCow {
         messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
+        case CowTaskFiles(files, _, _) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -3763,7 +3836,7 @@ private[graft] object GraftPartitionedCow {
         val old = listVisibleFiles(fs, new Path(dir))
           .filterNot(_.getName.contains(thisEpochTag))
         messages.foreach {
-          case CowTaskFiles(files, _) => files.foreach { case (staged, fin, _) =>
+          case CowTaskFiles(files, _, _) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
             if (fs.exists(finP)) fs.delete(new Path(staged), false)
             else require(fs.rename(new Path(staged), finP),
@@ -3796,7 +3869,7 @@ private[graft] object GraftPartitionedCow {
         messages: Array[WriterCommitMessage]): Unit = {
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
+        case CowTaskFiles(files, _, _) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -3882,7 +3955,7 @@ private[graft] object GraftPartitionedCow {
         // converge staged → deterministic final names inside the stage
         // (an already-present final from a crashed attempt wins)
         messages.foreach {
-          case CowTaskFiles(files, _) => files.foreach { case (staged, fin, _) =>
+          case CowTaskFiles(files, _, _) => files.foreach { case (staged, fin, _) =>
             val finP = new Path(fin)
             if (fs.exists(finP)) fs.delete(new Path(staged), false)
             else require(fs.rename(new Path(staged), finP),
@@ -3921,7 +3994,7 @@ private[graft] object GraftPartitionedCow {
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
+        case CowTaskFiles(files, _, _) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -4029,7 +4102,7 @@ private[graft] object GraftPartitionedCow {
           }
         }
         val staged = messages.toSeq.flatMap {
-          case CowTaskFiles(files, _) => files
+          case CowTaskFiles(files, _, _) => files
           case _ => Nil
         }
         // manifest BEFORE the first publish
@@ -4097,7 +4170,7 @@ private[graft] object GraftPartitionedCow {
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
+        case CowTaskFiles(files, _, _) => files.foreach { case (staged, _, _) =>
           try fs.delete(new Path(staged), false)
           catch { case _: Throwable => () }
         }
@@ -4166,13 +4239,18 @@ private[graft] object GraftPartitionedCow {
       */
     private[sources] var writerBloom: Option[WriterBloomSpec] = None
 
+    /** Writer-side NDV maintenance spec (r13 item 4): same chokepoint,
+      * HLL registers accumulated per open file.
+      */
+    private[sources] var writerNdv: Option[WriterNdvSpec] = None
+
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory = {
         val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
         PartitionedCowWriterFactory(p.owf, p.conf, dir,
           dataSchema, p.fileSchema, p.fileFieldIdx, p.partFields,
-          p.bucketField, sortedInput, writerBloom)
+          p.bucketField, sortedInput, writerBloom, writerNdv)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -4194,7 +4272,7 @@ private[graft] object GraftPartitionedCow {
                 "rewrite read pre-delete rows and was DISCARDED — re-run")
         }
         val staged = messages.toSeq.flatMap {
-          case CowTaskFiles(files, _) => files
+          case CowTaskFiles(files, _, _) => files
           case _ => Nil
         }
         // phase 0 — the publish policy may DROP staged files instead of
@@ -4238,7 +4316,7 @@ private[graft] object GraftPartitionedCow {
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         messages.foreach {
-          case CowTaskFiles(files, _) => files.foreach { case (staged, _, _) =>
+          case CowTaskFiles(files, _, _) => files.foreach { case (staged, _, _) =>
             try fs.delete(new Path(staged), false)
             catch { case _: Throwable => () }
           }
@@ -4584,13 +4662,14 @@ private[graft] object GraftPartitionedCow {
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
       bucketField: Option[(Int, Int)], sorted: Boolean,
-      bloom: Option[WriterBloomSpec] = None)
+      bloom: Option[WriterBloomSpec] = None,
+      ndv: Option[WriterNdvSpec] = None)
     extends DataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
         fileSchema, fileFieldIdx, partFields, bucketField, partitionId, None,
-        sorted, bloom)
+        sorted, bloom, ndv)
   }
 
   /** Streaming twin of the factory: final file names are DETERMINISTIC
@@ -4640,8 +4719,13 @@ private[graft] object GraftPartitionedCow {
       // writer-side bloom maintenance (r12 item 5): accumulate each
       // open file's filters as rows stream through and ship them in
       // the commit message — zero post-commit data re-read
-      bloom: Option[WriterBloomSpec] = None)
+      bloom: Option[WriterBloomSpec] = None,
+      // writer-side NDV maintenance (r13 item 4): same pattern, HLL
+      // registers per open file
+      ndv: Option[WriterNdvSpec] = None)
     extends DataWriter[InternalRow] {
+
+    import org.apache.spark.sql.types.{BooleanType, DateType, StringType}
 
     // bloom columns resolved against THIS write's row schema; a column
     // absent from it (delete-only delta rows) is skipped — the re-read
@@ -4659,6 +4743,31 @@ private[graft] object GraftPartitionedCow {
     private val MaxBloomFilesPerTask = 64
     private val fileBlooms = scala.collection.mutable.ArrayBuffer[
       Array[org.apache.spark.util.sketch.BloomFilter]]()
+
+    // NDV columns resolved against this write's row schema. Timestamps
+    // are deliberately absent (their analyze-pass rendering is
+    // session-timezone-coupled — the backstop owns them); every other
+    // supported type's internal rendering below equals the external
+    // Row's `toString`, which keeps shipped and analyze-built
+    // registers byte-identical.
+    private val ndvCols: Seq[(Int, DataType)] = ndv.toSeq.flatMap { spec =>
+      spec.cols.flatMap { nm =>
+        val i = dataSchema.fields.indexWhere(_.name.equalsIgnoreCase(nm))
+        if (i < 0) None
+        else dataSchema.fields(i).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               StringType | BooleanType =>
+            Some((i, dataSchema.fields(i).dataType))
+          case _ => None
+        }
+      }
+    }
+    // 64 ints per column per file: cheap enough for a high cap; past
+    // it the analyze backstop owns the files (bounded task memory)
+    private val MaxNdvFilesPerTask = 4096
+    private val fileNdvs =
+      scala.collection.mutable.ArrayBuffer[Array[Array[Int]]]()
+    private val hllAgg = new graft.functions.HllAgg
 
     private val ctx = {
       import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
@@ -4721,6 +4830,10 @@ private[graft] object GraftPartitionedCow {
           org.apache.spark.util.sketch.BloomFilter.create(
             bloom.get.expectedRows, bloom.get.fpp)
         }.toArray)
+      if (ndvCols.nonEmpty)
+        fileNdvs += (if (files.length > MaxNdvFilesPerTask) null
+        else Array.fill(ndvCols.length)(
+          new Array[Int](graft.functions.HllAgg.M)))
       fileSeq += 1
       (owf.newInstance(staged, fileSchema, ctx), files.length - 1)
     }
@@ -4775,6 +4888,29 @@ private[graft] object GraftPartitionedCow {
           bi += 1
         }
       }
+      if (ndvCols.nonEmpty && fileNdvs(idx) != null) {
+        val regs = fileNdvs(idx)
+        var ni = 0
+        while (ni < ndvCols.length) {
+          val (ci, dt) = ndvCols(ni)
+          if (!row.isNullAt(ci + offset)) {
+            // rendered EXACTLY as the analyze pass renders the
+            // external Row value — register byte-identity depends on it
+            val token = dt match {
+              case ByteType => row.getByte(ci + offset).toString
+              case ShortType => row.getShort(ci + offset).toString
+              case IntegerType => row.getInt(ci + offset).toString
+              case LongType => row.getLong(ci + offset).toString
+              case BooleanType => row.getBoolean(ci + offset).toString
+              case DateType => java.time.LocalDate
+                .ofEpochDay(row.getInt(ci + offset).toLong).toString
+              case _ => row.getUTF8String(ci + offset).toString
+            }
+            hllAgg.reduce(regs(ni), token)
+          }
+          ni += 1
+        }
+      }
       w.write(if (offset == 0) proj0(row) else proj1(row))
     }
 
@@ -4792,9 +4928,22 @@ private[graft] object GraftPartitionedCow {
               (dataSchema.fields(ci).name.toLowerCase, kind, out.toByteArray)
             }
         }.toMap
+      val shippedNdv: Map[String, Seq[(String, Char, Array[Int])]] =
+        if (ndvCols.isEmpty) Map.empty
+        else files.toSeq.zip(fileNdvs.toSeq).collect {
+          case ((_, fin), regs) if regs != null =>
+            fin -> ndvCols.zip(regs.toSeq).map { case ((ci, dt), r) =>
+              val kind = dt match {
+                case StringType => 's'
+                case BooleanType => 'b'
+                case _ => 'l'
+              }
+              (dataSchema.fields(ci).name.toLowerCase, kind, r)
+            }
+        }.toMap
       CowTaskFiles(files.toSeq.zip(rowCounts.toSeq).map {
         case ((s, f), n) => (s, f, n)
-      }, shipped)
+      }, shipped, shippedNdv)
     }
 
     override def abort(): Unit = {

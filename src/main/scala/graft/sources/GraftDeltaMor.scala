@@ -419,7 +419,7 @@ private[sources] object GraftDeltaMor {
           val files =
             if (!opened) Seq.empty[(String, String, Long)]
             else inner.commit() match {
-              case GraftPartitionedCow.CowTaskFiles(fs0, _) => fs0
+              case GraftPartitionedCow.CowTaskFiles(fs0, _, _) => fs0
               case other => throw new IllegalStateException(
                 s"unexpected writer message $other")
             }

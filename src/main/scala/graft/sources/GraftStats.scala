@@ -495,6 +495,73 @@ object GraftStats {
     todoAll.size
   }
 
+  /** Data-pass counter for the NDV build (test seam mirroring
+    * [[GraftBloom.buildReads]]): incremented by the number of files
+    * the incremental build actually re-reads.
+    */
+  private[graft] val ndvBuildReads = new java.util.concurrent.atomic.LongAdder
+
+  /** Publish WRITER-ACCUMULATED NDV registers (r13 item 4 — the
+    * writer-side bloom pattern applied to HLL): the hive-layout
+    * DataWriter reduces each open file's registers as rows stream
+    * through and ships them in its commit message; this merges them
+    * into the manifest entries keyed by the PUBLISHED file's live
+    * identity, with zero data re-read. Runs post-commit in the
+    * advisory auto-analyze hook, AFTER the footer analyze has created
+    * the entries. Files whose entries are missing or identity-stale
+    * are skipped — the analyze backstop owns them.
+    */
+  def publishShippedNdv(spark: SparkSession, tableDir: Path,
+      shipped: Map[String, Seq[(String, Char, Array[Int])]]): Int = {
+    if (shipped.isEmpty) return 0
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirUri = tableDir.toUri.getPath
+    val byRel: Map[String, Seq[(String, Char, Array[Int])]] =
+      shipped.toSeq.flatMap { case (finalPath, cols) =>
+        val up = new Path(finalPath).toUri.getPath
+        if (!up.startsWith(dirUri)) None
+        else {
+          val rel = up.stripPrefix(dirUri).stripPrefix("/")
+          if (rel.split('/').exists(s =>
+              s.startsWith("_") || s.startsWith("."))) None
+          else Some(rel -> cols)
+        }
+      }.toMap
+    if (byRel.isEmpty) return 0
+    var published = 0
+    byRel.groupBy { case (rel, _) => shardKeyOf(rel) }.foreach {
+      case (key, rels) =>
+        val sf = shardFile(tableDir, key)
+        val entries = readFileEntries(fs, sf)
+        val updated = rels.foldLeft(entries) { case (m, (rel, cols)) =>
+          m.get(rel) match {
+            case Some(st) =>
+              val live =
+                try {
+                  val s = fs.getFileStatus(new Path(tableDir, rel))
+                  s.getLen == st.size && s.getModificationTime == st.mtime
+                } catch { case scala.util.control.NonFatal(_) => false }
+              if (!live) m // stale or gone: the backstop's job
+              else {
+                published += 1
+                val cols2 = cols.foldLeft(st.cols) {
+                  case (cm, (nm, kind, regs)) =>
+                    val k = cm.keys.find(_.equalsIgnoreCase(nm))
+                      .getOrElse(nm.toLowerCase)
+                    val cs = cm.getOrElse(k, ColStats(kind, -1L, None, None))
+                    cm.updated(k, cs.copy(hll = Some(regs.toSeq)))
+                }
+                m.updated(rel, st.copy(cols = cols2))
+              }
+            case None => m // no footer entry yet: backstop
+          }
+        }
+        if (updated != entries)
+          writeManifestFile(fs, sf, encodeLines(updated))
+    }
+    published
+  }
+
   /** NDV statistics (r12 item 7): attach a mergeable HyperLogLog
     * register set ([[graft.functions.HllAgg]], 64 registers) to each
     * file's manifest entry for the named columns. INCREMENTAL like the
@@ -560,6 +627,7 @@ object GraftStats {
     }
     val toBuild = live.keySet.intersect(identityValid.keySet) -- covered.keySet
     if (toBuild.isEmpty) return (0, covered.size)
+    ndvBuildReads.add(toBuild.size)
 
     val buildSchema = StructType(resolved.map(nm =>
       tableSchema.fields.find(_.name.equalsIgnoreCase(nm)).get))

@@ -671,6 +671,80 @@ class GraftStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nulls.forall(_ == 0L))
   }
 
+  test("writer-side NDV maintenance: commits publish registers with ZERO data re-read; shipped equals the analyze path (r13 item 4)") {
+    import graft.sources.GraftStats
+    n += 1
+    val name = s"gstw${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-stw-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.conf.set(s"spark.sql.catalog.$name.auto_analyze", "true")
+    spark.sql(s"CREATE NAMESPACE $name.ods")
+    // bucketed table = the v2 hive-layout write path whose task writers
+    // reduce the registers as rows stream through
+    spark.sql(s"CREATE TABLE $name.ods.t (k BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('ndv_columns' = 'k,s')")
+    val readsBefore = GraftStats.ndvBuildReads.sum()
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO $name.ods.t SELECT id % 700, " +
+        s"concat('v', id % 700) FROM range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    assert(GraftStats.ndvBuildReads.sum() == readsBefore,
+      "auto-NDV re-read data files at commit despite writer-shipped registers")
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/ods/t")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mergedEstimate(tdir: org.apache.hadoop.fs.Path, col: String): Long = {
+      val entries = GraftStats.read(fs, tdir)
+      assert(entries.nonEmpty)
+      val regs = entries.values.toSeq.map { st =>
+        val c = st.cols.keys.find(_.equalsIgnoreCase(col)).getOrElse(
+          fail(s"entry lacks column $col"))
+        st.cols(c).hll.getOrElse(fail(s"no shipped registers for $col"))
+      }.reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) })
+      GraftStats.ndvEstimate(regs)
+    }
+    // the shipped registers estimate within the m=64 error budget
+    val estK = mergedEstimate(dirP, "k")
+    assert(math.abs(estK - 700).toDouble / 700 <= 0.40, s"estimate $estK")
+
+    // corruption proof on the JUST-WRITTEN files: replace every data
+    // file with same-identity garbage, then run the maintenance CALL —
+    // covered by the shipped registers, it must read NOTHING
+    fs.listStatus(dirP).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).foreach { st =>
+      val (len, mtime) = (st.getLen, st.getModificationTime)
+      val out = fs.create(st.getPath, true)
+      try out.write(Array.fill(len.toInt)('x'.toByte)) finally out.close()
+      fs.setTimes(st.getPath, mtime, -1)
+    }
+    spark.sql(s"CALL $name.system.analyze(table => 'ods.t', " +
+      "ndv_columns => 'k,s')").collect()
+    assert(GraftStats.ndvBuildReads.sum() == readsBefore,
+      "analyze opened a just-written (corrupted) data file")
+
+    // shipped registers EQUAL the analyze path's: same rows through
+    // the data-pass build on a twin table, merged registers identical
+    spark.sql(s"CREATE TABLE $name.ods.twin (k BIGINT, s STRING)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO $name.ods.twin SELECT id % 700, " +
+        s"concat('v', id % 700) FROM range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    spark.sql(s"CALL $name.system.analyze(table => 'ods.twin', " +
+      "ndv_columns => 'k,s')").collect()
+    val twinDir = new org.apache.hadoop.fs.Path(s"$root/ods/twin")
+    def mergedRegs(tdir: org.apache.hadoop.fs.Path, col: String): Seq[Int] =
+      GraftStats.read(fs, tdir).values.toSeq.map { st =>
+        val c = st.cols.keys.find(_.equalsIgnoreCase(col)).get
+        st.cols(c).hll.getOrElse(fail(s"no registers for $col"))
+      }.reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) })
+    Seq("k", "s").foreach { c =>
+      assert(mergedRegs(dirP, c) == mergedRegs(twinDir, c),
+        s"writer-shipped registers diverge from the analyze path's for $c")
+    }
+  }
+
   test("CBO reads the NDV column stats: a grouped side shrinks below the broadcast threshold (r13 item 7)") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
