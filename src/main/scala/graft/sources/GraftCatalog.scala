@@ -4157,6 +4157,11 @@ private[graft] object GraftPartitionedCow {
           keyTuples))
         fs.create(marker(epochId), true).close()
         fs.delete(mf, false)
+        // floor-aware sidecar compaction (r13 item 5): dead sidecars
+        // and subsumed keys shrink the read map at zero data cost —
+        // still under this epoch's lock, so readers see an atomic
+        // parity-preserving state
+        GraftEqDel.compactSidecars(fs, new Path(dir))
       }
       // policy check OUTSIDE the epoch's lock (materialization locks
       // per published file itself): a table with

@@ -154,6 +154,79 @@ private[graft] object GraftEqDel {
     try list(fs, tableDir).nonEmpty
     catch { case NonFatal(_) => false }
 
+  /** Floor-aware sidecar compaction (r13 verdict item 5): shrink the
+    * read-side key map at ZERO data cost, between materializations.
+    * Caller must hold the table's commit lock.
+    *
+    *  1. DEAD sidecars: a sidecar of epoch `e` applies only to files
+    *     with floor `< e`; when every data file's floor is `>= e` it
+    *     deletes nothing — drop it. (On a table born from the stream
+    *     itself, the FIRST epoch's sidecar is dead immediately: no
+    *     file is older than epoch 0.)
+    *  2. SUBSUMED keys: the read index keys on the MAX epoch per key,
+    *     so a key present in a LATER sidecar contributes nothing from
+    *     an earlier one — drop it there; emptied sidecars go.
+    *
+    * Both transforms preserve read parity UNCONDITIONALLY. The blanket
+    * alternative — merging consecutive epochs' key sets under the max
+    * epoch — does NOT: a key whose live row sits in the earlier
+    * epoch's own files (floor between the two epochs) would suddenly
+    * be deleted by the raised epoch. Hence keys are only ever dropped,
+    * never re-stamped. The NEWEST sidecar is never rewritten — it is
+    * the only one a crashed epoch can re-deliver (and nothing can
+    * subsume it anyway).
+    *
+    * Crash safety: each sidecar rewrite is an atomic replace and each
+    * is independently parity-preserving, so any prefix of the work
+    * survives a crash correctly and a re-run converges.
+    *
+    * Returns (sidecars dropped, sidecars rewritten).
+    */
+  def compactSidecars(fs: FileSystem, tableDir: Path): (Int, Int) = {
+    val ps = list(fs, tableDir)
+    if (ps.length <= 1) return (0, 0)
+    val ds = ps.map(read(fs, _))
+    // a contract-violated directory (mixed tags/columns) refuses at
+    // read and materialize time — don't touch it here
+    if (ds.map(_.tag).distinct.length != 1 ||
+        ds.map(_.cols.map(_.toLowerCase)).distinct.length != 1)
+      return (0, 0)
+    val tag = ds.head.tag
+    def listData(p: Path): Seq[Path] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Nil
+        else if (st.isDirectory) listData(st.getPath)
+        else Seq(st.getPath)
+      }
+    val files = listData(tableDir)
+    val minFloor =
+      if (files.isEmpty) Long.MaxValue
+      else files.iterator.map(f => floorOf(f.getName, tag)).min
+    val sorted = ds.sortBy(_.epoch)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    sorted.last.keys.foreach(k => seen += encodeKey(sorted.last.kinds, k))
+    var dropped = 0
+    var rewritten = 0
+    def drop(d: EqDel): Unit =
+      if (fs.delete(new Path(eqDir(tableDir),
+          sidecarName(d.tag, d.epoch)), false)) dropped += 1
+    sorted.dropRight(1).reverseIterator.foreach { d =>
+      if (d.epoch <= minFloor) drop(d)
+      else {
+        val kept = d.keys.filterNot(k => seen.contains(encodeKey(d.kinds, k)))
+        if (kept.isEmpty) drop(d)
+        else if (kept.length < d.keys.length) {
+          write(fs, tableDir, d.copy(keys = kept))
+          rewritten += 1
+        }
+      }
+      d.keys.foreach(k => seen += encodeKey(d.kinds, k))
+    }
+    (dropped, rewritten)
+  }
+
   /** Total live keys across all sidecars, read from the HEADERS only
     * (one line per sidecar): the maintenance-policy probe runs at
     * every epoch commit and must never scale with key count.

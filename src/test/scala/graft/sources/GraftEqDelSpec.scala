@@ -123,8 +123,11 @@ class GraftEqDelSpec extends SparkSpec {
       (4L, 44L, 2L)))
 
     // the equality table applied the deletes AT READ: sidecars live,
-    // every epoch's files still on disk (no rewrite happened)
-    assert(sidecars(root, "mart/eq") == 3)
+    // every epoch's files still on disk (no rewrite happened). The
+    // floor-aware compaction (r13 item 5) already dropped epoch 0's
+    // DEAD sidecar (nothing is older than epoch 0 on a stream-born
+    // table), leaving epochs 1 and 2
+    assert(sidecars(root, "mart/eq") == 2)
     // aggregates decline the metadata tiers and stay right
     assert(spark.table(s"$cat.mart.eq").count() == 4)
     // the applying scan stays COLUMNAR (r12 item 1 discipline)
@@ -298,6 +301,91 @@ class GraftEqDelSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(got == (1L to 10L).map(k => (k, k)), s"got $got")
     } finally spark.conf.unset(GraftEqDel.MaxKeysConf)
+  }
+
+  test("floor-aware sidecar compaction: dead sidecars GC'd, subsumed keys deduped, parity across kill/restart (r13 item 5)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.st (k BIGINT, total BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.tw (k BIGINT, total BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fs = fsOf(root)
+    val dirP = new Path(s"$root/mart/st")
+
+    // eq-mode with heavy key overlap across epochs vs a MERGE twin.
+    // The eq stream keeps ONE MemoryStream across stop/restart (the
+    // checkpoint resumes its offsets); the twin replays from scratch.
+    val memEq = MemoryStream[(Long, Long)]
+    val cpEq = tmpDir("geq-cp-cmp")
+    def runEq(batches: Seq[Seq[(Long, Long)]]): Unit = withShuffle4 {
+      val q = memEq.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", cpEq)
+        .toTable(s"$cat.mart.st")
+      try batches.foreach { b =>
+        memEq.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    def runTwin(batches: Seq[Seq[(Long, Long)]]): Unit = withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "merge")
+        .option("checkpointLocation", tmpDir("geq-cp-cmptw"))
+        .toTable(s"$cat.mart.tw")
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // epoch 0 {1,2,3}; epoch 1 {2,3,4}; epoch 2 {3,4,5}
+    val round1 = Seq(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      Seq((2L, 20L), (3L, 30L), (4L, 4L)),
+      Seq((3L, 300L), (4L, 40L), (5L, 5L)))
+    runEq(round1)
+    runTwin(round1)
+
+    // epoch 0's sidecar is DEAD (no pre-stream files) — GC'd; epoch
+    // 1's keys {2,3,4} lose 3 and 4 to epoch 2 — deduped to {2}
+    val left = GraftEqDel.list(fs, dirP).map(GraftEqDel.read(fs, _))
+    assert(left.map(_.epoch).sorted == Seq(1L, 2L),
+      s"expected epochs 1,2 to survive, got ${left.map(_.epoch)}")
+    assert(left.find(_.epoch == 1L).get.keys.map(_.head) == Seq(Some(2L)),
+      "epoch 1 keys not deduped to the unsubsumed {2}")
+    assert(left.find(_.epoch == 2L).get.keys.length == 3,
+      "the newest sidecar must stay verbatim")
+    assert(GraftEqDel.countKeys(fs, dirP) == 4, "map not shrunk to 4 keys")
+
+    // read PARITY with the uncompacted semantics (the MERGE twin)
+    def state(t: String) = spark.table(s"$cat.mart.$t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(state("st") == state("tw"),
+      s"compaction broke parity:\n${state("st")}\n${state("tw")}")
+
+    // kill/restart: the SAME stream resumes from its checkpoint and
+    // keeps upserting; compaction keeps converging, parity holds
+    val round2 = Seq(Seq((1L, 100L), (5L, 50L)), Seq((2L, 200L), (6L, 6L)))
+    runEq(round2)
+    spark.sql(s"TRUNCATE TABLE $cat.mart.tw")
+    runTwin(round1 ++ round2)
+    assert(state("st") == state("tw"),
+      s"post-restart parity broke:\n${state("st")}\n${state("tw")}")
+    // old epochs fully subsumed by the restart's epochs are gone
+    val epochs = GraftEqDel.list(fs, dirP).map(GraftEqDel.read(fs, _))
+      .map(_.epoch).sorted
+    assert(epochs.last == 4L, s"restart epochs missing: $epochs")
+    assert(GraftEqDel.countKeys(fs, dirP) <=
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).length,
+      "compacted map larger than the live key domain")
+
+    // materialization still converges over compacted sidecars
+    spark.sql(s"CALL $cat.system.rewrite_deletes(table => 'mart.st')")
+    assert(sidecars(root, "mart/st") == 0)
+    assert(state("st") == state("tw"))
   }
 
   test("rewrite lookup key and file_path normalization agree on authority-carrying URIs (ADVICE r13 high)") {
