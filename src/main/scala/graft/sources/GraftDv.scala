@@ -574,6 +574,17 @@ private[graft] object GraftDv {
            DoubleType | StringType | BinaryType => true
       case _: DecimalType => true
       case _: YearMonthIntervalType | _: DayTimeIntervalType => true
+      // ArrayType of a primitive element (r13 item 6): the embeddings
+      // shape — Array[Float] and friends. OnHeapColumnVector supports
+      // child vectors, so survivor compaction rebuilds the offsets and
+      // appends the elements. Structs/maps/nested arrays keep the
+      // documented row-path fallback.
+      case ArrayType(et, _) => et match {
+        case BooleanType | ByteType | ShortType | IntegerType | DateType |
+             LongType | TimestampType | TimestampNTZType | FloatType |
+             DoubleType | StringType | BinaryType => true
+        case _ => false
+      }
       case _ => false
     }
   }
@@ -608,6 +619,39 @@ private[graft] object GraftDv {
       case d: DecimalType =>
         dst.putDecimal(di, src.getDecimal(si, d.precision, d.scale),
           d.precision)
+      case ArrayType(et, _) =>
+        // survivor-compact an array cell: append the elements to the
+        // destination's child vector and record (start, length) —
+        // the offsets rebuild that keeps Array[Float] embeddings
+        // vectorized under live deletion vectors (r13 item 6)
+        val arr = src.getArray(si)
+        val n = arr.numElements()
+        val child = dst.arrayData()
+        val start = child.getElementsAppended
+        var i = 0
+        while (i < n) {
+          if (arr.isNullAt(i)) child.appendNull()
+          else et match {
+            case BooleanType => child.appendBoolean(arr.getBoolean(i))
+            case ByteType => child.appendByte(arr.getByte(i))
+            case ShortType => child.appendShort(arr.getShort(i))
+            case IntegerType | DateType => child.appendInt(arr.getInt(i))
+            case LongType | TimestampType | TimestampNTZType =>
+              child.appendLong(arr.getLong(i))
+            case FloatType => child.appendFloat(arr.getFloat(i))
+            case DoubleType => child.appendDouble(arr.getDouble(i))
+            case StringType =>
+              val b = arr.getUTF8String(i).getBytes
+              child.appendByteArray(b, 0, b.length)
+            case BinaryType =>
+              val b = arr.getBinary(i)
+              child.appendByteArray(b, 0, b.length)
+            case other => throw new IllegalStateException(
+              s"deletion-vector columnar copy: array element $other")
+          }
+          i += 1
+        }
+        dst.putArray(di, start, n)
       case other => throw new IllegalStateException(
         s"deletion-vector columnar copy: unexpected type $other")
     }

@@ -224,17 +224,73 @@ class GraftDvSpec extends SparkSpec {
     val sel = spark.table(s"$cat.ods.t").where(col("k") === 1008)
     assert(columnarScans(sel).forall(identity))
 
-    // non-copyable (nested) schema: honest fallback to the row path,
-    // parity preserved
-    spark.sql(s"CREATE TABLE $cat.ods.nest (k BIGINT, a ARRAY<BIGINT>) " +
+    // non-copyable (struct) schema: honest fallback to the row path,
+    // parity preserved (primitive ARRAYS are copyable since r13 item 6
+    // — see the dedicated array test)
+    spark.sql(s"CREATE TABLE $cat.ods.nest (k BIGINT, " +
+      "st STRUCT<a: BIGINT, b: STRING>) " +
       s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
-    spark.sql(s"INSERT INTO $cat.ods.nest SELECT id, array(id, id + 1) " +
-      "FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.ods.nest SELECT id, " +
+      "named_struct('a', id, 'b', concat('s', id)) FROM range(0, 100)")
     spark.sql(s"DELETE FROM $cat.ods.nest WHERE k = 5")
     val nest = spark.table(s"$cat.ods.nest")
     assert(nest.count() == 99)
-    assert(nest.where(col("k") === 6).select("a").head
-      .getSeq[Long](0) == Seq(6L, 7L))
+    assert(nest.where(col("k") === 6).select("st.a").head.getLong(0) == 6L)
+  }
+
+  test("ArrayType columns stay COLUMNAR under live vectors: survivor compaction rebuilds the offsets (r13 item 6)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    // the embeddings shape: Array[Float] plus a string array, with
+    // NULL cells, empty arrays, and null ELEMENTS in the mix — the
+    // offsets rebuild must survive all of them
+    spark.sql(s"CREATE TABLE $cat.ods.emb (k BIGINT, v ARRAY<FLOAT>, " +
+      "tags ARRAY<STRING>) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"""INSERT INTO $cat.ods.emb SELECT id,
+      CASE WHEN id % 7 = 0 THEN NULL
+           WHEN id % 5 = 0 THEN array()
+           ELSE array(CAST(id AS FLOAT), CAST(id AS FLOAT) + 0.5F,
+                      IF(id % 3 = 0, NULL, CAST(0.25 AS FLOAT))) END,
+      array(concat('t', id), IF(id % 2 = 0, NULL, 'x'))
+      FROM range(0, 5000)""")
+    spark.sql(s"DELETE FROM $cat.ods.emb WHERE k % 100 = 3")
+
+    val full = spark.table(s"$cat.ods.emb")
+    full.collect()
+    val modes = full.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.supportsColumnar
+    }
+    assert(modes.nonEmpty && modes.forall(identity),
+      "array-column scan de-vectorized under live deletion vectors")
+
+    // row parity, deletions applied exactly, array cells intact
+    val expect = (0L until 5000L).filterNot(_ % 100 == 3)
+    assert(full.count() == expect.size)
+    def rowOf(k: Long) = full.where(col("k") === k).head
+    val r8 = rowOf(8) // full 3-element array
+    assert(r8.getSeq[Float](1) == Seq(8.0f, 8.5f, 0.25f), s"$r8")
+    assert(r8.getSeq[String](2) == Seq("t8", null))
+    val r9 = rowOf(9) // null ELEMENT at position 3 (9 % 3 = 0)
+    assert(r9.getSeq[Float](1) == Seq(9.0f, 9.5f, null), s"$r9")
+    assert(rowOf(10).getSeq[Float](1) == Seq(), "empty array corrupted")
+    assert(rowOf(14).isNullAt(1), "NULL array cell corrupted")
+    assert(full.where(col("k") === 103).count() == 0, "deletion missed")
+    // aggregate over elements across the whole table — any offsets
+    // drift would corrupt this sum
+    val sumFirst = full.where(col("v").isNotNull && size(col("v")) > 0)
+      .select(sum(element_at(col("v"), 1).cast("double"))).head.getDouble(0)
+    val expectSum = expect.filter(k => k % 7 != 0 && k % 5 != 0)
+      .map(_.toDouble).sum
+    assert(math.abs(sumFirst - expectSum) < 1e-6,
+      s"element sum drifted: $sumFirst vs $expectSum")
+    // q34/q118-style cosine arithmetic over the survivors works
+    val dot = full.where(col("v").isNotNull && size(col("v")) > 0)
+      .select(expr("aggregate(zip_with(v, v, (a, b) -> " +
+        "CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (acc, x) -> " +
+        "acc + coalesce(x, 0.0D))").as("d"))
+    assert(dot.count() == expect.count(k => k % 7 != 0 && k % 5 != 0))
   }
 
   test("CALL system.rewrite_deletes materializes: clean files, vectors gone, parity, bucket tags survive") {
