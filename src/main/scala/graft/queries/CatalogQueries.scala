@@ -584,14 +584,9 @@ object CatalogQueries {
       val dirP = new org.apache.hadoop.fs.Path(
         spark.conf.get(s"spark.sql.catalog.$cat.root") + "/ods/hist")
       val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
-        fs.listStatus(p).toSeq.flatMap { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("_") || n.startsWith(".")) Nil
-          else if (st.isDirectory) walk(st.getPath)
-          else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
-        }
-      walk(dirP).toSet
+      graft.sources.GraftEvolved.listVisible(fs, dirP)
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
     }
     val beforeWiden = fileState()
     spark.sql(s"ALTER TABLE $cat.ods.hist ALTER COLUMN bal TYPE BIGINT")
@@ -1991,16 +1986,10 @@ object CatalogQueries {
     val tableDir = new org.apache.hadoop.fs.Path(
       spark.conf.get(s"spark.sql.catalog.$cat.root") + "/ods/hist")
     val hfs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def fileState(): Set[(String, Long, Long)] = {
-      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
-        hfs.listStatus(p).toSeq.flatMap { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("_") || n.startsWith(".")) Nil
-          else if (st.isDirectory) walk(st.getPath)
-          else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
-        }
-      walk(tableDir).toSet
-    }
+    def fileState(): Set[(String, Long, Long)] =
+      graft.sources.GraftEvolved.listVisible(hfs, tableDir)
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
     val before = fileState()
     spark.sql(s"CALL $cat.system.evolve_partitioning(" +
       "table => 'ods.hist', add_column => 'region')").collect()

@@ -358,6 +358,9 @@ final case class Catalog(spark: SparkSession, root: String,
         graft.sources.GraftRetired.retireRoot(fs, base, oldRoot)
       }
     }
+    // maintenance policy outside the lock: this commit grew the
+    // tombstone area (retired.expire_ms GC — r14 review finding)
+    graft.sources.GraftMaintenance.afterCommit(spark, fs, base)
   }
 
   /** One atomic-per-step directory swap: move `live` aside (when it
@@ -1001,6 +1004,8 @@ final case class Catalog(spark: SparkSession, root: String,
         // remove_orphans
         graft.sources.GraftRetired.retireRoot(fs, hp, old)
     }
+    // maintenance policy outside the lock (retired.expire_ms GC)
+    graft.sources.GraftMaintenance.afterCommit(spark, fs, hp)
   }
 
   private def versionsDir(layer: String, table: String) =

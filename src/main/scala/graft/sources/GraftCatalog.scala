@@ -528,9 +528,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "or field-id alias)")
       }
     }
+    // copy() from meta0, never a rebuilt literal: partCols above MERGES
+    // the evolved columns for the refusal checks — writing it back as
+    // partitionCols would silently FINALIZE an un-materialized spec
+    // evolution (mixed-depth eras would then hit Spark's inference and
+    // bypass the mixed-era refusals), and any future meta field would
+    // be dropped the same way
     GraftTableMeta.write(fs, dir,
-      GraftTableMeta(Some(newSchema), partCols, meta0.bucketSpec,
-        props1, fieldIds, aliases))
+      meta0.copy(schema = Some(newSchema), props = props1,
+        fieldIds = fieldIds, aliases = aliases))
     loadTable(ident)
   }
 
@@ -3375,7 +3381,8 @@ private[sources] final class GraftTableMicroBatchStream(
           // evolved tables replan with the era-aware index (plain
           // inference refuses the mixed depths)
           GraftEvolved.buildIndex(spark, ev.tableDir, ev.anchorSchema,
-            ev.evolvedSchema, Some(files.map(new Path(_))))
+            ev.evolvedSchema,
+            Some(files.map(f => fs.getFileStatus(new Path(f)))))
         case _ =>
           new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
             spark, files.map(new Path(_)),

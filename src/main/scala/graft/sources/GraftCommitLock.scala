@@ -144,7 +144,7 @@ object GraftCommitLock {
               try fs.rename(tomb, lp)
               catch { case scala.util.control.NonFatal(_) => false }
             attempt += 1
-            if (!restored) Thread.sleep(50L << attempt)
+            if (!restored && attempt < 3) Thread.sleep(50L << attempt)
           }
           if (!restored)
             throw new ConcurrentCommitException(

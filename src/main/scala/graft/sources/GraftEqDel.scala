@@ -192,18 +192,10 @@ private[graft] object GraftEqDel {
         ds.map(_.cols.map(_.toLowerCase)).distinct.length != 1)
       return (0, 0)
     val tag = ds.head.tag
-    def listData(p: Path): Seq[Path] =
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.flatMap { st =>
-        val nm = st.getPath.getName
-        if (nm.startsWith("_") || nm.startsWith(".")) Nil
-        else if (st.isDirectory) listData(st.getPath)
-        else Seq(st.getPath)
-      }
-    val files = listData(tableDir)
+    val files = GraftEvolved.listVisible(fs, tableDir)
     val minFloor =
       if (files.isEmpty) Long.MaxValue
-      else files.iterator.map(f => floorOf(f.getName, tag)).min
+      else files.iterator.map(f => floorOf(f.getPath.getName, tag)).min
     val sorted = ds.sortBy(_.epoch)
     val seen = scala.collection.mutable.HashSet.empty[String]
     sorted.last.keys.foreach(k => seen += encodeKey(sorted.last.kinds, k))
@@ -233,10 +225,16 @@ private[graft] object GraftEqDel {
     */
   def countKeys(fs: FileSystem, tableDir: Path): Long =
     list(fs, tableDir).map { p =>
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().split('\t')(4).toLong
-      finally in.close()
+      // a sidecar a concurrent materialize/compaction deleted between
+      // the listing and this open holds zero LIVE keys — skipping it
+      // is the correct count, and the advisory probe must never fail
+      // an already-durable commit
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().split('\t')(4).toLong
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => 0L }
     }.sum
 
   /** The other-writer guard: any commit that cannot reason about epoch
@@ -698,17 +696,8 @@ private[graft] object GraftEqDel {
     val maxEpoch = ds.map(_.epoch).max
 
     // applicable files: floor below the newest sidecar
-    def listData(p: Path): Seq[Path] =
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.flatMap { st =>
-        val nm = st.getPath.getName
-        if (nm.startsWith("_") || nm.startsWith(".")) Nil
-        else if (st.isDirectory) listData(st.getPath)
-        else Seq(st.getPath)
-      }
-    val applicable = listData(tableDir)
-      .filter(p => floorOf(p.getName, tag) < maxEpoch)
-      .map(p => fs.getFileStatus(p))
+    val applicable = GraftEvolved.listVisible(fs, tableDir)
+      .filter(st => floorOf(st.getPath.getName, tag) < maxEpoch)
 
     var rewritten = 0
     if (applicable.nonEmpty) {

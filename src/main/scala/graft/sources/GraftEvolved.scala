@@ -93,18 +93,16 @@ private[graft] object GraftEvolved {
     if (fs.exists(tableDir)) walk(tableDir) else Nil
   }
 
-  /** Build the era-aware index over the given files (or the table's
-    * current listing). LOUD when a file lacks an anchor token — every
-    * era must carry the anchor prefix.
+  /** Build the era-aware index over the given file STATUSES (or the
+    * table's current listing — callers that already hold a listing
+    * must pass it, not pay it twice). LOUD when a file lacks an anchor
+    * token — every era must carry the anchor prefix.
     */
   def buildIndex(spark: SparkSession, tableDir: Path,
       anchorSchema: StructType, evolvedSchema: StructType,
-      filesOpt: Option[Seq[Path]] = None): EvolvedFileIndex = {
+      filesOpt: Option[Seq[FileStatus]] = None): EvolvedFileIndex = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses = filesOpt match {
-      case Some(ps) => ps.map(fs.getFileStatus)
-      case None => listVisible(fs, tableDir)
-    }
+    val statuses = filesOpt.getOrElse(listVisible(fs, tableDir))
     val qualBase = fs.makeQualified(tableDir).toString
     val byParent = statuses.groupBy(_.getPath.getParent)
     val anchorVals = scala.collection.mutable.HashMap.empty[Path, InternalRow]
@@ -211,7 +209,10 @@ private[graft] object GraftEvolved {
         throw new IllegalStateException(s"partition column $c not in schema"))
     val anchorSchema = StructType(anchorCols.map(fieldOf))
     val evolvedSchema = StructType(evolvedCols.map(fieldOf))
-    val idx = buildIndex(spark, tableDir, anchorSchema, evolvedSchema)
+    // seed from the delegate's recursive listing — the table was
+    // already walked once for this very scan; never pay it twice
+    val idx = buildIndex(spark, tableDir, anchorSchema, evolvedSchema,
+      Some(scan.fileIndex.allFiles()))
     val anchorLower = anchorCols.map(_.toLowerCase).toSet
     val newReadData = StructType(scan.readDataSchema.fields
       .filterNot(f => anchorLower.contains(f.name.toLowerCase)))

@@ -224,15 +224,9 @@ object GraftProcedures {
       val spark = SparkSession.active
       val dir = new Path(eng.path(layer, table))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var liveFiles = 0
-      var liveBytes = 0L
-      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) ()
-        else if (st.isDirectory) walk(st.getPath)
-        else { liveFiles += 1; liveBytes += st.getLen }
-      }
-      if (fs.exists(dir)) walk(dir)
+      val liveStatuses = GraftEvolved.listVisible(fs, dir)
+      val liveFiles = liveStatuses.size
+      val liveBytes = liveStatuses.map(_.getLen).sum
       val dvs = GraftDv.list(fs, dir).toSeq
       val dvPositions =
         dvs.map { case (_, p) => GraftDv.read(fs, p).ords.length.toLong }.sum
@@ -369,8 +363,7 @@ object GraftProcedures {
         require(!(m.partitionCols ++ m.evolvedCols)
             .exists(_.equalsIgnoreCase(colName)),
           s"evolve_partitioning: ${f.name} is already a partition column")
-        require(!m.bucketSpec.exists(_._2.equalsIgnoreCase(colName)) &&
-            m.bucketSpec.isEmpty,
+        require(m.bucketSpec.isEmpty,
           "evolve_partitioning is not supported on bucketed tables")
         require(!m.renameAliases.contains(f.name.toLowerCase),
           s"evolve_partitioning: ${f.name} was renamed and pre-rename " +

@@ -221,5 +221,26 @@ class GraftEvolvedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "add_column => 'r')")
     refused(s"ALTER TABLE $cat.ods.e2 RENAME COLUMN r TO r2",
       "partition column")
+    // an unrelated ALTER must NOT silently finalize the evolution
+    // (r14 review: the meta rewrite used to merge evolved columns into
+    // the anchor and drop the evolution marker — mixed-depth reads
+    // would then hit Spark's inference conflict and the mixed-era
+    // refusals would vanish)
+    spark.sql(s"ALTER TABLE $cat.ods.e2 ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $cat.ods.e2 VALUES (2, 'b', 'x2', 'hello')")
+    assert(spark.table(s"$cat.ods.e2").count() == 2,
+      "mixed-era read broke after an unrelated ALTER")
+    assert(spark.table(s"$cat.ods.e2").where(col("r") === "a").count() == 1)
+    val e = intercept[Throwable] {
+      spark.sql(s"SET spark.sql.sources.partitionOverwriteMode=dynamic")
+      try Seq((3L, "c", "x", "z")).toDF("k", "r", "d", "note")
+        .writeTo(s"$cat.ods.e2").overwritePartitions()
+      finally spark.sql(
+        s"SET spark.sql.sources.partitionOverwriteMode=static")
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(e).exists(_.contains("system.compact")),
+      s"mixed-era refusal lost after ALTER: ${msgs2(e)}")
   }
 }
