@@ -2156,7 +2156,24 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
 
   override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
     pushedCatalyst = pushedCatalyst ++ filters
-    delegate.pushFilters(filters)
+    if (evolvedCols.isEmpty) delegate.pushFilters(filters)
+    else {
+      // evolved tables list recursively, so the delegate sees anchor
+      // columns as DATA columns and would report their filters as
+      // residual — which blocks aggregate pushdown and re-evaluates
+      // them per row. They are EXACT at directory granularity in
+      // EVERY era (the anchor prefix holds table-wide) and the
+      // rebuilt scan applies them as partition filters
+      // ([[GraftEvolved.rebuildScan]] from pushedCatalyst): claim
+      // them handled and push only the rest through the delegate.
+      val anchorLower =
+        partitionSchema.fieldNames.map(_.toLowerCase).toSet
+      val (_, rest) = filters.partition { f =>
+        f.deterministic && f.references.nonEmpty &&
+          f.references.forall(a => anchorLower.contains(a.name.toLowerCase))
+      }
+      delegate.pushFilters(rest)
+    }
   }
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters

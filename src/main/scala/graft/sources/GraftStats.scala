@@ -1207,16 +1207,17 @@ object GraftStats {
         val pvals: Array[Any] =
           if (partitionSchema.isEmpty) Array.empty[Any]
           else {
-            val segs = rel.split('/')
-            if (segs.length != partitionSchema.length + 1) return None
-            partitionSchema.fields.zip(segs).map { case (f, seg) =>
-              val eq = seg.indexOf('=')
-              if (eq < 0) return None
-              val nm = org.apache.spark.sql.catalyst.catalog
-                .ExternalCatalogUtils.unescapePathName(seg.take(eq))
-              if (!nm.equalsIgnoreCase(f.name)) return None
-              try GraftPartitionedCow.parseToken(seg.drop(eq + 1),
-                f.dataType)
+            // NAME-based chain parse (depth-agnostic): every partition
+            // column must appear as a `col=value` segment of the
+            // file's own chain, wherever it sits — which holds across
+            // the mixed-depth eras of an EVOLVED spec (the anchor is a
+            // prefix of every era; extra evolved segments are data
+            // columns and ignored here). A file missing any partition
+            // token bails the whole fast path, as before.
+            val toks = GraftEvolved.chainTokens(rel).toMap
+            partitionSchema.fields.map { f =>
+              val tok = toks.getOrElse(f.name.toLowerCase, return None)
+              try GraftPartitionedCow.parseToken(tok, f.dataType)
               catch { case scala.util.control.NonFatal(_) => return None }
             }.toArray
           }

@@ -191,6 +191,63 @@ class GraftEvolvedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "post-finalize dynamic overwrite broke")
   }
 
+  test("manifest metadata aggregates answer across mixed eras (name-based chain parse)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.m (k BIGINT, region STRING, d STRING) " +
+      "PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.ods.m SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'na' ELSE 'eu' END, " +
+      "concat('d', id % 2 + 1) FROM range(0, 200, 1, 1)")
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.m', add_column => 'region')").collect()
+    spark.sql(s"INSERT INTO $cat.ods.m SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'na' ELSE 'eu' END, " +
+      "concat('d', id % 2 + 3) FROM range(200, 400, 1, 1)")
+    spark.sql(s"CALL $cat.system.analyze(table => 'ods.m')").collect()
+    // the metadata fast path must survive the MIXED DEPTHS: old-era
+    // files sit at d=X/, new-era at d=X/region=Y/ — the anchor token
+    // parses by NAME from each file's own chain
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      collect(plan) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty && collect(plan) { case b: BatchScanExec => b }.isEmpty
+    }
+    val agg = spark.sql(s"SELECT d, count(*) AS n, min(k) AS mn, " +
+      s"max(k) AS mx FROM $cat.ods.m GROUP BY d")
+    val got = agg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == Seq(("d1", 100L, 0L, 198L), ("d2", 100L, 1L, 199L),
+      ("d3", 100L, 200L, 398L), ("d4", 100L, 201L, 399L)), s"$got")
+    assert(isLocal(agg),
+      "metadata aggregate did not plan as LocalTableScan on mixed eras")
+    // with an anchor partition filter too
+    val filt = spark.sql(s"SELECT count(*) AS n FROM $cat.ods.m " +
+      "WHERE d = 'd3'")
+    assert(filt.head.getLong(0) == 100L)
+    assert(isLocal(filt))
+    // the hard zero-open proof: corrupt every data file in place —
+    // the manifest answer must not notice
+    val fs = fsOf(root)
+    dataFiles(fs, s"$root/ods/m").foreach { case (p, (len, mtime)) =>
+      val out = fs.create(new Path(p), true)
+      try out.write(new Array[Byte](len.toInt)) finally out.close()
+      fs.setTimes(new Path(p), mtime, -1)
+    }
+    val agg2 = spark.sql(s"SELECT count(*) AS n FROM $cat.ods.m " +
+      "WHERE d = 'd1'")
+    assert(agg2.head.getLong(0) == 100L)
+    assert(isLocal(agg2))
+    // a grouping by the EVOLVED column declines (data column): real
+    // scan, which now fails on the corrupted files — honest decline
+    intercept[Throwable] {
+      spark.sql(s"SELECT region, count(*) FROM $cat.ods.m GROUP BY region")
+        .collect()
+    }
+  }
+
   test("evolution refusals: unknown/partition/bucket columns, non-parquet shapes") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
