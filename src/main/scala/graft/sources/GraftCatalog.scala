@@ -1869,8 +1869,12 @@ private[sources] class GraftTable(
       // merge-on-read tier ([[GraftDv]]): ARBITRARY translatable
       // predicates delete by recording row positions — no rewrite. The
       // partition-directory path above stays preferred when it applies
-      // (deleteWhere dispatches in the same order).
-      !readOnly && morEnabled &&
+      // (deleteWhere dispatches in the same order). Evolved-spec tables
+      // decline this shortcut: its direct parquet read cannot resolve
+      // mixed-depth eras (and anchor values live in dirs) — Spark then
+      // plans the positional DELTA path, which reads through the
+      // catalog's era-aware scan and is correct across eras.
+      !readOnly && morEnabled && evolvedCols.isEmpty &&
         GraftDv.translate(predicates, schema()).isDefined)
 
   private def partitionDeletable(predicates: Array[Predicate]): Boolean = {

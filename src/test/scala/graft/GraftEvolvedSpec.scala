@@ -191,6 +191,95 @@ class GraftEvolvedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "post-finalize dynamic overwrite broke")
   }
 
+  test("the spec can evolve TWICE; merge-on-read deletes work across eras") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, region STRING, " +
+      "lang STRING, d STRING) PARTITIONED BY (d) " +
+      "TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'na' ELSE 'eu' END, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END, " +
+      "concat('d', id % 2) FROM range(0, 120, 1, 1)")
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.t', add_column => 'region')").collect()
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'na' ELSE 'eu' END, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END, " +
+      "concat('d', id % 2 + 2) FROM range(120, 240, 1, 1)")
+    // second evolution: THREE eras coexist
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.t', add_column => 'lang')").collect()
+    spark.sql(s"INSERT INTO $cat.ods.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'na' ELSE 'eu' END, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END, " +
+      "concat('d', id % 2 + 4) FROM range(240, 360, 1, 1)")
+    val fs = fsOf(root)
+    assert(fs.exists(new Path(s"$root/ods/t/d=d4")))
+    assert(dataFiles(fs, s"$root/ods/t/d=d4").keys
+      .forall(p => p.contains("/region=") && p.contains("/lang=")),
+      "third era not under the twice-evolved spec")
+    val t = spark.table(s"$cat.ods.t")
+    assert(t.count() == 360)
+    assert(t.where(col("region") === "na").count() == 180)
+    assert(t.where(col("lang") === "en").count() == 120)
+    // merge-on-read positional DELETE spans all three eras (vectors
+    // are (file, ordinal)-addressed — era-agnostic by construction)
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k % 60 = 7")
+    assert(spark.table(s"$cat.ods.t").count() == 354)
+    assert(spark.table(s"$cat.ods.t").where(col("k") % 60 === 7)
+      .count() == 0)
+    import graft.sources.GraftDv
+    assert(GraftDv.list(fs, new Path(s"$root/ods/t")).nonEmpty,
+      "expected live deletion vectors (MOR path)")
+    // materialize + compact-migrate + finalize: one clean era
+    spark.sql(s"CALL $cat.system.rewrite_deletes(table => 'ods.t')")
+    spark.sql(s"CALL $cat.system.compact(table => 'ods.t')")
+    assert(spark.table(s"$cat.ods.t").count() == 354)
+    dataFiles(fs, s"$root/ods/t").keys.foreach { p =>
+      assert(p.contains("/d=") && p.contains("/region=") &&
+        p.contains("/lang="), s"post-compact stray era: $p")
+    }
+  }
+
+  test("streaming reads replan each micro-batch through the era-aware index") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.s (k BIGINT, region STRING, " +
+      "d STRING) PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.ods.s SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'na' ELSE 'eu' END, " +
+      "concat('d', id % 2) FROM range(0, 100, 1, 1)")
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.s', add_column => 'region')").collect()
+    spark.sql(s"INSERT INTO $cat.ods.s SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'na' ELSE 'eu' END, " +
+      "concat('d', id % 2 + 2) FROM range(100, 200, 1, 1)")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]
+    val q = spark.readStream.table(s"$cat.ods.s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("gev-stream-cp"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          sink.add((r.getLong(0), r.getString(1), r.getString(2))))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // both eras delivered, anchor values from the chain, evolved
+      // values from wherever that era carries them
+      assert(sink.size == 200, s"got ${sink.size} of 200 rows")
+      import scala.jdk.CollectionConverters._
+      val rows = sink.asScala.toSeq
+      assert(rows.count(_._2 == "na") == 100)
+      assert(rows.filter(_._1 == 150L).map(_._3) == Seq("d2"))
+      // a post-evolution append lands in the NEW era and streams too
+      spark.sql(s"INSERT INTO $cat.ods.s VALUES (1000, 'na', 'd9')")
+      q.processAllAvailable()
+      assert(sink.size == 201)
+    } finally q.stop()
+  }
+
   test("manifest metadata aggregates answer across mixed eras (name-based chain parse)") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
