@@ -2026,6 +2026,255 @@ object CatalogQueries {
        |  AND d <> 'p2'
        |GROUP BY d, region""".stripMargin
 
+  /** q219 — CHANGELOG reads ([[graft.sources.GraftChanges]]: Delta's
+    * change data feed / Iceberg's changelog scan, derived from the
+    * epoch-named streaming files + equality-delete sidecars with NO
+    * stored feed): the q217 equality-upsert stream runs two epochs,
+    * then `SELECT ... FROM <table>.changes` serves the full feed —
+    * epoch 0's emissions as pure INSERTS (its sidecar provably deleted
+    * nothing and was GC'd), epoch 1's re-emissions as UPSERTS plus one
+    * DELETE row per retracted key (key columns populated, the rest
+    * NULL — Iceberg's equality-delete changelog shape). Epochs are
+    * ranked (not hard-coded: streaming batch ids are an engine detail)
+    * and the whole feed sits on one oracle hash. Consuming the feed
+    * costs the CHANGE, never the table: epoch/type predicates prune to
+    * the epoch's files and sidecars exactly (GraftChangesSpec proves
+    * out-of-range files are never opened).
+    */
+  def q219ChangesFeed(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g219")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g219_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.raw.src (seg STRING, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.state " +
+      "(seg STRING, n BIGINT, cents_sum BIGINT)")
+    def gen(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM g219_customer WHERE $pred""")
+    gen("c_custkey % 2 = 0")
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4") // state-store count, see q200
+    try {
+      val cp = scratch("graft-q219-cp")
+      val q = spark.readStream.table(s"$cat.raw.src")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "seg")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.mart.state")
+      q.processAllAvailable() // epoch 1: even custkeys
+      gen("c_custkey % 2 = 1")
+      q.processAllAvailable() // epoch 2: every group re-emits
+      q.stop()
+    } finally prevShuffle match {
+      case Some(v) => spark.conf.set(shuffleKey, v)
+      case None => spark.conf.unset(shuffleKey)
+    }
+    // in-plan evidence: the feed still has live sidecars to serve
+    // delete rows from
+    val loc = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/mart/state"
+    val base = new org.apache.hadoop.fs.Path(loc)
+    val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(graft.sources.GraftEqDel.hasAny(hfs, base),
+      "q219: no equality-delete sidecars — the feed has no retractions")
+    val feed = spark.table(s"$cat.mart.state.changes")
+    // epoch -> rank via a METADATA-SIZED driver map (the retained
+    // epochs of one stream), broadcast-joined back — never a global
+    // window funneling the feed's rows into one task
+    import spark.implicits._
+    val epochs = feed.select(col("_change_epoch")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val rankDf = epochs.zipWithIndex
+      .map { case (e, i) => (e, i + 1) }.toSeq
+      .toDF("_change_epoch", "epoch_rank")
+    feed.join(broadcast(rankDf), "_change_epoch")
+      .select(col("_change_type").as("change_type"),
+        col("epoch_rank").cast("int").as("epoch_rank"),
+        col("seg"), col("n"), col("cents_sum"))
+  }
+
+  /** The feed recomputed one-shot: epoch 1 aggregates the evens, epoch
+    * 2 re-emits every group over the full table and retracts every
+    * key it re-emits.
+    */
+  val q219Oracle: String =
+    s"""WITH src AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_custkey AS k
+       |  FROM customer),
+       |e1 AS (
+       |  SELECT seg, ${bi("count(*)")} AS n, ${bi("sum(cents)")} AS cents_sum
+       |  FROM src WHERE k % 2 = 0 GROUP BY seg),
+       |e2 AS (
+       |  SELECT seg, ${bi("count(*)")} AS n, ${bi("sum(cents)")} AS cents_sum
+       |  FROM src GROUP BY seg)
+       |SELECT 'insert' AS change_type, CAST(1 AS INTEGER) AS epoch_rank,
+       |  seg, n, cents_sum FROM e1
+       |UNION ALL
+       |SELECT 'upsert', CAST(2 AS INTEGER), seg, n, cents_sum FROM e2
+       |UNION ALL
+       |SELECT 'delete', CAST(2 AS INTEGER), seg,
+       |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM e2""".stripMargin
+
+  /** q220 — METADATA TABLES ([[graft.sources.GraftMetaTables]]:
+    * Iceberg's `db.table.files` / `db.table.history` inspection
+    * surface as nested identifiers): a partitioned table takes a full
+    * load then an INSERT OVERWRITE under version retention;
+    * `<t>.files` then answers per-partition row counts from the stats
+    * manifest as a `LocalTableScan` (REQUIRED in-plan: zero tasks,
+    * zero file opens — the same listing every scan already pays) and
+    * `<t>.history` pins the retained-version count. The hash holds the
+    * post-overwrite state, so a stale manifest row, a missed
+    * partition, or a lost version breaks it.
+    */
+  def q220MetaTables(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g220", versions = 3, autoAnalyze = true)
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g220_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.cust (k BIGINT, bal BIGINT, " +
+      "seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"""INSERT INTO $cat.ods.cust
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g220_customer""")
+    spark.sql(s"""INSERT OVERWRITE $cat.ods.cust
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g220_customer WHERE c_custkey % 5 <> 0""")
+    // auto_analyze already refreshed the manifest per commit, but it is
+    // ADVISORY by contract — the explicit CALL makes the row counts a
+    // guarantee the hash can sit on (a covered no-op when fresh)
+    spark.sql(s"CALL $cat.system.analyze('ods.cust')").collect()
+    val files = spark.table(s"$cat.ods.cust.files")
+    // in-plan evidence: metadata relations answer with NO input tasks
+    require(files.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+      "q220: <t>.files must plan as a LocalTableScan")
+    val perPart = files
+      .groupBy(regexp_replace(col("partition"), "^seg=", "").as("grp"))
+      .agg(sum(col("records")).as("n"))
+    val hist = spark.table(s"$cat.ods.cust.history")
+      .agg(count(lit(1)).as("n")).select(lit("__history__").as("grp"),
+        col("n"))
+    perPart.unionAll(hist)
+  }
+
+  /** Post-overwrite per-partition counts + the retained-version count
+    * (one archived full replace + the live state).
+    */
+  val q220Oracle: String =
+    s"""SELECT c_mktsegment AS grp, ${bi("count(*)")} AS n
+       |FROM customer WHERE c_custkey % 5 <> 0
+       |GROUP BY c_mktsegment
+       |UNION ALL
+       |SELECT '__history__', CAST(2 AS BIGINT)""".stripMargin
+
+  /** q221 — STREAMING CDC-APPLY end-to-end
+    * ([[graft.sources.GraftChanges]] micro-batch source): the q219
+    * equality-upsert stream feeds a SECOND stream,
+    * `readStream.table("<t>.changes")`, whose offsets ARE feed epochs;
+    * each micro-batch applies latest-action-per-key (emission beats
+    * delete at the same epoch — an epoch's rows survive their own
+    * sidecar) as a `MERGE INTO` on a replica table. The replica must
+    * converge to the one-shot aggregate (the q201/q217 algebra), and
+    * the per-(type, seg) feed delivery counts sit on the same hash —
+    * a CDC path that dropped delete rows or re-delivered an epoch
+    * breaks it. Per-trigger cost is the epoch's changes, never either
+    * table.
+    */
+  def q221CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g221")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g221_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.raw.src (seg STRING, cents BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.state " +
+      "(seg STRING, n BIGINT, cents_sum BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.replica " +
+      "(seg STRING, n BIGINT, cents_sum BIGINT)")
+    def gen(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.raw.src
+      SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM g221_customer WHERE $pred""")
+    def applyBatch(df: DataFrame, id: Long): Unit = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg"))
+        .orderBy(col("_change_epoch").desc,
+          when(col("_change_type") === "delete", 0).otherwise(1).desc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .createOrReplaceTempView("g221_cdc_batch")
+      df.sparkSession.sql(s"""MERGE INTO $cat.mart.replica t
+        USING g221_cdc_batch s ON t.seg = s.seg
+        WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n = s.n, cents_sum = s.cents_sum
+        WHEN NOT MATCHED AND s._change_type <> 'delete'
+          THEN INSERT (seg, n, cents_sum) VALUES (s.seg, s.n, s.cents_sum)""")
+    }
+    gen("c_custkey % 2 = 0")
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4") // state-store count, see q200
+    try {
+      val q = spark.readStream.table(s"$cat.raw.src")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "seg")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", scratch("graft-q221-cp-w"))
+        .toTable(s"$cat.mart.state")
+      val cdc = spark.readStream.table(s"$cat.mart.state.changes")
+        .writeStream.option("checkpointLocation", scratch("graft-q221-cp-r"))
+        .foreachBatch(applyBatch _).start()
+      try {
+        q.processAllAvailable() // epoch 1: even custkeys
+        cdc.processAllAvailable()
+        gen("c_custkey % 2 = 1")
+        q.processAllAvailable() // epoch 2: every group re-emits
+        cdc.processAllAvailable()
+      } finally { q.stop(); cdc.stop() }
+    } finally prevShuffle match {
+      case Some(v) => spark.conf.set(shuffleKey, v)
+      case None => spark.conf.unset(shuffleKey)
+    }
+    val replica = spark.table(s"$cat.mart.replica")
+      .select(lit("state").as("kind"), col("seg"), col("n"),
+        col("cents_sum"))
+    // feed-delivery audit: per (type, seg) counts — a CDC path that
+    // dropped delete rows would still converge above, so the delivery
+    // itself goes on the hash
+    val audit = spark.table(s"$cat.mart.state.changes")
+      .groupBy(concat(lit("feed_"), col("_change_type")).as("kind"),
+        col("seg"))
+      .agg(count(lit(1)).as("n"),
+        lit(null).cast("bigint").as("cents_sum"))
+    replica.unionAll(audit)
+  }
+
+  /** Replica = the one-shot aggregate; feed counts: one insert per seg
+    * (epoch 1), one upsert + one delete per seg (epoch 2).
+    */
+  val q221Oracle: String =
+    s"""WITH src AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_custkey AS k
+       |  FROM customer),
+       |e1 AS (SELECT seg FROM src WHERE k % 2 = 0 GROUP BY seg),
+       |e2 AS (
+       |  SELECT seg, ${bi("count(*)")} AS n, ${bi("sum(cents)")} AS cents_sum
+       |  FROM src GROUP BY seg)
+       |SELECT 'state' AS kind, seg, n, cents_sum FROM e2
+       |UNION ALL
+       |SELECT 'feed_insert', seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM e1
+       |UNION ALL
+       |SELECT 'feed_upsert', seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM e2
+       |UNION ALL
+       |SELECT 'feed_delete', seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM e2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -2064,7 +2313,10 @@ object CatalogQueries {
     "q215_bloom_pointlookup" -> (q215BloomPointlookup _),
     "q216_mor_merge" -> (q216MorMerge _),
     "q217_eq_upsert" -> (q217EqUpsert _),
-    "q218_partition_evolution" -> (q218PartitionEvolution _))
+    "q218_partition_evolution" -> (q218PartitionEvolution _),
+    "q219_changes_feed" -> (q219ChangesFeed _),
+    "q220_meta_tables" -> (q220MetaTables _),
+    "q221_cdc_apply" -> (q221CdcApply _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -2104,5 +2356,8 @@ object CatalogQueries {
     "q215_bloom_pointlookup" -> q215Oracle,
     "q216_mor_merge" -> q216Oracle,
     "q217_eq_upsert" -> q217Oracle,
-    "q218_partition_evolution" -> q218Oracle)
+    "q218_partition_evolution" -> q218Oracle,
+    "q219_changes_feed" -> q219Oracle,
+    "q220_meta_tables" -> q220Oracle,
+    "q221_cdc_apply" -> q221Oracle)
 }

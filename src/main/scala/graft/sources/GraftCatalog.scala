@@ -194,6 +194,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.namespace.length == 1 && fs.exists(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style nested-identifier metadata relations:
+    // `cat.<ns>.<table>.files|history|changes` resolve against the base
+    // table — possible only because graft namespaces are single-level,
+    // so a 2-level namespace is unambiguous
+    if (ident.namespace.length == 2) {
+      val base = Identifier.of(ident.namespace.take(1), ident.namespace.apply(1))
+      if (!tableExists(base)) throw new NoSuchTableException(ident)
+      val dir = tableDir(base)
+      val baseName = s"$catalogName.${ident.namespace.mkString(".")}"
+      return ident.name.toLowerCase match {
+        case "files" =>
+          new GraftMetaTable(s"$baseName.files", GraftMetaTables.FilesSchema,
+            () => GraftMetaTables.filesRows(spark, dir))
+        case "history" =>
+          val layer = layerOf(base.namespace)
+          new GraftMetaTable(s"$baseName.history",
+            GraftMetaTables.HistorySchema,
+            () => GraftMetaTables.historyRows(spark, fs, root, layer,
+              base.name, engine.history(layer, base.name)))
+        case "changes" =>
+          new GraftChangesTable(spark, baseName, dir.toString, format,
+            GraftTableMeta.read(fs, dir))
+        case _ => throw new NoSuchTableException(ident)
+      }
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val meta = GraftTableMeta.read(fs, tableDir(ident))
     new GraftTable(spark, catalogName, root, format,

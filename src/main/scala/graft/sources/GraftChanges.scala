@@ -1,0 +1,677 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.FileScan
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGELOG reads — `SELECT ... FROM cat.ns.t.changes` (Delta's
+  * change-data-feed / Iceberg's changelog scan, re-expressed over this
+  * engine's epoch-named streaming files and equality-delete sidecars;
+  * the reference consumes its lakehouse incrementally one partition per
+  * DAG run — covid_to_s3.py:22-45 — and a changelog is the same
+  * consumption contract for row-level change streams).
+  *
+  * The feed is derived, not stored: the streaming writers already name
+  * every epoch's data files `-s<tag>-e<epoch>-` ([[GraftEqDel]] epoch
+  * floors) and equality-upsert epochs already persist their key tuples
+  * in per-epoch sidecars. A changes row is therefore either
+  *
+  *  - an epoch data file's row, labeled `upsert` when the epoch still
+  *    has a live key sidecar (its keys retracted all older rows) and
+  *    `insert` otherwise (an append-mode epoch, or an upsert epoch
+  *    whose sidecar provably deleted nothing and was GC'd), or
+  *  - a sidecar key tuple, labeled `delete`: key columns populated,
+  *    every other column NULL — Iceberg's equality-delete changelog
+  *    row shape.
+  *
+  * Two virtual columns extend the table schema: `_change_type`
+  * (insert | upsert | delete) and `_change_epoch`. Predicates on them
+  * push down EXACTLY — an epoch-bounded read plans only that epoch's
+  * files and sidecars, so consuming the feed costs the CHANGE, never
+  * the table (the 100 TB contract; same posture as the epoch writes).
+  *
+  * The feed is a KEYED changelog, and compaction may coalesce: the
+  * per-epoch sidecar maintenance ([[GraftEqDel.compactSidecars]]) drops
+  * keys re-deleted by later epochs and whole sidecars that deleted
+  * nothing, so a key's retraction is attributed to the LATEST epoch
+  * that retracted it. Replaying the feed keyed by the upsert keys
+  * converges to the live table state regardless.
+  *
+  * Horizon (Delta's "CDC disabled before version v" rule): only LIVE
+  * epoch-named emission files are servable. `rewrite_deletes`
+  * materialization rewrites files (stamped `-ef<tag>x<n>-`, excluded as
+  * artifacts) and consumes sidecars — epochs at or below the max stamp
+  * are rewritten history. An EXPLICIT lower bound at or below the
+  * horizon refuses loudly; an unbounded read serves the retained feed.
+  * Batch appends, compaction artifacts and other streams' files carry
+  * no current-stream epoch and are outside the feed by contract.
+  *
+  * Refusals (loud, never silently-partial): tables with live positional
+  * deletion vectors (row-level DML carries no epoch attribution — the
+  * changelog is defined for streaming epochs), evolved partition specs,
+  * and directories whose un-materialized emission files span MULTIPLE
+  * stream tags with no live sidecar to pick the current one (compact to
+  * reset the horizon).
+  */
+private[sources] object GraftChanges {
+
+  val TypeCol = "_change_type"
+  val EpochCol = "_change_epoch"
+  private[sources] val TypeValues = Set("insert", "upsert", "delete")
+
+  /** The changes relation schema: every data column NULLABLE (delete
+    * rows carry keys only) + the two virtual columns.
+    */
+  def changesSchema(base: StructType): StructType = {
+    require(!base.fieldNames.exists(n =>
+      n.equalsIgnoreCase(TypeCol) || n.equalsIgnoreCase(EpochCol)),
+      s"table already has a $TypeCol/$EpochCol column — the changes " +
+        "relation cannot disambiguate it")
+    StructType(base.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField(TypeCol, StringType, nullable = false),
+      StructField(EpochCol, LongType, nullable = false)))
+  }
+
+  /** Feed identity from live state: the owning stream tag (live
+    * sidecars' tag, else the unique un-materialized emission tag) and
+    * the materialization horizon (max floor stamp for that tag; epochs
+    * at or below it are rewritten history). Shared by the batch scan
+    * and the micro-batch stream so both honor one contract.
+    */
+  def tagAndHorizon(tableDir: Path,
+      sidecars: Seq[GraftEqDel.EqDel], names: Seq[String])
+      : (Option[String], Long) = {
+    val emissionTags = names.filterNot(GraftEqDel.hasFloorStamp)
+      .flatMap(n => GraftEqDel.emissionOf(n).map(_._1)).distinct
+    val tag = sidecars.headOption.map(_.tag).orElse {
+      require(emissionTags.length <= 1,
+        s"$tableDir holds emission files from ${emissionTags.length} " +
+          "different streams with no live sidecar to order them — the " +
+          "changelog horizon is ambiguous; CALL system.compact to reset")
+      emissionTags.headOption
+    }
+    val horizon = tag match {
+      case None => -1L
+      case Some(t) =>
+        names.iterator.map(GraftEqDel.floorStampOf(_, t))
+          .foldLeft(-1L)(math.max)
+    }
+    (tag, horizon)
+  }
+
+  /** Load + validate the sidecars the way the batch scan does: single
+    * stream/key-columns, keys under the read cap (delete partitions
+    * ship one epoch's tuples to one task each).
+    */
+  def loadSidecars(fs: org.apache.hadoop.fs.FileSystem, tableDir: Path)
+      : Seq[GraftEqDel.EqDel] = {
+    val sidecars = GraftEqDel.list(fs, tableDir).map(GraftEqDel.read(fs, _))
+    require(sidecars.map(_.tag).distinct.length <= 1 &&
+      sidecars.map(_.cols.map(_.toLowerCase)).distinct.length <= 1,
+      s"$tableDir carries equality deletes from mixed streams or key " +
+        "columns — CALL system.rewrite_deletes first")
+    val maxKeys = SparkSession.active.conf.getOption(GraftEqDel.MaxKeysConf)
+      .map(_.toLong).getOrElse(GraftEqDel.MaxKeysDefault)
+    val total = sidecars.iterator.map(_.keys.length.toLong).sum
+    require(total <= maxKeys,
+      s"$tableDir holds $total live equality-delete keys (cap " +
+        s"$maxKeys): CALL system.rewrite_deletes to materialize them")
+    sidecars
+  }
+}
+
+/** The `<table>.changes` relation (read-only). Scans wrap the format
+  * delegate's file scan: emission files keep the delegate's splits and
+  * readers (alias-merging rename reader included) with the two virtual
+  * columns appended per file at zero copy ([[JoinedRow]]); delete rows
+  * stream from the sidecars' decoded key tuples.
+  */
+private[sources] final class GraftChangesTable(
+    spark: SparkSession, baseName: String, dir: String, format: String,
+    meta: GraftTableMeta)
+  extends Table with SupportsRead {
+
+  require(format == "parquet",
+    s"$baseName.changes: the changelog is defined over parquet tables " +
+      s"(epoch-named streaming files); format is $format")
+  require(meta.evolvedCols.isEmpty,
+    s"$baseName.changes: table has an evolved partition spec — " +
+      "changelog reads across mixed-era layouts are not supported; " +
+      "CALL system.compact to materialize the current spec first")
+
+  private def delegate = {
+    val opts = new CaseInsensitiveStringMap(
+      Map.empty[String, String].asJava)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name(), spark, opts, Seq(dir), meta.schema,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+  }
+
+  override def name(): String = s"$baseName.changes"
+
+  override def schema(): StructType =
+    GraftChanges.changesSchema(meta.schema.getOrElse(delegate.schema))
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options) match {
+      case fsb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+        new GraftChangesScanBuilder(fsb, new Path(dir), schema(),
+          meta.renameAliases,
+          fromEpoch = Option(options.get("fromEpoch")).map(_.toLong),
+          toEpoch = Option(options.get("toEpoch")).map(_.toLong),
+          maxEpochsPerTrigger =
+            Option(options.get("maxEpochsPerTrigger")).map(_.toLong))
+      case other => throw new IllegalStateException(
+        s"unreachable: parquet delegate returned $other")
+    }
+}
+
+/** Pushdown surface of the changes relation: required-column pruning
+  * forwards data columns to the delegate (virtual columns peel off);
+  * predicates on `_change_epoch` / `_change_type` are handled EXACTLY
+  * (every row of an epoch file has that epoch; sidecar rows are typed
+  * at emission) — everything else stays residual, evaluated by Spark
+  * over the feed's rows, so a data-column predicate can never drop a
+  * delete row incorrectly.
+  */
+private[sources] final class GraftChangesScanBuilder(
+    fsb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
+    tableDir: Path, fullSchema: StructType,
+    renameAliases: Map[String, Seq[String]],
+    fromEpoch: Option[Long], toEpoch: Option[Long],
+    maxEpochsPerTrigger: Option[Long] = None)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  import GraftChanges._
+
+  // default projection: everything (pruneColumns overrides)
+  private var virtualReq: Seq[StructField] =
+    fullSchema.fields.toSeq.filter(f =>
+      f.name == TypeCol || f.name == EpochCol)
+
+  private var lo: Option[Long] = fromEpoch
+  private var hi: Option[Long] = toEpoch
+  private var epochSet: Option[Set[Long]] = None
+  private var typeSet: Option[Set[String]] = None
+  private var pushed: Seq[Filter] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (virt, data) = requiredSchema.fields.partition(f =>
+      f.name == TypeCol || f.name == EpochCol)
+    virtualReq = virt.toSeq
+    fsb.pruneColumns(StructType(data))
+  }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter {
+      case EqualTo(EpochCol, v) if longOf(v).isDefined =>
+        val e = longOf(v).get
+        epochSet = Some(epochSet.getOrElse(Set(e)).intersect(Set(e)))
+        pushed :+= EqualTo(EpochCol, v); false
+      case GreaterThan(EpochCol, v) if longOf(v).isDefined =>
+        lo = Some(math.max(lo.getOrElse(Long.MinValue), longOf(v).get + 1))
+        pushed :+= GreaterThan(EpochCol, v); false
+      case GreaterThanOrEqual(EpochCol, v) if longOf(v).isDefined =>
+        lo = Some(math.max(lo.getOrElse(Long.MinValue), longOf(v).get))
+        pushed :+= GreaterThanOrEqual(EpochCol, v); false
+      case LessThan(EpochCol, v) if longOf(v).isDefined =>
+        hi = Some(math.min(hi.getOrElse(Long.MaxValue), longOf(v).get - 1))
+        pushed :+= LessThan(EpochCol, v); false
+      case LessThanOrEqual(EpochCol, v) if longOf(v).isDefined =>
+        hi = Some(math.min(hi.getOrElse(Long.MaxValue), longOf(v).get))
+        pushed :+= LessThanOrEqual(EpochCol, v); false
+      case f @ In(EpochCol, vs) if vs.forall(longOf(_).isDefined) =>
+        val s = vs.flatMap(longOf).toSet
+        epochSet = Some(epochSet.map(_.intersect(s)).getOrElse(s))
+        pushed :+= f; false
+      case f @ EqualTo(TypeCol, v: String) if TypeValues(v) =>
+        typeSet = Some(typeSet.map(_.intersect(Set(v))).getOrElse(Set(v)))
+        pushed :+= f; false
+      case f @ In(TypeCol, vs) if vs.forall {
+          case s: String => TypeValues(s); case _ => false } =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        typeSet = Some(typeSet.map(_.intersect(s)).getOrElse(s))
+        pushed :+= f; false
+      case _ => true
+    }
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed.toArray
+
+  override def build(): Scan = fsb.build() match {
+    case fscan: FileScan =>
+      new GraftChangesScan(fscan, tableDir, virtualReq, lo, hi, epochSet,
+        typeSet, renameAliases, maxEpochsPerTrigger)
+    case other => throw new IllegalStateException(
+      s"unreachable: delegate built $other")
+  }
+}
+
+/** One sidecar's delete rows: the epoch and its decoded key tuples
+  * ('l' components as Long, 's' as String, None = the null key).
+  */
+private[sources] final case class ChangesSidecarPartition(
+    epoch: Long, keys: Seq[Seq[Option[Any]]]) extends InputPartition
+
+private[sources] final class GraftChangesScan(
+    fileScan: FileScan, tableDir: Path, virtualReq: Seq[StructField],
+    lo: Option[Long], hi: Option[Long], epochSet: Option[Set[Long]],
+    typeSet: Option[Set[String]],
+    renameAliases: Map[String, Seq[String]],
+    maxEpochsPerTrigger: Option[Long] = None)
+  extends Scan with Batch {
+
+  import GraftChanges._
+
+  override def readSchema(): StructType =
+    StructType(fileScan.readSchema().fields ++ virtualReq)
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftChangesScan(${tableDir.getName}, " +
+      s"epochs=[${lo.getOrElse("-inf")},${hi.getOrElse("+inf")}]" +
+      s"${epochSet.map(s => s" in {${s.toSeq.sorted.mkString(",")}}")
+        .getOrElse("")}, " +
+      s"types=${typeSet.getOrElse(TypeValues).toSeq.sorted.mkString("|")})"
+
+  private def admitsEpoch(e: Long): Boolean =
+    lo.forall(e >= _) && hi.forall(e <= _) && epochSet.forall(_.contains(e))
+  private def admitsType(t: String): Boolean = typeSet.forall(_.contains(t))
+
+  /** Driver-side feed state, recomputed per planning pass (AQE may
+    * re-plan; listings must see the current directory, same contract
+    * as the main scans).
+    */
+  private final class FeedState {
+    val fs = tableDir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    require(GraftDv.list(fs, tableDir).isEmpty,
+      s"$tableDir carries live positional deletion vectors — row-level " +
+        "DML has no epoch attribution, so the changelog is undefined; " +
+        "CALL system.rewrite_deletes, or consume the table state instead")
+    val sidecars: Seq[GraftEqDel.EqDel] =
+      GraftChanges.loadSidecars(fs, tableDir)
+    lazy val delegateParts: Array[InputPartition] =
+      fileScan.toBatch.planInputPartitions()
+    private lazy val names: Seq[String] = delegateParts.toSeq.collect {
+      case fp: FilePartition => fp.files.toSeq.map(_.toPath.getName)
+    }.flatten
+    private lazy val tagHorizon =
+      GraftChanges.tagAndHorizon(tableDir, sidecars, names)
+    def feedTag: Option[String] = tagHorizon._1
+    /** Max materialization stamp for the feed tag: epochs at or below
+      * it are rewritten history.
+      */
+    def horizon: Long = tagHorizon._2
+    /** An EXPLICIT epoch bound that reaches into rewritten history must
+      * refuse, not silently serve a partial feed (Delta's
+      * beyond-retention error). Only the UNBOUNDED read serves "the
+      * retained feed, whatever it is".
+      */
+    def checkHorizon(): Unit = {
+      if (horizon < 0) return
+      if (lo.isEmpty && hi.isEmpty && epochSet.isEmpty) return
+      val l = lo.getOrElse(0L)
+      val demandsRewritten =
+        l <= horizon && hi.forall(_ >= 0L) && (epochSet match {
+          case None => true
+          case Some(s) =>
+            s.exists(e => e >= l && e <= horizon && hi.forall(e <= _))
+        })
+      require(!demandsRewritten,
+        s"$tableDir: epochs at or below $horizon were materialized by " +
+          "rewrite_deletes — that change history is rewritten and " +
+          "cannot be served. Bound the read above the horizon " +
+          s"(_change_epoch > $horizon) or read unbounded for the " +
+          "retained feed")
+    }
+    val sidecarEpochs: Set[Long] = sidecars.map(_.epoch).toSet
+    def servable(e: Long): Boolean = e > horizon && admitsEpoch(e)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = new FeedState
+    st.checkHorizon()
+    val tag = st.feedTag.getOrElse(return Array.empty)
+    def label(e: Long): String =
+      if (st.sidecarEpochs.contains(e)) "upsert" else "insert"
+    val emissions: Array[InputPartition] = st.delegateParts.flatMap {
+      case fp: FilePartition =>
+        val kept = fp.files.filter { f =>
+          val n = f.toPath.getName
+          !GraftEqDel.hasFloorStamp(n) &&
+            GraftEqDel.emissionOf(n).exists { case (t, e) =>
+              t == tag && st.servable(e) && admitsType(label(e))
+            }
+        }
+        if (kept.isEmpty) None
+        else Some(FilePartition(0, kept): InputPartition)
+      case _ => None
+    }
+    val deletes: Array[InputPartition] =
+      if (!admitsType("delete")) Array.empty
+      else st.sidecars.filter(d => st.servable(d.epoch))
+        .map(d => ChangesSidecarPartition(d.epoch, d.keys): InputPartition)
+        .toArray
+    // re-index (FilePartition indices are positional metadata only)
+    (emissions ++ deletes).zipWithIndex.map {
+      case (fp: FilePartition, i) => FilePartition(i, fp.files)
+      case (p, _) => p
+    }
+  }
+
+  /** Factory construction shared by the batch path and the stream —
+    * the stream passes a FRESH census (the scan-build-time delegate
+    * index is stale for a running stream).
+    */
+  private def buildFactory(sidecars: Seq[GraftEqDel.EqDel],
+      feedTag: Option[String]): PartitionReaderFactory = {
+    val conf = new GraftPartitionedCow.SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    def iso(f: PartitionReaderFactory): PartitionReaderFactory =
+      new GraftRetired.FallbackReaderFactory(f, tableDir.toString, conf)
+    val inner = GraftRename.factoryFor(fileScan, renameAliases, iso)
+      .getOrElse(iso(fileScan.toBatch.createReaderFactory()))
+    val dataFields = fileScan.readSchema().fields
+    // sidecar row plan: for each output slot, where its value comes from
+    val keyCols = sidecars.headOption.map(_.cols).getOrElse(Nil)
+    val slotPlan: Array[Int] = dataFields.map { f =>
+      keyCols.indexWhere(_.equalsIgnoreCase(f.name)) // -1 = null slot
+    } ++ virtualReq.map(f => if (f.name == TypeCol) -2 else -3)
+    val slotTypes: Array[DataType] =
+      (dataFields.map(_.dataType) ++ virtualReq.map(_.dataType)).toArray
+    new GraftChangesReaderFactory(inner, feedTag.getOrElse(""),
+      sidecars.map(_.epoch).toSet,
+      virtualReq.map(f => f.name == TypeCol).toArray,
+      dataFields.length, slotPlan, slotTypes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val st = new FeedState
+    buildFactory(st.sidecars, st.feedTag)
+  }
+
+  /** Streaming CDC consumption —
+    * `spark.readStream.table("cat.ns.t.changes")`: offsets ARE feed
+    * epochs ("delivered through epoch e"), so the checkpoint is stable
+    * across restarts by construction and each micro-batch plans
+    * exactly its epochs' emission files + sidecars — per-trigger cost
+    * is the CHANGE, never the table, the same contract as the batch
+    * feed. `maxEpochsPerTrigger` bounds catch-up batches.
+    *
+    * Replay semantics: an epoch's emission files are immutable
+    * post-commit, so re-delivery after a crash is byte-identical;
+    * delete rows may COALESCE between delivery and replay (the
+    * sidecar compaction re-attributes a key's retraction to the latest
+    * retracting epoch), so consumers must key on the upsert keys — the
+    * keyed replay converges identically. Materializing
+    * (rewrite_deletes) UNDER a lagging consumer destroys history it
+    * has not delivered: the next batch refuses loudly rather than
+    * serving a partial feed.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChangesMicroBatchStream
+
+  private final class ChangesMicroBatchStream
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+    private def spark = SparkSession.active
+    private val fs = tableDir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+    private case class EpochOffset(epoch: Long) extends Offset {
+      override def json(): String = s"""{"epoch":$epoch}"""
+    }
+
+    private final case class Census(tag: Option[String], horizon: Long,
+        sidecars: Seq[GraftEqDel.EqDel],
+        emissions: Seq[(org.apache.hadoop.fs.FileStatus, Long)])
+
+    /** Fresh per call: every trigger must see the current directory. */
+    private def census(): Census = {
+      require(GraftDv.list(fs, tableDir).isEmpty,
+        s"$tableDir carries live positional deletion vectors — " +
+          "row-level DML has no epoch attribution, so the changelog " +
+          "stream is undefined; CALL system.rewrite_deletes")
+      val sidecars = GraftChanges.loadSidecars(fs, tableDir)
+      val files = GraftEvolved.listVisible(fs, tableDir)
+      val (tag, horizon) = GraftChanges.tagAndHorizon(tableDir, sidecars,
+        files.map(_.getPath.getName))
+      val em = tag match {
+        case None => Nil
+        case Some(t) => files.flatMap { st =>
+          val n = st.getPath.getName
+          if (GraftEqDel.hasFloorStamp(n)) None
+          else GraftEqDel.emissionOf(n).collect {
+            case (tt, e) if tt == t => (st, e)
+          }
+        }
+      }
+      Census(tag, horizon, sidecars, em)
+    }
+
+    private def available(c: Census): Seq[Long] =
+      (c.emissions.map(_._2) ++ c.sidecars.map(_.epoch))
+        .filter(e => e > c.horizon && admitsEpoch(e)).distinct.sorted
+
+    override def initialOffset(): Offset = EpochOffset(census().horizon)
+
+    override def deserializeOffset(json: String): Offset =
+      EpochOffset(""""epoch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(
+          throw new IllegalArgumentException(s"bad offset: $json")))
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "admission-controlled source: latestOffset(start, limit)")
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[EpochOffset].epoch
+      val fresh = available(census()).filter(_ > s)
+      if (fresh.isEmpty) EpochOffset(s)
+      else EpochOffset(maxEpochsPerTrigger match {
+        // admit the m OLDEST undelivered epochs (bounded catch-up)
+        case Some(m) if m > 0 => fresh.take(m.toInt).max
+        case _ => fresh.max
+      })
+    }
+
+    override def reportLatestOffset(): Offset = {
+      val c = census()
+      EpochOffset(available(c).foldLeft(c.horizon)(math.max))
+    }
+
+    override def planInputPartitions(start: Offset, end: Offset)
+        : Array[InputPartition] = {
+      val s = start.asInstanceOf[EpochOffset].epoch
+      val e = end.asInstanceOf[EpochOffset].epoch
+      if (e <= s) return Array.empty
+      val c = census()
+      // a batch reaching below the CURRENT horizon means history was
+      // materialized under this consumer before it delivered it
+      require(s >= c.horizon,
+        s"$tableDir: epochs at or below ${c.horizon} were materialized " +
+          s"by rewrite_deletes but this changelog stream had only " +
+          s"delivered through epoch $s — the undelivered change " +
+          "history is rewritten. Restart the consumer from the current " +
+          "state (fresh checkpoint) instead")
+      val tag = c.tag.getOrElse(return Array.empty)
+      def inRange(ep: Long): Boolean = ep > s && ep <= e && admitsEpoch(ep)
+      def label(ep: Long): String =
+        if (c.sidecars.exists(_.epoch == ep)) "upsert" else "insert"
+      val files = c.emissions
+        .filter { case (_, ep) => inRange(ep) && admitsType(label(ep)) }
+        .map(_._1)
+      val fileParts: Array[InputPartition] =
+        if (files.isEmpty) Array.empty
+        else {
+          // the batch's files behind a fresh index (basePath keeps
+          // hive partition inference rooted at the TABLE) — the
+          // template scan supplies pruned schemas, so the shared
+          // reader factory applies (the table-stream pattern)
+          val idx =
+            new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+              spark, files.map(_.getPath),
+              Map("basePath" -> tableDir.toString),
+              Some(StructType(fileScan.dataSchema.fields ++
+                fileScan.fileIndex.partitionSchema.fields)))
+          GraftScanFilters.withFileIndex(fileScan, idx)
+            .toBatch.planInputPartitions()
+        }
+      val deletes: Array[InputPartition] =
+        if (!admitsType("delete")) Array.empty
+        else c.sidecars.filter(d => inRange(d.epoch))
+          .map(d => ChangesSidecarPartition(d.epoch, d.keys): InputPartition)
+          .toArray
+      (fileParts ++ deletes).zipWithIndex.map {
+        case (fp: FilePartition, i) => FilePartition(i, fp.files)
+        case (p, _) => p
+      }
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val c = census()
+      buildFactory(c.sidecars, c.tag)
+    }
+
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+}
+
+/** Emission files ride the wrapped delegate reader with the virtual
+  * columns appended per file (constant across the file — a
+  * [[JoinedRow]], zero copy per row); sidecar partitions stream their
+  * key tuples as delete rows. Row-based by design: the feed is an
+  * incremental-consumption surface, not an analytics hot path.
+  */
+private[sources] final class GraftChangesReaderFactory(
+    inner: PartitionReaderFactory, feedTag: String,
+    sidecarEpochs: Set[Long],
+    // per appended virtual slot: true = _change_type, false = _change_epoch
+    virtualIsType: Array[Boolean],
+    nDataFields: Int, slotPlan: Array[Int], slotTypes: Array[DataType])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case fp: FilePartition => new EmissionReader(fp.files)
+    case sc: ChangesSidecarPartition => new SidecarReader(sc)
+    case other => inner.createReader(other)
+  }
+
+  /** Chains the partition's files; per file, a constant (type, epoch)
+    * pair joins every row.
+    */
+  private final class EmissionReader(files: Array[PartitionedFile])
+    extends PartitionReader[InternalRow] {
+    private val joined = new JoinedRow
+    private val virt = new GenericInternalRow(virtualIsType.length)
+    private var fi = -1
+    private var cur: PartitionReader[InternalRow] = _
+
+    private def advance(): Boolean = {
+      if (cur != null) { cur.close(); cur = null }
+      fi += 1
+      if (fi >= files.length) false
+      else {
+        val f = files(fi)
+        val (tag, epoch) = GraftEqDel.emissionOf(f.toPath.getName)
+          .getOrElse(throw new IllegalStateException(
+            s"planned non-emission file ${f.toPath}"))
+        require(tag == feedTag, s"planned foreign-stream file ${f.toPath}")
+        val label = UTF8String.fromString(
+          if (sidecarEpochs.contains(epoch)) "upsert" else "insert")
+        var i = 0
+        while (i < virtualIsType.length) {
+          virt.update(i, if (virtualIsType(i)) label else epoch)
+          i += 1
+        }
+        cur = inner.createReader(FilePartition(0, Array(f)))
+        true
+      }
+    }
+
+    override def next(): Boolean = {
+      while (true) {
+        if (cur == null && !advance()) return false
+        if (cur.next()) return true
+        cur.close(); cur = null
+      }
+      false
+    }
+
+    override def get(): InternalRow = joined(cur.get(), virt)
+
+    override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  }
+
+  private final class SidecarReader(sc: ChangesSidecarPartition)
+    extends PartitionReader[InternalRow] {
+    private val row = new GenericInternalRow(slotPlan.length)
+    private val it = sc.keys.iterator
+
+    private def castKey(v: Any, dt: DataType): Any = (v, dt) match {
+      case (l: Long, ByteType) => l.toByte
+      case (l: Long, ShortType) => l.toShort
+      case (l: Long, IntegerType) => l.toInt
+      case (l: Long, LongType) => l
+      case (s: String, StringType) => UTF8String.fromString(s)
+      case (other, t) => throw new IllegalStateException(
+        s"equality key $other cannot serve a $t column")
+    }
+
+    override def next(): Boolean = {
+      if (!it.hasNext) return false
+      val k = it.next()
+      var i = 0
+      while (i < slotPlan.length) {
+        row.update(i, slotPlan(i) match {
+          case -2 => UTF8String.fromString("delete")
+          case -3 => sc.epoch
+          case -1 => null
+          case ki => k(ki).map(castKey(_, slotTypes(i))).orNull
+        })
+        i += 1
+      }
+      true
+    }
+
+    override def get(): InternalRow = row
+    override def close(): Unit = ()
+  }
+}

@@ -289,6 +289,30 @@ private[graft] object GraftEqDel {
   /** The materialization floor stamp for replacement file names. */
   def floorStamp(tag: String, epoch: Long): String = s"-ef${tag}x$epoch-"
 
+  /** (tag, epoch) when the file name carries a streaming emission tag
+    * (`-s<tag>-e<epoch>-`) — the file IS that epoch's emission unless a
+    * materialization floor stamp marks it as a rewrite artifact.
+    * Feeds [[GraftChanges]]'s changelog reads.
+    */
+  def emissionOf(fileName: String): Option[(String, Long)] =
+    StreamTagRe.findFirstMatchIn(fileName)
+      .map(m => (m.group(1), m.group(2).toLong))
+
+  /** Whether the name carries ANY materialization floor stamp (any
+    * tag): such a file is a rewrite_deletes replacement, never an
+    * epoch emission.
+    */
+  def hasFloorStamp(fileName: String): Boolean =
+    FloorRe.findFirstIn(fileName).isDefined
+
+  /** Max materialization floor stamped for `tag` in the name, -1 when
+    * none: the changelog horizon — epochs at or below it had their
+    * emission files rewritten and their sidecars consumed.
+    */
+  def floorStampOf(fileName: String, tag: String): Long =
+    FloorRe.findAllMatchIn(fileName).filter(_.group(1) == tag)
+      .map(_.group(2).toLong).foldLeft(-1L)(math.max)
+
   // ---- the read-side index ----------------------------------------------------
 
   /** Everything a scan needs: the owning tag, the key columns (names +

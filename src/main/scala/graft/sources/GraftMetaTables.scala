@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES, addressed as nested identifiers —
+  * `SELECT ... FROM cat.ns.t.files` / `cat.ns.t.history` (Iceberg's
+  * `db.table.files` / `db.table.history` inspection surface; the
+  * reference operates Iceberg v2 tables, process_covid_raw.py:102-105,
+  * whose operators inspect exactly these).
+  *
+  * Both are [[LocalScan]]s: the rows are the driver-side directory
+  * bookkeeping every scan already pays (file listing, sidecar headers)
+  * — never data reads. Planned as `LocalTableScanExec`: zero tasks,
+  * zero file opens, any size table. `files` row counts come from the
+  * [[GraftStats]] skipping manifest when one exists (the same metadata
+  * the count(*) fast path serves); files outside the manifest report
+  * NULL records rather than paying a footer read.
+  */
+private[sources] object GraftMetaTables {
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("records", LongType, nullable = true),
+    StructField("stream_epoch", LongType, nullable = true),
+    StructField("has_dv", BooleanType, nullable = false)))
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = true),
+    StructField("is_live", BooleanType, nullable = false),
+    StructField("published_at", TimestampType, nullable = false),
+    StructField("path", StringType, nullable = false)))
+
+  /** `<table>.files`: one row per live data file. */
+  def filesRows(spark: SparkSession, tableDir: Path): Array[InternalRow] = {
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tableDir)) return Array.empty
+    val dirUri = tableDir.toUri.getPath
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(dirUri).stripPrefix("/")
+    val stats = GraftStats.read(fs, tableDir)
+    val dvs = GraftDv.list(fs, tableDir)
+    GraftEvolved.listVisible(fs, tableDir).map { st =>
+      val r = rel(st.getPath)
+      val dir = r.lastIndexOf('/') match {
+        case -1 => ""
+        case i => r.take(i)
+      }
+      val row = new GenericInternalRow(6)
+      row.update(0, UTF8String.fromString(r))
+      row.update(1, UTF8String.fromString(dir))
+      row.update(2, st.getLen)
+      // manifest identity check (same rule as the skipping tiers): a
+      // row count only serves if the entry still matches the live
+      // file — a stale count must report NULL, never silently wrong
+      row.update(3, stats.get(r)
+        .filter(s => s.size == st.getLen &&
+          s.mtime == st.getModificationTime)
+        .map(s => java.lang.Long.valueOf(s.rows)).orNull)
+      row.update(4, GraftEqDel.emissionOf(st.getPath.getName)
+        .map(e => java.lang.Long.valueOf(e._2)).orNull)
+      row.update(5, dvs.contains(r))
+      row: InternalRow
+    }.toArray
+  }
+
+  /** `<table>.history`: the retained full-replace versions (what
+    * VERSION AS OF / TIMESTAMP AS OF resolve against) plus the live
+    * state, publish-ordered.
+    */
+  def historyRows(spark: SparkSession, fs: FileSystem, root: String,
+      layer: String, table: String, versions: Seq[Int])
+      : Array[InternalRow] = {
+    def rowOf(v: Option[Int], p: Path): InternalRow = {
+      val row = new GenericInternalRow(4)
+      row.update(0, v.map(java.lang.Integer.valueOf).orNull)
+      row.update(1, v.isEmpty)
+      row.update(2, fs.getFileStatus(p).getModificationTime * 1000L)
+      row.update(3, UTF8String.fromString(p.toString))
+      row
+    }
+    val vs = versions.sorted.map { v =>
+      rowOf(Some(v),
+        new Path(s"$root/$layer/$table.__versions/" + f"v$v%06d"))
+    }
+    (vs :+ rowOf(None, new Path(s"$root/$layer/$table"))).toArray
+  }
+}
+
+/** A read-only metadata table: fixed schema, rows computed fresh at
+  * every scan build (the listing must see the current directory state,
+  * same contract as the data scans).
+  */
+private[sources] final class GraftMetaTable(
+    tableName: String, metaSchema: StructType,
+    rowsFn: () => Array[InternalRow])
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = metaSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = metaSchema
+        override def rows(): Array[InternalRow] = rowsFn()
+        override def description(): String = tableName
+      }
+    }
+}

@@ -1,0 +1,427 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CHANGELOG reads (`<table>.changes`, [[GraftChanges]]) and the
+  * metadata relations (`<table>.files` / `<table>.history`,
+  * [[GraftMetaTables]]). The proofs: the feed's rows are exactly the
+  * epochs' emissions + sidecar retractions with the coalescing
+  * contract; epoch/type predicates prune EXACTLY (reads succeed with
+  * every out-of-range file corrupted); keyed replay of the feed
+  * converges to the live state; materialization advances the horizon
+  * (explicit bounds into rewritten history refuse, unbounded reads
+  * serve the retained feed); DV'd tables refuse; schema evolution
+  * (rename aliases, type widening) applies to old epochs' files; the
+  * metadata relations answer from driver-side listings only.
+  */
+class GraftChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(versions: Int = 0): (String, String) = {
+    n += 1
+    val name = s"gch${n}_${System.nanoTime()}"
+    val root = tmpDir(s"graft-ch-$name")
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    if (versions > 0)
+      spark.conf.set(s"spark.sql.catalog.$name.versions", versions.toString)
+    (name, root)
+  }
+
+  private def fsOf(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def withShuffle4[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** The 3-epoch equality-upsert stream from GraftEqDelSpec's parity
+    * case: epoch 0 {1->10,2->20,3->30}, epoch 1 {2->25(cnt2),4->40},
+    * epoch 2 {1->11(cnt2),4->44(cnt2)}.
+    */
+  private def runUpsertStream(cat: String, table: String): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir(s"gch-cp-$table"))
+        .toTable(s"$cat.mart.$table")
+      try {
+        mem.addData((1L, 10L), (2L, 20L), (3L, 30L))
+        q.processAllAvailable()
+        mem.addData((2L, 5L), (4L, 40L))
+        q.processAllAvailable()
+        mem.addData((1L, 1L), (4L, 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+  }
+
+  private def corruptFiles(root: String, rel: String,
+      keep: String => Boolean): Int = {
+    val fs = fsOf(root)
+    var hit = 0
+    fs.listStatus(new Path(s"$root/$rel")).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).foreach { st =>
+      if (!keep(st.getPath.getName)) {
+        val (len, mtime) = (st.getLen, st.getModificationTime)
+        val out = fs.create(st.getPath, true)
+        try out.write(Array.fill(len.toInt)('x'.toByte)) finally out.close()
+        fs.setTimes(st.getPath, mtime, -1)
+        hit += 1
+      }
+    }
+    hit
+  }
+
+  test("equality-upsert feed: emissions + coalesced retractions, keyed replay converges") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.eq (k BIGINT, total BIGINT, cnt BIGINT)")
+    runUpsertStream(cat, "eq")
+
+    val feed = spark.table(s"$cat.mart.eq.changes").collect().map { r =>
+      (r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("_change_epoch")),
+        r.getLong(r.fieldIndex("k")),
+        if (r.isNullAt(r.fieldIndex("total"))) -1L
+        else r.getLong(r.fieldIndex("total")))
+    }.sorted.toSeq
+    // epoch 0's sidecar was dead on a stream-born table (nothing older)
+    // and is GC'd => its emissions are true INSERTS; epoch 1's
+    // retraction of k=4 coalesced into epoch 2's sidecar (the keyed
+    // changelog contract), leaving k=2 attributed to epoch 1
+    val expected = Seq(
+      ("delete", 1L, 2L, -1L),
+      ("delete", 2L, 1L, -1L), ("delete", 2L, 4L, -1L),
+      ("insert", 0L, 1L, 10L), ("insert", 0L, 2L, 20L),
+      ("insert", 0L, 3L, 30L),
+      ("upsert", 1L, 2L, 25L), ("upsert", 1L, 4L, 40L),
+      ("upsert", 2L, 1L, 11L), ("upsert", 2L, 4L, 44L)).sorted
+    assert(feed == expected, s"feed mismatch:\n$feed\nvs\n$expected")
+
+    // keyed replay: last emission per key == the live table state
+    val replayed = spark.table(s"$cat.mart.eq.changes")
+      .where(col("_change_type") =!= "delete")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("_change_epoch").desc)))
+      .where(col("rn") === 1).select(col("k"), col("total"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val live = spark.table(s"$cat.mart.eq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(replayed == live, s"replay diverged: $replayed vs $live")
+  }
+
+  test("epoch and type predicates prune exactly: out-of-range files can be corrupt") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.eq (k BIGINT, total BIGINT, cnt BIGINT)")
+    runUpsertStream(cat, "eq")
+
+    // corrupt every data file that is NOT an epoch-2 emission: an
+    // epoch-bounded read must not open any of them
+    val hit = corruptFiles(root, "mart/eq",
+      keep = n => GraftEqDel.emissionOf(n).exists(_._2 == 2L))
+    assert(hit > 0, "expected files outside epoch 2 to exist")
+
+    val e2 = spark.table(s"$cat.mart.eq.changes")
+      .where(col("_change_epoch") === 2)
+      .collect().map(r => (r.getString(3), r.getLong(4),
+        Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(-1L)))
+      .sorted.toSeq
+    assert(e2 == Seq(("delete", 2L, 1L), ("delete", 2L, 4L),
+      ("upsert", 2L, 1L), ("upsert", 2L, 4L)).sorted)
+
+    // a delete-only read opens NO data file at all
+    val dels = spark.table(s"$cat.mart.eq.changes")
+      .where(col("_change_type") === "delete")
+      .select(col("_change_epoch"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(dels == Seq((1L, 2L), (2L, 1L), (2L, 4L)))
+  }
+
+  test("materialization advances the horizon: explicit bounds refuse, unbounded serves the retained feed") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.eq (k BIGINT, total BIGINT, cnt BIGINT)")
+    runUpsertStream(cat, "eq")
+    spark.sql(s"CALL $cat.system.rewrite_deletes(table => 'mart.eq')").collect()
+    assert(GraftEqDel.list(fsOf(root), new Path(s"$root/mart/eq")).isEmpty)
+
+    // epochs <= 2 are rewritten history now: an explicit bound into
+    // them refuses loudly instead of serving a partial feed
+    val e = intercept[Exception] {
+      spark.table(s"$cat.mart.eq.changes")
+        .where(col("_change_epoch") >= 0).collect()
+    }
+    assert(e.getMessage.contains("materialized by"),
+      s"wrong refusal: ${e.getMessage}")
+
+    // the unbounded read serves what is retained — epoch 2's own
+    // emission files floor AT the max sidecar epoch, so materialization
+    // left them in place but consumed their sidecar: above-horizon only
+    val retained = spark.table(s"$cat.mart.eq.changes").collect()
+    assert(retained.isEmpty,
+      s"retained feed should be empty post-materialization, " +
+        s"got ${retained.length} rows")
+
+    // and a bound strictly above the horizon is servable (empty here)
+    assert(spark.table(s"$cat.mart.eq.changes")
+      .where(col("_change_epoch") === 3).collect().isEmpty)
+  }
+
+  test("append-mode stream epochs feed as pure inserts") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.ev (k BIGINT, v BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", tmpDir("gch-cp-app"))
+        .toTable(s"$cat.raw.ev")
+      try {
+        mem.addData((1L, 10L), (2L, 20L))
+        q.processAllAvailable()
+        mem.addData((3L, 30L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val feed = spark.table(s"$cat.raw.ev.changes")
+      .select(col("_change_type"), col("_change_epoch"), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(feed == Seq(("insert", 0L, 1L), ("insert", 0L, 2L),
+      ("insert", 1L, 3L)))
+  }
+
+  test("batch-only tables feed empty; DV'd tables refuse; schema evolution reads old epochs") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    // batch files carry no epoch: outside the feed's horizon
+    spark.sql(s"CREATE TABLE $cat.ods.b (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.b VALUES (1, 1), (2, 2)")
+    assert(spark.table(s"$cat.ods.b.changes").collect().isEmpty)
+
+    // a merge-on-read DELETE leaves a positional vector: refuse
+    spark.sql(s"CREATE TABLE $cat.ods.d (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.ods.d VALUES (1, 1), (2, 2), (3, 3)")
+    spark.sql(s"DELETE FROM $cat.ods.d WHERE k = 2")
+    val e = intercept[Exception] {
+      spark.table(s"$cat.ods.d.changes").collect()
+    }
+    assert(e.getMessage.contains("deletion vectors"),
+      s"wrong refusal: ${e.getMessage}")
+
+    // rename + widening apply to files written BEFORE the DDL
+    spark.sql(s"CREATE TABLE $cat.ods.ev2 (k INT, v BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Int, Long)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", tmpDir("gch-cp-ev2"))
+        .toTable(s"$cat.ods.ev2")
+      try {
+        mem.addData((7, 70L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.sql(s"ALTER TABLE $cat.ods.ev2 RENAME COLUMN v TO val")
+    spark.sql(s"ALTER TABLE $cat.ods.ev2 ALTER COLUMN k TYPE BIGINT")
+    val rows = spark.table(s"$cat.ods.ev2.changes")
+      .select(col("k"), col("val"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((7L, 70L, "insert")),
+      s"evolved changes read mismatch: $rows")
+  }
+
+  test("streaming changes: incremental delivery, exactly-once across restart, CDC-apply converges") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.eq (k BIGINT, total BIGINT, cnt BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.mart.replica " +
+      "(k BIGINT, total BIGINT, cnt BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the upsert WRITER stream (kept open across the whole test)
+    val mem = MemoryStream[(Long, Long)]
+    val writer = withShuffle4 {
+      mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir("gch-cp-w"))
+        .toTable(s"$cat.mart.eq")
+    }
+    def epoch(data: (Long, Long)*): Unit = withShuffle4 {
+      mem.addData(data: _*); writer.processAllAvailable()
+    }
+
+    // CDC-apply: per batch, the LATEST action per key wins (emission
+    // beats delete at the same epoch — an epoch's rows survive their
+    // own sidecar), then MERGE into the replica
+    def applyBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"))
+        .orderBy(col("_change_epoch").desc,
+          when(col("_change_type") === "delete", 0).otherwise(1).desc)
+      val latest = df
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      latest.createOrReplaceTempView("cdc_batch")
+      df.sparkSession.sql(s"""MERGE INTO $cat.mart.replica t
+        USING cdc_batch s ON t.k = s.k
+        WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET total = s.total, cnt = s.cnt
+        WHEN NOT MATCHED AND s._change_type <> 'delete'
+          THEN INSERT (k, total, cnt) VALUES (s.k, s.total, s.cnt)""")
+    }
+    val cdcCp = tmpDir("gch-cp-cdc")
+    def startCdc() = spark.readStream.table(s"$cat.mart.eq.changes")
+      .writeStream.option("checkpointLocation", cdcCp)
+      .foreachBatch(applyBatch _).start()
+
+    try {
+      epoch((1L, 10L), (2L, 20L), (3L, 30L))
+      epoch((2L, 5L), (4L, 40L))
+      val cdc1 = startCdc()
+      try cdc1.processAllAvailable() finally cdc1.stop()
+      def state(t: String) = spark.table(s"$cat.mart.$t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(state("replica") == state("eq"),
+        s"CDC replica diverged after catch-up: ${state("replica")} " +
+          s"vs ${state("eq")}")
+
+      // restart from the checkpoint: only NEW epochs deliver
+      epoch((1L, 1L), (5L, 50L))
+      val cdc2 = startCdc()
+      try {
+        cdc2.processAllAvailable()
+        // exactly-once: delivered batches after restart carry only the
+        // new epoch's changes (emissions + deletes), never a replay
+        val replayed = cdc2.recentProgress
+          .map(_.numInputRows).sum
+        assert(replayed <= 5,
+          s"restart re-delivered old epochs ($replayed rows)")
+      } finally cdc2.stop()
+      assert(state("replica") == state("eq"),
+        s"CDC replica diverged after restart: ${state("replica")} " +
+          s"vs ${state("eq")}")
+    } finally writer.stop()
+  }
+
+  test("streaming changes: maxEpochsPerTrigger bounds catch-up batches") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.ev (k BIGINT, v BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", tmpDir("gch-cp-cap-w"))
+        .toTable(s"$cat.raw.ev")
+      try {
+        (1L to 3L).foreach { i =>
+          mem.addData((i, i * 10)); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val cq = spark.readStream
+      .option("maxEpochsPerTrigger", "1")
+      .table(s"$cat.raw.ev.changes")
+      .writeStream.format("memory").queryName("gch_cap")
+      .option("checkpointLocation", tmpDir("gch-cp-cap-r"))
+      .start()
+    try {
+      cq.processAllAvailable()
+      val rows = spark.table("gch_cap")
+        .select(col("_change_epoch"), col("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq((0L, 1L), (1L, 2L), (2L, 3L)),
+        s"capped stream lost or duplicated epochs: $rows")
+      val nonEmpty = cq.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"3 epochs under maxEpochsPerTrigger=1 should take >= 3 " +
+          s"batches, took $nonEmpty")
+    } finally cq.stop()
+  }
+
+  test("metadata relations: files answers from listings, history tracks retained versions") {
+    val (cat, root) = freshCatalog(versions = 3)
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (1, 'A'), (2, 'A'), (3, 'B')")
+    spark.sql(s"CALL $cat.system.analyze('ods.t')").collect()
+
+    val files = spark.table(s"$cat.ods.t.files").collect()
+    assert(files.nonEmpty)
+    assert(files.forall(r => r.getString(r.fieldIndex("partition"))
+      .startsWith("seg=")))
+    val recs = files.map(r => r.getLong(r.fieldIndex("records"))).sum
+    assert(recs == 3L, s"manifest records should sum to 3, got $recs")
+    assert(files.forall(r => r.isNullAt(r.fieldIndex("stream_epoch"))))
+    assert(files.forall(r => !r.getBoolean(r.fieldIndex("has_dv"))))
+    // a LocalScan: zero input tasks
+    val plan = spark.table(s"$cat.ods.t.files")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"files should plan as a " +
+      s"LocalTableScan:\n$plan")
+
+    // corrupting the data files must not matter — metadata only
+    corruptFiles(root, "ods/t/seg=A", _ => false)
+    assert(spark.table(s"$cat.ods.t.files").collect().length ==
+      files.length)
+
+    // a file whose identity drifted from the manifest entry reports
+    // NULL records (stale counts must never serve), others keep theirs
+    val fs = fsOf(root)
+    val segB = fs.listStatus(new Path(s"$root/ods/t/seg=B"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    assert(segB.nonEmpty)
+    fs.setTimes(segB.head.getPath, segB.head.getModificationTime + 12345, -1)
+    val afterTouch = spark.table(s"$cat.ods.t.files").collect()
+    val touchedRel = segB.head.getPath.toUri.getPath
+      .stripPrefix(new Path(s"$root/ods/t").toUri.getPath).stripPrefix("/")
+    assert(afterTouch.filter(_.getString(0) == touchedRel)
+      .forall(_.isNullAt(3)), "stale manifest row count served")
+    assert(afterTouch.exists(r => r.getString(0) != touchedRel &&
+      !r.isNullAt(3)))
+
+    spark.sql(s"INSERT OVERWRITE $cat.ods.t VALUES (9, 'C')")
+    val hist = spark.table(s"$cat.ods.t.history").collect().map { r =>
+      (if (r.isNullAt(0)) -1 else r.getInt(0), r.getBoolean(1))
+    }.toSeq
+    assert(hist == Seq((1, false), (-1, true)),
+      s"history mismatch: $hist")
+    // and timestamps are publish-ordered
+    val ts = spark.table(s"$cat.ods.t.history")
+      .collect().map(_.getTimestamp(2).getTime).toSeq
+    assert(ts == ts.sorted, s"history not publish-ordered: $ts")
+
+    // an unknown metadata relation is a missing table, not a crash
+    val miss = intercept[Exception] {
+      spark.table(s"$cat.ods.t.nosuch").collect()
+    }
+    assert(miss.getMessage.toLowerCase.contains("cannot be found") ||
+      miss.getMessage.toLowerCase.contains("not found"),
+      s"wrong error: ${miss.getMessage}")
+  }
+}
