@@ -407,7 +407,7 @@ private[sources] final class GraftChangesScan(
     val slotTypes: Array[DataType] =
       (dataFields.map(_.dataType) ++ virtualReq.map(_.dataType)).toArray
     new GraftChangesReaderFactory(inner, feedTag.getOrElse(""),
-      sidecars.map(_.epoch).toSet,
+      sidecars.map(_.epoch).toSet, typeSet,
       virtualReq.map(f => f.name == TypeCol).toArray,
       dataFields.length, slotPlan, slotTypes)
   }
@@ -441,7 +441,8 @@ private[sources] final class GraftChangesScan(
 
   private final class ChangesMicroBatchStream
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
@@ -484,7 +485,28 @@ private[sources] final class GraftChangesScan(
       (c.emissions.map(_._2) ++ c.sidecars.map(_.epoch))
         .filter(e => e > c.horizon && admitsEpoch(e)).distinct.sorted
 
-    override def initialOffset(): Offset = EpochOffset(census().horizon)
+    override def initialOffset(): Offset = {
+      val c = census()
+      // batch-contract parity: an explicit lower bound into rewritten
+      // history refuses rather than silently narrowing
+      require(c.horizon < 0 || lo.forall(_ > c.horizon),
+        s"$tableDir: epochs at or below ${c.horizon} were materialized " +
+          "by rewrite_deletes — that change history is rewritten and " +
+          "cannot be streamed; drop the fromEpoch bound for the " +
+          "retained feed")
+      EpochOffset(c.horizon)
+    }
+
+    /** AvailableNow: the run is bounded to epochs visible at start —
+      * epochs committed DURING the run are excluded, so the query
+      * drains and stops (the table-stream contract).
+      */
+    @volatile private var availableNowCeiling: Option[Long] = None
+
+    override def prepareForTriggerAvailableNow(): Unit = {
+      val c = census()
+      availableNowCeiling = Some(available(c).foldLeft(c.horizon)(math.max))
+    }
 
     override def deserializeOffset(json: String): Offset =
       EpochOffset(""""epoch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
@@ -499,7 +521,19 @@ private[sources] final class GraftChangesScan(
 
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val s = start.asInstanceOf[EpochOffset].epoch
-      val fresh = available(census()).filter(_ > s)
+      val c = census()
+      // a checkpoint BELOW the current horizon means rewrite_deletes
+      // destroyed history this consumer had not delivered — refuse at
+      // the first trigger (not only when the next batch plans), or the
+      // stream would silently skip the gap once new epochs arrive
+      require(s >= c.horizon,
+        s"$tableDir: epochs at or below ${c.horizon} were materialized " +
+          s"by rewrite_deletes but this changelog stream had only " +
+          s"delivered through epoch $s — the undelivered change " +
+          "history is rewritten. Restart the consumer from the current " +
+          "state (fresh checkpoint) instead")
+      val fresh = available(c).filter(_ > s)
+        .filter(e => availableNowCeiling.forall(e <= _))
       if (fresh.isEmpty) EpochOffset(s)
       else EpochOffset(maxEpochsPerTrigger match {
         // admit the m OLDEST undelivered epochs (bounded catch-up)
@@ -580,6 +614,10 @@ private[sources] final class GraftChangesScan(
 private[sources] final class GraftChangesReaderFactory(
     inner: PartitionReaderFactory, feedTag: String,
     sidecarEpochs: Set[Long],
+    // handled _change_type predicate, re-enforced per FILE: planning
+    // and this factory census independently — a sidecar landing in
+    // between must not surface a row the handled filter excluded
+    admittedTypes: Option[Set[String]],
     // per appended virtual slot: true = _change_type, false = _change_epoch
     virtualIsType: Array[Boolean],
     nDataFields: Int, slotPlan: Array[Int], slotTypes: Array[DataType])
@@ -614,8 +652,9 @@ private[sources] final class GraftChangesReaderFactory(
           .getOrElse(throw new IllegalStateException(
             s"planned non-emission file ${f.toPath}"))
         require(tag == feedTag, s"planned foreign-stream file ${f.toPath}")
-        val label = UTF8String.fromString(
-          if (sidecarEpochs.contains(epoch)) "upsert" else "insert")
+        val labelStr = if (sidecarEpochs.contains(epoch)) "upsert" else "insert"
+        if (!admittedTypes.forall(_.contains(labelStr))) return advance()
+        val label = UTF8String.fromString(labelStr)
         var i = 0
         while (i < virtualIsType.length) {
           virt.update(i, if (virtualIsType(i)) label else epoch)

@@ -362,6 +362,80 @@ class GraftChangesSpec extends SparkSpec {
     } finally cq.stop()
   }
 
+  test("streaming changes: materialization under a lagging consumer refuses, never partial") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.eq (k BIGINT, total BIGINT, cnt BIGINT)")
+    runUpsertStream(cat, "eq") // epochs 0..2
+
+    // a consumer that only delivered epoch 0 (toEpoch bound), then lags
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cp = tmpDir("gch-cp-lag")
+    def startLag(bounded: Boolean) = {
+      val r = spark.readStream
+      val r2 = if (bounded) r.option("toEpoch", "0") else r
+      r2.table(s"$cat.mart.eq.changes")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("_change_epoch")).collect()
+            .foreach(r => delivered.add(r.getLong(0)))
+        }.start()
+    }
+    val cq1 = startLag(bounded = true)
+    try cq1.processAllAvailable() finally cq1.stop()
+    assert(!delivered.isEmpty)
+
+    // history the consumer has NOT delivered is rewritten away
+    spark.sql(s"CALL $cat.system.rewrite_deletes(table => 'mart.eq')").collect()
+
+    // the restarted (now unbounded) consumer must refuse, not skip
+    val cq2 = startLag(bounded = false)
+    val e = intercept[Exception] {
+      cq2.processAllAvailable(); cq2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("materialized")),
+      s"wrong refusal: ${msgs(e).mkString(" | ")}")
+    import scala.jdk.CollectionConverters._
+    assert(delivered.asScala.forall(_ == 0L),
+      "the refusing consumer must not deliver partial history")
+
+    // a FRESH consumer (new checkpoint) starts from the new horizon
+    val cq3 = spark.readStream.table(s"$cat.mart.eq.changes")
+      .writeStream.format("memory").queryName("gch_lag3")
+      .option("checkpointLocation", tmpDir("gch-cp-lag3")).start()
+    try cq3.processAllAvailable() finally cq3.stop()
+    assert(spark.table("gch_lag3").collect().isEmpty)
+  }
+
+  test("streaming changes: Trigger.AvailableNow drains the retained feed and stops") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE TABLE $cat.raw.an (k BIGINT, v BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", tmpDir("gch-cp-an-w"))
+        .toTable(s"$cat.raw.an")
+      try {
+        mem.addData((1L, 10L)); q.processAllAvailable()
+        mem.addData((2L, 20L)); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val cq = spark.readStream.table(s"$cat.raw.an.changes")
+      .writeStream.format("memory").queryName("gch_an")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("gch-cp-an-r"))
+      .start()
+    assert(cq.awaitTermination(120000), "AvailableNow did not drain")
+    val rows = spark.table("gch_an")
+      .select(col("_change_epoch"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((0L, 1L), (1L, 2L)), s"drained feed mismatch: $rows")
+  }
+
   test("metadata relations: files answers from listings, history tracks retained versions") {
     val (cat, root) = freshCatalog(versions = 3)
     spark.sql(s"CREATE NAMESPACE $cat.ods")
