@@ -2275,6 +2275,144 @@ object CatalogQueries {
        |SELECT 'feed_delete', seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
        |FROM e2""".stripMargin
 
+  /** q222 — DROP PARTITION FIELD end-to-end (the r14 session-2
+    * completion of q218's ADD: Iceberg's DROP PARTITION FIELD,
+    * metadata-only). Three file eras share one table: (d) → ADD r,
+    * ADD s → era under (d,r,s) → DROP s (file-state identity REQUIRED
+    * in-plan: not one data file moves) → era under (d,r) (directory
+    * shape REQUIRED: no s= level). The aggregate spans all three eras
+    * under an anchor filter (pruned everywhere), an evolved filter
+    * (chain-pruned where laid out, row-filtered where not), and a
+    * filter on the DROPPED column — which stays EXACT because evolved
+    * columns ride in the data of every era. One oracle hash covers the
+    * whole story.
+    */
+  def q222DropPartitionField(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g222")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g222_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.hist (k BIGINT, r STRING, s STRING, " +
+      "bal BIGINT, d STRING) PARTITIONED BY (d)")
+    // d (anchor) and s are k-derived INDEPENDENTLY of the era split
+    // (k % 3), so every era spans every partition and the filters
+    // below keep all three eras on the hash
+    def era(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.ods.hist
+      SELECT c_custkey, c_mktsegment,
+        concat('x', CAST(c_custkey % 5 AS STRING)),
+        CAST(round(c_acctbal * 100) AS BIGINT),
+        concat('p', CAST(c_custkey % 2 AS STRING))
+      FROM g222_customer WHERE $pred""")
+    era("c_custkey % 3 = 0") // era 1: plain (d) layout
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.hist', add_column => 'r')").collect()
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.hist', add_column => 's')").collect()
+    era("c_custkey % 3 = 1") // era 2: (d, r, s) layout
+    val tableDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.root") + "/ods/hist")
+    val hfs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileState(): Set[(String, Long, Long)] =
+      graft.sources.GraftEvolved.listVisible(hfs, tableDir)
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSet
+    val before = fileState()
+    val spec = spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.hist', drop_column => 's')").head
+    require(spec.getString(0) == "d,r",
+      s"q222: post-drop spec should be d,r, got ${spec.getString(0)}")
+    require(fileState() == before,
+      "q222: DROP PARTITION FIELD rewrote data files — must be metadata-only")
+    era("c_custkey % 3 = 2") // era 3: (d, r) layout — no s= level
+    val p1 = new org.apache.hadoop.fs.Path(tableDir, "d=p1")
+    require(hfs.listStatus(p1).filter(_.isDirectory).flatMap(rd =>
+        hfs.listStatus(rd.getPath)).exists(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")),
+      "q222: post-drop era did not land directly under (d, r)")
+    spark.sql(s"""
+      SELECT d, r, count(*) AS n, sum(bal) AS bal_sum
+      FROM $cat.ods.hist
+      WHERE s IN ('x1', 'x2') AND d = 'p1'
+        AND r IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      GROUP BY d, r""")
+  }
+
+  val q222Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k, c_mktsegment AS r,
+       |    'x' || CAST(c_custkey % 5 AS VARCHAR) AS s,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |    'p' || CAST(c_custkey % 2 AS VARCHAR) AS d
+       |  FROM customer)
+       |SELECT d, r, ${bi("count(*)")} AS n, ${bi("sum(bal)")} AS bal_sum
+       |FROM base
+       |WHERE s IN ('x1', 'x2') AND d = 'p1'
+       |  AND r IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+       |GROUP BY d, r""".stripMargin
+
+  /** q223 — write-time CHECK constraints
+    * ([[graft.sources.GraftCheck]]: Delta's ADD CONSTRAINT CHECK as
+    * durable `constraints.check.*` table properties; the reference's
+    * alert store declares DDL constraints, covid_alerts_dag.py:18-27).
+    * The table is created WITH a constraint; a batch that violates it
+    * REQUIREs the loud named refusal and commits NOTHING (in-plan:
+    * row count unchanged); the violating rows re-land clamped; an
+    * ALTER that would add a constraint the existing rows violate
+    * REQUIREs Delta's existing-rows refusal. The final per-segment
+    * aggregate sits on the oracle hash, so an unenforced write or a
+    * partial commit breaks it.
+    */
+  def q223CheckConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g223")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g223_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.acct (k BIGINT, cents BIGINT, " +
+      "seg STRING) TBLPROPERTIES " +
+      "('constraints.check.cents_nonneg' = 'cents >= 0')")
+    spark.sql(s"""INSERT INTO $cat.ods.acct
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g223_customer WHERE c_acctbal >= 0""")
+    val okCount = spark.table(s"$cat.ods.acct").count()
+    // the violating batch refuses LOUDLY and commits nothing
+    val refusal = try {
+      spark.sql(s"""INSERT INTO $cat.ods.acct
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
+          c_mktsegment
+        FROM g223_customer WHERE c_acctbal < 0""")
+      None
+    } catch { case e: Throwable => Some(String.valueOf(e.getMessage)) }
+    require(refusal.exists(_.contains("cents_nonneg")),
+      s"q223: violating insert was not refused by name: $refusal")
+    require(spark.table(s"$cat.ods.acct").count() == okCount,
+      "q223: a refused insert committed rows")
+    // Delta's ADD CONSTRAINT rule: existing rows must satisfy a new
+    // constraint — no customer balance reaches 10000.00, so every
+    // existing row violates this one and the ALTER must refuse
+    val alter = try {
+      spark.sql(s"ALTER TABLE $cat.ods.acct SET TBLPROPERTIES " +
+        "('constraints.check.cents_big' = 'cents >= 1000000')")
+      None
+    } catch { case e: Throwable => Some(String.valueOf(e.getMessage)) }
+    require(alter.exists(_.contains("existing row")),
+      s"q223: ADD CONSTRAINT over violating rows did not refuse: $alter")
+    // the violators re-land clamped to the constraint
+    spark.sql(s"""INSERT INTO $cat.ods.acct
+      SELECT c_custkey,
+        GREATEST(CAST(0 AS BIGINT), CAST(round(c_acctbal * 100) AS BIGINT)),
+        c_mktsegment
+      FROM g223_customer WHERE c_acctbal < 0""")
+    spark.table(s"$cat.ods.acct")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+  }
+
+  val q223Oracle: String =
+    s"""SELECT c_mktsegment AS seg, ${bi("count(*)")} AS n,
+       |  ${bi("sum(GREATEST(0, CAST(round(c_acctbal * 100) AS BIGINT)))")}
+       |    AS cents_sum
+       |FROM customer
+       |GROUP BY c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -2316,7 +2454,9 @@ object CatalogQueries {
     "q218_partition_evolution" -> (q218PartitionEvolution _),
     "q219_changes_feed" -> (q219ChangesFeed _),
     "q220_meta_tables" -> (q220MetaTables _),
-    "q221_cdc_apply" -> (q221CdcApply _))
+    "q221_cdc_apply" -> (q221CdcApply _),
+    "q222_drop_partition_field" -> (q222DropPartitionField _),
+    "q223_check_constraints" -> (q223CheckConstraints _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -2359,5 +2499,7 @@ object CatalogQueries {
     "q218_partition_evolution" -> q218Oracle,
     "q219_changes_feed" -> q219Oracle,
     "q220_meta_tables" -> q220Oracle,
-    "q221_cdc_apply" -> q221Oracle)
+    "q221_cdc_apply" -> q221Oracle,
+    "q222_drop_partition_field" -> q222Oracle,
+    "q223_check_constraints" -> q223Oracle)
 }

@@ -211,9 +211,16 @@ final case class Catalog(spark: SparkSession, root: String,
       new org.apache.hadoop.fs.Path(path(layer, table)).getFileSystem(
         spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(path(layer, table)), "a batch append")
+    // write-time CHECK constraints (graft.sources.GraftCheck): a
+    // constrained table enforces on the object API too — the guard is
+    // a throwing Filter on the write's own row pass
+    val guarded = graft.sources.GraftCheck.guard(df,
+      graft.sources.GraftCheck.constraintsAt(
+        spark.sparkContext.hadoopConfiguration, path(layer, table)))
     val clustered =
-      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-      else df
+      if (sortCols.nonEmpty)
+        guarded.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else guarded
     clustered.write
       .partitionBy(partitionCols: _*)
       .options(writeOptions)
@@ -255,6 +262,10 @@ final case class Catalog(spark: SparkSession, root: String,
       s"$layer.$table has an un-materialized partition-spec evolution " +
         "(file eras at mixed depths): partition overwrites are refused " +
         "until CALL system.compact migrates the table to its current spec")
+    // CHECK constraints hold on the object-API overwrite too
+    val df1 = graft.sources.GraftCheck.guard(df,
+      graft.sources.GraftCheck.constraintsAt(
+        spark.sparkContext.hadoopConfiguration, p))
     val tmp = new org.apache.hadoop.fs.Path(s"$p.__pubtmp")
     val oldRoot = new org.apache.hadoop.fs.Path(s"$p.__pubold")
     // enumerate the leaf partition directories under a root
@@ -301,7 +312,7 @@ final case class Catalog(spark: SparkSession, root: String,
     val before = visibleFileState(fs, base)
     // phase 1 — the only phase that can fail for data reasons runs
     // entirely against the temp dir; the live table is not involved
-    df.write
+    df1.write
       .partitionBy(partitionCols: _*)
       .options(writeOptions)
       .mode("overwrite")
@@ -404,7 +415,11 @@ final case class Catalog(spark: SparkSession, root: String,
   def createOrReplace(df: DataFrame, layer: String, table: String,
                       partitionCols: Seq[String]): Unit =
     safeSwapWrite(layer, table) { tmp =>
-      val w = df.write
+      // CHECK constraints hold across full replaces too
+      val guarded = graft.sources.GraftCheck.guard(df,
+        graft.sources.GraftCheck.constraintsAt(
+          spark.sparkContext.hadoopConfiguration, path(layer, table)))
+      val w = guarded.write
         .options(writeOptions)
         .mode("overwrite")
         .format(format)

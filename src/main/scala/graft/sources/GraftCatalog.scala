@@ -207,6 +207,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "files" =>
           new GraftMetaTable(s"$baseName.files", GraftMetaTables.FilesSchema,
             () => GraftMetaTables.filesRows(spark, dir))
+        case "partitions" =>
+          new GraftMetaTable(s"$baseName.partitions",
+            GraftMetaTables.PartitionsSchema,
+            () => GraftMetaTables.partitionsRows(spark, dir))
         case "history" =>
           val layer = layerOf(base.namespace)
           new GraftMetaTable(s"$baseName.history",
@@ -334,13 +338,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // bloom_columns/bloom_fpp keep [[GraftBloom]] point-lookup filters
     // maintained at write time under auto_analyze catalogs. Unknown
     // keys are ignored (Spark passes reserved props through).
+    val checkProps = properties.asScala.toMap.filter { case (k, _) =>
+      GraftCheck.isCheckKey(k)
+    }
     val durableProps =
       durableKeys.flatMap { k =>
         Option(properties.get(k)).map { v =>
           validateDurableProp(k, v, format, Some(schema), partitionCols)
           k -> v
         }
-      }.toMap
+      }.toMap ++ checkProps.map { case (k, v) =>
+        validateDurableProp(k, v, format, Some(schema), partitionCols)
+        k -> v
+      }
     val dir = tableDir(ident)
     fs.mkdirs(dir)
     val meta = GraftTableMeta(Some(schema), partitionCols, bucketSpec,
@@ -418,6 +428,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val nw = rn.newName
           require(s.fieldNames.exists(_.equalsIgnoreCase(old)),
             s"column $old does not exist")
+          require(!GraftCheck.constraintsOf(meta0.props).exists(c =>
+              GraftCheck.referencedCols(spark, s, c).contains(
+                old.toLowerCase)),
+            s"cannot rename column $old: a CHECK constraint references " +
+              "it by name (the constraint would stop resolving and " +
+              "silently un-enforce) — UNSET the constraint first")
           require(!partCols.exists(_.equalsIgnoreCase(old)),
             s"cannot rename partition column $old: its values are " +
               "directory names")
@@ -489,6 +505,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot drop partition column $name")
           require(!meta0.bucketSpec.exists(_._2.equalsIgnoreCase(name)),
             s"cannot drop bucket column $name")
+          require(!GraftCheck.constraintsOf(meta0.props).exists(c =>
+              GraftCheck.referencedCols(spark, s, c).contains(
+                name.toLowerCase)),
+            s"cannot drop column $name: a CHECK constraint references " +
+              "it (dropping would silently un-enforce the constraint) " +
+              "— UNSET the constraint first")
           if (!s.fieldNames.exists(_.equalsIgnoreCase(name))) {
             require(del.ifExists, s"column $name does not exist"); s
           } else {
@@ -631,6 +653,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     case k if GraftMaintenance.Keys.contains(k) =>
       GraftMaintenance.validate(k, value)
+    case k if GraftCheck.isCheckKey(k) =>
+      // write-time CHECK constraint ([[GraftCheck]]): the expression
+      // must parse, resolve against the schema, be boolean and
+      // deterministic, and carry no subquery — validated HERE so a
+      // broken constraint can never park in the sidecar and fail (or
+      // skip) every subsequent write
+      schema.foreach { sch =>
+        GraftCheck.resolve(SparkSession.active, sch,
+          GraftCheck.Constraint(k.stripPrefix(GraftCheck.PropPrefix), value))
+      }
     case other => throw new IllegalArgumentException(
       s"unsupported table property '$other' " +
         s"(durable properties: ${durableKeys.mkString(", ")})")
@@ -664,9 +696,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 s"bloom_columns: $c was renamed and its pre-rename files " +
                   "are not yet materialized — CALL system.compact first")
             }
+          // Delta's ADD CONSTRAINT rule: adding a CHECK to a table
+          // with data scans the existing rows and refuses on any
+          // violation — one bounded probe at DDL time
+          if (GraftCheck.isCheckKey(s.property))
+            GraftCheck.validateExisting(
+              spark.table(s"`$catalogName`.`${ident.namespace.head}`" +
+                s".`${ident.name}`"),
+              GraftCheck.Constraint(
+                s.property.stripPrefix(GraftCheck.PropPrefix), s.value))
           ps + (s.property -> s.value)
         case r: TableChange.RemoveProperty =>
-          require(durableKeys.contains(r.property),
+          require(durableKeys.contains(r.property) ||
+            GraftCheck.isCheckKey(r.property),
             s"unsupported table property '${r.property}' " +
               s"(durable properties: ${durableKeys.mkString(", ")})")
           ps - r.property
@@ -1528,6 +1570,10 @@ private[sources] class GraftTable(
             override def toInsertableRelation: InsertableRelation =
               (data, overwriteFlag) => {
                 val parts = effectivePartitionCols
+                // write-time CHECK constraints ride inside
+                // engine.append / engine.createOrReplace (the object
+                // API guards THERE, so this path inherits it without
+                // a second filter)
                 if (replace || overwriteFlag)
                   // a full replace supersedes every row — the dir swap
                   // carries the eq sidecars away with the old generation
@@ -1821,7 +1867,10 @@ private[sources] class GraftTable(
             val old = listDataFiles(fs, new Path(dir))
             val fileWrite = delegate.newWriteBuilder(writeInfo).build()
             withAutoAnalyze(
-              new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old))
+              new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old,
+                GraftCheck.boundFor(spark,
+                  spark.sparkContext.hadoopConfiguration, dir,
+                  writeInfo.schema())))
           } }
         else {
           // partitioned copy-on-write: the replacement write lays rows
@@ -2060,7 +2109,9 @@ private[sources] class GraftTable(
     */
   private class ReplaceFilesWrite(inner: Write, dataSchema: StructType,
                                   dir: String,
-                                  oldFiles: Seq[Path]) extends Write {
+                                  oldFiles: Seq[Path],
+                                  checks: Seq[GraftCheck.Bound] = Nil)
+    extends Write {
     override def description(): String = s"graft replace-data $dir"
     // deletion-vector conflict guard (see PartitionedReplaceWrite):
     // snapshot at write build, re-check under the commit lock
@@ -2069,9 +2120,14 @@ private[sources] class GraftTable(
     override def toBatch: BatchWrite = new BatchWrite {
       private val innerBatch = inner.toBatch
       override def createBatchWriterFactory(
-          info: PhysicalWriteInfo): DataWriterFactory =
-        StripOperationFactory(innerBatch.createBatchWriterFactory(info),
-          dataSchema)
+          info: PhysicalWriteInfo): DataWriterFactory = {
+        val stripped = StripOperationFactory(
+          innerBatch.createBatchWriterFactory(info), dataSchema)
+        // write-time CHECK constraints ([[GraftCheck]]): the stripped
+        // rows match dataSchema exactly, so the guard binds at offset 0
+        if (checks.isEmpty) stripped
+        else CheckingWriterFactory(stripped, checks, dataSchema)
+      }
       override def useCommitCoordinator(): Boolean =
         innerBatch.useCommitCoordinator()
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2110,6 +2166,47 @@ private[sources] class GraftTable(
   * already match the data schema pass through untouched, which keeps
   * the adapter correct if a future Spark applies its own projection.
   */
+/** Task-side CHECK-constraint decorator for delegated file writes
+  * ([[GraftCheck]]): every row is checked before the inner writer sees
+  * it. The hive-layout writers enforce inline instead (they own the
+  * row loop); this wrapper covers the paths that delegate to Spark's
+  * own file writers.
+  */
+private case class CheckingWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    checks: Seq[GraftCheck.Bound], dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val innerW = inner.createWriter(partitionId, taskId)
+    // rows may arrive prefixed with Spark's __row_operation column
+    // (row-level rewrites emit [op] ++ data); the guard binds per
+    // observed layout, exactly like the hive-layout writer
+    val guards = new Array[GraftCheck.RowGuard](2)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        val offset = row.numFields - dataSchema.length
+        require(offset == 0 || offset == 1,
+          s"row has ${row.numFields} fields for a " +
+            s"${dataSchema.length}-column table")
+        if (guards(offset) == null)
+          guards(offset) = new GraftCheck.RowGuard(
+            GraftCheck.shift(checks, offset), dataSchema, offset)
+        guards(offset).check(row)
+        innerW.write(row)
+      }
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage =
+        innerW.commit()
+      override def abort(): Unit = innerW.abort()
+      override def close(): Unit = innerW.close()
+    }
+  }
+}
+
 private case class StripOperationFactory(
     inner: org.apache.spark.sql.connector.write.DataWriterFactory,
     dataSchema: StructType)
@@ -3756,7 +3853,9 @@ private[graft] object GraftPartitionedCow {
         : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
       val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
       StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
-        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
+        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag,
+        checks = GraftCheck.boundFor(spark,
+          spark.sparkContext.hadoopConfiguration, dir, dataSchema))
     }
 
     override def commit(epochId: Long,
@@ -3875,7 +3974,9 @@ private[graft] object GraftPartitionedCow {
         : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
       val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
       StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
-        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
+        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag,
+        checks = GraftCheck.boundFor(spark,
+          spark.sparkContext.hadoopConfiguration, dir, dataSchema))
     }
 
     override def commit(epochId: Long,
@@ -4113,7 +4214,9 @@ private[graft] object GraftPartitionedCow {
         : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
       val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
       StreamingHiveWriterFactory(p.owf, p.conf, dir, dataSchema,
-        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag)
+        p.fileSchema, p.fileFieldIdx, p.partFields, p.bucketField, queryTag,
+        checks = GraftCheck.boundFor(spark,
+          spark.sparkContext.hadoopConfiguration, dir, dataSchema))
     }
 
     override def commit(epochId: Long,
@@ -4308,7 +4411,9 @@ private[graft] object GraftPartitionedCow {
         val p = prepare(spark, format, dataSchema, partitionCols, bucketSpec, dir)
         PartitionedCowWriterFactory(p.owf, p.conf, dir,
           dataSchema, p.fileSchema, p.fileFieldIdx, p.partFields,
-          p.bucketField, sortedInput, writerBloom, writerNdv)
+          p.bucketField, sortedInput, writerBloom, writerNdv,
+          checks = GraftCheck.boundFor(spark,
+            spark.sparkContext.hadoopConfiguration, dir, dataSchema))
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -4721,13 +4826,14 @@ private[graft] object GraftPartitionedCow {
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
       bucketField: Option[(Int, Int)], sorted: Boolean,
       bloom: Option[WriterBloomSpec] = None,
-      ndv: Option[WriterNdvSpec] = None)
+      ndv: Option[WriterNdvSpec] = None,
+      checks: Seq[GraftCheck.Bound] = Nil)
     extends DataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
         fileSchema, fileFieldIdx, partFields, bucketField, partitionId, None,
-        sorted, bloom, ndv)
+        sorted, bloom, ndv, checks)
   }
 
   /** Streaming twin of the factory: final file names are DETERMINISTIC
@@ -4740,13 +4846,14 @@ private[graft] object GraftPartitionedCow {
       tableDir: String, dataSchema: StructType, fileSchema: StructType,
       fileFieldIdx: Seq[Int], partFields: Seq[(String, Int, DataType)],
       bucketField: Option[(Int, Int)], queryTag: String,
-      bloom: Option[WriterBloomSpec] = None)
+      bloom: Option[WriterBloomSpec] = None,
+      checks: Seq[GraftCheck.Bound] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
       new PartitionedCowWriter(owf, conf.value, tableDir, dataSchema,
         fileSchema, fileFieldIdx, partFields, bucketField, partitionId,
-        Some((queryTag, epochId)), sorted = false, bloom)
+        Some((queryTag, epochId)), sorted = false, bloom, checks = checks)
   }
 
   /** Task-side dynamic-partition writer. Replacement rows may arrive
@@ -4780,8 +4887,23 @@ private[graft] object GraftPartitionedCow {
       bloom: Option[WriterBloomSpec] = None,
       // writer-side NDV maintenance (r13 item 4): same pattern, HLL
       // registers per open file
-      ndv: Option[WriterNdvSpec] = None)
+      ndv: Option[WriterNdvSpec] = None,
+      // write-time CHECK constraints ([[GraftCheck]]): driver-bound
+      // expressions, compiled once per task; every row this writer
+      // accepts is checked BEFORE it reaches an output file
+      checks: Seq[GraftCheck.Bound] = Nil)
     extends DataWriter[InternalRow] {
+
+    // one guard per row layout: replacement rows may carry a leading
+    // __row_operation column, shifting every data ordinal by one
+    private val checkGuards = new Array[GraftCheck.RowGuard](2)
+    private def checkRow(row: InternalRow, offset: Int): Unit =
+      if (checks.nonEmpty) {
+        if (checkGuards(offset) == null)
+          checkGuards(offset) = new GraftCheck.RowGuard(
+            GraftCheck.shift(checks, offset), dataSchema, offset)
+        checkGuards(offset).check(row)
+      }
 
     import org.apache.spark.sql.types.{BooleanType, DateType, StringType}
 
@@ -4901,6 +5023,7 @@ private[graft] object GraftPartitionedCow {
       require(offset == 0 || offset == 1,
         s"replacement row has ${row.numFields} fields for a " +
           s"${dataSchema.length}-column table")
+      checkRow(row, offset)
       val rel = partFields.map { case (c, i, dt) =>
         ExternalCatalogUtils.getPartitionPathString(c,
           GraftPartitionedCow.renderRaw(

@@ -60,10 +60,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Refusals (loud, never silently-partial): tables with live positional
   * deletion vectors (row-level DML carries no epoch attribution — the
-  * changelog is defined for streaming epochs), evolved partition specs,
-  * and directories whose un-materialized emission files span MULTIPLE
-  * stream tags with no live sidecar to pick the current one (compact to
-  * reset the horizon).
+  * changelog is defined for streaming epochs) and directories whose
+  * un-materialized emission files span MULTIPLE stream tags with no
+  * live sidecar to pick the current one (compact to reset the horizon).
+  * Evolved partition specs are SUPPORTED: the scan swaps in the
+  * era-aware index ([[GraftEvolved]]) so anchor values parse from each
+  * file's own chain, and the stream replans each batch through it.
+  *
+  * Maintenance-policy interplay: a table with `eqdel.rewrite_threshold`
+  * armed ([[GraftMaintenance]]) auto-materializes at epoch commits, so
+  * its changelog horizon advances WITHOUT an operator action — CDC
+  * consumers on such tables must keep pace with the writer or accept
+  * the lagging-consumer refusal and re-bootstrap from table state (the
+  * same operational contract as Delta's CDF retention window, with the
+  * refusal in place of a silent gap).
   */
 private[sources] object GraftChanges {
 
@@ -146,14 +156,15 @@ private[sources] final class GraftChangesTable(
   require(format == "parquet",
     s"$baseName.changes: the changelog is defined over parquet tables " +
       s"(epoch-named streaming files); format is $format")
-  require(meta.evolvedCols.isEmpty,
-    s"$baseName.changes: table has an evolved partition spec — " +
-      "changelog reads across mixed-era layouts are not supported; " +
-      "CALL system.compact to materialize the current spec first")
 
   private def delegate = {
+    // evolved partition specs: skip Spark's partition inference (it
+    // refuses mixed directory depths) — the scan swaps in the
+    // era-aware index, exactly like the main catalog scans
     val opts = new CaseInsensitiveStringMap(
-      Map.empty[String, String].asJava)
+      (if (meta.evolvedCols.nonEmpty)
+        Map("recursiveFileLookup" -> "true")
+      else Map.empty[String, String]).asJava)
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       name(), spark, opts, Seq(dir), meta.schema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
@@ -175,6 +186,8 @@ private[sources] final class GraftChangesTable(
       case fsb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
         new GraftChangesScanBuilder(fsb, new Path(dir), schema(),
           meta.renameAliases,
+          baseSchema = meta.schema.getOrElse(delegate.schema),
+          anchorCols = meta.partitionCols, evolvedCols = meta.evolvedCols,
           fromEpoch = Option(options.get("fromEpoch")).map(_.toLong),
           toEpoch = Option(options.get("toEpoch")).map(_.toLong),
           maxEpochsPerTrigger =
@@ -196,6 +209,8 @@ private[sources] final class GraftChangesScanBuilder(
     fsb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder,
     tableDir: Path, fullSchema: StructType,
     renameAliases: Map[String, Seq[String]],
+    baseSchema: StructType,
+    anchorCols: Seq[String], evolvedCols: Seq[String],
     fromEpoch: Option[Long], toEpoch: Option[Long],
     maxEpochsPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
@@ -264,7 +279,15 @@ private[sources] final class GraftChangesScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed.toArray
 
   override def build(): Scan = fsb.build() match {
-    case fscan: FileScan =>
+    case fscan0: FileScan =>
+      // evolved tables: swap in the era-aware index and move anchor
+      // columns to the read partition schema (their values live in
+      // directory tokens) — the main scans' shape, with no pushed
+      // anchor predicates (the feed keeps every data filter residual)
+      val fscan =
+        if (evolvedCols.isEmpty) fscan0
+        else GraftEvolved.rebuildScan(fscan0, SparkSession.active,
+          tableDir, baseSchema, anchorCols, evolvedCols, Nil)
       new GraftChangesScan(fscan, tableDir, virtualReq, lo, hi, epochSet,
         typeSet, renameAliases, maxEpochsPerTrigger)
     case other => throw new IllegalStateException(
@@ -575,12 +598,20 @@ private[sources] final class GraftChangesScan(
           // hive partition inference rooted at the TABLE) — the
           // template scan supplies pruned schemas, so the shared
           // reader factory applies (the table-stream pattern)
-          val idx =
-            new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-              spark, files.map(_.getPath),
-              Map("basePath" -> tableDir.toString),
-              Some(StructType(fileScan.dataSchema.fields ++
-                fileScan.fileIndex.partitionSchema.fields)))
+          val idx = fileScan.fileIndex match {
+            case ev: GraftEvolved.EvolvedFileIndex =>
+              // evolved tables replan with the era-aware index (plain
+              // inference refuses the mixed depths)
+              GraftEvolved.buildIndex(spark, ev.tableDir, ev.anchorSchema,
+                ev.evolvedSchema, Some(files))
+            case _ =>
+              new org.apache.spark.sql.execution.datasources
+                .InMemoryFileIndex(
+                  spark, files.map(_.getPath),
+                  Map("basePath" -> tableDir.toString),
+                  Some(StructType(fileScan.dataSchema.fields ++
+                    fileScan.fileIndex.partitionSchema.fields)))
+          }
           GraftScanFilters.withFileIndex(fileScan, idx)
             .toBatch.planInputPartitions()
         }

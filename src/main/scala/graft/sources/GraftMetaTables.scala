@@ -41,6 +41,35 @@ private[sources] object GraftMetaTables {
     StructField("published_at", TimestampType, nullable = false),
     StructField("path", StringType, nullable = false)))
 
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    // NULL when ANY file of the partition lacks a manifest-identity
+    // row count — a partial sum would read as a total
+    StructField("records", LongType, nullable = true)))
+
+  /** `<table>.partitions`: the [[filesRows]] listing rolled up per
+    * partition directory (Iceberg's `partitions` table). Same zero-task
+    * LocalScan contract; records only serve when EVERY file of the
+    * partition has an identity-valid manifest entry.
+    */
+  def partitionsRows(spark: SparkSession, tableDir: Path)
+      : Array[InternalRow] = {
+    val files = filesRows(spark, tableDir)
+    files.groupBy(_.getUTF8String(1).toString).toSeq.sortBy(_._1).map {
+      case (part, rows) =>
+        val row = new GenericInternalRow(4)
+        row.update(0, UTF8String.fromString(part))
+        row.update(1, rows.length.toLong)
+        row.update(2, rows.map(_.getLong(2)).sum)
+        row.update(3,
+          if (rows.exists(_.isNullAt(3))) null
+          else java.lang.Long.valueOf(rows.map(_.getLong(3)).sum))
+        row: InternalRow
+    }.toArray
+  }
+
   /** `<table>.files`: one row per live data file. */
   def filesRows(spark: SparkSession, tableDir: Path): Array[InternalRow] = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -325,23 +325,30 @@ object GraftProcedures {
   private final class EvolvePartitioningProc(engine: () => Catalog)
     extends MaintenanceProc("evolve_partitioning") {
     override def description(): String =
-      "append a data column to the table's partition spec " +
-        "(metadata-only; Iceberg's ADD PARTITION FIELD). Existing " +
-        "files stay valid under their own era's layout; new writes " +
-        "land under the extended spec. CALL system.compact migrates " +
-        "and finalizes"
+      "append a data column to the table's partition spec (add_column) " +
+        "or remove an evolved one (drop_column) — metadata-only; " +
+        "Iceberg's ADD/DROP PARTITION FIELD. Existing files stay valid " +
+        "under their own era's layout; new writes land under the " +
+        "current spec. CALL system.compact migrates and finalizes"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("<layer>.<table>").build(),
       ProcedureParameter.in("add_column", StringType)
-        .comment("data column to append to the partition spec").build())
+        .comment("data column to append to the partition spec")
+        .defaultValue("''").build(),
+      ProcedureParameter.in("drop_column", StringType)
+        .comment("EVOLVED partition column to remove from the spec " +
+          "(new writes stop laying it out; anchor columns refuse)")
+        .defaultValue("''").build())
     private val out = StructType(Seq(
       StructField("partition_spec", StringType, nullable = false),
       StructField("anchor", StringType, nullable = false)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val (layer, table) = splitIdent(input.getUTF8String(0))
-      val colName = String.valueOf(input.getUTF8String(1)).trim
-      require(colName.nonEmpty, "add_column must name a column")
+      val addName = String.valueOf(input.getUTF8String(1)).trim
+      val dropName = String.valueOf(input.getUTF8String(2)).trim
+      require(addName.nonEmpty != dropName.nonEmpty,
+        "evolve_partitioning: exactly one of add_column / drop_column")
       val eng = engine()
       require(eng.format == "parquet",
         s"evolve_partitioning needs parquet; format is ${eng.format}")
@@ -350,28 +357,69 @@ object GraftProcedures {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       GraftCommitLock.withLock(fs, dir, "evolve-partitioning") {
         val m = GraftTableMeta.read(fs, dir)
-        val schema = m.schema.getOrElse(throw new IllegalArgumentException(
-          s"$layer.$table has no schema sidecar (object-API table): " +
-            "evolve_partitioning needs a SQL-created table"))
-        val f = schema.fields.find(_.name.equalsIgnoreCase(colName))
-          .getOrElse(throw new IllegalArgumentException(
-            s"evolve_partitioning: column $colName not in schema"))
-        require(GraftPartitionedCow.dirRenderable(f.dataType),
-          s"evolve_partitioning: ${f.name} type " +
-            s"${f.dataType.simpleString} has ambiguous directory " +
-            "rendering (supported: string, integral, boolean, date)")
-        require(!(m.partitionCols ++ m.evolvedCols)
-            .exists(_.equalsIgnoreCase(colName)),
-          s"evolve_partitioning: ${f.name} is already a partition column")
-        require(m.bucketSpec.isEmpty,
-          "evolve_partitioning is not supported on bucketed tables")
-        require(!m.renameAliases.contains(f.name.toLowerCase),
-          s"evolve_partitioning: ${f.name} was renamed and pre-rename " +
-            "files are not yet materialized — CALL system.compact first")
-        require((m.partitionCols.size + m.evolvedCols.size + 1) <
-            schema.fields.length,
-          "evolve_partitioning: every column would be a partition column")
-        val m2 = m.copy(evolvedCols = m.evolvedCols :+ f.name)
+        val m2 =
+          if (addName.nonEmpty) {
+            val colName = addName
+            val schema = m.schema.getOrElse(
+              throw new IllegalArgumentException(
+                s"$layer.$table has no schema sidecar (object-API " +
+                  "table): evolve_partitioning needs a SQL-created table"))
+            val f = schema.fields.find(_.name.equalsIgnoreCase(colName))
+              .getOrElse(throw new IllegalArgumentException(
+                s"evolve_partitioning: column $colName not in schema"))
+            require(GraftPartitionedCow.dirRenderable(f.dataType),
+              s"evolve_partitioning: ${f.name} type " +
+                s"${f.dataType.simpleString} has ambiguous directory " +
+                "rendering (supported: string, integral, boolean, date)")
+            require(!(m.partitionCols ++ m.evolvedCols)
+                .exists(_.equalsIgnoreCase(colName)),
+              s"evolve_partitioning: ${f.name} is already a partition column")
+            require(m.bucketSpec.isEmpty,
+              "evolve_partitioning is not supported on bucketed tables")
+            require(!m.renameAliases.contains(f.name.toLowerCase),
+              s"evolve_partitioning: ${f.name} was renamed and pre-rename " +
+                "files are not yet materialized — CALL system.compact first")
+            require((m.partitionCols.size + m.evolvedCols.size + 1) <
+                schema.fields.length,
+              "evolve_partitioning: every column would be a partition column")
+            m.copy(evolvedCols = m.evolvedCols :+ f.name)
+          } else {
+            // DROP PARTITION FIELD: metadata-only — new writes stop
+            // laying the column out; files already laid out under it
+            // keep reading through their own era's chain (the column
+            // is a data column in every era, so filters stay exact —
+            // only its chain-token pruning degrades on the old era)
+            val colName = dropName
+            require(!m.partitionCols.exists(_.equalsIgnoreCase(colName)),
+              s"evolve_partitioning: $colName is an ANCHOR partition " +
+                "column — every era's directory identity depends on it " +
+                "and it cannot be dropped (rewrite via CTAS instead)")
+            require(m.evolvedCols.exists(_.equalsIgnoreCase(colName)),
+              s"evolve_partitioning: $colName is not an evolved " +
+                s"partition column (spec: ${(m.partitionCols ++
+                  m.evolvedCols).mkString(",")})")
+            val remaining =
+              m.evolvedCols.filterNot(_.equalsIgnoreCase(colName))
+            if (remaining.isEmpty) {
+              // reverting to the PLAIN layout hands scans back to
+              // Spark's partition inference, which refuses (or worse,
+              // misreads) mixed directory depths — only safe when no
+              // file still lives under an evolved-era chain
+              val anchorDepth = m.partitionCols.size
+              val deep = GraftEvolved.listVisible(fs, dir).exists { st =>
+                val rel = st.getPath.getParent.toUri.getPath
+                  .stripPrefix(dir.toUri.getPath).stripPrefix("/")
+                rel.nonEmpty && rel.split('/').count(_.contains('=')) >
+                  anchorDepth
+              }
+              require(!deep,
+                s"evolve_partitioning: dropping $colName would revert " +
+                  "to the plain layout while files still live under " +
+                  "evolved-era directories — CALL system.compact to " +
+                  "migrate them first")
+            }
+            m.copy(evolvedCols = remaining)
+          }
         GraftTableMeta.write(fs, dir, m2)
         one(out, InternalRow(
           UTF8String.fromString(

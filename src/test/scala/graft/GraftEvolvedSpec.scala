@@ -389,4 +389,86 @@ class GraftEvolvedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(msgs2(e).exists(_.contains("system.compact")),
       s"mixed-era refusal lost after ALTER: ${msgs2(e)}")
   }
+
+  test("DROP PARTITION FIELD: metadata-only undo, partial drop across eras, refusal matrix") {
+    val (cat, root) = freshCatalog()
+    val fs = fsOf(root)
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.dp (k BIGINT, r STRING, s STRING, " +
+      "v BIGINT, d STRING) PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.ods.dp VALUES " +
+      "(1, 'r1', 's1', 10, 'p0'), (2, 'r2', 's2', 20, 'p1')")
+
+    // metadata-only UNDO: add then drop with no writes in between —
+    // not one data file touched, and the spec is back to the anchor
+    val before = dataFiles(fs, s"$root/ods/dp")
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.dp', add_column => 'r')").collect()
+    val undone = spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.dp', drop_column => 'r')").head
+    assert(undone.getString(0) == "d" && undone.getString(1) == "d")
+    assert(dataFiles(fs, s"$root/ods/dp") == before,
+      "the add/drop round-trip touched data files")
+
+    // partial drop across ERAS: (d) -> (d,r) -> (d,r,s) -> drop s ->
+    // new writes land under (d,r); all three eras read as one table
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.dp', add_column => 'r')").collect()
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.dp', add_column => 's')").collect()
+    spark.sql(s"INSERT INTO $cat.ods.dp VALUES " +
+      "(3, 'r1', 's1', 30, 'p0'), (4, 'r2', 's2', 40, 'p1')")
+    val dropped = spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.dp', drop_column => 's')").head
+    assert(dropped.getString(0) == "d,r")
+    spark.sql(s"INSERT INTO $cat.ods.dp VALUES " +
+      "(5, 'r1', 's1', 50, 'p0'), (6, 'r2', 's2', 60, 'p1')")
+    // the post-drop era REALLY lays out (d, r) only — no s= level
+    val p0r1 = new Path(s"$root/ods/dp/d=p0/r=r1")
+    assert(fs.exists(p0r1))
+    assert(fs.listStatus(p0r1).exists(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")),
+      "post-drop era did not land directly under (d, r)")
+    // all eras read as one table; filters on the dropped column stay
+    // EXACT (it is a data column in every era)
+    val all = spark.table(s"$cat.ods.dp")
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(all == Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (6L, 60L)))
+    val s1 = spark.table(s"$cat.ods.dp").where(col("s") === "s1")
+      .agg(sum(col("v"))).head.getLong(0)
+    assert(s1 == 90L, s"filter on the dropped column inexact: $s1")
+
+    // refusal matrix
+    def refuses(callArgs: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.evolve_partitioning($callArgs)")
+          .collect()
+      }
+      assert(e.getMessage.contains(needle),
+        s"wrong refusal for ($callArgs): ${e.getMessage}")
+    }
+    // anchor columns can never drop
+    refuses("table => 'ods.dp', drop_column => 'd'", "ANCHOR")
+    // non-evolved columns
+    refuses("table => 'ods.dp', drop_column => 'v'", "not an evolved")
+    // exactly one of add/drop
+    refuses("table => 'ods.dp'", "exactly one")
+    refuses("table => 'ods.dp', add_column => 'v', drop_column => 'r'",
+      "exactly one")
+    // dropping the LAST evolved column while evolved-era files live
+    // would revert to plain inference over mixed depths — refuse
+    refuses("table => 'ods.dp', drop_column => 'r'", "compact")
+
+    // compact migrates every era to the current spec and finalizes;
+    // the finalized column is an anchor afterwards, so dropping it
+    // refuses as such — the documented one-way door
+    spark.sql(s"CALL $cat.system.compact(table => 'ods.dp')").collect()
+    refuses("table => 'ods.dp', drop_column => 'r'", "ANCHOR")
+    val after = spark.table(s"$cat.ods.dp")
+      .agg(sum(col("v"))).head.getLong(0)
+    assert(after == 210L)
+  }
 }

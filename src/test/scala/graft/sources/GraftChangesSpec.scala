@@ -436,6 +436,74 @@ class GraftChangesSpec extends SparkSpec {
     assert(rows == Seq((0L, 1L), (1L, 2L)), s"drained feed mismatch: $rows")
   }
 
+  test("changes feed on an evolved table: eras read through the era-aware index, stream replans") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.ev (k BIGINT, r STRING, " +
+      "total BIGINT, d STRING) PARTITIONED BY (d)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val cp = tmpDir("gch-cp-ev")
+    def runEpoch(data: (Long, String, Long, String)*): Unit = withShuffle4 {
+      val q = mem.toDF().toDF("k", "r", "v", "d").groupBy("d", "r", "k")
+        .agg(sum("v").as("total"))
+        .select(col("k"), col("r"), col("total"), col("d"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.mart.ev")
+      try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    runEpoch((1L, "a", 10L, "d1"), (2L, "b", 20L, "d2")) // era: (d)
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'mart.ev', add_column => 'r')").collect()
+    runEpoch((1L, "a", 1L, "d1"), (3L, "c", 30L, "d2")) // era: (d, r)
+    // the post-evolution epoch really laid out (d, r)
+    val fs = fsOf(root)
+    assert(fs.exists(new Path(s"$root/mart/ev/d=d2/r=c")),
+      "post-evolution epoch did not land under the (d, r) layout")
+
+    val feed = spark.table(s"$cat.mart.ev.changes").collect().map { r =>
+      (r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("_change_epoch")),
+        r.getLong(r.fieldIndex("k")),
+        Option(r.getAs[String]("r")).getOrElse("-"),
+        Option(r.getAs[String]("d")).getOrElse("-"),
+        if (r.isNullAt(r.fieldIndex("total"))) -1L
+        else r.getLong(r.fieldIndex("total")))
+    }.sorted.toSeq
+    val expected = Seq(
+      ("delete", 1L, 1L, "-", "-", -1L), ("delete", 1L, 3L, "-", "-", -1L),
+      ("insert", 0L, 1L, "a", "d1", 10L),
+      ("insert", 0L, 2L, "b", "d2", 20L),
+      ("upsert", 1L, 1L, "a", "d1", 11L),
+      ("upsert", 1L, 3L, "c", "d2", 30L)).sorted
+    assert(feed == expected, s"evolved feed mismatch:\n$feed\nvs\n$expected")
+
+    // epoch-bounded read stays exact across the evolution boundary
+    val e1 = spark.table(s"$cat.mart.ev.changes")
+      .where(col("_change_epoch") === 1 &&
+        col("_change_type") === "upsert")
+      .select(col("k"), col("d")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(e1 == Seq((1L, "d1"), (3L, "d2")))
+
+    // the STREAM replans each batch through the era-aware index
+    val cq = spark.readStream.table(s"$cat.mart.ev.changes")
+      .writeStream.format("memory").queryName("gch_ev")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("gch-cp-ev-r"))
+      .start()
+    assert(cq.awaitTermination(120000))
+    val streamed = spark.table("gch_ev")
+      .select(col("_change_type"), col("_change_epoch"), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == feed.map(t => (t._1, t._2, t._3)).sorted,
+      s"streamed evolved feed diverged: $streamed")
+  }
+
   test("metadata relations: files answers from listings, history tracks retained versions") {
     val (cat, root) = freshCatalog(versions = 3)
     spark.sql(s"CREATE NAMESPACE $cat.ods")
@@ -458,6 +526,13 @@ class GraftChangesSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), s"files should plan as a " +
       s"LocalTableScan:\n$plan")
 
+    // <t>.partitions: the per-partition rollup of the same listing
+    val parts = spark.table(s"$cat.ods.t.partitions").collect()
+      .map(r => (r.getString(0), r.getLong(1) > 0,
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    assert(parts == Seq(("seg=A", true, 2L), ("seg=B", true, 1L)),
+      s"partitions rollup mismatch: $parts")
+
     // corrupting the data files must not matter — metadata only
     corruptFiles(root, "ods/t/seg=A", _ => false)
     assert(spark.table(s"$cat.ods.t.files").collect().length ==
@@ -478,6 +553,12 @@ class GraftChangesSpec extends SparkSpec {
       .forall(_.isNullAt(3)), "stale manifest row count served")
     assert(afterTouch.exists(r => r.getString(0) != touchedRel &&
       !r.isNullAt(3)))
+    // the rollup goes NULL for the whole partition (a partial sum
+    // would read as a total), others keep theirs
+    val partsTouched = spark.table(s"$cat.ods.t.partitions").collect()
+      .map(r => (r.getString(0), r.isNullAt(3))).toMap
+    assert(partsTouched("seg=B") && !partsTouched("seg=A"),
+      s"stale rollup handling wrong: $partsTouched")
 
     spark.sql(s"INSERT OVERWRITE $cat.ods.t VALUES (9, 'C')")
     val hist = spark.table(s"$cat.ods.t.history").collect().map { r =>
