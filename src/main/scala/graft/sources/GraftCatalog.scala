@@ -340,7 +340,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // keys are ignored (Spark passes reserved props through).
     val checkProps = properties.asScala.toMap.filter { case (k, _) =>
       GraftCheck.isCheckKey(k)
-    }
+    } ++
+      // NOT NULL column declarations become INTERNAL check constraints
+      // so every writer path enforces them ([[GraftCheck]]) — Spark's
+      // analyzer-level null checks don't run for streaming toTable or
+      // the object API
+      schema.fields.filterNot(_.nullable).map { f =>
+        (GraftCheck.PropPrefix + s"__not_null_${f.name.toLowerCase}") ->
+          s"`${f.name}` IS NOT NULL"
+      }.toMap
     val durableProps =
       durableKeys.flatMap { k =>
         Option(properties.get(k)).map { v =>
@@ -428,12 +436,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val nw = rn.newName
           require(s.fieldNames.exists(_.equalsIgnoreCase(old)),
             s"column $old does not exist")
-          require(!GraftCheck.constraintsOf(meta0.props).exists(c =>
-              GraftCheck.referencedCols(spark, s, c).contains(
-                old.toLowerCase)),
-            s"cannot rename column $old: a CHECK constraint references " +
-              "it by name (the constraint would stop resolving and " +
-              "silently un-enforce) — UNSET the constraint first")
+          locally {
+            // the INTERNAL not-null constraint follows its column; any
+            // OTHER referencing constraint refuses (it would stop
+            // resolving and silently un-enforce)
+            val nnKey = GraftCheck.PropPrefix + s"__not_null_${old.toLowerCase}"
+            require(!GraftCheck.constraintsOf(meta0.props - nnKey).exists(c =>
+                GraftCheck.referencedCols(spark, s, c).contains(
+                  old.toLowerCase)),
+              s"cannot rename column $old: a CHECK constraint references " +
+                "it by name (the constraint would stop resolving and " +
+                "silently un-enforce) — UNSET the constraint first")
+            if (props1.contains(nnKey)) {
+              props1 -= nnKey
+              props1 += (GraftCheck.PropPrefix +
+                s"__not_null_${nw.toLowerCase}" -> s"`$nw` IS NOT NULL")
+            }
+          }
           require(!partCols.exists(_.equalsIgnoreCase(old)),
             s"cannot rename partition column $old: its values are " +
               "directory names")
@@ -505,12 +524,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot drop partition column $name")
           require(!meta0.bucketSpec.exists(_._2.equalsIgnoreCase(name)),
             s"cannot drop bucket column $name")
-          require(!GraftCheck.constraintsOf(meta0.props).exists(c =>
-              GraftCheck.referencedCols(spark, s, c).contains(
-                name.toLowerCase)),
-            s"cannot drop column $name: a CHECK constraint references " +
-              "it (dropping would silently un-enforce the constraint) " +
-              "— UNSET the constraint first")
+          locally {
+            val nnKey = GraftCheck.PropPrefix + s"__not_null_${name.toLowerCase}"
+            require(!GraftCheck.constraintsOf(meta0.props - nnKey).exists(c =>
+                GraftCheck.referencedCols(spark, s, c).contains(
+                  name.toLowerCase)),
+              s"cannot drop column $name: a CHECK constraint references " +
+                "it (dropping would silently un-enforce the constraint) " +
+                "— UNSET the constraint first")
+            props1 -= nnKey // the internal not-null dies with its column
+          }
           if (!s.fieldNames.exists(_.equalsIgnoreCase(name))) {
             require(del.ifExists, s"column $name does not exist"); s
           } else {
@@ -522,6 +545,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             fieldIds = fieldIds.filterNot(_._1.equalsIgnoreCase(name))
             StructType(remaining)
           }
+        case un: TableChange.UpdateColumnNullability =>
+          // NOT NULL as metadata + the CHECK machinery ([[GraftCheck]]):
+          // SET NOT NULL validates existing rows (Delta's rule) and
+          // registers an INTERNAL `<col> IS NOT NULL` constraint so
+          // every writer path enforces it — including streaming
+          // toTable and the object API, where Spark's analyzer-level
+          // null checks never run. DROP NOT NULL removes both.
+          require(un.fieldNames.length == 1,
+            s"graft tables support top-level columns only, got " +
+              un.fieldNames.mkString("."))
+          val name = un.fieldNames.head
+          val f = s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+            throw new IllegalArgumentException(
+              s"column $name does not exist"))
+          val propKey =
+            GraftCheck.PropPrefix + s"__not_null_${f.name.toLowerCase}"
+          if (!un.nullable) {
+            require(!meta0.renameAliases.contains(f.name.toLowerCase),
+              s"SET NOT NULL: ${f.name} was renamed and pre-rename " +
+                "files are not yet materialized — CALL system.compact " +
+                "first (their rows resolve by alias and must be probed)")
+            GraftCheck.validateExisting(
+              spark.table(s"`$catalogName`.`${ident.namespace.head}`" +
+                s".`${ident.name}`"),
+              GraftCheck.Constraint(s"__not_null_${f.name.toLowerCase}",
+                s"`${f.name}` IS NOT NULL"))
+            props1 += (propKey -> s"`${f.name}` IS NOT NULL")
+          } else props1 -= propKey
+          StructType(s.fields.map(fd =>
+            if (fd.name.equalsIgnoreCase(name))
+              fd.copy(nullable = un.nullable)
+            else fd))
         case up: TableChange.UpdateColumnType =>
           // type WIDENING (r13 verdict item 2 — Iceberg's metadata-only
           // schema evolution for safe promotions): the table schema

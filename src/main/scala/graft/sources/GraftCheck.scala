@@ -108,7 +108,22 @@ private[graft] object GraftCheck {
           p
       }.isEmpty,
       s"CHECK constraint '${c.name}': (${c.sql}) carries a subquery")
-    BindReferences.bindReference(cond, attrs)
+    val bound = BindReferences.bindReference(cond, attrs)
+    // current_timestamp()/current_date() survive analysis as
+    // Unevaluable placeholders (the optimizer stamps them per query) —
+    // a guard predicate would crash at the first row instead of
+    // checking it; refuse at DDL time (checked AFTER binding:
+    // attributes are unevaluable only until they become bound refs)
+    val queryTime = Set("CurrentTimestamp", "CurrentDate", "Now",
+      "LocalTimestamp", "CurrentTimeZone", "CurrentBatchTimestamp")
+    require(bound.collectFirst {
+        case u: org.apache.spark.sql.catalyst.expressions.Unevaluable => u
+        case e if queryTime.contains(e.getClass.getSimpleName) => e
+      }.isEmpty,
+      s"CHECK constraint '${c.name}': (${c.sql}) uses an expression " +
+        "that is stamped per QUERY (current_timestamp, current_date, " +
+        "...) — a CHECK must mean the same thing for every write")
+    bound
   }
 
   /** Resolve every constraint against a WRITE schema, leniently: a

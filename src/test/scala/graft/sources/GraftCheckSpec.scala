@@ -74,6 +74,7 @@ class GraftCheckSpec extends SparkSpec {
     refuse("rand() > 0.5", "nondeterministic")
     refuse("k > (SELECT 1)", "subquery")
     refuse("sum(k) > 0", "row-level expression")
+    refuse("k > unix_timestamp(current_timestamp())", "per QUERY")
   }
 
   test("ADD CONSTRAINT validates existing rows; UNSET lifts enforcement") {
@@ -166,6 +167,82 @@ class GraftCheckSpec extends SparkSpec {
       eng.append(Seq((3L, -3L)).toDF("k", "v"), "ods", "s", Nil)
     }
     assert(spark.table(s"$cat.ods.s").count() == 1)
+  }
+
+  test("NOT NULL: declared at CREATE, toggled by ALTER COLUMN, enforced where Spark's analyzer never runs") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT NOT NULL, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (1, 10), (2, NULL)")
+
+    // the object API runs no analyzer null-check — the internal
+    // constraint is what stands between a null and the files
+    val eng = graft.runtime.Catalog(spark, root)
+    violates {
+      eng.append(Seq((null.asInstanceOf[java.lang.Long], 3L))
+        .toDF("k", "v").selectExpr("CAST(k AS BIGINT) AS k", "v"),
+        "ods", "t", Nil)
+    }
+    assert(spark.table(s"$cat.ods.t").count() == 2)
+
+    // streaming toTable hands the query schema straight through — same
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.lang.Long, java.lang.Long)]
+    val q = mem.toDF().selectExpr("CAST(_1 AS BIGINT) AS k",
+        "CAST(_2 AS BIGINT) AS v")
+      .writeStream.option("checkpointLocation", tmpDir("gck-nn-cp"))
+      .toTable(s"$cat.ods.t")
+    try {
+      mem.addData((null: java.lang.Long, java.lang.Long.valueOf(7L)))
+      val e = intercept[Throwable] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("CHECK constraint")),
+        s"stream admitted a null into a NOT NULL column: " +
+          msgs(e).mkString(" | "))
+    } finally q.stop()
+
+    // TIGHTENING rides the constraint-property surface (Spark's
+    // analyzer hardcodes a refusal of ALTER COLUMN SET NOT NULL for v2
+    // catalogs — it cannot know the catalog validates the data); the
+    // existing-rows probe still applies
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ods.t SET TBLPROPERTIES " +
+        "('constraints.check.v_not_null' = 'v IS NOT NULL')")
+    }
+    assert(e2.getMessage.contains("existing row"), e2.getMessage)
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE v IS NULL")
+    spark.sql(s"ALTER TABLE $cat.ods.t SET TBLPROPERTIES " +
+      "('constraints.check.v_not_null' = 'v IS NOT NULL')")
+    violates {
+      eng.append(Seq((9L, null.asInstanceOf[java.lang.Long])).toDF("k", "v")
+        .selectExpr("k", "CAST(v AS BIGINT) AS v"), "ods", "t", Nil)
+    }
+    spark.sql(s"ALTER TABLE $cat.ods.t UNSET TBLPROPERTIES " +
+      "('constraints.check.v_not_null')")
+    eng.append(Seq((9L, null.asInstanceOf[java.lang.Long])).toDF("k", "v")
+      .selectExpr("k", "CAST(v AS BIGINT) AS v"), "ods", "t", Nil)
+    assert(spark.table(s"$cat.ods.t").count() == 2)
+
+    // RELAXING a declared NOT NULL is plain DDL: DROP NOT NULL removes
+    // the internal constraint with the schema flag
+    spark.sql(s"ALTER TABLE $cat.ods.t ALTER COLUMN k DROP NOT NULL")
+    eng.append(Seq((null.asInstanceOf[java.lang.Long],
+        java.lang.Long.valueOf(6L))).toDF("k", "v")
+      .selectExpr("CAST(k AS BIGINT) AS k", "v"), "ods", "t", Nil)
+    assert(spark.table(s"$cat.ods.t").where(col("k").isNull).count() == 1)
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k IS NULL")
+
+    // a NOT NULL column renames freely — enforcement follows the name
+    spark.sql(s"CREATE TABLE $cat.ods.r (k BIGINT NOT NULL, v BIGINT)")
+    spark.sql(s"ALTER TABLE $cat.ods.r RENAME COLUMN k TO key")
+    violates {
+      eng.append(Seq((null.asInstanceOf[java.lang.Long],
+          java.lang.Long.valueOf(5L)))
+        .toDF("key", "v").selectExpr("CAST(key AS BIGINT) AS key", "v"),
+        "ods", "r", Nil)
+    }
   }
 
   test("DROP or RENAME of a referenced column refuses (silent un-enforcement)") {
