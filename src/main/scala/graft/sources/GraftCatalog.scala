@@ -766,6 +766,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             GraftCheck.isCheckKey(r.property),
             s"unsupported table property '${r.property}' " +
               s"(durable properties: ${durableKeys.mkString(", ")})")
+          // the __not_null_* props back a schema-level NOT NULL flag:
+          // unsetting the prop alone would leave the schema declaring
+          // non-nullable with enforcement gone (IsNull folding would
+          // then return wrong results once a null lands)
+          require(!GraftCheck.isNotNullKey(r.property),
+            s"'${r.property}' enforces a NOT NULL column constraint and " +
+              "cannot be unset directly — use ALTER TABLE ... ALTER " +
+              "COLUMN <col> DROP NOT NULL, which relaxes the schema and " +
+              "removes the constraint together")
           ps - r.property
         case other => throw new IllegalStateException(s"unreachable $other")
       }

@@ -312,7 +312,12 @@ private[sources] final class GraftChangesScan(
   import GraftChanges._
 
   override def readSchema(): StructType =
-    StructType(fileScan.readSchema().fields ++ virtualReq)
+    // data columns must report nullable: sidecar delete rows emit NULL
+    // for every non-key column, so a NOT NULL flag inherited from the
+    // table schema would let IsNull fold those rows away post-pushdown
+    StructType(
+      fileScan.readSchema().fields.map(_.copy(nullable = true)) ++
+        virtualReq)
 
   override def toBatch: Batch = this
 
@@ -326,6 +331,30 @@ private[sources] final class GraftChangesScan(
   private def admitsEpoch(e: Long): Boolean =
     lo.forall(e >= _) && hi.forall(e <= _) && epochSet.forall(_.contains(e))
   private def admitsType(t: String): Boolean = typeSet.forall(_.contains(t))
+
+  /** An EXPLICIT epoch bound that reaches into rewritten history must
+    * refuse, not silently serve a partial feed (Delta's beyond-retention
+    * error) — shared by the batch plan AND the stream's initialOffset so
+    * both paths refuse identically (batch-contract parity). Only the
+    * UNBOUNDED read serves "the retained feed, whatever it is".
+    */
+  private[sources] def requireAboveHorizon(horizon: Long): Unit = {
+    if (horizon < 0) return
+    if (lo.isEmpty && hi.isEmpty && epochSet.isEmpty) return
+    val l = lo.getOrElse(0L)
+    val demandsRewritten =
+      l <= horizon && hi.forall(_ >= 0L) && (epochSet match {
+        case None => true
+        case Some(s) =>
+          s.exists(e => e >= l && e <= horizon && hi.forall(e <= _))
+      })
+    require(!demandsRewritten,
+      s"$tableDir: epochs at or below $horizon were materialized by " +
+        "rewrite_deletes — that change history is rewritten and " +
+        "cannot be served. Bound the read above the horizon " +
+        s"(_change_epoch > $horizon) or read unbounded for the " +
+        "retained feed")
+  }
 
   /** Driver-side feed state, recomputed per planning pass (AQE may
     * re-plan; listings must see the current directory, same contract
@@ -357,23 +386,7 @@ private[sources] final class GraftChangesScan(
       * beyond-retention error). Only the UNBOUNDED read serves "the
       * retained feed, whatever it is".
       */
-    def checkHorizon(): Unit = {
-      if (horizon < 0) return
-      if (lo.isEmpty && hi.isEmpty && epochSet.isEmpty) return
-      val l = lo.getOrElse(0L)
-      val demandsRewritten =
-        l <= horizon && hi.forall(_ >= 0L) && (epochSet match {
-          case None => true
-          case Some(s) =>
-            s.exists(e => e >= l && e <= horizon && hi.forall(e <= _))
-        })
-      require(!demandsRewritten,
-        s"$tableDir: epochs at or below $horizon were materialized by " +
-          "rewrite_deletes — that change history is rewritten and " +
-          "cannot be served. Bound the read above the horizon " +
-          s"(_change_epoch > $horizon) or read unbounded for the " +
-          "retained feed")
-    }
+    def checkHorizon(): Unit = requireAboveHorizon(horizon)
     val sidecarEpochs: Set[Long] = sidecars.map(_.epoch).toSet
     def servable(e: Long): Boolean = e > horizon && admitsEpoch(e)
   }
@@ -510,13 +523,11 @@ private[sources] final class GraftChangesScan(
 
     override def initialOffset(): Offset = {
       val c = census()
-      // batch-contract parity: an explicit lower bound into rewritten
-      // history refuses rather than silently narrowing
-      require(c.horizon < 0 || lo.forall(_ > c.horizon),
-        s"$tableDir: epochs at or below ${c.horizon} were materialized " +
-          "by rewrite_deletes — that change history is rewritten and " +
-          "cannot be streamed; drop the fromEpoch bound for the " +
-          "retained feed")
+      // batch-contract parity: ANY explicit bound reaching into
+      // rewritten history refuses (fromEpoch, toEpoch-only, epoch-set),
+      // mirroring FeedState.checkHorizon — never silently deliver an
+      // empty or partial feed
+      requireAboveHorizon(c.horizon)
       EpochOffset(c.horizon)
     }
 

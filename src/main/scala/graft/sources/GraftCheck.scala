@@ -54,6 +54,13 @@ private[graft] object GraftCheck {
   def isCheckKey(k: String): Boolean =
     k.startsWith(PropPrefix) && k.length > PropPrefix.length
 
+  /** Internal keys that back a schema-level NOT NULL flag — removing
+    * one must go through ALTER COLUMN ... DROP NOT NULL (which also
+    * relaxes the schema), never a bare UNSET TBLPROPERTIES.
+    */
+  def isNotNullKey(k: String): Boolean =
+    k.startsWith(PropPrefix + "__not_null_")
+
   def constraintsOf(props: Map[String, String]): Seq[Constraint] =
     props.toSeq.collect {
       case (k, v) if isCheckKey(k) => Constraint(k.stripPrefix(PropPrefix), v)
@@ -134,8 +141,21 @@ private[graft] object GraftCheck {
   def bindLenient(spark: SparkSession, writeSchema: StructType,
       cs: Seq[Constraint]): Seq[Bound] =
     cs.flatMap { c =>
-      try Some(Bound(c.name, c.sql, resolve(spark, writeSchema, c)))
-      catch { case _: IllegalArgumentException => None }
+      // skip ONLY the intended case — a referenced top-level column the
+      // write does not carry; any other resolve failure (type drift
+      // after widening, analysis regression) must throw, or the CHECK
+      // is silently un-enforced on that write with no signal
+      val names = writeSchema.fieldNames.map(_.toLowerCase).toSet
+      val missingCol =
+        try {
+          spark.sessionState.sqlParser.parseExpression(c.sql).collectFirst {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute
+                if !names.contains(a.nameParts.head.toLowerCase) => a
+          }.isDefined
+        } catch { case _: Exception => false } // unparseable → resolve throws
+      if (missingCol) None
+      else Some(Bound(c.name, c.sql, resolve(spark, writeSchema, c)))
     }
 
   /** Per-task row guard: evaluates each bound constraint, throwing on

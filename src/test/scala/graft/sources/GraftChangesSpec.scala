@@ -579,4 +579,44 @@ class GraftChangesSpec extends SparkSpec {
       miss.getMessage.toLowerCase.contains("not found"),
       s"wrong error: ${miss.getMessage}")
   }
+
+  test("NOT NULL data column reads nullable through .changes: IS NULL finds the delete rows") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.nn " +
+      "(k BIGINT, total BIGINT NOT NULL, cnt BIGINT)")
+    runUpsertStream(cat, "nn")
+    // sidecar delete rows carry NULL for every non-key column; after V2
+    // pushdown the plan's output takes the SCAN's nullability, so a scan
+    // that kept the table's NOT NULL flag would fold `total IS NULL` to
+    // false and the delete rows would silently vanish (r14 ADVICE)
+    val dels = spark.table(s"$cat.mart.nn.changes")
+      .where(col("total").isNull)
+      .select(col("_change_type"), col("_change_epoch"), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(dels == Seq(("delete", 1L, 2L), ("delete", 2L, 1L),
+      ("delete", 2L, 4L)), s"delete rows lost or mislabeled: $dels")
+  }
+
+  test("stream bounded only by toEpoch at/below the horizon refuses at start (batch parity)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.eq (k BIGINT, total BIGINT, cnt BIGINT)")
+    runUpsertStream(cat, "eq") // epochs 0..2
+    spark.sql(s"CALL $cat.system.rewrite_deletes(table => 'mart.eq')").collect()
+    // batch refuses a toEpoch-only bound reaching into rewritten history;
+    // a FRESH stream on the same bound must refuse identically instead of
+    // silently draining nothing (r14 ADVICE: initialOffset only checked
+    // the lower bound)
+    val cq = spark.readStream.option("toEpoch", "1")
+      .table(s"$cat.mart.eq.changes")
+      .writeStream.format("memory").queryName("gch_hibound")
+      .option("checkpointLocation", tmpDir("gch-cp-hibound")).start()
+    val e = intercept[Exception] { cq.processAllAvailable(); cq.stop() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("materialized")),
+      s"wrong refusal: ${msgs(e).mkString(" | ")}")
+  }
 }

@@ -266,4 +266,35 @@ class GraftCheckSpec extends SparkSpec {
       "('constraints.check.bal_nonneg')")
     spark.sql(s"ALTER TABLE $cat.ods.t RENAME COLUMN bal TO balance")
   }
+
+  test("UNSET on an internal __not_null_ key refuses; bindLenient skips ONLY missing columns") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT NOT NULL, v BIGINT)")
+    // unsetting the backing prop alone would leave the schema declaring
+    // NOT NULL with enforcement gone — IsNull folding would then return
+    // wrong results once a null lands (r14 ADVICE); the schema flag and
+    // the constraint must move together via DROP NOT NULL
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ods.t UNSET TBLPROPERTIES " +
+        "('constraints.check.__not_null_k')")
+    }
+    assert(e.getMessage.contains("DROP NOT NULL"), e.getMessage)
+    spark.sql(s"ALTER TABLE $cat.ods.t ALTER COLUMN k DROP NOT NULL")
+    assert(!spark.table(s"$cat.ods.t").schema("k").nullable == false)
+
+    // bindLenient's skip is ONLY for a referenced column the write does
+    // not carry (partial-row positional deletes); any OTHER resolve
+    // failure (type drift, analysis regression) must throw, or the
+    // CHECK silently un-enforces on that write with no signal
+    import org.apache.spark.sql.types._
+    val ws = StructType(Seq(StructField("k", LongType)))
+    assert(GraftCheck.bindLenient(spark, ws,
+      Seq(GraftCheck.Constraint("c1", "missing_col > 0"))).isEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftCheck.bindLenient(spark, ws,
+        Seq(GraftCheck.Constraint("c2", "array_contains(k, 1)")))
+    }
+    assert(e2.getMessage.contains("does not resolve"), e2.getMessage)
+  }
 }
