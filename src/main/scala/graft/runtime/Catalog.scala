@@ -221,12 +221,25 @@ final case class Catalog(spark: SparkSession, root: String,
       if (sortCols.nonEmpty)
         guarded.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       else guarded
+    val base = new org.apache.hadoop.fs.Path(path(layer, table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // commit journal (graft.sources.GraftCommits): the V1 append does
+    // not know its final file names — claim them as the visible delta
+    // across the save. The pre-listing costs what the save's own
+    // committer already pays; the record write is one tiny file under
+    // the table commit lock.
+    val before = graft.sources.GraftCommits.universe(fs, base)
     clustered.write
       .partitionBy(partitionCols: _*)
       .options(writeOptions)
       .mode("append")
       .format(format)
       .save(path(layer, table))
+    graft.sources.GraftCommitLock.withLock(fs, base,
+        s"append-journal:$layer.$table") {
+      graft.sources.GraftCommits.tryRecordClaiming(
+        fs, base, "append", before)
+    }
   }
 
   /** S6 — idempotent dynamic partition overwrite: replaces only the
@@ -322,6 +335,10 @@ final case class Catalog(spark: SparkSession, root: String,
       // first publish: the temp dir IS the table
       fs.mkdirs(base.getParent)
       require(fs.rename(tmp, base), s"publish: could not install $base")
+      GraftCommitLock.withLock(fs, base, s"publish-journal:$layer.$table") {
+        graft.sources.GraftCommits.tryRecordClaiming(
+          fs, base, "overwrite", Set.empty)
+      }
     } else {
       // phase 2 — per-partition swap: live aside, new in, old dropped.
       // Each rename is atomic on a real filesystem, so a partition is
@@ -366,7 +383,17 @@ final case class Catalog(spark: SparkSession, root: String,
         // tombstone the swapped-aside partitions (reader snapshot
         // isolation, r12 item 2) — relative layout preserved, GC'd by
         // remove_orphans after the grace window
-        graft.sources.GraftRetired.retireRoot(fs, base, oldRoot)
+        val tomb = graft.sources.GraftRetired.retireRoot(fs, base, oldRoot)
+        // commit journal: the overwrite's adds are the touched
+        // partitions' new files; removes are their previous generation,
+        // preimages resolvable under the tombstoned aside root
+        graft.sources.GraftCommits.tryRecord(fs, base, "overwrite",
+          adds = visibleFileState(fs, base).keys.toSeq
+            .filter(r => inTouched(r) &&
+              !r.startsWith(graft.sources.GraftDv.DirName + "/")),
+          removes = beforeTouched.keys.toSeq
+            .filter(!_.startsWith(graft.sources.GraftDv.DirName + "/"))
+            .map(graft.sources.GraftCommits.Remove(_, tomb.getOrElse(""))))
       }
     }
     // maintenance policy outside the lock: this commit grew the

@@ -220,6 +220,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "changes" =>
           new GraftChangesTable(spark, baseName, dir.toString, format,
             GraftTableMeta.read(fs, dir))
+        case "commits" =>
+          new GraftMetaTable(s"$baseName.commits",
+            GraftMetaTables.CommitsSchema,
+            () => GraftMetaTables.commitsRows(spark, dir))
         case _ => throw new NoSuchTableException(ident)
       }
     }
@@ -238,9 +242,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // `VERSION AS OF 'c<id>'` — PER-COMMIT time travel against the
+    // commit journal ([[GraftCommits]], r14 item 2): any batch commit
+    // (append, overwrite, rewrite, delete, mor-delete) is addressable,
+    // not only retained full replaces
+    if (version.matches("[cC]\\d+")) {
+      val dir = tableDir(ident)
+      val meta = GraftTableMeta.read(fs, dir)
+      return new GraftCommitSnapshotTable(spark,
+        s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}",
+        dir.toString, format, meta, version.drop(1).toLong)
+    }
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft versions are integers (history numbering), got '$version'")
+        s"graft versions are integers (history numbering) or 'c<commit>' " +
+          s"(commit-journal snapshots), got '$version'")
     }
     val hist = engine.history(layerOf(ident.namespace), ident.name)
     require(hist.contains(v),
@@ -2034,14 +2050,25 @@ private[sources] class GraftTable(
       // commit honors); the metadata sidecar stays (the table keeps its
       // schema). Deletion vectors die with the rows they were deleting —
       // in-flight readers captured their DV filters at planning time.
-      if (fs.exists(new Path(dir)))
-        GraftRetired.retireFiles(fs, new Path(dir),
-          fs.listStatus(new Path(dir)).map(_.getPath)
+      GraftCommitLock.withLock(fs, new Path(dir), "truncate-delete") {
+        if (fs.exists(new Path(dir))) {
+          val tops = fs.listStatus(new Path(dir)).map(_.getPath)
             .filterNot(p =>
               p.getName.startsWith("_") || p.getName.startsWith("."))
-            .toSeq)
-      GraftDv.dropAll(fs, new Path(dir))
-      GraftEqDel.clearAll(fs, new Path(dir)) // rows gone = deletes moot
+            .toSeq
+          // journal needs FILE-granular removes; enumerate before the
+          // directory renames move them (rel layout is preserved)
+          val goneRels = tops.flatMap(listDataFiles(fs, _))
+            .map(GraftCommits.relOf(fs, new Path(dir), _))
+          val tomb = GraftRetired.retireFiles(fs, new Path(dir), tops)
+          GraftCommits.tryRecord(fs, new Path(dir), "delete",
+            adds = Nil,
+            removes = goneRels.map(
+              GraftCommits.Remove(_, tomb.getOrElse(""))))
+        }
+        GraftDv.dropAll(fs, new Path(dir))
+        GraftEqDel.clearAll(fs, new Path(dir)) // rows gone = deletes moot
+      }
     } else if (!partitionDeletable(predicates)) {
       // merge-on-read positional delete (canDeleteWhere accepted, so
       // the condition translates)
@@ -2083,9 +2110,19 @@ private[sources] class GraftTable(
       // directories are already-satisfied deletes (idempotent); each
       // drop is one atomic rename, so a crash mid-way leaves a prefix
       // retired and a re-run converges.
+      // ONE tombstone commit dir for the whole walk, so the journal
+      // record's removes all resolve under a single preserved layout
+      lazy val tombDir = GraftRetired.newCommitDir(new Path(dir))
+      var tombUsed = false
+      val goneRels = Seq.newBuilder[String]
       def walk(d: Path, level: Int): Unit = {
         if (!parts.drop(level).exists(constraints.contains)) {
-          if (fs.exists(d)) GraftRetired.retireFiles(fs, new Path(dir), Seq(d))
+          if (fs.exists(d)) {
+            goneRels ++= listDataFiles(fs, d)
+              .map(GraftCommits.relOf(fs, new Path(dir), _))
+            GraftRetired.retireFilesInto(fs, new Path(dir), Seq(d), tombDir)
+            tombUsed = true
+          }
         } else if (level < parts.length) {
           val col = parts(level)
           val children = constraints.get(col) match {
@@ -2106,7 +2143,15 @@ private[sources] class GraftTable(
             fs.delete(d, false)
         }
       }
-      walk(new Path(dir), 0)
+      GraftCommitLock.withLock(fs, new Path(dir), "partition-drop-delete") {
+        walk(new Path(dir), 0)
+        val rels = goneRels.result()
+        if (rels.nonEmpty)
+          GraftCommits.tryRecord(fs, new Path(dir), "delete",
+            adds = Nil,
+            removes = rels.map(GraftCommits.Remove(_,
+              if (tombUsed) tombDir.getName else "")))
+      }
       // sidecar hygiene: vectors of files that died with their
       // partition directories are inert — sweep them
       GraftDv.sweepStale(fs, new Path(dir))
@@ -2205,12 +2250,21 @@ private[sources] class GraftTable(
             throw new GraftCommitLock.ConcurrentCommitException(
               s"$dir: deletion vectors changed while this rewrite ran; " +
                 "the rewrite read pre-delete rows and was DISCARDED — re-run")
+          // pre-commit universe snapshot inside the critical section:
+          // the journal record claims the delegated write's new files
+          // as everything that appears across the commit
+          val before = GraftCommits.universe(fs, new Path(dir))
           innerBatch.commit(messages) // new generation becomes visible
           // old generation retires — TOMBSTONED, not deleted, so an
           // in-flight reader that planned before this commit completes
           // against its snapshot (r12 item 2; GC via remove_orphans)
-          GraftRetired.retireFiles(fs, new Path(dir), oldFiles)
+          val tomb = GraftRetired.retireFiles(fs, new Path(dir), oldFiles)
           GraftDv.dropFor(fs, new Path(dir), oldFiles)
+          GraftCommits.tryRecordClaiming(fs, new Path(dir), "rewrite",
+            before = before,
+            removes = oldFiles.map(g => GraftCommits.Remove(
+              GraftCommits.relOf(fs, new Path(dir), g),
+              tomb.getOrElse(""))))
         }
         // maintenance policy outside the lock: this commit grew the
         // tombstone area (retired.expire_ms GC)
@@ -4432,8 +4486,13 @@ private[graft] object GraftPartitionedCow {
       * writes with version retention override this to MOVE files into
       * the version store instead (same reader-isolation property).
       */
-    protected def retire(gone: Seq[Path], fs: FileSystem): Unit =
+    protected def retire(gone: Seq[Path], fs: FileSystem): Option[String] =
       GraftRetired.retireFiles(fs, new Path(dir), gone)
+    /** Commit-journal kind recorded for this write ([[GraftCommits]]):
+      * the feed position + file accounting batch change capture and
+      * per-commit time travel derive from.
+      */
+    protected def journalKind: String
     /** True when the write declared [[orderingOf]]: rows arrive grouped
       * by key, so the task writer runs in close-on-key-change mode (one
       * open columnar writer at a time).
@@ -4518,8 +4577,17 @@ private[graft] object GraftPartitionedCow {
         // deletion vectors of retired files are inert — drop them
         // (version-archiving retires MOVE the sidecars first)
         val gone = retired(published, fs)
-        retire(gone, fs)
+        val tomb = retire(gone, fs)
         GraftDv.dropFor(fs, new Path(dir), gone)
+        // commit journal ([[GraftCommits]]): one record inside this
+        // critical section — feed position, adds, and tombstone-
+        // resolvable removes for the batch changelog and time travel
+        GraftCommits.tryRecord(fs, new Path(dir), journalKind,
+          adds = published.map(p =>
+            GraftCommits.relOf(fs, new Path(dir), p)),
+          removes = gone.map(g => GraftCommits.Remove(
+            GraftCommits.relOf(fs, new Path(dir), g),
+            tomb.getOrElse(""))))
         // phase 3 — prune partition directories the retirement emptied
         // (fully-deleted partitions vanish rather than lingering as
         // empty dirs the next scan lists for nothing)
@@ -4616,6 +4684,7 @@ private[graft] object GraftPartitionedCow {
       oldFiles, bucketSpec) with RequiresDistributionAndOrdering {
 
     override def description(): String = s"graft partitioned replace-data $dir"
+    override protected def journalKind: String = "rewrite"
 
     /** Deletion-vector state at write build: a merge-on-read DELETE
       * committing while this rewrite runs invalidates the rows already
@@ -4749,6 +4818,7 @@ private[graft] object GraftPartitionedCow {
       oldFiles, bucketSpec) {
 
     override def description(): String = s"graft dynamic-overwrite $dir"
+    override protected def journalKind: String = "overwrite"
     override protected def pruneEmptied: Boolean = false
     override protected def sortedInput: Boolean = false
     override protected def retired(published: Seq[Path],
@@ -4770,6 +4840,7 @@ private[graft] object GraftPartitionedCow {
     extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
       Nil, bucketSpec) with RequiresDistributionAndOrdering {
     override def description(): String = s"graft bucketed-append $dir"
+    override protected def journalKind: String = "append"
     override def requiredDistribution(): Distribution =
       clusteringOf(partitionCols, bucketSpec)
     override def requiredOrdering(): Array[SortOrder] =
@@ -4814,6 +4885,7 @@ private[graft] object GraftPartitionedCow {
     extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
       oldFiles, bucketSpec) with RequiresDistributionAndOrdering {
     override def description(): String = s"graft truncate-replace $dir"
+    override protected def journalKind: String = "replace"
     /** Complete-output-mode streaming on a BUCKETED table: per-epoch
       * full refresh that keeps the bucket-tagged layout (versioning
       * does not apply per-epoch — see [[StreamingReplaceWrite]]).
@@ -4835,8 +4907,9 @@ private[graft] object GraftPartitionedCow {
     override protected def eqDeleteSafe: Boolean = true
     override protected def retired(published: Seq[Path],
         fs: FileSystem): Seq[Path] = oldFiles
-    override protected def retire(gone: Seq[Path], fs: FileSystem): Unit = {
-      versionStore match {
+    override protected def retire(gone: Seq[Path], fs: FileSystem)
+        : Option[String] = {
+      val tomb: Option[String] = versionStore match {
         case Some((store, retain)) if gone.nonEmpty =>
           val storeP = new Path(store)
           val existing: Seq[Int] =
@@ -4870,17 +4943,20 @@ private[graft] object GraftPartitionedCow {
           existing.dropRight(retain - 1).foreach { v =>
             fs.delete(new Path(storeP, f"v$v%06d"), true)
           }
+          None // preserved in the version store, not the tombstone area
         case _ =>
-          super.retire(gone, fs)
+          val t = super.retire(gone, fs)
           // the replace superseded every row: live equality deletes
           // are consumed by it (this commit IS their materialization)
           GraftEqDel.clearAll(fs, new Path(dir))
+          t
       }
       // every surviving row was rewritten under the CURRENT column
       // names: rename aliases are materialized by this replace
       val m = GraftTableMeta.read(fs, new Path(dir))
       if (m.aliases.nonEmpty)
         GraftTableMeta.write(fs, new Path(dir), m.copy(aliases = Nil))
+      tomb
     }
   }
 

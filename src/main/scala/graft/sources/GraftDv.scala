@@ -398,6 +398,7 @@ private[graft] object GraftDv {
     } finally matched.unpersist(false)
 
     var fresh = 0L
+    val dvDeltas = Map.newBuilder[String, Array[Long]]
     GraftCommitLock.withLock(fs, tableDir, "mor-delete") {
       perFile.foreach { row =>
         val uriPath = new Path(row.getString(0)).toUri.getPath
@@ -430,8 +431,16 @@ private[graft] object GraftDv {
             fresh += newOrds.length
             Dv(rel, st.getLen, st.getModificationTime, newOrds)
           }
+        dvDeltas += (rel -> newOrds)
         write(fs, tableDir, merged)
       }
+      // commit journal ([[GraftCommits]]): the DELTA positions this
+      // commit deleted, per file — the changes feed serves them as
+      // delete rows attributed to this commit id, and per-commit time
+      // travel replays the deltas to any commit's deletion state
+      if (perFile.nonEmpty)
+        GraftCommits.tryRecord(fs, tableDir, "mor_delete",
+          adds = Nil, dv = dvDeltas.result())
     }
     fresh
   }
@@ -983,16 +992,23 @@ private[graft] object GraftDv {
           throw new GraftCommitLock.ConcurrentCommitException(
             s"rewrite_deletes: $rel changed mid-rewrite " +
               "(concurrent commit) — re-run")
-        parts.foreach { staged =>
+        val published = parts.map { staged =>
           val finName =
             "rw-" + java.util.UUID.randomUUID().toString.take(8) + "-" +
               dataFile.getName
           require(fs.rename(staged,
             new Path(dataFile.getParent, finName)),
             s"rewrite_deletes: could not publish $finName")
+          new Path(dataFile.getParent, finName)
         }
-        GraftRetired.retireFiles(fs, tableDir, Seq(dataFile))
+        val tomb = GraftRetired.retireFiles(fs, tableDir, Seq(dataFile))
         fs.delete(dvPath(tableDir, rel), false)
+        // commit journal: NEUTRAL file churn — the row deletions were
+        // already fed by their mor_delete records; this rewrite only
+        // re-homes the survivors (the feed must keep accounting total)
+        GraftCommits.tryRecord(fs, tableDir, "maintenance",
+          adds = published.toSeq.map(GraftCommits.relOf(fs, tableDir, _)),
+          removes = Seq(GraftCommits.Remove(rel, tomb.getOrElse(""))))
       }
       files += 1
       positions += dv.ords.length

@@ -41,6 +41,46 @@ private[sources] object GraftMetaTables {
     StructField("published_at", TimestampType, nullable = false),
     StructField("path", StringType, nullable = false)))
 
+  val CommitsSchema: StructType = StructType(Seq(
+    StructField("commit_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("added_files", IntegerType, nullable = false),
+    StructField("removed_files", IntegerType, nullable = false),
+    StructField("dv_positions", LongType, nullable = false),
+    StructField("feed_visible", BooleanType, nullable = false),
+    StructField("servable", BooleanType, nullable = false)))
+
+  /** `<table>.commits`: the commit journal ([[GraftCommits]]) — every
+    * batch commit as an addressable row (Iceberg's `snapshots` table).
+    * `servable` reports whether `VERSION AS OF 'c<id>'` can still
+    * reconstruct the state (tombstones not yet GC'd). Zero-task
+    * LocalScan like its siblings.
+    */
+  def commitsRows(spark: SparkSession, tableDir: Path)
+      : Array[InternalRow] = {
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recs = GraftCommits.list(fs, tableDir)
+    recs.map { r =>
+      val row = new GenericInternalRow(8)
+      row.update(0, r.id)
+      row.update(1, UTF8String.fromString(r.kind))
+      row.update(2, r.ts * 1000L)
+      row.update(3, r.adds.length)
+      row.update(4, r.removes.length)
+      row.update(5, r.dv.valuesIterator.map(_.length.toLong).sum)
+      row.update(6, r.feedVisible)
+      row.update(7, {
+        val (files, _) = GraftCommits.stateAt(recs, r.id)
+        files.forall { case (rel, addId) =>
+          GraftCommits.resolveInstance(fs, tableDir, recs, rel, addId)
+            .isDefined
+        }
+      })
+      row: InternalRow
+    }.toArray
+  }
+
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
     StructField("file_count", LongType, nullable = false),

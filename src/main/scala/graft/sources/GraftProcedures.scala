@@ -64,6 +64,7 @@ object GraftProcedures {
     Array("analyze", "analyze_bloom", "cluster", "compact",
       "compact_partitions", "evolve_partitioning", "expire_versions",
       "history", "remove_orphans", "rewrite_deletes", "rollback",
+      "rollback_to_commit",
       "table_state")
 
   def load(procName: String, engine: () => Catalog): UnboundProcedure =
@@ -79,6 +80,7 @@ object GraftProcedures {
       case "remove_orphans" => new RemoveOrphansProc(engine)
       case "rewrite_deletes" => new RewriteDeletesProc(engine)
       case "rollback" => new RollbackProc(engine)
+      case "rollback_to_commit" => new RollbackToCommitProc(engine)
       case "table_state" => new TableStateProc(engine)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (one of ${names.mkString(", ")})")
@@ -603,6 +605,42 @@ object GraftProcedures {
       // evidence stays metadata-cheap: a row count here would be a
       // full scan of a possibly-100TB table for a return value
       one(out, InternalRow(v, dataFileCount(eng, layer, table)))
+    }
+  }
+
+  /** Per-commit rollback ([[GraftCommits.rollbackToCommit]], r14 item
+    * 2): restore the file + deletion-vector state as of ANY journaled
+    * batch commit — Iceberg's `rollback_to_snapshot` for the commit
+    * journal, where [[RollbackProc]] covers retained full-replace
+    * versions.
+    */
+  private final class RollbackToCommitProc(engine: () => Catalog)
+    extends MaintenanceProc("rollback_to_commit") {
+    override def description(): String =
+      "restore the table state as of a commit-journal id (see " +
+        "<table>.commits): post-commit files retire, superseded " +
+        "instances rename back from their tombstones, deletion vectors " +
+        "replay; the rollback floors the changes feed (CDC consumers " +
+        "re-bootstrap)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<table>").build(),
+      ProcedureParameter.in("commit", LongType)
+        .comment("a commit_id from <table>.commits").build())
+    private val out = StructType(Seq(
+      StructField("restored_files", IntegerType, nullable = false),
+      StructField("retired_files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val target = input.getLong(1)
+      val eng = engine()
+      require(eng.tableExists(layer, table), s"$layer.$table does not exist")
+      val dir = new Path(eng.path(layer, table))
+      val fs = dir.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      val (restored, retired) =
+        GraftCommits.rollbackToCommit(fs, dir, target)
+      one(out, InternalRow(restored, retired))
     }
   }
 

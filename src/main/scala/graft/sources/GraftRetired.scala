@@ -68,9 +68,21 @@ private[graft] object GraftRetired {
     * COW replace, dynamic partition overwrite). Relative hive paths are
     * preserved under the commit dir so resolution is a path join.
     */
-  def retireFiles(fs: FileSystem, tableDir: Path, gone: Seq[Path]): Unit = {
-    if (gone.isEmpty) return
+  def retireFiles(fs: FileSystem, tableDir: Path, gone: Seq[Path])
+      : Option[String] = {
+    if (gone.isEmpty) return None
     val commit = newCommitDir(tableDir)
+    retireFilesInto(fs, tableDir, gone, commit)
+    Some(commit.getName)
+  }
+
+  /** [[retireFiles]] into a CALLER-owned tombstone commit dir — lets a
+    * multi-step retiring commit (the partition-drop walk) park every
+    * superseded file under ONE commit the journal can reference.
+    */
+  def retireFilesInto(fs: FileSystem, tableDir: Path, gone: Seq[Path],
+      commit: Path): Unit = {
+    if (gone.isEmpty) return
     val qualBase = fs.makeQualified(tableDir).toString
     gone.foreach { f =>
       val qual = fs.makeQualified(f).toString
@@ -90,12 +102,14 @@ private[graft] object GraftRetired {
     * swaps, partition-overwrite old roots) with ONE rename: the aside
     * directory already mirrors the table's relative layout.
     */
-  def retireRoot(fs: FileSystem, tableDir: Path, asideRoot: Path): Unit = {
-    if (!fs.exists(asideRoot)) return
+  def retireRoot(fs: FileSystem, tableDir: Path, asideRoot: Path)
+      : Option[String] = {
+    if (!fs.exists(asideRoot)) return None
     val commit = newCommitDir(tableDir)
     fs.mkdirs(commit.getParent)
     require(fs.rename(asideRoot, commit),
       s"retire: could not tombstone $asideRoot as $commit")
+    Some(commit.getName)
   }
 
   /** Delete tombstone commits older than the grace window. Returns

@@ -104,7 +104,8 @@ class GraftCatalogSpec extends SparkSpec {
       "(1, 'a', '2026-01-01'), (2, 'b', '2026-01-02'), (3, 'c', '2026-01-01')")
     // physical layout: hive partition directories (the object-API layout)
     val dirs = new java.io.File(s"$root/ods/events").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .map(_.getName).sorted
     assert(dirs.toSeq == Seq("day=2026-01-01", "day=2026-01-02"))
     // partition pruning reaches the file index: only one partition read
     val pruned = spark.table(s"$cat.ods.events").filter(col("day") === "2026-01-02")

@@ -210,24 +210,39 @@ class GraftChangesSpec extends SparkSpec {
       ("insert", 1L, 3L)))
   }
 
-  test("batch-only tables feed empty; DV'd tables refuse; schema evolution reads old epochs") {
+  test("batch tables feed from the commit journal; DV deletes serve exact positions; schema evolution reads old epochs") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
-    // batch files carry no epoch: outside the feed's horizon
+    // batch appends journal ([[GraftCommits]]) and feed as inserts at
+    // their commit id (r14 verdict item 1 — previously outside the feed)
     spark.sql(s"CREATE TABLE $cat.ods.b (k BIGINT, v BIGINT)")
     spark.sql(s"INSERT INTO $cat.ods.b VALUES (1, 1), (2, 2)")
-    assert(spark.table(s"$cat.ods.b.changes").collect().isEmpty)
+    val bFeed = spark.table(s"$cat.ods.b.changes")
+      .select(col("_change_type"), col("_change_epoch"), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(bFeed == Seq(("insert", 0L, 1L), ("insert", 0L, 2L)),
+      s"batch append feed mismatch: $bFeed")
 
-    // a merge-on-read DELETE leaves a positional vector: refuse
+    // a merge-on-read DELETE's positions are journaled per commit and
+    // feed as delete rows with FULL preimages (previously a refusal)
     spark.sql(s"CREATE TABLE $cat.ods.d (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
     spark.sql(s"INSERT INTO $cat.ods.d VALUES (1, 1), (2, 2), (3, 3)")
     spark.sql(s"DELETE FROM $cat.ods.d WHERE k = 2")
-    val e = intercept[Exception] {
-      spark.table(s"$cat.ods.d.changes").collect()
-    }
-    assert(e.getMessage.contains("deletion vectors"),
-      s"wrong refusal: ${e.getMessage}")
+    val dFeed = spark.table(s"$cat.ods.d.changes")
+      .select(col("_change_type"), col("_change_epoch"), col("k"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(dFeed == Seq(("delete", 1L, 2L, 2L), ("insert", 0L, 1L, 1L),
+      ("insert", 0L, 2L, 2L), ("insert", 0L, 3L, 3L)),
+      s"mor-delete feed mismatch: $dFeed")
+    // and the preimage row carries its VALUES (not the sidecar NULL
+    // shape) — the delete row above asserted v=2 already; the live
+    // table excludes it
+    assert(spark.table(s"$cat.ods.d").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
 
     // rename + widening apply to files written BEFORE the DDL
     spark.sql(s"CREATE TABLE $cat.ods.ev2 (k INT, v BIGINT)")
@@ -578,6 +593,163 @@ class GraftChangesSpec extends SparkSpec {
     assert(miss.getMessage.toLowerCase.contains("cannot be found") ||
       miss.getMessage.toLowerCase.contains("not found"),
       s"wrong error: ${miss.getMessage}")
+  }
+
+  test("batch DML changelog: INSERT/UPDATE/DELETE/MERGE diffs in commit order, preimages from tombstones, replay converges") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"UPDATE $cat.ods.t SET v = 21 WHERE k = 2")
+    spark.sql(s"DELETE FROM $cat.ods.t WHERE k = 3")
+    spark.createDataFrame(Seq((1L, 11L), (4L, 40L))).toDF("k", "v")
+      .createOrReplaceTempView("gch_src")
+    spark.sql(s"MERGE INTO $cat.ods.t t USING gch_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+
+    val feed = spark.table(s"$cat.ods.t.changes")
+      .select(col("_change_epoch"), col("_change_type"), col("k"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+    // commit ordering: 4 DML statements = positions 0..3, strictly
+    assert(feed.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L),
+      s"commit ordering broken: ${feed.map(_._1).distinct.sorted}")
+    // every commit's net effect is exact (file-granular carryover
+    // delete+insert pairs cancel): replay the feed in commit order
+    val replayed = feed.sortBy(_._1)
+      .foldLeft(Map.empty[(Long, Long), Int]) { case (m, (_, t, k, v)) =>
+        if (t == "delete") {
+          val n = m.getOrElse((k, v), 0) - 1
+          if (n == 0) m - ((k, v)) else m + ((k, v) -> n)
+        } else m + ((k, v) -> (m.getOrElse((k, v), 0) + 1))
+      }
+    val live = spark.table(s"$cat.ods.t").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), 1)).toMap
+    assert(replayed == live, s"replay diverged: $replayed vs $live")
+    assert(live.keySet == Set((1L, 11L), (2L, 21L), (4L, 40L)))
+
+    // the UPDATE's preimage (k=2, v=20) must appear as a delete at
+    // commit 1 — read from the TOMBSTONED pre-rewrite file
+    val del1 = feed.filter(r => r._1 == 1L && r._2 == "delete").map(r =>
+      (r._3, r._4))
+    assert(del1.contains((2L, 20L)),
+      s"UPDATE preimage missing from commit 1: $del1")
+
+    // an epoch-bounded read of REWRITTEN history still serves: commit
+    // 0's insert rows read from their tombstone instances
+    val e0 = spark.table(s"$cat.ods.t.changes")
+      .where(col("_change_epoch") === 0)
+      .select(col("_change_type"), col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(e0 == Seq(("insert", 1L, 10L), ("insert", 2L, 20L),
+      ("insert", 3L, 30L)), s"bounded rewritten-history read: $e0")
+
+    // type pushdown composes with epoch bounds
+    val onlyDeletes = spark.table(s"$cat.ods.t.changes")
+      .where(col("_change_type") === "delete" && col("_change_epoch") <= 2)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(onlyDeletes.contains((3L, 30L)) && onlyDeletes.contains((2L, 20L)),
+      s"typed bounded read: $onlyDeletes")
+  }
+
+  test("batch changelog: full replace floors the feed; bounds below refuse; mixed stream+batch refuses") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.r (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.r VALUES (1, 10)")
+    // the full replace swaps the directory — journal and all: history
+    // resets (Delta's overwrite-under-CDF posture, loud not silent)
+    spark.sql(s"INSERT OVERWRITE $cat.ods.r VALUES (5, 50), (6, 60)")
+    assert(spark.table(s"$cat.ods.r.changes").collect().isEmpty,
+      "post-replace feed should be empty until the next commit")
+    // the next commit claims the replaced generation under a genesis
+    // floor: its rows are accounted but not row-level servable
+    spark.sql(s"INSERT INTO $cat.ods.r VALUES (7, 70)")
+    val feed = spark.table(s"$cat.ods.r.changes")
+      .select(col("_change_epoch"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(feed == Seq((1L, 7L)), s"post-replace feed: $feed")
+    val e = intercept[Exception] {
+      spark.table(s"$cat.ods.r.changes")
+        .where(col("_change_epoch") >= 0).collect()
+    }
+    assert(e.getMessage.contains("not row-level servable"),
+      s"wrong floor refusal: ${e.getMessage}")
+
+    // mixed histories: stream emissions + batch commits cannot order
+    spark.sql(s"CREATE TABLE $cat.ods.m (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.m VALUES (1, 1)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", tmpDir("gch-cp-mix"))
+        .toTable(s"$cat.ods.m")
+      try {
+        mem.addData((2L, 2L)); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val e2 = intercept[Exception] {
+      spark.table(s"$cat.ods.m.changes").collect()
+    }
+    assert(e2.getMessage.contains("no common ordering"),
+      s"wrong mixed refusal: ${e2.getMessage}")
+  }
+
+  test("batch changelog streams: incremental commit delivery, restart exactly-once, replaced-journal refusal") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.s (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.s VALUES (1, 10), (2, 20)")
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val cp = tmpDir("gch-cp-batchcdc")
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.table(s"$cat.ods.s.changes")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("_change_epoch"), col("_change_type"), col("k"))
+            .collect().foreach(r =>
+              got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        }.start()
+
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted ==
+      Seq((0L, "insert", 1L), (0L, "insert", 2L)),
+      s"first delivery: ${got.asScala.toSeq.sorted}")
+
+    // new commits while the stream is down deliver exactly once on
+    // restart (offsets are commit ids)
+    spark.sql(s"DELETE FROM $cat.ods.s WHERE k = 2")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = got.asScala.toSeq.sorted
+    // exactly-once: commit 0 was NOT re-delivered; commit 1's rows are
+    // file-granular net changes (the single file's carryover row k=1
+    // re-emits as a cancelling delete+insert pair), so assert the NET
+    val net1 = all.filter(_._1 == 1L)
+      .groupMapReduce(_._3)(r => if (r._2 == "delete") -1 else 1)(_ + _)
+      .filter(_._2 != 0)
+    assert(all.count(_._1 == 0L) == 2 && net1 == Map(2L -> -1),
+      s"restart delivery: $all")
+
+    // a full replace swaps the journal: the checkpoint's history is
+    // gone — the restarted stream refuses loudly
+    spark.sql(s"INSERT OVERWRITE $cat.ods.s VALUES (9, 90)")
+    spark.sql(s"INSERT INTO $cat.ods.s VALUES (8, 80)")
+    val q3 = run()
+    val e = intercept[Exception] { q3.processAllAvailable(); q3.stop() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("replaced")),
+      s"wrong replaced-journal refusal: ${msgs(e).mkString(" | ")}")
   }
 
   test("NOT NULL data column reads nullable through .changes: IS NULL finds the delete rows") {
