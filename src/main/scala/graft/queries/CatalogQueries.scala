@@ -2585,6 +2585,86 @@ object CatalogQueries {
        |SELECT 'live', seg, ${bi("count(*)")}, ${bi("sum(cents)")}
        |FROM c1 GROUP BY seg""".stripMargin
 
+  /** q226 — HIDDEN-PARTITIONING TRANSFORMS
+    * ([[graft.sources.GraftTransforms]], r14 verdict item 3 —
+    * Iceberg's `ADD PARTITION FIELD days(ts)`): the table evolves by
+    * `days(ts)` metadata-only; era-2 files gain a derived
+    * `ts_day=<utc day>` directory level while `ts` stays an ordinary
+    * data column in every era. An era-spanning aggregate under a
+    * one-month timestamp-range filter sits on the oracle hash, and an
+    * in-plan REQUIRE pins the 100 TB contract: every SCHEDULED era-2
+    * file's chain token falls inside the filter's day range (files
+    * outside it are pruned at planning, never opened), with era-1
+    * files row-filtered as before the evolution.
+    */
+  def q226DaysTransform(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g226")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g226_orders")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.ord (k BIGINT, ts TIMESTAMP, " +
+      "cents BIGINT, pr STRING) PARTITIONED BY (pr)")
+    def ins(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.ods.ord
+      SELECT o_orderkey,
+        CAST(o_orderdate AS TIMESTAMP) +
+          make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), 0, 0),
+        CAST(round(o_totalprice * 100) AS BIGINT),
+        substring(o_orderpriority, 1, 1)
+      FROM g226_orders WHERE $pred""")
+    ins("o_orderkey % 2 = 0") // era 1: plain (pr) spec
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.ord', add_column => 'days(ts)')").collect()
+    ins("o_orderkey % 2 = 1") // era 2: (pr, ts_day=...) layout
+    val agg = spark.sql(s"""
+      SELECT pr, count(*) AS n, sum(cents) AS cents_sum
+      FROM $cat.ods.ord
+      WHERE ts >= timestamp'1995-03-01 00:00:00'
+        AND ts < timestamp'1995-04-01 00:00:00'
+      GROUP BY pr""")
+    // in-plan evidence: every scheduled era-2 file's day token is
+    // inside [1995-03-01, 1995-04-01), and era-2 files outside it were
+    // pruned (strictly fewer era-2 files than the table holds)
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val adaptive =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def filesOf(df: DataFrame): Seq[String] = {
+      df.collect()
+      adaptive.collect(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.partitions.flatten.collect {
+            case fp: FilePartition => fp.files.map(_.toPath.toString).toSeq
+          }.flatten
+      }.flatten
+    }
+    val scheduled = filesOf(agg)
+    val all = filesOf(spark.table(s"$cat.ods.ord"))
+    val dayOf = "ts_day=([0-9-]+)".r
+    def tokened(f: String): Option[String] =
+      dayOf.findFirstMatchIn(f).map(_.group(1))
+    require(scheduled.forall(f => tokened(f).forall(d =>
+        d >= "1995-03-01" && d < "1995-04-01")),
+      "q226: an out-of-range era-2 file was scheduled")
+    require(all.count(tokened(_).isDefined) >
+        scheduled.count(tokened(_).isDefined),
+      "q226: the day-range filter pruned no era-2 files")
+    require(scheduled.count(tokened(_).isEmpty) ==
+        all.count(tokened(_).isEmpty),
+      "q226: era-1 files must stay scheduled (row-filtered)")
+    agg
+  }
+
+  /** The era-spanning one-month aggregate recomputed logically (the
+    * hour offset keeps every row inside its order date's UTC day).
+    */
+  val q226Oracle: String =
+    s"""SELECT substring(o_orderpriority, 1, 1) AS pr,
+       |  ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(o_totalprice * 100) AS BIGINT))")}
+       |    AS cents_sum
+       |FROM orders
+       |WHERE o_orderdate >= DATE '1995-03-01'
+       |  AND o_orderdate < DATE '1995-04-01'
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -2630,7 +2710,8 @@ object CatalogQueries {
     "q222_drop_partition_field" -> (q222DropPartitionField _),
     "q223_check_constraints" -> (q223CheckConstraints _),
     "q224_batch_cdf" -> (q224BatchCdf _),
-    "q225_commit_time_travel" -> (q225CommitTimeTravel _))
+    "q225_commit_time_travel" -> (q225CommitTimeTravel _),
+    "q226_days_transform" -> (q226DaysTransform _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -2677,5 +2758,6 @@ object CatalogQueries {
     "q222_drop_partition_field" -> q222Oracle,
     "q223_check_constraints" -> q223Oracle,
     "q224_batch_cdf" -> q224Oracle,
-    "q225_commit_time_travel" -> q225Oracle)
+    "q225_commit_time_travel" -> q225Oracle,
+    "q226_days_transform" -> q226Oracle)
 }

@@ -946,9 +946,11 @@ private[sources] object GraftTableMeta {
           val i = e.indexOf(':')
           if (i <= 0) None else Some((e.take(i).toInt, dec(e.drop(i + 1))))
         }).getOrElse(Nil)
-      // line 7 (absent pre-evolution): evolved partition columns
+      // line 7 (absent pre-evolution): evolved partition columns /
+      // transform specs, url-encoded (a transform like truncate(s,2)
+      // carries a comma)
       val evolved = lines.drop(6).headOption.filter(_.nonEmpty)
-        .map(_.split(",").toSeq).getOrElse(Nil)
+        .map(_.split(",").toSeq.map(dec)).getOrElse(Nil)
       GraftTableMeta(schema, parts, buckets, props, ids, als, evolved)
     }
   }
@@ -969,7 +971,7 @@ private[sources] object GraftTableMeta {
         meta.aliases.map { case (id, nm) => s"$id:${enc(nm)}" }
           .mkString(";") +
         "\n" +
-        meta.evolvedCols.mkString(",") +
+        meta.evolvedCols.map(enc).mkString(",") +
         "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -1104,7 +1106,16 @@ private[sources] class GraftTable(
 
   override def partitioning(): Array[Transform] = {
     val cols = anchorPartitionCols ++ evolvedCols
-    cols.map(c => Expressions.identity(c): Transform).toArray ++
+    cols.map { c =>
+      (GraftTransforms.parseOpt(c) match {
+        case Some(GraftTransforms.Days(src)) => Expressions.days(src)
+        case Some(GraftTransforms.Bucket(src, n)) =>
+          Expressions.bucket(n, src)
+        case Some(GraftTransforms.Trunc(src, n)) => Expressions.apply(
+          "truncate", Expressions.literal(n), Expressions.column(src))
+        case None => Expressions.identity(c)
+      }): Transform
+    }.toArray ++
       meta.bucketSpec.map { case (n, c) =>
         Expressions.bucket(n, c): Transform
       }.toArray[Transform]
@@ -3898,7 +3909,10 @@ private[graft] object GraftPartitionedCow {
     }
     val fileSchema = StructType(fileFields.map(_._1))
     val partFields = partitionCols.map { c =>
-      val i = dataSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+      // a hidden-partitioning transform ([[GraftTransforms]]) indexes
+      // its SOURCE column; the writer derives the directory token
+      val src = GraftTransforms.parseOpt(c).map(_.source).getOrElse(c)
+      val i = dataSchema.fields.indexWhere(_.name.equalsIgnoreCase(src))
       require(i >= 0, s"partition column $c not in write schema")
       (c, i, dataSchema.fields(i).dataType)
     }
@@ -4650,7 +4664,11 @@ private[graft] object GraftPartitionedCow {
   private[sources] def clusteringOf(partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)]): Distribution =
     Distributions.clustered(
-      (partitionCols.map(c => Expressions.identity(c)
+      // a hidden-partitioning transform clusters by its SOURCE column:
+      // identity on the source is strictly finer than the derived
+      // token, so each task still owns whole token groups
+      (partitionCols.map(c => Expressions.identity(
+        GraftTransforms.parseOpt(c).map(_.source).getOrElse(c))
         : org.apache.spark.sql.connector.expressions.Expression) ++
         bucketSpec.map { case (nb, c) => Expressions.bucket(nb, c)
           : org.apache.spark.sql.connector.expressions.Expression })
@@ -4666,7 +4684,8 @@ private[graft] object GraftPartitionedCow {
   private[sources] def orderingOf(partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)])
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    (partitionCols.map(c => Expressions.identity(c)
+    (partitionCols.map(c => Expressions.identity(
+      GraftTransforms.parseOpt(c).map(_.source).getOrElse(c))
       : org.apache.spark.sql.connector.expressions.Expression) ++
       bucketSpec.map { case (nb, c) => Expressions.bucket(nb, c)
         : org.apache.spark.sql.connector.expressions.Expression })
@@ -5034,6 +5053,11 @@ private[graft] object GraftPartitionedCow {
       checks: Seq[GraftCheck.Bound] = Nil)
     extends DataWriter[InternalRow] {
 
+    // hidden-partitioning transforms resolved once per task, not per
+    // row (the directory token derives from the source column's value)
+    private val partSpecs: Array[Option[GraftTransforms.Spec]] =
+      partFields.map(f => GraftTransforms.parseOpt(f._1)).toArray
+
     // one guard per row layout: replacement rows may carry a leading
     // __row_operation column, shifting every data ordinal by one
     private val checkGuards = new Array[GraftCheck.RowGuard](2)
@@ -5164,10 +5188,14 @@ private[graft] object GraftPartitionedCow {
         s"replacement row has ${row.numFields} fields for a " +
           s"${dataSchema.length}-column table")
       checkRow(row, offset)
-      val rel = partFields.map { case (c, i, dt) =>
-        ExternalCatalogUtils.getPartitionPathString(c,
-          GraftPartitionedCow.renderRaw(
-            if (row.isNullAt(i + offset)) null else row.get(i + offset, dt), dt))
+      val rel = partFields.zipWithIndex.map { case ((c, i, dt), fi) =>
+        val v = if (row.isNullAt(i + offset)) null else row.get(i + offset, dt)
+        partSpecs(fi) match {
+          case Some(sp) => ExternalCatalogUtils.getPartitionPathString(
+            sp.fieldName, GraftTransforms.token(sp, v, dt))
+          case None => ExternalCatalogUtils.getPartitionPathString(c,
+            GraftPartitionedCow.renderRaw(v, dt))
+        }
       }.mkString("/")
       val bucketId = bucketField.map { case (nb, i) =>
         GraftBucket.of(

@@ -100,7 +100,9 @@ private[graft] object GraftEvolved {
     */
   def buildIndex(spark: SparkSession, tableDir: Path,
       anchorSchema: StructType, evolvedSchema: StructType,
-      filesOpt: Option[Seq[FileStatus]] = None): EvolvedFileIndex = {
+      filesOpt: Option[Seq[FileStatus]] = None,
+      transforms: Seq[(GraftTransforms.Spec, org.apache.spark.sql.types.DataType)] = Nil)
+      : EvolvedFileIndex = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = filesOpt.getOrElse(listVisible(fs, tableDir))
     val qualBase = fs.makeQualified(tableDir).toString
@@ -108,6 +110,8 @@ private[graft] object GraftEvolved {
     val anchorVals = scala.collection.mutable.HashMap.empty[Path, InternalRow]
     val evolvedVals =
       scala.collection.mutable.HashMap.empty[Path, Map[String, Any]]
+    val transVals =
+      scala.collection.mutable.HashMap.empty[Path, Map[String, String]]
     byParent.keys.foreach { parent =>
       val rel = fs.makeQualified(parent).toString
         .stripPrefix(qualBase).stripPrefix("/")
@@ -128,13 +132,20 @@ private[graft] object GraftEvolved {
             catch { case NonFatal(_) => null })
         }
       }.toMap
+      // hidden-partitioning transform tokens ([[GraftTransforms]]):
+      // raw strings, evaluated against source-column predicates
+      transVals(parent) = transforms.flatMap { case (sp, _) =>
+        toks.get(sp.fieldName.toLowerCase).map(sp.fieldName -> _)
+      }.toMap
     }
     val spec = PartitionSpec(anchorSchema,
       byParent.keys.toSeq.sortBy(_.toString).map(p =>
         PartitionPath(anchorVals(p), fs.makeQualified(p))))
     new EvolvedFileIndex(spark, tableDir, statuses.map(_.getPath),
       anchorSchema, evolvedSchema, spec,
-      evolvedVals.map { case (p, m) => fs.makeQualified(p) -> m }.toMap)
+      evolvedVals.map { case (p, m) => fs.makeQualified(p) -> m }.toMap,
+      transforms,
+      transVals.map { case (p, m) => fs.makeQualified(p) -> m }.toMap)
   }
 
   /** The mixed-era file index: anchor partition values are user-
@@ -144,7 +155,10 @@ private[graft] object GraftEvolved {
   final class EvolvedFileIndex(
       spark: SparkSession, val tableDir: Path, leaves: Seq[Path],
       val anchorSchema: StructType, val evolvedSchema: StructType,
-      spec: PartitionSpec, dirEvolved: Map[Path, Map[String, Any]])
+      spec: PartitionSpec, dirEvolved: Map[Path, Map[String, Any]],
+      val transforms: Seq[(GraftTransforms.Spec,
+        org.apache.spark.sql.types.DataType)] = Nil,
+      dirTrans: Map[Path, Map[String, String]] = Map.empty)
     extends InMemoryFileIndex(spark, leaves,
       Map("basePath" -> tableDir.toString), None,
       userSpecifiedPartitionSpec = Some(spec)) {
@@ -163,10 +177,25 @@ private[graft] object GraftEvolved {
       val applicable = dataFilters.filter(f =>
         f.deterministic && f.references.nonEmpty &&
           f.references.forall(a => evolvedLower.contains(a.name.toLowerCase)))
-      if (applicable.isEmpty) base
+      // transform pruning ([[GraftTransforms]]): a predicate whose
+      // references are ALL one transform's source column evaluates
+      // against the file's derived token — conservative-exact, files
+      // without the token (old era) are kept
+      val transApplicable: Seq[(Expression,
+          Seq[(GraftTransforms.Spec, org.apache.spark.sql.types.DataType)])] =
+        if (transforms.isEmpty) Nil
+        else dataFilters.flatMap { f =>
+          val sps = transforms.filter { case (sp, _) =>
+            f.deterministic && f.references.nonEmpty &&
+              f.references.forall(_.name.equalsIgnoreCase(sp.source))
+          }
+          if (sps.isEmpty) None else Some((f, sps))
+        }
+      if (applicable.isEmpty && transApplicable.isEmpty) base
       else base.flatMap { pd =>
         val kept = pd.files.filter { fsm =>
-          dirEvolved.get(fsm.getPath.getParent) match {
+          val parent = fsm.getPath.getParent
+          val evolvedOk = dirEvolved.get(parent) match {
             case None => true
             case Some(vals) =>
               applicable.forall { f =>
@@ -184,6 +213,19 @@ private[graft] object GraftEvolved {
                 }
               }
           }
+          evolvedOk && (transApplicable.isEmpty || {
+            val toks = dirTrans.getOrElse(parent, Map.empty)
+            transApplicable.forall { case (f, sps) =>
+              sps.forall { case (sp, dt) =>
+                toks.get(sp.fieldName) match {
+                  case None => true // old era: rows filter
+                  case Some(tok) =>
+                    try GraftTransforms.admits(sp, tok, f, dt)
+                    catch { case NonFatal(_) => true }
+                }
+              }
+            }
+          })
         }
         if (kept.isEmpty) None
         else Some(PartitionDirectory(pd.values, kept))
@@ -208,11 +250,17 @@ private[graft] object GraftEvolved {
       .find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalStateException(s"partition column $c not in schema"))
     val anchorSchema = StructType(anchorCols.map(fieldOf))
-    val evolvedSchema = StructType(evolvedCols.map(fieldOf))
+    val (transformSpecs, identityCols) =
+      evolvedCols.partition(GraftTransforms.isTransform)
+    val evolvedSchema = StructType(identityCols.map(fieldOf))
+    val transforms = transformSpecs.map { t =>
+      val sp = GraftTransforms.parseOpt(t).get
+      (sp, fieldOf(sp.source).dataType)
+    }
     // seed from the delegate's recursive listing — the table was
     // already walked once for this very scan; never pay it twice
     val idx = buildIndex(spark, tableDir, anchorSchema, evolvedSchema,
-      Some(scan.fileIndex.allFiles()))
+      Some(scan.fileIndex.allFiles()), transforms)
     val anchorLower = anchorCols.map(_.toLowerCase).toSet
     val newReadData = StructType(scan.readDataSchema.fields
       .filterNot(f => anchorLower.contains(f.name.toLowerCase)))

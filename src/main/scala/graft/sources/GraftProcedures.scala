@@ -360,7 +360,32 @@ object GraftProcedures {
       GraftCommitLock.withLock(fs, dir, "evolve-partitioning") {
         val m = GraftTableMeta.read(fs, dir)
         val m2 =
-          if (addName.nonEmpty) {
+          if (addName.nonEmpty && GraftTransforms.isTransform(addName)) {
+            // HIDDEN-PARTITIONING transform field (r14 item 3 —
+            // Iceberg's days/truncate/bucket partition transforms):
+            // the DERIVED token is laid out for new files; the source
+            // stays an ordinary data column in every era
+            val sp = GraftTransforms.parseOpt(addName).get
+            val schema = m.schema.getOrElse(
+              throw new IllegalArgumentException(
+                s"$layer.$table has no schema sidecar (object-API " +
+                  "table): evolve_partitioning needs a SQL-created table"))
+            GraftTransforms.validate(sp, schema)
+            require(!m.evolvedCols.exists(c =>
+                GraftTransforms.parseOpt(c).exists(_.raw == sp.raw)),
+              s"evolve_partitioning: ${sp.raw} is already in the spec")
+            require(!(m.partitionCols ++ m.evolvedCols)
+                .exists(_.equalsIgnoreCase(sp.fieldName)),
+              s"evolve_partitioning: ${sp.fieldName} collides with an " +
+                "existing partition column")
+            require(m.bucketSpec.isEmpty,
+              "evolve_partitioning is not supported on bucketed tables")
+            require(!m.renameAliases.contains(sp.source.toLowerCase),
+              s"evolve_partitioning: ${sp.source} was renamed and " +
+                "pre-rename files are not yet materialized — CALL " +
+                "system.compact first")
+            m.copy(evolvedCols = m.evolvedCols :+ sp.raw)
+          } else if (addName.nonEmpty) {
             val colName = addName
             val schema = m.schema.getOrElse(
               throw new IllegalArgumentException(
@@ -391,7 +416,8 @@ object GraftProcedures {
             // keep reading through their own era's chain (the column
             // is a data column in every era, so filters stay exact —
             // only its chain-token pruning degrades on the old era)
-            val colName = dropName
+            val colName = GraftTransforms.parseOpt(dropName)
+              .map(_.raw).getOrElse(dropName)
             require(!m.partitionCols.exists(_.equalsIgnoreCase(colName)),
               s"evolve_partitioning: $colName is an ANCHOR partition " +
                 "column — every era's directory identity depends on it " +

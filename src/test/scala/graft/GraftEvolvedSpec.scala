@@ -471,4 +471,139 @@ class GraftEvolvedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .agg(sum(col("v"))).head.getLong(0)
     assert(after == 210L)
   }
+
+  test("hidden-partitioning transforms: days(ts) lays out + prunes ranges; truncate/bucket prune equality; refusals") {
+    val (cat, root) = freshCatalog()
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ods")
+      spark.sql(s"CREATE TABLE $cat.ods.tr (k BIGINT, ts TIMESTAMP, " +
+        "v BIGINT, d STRING) PARTITIONED BY (d)")
+      // era 1 (plain): 6 distinct UTC days inside each date partition
+      spark.sql(s"INSERT INTO $cat.ods.tr SELECT id, " +
+        "CAST(date_add(date'2026-01-01', CAST(id % 6 AS INT)) AS TIMESTAMP), " +
+        "id * 10, concat('d', id % 2 + 1) FROM range(0, 120, 1, 1)")
+      val fs = fsOf(root)
+      val before = dataFiles(fs, s"$root/ods/tr")
+
+      // ADD PARTITION FIELD days(ts): metadata-only
+      val res = spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ods.tr', add_column => 'days(ts)')").head
+      assert(res.getString(0) == "d,days(ts)" && res.getString(1) == "d")
+      assert(dataFiles(fs, s"$root/ods/tr") == before,
+        "transform evolution touched data files")
+
+      // era 2: new files gain a derived ts_day=<utc day> level; ts
+      // itself stays an ordinary data column in the files
+      spark.sql(s"INSERT INTO $cat.ods.tr SELECT id, " +
+        "CAST(date_add(date'2026-01-01', CAST(id % 6 AS INT)) AS TIMESTAMP), " +
+        "id * 10, concat('d', id % 2 + 3) FROM range(120, 240, 1, 1)")
+      // d3 holds the even ids (id%2+3==3), whose id%6 hits days 1/3/5
+      val dayDirs = fs.listStatus(new Path(s"$root/ods/tr/d=d3"))
+        .map(_.getPath.getName).filter(_.startsWith("ts_day=")).sorted
+      assert(dayDirs.sameElements(Array("ts_day=2026-01-01",
+        "ts_day=2026-01-03", "ts_day=2026-01-05")),
+        s"days() layout missing: ${dayDirs.mkString(",")}")
+      val newFile = dataFiles(fs, s"$root/ods/tr/d=d3").keys.head
+      assert(spark.read.parquet(newFile).columns.contains("ts"),
+        "transform source column missing from new files' data")
+
+      // one table, both eras, full correctness
+      val t = spark.table(s"$cat.ods.tr")
+      assert(t.count() == 240)
+      assert(t.agg(sum("v")).head.getLong(0) ==
+        (0L until 240L).map(_ * 10).sum)
+
+      // a ts RANGE filter prunes new-era files to the matching day
+      // dirs by chain token; old-era files are kept and row-filter
+      val day3 = col("ts") >= lit("2026-01-03").cast("timestamp") &&
+        col("ts") < lit("2026-01-04").cast("timestamp")
+      val oldEraFiles = before.size
+      val newDay3Files = dataFiles(fs, s"$root/ods/tr").keys
+        .count(_.contains("ts_day=2026-01-03"))
+      assert(scannedFiles(t.where(day3)) == oldEraFiles + newDay3Files,
+        "days() chain pruning missed")
+      assert(t.where(day3).count() == 40) // ids with id % 6 == 2
+      // equality on the source timestamp prunes the same way
+      assert(scannedFiles(t.where(col("ts") ===
+          lit("2026-01-05").cast("timestamp"))) ==
+        oldEraFiles + dataFiles(fs, s"$root/ods/tr").keys
+          .count(_.contains("ts_day=2026-01-05")))
+
+      // DROP PARTITION FIELD days(ts) refuses while tokened files
+      // live (reverting to the plain layout would hand the ts_day
+      // dirs to Spark's partition inference) — same rule as identity
+      val eDrop = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+          "table => 'ods.tr', drop_column => 'days(ts)')").collect()
+      }
+      assert(eDrop.getMessage.contains("system.compact"), eDrop.getMessage)
+      // on an era-free table the drop is a metadata-only undo
+      spark.sql(s"CREATE TABLE $cat.ods.und (k BIGINT, ts TIMESTAMP)")
+      spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ods.und', add_column => 'days(ts)')").collect()
+      spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ods.und', drop_column => 'days(ts)')").collect()
+      spark.sql(s"INSERT INTO $cat.ods.und VALUES " +
+        "(999, timestamp'2026-01-01 12:00:00')")
+      assert(!fs.listStatus(new Path(s"$root/ods/und"))
+        .exists(_.getPath.getName.startsWith("ts_day=")))
+
+      // truncate(s,2): string-prefix field, equality pruning
+      spark.sql(s"CREATE TABLE $cat.ods.tc (k BIGINT, s STRING, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.ods.tc SELECT id, " +
+        "concat(CASE WHEN id % 2 = 0 THEN 'ab' ELSE 'cd' END, id), id " +
+        "FROM range(0, 100, 1, 1)")
+      spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ods.tc', add_column => 'truncate(s, 2)')").collect()
+      spark.sql(s"INSERT INTO $cat.ods.tc SELECT id, " +
+        "concat(CASE WHEN id % 2 = 0 THEN 'ab' ELSE 'cd' END, id), id " +
+        "FROM range(100, 200, 1, 1)")
+      val tc = spark.table(s"$cat.ods.tc")
+      val tcOld = dataFiles(fs, s"$root/ods/tc").keys
+        .count(!_.contains("s_trunc="))
+      val tcAb = dataFiles(fs, s"$root/ods/tc/s_trunc=ab").size
+      assert(tcAb > 0)
+      assert(scannedFiles(tc.where(col("s") === "ab142")) == tcOld + tcAb,
+        "truncate() chain pruning missed")
+      assert(tc.where(col("s") === "ab142").count() == 1)
+
+      // bucket(4,k): hash field, equality pruning via the planning-
+      // time bucket evaluation
+      spark.sql(s"CREATE TABLE $cat.ods.bk (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.ods.bk SELECT id, id FROM " +
+        "range(0, 50, 1, 1)")
+      spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ods.bk', add_column => 'bucket(4, k)')").collect()
+      spark.sql(s"INSERT INTO $cat.ods.bk SELECT id, id FROM " +
+        "range(50, 150, 1, 1)")
+      val bk = spark.table(s"$cat.ods.bk")
+      val bkOld = dataFiles(fs, s"$root/ods/bk").keys
+        .count(!_.contains("k_bucket="))
+      val bkBucket = graft.sources.GraftBucket.of(77L, 4)
+      val bkMatch = dataFiles(fs,
+        s"$root/ods/bk/k_bucket=$bkBucket").size
+      assert(scannedFiles(bk.where(col("k") === 77L)) == bkOld + bkMatch,
+        "bucket() chain pruning missed")
+      assert(bk.where(col("k") === 77L).count() == 1)
+
+      // refusal matrix
+      val e1 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+          "table => 'ods.tc', add_column => 'days(s)')").collect()
+      }
+      assert(e1.getMessage.contains("timestamp or date"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+          "table => 'ods.tc', add_column => 'truncate(s, 2)')").collect()
+      }
+      assert(e2.getMessage.contains("already in the spec"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+          "table => 'ods.tc', add_column => 'days(nope)')").collect()
+      }
+      assert(e3.getMessage.contains("not in the schema"), e3.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }
