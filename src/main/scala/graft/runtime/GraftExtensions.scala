@@ -37,6 +37,9 @@ object GraftExtensions {
   }
 
   def install(ext: SparkSessionExtensions): Unit = {
+    // V2 view wiring for graft catalogs (parser interception + read
+    // expansion — Spark 4.1 ships the ViewCatalog interface unwired)
+    GraftViewRules.install(ext)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -67,7 +67,23 @@ import graft.runtime.Catalog
   * table without a sidecar is served schema-by-inference.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog with ProcedureCatalog {
+  with FunctionCatalog with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.ViewCatalog {
+
+  /** Column DEFAULT values (r14 verdict item 8 — the reference's alert
+    * store declares `created_at DEFAULT CURRENT_TIMESTAMP`,
+    * covid_alerts_dag.py:26): declaring the capability makes Spark
+    * store each default's SQL in the column metadata (the schema
+    * sidecar round-trips it) and resolve it on every SQL ingest — an
+    * INSERT omitting the column, the DEFAULT keyword, and ALTER
+    * TABLE ADD COLUMN ... DEFAULT all fill through
+    * ResolveDefaultColumns against the stored expression.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private var catalogName: String = "graft"
   private var root: String = _
@@ -312,6 +328,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"'${GraftFunctions.Namespace}' is the reserved function namespace: " +
         "tables cannot be created in it")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(!viewExists(ident), s"$ident already exists as a VIEW")
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
     var bucketSpec: Option[(Int, String)] = None
@@ -524,14 +541,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"$name is a retired name of a renamed column — old files " +
               "still carry that physical column and would resurrect " +
               "the WRONG data; compact the table first")
-          require(add.isNullable,
+          require(add.isNullable || add.defaultValue != null,
             s"ADD COLUMN $name must be nullable: rows written before the " +
               "change have no value for it")
-          require(add.defaultValue == null,
-            s"ADD COLUMN $name: defaults are not supported (old files " +
-              "cannot be backfilled without a rewrite)")
-          StructType(s.fields :+
-            org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true))
+          // ADD COLUMN ... DEFAULT (r14 item 8): the CURRENT default
+          // fills future inserts; the EXISTS default — the expression
+          // constant-folded NOW — serves the column for every file
+          // written BEFORE the change (Spark's readers fill absent
+          // columns from the exists-default metadata), so no backfill
+          // rewrite is ever needed
+          val newField = {
+            val f0 = org.apache.spark.sql.types.StructField(
+              name, add.dataType, nullable = true)
+            Option(add.defaultValue) match {
+              case None => f0
+              case Some(dv) =>
+                val rd = org.apache.spark.sql.catalyst.util
+                  .ResolveDefaultColumns
+                val folded = org.apache.spark.sql.catalyst.expressions
+                  .Literal(dv.getValue.value, dv.getValue.dataType).sql
+                val cur = Option(dv.getSql).getOrElse(folded)
+                f0.copy(metadata =
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .withMetadata(f0.metadata)
+                    .putString(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY, cur)
+                    .putString(rd.EXISTS_DEFAULT_COLUMN_METADATA_KEY, folded)
+                    .build())
+            }
+          }
+          StructType(s.fields :+ newField)
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames.length == 1,
             s"graft tables support top-level columns only, got ${del.fieldNames.mkString(".")}")
@@ -659,13 +697,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val durableKeys =
-    Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp", "ndv_columns") ++
+    Seq(GraftDv.ModeKey, "bloom_columns", "bloom_fpp", "ndv_columns",
+      GraftManifestListing.Prop) ++
       GraftMaintenance.Keys
 
   /** Validate one durable table property (CREATE and ALTER share it). */
   private def validateDurableProp(key: String, value: String,
       format: String, schema: Option[StructType],
       partitionCols: Seq[String] = Nil): Unit = key match {
+    case GraftManifestListing.Prop =>
+      require(value == "true" || value == "false",
+        s"${GraftManifestListing.Prop} must be true or false, got '$value'")
+      require(value != "true" || format == "parquet",
+        s"${GraftManifestListing.Prop} needs parquet; format is $format")
     case GraftDv.ModeKey =>
       require(value == GraftDv.CowValue || value == GraftDv.MorValue,
         s"${GraftDv.ModeKey} must be '${GraftDv.CowValue}' or " +
@@ -819,6 +863,166 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(catalogName +: newIdent.namespace.toSeq)
     require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
+      s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  // ---- views (r14 verdict item 7: CREATE VIEW through ViewCatalog) ------
+  // A view is a NAMED QUERY persisted as a tiny sidecar file
+  // (`<ns>/<name>.__viewdef`, TSV+base64 like every other sidecar) —
+  // the dashboard-shaped consumption layer the reference's Superset
+  // path implies (compose.yaml: Superset reads Trino views). Spark's
+  // analyzer resolves view identifiers against ViewCatalog BEFORE
+  // tables, re-parsing the stored SQL under the view's captured
+  // catalog/namespace context, so a view over an evolved or
+  // time-traveling table reads through the full scan machinery.
+
+  private def viewPath(ident: Identifier): Path =
+    new Path(s"$root/${layerOf(ident.namespace)}/${ident.name}.__viewdef")
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && !isFnNamespace(ident.namespace) &&
+      fs.exists(viewPath(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns))
+      throw new NoSuchNamespaceException(catalogName +: ns.toSeq)
+    val d = new Path(s"$root/${layerOf(ns)}")
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".__viewdef"))
+      .map(st => Identifier.of(ns,
+        st.getPath.getName.stripSuffix(".__viewdef")))
+      .sortBy(_.name).toArray
+  }
+
+  private def writeView(ident: Identifier, sql: String,
+      currentCatalog: String, currentNamespace: Array[String],
+      schema: StructType, queryColumnNames: Array[String],
+      columnAliases: Array[String], columnComments: Array[String],
+      properties: java.util.Map[String, String], overwrite: Boolean): Unit = {
+    def enc(x: String) = java.util.Base64.getEncoder
+      .encodeToString(x.getBytes("UTF-8"))
+    import scala.jdk.CollectionConverters._
+    val body = Seq(
+      enc(sql), enc(currentCatalog),
+      currentNamespace.map(enc).mkString(","),
+      enc(schema.json),
+      queryColumnNames.map(enc).mkString(","),
+      columnAliases.map(enc).mkString(","),
+      columnComments.map(c => enc(Option(c).getOrElse(""))).mkString(","),
+      properties.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}:${enc(v)}" }.mkString(",")
+    ).mkString("\n")
+    val out = fs.create(viewPath(ident), overwrite)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        ident)
+    val in = fs.open(viewPath(ident))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toArray finally in.close()
+    def dec(x: String) =
+      new String(java.util.Base64.getDecoder.decode(x), "UTF-8")
+    def arr(i: Int): Array[String] =
+      if (i >= lines.length || lines(i).isEmpty) Array.empty
+      else lines(i).split(",").map(dec)
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String =
+        s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}"
+      override def query(): String = dec(lines(0))
+      override def currentCatalog(): String = dec(lines(1))
+      override def currentNamespace(): Array[String] = arr(2)
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(dec(lines(3)))
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = arr(4)
+      override def columnAliases(): Array[String] = arr(5)
+      override def columnComments(): Array[String] = arr(6)
+      override def properties(): java.util.Map[String, String] = {
+        val m = new java.util.HashMap[String, String]()
+        if (lines.length > 7 && lines(7).nonEmpty)
+          lines(7).split(",").foreach { kv =>
+            val Array(k, v) = kv.split(":")
+            m.put(dec(k), dec(v))
+          }
+        m
+      }
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident
+    require(!isFnNamespace(ident.namespace),
+      s"'${GraftFunctions.Namespace}' is the reserved function namespace")
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(
+        catalogName +: ident.namespace.toSeq)
+    require(!tableExists(ident),
+      s"$ident already exists as a TABLE")
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    writeView(ident, info.sql, info.currentCatalog, info.currentNamespace,
+      info.schema, info.queryColumnNames, info.columnAliases,
+      info.columnComments, info.properties, overwrite = false)
+    loadView(ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident
+    require(!tableExists(ident), s"$ident already exists as a TABLE")
+    if (!viewExists(ident) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        ident)
+    writeView(ident, info.sql, info.currentCatalog, info.currentNamespace,
+      info.schema, info.queryColumnNames, info.columnAliases,
+      info.columnComments, info.properties, overwrite = true)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val v = loadView(ident)
+    val props = new java.util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case sp: org.apache.spark.sql.connector.catalog
+          .ViewChange.SetProperty => props.put(sp.property, sp.value)
+      case rp: org.apache.spark.sql.connector.catalog
+          .ViewChange.RemoveProperty => props.remove(rp.property)
+      case other => throw new IllegalArgumentException(
+        s"unsupported view change $other")
+    }
+    writeView(ident, v.query, v.currentCatalog, v.currentNamespace,
+      v.schema, v.queryColumnNames, v.columnAliases, v.columnComments,
+      props, overwrite = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExists(ident) && fs.delete(viewPath(ident), false)
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(
+        catalogName +: newIdent.namespace.toSeq)
+    require(fs.rename(viewPath(oldIdent), viewPath(newIdent)),
       s"rename failed: $oldIdent -> $newIdent")
   }
 
@@ -1268,8 +1472,18 @@ private[sources] class GraftTable(
     * partition columns back into catalyst partition filters on a
     * rebuilt delegate scan. PartitionPruningSpec pins the behavior.
     */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options) match {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // manifest-served scan planning (r14 item 4, opt-in): when the
+    // listing census proves current, the delegate scan builder plans
+    // over synthesized statuses — zero data-directory listings
+    val manifestFsb: Option[FileScanBuilder] =
+      if (format == "parquet" && !readOnly && meta.evolvedCols.isEmpty &&
+          meta.schema.isDefined &&
+          meta.props.get(GraftManifestListing.Prop).contains("true"))
+        GraftManifestListing.scanBuilder(spark, new Path(dir),
+          meta.schema.get, anchorPartitionCols, options)
+      else None
+    manifestFsb.getOrElse(delegate.newScanBuilder(options)) match {
       case fsb: FileScanBuilder =>
         // data-skipping tier: planned splits are pruned against the
         // _graft_stats manifest (when one exists) — see [[GraftStats]]
@@ -1300,6 +1514,7 @@ private[sources] class GraftTable(
         }
       case other => other
     }
+  }
 
   /** INSERT INTO (append) / INSERT OVERWRITE (truncate): a V1 write
     * whose insert() routes through the engine's partitioned append and

@@ -586,14 +586,19 @@ private[graft] object GraftDv {
       // ArrayType of a primitive element (r13 item 6): the embeddings
       // shape — Array[Float] and friends. OnHeapColumnVector supports
       // child vectors, so survivor compaction rebuilds the offsets and
-      // appends the elements. Structs/maps/nested arrays keep the
-      // documented row-path fallback.
+      // appends the elements.
       case ArrayType(et, _) => et match {
         case BooleanType | ByteType | ShortType | IntegerType | DateType |
              LongType | TimestampType | TimestampNTZType | FloatType |
              DoubleType | StringType | BinaryType => true
         case _ => false
       }
+      // StructType over copyable fields (r14 item 5): OnHeapColumnVector
+      // allocates struct children at construction, so survivor
+      // compaction writes each field's child vector at the same
+      // destination ordinal — recursion admits struct-of-struct and
+      // struct-of-array. Maps keep the documented row-path fallback.
+      case st: StructType => st.fields.forall(f => copyableType(f.dataType))
       case _ => false
     }
   }
@@ -661,6 +666,18 @@ private[graft] object GraftDv {
           i += 1
         }
         dst.putArray(di, start, n)
+      case st: StructType =>
+        // survivor-compact a struct cell: each field's child vector is
+        // written at the SAME destination ordinal (struct children are
+        // index-aligned with the parent); null fields recurse through
+        // the scalar null path
+        dst.putNotNull(di)
+        var i = 0
+        while (i < st.fields.length) {
+          copyValue(st.fields(i).dataType, src.getChild(i), si,
+            dst.getChild(i), di)
+          i += 1
+        }
       case other => throw new IllegalStateException(
         s"deletion-vector columnar copy: unexpected type $other")
     }

@@ -706,25 +706,59 @@ private[graft] object GraftEqDel {
     *
     * Returns (files rewritten, sidecars dropped).
     */
-  def materialize(spark: SparkSession, tableDir: Path): (Int, Int) = {
+  def materialize(spark: SparkSession, tableDir: Path,
+      upToEpoch: Option[Long] = None): (Int, Int) = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ps = list(fs, tableDir)
     if (ps.isEmpty) return (0, 0)
-    val ds = ps.map(read(fs, _))
-    require(ds.map(_.tag).distinct.length == 1 &&
-      ds.map(_.cols.map(_.toLowerCase)).distinct.length == 1,
+    // a BOUNDED materialization (the changes.min_retained_epochs
+    // retention floor) consumes only sidecars at or below the bound:
+    // newer epochs' sidecars and emission files stay live and servable
+    // by the changelog. Correct by the same floor algebra as full
+    // materialization — retained keys' latest retraction epochs are
+    // ABOVE every rewritten file's new floor stamp
+    val ds0 = ps.map(read(fs, _))
+    val ds = upToEpoch match {
+      case Some(b) => ds0.filter(_.epoch <= b)
+      case None => ds0
+    }
+    require(ds0.map(_.tag).distinct.length == 1 &&
+      ds0.map(_.cols.map(_.toLowerCase)).distinct.length == 1,
       s"$tableDir: mixed equality-delete streams — cannot materialize")
-    val tag = ds.head.tag
-    val cols = ds.head.cols
-    val kinds = ds.head.kinds
-    val maxEpoch = ds.map(_.epoch).max
+    val tag = ds0.head.tag
+    val cols = ds0.head.cols
+    val kinds = ds0.head.kinds
+    val maxEpoch = upToEpoch.getOrElse(ds.map(_.epoch).max)
 
-    // applicable files: floor below the newest sidecar
+    // applicable files: floor below the newest consumed sidecar. In
+    // BOUNDED mode files AT the bound re-stamp too (their content is
+    // untouched — a sidecar never applies to its own epoch's files —
+    // but the stamp is what advances the feed horizon to the bound)
     val applicable = GraftEvolved.listVisible(fs, tableDir)
-      .filter(st => floorOf(st.getPath.getName, tag) < maxEpoch)
+      .filter { st =>
+        val fl = floorOf(st.getPath.getName, tag)
+        if (upToEpoch.isDefined) fl <= maxEpoch &&
+          !hasFloorStamp(st.getPath.getName)
+        else fl < maxEpoch
+      }
 
     var rewritten = 0
-    if (applicable.nonEmpty) {
+    if (applicable.nonEmpty && ds.isEmpty) {
+      // bounded, nothing to apply: a pure horizon advance — one rename
+      // per file, the floor stamp riding the name; no data job
+      applicable.foreach { st0 =>
+        GraftCommitLock.withLock(fs, tableDir, "eqdel-materialize") {
+          if (fs.exists(st0.getPath)) {
+            val stamped = new Path(st0.getPath.getParent,
+              "rw-" + java.util.UUID.randomUUID().toString.take(8) +
+                floorStamp(tag, maxEpoch) + st0.getPath.getName)
+            require(fs.rename(st0.getPath, stamped),
+              s"eqdel-materialize: could not stamp ${st0.getPath}")
+            rewritten += 1
+          }
+        }
+      }
+    } else if (applicable.nonEmpty) {
       val staging = new Path(tableDir.toString + ".__eqrewrite")
       if (fs.exists(staging)) fs.delete(staging, true)
       def keyB64(rel: String): String = java.util.Base64.getUrlEncoder

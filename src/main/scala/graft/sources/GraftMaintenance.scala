@@ -65,8 +65,24 @@ private[graft] object GraftMaintenance {
     * `.__retired/` generations older than this. */
   val RetiredExpireProp = "retired.expire_ms"
 
+  /** CHANGELOG RETENTION FLOOR (r14 verdict item 6): with
+    * `eqdel.rewrite_threshold` armed, auto-materialization advances
+    * the changes-feed horizon at writer commits — a lagging CDC
+    * consumer can lose undelivered history to the writer's own policy
+    * at any moment. This floor makes the newest N feed epochs a
+    * durable guarantee: the POLICY trigger materializes only epochs
+    * OLDER than the newest N (a bounded [[GraftEqDel.materialize]]),
+    * and skips entirely while fewer than N+1 epochs are servable —
+    * the policy is refused, never the consumer. The explicit
+    * `CALL system.rewrite_deletes` remains the operator override
+    * (full materialization, floor not consulted). Delta's CDF
+    * retention window, with the guarantee on the writer side.
+    */
+  val MinRetainedEpochsProp = "changes.min_retained_epochs"
+
   val Keys: Seq[String] =
-    Seq(EqdelThresholdProp, DvThresholdProp, RetiredExpireProp)
+    Seq(EqdelThresholdProp, DvThresholdProp, RetiredExpireProp,
+      MinRetainedEpochsProp)
 
   /** Property validation, shared by CREATE and ALTER (loud at set
     * time, so a typo never silently disables the policy). */
@@ -90,6 +106,12 @@ private[graft] object GraftMaintenance {
           s"$RetiredExpireProp must be an age in ms >= 0, got '$value'")
       }
       require(n >= 0, s"$RetiredExpireProp must be >= 0, got $value")
+    case MinRetainedEpochsProp =>
+      val n = try value.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MinRetainedEpochsProp must be an epoch count >= 1, got '$value'")
+      }
+      require(n >= 1, s"$MinRetainedEpochsProp must be >= 1, got $value")
     case other => throw new IllegalArgumentException(
       s"not a maintenance policy property: $other")
   }
@@ -114,8 +136,34 @@ private[graft] object GraftMaintenance {
       val cap = spark.conf.getOption(GraftEqDel.MaxKeysConf).map(_.toLong)
         .getOrElse(GraftEqDel.MaxKeysDefault)
       val trigger = math.max(1L, (v.toDouble * cap).toLong)
-      if (GraftEqDel.countKeys(fs, tableDir) >= trigger)
-        unlessContended(GraftEqDel.materialize(spark, tableDir))
+      if (GraftEqDel.countKeys(fs, tableDir) >= trigger) {
+        // retention floor: the policy may only consume epochs older
+        // than the newest N servable ones (bounded materialization);
+        // with too few retained it refuses ITSELF, never the consumer
+        val bound = props.get(MinRetainedEpochsProp) match {
+          case None => Some(None) // unfloored: full materialization
+          case Some(nStr) =>
+            val n = nStr.toLong
+            val names = GraftEvolved.listVisible(fs, tableDir)
+              .map(_.getPath.getName)
+            val tag = GraftEqDel.list(fs, tableDir).headOption
+              .map(_.getName).collect {
+                case nm if nm.startsWith("q") && nm.contains("-e") =>
+                  nm.drop(1).takeWhile(_ != '-')
+              }
+            val horizon = tag.map(t => names.iterator
+              .map(GraftEqDel.floorStampOf(_, t)).foldLeft(-1L)(math.max))
+              .getOrElse(-1L)
+            val servable = names.filterNot(GraftEqDel.hasFloorStamp)
+              .flatMap(nm => GraftEqDel.emissionOf(nm).map(_._2))
+              .filter(_ > horizon).distinct.sorted
+            val older = servable.dropRight(n.toInt)
+            if (older.isEmpty) None // floor would be violated: skip
+            else Some(Some(older.last))
+        }
+        bound.foreach(b =>
+          unlessContended(GraftEqDel.materialize(spark, tableDir, b)))
+      }
     }
     props.get(DvThresholdProp).foreach { v =>
       if (GraftDv.list(fs, tableDir).size >= v.toLong)

@@ -661,4 +661,98 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.ods.t").agg(sum("d")).head.getLong(0) == 5L)
     assert(spark.table(s"$cat.ods.t").where(col("d").isNotNull).count() == 1)
   }
+
+  test("views: CREATE/SHOW/DROP/RENAME round-trip; a view over an evolved table reads correctly") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.ods.ev (k BIGINT, region STRING, " +
+      "v BIGINT, d STRING) PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.ods.ev SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'na' ELSE 'eu' END, id, 'd1' " +
+      "FROM range(0, 60)")
+    // evolve mid-life: the view must read THROUGH the era machinery
+    spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "table => 'ods.ev', add_column => 'region')").collect()
+    spark.sql(s"INSERT INTO $cat.ods.ev SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'na' ELSE 'eu' END, id, 'd2' " +
+      "FROM range(60, 120)")
+
+    spark.sql(s"CREATE VIEW $cat.mart.na_totals AS " +
+      s"SELECT d, count(*) AS n, sum(v) AS v_sum FROM $cat.ods.ev " +
+      "WHERE region = 'na' GROUP BY d")
+    val got = spark.table(s"$cat.mart.na_totals").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq(("d1", 20L, (0L until 60L by 3).sum),
+      ("d2", 20L, (60L until 120L by 3).sum)), s"view read wrong: $got")
+
+    // the view tracks the TABLE, not a snapshot: new rows show up
+    spark.sql(s"INSERT INTO $cat.ods.ev VALUES (999, 'na', 5, 'd1')")
+    assert(spark.table(s"$cat.mart.na_totals")
+      .where(col("d") === "d1").head.getLong(1) == 21L)
+
+    // SHOW VIEWS lists it; DESCRIBE works; table/view collisions refuse
+    val shown = spark.sql(s"SHOW VIEWS IN $cat.mart").collect()
+      .map(_.getString(1)).toSeq
+    assert(shown == Seq("na_totals"), s"SHOW VIEWS: $shown")
+    val eTbl = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.mart.na_totals (x BIGINT)")
+    }
+    assert(eTbl.getMessage.contains("VIEW"), eTbl.getMessage)
+    val eVw = intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.ods.ev AS SELECT 1 AS one")
+    }
+    assert(eVw.getMessage.contains("TABLE") ||
+      eVw.getMessage.toLowerCase.contains("already exists"), eVw.getMessage)
+
+    // CREATE OR REPLACE; ALTER VIEW properties; RENAME; DROP
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.mart.na_totals AS " +
+      s"SELECT count(*) AS n FROM $cat.ods.ev")
+    assert(spark.table(s"$cat.mart.na_totals").head.getLong(0) == 121L)
+    spark.sql(s"ALTER VIEW $cat.mart.na_totals " +
+      "SET TBLPROPERTIES ('owner_team' = 'dds')")
+    spark.sql(s"ALTER VIEW $cat.mart.na_totals RENAME TO mart.totals")
+    assert(spark.table(s"$cat.mart.totals").head.getLong(0) == 121L)
+    spark.sql(s"DROP VIEW $cat.mart.totals")
+    val eGone = intercept[Exception] {
+      spark.table(s"$cat.mart.totals").collect()
+    }
+    assert(eGone.getMessage.toLowerCase.contains("cannot be found") ||
+      eGone.getMessage.toLowerCase.contains("not found"), eGone.getMessage)
+  }
+
+  test("column DEFAULT values: CREATE, INSERT omission, DEFAULT keyword, ADD COLUMN, and refusals") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.alerts (id BIGINT, msg STRING, " +
+      "sev STRING DEFAULT 'info', created_at TIMESTAMP DEFAULT " +
+      "current_timestamp())")
+    // omission fills the default; explicit DEFAULT keyword too
+    spark.sql(s"INSERT INTO $cat.ods.alerts (id, msg) VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $cat.ods.alerts VALUES " +
+      "(2, 'b', DEFAULT, DEFAULT)")
+    spark.sql(s"INSERT INTO $cat.ods.alerts VALUES " +
+      "(3, 'c', 'crit', timestamp'2026-01-01 00:00:00')")
+    val got = spark.table(s"$cat.ods.alerts")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.isNullAt(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "info", false), (2L, "info", false),
+      (3L, "crit", false)), s"defaults not applied: $got")
+    // current_timestamp defaults are stamped at INSERT time, per row
+    assert(spark.table(s"$cat.ods.alerts").where(col("id") === 3)
+      .head.getTimestamp(3).toString.startsWith("2026-01-01"))
+
+    // ALTER TABLE ADD COLUMN with DEFAULT: new column reads as the
+    // default for EXISTING rows too (EXISTS_DEFAULT semantics)
+    spark.sql(s"ALTER TABLE $cat.ods.alerts ADD COLUMN src STRING " +
+      "DEFAULT 'pipeline'")
+    val srcs = spark.table(s"$cat.ods.alerts").select("src")
+      .collect().map(_.getString(0)).toSeq
+    assert(srcs == Seq("pipeline", "pipeline", "pipeline"),
+      s"exists-default not served for pre-existing rows: $srcs")
+    spark.sql(s"INSERT INTO $cat.ods.alerts (id, msg) VALUES (4, 'd')")
+    assert(spark.table(s"$cat.ods.alerts").where(col("id") === 4)
+      .head.getString(4) == "pipeline")
+    assert(spark.table(s"$cat.ods.alerts").count() == 4)
+  }
 }

@@ -293,6 +293,49 @@ class GraftDvSpec extends SparkSpec {
     assert(dot.count() == expect.count(k => k % 7 != 0 && k % 5 != 0))
   }
 
+  test("StructType columns stay COLUMNAR under live vectors: field-level survivor compaction (r14 item 5)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    // struct over scalars + a nested array field + NULL struct cells
+    // and NULL fields — the per-ordinal child-vector writes must
+    // survive all of them
+    spark.sql(s"CREATE TABLE $cat.ods.st (k BIGINT, " +
+      "m STRUCT<a: BIGINT, s: STRING, e: ARRAY<FLOAT>>) " +
+      s"TBLPROPERTIES ('${GraftDv.ModeKey}' = '${GraftDv.MorValue}')")
+    spark.sql(s"""INSERT INTO $cat.ods.st SELECT id,
+      CASE WHEN id % 7 = 0 THEN NULL
+           ELSE named_struct('a', id * 2,
+             's', IF(id % 5 = 0, NULL, concat('s', id)),
+             'e', array(CAST(id AS FLOAT), 0.5F)) END
+      FROM range(0, 5000)""")
+    spark.sql(s"DELETE FROM $cat.ods.st WHERE k % 100 = 3")
+
+    val full = spark.table(s"$cat.ods.st")
+    full.collect()
+    val modes = full.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.supportsColumnar
+    }
+    assert(modes.nonEmpty && modes.forall(identity),
+      "struct-column scan de-vectorized under live deletion vectors")
+
+    val expect = (0L until 5000L).filterNot(_ % 100 == 3)
+    assert(full.count() == expect.size)
+    def rowOf(k: Long) = full.where(col("k") === k).head
+    val r8 = rowOf(8).getStruct(1)
+    assert(r8.getLong(0) == 16L && r8.getString(1) == "s8" &&
+      r8.getSeq[Float](2) == Seq(8.0f, 0.5f), s"struct cell wrong: $r8")
+    assert(rowOf(10).getStruct(1).isNullAt(1), "NULL field corrupted")
+    assert(rowOf(14).isNullAt(1), "NULL struct cell corrupted")
+    assert(full.where(col("k") === 203).count() == 0, "deletion missed")
+    // field-level aggregate across survivors: any ordinal drift in the
+    // child vectors corrupts this sum
+    val sumA = full.where(col("m").isNotNull)
+      .select(sum(col("m.a"))).head.getLong(0)
+    assert(sumA == expect.filter(_ % 7 != 0).map(_ * 2).sum,
+      "struct field sum drifted")
+  }
+
   test("CALL system.rewrite_deletes materializes: clean files, vectors gone, parity, bucket tags survive") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")

@@ -138,5 +138,64 @@ class GraftMaintenanceSpec extends SparkSpec {
       "'retired.expire_ms' = '86400000')")
     spark.sql(s"ALTER TABLE $cat.ods.t UNSET TBLPROPERTIES (" +
       "'dv.rewrite_threshold')")
+    refused(s"ALTER TABLE $cat.ods.t SET TBLPROPERTIES " +
+      "('changes.min_retained_epochs' = '0')", ">= 1")
+  }
+
+  test("changes.min_retained_epochs: the armed threshold keeps the newest N epochs servable; past-floor bounds still refuse") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.fl (k BIGINT, total BIGINT, " +
+      "cnt BIGINT) TBLPROPERTIES ('eqdel.rewrite_threshold' = '0.01', " +
+      "'changes.min_retained_epochs' = '2')")
+    val prevCap = spark.conf.getOption(GraftEqDel.MaxKeysConf)
+    spark.conf.set(GraftEqDel.MaxKeysConf, "100") // trigger = 1 key
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir("gmt-cp-floor"))
+        .toTable(s"$cat.mart.fl")
+      try {
+        mem.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+        mem.addData((1L, 1L)); q.processAllAvailable()
+        mem.addData((2L, 2L)); q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevCap match {
+        case Some(v) => spark.conf.set(GraftEqDel.MaxKeysConf, v)
+        case None => spark.conf.unset(GraftEqDel.MaxKeysConf)
+      }
+    }
+    // the armed threshold fired at epoch 2's commit but the floor
+    // bounded it to epochs OLDER than the newest 2: epoch 0 was
+    // materialized, epochs 1 and 2 stay servable — the durable
+    // consumer guarantee
+    val fs = fsOf(root)
+    val dirP = new Path(s"$root/mart/fl")
+    assert(GraftEqDel.list(fs, dirP).nonEmpty,
+      "floor-bounded materialization consumed the retained sidecars")
+    val epochs = spark.table(s"$cat.mart.fl.changes")
+      .select(col("_change_epoch")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(epochs == Seq(1L, 2L),
+      s"retained feed epochs wrong (want newest 2): $epochs")
+    // bounds reaching past the floor refuse loudly, as ever
+    val e = intercept[Exception] {
+      spark.table(s"$cat.mart.fl.changes")
+        .where(col("_change_epoch") <= 0).collect()
+    }
+    assert(e.getMessage.contains("materialized by"), e.getMessage)
+    // and the live table state is exact
+    val live = spark.table(s"$cat.mart.fl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(live == Seq((1L, 11L), (2L, 22L)), s"live state: $live")
   }
 }
