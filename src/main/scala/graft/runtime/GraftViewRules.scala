@@ -183,7 +183,13 @@ object GraftViewRules {
   final class GraftViewResolution(session: SparkSession)
     extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
-      plan.resolveOperatorsUp {
+      // tree-pattern pruned: the analyzer fixed point re-runs every
+      // resolution rule per iteration — without the guard this rule
+      // would re-probe viewExists (a filesystem call) for plans that
+      // hold no unresolved relation at all
+      plan.resolveOperatorsUpWithPruning(
+        _.containsPattern(org.apache.spark.sql.catalyst.trees
+          .TreePattern.UNRESOLVED_RELATION)) {
         case u: UnresolvedRelation if !u.isStreaming =>
           expandIfView(u).getOrElse(u)
       }
