@@ -1385,7 +1385,22 @@ private[sources] class GraftTable(
       ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
     !readOnly && {
       val p = partitionDirOf(ident)
-      pmFs.exists(p) && pmFs.delete(p, true)
+      pmFs.exists(p) && {
+        // tombstoned + journaled like every retiring commit: reader
+        // snapshot isolation holds, and the changes feed / per-commit
+        // time travel see the drop instead of a silent file vanish
+        GraftCommitLock.withLock(pmFs, new Path(dir), "drop-partition") {
+          val rels = listDataFiles(pmFs, p)
+            .map(GraftCommits.relOf(pmFs, new Path(dir), _))
+          val tomb = GraftRetired.retireFiles(pmFs, new Path(dir), Seq(p))
+          if (rels.nonEmpty)
+            GraftCommits.tryRecord(pmFs, new Path(dir), "delete",
+              adds = Nil,
+              removes = rels.map(
+                GraftCommits.Remove(_, tomb.getOrElse(""))))
+        }
+        true
+      }
     }
 
   override def replacePartitionMetadata(
