@@ -2642,7 +2642,14 @@ object CatalogQueries {
       }.flatten
     }
     val scheduled = filesOf(agg)
-    val all = filesOf(spark.table(s"$cat.ods.ord"))
+    // the full-table file census is a METADATA walk, not a second
+    // whole-table count job (r15 verdict item on q226's cost: the
+    // REQUIRE evidence needs the file names only)
+    val tableDir = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get(s"spark.sql.catalog.$cat.root")}/ods/ord")
+    val all: Seq[String] = graft.sources.GraftEvolved.listVisible(
+      tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      tableDir).map(_.getPath.toUri.getPath)
     val dayOf = "ts_day=([0-9-]+)".r
     def tokened(f: String): Option[String] =
       dayOf.findFirstMatchIn(f).map(_.group(1))
@@ -2655,6 +2662,14 @@ object CatalogQueries {
     require(scheduled.count(tokened(_).isEmpty) ==
         all.count(tokened(_).isEmpty),
       "q226: era-1 files must stay scheduled (row-filtered)")
+    // the write clusters by the DERIVED token (r15 item 1): each
+    // (pr, ts_day) group is one task's output — era-2 file count ==
+    // touched token-dir count, no tasks × day-groups slivers
+    val byDir = all.filter(tokened(_).isDefined)
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    require(byDir.values.forall(_.size == 1),
+      s"q226: transform write slivered token dirs (files per dir: " +
+        s"${byDir.view.mapValues(_.size).filter(_._2 > 1).toMap})")
     agg
   }
 

@@ -28,15 +28,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   *  - FEED-VISIBLE (`append`, `overwrite`, `rewrite`, `delete`,
   *    `mor_delete`): served by `<t>.changes` as insert/delete rows.
-  *  - FLOOR (`genesis`, `replace`): account for files whose row-level
-  *    history is NOT captured — the pre-journal generation, or a full
-  *    replace that superseded every row. The feed serves only ids
-  *    ABOVE the max floor; explicit bounds at or below it refuse
-  *    loudly (the same contract as the streaming rewrite-deletes
-  *    horizon). Consumers re-bootstrap from table state.
-  *  - NEUTRAL (`maintenance`, `rollback`): file churn with no logical
-  *    row change (compaction, rollback restores) — accounted, never
-  *    fed.
+  *  - FLOOR (`genesis`, `replace`, `rollback`): account for files
+  *    whose row-level history is NOT captured — the pre-journal
+  *    generation, a full replace that superseded every row, or a
+  *    rollback that rewrote history out from under mid-stream
+  *    consumers. The feed serves only ids ABOVE the max floor;
+  *    explicit bounds at or below it refuse loudly (the same contract
+  *    as the streaming rewrite-deletes horizon). Consumers
+  *    re-bootstrap from table state. A rollback record's `dv` is the
+  *    ABSOLUTE post-rollback deletion state (replay resets to it),
+  *    not a delta.
+  *  - NEUTRAL (`maintenance`): file churn with no logical row change
+  *    (compaction) — accounted, never fed.
   *
   * Self-healing by construction: a full-directory swap (create-or-
   * replace, compact via safeSwapWrite) replaces the table dir and the
@@ -220,17 +223,24 @@ private[graft] object GraftCommits {
   /** Append a record whose adds are CLAIMED as the visible batch files
     * not present in `before` (for publish paths that don't know their
     * final file names — the V1 append, delegated Spark writes). The
-    * claim runs under the lock, so concurrently-journaled commits
-    * cannot be mis-claimed; an unjournaled foreign writer degrades to
-    * the loud feed accounting refusal, never misattribution of a
-    * SERVED row.
+    * claim runs under the lock and ALSO subtracts the journal's own
+    * accounted-live set (ADVICE r15 medium): a `before` listed before
+    * an unlocked save can miss a concurrent committer's just-published
+    * files, and two such committers would otherwise each claim the
+    * other's files — the feed would serve those rows as inserts TWICE
+    * under two ids. Diffing against the journal's accounting is
+    * monotonic under the lock, so every file lands in exactly one
+    * record's adds (a racing pair may attribute the slower save to the
+    * faster record's id — same rows, served once, net-change intact).
+    * An unjournaled foreign writer still degrades to the loud feed
+    * accounting refusal, never misattribution of a SERVED row.
     */
   def recordClaiming(fs: FileSystem, tableDir: Path, kind: String,
       before: Set[String], removes: Seq[Remove] = Nil,
       dv: Map[String, Array[Long]] = Map.empty): Long = {
-    val now = universe(fs, tableDir)
-    val claim = (now -- before).toSeq.sorted
     val existing = list(fs, tableDir)
+    val now = universe(fs, tableDir)
+    val claim = (now -- before -- accountedLive(existing)).toSeq.sorted
     var nextId = existing.lastOption.map(_.id + 1).getOrElse(0L)
     if (existing.isEmpty) {
       val others = now -- claim -- removes.map(_.rel)
@@ -243,6 +253,20 @@ private[graft] object GraftCommits {
     writeRec(fs, tableDir,
       Rec(nextId, kind, System.currentTimeMillis(), claim, removes, dv))
     nextId
+  }
+
+  /** The rel paths the journal currently accounts as live: every
+    * record's adds minus later removes. The race-free component of the
+    * claiming baseline — unlike a directory listing, it only ever
+    * grows under the commit lock.
+    */
+  def accountedLive(recs: Seq[Rec]): Set[String] = {
+    val files = scala.collection.mutable.HashSet.empty[String]
+    recs.foreach { r =>
+      r.removes.foreach(rm => files -= rm.rel)
+      files ++= r.adds
+    }
+    files.toSet
   }
 
   /** Best-effort journaling wrapper for commit paths: the journal is
@@ -282,6 +306,16 @@ private[graft] object GraftCommits {
     recs.takeWhile(_.id <= id).foreach { r =>
       r.removes.foreach { rm => files.remove(rm.rel); dv.remove(rm.rel) }
       r.adds.foreach { a => files.update(a, r.id); dv.remove(a) }
+      if (r.kind == "rollback") {
+        // a rollback REBUILT the whole table's deletion-vector state
+        // (dropAll + replay-to-target); its record carries that state
+        // ABSOLUTELY. Without the reset, post-target mor_delete deltas
+        // on kept-live files would linger in replay and `VERSION AS OF
+        // 'c<rollbackId>'` would hide rows the live table serves — and
+        // restored files' target-time deletions would be lost entirely
+        // (ADVICE r15 medium).
+        dv.clear()
+      }
       r.dv.foreach { case (rel, ords) =>
         dv.getOrElseUpdate(rel,
           scala.collection.mutable.SortedSet.empty[Long]) ++= ords
@@ -348,10 +382,15 @@ private[graft] object GraftCommits {
         }
       }
       // phase 4 — the floor record (restored rels re-listed as adds so
-      // instance resolution finds the moved-back copies)
+      // instance resolution finds the moved-back copies; dv carries the
+      // target's FULL deletion state — stateAt replays rollback dv as
+      // an absolute reset, matching phase 3's dropAll + rebuild)
       record(fs, tableDir, "rollback",
         adds = toRestore.map(_._1),
-        removes = toRetire.map(Remove(_, tomb.getOrElse(""))))
+        removes = toRetire.map(Remove(_, tomb.getOrElse(""))),
+        dv = wantDv.filter { case (rel, ords) =>
+          want.contains(rel) && ords.nonEmpty
+        })
       out = (toRestore.size, toRetire.size)
     }
     out

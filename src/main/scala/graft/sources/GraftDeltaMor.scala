@@ -358,6 +358,19 @@ private[sources] object GraftDeltaMor {
                 ords.toArray.sorted)
             GraftDv.write(fs, new Path(dir), merged)
           }
+          // phase 3 — commit journal ([[GraftCommits]]): one feed-
+          // visible record for the whole delta — appended rows as adds
+          // (feed: insert), the NEW ordinals per file as dv deltas
+          // (feed: delete; replay: per-commit deletion state). Without
+          // it a merge-on-read UPDATE/MERGE left its files unaccounted
+          // and its positions unattributed — the feed refused and time
+          // travel skipped the commit entirely.
+          if (staged.nonEmpty || allDeletes.nonEmpty)
+            GraftCommits.tryRecord(fs, new Path(dir), "mor_delete",
+              adds = staged.map { case (_, fin, _) =>
+                GraftCommits.relOf(fs, new Path(dir), new Path(fin)) },
+              dv = allDeletes.map { case (rel, ords) =>
+                (rel, ords.toArray.sorted) })
         }
         // advisory post-commit stats refresh, scoped to the published
         // dirs (the auto_analyze contract: never fails the write)

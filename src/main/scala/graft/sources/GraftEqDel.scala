@@ -733,12 +733,18 @@ private[graft] object GraftEqDel {
     // applicable files: floor below the newest consumed sidecar. In
     // BOUNDED mode files AT the bound re-stamp too (their content is
     // untouched — a sidecar never applies to its own epoch's files —
-    // but the stamp is what advances the feed horizon to the bound)
+    // but the stamp is what advances the feed horizon to the bound).
+    // Files an EARLIER bounded run floor-stamped BELOW this bound must
+    // rewrite like any other: sidecars with epochs in (stamp, bound]
+    // still retract their rows (the anti-join's `__eq_epoch > __floor`
+    // applies exactly the newer retractions). The stamped-file
+    // exclusion is reserved for files already AT the bound, where a
+    // restamp would be a pure no-op.
     val applicable = GraftEvolved.listVisible(fs, tableDir)
       .filter { st =>
         val fl = floorOf(st.getPath.getName, tag)
-        if (upToEpoch.isDefined) fl <= maxEpoch &&
-          !hasFloorStamp(st.getPath.getName)
+        if (upToEpoch.isDefined) fl < maxEpoch ||
+          (fl == maxEpoch && !hasFloorStamp(st.getPath.getName))
         else fl < maxEpoch
       }
 

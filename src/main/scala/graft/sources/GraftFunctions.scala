@@ -44,7 +44,9 @@ object GraftFunctions {
     "simhash64" -> SimHashFn,
     "cosine_sim" -> CosineSimFn,
     "sum_sq" -> SumSqFn,
-    "bucket" -> GraftBucketFn)
+    "bucket" -> GraftBucketFn,
+    "days" -> GraftDaysFn,
+    "truncate" -> GraftTruncateFn)
 }
 
 /** The warehouse bucket assignment — ONE definition shared by the
@@ -187,6 +189,97 @@ object GraftBucketStringBound extends ScalarFunction[Integer] {
   def invoke(n: Integer, key: UTF8String): Integer =
     if (n == null || key == null) null
     else GraftBucket.ofBytes(key.getBytes, n.intValue())
+}
+
+/** `days(ts)` — the hidden-partitioning day transform's function
+  * ([[GraftTransforms.Days]]), resolved by Spark's
+  * DistributionAndOrderingUtils when a transform-partitioned write
+  * declares its clustered distribution BY THE DERIVED TOKEN (r15
+  * verdict item 1): clustering by `identity(source)` is finer than the
+  * token — equal timestamps co-locate while a day's many timestamps
+  * hash to different tasks, so at cluster parallelism every task
+  * receives rows from ~every day and writes tasks × day-groups file
+  * slivers. The UTC epoch-day IS the directory token's ordinal
+  * ([[GraftTransforms.token]]'s `floorDiv(micros, 86,400e6)`), so one
+  * shuffle puts each whole day on one task.
+  */
+object GraftDaysFn extends UnboundFunction {
+  override def name(): String = "days"
+  override def description(): String =
+    "days(timestamp|date): UTC epoch day of the value (hidden-partition token)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"days(ts) takes one argument, got ${inputType.fields.length}")
+    inputType.fields(0).dataType match {
+      case TimestampType => GraftDaysTimestampBound
+      case DateType => GraftDaysDateBound
+      case other => throw new UnsupportedOperationException(
+        s"days() over ${other.simpleString} (supported: timestamp, date)")
+    }
+  }
+}
+
+object GraftDaysTimestampBound extends ScalarFunction[Integer] {
+  private val MicrosPerDay = 86400000000L
+  override def inputTypes(): Array[DataType] = Array(TimestampType)
+  override def resultType(): DataType = DateType
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.days"
+  override def produceResult(input: InternalRow): Integer =
+    Math.floorDiv(input.getLong(0), MicrosPerDay).toInt
+  def invoke(micros: java.lang.Long): Integer =
+    if (micros == null) null
+    else Integer.valueOf(Math.floorDiv(micros.longValue(), MicrosPerDay).toInt)
+}
+
+object GraftDaysDateBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(DateType)
+  override def resultType(): DataType = DateType
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.days"
+  override def produceResult(input: InternalRow): Integer =
+    Integer.valueOf(input.getInt(0))
+  def invoke(day: Integer): Integer = day
+}
+
+/** `truncate(n, col)` — the string-prefix transform's function
+  * ([[GraftTransforms.Trunc]]), same write-distribution role as
+  * [[GraftDaysFn]] (argument order matches the bucket convention:
+  * width first). Computes the SAME prefix as the writer's directory
+  * token ([[GraftTransforms.token]]'s `String.substring`), so rows of
+  * one token group provably land on one task.
+  */
+object GraftTruncateFn extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(n, string): n-character prefix (hidden-partition token)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate(n, col) takes two arguments, got ${inputType.fields.length}")
+    require(inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType.isInstanceOf[StringType],
+      s"truncate(n, col) takes (int, string), got $inputType")
+    GraftTruncateBound
+  }
+}
+
+object GraftTruncateBound extends ScalarFunction[UTF8String] {
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, StringType)
+  override def resultType(): DataType = StringType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate"
+  private def prefix(n: Int, s: UTF8String): UTF8String = {
+    // via String, NOT UTF8String.substring: the writer's token is
+    // String.substring (UTF-16 code units) — the clustering function
+    // must agree on every input or a token group could split tasks
+    val str = s.toString
+    if (str.length <= n) s else UTF8String.fromString(str.substring(0, n))
+  }
+  override def produceResult(input: InternalRow): UTF8String =
+    prefix(input.getInt(0), input.getUTF8String(1))
+  def invoke(n: Integer, s: UTF8String): UTF8String =
+    if (n == null || s == null) null else prefix(n.intValue(), s)
 }
 
 /** `token_count(text)` — count of non-empty whitespace-separated

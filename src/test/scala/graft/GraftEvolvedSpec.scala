@@ -606,4 +606,62 @@ class GraftEvolvedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(e3.getMessage.contains("not in the schema"), e3.getMessage)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  test("transform writes cluster by the DERIVED token: one file per (anchor, token) group under forced multi-task input (r15 item 1)") {
+    // Clustering by identity(source) is FINER than the token: equal
+    // timestamps co-locate but one day's many timestamps hash across
+    // tasks, so at cluster parallelism every task writes a file into
+    // ~every day dir — tasks × day-groups slivers. AQE's single-task
+    // coalescing masks it at sandbox SF, so this test pins the plan
+    // shape with AQE off, 8 shuffle partitions, and an 8-partition
+    // input: the write's clustered distribution must put each whole
+    // (d, ts_day) group on ONE task == exactly one file per token dir.
+    val (cat, root) = freshCatalog()
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ods")
+      spark.sql(s"CREATE TABLE $cat.ods.tk (k BIGINT, ts TIMESTAMP, " +
+        "s STRING, d STRING) PARTITIONED BY (d)")
+      spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ods.tk', add_column => 'days(ts)')").collect()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.sql(s"INSERT INTO $cat.ods.tk SELECT id, " +
+        "CAST(date_add(date'2026-01-01', CAST((id DIV 2) % 6 AS INT)) " +
+        "AS TIMESTAMP), " +
+        "concat('s', id), concat('d', id % 2 + 1) FROM range(0, 960, 1, 8)")
+      val fs = fsOf(root)
+      val byDir = dataFiles(fs, s"$root/ods/tk").keys.toSeq
+        .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      assert(byDir.size == 12, s"expected 2 d × 6 day dirs: ${byDir.keys}")
+      val slivered = byDir.filter(_._2.size > 1)
+      assert(slivered.isEmpty,
+        s"transform write slivered ${slivered.size} token dirs (files " +
+          s"per dir: ${byDir.view.mapValues(_.size).toMap}) — the " +
+          "clustered distribution is not on the derived token")
+      assert(spark.table(s"$cat.ods.tk").count() == 960)
+
+      // truncate(s,2) clusters by the prefix token the same way
+      spark.sql(s"CREATE TABLE $cat.ods.tk2 (k BIGINT, s STRING)")
+      spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ods.tk2', add_column => 'truncate(s, 2)')").collect()
+      spark.sql(s"INSERT INTO $cat.ods.tk2 SELECT id, " +
+        "concat(CASE WHEN id % 3 = 0 THEN 'aa' WHEN id % 3 = 1 THEN 'bb' " +
+        "ELSE 'cc' END, id) FROM range(0, 300, 1, 8)")
+      val byDir2 = dataFiles(fs, s"$root/ods/tk2").keys.toSeq
+        .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      assert(byDir2.size == 3, s"expected 3 prefix dirs: ${byDir2.keys}")
+      val slivered2 = byDir2.filter(_._2.size > 1)
+      assert(slivered2.isEmpty,
+        s"truncate write slivered: ${byDir2.view.mapValues(_.size).toMap}")
+      assert(spark.table(s"$cat.ods.tk2").count() == 300)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+    }
+  }
 }

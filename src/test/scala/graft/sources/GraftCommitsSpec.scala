@@ -111,6 +111,66 @@ class GraftCommitsSpec extends SparkSpec {
     assert(rows(spark.sql(s"SELECT k, v FROM $cat.ods.d")) ==
       Set((1L, 1L), (3L, 3L), (4L, 4L)),
       "rollback must resurrect the c2-deleted row via DV replay")
+    // the rollback commit itself time-travels to the LIVE state: its
+    // record resets dv absolutely, so c2's lingering delta on the
+    // kept-live file must not hide k=4 in replay (ADVICE r15 medium)
+    assert(at("c3") == Set((1L, 1L), (3L, 3L), (4L, 4L)),
+      "VERSION AS OF the rollback commit diverged from the live table")
+  }
+
+  test("rollback record carries restored files' DV state: time travel at the rollback commit honors target-time deletes (ADVICE r15 medium)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.rd (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.ods.rd VALUES (1,1), (2,2), (3,3)") // c0
+    spark.sql(s"DELETE FROM $cat.ods.rd WHERE k = 2") // c1: dv delta
+    // c2: copy-on-write rewrite retires the DV'd file (its replacement
+    // has k=2 physically removed)
+    spark.sql(s"UPDATE $cat.ods.rd SET v = 30 WHERE k = 3")
+    def at(v: String) = rows(
+      spark.sql(s"SELECT k, v FROM $cat.ods.rd VERSION AS OF '$v'"))
+    assert(at("c2") == Set((1L, 1L), (3L, 30L)))
+    // rollback to c1 restores the tombstoned file AND rebuilds its DV;
+    // replay at the rollback commit must see BOTH (the old code's
+    // re-add cleared the dv, silently serving the deleted k=2)
+    spark.sql(s"CALL $cat.system.rollback_to_commit(" +
+      "table => 'ods.rd', commit => 1)").collect()
+    val live = rows(spark.sql(s"SELECT k, v FROM $cat.ods.rd"))
+    assert(live == Set((1L, 1L), (3L, 3L)))
+    assert(at("c3") == live,
+      "rollback-commit snapshot served rows the target had deleted")
+    assert(at("c1") == live)
+  }
+
+  test("concurrent claiming appends never double-claim a racer's files (ADVICE r15 medium)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.cc (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.cc VALUES (1, 10)") // journal born
+    val dir = new Path(s"$root/ods/cc")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both racers snapshot the universe BEFORE either unlocked save
+    // publishes (the V1 append shape: list, save, lock, claim)
+    val before = GraftCommits.universe(fs, dir)
+    // ...then both saves land before either takes the journal lock
+    Seq("part-racer-a.parquet", "part-racer-b.parquet").foreach { nm =>
+      val out = fs.create(new Path(dir, nm), false)
+      try out.write(Array[Byte](1)) finally out.close()
+    }
+    GraftCommits.recordClaiming(fs, dir, "append", before)
+    GraftCommits.recordClaiming(fs, dir, "append", before)
+    val recs = GraftCommits.list(fs, dir)
+    val adds = recs.flatMap(_.adds)
+    assert(adds.distinct == adds,
+      s"a file was claimed by two commits (feed would double-serve): " +
+        recs.map(r => s"c${r.id}:${r.adds.mkString("+")}").mkString(" "))
+    // the faster record claimed both racers' files; the slower one
+    // found everything accounted and claimed nothing
+    assert(recs.last.adds.isEmpty, s"slower racer re-claimed: ${recs.last}")
+    // accounting stays total: every visible batch file is owned
+    assert(GraftCommits.universe(fs, dir) ==
+      GraftCommits.accountedLive(recs))
   }
 
   test("rollback floors the changes feed: lagging consumers refuse, fresh reads serve post-rollback commits") {

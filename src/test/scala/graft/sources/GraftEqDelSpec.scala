@@ -414,4 +414,61 @@ class GraftEqDelSpec extends SparkSpec {
       new Path("hdfs://nn:8020/a/b").toUri.getPath,
       "regression guard lost its teeth: getPath no longer differs")
   }
+
+  test("bounded materialize rewrites files an earlier bounded run floor-stamped (ADVICE r15 high: no lost deletes)") {
+    // Two SUCCESSIVE bounded materializations (the changes.min_retained
+    // _epochs retention-floor path). The first stamps the epoch-0 file
+    // at floor 1; the second consumes the epoch-2 sidecar, whose keys
+    // still retract rows INSIDE that stamped file. Excluding stamped
+    // files from the second rewrite drops the sidecar without applying
+    // it — the retracted row silently resurrects.
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.mart.bd (k BIGINT, total BIGINT, cnt BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir("geq-cp-bd"))
+        .toTable(s"$cat.mart.bd")
+      try {
+        mem.addData((1L, 10L), (2L, 20L), (3L, 30L)) // epoch 0
+        q.processAllAvailable()
+        mem.addData((2L, 5L)) // epoch 1: retracts k=2's epoch-0 row
+        q.processAllAvailable()
+        mem.addData((1L, 1L)) // epoch 2: retracts k=1's epoch-0 row
+        q.processAllAvailable()
+        mem.addData((3L, 3L)) // epoch 3: stays live past both bounds
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    def state() = spark.table(s"$cat.mart.bd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val before = state()
+    assert(before == Seq((1L, 11L, 2L), (2L, 25L, 2L), (3L, 33L, 2L)))
+
+    val dirP = new Path(s"$root/mart/bd")
+    // bounded run 1: consumes the epoch-1 sidecar, floor-stamps the
+    // epoch-0 and epoch-1 files at 1
+    val (rw1, dr1) = GraftEqDel.materialize(spark, dirP, Some(1L))
+    assert(rw1 > 0 && dr1 == 1, s"first bounded run: ($rw1, $dr1)")
+    assert(state() == before, "first bounded run changed the state")
+    // bounded run 2: the epoch-2 sidecar retracts k=1 from the file
+    // run 1 stamped; that file MUST rewrite again (old code skipped
+    // every stamped file, losing the delete)
+    val (rw2, dr2) = GraftEqDel.materialize(spark, dirP, Some(2L))
+    assert(rw2 > 0 && dr2 == 1, s"second bounded run: ($rw2, $dr2)")
+    assert(state() == before,
+      "second bounded run resurrected a retracted row (lost delete)")
+    // epoch 3's sidecar stayed live and still applies at read
+    assert(sidecars(root, "mart/bd") == 1)
+    // full materialization converges from here
+    GraftEqDel.materialize(spark, dirP)
+    assert(sidecars(root, "mart/bd") == 0)
+    assert(state() == before, "full materialization changed the state")
+  }
 }
