@@ -2462,13 +2462,17 @@ object CatalogQueries {
     require(graft.sources.GraftCommits.list(hfs, base)
         .count(_.feedVisible) == 4,
       "q224: expected exactly 4 feed-visible batch commits")
+    // signed replay: preimages (delete | update_preimage) negative,
+    // postimages (insert | update_postimage) positive — COW UPDATE and
+    // MERGE commits serve Delta-CDF update pairs, whose carryover
+    // pre/post rows cancel exactly like the old delete+insert labels
+    val neg = col("_change_type").isin("delete", "update_preimage")
     spark.table(s"$cat.ods.bal.changes")
       .groupBy(col("_change_epoch").as("epoch"), col("seg"))
       .agg(
-        sum(when(col("_change_type") === "delete", -col("cents"))
-          .otherwise(col("cents"))).as("net_cents"),
-        sum(when(col("_change_type") === "delete", -1L).otherwise(1L))
-          .as("net_rows"))
+        sum(when(neg, -col("cents")).otherwise(col("cents")))
+          .as("net_cents"),
+        sum(when(neg, -1L).otherwise(1L)).as("net_rows"))
       .where(col("net_cents") =!= 0 || col("net_rows") =!= 0)
       .select(col("epoch"), col("seg"), col("net_cents"), col("net_rows"))
   }
@@ -2728,6 +2732,90 @@ object CatalogQueries {
        |WHERE c_custkey % 10 <> 7
        |GROUP BY c_mktsegment""".stripMargin
 
+  /** q229 — CDF UPDATE PAIR TYPES over merge-on-read deltas
+    * ([[graft.sources.GraftChanges]] + [[graft.sources.GraftDeltaMor]],
+    * r15 verdict item 5 — Delta CDF's `update_preimage` /
+    * `update_postimage`): on a merge-on-read table the per-commit
+    * deltas are EXACT rows (deletion-vector positions + appended
+    * versions, no copy-on-write carryover), so per-`_change_type`
+    * counts and sums are layout-independent and DuckDB recomputes them
+    * from the logical operations alone. UPDATE and MERGE commits serve
+    * paired pre/post rows; the DELETE commit stays `delete`; the
+    * initial load stays `insert`. An in-plan REQUIRE pins the KEYED
+    * pairing: commit 1's preimage key set equals its postimage key set.
+    */
+  def q229CdfUpdatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g229")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g229_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.bal (k BIGINT, cents BIGINT, " +
+      "seg STRING) TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    // commit 0: full insert
+    spark.sql(s"""INSERT INTO $cat.ods.bal
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g229_customer""")
+    // commit 1: mor UPDATE — exact update pairs
+    spark.sql(s"UPDATE $cat.ods.bal SET cents = cents + 7 WHERE k % 10 = 3")
+    // commit 2: mor DELETE — dv-only, stays `delete`
+    spark.sql(s"DELETE FROM $cat.ods.bal WHERE k % 10 = 7")
+    // commit 3: mor MERGE — matched updates pair; not-matched inserts
+    // ride the postimage label (file-granular, the documented trade)
+    spark.sql(s"""SELECT k, k * 3 AS cents, seg FROM $cat.ods.bal
+      WHERE k % 10 IN (1, 4)
+      UNION ALL
+      SELECT c_custkey + 1000000, c_custkey, c_mktsegment
+      FROM g229_customer WHERE c_custkey % 10 = 9""")
+      .createOrReplaceTempView("g229_src")
+    spark.sql(s"MERGE INTO $cat.ods.bal t USING g229_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET cents = s.cents " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val feed = spark.table(s"$cat.ods.bal.changes")
+    // in-plan evidence of KEYED pairing: the UPDATE commit's preimage
+    // keys are exactly its postimage keys (one bounded 1-row aggregate)
+    val pair = feed.where(col("_change_epoch") === 1)
+      .groupBy(col("_change_type")).agg(
+        count(lit(1)).as("n"), sum(col("k")).as("ksum"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    require(pair.keySet == Set("update_preimage", "update_postimage") &&
+        pair("update_preimage") == pair("update_postimage"),
+      s"q229: UPDATE commit must serve keyed update pairs, got $pair")
+    feed.groupBy(col("_change_epoch").as("epoch"),
+        col("_change_type").as("ctype"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+  }
+
+  /** Per-(commit, type) counts/sums recomputed logically: mor deltas
+    * touch exactly the matched rows, so the feed's per-type shape is
+    * layout-independent (unlike COW carryover).
+    */
+  val q229Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+       |  FROM customer)
+       |SELECT CAST(0 AS BIGINT) AS epoch, 'insert' AS ctype,
+       |  ${bi("count(*)")} AS n, ${bi("sum(cents)")} AS cents_sum
+       |FROM base
+       |UNION ALL
+       |SELECT 1, 'update_preimage', ${bi("count(*)")}, ${bi("sum(cents)")}
+       |FROM base WHERE k % 10 = 3
+       |UNION ALL
+       |SELECT 1, 'update_postimage', ${bi("count(*)")},
+       |  ${bi("sum(cents + 7)")}
+       |FROM base WHERE k % 10 = 3
+       |UNION ALL
+       |SELECT 2, 'delete', ${bi("count(*)")}, ${bi("sum(cents)")}
+       |FROM base WHERE k % 10 = 7
+       |UNION ALL
+       |SELECT 3, 'update_preimage', ${bi("count(*)")}, ${bi("sum(cents)")}
+       |FROM base WHERE k % 10 IN (1, 4)
+       |UNION ALL
+       |SELECT 3, 'update_postimage',
+       |  ${bi("count(*) + (SELECT count(*) FROM base WHERE k % 10 = 9)")},
+       |  ${bi("sum(k * 3) + (SELECT sum(k) FROM base WHERE k % 10 = 9)")}
+       |FROM base WHERE k % 10 IN (1, 4)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -2775,6 +2863,7 @@ object CatalogQueries {
     "q224_batch_cdf" -> (q224BatchCdf _),
     "q225_commit_time_travel" -> (q225CommitTimeTravel _),
     "q226_days_transform" -> (q226DaysTransform _),
+    "q229_cdf_update_pairs" -> (q229CdfUpdatePairs _),
     "q227_view_layer" -> (q227ViewLayer _))
 
   val oracles: Map[String, String] = Map(
@@ -2824,5 +2913,6 @@ object CatalogQueries {
     "q224_batch_cdf" -> q224Oracle,
     "q225_commit_time_travel" -> q225Oracle,
     "q226_days_transform" -> q226Oracle,
-    "q227_view_layer" -> q227Oracle)
+    "q227_view_layer" -> q227Oracle,
+    "q229_cdf_update_pairs" -> q229Oracle)
 }

@@ -2036,7 +2036,8 @@ private[sources] class GraftTable(
                 : org.apache.spark.sql.connector.write.DeltaWrite =
               new GraftDeltaMor.GraftMorDeltaWrite(spark, format,
                 writeInfo.schema(), dir, effectivePartitionCols,
-                meta.bucketSpec, writeInfo, autoAnalyze)
+                meta.bucketSpec, writeInfo, autoAnalyze,
+                command = info.command.toString.toLowerCase)
           }
       }
     () => new RowLevelOperation with GraftCowOperation {
@@ -2191,7 +2192,8 @@ private[sources] class GraftTable(
               new ReplaceFilesWrite(fileWrite, writeInfo.schema(), dir, old,
                 GraftCheck.boundFor(spark,
                   spark.sparkContext.hadoopConfiguration, dir,
-                  writeInfo.schema())))
+                  writeInfo.schema()),
+                command = info.command.toString.toLowerCase))
           } }
         else {
           // partitioned copy-on-write: the replacement write lays rows
@@ -2218,7 +2220,8 @@ private[sources] class GraftTable(
             val old = listDataFiles(fs, new Path(dir))
             withAutoAnalyze(new GraftPartitionedCow.PartitionedReplaceWrite(
               spark, format, schema, dir, parts, old, () => scanned,
-              meta.bucketSpec, () => leafScope))
+              meta.bucketSpec, () => leafScope,
+              command = info.command.toString.toLowerCase))
           } }
         }
       }
@@ -2460,7 +2463,8 @@ private[sources] class GraftTable(
   private class ReplaceFilesWrite(inner: Write, dataSchema: StructType,
                                   dir: String,
                                   oldFiles: Seq[Path],
-                                  checks: Seq[GraftCheck.Bound] = Nil)
+                                  checks: Seq[GraftCheck.Bound] = Nil,
+                                  command: String = "")
     extends Write {
     override def description(): String = s"graft replace-data $dir"
     // deletion-vector conflict guard (see PartitionedReplaceWrite):
@@ -2505,7 +2509,8 @@ private[sources] class GraftTable(
             before = before,
             removes = oldFiles.map(g => GraftCommits.Remove(
               GraftCommits.relOf(fs, new Path(dir), g),
-              tomb.getOrElse(""))))
+              tomb.getOrElse(""))),
+            note = command)
         }
         // maintenance policy outside the lock: this commit grew the
         // tombstone area (retired.expire_ms GC)
@@ -4737,6 +4742,10 @@ private[graft] object GraftPartitionedCow {
       * per-commit time travel derive from.
       */
     protected def journalKind: String
+    /** Record annotation ([[GraftCommits.Rec.note]]): row-level writes
+      * carry their originating command so the feed labels update pairs.
+      */
+    protected def journalNote: String = ""
     /** True when the write declared [[orderingOf]]: rows arrive grouped
       * by key, so the task writer runs in close-on-key-change mode (one
       * open columnar writer at a time).
@@ -4831,7 +4840,8 @@ private[graft] object GraftPartitionedCow {
             GraftCommits.relOf(fs, new Path(dir), p)),
           removes = gone.map(g => GraftCommits.Remove(
             GraftCommits.relOf(fs, new Path(dir), g),
-            tomb.getOrElse(""))))
+            tomb.getOrElse(""))),
+          note = journalNote)
         // phase 3 — prune partition directories the retirement emptied
         // (fully-deleted partitions vanish rather than lingering as
         // empty dirs the next scan lists for nothing)
@@ -4942,12 +4952,14 @@ private[graft] object GraftPartitionedCow {
       dir: String, partitionCols: Seq[String], oldFiles: Seq[Path],
       scanned: () => Option[Map[String, Set[String]]],
       bucketSpec: Option[(Int, String)] = None,
-      leafScope: () => Option[GraftCowLeafScope.LeafScope] = () => None)
+      leafScope: () => Option[GraftCowLeafScope.LeafScope] = () => None,
+      command: String = "")
     extends HiveLayoutWrite(spark, format, dataSchema, dir, partitionCols,
       oldFiles, bucketSpec) with RequiresDistributionAndOrdering {
 
     override def description(): String = s"graft partitioned replace-data $dir"
     override protected def journalKind: String = "rewrite"
+    override protected def journalNote: String = command
 
     /** Deletion-vector state at write build: a merge-on-read DELETE
       * committing while this rewrite runs invalidates the rows already

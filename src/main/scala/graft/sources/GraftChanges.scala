@@ -79,7 +79,17 @@ private[sources] object GraftChanges {
 
   val TypeCol = "_change_type"
   val EpochCol = "_change_epoch"
-  private[sources] val TypeValues = Set("insert", "upsert", "delete")
+  /** Stream feeds label insert/upsert/delete; the batch-journal feed
+    * additionally labels UPDATE/MERGE commits' rows as Delta-CDF
+    * update pairs — `update_preimage` (the replaced rows) and
+    * `update_postimage` (their successors). FILE-granular, like the
+    * rest of the batch feed: a copy-on-write rewrite's carryover rows
+    * and a MERGE's not-matched inserts ride the same labels as the
+    * genuinely updated rows of their commit; signed replay (pre → −,
+    * post → +) nets identically to the insert/delete labeling.
+    */
+  private[sources] val TypeValues = Set("insert", "upsert", "delete",
+    "update_preimage", "update_postimage")
 
   /** The changes relation schema: every data column NULLABLE (delete
     * rows carry keys only) + the two virtual columns.
@@ -575,24 +585,39 @@ private[sources] final class GraftChangesScan(
         parts.head.copy(start = 0, length = parts.head.fileSize)
       }.toArray
 
+    /** Labels for one record's adds and removes/dv rows: UPDATE/MERGE
+      * commits that both retire and publish (COW rewrites) or both
+      * retract and append (mor deltas) serve Delta-CDF update pairs;
+      * everything else keeps insert/delete. The command rides the
+      * record's note — legacy records (no note) keep the net-change
+      * labels, never a wrong pair.
+      */
+    private def labelsOf(r: GraftCommits.Rec): (String, String) = {
+      val paired = (r.note == "update" || r.note == "merge") &&
+        r.adds.nonEmpty && (r.removes.nonEmpty || r.dv.nonEmpty)
+      if (paired) ("update_postimage", "update_preimage")
+      else ("insert", "delete")
+    }
+
     def plan(ids: Long => Boolean): Array[InputPartition] = {
       val admitted = feedRecs.filter(r => r.id > horizon && ids(r.id))
       val out = Array.newBuilder[InputPartition]
       admitted.foreach { r =>
-        if (admitsType("insert") && r.adds.nonEmpty)
+        val (addLabel, delLabel) = labelsOf(r)
+        if (admitsType(addLabel) && r.adds.nonEmpty)
           r.adds.groupBy(rel => instanceBase(rel, r.id).get)
             .foreach { case (base, rels) =>
               val files = plannedFiles(base, rels)
               if (files.nonEmpty)
-                out += BatchChangePartition(r.id, "insert", files, Map.empty)
+                out += BatchChangePartition(r.id, addLabel, files, Map.empty)
             }
-        if (admitsType("delete")) {
+        if (admitsType(delLabel)) {
           if (r.removes.nonEmpty)
             r.removes.groupBy(_.tomb).foreach { case (tomb, rms) =>
               val files = plannedFiles(new Path(retired, tomb),
                 rms.map(_.rel))
               if (files.nonEmpty)
-                out += BatchChangePartition(r.id, "delete", files, Map.empty)
+                out += BatchChangePartition(r.id, delLabel, files, Map.empty)
             }
           if (r.dv.nonEmpty)
             r.dv.toSeq.groupBy { case (rel, _) =>
@@ -604,7 +629,7 @@ private[sources] final class GraftChangesScan(
                   ords.sorted)
               }.toMap
               if (files.nonEmpty)
-                out += BatchChangePartition(r.id, "delete", files,
+                out += BatchChangePartition(r.id, delLabel, files,
                   ordsByPath)
             }
         }

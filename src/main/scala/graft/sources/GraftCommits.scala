@@ -81,9 +81,14 @@ private[graft] object GraftCommits {
 
   final case class Remove(rel: String, tomb: String)
 
+  /** Free-form record annotation (5th header column, absent on legacy
+    * records): row-level commits carry their originating COMMAND
+    * (`update` / `merge` / `delete`) so the changes feed can label
+    * Delta-CDF update pairs; stream-epoch records carry `tag:epoch`.
+    */
   final case class Rec(id: Long, kind: String, ts: Long,
       adds: Seq[String], removes: Seq[Remove],
-      dv: Map[String, Array[Long]]) {
+      dv: Map[String, Array[Long]], note: String = "") {
     require(FeedKinds(kind) || FloorKinds(kind) || NeutralKinds(kind),
       s"unknown commit kind '$kind'")
     def feedVisible: Boolean = FeedKinds(kind)
@@ -108,7 +113,9 @@ private[graft] object GraftCommits {
 
   private def render(r: Rec): String = {
     val sb = new StringBuilder
-    sb.append(s"v1\t${r.id}\t${r.kind}\t${r.ts}\n")
+    // note rides as a 5th header column; b64("") renders empty and
+    // split drops the trailing field, so legacy parsers stay compatible
+    sb.append(s"v1\t${r.id}\t${r.kind}\t${r.ts}\t${b64(r.note)}\n")
     r.adds.foreach(a => sb.append(s"A\t${b64(a)}\n"))
     r.removes.foreach(rm => sb.append(s"R\t${b64(rm.rel)}\t${b64(rm.tomb)}\n"))
     r.dv.foreach { case (rel, ords) =>
@@ -138,7 +145,8 @@ private[graft] object GraftCommits {
       }
     }
     Rec(hdr(1).toLong, hdr(2), hdr(3).toLong,
-      adds.result(), removes.result(), dv.result())
+      adds.result(), removes.result(), dv.result(),
+      note = if (hdr.length > 4 && hdr(4).nonEmpty) unb64(hdr(4)) else "")
   }
 
   /** All records, id-ascending. Cheap: one listStatus of the journal
@@ -204,7 +212,8 @@ private[graft] object GraftCommits {
     */
   def record(fs: FileSystem, tableDir: Path, kind: String,
       adds: Seq[String], removes: Seq[Remove] = Nil,
-      dv: Map[String, Array[Long]] = Map.empty): Long = {
+      dv: Map[String, Array[Long]] = Map.empty,
+      note: String = ""): Long = {
     val existing = list(fs, tableDir)
     var nextId = existing.lastOption.map(_.id + 1).getOrElse(0L)
     if (existing.isEmpty) {
@@ -216,7 +225,7 @@ private[graft] object GraftCommits {
       }
     }
     writeRec(fs, tableDir,
-      Rec(nextId, kind, System.currentTimeMillis(), adds, removes, dv))
+      Rec(nextId, kind, System.currentTimeMillis(), adds, removes, dv, note))
     nextId
   }
 
@@ -237,7 +246,8 @@ private[graft] object GraftCommits {
     */
   def recordClaiming(fs: FileSystem, tableDir: Path, kind: String,
       before: Set[String], removes: Seq[Remove] = Nil,
-      dv: Map[String, Array[Long]] = Map.empty): Long = {
+      dv: Map[String, Array[Long]] = Map.empty,
+      note: String = ""): Long = {
     val existing = list(fs, tableDir)
     val now = universe(fs, tableDir)
     val claim = (now -- before -- accountedLive(existing)).toSeq.sorted
@@ -251,7 +261,8 @@ private[graft] object GraftCommits {
       }
     }
     writeRec(fs, tableDir,
-      Rec(nextId, kind, System.currentTimeMillis(), claim, removes, dv))
+      Rec(nextId, kind, System.currentTimeMillis(), claim, removes, dv,
+        note))
     nextId
   }
 
@@ -276,14 +287,16 @@ private[graft] object GraftCommits {
     */
   def tryRecord(fs: FileSystem, tableDir: Path, kind: String,
       adds: => Seq[String], removes: => Seq[Remove] = Nil,
-      dv: => Map[String, Array[Long]] = Map.empty): Unit =
-    try { record(fs, tableDir, kind, adds, removes, dv); () }
+      dv: => Map[String, Array[Long]] = Map.empty,
+      note: String = ""): Unit =
+    try { record(fs, tableDir, kind, adds, removes, dv, note); () }
     catch { case NonFatal(e) => logWarn(tableDir, kind, e) }
 
   def tryRecordClaiming(fs: FileSystem, tableDir: Path, kind: String,
       before: => Set[String], removes: => Seq[Remove] = Nil,
-      dv: => Map[String, Array[Long]] = Map.empty): Unit =
-    try { recordClaiming(fs, tableDir, kind, before, removes, dv); () }
+      dv: => Map[String, Array[Long]] = Map.empty,
+      note: String = ""): Unit =
+    try { recordClaiming(fs, tableDir, kind, before, removes, dv, note); () }
     catch { case NonFatal(e) => logWarn(tableDir, kind, e) }
 
   private def logWarn(tableDir: Path, kind: String, e: Throwable): Unit =

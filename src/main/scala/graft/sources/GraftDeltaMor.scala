@@ -252,7 +252,7 @@ private[sources] object GraftDeltaMor {
   final class GraftMorDeltaWrite(spark: SparkSession, format: String,
       tableSchema: StructType, dir: String, partitionCols: Seq[String],
       bucketSpec: Option[(Int, String)], info: LogicalWriteInfo,
-      autoAnalyze: Boolean)
+      autoAnalyze: Boolean, command: String = "")
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
     override def description(): String = s"graft merge-on-read delta $dir"
@@ -370,7 +370,8 @@ private[sources] object GraftDeltaMor {
               adds = staged.map { case (_, fin, _) =>
                 GraftCommits.relOf(fs, new Path(dir), new Path(fin)) },
               dv = allDeletes.map { case (rel, ords) =>
-                (rel, ords.toArray.sorted) })
+                (rel, ords.toArray.sorted) },
+              note = command)
         }
         // advisory post-commit stats refresh, scoped to the published
         // dirs (the auto_analyze contract: never fails the write)

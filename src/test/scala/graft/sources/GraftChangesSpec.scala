@@ -618,10 +618,11 @@ class GraftChangesSpec extends SparkSpec {
     assert(feed.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L),
       s"commit ordering broken: ${feed.map(_._1).distinct.sorted}")
     // every commit's net effect is exact (file-granular carryover
-    // delete+insert pairs cancel): replay the feed in commit order
+    // pre/post pairs cancel): signed replay in commit order — pre-
+    // images (delete | update_preimage) retract, postimages accrue
     val replayed = feed.sortBy(_._1)
       .foldLeft(Map.empty[(Long, Long), Int]) { case (m, (_, t, k, v)) =>
-        if (t == "delete") {
+        if (t == "delete" || t == "update_preimage") {
           val n = m.getOrElse((k, v), 0) - 1
           if (n == 0) m - ((k, v)) else m + ((k, v) -> n)
         } else m + ((k, v) -> (m.getOrElse((k, v), 0) + 1))
@@ -631,12 +632,23 @@ class GraftChangesSpec extends SparkSpec {
     assert(replayed == live, s"replay diverged: $replayed vs $live")
     assert(live.keySet == Set((1L, 11L), (2L, 21L), (4L, 40L)))
 
-    // the UPDATE's preimage (k=2, v=20) must appear as a delete at
-    // commit 1 — read from the TOMBSTONED pre-rewrite file
-    val del1 = feed.filter(r => r._1 == 1L && r._2 == "delete").map(r =>
-      (r._3, r._4))
-    assert(del1.contains((2L, 20L)),
-      s"UPDATE preimage missing from commit 1: $del1")
+    // the UPDATE commit serves Delta-CDF update pairs (r15 item 5):
+    // its preimage (k=2, v=20) reads from the TOMBSTONED pre-rewrite
+    // file under the update_preimage label, its successor under
+    // update_postimage — and the DELETE commit keeps plain `delete`
+    val pre1 = feed.filter(r => r._1 == 1L && r._2 == "update_preimage")
+      .map(r => (r._3, r._4))
+    assert(pre1.contains((2L, 20L)),
+      s"UPDATE preimage missing from commit 1: $pre1")
+    assert(feed.filter(r => r._1 == 1L && r._2 == "update_postimage")
+      .map(r => (r._3, r._4)).contains((2L, 21L)),
+      "UPDATE postimage missing from commit 1")
+    assert(feed.filter(_._1 == 1L).forall(r =>
+      r._2 == "update_preimage" || r._2 == "update_postimage"),
+      s"UPDATE commit leaked non-pair labels: ${feed.filter(_._1 == 1L)}")
+    assert(feed.filter(r => r._1 == 2L && r._4 == 30L)
+      .forall(_._2 == "delete"),
+      "DELETE commit must keep the delete label for its removed rows")
 
     // an epoch-bounded read of REWRITTEN history still serves: commit
     // 0's insert rows read from their tombstone instances
@@ -648,13 +660,48 @@ class GraftChangesSpec extends SparkSpec {
     assert(e0 == Seq(("insert", 1L, 10L), ("insert", 2L, 20L),
       ("insert", 3L, 30L)), s"bounded rewritten-history read: $e0")
 
-    // type pushdown composes with epoch bounds
+    // type pushdown composes with epoch bounds — and the new pair
+    // types push down like any other
     val onlyDeletes = spark.table(s"$cat.ods.t.changes")
       .where(col("_change_type") === "delete" && col("_change_epoch") <= 2)
       .select(col("k"), col("v")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    assert(onlyDeletes.contains((3L, 30L)) && onlyDeletes.contains((2L, 20L)),
+    assert(onlyDeletes.contains((3L, 30L)) && !onlyDeletes.contains((2L, 20L)),
       s"typed bounded read: $onlyDeletes")
+    val onlyPre = spark.table(s"$cat.ods.t.changes")
+      .where(col("_change_type") === "update_preimage" &&
+        col("_change_epoch") <= 2)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(onlyPre.contains((2L, 20L)), s"typed pair read: $onlyPre")
+  }
+
+  test("mor deltas serve exact keyed update pairs; pure mor DELETE stays delete-typed (r15 item 5)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.p (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.ods.p VALUES (1,10), (2,20), (3,30)")
+    spark.sql(s"UPDATE $cat.ods.p SET v = v + 1 WHERE k IN (1, 3)") // c1
+    spark.sql(s"DELETE FROM $cat.ods.p WHERE k = 2") // c2: dv-only
+    val feed = spark.table(s"$cat.ods.p.changes")
+      .select(col("_change_epoch"), col("_change_type"), col("k"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // the mor UPDATE is EXACT: preimages are precisely the matched
+    // rows (no copy-on-write carryover), keyed 1:1 with postimages
+    val pre = feed.filter(r => r._1 == 1 && r._2 == "update_preimage")
+      .map(r => (r._3, r._4)).sorted
+    val post = feed.filter(r => r._1 == 1 && r._2 == "update_postimage")
+      .map(r => (r._3, r._4)).sorted
+    assert(pre == Seq((1L, 10L), (3L, 30L)), s"mor preimages: $pre")
+    assert(post == Seq((1L, 11L), (3L, 31L)), s"mor postimages: $post")
+    assert(pre.map(_._1) == post.map(_._1), "pairing keys diverged")
+    // dv-only DELETE keeps the delete label with the original row
+    assert(feed.filter(_._1 == 2) == Seq((2L, "delete", 2L, 20L))
+      .map(t => (t._1, t._2, t._3, t._4)),
+      s"mor delete commit: ${feed.filter(_._1 == 2)}")
   }
 
   test("batch changelog: full replace floors the feed; bounds below refuse; mixed stream+batch refuses") {
