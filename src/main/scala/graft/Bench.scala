@@ -166,6 +166,31 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     final case class Timing(sec: Double, gc: Long, jit: Long, fp: String,
         err: Option[String])
+    // MACHINE-STATE CONTROLS (r15 item 6): three pinned queries timed
+    // FIRST, warm, in this same JVM. Round-over-round comparisons were
+    // twice hostage to a ~1.5-2x ambient swing (r14: 235.6 vs 195.5 s
+    // on identical code; r15: 1.47x needing a manual A/B) — dividing
+    // both rounds' shared-suite subtotals by their control subtotals
+    // separates machine state from plan drift mechanically. Three reps
+    // each, min, after one untimed warm pass.
+    val controlNames =
+      Seq("q16_token_stats", "q02_lag_delta", "q83_embedding_norms")
+    val controls: Seq[(String, Double)] = controlNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        try fn(spark, sfDir).groupBy().count().collect() // warm, untimed
+        catch { case _: Throwable => () }
+        val secs = (1 to 3).map { _ =>
+          quiesce()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).groupBy().count().collect()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(
+          f"[bench] control $n%-24s ${secs.min}%8.2f s (min of 3)")
+        (n, secs.min)
+      }
+    }
     def sweep(order: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)], skip: Set[String]): Map[String, Timing] =
       order.filterNot(kv => skip(kv._1)).map { case (name, fn) =>
@@ -231,7 +256,9 @@ object Bench {
     val errs = results.collect { case (k, t1, t2)
       if t2.map(_.err).getOrElse(t1.err).isDefined => s"\"" + k + "\"" }
     val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"data":$dataFp,"sf":"$sfDir"$errField}"""
+    val ctl = controls.map { case (n, s) => s"\"" + n + s"\":$s" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"controls":$ctl,"data":$dataFp,"sf":"$sfDir"$errField}"""
     println(line)
     // The driver captures stdout with a bounded tail buffer, which has
     // truncated this line (95 queries ≈ 4 KB) in past rounds. Persist the

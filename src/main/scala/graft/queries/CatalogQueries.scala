@@ -2732,6 +2732,111 @@ object CatalogQueries {
        |WHERE c_custkey % 10 <> 7
        |GROUP BY c_mktsegment""".stripMargin
 
+  /** q228 — UNIFIED BATCH+STREAM CHANGELOG
+    * ([[graft.sources.GraftChanges]] + [[graft.sources.GraftCommits]]
+    * stream-epoch journaling, r15 verdict item 2): a table maintained
+    * by BOTH a streaming append cadence and batch DML — the
+    * reference's own shape (daily streaming-like loads + batch
+    * backfills) — serves ONE coherent `.changes` feed. Every stream
+    * epoch journals a `stream_epoch` record under the same table lock
+    * batch commits use, so the feed positions interleave on the
+    * journal's monotonic commit axis: batch insert (c0), two stream
+    * epochs (c1, c2), a batch MERGE serving update pairs (c3), a batch
+    * DELETE (c4). The signed per-(position, segment) net is
+    * layout-independent and DuckDB recomputes it from the logical
+    * operations. An in-plan REQUIRE pins the literal journal
+    * interleave.
+    */
+  def q228UnifiedChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g228")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g228_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.raw")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.raw.src (k BIGINT, cents BIGINT, " +
+      "seg STRING)")
+    spark.sql(s"CREATE TABLE $cat.ods.bal (k BIGINT, cents BIGINT, " +
+      "seg STRING)")
+    def cust(pred: String) =
+      s"""SELECT c_custkey AS k,
+         |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         |  c_mktsegment AS seg FROM g228_customer WHERE $pred""".stripMargin
+    // c0: batch insert
+    spark.sql(s"INSERT INTO $cat.ods.bal ${cust("c_custkey % 4 = 0")}")
+    // stream phase: two append epochs from the raw table (c1, c2)
+    spark.sql(s"INSERT INTO $cat.raw.src ${cust("c_custkey % 4 = 1")}")
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4")
+    try {
+      val q = spark.readStream.table(s"$cat.raw.src")
+        .writeStream
+        .option("checkpointLocation", scratch("graft-q228-cp"))
+        .toTable(s"$cat.ods.bal")
+      q.processAllAvailable() // epoch 0 -> journal c1
+      spark.sql(s"INSERT INTO $cat.raw.src ${cust("c_custkey % 4 = 2")}")
+      q.processAllAvailable() // epoch 1 -> journal c2
+      q.stop()
+    } finally prevShuffle match {
+      case Some(v) => spark.conf.set(shuffleKey, v)
+      case None => spark.conf.unset(shuffleKey)
+    }
+    // c3: batch MERGE update across BOTH provenances (update pairs)
+    spark.sql(s"""MERGE INTO $cat.ods.bal t USING
+      (SELECT c_custkey AS k, 777 AS cents FROM g228_customer
+       WHERE c_custkey % 10 = 3) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET cents = s.cents""")
+    // c4: batch DELETE across both provenances
+    spark.sql(s"DELETE FROM $cat.ods.bal WHERE k % 10 = 7")
+    // in-plan evidence: the journal interleaves literally
+    val loc = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/ods/bal"
+    val base = new org.apache.hadoop.fs.Path(loc)
+    val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kinds = graft.sources.GraftCommits.list(hfs, base).map(_.kind)
+    require(kinds == Seq("append", "stream_epoch", "stream_epoch",
+        "rewrite", "rewrite"),
+      s"q228: expected one interleaved journal axis, got $kinds")
+    val neg = col("_change_type").isin("delete", "update_preimage")
+    spark.table(s"$cat.ods.bal.changes")
+      .groupBy(col("_change_epoch").as("epoch"), col("seg"))
+      .agg(
+        sum(when(neg, -col("cents")).otherwise(col("cents")))
+          .as("net_cents"),
+        sum(when(neg, -1L).otherwise(1L)).as("net_rows"))
+      .where(col("net_cents") =!= 0 || col("net_rows") =!= 0)
+      .select(col("epoch"), col("seg"), col("net_cents"), col("net_rows"))
+  }
+
+  /** The five positions' net effects from the logical ops alone:
+    * c0/c1/c2 insert the three mod-4 slices, c3 sets cents=777 on
+    * k%10=3 (within the loaded slices), c4 removes k%10=7.
+    */
+  val q228Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+       |    c_mktsegment AS seg
+       |  FROM customer WHERE c_custkey % 4 IN (0, 1, 2)),
+       |nets AS (
+       |  SELECT CAST(0 AS BIGINT) AS epoch, seg,
+       |    ${bi("sum(cents)")} AS net_cents, ${bi("count(*)")} AS net_rows
+       |  FROM base WHERE k % 4 = 0 GROUP BY seg
+       |  UNION ALL
+       |  SELECT 1, seg, ${bi("sum(cents)")}, ${bi("count(*)")}
+       |  FROM base WHERE k % 4 = 1 GROUP BY seg
+       |  UNION ALL
+       |  SELECT 2, seg, ${bi("sum(cents)")}, ${bi("count(*)")}
+       |  FROM base WHERE k % 4 = 2 GROUP BY seg
+       |  UNION ALL
+       |  SELECT 3, seg, ${bi("sum(777 - cents)")}, CAST(0 AS BIGINT)
+       |  FROM base WHERE k % 10 = 3 GROUP BY seg
+       |  UNION ALL
+  |  SELECT 4, seg, ${bi("-sum(cents)")}, ${bi("-count(*)")}
+       |  FROM base WHERE k % 10 = 7 GROUP BY seg)
+       |SELECT epoch, seg, ${bi("sum(net_cents)")} AS net_cents,
+       |  ${bi("sum(net_rows)")} AS net_rows
+       |FROM nets GROUP BY epoch, seg
+       |HAVING sum(net_cents) <> 0 OR sum(net_rows) <> 0""".stripMargin
+
   /** q229 — CDF UPDATE PAIR TYPES over merge-on-read deltas
     * ([[graft.sources.GraftChanges]] + [[graft.sources.GraftDeltaMor]],
     * r15 verdict item 5 — Delta CDF's `update_preimage` /
@@ -2816,6 +2921,61 @@ object CatalogQueries {
        |  ${bi("sum(k * 3) + (SELECT sum(k) FROM base WHERE k % 10 = 9)")}
        |FROM base WHERE k % 10 IN (1, 4)""".stripMargin
 
+  /** q230 — MATERIALIZED VIEW with incremental refresh
+    * ([[graft.runtime.GraftMaterializedViews]], r15 verdict item 8 —
+    * Delta/Trino-Iceberg materialized views over the counting-IVM
+    * tier): `CREATE MATERIALIZED VIEW` validates the body is
+    * incrementally maintainable and builds the backing aggregate;
+    * after batch INSERT + UPDATE + DELETE on the base table,
+    * `CALL system.refresh_materialized_view` folds ONLY the change
+    * feed above the MV's recorded commit position (exact
+    * `_change_epoch` pushdown — the refresh costs the CHANGE, never
+    * the base table). DuckDB recomputes the view from the final
+    * logical state: incremental == recompute is the hash.
+    */
+  def q230MaterializedView(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g230")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g230_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.ods.bal (k BIGINT, cents BIGINT, " +
+      "seg STRING)")
+    spark.sql(s"""INSERT INTO $cat.ods.bal
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g230_customer WHERE c_custkey % 2 = 0""")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.seg_mv AS " +
+      s"SELECT seg, count(*) AS n, sum(cents) AS cents_sum " +
+      s"FROM $cat.ods.bal GROUP BY seg")
+    // base DML after the MV: a second load, an update, a delete
+    spark.sql(s"""INSERT INTO $cat.ods.bal
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g230_customer WHERE c_custkey % 2 = 1""")
+    spark.sql(s"UPDATE $cat.ods.bal SET cents = cents + 7 WHERE k % 10 = 3")
+    spark.sql(s"DELETE FROM $cat.ods.bal WHERE k % 10 = 7")
+    val res = spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.seg_mv')").head
+    // in-plan evidence: the refresh folded change rows and advanced
+    // the MV's position past the initial build's commit
+    require(res.getLong(0) > 0,
+      s"q230: the incremental refresh folded nothing")
+    require(res.getLong(1) >= 3,
+      s"q230: position ${res.getLong(1)} did not advance past the DML")
+    spark.table(s"$cat.mart.seg_mv")
+      .select(col("seg"), col("n"), col("cents_sum"))
+  }
+
+  /** The view recomputed from the final logical state. */
+  val q230Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) +
+       |      CASE WHEN c_custkey % 10 = 3 THEN 7 ELSE 0 END AS cents,
+       |    c_mktsegment AS seg
+       |  FROM customer)
+       |SELECT seg, ${bi("count(*)")} AS n, ${bi("sum(cents)")} AS cents_sum
+       |FROM base WHERE k % 10 <> 7
+       |GROUP BY seg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -2863,7 +3023,9 @@ object CatalogQueries {
     "q224_batch_cdf" -> (q224BatchCdf _),
     "q225_commit_time_travel" -> (q225CommitTimeTravel _),
     "q226_days_transform" -> (q226DaysTransform _),
+    "q228_unified_changelog" -> (q228UnifiedChangelog _),
     "q229_cdf_update_pairs" -> (q229CdfUpdatePairs _),
+    "q230_materialized_view" -> (q230MaterializedView _),
     "q227_view_layer" -> (q227ViewLayer _))
 
   val oracles: Map[String, String] = Map(
@@ -2914,5 +3076,7 @@ object CatalogQueries {
     "q225_commit_time_travel" -> q225Oracle,
     "q226_days_transform" -> q226Oracle,
     "q227_view_layer" -> q227Oracle,
-    "q229_cdf_update_pairs" -> q229Oracle)
+    "q228_unified_changelog" -> q228Oracle,
+    "q229_cdf_update_pairs" -> q229Oracle,
+    "q230_materialized_view" -> q230Oracle)
 }

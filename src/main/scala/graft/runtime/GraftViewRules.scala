@@ -105,7 +105,10 @@ object GraftViewRules {
       delegate: ParserInterface) extends ParserInterface {
 
     override def parsePlan(sqlText: String): LogicalPlan =
-      rewrite(delegate.parsePlan(sqlText))
+      // MATERIALIZED VIEW DDL first: Spark's grammar has no such
+      // production, so it must divert BEFORE delegation
+      GraftMaterializedViews.parseDdl(session, sqlText, delegate)
+        .getOrElse(rewrite(delegate.parsePlan(sqlText)))
 
     private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
       case cv: CreateView =>
@@ -161,7 +164,8 @@ object GraftViewRules {
     override def parsePlanWithParameters(sqlText: String,
         ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
         : LogicalPlan =
-      rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+      GraftMaterializedViews.parseDdl(session, sqlText, delegate)
+        .getOrElse(rewrite(delegate.parsePlanWithParameters(sqlText, ctx)))
     override def parseExpression(s: String): Expression =
       delegate.parseExpression(s)
     override def parseTableIdentifier(s: String): TableIdentifier =

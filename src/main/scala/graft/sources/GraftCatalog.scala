@@ -1067,7 +1067,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"procedures live in the '${GraftProcedures.Namespace}' namespace " +
         s"(got ${ident.namespace.mkString(".")}.${ident.name})")
     GraftProcedures.load(
-      ident.name.toLowerCase(java.util.Locale.ROOT), () => engine)
+      ident.name.toLowerCase(java.util.Locale.ROOT), () => engine,
+      () => catalogName)
   }
 }
 
@@ -4269,6 +4270,16 @@ private[graft] object GraftPartitionedCow {
         val mk = fs.create(marker(epochId), true)
         mk.close()
         fs.delete(mf, false) // superseded by the marker
+        // one monotonic feed axis with batch DML (r15 item 2): the
+        // epoch journals as a stream_epoch record under this same
+        // lock, AFTER the marker (the commit point) so a crashed
+        // attempt never journals — a crash between marker and record
+        // degrades to the loud unjournaled-emission feed refusal
+        GraftCommits.tryRecord(fs, new Path(dir),
+          GraftCommits.StreamEpochKind,
+          adds = finals.map(f =>
+            GraftCommits.relOf(fs, new Path(dir), new Path(f))),
+          note = s"$queryTag:$epochId")
       }
     }
 
@@ -4680,6 +4691,14 @@ private[graft] object GraftPartitionedCow {
           keyTuples))
         fs.create(marker(epochId), true).close()
         fs.delete(mf, false)
+        // one monotonic feed axis with batch DML (r15 item 2): see
+        // [[StreamingAppendWrite]] — journaled after the marker under
+        // this same lock
+        GraftCommits.tryRecord(fs, new Path(dir),
+          GraftCommits.StreamEpochKind,
+          adds = staged.map(f =>
+            GraftCommits.relOf(fs, new Path(dir), new Path(f._2))),
+          note = s"$queryTag:$epochId")
         // floor-aware sidecar compaction (r13 item 5): dead sidecars
         // and subsumed keys shrink the read map at zero data cost —
         // still under this epoch's lock, so readers see an atomic

@@ -451,33 +451,67 @@ private[sources] final class GraftChangesScan(
     * reads serve the retained feed above it.
     */
   private final class BatchFeed(fs: org.apache.hadoop.fs.FileSystem,
+      ck: Option[GraftCommits.Checkpoint],
       recs: Seq[GraftCommits.Rec]) {
     private def spark = SparkSession.active
     private val feedRecs = recs.filter(_.feedVisible)
+    /** Everything an expired prefix accounted, folded: file rels the
+      * accounting checks accept without their original records.
+      */
+    private val ckFiles: Set[String] =
+      ck.map(_.files.keySet).getOrElse(Set.empty)
 
-    // mixed-history refusal: stream emissions and feed-visible batch
-    // commits have no common ordering (stream epochs are per-checkpoint,
-    // commit ids per-journal)
     require(!fileScan.fileIndex
         .isInstanceOf[GraftEvolved.EvolvedFileIndex],
       s"$tableDir: the batch changelog is refused while a partition-" +
         "spec evolution is un-materialized — CALL system.compact first")
+
+    /** Live (unstamped) emission file rels, for stream-record
+      * servability and the journaled-emission accounting check. One
+      * listing per planning pass, the feed's standing cost class.
+      */
+    private val liveEmissionRels: Set[String] = {
+      val base = fs.makeQualified(tableDir).toUri.getPath
+      GraftEvolved.listVisible(fs, tableDir)
+        .filter { st =>
+          val n = st.getPath.getName
+          GraftEqDel.emissionOf(n).isDefined && !GraftEqDel.hasFloorStamp(n)
+        }
+        .map(st => fs.makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(base).stripPrefix("/"))
+        .toSet
+    }
+
+    /** Live equality-delete sidecars, keyed by (tag, epoch) — stream
+      * records serve their delete rows from these; empty on pure-batch
+      * tables (zero cost).
+      */
+    private val liveSidecars: Map[(String, Long), GraftEqDel.EqDel] =
+      GraftChanges.loadSidecars(fs, tableDir)
+        .map(d => ((d.tag, d.epoch), d)).toMap
+
     locally {
-      val names = GraftEvolved.listVisible(fs, tableDir)
-        .map(_.getPath.getName)
-      val streamy =
-        names.exists(n => GraftEqDel.emissionOf(n).isDefined &&
-          !GraftEqDel.hasFloorStamp(n)) ||
-        GraftEqDel.list(fs, tableDir).nonEmpty
-      require(!streamy,
+      // stream history interleaves on the journal axis ONLY when every
+      // live emission and sidecar is accounted by a stream_epoch
+      // record (r15 item 2). Unjournaled legacy emissions have no
+      // common ordering with batch commits — the original refusal.
+      val streamAdds = recs.iterator
+        .filter(_.kind == GraftCommits.StreamEpochKind)
+        .flatMap(_.adds).toSet ++ ckFiles
+      val unjournaled = liveEmissionRels -- streamAdds
+      val journaledEpochs = recs.flatMap(_.streamEpoch).toSet
+      val orphanSidecars =
+        liveSidecars.keySet.filterNot(journaledEpochs.contains)
+      require(unjournaled.isEmpty && orphanSidecars.isEmpty,
         s"$tableDir mixes streaming epoch emissions with batch DML " +
-          "commits — the two change histories have no common ordering " +
+          "commits and the stream history predates epoch journaling — " +
+          "the two change histories have no common ordering " +
           "and cannot be served as one feed; CALL system.compact to " +
           "reset the changelog, or consume the table state instead")
       // accounting: every visible batch file must be attributed to a
       // commit — an unaccounted file means a crashed or journal-
       // bypassing commit whose changes would silently be missing
-      val allAdds = recs.iterator.flatMap(_.adds).toSet
+      val allAdds = recs.iterator.flatMap(_.adds).toSet ++ ckFiles
       val universe = GraftCommits.universe(fs, tableDir)
       val unaccounted = universe -- allAdds
       require(unaccounted.isEmpty,
@@ -489,8 +523,9 @@ private[sources] final class GraftChangesScan(
       // belong to a recorded mor_delete delta
       val liveDvs = GraftDv.list(fs, tableDir)
       if (liveDvs.nonEmpty) {
-        val attributed: Map[String, Set[Long]] = recs.flatMap(_.dv)
-          .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
+        val attributed: Map[String, Set[Long]] =
+          (ck.toSeq.flatMap(_.dv) ++ recs.flatMap(_.dv))
+            .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
         liveDvs.foreach { case (rel, p) =>
           val orphan = GraftDv.read(fs, p).ords.toSet --
             attributed.getOrElse(rel, Set.empty)
@@ -535,13 +570,28 @@ private[sources] final class GraftChangesScan(
         case None => Some(tableDir) // never removed since: live
       }
 
-    private def servable(r: GraftCommits.Rec): Boolean =
-      r.adds.forall(rel => instanceBase(rel, r.id).isDefined) &&
+    private def servable(r: GraftCommits.Rec): Boolean = {
+      // stream-epoch adds that resolve LIVE must actually be live:
+      // rewrite_deletes materialization RENAMES emission files (floor
+      // stamps) without a journaled remove, so presence in the live
+      // emission census is the servability truth — a materialized
+      // epoch's record floors the feed exactly like rewritten batch
+      // history
+      def addOk(rel: String): Boolean =
+        instanceBase(rel, r.id) match {
+          case None => false
+          case Some(base) if r.kind == GraftCommits.StreamEpochKind &&
+            base == tableDir => liveEmissionRels.contains(rel)
+          case Some(_) => true
+        }
+      r.adds.forall(addOk) &&
         r.removes.forall(rm => tombExists(rm.tomb)) &&
         r.dv.keys.forall(rel => instanceBase(rel, r.id).isDefined)
+    }
 
-    private val floor = recs.filter(_.isFloor).map(_.id)
-      .foldLeft(-1L)(math.max)
+    private val floor =
+      (ck.map(_.floor).getOrElse(-1L) +:
+        recs.filter(_.isFloor).map(_.id)).max
     val horizon: Long = math.max(floor,
       feedRecs.filterNot(servable).map(_.id).foldLeft(-1L)(math.max))
 
@@ -603,35 +653,57 @@ private[sources] final class GraftChangesScan(
       val admitted = feedRecs.filter(r => r.id > horizon && ids(r.id))
       val out = Array.newBuilder[InputPartition]
       admitted.foreach { r =>
-        val (addLabel, delLabel) = labelsOf(r)
-        if (admitsType(addLabel) && r.adds.nonEmpty)
-          r.adds.groupBy(rel => instanceBase(rel, r.id).get)
-            .foreach { case (base, rels) =>
-              val files = plannedFiles(base, rels)
-              if (files.nonEmpty)
-                out += BatchChangePartition(r.id, addLabel, files, Map.empty)
-            }
-        if (admitsType(delLabel)) {
-          if (r.removes.nonEmpty)
-            r.removes.groupBy(_.tomb).foreach { case (tomb, rms) =>
-              val files = plannedFiles(new Path(retired, tomb),
-                rms.map(_.rel))
-              if (files.nonEmpty)
-                out += BatchChangePartition(r.id, delLabel, files, Map.empty)
-            }
-          if (r.dv.nonEmpty)
-            r.dv.toSeq.groupBy { case (rel, _) =>
-              instanceBase(rel, r.id).get
-            }.foreach { case (base, entries) =>
-              val files = wholeFiles(plannedFiles(base, entries.map(_._1)))
-              val ordsByPath = entries.map { case (rel, ords) =>
-                (fs.makeQualified(new Path(base, rel)).toUri.getPath,
-                  ords.sorted)
-              }.toMap
-              if (files.nonEmpty)
-                out += BatchChangePartition(r.id, delLabel, files,
-                  ordsByPath)
-            }
+        if (r.kind == GraftCommits.StreamEpochKind) {
+          // a stream epoch on the journal axis: its emission files as
+          // insert/upsert rows (upsert while the epoch's sidecar still
+          // retracts older keys — the stream feed's own labeling) and
+          // the sidecar's key tuples as delete rows, all positioned at
+          // the JOURNAL commit id
+          val sc = r.streamEpoch.flatMap(liveSidecars.get)
+          val label = if (sc.isDefined) "upsert" else "insert"
+          if (admitsType(label) && r.adds.nonEmpty)
+            r.adds.groupBy(rel => instanceBase(rel, r.id).get)
+              .foreach { case (base, rels) =>
+                val files = plannedFiles(base, rels)
+                if (files.nonEmpty)
+                  out += BatchChangePartition(r.id, label, files, Map.empty)
+              }
+          if (admitsType("delete"))
+            sc.filter(_.keys.nonEmpty).foreach(d =>
+              out += ChangesSidecarPartition(r.id, d.keys))
+        } else {
+          val (addLabel, delLabel) = labelsOf(r)
+          if (admitsType(addLabel) && r.adds.nonEmpty)
+            r.adds.groupBy(rel => instanceBase(rel, r.id).get)
+              .foreach { case (base, rels) =>
+                val files = plannedFiles(base, rels)
+                if (files.nonEmpty)
+                  out += BatchChangePartition(r.id, addLabel, files,
+                    Map.empty)
+              }
+          if (admitsType(delLabel)) {
+            if (r.removes.nonEmpty)
+              r.removes.groupBy(_.tomb).foreach { case (tomb, rms) =>
+                val files = plannedFiles(new Path(retired, tomb),
+                  rms.map(_.rel))
+                if (files.nonEmpty)
+                  out += BatchChangePartition(r.id, delLabel, files,
+                    Map.empty)
+              }
+            if (r.dv.nonEmpty)
+              r.dv.toSeq.groupBy { case (rel, _) =>
+                instanceBase(rel, r.id).get
+              }.foreach { case (base, entries) =>
+                val files = wholeFiles(plannedFiles(base, entries.map(_._1)))
+                val ordsByPath = entries.map { case (rel, ords) =>
+                  (fs.makeQualified(new Path(base, rel)).toUri.getPath,
+                    ords.sorted)
+                }.toMap
+                if (files.nonEmpty)
+                  out += BatchChangePartition(r.id, delLabel, files,
+                    ordsByPath)
+              }
+          }
         }
       }
       out.result()
@@ -644,14 +716,28 @@ private[sources] final class GraftChangesScan(
   private def journalRecs(fs: org.apache.hadoop.fs.FileSystem)
       : Seq[GraftCommits.Rec] = GraftCommits.list(fs, tableDir)
 
+  /** Journal-axis mode gate: any batch row-changing record — retained,
+    * or folded into a checkpoint (the `batch` flag keeps the mode
+    * stable after expiry).
+    */
+  private def journalMode(fs: org.apache.hadoop.fs.FileSystem)
+      : Option[(Option[GraftCommits.Checkpoint], Seq[GraftCommits.Rec])] = {
+    val ck = GraftCommits.latestCheckpoint(fs, tableDir)
+    val recs = journalRecs(fs)
+    if (recs.exists(_.batchVisible) || ck.exists(_.batch))
+      Some((ck, recs))
+    else None
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val hfs = tableDir.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    val recs = journalRecs(hfs)
-    if (recs.exists(_.feedVisible)) {
-      val bf = new BatchFeed(hfs, recs)
-      requireAboveBatchHorizon(bf.horizon)
-      return bf.plan(admitsEpoch)
+    journalMode(hfs) match {
+      case Some((ck, recs)) =>
+        val bf = new BatchFeed(hfs, ck, recs)
+        requireAboveBatchHorizon(bf.horizon)
+        return bf.plan(admitsEpoch)
+      case None => ()
     }
     val st = new FeedState
     st.checkHorizon()
@@ -712,10 +798,11 @@ private[sources] final class GraftChangesScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val hfs = tableDir.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    if (journalRecs(hfs).exists(_.feedVisible))
-      // batch-journal mode: no sidecars, no stream tag — the factory's
-      // BatchChangePartition path carries everything per partition
-      buildFactory(Nil, None)
+    if (journalMode(hfs).isDefined)
+      // journal-axis mode: partitions carry everything, but live
+      // equality-delete sidecars (journaled stream epochs on a mixed
+      // table) supply the key-column slot plan for their delete rows
+      buildFactory(GraftChanges.loadSidecars(hfs, tableDir), None)
     else {
       val st = new FeedState
       buildFactory(st.sidecars, st.feedTag)
@@ -763,11 +850,8 @@ private[sources] final class GraftChangesScan(
     }
 
     /** Batch-journal mode census (fresh per call, like [[census]]). */
-    private def batchFeed(): Option[BatchFeed] = {
-      val recs = journalRecs(fs)
-      if (recs.exists(_.feedVisible)) Some(new BatchFeed(fs, recs))
-      else None
-    }
+    private def batchFeed(): Option[BatchFeed] =
+      journalMode(fs).map { case (ck, recs) => new BatchFeed(fs, ck, recs) }
 
     /** A checkpointed offset from a DIFFERENT journal incarnation (or
       * feed mode) means the history this consumer tracked was replaced
@@ -977,7 +1061,8 @@ private[sources] final class GraftChangesScan(
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      if (journalRecs(fs).exists(_.feedVisible)) buildFactory(Nil, None)
+      if (journalMode(fs).isDefined)
+        buildFactory(GraftChanges.loadSidecars(fs, tableDir), None)
       else {
         val c = census()
         buildFactory(c.sidecars, c.tag)

@@ -100,11 +100,15 @@ private[sources] final class GraftCommitSnapshotScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val recs = GraftCommits.list(fs, tableDir)
-    require(recs.exists(_.id == commitId),
-      s"$tableDir has no commit $commitId (journal: " +
-        s"${recs.map(_.id).mkString(",")})")
-    val (files, dv) = GraftCommits.stateAt(recs, commitId)
+    // journaled stream epochs make snapshots addressable on mixed
+    // tables, but live equality-delete sidecars retract rows this
+    // whole-file replay would serve back — refuse, never over-serve
+    GraftEqDel.requireNone(fs, tableDir, "a per-commit snapshot read")
+    // checkpoint-aware (r15 item 3): state replays from the latest
+    // checkpoint + tail (≤ tail-length record reads), with the full
+    // prefix only for pre-checkpoint commits; expired prefixes refuse
+    val (recs, files, dv) = GraftCommits.stateAndRecs(fs, tableDir,
+      commitId)
     // resolve every instance, grouped by its current base directory
     val resolved: Seq[(Path, String)] = files.toSeq.map { case (rel, addId) =>
       val p = GraftCommits.resolveInstance(fs, tableDir, recs, rel, addId)

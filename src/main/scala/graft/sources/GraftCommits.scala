@@ -66,11 +66,24 @@ private[graft] object GraftCommits {
 
   val DirName = "_graft_commits"
 
-  /** Feed-visible row-changing kinds (`_change_type` mapping: adds →
-    * insert, removes/dv → delete).
+  /** Feed-visible BATCH row-changing kinds (`_change_type` mapping:
+    * adds → insert, removes/dv → delete, UPDATE/MERGE notes → update
+    * pairs). Presence of any of these selects the journal-axis feed.
     */
   val FeedKinds: Set[String] =
     Set("append", "overwrite", "rewrite", "delete", "mor_delete")
+
+  /** STREAM-epoch marker kind (r15 verdict item 2 — one monotonic feed
+    * axis for tables maintained by both streams and batch DML): every
+    * append-mode and equality-upsert epoch commit journals one record
+    * under the same table lock batch commits use, with `adds` = the
+    * epoch's emission file rels and `note` = `tag:epoch`. On a
+    * STREAM-ONLY table these records are pure accounting (the classic
+    * epoch-axis feed still serves from the file names); as soon as a
+    * batch kind appears, the journal IS the interleaved history and
+    * the feed serves both on commit-id positions.
+    */
+  val StreamEpochKind = "stream_epoch"
 
   /** Kinds that FLOOR the feed: history at or below them is not
     * row-level-servable.
@@ -89,17 +102,27 @@ private[graft] object GraftCommits {
   final case class Rec(id: Long, kind: String, ts: Long,
       adds: Seq[String], removes: Seq[Remove],
       dv: Map[String, Array[Long]], note: String = "") {
-    require(FeedKinds(kind) || FloorKinds(kind) || NeutralKinds(kind),
-      s"unknown commit kind '$kind'")
-    def feedVisible: Boolean = FeedKinds(kind)
+    require(FeedKinds(kind) || FloorKinds(kind) || NeutralKinds(kind) ||
+      kind == StreamEpochKind, s"unknown commit kind '$kind'")
+    def feedVisible: Boolean = FeedKinds(kind) || kind == StreamEpochKind
+    /** Batch row-changing: selects the journal-axis feed mode. */
+    def batchVisible: Boolean = FeedKinds(kind)
     def isFloor: Boolean = FloorKinds(kind)
+    /** (tag, epoch) of a stream-epoch record, from its note. */
+    def streamEpoch: Option[(String, Long)] =
+      if (kind != StreamEpochKind) None
+      else note.split(':') match {
+        case Array(t, e) => scala.util.Try((t, e.toLong)).toOption
+        case _ => None
+      }
   }
 
   def dir(tableDir: Path): Path = new Path(tableDir, DirName)
 
   def exists(fs: FileSystem, tableDir: Path): Boolean =
     try fs.exists(dir(tableDir)) && fs.listStatus(dir(tableDir))
-      .exists(_.getPath.getName.endsWith(".rec"))
+      .exists(st => st.getPath.getName.endsWith(".rec") ||
+        st.getPath.getName.endsWith(".ck"))
     catch { case _: java.io.FileNotFoundException => false }
 
   // ---- record codec (TSV + base64, the sidecar house style) -------------
@@ -149,8 +172,9 @@ private[graft] object GraftCommits {
       note = if (hdr.length > 4 && hdr(4).nonEmpty) unb64(hdr(4)) else "")
   }
 
-  /** All records, id-ascending. Cheap: one listStatus of the journal
-    * dir + one small read per record (bounded by commit count).
+  /** All RETAINED records, id-ascending. One listStatus of the journal
+    * dir + one small read per record — bounded by RETENTION, not
+    * all-time commit count, once checkpoint + expiry prune the prefix.
     */
   def list(fs: FileSystem, tableDir: Path): Seq[Rec] = {
     val d = dir(tableDir)
@@ -164,6 +188,231 @@ private[graft] object GraftCommits {
         try parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       }.sortBy(_.id)
+  }
+
+  // ---- checkpoints (r15 verdict item 3: Delta-style log compaction) -----
+
+  /** The journal's replayed state folded to ONE file. `id` = last
+    * record included; `floor` = the expiry floor — records at or below
+    * it may have been deleted (history there is not addressable);
+    * `batch` = whether any batch row-changing kind was ever folded
+    * (keeps journal-axis feed-mode selection stable after stream-only
+    * tails); `files` = rel -> the ADDING commit id (instance
+    * resolution needs the original add position); `dv` = the absolute
+    * per-file deleted ordinals as of `id`.
+    */
+  final case class Checkpoint(id: Long, ts: Long, floor: Long,
+      batch: Boolean, files: Map[String, Long],
+      dv: Map[String, Array[Long]])
+
+  /** Records per checkpoint (assignment/stateAt read at most this many
+    * record files once a checkpoint exists). Overridable per session
+    * via `spark.graft.commits.checkpointInterval`.
+    */
+  val CheckpointIntervalDefault = 20
+
+  private def checkpointInterval: Int =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.commits.checkpointInterval")
+      .map(_.toInt).getOrElse(CheckpointIntervalDefault)
+    catch { case NonFatal(_) => CheckpointIntervalDefault }
+
+  private def ckName(id: Long): String = f"ck$id%012d.ck"
+  private val CkNameRe = "ck(\\d{12})\\.ck".r
+  private val RecNameRe = "c(\\d{12})\\.rec".r
+
+  private def renderCk(c: Checkpoint): String = {
+    val sb = new StringBuilder
+    sb.append(s"ckv1\t${c.id}\t${c.ts}\t${c.floor}\t${if (c.batch) 1 else 0}\n")
+    c.files.toSeq.sortBy(_._1).foreach { case (rel, addId) =>
+      sb.append(s"F\t${b64(rel)}\t$addId\n")
+    }
+    c.dv.toSeq.sortBy(_._1).foreach { case (rel, ords) =>
+      sb.append(s"D\t${b64(rel)}\t${ords.mkString(",")}\n")
+    }
+    sb.toString
+  }
+
+  private def parseCk(txt: String): Checkpoint = {
+    val lines = txt.split('\n').filter(_.nonEmpty)
+    val hdr = lines.head.split('\t')
+    require(hdr.length >= 5 && hdr(0) == "ckv1",
+      s"bad commit checkpoint: ${lines.head}")
+    val files = Map.newBuilder[String, Long]
+    val dv = Map.newBuilder[String, Array[Long]]
+    lines.tail.foreach { ln =>
+      val f = ln.split('\t')
+      f(0) match {
+        case "F" => files += (unb64(f(1)) -> f(2).toLong)
+        case "D" => dv += (unb64(f(1)) ->
+          (if (f.length > 2 && f(2).nonEmpty)
+            f(2).split(',').map(_.toLong) else Array.empty[Long]))
+        case other => throw new IllegalStateException(
+          s"bad checkpoint line tag '$other'")
+      }
+    }
+    Checkpoint(hdr(1).toLong, hdr(2).toLong, hdr(3).toLong, hdr(4) == "1",
+      files.result(), dv.result())
+  }
+
+  /** (checkpoint ids, record ids) from one listStatus — NAMES only, no
+    * content reads; id assignment needs nothing more.
+    */
+  private def idsByName(fs: FileSystem, tableDir: Path)
+      : (Seq[Long], Seq[Long]) = {
+    val statuses =
+      try fs.listStatus(dir(tableDir))
+      catch { case _: java.io.FileNotFoundException =>
+        return (Nil, Nil) }
+    val cks = Seq.newBuilder[Long]
+    val recIds = Seq.newBuilder[Long]
+    statuses.foreach { st =>
+      st.getPath.getName match {
+        case CkNameRe(i) => cks += i.toLong
+        case RecNameRe(i) => recIds += i.toLong
+        case _ => ()
+      }
+    }
+    (cks.result().sorted, recIds.result().sorted)
+  }
+
+  def latestCheckpoint(fs: FileSystem, tableDir: Path)
+      : Option[Checkpoint] = {
+    val (cks, _) = idsByName(fs, tableDir)
+    cks.lastOption.map { id =>
+      val in = fs.open(new Path(dir(tableDir), ckName(id)))
+      try parseCk(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Latest checkpoint + the records ABOVE it (the tail) — the
+    * bounded-read load every assignment/state path uses. No
+    * checkpoint = (None, all retained records).
+    */
+  def load(fs: FileSystem, tableDir: Path)
+      : (Option[Checkpoint], Seq[Rec]) = {
+    val ck = latestCheckpoint(fs, tableDir)
+    val after = ck.map(_.id).getOrElse(-1L)
+    val d = dir(tableDir)
+    val statuses =
+      try fs.listStatus(d)
+      catch { case _: java.io.FileNotFoundException => return (ck, Nil) }
+    val tail = statuses.toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case RecNameRe(i) if i.toLong > after =>
+          val in = fs.open(st.getPath)
+          try Some(parse(
+            scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+          finally in.close()
+        case _ => None
+      }
+    }.sortBy(_.id)
+    (ck, tail)
+  }
+
+  private def writeCk(fs: FileSystem, tableDir: Path,
+      c: Checkpoint): Unit = {
+    val d = dir(tableDir)
+    fs.mkdirs(d)
+    val fin = new Path(d, ckName(c.id))
+    val tmp = new Path(d, "." + ckName(c.id) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderCk(c).getBytes("UTF-8")) finally out.close()
+    GraftDv.replaceAtomic(fs, tmp, fin)
+    // the superseded checkpoint is redundant once the new one exists
+    val (cks, _) = idsByName(fs, tableDir)
+    cks.filter(_ < c.id).foreach(old =>
+      try fs.delete(new Path(d, ckName(old)), false)
+      catch { case NonFatal(_) => () })
+  }
+
+  /** State (files + dv) at the given checkpoint+tail position, plus
+    * the records instance resolution needs. Replays from the
+    * checkpoint when `id` is at or above it (≤ tail-length record
+    * reads); otherwise requires the FULL prefix 0..id on disk —
+    * expired history refuses loudly.
+    */
+  def stateAndRecs(fs: FileSystem, tableDir: Path, id: Long)
+      : (Seq[Rec], Map[String, Long], Map[String, Array[Long]]) = {
+    val (ckOpt, tail) = load(fs, tableDir)
+    val maxId = (ckOpt.map(_.id).toSeq ++ tail.lastOption.map(_.id))
+      .foldLeft(-1L)(math.max)
+    require(id >= 0 && id <= maxId && (tail.exists(_.id == id) ||
+        ckOpt.exists(_.id >= id)),
+      s"$tableDir has no commit $id (journal through $maxId)")
+    ckOpt match {
+      case Some(ck) if id >= ck.id =>
+        val files =
+          scala.collection.mutable.LinkedHashMap.from(ck.files)
+        val dv = scala.collection.mutable.Map.empty[
+          String, scala.collection.mutable.SortedSet[Long]]
+        ck.dv.foreach { case (rel, ords) =>
+          dv(rel) = scala.collection.mutable.SortedSet.from(ords)
+        }
+        replayInto(files, dv, tail.filter(_.id <= id))
+        (tail, files.toMap,
+          dv.map { case (k, v) => (k, v.toArray) }.toMap)
+      case _ =>
+        val recs = list(fs, tableDir)
+        val ids = recs.map(_.id).toSet
+        require((0L to id).forall(ids.contains),
+          s"$tableDir: commit $id predates the journal's expired " +
+            "prefix (expire_versions dropped its records) — that " +
+            "history is no longer addressable")
+        val (f, d) = stateAt(recs, id)
+        (recs, f, d)
+    }
+  }
+
+  /** Fold everything at or below `atId` into a checkpoint. Caller
+    * holds the table commit lock (or is inside record()'s critical
+    * section).
+    */
+  private def checkpointAt(fs: FileSystem, tableDir: Path,
+      atId: Long, all: (Option[Checkpoint], Seq[Rec])): Unit = {
+    val (ckOpt, tail) = all
+    val folded = tail.filter(_.id <= atId)
+    val files = scala.collection.mutable.LinkedHashMap
+      .from(ckOpt.map(_.files).getOrElse(Map.empty[String, Long]))
+    val dv = scala.collection.mutable.Map.empty[
+      String, scala.collection.mutable.SortedSet[Long]]
+    ckOpt.foreach(_.dv.foreach { case (rel, ords) =>
+      dv(rel) = scala.collection.mutable.SortedSet.from(ords)
+    })
+    replayInto(files, dv, folded)
+    val floor = (ckOpt.map(_.floor).getOrElse(-1L) +:
+      folded.filter(_.isFloor).map(_.id)).max
+    val batch = ckOpt.exists(_.batch) || folded.exists(_.batchVisible)
+    writeCk(fs, tableDir, Checkpoint(atId, System.currentTimeMillis(),
+      floor, batch, files.toMap,
+      dv.map { case (k, v) => (k, v.toArray) }.toMap))
+  }
+
+  /** EXPIRE the journal prefix at or below the retention floor (the
+    * max genesis/replace/rollback record id): fold it into a
+    * checkpoint first — accounting and state stay total — then drop
+    * the record files. History at or below the floor was never
+    * feed-servable; after expiry it is no longer TIME-addressable
+    * either (the same trade as tombstone GC). Returns records dropped.
+    */
+  def expire(fs: FileSystem, tableDir: Path): Int = {
+    var dropped = 0
+    GraftCommitLock.withLock(fs, tableDir, "journal-expire") {
+      val (ckOpt, tail) = load(fs, tableDir)
+      val floor = (ckOpt.map(_.floor).getOrElse(-1L) +:
+        tail.filter(_.isFloor).map(_.id)).max
+      if (floor >= 0) {
+        if (!ckOpt.exists(_.id >= floor))
+          checkpointAt(fs, tableDir, floor, (ckOpt, tail))
+        val (_, recIds) = idsByName(fs, tableDir)
+        recIds.filter(_ <= floor).foreach { i =>
+          if (fs.delete(new Path(dir(tableDir), recName(i)), false))
+            dropped += 1
+        }
+      }
+    }
+    dropped
   }
 
   // ---- recording (caller holds the table commit lock) -------------------
@@ -185,6 +434,29 @@ private[graft] object GraftCommits {
       .map(st => fs.makeQualified(st.getPath).toUri.getPath
         .stripPrefix(base).stripPrefix("/"))
       .toSet
+  }
+
+  /** The universe PLUS live stream artifacts the journal itself
+    * accounts (stream-epoch adds): rollback must see journaled
+    * emission files as part of the current state or a rollback past a
+    * stream epoch would silently leave its rows live.
+    */
+  def journaledUniverse(fs: FileSystem, tableDir: Path,
+      recs: Seq[Rec]): Set[String] = {
+    // checkpoint files fold expired stream-epoch adds: every accounted
+    // rel counts, whatever record accounted it
+    val streamAdds = recs.iterator
+      .filter(_.kind == StreamEpochKind).flatMap(_.adds).toSet ++
+      latestCheckpoint(fs, tableDir).map(_.files.keySet)
+        .getOrElse(Set.empty)
+    if (streamAdds.isEmpty) return universe(fs, tableDir)
+    val base = fs.makeQualified(tableDir).toUri.getPath
+    val liveStream = GraftEvolved.listVisible(fs, tableDir)
+      .filter(st => isStreamArtifact(st.getPath.getName))
+      .map(st => fs.makeQualified(st.getPath).toUri.getPath
+        .stripPrefix(base).stripPrefix("/"))
+      .filter(streamAdds.contains)
+    universe(fs, tableDir) ++ liveStream
   }
 
   def relOf(fs: FileSystem, tableDir: Path, p: Path): String = {
@@ -214,9 +486,10 @@ private[graft] object GraftCommits {
       adds: Seq[String], removes: Seq[Remove] = Nil,
       dv: Map[String, Array[Long]] = Map.empty,
       note: String = ""): Long = {
-    val existing = list(fs, tableDir)
-    var nextId = existing.lastOption.map(_.id + 1).getOrElse(0L)
-    if (existing.isEmpty) {
+    // id assignment from NAMES only — no record-content reads
+    val (cks, recIds) = idsByName(fs, tableDir)
+    var nextId = (cks ++ recIds).maxOption.map(_ + 1).getOrElse(0L)
+    if (cks.isEmpty && recIds.isEmpty) {
       val others = universe(fs, tableDir) -- adds -- removes.map(_.rel)
       if (others.nonEmpty) {
         writeRec(fs, tableDir, Rec(nextId, "genesis",
@@ -226,6 +499,7 @@ private[graft] object GraftCommits {
     }
     writeRec(fs, tableDir,
       Rec(nextId, kind, System.currentTimeMillis(), adds, removes, dv, note))
+    maybeCheckpoint(fs, tableDir)
     nextId
   }
 
@@ -248,11 +522,13 @@ private[graft] object GraftCommits {
       before: Set[String], removes: Seq[Remove] = Nil,
       dv: Map[String, Array[Long]] = Map.empty,
       note: String = ""): Long = {
-    val existing = list(fs, tableDir)
+    val (ckOpt, tail) = load(fs, tableDir)
     val now = universe(fs, tableDir)
-    val claim = (now -- before -- accountedLive(existing)).toSeq.sorted
-    var nextId = existing.lastOption.map(_.id + 1).getOrElse(0L)
-    if (existing.isEmpty) {
+    val claim =
+      (now -- before -- accountedLive(ckOpt, tail)).toSeq.sorted
+    var nextId = (ckOpt.map(_.id) ++ tail.lastOption.map(_.id))
+      .maxOption.map(_ + 1).getOrElse(0L)
+    if (ckOpt.isEmpty && tail.isEmpty) {
       val others = now -- claim -- removes.map(_.rel)
       if (others.nonEmpty) {
         writeRec(fs, tableDir, Rec(nextId, "genesis",
@@ -263,6 +539,7 @@ private[graft] object GraftCommits {
     writeRec(fs, tableDir,
       Rec(nextId, kind, System.currentTimeMillis(), claim, removes, dv,
         note))
+    maybeCheckpoint(fs, tableDir)
     nextId
   }
 
@@ -271,14 +548,37 @@ private[graft] object GraftCommits {
     * claiming baseline — unlike a directory listing, it only ever
     * grows under the commit lock.
     */
-  def accountedLive(recs: Seq[Rec]): Set[String] = {
+  def accountedLive(recs: Seq[Rec]): Set[String] =
+    accountedLive(None, recs)
+
+  def accountedLive(ck: Option[Checkpoint], recs: Seq[Rec])
+      : Set[String] = {
     val files = scala.collection.mutable.HashSet.empty[String]
+    ck.foreach(files ++= _.files.keys)
     recs.foreach { r =>
       r.removes.foreach(rm => files -= rm.rel)
       files ++= r.adds
     }
     files.toSet
   }
+
+  /** Fold at the configured cadence: once the tail reaches the
+    * checkpoint interval, fold it into a fresh checkpoint. Best-effort
+    * derived metadata (same posture as tryRecord) — runs inside the
+    * caller's commit critical section.
+    */
+  private def maybeCheckpoint(fs: FileSystem, tableDir: Path): Unit =
+    try {
+      val (cks, recIds) = idsByName(fs, tableDir)
+      val after = cks.maxOption.getOrElse(-1L)
+      if (recIds.count(_ > after) >= checkpointInterval) {
+        val all = load(fs, tableDir)
+        checkpointAt(fs, tableDir, recIds.max, all)
+      }
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[graft] WARN commit journal: checkpoint on " +
+        s"$tableDir failed: ${e.getMessage}")
+    }
 
   /** Best-effort journaling wrapper for commit paths: the journal is
     * derived metadata — a failure to record must not fail a commit
@@ -316,7 +616,16 @@ private[graft] object GraftCommits {
     val files = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dv = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.SortedSet[Long]]
-    recs.takeWhile(_.id <= id).foreach { r =>
+    replayInto(files, dv, recs.takeWhile(_.id <= id))
+    (files.toMap, dv.map { case (k, v) => (k, v.toArray) }.toMap)
+  }
+
+  private def replayInto(
+      files: scala.collection.mutable.LinkedHashMap[String, Long],
+      dv: scala.collection.mutable.Map[
+        String, scala.collection.mutable.SortedSet[Long]],
+      recs: Seq[Rec]): Unit =
+    recs.foreach { r =>
       r.removes.foreach { rm => files.remove(rm.rel); dv.remove(rm.rel) }
       r.adds.foreach { a => files.update(a, r.id); dv.remove(a) }
       if (r.kind == "rollback") {
@@ -334,8 +643,6 @@ private[graft] object GraftCommits {
           scala.collection.mutable.SortedSet.empty[Long]) ++= ords
       }
     }
-    (files.toMap, dv.map { case (k, v) => (k, v.toArray) }.toMap)
-  }
 
   /** ROLLBACK to the state as of commit `target` (Iceberg's
     * `rollback_to_snapshot`, Delta's RESTORE): under the table commit
@@ -356,11 +663,10 @@ private[graft] object GraftCommits {
     var out = (0, 0)
     GraftCommitLock.withLock(fs, tableDir, s"rollback-c$target") {
       GraftEqDel.requireNone(fs, tableDir, "a commit rollback")
-      val recs = list(fs, tableDir)
-      require(recs.exists(_.id == target),
-        s"$tableDir has no commit $target (journal: " +
-          s"${recs.map(_.id).mkString(",")})")
-      val (want, wantDv) = stateAt(recs, target)
+      // checkpoint-aware: state + the records resolution needs
+      // (≤ tail-length reads once a checkpoint exists; expired
+      // prefixes refuse inside stateAndRecs)
+      val (recs, want, wantDv) = stateAndRecs(fs, tableDir, target)
       // every wanted instance must still exist somewhere
       val resolved: Map[String, Path] = want.map { case (rel, addId) =>
         (rel, resolveInstance(fs, tableDir, recs, rel, addId).getOrElse(
@@ -368,7 +674,7 @@ private[graft] object GraftCommits {
             s"$tableDir: cannot roll back to commit $target — the " +
               s"tombstone preserving $rel was expired by remove_orphans")))
       }
-      val current = universe(fs, tableDir)
+      val current = journaledUniverse(fs, tableDir, recs)
       val toRetire = (current -- want.keySet).toSeq.sorted
       val qualBase = fs.makeQualified(tableDir).toString
       val toRestore = resolved.filter { case (rel, p) =>

@@ -37,12 +37,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    Fail-safe: the census can only be served when provably exact,
   *    never a silently stale scan.
   *
-  * OPT-IN by table property: the freshness proof rests on directory
-  * mtime semantics (exact on HDFS and posix filesystems; object
-  * stores have no directories — their census story is the commit
-  * journal, [[GraftCommits]], a later round). Out-of-band in-place
-  * file mutation (no rename) is undetectable by ANY directory-level
-  * proof and is outside the engine's write protocol.
+  * OPT-IN by table property. TWO freshness proofs, tried in order:
+  * directory mtimes (exact on HDFS and posix filesystems; disabled
+  * via [[MtimeProofConf]] to simulate object stores, which have no
+  * directories) and the COMMIT JOURNAL (r15 item 4 — object-store
+  * safe): the journal's accounted-live file set must equal the
+  * census's file set exactly, proven with one metadata-dir listing +
+  * checkpoint/tail reads and zero data-directory access. Out-of-band
+  * in-place file mutation (no rename) is undetectable by ANY
+  * directory-level proof and is outside the engine's write protocol.
   */
 private[graft] object GraftManifestListing {
 
@@ -50,6 +53,14 @@ private[graft] object GraftManifestListing {
   val Prop = "scan.listing_from_manifest"
 
   val GuardMs = 2000L
+
+  /** Session conf simulating OBJECT-STORE semantics: `false` disables
+    * the directory-mtime freshness proof (object stores have no
+    * directories, so mtimes prove nothing there) — the census then
+    * serves only through the JOURNAL proof below. Default true (posix
+    * fast path).
+    */
+  val MtimeProofConf = "spark.graft.census.mtimeProof"
 
   private def censusPath(tableDir: Path): Path =
     new Path(tableDir, "_graft_stats.d/_census")
@@ -114,9 +125,13 @@ private[graft] object GraftManifestListing {
           case _ => return None
         }
       }
-      // freshness proof: every census directory unchanged + quiet
-      // through the guard band at walk time
-      val fresh = dirs.result().forall { case (rel, mt) =>
+      // freshness proof 1 (posix fast path): every census directory
+      // unchanged + quiet through the guard band at walk time
+      val mtimeAllowed =
+        try SparkSession.active.conf.getOption(MtimeProofConf)
+          .forall(_.toBoolean)
+        catch { case NonFatal(_) => true }
+      def mtimeFresh = dirs.result().forall { case (rel, mt) =>
         val d = if (rel.isEmpty) tableDir else new Path(tableDir, rel)
         try {
           val st = fs.getFileStatus(d)
@@ -124,6 +139,27 @@ private[graft] object GraftManifestListing {
             analyzedAt >= mt + GuardMs
         } catch { case _: java.io.FileNotFoundException => false }
       }
+      // freshness proof 2 (OBJECT-STORE safe, r15 item 4): the commit
+      // journal's accounted-live file set — one metadata-dir listing +
+      // checkpoint/tail reads, NO data-dir access — must equal the
+      // census's file set EXACTLY. Every engine write journals under
+      // the table lock, so any commit since the walk changes the
+      // accounted set (uuid'd file names never repeat) and the census
+      // declines; DV-only commits keep the file set and stay servable
+      // (deletion vectors apply downstream of the listing). In this
+      // mode the JOURNAL is the source of truth: files a crashed,
+      // never-journaled commit left behind are not part of the table —
+      // the same contract as planning from a Delta log. Unaccounted
+      // DIVERGENCE (materialize renames, foreign writers) fails the
+      // set equality and falls back to the real listing, loudly
+      // costing a walk rather than silently serving a stale plan.
+      def journalFresh: Boolean = {
+        val (ck, tail) = GraftCommits.load(fs, tableDir)
+        if (ck.isEmpty && tail.isEmpty) return false
+        GraftCommits.accountedLive(ck, tail) ==
+          files.result().map(_._1).toSet
+      }
+      val fresh = (mtimeAllowed && mtimeFresh) || journalFresh
       if (!fresh) None
       else Some(files.result().map { case (rel, len, mt) =>
         new FileStatus(len, false, 1, 128L * 1024 * 1024, mt,

@@ -61,7 +61,27 @@ private[sources] object GraftMetaTables {
       : Array[InternalRow] = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val recs = GraftCommits.list(fs, tableDir)
-    recs.map { r =>
+    val ckOpt = GraftCommits.latestCheckpoint(fs, tableDir)
+    // a checkpoint whose folded records were EXPIRED surfaces as its
+    // own row — the journal's retention floor is visible, not silent
+    val ckRow = ckOpt.filterNot(ck => recs.exists(_.id == ck.id))
+      .map { ck =>
+        val row = new GenericInternalRow(8)
+        row.update(0, ck.id)
+        row.update(1,
+          UTF8String.fromString(s"checkpoint(floor=${ck.floor})"))
+        row.update(2, ck.ts * 1000L)
+        row.update(3, ck.files.size)
+        row.update(4, 0)
+        row.update(5, ck.dv.valuesIterator.map(_.length.toLong).sum)
+        row.update(6, false)
+        row.update(7, ck.files.forall { case (rel, addId) =>
+          GraftCommits.resolveInstance(fs, tableDir, recs, rel, addId)
+            .isDefined
+        })
+        row: InternalRow
+      }
+    val recRows = recs.map { r =>
       val row = new GenericInternalRow(8)
       row.update(0, r.id)
       row.update(1, UTF8String.fromString(r.kind))
@@ -71,14 +91,19 @@ private[sources] object GraftMetaTables {
       row.update(5, r.dv.valuesIterator.map(_.length.toLong).sum)
       row.update(6, r.feedVisible)
       row.update(7, {
-        val (files, _) = GraftCommits.stateAt(recs, r.id)
+        // checkpoint-aware state: pre-checkpoint retained records
+        // replay their (still-present) full prefix; everything else
+        // replays checkpoint + tail
+        val (resRecs, files, _) =
+          GraftCommits.stateAndRecs(fs, tableDir, r.id)
         files.forall { case (rel, addId) =>
-          GraftCommits.resolveInstance(fs, tableDir, recs, rel, addId)
+          GraftCommits.resolveInstance(fs, tableDir, resRecs, rel, addId)
             .isDefined
         }
       })
       row: InternalRow
-    }.toArray
+    }
+    (ckRow.toSeq ++ recRows).toArray
   }
 
   val PartitionsSchema: StructType = StructType(Seq(

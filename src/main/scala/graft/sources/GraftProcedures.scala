@@ -63,11 +63,12 @@ object GraftProcedures {
   def names: Array[String] =
     Array("analyze", "analyze_bloom", "cluster", "compact",
       "compact_partitions", "evolve_partitioning", "expire_versions",
-      "history", "remove_orphans", "rewrite_deletes", "rollback",
-      "rollback_to_commit",
+      "history", "refresh_materialized_view", "remove_orphans",
+      "rewrite_deletes", "rollback", "rollback_to_commit",
       "table_state")
 
-  def load(procName: String, engine: () => Catalog): UnboundProcedure =
+  def load(procName: String, engine: () => Catalog,
+      catName: () => String = () => ""): UnboundProcedure =
     procName match {
       case "analyze" => new AnalyzeProc(engine)
       case "analyze_bloom" => new AnalyzeBloomProc(engine)
@@ -77,6 +78,8 @@ object GraftProcedures {
       case "evolve_partitioning" => new EvolvePartitioningProc(engine)
       case "expire_versions" => new ExpireVersionsProc(engine)
       case "history" => new HistoryProc(engine)
+      case "refresh_materialized_view" =>
+        new RefreshMaterializedViewProc(catName)
       case "remove_orphans" => new RemoveOrphansProc(engine)
       case "rewrite_deletes" => new RewriteDeletesProc(engine)
       case "rollback" => new RollbackProc(engine)
@@ -600,12 +603,53 @@ object GraftProcedures {
         .comment("newest versions to retain (>= 0)").build())
     private val out = StructType(Seq(
       StructField("versions_expired", IntegerType, nullable = false),
-      StructField("bytes_reclaimed", LongType, nullable = false)))
+      StructField("bytes_reclaimed", LongType, nullable = false),
+      StructField("journal_records_expired", IntegerType,
+        nullable = false)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val (layer, table) = splitIdent(input.getUTF8String(0))
+      val eng = engine()
       val (nv, bytes) =
-        engine().expireVersionsByName(layer, table, input.getInt(1))
-      one(out, InternalRow(nv, bytes))
+        eng.expireVersionsByName(layer, table, input.getInt(1))
+      // journal retention (r15 item 3): fold the prefix at or below
+      // the retention floor into a checkpoint, then drop its records —
+      // assignment/state/feeds read checkpoint + tail from here on
+      val dir = new Path(eng.path(layer, table))
+      val fs = dir.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      val recsDropped = GraftCommits.expire(fs, dir)
+      one(out, InternalRow(nv, bytes, recsDropped))
+    }
+  }
+
+  /** `refresh_materialized_view(table, full)` — fold the base table's
+    * change feed above the MV's recorded position into the backing
+    * aggregate ([[graft.runtime.GraftMaterializedViews]]): the refresh
+    * costs the CHANGE (exact `_change_epoch` pushdown), never the base
+    * table. `full => true` recomputes from the stored SQL (the
+    * re-bootstrap path once the feed's retention horizon passed the
+    * MV's position).
+    */
+  private final class RefreshMaterializedViewProc(cat: () => String)
+    extends MaintenanceProc("refresh_materialized_view") {
+    override def description(): String =
+      "incrementally fold the base table's change feed into a " +
+        "materialized view (counting-IVM; full => true recomputes)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<layer>.<view>").build(),
+      ProcedureParameter.in("full", BooleanType)
+        .defaultValue("false")
+        .comment("true = recompute from the stored SQL").build())
+    private val out = StructType(Seq(
+      StructField("change_rows_folded", LongType, nullable = false),
+      StructField("position", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val (layer, table) = splitIdent(input.getUTF8String(0))
+      val full = !input.isNullAt(1) && input.getBoolean(1)
+      val (n, pos) = graft.runtime.GraftMaterializedViews.refresh(
+        SparkSession.active, cat(), layer, table, full)
+      one(out, InternalRow(n, pos))
     }
   }
 

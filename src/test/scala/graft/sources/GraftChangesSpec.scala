@@ -676,6 +676,121 @@ class GraftChangesSpec extends SparkSpec {
     assert(onlyPre.contains((2L, 20L)), s"typed pair read: $onlyPre")
   }
 
+  test("unified feed replay-converges across the stream/batch boundary; batch rewrite of emission files serves from tombstones (r15 item 2)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.u (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ods.u VALUES (1, 10), (2, 20)") // c0
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", tmpDir("gch-cp-uni"))
+        .toTable(s"$cat.ods.u")
+      try {
+        mem.addData((3L, 30L), (4L, 40L)); q.processAllAvailable() // c1
+        mem.addData((5L, 50L)); q.processAllAvailable() // c2
+      } finally q.stop()
+    }
+    // c3: batch MERGE rewrites the file holding k=3 — a STREAM
+    // emission file retires into a tombstone under a journaled remove
+    spark.createDataFrame(Seq((3L, 31L), (6L, 60L))).toDF("k", "v")
+      .createOrReplaceTempView("gch_uni_src")
+    spark.sql(s"MERGE INTO $cat.ods.u t USING gch_uni_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    spark.sql(s"DELETE FROM $cat.ods.u WHERE k = 2") // c4
+
+    val feed = spark.table(s"$cat.ods.u.changes")
+      .select(col("_change_epoch"), col("_change_type"), col("k"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(feed.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L, 4L),
+      s"one monotonic axis expected: ${feed.map(_._1).distinct.sorted}")
+    // stream epochs serve at their journal positions as inserts
+    assert(feed.filter(_._1 == 1L).map(r => (r._2, r._3)).sorted ==
+      Seq(("insert", 3L), ("insert", 4L)), s"c1: ${feed.filter(_._1 == 1L)}")
+    assert(feed.filter(_._1 == 2L).map(r => (r._2, r._3)) ==
+      Seq(("insert", 5L)), s"c2: ${feed.filter(_._1 == 2L)}")
+    // signed replay across the boundary converges to the live state
+    val replayed = feed.sortBy(_._1)
+      .foldLeft(Map.empty[(Long, Long), Int]) { case (m, (_, t, k, v)) =>
+        if (t == "delete" || t == "update_preimage") {
+          val n = m.getOrElse((k, v), 0) - 1
+          if (n == 0) m - ((k, v)) else m + ((k, v) -> n)
+        } else m + ((k, v) -> (m.getOrElse((k, v), 0) + 1))
+      }
+    val live = spark.table(s"$cat.ods.u").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), 1)).toMap
+    assert(replayed == live, s"replay diverged: $replayed vs $live")
+    assert(live.keySet ==
+      Set((1L, 10L), (3L, 31L), (4L, 40L), (5L, 50L), (6L, 60L)))
+    // the MERGE's preimage (3, 30) reads from the tombstoned emission
+    // file instance — cross-machinery instance resolution
+    assert(feed.filter(r => r._1 == 3L && r._2 == "update_preimage")
+      .map(r => (r._3, r._4)).contains((3L, 30L)),
+      s"stream preimage missing: ${feed.filter(_._1 == 3L)}")
+    // journal shape: the interleave is literal
+    val dirP = new Path(s"$root/ods/u")
+    val hfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(GraftCommits.list(hfs, dirP).map(_.kind) ==
+      Seq("append", "stream_epoch", "stream_epoch", "rewrite", "rewrite"))
+  }
+
+  test("unified feed serves equality-upsert epochs at journal positions with keyed deletes (r15 item 2)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.eq (k BIGINT, total BIGINT, " +
+      "cnt BIGINT)")
+    // c0: a batch generation first — the table is MIXED from birth
+    spark.sql(s"INSERT INTO $cat.ods.eq VALUES (9, 90, 1)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withShuffle4 {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v").groupBy("k")
+        .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+        .writeStream.outputMode("update")
+        .option("upsertKeys", "k")
+        .option("upsertMode", "equality")
+        .option("checkpointLocation", tmpDir("gch-cp-equni"))
+        .toTable(s"$cat.ods.eq")
+      try {
+        mem.addData((1L, 10L), (2L, 20L)); q.processAllAvailable() // c1
+        mem.addData((1L, 1L)); q.processAllAvailable() // c2: retracts k=1
+      } finally q.stop()
+    }
+    val feed = spark.table(s"$cat.ods.eq.changes")
+      .select(col("_change_epoch"), col("_change_type"), col("k"),
+        col("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    // batch insert at c0; upsert emissions at journal positions; the
+    // epoch-2 sidecar's retraction of k=1 serves as a keyed delete row
+    assert(feed.filter(_._1 == 0L).map(r => (r._2, r._3)) ==
+      Seq(("insert", 9L)), s"c0: ${feed.filter(_._1 == 0L)}")
+    val c2 = feed.filter(_._1 == 2L).sorted
+    assert(c2.exists(r => r._2 == "upsert" && r._3 == 1L && r._4 == 11L),
+      s"c2 upsert emission: $c2")
+    assert(c2.exists(r => r._2 == "delete" && r._3 == 1L && r._4 == -1L),
+      s"c2 keyed delete: $c2")
+    // keyed replay converges: within one position the keyed delete
+    // retracts OLDER rows, so deletes apply before that position's
+    // upsert rows (the documented consumption order)
+    val byKey = feed
+      .sortBy(r => (r._1, if (r._2 == "delete") 0 else 1))
+      .foldLeft(Map.empty[Long, Option[Long]]) {
+        case (m, (_, t, k, total)) =>
+          if (t == "delete") m + (k -> None) else m + (k -> Some(total))
+      }
+    val live = spark.table(s"$cat.ods.eq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byKey.collect { case (k, Some(t)) => (k, t) }.toMap == live,
+      s"keyed replay diverged: $byKey vs $live")
+  }
+
   test("mor deltas serve exact keyed update pairs; pure mor DELETE stays delete-typed (r15 item 5)") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
@@ -728,7 +843,9 @@ class GraftChangesSpec extends SparkSpec {
     assert(e.getMessage.contains("not row-level servable"),
       s"wrong floor refusal: ${e.getMessage}")
 
-    // mixed histories: stream emissions + batch commits cannot order
+    // mixed histories now interleave on the journal axis (r15 item 2):
+    // stream epochs journal stream_epoch records under the same table
+    // lock batch commits use, so the feed serves one coherent history
     spark.sql(s"CREATE TABLE $cat.ods.m (k BIGINT, v BIGINT)")
     spark.sql(s"INSERT INTO $cat.ods.m VALUES (1, 1)")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -741,11 +858,26 @@ class GraftChangesSpec extends SparkSpec {
         mem.addData((2L, 2L)); q.processAllAvailable()
       } finally q.stop()
     }
+    val mixed = spark.table(s"$cat.ods.m.changes")
+      .select(col("_change_epoch"), col("_change_type"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(mixed == Seq((0L, "insert", 1L), (1L, "insert", 2L)),
+      s"unified mixed feed: $mixed")
+    // the refusal REMAINS for genuinely un-ordered legacy dirs: an
+    // emission file no stream_epoch record accounts (pre-journaling
+    // history, or a crash between marker and record)
+    val mRoot = new Path(spark.conf.get(s"spark.sql.catalog.$cat.root") +
+      "/ods/m")
+    val mFs = mRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = new Path(mRoot, "part-sdeadbeef-e000000000009-x.parquet")
+    mFs.create(legacy, true).close()
     val e2 = intercept[Exception] {
       spark.table(s"$cat.ods.m.changes").collect()
     }
     assert(e2.getMessage.contains("no common ordering"),
       s"wrong mixed refusal: ${e2.getMessage}")
+    mFs.delete(legacy, false)
   }
 
   test("batch changelog streams: incremental commit delivery, restart exactly-once, replaced-journal refusal") {

@@ -197,6 +197,77 @@ class GraftCommitsSpec extends SparkSpec {
     assert(feed == Seq(("insert", 3L)), s"post-rollback feed: $feed")
   }
 
+  test("journal checkpoints fold the prefix; expiry drops pre-floor records; state, feed, assignment stay exact (r15 item 3)") {
+    val (cat, root) = freshCatalog()
+    val ckKey = "spark.graft.commits.checkpointInterval"
+    val prev = spark.conf.getOption(ckKey)
+    spark.conf.set(ckKey, "5")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ods")
+      spark.sql(s"CREATE TABLE $cat.ods.ck (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.ods.ck VALUES (1, 10)") // c0
+      spark.sql(s"INSERT INTO $cat.ods.ck VALUES (2, 20)") // c1
+      spark.sql(s"INSERT INTO $cat.ods.ck VALUES (3, 30)") // c2
+      spark.sql(s"UPDATE $cat.ods.ck SET v = 21 WHERE k = 2") // c3
+      spark.sql(s"DELETE FROM $cat.ods.ck WHERE k = 3") // c4
+      spark.sql(s"INSERT INTO $cat.ods.ck VALUES (4, 40)") // c5
+      val dirP = new Path(s"$root/ods/ck")
+      val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val jdir = new Path(dirP, "_graft_commits")
+      // 6 records crossed the interval: a checkpoint folded the log
+      assert(fs.listStatus(jdir).exists(_.getPath.getName.endsWith(".ck")),
+        "no checkpoint written after crossing the interval")
+      // time travel still exact on both sides of the checkpoint
+      assert(rows(spark.sql(
+        s"SELECT k, v FROM $cat.ods.ck VERSION AS OF 'c2'")) ==
+        Set((1L, 10L), (2L, 20L), (3L, 30L)))
+      assert(rows(spark.sql(
+        s"SELECT k, v FROM $cat.ods.ck VERSION AS OF 'c4'")) ==
+        Set((1L, 10L), (2L, 21L)))
+      // rollback (a floor record) through the checkpointed journal
+      spark.sql(s"CALL $cat.system.rollback_to_commit(" +
+        "table => 'ods.ck', commit => 4)").collect() // c6: floor
+      assert(rows(spark.sql(s"SELECT k, v FROM $cat.ods.ck")) ==
+        Set((1L, 10L), (2L, 21L)))
+
+      // EXPIRY: fold + drop everything at or below the floor (c6)
+      val exp = spark.sql(s"CALL $cat.system.expire_versions(" +
+        "table => 'ods.ck', keep => 0)").head
+      assert(exp.getInt(2) == 7,
+        s"expected 7 journal records expired, got ${exp.getInt(2)}")
+      assert(!fs.listStatus(jdir)
+        .exists(_.getPath.getName.endsWith(".rec")),
+        "pre-floor records survived expiry")
+      // the retention floor is visible in .commits
+      val ckRows = spark.table(s"$cat.ods.ck.commits").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(ckRows == Seq((6L, "checkpoint(floor=6)")),
+        s"post-expiry commits listing: $ckRows")
+      // expired history refuses loudly; the checkpointed state serves
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.ods.ck VERSION AS OF 'c4'")
+          .collect()
+      }
+      assert(e.getMessage.contains("expired"), e.getMessage)
+      assert(rows(spark.sql(
+        s"SELECT k, v FROM $cat.ods.ck VERSION AS OF 'c6'")) ==
+        Set((1L, 10L), (2L, 21L)))
+      // assignment continues monotonically and the feed serves the
+      // post-floor tail on the same axis
+      spark.sql(s"INSERT INTO $cat.ods.ck VALUES (7, 70)") // c7
+      val feed = spark.table(s"$cat.ods.ck.changes")
+        .select(col("_change_epoch"), col("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(feed == Seq((7L, 7L)), s"post-expiry feed: $feed")
+      // live state is untouched throughout
+      assert(rows(spark.sql(s"SELECT k, v FROM $cat.ods.ck")) ==
+        Set((1L, 10L), (2L, 21L), (7L, 70L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(ckKey, v)
+      case None => spark.conf.unset(ckKey)
+    }
+  }
+
   test("expired tombstones refuse snapshot and rollback loudly; commits reports unservable") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")

@@ -124,4 +124,49 @@ class GraftManifestListingSpec extends SparkSpec {
     assert(spark.table(s"$cat.ods.t").count() == 100,
       "post-census DML must read through (fallback), not stale-serve")
   }
+
+  test("journal-proof census: zero data-dir listings with mtime proof DISABLED (object-store semantics); divergence falls back loudly (r15 item 4)") {
+    val (cat, local) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.j (k BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      s"('${GraftManifestListing.Prop}' = 'true')")
+    spark.sql(s"INSERT INTO $cat.ods.j SELECT id, id * 10, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 100)")
+    spark.sql(s"CALL $cat.system.analyze('ods.j')").collect()
+    // NO guard-band sleeps: the journal proof does not rest on mtimes
+    val prev = spark.conf.getOption(GraftManifestListing.MtimeProofConf)
+    spark.conf.set(GraftManifestListing.MtimeProofConf, "false")
+    try {
+      CountingLocalFs.reset()
+      assert(spark.table(s"$cat.ods.j").count() == 100)
+      assert(spark.table(s"$cat.ods.j").where(col("p") === "a")
+        .count() == 50)
+      val listings = CountingLocalFs.dataListings(s"$local/ods/j")
+      assert(listings.isEmpty,
+        s"journal-proof scans still listed data dirs: $listings")
+
+      // a new journaled commit changes the accounted set: the census
+      // declines and the scan falls back to the real listing
+      spark.sql(s"INSERT INTO $cat.ods.j VALUES (999, 1, 'c')")
+      CountingLocalFs.reset()
+      assert(spark.table(s"$cat.ods.j").count() == 101,
+        "stale journal-proof census served a pre-commit snapshot")
+      assert(CountingLocalFs.dataListings(s"$local/ods/j").nonEmpty,
+        "fallback scan should have listed")
+
+      // re-analyze re-arms the journal proof immediately (no mtime
+      // quiet window needed)
+      spark.sql(s"CALL $cat.system.analyze('ods.j')").collect()
+      CountingLocalFs.reset()
+      assert(spark.table(s"$cat.ods.j").count() == 101)
+      assert(CountingLocalFs.dataListings(s"$local/ods/j").isEmpty,
+        "journal proof failed to serve after re-analyze")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set(GraftManifestListing.MtimeProofConf, v)
+      case None =>
+        spark.conf.unset(GraftManifestListing.MtimeProofConf)
+    }
+  }
 }

@@ -41,8 +41,27 @@ def main(old_path: str, new_path: str, ratio: float = 1.5) -> int:
           f"(only-old: {len(set(oq) - set(nq))}, only-new: {len(set(nq) - set(oq))})")
     tot_o = sum(oq[q] for q in shared)
     tot_n = sum(nq[q] for q in shared)
-    print(f"shared total: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"({tot_n / tot_o if tot_o else float('nan'):.2f}x)")
+    raw = tot_n / tot_o if tot_o else float('nan')
+    print(f"shared total: {tot_o:.1f}s -> {tot_n:.1f}s ({raw:.2f}x)")
+    # machine-state controls (r15 item 6): pinned queries timed warm in
+    # the same JVM before each suite — dividing the raw ratio by the
+    # controls' ratio removes ambient box-speed drift, the repeated
+    # confounder of round-over-round comparisons (r14: 1.2x, r15: 1.47x
+    # of pure machine state).
+    oc, nc = old.get("controls", {}), new.get("controls", {})
+    cshared = sorted(set(oc) & set(nc))
+    if cshared:
+        co = sum(oc[q] for q in cshared)
+        cn = sum(nc[q] for q in cshared)
+        cr = cn / co if co else float('nan')
+        print(f"controls ({len(cshared)}): {co:.2f}s -> {cn:.2f}s "
+              f"({cr:.2f}x ambient)")
+        if cr > 0:
+            print(f"control-NORMALIZED shared ratio: {raw / cr:.2f}x "
+                  "(machine-state drift divided out)")
+    else:
+        print("controls: absent in one artifact "
+              "- the shared ratio above is raw (ambient included)")
     flagged = 0
     for q in shared:
         a, b = oq[q], nq[q]
