@@ -263,20 +263,54 @@ object GraftMaterializedViews {
 
   /** Incremental (or `full`) refresh. Returns (change rows folded — −1
     * for a full recompute, the new position).
+    *
+    * Crash/concurrency posture: the incremental fold is NOT
+    * idempotent (re-folding a delta double-counts), so the whole
+    * refresh runs under the backing table's commit lock and brackets
+    * the replace with a PENDING marker — a crash between the backing
+    * rewrite and the position update leaves the marker, and the next
+    * incremental refresh REFUSES loudly (full => true recomputes and
+    * clears it). Never a silent double-fold, never a silent gap.
     */
   def refresh(spark: SparkSession, cat: String, ns: String, name: String,
       full: Boolean): (Long, Long) = {
     val dir = backingDir(spark, cat, ns, name)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var out: (Long, Long) = (0L, -1L)
+    // a DISTINCT lock path (sibling `<name>.__mv.__lock`), not the
+    // table's own commit lock: the backing replace takes the table
+    // lock itself inside this section, and GraftCommitLock is not
+    // reentrant — this mutex serializes REFRESHES against each other
+    graft.sources.GraftCommitLock.withLock(fs,
+      new Path(dir.getParent, dir.getName + ".__mv"),
+      s"mv-refresh:$name") {
+      out = refreshLocked(spark, fs, dir, cat, ns, name, full)
+    }
+    out
+  }
+
+  private def pendingPath(dir: Path): Path =
+    new Path(dir, SidecarName + ".pending")
+
+  private def refreshLocked(spark: SparkSession, fs: FileSystem,
+      dir: Path, cat: String, ns: String, name: String,
+      full: Boolean): (Long, Long) = {
     val meta = readMeta(fs, dir).getOrElse(throw new IllegalArgumentException(
       s"$ns.$name is not a materialized view (no MV definition sidecar)"))
     val backing = s"`$cat`.`$ns`.`$name`"
     if (full) {
       val cur = lastCommitOf(spark, meta.source)
       spark.sql(s"CREATE OR REPLACE TABLE $backing AS ${meta.sql}")
+      // the swap dropped the sidecar with the old directory — rewrite
+      // it (and thereby clear any pending marker) at the new position
       writeMeta(fs, dir, meta.copy(lastCommit = cur))
+      fs.delete(pendingPath(dir), false)
       return (-1L, cur)
     }
+    require(!fs.exists(pendingPath(dir)),
+      s"$ns.$name: a previous refresh crashed between the backing " +
+        "rewrite and its position update — the incremental fold " +
+        "cannot tell what was applied; re-run with full => true")
     val cur = lastCommitOf(spark, meta.source)
     if (cur <= meta.lastCommit) return (0L, meta.lastCommit)
     // the signed delta: the refresh reads ONLY commits above the MV's
@@ -317,12 +351,16 @@ object GraftMaterializedViews {
     pinned.count() // eager: blocks hold the folded state
     val tv = s"g_mv_refresh_${System.nanoTime()}"
     pinned.createOrReplaceTempView(tv)
+    // pending marker BEFORE the replace: a crash in between refuses
+    // the next incremental fold instead of silently re-applying
+    fs.create(pendingPath(dir), true).close()
     try spark.sql(s"CREATE OR REPLACE TABLE $backing AS SELECT * FROM $tv")
     finally {
       spark.catalog.dropTempView(tv)
       Materialize.free(pinned)
     }
     writeMeta(fs, dir, meta.copy(lastCommit = cur))
+    fs.delete(pendingPath(dir), false)
     (nRows, cur)
   }
 }

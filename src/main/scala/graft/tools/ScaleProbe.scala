@@ -113,9 +113,18 @@ object ScaleProbe {
     // warmup (same rationale as Bench)
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$small/region.parquet").count()
+    // the same inter-query quiesce protocol as Bench (r10): BLOCKING
+    // unpersist — with blocking=false a pair-miner's large materialized
+    // frame can still hold executor storage when the next query's
+    // timing window opens — plus a double GC with a settle so the
+    // blocking ContextCleaner drains OUTSIDE the timing windows. The
+    // r16 probe caught exactly the documented failure: q90's sf1
+    // passes read 55.9/135.5 s mid-suite vs 3.4-4.6 s warm standalone.
     def quiesce(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(30)
       System.gc()
     }
     def sweep(dir: String): Map[String, Double] = fns.map { case (name, fn) =>

@@ -88,6 +88,40 @@ class GraftMaterializedViewSpec extends SparkSpec {
       spark.table(s"$cat.mart.mvf").collect()).getMessage.nonEmpty)
   }
 
+  test("a crashed refresh (pending marker) refuses the next incremental fold; full recomputes and clears it") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.ods.b (k BIGINT, v BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.b VALUES (1, 10, 'x'), (2, 20, 'y')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.pm AS " +
+      s"SELECT s, count(*) AS n, sum(v) AS sv FROM $cat.ods.b GROUP BY s")
+    spark.sql(s"INSERT INTO $cat.ods.b VALUES (3, 30, 'x')")
+    // simulate the crash window: the marker exists, position not updated
+    val dir = new org.apache.hadoop.fs.Path(s"$root/mart/pm")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_mv.pending"),
+      true).close()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+        "table => 'mart.pm')").collect()
+    }
+    assert(e.getMessage.contains("full => true"), e.getMessage)
+    // full recompute recovers AND clears the marker
+    spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.pm', full => true)").collect()
+    assert(rows(spark.table(s"$cat.mart.pm")
+        .select(col("s"), col("n"), col("sv"))) ==
+      Set(("x", 2L, 40L), ("y", 1L, 20L)))
+    // incremental refreshes work again
+    spark.sql(s"INSERT INTO $cat.ods.b VALUES (4, 40, 'y')")
+    spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.pm')").collect()
+    assert(rows(spark.table(s"$cat.mart.pm")
+        .select(col("s"), col("n"), col("sv"))) ==
+      Set(("x", 2L, 40L), ("y", 2L, 60L)))
+  }
+
   test("non-maintainable bodies refuse at CREATE; refresh on a plain table refuses") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
