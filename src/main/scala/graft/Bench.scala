@@ -176,19 +176,32 @@ object Bench {
     val controlNames =
       Seq("q16_token_stats", "q02_lag_delta", "q83_embedding_norms")
     val controls: Seq[(String, Double)] = controlNames.flatMap { n =>
-      SparkEntry.queries.get(n).map { fn =>
-        try fn(spark, sfDir).groupBy().count().collect() // warm, untimed
-        catch { case _: Throwable => () }
+      SparkEntry.queries.get(n).flatMap { fn =>
+        // a FAILING control must be ABSENT from the artifact, never a
+        // millisecond bogus timing — bench_compare would otherwise
+        // divide the suite ratio by a collapsed control subtotal and
+        // report a wildly wrong normalized number as fact
+        var failed = false
+        def run(): Unit =
+          try fn(spark, sfDir).groupBy().count().collect()
+          catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] control $n FAILED: " +
+              e.toString.takeWhile(_ != '\n'))
+          }
+        run() // warm, untimed
         val secs = (1 to 3).map { _ =>
           quiesce()
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).groupBy().count().collect()
-          catch { case _: Throwable => () }
+          run()
           (System.nanoTime() - t0) / 1e9
         }
-        System.err.println(
-          f"[bench] control $n%-24s ${secs.min}%8.2f s (min of 3)")
-        (n, secs.min)
+        if (failed) None
+        else {
+          System.err.println(
+            f"[bench] control $n%-24s ${secs.min}%8.2f s (min of 3)")
+          Some((n, secs.min))
+        }
       }
     }
     def sweep(order: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>

@@ -2449,7 +2449,7 @@ object CatalogQueries {
     spark.sql(s"""SELECT k, k * 3 AS cents, seg FROM $cat.ods.bal
       WHERE k % 10 IN (1, 4)
       UNION ALL
-      SELECT c_custkey + 1000000, c_custkey, c_mktsegment
+      SELECT c_custkey + 10000000, c_custkey, c_mktsegment
       FROM g224_customer WHERE c_custkey % 10 = 9""")
       .createOrReplaceTempView("g224_src")
     spark.sql(s"MERGE INTO $cat.ods.bal t USING g224_src s ON t.k = s.k " +
@@ -2868,7 +2868,7 @@ object CatalogQueries {
     spark.sql(s"""SELECT k, k * 3 AS cents, seg FROM $cat.ods.bal
       WHERE k % 10 IN (1, 4)
       UNION ALL
-      SELECT c_custkey + 1000000, c_custkey, c_mktsegment
+      SELECT c_custkey + 10000000, c_custkey, c_mktsegment
       FROM g229_customer WHERE c_custkey % 10 = 9""")
       .createOrReplaceTempView("g229_src")
     spark.sql(s"MERGE INTO $cat.ods.bal t USING g229_src s ON t.k = s.k " +

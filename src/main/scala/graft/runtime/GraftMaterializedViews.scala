@@ -94,7 +94,13 @@ object GraftMaterializedViews {
   /** (output name, kind: "sum" | "count", measure-input SQL). */
   final case class Measure(out: String, kind: String, exprSql: String)
 
-  final case class MvMeta(sql: String, source: String, keys: Seq[String],
+  /** A group key: the OUTPUT column name (the backing table's column)
+    * and the SOURCE column name (what the change feed carries) — they
+    * differ when the body aliases a group column.
+    */
+  final case class Key(out: String, src: String)
+
+  final case class MvMeta(sql: String, source: String, keys: Seq[Key],
       measures: Seq[Measure], filter: Option[String], lastCommit: Long)
 
   private def b64(s: String): String = java.util.Base64.getEncoder
@@ -105,12 +111,18 @@ object GraftMaterializedViews {
   def writeMeta(fs: FileSystem, dir: Path, m: MvMeta): Unit = {
     val sb = new StringBuilder
     sb.append(s"v1\t${b64(m.sql)}\t${b64(m.source)}\t${m.lastCommit}\n")
-    m.keys.foreach(k => sb.append(s"K\t${b64(k)}\n"))
+    m.keys.foreach(k => sb.append(s"K\t${b64(k.out)}\t${b64(k.src)}\n"))
     m.measures.foreach(ms =>
       sb.append(s"M\t${b64(ms.out)}\t${ms.kind}\t${b64(ms.exprSql)}\n"))
     m.filter.foreach(f => sb.append(s"W\t${b64(f)}\n"))
-    val out = fs.create(new Path(dir, SidecarName), true)
+    // atomic replace (the journal-checkpoint pattern): a crash
+    // mid-write must never leave a truncated sidecar — the definition
+    // IS the view's recoverability
+    val fin = new Path(dir, SidecarName)
+    val tmp = new Path(dir, "." + SidecarName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    graft.sources.GraftDv.replaceAtomic(fs, tmp, fin)
   }
 
   def readMeta(fs: FileSystem, dir: Path): Option[MvMeta] = {
@@ -121,13 +133,15 @@ object GraftMaterializedViews {
       .getLines().toList finally in.close()
     val hdr = lines.head.split('\t')
     require(hdr.length >= 4 && hdr(0) == "v1", s"bad MV sidecar at $p")
-    val keys = Seq.newBuilder[String]
+    val keys = Seq.newBuilder[Key]
     val measures = Seq.newBuilder[Measure]
     var filter: Option[String] = None
     lines.tail.foreach { ln =>
       val f = ln.split('\t')
       f(0) match {
-        case "K" => keys += unb64(f(1))
+        case "K" =>
+          val out = unb64(f(1))
+          keys += Key(out, if (f.length > 2) unb64(f(2)) else out)
         case "M" => measures += Measure(unb64(f(1)), f(2), unb64(f(3)))
         case "W" => filter = Some(unb64(f(1)))
         case other =>
@@ -153,7 +167,7 @@ object GraftMaterializedViews {
     * maintain.
     */
   def extract(spark: SparkSession, analyzed: LogicalPlan)
-      : (String, Seq[String], Seq[Measure], Option[String]) = {
+      : (String, Seq[Key], Seq[Measure], Option[String]) = {
     val agg = analyzed match {
       case a: Aggregate => a
       case Project(_, a: Aggregate) => a
@@ -195,15 +209,17 @@ object GraftMaterializedViews {
       case other => refuse(s"GROUP BY expression `${other.sql}` is not " +
         "a plain column")
     }
-    val keys = Seq.newBuilder[String]
+    val keys = Seq.newBuilder[Key]
     val measures = Seq.newBuilder[Measure]
     agg.aggregateExpressions.foreach {
       case a: AttributeReference
           if groupAttrs.exists(_.exprId == a.exprId) =>
-        keys += a.name
+        keys += Key(a.name, a.name)
       case Alias(a: AttributeReference, nm)
           if groupAttrs.exists(_.exprId == a.exprId) =>
-        keys += nm
+        // aliased group column: the delta select reads the SOURCE name
+        // from the change feed and emits it under the OUTPUT name
+        keys += Key(nm, a.name)
       case Alias(ae: AggregateExpression, nm) =>
         if (ae.isDistinct) refuse("DISTINCT aggregates are not additive")
         if (ae.filter.isDefined) refuse("FILTER'd aggregates are unsupported")
@@ -216,18 +232,34 @@ object GraftMaterializedViews {
                 "convention)")
             }
             measures += Measure(nm, "sum", bareSql(e))
-          case _: Count =>
+          case Count(children) if children.forall(_.foldable) =>
+            // COUNT(*) / COUNT(1): the row counter — liveness-eligible
             measures += Measure(nm, "count", "1")
+          case Count(Seq(e)) =>
+            // COUNT(col) skips NULLs — it is NOT a row count and must
+            // not fold as one (the liveness counter stays COUNT(*));
+            // additively it is SUM(col IS NOT NULL)
+            measures += Measure(nm, "sum",
+              s"(CASE WHEN (${bareSql(e)}) IS NOT NULL THEN 1 ELSE 0 END)")
+          case _: Count =>
+            refuse("multi-argument COUNT is unsupported")
           case other => refuse(s"aggregate ${other.prettyName} is not " +
-            "additive under deletes (supported: SUM, COUNT(*))")
+            "additive under deletes (supported: SUM, COUNT)")
         }
       case other => refuse(s"output `${other.sql}` is neither a group " +
         "column nor a supported aggregate")
     }
+    val ks = keys.result()
+    // EVERY grouping column must be selected: a hidden grouping column
+    // would make the incremental fold re-group the backing table at a
+    // coarser granularity than the stored SQL
+    if (ks.size != groupAttrs.size) refuse(
+      "every GROUP BY column must appear in the SELECT list (a hidden " +
+        "grouping column would collapse the view's granularity on fold)")
     val ms = measures.result()
     if (!ms.exists(_.kind == "count")) refuse(
       "no COUNT(*) measure — counting-IVM needs the liveness counter")
-    (srcIdent, keys.result(), ms, filter)
+    (srcIdent, ks, ms, filter)
   }
 
   // ---- create / refresh ---------------------------------------------------
@@ -247,18 +279,42 @@ object GraftMaterializedViews {
     new Path(s"$root/$ns/$name")
   }
 
+  /** Build (or rebuild) the backing table at an EXACT base position:
+    * read the position, run the build, re-read — if the base moved in
+    * between, the build's snapshot is ambiguous (the scan may or may
+    * not contain the new commit) and the attempt retries; persistent
+    * concurrent writes refuse loudly rather than record a position the
+    * incremental fold would then skip or double-apply.
+    */
+  private def buildAtStablePosition(spark: SparkSession, source: String,
+      build: Int => Unit): Long = {
+    var attempts = 0
+    while (attempts < 3) {
+      val before = lastCommitOf(spark, source)
+      build(attempts)
+      if (lastCommitOf(spark, source) == before) return before
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"materialized view build: $source is being committed to " +
+        "concurrently (3 attempts) — quiesce the writer or retry")
+  }
+
   def create(spark: SparkSession, cat: String, ns: String, name: String,
       bodySql: String, replace: Boolean): Unit = {
     val analyzed = spark.sessionState.executePlan(
       spark.sessionState.sqlParser.parsePlan(bodySql)).analyzed
     val (source, keys, measures, filter) = extract(spark, analyzed)
     val backing = s"`$cat`.`$ns`.`$name`"
-    val orReplace = if (replace) "OR REPLACE " else ""
-    spark.sql(s"CREATE ${orReplace}TABLE $backing AS $bodySql")
+    val pos = buildAtStablePosition(spark, source, attempt => {
+      // a retried build has already created the table: replace it
+      val orReplace = if (replace || attempt > 0) "OR REPLACE " else ""
+      spark.sql(s"CREATE ${orReplace}TABLE $backing AS $bodySql")
+      ()
+    })
     val dir = backingDir(spark, cat, ns, name)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeMeta(fs, dir, MvMeta(bodySql, source, keys, measures, filter,
-      lastCommitOf(spark, source)))
+    writeMeta(fs, dir, MvMeta(bodySql, source, keys, measures, filter, pos))
   }
 
   /** Incremental (or `full`) refresh. Returns (change rows folded — −1
@@ -299,8 +355,10 @@ object GraftMaterializedViews {
       s"$ns.$name is not a materialized view (no MV definition sidecar)"))
     val backing = s"`$cat`.`$ns`.`$name`"
     if (full) {
-      val cur = lastCommitOf(spark, meta.source)
-      spark.sql(s"CREATE OR REPLACE TABLE $backing AS ${meta.sql}")
+      val cur = buildAtStablePosition(spark, meta.source, _ => {
+        spark.sql(s"CREATE OR REPLACE TABLE $backing AS ${meta.sql}")
+        ()
+      })
       // the swap dropped the sidecar with the old directory — rewrite
       // it (and thereby clear any pending marker) at the new position
       writeMeta(fs, dir, meta.copy(lastCommit = cur))
@@ -313,11 +371,15 @@ object GraftMaterializedViews {
         "cannot tell what was applied; re-run with full => true")
     val cur = lastCommitOf(spark, meta.source)
     if (cur <= meta.lastCommit) return (0L, meta.lastCommit)
-    // the signed delta: the refresh reads ONLY commits above the MV's
-    // position (exact _change_epoch pushdown — cost of the CHANGE).
+    // the signed delta: the refresh reads ONLY commits in
+    // (position, cur] — BOTH bounds pushed exactly. The upper bound
+    // matters: a base commit landing mid-refresh must not fold now
+    // (the recorded position would then skip past it) nor be seen by
+    // only one of the two feed passes below.
     // Keyed `upsert` rows are not additive: refuse mid-read.
     val changes = spark.table(s"${meta.source}.changes")
-      .where(col("_change_epoch") > meta.lastCommit)
+      .where(col("_change_epoch") > meta.lastCommit &&
+        col("_change_epoch") <= cur)
     val sign = when(col("_change_type")
         .isin("delete", "update_preimage"), lit(-1L))
       .when(col("_change_type")
@@ -327,18 +389,20 @@ object GraftMaterializedViews {
         "history is not additive; use full => true') AS BIGINT)"))
     val filtered = meta.filter.map(f => changes.where(expr(f)))
       .getOrElse(changes)
+    // keys read the SOURCE column from the change feed and emit the
+    // OUTPUT column (they differ when the body aliases a group column)
     val delta = filtered.select(
-      meta.keys.map(col) ++ meta.measures.map { m =>
+      meta.keys.map(k => col(k.src).as(k.out)) ++ meta.measures.map { m =>
         (m.kind match {
           case "count" => sign
           case "sum" => sign * expr(m.exprSql).cast(LongType)
         }).as(m.out)
       }: _*)
-    val cols = meta.keys ++ meta.measures.map(_.out)
+    val cols = meta.keys.map(_.out) ++ meta.measures.map(_.out)
     val liveness = meta.measures.find(_.kind == "count").get.out
     val folded = spark.table(backing).select(cols.map(col): _*)
       .unionByName(delta)
-      .groupBy(meta.keys.map(col): _*)
+      .groupBy(meta.keys.map(k => col(k.out)): _*)
       .agg(fsum(col(meta.measures.head.out)).as(meta.measures.head.out),
         meta.measures.tail.map(m => fsum(col(m.out)).as(m.out)): _*)
       .where(col(liveness) =!= 0L)

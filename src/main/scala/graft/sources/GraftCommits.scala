@@ -279,11 +279,7 @@ private[graft] object GraftCommits {
   def latestCheckpoint(fs: FileSystem, tableDir: Path)
       : Option[Checkpoint] = {
     val (cks, _) = idsByName(fs, tableDir)
-    cks.lastOption.map { id =>
-      val in = fs.open(new Path(dir(tableDir), ckName(id)))
-      try parseCk(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+    cks.lastOption.map(readCk(fs, tableDir, _))
   }
 
   /** Latest checkpoint + the records ABOVE it (the tail) — the
@@ -320,12 +316,33 @@ private[graft] object GraftCommits {
     val out = fs.create(tmp, true)
     try out.write(renderCk(c).getBytes("UTF-8")) finally out.close()
     GraftDv.replaceAtomic(fs, tmp, fin)
-    // the superseded checkpoint is redundant once the new one exists
-    val (cks, _) = idsByName(fs, tableDir)
-    cks.filter(_ < c.id).foreach(old =>
-      try fs.delete(new Path(d, ckName(old)), false)
-      catch { case NonFatal(_) => () })
+    // older checkpoints are KEPT (the Delta shape): serving a
+    // mid-history commit after expiry needs a checkpoint at or below
+    // it — expiry prunes the ones below the floor
   }
+
+  private def readCk(fs: FileSystem, tableDir: Path, id: Long)
+      : Checkpoint = {
+    val in = fs.open(new Path(dir(tableDir), ckName(id)))
+    try parseCk(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  /** Newest checkpoint at or below `id` — the replay base for serving
+    * that position.
+    */
+  def checkpointAtOrBefore(fs: FileSystem, tableDir: Path, id: Long)
+      : Option[Checkpoint] =
+    try {
+      val (cks, _) = idsByName(fs, tableDir)
+      cks.filter(_ <= id).lastOption.map(readCk(fs, tableDir, _))
+    } catch {
+      // expiry pruned a checkpoint between our listing and the open:
+      // one re-listing sees the post-expiry state
+      case _: java.io.FileNotFoundException =>
+        val (cks, _) = idsByName(fs, tableDir)
+        cks.filter(_ <= id).lastOption.map(readCk(fs, tableDir, _))
+    }
 
   /** State (files + dv) at the given checkpoint+tail position, plus
     * the records instance resolution needs. Replays from the
@@ -338,11 +355,18 @@ private[graft] object GraftCommits {
     val (ckOpt, tail) = load(fs, tableDir)
     val maxId = (ckOpt.map(_.id).toSeq ++ tail.lastOption.map(_.id))
       .foldLeft(-1L)(math.max)
-    require(id >= 0 && id <= maxId && (tail.exists(_.id == id) ||
-        ckOpt.exists(_.id >= id)),
+    require(id >= 0 && id <= maxId,
       s"$tableDir has no commit $id (journal through $maxId)")
-    ckOpt match {
-      case Some(ck) if id >= ck.id =>
+    // replay base: the newest checkpoint AT OR BELOW the target —
+    // checkpoints are kept per fold (the Delta shape), so any retained
+    // position has a base even after expiry prunes the prefix
+    checkpointAtOrBefore(fs, tableDir, id) match {
+      case Some(ck) =>
+        val recs = list(fs, tableDir)
+        val between = recs.filter(r => r.id > ck.id && r.id <= id)
+        require((ck.id + 1 to id).forall(i => between.exists(_.id == i)),
+          s"$tableDir: commit $id is not reconstructable — records " +
+            s"between checkpoint ${ck.id} and $id were expired")
         val files =
           scala.collection.mutable.LinkedHashMap.from(ck.files)
         val dv = scala.collection.mutable.Map.empty[
@@ -350,10 +374,10 @@ private[graft] object GraftCommits {
         ck.dv.foreach { case (rel, ords) =>
           dv(rel) = scala.collection.mutable.SortedSet.from(ords)
         }
-        replayInto(files, dv, tail.filter(_.id <= id))
-        (tail, files.toMap,
+        replayInto(files, dv, between)
+        (recs.filter(_.id > ck.id), files.toMap,
           dv.map { case (k, v) => (k, v.toArray) }.toMap)
-      case _ =>
+      case None =>
         val recs = list(fs, tableDir)
         val ids = recs.map(_.id).toSet
         require((0L to id).forall(ids.contains),
@@ -403,13 +427,24 @@ private[graft] object GraftCommits {
       val floor = (ckOpt.map(_.floor).getOrElse(-1L) +:
         tail.filter(_.isFloor).map(_.id)).max
       if (floor >= 0) {
-        if (!ckOpt.exists(_.id >= floor))
-          checkpointAt(fs, tableDir, floor, (ckOpt, tail))
-        val (_, recIds) = idsByName(fs, tableDir)
+        // a checkpoint AT the floor must exist before the prefix goes:
+        // it is the replay base for every retained position above it
+        val (cks0, _) = idsByName(fs, tableDir)
+        if (!cks0.contains(floor)) {
+          val base = checkpointAtOrBefore(fs, tableDir, floor)
+          val recs = list(fs, tableDir)
+          checkpointAt(fs, tableDir, floor,
+            (base, recs.filter(r => r.id > base.map(_.id).getOrElse(-1L))))
+        }
+        val (cks, recIds) = idsByName(fs, tableDir)
         recIds.filter(_ <= floor).foreach { i =>
           if (fs.delete(new Path(dir(tableDir), recName(i)), false))
             dropped += 1
         }
+        // checkpoints strictly below the floor one are unreachable
+        cks.filter(_ < floor).foreach(i =>
+          try fs.delete(new Path(dir(tableDir), ckName(i)), false)
+          catch { case NonFatal(_) => () })
       }
     }
     dropped

@@ -126,7 +126,7 @@ private[graft] object GraftDv {
     * deleted rows: readers take no lock by design). Falls back to
     * delete-then-rename only where FileContext is unavailable.
     */
-  private[sources] def replaceAtomic(fs: FileSystem, tmp: Path,
+  private[graft] def replaceAtomic(fs: FileSystem, tmp: Path,
       fin: Path): Unit = {
     val done =
       try {

@@ -37,13 +37,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    Fail-safe: the census can only be served when provably exact,
   *    never a silently stale scan.
   *
-  * OPT-IN by table property. TWO freshness proofs, tried in order:
-  * directory mtimes (exact on HDFS and posix filesystems; disabled
-  * via [[MtimeProofConf]] to simulate object stores, which have no
-  * directories) and the COMMIT JOURNAL (r15 item 4 — object-store
-  * safe): the journal's accounted-live file set must equal the
-  * census's file set exactly, proven with one metadata-dir listing +
-  * checkpoint/tail reads and zero data-directory access. Out-of-band
+  * OPT-IN by table property. TWO freshness proofs, selected by
+  * filesystem mode (EXCLUSIVE, never OR'd — on posix the mtime proof
+  * additionally catches commits whose best-effort journaling failed,
+  * so the journal proof must not override its verdict): directory
+  * mtimes (exact on HDFS and posix filesystems) by default, or the
+  * COMMIT JOURNAL (r15 item 4 — object-store safe; select with
+  * [[MtimeProofConf]] = false where directories have no mtimes): the
+  * journal's accounted-live file set must equal the census's file set
+  * exactly, proven with one metadata-dir listing + checkpoint/tail
+  * reads and zero data-directory access — the journal is the source
+  * of truth in that mode, the Delta-log contract. Out-of-band
   * in-place file mutation (no rename) is undetectable by ANY
   * directory-level proof and is outside the engine's write protocol.
   */
@@ -159,7 +163,14 @@ private[graft] object GraftManifestListing {
         GraftCommits.accountedLive(ck, tail) ==
           files.result().map(_._1).toSet
       }
-      val fresh = (mtimeAllowed && mtimeFresh) || journalFresh
+      // the proofs are EXCLUSIVE, not OR'd: on posix the mtime proof
+      // is the stronger one (it also catches a commit whose
+      // best-effort journaling failed — disk changed, accounting
+      // didn't), so a FAILED mtime proof must fall back to the real
+      // listing, never be overridden by journal-set equality. The
+      // journal proof serves only where mtimes prove nothing at all
+      // (object-store mode, MtimeProofConf=false).
+      val fresh = if (mtimeAllowed) mtimeFresh else journalFresh
       if (!fresh) None
       else Some(files.result().map { case (rel, len, mt) =>
         new FileStatus(len, false, 1, 128L * 1024 * 1024, mt,

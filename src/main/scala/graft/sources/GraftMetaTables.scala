@@ -61,27 +61,39 @@ private[sources] object GraftMetaTables {
       : Array[InternalRow] = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val recs = GraftCommits.list(fs, tableDir)
-    val ckOpt = GraftCommits.latestCheckpoint(fs, tableDir)
-    // a checkpoint whose folded records were EXPIRED surfaces as its
-    // own row — the journal's retention floor is visible, not silent
-    val ckRow = ckOpt.filterNot(ck => recs.exists(_.id == ck.id))
-      .map { ck =>
-        val row = new GenericInternalRow(8)
-        row.update(0, ck.id)
-        row.update(1,
-          UTF8String.fromString(s"checkpoint(floor=${ck.floor})"))
-        row.update(2, ck.ts * 1000L)
-        row.update(3, ck.files.size)
-        row.update(4, 0)
-        row.update(5, ck.dv.valuesIterator.map(_.length.toLong).sum)
-        row.update(6, false)
-        row.update(7, ck.files.forall { case (rel, addId) =>
-          GraftCommits.resolveInstance(fs, tableDir, recs, rel, addId)
-            .isDefined
-        })
-        row: InternalRow
-      }
+    // the BOUNDARY checkpoint: the newest one below the retained
+    // records (the expiry floor's fold) — the replay seed, and the row
+    // that keeps the retention floor visible rather than silent
+    val boundaryCk = recs.headOption match {
+      case Some(first) =>
+        GraftCommits.checkpointAtOrBefore(fs, tableDir, first.id - 1)
+      case None => GraftCommits.latestCheckpoint(fs, tableDir)
+    }
+    val ckRow = boundaryCk.map { ck =>
+      val row = new GenericInternalRow(8)
+      row.update(0, ck.id)
+      row.update(1,
+        UTF8String.fromString(s"checkpoint(floor=${ck.floor})"))
+      row.update(2, ck.ts * 1000L)
+      row.update(3, ck.files.size)
+      row.update(4, 0)
+      row.update(5, ck.dv.valuesIterator.map(_.length.toLong).sum)
+      row.update(6, false)
+      row.update(7, ck.files.forall { case (rel, addId) =>
+        GraftCommits.resolveInstance(fs, tableDir, recs, rel, addId)
+          .isDefined
+      })
+      row: InternalRow
+    }
+    // ONE incremental replay over the retained records (seeded from
+    // the boundary checkpoint when the prefix was expired) — not a
+    // per-row stateAndRecs, which would re-list and re-read the whole
+    // journal O(n²) times for a single `.commits` query
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    boundaryCk.foreach(ck => live ++= ck.files)
     val recRows = recs.map { r =>
+      r.removes.foreach(rm => live.remove(rm.rel))
+      r.adds.foreach(a => live.update(a, r.id))
       val row = new GenericInternalRow(8)
       row.update(0, r.id)
       row.update(1, UTF8String.fromString(r.kind))
@@ -90,16 +102,9 @@ private[sources] object GraftMetaTables {
       row.update(4, r.removes.length)
       row.update(5, r.dv.valuesIterator.map(_.length.toLong).sum)
       row.update(6, r.feedVisible)
-      row.update(7, {
-        // checkpoint-aware state: pre-checkpoint retained records
-        // replay their (still-present) full prefix; everything else
-        // replays checkpoint + tail
-        val (resRecs, files, _) =
-          GraftCommits.stateAndRecs(fs, tableDir, r.id)
-        files.forall { case (rel, addId) =>
-          GraftCommits.resolveInstance(fs, tableDir, resRecs, rel, addId)
-            .isDefined
-        }
+      row.update(7, live.forall { case (rel, addId) =>
+        GraftCommits.resolveInstance(fs, tableDir, recs, rel, addId)
+          .isDefined
       })
       row: InternalRow
     }

@@ -82,6 +82,28 @@ class GraftMaterializedViewSpec extends SparkSpec {
       rows(spark.sql(s"SELECT seg, count(*) AS n, sum(cents) AS " +
         s"cents_sum FROM $cat.ods.bal WHERE k % 2 = 0 GROUP BY seg")))
 
+    // aliased group key + COUNT(col): the fold reads the SOURCE column
+    // from the change feed, emits the OUTPUT alias, and maintains
+    // COUNT(col) as a NULL-guarded sum (not a row count)
+    spark.sql(s"CREATE TABLE $cat.ods.alz (k BIGINT, cents BIGINT, " +
+      "seg STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.alz VALUES " +
+      "(1, 5, 'a'), (2, NULL, 'a'), (3, 7, 'b')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.mva AS " +
+      s"SELECT seg AS segment, count(*) AS n, count(cents) AS filled " +
+      s"FROM $cat.ods.alz GROUP BY seg")
+    spark.sql(s"INSERT INTO $cat.ods.alz VALUES (4, NULL, 'b'), (5, 9, 'b')")
+    spark.sql(s"DELETE FROM $cat.ods.alz WHERE k = 2")
+    spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.mva')").collect()
+    assert(rows(spark.table(s"$cat.mart.mva")
+        .select(col("segment"), col("n"), col("filled"))) ==
+      rows(spark.sql(s"SELECT seg AS segment, count(*) AS n, " +
+        s"count(cents) AS filled FROM $cat.ods.alz GROUP BY seg")))
+    assert(rows(spark.table(s"$cat.mart.mva")
+        .select(col("segment"), col("n"), col("filled"))) ==
+      Set(("a", 1L, 1L), ("b", 3L, 2L)))
+
     // DROP MATERIALIZED VIEW drops the backing table
     spark.sql(s"DROP MATERIALIZED VIEW $cat.mart.mvf")
     assert(intercept[Exception](
@@ -133,10 +155,18 @@ class GraftMaterializedViewSpec extends SparkSpec {
       assert(e.getMessage.contains(needle),
         s"wrong refusal for [$sql]: ${e.getMessage}")
     }
-    // no COUNT(*) liveness counter
+    // no COUNT(*) liveness counter — COUNT(col) does not qualify (it
+    // skips NULLs, so it is not a row counter)
     refused(s"CREATE MATERIALIZED VIEW $cat.mart.m1 AS " +
       s"SELECT s, sum(v) AS sv FROM $cat.ods.t GROUP BY s",
       "liveness")
+    refused(s"CREATE MATERIALIZED VIEW $cat.mart.m1b AS " +
+      s"SELECT s, count(v) AS n FROM $cat.ods.t GROUP BY s",
+      "liveness")
+    // a hidden grouping column would collapse granularity on fold
+    refused(s"CREATE MATERIALIZED VIEW $cat.mart.m1c AS " +
+      s"SELECT s, count(*) AS n FROM $cat.ods.t GROUP BY s, k",
+      "hidden")
     // non-additive aggregate
     refused(s"CREATE MATERIALIZED VIEW $cat.mart.m2 AS " +
       s"SELECT s, count(*) AS n, avg(v) AS av FROM $cat.ods.t GROUP BY s",

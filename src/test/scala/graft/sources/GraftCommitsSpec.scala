@@ -262,6 +262,19 @@ class GraftCommitsSpec extends SparkSpec {
       // live state is untouched throughout
       assert(rows(spark.sql(s"SELECT k, v FROM $cat.ods.ck")) ==
         Set((1L, 10L), (2L, 21L), (7L, 70L)))
+      // more commits cross the interval again — a SECOND fold
+      // checkpoint lands at the newest id; checkpoints are KEPT
+      // (Delta-style), so a MID-HISTORY retained commit still replays
+      // from the floor checkpoint below it
+      (8 to 11).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.ods.ck VALUES ($i, ${i * 10})"))
+      assert(fs.listStatus(jdir)
+        .count(_.getPath.getName.endsWith(".ck")) == 2,
+        "expected the floor checkpoint AND the new fold checkpoint")
+      assert(rows(spark.sql(
+        s"SELECT k, v FROM $cat.ods.ck VERSION AS OF 'c9'")) ==
+        Set((1L, 10L), (2L, 21L), (7L, 70L), (8L, 80L), (9L, 90L)),
+        "mid-history commit between the floor and fold checkpoints")
     } finally prev match {
       case Some(v) => spark.conf.set(ckKey, v)
       case None => spark.conf.unset(ckKey)
