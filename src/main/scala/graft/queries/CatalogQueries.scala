@@ -2976,6 +2976,121 @@ object CatalogQueries {
        |FROM base WHERE k % 10 <> 7
        |GROUP BY seg""".stripMargin
 
+  /** q231 — JOIN-BODY MATERIALIZED VIEW (r16 verdict item 2 — the
+    * reference's mart shape fact⋈dim → aggregate,
+    * process_covid_data_mart.py:51-115, as a declared MV): `CREATE
+    * MATERIALIZED VIEW` over an INNER equi-join of two graft tables;
+    * after DML on BOTH sides (fact inserts + deletes, dim inserts +
+    * updates) one incremental refresh folds the two-sided counting-IVM
+    * delta ΔF⋈D_new + F_new⋈ΔD − ΔF⋈ΔD — per-side change positions,
+    * each feed read once. DuckDB recomputes the view from the final
+    * logical state: incremental == recompute is the hash.
+    */
+  def q231MvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g231")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g231_orders")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("g231_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.ods.ord (ok BIGINT, cust BIGINT, " +
+      "cents BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.ods.cust (ck BIGINT, seg STRING)")
+    spark.sql(s"""INSERT INTO $cat.ods.ord
+      SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM g231_orders WHERE o_orderkey % 2 = 0""")
+    spark.sql(s"""INSERT INTO $cat.ods.cust
+      SELECT c_custkey, c_mktsegment FROM g231_customer
+      WHERE c_custkey % 3 <> 0""")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.seg_sales AS " +
+      s"SELECT d.seg, count(*) AS n, sum(f.cents) AS cents_sum " +
+      s"FROM $cat.ods.ord f JOIN $cat.ods.cust d ON f.cust = d.ck " +
+      "GROUP BY d.seg")
+    // DML on BOTH sides after the MV materialized
+    spark.sql(s"""INSERT INTO $cat.ods.ord
+      SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM g231_orders WHERE o_orderkey % 2 = 1""")
+    spark.sql(s"""INSERT INTO $cat.ods.cust
+      SELECT c_custkey, c_mktsegment FROM g231_customer
+      WHERE c_custkey % 3 = 0""")
+    spark.sql(s"UPDATE $cat.ods.cust SET seg = 'MOVED' WHERE ck % 10 = 4")
+    spark.sql(s"DELETE FROM $cat.ods.ord WHERE ok % 7 = 0")
+    val res = spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.seg_sales')").head
+    require(res.getLong(0) > 0,
+      "q231: the two-sided incremental refresh folded nothing")
+    spark.table(s"$cat.mart.seg_sales")
+      .select(col("seg"), col("n"), col("cents_sum"))
+  }
+
+  /** The join view recomputed from the final logical state. */
+  val q231Oracle: String =
+    s"""WITH f AS (
+       |  SELECT o_orderkey AS ok, o_custkey AS cust,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders WHERE o_orderkey % 7 <> 0),
+       |d AS (
+       |  SELECT c_custkey AS ck,
+       |    CASE WHEN c_custkey % 10 = 4 THEN 'MOVED'
+       |         ELSE c_mktsegment END AS seg
+       |  FROM customer)
+       |SELECT seg, ${bi("count(*)")} AS n,
+       |  ${bi("sum(cents)")} AS cents_sum
+       |FROM f JOIN d ON f.cust = d.ck GROUP BY seg""".stripMargin
+
+  /** q232 — MIN/MAX MV MEASURES with rescan-on-invalidation (r16
+    * verdict item 7): extremes fold incrementally on inserts
+    * (least/greatest against the stored value); the deletes here
+    * provably evict every segment's max (cents > 900000) and min
+    * (cents < −90000), so the refresh must detect the invalidation
+    * and rescan exactly those groups from the base. DuckDB recomputes
+    * from the final state: evicted extremes must fall back to the
+    * true runner-up values.
+    */
+  def q232MvMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlCatalog(spark, "g232")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("g232_customer")
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+    spark.sql(s"CREATE TABLE $cat.ods.bal (k BIGINT, cents BIGINT, " +
+      "seg STRING)")
+    spark.sql(s"""INSERT INTO $cat.ods.bal
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g232_customer WHERE c_custkey % 2 = 0""")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.bal_mm AS " +
+      s"SELECT seg, count(*) AS n, min(cents) AS cmin, " +
+      s"max(cents) AS cmax, sum(cents) AS csum " +
+      s"FROM $cat.ods.bal GROUP BY seg")
+    spark.sql(s"""INSERT INTO $cat.ods.bal
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM g232_customer WHERE c_custkey % 2 = 1""")
+    spark.sql(s"UPDATE $cat.ods.bal SET cents = cents - 5 WHERE k % 9 = 2")
+    // evict every group's extremes: all high balances and all very
+    // negative balances go
+    spark.sql(s"DELETE FROM $cat.ods.bal WHERE cents > 900000 OR " +
+      "cents < -90000")
+    val res = spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.bal_mm')").head
+    require(res.getLong(0) > 0,
+      "q232: the extremal incremental refresh folded nothing")
+    spark.table(s"$cat.mart.bal_mm")
+      .select(col("seg"), col("n"), col("cmin"), col("cmax"), col("csum"))
+  }
+
+  /** The extremal view recomputed from the final logical state. */
+  val q232Oracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) -
+       |      CASE WHEN c_custkey % 9 = 2 THEN 5 ELSE 0 END AS cents,
+       |    c_mktsegment AS seg
+       |  FROM customer)
+       |SELECT seg, ${bi("count(*)")} AS n, ${bi("min(cents)")} AS cmin,
+       |  ${bi("max(cents)")} AS cmax, ${bi("sum(cents)")} AS csum
+       |FROM base WHERE cents <= 900000 AND cents >= -90000
+       |GROUP BY seg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_merge_upsert" -> (q159MergeUpsert _),
     "q160_schema_evolution" -> (q160SchemaEvolution _),
@@ -3026,6 +3141,8 @@ object CatalogQueries {
     "q228_unified_changelog" -> (q228UnifiedChangelog _),
     "q229_cdf_update_pairs" -> (q229CdfUpdatePairs _),
     "q230_materialized_view" -> (q230MaterializedView _),
+    "q231_mv_join" -> (q231MvJoin _),
+    "q232_mv_minmax" -> (q232MvMinMax _),
     "q227_view_layer" -> (q227ViewLayer _))
 
   val oracles: Map[String, String] = Map(
@@ -3078,5 +3195,7 @@ object CatalogQueries {
     "q227_view_layer" -> q227Oracle,
     "q228_unified_changelog" -> q228Oracle,
     "q229_cdf_update_pairs" -> q229Oracle,
-    "q230_materialized_view" -> q230Oracle)
+    "q230_materialized_view" -> q230Oracle,
+    "q231_mv_join" -> q231Oracle,
+    "q232_mv_minmax" -> q232Oracle)
 }

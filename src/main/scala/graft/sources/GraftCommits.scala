@@ -58,9 +58,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Scale: one O(100 B) record per commit; assignment lists ONLY the
   * journal directory (bounded by commit count, prunable with history
   * expiry); no data listing beyond what the owning commit already
-  * performs. Stream epochs do NOT journal — their feed derives from
-  * epoch-named files ([[GraftChanges]]); a table mixing live stream
-  * emissions with feed-visible batch records refuses the feed.
+  * performs. Stream epochs journal too ([[StreamEpochKind]], written
+  * after each epoch's commit marker under the same table lock): on a
+  * stream-only table those records are pure accounting (the classic
+  * epoch-axis feed still serves from the emission file names), but as
+  * soon as any BATCH row-changing kind appears the journal IS the
+  * interleaved history and `<t>.changes` serves both stream epochs and
+  * batch DML on one monotonic commit-id axis ([[GraftChanges]]).
   */
 private[graft] object GraftCommits {
 
