@@ -1519,14 +1519,16 @@ private[sources] class GraftTable(
               partitionSchema = pSchema, maxFilesPerTrigger = mft,
               maxBytesPerTrigger = mbt, ignoreDeletes = ignoreDel,
               renameAliases = meta.renameAliases,
-              evolvedCols = meta.evolvedCols)
+              evolvedCols = meta.evolvedCols,
+              pinToJournal = !readOnly)
           case None =>
             new GraftScanBuilder(fsb, statsDir = stats,
               tableSchema = schema(), partitionSchema = pSchema,
               ignoreDeletes = ignoreDel,
               maxFilesPerTrigger = mft, maxBytesPerTrigger = mbt,
               renameAliases = meta.renameAliases,
-              evolvedCols = meta.evolvedCols)
+              evolvedCols = meta.evolvedCols,
+              pinToJournal = !readOnly)
         }
       case other => other
     }
@@ -2621,7 +2623,8 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
     maxBytesPerTrigger: Option[Long] = None,
     ignoreDeletes: Boolean = false,
     renameAliases: Map[String, Seq[String]] = Map.empty,
-    evolvedCols: Seq[String] = Nil)
+    evolvedCols: Seq[String] = Nil,
+    pinToJournal: Boolean = true)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -2782,12 +2785,14 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
             maxFilesPerTrigger = maxFilesPerTrigger,
             maxBytesPerTrigger = maxBytesPerTrigger,
             ignoreDeletes = ignoreDeletes,
-            renameAliases = renameAliases)
+            renameAliases = renameAliases,
+            pinToJournal = pinToJournal)
         case None => new GraftRuntimeFilterScan(fs, statsDir = statsDir,
           maxFilesPerTrigger = maxFilesPerTrigger,
           maxBytesPerTrigger = maxBytesPerTrigger,
           dvTableDir = statsDir, ignoreDeletes = ignoreDeletes,
-          renameAliases = renameAliases)
+          renameAliases = renameAliases,
+          pinToJournal = pinToJournal)
       }
       case other => other
     }
@@ -2840,7 +2845,9 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     ignoreDeletes: Boolean = false,
     // RENAME COLUMN alias map (current lower name -> retired names);
     // see [[GraftRename]]
-    renameAliases: Map[String, Seq[String]] = Map.empty)
+    renameAliases: Map[String, Seq[String]] = Map.empty,
+    // journal-pinned snapshot reads ([[GraftPinnedScan]], r16 item 1)
+    pinToJournal: Boolean = true)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsRuntimeV2Filtering
@@ -2995,12 +3002,34 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
     else Some(per.flatten.reduce(_ intersect _))
   }
 
+  /** Journal-pinned keep-test over the planned batch files (r16 item
+    * 1) — None = nothing to pin (the common case).
+    */
+  private def pinKeep(planned: Seq[PartitionedFile])
+      : Option[PartitionedFile => Boolean] =
+    (statsDir, dvFs) match {
+      case (Some(td), Some(fs)) if pinToJournal =>
+        GraftPinnedScan.keepTest(fs, td, current, planned)
+      case _ => None
+    }
+
   override def planInputPartitions(): Array[
       org.apache.spark.sql.connector.read.InputPartition] =
     if (!groupable) {
       // fallback (untagged/foreign files): delegate plan, but deletion
       // vectors must still apply — regroup exactly as the plain scan
-      val parts = current.toBatch.planInputPartitions()
+      val parts0 = current.toBatch.planInputPartitions()
+      val parts = pinKeep(parts0.toSeq.collect {
+          case fp: FilePartition => fp.files.toSeq
+        }.flatten) match {
+        case Some(keepP) => parts0.map {
+          case fp: FilePartition =>
+            FilePartition(fp.index, fp.files.filter(keepP))
+              : org.apache.spark.sql.connector.read.InputPartition
+          case other => other
+        }
+        case None => parts0
+      }
       (statsDir, dvFs) match {
         case (Some(td), Some(fs)) if dvIndex.nonEmpty =>
           val planned = parts.toSeq.collect {
@@ -3015,8 +3044,14 @@ private[sources] final class GraftBucketedScan(initial: FileScan,
         case _ => parts
       }
     } else {
-      val by = bucketsOf(current.toBatch.planInputPartitions())
+      val by0 = bucketsOf(current.toBatch.planInputPartitions())
         .getOrElse(Map.empty[Int, Seq[PartitionedFile]])
+      // pin WITHIN bucket groups: all n key groups still emit
+      val by = pinKeep(by0.values.flatten.toSeq) match {
+        case Some(keepP) =>
+          by0.map { case (b, fl) => (b, fl.filter(keepP)) }
+        case None => by0
+      }
       val filters = current.dataFilters
       // hash-exact bucket pruning: non-matching buckets keep their
       // (empty) groups so the reported KeyGroupedPartitioning stays
@@ -3174,7 +3209,11 @@ private[sources] final class GraftRuntimeFilterScan(
     // into a rewrite's carryover
     dvTableDir: Option[Path] = None,
     // RENAME COLUMN alias map; see [[GraftRename]]
-    renameAliases: Map[String, Seq[String]] = Map.empty)
+    renameAliases: Map[String, Seq[String]] = Map.empty,
+    // journal-pinned snapshot reads ([[GraftPinnedScan]], r16 item 1):
+    // off for read-only time-travel dirs (their journal is an archived
+    // copy, not a live commit axis)
+    pinToJournal: Boolean = true)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: FileScan = initial
@@ -3250,7 +3289,16 @@ private[sources] final class GraftRuntimeFilterScan(
   private final class GraftBatch extends Batch {
     override def planInputPartitions()
         : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-      val parts = current.toBatch.planInputPartitions()
+      val parts0 = current.toBatch.planInputPartitions()
+      // journal-pinned snapshot (r16 item 1): a commit stalled between
+      // publish and retirement must not double-serve its partitions —
+      // capture-mode scans are excluded at toBatch (a COW rewrite reads
+      // its own groups under the very lock the pin would consult)
+      val parts = (dvTableDir, dvFs) match {
+        case (Some(td), Some(fs)) if pinToJournal =>
+          GraftPinnedScan.pin(fs, td, current, parts0)
+        case _ => parts0
+      }
       val filters = current.dataFilters
       val pruned = statsDir match {
         case Some(d) if captureTokens.isEmpty && filters.nonEmpty =>
@@ -3949,6 +3997,13 @@ private[sources] final class GraftTableMicroBatchStream(
   * touched partitions.
   */
 private[graft] object GraftPartitionedCow {
+
+  /** Test seam: invoked inside the commit critical section, after the
+    * new generation published and before the superseded one retires —
+    * the exact window a concurrent reader used to double-count (the
+    * journal-pinned scan spec stalls here while a reader plans).
+    */
+  private[graft] var onBetweenPublishAndRetire: String => Unit = _ => ()
 
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -4848,6 +4903,7 @@ private[graft] object GraftPartitionedCow {
         // phase 2 — retire the superseded generation per the policy;
         // deletion vectors of retired files are inert — drop them
         // (version-archiving retires MOVE the sidecars first)
+        GraftPartitionedCow.onBetweenPublishAndRetire(dir)
         val gone = retired(published, fs)
         val tomb = retire(gone, fs)
         GraftDv.dropFor(fs, new Path(dir), gone)

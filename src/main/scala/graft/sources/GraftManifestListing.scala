@@ -143,39 +143,66 @@ private[graft] object GraftManifestListing {
             analyzedAt >= mt + GuardMs
         } catch { case _: java.io.FileNotFoundException => false }
       }
-      // freshness proof 2 (OBJECT-STORE safe, r15 item 4): the commit
-      // journal's accounted-live file set — one metadata-dir listing +
-      // checkpoint/tail reads, NO data-dir access — must equal the
-      // census's file set EXACTLY. Every engine write journals under
-      // the table lock, so any commit since the walk changes the
-      // accounted set (uuid'd file names never repeat) and the census
-      // declines; DV-only commits keep the file set and stay servable
-      // (deletion vectors apply downstream of the listing). In this
-      // mode the JOURNAL is the source of truth: files a crashed,
-      // never-journaled commit left behind are not part of the table —
-      // the same contract as planning from a Delta log. Unaccounted
-      // DIVERGENCE (materialize renames, foreign writers) fails the
-      // set equality and falls back to the real listing, loudly
-      // costing a walk rather than silently serving a stale plan.
-      def journalFresh: Boolean = {
+      // freshness proof 2 (OBJECT-STORE safe, r15 item 4; widened to
+      // journal-PINNED serving in r17): the file list IS the commit
+      // journal's accounted-live set at the latest COMPLETE commit —
+      // one metadata-dir listing + checkpoint/tail reads, NO data-dir
+      // listStatus. Statuses come from the census where it knows the
+      // file; files committed SINCE the analyze walk pay one
+      // getFileStatus each (O(delta since analyze), still zero
+      // listings). Records land after publish+retire under the table
+      // lock, so the accounted set never exposes a half-commit: this
+      // is the Delta-log/Iceberg-manifest pointer contract, and it
+      // also closes the publish→retire duplicate window for
+      // object-store readers (r16 verdict item 1). The JOURNAL is the
+      // source of truth in this mode: files a crashed, never-journaled
+      // commit left behind are not part of the table. Tables carrying
+      // STREAM artifacts decline (rewrite-deletes materialization
+      // renames emission files without a journaled remove — the
+      // journal is not total there), as does any accounted file whose
+      // status cannot be fetched (retired mid-read) — both fall back
+      // to the real listing, loudly costing a walk rather than
+      // silently serving a stale plan.
+      def journalServed: Option[Seq[FileStatus]] = {
         val (ck, tail) = GraftCommits.load(fs, tableDir)
-        if (ck.isEmpty && tail.isEmpty) return false
-        GraftCommits.accountedLive(ck, tail) ==
-          files.result().map(_._1).toSet
+        if (ck.isEmpty && tail.isEmpty) return None
+        val acc = GraftCommits.accountedLive(ck, tail)
+        def nameOf(rel: String): String = {
+          val i = rel.lastIndexOf('/')
+          if (i < 0) rel else rel.substring(i + 1)
+        }
+        if (acc.exists(rel => GraftEqDel.emissionOf(nameOf(rel)).isDefined ||
+            GraftEqDel.hasFloorStamp(nameOf(rel)))) return None
+        val census: Map[String, (Long, Long)] =
+          files.result().map { case (rel, len, mt) => (rel, (len, mt)) }
+            .toMap
+        Some(acc.toSeq.sorted.map { rel =>
+          census.get(rel) match {
+            case Some((len, mt)) =>
+              new FileStatus(len, false, 1, 128L * 1024 * 1024, mt,
+                fs.makeQualified(new Path(tableDir, rel)))
+            case None =>
+              // committed after the walk: one RPC, no listing; a
+              // FileNotFound here aborts to the real-listing fallback
+              // through the outer catch
+              fs.getFileStatus(new Path(tableDir, rel))
+          }
+        })
       }
       // the proofs are EXCLUSIVE, not OR'd: on posix the mtime proof
       // is the stronger one (it also catches a commit whose
       // best-effort journaling failed — disk changed, accounting
       // didn't), so a FAILED mtime proof must fall back to the real
-      // listing, never be overridden by journal-set equality. The
-      // journal proof serves only where mtimes prove nothing at all
-      // (object-store mode, MtimeProofConf=false).
-      val fresh = if (mtimeAllowed) mtimeFresh else journalFresh
-      if (!fresh) None
-      else Some(files.result().map { case (rel, len, mt) =>
-        new FileStatus(len, false, 1, 128L * 1024 * 1024, mt,
-          fs.makeQualified(new Path(tableDir, rel)))
-      })
+      // listing, never be overridden by the journal set. The journal
+      // serves only where mtimes prove nothing at all (object-store
+      // mode, MtimeProofConf=false).
+      if (mtimeAllowed) {
+        if (!mtimeFresh) None
+        else Some(files.result().map { case (rel, len, mt) =>
+          new FileStatus(len, false, 1, 128L * 1024 * 1024, mt,
+            fs.makeQualified(new Path(tableDir, rel)))
+        })
+      } else journalServed
     } catch { case NonFatal(_) => None }
 
   /** A file index over synthesized statuses: zero filesystem calls at

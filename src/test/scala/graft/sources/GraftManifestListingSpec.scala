@@ -146,22 +146,35 @@ class GraftManifestListingSpec extends SparkSpec {
       assert(listings.isEmpty,
         s"journal-proof scans still listed data dirs: $listings")
 
-      // a new journaled commit changes the accounted set: the census
-      // declines and the scan falls back to the real listing
+      // a new journaled commit: the file list comes from the JOURNAL's
+      // accounted-live set at the latest complete commit (r17 — the
+      // Delta-log pointer contract), with the census as the status
+      // cache and one getFileStatus for the post-analyze file — the
+      // fresh rows serve with STILL zero data-dir listings
       spark.sql(s"INSERT INTO $cat.ods.j VALUES (999, 1, 'c')")
       CountingLocalFs.reset()
       assert(spark.table(s"$cat.ods.j").count() == 101,
-        "stale journal-proof census served a pre-commit snapshot")
-      assert(CountingLocalFs.dataListings(s"$local/ods/j").nonEmpty,
-        "fallback scan should have listed")
+        "journal-pinned census served a stale snapshot")
+      assert(CountingLocalFs.dataListings(s"$local/ods/j").isEmpty,
+        "journal-pinned serving must not list data dirs for " +
+          "post-analyze commits")
 
-      // re-analyze re-arms the journal proof immediately (no mtime
-      // quiet window needed)
+      // re-analyze refreshes the status cache; serving stays zero-list
       spark.sql(s"CALL $cat.system.analyze('ods.j')").collect()
       CountingLocalFs.reset()
       assert(spark.table(s"$cat.ods.j").count() == 101)
       assert(CountingLocalFs.dataListings(s"$local/ods/j").isEmpty,
         "journal proof failed to serve after re-analyze")
+
+      // a row-level DELETE retires files and publishes a rewrite: the
+      // journal-pinned plan must track it exactly (no stale files, no
+      // missing rows), still with zero data-dir listings
+      spark.sql(s"DELETE FROM $cat.ods.j WHERE k >= 90")
+      CountingLocalFs.reset()
+      assert(spark.table(s"$cat.ods.j").count() == 90,
+        "journal-pinned serving missed a row-level rewrite")
+      assert(CountingLocalFs.dataListings(s"$local/ods/j").isEmpty,
+        "post-DML journal-pinned serving listed data dirs")
     } finally prev match {
       case Some(v) =>
         spark.conf.set(GraftManifestListing.MtimeProofConf, v)
