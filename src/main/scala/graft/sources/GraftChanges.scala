@@ -664,44 +664,55 @@ private[sources] final class GraftChangesScan(
           if (admitsType(label) && r.adds.nonEmpty)
             r.adds.groupBy(rel => instanceBase(rel, r.id).get)
               .foreach { case (base, rels) =>
-                val files = plannedFiles(base, rels)
-                if (files.nonEmpty)
-                  out += BatchChangePartition(r.id, label, files, Map.empty)
+                // ONE partition PER SPLIT (r16 q229 scaling): a commit
+                // used to serve as a single task reading its whole
+                // file set sequentially — at sf1 the feed ran on one
+                // core per commit
+                plannedFiles(base, rels).foreach(f =>
+                  out += BatchChangePartition(r.id, label, Array(f),
+                    Map.empty))
               }
           if (admitsType("delete"))
             sc.filter(_.keys.nonEmpty).foreach(d =>
               out += ChangesSidecarPartition(r.id, d.keys))
         } else {
           val (addLabel, delLabel) = labelsOf(r)
+          // ONE partition PER SPLIT, not per commit (r16 q229
+          // scaling): the feed used to read a commit's whole file set
+          // sequentially in a single task — correct, but serial; at
+          // sf1 every wide commit pinned one core while the rest of
+          // the cluster idled. Ordinal counting resets per FILE inside
+          // the reader, so whole-file granularity preserves exactness
+          // for dv partitions and plain splits distribute freely.
           if (admitsType(addLabel) && r.adds.nonEmpty)
             r.adds.groupBy(rel => instanceBase(rel, r.id).get)
               .foreach { case (base, rels) =>
-                val files = plannedFiles(base, rels)
-                if (files.nonEmpty)
-                  out += BatchChangePartition(r.id, addLabel, files,
-                    Map.empty)
+                plannedFiles(base, rels).foreach(f =>
+                  out += BatchChangePartition(r.id, addLabel, Array(f),
+                    Map.empty))
               }
           if (admitsType(delLabel)) {
             if (r.removes.nonEmpty)
               r.removes.groupBy(_.tomb).foreach { case (tomb, rms) =>
-                val files = plannedFiles(new Path(retired, tomb),
-                  rms.map(_.rel))
-                if (files.nonEmpty)
-                  out += BatchChangePartition(r.id, delLabel, files,
-                    Map.empty)
+                plannedFiles(new Path(retired, tomb), rms.map(_.rel))
+                  .foreach(f =>
+                    out += BatchChangePartition(r.id, delLabel, Array(f),
+                      Map.empty))
               }
             if (r.dv.nonEmpty)
               r.dv.toSeq.groupBy { case (rel, _) =>
                 instanceBase(rel, r.id).get
               }.foreach { case (base, entries) =>
-                val files = wholeFiles(plannedFiles(base, entries.map(_._1)))
                 val ordsByPath = entries.map { case (rel, ords) =>
                   (fs.makeQualified(new Path(base, rel)).toUri.getPath,
                     ords.sorted)
                 }.toMap
-                if (files.nonEmpty)
-                  out += BatchChangePartition(r.id, delLabel, files,
-                    ordsByPath)
+                wholeFiles(plannedFiles(base, entries.map(_._1)))
+                  .foreach { f =>
+                    val key = f.toPath.toUri.getPath
+                    out += BatchChangePartition(r.id, delLabel, Array(f),
+                      ordsByPath.view.filterKeys(_ == key).toMap)
+                  }
               }
           }
         }
@@ -1146,7 +1157,12 @@ private[sources] final class GraftChangesReaderFactory(
       if (!admitted) return false
       while (true) {
         if (cur == null && !advance()) return false
-        if (cur.next()) {
+        if (ords != null && ordIdx >= ords.length) {
+          // every recorded ordinal of this file already emitted: the
+          // tail holds nothing for the feed — skip straight to the
+          // next file instead of row-counting to EOF
+          cur.close(); cur = null
+        } else if (cur.next()) {
           if (ords == null) return true
           rowIdx += 1
           if (ordIdx < ords.length && ords(ordIdx) == rowIdx) {

@@ -2,6 +2,7 @@
 """Compare two bench artifacts and attribute per-query drift.
 
 Usage: python3 tools/bench_compare.py <old_bench.json> <new_bench.json> [ratio]
+       python3 tools/bench_compare.py --notes <old_bench.json> <new_bench.json>
 
 Flags queries whose min-of-passes moved by more than `ratio` (default 1.5x)
 in either direction. If both artifacts carry a `data` fingerprint block
@@ -9,13 +10,77 @@ in either direction. If both artifacts carry a `data` fingerprint block
 the report states whether the underlying testdata changed — a drift on
 changed data is attributed to data, not code, and needs a standalone rerun
 (graft.Scratch) to confirm before anyone chases a code regression.
+
+`--notes` emits the BENCH_NOTES comparison block verbatim (markdown,
+naming BOTH artifact files, raw AND control-normalized ratios) — paste it
+into BENCH_NOTES_r{N}.md unedited so the notes always byte-match the
+artifacts they cite (r16 verdict item 6: hand-written notes cited a
+different run than the committed artifact).
 """
 import sys, json
 
 
+def load(path):
+    """Accept both the bare graft.Bench line (bench_result.json) and the
+    driver's wrapper artifact (BENCH_r{N}.json nests it under `parsed`)."""
+    d = json.load(open(path))
+    if isinstance(d, dict) and "parsed" in d:
+        if d["parsed"] is None:
+            sys.exit(f"{path}: driver artifact carries parsed=null (its "
+                     "tail was truncated) — compare the round's committed "
+                     "bench_result.json instead")
+        return d["parsed"]
+    return d
+
+
+def notes_block(old_path: str, new_path: str) -> int:
+    old = load(old_path)
+    new = load(new_path)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(oq) & set(nq))
+    tot_o = sum(oq[q] for q in shared)
+    tot_n = sum(nq[q] for q in shared)
+    raw = tot_n / tot_o if tot_o else float('nan')
+    oc, nc = old.get("controls", {}), new.get("controls", {})
+    cshared = sorted(set(oc) & set(nc))
+    print(f"## Round-over-round comparison (emitted by tools/bench_compare.py --notes)")
+    print()
+    print(f"- baseline artifact: `{old_path}` "
+          f"(total {old.get('value', float('nan')):.1f} s, "
+          f"{len(oq)} queries, sf={old.get('sf')})")
+    print(f"- this artifact:     `{new_path}` "
+          f"(total {new.get('value', float('nan')):.1f} s, "
+          f"{len(nq)} queries, sf={new.get('sf')})")
+    print(f"- shared-{len(shared)} subtotal: {tot_o:.1f} s -> {tot_n:.1f} s "
+          f"= **{raw:.2f}x raw**")
+    if cshared:
+        co = sum(oc[q] for q in cshared)
+        cn = sum(nc[q] for q in cshared)
+        cr = cn / co if co else float('nan')
+        print(f"- controls ({', '.join(cshared)}): {co:.3f} s -> {cn:.3f} s "
+              f"= {cr:.2f}x ambient box drift")
+        if cr > 0:
+            print(f"- **control-normalized shared ratio: {raw / cr:.2f}x** "
+                  "(cite this one; raw includes machine state)")
+    else:
+        print("- controls: absent in one artifact — raw ratio only")
+    regs = []
+    for q in shared:
+        a, b = oq[q], nq[q]
+        if a > 0 and b > 0 and b / a >= 2.0:
+            regs.append((b / a, q, a, b))
+    if regs:
+        print(f"- shared queries regressed >= 2x: {len(regs)}")
+        for r, q, a, b in sorted(regs, reverse=True):
+            print(f"  - {q}: {a:.2f} s -> {b:.2f} s ({r:.2f}x)")
+    else:
+        print("- zero shared queries regressed >= 2x")
+    return 0
+
+
 def main(old_path: str, new_path: str, ratio: float = 1.5) -> int:
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
+    old = load(old_path)
+    new = load(new_path)
     od, nd = old.get("data"), new.get("data")
     if od is None or nd is None:
         print("data fingerprints: MISSING in",
@@ -78,5 +143,7 @@ def main(old_path: str, new_path: str, ratio: float = 1.5) -> int:
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--notes":
+        sys.exit(notes_block(sys.argv[2], sys.argv[3]))
     r = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     sys.exit(main(sys.argv[1], sys.argv[2], r))
