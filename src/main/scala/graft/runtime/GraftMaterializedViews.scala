@@ -231,7 +231,10 @@ object GraftMaterializedViews {
           keys += Key(out, if (f.length > 2) unb64(f(2)) else out)
         case "M" => measures += Measure(unb64(f(1)), f(2), unb64(f(3)))
         case "W" => filter = Some(unb64(f(1)))
-        case "J" => dimSrc = Some((unb64(f(1)), f(2).toLong, unb64(f(3))))
+        case "J" => dimSrc = Some((unb64(f(1)), f(2).toLong,
+          // split drops trailing empty fields: a dim with no journal
+          // yet records feedId "" — 3 fields, not 4
+          if (f.length > 3) unb64(f(3)) else ""))
         case "JK" => joinKeys += ((unb64(f(1)), unb64(f(2))))
         case other =>
           throw new IllegalStateException(s"bad MV sidecar tag '$other'")
@@ -477,6 +480,9 @@ object GraftMaterializedViews {
     if (ks.isEmpty && ms.exists(m => m.kind == "min" || m.kind == "max"))
       refuse("MIN/MAX measures need at least one group column (the " +
         "rescan-on-invalidation fold is group-scoped)")
+    if (ks.isEmpty && dim.isDefined)
+      refuse("keyless join bodies are unsupported (a global aggregate " +
+        "over a join has no group-scoped fold) — add a GROUP BY")
     Extracted(fact, dim, joinKeys, ks, ms, filter.map(renderSql),
       keyTypes.result())
   }
@@ -489,9 +495,9 @@ object GraftMaterializedViews {
     */
   private def tableDirOf(spark: SparkSession, source: String): Path = {
     val parts = source.split('.').map(_.stripPrefix("`").stripSuffix("`"))
-    require(parts.length == 3, s"bad MV source ident $source")
+    require(parts.length >= 3, s"bad MV source ident $source")
     val root = spark.conf.get(s"spark.sql.catalog.${parts(0)}.root")
-    new Path(s"$root/${parts(1)}/${parts(2)}")
+    new Path(s"$root/${parts.tail.mkString("/")}")
   }
 
   /** The base journal's incarnation identity — the first RETAINED
@@ -751,12 +757,12 @@ object GraftMaterializedViews {
     // MATERIALIZED once and reused — exactly ONE `.changes` scan per
     // side per refresh (r16 verdict item 4), and the eager count IS
     // the procedure's change_rows_folded return value.
-    val (deltaRows, nRows, liveReadsStable) = meta.dim match {
+    val (deltaRows, nRows, liveReadsStable, pinnedFeeds) = meta.dim match {
       case None =>
         val d = Materialize.once(changesOf(spark, meta.source,
           meta.lastCommit, curF, meta.filter))
         val n = d.count()
-        (d, n, () => true)
+        (d, n, () => true, Seq(d))
       case Some(ds) =>
         // per-side filters cannot split a cross-side WHERE — apply the
         // stored (prefixed) filter after each join term instead
@@ -790,7 +796,8 @@ object GraftMaterializedViews {
         val dataCols = (factLive.columns ++ dimLive.columns).distinct
         val unioned = terms.map(t => t.select(
             (dataCols.map(col) :+ col("__jsign").as("__sign")): _*))
-          .reduce(_ unionByName _)
+          .reduceOption(_ unionByName _)
+          .getOrElse(spark.emptyDataFrame)
         // the two live-side reads must be STABLE at (curF, curD): a
         // commit completing mid-fold would leak rows beyond the
         // recorded positions into the F_new/D_new terms and the next
@@ -798,12 +805,18 @@ object GraftMaterializedViews {
         // delta materializes
         (unioned, nF + nD, () =>
           lastCommitOf(spark, meta.source) == curF &&
-            lastCommitOf(spark, ds.source) == curD.get)
+            lastCommitOf(spark, ds.source) == curD.get,
+          Seq(dF, dD))
     }
-    if (nRows == 0L && meta.dim.isEmpty) {
-      // bounded feeds can be empty while positions advanced
-      // (maintenance-only commits): just advance
-      writeMeta(fs, dir, meta.copy(lastCommit = curF))
+    if (nRows == 0L) {
+      // bounded feeds can be empty while positions advanced (a DML
+      // that matched zero rows, maintenance-only commits): advance
+      // BOTH positions — there is nothing to fold on either axis
+      pinnedFeeds.foreach(Materialize.free)
+      writeMeta(fs, dir, meta.copy(lastCommit = curF,
+        dim = meta.dim.zip(curD).map { case (d, c) =>
+          d.copy(lastCommit = c)
+        }.headOption))
       return (0L, curF)
     }
 
@@ -837,7 +850,7 @@ object GraftMaterializedViews {
     require(liveReadsStable(),
       s"materialized-view refresh: a base of $ns.$name was committed " +
         "to while the join delta was being read — retry the refresh")
-    Materialize.free(deltaRows)
+    pinnedFeeds.foreach(Materialize.free)
 
     // ---- MIN/MAX resolution (rescan-on-invalidation, item 7) ------------
     // Inserts fold as least/greatest against the stored extreme; a
@@ -867,7 +880,15 @@ object GraftMaterializedViews {
             (col(s"_b_${m.out}").isNull ||
               col(s"__del_${m.out}") >= col(s"_b_${m.out}"))
       }.reduce(_ || _)
-      val needRescan = exists && !dying && invalid
+      val anyDel = meta.measures.collect {
+        case m if m.kind == "min" || m.kind == "max" =>
+          col(s"__del_${m.out}").isNotNull
+      }.reduce(_ || _)
+      // a group ABSENT from the backing can still need a rescan: an
+      // insert+delete landing in the SAME window leaves __ins_* values
+      // that include since-deleted rows (insert 5, insert 10, delete 5
+      // => least(null, 5) would store 5; the true min is 10)
+      val needRescan = !dying && ((exists && invalid) || (!exists && anyDel))
       val rescanKeys = Materialize.once(j.where(needRescan)
         .select(meta.keys.map(k => col(k.out)): _*))
       val nRescan = rescanKeys.count()
@@ -905,6 +926,7 @@ object GraftMaterializedViews {
       val r = Materialize.once(joined.select(resolved: _*))
       r.count() // eager before freeing the inputs
       Materialize.free(rescanKeys)
+      rescanned.foreach(Materialize.free)
       r
     }
 

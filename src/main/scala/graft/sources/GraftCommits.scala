@@ -509,9 +509,17 @@ private[graft] object GraftCommits {
   private def writeRec(fs: FileSystem, tableDir: Path, r: Rec): Unit = {
     val d = dir(tableDir)
     fs.mkdirs(d)
-    val out = fs.create(new Path(d, recName(r.id)), false)
+    // ATOMIC tmp+rename, not create-then-write: journal readers run
+    // lock-free (feed censuses, pinned-scan planning) and a reader
+    // opening the record between create and close used to parse an
+    // EMPTY file. Ids are assigned under the commit lock, so the
+    // deterministic name never races another writer.
+    val fin = new Path(d, recName(r.id))
+    val tmp = new Path(d, "." + recName(r.id) + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(render(r).getBytes("UTF-8"))
     finally out.close()
+    GraftDv.replaceAtomic(fs, tmp, fin)
   }
 
   /** Append one commit record. MUST run inside the table's commit-lock

@@ -176,6 +176,17 @@ private[graft] object GraftManifestListing {
         val census: Map[String, (Long, Long)] =
           files.result().map { case (rel, len, mt) => (rel, (len, mt)) }
             .toMap
+        // the journal must be TOTAL for this table: a census file the
+        // journal has NEVER seen (not live, not in any retained
+        // add/remove) is a commit whose best-effort journaling failed
+        // or a foreign writer — omitting it would be silent row loss,
+        // so decline and pay the real listing (the same verdict the
+        // pinned-scan tier reaches for the lock-free divergence case).
+        // Census files the journal RETIRED since the walk are the
+        // normal case and simply don't serve.
+        val everKnown = acc ++ ck.map(_.files.keySet).getOrElse(Set.empty) ++
+          tail.flatMap(r => r.adds ++ r.removes.map(_.rel))
+        if (!census.keysIterator.forall(everKnown.contains)) return None
         Some(acc.toSeq.sorted.map { rel =>
           census.get(rel) match {
             case Some((len, mt)) =>

@@ -111,75 +111,22 @@ private[sources] object GraftPinnedScan {
   /** Pin a planned split set to the journal's accounted-live snapshot.
     * Fail-safe in every uncertain direction: no journal, non-file
     * partitions, journal-not-total, or mid-retirement listings all
-    * serve the delegate's plan unchanged.
+    * serve the delegate's plan unchanged. Thin wrapper over
+    * [[keepTest]] — ONE copy of the pin decision procedure.
     */
   def pin(fs: FileSystem, tableDir: Path, scan: FileScan,
       parts: Array[InputPartition]): Array[InputPartition] = {
-    try pin0(fs, tableDir, scan, parts)
-    catch { case NonFatal(e) =>
-      System.err.println(s"[graft] WARN pinned scan on $tableDir " +
-        s"declined: ${e.getMessage}")
-      parts
-    }
-  }
-
-  private def pin0(fs: FileSystem, tableDir: Path, scan: FileScan,
-      parts: Array[InputPartition]): Array[InputPartition] = {
     if (!parts.forall(_.isInstanceOf[FilePartition])) return parts
-    val base = fs.makeQualified(tableDir).toUri.getPath
-    def relOf(p: String): Option[String] =
-      if (p.startsWith(base + "/")) Some(p.stripPrefix(base).stripPrefix("/"))
-      else None
-    def relOfFile(f: PartitionedFile): Option[String] =
-      relOf(f.toPath.toUri.getPath)
-    def nameOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) rel else rel.substring(i + 1)
-    }
     val fps = parts.map(_.asInstanceOf[FilePartition])
-    def unaccounted(acc: Set[String]): Boolean =
-      fps.exists(_.files.exists(f => relOfFile(f) match {
-        case Some(rel) => !isStreamArtifact(nameOf(rel)) && !acc(rel)
-        case None => false
-      }))
-    val acc0 = accountedAt(fs, tableDir, fresh = false)
-      .getOrElse(return parts)
-    if (!unaccounted(acc0)) return parts
-    val lockHeld =
-      try fs.exists(GraftCommitLock.lockPath(tableDir))
-      catch { case NonFatal(_) => false }
-    if (!lockHeld) {
-      // no commit in flight: completed commits have journaled (records
-      // land before the lock releases) — one fresh replay picks them up
-      val acc1 = accountedAt(fs, tableDir, fresh = true)
-        .getOrElse(return parts)
-      if (!unaccounted(acc1)) return parts
-      if (warned.add(tableDir.toString))
-        System.err.println(s"[graft] WARN $tableDir holds data files " +
-          "the commit journal does not account (a commit whose " +
-          "journaling failed, or a foreign writer) — scans serve the " +
-          "directory listing unpinned; CALL system.compact to reset")
-      return parts
+    keepTest(fs, tableDir, scan, fps.toSeq.flatMap(_.files)) match {
+      case None => parts
+      case Some(keep) =>
+        val pruned = fps.map(fp => fp.files.filter(keep))
+        if (pruned.iterator.zip(fps.iterator)
+          .forall { case (ks, fp) => ks.length == fp.files.length }) parts
+        else pruned.filter(_.nonEmpty).zipWithIndex
+          .map { case (kept, i) => FilePartition(i, kept): InputPartition }
     }
-    // a commit is mid-flight. Pin to the journal snapshot — but ONLY
-    // if every accounted batch file is still in the scan's own listing
-    // (the stall is between publish and retirement; all pinned reads
-    // are servable). A mid-retirement or journal-lagging state serves
-    // unpinned instead of silently dropping rows.
-    val acc = acc0
-    val listed: Set[String] = scan.fileIndex.allFiles()
-      .flatMap(st => relOf(st.getPath.toUri.getPath)).toSet
-    if (!acc.forall(r => isStreamArtifact(nameOf(r)) || listed(r)))
-      return parts
-    def keep(f: PartitionedFile): Boolean = relOfFile(f) match {
-      case Some(rel) => isStreamArtifact(nameOf(rel)) || acc(rel)
-      case None => true
-    }
-    val pruned = fps.map(fp => fp.files.filter(keep))
-    if (pruned.iterator.zip(fps.iterator)
-      .forall { case (ks, fp) => ks.length == fp.files.length }) parts
-    else pruned.filter(_.nonEmpty).zipWithIndex
-      .map { case (kept, i) => FilePartition(i, kept): InputPartition }
   }
 
   /** The keep-test alone, for scans that manage their own grouping

@@ -330,6 +330,67 @@ class GraftMaterializedViewSpec extends SparkSpec {
         "fold must be group-scoped")
   }
 
+  test("edge folds: same-window insert+delete on a NEW group rescans its extremes; empty-feed commits advance join positions; a journal-less dim at CREATE round-trips") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE NAMESPACE $cat.mart")
+
+    // 1 — MIN/MAX on a group ABSENT from the backing whose window
+    // holds both inserts and a delete: least(null, ins) would keep the
+    // since-deleted 5; the true min is 10 (review regression)
+    spark.sql(s"CREATE TABLE $cat.ods.ng (k BIGINT, v BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.ng VALUES (1, 50, 'a')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.ngm AS " +
+      s"SELECT s, count(*) AS n, min(v) AS vmin FROM $cat.ods.ng GROUP BY s")
+    spark.sql(s"INSERT INTO $cat.ods.ng VALUES (2, 5, 'z'), (3, 10, 'z')")
+    spark.sql(s"DELETE FROM $cat.ods.ng WHERE k = 2")
+    spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.ngm')").collect()
+    val z = spark.table(s"$cat.mart.ngm").where(col("s") === "z")
+      .select(col("n"), col("vmin")).head
+    assert(z.getLong(0) == 1L && z.getLong(1) == 10L,
+      s"new-group same-window delete must rescan: got $z")
+
+    // 2 — a dim with NO journal records at CREATE (feedId "") must
+    // round-trip the sidecar and fold later dim commits
+    spark.sql(s"CREATE TABLE $cat.ods.f2 (ck BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.ods.d2 (ck BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.ods.f2 VALUES (1, 10), (2, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.j2 AS " +
+      s"SELECT d.s, count(*) AS n, sum(f.v) AS sv FROM $cat.ods.f2 f " +
+      s"JOIN $cat.ods.d2 d ON f.ck = d.ck GROUP BY d.s")
+    spark.sql(s"INSERT INTO $cat.ods.d2 VALUES (1, 'x'), (2, 'x')")
+    spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.j2')").collect()
+    assert(rows(spark.table(s"$cat.mart.j2")
+        .select(col("s"), col("n"), col("sv"))) == Set(("x", 2L, 30L)))
+
+    // 3 — a commit that advances a position with ZERO feed rows (the
+    // empty-union leg): refresh must advance, not crash
+    val f2Dir = new org.apache.hadoop.fs.Path(s"$root/ods/f2")
+    val f2Fs = f2Dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.GraftCommits.record(f2Fs, f2Dir, "delete", adds = Nil)
+    val res = spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.j2')").head
+    assert(res.getLong(0) == 0L, s"empty-feed refresh folded ${res}")
+    assert(rows(spark.table(s"$cat.mart.j2")
+        .select(col("s"), col("n"), col("sv"))) == Set(("x", 2L, 30L)))
+    // ... and real DML afterwards still folds from the advanced position
+    spark.sql(s"INSERT INTO $cat.ods.f2 VALUES (1, 5)")
+    spark.sql(s"CALL $cat.system.refresh_materialized_view(" +
+      "table => 'mart.j2')").collect()
+    assert(rows(spark.table(s"$cat.mart.j2")
+        .select(col("s"), col("n"), col("sv"))) == Set(("x", 3L, 35L)))
+
+    // 4 — keyless JOIN bodies refuse at CREATE (not at first refresh)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.mart.kj AS " +
+        s"SELECT count(*) AS n FROM $cat.ods.f2 f " +
+        s"JOIN $cat.ods.d2 d ON f.ck = d.ck")
+    }
+    assert(e.getMessage.contains("keyless join"), e.getMessage)
+  }
+
   test("journal-incarnation identity: a base swap (compact) refuses the incremental fold; full re-bootstraps (ADVICE r16 high)") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ods")
