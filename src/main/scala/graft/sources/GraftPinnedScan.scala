@@ -32,14 +32,23 @@ import org.apache.spark.sql.execution.datasources.v2.FileScan
   *    files (they are the not-yet-committed generation) — but only
   *    when every accounted-live file is still present in the scan's
   *    own listing (all-old-generation-present proves the stall is
-  *    before retirement; a mid-retirement listing serves unpinned, the
-  *    pre-fix behavior, rather than silently missing rows);
-  *  - unaccounted files with NO lock held → re-read the journal once
-  *    (the commit may have completed in between); if they remain
-  *    unaccounted the journal is not total for this table (a commit
-  *    whose best-effort journaling failed, or a foreign writer) — the
-  *    LISTING is truth there, serve it unpinned and warn. The changes
-  *    feed already refuses such tables loudly until compact.
+  *    before retirement). A mid-retirement listing (accounted ⊄
+  *    listed) can serve NEITHER generation completely, so the plan
+  *    waits — bounded by `spark.graft.pin.lockWaitMs` — for the
+  *    in-flight commit's lock to clear and then adjudicates against
+  *    the fresh journal like the lock-free case below; on timeout it
+  *    serves the listing unpinned, loudly.
+  *  - unaccounted files with NO lock held → re-read the journal (the
+  *    commit may have completed in between) and categorize each
+  *    straggler by the journal's EVER-KNOWN set: a file some retained
+  *    commit RETIRED is a stale-listing artifact of a completed commit
+  *    — when every accounted-live file is in the listing, the pin
+  *    serves exactly the post-commit snapshot and the stragglers drop.
+  *    A file the journal has NEVER seen is genuine divergence (a
+  *    commit whose best-effort journaling failed, or a foreign
+  *    writer) — the LISTING is truth there, serve it unpinned and
+  *    warn. The changes feed already refuses such tables loudly until
+  *    compact.
   *
   * Stream emission artifacts (epoch-named or floor-stamped files) stay
   * outside the pin: their visibility is epoch-gated by name
@@ -56,13 +65,17 @@ import org.apache.spark.sql.execution.datasources.v2.FileScan
   */
 private[sources] object GraftPinnedScan {
 
-  /** tableDir -> (journal-dir fingerprint, accounted-live rels). The
-    * fingerprint is the sorted journal FILE NAME list — records and
-    * checkpoints are immutable once written and ids only grow, so
-    * name-set equality proves the cached replay current.
+  /** tableDir -> (journal-dir fingerprint, accounted-live rels,
+    * ever-known rels). The fingerprint is the sorted journal FILE NAME
+    * list — records and checkpoints are immutable once written and ids
+    * only grow, so name-set equality proves the cached replay current.
+    * Ever-known = live ∪ everything any retained record added or
+    * removed: `everKnown \ live` is the journal-RETIRED set the
+    * straggler categorization needs (uuid file names never repeat, so
+    * retired stays retired).
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[String])]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Set[String], Set[String])]()
 
   private val warned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -84,26 +97,40 @@ private[sources] object GraftPinnedScan {
     if (names.isEmpty) None else Some(names.mkString(","))
   }
 
-  /** Accounted-live rels at the latest complete commit, or None = no
-    * journal (nothing to pin against).
+  /** (accounted-live rels, ever-known rels) at the latest complete
+    * commit, or None = no journal (nothing to pin against).
     */
   private def accountedAt(fs: FileSystem, tableDir: Path,
-      fresh: Boolean): Option[Set[String]] = {
+      fresh: Boolean): Option[(Set[String], Set[String])] = {
     val key = tableDir.toString
     if (fresh) cache.remove(key)
     journalFingerprint(fs, tableDir) match {
       case None => cache.remove(key); None
       case Some(fp) =>
         cache.get(key) match {
-          case (cfp, acc) if cfp == fp => Some(acc)
+          case (cfp, acc, known) if cfp == fp => Some((acc, known))
           case _ =>
             val (ck, tail) = GraftCommits.load(fs, tableDir)
             val acc = GraftCommits.accountedLive(ck, tail)
-            cache.put(key, (fp, acc))
-            Some(acc)
+            val known = acc ++
+              ck.map(_.files.keySet).getOrElse(Set.empty[String]) ++
+              tail.flatMap(r => r.adds ++ r.removes.map(_.rel))
+            cache.put(key, (fp, acc, known))
+            Some((acc, known))
         }
     }
   }
+
+  /** Bounded wait for a mid-retirement commit's lock to clear (the
+    * window where neither generation serves completely from the
+    * listing). Default 10 s; a 100-TB retirement takes minutes — size
+    * `spark.graft.pin.lockWaitMs` to the deployment's retire ceiling.
+    */
+  private def lockWaitMs: Long =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.pin.lockWaitMs").map(_.toLong)
+      .getOrElse(10000L)
+    catch { case NonFatal(_) => 10000L }
 
   private def isStreamArtifact(name: String): Boolean =
     GraftEqDel.emissionOf(name).isDefined || GraftEqDel.hasFloorStamp(name)
@@ -145,21 +172,54 @@ private[sources] object GraftPinnedScan {
         val i = rel.lastIndexOf('/')
         if (i < 0) rel else rel.substring(i + 1)
       }
-      def unaccounted(acc: Set[String]): Boolean =
-        planned.exists(f => relOf(f.toPath.toUri.getPath) match {
-          case Some(rel) => !isStreamArtifact(nameOf(rel)) && !acc(rel)
-          case None => false
+      def strayRels(acc: Set[String]): Seq[String] =
+        planned.flatMap(f => relOf(f.toPath.toUri.getPath) match {
+          case Some(rel)
+              if !isStreamArtifact(nameOf(rel)) && !acc(rel) => Some(rel)
+          case _ => None
         })
-      val acc0 = accountedAt(fs, tableDir, fresh = false)
+      def pinTo(acc: Set[String]): Option[PartitionedFile => Boolean] =
+        Some(f => relOf(f.toPath.toUri.getPath) match {
+          case Some(rel) => isStreamArtifact(nameOf(rel)) || acc(rel)
+          case None => true
+        })
+      val (acc0, _) = accountedAt(fs, tableDir, fresh = false)
         .getOrElse(return None)
-      if (!unaccounted(acc0)) return None
-      val lockHeld =
+      if (strayRels(acc0).isEmpty) return None
+      val listed: Set[String] = scan.fileIndex.allFiles()
+        .flatMap(st => relOf(st.getPath.toUri.getPath)).toSet
+      def snapshotListed(acc: Set[String]): Boolean =
+        acc.forall(r => isStreamArtifact(nameOf(r)) || listed(r))
+      def lockHeld: Boolean =
         try fs.exists(GraftCommitLock.lockPath(tableDir))
         catch { case NonFatal(_) => false }
-      if (!lockHeld) {
-        val acc1 = accountedAt(fs, tableDir, fresh = true)
-          .getOrElse(return None)
-        if (!unaccounted(acc1)) return None
+      if (lockHeld) {
+        // a commit is in flight. Stalled between publish and journal
+        // with the whole pre-commit generation still listed → pin to
+        // it (the pre-commit snapshot, exactly).
+        if (snapshotListed(acc0)) return pinTo(acc0)
+        // mid-retirement: neither generation is completely servable
+        // from this listing — wait (bounded) for the commit to finish,
+        // then adjudicate against the fresh journal below
+        val deadline = System.currentTimeMillis() + lockWaitMs
+        while (lockHeld && System.currentTimeMillis() < deadline)
+          Thread.sleep(50L)
+        if (lockHeld) {
+          if (warned.add(tableDir.toString + "#inflight"))
+            System.err.println(s"[graft] WARN $tableDir commit still " +
+              s"in flight after ${lockWaitMs} ms (mid-retirement) — " +
+              "serving the directory listing unpinned; raise " +
+              "spark.graft.pin.lockWaitMs above the retire ceiling")
+          return None
+        }
+      }
+      // no commit in flight (any more): the FRESH journal adjudicates
+      val (acc1, known1) = accountedAt(fs, tableDir, fresh = true)
+        .getOrElse(return None)
+      val strays = strayRels(acc1)
+      if (strays.isEmpty) return None
+      if (strays.exists(r => !known1(r))) {
+        // never-journaled files: genuine divergence — disk is truth
         if (warned.add(tableDir.toString))
           System.err.println(s"[graft] WARN $tableDir holds data files " +
             "the commit journal does not account (a commit whose " +
@@ -167,13 +227,19 @@ private[sources] object GraftPinnedScan {
             "directory listing unpinned; CALL system.compact to reset")
         return None
       }
-      val listed: Set[String] = scan.fileIndex.allFiles()
-        .flatMap(st => relOf(st.getPath.toUri.getPath)).toSet
-      if (!acc0.forall(r => isStreamArtifact(nameOf(r)) || listed(r)))
-        return None
-      Some(f => relOf(f.toPath.toUri.getPath) match {
-        case Some(rel) => isStreamArtifact(nameOf(rel)) || acc0(rel)
-        case None => true
-      })
+      // every stray is journal-RETIRED: the listing raced a commit
+      // that has since completed. Serve the post-commit snapshot —
+      // but only when the listing holds ALL of it (a listing that
+      // raced SEVERAL commits may miss later files; dropping the
+      // strays there would undercount — serve it unpinned, loudly).
+      if (snapshotListed(acc1)) pinTo(acc1)
+      else {
+        if (warned.add(tableDir.toString + "#multirace"))
+          System.err.println(s"[graft] WARN $tableDir scan listing " +
+            "raced multiple commits (retired stragglers present, " +
+            "newest snapshot incomplete) — serving the listing " +
+            "unpinned; re-run the query for an exact snapshot")
+        None
+      }
     } catch { case NonFatal(_) => None }
 }

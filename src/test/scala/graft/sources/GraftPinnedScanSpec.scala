@@ -134,6 +134,9 @@ class GraftPinnedScanSpec extends SparkSpec {
       .map(_.getPath).head
     val rel = GraftCommits.relOf(fs, tableDir, dataFile)
     val parked = new Path(tableDir.getParent, "parked-" + dataFile.getName)
+    // the spec HOLDS the lock across the assertion — cap the pin's
+    // mid-retirement wait so the decline is fast
+    spark.conf.set("spark.graft.pin.lockWaitMs", "300")
     val token = GraftCommitLock.acquire(fs, tableDir, "spec-mid-retire")
     try {
       // unaccounted "new generation" copy
@@ -156,7 +159,122 @@ class GraftPinnedScanSpec extends SparkSpec {
         s"mid-retirement fail-safe must serve the listing: got $cnt")
     } finally {
       try { if (fs.exists(parked)) fs.rename(parked, dataFile) }
-      finally GraftCommitLock.release(fs, tableDir, token)
+      finally {
+        GraftCommitLock.release(fs, tableDir, token)
+        spark.conf.unset("spark.graft.pin.lockWaitMs")
+      }
+    }
+  }
+
+  test("a listing that raced a COMPLETED commit pins to the post-commit snapshot — journal-retired stragglers drop, never double-serve") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.r (k BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.ods.r SELECT id, id * 10, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 100)")
+    spark.sql(s"UPDATE $cat.ods.r SET v = v + 1000000 WHERE p = 'a'")
+    val post = spark.table(s"$cat.ods.r")
+      .agg(count(lit(1)), sum(col("v"))).head
+    val tableDir = new Path(s"$root/ods/r")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resurrect ONE retired pre-UPDATE file at its original relpath —
+    // exactly what a scan listing captured inside the (since-completed)
+    // publish→retire window holds
+    val retiredArea = fs.makeQualified(new Path(tableDir.getParent,
+      tableDir.getName + ".__retired"))
+    val straggler = {
+      val it = fs.listFiles(retiredArea, true)
+      var found: Option[Path] = None
+      while (found.isEmpty && it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          found = Some(st.getPath)
+      }
+      found.getOrElse(fail("no tombstoned file after the UPDATE"))
+    }
+    // rel below the commit dir: .__retired/<commit>/<rel>
+    val commitDir = {
+      var p = straggler
+      while (p.getParent != retiredArea) p = p.getParent
+      p
+    }
+    val rel = straggler.toString.stripPrefix(commitDir.toString)
+      .stripPrefix("/")
+    val back = new Path(tableDir, rel)
+    org.apache.hadoop.fs.FileUtil.copy(fs, straggler, fs, back, false,
+      spark.sparkContext.hadoopConfiguration)
+    GraftPinnedScan.invalidate()
+    // no lock held, the straggler IS journal-retired: the pin serves
+    // the post-commit snapshot exactly (before this refinement the
+    // straggler double-served with a misleading foreign-writer warning)
+    val got = spark.table(s"$cat.ods.r")
+      .agg(count(lit(1)), sum(col("v"))).head
+    assert(got.getLong(0) == post.getLong(0),
+      s"retired straggler double-served: ${got.getLong(0)} rows")
+    assert(got.getLong(1) == post.getLong(1))
+    fs.delete(back, false)
+    GraftPinnedScan.invalidate()
+  }
+
+  test("a reader planning MID-RETIREMENT waits for the commit and serves the post-commit snapshot exactly") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ods")
+    spark.sql(s"CREATE TABLE $cat.ods.m (k BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.ods.m SELECT id, id * 10, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 100)")
+    val preSum = spark.table(s"$cat.ods.m").agg(sum(col("v")))
+      .head.getLong(0)
+    val tableDir = new Path(s"$root/ods/m")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = GraftEvolved.listVisible(fs, tableDir).map(_.getPath)
+      .find(_.toString.contains("p=a"))
+      .getOrElse(fail("no partition-a file"))
+    val parked = new Path(tableDir.getParent, "parked-" + victim.getName)
+    spark.conf.set("spark.graft.pin.lockWaitMs", "30000")
+    val published = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val old = GraftPartitionedCow.onBetweenPublishAndRetire
+    GraftPartitionedCow.onBetweenPublishAndRetire = dir =>
+      if (dir.contains("/ods/m")) {
+        // retirement has STARTED: one pre-commit file is already gone —
+        // neither generation serves completely from a listing taken now
+        require(fs.rename(victim, parked))
+        published.countDown()
+        release.await(120, TimeUnit.SECONDS)
+        ()
+      }
+    try {
+      val writer = new Thread(() =>
+        spark.sql(s"UPDATE $cat.ods.m SET v = v + 1000000 WHERE p = 'a'"))
+      writer.setDaemon(true)
+      writer.start()
+      assert(published.await(120, TimeUnit.SECONDS))
+      // un-park and release while the reader below is inside its
+      // bounded lock wait
+      val timer = new Thread(() => {
+        Thread.sleep(1500)
+        require(fs.rename(parked, victim))
+        release.countDown()
+      })
+      timer.setDaemon(true)
+      timer.start()
+      // plans mid-retirement: lock held and the pre-commit generation
+      // incomplete in the listing → the pin WAITS for the commit, then
+      // adjudicates against the fresh journal and serves EXACTLY the
+      // post-commit state (pre-refinement: both generations, unpinned)
+      val got = spark.table(s"$cat.ods.m")
+        .agg(count(lit(1)), sum(col("v"))).head
+      writer.join(120000)
+      assert(got.getLong(0) == 100L,
+        s"mid-retirement reader saw ${got.getLong(0)} rows")
+      assert(got.getLong(1) == preSum + 50L * 1000000L,
+        "mid-retirement reader must serve the completed UPDATE exactly")
+    } finally {
+      release.countDown()
+      GraftPartitionedCow.onBetweenPublishAndRetire = old
+      spark.conf.unset("spark.graft.pin.lockWaitMs")
     }
   }
 }
