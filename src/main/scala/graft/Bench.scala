@@ -166,15 +166,27 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     final case class Timing(sec: Double, gc: Long, jit: Long, fp: String,
         err: Option[String])
-    // MACHINE-STATE CONTROLS (r15 item 6): three pinned queries timed
-    // FIRST, warm, in this same JVM. Round-over-round comparisons were
-    // twice hostage to a ~1.5-2x ambient swing (r14: 235.6 vs 195.5 s
-    // on identical code; r15: 1.47x needing a manual A/B) — dividing
-    // both rounds' shared-suite subtotals by their control subtotals
+    // MACHINE-STATE CONTROLS (r15 item 6): pinned queries timed FIRST,
+    // warm, in this same JVM. Round-over-round comparisons were twice
+    // hostage to a ~1.5-2x ambient swing (r14: 235.6 vs 195.5 s on
+    // identical code; r15: 1.47x needing a manual A/B) — dividing both
+    // rounds' shared-suite subtotals by their control subtotals
     // separates machine state from plan drift mechanically. Three reps
     // each, min, after one untimed warm pass.
+    //
+    // TWO dimensions (r17): the three compute controls span codegen'd
+    // scan/agg CPU, but the catalog tier's cost is file-METADATA ops
+    // (create/commit/list on thousands of small files) — in r17 the
+    // box's metadata path drifted 2x while the compute controls read
+    // 0.8x, and the blended artifact misattributed the catalog tier as
+    // a 4x code regression until a warm Scratch A/B cleared it. q160
+    // (catalog write+evolve+merged-read on a fresh scratch dir per
+    // rep) prices that dimension explicitly; bench_compare prints
+    // per-control ratios so a dimension-split drift is visible, not
+    // averaged away.
     val controlNames =
-      Seq("q16_token_stats", "q02_lag_delta", "q83_embedding_norms")
+      Seq("q16_token_stats", "q02_lag_delta", "q83_embedding_norms",
+        "q160_schema_evolution")
     val controls: Seq[(String, Double)] = controlNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         // a FAILING control must be ABSENT from the artifact, never a

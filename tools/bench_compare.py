@@ -59,9 +59,18 @@ def notes_block(old_path: str, new_path: str) -> int:
         cr = cn / co if co else float('nan')
         print(f"- controls ({', '.join(cshared)}): {co:.3f} s -> {cn:.3f} s "
               f"= {cr:.2f}x ambient box drift")
+        ratios = {q: (nc[q] / oc[q]) for q in cshared if oc[q] > 0}
+        per = ", ".join(f"{q} {r:.2f}x" for q, r in sorted(ratios.items()))
+        print(f"- per-control: {per}")
         if cr > 0:
             print(f"- **control-normalized shared ratio: {raw / cr:.2f}x** "
                   "(cite this one; raw includes machine state)")
+        if ratios and max(ratios.values()) / max(min(ratios.values()), 1e-9) > 1.5:
+            print("- WARNING: control drift is DIMENSION-SPLIT (compute vs "
+                  "file-metadata moved differently) — the blended "
+                  "normalization is approximate; adjudicate the top "
+                  "regressions with warm `graft.Scratch` A/B (checkout the "
+                  "old sources) before attributing them to code")
     else:
         print("- controls: absent in one artifact — raw ratio only")
     regs = []
