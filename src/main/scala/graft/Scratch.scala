@@ -2,12 +2,17 @@ package graft
 
 
 
-/** Ad-hoc single-query timing harness (dev only): runMain graft.Scratch <query> [reps]. */
+/** Ad-hoc single-query timing harness (dev only):
+  * runMain graft.Scratch <query> [reps] [sfDir]
+  * (the sfDir ARG matters: `sbt -client` does not forward env vars, so
+  * SPARK_GRAFT_SF_DIR is invisible through the thin client).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = if (args.length > 2) args(2)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.runtime.GraftSession.local()
     // SPARK_GRAFT_SET="k=v,k=v": session-conf overrides, for A/B-ing a
     // rule or config against the same query (e.g. spark.graft.topk.rewrite)
