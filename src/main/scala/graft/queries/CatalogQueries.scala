@@ -2874,7 +2874,12 @@ object CatalogQueries {
     spark.sql(s"MERGE INTO $cat.ods.bal t USING g229_src s ON t.k = s.k " +
       "WHEN MATCHED THEN UPDATE SET cents = s.cents " +
       "WHEN NOT MATCHED THEN INSERT *")
-    val feed = spark.table(s"$cat.ods.bal.changes")
+    // the feed is consumed TWICE (the pairing REQUIRE below + the
+    // emitted aggregate): materialize it once — each raw read re-serves
+    // every commit's preimages from the dv'd data files, and at sf1
+    // that second pass was ~a third of the query (SCALING_r16 item)
+    val feed = graft.runtime.Materialize.once(
+      spark.table(s"$cat.ods.bal.changes"))
     // in-plan evidence of KEYED pairing: the UPDATE commit's preimage
     // keys are exactly its postimage keys (one bounded 1-row aggregate)
     val pair = feed.where(col("_change_epoch") === 1)
