@@ -508,7 +508,9 @@ object GraftMaterializedViews {
   private def feedIdentityOf(spark: SparkSession, source: String): String = {
     val dir = tableDirOf(spark, source)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GraftCommits.list(fs, dir).headOption
+    // one listStatus + one record read (the lowest id), not a parse of
+    // the whole journal — this runs per refresh per source
+    GraftCommits.firstRec(fs, dir)
       .map(r => s"${r.ts}-${r.id}").getOrElse("")
   }
 
@@ -558,13 +560,17 @@ object GraftMaterializedViews {
 
   // ---- create / refresh ---------------------------------------------------
 
-  /** The base table's newest journal commit id, via its `.commits`
-    * relation (−1 on an empty journal).
+  /** The base table's newest journal commit id (−1 on an empty
+    * journal) — served from journal file NAMES ([[GraftCommits.lastId]],
+    * one listStatus), not a SQL execution over the `.commits` relation:
+    * this runs ~8-10× per refresh (position reads, stability
+    * re-checks) and each `.commits` query paid full Catalyst planning
+    * plus a whole-journal content read for a metadata-only question.
     */
   private def lastCommitOf(spark: SparkSession, source: String): Long = {
-    val rows = spark.table(s"$source.commits")
-      .agg(fmax(col("commit_id"))).collect()
-    if (rows.isEmpty || rows.head.isNullAt(0)) -1L else rows.head.getLong(0)
+    val dir = tableDirOf(spark, source)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftCommits.lastId(fs, dir)
   }
 
   private def backingDir(spark: SparkSession, cat: String, ns: String,

@@ -311,6 +311,35 @@ private[graft] object GraftCommits {
     (ck, tail)
   }
 
+  /** Newest journal position from file NAMES only — one listStatus,
+    * zero content reads. −1 = empty/absent journal. Matches
+    * max(commit_id) over the `.commits` metadata rows: with retained
+    * records the newest record wins; with a fully-expired tail the
+    * boundary row is the latest checkpoint, whose id IS the last
+    * record it folded — the name-max is the same id either way. The
+    * cheap answer to "did anything commit since position X?" (MV
+    * refresh positions, stability re-checks) without a SQL execution.
+    */
+  def lastId(fs: FileSystem, tableDir: Path): Long = {
+    val (cks, recIds) = idsByName(fs, tableDir)
+    (cks.lastOption.toSeq ++ recIds.lastOption).maxOption.getOrElse(-1L)
+  }
+
+  /** The first RETAINED record — the feed-identity anchor
+    * ([[graft.sources.GraftChanges]] BatchFeed.feedId = first record's
+    * `ts-id`). Content-reads exactly ONE file (the lowest record id by
+    * name) instead of parsing the whole journal. None = no retained
+    * records.
+    */
+  def firstRec(fs: FileSystem, tableDir: Path): Option[Rec] = {
+    val (_, recIds) = idsByName(fs, tableDir)
+    recIds.headOption.map { id =>
+      val in = fs.open(new Path(dir(tableDir), recName(id)))
+      try parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   private def writeCk(fs: FileSystem, tableDir: Path,
       c: Checkpoint): Unit = {
     val d = dir(tableDir)
