@@ -28,6 +28,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // fork-free local-FS metadata (graft.sources.NioLocalFs): without
+      // libhadoop, Hadoop's local FS execs chmod/readlink/ls per
+      // create/mkdirs/status — milliseconds EACH (tools.MicroFs). The
+      // NIO subclasses are behavior-identical; production HDFS/S3
+      // deployments never resolve the file:// impl, so this is a
+      // local-adapter fix, not local-mode tuning.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.NioLocalFs")
       .config("spark.ui.enabled", "false")
 
   /** Session for the harness mains: core count from SPARK_GRAFT_CPUS,
