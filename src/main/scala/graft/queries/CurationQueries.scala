@@ -1338,15 +1338,28 @@ object CurationQueries {
     */
   def q195CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), wsTokensNonEmpty(col("text")).as("t"))
-      .withColumn("tok", size(col("t")).cast("long"))
-    val keyed = d.withColumn("pfx",
-      expr(s"array_join(slice(t, 1, $FunnelPrefix), ' ')"))
-    val s2 = keyed.join(
-      keyed.groupBy(col("pfx")).agg(min(col("doc_id")).as("doc_id")),
-      Seq("pfx", "doc_id"), "left_semi")
-    val repPass = s2.filter(size(col("t")) >= 2)
+    // Single-pass shape (r17): the stages are MONOTONE filters
+    // (s5 ⊆ s4 ⊆ s3 ⊆ s2 ⊆ d), so per-doc pass FLAGS + flag-gated
+    // sums produce the identical attrition table in ONE evaluation of
+    // the chain — the previous five-branch union re-ran tokenization
+    // and every upstream screen once per stage (1+2+3+4+5 waves).
+    // The token frame and the doc-level flag frame are each
+    // materialized once inside the query (no cross-run state).
+    val keyed = graft.runtime.Materialize.once(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          wsTokensNonEmpty(col("text")).as("t"))
+        .withColumn("tok", size(col("t")).cast("long"))
+        .withColumn("pfx",
+          expr(s"array_join(slice(t, 1, $FunnelPrefix), ' ')")))
+    val reps = keyed.groupBy(col("pfx"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("__p2", lit(true))
+    val flagged2 = keyed.join(reps, Seq("pfx", "doc_id"), "left")
+      .withColumn("p2", col("__p2").isNotNull)
+    // repetition gate: bigram stats only exist for stage-2 survivors
+    // with >= 2 tokens — exactly the docs the old semi-join admitted
+    val repPass = flagged2.filter(col("p2") && size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
         .as("bg"))
@@ -1356,32 +1369,51 @@ object CurationQueries {
         sum(col("c") - 1).as("dup"))
       .filter(expr(s"(top * 1000000L) div m <= $TopBigramPpm") &&
         expr(s"(dup * 1000000L) div m <= $DupMassPpm"))
-      .select(col("doc_id"))
-    val s3 = s2.join(repPass, Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).withColumn("__p3", lit(true))
     val bl = Seq(("dup", 1), ("slow", 0), ("hash", 0), ("fast", 0),
       ("value", 0)).toDF("term", "severe")
-    val hits = s3.select(col("doc_id"), explode(col("t")).as("tok_w"))
+    val flagged3 = flagged2.join(repPass, Seq("doc_id"), "left")
+      .withColumn("p3", col("p2") && col("__p3").isNotNull)
+    val hits = flagged3.filter(col("p3"))
+      .select(col("doc_id"), explode(col("t")).as("tok_w"))
       .join(broadcast(bl), col("tok_w") === col("term"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("severe") === 1, 1L).otherwise(0L)).as("sh"),
         sum(when(col("severe") === 0, 1L).otherwise(0L)).as("mh"))
-    val s4 = s3.join(hits, Seq("doc_id"), "left")
-      .filter(coalesce(col("sh"), lit(0L)) === 0 &&
-        coalesce(col("mh"), lit(0L)) < FunnelMildCap)
-      .select(s3.columns.map(col): _*)
-    val s5 = s4.withColumn("rn", row_number().over(
+    // doc-level flag frame: tiny (id, source, tok, three booleans) —
+    // materialized so the stage-1..4 aggregate and the stage-5 quota
+    // branch share one computation of the joins above
+    val flags = graft.runtime.Materialize.once(
+      flagged3.join(hits, Seq("doc_id"), "left")
+        .withColumn("p4", col("p3") &&
+          coalesce(col("sh"), lit(0L)) === 0 &&
+          coalesce(col("mh"), lit(0L)) < FunnelMildCap)
+        .select(col("doc_id"), col("source"), col("tok"),
+          col("p2"), col("p3"), col("p4")))
+    // per-source quota over stage-4 survivors: same row_number shape
+    // as before (the TopKPerGroup rewrite still applies)
+    val s5 = flags.filter(col("p4"))
+      .withColumn("rn", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("tok").desc, col("doc_id"))))
       .filter(col("rn") <= DomainCap)
-    def summ(df: DataFrame, ord: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("token_mass"))
-        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-          col("n_docs"), col("token_mass"))
-    summ(d, 1, "ingested")
-      .unionByName(summ(s2, 2, "prefix_dedup"))
-      .unionByName(summ(s3, 3, "repetition"))
-      .unionByName(summ(s4, 4, "blocklist"))
-      .unionByName(summ(s5, 5, "domain_quota"))
+    def gated(flag: Column): Seq[Column] = Seq(
+      sum(when(flag, 1L).otherwise(0L)),
+      sum(when(flag, col("tok"))))
+    val a = flags.agg(
+      count(lit(1)).as("n1"), sum(col("tok")).as("m1"),
+      gated(col("p2"))(0).as("n2"), gated(col("p2"))(1).as("m2"),
+      gated(col("p3"))(0).as("n3"), gated(col("p3"))(1).as("m3"),
+      gated(col("p4"))(0).as("n4"), gated(col("p4"))(1).as("m4"))
+    val stages14 = a.select(expr(
+      "stack(4, 1, 'ingested', n1, m1, 2, 'prefix_dedup', n2, m2, " +
+        "3, 'repetition', n3, m3, 4, 'blocklist', n4, m4) " +
+        "AS (stage_ord, stage, n_docs, token_mass)"))
+    val stage5 = s5.agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("token_mass"))
+      .select(lit(5).as("stage_ord"), lit("domain_quota").as("stage"),
+        col("n_docs"), col("token_mass"))
+    stages14.unionByName(stage5)
   }
 
   val q195Oracle: String =

@@ -19,6 +19,11 @@ object Plan {
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     java.nio.file.Files.createDirectories(outDir)
     val spark = graft.runtime.GraftSession.local()
+    // same override hook as graft.Scratch: A/B a conf against one plan
+    sys.env.get("SPARK_GRAFT_SET").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val df = fn(spark, sfDir)

@@ -208,8 +208,12 @@ class CatalogSpec extends SparkSpec {
     cat.writeBucketed(fact, "dds", "fact_b", buckets = 8, bucketCols = Seq("k"))
     cat.writeBucketed(dim, "dds", "dim_b", buckets = 8, bucketCols = Seq("k"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevPrefer = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // the session default prefers shuffled-hash (GraftSession); this
+      // test specifically pins the SORT-MERGE no-exchange shape
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
       val joined = cat.readBucketed("dds", "fact_b")
         .join(cat.readBucketed("dds", "dim_b"), Seq("k"))
       assert(joined.count() == 1000)
@@ -218,6 +222,7 @@ class CatalogSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevPrefer)
     }
   }
 }
