@@ -27,14 +27,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // joins (guide §3.1/§9): let the planner pick shuffled-hash join
-      // when a side builds an in-memory map — SMJ's sort pass is pure
-      // overhead for the banded/bucketed pair-miner joins (q144
-      // 2.5 -> 1.5 s warm; q110/q57/q90 -5..-14%). Scale-safe: the AQE
-      // rewrite only converts when every post-shuffle partition is
-      // under the 64 MB local-map threshold, larger partitions keep
-      // sort-merge's graceful spill.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // joins (guide §3.1): let AQE rewrite sort-merge to shuffled-hash
+      // AT RUNTIME when every post-shuffle partition fits a 64 MB local
+      // map — SMJ's sort pass is pure overhead for the banded/bucketed
+      // pair-miner joins (q144 2.5 -> 1.5 s warm, q110 -14%). The
+      // runtime-only rewrite is deliberate: the static preference
+      // (preferSortMergeJoin=false) was measured WORSE on queries whose
+      // downstream operators reuse SMJ's sort order (q152 +80%,
+      // q112 +20%), while the AQE conversion kept both families at
+      // their best. Scale-safe: oversized partitions keep sort-merge's
+      // graceful spill.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "67108864")
       .config("spark.sql.session.timeZone", "UTC")
