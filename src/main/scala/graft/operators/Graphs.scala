@@ -20,9 +20,10 @@ object Graphs {
     * (node, mass) for all nodes.
     *
     * Shape: the degree-weighted edge frame is materialized ONCE and
-    * reused by every iteration (out-degree from a window over the edge
-    * list — no aggregate+join); each iteration is one key-partitioned
-    * join plus one partial-aggregated shuffle on dst.
+    * reused by every iteration (out-degree from a partial-aggregated
+    * count joined back map-side — the edge list is never re-shuffled
+    * or sorted for it); each iteration is one key-partitioned join
+    * plus one partial-aggregated shuffle on dst.
     */
   def pagerankInt(edges: DataFrame, iterations: Int,
                   initMass: Long = 1000000L, baseMass: Long = 150000L,
@@ -30,12 +31,17 @@ object Graphs {
                   broadcastRanks: Option[Boolean] = None,
                   broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && damp >= 0 && damp <= 100)
-    val ew = edges.select(col("src"), col("dst"))
+    // out-degree via aggregate + (broadcast) join rather than a window
+    // over the edge list: the window re-shuffled and SORTED every edge
+    // by src on top of distinct's own exchange; the aggregate is
+    // partial-aggregated to |V| rows and joins back map-side when it
+    // broadcasts — the edge list crosses the network once, not twice
+    // (guide §2.3 "aggregate before you shuffle", §2.4)
+    val eDist = edges.select(col("src"), col("dst"))
       .distinct()
-      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
       .transform(Materialize.once)
-    val nodes = ew.select(col("src").as("node"))
-      .union(ew.select(col("dst")))
+    val nodes = eDist.select(col("src").as("node"))
+      .union(eDist.select(col("dst")))
       .distinct()
       .transform(Materialize.once)
     // rank/contribution frames are one row per NODE — tiny next to the
@@ -52,6 +58,9 @@ object Graphs {
       nodes.count() <= broadcastMaxNodes)
     def side(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
+    val deg = eDist.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ew = eDist.join(side(deg), Seq("src"))
+      .transform(Materialize.once)
     var ranks = nodes.withColumn("mass", lit(initMass))
     for (_ <- 1 to iterations) {
       val contrib = ew.join(side(ranks), ranks("node") === ew("src"))

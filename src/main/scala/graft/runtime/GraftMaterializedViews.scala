@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Attribu
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, expr, lit, greatest, least, max => fmax, min => fmin, sum => fsum, when}
+import org.apache.spark.sql.functions.{col, count => fcount, expr, lit, greatest, least, max => fmax, min => fmin, sum => fsum, when}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.sources.{GraftCatalog, GraftCommits}
@@ -776,8 +776,14 @@ object GraftMaterializedViews {
           meta.lastCommit, curF, None), "_f_"))
         val dD = Materialize.once(prefixed(changesOf(spark, ds.source,
           ds.lastCommit, curD.get, None), "_d_"))
-        val nF = dF.count()
-        val nD = dD.count()
+        // ONE action materializes both feeds and returns both counts —
+        // two separate .count() calls paid a second full per-statement
+        // execution (plan + job scheduling) for a number the first
+        // pass already knew (guide §7.3 driver/fixed cost)
+        val counts = dF.select(fcount(lit(1)))
+          .unionAll(dD.select(fcount(lit(1))))
+          .collect().map(_.getLong(0))
+        val (nF, nD) = (counts(0), counts(1))
         def joined(l: DataFrame, r: DataFrame, signCol: Column)
             : DataFrame = {
           val cond = ds.joinKeys.map { case (fc, dc) =>

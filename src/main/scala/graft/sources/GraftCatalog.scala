@@ -1230,13 +1230,15 @@ private[sources] class GraftTable(
 
   /** Row coordinates for the merge-on-read delta tier
     * ([[GraftDeltaMor]]): `_graft_file` (table-relative path) and
-    * `_graft_pos` (file-absolute ordinal) — Iceberg's `_file`/`_pos`.
-    * Hidden unless selected; scans that project them read row-based
-    * through per-file chains so positions are exact.
+    * `_graft_pos` (file-absolute ordinal) — Iceberg's `_file`/`_pos` —
+    * plus the `_graft_pre_<col>` preimage mirrors the delta write
+    * requests for commit-time preimage capture. Hidden unless
+    * selected; scans that project them read row-based through per-file
+    * chains so positions are exact.
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    GraftDeltaMor.metadataColumns
+    GraftDeltaMor.metadataColumns(schema())
 
   private val dir = dataDirOverride.getOrElse(s"$root/$layer/$table")
   private def readOnly: Boolean = dataDirOverride.isDefined
@@ -2027,8 +2029,25 @@ private[sources] class GraftTable(
         override def rowId(): Array[NamedReference] = Array(
           Expressions.column(GraftDeltaMor.FileCol),
           Expressions.column(GraftDeltaMor.PosCol))
+        // preimage capture (Delta CDF's `_change_data`): requesting the
+        // `_graft_pre_*` MIRRORS as metadata attributes hands the
+        // writer each deleted/updated row's FULL pre-image. Mirrors,
+        // not the data columns themselves, because Spark's delta
+        // projections bind by NAME and an UPDATE's new values are
+        // aliases named after the data columns — a metadata request
+        // for `v` would read the POST-image; `_graft_pre_v` cannot
+        // collide and carries the preserve-on-delete/update markers.
+        // The positional scan already decodes every touched row for
+        // ordinal integrity, so capture costs column decode + a
+        // ~matched-rows write, and the changes feed then serves
+        // delete/update_preimage rows exactly instead of re-reading
+        // whole data files (GraftCommits.preRoot).
         override def requiredMetadataAttributes(): Array[NamedReference] =
-          Array.empty
+          if (!GraftDeltaMor.captureEnabled(spark) ||
+            GraftTable.this.schema().fieldNames
+              .exists(GraftDeltaMor.isEngineMetaField)) Array.empty
+          else GraftTable.this.schema().fields.map(f =>
+            Expressions.column(GraftDeltaMor.preColName(f.name)))
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder =
           GraftTable.this.newScanBuilder(options)
@@ -2327,7 +2346,8 @@ private[sources] class GraftTable(
         throw new IllegalStateException(
           s"${name()}: deleteWhere on untranslatable predicates " +
             predicates.mkString(", ")))
-      GraftDv.morDelete(spark, new Path(dir), schema(), cond)
+      GraftDv.morDelete(spark, new Path(dir), schema(), cond,
+        effectivePartitionCols)
     } else {
       GraftEqDel.requireNone(fs, new Path(dir), "a partition-drop DELETE")
       val parts = anchorPartitionCols
@@ -2638,9 +2658,23 @@ private[sources] final class GraftScanBuilder(delegate: FileScanBuilder,
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val (meta, data) = requiredSchema.fields.partition(f =>
-      GraftDeltaMor.isMetaField(f.name))
+      GraftDeltaMor.isEngineMetaField(f.name))
     metaFields = meta.toSeq
-    delegate.pruneColumns(StructType(data))
+    // preimage mirrors copy their SOURCE column's value per row — the
+    // source must be in the delegate read even when the query itself
+    // does not project it (a DELETE's required columns are rowId +
+    // mirrors only)
+    val have = data.map(_.name.toLowerCase).toSet
+    val extra = meta.toSeq.collect {
+      case f if GraftDeltaMor.isPreField(f.name) =>
+        GraftDeltaMor.preSourceOf(f.name)
+    }.distinct.filterNot(n => have.contains(n.toLowerCase)).map { n =>
+      val i = tableSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0,
+        s"preimage mirror source column $n is not in the table schema")
+      tableSchema.fields(i)
+    }
+    delegate.pruneColumns(StructType(data ++ extra))
   }
 
   // recorded for the manifest aggregate fast path: PARTITION-column

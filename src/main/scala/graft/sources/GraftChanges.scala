@@ -538,6 +538,13 @@ private[sources] final class GraftChangesScan(
     }
 
     private val retired = GraftRetired.retiredRoot(tableDir)
+    private val preRoot = GraftCommits.preRoot(tableDir)
+    // one existence probe per per-commit sidecar dir per planning pass
+    private val preDirOk = scala.collection.mutable.Map.empty[String, Boolean]
+    private def preServable(r: GraftCommits.Rec): Boolean =
+      r.pre.nonEmpty && r.pre.iterator.map(_.takeWhile(_ != '/')).forall(
+        d => d.nonEmpty && preDirOk.getOrElseUpdate(d,
+          fs.exists(new Path(preRoot, d))))
     // rel -> its removing records (id-ascending): resolves which
     // tombstone holds the instance a given commit added
     private val removalsByRel: Map[String, Seq[(Long, String)]] =
@@ -699,8 +706,21 @@ private[sources] final class GraftChangesScan(
                     out += BatchChangePartition(r.id, delLabel, Array(f),
                       Map.empty))
               }
-            if (r.dv.nonEmpty)
-              r.dv.toSeq.groupBy { case (rel, _) =>
+            if (r.dv.nonEmpty) {
+              if (preServable(r))
+                // commit-time preimage sidecars hold EXACTLY the dv'd
+                // rows (captured by the writing tasks): serve them
+                // directly — free split granularity, zero re-read of
+                // unmatched rows. The ordinal path below stays the
+                // fallback for legacy records and GC'd sidecars.
+                r.pre.groupBy(_.takeWhile(_ != '/')).foreach {
+                  case (d, paths) =>
+                    plannedFiles(new Path(preRoot, d),
+                      paths.map(_.drop(d.length + 1))).foreach(f =>
+                        out += BatchChangePartition(r.id, delLabel,
+                          Array(f), Map.empty))
+                }
+              else r.dv.toSeq.groupBy { case (rel, _) =>
                 instanceBase(rel, r.id).get
               }.foreach { case (base, entries) =>
                 val ordsByPath = entries.map { case (rel, ords) =>
@@ -714,6 +734,7 @@ private[sources] final class GraftChangesScan(
                       ordsByPath.view.filterKeys(_ == key).toMap)
                   }
               }
+            }
           }
         }
       }

@@ -79,6 +79,59 @@ private[sources] object GraftDeltaMor {
   def isMetaField(name: String): Boolean =
     name.equalsIgnoreCase(FileCol) || name.equalsIgnoreCase(PosCol)
 
+  /** Session gate for commit-time preimage capture (default ON): the
+    * delta operation requests the `_graft_pre_*` mirrors of the data
+    * columns as metadata attributes and its tasks write each
+    * deleted/updated row's pre-image into a per-commit sidecar
+    * ([[GraftCommits.preRoot]]), so the changes feed serves exact rows
+    * with zero read amplification. OFF restores the r17 behavior (feed
+    * re-reads data files and filters to the recorded ordinals — same
+    * rows, ~10x the read at a 10% match rate).
+    */
+  val CaptureConf = "spark.graft.changes.preimageCapture"
+
+  def captureEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(CaptureConf).forall(_.toBoolean)
+
+  /** Preimage MIRROR metadata columns: `_graft_pre_<col>` exposes the
+    * row's own `<col>` value as a METADATA column. The point is the
+    * NAME: Spark's delta projections bind by name, and an UPDATE's new
+    * values are aliases named after the data columns — a metadata
+    * request for `v` would read the POST-image. The reserved prefix
+    * cannot collide, and the preserve-on-delete/update markers keep
+    * Spark from nullifying the values on the very ops that need them.
+    */
+  val PrePrefix = "_graft_pre_"
+
+  def preColName(c: String): String = PrePrefix + c
+  def isPreField(name: String): Boolean =
+    name.toLowerCase.startsWith(PrePrefix)
+  def preSourceOf(name: String): String = name.substring(PrePrefix.length)
+
+  /** Coordinate fields OR preimage mirrors — everything the positional
+    * [[MetaScan]] serves on top of the delegate's data columns.
+    */
+  def isEngineMetaField(name: String): Boolean =
+    isMetaField(name) || isPreField(name)
+
+  def metadataColumns(schema: StructType): Array[MetadataColumn] =
+    // a user column under either reserved name disables the mirrors
+    // (the coordinate columns keep their hard require in changesSchema)
+    if (schema.fieldNames.exists(isEngineMetaField)) metadataColumns
+    else metadataColumns ++ schema.fields.map { f =>
+      new MetadataColumn {
+        override def name(): String = preColName(f.name)
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          f.dataType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          s"pre-image mirror of ${f.name} (row-level preimage capture)"
+        override def metadataInJSON(): String =
+          s"""{"${MetadataColumn.PRESERVE_ON_DELETE}": true, """ +
+            s""""${MetadataColumn.PRESERVE_ON_UPDATE}": true}"""
+      }
+    }
+
   // ---- the metadata scan ---------------------------------------------------
 
   /** One file's ordered split chain plus its live deletion vector. */
@@ -172,13 +225,27 @@ private[sources] object GraftDeltaMor {
       new MetaReaderFactory(
         GraftScanFilters.withoutDataFilters(initial).toBatch
           .createReaderFactory(),
-        // meta projection: for each requested field, 0 = file, 1 = pos
-        metaFields.map(f => if (f.name.equalsIgnoreCase(FileCol)) 0 else 1)
-          .toArray)
+        // meta projection: for each requested field, 0 = file, 1 = pos,
+        // 2+i = preimage mirror copying the delegate row's column i
+        metaFields.map { f =>
+          if (f.name.equalsIgnoreCase(FileCol)) 0
+          else if (f.name.equalsIgnoreCase(PosCol)) 1
+          else {
+            val src = preSourceOf(f.name)
+            val i = initial.readSchema().fieldNames
+              .indexWhere(_.equalsIgnoreCase(src))
+            require(i >= 0, s"preimage mirror ${f.name}: source column " +
+              s"$src is not in the delegate read schema")
+            2 + i
+          }
+        }.toArray,
+        metaFields.map(_.dataType).toArray)
   }
 
   private final class MetaReaderFactory(unfiltered: PartitionReaderFactory,
-      metaSel: Array[Int]) extends PartitionReaderFactory {
+      metaSel: Array[Int],
+      metaTypes: Array[org.apache.spark.sql.types.DataType])
+    extends PartitionReaderFactory {
     override def supportColumnarReads(p: InputPartition): Boolean = false
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] = p match {
@@ -226,13 +293,19 @@ private[sources] object GraftDeltaMor {
       }
 
       override def get(): InternalRow = {
+        val data = cur.get()
         var i = 0
         while (i < metaSel.length) {
-          metaRow.update(i, if (metaSel(i) == 0) rel
-            else java.lang.Long.valueOf(ord))
+          metaRow.update(i, metaSel(i) match {
+            case 0 => rel
+            case 1 => java.lang.Long.valueOf(ord)
+            case k => // preimage mirror: the row's own column value
+              val src = k - 2
+              if (data.isNullAt(src)) null else data.get(src, metaTypes(i))
+          })
           i += 1
         }
-        joined(cur.get(), metaRow)
+        joined(data, metaRow)
       }
 
       override def close(): Unit =
@@ -243,11 +316,14 @@ private[sources] object GraftDeltaMor {
   // ---- the delta write ------------------------------------------------------
 
   /** Task result: staged insert files (the CowTaskFiles payload) plus
-    * the (rel -> sorted positions) this task deleted/updated away.
+    * the (rel -> sorted positions) this task deleted/updated away and
+    * the staged preimage sidecar files capturing those rows' values.
     */
   private final case class DeltaTaskResult(
       files: Seq[(String, String, Long)],
-      deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+      deletes: Map[String, Array[Long]],
+      preFiles: Seq[(String, String, Long)] = Nil)
+    extends WriterCommitMessage
 
   final class GraftMorDeltaWrite(spark: SparkSession, format: String,
       tableSchema: StructType, dir: String, partitionCols: Seq[String],
@@ -292,6 +368,26 @@ private[sources] object GraftDeltaMor {
       i
     }
 
+    // preimage capture: when the operation requested the preimage
+    // MIRROR columns as metadata attributes ([[captureEnabled]]), the
+    // writers receive each deleted/updated row's full pre-image and
+    // stage it — in the table's own hive layout (mirror names stripped
+    // back to the data columns'), so the feed plans the sidecars
+    // exactly like tombstones — under ONE per-write dir beside the
+    // table ([[GraftCommits.preRoot]]), invisible until the commit
+    // record references it (a crashed write leaves an unreferenced
+    // dir, never a partial feed)
+    private val metaSchema: StructType = StructType(
+      info.metadataSchema().orElse(StructType(Nil)).fields
+        .filter(f => isPreField(f.name))
+        .map(f => f.copy(name = preSourceOf(f.name))))
+    private val capturesPre: Boolean = metaSchema.nonEmpty &&
+      (partitionCols ++ bucketSpec.map(_._2)).forall(c =>
+        metaSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    private val preStageDir: Path = new Path(
+      GraftCommits.preRoot(new Path(dir)),
+      s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+
     override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
       override def createBatchWriterFactory(
           physInfo: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -299,8 +395,13 @@ private[sources] object GraftDeltaMor {
           if (writesRows) Some(GraftPartitionedCow.prepare(spark, format,
             rowSchema, partitionCols, bucketSpec, dir))
           else None // delete-only: no rows will ever be written
+        val preP =
+          if (capturesPre) Some(GraftPartitionedCow.prepare(spark, format,
+            metaSchema, partitionCols, bucketSpec, dir))
+          else None
         new MorDeltaWriterFactory(p, dir, rowSchema,
-          idIdx(FileCol), idIdx(PosCol))
+          idIdx(FileCol), idIdx(PosCol),
+          preP, preStageDir.toString, metaSchema)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -308,6 +409,7 @@ private[sources] object GraftDeltaMor {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val results = messages.toSeq.collect { case r: DeltaTaskResult => r }
         val staged = results.flatMap(_.files)
+        val preStaged = results.flatMap(_.preFiles)
         val allDeletes = results.flatMap(_.deletes.toSeq)
           .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
         val maxRows = spark.conf.getOption(GraftDv.MaxRowsConf)
@@ -334,10 +436,28 @@ private[sources] object GraftDeltaMor {
                 s"$dir: $rel was rewritten by a concurrent commit — " +
                   "the merge-on-read positions are stale; re-run")
           }
-          // phase 1 — publish staged inserts (atomic per-file rename)
+          // phase 1 — publish staged inserts (atomic per-file rename);
+          // preimage sidecars publish the same way, but into the
+          // UNREFERENCED per-write dir beside the table — they become
+          // part of the feed only when the journal record lands below,
+          // so a crash anywhere in between leaves an orphan dir and the
+          // feed falls back to the exact ordinal read
           staged.foreach { case (st, fin, _) =>
             require(fs.rename(new Path(st), new Path(fin)),
               s"merge-on-read commit: could not publish $st -> $fin")
+          }
+          preStaged.foreach { case (st, fin, _) =>
+            require(fs.rename(new Path(st), new Path(fin)),
+              s"merge-on-read commit: could not publish preimage " +
+                s"$st -> $fin")
+          }
+          val preRels: Seq[String] = {
+            val base = fs.makeQualified(
+              GraftCommits.preRoot(new Path(dir))).toUri.getPath
+            preStaged.map { case (_, fin, _) =>
+              fs.makeQualified(new Path(fin)).toUri.getPath
+                .stripPrefix(base).stripPrefix("/")
+            }.sorted
           }
           // phase 2 — merge positions into the sidecars
           allDeletes.foreach { case (rel, ords) =>
@@ -371,7 +491,7 @@ private[sources] object GraftDeltaMor {
                 GraftCommits.relOf(fs, new Path(dir), new Path(fin)) },
               dv = allDeletes.map { case (rel, ords) =>
                 (rel, ords.toArray.sorted) },
-              note = command)
+              note = command, pre = preRels)
         }
         // advisory post-commit stats refresh, scoped to the published
         // dirs (the auto_analyze contract: never fails the write)
@@ -393,19 +513,25 @@ private[sources] object GraftDeltaMor {
         val fs = new Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         messages.foreach {
-          case DeltaTaskResult(files, _) => files.foreach { case (st, _, _) =>
-            try fs.delete(new Path(st), false)
-            catch { case NonFatal(_) => () }
-          }
+          case DeltaTaskResult(files, _, preFiles) =>
+            (files ++ preFiles).foreach { case (st, _, _) =>
+              try fs.delete(new Path(st), false)
+              catch { case NonFatal(_) => () }
+            }
           case _ => ()
         }
+        // best-effort: drop the (never-referenced) per-write sidecar dir
+        try fs.delete(preStageDir, true)
+        catch { case NonFatal(_) => () }
       }
     }
   }
 
   private final class MorDeltaWriterFactory(
       p: Option[GraftPartitionedCow.Prepared], dir: String,
-      rowSchema: StructType, fileIdx: Int, posIdx: Int)
+      rowSchema: StructType, fileIdx: Int, posIdx: Int,
+      preP: Option[GraftPartitionedCow.Prepared] = None,
+      preStageDir: String = "", metaSchema: StructType = StructType(Nil))
     extends DeltaWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DeltaWriter[InternalRow] = {
@@ -415,33 +541,53 @@ private[sources] object GraftDeltaMor {
         p.get.conf.value, dir, rowSchema, p.get.fileSchema,
         p.get.fileFieldIdx, p.get.partFields, p.get.bucketField,
         partitionId, None, sorted = true)
+      // preimage sidecar writer: rows arrive in the DISTRIBUTION's
+      // order (clustered by the NEW row's key on update/merge,
+      // scan order on delete), not the preimage's partition order —
+      // unsorted mode keeps one open writer per partition dir touched.
+      // No checks/blooms/ndv: these rows were already in the table.
+      lazy val preWriter = new GraftPartitionedCow.PartitionedCowWriter(
+        preP.getOrElse(throw new IllegalStateException(
+          "preimage capture is off but a preimage row arrived")).owf,
+        preP.get.conf.value, preStageDir, metaSchema, preP.get.fileSchema,
+        preP.get.fileFieldIdx, preP.get.partFields, preP.get.bucketField,
+        partitionId, None, sorted = false)
       var opened = false
+      var preOpened = false
       new DeltaWriter[InternalRow] {
         private val dels =
           mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
         private def mark(id: InternalRow): Unit =
           dels.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
             mutable.ArrayBuffer.empty) += id.getLong(posIdx)
-        override def delete(meta: InternalRow, id: InternalRow): Unit =
-          mark(id)
+        private def capture(meta: InternalRow): Unit =
+          if (preP.isDefined) { preOpened = true; preWriter.write(meta) }
+        override def delete(meta: InternalRow, id: InternalRow): Unit = {
+          mark(id); capture(meta) }
         override def update(meta: InternalRow, id: InternalRow,
-            row: InternalRow): Unit = { mark(id); opened = true
-          inner.write(row) }
+            row: InternalRow): Unit = { mark(id); capture(meta)
+          opened = true; inner.write(row) }
         override def insert(row: InternalRow): Unit = { opened = true
           inner.write(row) }
-        override def commit(): WriterCommitMessage = {
-          val files =
-            if (!opened) Seq.empty[(String, String, Long)]
-            else inner.commit() match {
-              case GraftPartitionedCow.CowTaskFiles(fs0, _, _) => fs0
-              case other => throw new IllegalStateException(
-                s"unexpected writer message $other")
-            }
-          DeltaTaskResult(files,
-            dels.view.mapValues(_.toArray.sorted).toMap)
+        private def filesOf(w: GraftPartitionedCow.PartitionedCowWriter)
+            : Seq[(String, String, Long)] = w.commit() match {
+          case GraftPartitionedCow.CowTaskFiles(fs0, _, _) => fs0
+          case other => throw new IllegalStateException(
+            s"unexpected writer message $other")
         }
-        override def abort(): Unit = if (opened) inner.abort()
-        override def close(): Unit = if (opened) inner.close()
+        override def commit(): WriterCommitMessage =
+          DeltaTaskResult(
+            if (opened) filesOf(inner) else Nil,
+            dels.view.mapValues(_.toArray.sorted).toMap,
+            if (preOpened) filesOf(preWriter) else Nil)
+        override def abort(): Unit = {
+          if (opened) inner.abort()
+          if (preOpened) preWriter.abort()
+        }
+        override def close(): Unit = {
+          if (opened) inner.close()
+          if (preOpened) preWriter.close()
+        }
       }
     }
   }

@@ -359,11 +359,16 @@ private[graft] object GraftDv {
     * Returns the number of NEWLY deleted positions.
     */
   def morDelete(spark: SparkSession, tableDir: Path, tableSchema: StructType,
-      cond: Column): Long = {
+      cond: Column, partitionCols: Seq[String] = Nil): Long = {
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     GraftEqDel.requireNone(fs, tableDir, "a merge-on-read DELETE")
     val maxRows = spark.conf.getOption(MaxRowsConf)
       .map(_.toLong).getOrElse(MaxRowsDefault)
+    // preimage capture ([[GraftDeltaMor.captureEnabled]]): the matched
+    // snapshot below already holds the deleted rows' values — write
+    // them into a per-commit sidecar so the changes feed serves this
+    // commit's delete rows exactly instead of re-reading whole files
+    val capture = GraftDeltaMor.captureEnabled(spark)
 
     val df = spark.read.schema(tableSchema).parquet(tableDir.toString)
     // PERSIST the matched set so the cap count and the ordinal collect
@@ -371,20 +376,62 @@ private[graft] object GraftDv {
     // and files published by a concurrent append between them could
     // push the collected set past the counted (capped) total.
     val matched = df.filter(cond)
-      .select(col("_metadata.file_path").as("__f"),
-        col("_metadata.row_index").as("__o"))
+      .select((if (capture) Seq(col("*")) else Nil) ++ Seq(
+        col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__o")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // sidecar write OUTSIDE the lock: the per-write dir is
+    // unreferenced until the journal record lands, so a failed commit
+    // leaves an orphan dir, never a partial feed. The persisted
+    // snapshot pins values to the SAME rows the ordinals come from.
+    // The cap count RIDES this write (an Observation metric): with
+    // capture on, the materializing pass is the sidecar write itself —
+    // one distributed pass fewer than count-then-write, so capture
+    // costs only the written bytes at small scale.
+    var preRels: Seq[String] = Nil
+    var preStage: Path = null
+    val total: Long =
+      if (!capture) matched.count()
+      else {
+        preStage = new Path(GraftCommits.preRoot(tableDir),
+          s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+        val obs = org.apache.spark.sql.Observation()
+        val w = matched.drop("__f", "__o")
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+         else w).parquet(preStage.toString)
+        val n = obs.get("n").asInstanceOf[Long]
+        val base = fs.makeQualified(GraftCommits.preRoot(tableDir))
+          .toUri.getPath
+        def walk(p: Path): Seq[Path] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("_") || nm.startsWith(".")) Nil
+            else if (st.isDirectory) walk(st.getPath)
+            else Seq(st.getPath)
+          }
+        preRels = walk(preStage).map(p =>
+          fs.makeQualified(p).toUri.getPath
+            .stripPrefix(base).stripPrefix("/")).sorted
+        n
+      }
+    def dropStage(): Unit = if (preStage != null) {
+      try fs.delete(preStage, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     val perFile = try {
-      // enforce the cap BEFORE any ordinal reaches the driver: a count
-      // is one cheap distributed pass (and materializes the cached
-      // snapshot), and a too-wide delete must fail before — not after —
-      // it can OOM the driver
-      val total = matched.count()
+      // enforce the cap BEFORE any ordinal reaches the driver: a
+      // too-wide delete must fail before — not after — it can OOM the
+      // driver (the capture write above is distributed; its wasted
+      // bytes on this error path are cleaned up below)
+      if (total > maxRows) dropStage()
       require(total <= maxRows,
         s"merge-on-read DELETE matched $total rows (> $MaxRowsConf=$maxRows): " +
           "a delete this wide should rewrite files — use the copy-on-write " +
           "path (delete_mode=copy-on-write) or a partition-level DELETE")
-      if (total == 0) return 0L
+      if (total == 0) { dropStage(); return 0L }
       val rows = matched.groupBy(col("__f"))
         .agg(sort_array(collect_list(col("__o"))).as("__ords"))
         .collect()
@@ -440,7 +487,8 @@ private[graft] object GraftDv {
       // travel replays the deltas to any commit's deletion state
       if (perFile.nonEmpty)
         GraftCommits.tryRecord(fs, tableDir, "mor_delete",
-          adds = Nil, dv = dvDeltas.result())
+          adds = Nil, dv = dvDeltas.result(), note = "delete",
+          pre = preRels)
     }
     fresh
   }
