@@ -49,14 +49,21 @@ object Bench {
       */
     def record(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
       // treeString of an executed AQE plan prints the FINAL plan
-      // (isFinalPlan=true); strip per-line decorations down to the
-      // operator name so codegen ids / plan ids don't perturb the hash.
-      val ns = qe.executedPlan.treeString.linesIterator.flatMap { line =>
-        val t = line.dropWhile(c => !c.isLetter && c != '*')
-        val t2 = if (t.startsWith("*(")) t.dropWhile(_ != ')').drop(1).trim else t
-        val name = t2.takeWhile(c => c.isLetterOrDigit)
-        if (name.nonEmpty) Some(name) else None
-      }.toList
+      // followed by an "== Initial Plan ==" section; census the final
+      // plan ONLY (r18 measurement fix: through r17 the census counted
+      // BOTH, so a join AQE had already converted to broadcast still
+      // fingerprinted as its pre-conversion SortMergeJoin — exactly the
+      // ambiguity that made the r17 SHJ-conversion claim undecidable).
+      // Strip per-line decorations down to the operator name so codegen
+      // ids / plan ids don't perturb the hash.
+      val ns = qe.executedPlan.treeString
+        .split("== Initial Plan ==").head
+        .linesIterator.flatMap { line =>
+          val t = line.dropWhile(c => !c.isLetter && c != '*')
+          val t2 = if (t.startsWith("*(")) t.dropWhile(_ != ')').drop(1).trim else t
+          val name = t2.takeWhile(c => c.isLetterOrDigit)
+          if (name.nonEmpty) Some(name) else None
+        }.toList
       synchronized { if (seen.add(qe)) nodes ++= ns }
     }
     override def onSuccess(funcName: String,

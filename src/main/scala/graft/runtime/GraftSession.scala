@@ -27,16 +27,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // joins (guide §3.1): let AQE rewrite sort-merge to shuffled-hash
-      // AT RUNTIME when every post-shuffle partition fits a 64 MB local
-      // map — SMJ's sort pass is pure overhead for the banded/bucketed
-      // pair-miner joins (q144 2.5 -> 1.5 s warm, q110 -14%). The
-      // runtime-only rewrite is deliberate: the static preference
-      // (preferSortMergeJoin=false) was measured WORSE on queries whose
-      // downstream operators reuse SMJ's sort order (q152 +80%,
-      // q112 +20%), while the AQE conversion kept both families at
-      // their best. Scale-safe: oversized partitions keep sort-merge's
-      // graceful spill.
+      // joins (guide §3.1): allow AQE to rewrite sort-merge to
+      // shuffled-hash at runtime when every post-shuffle partition fits
+      // a 64 MB local map. MEASURED HONESTLY (r18, final-plan join
+      // census at sf0.1 AND the 10x sf1 clone): the conversion never
+      // fires on this suite — every qualifying join's build side is
+      // small enough that AQE converts it to BROADCAST first, so the
+      // r17 warm deltas attributed to this knob were ambient noise
+      // (the r17 fingerprints counted AQE's pre-conversion "Initial
+      // Plan" section, hiding that). The setting stays as a
+      // large-scale contingency only: it matters exactly when a build
+      // side lands between the broadcast threshold and 64 MB per
+      // partition, it cannot mis-fire below that, and oversized
+      // partitions keep sort-merge's graceful spill.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "67108864")
       .config("spark.sql.session.timeZone", "UTC")

@@ -35,9 +35,12 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
 
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val s = permission.toShort.toInt
-    // setuid/setgid (> 0x3ff) can't be expressed as PosixFilePermissions:
-    // keep Hadoop's shell path for those (never used by Spark locally)
-    if ((s & ~0x3ff) != 0) super.setPermission(p, permission)
+    // anything beyond the 9 rwx bits (sticky is 0x200 in FsPermission's
+    // encoding; setuid/setgid aren't representable at all) can't be
+    // expressed as PosixFilePermissions: keep Hadoop's shell path for
+    // those (never used by Spark locally) instead of silently dropping
+    // the bit (r17 ADVICE)
+    if ((s & ~0x1ff) != 0) super.setPermission(p, permission)
     else {
       try Files.setPosixFilePermissions(pathToFile(p).toPath, permsOf(s))
       catch {
@@ -102,21 +105,32 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
   */
 private final class NioFileStatus(len: Long, isdir: Boolean,
     blocksize: Long, mtime: Long, atime: Long, perm: FsPermission,
-    symlink: Path, qualified: Path, attrs: PosixFileAttributes)
+    symlink: Path, qualified: Path,
+    // transient: FileStatus is Serializable and PosixFileAttributes is
+    // not (r17 ADVICE) — writeObject below resolves owner/group into
+    // the parent's plain String fields before the attrs are dropped,
+    // so a serialized status round-trips with its owner intact
+    @transient private var attrs: PosixFileAttributes)
     extends FileStatus(len, isdir, 1, blocksize, mtime, atime, perm,
       null, null, symlink, qualified) {
   @volatile private var ownerLoaded = false
   private def load(): Unit = synchronized {
     if (!ownerLoaded) {
       try {
-        setOwner(attrs.owner().getName)
-        setGroup(attrs.group().getName)
+        if (attrs != null) {
+          setOwner(attrs.owner().getName)
+          setGroup(attrs.group().getName)
+        }
       } catch { case _: Exception => () } // keep "" on lookup failure
       ownerLoaded = true
     }
   }
   override def getOwner: String = { if (!ownerLoaded) load(); super.getOwner }
   override def getGroup: String = { if (!ownerLoaded) load(); super.getGroup }
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    load()
+    out.defaultWriteObject()
+  }
 }
 
 private object NioLocalFsUtil {

@@ -3,10 +3,11 @@ package graft.tools
 /** Dev-only driver sampling profiler: runMain graft.tools.Sample <query> [sfDir] [topN]
   *
   * Runs one declared query once (after an untimed warm rep) while a
-  * background thread samples every live thread's stack at ~200 Hz.
-  * Prints the hottest (method, state) frames, split driver vs executor
-  * ("Executor task launch" threads), and the hottest graft.* frames —
-  * the "where does driverOnly time go" companion to tools.Prof.
+  * background thread samples the MAIN (driver) thread's stack at
+  * ~200 Hz. Prints the hottest (method, state) frames and the hottest
+  * graft.* frames — the "where does driverOnly time go" companion to
+  * tools.Prof. Executor-side hotspots are NOT captured (use the Spark
+  * UI's executor thread dumps for those).
   * Read-only diagnostics; never used by the driver contract.
   */
 object Sample {

@@ -211,8 +211,9 @@ class CatalogSpec extends SparkSpec {
     val prevPrefer = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      // the session default prefers shuffled-hash (GraftSession); this
-      // test specifically pins the SORT-MERGE no-exchange shape
+      // the static preference is Spark's default (true) — this pin
+      // only guards against a future session-level change, since the
+      // test specifically asserts the SORT-MERGE no-exchange shape
       spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
       val joined = cat.readBucketed("dds", "fact_b")
         .join(cat.readBucketed("dds", "dim_b"), Seq("k"))
